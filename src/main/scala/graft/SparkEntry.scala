@@ -1,13 +1,259 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.model.Tables
+import graft.ops.Relational
+import graft.ops.Relational.dsum
+
+/** Driver contract — one named query per implemented operator from
+  * SURVEY.md §2, each with an ANSI-SQL twin in [[oracleSql]] runnable by
+  * DuckDB over the same parquet tables.
+  *
+  * Determinism rules shared by both sides (SURVEY.md §7.6):
+  *   - double SUMs go through DECIMAL(18,6) (exact, order-independent),
+  *     final value cast back to DOUBLE;
+  *   - integer-valued conditional sums are cast to BIGINT in the SQL twin
+  *     (DuckDB widens integer SUM to HUGEINT otherwise);
+  *   - every result carries a total deterministic ORDER BY with a unique
+  *     tie-break key;
+  *   - timestamps are cast to DATE on both sides when a date key is derived.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference-shaped client_stats mart (SURVEY.md §7.3).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Relational.clientStats(
+      Tables.lineitem(spark, dir), Tables.orders(spark, dir), Tables.customer(spark, dir))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Gold marts (A1-A4, J1/J3/J4, P2; deltalake.ipynb cell 11) ----
+    "q01_client_stats" -> ((s, d) =>
+      Relational.clientStats(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d))),
+    "q11_daily_metrics" -> ((s, d) =>
+      Relational.dailyMetrics(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "q12_fraud_analysis" -> ((s, d) =>
+      Relational.fraudAnalysis(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d))),
+
+    // ---- Multi-aggregate pricing summary (A1/A3 with derived measures) ----
+    "q02_pricing_summary" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(to_date(col("l_shipdate")) <= lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- Filters / predicates (P6-P11; deltalake.ipynb:8408-8424) ----
+    "q03_filter_range" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(to_date(col("l_shipdate")).between("1996-01-01", "1996-12-31") &&
+          col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), to_date(col("l_shipdate")).as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q04_filter_isin_null" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("st", expr("nullif(o_orderstatus, 'F')"))
+        .filter(col("st").isNull && col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+    "q05_derived_flags" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+        .withColumn("is_suspicious",
+          Relational.suspicious(col("l_extendedprice"), col("l_returnflag")))
+        .withColumn("qty_bucket",
+          when(col("l_quantity") < 10, "low").when(col("l_quantity") < 25, "mid").otherwise("high"))
+        .withColumn("price_floor", floor(col("l_extendedprice")).cast("long"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- Joins (J1-J5) ----
+    "q06_join_left" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"), "left")
+        .select("c_custkey", "c_name", "n_name")
+        .orderBy("c_custkey")
+    }),
+    "q07_join_anti" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+    "q08_join_semi" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- Date spine + windows (W1/W2, J6, generator; cell 7) ----
+    "q09_spine_ffill" -> ((s, d) => Relational.spineForwardFill(Tables.orders(s, d))),
+    "q10_window_lag" -> ((s, d) =>
+      Relational.dailyChange(Tables.lineitem(s, d), Tables.orders(s, d))),
+
+    // ---- Global agg / distinct (A5-A8) ----
+    "q13_global_minmax" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        min(to_date(col("l_shipdate"))).as("min_ship"),
+        max(to_date(col("l_shipdate"))).as("max_ship"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_extendedprice")).as("max_price"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+    }),
+    "q14_distinct" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select("o_orderstatus", "o_orderpriority").distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    // ---- Top-k (O1-O4) ----
+    "q15_topk" -> ((s, d) =>
+      Relational.topK(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        10, "o_totalprice", "o_orderkey")),
+    "q22_topk_per_group" -> ((s, d) =>
+      Relational.topKPerGroup(
+          Tables.orders(s, d).select("o_orderkey", "o_orderpriority", "o_totalprice"),
+          "o_orderpriority", 3, "o_totalprice", "o_orderkey")
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rn")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_client_stats" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_amount,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_amount,
+         COUNT(*) AS transactions_count
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2, 3 ORDER BY c_custkey""",
+    "q11_daily_metrics" ->
+      """WITH t AS (
+           SELECT CAST(o_orderdate AS DATE) AS date,
+                  l_extendedprice * (1.0 + CAST(dayofmonth(CAST(o_orderdate AS DATE)) AS DOUBLE) * 0.01) AS amount_rub,
+                  (l_extendedprice > 5000 AND l_returnflag IN ('A','R')) AS is_suspicious
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         SELECT date,
+           CAST(SUM(CAST(amount_rub AS DECIMAL(18,6))) AS DOUBLE) AS daily_volume_rub,
+           CAST(SUM(CAST(amount_rub AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_transaction_rub,
+           COUNT(*) AS transactions_count,
+           CAST(SUM(CASE WHEN is_suspicious THEN 1 ELSE 0 END) AS BIGINT) AS suspicious_count,
+           CAST(SUM(CAST(CASE WHEN is_suspicious THEN amount_rub ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS suspicious_volume_rub
+         FROM t GROUP BY date ORDER BY date""",
+    "q12_fraud_analysis" ->
+      """SELECT l_returnflag, c_mktsegment,
+           COUNT(*) AS fraud_count,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_fraud_amount,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_fraud_amount
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         LEFT JOIN customer ON o_custkey = c_custkey
+         WHERE l_extendedprice > 5000 AND l_returnflag IN ('A','R')
+         GROUP BY 1, 2 ORDER BY l_returnflag, c_mktsegment""",
+    "q02_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+         FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-01'
+         GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
+    "q03_filter_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           CAST(l_shipdate AS DATE) AS ship_date
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+           AND l_quantity > 45
+         ORDER BY l_orderkey, l_linenumber""",
+    "q04_filter_isin_null" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+         FROM orders
+         WHERE NULLIF(o_orderstatus, 'F') IS NULL
+           AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+         ORDER BY o_orderkey""",
+    "q05_derived_flags" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag,
+           (l_extendedprice > 5000 AND l_returnflag IN ('A','R')) AS is_suspicious,
+           CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 25 THEN 'mid' ELSE 'high' END AS qty_bucket,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q06_join_left" ->
+      """SELECT c_custkey, c_name, n_name
+         FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY c_custkey""",
+    "q07_join_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+    "q08_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q09_spine_ffill" ->
+      """WITH sparse AS (
+           SELECT CAST(o_orderdate AS DATE) AS date,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS urgent_volume
+           FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+         mm AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS lo, MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+         spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS date FROM mm)
+         SELECT s.date, sp.urgent_volume,
+           LAST_VALUE(sp.urgent_volume IGNORE NULLS) OVER (
+             ORDER BY s.date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS urgent_volume_ff
+         FROM spine s LEFT JOIN sparse sp ON s.date = sp.date
+         ORDER BY s.date""",
+    "q10_window_lag" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS date,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS daily_volume
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1)
+         SELECT date, daily_volume,
+           daily_volume - LAG(daily_volume, 1) OVER (ORDER BY date) AS volume_change
+         FROM daily ORDER BY date""",
+    "q13_global_minmax" ->
+      """SELECT MIN(CAST(l_shipdate AS DATE)) AS min_ship,
+           MAX(CAST(l_shipdate AS DATE)) AS max_ship,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_extendedprice) AS max_price,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(*) AS n_rows
+         FROM lineitem""",
+    "q14_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+         ORDER BY o_orderstatus, o_orderpriority""",
+    "q15_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q22_topk_per_group" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+           FROM orders) WHERE rn <= 3
+         ORDER BY o_orderpriority, rn""",
+  )
 }

@@ -1,0 +1,32 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided deterministic testdata (TESTDATA.md).
+  *
+  * Role mapping onto the reference's data model (SURVEY.md §1.2 / FIXTURES.md):
+  * `lineitem`+`orders` play the transactions fact, `customer`(+`nation`)
+  * plays the clients dimension, a rates table derived from `o_orderdate`
+  * plays currency_rates, `events` drives incremental/upsert + streaming,
+  * `documents`/`embeddings` serve the LLM-pipeline extension operators.
+  *
+  * Reads are plain parquet scans (reference: deltalake.ipynb:525 cell 5 —
+  * `spark.read.parquet`); Catalyst's vectorized reader, predicate pushdown
+  * and column pruning apply automatically, which is what makes downstream
+  * plans scale: only the referenced columns ever leave the scan.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}
