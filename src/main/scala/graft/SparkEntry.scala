@@ -126,6 +126,79 @@ object SparkEntry {
         .orderBy("o_orderstatus", "o_orderpriority")
     }),
 
+    // ---- MERGE rewrites over events (M1-M4; deltalake.ipynb cells 17/19/20) ----
+    "q16_merge_upsert" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+      val target = ev.filter(col("event_id") % 10 < 8)
+      val source = ev.filter(col("event_id") % 10 >= 5)
+        .withColumn("value", col("value") * lit(2.0))
+      graft.table.Merge.upsert(target, source, Seq("event_id")).orderBy("event_id")
+    }),
+    "q17_merge_insert_only" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+      val target = ev.filter(col("event_id") % 10 < 8)
+      val source = ev.filter(col("event_id") % 10 >= 5)
+        .withColumn("value", col("value") * lit(2.0))
+      graft.table.Merge.insertOnly(target, source, Seq("event_id")).orderBy("event_id")
+    }),
+    "q18_incremental_append" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val daily = ev.withColumn("date", to_date(col("ts")))
+        .groupBy("date")
+        .agg(dsum(col("value")).as("daily_value"), count(lit(1)).as("n"))
+      val existingDates = ev.filter(col("ts") < lit("2024-01-20"))
+        .select(to_date(col("ts")).as("date")).distinct()
+      graft.table.Merge.newRowsOnly(daily, existingDates, Seq("date")).orderBy("date")
+    }),
+
+    // ---- Scalar functions (§2.8: date/time, math, string) ----
+    "q19_scalar_datetime" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("date", to_date(col("o_orderdate")))
+        .select(
+          col("o_orderkey"),
+          col("date"),
+          year(col("date")).cast("long").as("y"),
+          month(col("date")).cast("long").as("m"),
+          dayofmonth(col("date")).cast("long").as("dom"),
+          date_add(col("date"), 30).as("plus30"),
+          datediff(col("date"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+          date_format(col("date"), "yyyy-MM").as("ym"),
+          last_day(col("date")).as("eom"),
+          trunc(col("date"), "month").as("som"))
+        .orderBy("o_orderkey")
+    }),
+    "q20_scalar_math" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_extendedprice")).cast("long").as("fl"),
+          ceil(col("l_extendedprice")).cast("long").as("ce"),
+          abs(col("l_quantity") - lit(25.0)).as("ab"),
+          (col("l_orderkey") % 7).as("md"),
+          (col("l_quantity") * col("l_quantity")).as("sq"),
+          sqrt(col("l_extendedprice")).as("sqr"),
+          greatest(col("l_quantity"), col("l_discount") * 100).as("gr"),
+          least(col("l_tax"), col("l_discount")).as("le"),
+          signum(col("l_quantity") - lit(25.0)).as("sgn"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q21_scalar_string" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          lower(col("c_mktsegment")).as("seg_lower"),
+          upper(col("c_name")).as("name_upper"),
+          length(col("c_name")).cast("long").as("name_len"),
+          substring(col("c_name"), 10, 9).as("name_num"),
+          concat(col("c_mktsegment"), lit("-"), col("c_name")).as("seg_name"),
+          regexp_replace(col("c_name"), "Customer#", "C#").as("short_name"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+          col("c_name").startsWith("Customer").as("is_cust"))
+        .orderBy("c_custkey")
+    }),
+
     // ---- Top-k (O1-O4) ----
     "q15_topk" -> ((s, d) =>
       Relational.topK(
@@ -248,6 +321,62 @@ object SparkEntry {
     "q15_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q16_merge_upsert" ->
+      """SELECT event_id, user_id, value * 2 AS value FROM events WHERE event_id % 10 >= 5
+         UNION ALL
+         SELECT event_id, user_id, value FROM events WHERE event_id % 10 < 5
+         ORDER BY event_id""",
+    "q17_merge_insert_only" ->
+      """SELECT event_id, user_id, value FROM events WHERE event_id % 10 < 8
+         UNION ALL
+         SELECT event_id, user_id, value * 2 AS value FROM events WHERE event_id % 10 >= 8
+         ORDER BY event_id""",
+    "q18_incremental_append" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS date,
+                  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS daily_value,
+                  COUNT(*) AS n
+           FROM events GROUP BY 1)
+         SELECT date, daily_value, n FROM daily d
+         WHERE NOT EXISTS (SELECT 1 FROM events e
+                           WHERE CAST(e.ts AS DATE) = d.date
+                             AND e.ts < TIMESTAMP '2024-01-20 00:00:00')
+         ORDER BY date""",
+    "q19_scalar_datetime" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS date,
+           CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+           CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m,
+           CAST(dayofmonth(CAST(o_orderdate AS DATE)) AS BIGINT) AS dom,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+           last_day(CAST(o_orderdate AS DATE)) AS eom,
+           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS som
+         FROM orders ORDER BY o_orderkey""",
+    "q20_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS fl,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS ce,
+           ABS(l_quantity - 25.0) AS ab,
+           l_orderkey % 7 AS md,
+           l_quantity * l_quantity AS sq,
+           SQRT(l_extendedprice) AS sqr,
+           GREATEST(l_quantity, l_discount * 100) AS gr,
+           LEAST(l_tax, l_discount) AS le,
+           CASE WHEN l_quantity - 25.0 > 0 THEN 1.0 WHEN l_quantity - 25.0 < 0 THEN -1.0 ELSE 0.0 END AS sgn
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q21_scalar_string" ->
+      """SELECT c_custkey,
+           LOWER(c_mktsegment) AS seg_lower,
+           UPPER(c_name) AS name_upper,
+           CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+           SUBSTRING(c_name, 10, 9) AS name_num,
+           CONCAT(c_mktsegment, '-', c_name) AS seg_name,
+           REPLACE(c_name, 'Customer#', 'C#') AS short_name,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
+           (c_name LIKE 'Customer%') AS is_cust
+         FROM customer ORDER BY c_custkey""",
     "q22_topk_per_group" ->
       """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
            SELECT o_orderpriority, o_orderkey, o_totalprice,

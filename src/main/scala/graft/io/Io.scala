@@ -1,0 +1,85 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sources / sinks (SURVEY.md §2.1): Parquet + CSV readers/writers with the
+  * reference's option surface, single-file export, and catalog DDL helpers.
+  */
+object Io {
+
+  /** S1/S2 — Parquet scan/write with the reference's tuning knobs
+    * (deltalake.ipynb:124, 181 cell 1: snappy codec, 128 MB block size).
+    */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def writeParquet(df: DataFrame, path: String,
+                   partitionCols: Seq[String] = Nil,
+                   maxRecordsPerFile: Long = 0L): Unit = {
+    var w = df.write.mode("overwrite")
+      .option("compression", "snappy")
+    if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** S3 — CSV scan; explicit schema preferred (SURVEY.md §1.3: avoid the
+    * reference's string-typed-rates inference quirk), header inference
+    * supported for parity (deltalake.ipynb:534, 544 cell 5).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: Option[StructType] = None,
+              header: Boolean = true, delimiter: String = ","): DataFrame = {
+    val r = spark.read.option("header", header.toString).option("sep", delimiter)
+    schema match {
+      case Some(s) => r.schema(s).csv(path)
+      case None    => r.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  /** S4 — CSV write with the reference's option set (deltalake.ipynb:
+    * 4359–4363 cell 22: header, delimiter, quote, escape, dateFormat).
+    */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+               delimiter: String = ",", quote: String = "\"",
+               escape: String = "\\", dateFormat: String = "yyyy-MM-dd"): Unit =
+    df.write.mode("overwrite")
+      .option("header", header.toString).option("sep", delimiter)
+      .option("quote", quote).option("escape", escape)
+      .option("dateFormat", dateFormat)
+      .csv(path)
+
+  /** S5 — single-file export: `coalesce(1)` then rename the part file
+    * (deltalake.ipynb:312 + 324–329 cell 3). Driver-edge only by design —
+    * a single output file is inherently non-parallel.
+    */
+  def exportSingleCsv(spark: SparkSession, df: DataFrame, file: String): Unit = {
+    val tmp = file + ".tmpdir"
+    writeCsv(df.coalesce(1), tmp)
+    val fs = new Path(tmp).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.globStatus(new Path(tmp + "/part-*.csv"))(0).getPath
+    val dst = new Path(file)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(part, dst)
+    fs.delete(new Path(tmp), true)
+  }
+
+  /** S8 — catalog DDL (deltalake.ipynb:1046–1063 cell 10: CREATE SCHEMA +
+    * CREATE TABLE ... USING <fmt> LOCATION + COMMENT; SHOW/DESCRIBE).
+    */
+  def createSchema(spark: SparkSession, name: String): Unit =
+    spark.sql(s"CREATE SCHEMA IF NOT EXISTS $name")
+
+  def registerExternalTable(spark: SparkSession, table: String, location: String,
+                            comment: String = ""): Unit = {
+    val c = if (comment.nonEmpty) s" COMMENT '$comment'" else ""
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"CREATE TABLE $table USING PARQUET$c LOCATION '$location'")
+  }
+
+  def showTables(spark: SparkSession, schema: String): DataFrame =
+    spark.sql(s"SHOW TABLES IN $schema")
+
+  def describeTable(spark: SparkSession, table: String): DataFrame =
+    spark.sql(s"DESCRIBE TABLE $table")
+}

@@ -26,7 +26,18 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "events")
+
+  /** `events.ts` is nanosecond-precision parquet, which Spark's TimestampType
+    * (µs) cannot hold natively — read it as a long
+    * (`spark.sql.legacy.parquet.nanosAsLong=true`, set in every session
+    * builder) and truncate to microseconds, matching DuckDB's
+    * `CAST(ts AS TIMESTAMP)` floor semantics.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -1,0 +1,105 @@
+package graft.table
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** A managed Parquet table directory emulating the reference's Delta-table
+  * capability surface (SURVEY.md §7.4): overwrite/append/partitioned writes,
+  * MERGE upsert with an atomic directory swap, compaction (`OPTIMIZE`,
+  * deltalake.ipynb:1337–1338), clustering (`ZORDER BY`, deltalake.ipynb:
+  * 4614–4620), existence probe (`DeltaTable.isDeltaTable`, deltalake.ipynb:
+  * 1786) and `detail()` metadata introspection (deltalake.ipynb:8748–8750).
+  *
+  * Non-goals (documented, as in SURVEY.md §7.4): concurrent writers and
+  * time travel — single-writer batch semantics like the reference notebook.
+  *
+  * Scale notes:
+  *  - Partitioned layout + partition pruning is what bounds rewrite cost:
+  *    `merge` only needs the key-matched subset; at 100 TB you'd partition
+  *    by date and merge within recent partitions.
+  *  - `cluster` = repartitionByRange + sortWithinPartitions approximates
+  *    Z-order: range partitioning gives file-level locality on the leading
+  *    column(s), the in-file sort gives parquet row-group min/max stats on
+  *    all of them, and predicate pushdown supplies the data skipping
+  *    (measured 18–50% scan wins in the reference, cell 26 output).
+  */
+final class ManagedTable(spark: SparkSession, val path: String) {
+
+  private def fs: FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists: Boolean = fs.exists(new Path(path))
+
+  def read: DataFrame = spark.read.parquet(path)
+
+  def overwrite(df: DataFrame, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  def append(df: DataFrame, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** Atomic replace: write to a temp sibling dir, then swap directories.
+    * Readers either see the old or the new table, never a partial write
+    * (single-writer; SURVEY.md §7.6.5).
+    */
+  private def replaceWith(df: DataFrame, partitionCols: Seq[String]): Unit = {
+    val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp.toString)
+    val dst = new Path(path)
+    val old = new Path(path + ".old-" + java.util.UUID.randomUUID().toString.take(8))
+    if (fs.exists(dst)) fs.rename(dst, old)
+    fs.rename(tmp, dst)
+    fs.delete(old, true)
+  }
+
+  /** MERGE upsert (E3, deltalake.ipynb:2939–2945): source-wins rewrite via
+    * [[Merge.upsert]], committed with the atomic swap.
+    */
+  def merge(source: DataFrame, keys: Seq[String], partitionCols: Seq[String] = Nil): Unit =
+    if (!exists) overwrite(source, partitionCols)
+    // writing to the tmp dir scans the OLD files, so no checkpoint needed
+    else replaceWith(Merge.upsert(read, source, keys), partitionCols)
+
+  /** MERGE insert-only (deltalake.ipynb:1786–1791): append just the new keys. */
+  def mergeInsertOnly(source: DataFrame, keys: Seq[String], partitionCols: Seq[String] = Nil): Unit =
+    if (!exists) overwrite(source, partitionCols)
+    else append(Merge.newRowsOnly(source, read, keys).localCheckpoint(), partitionCols)
+
+  /** Compaction (M5, `optimize().executeCompaction()`): rewrite to n files. */
+  def compact(numFiles: Int): Unit =
+    replaceWith(read.repartition(numFiles), Nil)
+
+  /** Multi-dimensional clustering (M6, `executeZOrderBy`): range-partition on
+    * the clustering columns and sort within partitions so parquet row-group
+    * min/max stats make selective scans skip files/row-groups.
+    */
+  def cluster(cols: String*): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cs = cols.map(col)
+    replaceWith(read.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*), Nil)
+  }
+
+  /** Table metadata summary (M7, `detail()` / DESCRIBE DETAIL): location,
+    * file count, total bytes — from a driver-side file listing like Delta's.
+    */
+  def detail(): DataFrame = {
+    import spark.implicits._
+    val files = listParquet(new Path(path))
+    Seq((path, files.size.toLong, files.map(_._2).sum))
+      .toDF("location", "num_files", "size_in_bytes")
+  }
+
+  private def listParquet(p: Path): Seq[(String, Long)] = {
+    val st = fs.listStatus(p)
+    st.flatMap { s =>
+      if (s.isDirectory) listParquet(s.getPath)
+      else if (s.getPath.getName.endsWith(".parquet")) Seq((s.getPath.toString, s.getLen))
+      else Nil
+    }.toSeq
+  }
+}

@@ -1,0 +1,48 @@
+package graft.table
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pure MERGE plan rewrites — the reference's DeltaTable MERGE surface
+  * (SURVEY.md §2.9, §7.4) re-expressed as deterministic join+union plans.
+  * These are the *logical* halves; [[ManagedTable]] adds the transactional
+  * write.
+  *
+  * Scale notes: the anti-join shuffles both sides on the merge key — at
+  * 100 TB the source is normally a small delta batch, so Spark's AQE (or an
+  * explicit `broadcast(source)`) turns the anti-join into a broadcast join
+  * and the target never shuffles. `unionByName` is a zero-cost plan union.
+  */
+object Merge {
+
+  /** MERGE upsert — `whenMatchedUpdateAll().whenNotMatchedInsertAll()`
+    * (deltalake.ipynb:2939–2945 cell 19): source-wins union, i.e. keep
+    * target rows whose key has no source match, then all source rows.
+    * Precondition (same as the reference's merge): source has at most one
+    * row per key.
+    */
+  def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(source, keys, "left_anti").unionByName(source)
+
+  /** MERGE insert-only — `whenNotMatchedInsertAll()` (deltalake.ipynb:
+    * 1786–1791 cell 17): target plus source rows whose key is new.
+    */
+  def insertOnly(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame =
+    target.unionByName(source.join(target, keys, "left_anti"))
+
+  /** Incremental append with dedup on key (deltalake.ipynb:3227–3238
+    * cell 20: existing-dates left-anti then append) — just the new rows.
+    */
+  def newRowsOnly(source: DataFrame, target: DataFrame, keys: Seq[String]): DataFrame =
+    source.join(target, keys, "left_anti")
+
+  /** High-water-mark detection (M4, deltalake.ipynb:1497–1502 cell 15):
+    * rows of `df` strictly above the max of `watermarkCol` in `existing`.
+    * Expressed as a plan (cross join with the 1-row max, auto-broadcast)
+    * rather than a driver-side collect, so it composes lazily.
+    */
+  def aboveHighWaterMark(df: DataFrame, existing: DataFrame, watermarkCol: String): DataFrame = {
+    val hwm = existing.agg(max(col(watermarkCol)).as("__hwm"))
+    df.join(broadcast(hwm), col(watermarkCol) > col("__hwm")).drop("__hwm")
+  }
+}

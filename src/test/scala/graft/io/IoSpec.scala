@@ -1,0 +1,46 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv round-trip with explicit schema and options") {
+    val dir = tmpDir("io-csv") + "/out"
+    val df = Seq((1L, "a,b", java.sql.Date.valueOf("2024-01-02")),
+                 (2L, "c\"d", java.sql.Date.valueOf("2024-02-03")))
+      .toDF("k", "s", "d")
+    Io.writeCsv(df, dir)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType), StructField("d", DateType)))
+    val back = Io.readCsv(spark, dir, Some(schema))
+    assert(back.orderBy("k").collect().toSeq == df.orderBy("k").collect().toSeq)
+  }
+
+  test("single-file export produces exactly one csv file") {
+    val f = tmpDir("io-single") + "/export.csv"
+    Io.exportSingleCsv(spark, spark.range(100).toDF("id"), f)
+    val lines = scala.io.Source.fromFile(f).getLines().toSeq
+    assert(lines.head == "id")
+    assert(lines.size == 101)
+  }
+
+  test("catalog DDL: schema + external table + describe") {
+    val dir = tmpDir("io-ddl") + "/t"
+    spark.range(5).toDF("id").write.parquet(dir)
+    Io.createSchema(spark, "gold_test")
+    Io.registerExternalTable(spark, "gold_test.t1", dir, "test table")
+    assert(spark.table("gold_test.t1").count() == 5)
+    assert(Io.showTables(spark, "gold_test").count() >= 1)
+    assert(Io.describeTable(spark, "gold_test.t1").count() >= 1)
+    spark.sql("DROP TABLE gold_test.t1")
+  }
+
+  test("parquet write honors maxRecordsPerFile") {
+    val dir = tmpDir("io-maxrec") + "/t"
+    Io.writeParquet(spark.range(100).toDF("id").coalesce(1), dir, maxRecordsPerFile = 30L)
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files >= 4)
+  }
+}

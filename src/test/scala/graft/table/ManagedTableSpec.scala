@@ -1,0 +1,93 @@
+package graft.table
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ManagedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(name: String) =
+    new ManagedTable(spark, tmpDir(name) + "/t")
+
+  test("overwrite then read round-trips") {
+    val t = freshTable("mt-rw")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    assert(t.exists)
+    assert(t.read.orderBy("k").as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("merge upserts: source wins on matched keys, inserts new keys") {
+    val t = freshTable("mt-merge")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    t.merge(Seq((2L, "B"), (3L, "C")).toDF("k", "v"), Seq("k"))
+    assert(t.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "C")))
+  }
+
+  test("merge is idempotent (same source twice)") {
+    val t = freshTable("mt-idem")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    val src = Seq((1L, "A"), (2L, "B")).toDF("k", "v")
+    t.merge(src, Seq("k"))
+    val once = t.read.orderBy("k").collect().toSeq
+    t.merge(src, Seq("k"))
+    assert(t.read.orderBy("k").collect().toSeq == once)
+  }
+
+  test("mergeInsertOnly never updates existing rows") {
+    val t = freshTable("mt-ins")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    t.mergeInsertOnly(Seq((1L, "A"), (2L, "B")).toDF("k", "v"), Seq("k"))
+    assert(t.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B")))
+  }
+
+  test("merge on empty (nonexistent) table bootstraps from source") {
+    val t = freshTable("mt-boot")
+    t.merge(Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    assert(t.read.count() == 1)
+  }
+
+  test("compact reduces file count, preserves rows (A/B invariance)") {
+    val t = freshTable("mt-compact")
+    t.overwrite(spark.range(1000).repartition(16).toDF("id"))
+    val before = t.read.agg(sum("id"), count(lit(1))).collect()(0)
+    assert(t.detail().select("num_files").as[Long].head() >= 16)
+    t.compact(2)
+    assert(t.detail().select("num_files").as[Long].head() <= 2)
+    assert(t.read.agg(sum("id"), count(lit(1))).collect()(0) == before)
+  }
+
+  test("cluster preserves result multiset (reference cell 26 A/B check)") {
+    val t = freshTable("mt-cluster")
+    val df = spark.range(1000)
+      .withColumn("cat", (col("id") % 7).cast("string"))
+      .withColumn("amt", col("id") * 3 % 101)
+    t.overwrite(df)
+    val probe = () => t.read.filter(col("amt") > 50 && col("cat") === "3")
+      .agg(count(lit(1)), sum("amt")).collect()(0)
+    val before = probe()
+    t.cluster("cat", "amt")
+    assert(probe() == before)
+    assert(t.read.count() == 1000)
+  }
+
+  test("partitioned overwrite prunes partitions on read") {
+    val t = freshTable("mt-part")
+    val df = Seq((1L, "2024-01-01"), (2L, "2024-01-02")).toDF("k", "d")
+    t.overwrite(df, Seq("d"))
+    val pruned = t.read.filter(col("d") === "2024-01-01")
+    assert(pruned.count() == 1)
+    // partition filter must reach the scan, not a post-scan filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedFilters: [IsNotNull(d)"), plan)
+  }
+
+  test("detail reports files and bytes") {
+    val t = freshTable("mt-detail")
+    t.overwrite(spark.range(10).toDF("id"))
+    val row = t.detail().collect()(0)
+    assert(row.getAs[Long]("num_files") >= 1)
+    assert(row.getAs[Long]("size_in_bytes") > 0)
+  }
+}

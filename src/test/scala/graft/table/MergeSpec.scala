@@ -1,0 +1,60 @@
+package graft.table
+
+import graft.SparkSpec
+
+/** Property-style invariants for the MERGE rewrites (SURVEY.md §5.3) using
+  * seeded random key-value multisets (no scalatestplus bridge needed).
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private def randKv(): Seq[(Long, String)] =
+    Seq.fill(rnd.nextInt(15))((rnd.nextInt(20).toLong, rnd.alphanumeric.take(4).mkString))
+      .distinctBy(_._1)
+
+  test("upsert: result keys = target ∪ source, source wins (20 seeded cases)") {
+    for (_ <- 1 to 20) {
+      val t = randKv(); val s = randKv()
+      val got = Merge.upsert(t.toDF("k", "v"), s.toDF("k", "v"), Seq("k"))
+        .as[(Long, String)].collect().toMap
+      assert(got == t.toMap ++ s.toMap)
+    }
+  }
+
+  test("insertOnly: target rows never change (20 seeded cases)") {
+    for (_ <- 1 to 20) {
+      val t = randKv(); val s = randKv()
+      val got = Merge.insertOnly(t.toDF("k", "v"), s.toDF("k", "v"), Seq("k"))
+        .as[(Long, String)].collect().toMap
+      assert(got == s.toMap ++ t.toMap) // target wins
+    }
+  }
+
+  test("newRowsOnly complements the matched set (20 seeded cases)") {
+    for (_ <- 1 to 20) {
+      val t = randKv(); val s = randKv()
+      val got = Merge.newRowsOnly(s.toDF("k", "v"), t.toDF("k", "v"), Seq("k"))
+        .as[(Long, String)].collect().toMap
+      assert(got == s.toMap.view.filterKeys(k => !t.toMap.contains(k)).toMap)
+    }
+  }
+
+  test("upsert is idempotent: upsert(upsert(t,s),s) == upsert(t,s)") {
+    for (_ <- 1 to 10) {
+      val t = randKv(); val s = randKv()
+      val once = Merge.upsert(t.toDF("k", "v"), s.toDF("k", "v"), Seq("k"))
+      val twice = Merge.upsert(once, s.toDF("k", "v"), Seq("k"))
+      assert(twice.as[(Long, String)].collect().toMap ==
+        once.as[(Long, String)].collect().toMap)
+    }
+  }
+
+  test("aboveHighWaterMark keeps strictly-newer rows only") {
+    val existing = Seq((1L, 10L), (2L, 20L)).toDF("k", "w")
+    val incoming = Seq((3L, 20L), (4L, 21L), (5L, 35L)).toDF("k", "w")
+    val got = Merge.aboveHighWaterMark(incoming, existing, "w")
+      .select("k").as[Long].collect().toSet
+    assert(got == Set(4L, 5L))
+  }
+}
