@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.model.Tables
-import graft.ops.Relational
+import graft.ops.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.ops.Relational.dsum
 
 /** Driver contract — one named query per implemented operator from
@@ -199,6 +199,54 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // ---- LLM-pipeline: dedup / similarity / text / multimodal ----
+    "q23_embed_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+        .orderBy("id1", "id2")),
+    "q24_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text").orderBy("fp")),
+    "q25_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8)
+        .orderBy("d1", "d2")),
+    "q26_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("d1", "d2")),
+    "q27_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 3)
+        .orderBy("d1", "d2")),
+    "q28_cosine_topk" -> ((s, d) =>
+      Similarity.cosineTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 10)),
+    "q29_ann_lsh" -> ((s, d) =>
+      Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 10)),
+    "q30_text_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d), "text")
+        .select("doc_id", "n_chars_m", "token_count", "avg_word_len",
+          "unique_ratio", "stopword_ratio", "punct_count", "quality_score")
+        .orderBy("doc_id")),
+    "q31_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    "q32_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+    "q33_token_estimate" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("token_count"),
+          TextAnalysis.tokenEstimate(col("text")).as("token_estimate"))
+        .orderBy("doc_id")),
+    "q34_media_meta" -> ((s, d) =>
+      Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text")
+        .select("media_id", "format", "n_bytes")
+        .orderBy("media_id")),
+    "q35_media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(s,
+          Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"))
+        .toDF().orderBy("media_id")),
+
     // ---- Top-k (O1-O4) ----
     "q15_topk" -> ((s, d) =>
       Relational.topK(
@@ -321,6 +369,82 @@ object SparkEntry {
     "q15_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q23_embed_neardup" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+           list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos_sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4
+         ORDER BY id1, id2""",
+    "q24_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+         FROM documents GROUP BY 1 ORDER BY fp""",
+    "q25_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest(CASE WHEN len(words) >= 3
+                    THEN list_transform(generate_series(1, len(words) - 2),
+                           i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+                    ELSE [concat_ws(' ', words)] END) AS s
+                FROM w),
+         sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT d1, d2, inter,
+           CAST(inter AS DOUBLE) / (x.n_sh + y.n_sh - inter) AS jaccard
+         FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+         WHERE CAST(inter AS DOUBLE) / (x.n_sh + y.n_sh - inter) >= 0.8
+         ORDER BY d1, d2""",
+    "q28_cosine_topk" ->
+      """SELECT b.vec_id,
+           list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cos_sim
+         FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         WHERE b.vec_id <> 0
+         ORDER BY cos_sim DESC, b.vec_id LIMIT 10""",
+    "q30_text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+             string_split_regex(lower(trim(text)), '\s+') AS words FROM documents)
+         SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_m,
+           CAST(len(words) AS BIGINT) AS token_count,
+           CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) / len(words) AS avg_word_len,
+           CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS unique_ratio,
+           CAST(len(list_filter(words, w -> list_contains(['the','a','of','and','in','to','is'], w))) AS DOUBLE) / len(words) AS stopword_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct_count,
+           LEAST(CAST(len(words) AS DOUBLE) / 100.0, 1.0) * 0.5
+             + CAST(len(list_distinct(words)) AS DOUBLE) / len(words) * 0.5 AS quality_score
+         FROM t ORDER BY doc_id""",
+    "q31_langid" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS words FROM documents),
+         s AS (SELECT doc_id,
+             CAST(len(list_filter(words, w -> list_contains(['the','a','of','and','in','to','is'], w))) AS BIGINT) AS s_en,
+             CAST(len(list_filter(words, w -> list_contains(['der','die','das','und','ist','von'], w))) AS BIGINT) AS s_de,
+             CAST(len(list_filter(words, w -> list_contains(['el','la','de','y','los','es'], w))) AS BIGINT) AS s_es,
+             CAST(len(list_filter(words, w -> list_contains(['le','la','et','les','des','est'], w))) AS BIGINT) AS s_fr,
+             CAST(len(list_filter(words, w -> list_contains(['的','是','在','了','和'], w))) AS BIGINT) AS s_zh
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+         FROM s ORDER BY doc_id""",
+    "q32_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q34_media_meta" ->
+      """SELECT doc_id AS media_id, 'txt' AS format,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+         FROM documents ORDER BY media_id""",
     "q16_merge_upsert" ->
       """SELECT event_id, user_id, value * 2 AS value FROM events WHERE event_id % 10 >= 5
          UNION ALL

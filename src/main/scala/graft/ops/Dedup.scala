@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline over `documents`:
+  * exact (hash-groupBy), n-gram Jaccard (inverted-index join), MinHash+LSH
+  * (shingle → minhash → band → bucket-join), and SimHash.
+  *
+  * Scale design (100 TB of documents):
+  *  - exact dedup groups on a 128-bit fingerprint, never on the raw text —
+  *    the shuffle carries 16 bytes + id per row.
+  *  - jaccard/minhash shuffle on shingles/band-buckets, not on document
+  *    pairs — candidate generation is the only quadratic-risk step and LSH
+  *    bounds it to same-bucket collisions.
+  *  - stop-shingle removal (`maxDocFreq`) caps inverted-index skew: a
+  *    shingle appearing in half the corpus would otherwise create one hot
+  *    reducer with O(n²) pairs.
+  *  - everything is built-in expressions + joins: Catalyst keeps map-side
+  *    partial aggregation, AQE handles residual skew.
+  */
+object Dedup {
+
+  /** Exact dedup via whitespace-normalized md5 (SURVEY.md §7.5): one row per
+    * distinct fingerprint with the keeper (min id) and multiplicity.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct word n-gram shingles of a text column as an array. */
+  def shingles(text: Column, n: Int): Column = {
+    val w = TextAnalysis.words(text)
+    array_distinct(
+      when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", slice(w, i, lit(n)))))
+        .otherwise(array(concat_ws(" ", w))))
+  }
+
+  /** Exploded (id, shingle) inverted index, optionally dropping
+    * stop-shingles with document frequency > `maxDocFreq` (0 = keep all;
+    * keep-all matches the DuckDB oracle, the cap is the at-scale setting).
+    */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                   maxDocFreq: Long = 0L): DataFrame = {
+    val idx = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), n)).as("s"))
+    if (maxDocFreq <= 0) idx
+    else {
+      val df_ = idx.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDocFreq)
+      idx.join(df_, Seq("s"), "left_semi")
+    }
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs ≥ `minJaccard` via inverted-index
+    * self-join: |A∩B| from the shingle join, |A∪B| = |A|+|B|−|A∩B|.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, minJaccard: Double,
+                        maxDocFreq: Long = 0L): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n, maxDocFreq)
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = idx.as("a"); val b = idx.as("b")
+    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("d1", "d2", "inter", "jaccard")
+  }
+
+  /** Mersenne prime 2^31−1 for the minhash universal-hash family: products
+    * stay ≤ (2^31)^2 < 2^63, so no 64-bit overflow under ANSI mode
+    * (Spark 4 default).
+    */
+  private val MersenneP = 2147483647L
+
+  /** Deterministic MinHash parameters (seeded; SURVEY.md §7.6.3 — all our
+    * randomness is seeded). a ∈ [1, p−1], b ∈ [0, p−1].
+    */
+  private def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(numHashes)((1L + r.nextLong(MersenneP - 1), r.nextLong(MersenneP)))
+  }
+
+  /** MinHash signature column: sig[i] = min over shingles of
+    * (a_i * (xxhash64(shingle) mod p) + b_i) mod p — the classic universal
+    * hash family, overflow-free. Pure expressions — codegen'd, no UDF.
+    */
+  def minhashSignature(text: Column, n: Int, numHashes: Int, seed: Long = 42L): Column = {
+    val hashes = transform(shingles(text, n), s => pmod(xxhash64(s), lit(MersenneP)))
+    array(hashParams(numHashes, seed).map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(MersenneP))))
+    }: _*)
+  }
+
+  /** LSH candidate pairs: split the signature into `bands` bands, bucket by
+    * (band index, band hash), pair up docs sharing a bucket, then estimate
+    * similarity as the fraction of equal minhashes and keep ≥ `minEstSim`.
+    * Shuffles on band buckets only — never materializes the full pair
+    * space.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                      minEstSim: Double = 0.5, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = docs.select(col(idCol).as("doc_id"),
+      minhashSignature(col(textCol), n, numHashes, seed).as("sig"))
+    val banded = sig.select(col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        bi => struct(bi.as("band"), xxhash64(slice(col("sig"), bi * r + 1, lit(r))).as("bh"))))
+        .as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          eq => eq)).cast("double") / numHashes).as("est_sim"))
+      .distinct()
+      .filter(col("est_sim") >= minEstSim)
+  }
+
+  /** 64-bit SimHash from word-level xxhash64: per bit, sum +1/−1 over
+    * tokens, set the bit if positive. Built as 64 conditional aggregates —
+    * wide but fully codegen'd and map-side combinable.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.words(col(textCol))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agg = exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
+      acc + when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
+    }
+    agg.select(col("doc_id"), sh.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`, candidates
+    * generated by matching any of four 16-bit chunks (pigeonhole: distance
+    * ≤ 3 guarantees one equal chunk; shuffle is on chunk buckets).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val sh = simhash(docs, idCol, textCol)
+    val chunks = (0 until 4).map { ci =>
+      struct(lit(ci).as("chunk"),
+        shiftright(col("simhash"), ci * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))
+    }
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      explode(array(chunks: _*)).as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.cv"))
+    val a = chunked.as("a"); val b = chunked.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, and run decode / feature-extract
+  * steps as distributed per-partition batch jobs.
+  *
+  * The container has no image/audio libraries, so the actual decode is a
+  * clearly-marked deterministic STUB ([[StubCodec]]); everything around it —
+  * schema, binary column handling, partitioning, batch iteration shape —
+  * is real and tested. Swapping `StubCodec.decodeImage` for a JNI/av
+  * library call is the only change needed for real media.
+  *
+  * Scale notes: payloads ride in parquet binary columns; feature extraction
+  * is `mapPartitions` over a typed Dataset — no shuffle, executors stream
+  * batches, and output is columnar features only (never re-emit the bytes
+  * unless asked). At 100 TB you'd repartition by size so each task holds
+  * O(100 MB) of payload, which `targetRecordsPerTask` models.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata (the multimodal schema). */
+  case class MediaRow(media_id: Long, payload: Array[Byte], format: String,
+                      n_bytes: Long)
+
+  /** Extracted features (what a real image decode would produce). */
+  case class MediaFeatures(media_id: Long, n_bytes: Long, format: String,
+                           width: Int, height: Int, mean_intensity: Double,
+                           checksum: Long)
+
+  /** ===== STUB ===== deterministic fake decoders standing in for image /
+    * audio libraries that are not installed in this container. Real
+    * implementations would parse the payload; these derive plausible,
+    * deterministic values from the bytes so the pipeline shape is testable.
+    */
+  object StubCodec {
+    /** STUB for an image decode (e.g. libjpeg): infers fake dimensions and
+      * mean pixel intensity from the raw bytes deterministically.
+      */
+    def decodeImage(payload: Array[Byte]): (Int, Int, Double) = {
+      val n = payload.length
+      val w = math.max(1, (n % 640).toInt)
+      val h = math.max(1, (n % 480).toInt)
+      val mean = if (n == 0) 0.0
+        else payload.iterator.map(b => (b & 0xff).toDouble).sum / n
+      (w, h, mean)
+    }
+
+    /** STUB frame sampler for video: returns byte offsets of sampled
+      * "frames" (every `stride` bytes).
+      */
+    def sampleFrames(payload: Array[Byte], stride: Int): Seq[Long] =
+      (0L until payload.length.toLong by stride.toLong).toSeq
+  }
+
+  /** Wrap a text table as a media table: payload = utf-8 bytes (the stand-in
+    * for real image bytes), with the typed metadata columns.
+    */
+  def asMediaTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      to_binary(col(textCol), lit("utf-8")).as("payload"),
+      lit("txt").as("format"),
+      octet_length(col(textCol)).cast("long").as("n_bytes"))
+
+  /** Distributed feature extraction: typed `mapPartitions` over the media
+    * rows — the Scala analogue of a pandas-batch UDF: one JVM-side batch
+    * iterator per partition, no per-row driver involvement.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { row =>
+        val (w, h, mean) = StubCodec.decodeImage(row.payload)
+        val checksum = {
+          val crc = new java.util.zip.CRC32()
+          crc.update(row.payload)
+          crc.getValue
+        }
+        MediaFeatures(row.media_id, row.n_bytes, row.format, w, h, mean, checksum)
+      }
+    }
+  }
+
+  /** Size-aware repartition so each decode task holds a bounded payload
+    * volume (the knob that matters at 100 TB; on testdata it's a no-op
+    * sized by row counts).
+    */
+  def repartitionForDecode(media: DataFrame, targetRecordsPerTask: Long): DataFrame = {
+    val n = media.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    media.repartitionByRange(n, col("n_bytes").desc, col("media_id"))
+  }
+}

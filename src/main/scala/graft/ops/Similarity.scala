@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`, 64-dim in
+  * the testdata): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH bucketing as the scale path.
+  *
+  * Numeric determinism: the dot product is a strict left-to-right fold in
+  * DOUBLE (`aggregate(zip_with(...))`), bit-identical to DuckDB's
+  * `list_dot_product(CAST(a AS DOUBLE[]), ...)` — verified empirically, so
+  * cosine scores hash-match the oracle exactly, no rounding needed.
+  *
+  * Scale design: brute-force is a broadcast of the query vector over a
+  * linear scan (perfectly parallel, no shuffle, TakeOrderedAndProject for
+  * the top-k — never a global sort). Pairwise near-dup is quadratic and
+  * only for small corpora; the LSH variant shuffles on bucket ids instead,
+  * and at 100 TB you'd pre-partition the table by bucket so probes prune
+  * partitions.
+  */
+object Similarity {
+
+  /** Strict sequential dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k neighbors of the vector with id `queryId`.
+    * The 1-row query side is broadcast; the scan stays pipeline-parallel.
+    */
+  def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                 queryId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    embeddings.join(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), cosine(col(vecCol), col("__qvec")).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
+  /** Exact pairwise cosine near-duplicates (cos ≥ `minCos`). Quadratic —
+    * the small-corpus baseline; LSH below is the scale path.
+    */
+  def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                   minCos: Double): DataFrame = {
+    val a = embeddings.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = embeddings.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+
+  /** Deterministic seeded gaussian hyperplanes (numPlanes × dim). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(r.nextGaussian()))
+  }
+
+  /** Random-hyperplane LSH bucket id: bit i = sign of ⟨plane_i, vec⟩.
+    * Pure expressions; the bucket id is a BIGINT suitable for partitioning.
+    */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
+      val planeCol = array(p.map(lit): _*)
+      acc + when(dot(vec, planeCol) > 0, lit(1L << i)).otherwise(0L)
+    }
+
+  /** Bucketed ANN: assign every vector to an LSH bucket, then search only
+    * the query's bucket (single-probe). Recall/latency tuned by numPlanes.
+    */
+  def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, numPlanes: Int = 4, dim: Int = 64,
+              seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val bucketed = embeddings.withColumn("__bucket", lshBucket(col(vecCol), planes))
+    val q = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"), col("__bucket").as("__qbucket"))
+    bucketed.join(broadcast(q), col("__bucket") === col("__qbucket"))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), cosine(col(vecCol), col("__qvec")).as("cos_sim"),
+        col("__bucket").as("bucket"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+}

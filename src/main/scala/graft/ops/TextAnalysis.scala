@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline over the
+  * `documents` table: tokenization, quality scoring, language-ID scoring,
+  * document fingerprinting. All are pure column expressions (whole-stage
+  * codegen'd, no UDFs) so they run at scan speed and scale linearly — the
+  * per-document work is embarrassingly parallel with zero shuffles.
+  *
+  * Determinism: every function here has an exact SQL twin in DuckDB
+  * (`string_split_regex` / `list_filter` / `md5`), used by the oracle.
+  */
+object TextAnalysis {
+
+  /** Lower-cased whitespace tokenization. `trim` first so no empty edge
+    * tokens appear (Spark's split and DuckDB's string_split_regex agree on
+    * interior separators but both emit empty strings at the edges).
+    */
+  def words(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(words(text)).cast("long")
+
+  /** Stopword profiles for the language scorer. Deliberately small, public
+    * common-word lists; scoring = occurrence count in the token stream.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von"),
+    "es" -> Seq("el", "la", "de", "y", "los", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Count of tokens contained in `vocab` (with multiplicity). */
+  def vocabHits(text: Column, vocab: Seq[String]): Column = {
+    val arr = array(vocab.map(lit): _*)
+    size(filter(words(text), w => array_contains(arr, w))).cast("long")
+  }
+
+  /** N-gram-heuristic language ID: score each profile by stopword hits,
+    * pick the argmax with a fixed tiebreak order (profile declaration
+    * order). Returns (score columns ×5, predicted) — callers select what
+    * they need.
+    */
+  def langId(text: Column): Column = {
+    val scores = langProfiles.map { case (l, vocab) => l -> vocabHits(text, vocab) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldLeft(lit(null).cast("string")) { case (acc, (l, s)) =>
+      when(acc.isNull && s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality metrics (length / punctuation / stopword / uniqueness ratios).
+    * All ratios are double divisions of exact integer counts — identical
+    * across engines.
+    */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val w = words(t)
+    val nTok = size(w).cast("long")
+    df.withColumn("n_chars_m", length(t).cast("long"))
+      .withColumn("token_count", nTok)
+      .withColumn("avg_word_len",
+        length(regexp_replace(trim(t), "\\s+", "")).cast("double") / nTok)
+      .withColumn("unique_ratio", size(array_distinct(w)).cast("double") / nTok)
+      .withColumn("stopword_ratio",
+        vocabHits(t, langProfiles.head._2).cast("double") / nTok)
+      .withColumn("punct_count",
+        (length(t) - length(regexp_replace(t, "[.,;:!?]", ""))).cast("long"))
+  }
+
+  /** Composite quality score in [0,1]-ish: favors mid-length docs with
+    * diverse vocabulary — a plain arithmetic blend, fully deterministic.
+    */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    qualityMetrics(df, textCol).withColumn("quality_score",
+      least(col("token_count").cast("double") / lit(100.0), lit(1.0)) * lit(0.5)
+        + col("unique_ratio") * lit(0.5))
+
+  /** Whitespace-normalized md5 fingerprint (document identity for exact
+    * dedup; SQL twin: `md5(regexp_replace(lower(trim(text)),'\s+',' '))`).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** BPE-ish token estimate: word-piece count via a regex that splits words,
+    * digits and punctuation the way byte-pair tokenizers approximately do.
+    */
+  def tokenEstimate(text: Column): Column =
+    size(filter(split(lower(trim(text)), "(?=[^a-z0-9])|(?<=[^a-z0-9])"),
+      p => p =!= "" && p =!= " ")).cast("long")
+}

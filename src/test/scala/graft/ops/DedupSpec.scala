@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "THE  quick   brown fox jumps over the lazy dog"), // exact dup of 1 after normalize
+    (4L, "completely different text about spark engines and data"),
+    (5L, "short")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates") {
+    val d = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(d.length == 4) // 1&3 collapse
+    val dup = d.find(_.getAs[Long]("dup_count") == 2L).get
+    assert(dup.getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("ngram jaccard finds the near-dup pair and only it at 0.5") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L))) // identical shingle sets
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH candidates contain the true near-dups (recall)") {
+    val got = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
+      numHashes = 32, bands = 16, minEstSim = 0.3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 3L)), s"exact dup must collide in every band: $got")
+    assert(got.contains((1L, 2L)), s"near dup should collide in some band: $got")
+  }
+
+  test("minhash signature of identical texts is identical, est_sim = 1") {
+    val sig = docs.filter(col("doc_id").isin(1L, 3L))
+      .select(Dedup.minhashSignature(col("text"), 3, 16).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sig(0) == sig(1))
+  }
+
+  test("simhash: identical docs distance 0, near-dups small, different large") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(4L)))
+  }
+
+  test("stop-shingle removal caps hot shingles") {
+    val many = (1L to 50L).map(i => (i, s"common prefix words here tail$i")).toDF("doc_id", "text")
+    val idx = Dedup.shingleIndex(many, "doc_id", "text", 3, maxDocFreq = 10)
+    // 'common prefix words' appears in all 50 docs -> dropped
+    assert(idx.filter(col("s") === "common prefix words").count() == 0)
+    assert(idx.count() > 0)
+  }
+}

@@ -1,0 +1,33 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("media table schema: binary payload + typed metadata") {
+    val docs = Seq((1L, "hello")).toDF("doc_id", "text")
+    val m = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val f = m.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(f("payload") == "binary")
+    assert(f("n_bytes") == "bigint")
+    assert(m.select("n_bytes").as[Long].head() == 5L)
+  }
+
+  test("feature extraction is distributed, deterministic, and keyed") {
+    val docs = Seq((1L, "hello world"), (2L, "spark")).toDF("doc_id", "text")
+    val m = Multimodal.asMediaTable(docs, "doc_id", "text").repartition(2)
+    val feats1 = Multimodal.extractFeatures(spark, m).collect().sortBy(_.media_id)
+    val feats2 = Multimodal.extractFeatures(spark, m).collect().sortBy(_.media_id)
+    assert(feats1.toSeq == feats2.toSeq)
+    assert(feats1.map(_.media_id).toSeq == Seq(1L, 2L))
+    assert(feats1.forall(_.checksum != 0L))
+    assert(feats1.forall(f => f.mean_intensity > 0 && f.width >= 1 && f.height >= 1))
+  }
+
+  test("stub frame sampler strides the payload") {
+    val frames = Multimodal.StubCodec.sampleFrames(Array.fill[Byte](100)(1), 30)
+    assert(frames == Seq(0L, 30L, 60L, 90L))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f)),
+    (3L, Seq(-1.0f, 0.0f, 0.0f)),
+    (4L, Seq(0.95f, 0.05f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine of identical vectors is 1, orthogonal 0, opposite -1") {
+    val c = embs.select(col("vec_id"),
+      Similarity.cosine(col("embedding"), array(lit(1.0f), lit(0.0f), lit(0.0f))).as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(c(0L) - 1.0) < 1e-12)
+    assert(math.abs(c(2L)) < 1e-12)
+    assert(math.abs(c(3L) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k orders by similarity with id tiebreak") {
+    val top = Similarity.cosineTopK(embs, "vec_id", "embedding", 0L, 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top == Seq(4L, 1L, 2L))
+  }
+
+  test("ANN top-k is exactly brute-force top-k restricted to the query bucket") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.model.Tables.embeddings(spark, dir)
+    val planes = Similarity.hyperplanes(4, 64)
+    val bucketed = e.withColumn("b", Similarity.lshBucket(col("embedding"), planes))
+    val qBucket = bucketed.filter(col("vec_id") === 0L).select("b").as[Long].head()
+    val inBucket = bucketed.filter(col("b") === qBucket).drop("b")
+    val bruteInBucket = Similarity.cosineTopK(inBucket, "vec_id", "embedding", 0L, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val ann = Similarity.annTopK(e, "vec_id", "embedding", 0L, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ann == bruteInBucket, s"ann=$ann expected=$bruteInBucket")
+    assert(ann.nonEmpty)
+  }
+
+  test("near-dup pairs finds the planted close pair") {
+    val pairs = Similarity.nearDupPairs(embs, "vec_id", "embedding", 0.99)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 4L)) && pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._2 == 3L))
+  }
+
+  test("lsh bucket is deterministic across evaluations") {
+    val planes = Similarity.hyperplanes(4, 3)
+    val b1 = embs.select(Similarity.lshBucket(col("embedding"), planes)).as[Long].collect()
+    val b2 = embs.select(Similarity.lshBucket(col("embedding"), planes)).as[Long].collect()
+    assert(b1.toSeq == b2.toSeq)
+  }
+}

@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks the profile with most stopword hits") {
+    val docs = Seq(
+      (1L, "the cat and the dog of a house in the garden"),
+      (2L, "der hund und die katze ist von hier"),
+      (3L, "el perro y la casa de los gatos"),
+      (4L, "le chien et les chats des maisons est grand"),
+      (5L, "的 是 在 了 和 天")
+    ).toDF("id", "text")
+    val got = docs.select(col("id"), TextAnalysis.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr", 5L -> "zh"))
+  }
+
+  test("quality metrics on a known sentence") {
+    val df = Seq((1L, "  aa bb  aa cc!  ")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityMetrics(df, "text").collect()(0)
+    assert(r.getAs[Long]("token_count") == 4L)      // aa bb aa cc!
+    assert(r.getAs[Double]("unique_ratio") == 0.75) // aa bb cc!
+    assert(r.getAs[Long]("punct_count") == 1L)
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = Seq(Tuple1("a  B\tc"), Tuple1("A B C")).toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("token estimate splits punctuation like a word-piece tokenizer") {
+    val df = Seq(Tuple1("hello, world! it's 42")).toDF("text")
+    val n = df.select(TextAnalysis.tokenEstimate(col("text"))).as[Long].head()
+    // hello , world ! it ' s 42
+    assert(n == 8L, s"got $n")
+  }
+}
