@@ -247,6 +247,13 @@ object SparkEntry {
           Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"))
         .toDF().orderBy("media_id")),
 
+    // ---- Event-time windows / sessionization (batch twins of streaming) ----
+    "q36_window_hourly" -> ((s, d) =>
+      graft.streaming.EventStreaming.hourlyAgg(Tables.events(s, d))
+        .orderBy("window_start", "event_type")),
+    "q37_sessionize" -> ((s, d) =>
+      graft.streaming.EventStreaming.sessionizeBatch(Tables.events(s, d), 30)),
+
     // ---- Top-k (O1-O4) ----
     "q15_topk" -> ((s, d) =>
       Relational.topK(
@@ -501,6 +508,29 @@ object SparkEntry {
            REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
            (c_name LIKE 'Customer%') AS is_cust
          FROM customer ORDER BY c_custkey""",
+    "q36_window_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q37_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                       - CAST(floor(epoch(LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         s AS (SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM e)
+         SELECT user_id, CAST(sid AS BIGINT) AS sid,
+           strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+         FROM s GROUP BY user_id, sid ORDER BY user_id, sid""",
     "q22_topk_per_group" ->
       """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
            SELECT o_orderpriority, o_orderkey, o_totalprice,

