@@ -101,6 +101,30 @@ object Dedup {
     }: _*)
   }
 
+  /** MinHash signatures as a table: explode shingles, hash once, then one
+    * codegen'd hash aggregate with `numHashes` MIN columns. Values are
+    * identical to [[minhashSignature]], but the plan is the scalable one:
+    * higher-order array functions are CodegenFallback (interpreted, and the
+    * shared shingle-hash subtree would be re-evaluated per hash function),
+    * while explode + groupBy-MIN gets whole-stage codegen and map-side
+    * partial aggregation — at 100 TB the shuffle carries one partially
+    * minimized row per (doc × reducer), not the shingle set.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, numHashes: Int, seed: Long = 42L): DataFrame = {
+    val params = hashParams(numHashes, seed)
+    val exploded = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), n)).as("s"))
+      .withColumn("h", pmod(xxhash64(col("s")), lit(MersenneP)))
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MersenneP))).as(s"__m$i")
+    }
+    exploded.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
+  }
+
   /** LSH candidate pairs: split the signature into `bands` bands, bucket by
     * (band index, band hash), pair up docs sharing a bucket, then estimate
     * similarity as the fraction of equal minhashes and keep ≥ `minEstSim`.
@@ -112,8 +136,7 @@ object Dedup {
                       minEstSim: Double = 0.5, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = docs.select(col(idCol).as("doc_id"),
-      minhashSignature(col(textCol), n, numHashes, seed).as("sig"))
+    val sig = minhashSignatures(docs, idCol, textCol, n, numHashes, seed)
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         bi => struct(bi.as("band"), xxhash64(slice(col("sig"), bi * r + 1, lit(r))).as("bh"))))
@@ -125,7 +148,7 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
           eq => eq)).cast("double") / numHashes).as("est_sim"))
-      .distinct()
+      .dropDuplicates("d1", "d2")
       .filter(col("est_sim") >= minEstSim)
   }
 

@@ -21,38 +21,45 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Strict sequential dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Strict sequential dot product in double precision — a native codegen'd
+    * Catalyst expression ([[graft.functions.DotProduct]]); same fold order
+    * as DuckDB's list_dot_product, so oracle results stay bit-identical.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.Vec.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact cosine top-k neighbors of the vector with id `queryId`.
-    * The 1-row query side is broadcast; the scan stays pipeline-parallel.
+    * The 1-row query side is broadcast; the scan stays pipeline-parallel
+    * and each side's norm is computed once, not per pair.
     */
   def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                  queryId: Long, k: Int): DataFrame = {
     val q = embeddings.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__qvec"))
+      .select(col(vecCol).as("__qvec"), norm(col(vecCol)).as("__qn"))
     embeddings.join(broadcast(q))
       .filter(col(idCol) =!= queryId)
-      .select(col(idCol), cosine(col(vecCol), col("__qvec")).as("cos_sim"))
+      .select(col(idCol),
+        (dot(col(vecCol), col("__qvec")) / (norm(col(vecCol)) * col("__qn"))).as("cos_sim"))
       .orderBy(desc("cos_sim"), col(idCol))
       .limit(k)
   }
 
   /** Exact pairwise cosine near-duplicates (cos ≥ `minCos`). Quadratic —
-    * the small-corpus baseline; LSH below is the scale path.
+    * the small-corpus baseline; LSH below is the scale path. Norms are
+    * precomputed per row (O(n)) instead of per pair (O(n²)).
     */
   def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
                    minCos: Double): DataFrame = {
-    val a = embeddings.select(col(idCol).as("id1"), col(vecCol).as("v1"))
-    val b = embeddings.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    val a = embeddings.select(col(idCol).as("id1"), col(vecCol).as("v1"),
+      norm(col(vecCol)).as("n1"))
+    val b = embeddings.select(col(idCol).as("id2"), col(vecCol).as("v2"),
+      norm(col(vecCol)).as("n2"))
     a.join(b, col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cos_sim"))
+      .select(col("id1"), col("id2"),
+        (dot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
 

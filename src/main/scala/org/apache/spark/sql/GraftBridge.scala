@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to Spark 4's package-private Column ↔ Expression conversions
+  * (`org.apache.spark.sql.classic.ExpressionUtils`), needed to expose a
+  * custom Catalyst expression as a user-facing Column. This is the Spark 4
+  * equivalent of the old public `new Column(expr)` / `col.expr` API.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
