@@ -247,6 +247,23 @@ object SparkEntry {
           Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"))
         .toDF().orderBy("media_id")),
 
+    // ---- Generators / provenance (S9, S13) ----
+    "q38_range_generator" -> ((s, _) => {
+      // S9: spark.range row generator (deltalake.ipynb:132 cell 1)
+      s.range(0L, 1000L).toDF("id")
+        .withColumn("bucket", col("id") % 7)
+        .withColumn("val", col("id") * col("id") % 101)
+        .orderBy("id")
+    }),
+    "q39_provenance" -> ((s, d) => {
+      // S13: input_file_name provenance (deltalake.ipynb:4374-4376 cell 22);
+      // basename only so the oracle is path-normalization independent
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          regexp_extract(input_file_name(), "([^/]+)$", 1).as("src_file"))
+        .orderBy("c_custkey")
+    }),
+
     // ---- Event-time windows / sessionization (batch twins of streaming) ----
     "q36_window_hourly" -> ((s, d) =>
       graft.streaming.EventStreaming.hourlyAgg(Tables.events(s, d))
@@ -507,6 +524,14 @@ object SparkEntry {
            LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
            REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
            (c_name LIKE 'Customer%') AS is_cust
+         FROM customer ORDER BY c_custkey""",
+    "q38_range_generator" ->
+      """SELECT CAST(range AS BIGINT) AS id,
+           CAST(range % 7 AS BIGINT) AS bucket,
+           CAST(range * range % 101 AS BIGINT) AS val
+         FROM range(0, 1000) ORDER BY id""",
+    "q39_provenance" ->
+      """SELECT c_custkey, 'customer.parquet' AS src_file
          FROM customer ORDER BY c_custkey""",
     "q36_window_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start,

@@ -64,6 +64,23 @@ object Io {
     fs.delete(new Path(tmp), true)
   }
 
+  /** S11 — warehouse bulk load (silver.py:14–73, load_currency.py:13–44:
+    * the reference's Postgres `COPY` path). Spark-native form is the JDBC
+    * sink with explicit batching; untestable offline (no JDBC endpoint in
+    * this environment) but the full option surface is exposed.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                user: String, password: String,
+                batchSize: Int = 100000, mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("user", user)
+      .option("password", password)
+      .option("batchsize", batchSize)
+      .save()
+
   /** S8 — catalog DDL (deltalake.ipynb:1046–1063 cell 10: CREATE SCHEMA +
     * CREATE TABLE ... USING <fmt> LOCATION + COMMENT; SHOW/DESCRIBE).
     */
