@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.model.Tables
-import graft.ops.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
 import graft.ops.Relational.dsum
 
 /** Driver contract — one named query per implemented operator from
@@ -246,6 +246,40 @@ object SparkEntry {
       Multimodal.extractFeatures(s,
           Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"))
         .toDF().orderBy("media_id")),
+
+    // ---- Datetime conversions / decimal semantics / sampling ----
+    "q40_datetime_convert" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("epoch_s", col("o_orderdate").cast("timestamp").cast("long"))
+        .select(
+          col("o_orderkey"), col("epoch_s"),
+          from_unixtime(col("epoch_s")).as("from_unix_str"),
+          date_format(to_timestamp(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")),
+            "yyyy-MM-dd HH:mm:ss").as("roundtrip_str"))
+        .orderBy("o_orderkey")
+    }),
+    "q41_decimal_agg" -> ((s, d) => {
+      // decimal widening semantics (SURVEY.md §7.6.2): sum(decimal(18,2)) ->
+      // (28,2), surfaced as strings so scale is part of the checked value
+      val amount = col("l_extendedprice").cast("decimal(18,2)")
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(sum(amount).as("sum_dec"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          col("sum_dec").cast("string").as("sum_str"),
+          (col("sum_dec").cast("double") / col("n")).cast("decimal(22,6)")
+            .cast("string").as("avg_str"),
+          col("n"))
+        .orderBy("l_returnflag")
+    }),
+    "q42_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSampleExact(Tables.customer(s, d), "c_mktsegment", "c_custkey", 100)
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("c_mktsegment")),
+    "q43_mod_split" -> ((s, d) =>
+      Sampling.modSplit(Tables.customer(s, d), "c_custkey", 80)
+        .groupBy("is_train").agg(count(lit(1)).as("n"))
+        .orderBy("is_train")),
 
     // ---- Generators / provenance (S9, S13) ----
     "q38_range_generator" -> ((s, _) => {
@@ -525,6 +559,28 @@ object SparkEntry {
            REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
            (c_name LIKE 'Customer%') AS is_cust
          FROM customer ORDER BY c_custkey""",
+    "q40_datetime_convert" ->
+      """SELECT o_orderkey,
+           CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) AS epoch_s,
+           strftime(make_timestamp(CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) * 1000000),
+             '%Y-%m-%d %H:%M:%S') AS from_unix_str,
+           strftime(strptime(strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'),
+             '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS roundtrip_str
+         FROM orders ORDER BY o_orderkey""",
+    "q41_decimal_agg" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_str,
+           CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS DECIMAL(22,6)) AS VARCHAR) AS avg_str,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "q42_stratified_sample" ->
+      """SELECT c_mktsegment,
+           CAST(LEAST(100, COUNT(*)) AS BIGINT) AS n_sampled
+         FROM customer GROUP BY 1 ORDER BY c_mktsegment""",
+    "q43_mod_split" ->
+      """SELECT (c_custkey % 100 < 80) AS is_train, COUNT(*) AS n
+         FROM customer GROUP BY 1 ORDER BY is_train""",
     "q38_range_generator" ->
       """SELECT CAST(range AS BIGINT) AS id,
            CAST(range % 7 AS BIGINT) AS bucket,
