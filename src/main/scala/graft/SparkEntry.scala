@@ -247,6 +247,14 @@ object SparkEntry {
           Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"))
         .toDF().orderBy("media_id")),
 
+    // ---- SQL entry point (E2: spark.sql over registered views) ----
+    "q44_sql_entry" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql(graft.ops.ReferenceShapes.clientStatsSql)
+    }),
+
     // ---- Datetime conversions / decimal semantics / sampling ----
     "q40_datetime_convert" -> ((s, d) => {
       Tables.orders(s, d)
@@ -559,6 +567,15 @@ object SparkEntry {
            REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
            (c_name LIKE 'Customer%') AS is_cust
          FROM customer ORDER BY c_custkey""",
+    "q44_sql_entry" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_amount,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_amount,
+         COUNT(*) AS transactions_count
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2, 3 ORDER BY c_custkey""",
     "q40_datetime_convert" ->
       """SELECT o_orderkey,
            CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) AS epoch_s,
