@@ -247,6 +247,27 @@ object SparkEntry {
           Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"))
         .toDF().orderBy("media_id")),
 
+    // ---- Embedding analytics / corpus vocab / corpus dedup ----
+    "q45_centroid_components" -> ((s, d) =>
+      graft.ops.Embeddings.centroidComponents(Tables.embeddings(s, d), "label", "embedding")
+        .orderBy("label", "pos")),
+    "q46_centroid_assign" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.ops.Embeddings.assignToCentroids(e, "vec_id", "embedding",
+          graft.ops.Embeddings.centroids(e, "label", "embedding"))
+        .orderBy("vec_id", "assigned_label")
+    }),
+    "q47_top_ngrams" -> ((s, d) =>
+      Relational.topK(
+        Tables.documents(s, d)
+          .select(explode(Dedup.shingles(col("text"), 2)).as("ngram"))
+          .groupBy("ngram").agg(count(lit(1)).as("df")),
+        20, "df", "ngram")),
+    "q48_dedup_corpus" -> ((s, d) =>
+      Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text", minEstSim = 0.9)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
     // ---- SQL entry point (E2: spark.sql over registered views) ----
     "q44_sql_entry" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
@@ -567,6 +588,21 @@ object SparkEntry {
            REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
            (c_name LIKE 'Customer%') AS is_cust
          FROM customer ORDER BY c_custkey""",
+    "q45_centroid_components" ->
+      """SELECT label, CAST(i AS BIGINT) AS pos,
+           CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
+         FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+         GROUP BY 1, 2 ORDER BY label, pos""",
+    "q47_top_ngrams" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest(CASE WHEN len(words) >= 2
+                    THEN list_transform(generate_series(1, len(words) - 1),
+                           i -> concat_ws(' ', words[i], words[i+1]))
+                    ELSE [concat_ws(' ', words)] END) AS ngram
+                FROM w)
+         SELECT ngram, COUNT(*) AS df FROM sh GROUP BY 1
+         ORDER BY df DESC, ngram LIMIT 20""",
     "q44_sql_entry" ->
       """SELECT c_custkey, c_name, c_mktsegment,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_amount,

@@ -152,6 +152,48 @@ object Dedup {
       .filter(col("est_sim") >= minEstSim)
   }
 
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: every doc's label converges to the smallest doc_id in its
+    * component. Iterations are bounded by the component diameter (near-dup
+    * clusters are shallow; `maxIter` caps pathological chains). Each
+    * iteration is two shuffles on doc ids — no driver-side graph.
+    */
+  def components(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // materialize once: the (possibly expensive) candidate-pair plan would
+    // otherwise be re-executed by every iteration's jobs
+    val edges = pairs.select(col("d1"), col("d2"))
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint()
+    var labels = edges.select(col("d1").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("d2") === labels("id"))
+        .groupBy(col("d1").as("id2")).agg(min("label").as("nbr_label"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint() // truncate lineage per iteration
+      converged = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end corpus dedup: candidate pairs (MinHash LSH) → connected
+    * components → keep the min-id doc per component. Returns the kept docs.
+    */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, minEstSim: Double = 0.9): DataFrame = {
+    val pairs = minhashLshPairs(docs, idCol, textCol, n = n, minEstSim = minEstSim)
+    val comp = components(pairs)
+    val losers = comp.filter(col("id") =!= col("label")).select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
+
   /** 64-bit SimHash from word-level xxhash64: per bit, sum +1/−1 over
     * tokens, set the bit if positive. Built as 64 conditional aggregates —
     * wide but fully codegen'd and map-side combinable.

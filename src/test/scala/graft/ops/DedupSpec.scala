@@ -52,6 +52,19 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(4L)))
   }
 
+  test("components: chains collapse to min label") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("d1", "d2")
+    val got = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("dedupCorpus keeps exactly one doc per near-dup cluster") {
+    val kept = Dedup.dedupCorpus(docs, "doc_id", "text", minEstSim = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(3L)) // exact dup cluster {1,3} -> keep 1
+    assert(kept.contains(4L) && kept.contains(5L))  // singletons survive
+  }
+
   test("stop-shingle removal caps hot shingles") {
     val many = (1L to 50L).map(i => (i, s"common prefix words here tail$i")).toDF("doc_id", "text")
     val idx = Dedup.shingleIndex(many, "doc_id", "text", 3, maxDocFreq = 10)

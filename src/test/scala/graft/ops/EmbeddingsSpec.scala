@@ -1,0 +1,29 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EmbeddingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs = Seq(
+    (0L, Seq(1.0f, 0.0f), 0),
+    (1L, Seq(3.0f, 0.0f), 0),
+    (2L, Seq(0.0f, 2.0f), 1),
+    (3L, Seq(0.0f, 4.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("centroids average per label and dimension") {
+    val c = Embeddings.centroids(embs, "label", "embedding")
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(c(0) == Seq(2.0, 0.0))
+    assert(c(1) == Seq(0.0, 3.0))
+  }
+
+  test("assignToCentroids sends each vector to its own label's centroid") {
+    val cents = Embeddings.centroids(embs, "label", "embedding")
+    val got = Embeddings.assignToCentroids(embs, "vec_id", "embedding", cents)
+      .select("vec_id", "assigned_label").as[(Long, Int)].collect().toMap
+    assert(got == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1))
+  }
+}
