@@ -247,6 +247,33 @@ object SparkEntry {
           Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"))
         .toDF().orderBy("media_id")),
 
+    // ---- Approximate / OLAP-shaped aggregations ----
+    "q49_approx_stats" -> ((s, d) =>
+      // sketch aggregates for 100 TB cardinality/quantile work; rows-only
+      // check (approx algorithms differ across engines by design)
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        expr("approx_percentile(l_extendedprice, 0.5)").as("p50_price"),
+        expr("approx_percentile(l_extendedprice, array(0.1, 0.9))").as("p10_p90"))),
+    "q50_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map(
+          "1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
+          "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+        .orderBy("o_orderstatus")),
+    "q51_rollup" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Relational.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
     // ---- Embedding analytics / corpus vocab / corpus dedup ----
     "q45_centroid_components" -> ((s, d) =>
       graft.ops.Embeddings.centroidComponents(Tables.embeddings(s, d), "label", "embedding")
@@ -588,6 +615,19 @@ object SparkEntry {
            REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
            (c_name LIKE 'Customer%') AS is_cust
          FROM customer ORDER BY c_custkey""",
+    "q50_pivot" ->
+      """SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+           CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
+    "q51_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "q45_centroid_components" ->
       """SELECT label, CAST(i AS BIGINT) AS pos,
            CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
