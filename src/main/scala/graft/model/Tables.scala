@@ -35,6 +35,9 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // defensive: callers may hold a session without this conf; it is a
+    // runtime SQL conf, so setting it here keeps any session working
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
