@@ -247,6 +247,20 @@ object SparkEntry {
           Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"))
         .toDF().orderBy("media_id")),
 
+    // ---- As-of join (beyond the reference; DuckDB ASOF JOIN oracle) ----
+    "q52_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val left = ev.select("event_id", "event_type", "ts")
+      val right = ev
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("ts"))
+        .agg(dsum(col("value")).as("day_value"))
+        .filter(col("day_value") > 400.0)
+      graft.ops.AsOf.asofJoin(left, right, "event_type", "ts")
+        .select(col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"), col("day_value"))
+        .orderBy("event_id")
+    }),
+
     // ---- Approximate / OLAP-shaped aggregations ----
     "q49_approx_stats" -> ((s, d) =>
       // sketch aggregates for 100 TB cardinality/quantile work; rows-only
@@ -615,6 +629,18 @@ object SparkEntry {
            REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
            (c_name LIKE 'Customer%') AS is_cust
          FROM customer ORDER BY c_custkey""",
+    "q52_asof_join" ->
+      """WITH r AS (
+           SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS t,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+           FROM events GROUP BY 1, 2
+           HAVING CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) > 400.0)
+         SELECT e.event_id, e.event_type,
+           strftime(CAST(e.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_str,
+           r.day_value
+         FROM events e
+         ASOF LEFT JOIN r ON e.event_type = r.event_type AND CAST(e.ts AS TIMESTAMP) >= r.t
+         ORDER BY e.event_id""",
     "q50_pivot" ->
       """SELECT o_orderstatus,
            CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,

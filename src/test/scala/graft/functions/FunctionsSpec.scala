@@ -1,0 +1,48 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vec_dot / vec_cosine SQL functions match the Column API") {
+    GraftFunctions.register(spark)
+    Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+      .createOrReplaceTempView("vecs")
+    val (d, c) = spark.sql(
+      "SELECT vec_dot(a, b), vec_cosine(a, b) FROM vecs")
+      .as[(Double, Double)].head()
+    assert(d == 11.0)
+    val expect = spark.table("vecs")
+      .select(graft.ops.Similarity.cosine(col("a"), col("b")))
+      .as[Double].head()
+    assert(c == expect)
+  }
+
+  test("MinHashAgg signature equals the explode+MIN-columns plan") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words in this one here"),
+      (3L, "short text")
+    ).toDF("doc_id", "text")
+    val viaColumns = graft.ops.Dedup
+      .minhashSignatures(docs, "doc_id", "text", n = 3, numHashes = 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    val hashes = docs.select(col("doc_id").as("doc_id"),
+      explode(graft.ops.Dedup.shingles(col("text"), 3)).as("s"))
+      .withColumn("h", pmod(xxhash64(col("s")), lit(2147483647L)))
+    val viaAgg = hashes.groupBy("doc_id")
+      .agg(MinHashAgg.minhash_agg(col("h"), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaAgg == viaColumns)
+  }
+
+  test("MinHashAgg merges partial buffers correctly across partitions") {
+    val df = spark.range(0, 1000).toDF("h").repartition(7)
+      .withColumn("h", pmod(xxhash64(col("h")), lit(2147483647L)))
+    val a = df.agg(MinHashAgg.minhash_agg(col("h"), 8)).as[Seq[Long]].head()
+    val b = df.coalesce(1).agg(MinHashAgg.minhash_agg(col("h"), 8)).as[Seq[Long]].head()
+    assert(a == b)
+  }
+}

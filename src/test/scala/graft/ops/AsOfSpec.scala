@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val trades = Seq(
+    ("A", 10L, 100.0), ("A", 20L, 101.0), ("A", 35L, 102.0),
+    ("B", 15L, 200.0), ("C", 5L, 300.0)
+  ).toDF("sym", "t", "px")
+
+  private val quotes = Seq(
+    ("A", 8L, 99.5), ("A", 20L, 100.5), ("A", 30L, 101.5),
+    ("B", 10L, 199.0), ("B", 16L, 201.0)
+  ).toDF("sym", "t", "bid")
+
+  test("as-of join picks most recent right row at-or-before each left time") {
+    val got = AsOf.asofJoin(trades, quotes, "sym", "t")
+      .select("sym", "t", "px", "bid")
+      .as[(String, Long, Double, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(got(("A", 10L)) == Some(99.5))   // quote at 8
+    assert(got(("A", 20L)) == Some(100.5))  // quote at exactly 20 matches
+    assert(got(("A", 35L)) == Some(101.5))  // quote at 30
+    assert(got(("B", 15L)) == Some(199.0))  // 16 is in the future
+    assert(got(("C", 5L)) == None)          // no quotes for C -> null
+  }
+
+  test("as-of join keeps exactly the left rows") {
+    val got = AsOf.asofJoin(trades, quotes, "sym", "t")
+    assert(got.count() == trades.count())
+    assert(got.columns.toSet == Set("sym", "t", "px", "bid"))
+  }
+
+  test("colliding payload names get the suffix") {
+    val right = Seq(("A", 8L, 1.0)).toDF("sym", "t", "px")
+    val got = AsOf.asofJoin(trades, right, "sym", "t")
+    assert(got.columns.contains("px_asof"))
+  }
+}
