@@ -247,6 +247,61 @@ object SparkEntry {
           Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"))
         .toDF().orderBy("media_id")),
 
+    // ---- Range join: events inside incident windows ----
+    "q56_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("t", col("ts").cast("long"))
+      // incident window per (type, day): first event of the day + 6 hours
+      val windows = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(min(col("t")).as("w_start"))
+        .withColumn("w_end", col("w_start") + lit(6L * 3600))
+        .drop("day")
+      graft.ops.RangeJoin.pointInInterval(
+          ev.select("event_id", "event_type", "t"), windows,
+          "event_type", "t", "w_start", "w_end", bucketSeconds = 6L * 3600)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("in_window_events"),
+          countDistinct(col("w_start")).as("windows_hit"))
+        .orderBy("event_type")
+    }),
+
+    // ---- CSV round-trip through the correctness gate (S3/S4) ----
+    "q53_csv_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val out = s"/tmp/graft_csv_roundtrip_${new java.io.File(d).getName}"
+      graft.io.Io.writeCsv(Tables.customer(s, d), out)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType)))
+      graft.io.Io.readCsv(s, out, Some(schema))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ---- Moving windows / exact quantiles ----
+    "q54_moving_avg" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("date"))
+        .agg(dsum(col("o_totalprice")).as("v"))
+      val w7 = Window.orderBy("date").rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("ma7", (sum(col("v").cast("decimal(18,6)")).over(w7).cast("double")
+          / count(lit(1)).over(w7)))
+        .orderBy("date")
+    }),
+    "q55_median" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_extendedprice, array(0.25, 0.75))").as("iqr_price"))
+        .select(col("l_returnflag"), col("median_qty"),
+          col("iqr_price").getItem(0).as("p25_price"),
+          col("iqr_price").getItem(1).as("p75_price"))
+        .orderBy("l_returnflag")),
+
     // ---- As-of join (beyond the reference; DuckDB ASOF JOIN oracle) ----
     "q52_asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -629,6 +684,41 @@ object SparkEntry {
            REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
            (c_name LIKE 'Customer%') AS is_cust
          FROM customer ORDER BY c_custkey""",
+    "q56_range_join" ->
+      """WITH ev AS (
+           SELECT event_id, event_type,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
+             CAST(ts AS DATE) AS day
+           FROM events),
+         w AS (
+           SELECT event_type, MIN(t) AS w_start, MIN(t) + 6*3600 AS w_end
+           FROM ev GROUP BY event_type, day)
+         SELECT e.event_type, COUNT(*) AS in_window_events,
+           COUNT(DISTINCT w.w_start) AS windows_hit
+         FROM ev e JOIN w ON e.event_type = w.event_type
+           AND e.t >= w.w_start AND e.t < w.w_end
+         GROUP BY 1 ORDER BY e.event_type""",
+    "q53_csv_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+         FROM customer GROUP BY 1 ORDER BY c_mktsegment""",
+    "q54_moving_avg" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS date,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS v
+           FROM orders GROUP BY 1)
+         SELECT date, v,
+           CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS ma7
+         FROM daily
+         WINDOW w AS (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY date""",
+    "q55_median" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.75) AS p75_price
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "q52_asof_join" ->
       """WITH r AS (
            SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS t,
