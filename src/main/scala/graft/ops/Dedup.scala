@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for a training-data pipeline over `documents`:
   * exact (hash-groupBy), n-gram Jaccard (inverted-index join), MinHash+LSH
@@ -55,17 +56,47 @@ object Dedup {
     }
   }
 
-  /** Exact n-gram Jaccard near-dup pairs ≥ `minJaccard` via inverted-index
-    * self-join: |A∩B| from the shingle join, |A∪B| = |A|+|B|−|A∩B|.
+  /** Exact n-gram Jaccard near-dup pairs ≥ `minJaccard`, computed with
+    * **prefix filtering** (AllPairs/PPJoin family): results are identical
+    * to the naive inverted-index self-join, but the candidate join only
+    * indexes each document's ⌊(1−t)·n⌋+1 globally-rarest shingles — any
+    * pair with J ≥ t must share a prefix shingle, and rare shingles have
+    * tiny fanout, so the quadratic hot-shingle blowup of the naive join
+    * never materializes. Candidates are then verified with an exact
+    * intersection count restricted to the candidate pairs.
+    *
+    * Join keys are 64-bit shingle hashes (8-byte shuffle keys; corpus-level
+    * collision probability ~2^-30 — negligible).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, minJaccard: Double,
                         maxDocFreq: Long = 0L): DataFrame = {
     val idx = shingleIndex(docs, idCol, textCol, n, maxDocFreq)
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = idx.as("a"); val b = idx.as("b")
-    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+
+    // global rarity order; prefix = the (1-t)n+1 rarest shingles per doc
+    val df_ = idx.groupBy("s").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val ranked = idx.join(df_, "s")
+      .withColumn("rk", row_number().over(byRarity))
+      .join(sizes, "doc_id")
+    val prefix = ranked
+      .filter(col("rk") <= floor((lit(1.0) - minJaccard) * col("n_sh")) + 1)
+      .select("doc_id", "s")
+
+    // candidates: pairs sharing a shingle that lies in either doc's prefix
+    val cands = prefix.as("p").join(idx.as("f"),
+        col("p.s") === col("f.s") && col("p.doc_id") =!= col("f.doc_id"))
+      .select(least(col("p.doc_id"), col("f.doc_id")).as("d1"),
+        greatest(col("p.doc_id"), col("f.doc_id")).as("d2"))
+      .distinct()
+
+    // exact verification: full intersection count for candidate pairs only
+    val inter = cands
+      .join(idx.withColumnRenamed("doc_id", "d1"), Seq("d1"))
+      .join(idx.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+      .groupBy("d1", "d2")
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
