@@ -2,6 +2,7 @@ package graft.table
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /** A managed Parquet table directory emulating the reference's Delta-table
   * capability surface (SURVEY.md §7.4): overwrite/append/partitioned writes,
@@ -58,12 +59,51 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   }
 
   /** MERGE upsert (E3, deltalake.ipynb:2939–2945): source-wins rewrite via
-    * [[Merge.upsert]], committed with the atomic swap.
+    * [[Merge.upsert]]. For partitioned tables only the *affected*
+    * partitions are rewritten (dynamic partition overwrite) — the analogue
+    * of Delta's matched-file pruning, and the difference between rewriting
+    * a few date partitions and rewriting 100 TB. Affected = partitions the
+    * source writes into ∪ partitions currently holding a matched key (a
+    * matched row may move partitions; its old copy must go too).
+    * Unpartitioned tables fall back to the full atomic swap.
     */
   def merge(source: DataFrame, keys: Seq[String], partitionCols: Seq[String] = Nil): Unit =
     if (!exists) overwrite(source, partitionCols)
-    // writing to the tmp dir scans the OLD files, so no checkpoint needed
-    else replaceWith(Merge.upsert(read, source, keys), partitionCols)
+    else if (partitionCols.isEmpty)
+      // writing to the tmp dir scans the OLD files, so no checkpoint needed
+      replaceWith(Merge.upsert(read, source, keys), partitionCols)
+    else {
+      val target = read
+      val srcParts = source.select(partitionCols.map(c => col(c)): _*).distinct()
+      val matchedParts = target
+        .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        .select(partitionCols.map(c => col(c)): _*).distinct()
+      val affected = srcParts.union(matchedParts).distinct().localCheckpoint()
+      // rows of the affected partitions only, merged source-wins
+      val targetAffected = target.join(broadcast(affected), partitionCols, "left_semi")
+      val merged = Merge.upsert(targetAffected, source, keys).localCheckpoint()
+      // materialize BOTH partition sets before any file is replaced — their
+      // plans read the current table files
+      val affectedRows = affected.collect().toSet
+      val mergedParts = merged.select(partitionCols.map(col): _*).distinct().collect().toSet
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode(SaveMode.Overwrite)
+          .partitionBy(partitionCols: _*).parquet(path)
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      // dynamic overwrite only replaces partitions PRESENT in `merged`; an
+      // affected partition whose rows all moved away must be dropped
+      // explicitly (e.g. a matched key migrating to another partition)
+      (affectedRows -- mergedParts).foreach { row =>
+        val dir = partitionCols.zipWithIndex
+          .map { case (c, i) => s"$c=${row.get(i)}" }.mkString("/")
+        fs.delete(new Path(s"$path/$dir"), true)
+      }
+    }
 
   /** MERGE insert-only (deltalake.ipynb:1786–1791): append just the new keys. */
   def mergeInsertOnly(source: DataFrame, keys: Seq[String], partitionCols: Seq[String] = Nil): Unit =

@@ -72,6 +72,29 @@ class ManagedTableSpec extends SparkSpec {
     assert(t.read.count() == 1000)
   }
 
+  test("partitioned merge rewrites only affected partitions") {
+    val t = freshTable("mt-partmerge")
+    t.overwrite(Seq((1L, "a", "v1"), (2L, "b", "v2"), (3L, "c", "v3"))
+      .toDF("k", "p", "v"), Seq("p"))
+    def filesIn(part: String) =
+      new java.io.File(t.path + s"/p=$part").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSet
+    val cBefore = filesIn("c")
+    // key 1 moves partition a->b; key 4 is new in partition b
+    t.merge(Seq((1L, "b", "V1"), (4L, "b", "V4")).toDF("k", "p", "v"),
+      Seq("k"), Seq("p"))
+    val got = t.read.select("k", "p", "v").orderBy("k")
+      .as[(Long, String, String)].collect().toSeq
+    val byKey = got.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byKey(1L) == ("b", "V1")) // moved + updated, old copy gone
+    assert(byKey(2L) == ("b", "v2"))
+    assert(byKey(3L) == ("c", "v3"))
+    assert(byKey(4L) == ("b", "V4"))
+    assert(got.size == 4)
+    // partition c held no matched keys and no source rows: untouched files
+    assert(filesIn("c") == cBefore)
+  }
+
   test("partitioned overwrite prunes partitions on read") {
     val t = freshTable("mt-part")
     val df = Seq((1L, "2024-01-01"), (2L, "2024-01-02")).toDF("k", "d")
