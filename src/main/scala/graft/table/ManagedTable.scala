@@ -110,6 +110,35 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     if (!exists) overwrite(source, partitionCols)
     else append(Merge.newRowsOnly(source, read, keys).localCheckpoint(), partitionCols)
 
+  /** DELETE rows matching `cond` — the Delta DML surface completed. The
+    * whole table is rewritten via atomic swap (partition-scoped variants
+    * should pre-filter with a partition predicate so pruning bounds the
+    * scan; rows in untouched partitions rewrite unchanged).
+    */
+  def delete(cond: org.apache.spark.sql.Column, partitionCols: Seq[String] = Nil): Unit =
+    replaceWith(read.filter(!cond || cond.isNull), partitionCols)
+
+  /** UPDATE rows matching `cond`, applying the `set` column assignments. */
+  def update(cond: org.apache.spark.sql.Column,
+             set: Map[String, org.apache.spark.sql.Column],
+             partitionCols: Seq[String] = Nil): Unit = {
+    val updated = set.foldLeft(read) { case (df, (c, expr)) =>
+      df.withColumn(c, org.apache.spark.sql.functions.when(cond, expr).otherwise(col(c)))
+    }
+    replaceWith(updated, partitionCols)
+  }
+
+  /** Remove leftover tmp/old directories from interrupted swaps. */
+  def vacuum(): Unit = {
+    val parent = new Path(path).getParent
+    val prefix = new Path(path).getName
+    fs.listStatus(parent).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(prefix + ".tmp-") || n.startsWith(prefix + ".old-"))
+        fs.delete(st.getPath, true)
+    }
+  }
+
   /** Compaction (M5, `optimize().executeCompaction()`): rewrite to n files. */
   def compact(numFiles: Int): Unit =
     replaceWith(read.repartition(numFiles), Nil)

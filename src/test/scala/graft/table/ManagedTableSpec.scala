@@ -106,6 +106,32 @@ class ManagedTableSpec extends SparkSpec {
     assert(!plan.contains("PushedFilters: [IsNotNull(d)"), plan)
   }
 
+  test("delete removes matching rows, keeps null-cond rows") {
+    val t = freshTable("mt-del")
+    t.overwrite(Seq((1L, Some(5.0)), (2L, Some(50.0)), (3L, None))
+      .toDF("k", "v"))
+    t.delete(col("v") > 10.0)
+    assert(t.read.select("k").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("update applies set expressions only to matching rows") {
+    val t = freshTable("mt-upd")
+    t.overwrite(Seq((1L, 5.0), (2L, 50.0)).toDF("k", "v"))
+    t.update(col("k") === 2L, Map("v" -> (col("v") * 2)))
+    assert(t.read.orderBy("k").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 5.0), (2L, 100.0)))
+  }
+
+  test("vacuum removes orphan tmp/old dirs, keeps the table") {
+    val t = freshTable("mt-vac")
+    t.overwrite(spark.range(10).toDF("id"))
+    val orphan = new java.io.File(t.path + ".tmp-dead")
+    orphan.mkdirs()
+    t.vacuum()
+    assert(!orphan.exists)
+    assert(t.read.count() == 10)
+  }
+
   test("detail reports files and bytes") {
     val t = freshTable("mt-detail")
     t.overwrite(spark.range(10).toDF("id"))
