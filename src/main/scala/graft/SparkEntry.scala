@@ -247,6 +247,26 @@ object SparkEntry {
           Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"))
         .toDF().orderBy("media_id")),
 
+    // ---- IVF ANN over the centroid codebook ----
+    "q59_ivf_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e, "vec_id", "embedding",
+          graft.ops.Embeddings.centroids(e, "label", "embedding"),
+          queryId = 0L, k = 10, nProbe = 3)
+        .orderBy(desc("cos_sim"), col("vec_id"))
+    }),
+
+    // ---- Built-in session windows / CUBE ----
+    "q57_session_window" -> ((s, d) =>
+      graft.streaming.EventStreaming.sessionWindowAgg(Tables.events(s, d), "30 minutes")),
+    "q58_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
     // ---- Range join: events inside incident windows ----
     "q56_range_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -684,6 +704,28 @@ object SparkEntry {
            REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
            (c_name LIKE 'Customer%') AS is_cust
          FROM customer ORDER BY c_custkey""",
+    "q57_session_window" ->
+      """WITH e AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         s AS (SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM e)
+         SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "q58_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "q56_range_join" ->
       """WITH ev AS (
            SELECT event_id, event_type,

@@ -78,20 +78,54 @@ object Similarity {
       acc + when(dot(vec, planeCol) > 0, lit(1L << i)).otherwise(0L)
     }
 
-  /** Bucketed ANN: assign every vector to an LSH bucket, then search only
-    * the query's bucket (single-probe). Recall/latency tuned by numPlanes.
+  /** Bucketed ANN with multi-probe: search the query's LSH bucket plus the
+    * `numProbes−1` Hamming-1 neighbor buckets (each one hyperplane flip
+    * away). Recall/latency tuned by numPlanes × numProbes; the probe set is
+    * built lazily (query row × literal masks, broadcast), so the scan side
+    * stays a single pruned pass.
     */
   def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, numPlanes: Int = 4, dim: Int = 64,
-              seed: Long = 42L): DataFrame = {
+              numProbes: Int = 1, seed: Long = 42L): DataFrame = {
+    require(numProbes >= 1 && numProbes <= numPlanes + 1)
     val planes = hyperplanes(numPlanes, dim, seed)
     val bucketed = embeddings.withColumn("__bucket", lshBucket(col(vecCol), planes))
+    val masks = 0L +: (0 until (numProbes - 1)).map(1L << _)
     val q = bucketed.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__qvec"), col("__bucket").as("__qbucket"))
-    bucketed.join(broadcast(q), col("__bucket") === col("__qbucket"))
+      .select(col(vecCol).as("__qvec"), col("__bucket").as("__qbucket"),
+        explode(array(masks.map(lit): _*)).as("__mask"))
+      .withColumn("__pbucket", col("__qbucket").bitwiseXOR(col("__mask")))
+    bucketed.join(broadcast(q), col("__bucket") === col("__pbucket"))
       .filter(col(idCol) =!= queryId)
       .select(col(idCol), cosine(col(vecCol), col("__qvec")).as("cos_sim"),
         col("__bucket").as("bucket"))
+      .dropDuplicates(idCol)
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-style ANN: a coarse codebook (centroid table: label, centroid)
+    * partitions the corpus into inverted lists; a query scores the few
+    * centroids, picks the `nProbe` nearest lists, and scans only those.
+    * At 100 TB the assignment is precomputed and the table partitioned by
+    * list id, so a probe prunes to nProbe partitions.
+    */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              cents: DataFrame, queryId: Long, k: Int, nProbe: Int): DataFrame = {
+    val assign = Embeddings.assignToCentroids(embeddings, idCol, vecCol, cents)
+      .select(col(idCol), col("assigned_label"))
+    val q = embeddings.filter(col(idCol) === queryId).select(col(vecCol).as("__qvec"))
+    val probeLists = cents.join(broadcast(q))
+      .select(col("label"), cosine(col("centroid"), col("__qvec")).as("c"))
+      .orderBy(desc("c"), col("label"))
+      .limit(nProbe)
+      .select(col("label").as("assigned_label"))
+    val candidates = embeddings
+      .join(assign, idCol)
+      .join(broadcast(probeLists), Seq("assigned_label"), "left_semi")
+    candidates.join(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), cosine(col(vecCol), col("__qvec")).as("cos_sim"))
       .orderBy(desc("cos_sim"), col(idCol))
       .limit(k)
   }

@@ -66,6 +66,20 @@ object EventStreaming {
       .orderBy("user_id", "sid")
   }
 
+  /** Sessionization via Spark's built-in `session_window` (works in batch
+    * and streaming; in streaming pair with a watermark). Same islands as
+    * [[sessionizeBatch]] — the built-in merges rows whose gaps are below
+    * `gap` — exposed for users who want the declarative form.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+
   /** Streaming sessionization: per-user state machine in
     * `flatMapGroupsWithState` — closes a session when the gap is exceeded
     * (emitting it) and keeps the open session in state across triggers.

@@ -51,6 +51,28 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L))
   }
 
+  test("multi-probe ANN recall >= single-probe; probing all buckets isn't worse") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.model.Tables.embeddings(spark, dir)
+    val brute = Similarity.cosineTopK(e, "vec_id", "embedding", 0L, 5)
+      .select("vec_id").as[Long].collect().toSet
+    def recall(p: Int) = (Similarity.annTopK(e, "vec_id", "embedding", 0L, 5,
+      numProbes = p).select("vec_id").as[Long].collect().toSet intersect brute).size
+    assert(recall(4) >= recall(1))
+  }
+
+  test("IVF with all lists probed equals brute force") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.model.Tables.embeddings(spark, dir)
+    val cents = Embeddings.centroids(e, "label", "embedding")
+    val nLists = cents.count().toInt
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", cents, 0L, 5, nLists)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = Similarity.cosineTopK(e, "vec_id", "embedding", 0L, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ivf == brute)
+  }
+
   test("lsh bucket is deterministic across evaluations") {
     val planes = Similarity.hyperplanes(4, 3)
     val b1 = embs.select(Similarity.lshBucket(col("embedding"), planes)).as[Long].collect()
