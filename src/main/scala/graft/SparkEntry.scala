@@ -247,6 +247,16 @@ object SparkEntry {
           Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"))
         .toDF().orderBy("media_id")),
 
+    // ---- Full corpus pipeline (annotate -> dedup -> split) ----
+    "q60_corpus_pipeline" -> ((s, d) => {
+      val wh = s"/tmp/graft_corpus_${new java.io.File(d).getName}"
+      new graft.pipeline.CorpusPipeline(s, wh)
+        .run(Tables.documents(s, d), "doc_id", "text",
+          minQuality = 0.3, minEstSim = 0.9)
+        .select("doc_id", "lang_pred", "split", "token_estimate", "quality_score")
+        .orderBy("doc_id")
+    }),
+
     // ---- IVF ANN over the centroid codebook ----
     "q59_ivf_ann" -> ((s, d) => {
       val e = Tables.embeddings(s, d)

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Sampling, TextAnalysis}
+import graft.table.ManagedTable
+
+/** The LLM training-data pipeline end-to-end (the BASELINE.json north-star
+  * workload), composing the extension operators into the standard corpus
+  * flow:
+  *
+  *   raw documents
+  *     → text quality scoring (drop low-quality)
+  *     → language ID
+  *     → exact dedup (normalized fingerprint)
+  *     → near-dedup (MinHash LSH → connected components → keeper)
+  *     → token accounting
+  *     → deterministic train/test split (content-hash)
+  *     → managed table partitioned by (lang, split)
+  *
+  * Every stage is a pure DataFrame transform (no UDFs except none at all),
+  * so the whole flow is one lazy plan until the final write; at 100 TB the
+  * only shuffles are the dedup candidate joins and the final partitioned
+  * write. All decisions are content-deterministic — rerunning on a
+  * re-sharded corpus yields byte-identical output.
+  */
+final class CorpusPipeline(spark: SparkSession, warehouse: String) {
+
+  val corpus = new ManagedTable(spark, s"$warehouse/corpus")
+
+  /** Stage 1-2: quality + language annotation. */
+  def annotate(docs: DataFrame, textCol: String): DataFrame =
+    TextAnalysis.qualityScore(docs, textCol)
+      .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
+      .withColumn("token_estimate", TextAnalysis.tokenEstimate(col(textCol)))
+
+  /** Stage 3-4: exact dedup then near-dedup, keeping min-id per cluster. */
+  def dedup(docs: DataFrame, idCol: String, textCol: String,
+            minEstSim: Double): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val exactKeepers = docs
+      .withColumn("fp", fp)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy(idCol)))
+      .filter(col("rk") === 1).drop("fp", "rk")
+    Dedup.dedupCorpus(exactKeepers, idCol, textCol, minEstSim = minEstSim)
+  }
+
+  /** Full run: annotate → filter → dedup → split → write. Returns the
+    * final DataFrame (also persisted to the managed table).
+    */
+  def run(docs: DataFrame, idCol: String, textCol: String,
+          minQuality: Double = 0.5, minEstSim: Double = 0.9,
+          trainPct: Int = 90): DataFrame = {
+    val annotated = annotate(docs, textCol)
+      .filter(col("quality_score") >= minQuality)
+    val deduped = dedup(annotated, idCol, textCol, minEstSim)
+    val split = Sampling.hashSplit(deduped, idCol, trainPct)
+      .withColumn("split", when(col("is_train"), "train").otherwise("test"))
+      .drop("is_train")
+    corpus.overwrite(split, Seq("lang_pred", "split"))
+    corpus.read
+  }
+
+  /** Corpus accounting: docs + tokens per (lang, split) — the numbers a
+    * training run budget needs.
+    */
+  def stats(): DataFrame =
+    corpus.read.groupBy("lang_pred", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("token_estimate")).as("n_tokens"))
+      .orderBy("lang_pred", "split")
+}

@@ -33,6 +33,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
 
   def read: DataFrame = spark.read.parquet(path)
 
+  /** Schema-evolved read (the reference's `mergeSchema`, deltalake.ipynb:
+    * 4599 cell 25): unions the schemas of all files; rows from files
+    * missing a column read null. Pair with [[append]]-ing a widened frame
+    * for additive schema evolution.
+    */
+  def readEvolved: DataFrame = spark.read.option("mergeSchema", "true").parquet(path)
+
   def overwrite(df: DataFrame, partitionCols: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)

@@ -132,6 +132,17 @@ class ManagedTableSpec extends SparkSpec {
     assert(t.read.count() == 10)
   }
 
+  test("schema evolution: appended column surfaces via readEvolved") {
+    val t = freshTable("mt-evolve")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    t.append(Seq((2L, "b", 9.5)).toDF("k", "v", "score"))
+    val evolved = t.readEvolved.orderBy("k")
+    assert(evolved.columns.toSet == Set("k", "v", "score"))
+    val rows = evolved.collect()
+    assert(rows(0).isNullAt(2))              // old file -> null score
+    assert(rows(1).getDouble(2) == 9.5)
+  }
+
   test("detail reports files and bytes") {
     val t = freshTable("mt-detail")
     t.overwrite(spark.range(10).toDF("id"))
