@@ -17,9 +17,11 @@ object Io {
 
   def writeParquet(df: DataFrame, path: String,
                    partitionCols: Seq[String] = Nil,
-                   maxRecordsPerFile: Long = 0L): Unit = {
+                   maxRecordsPerFile: Long = 0L,
+                   blockSizeBytes: Long = 128L * 1024 * 1024): Unit = {
     var w = df.write.mode("overwrite")
       .option("compression", "snappy")
+      .option("parquet.block.size", blockSizeBytes) // ref: deltalake.ipynb:124
     if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }

@@ -53,6 +53,46 @@ object Multimodal {
       */
     def sampleFrames(payload: Array[Byte], stride: Int): Seq[Long] =
       (0L until payload.length.toLong by stride.toLong).toSeq
+
+    /** STUB image resize (e.g. libvips thumbnail): deterministically
+      * down-samples the payload bytes to ~targetBytes, preserving a prefix
+      * marker so provenance is checkable.
+      */
+    def resize(payload: Array[Byte], targetBytes: Int): Array[Byte] =
+      if (payload.length <= targetBytes) payload
+      else {
+        val stride = math.max(1, payload.length / targetBytes)
+        payload.indices.collect { case i if i % stride == 0 => payload(i) }
+          .take(targetBytes).toArray
+      }
+  }
+
+  case class Frame(media_id: Long, frame_offset: Long, frame_bytes: Long)
+
+  /** Frame sampling as a distributed op: one output row per sampled frame
+    * (flatMap — rows fan out, no shuffle). The stub strides bytes; a real
+    * codec would stride timestamps.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap { row =>
+      val offs = StubCodec.sampleFrames(row.payload, stride)
+      offs.zipWithIndex.map { case (off, i) =>
+        val end = math.min(row.payload.length.toLong, off + stride)
+        Frame(row.media_id, off, end - off)
+      }
+    }
+  }
+
+  /** Resize pass: payload → bounded thumbnail payload + new size metadata.
+    * Columnar in/out; only the payload column is rewritten.
+    */
+  def resizeAll(spark: SparkSession, media: DataFrame, targetBytes: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.as[MediaRow].map { row =>
+      val thumb = StubCodec.resize(row.payload, targetBytes)
+      row.copy(payload = thumb, n_bytes = thumb.length.toLong)
+    }
   }
 
   /** Wrap a text table as a media table: payload = utf-8 bytes (the stand-in

@@ -30,4 +30,22 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.StubCodec.sampleFrames(Array.fill[Byte](100)(1), 30)
     assert(frames == Seq(0L, 30L, 60L, 90L))
   }
+
+  test("distributed frame sampling fans out one row per frame") {
+    val docs = Seq((1L, "x" * 100), (2L, "y" * 10)).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(spark, media, stride = 30).collect()
+    assert(frames.count(_.media_id == 1L) == 4)
+    assert(frames.count(_.media_id == 2L) == 1)
+    assert(frames.filter(_.media_id == 1L).map(_.frame_bytes).sum == 100L)
+  }
+
+  test("resize bounds payload size and is deterministic") {
+    val docs = Seq((1L, "z" * 1000)).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val a = Multimodal.resizeAll(spark, media, targetBytes = 64).collect()(0)
+    val b = Multimodal.resizeAll(spark, media, targetBytes = 64).collect()(0)
+    assert(a.n_bytes <= 64 && a.n_bytes > 0)
+    assert(a.payload.toSeq == b.payload.toSeq)
+  }
 }
