@@ -33,6 +33,27 @@ class AsOfSpec extends SparkSpec {
     assert(got.columns.toSet == Set("sym", "t", "px", "bid"))
   }
 
+  test("asofJoin equals the naive max-time-at-or-before join (seeded random)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val left = Seq.fill(40)((s"k${rnd.nextInt(4)}", rnd.nextInt(100).toLong,
+        rnd.nextDouble())).distinctBy(r => (r._1, r._2)).toDF("k", "t", "lv")
+      val right = Seq.fill(25)((s"k${rnd.nextInt(4)}", rnd.nextInt(100).toLong,
+        rnd.nextDouble())).distinctBy(r => (r._1, r._2)).toDF("k", "t", "rv")
+      val got = AsOf.asofJoin(left, right, "k", "t")
+        .select("k", "t", "rv").as[(String, Long, Option[Double])]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+      // naive: for each left row, the right row with max time <= t
+      val rightRows = right.as[(String, Long, Double)].collect()
+      val leftRows = left.as[(String, Long, Double)].collect()
+      leftRows.foreach { case (k, t, _) =>
+        val expect = rightRows.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+        assert(got((k, t)) == expect, s"key=$k t=$t")
+      }
+    }
+  }
+
   test("colliding payload names get the suffix") {
     val right = Seq(("A", 8L, 1.0)).toDF("sym", "t", "px")
     val got = AsOf.asofJoin(trades, right, "sym", "t")
