@@ -247,6 +247,52 @@ object SparkEntry {
           Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"))
         .toDF().orderBy("media_id")),
 
+    // ---- CDC diff / ntile / exact moments / histogram ----
+    "q61_snapshot_diff" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+      val before = ev.filter(col("event_id") % 10 < 8)
+      val after = ev.filter(col("event_id") % 10 >= 2)
+        .withColumn("value",
+          when(col("event_id") % 10 >= 6, col("value") * 2).otherwise(col("value")))
+      graft.table.Merge.snapshotDiff(before, after, Seq("event_id"))
+        .groupBy("change_type").agg(count(lit(1)).as("n"))
+        .orderBy("change_type")
+    }),
+    "q62_ntile" -> ((s, d) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .groupBy("quartile").agg(count(lit(1)).as("n"),
+          min("o_orderkey").as("min_key"))
+        .orderBy("quartile")
+    }),
+    "q63_stats_exact" -> ((s, d) => {
+      // stddev/corr assembled from EXACT decimal sums: order-independent
+      // partial aggregation, unlike streaming co-moment formulas. Price is
+      // pre-scaled by 0.001 so squared sums stay inside the 2^53 window
+      // where decimal->double conversion is exact (corr is scale-invariant)
+      val x = col("l_quantity"); val y = col("l_extendedprice") * lit(0.001)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum(x).as("sx"), dsum(y).as("sy"),
+          dsum(x * x).as("sxx"), dsum(y * y).as("syy"), dsum(x * y).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("stddev_x"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+             sqrt(col("syy") - col("sy") * col("sy") / col("n")))).as("corr_xy"))
+        .orderBy("l_returnflag")
+    }),
+    "q64_histogram" -> ((s, d) => {
+      val bin = floor((col("o_totalprice") - lit(0.0)) / lit(50000.0)).cast("long")
+      Tables.orders(s, d)
+        .select(bin.as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+        .orderBy("bin")
+    }),
+
     // ---- Full corpus pipeline (annotate -> dedup -> split) ----
     "q60_corpus_pipeline" -> ((s, d) => {
       val wh = s"/tmp/graft_corpus_${new java.io.File(d).getName}"
@@ -714,6 +760,44 @@ object SparkEntry {
            REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
            (c_name LIKE 'Customer%') AS is_cust
          FROM customer ORDER BY c_custkey""",
+    "q61_snapshot_diff" ->
+      """WITH before AS (
+           SELECT event_id, user_id, value FROM events WHERE event_id % 10 < 8),
+         after AS (
+           SELECT event_id, user_id,
+             CASE WHEN event_id % 10 >= 6 THEN value * 2 ELSE value END AS value
+           FROM events WHERE event_id % 10 >= 2)
+         SELECT CASE WHEN b.event_id IS NULL THEN 'insert'
+                     WHEN a.event_id IS NULL THEN 'delete'
+                     WHEN a.value = b.value AND a.user_id = b.user_id THEN 'unchanged'
+                     ELSE 'update' END AS change_type,
+           COUNT(*) AS n
+         FROM after a FULL OUTER JOIN before b ON a.event_id = b.event_id
+         GROUP BY 1 ORDER BY change_type""",
+    "q62_ntile" ->
+      """SELECT quartile, COUNT(*) AS n, MIN(o_orderkey) AS min_key FROM (
+           SELECT o_orderkey,
+             CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+           FROM orders)
+         GROUP BY 1 ORDER BY quartile""",
+    "q63_stats_exact" ->
+      """WITH m AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice * 0.001 AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST((l_extendedprice * 0.001) * (l_extendedprice * 0.001) AS DECIMAL(18,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * (l_extendedprice * 0.001) AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_x,
+           (sxy - sx * sy / n) /
+             (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_xy
+         FROM m ORDER BY l_returnflag""",
+    "q64_histogram" ->
+      """SELECT CAST(FLOOR((o_totalprice - 0.0) / 50000.0) AS BIGINT) AS bin,
+           COUNT(*) AS n
+         FROM orders GROUP BY 1 ORDER BY bin""",
     "q57_session_window" ->
       """WITH e AS (
            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,

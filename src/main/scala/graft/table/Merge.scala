@@ -36,6 +36,27 @@ object Merge {
   def newRowsOnly(source: DataFrame, target: DataFrame, keys: Seq[String]): DataFrame =
     source.join(target, keys, "left_anti")
 
+  /** CDC-style snapshot diff: classify rows of `after` vs `before` on
+    * `keys` as inserted / deleted / updated / unchanged. One full-outer
+    * join on the keys; value comparison via a hash over the non-key
+    * columns (so wide rows don't shuffle twice).
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val valCols = after.columns.filterNot(keys.contains).toSeq
+    def hashed(df: DataFrame, h: String) =
+      df.withColumn(h, xxhash64(valCols.map(col): _*))
+    val b = hashed(before, "__hb").select((keys.map(col) :+ col("__hb")): _*)
+    val a = hashed(after, "__ha")
+    a.join(b, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__hb").isNull, "insert")
+          .when(col("__ha").isNull, "delete")
+          .when(col("__ha") === col("__hb"), "unchanged")
+          .otherwise("update"))
+      .drop("__ha", "__hb")
+  }
+
   /** High-water-mark detection (M4, deltalake.ipynb:1497–1502 cell 15):
     * rows of `df` strictly above the max of `watermarkCol` in `existing`.
     * Expressed as a plan (cross join with the 1-row max, auto-broadcast)

@@ -50,6 +50,14 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff classifies insert/delete/update/unchanged") {
+    val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val after = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("k", "v")
+    val got = Merge.snapshotDiff(before, after, Seq("k"))
+      .select("k", "change_type").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "delete", 2L -> "unchanged", 3L -> "update", 4L -> "insert"))
+  }
+
   test("aboveHighWaterMark keeps strictly-newer rows only") {
     val existing = Seq((1L, 10L), (2L, 20L)).toDF("k", "w")
     val incoming = Seq((3L, 20L), (4L, 21L), (5L, 35L)).toDF("k", "w")
