@@ -247,6 +247,30 @@ object SparkEntry {
           Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"))
         .toDF().orderBy("media_id")),
 
+    // ---- SCD2 dimension history / synthetic generation ----
+    "q65_scd2" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dim = ev.select("user_id").distinct()
+        .withColumn("status", lit("init"))
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long"))
+        .withColumn("is_current", lit(true))
+      val changes = ev.filter(col("user_id") % 2 === 0)
+        .groupBy("user_id").agg(max("event_id").as("eff"))
+        .withColumn("status", lit("active"))
+        .select("user_id", "status", "eff")
+      graft.table.Merge.scd2Apply(dim, changes, Seq("user_id"), "eff")
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+    "q66_synthetic_gen" -> ((s, _) =>
+      // seeded generator (reference cell 1 path); rows-only: rand(seed) is
+      // engine-specific by definition
+      graft.datagen.Synthetic.transactions(s, 10000L, seed = 42L, partitions = 8)
+        .groupBy("category", "currency")
+        .agg(count(lit(1)).as("n"),
+          Relational.dsum(col("amount")).as("total"))
+        .orderBy("category", "currency")),
+
     // ---- CDC diff / ntile / exact moments / histogram ----
     "q61_snapshot_diff" -> ((s, d) => {
       val ev = Tables.events(s, d).select("event_id", "user_id", "value")
@@ -760,6 +784,21 @@ object SparkEntry {
            REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
            (c_name LIKE 'Customer%') AS is_cust
          FROM customer ORDER BY c_custkey""",
+    "q65_scd2" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+         changes AS (
+           SELECT user_id, MAX(event_id) AS eff FROM events
+           WHERE user_id % 2 = 0 GROUP BY user_id)
+         SELECT u.user_id, 'init' AS status, CAST(0 AS BIGINT) AS valid_from,
+                CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+         FROM users u WHERE u.user_id NOT IN (SELECT user_id FROM changes)
+         UNION ALL
+         SELECT c.user_id, 'init', CAST(0 AS BIGINT), c.eff, FALSE
+         FROM changes c
+         UNION ALL
+         SELECT c.user_id, 'active', c.eff, CAST(NULL AS BIGINT), TRUE
+         FROM changes c
+         ORDER BY user_id, valid_from""",
     "q61_snapshot_diff" ->
       """WITH before AS (
            SELECT event_id, user_id, value FROM events WHERE event_id % 10 < 8),

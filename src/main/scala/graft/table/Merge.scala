@@ -36,6 +36,36 @@ object Merge {
   def newRowsOnly(source: DataFrame, target: DataFrame, keys: Seq[String]): DataFrame =
     source.join(target, keys, "left_anti")
 
+  /** SCD Type-2 apply: maintain a dimension with (valid_from, valid_to,
+    * is_current) history columns. `changes` carries the new attribute
+    * values with an effective timestamp column (same name as `effCol`):
+    *  - keys present in `changes` close their current row
+    *    (valid_to = effective ts, is_current = false) and gain a new
+    *    current row;
+    *  - unchanged keys pass through.
+    * Precondition: one change row per key per batch (dedupe upstream).
+    */
+  def scd2Apply(dim: DataFrame, changes: DataFrame, keys: Seq[String],
+                effCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val changedKeys = changes.select(keys.map(col): _*).distinct()
+    val untouched = dim.join(changedKeys, keys, "left_anti")
+    val closed = dim.join(changes.select((keys.map(col) :+ col(effCol).as("__eff")): _*), keys)
+      .filter(col("is_current"))
+      .withColumn("valid_to", col("__eff"))
+      .withColumn("is_current", lit(false))
+      .drop("__eff")
+    val stillHistoric = dim.join(changedKeys, keys, "left_semi")
+      .filter(!col("is_current"))
+    val opened = changes
+      .withColumn("valid_from", col(effCol))
+      .withColumn("valid_to", lit(null).cast(dim.schema("valid_to").dataType))
+      .withColumn("is_current", lit(true))
+      .drop(effCol)
+      .select(dim.columns.map(col): _*)
+    untouched.unionByName(stillHistoric).unionByName(closed).unionByName(opened)
+  }
+
   /** CDC-style snapshot diff: classify rows of `after` vs `before` on
     * `keys` as inserted / deleted / updated / unchanged. One full-outer
     * join on the keys; value comparison via a hash over the non-key

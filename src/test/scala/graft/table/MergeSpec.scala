@@ -50,6 +50,30 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("scd2Apply closes current rows and opens new ones") {
+    import org.apache.spark.sql.functions._
+    val dim = Seq(
+      (1L, "alice", "NY", 100L, null.asInstanceOf[java.lang.Long], true),
+      (2L, "bob", "LA", 100L, null.asInstanceOf[java.lang.Long], true),
+      (1L, "alice", "SF", 50L, java.lang.Long.valueOf(100L), false) // old history
+    ).toDF("k", "name", "city", "valid_from", "valid_to", "is_current")
+    val changes = Seq((1L, "alice", "TX", 200L)).toDF("k", "name", "city", "eff")
+    val out = Merge.scd2Apply(dim, changes, Seq("k"), "eff")
+      .orderBy("k", "valid_from").collect()
+    assert(out.length == 4)
+    val k1 = out.filter(_.getLong(0) == 1L)
+    assert(k1.length == 3)
+    // old history untouched
+    assert(k1(0).getString(2) == "SF" && !k1(0).getBoolean(5))
+    // previously-current row closed at eff=200
+    assert(k1(1).getString(2) == "NY" && k1(1).getLong(4) == 200L && !k1(1).getBoolean(5))
+    // new current row open-ended
+    assert(k1(2).getString(2) == "TX" && k1(2).isNullAt(4) && k1(2).getBoolean(5))
+    // untouched key passes through
+    val k2 = out.filter(_.getLong(0) == 2L)
+    assert(k2.length == 1 && k2(0).getBoolean(5))
+  }
+
   test("snapshotDiff classifies insert/delete/update/unchanged") {
     val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val after = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("k", "v")
