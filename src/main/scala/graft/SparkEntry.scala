@@ -247,6 +247,27 @@ object SparkEntry {
           Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"))
         .toDF().orderBy("media_id")),
 
+    // ---- Semi-structured: JSON props on events ----
+    "q67_json_extract" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+    }),
+    "q68_json_schema" -> ((s, d) => {
+      // typed parse via from_json with an explicit schema (the scalable
+      // path: no per-row schema inference)
+      val ev = Tables.events(s, d)
+      ev.withColumn("p",
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k LONG")))
+        .select(col("event_id"), col("p.k").as("k"))
+        .filter(col("k") > 90)
+        .orderBy("event_id")
+    }),
+
     // ---- SCD2 dimension history / synthetic generation ----
     "q65_scd2" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -784,6 +805,16 @@ object SparkEntry {
            REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
            (c_name LIKE 'Customer%') AS is_cust
          FROM customer ORDER BY c_custkey""",
+    "q67_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    "q68_json_schema" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+         ORDER BY event_id""",
     "q65_scd2" ->
       """WITH users AS (SELECT DISTINCT user_id FROM events),
          changes AS (
