@@ -247,6 +247,23 @@ object SparkEntry {
           Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"))
         .toDF().orderBy("media_id")),
 
+    // ---- Data quality: column stats + constraint checks ----
+    "q69_column_stats" -> ((s, d) =>
+      // approx_count_distinct is engine-specific -> project the exact parts
+      graft.ops.Quality.columnStats(Tables.orders(s, d))
+        .select("column", "n_rows", "n_nulls", "min_val", "max_val")
+        .orderBy("column")),
+    "q70_data_quality" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      graft.ops.Quality.check(li, Seq(
+          "qty_in_range" -> col("l_quantity").between(1.0, 50.0),
+          "price_positive" -> (col("l_extendedprice") > 0.0),
+          "discount_bounds" -> col("l_discount").between(0.0, 0.1),
+          "keys_not_null" -> (col("l_orderkey").isNotNull && col("l_linenumber").isNotNull),
+          "flag_domain" -> col("l_returnflag").isin("A", "N", "R")))
+        .orderBy("constraint")
+    }),
+
     // ---- Semi-structured: JSON props on events ----
     "q67_json_extract" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -805,6 +822,55 @@ object SparkEntry {
            REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
            (c_name LIKE 'Customer%') AS is_cust
          FROM customer ORDER BY c_custkey""",
+    "q69_column_stats" ->
+      """WITH t AS (SELECT COUNT(*) AS n_rows FROM orders)
+         SELECT * FROM (
+           SELECT 'o_orderkey' AS "column", n_rows,
+             (SELECT CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders) AS n_nulls,
+             (SELECT CAST(MIN(o_orderkey) AS DOUBLE) FROM orders) AS min_val,
+             (SELECT CAST(MAX(o_orderkey) AS DOUBLE) FROM orders) AS max_val FROM t
+           UNION ALL
+           SELECT 'o_custkey', n_rows,
+             (SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+             (SELECT CAST(MIN(o_custkey) AS DOUBLE) FROM orders),
+             (SELECT CAST(MAX(o_custkey) AS DOUBLE) FROM orders) FROM t
+           UNION ALL
+           SELECT 'o_orderstatus', n_rows,
+             (SELECT CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM t
+           UNION ALL
+           SELECT 'o_totalprice', n_rows,
+             (SELECT CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+             (SELECT MIN(o_totalprice) FROM orders),
+             (SELECT MAX(o_totalprice) FROM orders) FROM t
+           UNION ALL
+           SELECT 'o_orderdate', n_rows,
+             (SELECT CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM t
+           UNION ALL
+           SELECT 'o_orderpriority', n_rows,
+             (SELECT CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM t)
+         ORDER BY "column"""",
+    "q70_data_quality" ->
+      """WITH t AS (SELECT COUNT(*) AS n_rows FROM lineitem),
+         u AS (
+           SELECT 'qty_in_range' AS "constraint", n_rows,
+             (SELECT CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1.0 AND 50.0) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem) AS n_violations FROM t
+           UNION ALL
+           SELECT 'price_positive', n_rows,
+             (SELECT CAST(SUM(CASE WHEN NOT (l_extendedprice > 0.0) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem) FROM t
+           UNION ALL
+           SELECT 'discount_bounds', n_rows,
+             (SELECT CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem) FROM t
+           UNION ALL
+           SELECT 'keys_not_null', n_rows,
+             (SELECT CAST(SUM(CASE WHEN NOT (l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem) FROM t
+           UNION ALL
+           SELECT 'flag_domain', n_rows,
+             (SELECT CAST(SUM(CASE WHEN NOT (l_returnflag IN ('A','N','R')) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem) FROM t)
+         SELECT "constraint", n_rows, n_violations, (n_violations = 0) AS pass
+         FROM u ORDER BY "constraint"""",
     "q67_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

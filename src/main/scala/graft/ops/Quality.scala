@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** Data-quality operators: per-column statistics and declarative
+  * constraint checking — the validation pass a training pipeline runs
+  * before consuming a 100 TB corpus. Both are single-pass aggregations
+  * (one scan, map-side combinable, no shuffle beyond the final reduce).
+  */
+object Quality {
+
+  /** ANALYZE-style per-column stats in one scan: nulls, distinct
+    * (approx for scale), min/max for numeric columns. Output long-form:
+    * (column, n_nulls, approx_distinct, min_val, max_val).
+    */
+  def columnStats(df: DataFrame): DataFrame = {
+    val total = count(lit(1))
+    val aggs = df.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"),
+        approx_count_distinct(c).as(s"__dist_${f.name}")) ++
+        (f.dataType match {
+          case _: NumericType => Seq(
+            min(c).cast("double").as(s"__min_${f.name}"),
+            max(c).cast("double").as(s"__max_${f.name}"))
+          case _ => Seq(
+            lit(null).cast("double").as(s"__min_${f.name}"),
+            lit(null).cast("double").as(s"__max_${f.name}"))
+        })
+    }
+    val row = df.agg(total.as("__total"), aggs: _*)
+    val perCol = df.schema.fields.map { f =>
+      struct(lit(f.name).as("column"),
+        col(s"__nulls_${f.name}").as("n_nulls"),
+        col(s"__dist_${f.name}").as("approx_distinct"),
+        col(s"__min_${f.name}").as("min_val"),
+        col(s"__max_${f.name}").as("max_val"))
+    }
+    row.select(col("__total").as("n_rows"), explode(array(perCol: _*)).as("s"))
+      .select(col("s.column"), col("n_rows"), col("s.n_nulls"),
+        col("s.approx_distinct"), col("s.min_val"), col("s.max_val"))
+  }
+
+  /** Declarative constraints: each (name, predicate) is counted in ONE
+    * aggregation pass; output (constraint, n_rows, n_violations, pass).
+    */
+  def check(df: DataFrame, constraints: Seq[(String, Column)]): DataFrame = {
+    val aggs = constraints.map { case (name, cond) =>
+      sum(when(!coalesce(cond, lit(false)), 1L).otherwise(0L)).as(s"__v_$name")
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val perC = constraints.map { case (name, _) =>
+      struct(lit(name).as("constraint"), col(s"__v_$name").as("n_violations"))
+    }
+    row.select(col("__n").as("n_rows"), explode(array(perC: _*)).as("s"))
+      .select(col("s.constraint"), col("n_rows"), col("s.n_violations"),
+        (col("s.n_violations") === 0L).as("pass"))
+  }
+}

@@ -1,0 +1,32 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Some(10.0), "a"), (2L, None, "b"), (3L, Some(-5.0), "a")
+  ).toDF("k", "v", "g")
+
+  test("columnStats: nulls, min/max for numerics, null min/max for strings") {
+    val stats = Quality.columnStats(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(stats("v").getAs[Long]("n_nulls") == 1L)
+    assert(stats("v").getAs[Double]("min_val") == -5.0)
+    assert(stats("v").getAs[Double]("max_val") == 10.0)
+    assert(stats("g").isNullAt(4) && stats("g").isNullAt(5))
+    assert(stats("k").getAs[Long]("n_rows") == 3L)
+  }
+
+  test("check counts violations; null predicate counts as violation") {
+    val out = Quality.check(df, Seq(
+      "v_positive" -> (col("v") > 0.0),
+      "k_small" -> (col("k") < 10L)))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    // v > 0: row2 null -> violation, row3 -5 -> violation
+    assert(out("v_positive") == ((2L, false)))
+    assert(out("k_small") == ((0L, true)))
+  }
+}
