@@ -247,6 +247,32 @@ object SparkEntry {
           Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"))
         .toDF().orderBy("media_id")),
 
+    // ---- Data mixing / shard packing / weighted sampling ----
+    "q71_data_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Sampling.mix(Seq(
+          docs.filter(col("source") === "src0") -> 0.8,
+          docs.filter(col("source") === "src1") -> 0.5,
+          docs.filter(col("source") === "src2") -> 0.2), "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .orderBy("source")
+    }),
+    "q72_token_packing" -> ((s, d) =>
+      Sampling.packByTokenBudget(
+          Tables.documents(s, d)
+            .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("tokens")),
+          "doc_id", "tokens", budget = 2000L)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("tokens").as("shard_tokens"))
+        .orderBy("shard")),
+    "q73_weighted_sample" -> ((s, d) =>
+      // rows-only: the hash-uniform is engine-specific
+      Sampling.weightedSampleExact(
+          graft.ops.TextAnalysis.qualityScore(Tables.documents(s, d), "text")
+            .select("doc_id", "quality_score"),
+          "doc_id", "quality_score", k = 100)
+        .orderBy("doc_id")),
+
     // ---- Data quality: column stats + constraint checks ----
     "q69_column_stats" -> ((s, d) =>
       // approx_count_distinct is engine-specific -> project the exact parts
@@ -822,6 +848,25 @@ object SparkEntry {
            REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
            (c_name LIKE 'Customer%') AS is_cust
          FROM customer ORDER BY c_custkey""",
+    "q71_data_mix" ->
+      """SELECT source, COUNT(*) AS n FROM (
+           SELECT doc_id, source FROM documents WHERE source = 'src0' AND doc_id % 100 < 80
+           UNION ALL
+           SELECT doc_id, source FROM documents WHERE source = 'src1' AND doc_id % 100 < 50
+           UNION ALL
+           SELECT doc_id, source FROM documents WHERE source = 'src2' AND doc_id % 100 < 20)
+         GROUP BY 1 ORDER BY source""",
+    "q72_token_packing" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS tokens
+           FROM documents),
+         c AS (SELECT doc_id, tokens,
+             SUM(tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM d)
+         SELECT CAST(FLOOR((cum - tokens) / 2000.0) AS BIGINT) AS shard,
+           COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS shard_tokens
+         FROM c GROUP BY 1 ORDER BY shard""",
     "q69_column_stats" ->
       """WITH t AS (SELECT COUNT(*) AS n_rows FROM orders)
          SELECT * FROM (

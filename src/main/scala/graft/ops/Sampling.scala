@@ -34,4 +34,47 @@ object Sampling {
       .orderBy(xxhash64(col(idCol)), col(idCol))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }
+
+  /** Deterministic weighted k-sample without replacement
+    * (Efraimidis–Spirakis): key = u^(1/w) with u a content-hash uniform in
+    * (0,1); the k largest keys are the sample. Higher weight ⇒ higher
+    * inclusion probability; fully reproducible (no rand()).
+    */
+  def weightedSampleExact(df: DataFrame, idCol: String, weightCol: String,
+                          k: Int): DataFrame = {
+    val u = (pmod(xxhash64(col(idCol)), lit(1000000007L)).cast("double") + 1.0) /
+      1000000009.0
+    val key = pow(u, lit(1.0) / col(weightCol))
+    val w = Window.orderBy(desc("__key"), col(idCol))
+    df.withColumn("__key", key)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__key", "__rn")
+  }
+
+  /** Mix corpora to target fractions: keep each source's rows where the
+    * id-modulo bucket falls under its fraction, then union — the
+    * deterministic data-mixing step of a training pipeline (SQL-expressible,
+    * so oracle-checkable; use hash buckets instead of modulo when ids are
+    * not uniform).
+    */
+  def mix(sources: Seq[(DataFrame, Double)], idCol: String): DataFrame =
+    sources.map { case (df, frac) =>
+      df.filter(col(idCol) % 100 < (frac * 100).toInt)
+    }.reduce(_ unionByName _)
+
+  /** Token-budget shard packing: documents in a stable order are packed
+    * greedily into shards of ≈`budget` tokens (shard id = exclusive running
+    * token sum ÷ budget). One global window at driver-of-order granularity —
+    * at scale, pack per partition-range instead (same expression over a
+    * range-partitioned sort).
+    */
+  def packByTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
+                        budget: Long): DataFrame = {
+    val w = Window.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("shard", floor((col("__cum") - col(tokenCol)) / budget).cast("long"))
+      .drop("__cum")
+  }
 }

@@ -30,6 +30,42 @@ class SamplingSpec extends SparkSpec {
     assert(small.count() == 10) // groups smaller than k keep everything
   }
 
+  test("weighted sample biases toward heavy rows and is deterministic") {
+    val weighted = (1L to 1000L).map(i => (i, if (i <= 100) 10.0 else 0.1))
+      .toDF("id", "w")
+    val a = Sampling.weightedSampleExact(weighted, "id", "w", 100)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.weightedSampleExact(weighted.repartition(9), "id", "w", 100)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    // the 100 heavy rows (weight 100x) should dominate the sample
+    assert(a.count(_ <= 100L) > 60, s"heavy rows sampled: ${a.count(_ <= 100L)}")
+  }
+
+  test("token packing: every shard within budget except oversize singletons") {
+    val docs = (1L to 200L).map(i => (i, 100L + (i % 7) * 50L)).toDF("doc_id", "tokens")
+    val packed = Sampling.packByTokenBudget(docs, "doc_id", "tokens", 1000L)
+    val shards = packed.groupBy("shard")
+      .agg(sum("tokens").as("t"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+    // exclusive-cumsum packing: a shard exceeds budget only via its last doc
+    assert(shards.forall { case (_, t, n) => t < 1000L + 400L })
+    assert(packed.count() == 200)
+    // shards are contiguous ranges of the order
+    val ids = packed.orderBy("doc_id").select("shard").as[Long].collect()
+    assert(ids.toSeq == ids.sorted.toSeq)
+  }
+
+  test("mix keeps the requested per-source fractions (modulo buckets)") {
+    val src = (1L to 1000L).map(i => (i, s"s${i % 2}")).toDF("id", "src")
+    val mixed = Sampling.mix(Seq(
+      src.filter($"src" === "s0") -> 0.5,
+      src.filter($"src" === "s1") -> 0.1), "id")
+    val n = mixed.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(n("s0") > 200 && n("s0") < 300) // ~50% of 500
+    assert(n("s1") > 20 && n("s1") < 80)   // ~10% of 500
+  }
+
   test("stratified sample is deterministic across runs") {
     val a = Sampling.stratifiedSampleExact(df, "g", "id", 10).select("id").as[Long].collect().toSet
     val b = Sampling.stratifiedSampleExact(df.repartition(13), "g", "id", 10)
