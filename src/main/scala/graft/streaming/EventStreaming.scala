@@ -80,6 +80,35 @@ object EventStreaming {
         col("n_events"), col("total_value"))
       .orderBy("user_id", "session_start")
 
+  /** Streaming exact dedup: `dropDuplicates` keyed by event id with a
+    * watermark bounding the dedup state — the streaming half of the
+    * ingestion-dedup story (late duplicates beyond the watermark age out
+    * of state; within it, re-deliveries are dropped exactly once).
+    */
+  def streamingDedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** Stream-static join: enrich a stream with a static dimension (broadcast
+    * per micro-batch; the dimension is re-read each batch, so slowly-
+    * changing dims pick up updates without restarting the query).
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
+  /** Streaming MERGE sink: upsert every micro-batch into a ManagedTable
+    * via foreachBatch — the streaming→lakehouse loop (continuous ingestion
+    * with exactly-once-per-key table state, like Delta's merge sink).
+    */
+  def mergeSink(stream: DataFrame, table: graft.table.ManagedTable,
+                keys: Seq[String], checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        table.merge(batch.dropDuplicates(keys), keys)
+      }
+      .start()
+
   /** Streaming sessionization: per-user state machine in
     * `flatMapGroupsWithState` — closes a session when the gap is exceeded
     * (emitting it) and keeps the open session in state across triggers.

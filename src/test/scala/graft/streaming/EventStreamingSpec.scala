@@ -54,6 +54,57 @@ class EventStreamingSpec extends SparkSpec {
     assert(s(0).session_end == ts("2024-01-01 10:10:00").getTime)
   }
 
+  test("streaming dedup drops re-delivered events across triggers") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = streamingDedup(mem.toDF)
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    mem.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "a", 1.0),
+      Event(2, ts("2024-01-01 10:01:00"), 1, "b", 2.0))
+    q.processAllAvailable()
+    // trigger 2 re-delivers event 1 and adds event 3
+    mem.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "a", 1.0),
+      Event(3, ts("2024-01-01 10:02:00"), 1, "c", 3.0))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("streaming merge sink upserts micro-batches into a managed table") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val table = new graft.table.ManagedTable(spark, tmpDir("stream-merge") + "/t")
+    val ckpt = tmpDir("stream-merge-ckpt")
+    val q = mergeSink(mem.toDF.select($"event_id", $"user_id", $"value"),
+      table, Seq("event_id"), ckpt)
+    mem.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "a", 1.0),
+      Event(2, ts("2024-01-01 10:01:00"), 1, "b", 2.0))
+    q.processAllAvailable()
+    assert(table.read.count() == 2)
+    // second batch: update event 1, insert event 3
+    mem.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "a", 9.0),
+      Event(3, ts("2024-01-01 10:02:00"), 2, "c", 3.0))
+    q.processAllAvailable(); q.stop()
+    val got = table.read.orderBy("event_id")
+      .select("event_id", "value").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 9.0), (2L, 2.0), (3L, 3.0)))
+  }
+
+  test("stream-static join enriches events with a dimension") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = enrichWithDim(mem.toDF, dim, "user_id")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    mem.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "a", 1.0),
+      Event(2, ts("2024-01-01 10:01:00"), 9, "b", 2.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("enriched").orderBy("event_id")
+      .select("event_id", "tier").collect()
+    assert(rows(0).getString(1) == "gold")
+    assert(rows(1).isNullAt(1)) // user 9 not in dim -> left join null
+  }
+
   test("batch sessionization: gaps-and-islands on a crafted timeline") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00"), 100L, "c", 1.0),
