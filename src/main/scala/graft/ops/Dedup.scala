@@ -226,10 +226,22 @@ object Dedup {
   }
 
   /** 64-bit SimHash from word-level xxhash64: per bit, sum +1/−1 over
-    * tokens, set the bit if positive. Built as 64 conditional aggregates —
-    * wide but fully codegen'd and map-side combinable.
+    * tokens, set the bit if positive. Computed by the single-pass
+    * [[graft.functions.SimHashAgg]] typed aggregate (one primitive buffer
+    * per doc, element-wise-add partial merge).
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.words(col(textCol))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+      .groupBy("doc_id")
+      .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("simhash"))
+
+  /** The 64-conditional-SUM-columns formulation of [[simhash]] — kept as
+    * the cross-check reference implementation (values proven identical in
+    * spec).
+    */
+  def simhashViaColumns(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.words(col(textCol))).as("w"))
       .withColumn("h", xxhash64(col("w")))

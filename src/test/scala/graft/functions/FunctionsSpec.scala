@@ -38,6 +38,25 @@ class FunctionsSpec extends SparkSpec {
     assert(viaAgg == viaColumns)
   }
 
+  test("SimHashAgg equals the 64-column formulation on testdata docs") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = graft.ops.Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val b = graft.ops.Dedup.simhashViaColumns(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("SimHashAgg is partition-count independent") {
+    val df = spark.range(0, 500).toDF("w").withColumn("h", xxhash64(col("w")))
+      .withColumn("g", col("w") % 3)
+    val a = df.repartition(7).groupBy("g")
+      .agg(SimHashAgg.simhash_agg(col("h"))).as[(Long, Long)].collect().toMap
+    val b = df.coalesce(1).groupBy("g")
+      .agg(SimHashAgg.simhash_agg(col("h"))).as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("MinHashAgg merges partial buffers correctly across partitions") {
     val df = spark.range(0, 1000).toDF("h").repartition(7)
       .withColumn("h", pmod(xxhash64(col("h")), lit(2147483647L)))
