@@ -45,11 +45,12 @@ object Sampling {
     val u = (pmod(xxhash64(col(idCol)), lit(1000000007L)).cast("double") + 1.0) /
       1000000009.0
     val key = pow(u, lit(1.0) / col(weightCol))
-    val w = Window.orderBy(desc("__key"), col(idCol))
+    // top-k by key via orderBy+limit: plans as TakeOrderedAndProject
+    // (per-partition heaps + driver merge), never a single-partition window
     df.withColumn("__key", key)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__key", "__rn")
+      .orderBy(desc("__key"), col(idCol))
+      .limit(k)
+      .drop("__key")
   }
 
   /** Mix corpora to target fractions: keep each source's rows where the
