@@ -834,7 +834,7 @@ object SparkEntry {
            SQRT(l_extendedprice) AS sqr,
            GREATEST(l_quantity, l_discount * 100) AS gr,
            LEAST(l_tax, l_discount) AS le,
-           CASE WHEN l_quantity - 25.0 > 0 THEN 1.0 WHEN l_quantity - 25.0 < 0 THEN -1.0 ELSE 0.0 END AS sgn
+           CAST(CASE WHEN l_quantity - 25.0 > 0 THEN 1.0 WHEN l_quantity - 25.0 < 0 THEN -1.0 ELSE 0.0 END AS DOUBLE) AS sgn
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q21_scalar_string" ->
       """SELECT c_custkey,
