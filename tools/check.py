@@ -36,9 +36,23 @@ def main(sf_dir, out_dir):
             n_skip += 1
             continue
         try:
-            exp = con.execute(oracle[name]).fetchdf()
+            arrow = con.execute(oracle[name]).arrow()
+            exp = arrow.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        # arrow-level schema families must match (driver may compare types)
+        import pyarrow.parquet as _pq
+        ss = _pq.read_schema(files[0])
+        spark_t = {n: str(t).replace('large_string', 'string')
+                   for n, t in zip(ss.names, ss.types)}
+        duck_t = {f.name: str(f.type).replace('large_string', 'string')
+                  for f in arrow.schema}
+        tdiff = [(c, spark_t[c], duck_t.get(c, 'MISSING'))
+                 for c in spark_t if spark_t[c] != duck_t.get(c, 'MISSING')]
+        if tdiff:
+            print(f"FAIL {name}: schema mismatch {tdiff}")
             n_fail += 1
             continue
         g, e = canon(got), canon(exp)
