@@ -183,18 +183,25 @@ object Dedup {
       .filter(col("est_sim") >= minEstSim)
   }
 
-  /** Connected components over near-dup pairs by iterative min-label
-    * propagation: every doc's label converges to the smallest doc_id in its
-    * component. Iterations are bounded by the component diameter (near-dup
-    * clusters are shallow; `maxIter` caps pathological chains). Each
-    * iteration is two shuffles on doc ids — no driver-side graph.
+  /** Connected components over near-dup pairs: every doc's label converges
+    * to the smallest doc_id in its component.
+    *
+    * Two regimes: the near-dup pair graph is tiny relative to the corpus
+    * (it only contains documents with a duplicate), so up to
+    * `maxDriverEdges` the component labels come from a driver-side
+    * union-find over the collected edges — one job instead of two shuffles
+    * per propagation iteration. Beyond that, distributed min-label
+    * propagation takes over (iterations bounded by component diameter,
+    * lineage truncated per step). Identical output either way.
     */
-  def components(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 10,
+                 maxDriverEdges: Long = 5000000L): DataFrame = {
     // materialize once: the (possibly expensive) candidate-pair plan would
     // otherwise be re-executed by every iteration's jobs
     val edges = pairs.select(col("d1"), col("d2"))
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint()
+    if (edges.count() <= maxDriverEdges) return componentsDriver(pairs.sparkSession, edges)
     var labels = edges.select(col("d1").as("id")).distinct()
       .withColumn("label", col("id"))
     var converged = false
@@ -212,6 +219,28 @@ object Dedup {
       i += 1
     }
     labels
+  }
+
+  /** Driver-side union-find for small pair graphs (see [[components]]). */
+  private def componentsDriver(spark: org.apache.spark.sql.SparkSession,
+                               edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-root union
+    }
+    val labels = parent.keys.toSeq.map(id => (id, find(id)))
+    labels.toDF("id", "label")
   }
 
   /** End-to-end corpus dedup: candidate pairs (MinHash LSH) → connected

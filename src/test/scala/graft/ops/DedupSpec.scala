@@ -52,10 +52,23 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(4L)))
   }
 
-  test("components: chains collapse to min label") {
+  test("components: chains collapse to min label (driver and distributed paths agree)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("d1", "d2")
-    val got = Dedup.components(pairs).as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L)
+    val viaDriver = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    val viaPropagation = Dedup.components(pairs, maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == expect)
+    assert(viaPropagation == expect)
+  }
+
+  test("components on a random graph: both paths identical") {
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(300)((rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+      .filter(p => p._1 != p._2).toDF("d1", "d2")
+    val a = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    val b = Dedup.components(pairs, maxDriverEdges = 0L).as[(Long, Long)].collect().toMap
+    assert(a == b)
   }
 
   test("dedupCorpus keeps exactly one doc per near-dup cluster") {
