@@ -236,7 +236,8 @@ object SparkEntry {
     "q33_token_estimate" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("token_count"),
-          TextAnalysis.tokenEstimate(col("text")).as("token_estimate"))
+          TextAnalysis.tokenEstimate(col("text")).as("token_estimate"),
+          TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
         .orderBy("doc_id")),
     "q34_media_meta" -> ((s, d) =>
       Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text")

@@ -84,6 +84,15 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Non-cryptographic rolling-hash fingerprint over the whitespace-
+    * normalized text ([[graft.functions.RollingHash]] — a codegen'd
+    * polynomial hash; cheaper than md5 when cryptographic strength isn't
+    * needed, e.g. shard-local dedup keys).
+    */
+  def rollingFingerprint(text: Column): Column =
+    graft.functions.RollingHash.rolling_hash(
+      regexp_replace(lower(trim(text)), "\\s+", " "))
+
   /** BPE-ish token estimate: word-piece count via a regex that splits words,
     * digits and punctuation the way byte-pair tokenizers approximately do.
     */

@@ -33,6 +33,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) == fps(1))
   }
 
+  test("rolling fingerprint: whitespace/case-insensitive, matches manual hash") {
+    val df = Seq(Tuple1("a  B\tc"), Tuple1("A B C"), Tuple1("abc")).toDF("text")
+    val fps = df.select(TextAnalysis.rollingFingerprint(col("text"))).as[Long].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+    // manual Rabin-Karp over "a b c"
+    val expect = "a b c".getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xffL))
+    assert(fps(0) == expect)
+  }
+
   test("token estimate splits punctuation like a word-piece tokenizer") {
     val df = Seq(Tuple1("hello, world! it's 42")).toDF("text")
     val n = df.select(TextAnalysis.tokenEstimate(col("text"))).as[Long].head()
