@@ -18,6 +18,29 @@ class IoSpec extends SparkSpec {
     assert(back.orderBy("k").collect().toSeq == df.orderBy("k").collect().toSeq)
   }
 
+  test("csv honors delimiter, quote, escape and dateFormat options (S4 surface)") {
+    val dir = tmpDir("io-opts") + "/out"
+    val df = Seq((1L, "semi;colon", java.sql.Date.valueOf("2024-03-05")),
+                 (2L, "with'quote", java.sql.Date.valueOf("2024-12-31")))
+      .toDF("k", "s", "d")
+    Io.writeCsv(df, dir, delimiter = ";", quote = "'", escape = "\\",
+      dateFormat = "dd/MM/yyyy")
+    val lines = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".csv"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines()).sorted.toSeq
+    assert(lines.exists(_.contains("05/03/2024")), lines.mkString("|"))
+    assert(lines.exists(_.contains("'semi;colon'")), lines.mkString("|"))
+    // read back with matching options
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType), StructField("d", StringType)))
+    val back = spark.read.option("header", "true").option("sep", ";")
+      .option("quote", "'").option("escape", "\\")
+      .schema(schema).csv(dir)
+    assert(back.count() == 2)
+    assert(back.filter(back("s") === "semi;colon").count() == 1)
+    assert(back.filter(back("s") === "with'quote").count() == 1)
+  }
+
   test("single-file export produces exactly one csv file") {
     val f = tmpDir("io-single") + "/export.csv"
     Io.exportSingleCsv(spark, spark.range(100).toDF("id"), f)
