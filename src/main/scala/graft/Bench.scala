@@ -21,7 +21,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Machine-parseable twice over: a file the driver can read directly, and
+    // the bare JSON as the process's final stdout line (after spark.stop()
+    // so no executor log noise can follow it).
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")), json.getBytes("UTF-8"))
     spark.stop()
+    println(json)
   }
 }

@@ -236,8 +236,13 @@ object SparkEntry {
     "q33_token_estimate" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("token_count"),
-          TextAnalysis.tokenEstimate(col("text")).as("token_estimate"),
-          TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
+          TextAnalysis.tokenEstimate(col("text")).as("token_estimate"))
+        .orderBy("doc_id")),
+    "q74_rolling_fp" -> ((s, d) =>
+      // rows-only: the polynomial rolling hash is engine-specific (value
+      // cross-checked against a manual fold in TextAnalysisSpec)
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
         .orderBy("doc_id")),
     "q34_media_meta" -> ((s, d) =>
       Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text")
@@ -484,11 +489,16 @@ object SparkEntry {
     // ---- Approximate / OLAP-shaped aggregations ----
     "q49_approx_stats" -> ((s, d) =>
       // sketch aggregates for 100 TB cardinality/quantile work; rows-only
-      // check (approx algorithms differ across engines by design)
+      // check (approx algorithms differ across engines by design). Array
+      // percentiles are projected to scalar columns — the driver's compare
+      // harness can't hash array cells.
       Tables.lineitem(s, d).agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        expr("approx_percentile(l_extendedprice, 0.5)").as("p50_price"),
-        expr("approx_percentile(l_extendedprice, array(0.1, 0.9))").as("p10_p90"))),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          expr("approx_percentile(l_extendedprice, 0.5)").as("p50_price"),
+          expr("approx_percentile(l_extendedprice, array(0.1, 0.9))").as("__p"))
+        .select(col("approx_orders"), col("p50_price"),
+          col("__p").getItem(0).as("p10_price"),
+          col("__p").getItem(1).as("p90_price"))),
     "q50_pivot" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_orderstatus")
@@ -789,6 +799,16 @@ object SparkEntry {
     "q32_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
+    // tokenEstimate's Spark regex uses lookarounds (unsupported by RE2);
+    // the oracle states the same quantity directly: every maximal [a-z0-9]+
+    // run is one piece, and every non-alnum char is its own piece except
+    // plain spaces (filtered like Spark's p != '' && p != ' ').
+    "q33_token_estimate" ->
+      """SELECT doc_id,
+           CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS token_count,
+           CAST(len(regexp_extract_all(lower(trim(text)), '[a-z0-9]+'))
+             + length(regexp_replace(lower(trim(text)), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS token_estimate
+         FROM documents ORDER BY doc_id""",
     "q34_media_meta" ->
       """SELECT doc_id AS media_id, 'txt' AS format,
            CAST(strlen(text) AS BIGINT) AS n_bytes
@@ -1067,6 +1087,29 @@ object SparkEntry {
            CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
          FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
          GROUP BY 1, 2 ORDER BY label, pos""",
+    // Deterministic given the bit-exact DotProduct contract: centroids use
+    // the DECIMAL sum (q45's contract) and cosine matches list_dot_product
+    // bit-for-bit (q28's contract); ties broken by ascending label.
+    "q46_centroid_assign" ->
+      """WITH comp AS (
+           SELECT label, i AS pos,
+             CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
+           FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+           GROUP BY 1, 2),
+         cents AS (
+           SELECT label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label),
+         scored AS (
+           SELECT e.vec_id, c.label AS assigned_label,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(c.centroid, c.centroid))) AS cos_sim
+           FROM embeddings e CROSS JOIN cents c),
+         ranked AS (
+           SELECT vec_id, assigned_label, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, assigned_label) AS rn
+           FROM scored)
+         SELECT vec_id, assigned_label, cos_sim FROM ranked WHERE rn = 1
+         ORDER BY vec_id, assigned_label""",
     "q47_top_ngrams" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents),
          sh AS (SELECT DISTINCT doc_id,

@@ -195,13 +195,18 @@ object Dedup {
     * lineage truncated per step). Identical output either way.
     */
   def components(pairs: DataFrame, maxIter: Int = 10,
-                 maxDriverEdges: Long = 5000000L): DataFrame = {
+                 maxDriverEdges: Long = 1000000L): DataFrame = {
     // materialize once: the (possibly expensive) candidate-pair plan would
     // otherwise be re-executed by every iteration's jobs
     val edges = pairs.select(col("d1"), col("d2"))
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint()
-    if (edges.count() <= maxDriverEdges) return componentsDriver(pairs.sparkSession, edges)
+    // Driver union-find only for bigint ids (collected as primitive pairs);
+    // any other id type takes the type-generic distributed path.
+    val idsAreLong = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (idsAreLong && edges.count() <= maxDriverEdges)
+      return componentsDriver(pairs.sparkSession, edges)
     var labels = edges.select(col("d1").as("id")).distinct()
       .withColumn("label", col("id"))
     var converged = false
@@ -225,7 +230,8 @@ object Dedup {
   private def componentsDriver(spark: org.apache.spark.sql.SparkSession,
                                edges: DataFrame): DataFrame = {
     import spark.implicits._
-    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // collect as specialized (Long, Long) tuples, not boxed Rows
+    val es = edges.toDF("_1", "_2").as[(Long, Long)].collect()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x

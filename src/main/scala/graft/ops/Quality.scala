@@ -46,10 +46,15 @@ object Quality {
 
   /** Declarative constraints: each (name, predicate) is counted in ONE
     * aggregation pass; output (constraint, n_rows, n_violations, pass).
+    *
+    * Null semantics: a predicate that evaluates to NULL is a PASS, not a
+    * violation — only rows where the condition is definitively false count.
+    * (This matches SQL `CASE WHEN NOT cond THEN 1 ELSE 0 END` and the q70
+    * oracle; add an explicit `isNotNull` constraint to treat nulls as bad.)
     */
   def check(df: DataFrame, constraints: Seq[(String, Column)]): DataFrame = {
     val aggs = constraints.map { case (name, cond) =>
-      sum(when(!coalesce(cond, lit(false)), 1L).otherwise(0L)).as(s"__v_$name")
+      sum(when(!cond, 1L).otherwise(0L)).as(s"__v_$name")
     }
     val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
     val perC = constraints.map { case (name, _) =>

@@ -43,14 +43,22 @@ object Relational {
 
   /** Gold mart 1 — client_stats (deltalake.ipynb:1270–1332 cell 11; SQL twin
     * gold.py:15–41): fact ⋈ dims, 3-key hash agg with sum/avg/count.
-    * The dimension side is explicitly broadcast (deltalake.ipynb:3154 cell 20
-    * uses `broadcast(clients)`) — at 100 TB the fact table never shuffles for
-    * this join; only the groupBy exchanges, with map-side partial agg.
+    *
+    * Join strategy at scale: only the true dimension (`customer`, the
+    * reference's 50k-row `clients`, deltalake.ipynb:3154 cell 20 uses
+    * `broadcast(clients)`) carries an explicit broadcast hint. The
+    * lineitem ⋈ orders join is fact ⋈ fact — both sides are SF-proportional
+    * (billions of rows at 100 TB) — so it is left unhinted: Catalyst/AQE
+    * auto-broadcast it while orders fits the threshold locally and fall back
+    * to a shuffle sort-merge join at scale. For a shuffle-free layout, write
+    * both facts bucketed on the order key ([[Skew.writeBucketed]];
+    * [[graft.pipeline.Medallion.runGoldBucketed]]) — co-located SMJ, zero
+    * join exchanges; only the groupBy exchanges, with map-side partial agg.
     */
   def clientStats(lineitem: DataFrame, orders: DataFrame, customer: DataFrame): DataFrame = {
     val txn = lineitem
       .select("l_orderkey", "l_extendedprice")
-      .join(broadcast(orders.select("o_orderkey", "o_custkey")),
+      .join(orders.select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"), "inner")
       .join(broadcast(customer.select("c_custkey", "c_name", "c_mktsegment")),
         col("o_custkey") === col("c_custkey"), "inner")
@@ -66,11 +74,12 @@ object Relational {
     * gold.py:60–95): per-date volume in converted currency, conditional
     * suspicious aggregates (`sum(when(...))`, deltalake.ipynb:1296–1297).
     * Single shuffle on the date key; all aggregates partial-agg friendly.
+    * The fact ⋈ fact join is unhinted (see [[clientStats]] scale note).
     */
   def dailyMetrics(lineitem: DataFrame, orders: DataFrame): DataFrame = {
     val t = lineitem
       .select("l_orderkey", "l_extendedprice", "l_returnflag")
-      .join(broadcast(orders.select("o_orderkey", "o_orderdate")),
+      .join(orders.select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"), "inner")
       .withColumn("date", to_date(col("o_orderdate")))
       .withColumn("amount_rub", col("l_extendedprice") * rateFor(col("date")))
@@ -94,7 +103,7 @@ object Relational {
     lineitem
       .select("l_orderkey", "l_extendedprice", "l_returnflag")
       .filter(suspicious(col("l_extendedprice"), col("l_returnflag")))
-      .join(broadcast(orders.select("o_orderkey", "o_custkey")),
+      .join(orders.select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"), "inner")
       .join(broadcast(customer.select("c_custkey", "c_mktsegment")),
         col("o_custkey") === col("c_custkey"), "left")
@@ -142,7 +151,7 @@ object Relational {
   def dailyChange(lineitem: DataFrame, orders: DataFrame): DataFrame = {
     val daily = lineitem
       .select("l_orderkey", "l_extendedprice")
-      .join(broadcast(orders.select("o_orderkey", "o_orderdate")),
+      .join(orders.select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"), "inner")
       .withColumn("date", to_date(col("o_orderdate")))
       .groupBy("date")

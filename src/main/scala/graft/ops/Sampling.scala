@@ -61,7 +61,9 @@ object Sampling {
     */
   def mix(sources: Seq[(DataFrame, Double)], idCol: String): DataFrame =
     sources.map { case (df, frac) =>
-      df.filter(col(idCol) % 100 < (frac * 100).toInt)
+      require(frac >= 0.0 && frac <= 1.0, s"fraction out of [0,1]: $frac")
+      // round, don't truncate: 0.29*100 is 28.999... under FP
+      df.filter(col(idCol) % 100 < math.round(frac * 100).toInt)
     }.reduce(_ unionByName _)
 
   /** Token-budget shard packing: documents in a stable order are packed

@@ -21,6 +21,11 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, buckets: Int,
                  joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
+    // The dim side is exploded ×buckets, so only fact-preserving join types
+    // are equivalent to the unsalted join; right/full outer would emit
+    // unmatched dim rows `buckets` times.
+    require(Set("inner", "left", "left_outer")(joinType),
+      s"saltedJoin supports inner/left only, got $joinType")
     val salted = fact.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(buckets)).cast("int"))
     val expanded = dim.withColumn("__salt",
@@ -33,6 +38,8 @@ object Skew {
     */
   def saltedJoinBy(fact: DataFrame, dim: DataFrame, key: String, buckets: Int,
                    saltCols: Seq[Column], joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "left_outer")(joinType),
+      s"saltedJoinBy supports inner/left only, got $joinType")
     val salted = fact.withColumn("__salt",
       pmod(xxhash64(saltCols: _*), lit(buckets)).cast("int"))
     val expanded = dim.withColumn("__salt",

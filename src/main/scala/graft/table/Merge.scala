@@ -94,6 +94,8 @@ object Merge {
     */
   def aboveHighWaterMark(df: DataFrame, existing: DataFrame, watermarkCol: String): DataFrame = {
     val hwm = existing.agg(max(col(watermarkCol)).as("__hwm"))
-    df.join(broadcast(hwm), col(watermarkCol) > col("__hwm")).drop("__hwm")
+    // null high-water mark (empty `existing`) means everything is new
+    df.join(broadcast(hwm),
+      col(watermarkCol) > col("__hwm") || col("__hwm").isNull).drop("__hwm")
   }
 }

@@ -16,10 +16,45 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
-  test("q01 joins broadcast the dimensions (fact side never shuffles for joins)") {
-    val plan = executedPlan("q01_client_stats")
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
+  test("q01: dim broadcast by hint; fact-fact join never broadcasts an SF-proportional side") {
+    // Disable size-based auto-broadcast to see the plan Catalyst would pick
+    // at scale: the only BroadcastHashJoin left must come from the explicit
+    // dim hint (customer); lineitem ⋈ orders must be a shuffle SMJ.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q01_client_stats")(spark, dir)
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("BroadcastHashJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bucketed gold layout: fact-fact join has zero join-side exchanges") {
+    val wh = tmpDir("plan-bucketed")
+    val m = new graft.pipeline.Medallion(spark, wh, dir)
+    m.runBronze()
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val marts = m.runGoldBucketed(buckets = 4)
+      val df = marts("client_stats")
+      df.count() // exchanges are inserted by EnsureRequirements → executedPlan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // exactly one hash exchange: the groupBy; the join itself is co-located
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected only the groupBy exchange, got $exchanges:\n$plan")
+      // results identical to the unbucketed mart
+      val plain = SparkEntry.queries("q01_client_stats")(spark, dir)
+      assert(df.exceptAll(plain).isEmpty && plain.exceptAll(df).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    }
   }
 
   test("q03 filter predicates reach the parquet scan") {

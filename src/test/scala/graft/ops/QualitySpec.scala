@@ -20,13 +20,16 @@ class QualitySpec extends SparkSpec {
     assert(stats("k").getAs[Long]("n_rows") == 3L)
   }
 
-  test("check counts violations; null predicate counts as violation") {
+  test("check counts violations; null predicate is a pass (SQL NOT-cond semantics)") {
     val out = Quality.check(df, Seq(
       "v_positive" -> (col("v") > 0.0),
+      "v_present" -> col("v").isNotNull,
       "k_small" -> (col("k") < 10L)))
       .collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3))).toMap
-    // v > 0: row2 null -> violation, row3 -5 -> violation
-    assert(out("v_positive") == ((2L, false)))
+    // v > 0: row2 null -> pass (NULL is not a definite violation), row3 -5 -> violation
+    assert(out("v_positive") == ((1L, false)))
+    // nulls are caught by an explicit isNotNull constraint instead
+    assert(out("v_present") == ((1L, false)))
     assert(out("k_small") == ((0L, true)))
   }
 }
