@@ -164,10 +164,22 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                      minEstSim: Double = 0.5, seed: Long = 42L): DataFrame = {
+                      minEstSim: Double = 0.5, seed: Long = 42L): DataFrame =
+    minhashLshPairsFromSignatures(
+      minhashSignatures(docs, idCol, textCol, n, numHashes, seed),
+      numHashes, bands, minEstSim)
+
+  /** LSH banding over a PRECOMPUTED signature table (doc_id, sig) — lets one
+    * signature pass feed q26-style pair mining, corpus dedup, and the full
+    * pipeline without recomputing the explode-heavy signature subplan
+    * (signatures are per-doc values, independent of corpus membership, so a
+    * cached table semi-joined to any doc subset is exact).
+    */
+  def minhashLshPairsFromSignatures(sig: DataFrame, numHashes: Int = 32,
+                                    bands: Int = 8,
+                                    minEstSim: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = minhashSignatures(docs, idCol, textCol, n, numHashes, seed)
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         bi => struct(bi.as("band"), xxhash64(slice(col("sig"), bi * r + 1, lit(r))).as("bh"))))
@@ -251,10 +263,19 @@ object Dedup {
 
   /** End-to-end corpus dedup: candidate pairs (MinHash LSH) → connected
     * components → keep the min-id doc per component. Returns the kept docs.
+    * Pass `signatures` (a precomputed (doc_id, sig) table, e.g. persisted
+    * once per corpus) to skip the signature pass; it is semi-joined to
+    * `docs` so any subset is handled exactly.
     */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
-                  n: Int = 3, minEstSim: Double = 0.9): DataFrame = {
-    val pairs = minhashLshPairs(docs, idCol, textCol, n = n, minEstSim = minEstSim)
+                  n: Int = 3, minEstSim: Double = 0.9,
+                  signatures: Option[DataFrame] = None): DataFrame = {
+    val pairs = signatures match {
+      case Some(sig) =>
+        val subset = sig.join(docs.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
+        minhashLshPairsFromSignatures(subset, minEstSim = minEstSim)
+      case None => minhashLshPairs(docs, idCol, textCol, n = n, minEstSim = minEstSim)
+    }
     val comp = components(pairs)
     val losers = comp.filter(col("id") =!= col("label")).select(col("id"))
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")

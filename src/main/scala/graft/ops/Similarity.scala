@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`Array[Float]`, 64-dim in
@@ -104,11 +104,51 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF-style ANN: a coarse codebook (centroid table: label, centroid)
-    * partitions the corpus into inverted lists; a query scores the few
-    * centroids, picks the `nProbe` nearest lists, and scans only those.
-    * At 100 TB the assignment is precomputed and the table partitioned by
-    * list id, so a probe prunes to nProbe partitions.
+  /** Build a persistent IVF index at `path`: the corpus is assigned to its
+    * nearest codebook centroid ONCE and written as inverted lists
+    * partitioned by the list id (`assigned_label`), alongside the codebook.
+    * Probes ([[ivfProbe]]) then prune to `nProbe` partition directories —
+    * an index, not a scan. At 100 TB the build is one assignment pass; the
+    * per-list files stay scan-friendly because `partitionBy` groups rows by
+    * list without a shuffle beyond the assignment's own.
+    */
+  def buildIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+                    cents: DataFrame, path: String): Unit = {
+    Embeddings.assignToCentroids(embeddings, idCol, vecCol, cents)
+      .select(col(idCol), col("assigned_label"))
+      .join(embeddings, Seq(idCol))
+      .write.mode("overwrite").partitionBy("assigned_label")
+      .parquet(s"$path/lists")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a prebuilt IVF index with a literal query vector: score the
+    * codebook, pick the `nProbe` nearest lists, and scan ONLY those
+    * partitions. The probe labels are collected to the driver — bounded by
+    * `nProbe` over a codebook that is small by construction — so the list
+    * scan gets STATIC partition pruning (`PartitionFilters` in the plan,
+    * asserted in SimilaritySpec).
+    */
+  def ivfProbe(spark: SparkSession, path: String, idCol: String, vecCol: String,
+               queryVec: Seq[Float], k: Int, nProbe: Int,
+               excludeId: Option[Long] = None): DataFrame = {
+    val qv = typedlit(queryVec)
+    val probeLabels = spark.read.parquet(s"$path/centroids")
+      .select(col("label"), cosine(col("centroid"), qv).as("c"))
+      .orderBy(desc("c"), col("label")).limit(nProbe)
+      .select("label").collect().map(_.get(0))
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("assigned_label").isin(probeLabels: _*))
+    excludeId.foldLeft(lists)((d, id) => d.filter(col(idCol) =!= id))
+      .select(col(idCol), cosine(col(vecCol), qv).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-style ANN without a prebuilt index: one-shot form of
+    * [[buildIvfIndex]]+[[ivfProbe]] for ad-hoc queries — the assignment is
+    * computed inline (a full pass), so for repeated probes build the index
+    * instead.
     */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               cents: DataFrame, queryId: Long, k: Int, nProbe: Int): DataFrame = {

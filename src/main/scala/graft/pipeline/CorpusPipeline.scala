@@ -35,16 +35,21 @@ final class CorpusPipeline(spark: SparkSession, warehouse: String) {
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
       .withColumn("token_estimate", TextAnalysis.tokenEstimate(col(textCol)))
 
-  /** Stage 3-4: exact dedup then near-dedup, keeping min-id per cluster. */
+  /** Stage 3-4: exact dedup then near-dedup, keeping min-id per cluster.
+    * `signatures`: optional precomputed minhash table (one signature pass
+    * per corpus, shared across pipeline stages and ad-hoc dedup queries).
+    */
   def dedup(docs: DataFrame, idCol: String, textCol: String,
-            minEstSim: Double): DataFrame = {
+            minEstSim: Double,
+            signatures: Option[DataFrame] = None): DataFrame = {
     val fp = TextAnalysis.fingerprint(col(textCol))
     val exactKeepers = docs
       .withColumn("fp", fp)
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy(idCol)))
       .filter(col("rk") === 1).drop("fp", "rk")
-    Dedup.dedupCorpus(exactKeepers, idCol, textCol, minEstSim = minEstSim)
+    Dedup.dedupCorpus(exactKeepers, idCol, textCol, minEstSim = minEstSim,
+      signatures = signatures)
   }
 
   /** Full run: annotate → filter → dedup → split → write. Returns the
@@ -52,10 +57,10 @@ final class CorpusPipeline(spark: SparkSession, warehouse: String) {
     */
   def run(docs: DataFrame, idCol: String, textCol: String,
           minQuality: Double = 0.5, minEstSim: Double = 0.9,
-          trainPct: Int = 90): DataFrame = {
+          trainPct: Int = 90, signatures: Option[DataFrame] = None): DataFrame = {
     val annotated = annotate(docs, textCol)
       .filter(col("quality_score") >= minQuality)
-    val deduped = dedup(annotated, idCol, textCol, minEstSim)
+    val deduped = dedup(annotated, idCol, textCol, minEstSim, signatures)
     val split = Sampling.hashSplit(deduped, idCol, trainPct)
       .withColumn("split", when(col("is_train"), "train").otherwise("test"))
       .drop("is_train")

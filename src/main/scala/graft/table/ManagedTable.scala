@@ -9,15 +9,29 @@ import org.apache.spark.sql.functions.{broadcast, col}
   * MERGE upsert with an atomic directory swap, compaction (`OPTIMIZE`,
   * deltalake.ipynb:1337–1338), clustering (`ZORDER BY`, deltalake.ipynb:
   * 4614–4620), existence probe (`DeltaTable.isDeltaTable`, deltalake.ipynb:
-  * 1786) and `detail()` metadata introspection (deltalake.ipynb:8748–8750).
+  * 1786), `detail()` metadata introspection (deltalake.ipynb:8593–8613,
+  * 8748–8750), and a JSON commit log backing `history()` (deltalake.ipynb:
+  * 8760) and version-pinned reads ([[readVersion]]).
   *
-  * Non-goals (documented, as in SURVEY.md §7.4): concurrent writers and
-  * time travel — single-writer batch semantics like the reference notebook.
+  * Commit log: every mutation appends `<path>._log/v<N>.json` holding the
+  * version, timestamp, operation, partition columns, file stats, row count
+  * and the version's full file manifest. Data replaced by a swap is retired
+  * into `<path>._v<N>` (N = the version whose manifest points there) rather
+  * than deleted — Delta's retain-until-vacuum discipline — so
+  * `readVersion(v)` reconstructs any logged snapshot from its manifest.
+  * [[vacuumVersions]] drops retained snapshots; plain `spark.read.parquet
+  * (path)` always sees the CURRENT version (the live dir holds only it).
+  *
+  * Non-goal (documented, as in SURVEY.md §7.4): concurrent writers —
+  * single-writer batch semantics like the reference notebook.
   *
   * Scale notes:
   *  - Partitioned layout + partition pruning is what bounds rewrite cost:
   *    `merge` only needs the key-matched subset; at 100 TB you'd partition
-  *    by date and merge within recent partitions.
+  *    by date and merge within recent partitions. Its retirement moves only
+  *    the affected partition dirs (renames, no data copy).
+  *  - The commit itself costs one dir listing + a parquet metadata-only
+  *    count — no data pass.
   *  - `cluster` = repartitionByRange + sortWithinPartitions approximates
   *    Z-order: range partitioning gives file-level locality on the leading
   *    column(s), the in-file sort gives parquet row-group min/max stats on
@@ -31,6 +45,124 @@ final class ManagedTable(spark: SparkSession, val path: String) {
 
   def exists: Boolean = fs.exists(new Path(path))
 
+  // ---- commit log ----------------------------------------------------
+
+  private def logDir = new Path(path + "._log")
+  private def retainedDir(v: Long): String =
+    fs.makeQualified(new Path(path + "._v" + v)).toString
+  private def qualifiedRoot: String = fs.makeQualified(new Path(path)).toString
+
+  /** Latest committed version, or -1 if the table has no log yet. */
+  def version: Long =
+    if (!fs.exists(logDir)) -1L
+    else fs.listStatus(logDir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .foldLeft(-1L)(math.max)
+
+  /** Tables created before the log existed get their current state recorded
+    * as version 0 before the first logged mutation touches it.
+    */
+  private def ensureBootstrapped(): Unit =
+    if (exists && version < 0) commit("BOOTSTRAP", Nil)
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  /** Append a commit entry describing the CURRENT live dir as version
+    * `version + 1`. Listing + metadata-only count; no data pass.
+    */
+  private def commit(operation: String, partitionCols: Seq[String]): Unit = {
+    val v = version + 1
+    val files = listParquet(new Path(path))
+      .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) }
+    val rowCount = if (files.isEmpty) 0L else read.count() // parquet metadata count
+    val json = Seq(
+      s""""version":$v""",
+      s""""timestamp":${jstr(java.time.Instant.now().toString)}""",
+      s""""operation":${jstr(operation)}""",
+      s""""partitionColumns":[${partitionCols.map(jstr).mkString(",")}]""",
+      s""""numFiles":${files.size}""",
+      s""""sizeInBytes":${files.map(_._2).sum}""",
+      s""""rowCount":$rowCount""",
+      s""""files":[${files.map(f => jstr(f._1)).mkString(",")}]"""
+    ).mkString("{", ",", "}")
+    fs.mkdirs(logDir)
+    val out = fs.create(new Path(logDir, f"v$v%05d.json"), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Rewrite manifests after data under `oldRoot` moved to `newRoot`.
+    * `subdirs` empty = the whole root moved; else only those partition
+    * dirs. Driver-side string surgery on our own serialization: file
+    * entries are absolute qualified paths, so prefix replacement is exact.
+    */
+  private def remapManifests(oldRoot: String, newRoot: String,
+                             subdirs: Seq[String]): Unit = {
+    if (!fs.exists(logDir)) return
+    val pairs =
+      if (subdirs.isEmpty) Seq((oldRoot + "/", newRoot + "/"))
+      else subdirs.map(d => (s"$oldRoot/$d/", s"$newRoot/$d/"))
+    fs.listStatus(logDir).foreach { st =>
+      val in = fs.open(st.getPath)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val updated = pairs.foldLeft(txt) { case (t, (o, n)) =>
+        t.replace("\"" + o, "\"" + n) }
+      if (updated != txt) {
+        val out = fs.create(st.getPath, true)
+        try out.write(updated.getBytes("UTF-8")) finally out.close()
+      }
+    }
+  }
+
+  /** The commit history, latest first (the reference's `history(n)`,
+    * deltalake.ipynb:8760): version, timestamp, operation, partition
+    * columns, file/row stats.
+    */
+  def history(n: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.desc
+    spark.read.json(logDir.toString)
+      .select("version", "timestamp", "operation", "partitionColumns",
+        "numFiles", "sizeInBytes", "rowCount")
+      .orderBy(desc("version")).limit(n)
+  }
+
+  /** Version-pinned read (time travel): reconstruct snapshot `v` from its
+    * manifest. Files spanning the live dir and retained dirs are read per
+    * root with the right `basePath` so partition columns resolve, then
+    * unioned. Throws if the snapshot was vacuumed.
+    */
+  def readVersion(v: Long): DataFrame = {
+    require(v >= 0 && v <= version, s"version $v out of range [0, $version]")
+    val manifest = spark.read.json(new Path(logDir, f"v$v%05d.json").toString)
+    val files = manifest.select(org.apache.spark.sql.functions.explode(col("files")))
+      .collect().map(_.getString(0)).toSeq
+    if (files.isEmpty) return spark.emptyDataFrame
+    val missing = files.filterNot(f => fs.exists(new Path(f)))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"version $v is no longer readable (vacuumed?); missing e.g. ${missing.head}")
+    val roots = qualifiedRoot +:
+      (0L to version).map(retainedDir).filter(r => fs.exists(new Path(r)))
+    files.groupBy(f => roots.find(r => f.startsWith(r + "/")).getOrElse(""))
+      .map { case (root, fsOfRoot) =>
+        val rd = if (root.nonEmpty) spark.read.option("basePath", root) else spark.read
+        rd.parquet(fsOfRoot: _*)
+      }.reduce(_ unionByName _)
+  }
+
+  /** Drop retained snapshot dirs (and nothing else): versions whose data
+    * lives only in a retained dir become unreadable, like Delta's VACUUM
+    * past the retention window. The live dir and the log stay intact.
+    */
+  def vacuumVersions(): Unit =
+    (0L to version).foreach { v =>
+      val p = new Path(retainedDir(v))
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+
   def read: DataFrame = spark.read.parquet(path)
 
   /** Schema-evolved read (the reference's `mergeSchema`, deltalake.ipynb:
@@ -40,29 +172,43 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   def readEvolved: DataFrame = spark.read.option("mergeSchema", "true").parquet(path)
 
-  def overwrite(df: DataFrame, partitionCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
-  }
+  def overwrite(df: DataFrame, partitionCols: Seq[String] = Nil): Unit =
+    if (exists) replaceWith(df, partitionCols, "OVERWRITE")
+    else {
+      val w = df.write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+      commit("OVERWRITE", partitionCols)
+    }
 
-  def append(df: DataFrame, partitionCols: Seq[String] = Nil): Unit = {
+  def append(df: DataFrame, partitionCols: Seq[String] = Nil): Unit =
+    appendAs(df, partitionCols, "APPEND")
+
+  private def appendAs(df: DataFrame, partitionCols: Seq[String], operation: String): Unit = {
+    ensureBootstrapped()
     val w = df.write.mode(SaveMode.Append)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+    commit(operation, partitionCols)
   }
 
-  /** Atomic replace: write to a temp sibling dir, then swap directories.
-    * Readers either see the old or the new table, never a partial write
-    * (single-writer; SURVEY.md §7.6.5).
+  /** Atomic replace: write to a temp sibling dir, retire the current dir as
+    * the previous version's snapshot, then swap. Readers either see the old
+    * or the new table, never a partial write (single-writer; SURVEY.md
+    * §7.6.5).
     */
-  private def replaceWith(df: DataFrame, partitionCols: Seq[String]): Unit = {
+  private def replaceWith(df: DataFrame, partitionCols: Seq[String],
+                          operation: String): Unit = {
+    ensureBootstrapped()
     val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp.toString)
     val dst = new Path(path)
-    val old = new Path(path + ".old-" + java.util.UUID.randomUUID().toString.take(8))
-    if (fs.exists(dst)) fs.rename(dst, old)
+    val cur = version
+    if (fs.exists(dst)) {
+      fs.rename(dst, new Path(retainedDir(cur)))
+      remapManifests(qualifiedRoot, retainedDir(cur), Nil)
+    }
     fs.rename(tmp, dst)
-    fs.delete(old, true)
+    commit(operation, partitionCols)
   }
 
   /** MERGE upsert (E3, deltalake.ipynb:2939–2945): source-wins rewrite via
@@ -78,8 +224,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     if (!exists) overwrite(source, partitionCols)
     else if (partitionCols.isEmpty)
       // writing to the tmp dir scans the OLD files, so no checkpoint needed
-      replaceWith(Merge.upsert(read, source, keys), partitionCols)
+      replaceWith(Merge.upsert(read, source, keys), partitionCols, "MERGE")
     else {
+      ensureBootstrapped()
       val target = read
       val srcParts = source.select(partitionCols.map(c => col(c)): _*).distinct()
       val matchedParts = target
@@ -89,33 +236,36 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       // rows of the affected partitions only, merged source-wins
       val targetAffected = target.join(broadcast(affected), partitionCols, "left_semi")
       val merged = Merge.upsert(targetAffected, source, keys).localCheckpoint()
-      // materialize BOTH partition sets before any file is replaced — their
-      // plans read the current table files
+      // materialize the affected partition set before any file moves — its
+      // plan reads the current table files (merged is already checkpointed)
       val affectedRows = affected.collect().toSet
-      val mergedParts = merged.select(partitionCols.map(col): _*).distinct().collect().toSet
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      try {
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode(SaveMode.Overwrite)
-          .partitionBy(partitionCols: _*).parquet(path)
-      } finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-      // dynamic overwrite only replaces partitions PRESENT in `merged`; an
-      // affected partition whose rows all moved away must be dropped
-      // explicitly (e.g. a matched key migrating to another partition)
-      (affectedRows -- mergedParts).foreach { row =>
+      // retire ONLY the affected partition dirs into the current version's
+      // snapshot (renames, no copy); unaffected partitions stay in place and
+      // keep serving both the new and all prior versions
+      val cur = version
+      val movedDirs = affectedRows.toSeq.flatMap { row =>
         val dir = partitionCols.zipWithIndex
           .map { case (c, i) => s"$c=${row.get(i)}" }.mkString("/")
-        fs.delete(new Path(s"$path/$dir"), true)
+        val src = new Path(s"$path/$dir")
+        if (fs.exists(src)) {
+          val dstDir = new Path(s"${retainedDir(cur)}/$dir")
+          fs.mkdirs(dstDir.getParent)
+          fs.rename(src, dstDir)
+          Some(dir)
+        } else None
       }
+      if (movedDirs.nonEmpty) remapManifests(qualifiedRoot, retainedDir(cur), movedDirs)
+      // the affected dirs are gone from the live dir, so the merged rows
+      // (⊆ affected partitions) land as a plain partitioned append
+      merged.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
+      commit("MERGE", partitionCols)
     }
 
   /** MERGE insert-only (deltalake.ipynb:1786–1791): append just the new keys. */
   def mergeInsertOnly(source: DataFrame, keys: Seq[String], partitionCols: Seq[String] = Nil): Unit =
     if (!exists) overwrite(source, partitionCols)
-    else append(Merge.newRowsOnly(source, read, keys).localCheckpoint(), partitionCols)
+    else appendAs(Merge.newRowsOnly(source, read, keys).localCheckpoint(),
+      partitionCols, "MERGE_INSERT_ONLY")
 
   /** DELETE rows matching `cond` — the Delta DML surface completed. The
     * whole table is rewritten via atomic swap (partition-scoped variants
@@ -123,7 +273,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * scan; rows in untouched partitions rewrite unchanged).
     */
   def delete(cond: org.apache.spark.sql.Column, partitionCols: Seq[String] = Nil): Unit =
-    replaceWith(read.filter(!cond || cond.isNull), partitionCols)
+    replaceWith(read.filter(!cond || cond.isNull), partitionCols, "DELETE")
 
   /** UPDATE rows matching `cond`, applying the `set` column assignments. */
   def update(cond: org.apache.spark.sql.Column,
@@ -132,7 +282,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val updated = set.foldLeft(read) { case (df, (c, expr)) =>
       df.withColumn(c, org.apache.spark.sql.functions.when(cond, expr).otherwise(col(c)))
     }
-    replaceWith(updated, partitionCols)
+    replaceWith(updated, partitionCols, "UPDATE")
   }
 
   /** Remove leftover tmp/old directories from interrupted swaps. */
@@ -148,7 +298,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
 
   /** Compaction (M5, `optimize().executeCompaction()`): rewrite to n files. */
   def compact(numFiles: Int): Unit =
-    replaceWith(read.repartition(numFiles), Nil)
+    replaceWith(read.repartition(numFiles), Nil, "OPTIMIZE")
 
   /** Multi-dimensional clustering (M6, `executeZOrderBy`): range-partition on
     * the clustering columns and sort within partitions so parquet row-group
@@ -157,17 +307,31 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def cluster(cols: String*): Unit = {
     import org.apache.spark.sql.functions.col
     val cs = cols.map(col)
-    replaceWith(read.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*), Nil)
+    replaceWith(read.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*), Nil,
+      "ZORDER")
   }
 
-  /** Table metadata summary (M7, `detail()` / DESCRIBE DETAIL): location,
-    * file count, total bytes — from a driver-side file listing like Delta's.
+  /** Table metadata summary (M7, `detail()` / DESCRIBE DETAIL,
+    * deltalake.ipynb:8593–8613): format, location, partition columns, file
+    * count, total bytes, created/modified times — the reference's DESCRIBE
+    * DETAIL field surface, from the file listing + commit log.
     */
   def detail(): DataFrame = {
     import spark.implicits._
     val files = listParquet(new Path(path))
-    Seq((path, files.size.toLong, files.map(_._2).sum))
-      .toDF("location", "num_files", "size_in_bytes")
+    val (partCols, createdAt, modifiedAt) =
+      if (fs.exists(logDir)) {
+        val h = spark.read.json(logDir.toString)
+          .select("version", "timestamp", "partitionColumns").collect()
+        val latest = h.maxBy(_.getAs[Long]("version"))
+        (latest.getSeq[String](latest.fieldIndex("partitionColumns")),
+          h.map(_.getAs[String]("timestamp")).min,
+          h.map(_.getAs[String]("timestamp")).max)
+      } else (Seq.empty[String], null: String, null: String)
+    Seq((("parquet"): String, new Path(path).getName, path, partCols,
+        files.size.toLong, files.map(_._2).sum, version, createdAt, modifiedAt))
+      .toDF("format", "name", "location", "partition_columns",
+        "num_files", "size_in_bytes", "version", "created_at", "last_modified")
   }
 
   private def listParquet(p: Path): Seq[(String, Long)] = {

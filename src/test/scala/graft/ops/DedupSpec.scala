@@ -78,6 +78,23 @@ class DedupSpec extends SparkSpec {
     assert(kept.contains(4L) && kept.contains(5L))  // singletons survive
   }
 
+  test("dedupCorpus with a shared signature table is identical (incl. doc subsets)") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, numHashes = 32)
+      .localCheckpoint()
+    val direct = Dedup.dedupCorpus(docs, "doc_id", "text", minEstSim = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    val shared = Dedup.dedupCorpus(docs, "doc_id", "text", minEstSim = 0.9,
+      signatures = Some(sig)).select("doc_id").as[Long].collect().toSet
+    assert(shared == direct)
+    // the cached table covers a SUPERSET of the docs being deduped
+    val subset = docs.filter(col("doc_id") =!= 2L)
+    val directSub = Dedup.dedupCorpus(subset, "doc_id", "text", minEstSim = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    val sharedSub = Dedup.dedupCorpus(subset, "doc_id", "text", minEstSim = 0.9,
+      signatures = Some(sig)).select("doc_id").as[Long].collect().toSet
+    assert(sharedSub == directSub)
+  }
+
   test("stop-shingle removal caps hot shingles") {
     val many = (1L to 50L).map(i => (i, s"common prefix words here tail$i")).toDF("doc_id", "text")
     val idx = Dedup.shingleIndex(many, "doc_id", "text", 3, maxDocFreq = 10)

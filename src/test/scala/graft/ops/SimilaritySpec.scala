@@ -73,6 +73,26 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("prebuilt IVF index: probe equals inline ivfTopK and prunes list partitions") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.model.Tables.embeddings(spark, dir)
+    val cents = Embeddings.centroids(e, "label", "embedding")
+    val path = tmpDir("ivf-index")
+    Similarity.buildIvfIndex(e, "vec_id", "embedding", cents, path)
+    val qv = e.filter(col("vec_id") === 0L).select("embedding").head.getSeq[Float](0)
+    val probe = Similarity.ivfProbe(spark, path, "vec_id", "embedding", qv,
+      k = 5, nProbe = 2, excludeId = Some(0L))
+    val inline = Similarity.ivfTopK(e, "vec_id", "embedding", cents, 0L, 5, nProbe = 2)
+    assert(probe.select("vec_id").as[Long].collect().toSeq
+      == inline.select("vec_id").as[Long].collect().toSeq)
+    // the probe's list scan is partition-pruned: a non-trivial
+    // PartitionFilters on assigned_label, and no per-query assignment join
+    val plan = probe.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*assigned_label[^\\]]*\\]".r.findFirstIn(plan)
+    assert(pf.isDefined, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("lsh bucket is deterministic across evaluations") {
     val planes = Similarity.hyperplanes(4, 3)
     val b1 = embs.select(Similarity.lshBucket(col("embedding"), planes)).as[Long].collect()

@@ -150,4 +150,75 @@ class ManagedTableSpec extends SparkSpec {
     assert(row.getAs[Long]("num_files") >= 1)
     assert(row.getAs[Long]("size_in_bytes") > 0)
   }
+
+  test("detail has the reference's DESCRIBE DETAIL field surface") {
+    val t = freshTable("mt-detail2")
+    t.overwrite(Seq((1L, "x", "a"), (2L, "y", "b")).toDF("k", "v", "p"), Seq("p"))
+    val row = t.detail().collect()(0)
+    assert(row.getAs[String]("format") == "parquet")
+    assert(row.getAs[String]("location") == t.path)
+    assert(row.getSeq[String](row.fieldIndex("partition_columns")) == Seq("p"))
+    assert(row.getAs[Long]("version") == 0L)
+    assert(row.getAs[String]("created_at") != null)
+    assert(row.getAs[String]("last_modified") != null)
+  }
+
+  test("history records every mutation with operation + stats, latest first") {
+    val t = freshTable("mt-hist")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    t.merge(Seq((2L, "B"), (3L, "C")).toDF("k", "v"), Seq("k"))
+    t.compact(1)
+    val h = t.history().collect()
+    assert(h.map(_.getAs[String]("operation")).toSeq ==
+      Seq("OPTIMIZE", "MERGE", "OVERWRITE"))
+    assert(h.map(_.getAs[Long]("version")).toSeq == Seq(2L, 1L, 0L))
+    assert(h.forall(_.getAs[Long]("rowCount") >= 2L))
+    assert(t.history(1).collect().head.getAs[Long]("version") == 2L)
+  }
+
+  test("readVersion time-travels across overwrite, append, merge, compact") {
+    val t = freshTable("mt-tt")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))                       // v0
+    t.append(Seq((2L, "b")).toDF("k", "v"))                          // v1
+    t.merge(Seq((1L, "A"), (3L, "c")).toDF("k", "v"), Seq("k"))      // v2
+    t.compact(1)                                                     // v3
+    def at(v: Long) = t.readVersion(v).orderBy("k").as[(Long, String)].collect().toSeq
+    assert(at(0) == Seq((1L, "a")))
+    assert(at(1) == Seq((1L, "a"), (2L, "b")))
+    assert(at(2) == Seq((1L, "A"), (2L, "b"), (3L, "c")))
+    assert(at(3) == at(2)) // compaction preserves content
+    assert(t.read.orderBy("k").as[(Long, String)].collect().toSeq == at(3))
+  }
+
+  test("readVersion on a partitioned table after a partition-pruned merge") {
+    val t = freshTable("mt-tt-part")
+    t.overwrite(Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "v", "p"), Seq("p")) // v0
+    t.merge(Seq((2L, "B", "p2"), (3L, "c", "p3")).toDF("k", "v", "p"), Seq("k"), Seq("p")) // v1
+    val v0 = t.readVersion(0).orderBy("k").select("k", "v", "p")
+      .as[(Long, String, String)].collect().toSeq
+    assert(v0 == Seq((1L, "a", "p1"), (2L, "b", "p2")))
+    val v1 = t.readVersion(1).orderBy("k").select("k", "v", "p")
+      .as[(Long, String, String)].collect().toSeq
+    assert(v1 == Seq((1L, "a", "p1"), (2L, "B", "p2"), (3L, "c", "p3")))
+  }
+
+  test("vacuumVersions drops retained snapshots; current read unaffected") {
+    val t = freshTable("mt-vac")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    t.overwrite(Seq((2L, "b")).toDF("k", "v"))
+    assert(t.readVersion(0).count() == 1)
+    t.vacuumVersions()
+    intercept[IllegalStateException] { t.readVersion(0).count() }
+    assert(t.read.as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+  }
+
+  test("pre-log tables bootstrap their current state as version 0") {
+    val dir = tmpDir("mt-boot") + "/t"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(dir) // written outside ManagedTable
+    val t = new ManagedTable(spark, dir)
+    t.append(Seq((2L, "b")).toDF("k", "v"))
+    assert(t.history().collect().map(_.getAs[String]("operation")).toSeq ==
+      Seq("APPEND", "BOOTSTRAP"))
+    assert(t.readVersion(0).as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
 }
