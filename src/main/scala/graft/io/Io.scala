@@ -68,11 +68,12 @@ object Io {
 
   /** S11 — warehouse bulk load (silver.py:14–73, load_currency.py:13–44:
     * the reference's Postgres `COPY` path). Spark-native form is the JDBC
-    * sink with explicit batching; untestable offline (no JDBC endpoint in
-    * this environment) but the full option surface is exposed.
+    * sink with explicit batching; round-tripped in JdbcSpec against the
+    * embedded Derby engine shipped with Spark (no external endpoint in this
+    * environment — swap the url for Postgres in production).
     */
   def writeJdbc(df: DataFrame, url: String, table: String,
-                user: String, password: String,
+                user: String = "", password: String = "",
                 batchSize: Int = 100000, mode: String = "overwrite"): Unit =
     df.write.mode(mode)
       .format("jdbc")
@@ -82,6 +83,25 @@ object Io {
       .option("password", password)
       .option("batchsize", batchSize)
       .save()
+
+  /** JDBC source twin of [[writeJdbc]]. `partitionColumn`/bounds shard the
+    * read across `numPartitions` parallel range queries — the knob that
+    * makes a warehouse extract scale instead of serializing through one
+    * connection.
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               user: String = "", password: String = "",
+               partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("user", user)
+      .option("password", password)
+    partitionColumn.fold(r) { case (c, lo, hi, n) =>
+      r.option("partitionColumn", c).option("lowerBound", lo)
+        .option("upperBound", hi).option("numPartitions", n)
+    }.load()
+  }
 
   /** S8 — catalog DDL (deltalake.ipynb:1046–1063 cell 10: CREATE SCHEMA +
     * CREATE TABLE ... USING <fmt> LOCATION + COMMENT; SHOW/DESCRIBE).

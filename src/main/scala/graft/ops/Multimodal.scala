@@ -105,23 +105,33 @@ object Multimodal {
       lit("txt").as("format"),
       octet_length(col(textCol)).cast("long").as("n_bytes"))
 
-  /** Distributed feature extraction: typed `mapPartitions` over the media
-    * rows — the Scala analogue of a pandas-batch UDF: one JVM-side batch
-    * iterator per partition, no per-row driver involvement.
+  /** [[MediaRow]] + the expression-computed checksum (public: Dataset
+    * encoders codegen constructor access from generated classes).
+    */
+  case class MediaWithChecksum(media_id: Long, payload: Array[Byte],
+                               format: String, n_bytes: Long,
+                               checksum: Long)
+
+  /** Distributed feature extraction: checksum and byte length are computed
+    * as BUILT-IN codegen'd expressions (`crc32`, `octet_length` — Spark's
+    * crc32 is the same java.util.zip.CRC32) before the typed boundary; the
+    * `mapPartitions` batch iterator carries ONLY the codec work that has no
+    * expression form — one JVM-side batch per partition, no per-row driver
+    * involvement, no join to stitch results back.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions { it =>
-      it.map { row =>
-        val (w, h, mean) = StubCodec.decodeImage(row.payload)
-        val checksum = {
-          val crc = new java.util.zip.CRC32()
-          crc.update(row.payload)
-          crc.getValue
+    media
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("checksum", crc32(col("payload")))
+      .as[MediaWithChecksum]
+      .mapPartitions { it =>
+        it.map { row =>
+          val (w, h, mean) = StubCodec.decodeImage(row.payload)
+          MediaFeatures(row.media_id, row.n_bytes, row.format, w, h, mean,
+            row.checksum)
         }
-        MediaFeatures(row.media_id, row.n_bytes, row.format, w, h, mean, checksum)
       }
-    }
   }
 
   /** Size-aware repartition so each decode task holds a bounded payload
