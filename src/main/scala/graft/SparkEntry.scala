@@ -294,6 +294,14 @@ object SparkEntry {
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
         .orderBy("doc_id")),
+    "q79_pii_scrub" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.scrubPii(col("text")).as("clean_text"))
+        .orderBy("doc_id")),
+    "q80_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionMetrics(Tables.documents(s, d), "text")
+        .select("doc_id", "dup_bigram_frac", "top_word_share")
+        .orderBy("doc_id")),
     "q34_media_meta" -> ((s, d) =>
       Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text")
         .select("media_id", "format", "n_bytes")
@@ -594,6 +602,42 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    // ---- Set operations / grouping sets ----
+    "q77_set_ops" -> ((s, d) => {
+      val a = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val b = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      a.intersect(b).withColumn("op", lit("intersect"))
+        .unionByName(a.except(b).withColumn("op", lit("except")))
+        .orderBy("op", "c_custkey")
+    }),
+    "q78_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+               FROM orders_gs
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+               ORDER BY o_orderstatus ASC NULLS FIRST,
+                        o_orderpriority ASC NULLS FIRST""")
+    }),
+
+    // ---- Stream-stream interval join (batch twin; see EventStreamingSpec
+    // for the watermarked streaming form) ----
+    "q81_interval_join" -> ((s, d) => {
+      // second-floored ts on both sides: the raw parquet is ns-precision,
+      // Spark µs — whole seconds are the shared grid (contract, q40/q52)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
+          col("user_id"), col("value"))
+      val left = ev.filter(col("event_id") % 2 === 0)
+      val right = ev.filter(col("event_id") % 2 === 1)
+      graft.streaming.EventStreaming.intervalJoin(left, right, "user_id", 1)
+        .groupBy(col("l.user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"), dsum(col("r.value")).as("paired_value"))
+        .orderBy("user_id")
+    }),
+
     // ---- SQL entry point (E2: spark.sql over registered views) ----
     "q44_sql_entry" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
@@ -864,6 +908,61 @@ object SparkEntry {
            CAST(len(regexp_extract_all(lower(trim(text)), '[a-z0-9]+'))
              + length(regexp_replace(lower(trim(text)), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS token_estimate
          FROM documents ORDER BY doc_id""",
+    "q79_pii_scrub" ->
+      """SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'),
+             'https?://[^ ]+', '<URL>', 'g') AS clean_text
+         FROM documents ORDER BY doc_id""",
+    "q80_repetition" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+           FROM documents),
+         b AS (
+           SELECT doc_id, words,
+             CASE WHEN len(words) >= 2
+               THEN list_transform(generate_series(1, len(words) - 1),
+                      i -> concat_ws(' ', words[i], words[i+1]))
+               ELSE [] END AS bg
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN len(bg) > 0
+             THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+             ELSE 0.0 END AS dup_bigram_frac,
+           CAST(list_max(list_transform(list_distinct(words),
+                  tk -> len(list_filter(words, x -> x = tk)))) AS DOUBLE)
+             / len(words) AS top_word_share
+         FROM b ORDER BY doc_id""",
+    "q81_interval_join" ->
+      """WITH ev AS (SELECT event_id, date_trunc('second', ts) AS ts, user_id, value
+                     FROM events)
+         SELECT l.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(r.value AS DECIMAL(18,6))) AS DOUBLE) AS paired_value
+         FROM ev l JOIN ev r
+           ON l.user_id = r.user_id
+          AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
+          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 MINUTE
+         GROUP BY 1 ORDER BY 1""",
+    "q77_set_ops" ->
+      """SELECT c_custkey, 'intersect' AS op FROM
+           (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         UNION ALL
+         SELECT c_custkey, 'except' AS op FROM
+           (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         ORDER BY op, c_custkey""",
+    "q78_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "q34_media_meta" ->
       """SELECT doc_id AS media_id, 'txt' AS format,
            CAST(strlen(text) AS BIGINT) AS n_bytes

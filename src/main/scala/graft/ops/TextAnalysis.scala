@@ -99,4 +99,46 @@ object TextAnalysis {
   def tokenEstimate(text: Column): Column =
     size(filter(split(lower(trim(text)), "(?=[^a-z0-9])|(?<=[^a-z0-9])"),
       p => p =!= "" && p =!= " ")).cast("long")
+
+  /** PII scrubbing — the redaction pass every training-data pipeline runs
+    * before packing shards: emails, international-ish phone numbers and
+    * bare URLs are replaced with stable tags. Pure `regexp_replace` chain
+    * (codegen'd, zero shuffle, linear scan); patterns are RE2-compatible so
+    * the DuckDB oracle applies the identical pipeline.
+    */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val phone = regexp_replace(email,
+      "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>")
+    regexp_replace(phone, "https?://[^ ]+", "<URL>")
+  }
+
+  /** Gopher-style repetition metrics: the fraction of duplicate word
+    * bigrams (1 − distinct/total) and the most-frequent-word share. High
+    * values flag boilerplate/spam for quality filtering. Exact arithmetic
+    * on integer counts — oracle-identical.
+    */
+  def repetitionMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    // zip_with pads the shorter side with null; concat_ws would silently
+    // skip the null, so gate on it explicitly to drop the trailing pair
+    val bigrams = filter(
+      zip_with(w, slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+        (x, y) => when(y.isNotNull, concat_ws(" ", x, y))),
+      (b: Column) => b.isNotNull)
+    val nBi = size(bigrams)
+    val topShare = {
+      // most frequent token count / token count, via sort + fold-free
+      // aggregate: count occurrences of each distinct token
+      val counts = transform(array_distinct(w),
+        t => size(filter(w, x => x === t)))
+      array_max(counts).cast("double") / size(w)
+    }
+    df.withColumn("dup_bigram_frac",
+        when(nBi > 0,
+          lit(1.0) - size(array_distinct(bigrams)).cast("double") / nBi)
+          .otherwise(lit(0.0)))
+      .withColumn("top_word_share", topShare)
+  }
 }

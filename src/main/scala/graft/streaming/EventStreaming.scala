@@ -95,6 +95,25 @@ object EventStreaming {
   def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join: correlate two event streams on a shared
+    * key where the right event lands within [0, tolerance] after the left
+    * one. In streaming both sides carry watermarks and the time bound is
+    * what lets Spark evict join state (state ≤ watermark + tolerance —
+    * without the interval the state grows unboundedly); the batch twin is
+    * the identical expression minus watermarks, so the semantics are
+    * oracle-checkable (q81).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   toleranceMinutes: Int, streaming: Boolean = false): DataFrame = {
+    val wm = s"${2 * toleranceMinutes} minutes"
+    val l = (if (streaming) left.withWatermark("ts", wm) else left).alias("l")
+    val r = (if (streaming) right.withWatermark("ts", wm) else right).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $toleranceMinutes MINUTES"))
+  }
+
   /** Streaming MERGE sink: upsert every micro-batch into a ManagedTable
     * via foreachBatch — the streaming→lakehouse loop (continuous ingestion
     * with exactly-once-per-key table state, like Delta's merge sink).

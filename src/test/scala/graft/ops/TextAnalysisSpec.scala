@@ -49,4 +49,31 @@ class TextAnalysisSpec extends SparkSpec {
     // hello , world ! it ' s 42
     assert(n == 8L, s"got $n")
   }
+
+  test("scrubPii redacts emails, phones and urls, leaves clean text alone") {
+    val out = Seq(
+      "contact bob.smith+x@corp.example.org today",
+      "call +1 (415) 555-0192 now",
+      "see https://example.com/a?b=1 for details",
+      "nothing sensitive here").toDF("text")
+      .select(TextAnalysis.scrubPii(col("text")).as("t"))
+      .as[String].collect().toSeq
+    assert(out(0) == "contact <EMAIL> today")
+    assert(out(1) == "call <PHONE> now")
+    assert(out(2) == "see <URL> for details")
+    assert(out(3) == "nothing sensitive here")
+  }
+
+  test("repetition metrics: duplicate bigrams and top-word share") {
+    val m = TextAnalysis.repetitionMetrics(
+      Seq((1L, "spam spam spam spam"),      // bigrams: 3x "spam spam" -> 2/3 dup
+          (2L, "all words are different here"),
+          (3L, "one")                        // no bigrams
+      ).toDF("id", "text"), "text")
+      .select("id", "dup_bigram_frac", "top_word_share")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(math.abs(m(0)._2 - 2.0 / 3.0) < 1e-12 && m(0)._3 == 1.0)
+    assert(m(1)._2 == 0.0 && math.abs(m(1)._3 - 0.2) < 1e-12)
+    assert(m(2)._2 == 0.0 && m(2)._3 == 1.0)
+  }
 }

@@ -105,6 +105,30 @@ class EventStreamingSpec extends SparkSpec {
     assert(rows(1).isNullAt(1)) // user 9 not in dim -> left join null
   }
 
+  test("stream-stream interval join matches the batch twin, state bounded by watermark") {
+    implicit val sq = spark.sqlContext
+    val lMem = MemoryStream[Event]; val rMem = MemoryStream[Event]
+    val q = intervalJoin(lMem.toDF, rMem.toDF, "user_id",
+        toleranceMinutes = 1, streaming = true)
+      .select(col("l.event_id").as("l_id"), col("r.event_id").as("r_id"))
+      .writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    val lRows = Seq(
+      Event(10, ts("2024-01-01 10:00:00"), 1, "a", 1.0),
+      Event(12, ts("2024-01-01 10:10:00"), 2, "a", 1.0))
+    val rRows = Seq(
+      Event(11, ts("2024-01-01 10:00:30"), 1, "b", 2.0), // within 1 min of 10
+      Event(13, ts("2024-01-01 10:13:00"), 2, "b", 2.0), // 3 min after 12 -> out
+      Event(15, ts("2024-01-01 09:59:00"), 1, "b", 2.0)) // before 10 -> out
+    lMem.addData(lRows: _*); rMem.addData(rRows: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ivj").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 11L)))
+    val batch = intervalJoin(lRows.toDF, rRows.toDF, "user_id", 1)
+      .select(col("l.event_id").as("l_id"), col("r.event_id").as("r_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == batch)
+  }
+
   test("batch sessionization: gaps-and-islands on a crafted timeline") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00"), 100L, "c", 1.0),
