@@ -591,10 +591,12 @@ object SparkEntry {
         .orderBy("vec_id", "assigned_label")
     }),
     "q47_top_ngrams" -> ((s, d) =>
+      // shingleIndex spreads the CPU-bound shingling over all cores before
+      // exploding (shingles() is per-doc distinct, so counting index rows
+      // IS document frequency)
       Relational.topK(
-        Tables.documents(s, d)
-          .select(explode(Dedup.shingles(col("text"), 2)).as("ngram"))
-          .groupBy("ngram").agg(count(lit(1)).as("df")),
+        Dedup.shingleIndex(Tables.documents(s, d), "doc_id", "text", 2)
+          .groupBy(col("s").as("ngram")).agg(count(lit(1)).as("df")),
         20, "df", "ngram")),
     "q48_dedup_corpus" -> ((s, d) =>
       Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text", minEstSim = 0.9,

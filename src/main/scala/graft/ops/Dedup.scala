@@ -40,14 +40,26 @@ object Dedup {
         .otherwise(array(concat_ws(" ", w))))
   }
 
+  /** Spread a narrow (id, text) projection over the full core count before
+    * CPU-bound shingling: a small parquet file scans as ONE partition, and
+    * inheriting that layout would serialize the per-doc n-gram work. The
+    * shuffle moves only the projected columns, and only when the source has
+    * fewer partitions than the cluster has slots.
+    */
+  private def spreadForCpu(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exploded (id, shingle) inverted index, optionally dropping
     * stop-shingles with document frequency > `maxDocFreq` (0 = keep all;
     * keep-all matches the DuckDB oracle, the cap is the at-scale setting).
     */
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int,
                    maxDocFreq: Long = 0L): DataFrame = {
-    val idx = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol), n)).as("s"))
+    val idx = spreadForCpu(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"),
+        explode(shingles(col(textCol), n)).as("s"))
     if (maxDocFreq <= 0) idx
     else {
       val df_ = idx.groupBy("s").agg(count(lit(1)).as("df"))
@@ -144,8 +156,8 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, numHashes: Int, seed: Long = 42L): DataFrame = {
     val params = hashParams(numHashes, seed)
-    val exploded = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol), n)).as("s"))
+    val exploded = spreadForCpu(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), explode(shingles(col(textCol), n)).as("s"))
       .withColumn("h", pmod(xxhash64(col("s")), lit(MersenneP)))
     val mins = params.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(MersenneP))).as(s"__m$i")
@@ -287,8 +299,8 @@ object Dedup {
     * per doc, element-wise-add partial merge).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.words(col(textCol))).as("w"))
+    spreadForCpu(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), explode(TextAnalysis.words(col(textCol))).as("w"))
       .withColumn("h", xxhash64(col("w")))
       .groupBy("doc_id")
       .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("simhash"))
