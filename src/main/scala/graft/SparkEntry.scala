@@ -590,6 +590,9 @@ object SparkEntry {
           graft.ops.Embeddings.centroids(e, "label", "embedding"))
         .orderBy("vec_id", "assigned_label")
     }),
+    "q83_quantize_int8" -> ((s, d) =>
+      graft.ops.Embeddings.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy("vec_id", "pos")),
     "q47_top_ngrams" -> ((s, d) =>
       // shingleIndex spreads the CPU-bound shingling over all cores before
       // exploding (shingles() is per-doc distinct, so counting index rows
@@ -598,6 +601,12 @@ object SparkEntry {
         Dedup.shingleIndex(Tables.documents(s, d), "doc_id", "text", 2)
           .groupBy(col("s").as("ngram")).agg(count(lit(1)).as("df")),
         20, "df", "ngram")),
+    "q82_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(docs, docs.filter(col("doc_id") % 25 === 0),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
     "q48_dedup_corpus" -> ((s, d) =>
       Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text", minEstSim = 0.9,
           signatures = Some(docSignatures(s, d)))
@@ -1290,6 +1299,31 @@ object SparkEntry {
                 FROM w)
          SELECT ngram, COUNT(*) AS df FROM sh GROUP BY 1
          ORDER BY df DESC, ngram LIMIT 20""",
+    "q82_contamination" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+                    FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest(CASE WHEN len(words) >= 3
+                    THEN list_transform(generate_series(1, len(words) - 2),
+                           i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+                    ELSE [concat_ws(' ', words)] END) AS s
+                FROM w),
+         b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 25 = 0),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         hits AS (SELECT sh.doc_id, COUNT(*) AS n_hit FROM sh JOIN b USING (s) GROUP BY 1)
+         SELECT sizes.doc_id AS doc_id,
+           CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_sh AS contamination
+         FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.doc_id
+         ORDER BY 1""",
+    "q83_quantize_int8" ->
+      """WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS amax
+           FROM embeddings)
+         SELECT vec_id, CAST(i AS INT) AS pos,
+           CAST(CASE WHEN amax = 0 THEN 0
+                ELSE floor(e[i] * 127 / amax + 0.5) END AS INT) AS q
+         FROM a CROSS JOIN generate_series(1, 64) AS t(i)
+         ORDER BY vec_id, pos""",
     "q44_sql_entry" ->
       """SELECT c_custkey, c_name, c_mktsegment,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_amount,

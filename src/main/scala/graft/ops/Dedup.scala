@@ -119,6 +119,28 @@ object Dedup {
       .select("d1", "d2", "inter", "jaccard")
   }
 
+  /** Benchmark-contamination screen — the eval-leakage gate of a training
+    * pipeline: for each corpus doc, the fraction of its n-gram shingles
+    * that appear anywhere in the benchmark set. Join keys are 64-bit
+    * shingle hashes (8-byte shuffle keys, like [[ngramJaccardPairs]]); the
+    * benchmark side reduces to its distinct shingles — typically tiny, so
+    * Catalyst broadcasts the semi-join at scale.
+    */
+  def contamination(docs: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3): DataFrame = {
+    val di = shingleIndex(docs, idCol, textCol, n)
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val bi = shingleIndex(bench, idCol, textCol, n)
+      .select(xxhash64(col("s")).as("s")).distinct()
+    val sizes = di.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val hits = di.join(bi, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_sh"))
+          .as("contamination"))
+  }
+
   /** Mersenne prime 2^31−1 for the minhash universal-hash family: products
     * stay ≤ (2^31)^2 < 2^63, so no 64-bit overflow under ANSI mode
     * (Spark 4 default).

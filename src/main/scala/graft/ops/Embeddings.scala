@@ -34,6 +34,23 @@ object Embeddings {
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("label"), transform(col("pc"), p => p.getField("c")).as("centroid"))
 
+  /** Symmetric int8 scalar quantization (long form: id, pos, q) — the 4×
+    * storage cut for a 100 TB embedding store. q = floor(x·127/amax + 0.5):
+    * floor-plus-half instead of round() because double round() half-cases
+    * are not portable across engines, floor is. 1-based pos (SQL array
+    * convention, as [[centroidComponents]]).
+    */
+  def quantizeInt8(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val amax = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    embeddings
+      .withColumn("__amax", amax)
+      .select(col(idCol), col("__amax"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col(idCol), (col("pos") + 1).cast("int").as("pos"),
+        when(col("__amax") === 0.0, lit(0))
+          .otherwise(floor(col("x").cast("double") * 127.0 / col("__amax") + 0.5))
+          .cast("int").as("q"))
+  }
+
   /** Assign each vector to the nearest centroid by cosine (broadcast the
     * centroid table; linear scan, no shuffle).
     */

@@ -95,6 +95,16 @@ class DedupSpec extends SparkSpec {
     assert(sharedSub == directSub)
   }
 
+  test("contamination: benchmark members 1.0, overlapping docs fractional, clean 0") {
+    val bench = docs.filter(col("doc_id") === 1L)
+    val c = Dedup.contamination(docs, bench, "doc_id", "text", n = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(c(1L) == 1.0)
+    assert(c(3L) == 1.0)            // exact dup of 1 -> same shingles
+    assert(c(2L) > 0.0 && c(2L) < 1.0) // near-dup shares a strict subset
+    assert(c(4L) == 0.0 && c(5L) == 0.0)
+  }
+
   test("stop-shingle removal caps hot shingles") {
     val many = (1L to 50L).map(i => (i, s"common prefix words here tail$i")).toDF("doc_id", "text")
     val idx = Dedup.shingleIndex(many, "doc_id", "text", 3, maxDocFreq = 10)

@@ -26,4 +26,17 @@ class EmbeddingsSpec extends SparkSpec {
       .select("vec_id", "assigned_label").as[(Long, Int)].collect().toMap
     assert(got == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1))
   }
+
+  test("int8 quantization: symmetric, max maps to ±127, zero vector to 0") {
+    val v = Seq(
+      (0L, Seq(2.0f, -1.0f, 0.0f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Embeddings.quantizeInt8(v, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(q((0L, 1)) == 127)   // amax element
+    assert(q((0L, 2)) == -63)   // floor(-63.5 + 0.5) = -63
+    assert(q((0L, 3)) == 0)
+    assert(Seq(1, 2, 3).forall(p => q((1L, p)) == 0)) // zero vector guard
+  }
 }
