@@ -57,6 +57,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("partitioned silver table: month filter prunes partitions at the scan") {
+    val wh = tmpDir("plan-prune")
+    val m = new graft.pipeline.Medallion(spark, wh, dir)
+    m.runBronze(); m.runSilver()
+    val months = m.silverTxn.read.select("ship_month").distinct()
+      .orderBy("ship_month").limit(1).collect().map(_.getString(0))
+    val df = m.silverTxn.read.filter(col("ship_month") === months.head)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*ship_month[^\\]]*\\]".r.findFirstIn(plan)
+    assert(pf.isDefined, plan)
+  }
+
   test("q03 filter predicates reach the parquet scan") {
     val df = SparkEntry.queries("q03_filter_range")(spark, dir)
     df.count()
