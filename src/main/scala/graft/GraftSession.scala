@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The library's session entry point: one place that encodes the Spark
+  * configuration this engine is designed around, so every main / notebook /
+  * job starts from the same contract instead of re-deriving it.
+  *
+  * What the knobs mean at 100 TB (see SCALING.md for the per-operator
+  * analysis):
+  *  - `spark.sql.shuffle.partitions`: sized to the executor slot count
+  *    locally; on a real cluster set ≈ 2-3× total cores (AQE coalesces
+  *    down, it cannot split a too-coarse setting upward as cheaply).
+  *  - AQE on (default in Spark 4): runtime re-planning, skew-join
+  *    splitting, dynamic coalescing — the engine's plans assume it.
+  *  - `nanosAsLong`: the event feed carries nanosecond parquet timestamps;
+  *    without this flag Spark 4 refuses the file
+  *    (PARQUET_TYPE_ILLEGAL). [[graft.model.Tables.events]] then floors
+  *    them to the microsecond grid.
+  *  - UTC session timezone: all date arithmetic in the engine (and its
+  *    DuckDB oracle twin) is timezone-free by contract.
+  */
+object GraftSession {
+
+  /** Builder with the engine's contract applied; caller may override or
+    * add configs before `getOrCreate()`.
+    */
+  def builder(appName: String = "graft",
+              master: Option[String] = None,
+              shufflePartitions: Option[Int] = None): SparkSession.Builder = {
+    val cores = Runtime.getRuntime.availableProcessors()
+    val b = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions",
+        shufflePartitions.getOrElse(cores).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+    master.fold(b)(m => b.master(m))
+  }
+
+  /** Local session at the machine's core count — what Bench/Verify and the
+    * smoke tools run on (`SPARK_GRAFT_CPUS` overrides).
+    */
+  def local(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    builder(appName, Some(s"local[$cpus]"), Some(cpus.toInt)).getOrCreate()
+  }
+}

@@ -128,6 +128,30 @@ object EventStreaming {
       }
       .start()
 
+  /** One-shot backfill THROUGH the streaming path: a file-source stream
+    * with `Trigger.AvailableNow` drains everything currently in `srcPath`
+    * into the managed table via the merge sink, then stops. The checkpoint
+    * makes it incremental — re-running after new files land processes ONLY
+    * the new files (asserted in spec). This is how a 100 TB historical
+    * load and the live stream share one code path and one exactly-once-
+    * per-key contract.
+    */
+  def backfillOnce(spark: SparkSession, srcPath: String,
+                   schema: org.apache.spark.sql.types.StructType,
+                   table: graft.table.ManagedTable, keys: Seq[String],
+                   checkpoint: String): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(srcPath)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        table.merge(batch.dropDuplicates(keys), keys)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming sessionization: per-user state machine in
     * `flatMapGroupsWithState` — closes a session when the gap is exceeded
     * (emitting it) and keeps the open session in state across triggers.

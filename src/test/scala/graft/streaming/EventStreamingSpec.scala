@@ -129,6 +129,23 @@ class EventStreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("backfillOnce drains files via AvailableNow; rerun picks up only new files") {
+    val src = tmpDir("bf-src"); val ckpt = tmpDir("bf-ckpt")
+    val table = new graft.table.ManagedTable(spark, tmpDir("bf-tbl") + "/t")
+    val schema = Seq((1L, "a")).toDF("k", "v").schema
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.mode("append").parquet(src)
+    backfillOnce(spark, src, schema, table, Seq("k"), ckpt)
+    assert(table.read.count() == 2)
+    // new file lands; rerun with the same checkpoint merges only the delta
+    Seq((2L, "B"), (3L, "c")).toDF("k", "v").write.mode("append").parquet(src)
+    backfillOnce(spark, src, schema, table, Seq("k"), ckpt)
+    assert(table.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    // two backfill runs -> bootstrap-free history: OVERWRITE then MERGE
+    assert(table.history().collect().map(_.getAs[String]("operation")).toSeq
+      == Seq("MERGE", "OVERWRITE"))
+  }
+
   test("batch sessionization: gaps-and-islands on a crafted timeline") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00"), 100L, "c", 1.0),
