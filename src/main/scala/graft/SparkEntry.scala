@@ -191,6 +191,19 @@ object SparkEntry {
         .withColumn("value", col("value") * lit(2.0)), Seq("event_id"))
       t.readVersion(0).orderBy("event_id")
     }),
+    "q84_table_changes" -> ((s, d) => {
+      // change-data-feed between two logged versions (time travel composed
+      // with the snapshot diff); no deletes here since v0's keys ⊆ v1's
+      val wh = java.nio.file.Files.createTempDirectory("graft-cdf").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/t")
+      val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+      t.overwrite(ev.filter(col("event_id") % 10 < 8))
+      t.merge(ev.filter(col("event_id") % 10 >= 5)
+        .withColumn("value", col("value") * lit(2.0)), Seq("event_id"))
+      t.changes(0, 1, Seq("event_id"))
+        .select("event_id", "change_type")
+        .orderBy("event_id")
+    }),
     "q18_incremental_append" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val daily = ev.withColumn("date", to_date(col("ts")))
@@ -1002,6 +1015,19 @@ object SparkEntry {
     "q76_time_travel" ->
       """SELECT event_id, user_id, value FROM events WHERE event_id % 10 < 8
          ORDER BY event_id""",
+    "q84_table_changes" ->
+      """WITH v0 AS (SELECT event_id, user_id, value FROM events
+                     WHERE event_id % 10 < 8),
+         v1 AS (SELECT event_id, user_id,
+                  CASE WHEN event_id % 10 >= 5 THEN value * 2 ELSE value END AS value
+                FROM events)
+         SELECT COALESCE(a.event_id, b.event_id) AS event_id,
+           CASE WHEN b.event_id IS NULL THEN 'insert'
+                WHEN a.event_id IS NULL THEN 'delete'
+                WHEN a.user_id = b.user_id AND a.value = b.value THEN 'unchanged'
+                ELSE 'update' END AS change_type
+         FROM v1 a FULL JOIN v0 b ON a.event_id = b.event_id
+         ORDER BY 1""",
     "q18_incremental_append" ->
       """WITH daily AS (
            SELECT CAST(ts AS DATE) AS date,

@@ -153,6 +153,16 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       }.reduce(_ unionByName _)
   }
 
+  /** Change-data-feed between two logged versions (Delta's
+    * `table_changes`): rows of `toV` vs `fromV` classified as
+    * insert / delete / update / unchanged on `keys` — time travel composed
+    * with [[Merge.snapshotDiff]]'s hash-compared full-outer join, so the
+    * feed is computed from snapshots, not captured at write time (no write
+    * amplification; cost is two manifest reads + one key join).
+    */
+  def changes(fromV: Long, toV: Long, keys: Seq[String]): DataFrame =
+    Merge.snapshotDiff(readVersion(fromV), readVersion(toV), keys)
+
   /** Drop retained snapshot dirs (and nothing else): versions whose data
     * lives only in a retained dir become unreadable, like Delta's VACUUM
     * past the retention window. The live dir and the log stay intact.

@@ -202,6 +202,17 @@ class ManagedTableSpec extends SparkSpec {
     assert(v1 == Seq((1L, "a", "p1"), (2L, "B", "p2"), (3L, "c", "p3")))
   }
 
+  test("changes(v1, v2) classifies the delta between two versions") {
+    val t = freshTable("mt-cdf")
+    t.overwrite(Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "v"))   // v0
+    t.merge(Seq((2L, "B"), (3L, "c")).toDF("k", "v"), Seq("k"))        // v1
+    t.delete(col("k") === 4L)                                          // v2
+    val cdf = t.changes(0, 2, Seq("k"))
+      .select("k", "change_type").as[(Long, String)].collect().toMap
+    assert(cdf == Map(1L -> "unchanged", 2L -> "update",
+      3L -> "insert", 4L -> "delete"))
+  }
+
   test("vacuumVersions drops retained snapshots; current read unaffected") {
     val t = freshTable("mt-vac")
     t.overwrite(Seq((1L, "a")).toDF("k", "v"))
