@@ -61,10 +61,24 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       .foldLeft(-1L)(math.max)
 
   /** Tables created before the log existed get their current state recorded
-    * as version 0 before the first logged mutation touches it.
+    * as version 0 before the first logged mutation touches it; a live dir
+    * that diverged from the last commit (a crash between swap and commit,
+    * or an out-of-band writer) gets recorded as a RECOVER version first, so
+    * no observed table state is ever missing from the log.
     */
   private def ensureBootstrapped(): Unit =
     if (exists && version < 0) commit("BOOTSTRAP", Nil)
+    else if (exists) {
+      val sidecar = new Path(logDir, "_latest_files.txt")
+      if (fs.exists(sidecar)) {
+        val in = fs.open(sidecar)
+        val recorded = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toSet finally in.close()
+        val live = listParquet(new Path(path))
+          .map(f => fs.makeQualified(new Path(f._1)).toString).toSet
+        if (live != recorded) commit("RECOVER", Nil)
+      }
+    }
 
   private def jstr(s: String): String =
     "\"" + s.flatMap {
@@ -93,6 +107,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     fs.mkdirs(logDir)
     val out = fs.create(new Path(logDir, f"v$v%05d.json"), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
+    // consistency sidecar: what the live dir held at this commit (drives
+    // the RECOVER check in ensureBootstrapped)
+    val side = fs.create(new Path(logDir, "_latest_files.txt"), true)
+    try side.write(files.map(_._1).sorted.mkString("\n").getBytes("UTF-8"))
+    finally side.close()
   }
 
   /** Rewrite manifests after data under `oldRoot` moved to `newRoot`.

@@ -223,6 +223,22 @@ class ManagedTableSpec extends SparkSpec {
     assert(t.read.as[(Long, String)].collect().toSeq == Seq((2L, "b")))
   }
 
+  test("out-of-band writes are recorded as a RECOVER version before mutating") {
+    val t = freshTable("mt-recover")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))                       // v0
+    // an external writer (or a crash between swap and commit) changes the
+    // live dir without a log entry
+    Seq((9L, "z")).toDF("k", "v").write.mode("append").parquet(t.path)
+    t.merge(Seq((2L, "b")).toDF("k", "v"), Seq("k"))                 // RECOVER + MERGE
+    assert(t.history().collect().map(_.getAs[String]("operation")).toSeq ==
+      Seq("MERGE", "RECOVER", "OVERWRITE"))
+    // the recovered intermediate state is itself time-travelable
+    assert(t.readVersion(1).orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (9L, "z")))
+    assert(t.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (9L, "z")))
+  }
+
   test("pre-log tables bootstrap their current state as version 0") {
     val dir = tmpDir("mt-boot") + "/t"
     Seq((1L, "a")).toDF("k", "v").write.parquet(dir) // written outside ManagedTable
