@@ -70,6 +70,27 @@ class PlanSpec extends SparkSpec {
     assert(pf.isDefined, plan)
   }
 
+  test("q12's selective fact-fact join gets a runtime bloom filter at scale settings") {
+    // At 100 TB the suspicious-lineitem filter is selective and orders is a
+    // full fact scan — Catalyst's InjectRuntimeFilter should prune the
+    // orders side with a bloom filter built from the filtered side. Forced
+    // shuffle-join + permissive thresholds emulate the at-scale decision.
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100GB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val df = SparkEntry.queries("q12_fraud_analysis")(spark, dir)
+      assert(df.queryExecution.optimizedPlan.toString.contains("might_contain"),
+        df.queryExecution.optimizedPlan.toString)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("q03 filter predicates reach the parquet scan") {
     val df = SparkEntry.queries("q03_filter_range")(spark, dir)
     df.count()
