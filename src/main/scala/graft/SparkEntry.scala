@@ -526,6 +526,20 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // ---- JSON-lines round-trip (file-level JSON source/sink) ----
+    "q85_json_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val out = s"/tmp/graft_json_roundtrip_${new java.io.File(d).getName}"
+      graft.io.Io.writeJson(Tables.nation(s, d), out)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      graft.io.Io.readJson(s, out, Some(schema))
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), min("n_name").as("first_nation"))
+        .orderBy("n_regionkey")
+    }),
+
     // ---- Moving windows / exact quantiles ----
     "q54_moving_avg" -> ((s, d) => {
       val daily = Tables.orders(s, d)
@@ -1241,6 +1255,9 @@ object SparkEntry {
          FROM ev e JOIN w ON e.event_type = w.event_type
            AND e.t >= w.w_start AND e.t < w.w_end
          GROUP BY 1 ORDER BY e.event_type""",
+    "q85_json_roundtrip" ->
+      """SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_nation
+         FROM nation GROUP BY 1 ORDER BY n_regionkey""",
     "q53_csv_roundtrip" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal

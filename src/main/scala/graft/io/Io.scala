@@ -51,6 +51,21 @@ object Io {
       .option("dateFormat", dateFormat)
       .csv(path)
 
+  /** JSON-lines source/sink — the third standard file format an engine
+    * user expects besides parquet/CSV. Explicit schema preferred (JSON
+    * inference needs an extra pass and widens types); compression defaults
+    * to gzip for the interchange-file use case.
+    */
+  def readJson(spark: SparkSession, path: String,
+               schema: Option[StructType] = None): DataFrame =
+    schema match {
+      case Some(s) => spark.read.schema(s).json(path)
+      case None    => spark.read.json(path)
+    }
+
+  def writeJson(df: DataFrame, path: String, compression: String = "gzip"): Unit =
+    df.write.mode("overwrite").option("compression", compression).json(path)
+
   /** S5 — single-file export: `coalesce(1)` then rename the part file
     * (deltalake.ipynb:312 + 324–329 cell 3). Driver-edge only by design —
     * a single output file is inherently non-parallel.

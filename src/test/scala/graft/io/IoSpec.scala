@@ -66,4 +66,15 @@ class IoSpec extends SparkSpec {
     val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
     assert(files >= 4)
   }
+
+  test("json-lines round-trip with gzip compression preserves rows") {
+    val dir = tmpDir("io-json")
+    val df = Seq((1, "a", 1.5), (2, "b", -0.25)).toDF("k", "name", "x")
+    Io.writeJson(df, dir)
+    val gz = new java.io.File(dir).listFiles.count(_.getName.endsWith(".json.gz"))
+    assert(gz >= 1, "expected gzip part files")
+    val back = Io.readJson(spark, dir, Some(df.schema))
+      .orderBy("k").as[(Int, String, Double)].collect().toSeq
+    assert(back == Seq((1, "a", 1.5), (2, "b", -0.25)))
+  }
 }
