@@ -67,6 +67,16 @@ class IoSpec extends SparkSpec {
     assert(files >= 4)
   }
 
+  test("parquet zstd codec round-trips and writes .zstd part files") {
+    val dir = tmpDir("io-zstd")
+    val df = spark.range(1000).toDF("id")
+    Io.writeParquet(df, dir, codec = "zstd")
+    val zstd = new java.io.File(dir).listFiles
+      .count(_.getName.endsWith(".zstd.parquet"))
+    assert(zstd >= 1, "expected zstd part files")
+    assert(Io.readParquet(spark, dir).count() == 1000)
+  }
+
   test("json-lines round-trip with gzip compression preserves rows") {
     val dir = tmpDir("io-json")
     val df = Seq((1, "a", 1.5), (2, "b", -0.25)).toDF("k", "name", "x")
