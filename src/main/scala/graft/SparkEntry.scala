@@ -377,6 +377,17 @@ object SparkEntry {
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type")
     }),
+    "q86_variant" -> ((s, d) => {
+      // Spark 4 VARIANT: open-schema semi-structured path (parse once,
+      // extract typed fields lazily) — the modern complement to q68's
+      // explicit-schema parse; binary-encoded, no per-row schema inference
+      val ev = Tables.events(s, d)
+      ev.withColumn("v", parse_json(col("props")))
+        .withColumn("k", expr("variant_get(v, '$.k', 'long')"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        .orderBy("event_type")
+    }),
     "q68_json_schema" -> ((s, d) => {
       // typed parse via from_json with an explicit schema (the scalable
       // path: no per-row schema inference)
@@ -1156,6 +1167,10 @@ object SparkEntry {
              (SELECT CAST(SUM(CASE WHEN NOT (l_returnflag IN ('A','N','R')) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem) FROM t)
          SELECT "constraint", n_rows, n_violations, (n_violations = 0) AS pass
          FROM u ORDER BY "constraint"""",
+    "q86_variant" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
+         FROM events GROUP BY 1 ORDER BY event_type""",
     "q67_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -39,4 +39,20 @@ class EmbeddingsSpec extends SparkSpec {
     assert(q((0L, 3)) == 0)
     assert(Seq(1, 2, 3).forall(p => q((1L, p)) == 0)) // zero vector guard
   }
+
+  test("quantization round-trip error is bounded by amax/254 (seeded property)") {
+    val r = new scala.util.Random(7)
+    val rows = (0L until 50L).map(i => (i, Seq.fill(16)((r.nextFloat() - 0.5f) * 10f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = Embeddings.quantizeInt8(df, "vec_id", "embedding").collect()
+      .map(row => (row.getLong(0), row.getInt(1)) -> row.getInt(2)).toMap
+    rows.foreach { case (id, vec) =>
+      val amax = vec.map(x => math.abs(x.toDouble)).max
+      vec.zipWithIndex.foreach { case (x, i) =>
+        val deq = q((id, i + 1)) * amax / 127.0
+        assert(math.abs(x.toDouble - deq) <= amax / 254.0 + 1e-9,
+          s"id=$id pos=${i + 1} x=$x deq=$deq")
+      }
+    }
+  }
 }
