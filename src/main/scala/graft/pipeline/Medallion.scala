@@ -112,7 +112,8 @@ final class Medallion(spark: SparkSession, warehouse: String, sfDir: String) {
   }
 
   /** Count-reconciliation audit (SURVEY.md §5.4 — the reference's row-count
-    * prints as an assertion surface).
+    * prints as an assertion surface). Re-scans each layer; prefer
+    * [[observedSilver]]-style in-flight metrics when the table is large.
     */
   def audit(): Map[String, Long] = Map(
     "bronze_lineitem" -> bronzeLineitem.read.count(),
@@ -120,4 +121,20 @@ final class Medallion(spark: SparkSession, warehouse: String, sfDir: String) {
     "gold_client_stats" -> goldClient.read.count(),
     "gold_daily_metrics" -> goldDaily.read.count(),
     "gold_fraud_analysis" -> goldFraud.read.count())
+
+  /** Silver refresh with IN-FLIGHT audit metrics (`Dataset.observe`): row
+    * count, suspicious count and total amount are accumulated DURING the
+    * write — at 100 TB this replaces `audit()`'s second full scan with
+    * zero extra work. Returns the observed metrics after the write action.
+    */
+  def runSilverObserved(): Map[String, Any] = {
+    val obs = new org.apache.spark.sql.Observation("silver_audit")
+    val df = silverTransactions(bronzeLineitem.read, bronzeOrders.read)
+      .observe(obs,
+        count(lit(1)).as("rows"),
+        sum(when(col("is_suspicious"), 1L).otherwise(0L)).as("suspicious_rows"),
+        sum(col("amount")).cast("double").as("total_amount"))
+    silverTxn.overwrite(df, Seq("ship_month"))
+    obs.get
+  }
 }

@@ -23,6 +23,18 @@ class MedallionSpec extends SparkSpec {
     assert(a("gold_daily_metrics") > 0 && a("gold_fraud_analysis") > 0)
   }
 
+  test("observed silver write collects audit metrics in-flight (no re-scan)") {
+    val m = new Medallion(spark, tmpDir("medallion-obs") + "/wh", sfDir)
+    m.runBronze()
+    val metrics = m.runSilverObserved()
+    val silver = m.silverTxn.read
+    assert(metrics("rows") == silver.count())
+    assert(metrics("suspicious_rows") ==
+      silver.filter(col("is_suspicious")).count())
+    val total = silver.agg(sum(col("amount")).cast("double")).head.getDouble(0)
+    assert(math.abs(metrics("total_amount").asInstanceOf[Double] - total) < 1e-6)
+  }
+
   test("incremental merge is idempotent and adds only new keys") {
     val wh = tmpDir("medallion-inc") + "/wh"
     val m = new Medallion(spark, wh, sfDir)
