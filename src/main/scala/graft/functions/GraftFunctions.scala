@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   *  - `vec_dot(a, b)` — strict-fold double dot product ([[DotProduct]])
   *  - `vec_cosine(a, b)` — cosine similarity on top of it
+  *  - `rolling_hash(s)` — the polynomial fingerprint ([[RollingHash]])
   *
   * Two registration paths:
   *  1. [[GraftExtensions]] via `spark.sql.extensions=graft.functions.GraftExtensions`
@@ -38,7 +39,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     ("vec_cosine",
       new ExpressionInfo(classOf[DotProduct].getName, "vec_cosine"),
-      cosineExpr _))
+      cosineExpr _),
+    ("rolling_hash",
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (args: Seq[Expression]) => RollingHash(args(0))))
 
   /** Register into a live session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -20,6 +20,14 @@ class FunctionsSpec extends SparkSpec {
     assert(c == expect)
   }
 
+  test("rolling_hash SQL function matches the Column API") {
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT rolling_hash('hello world')").as[Long].head()
+    val viaCol = Seq("hello world").toDF("s")
+      .select(RollingHash.rolling_hash(col("s"))).as[Long].head()
+    assert(viaSql == viaCol)
+  }
+
   test("MinHashAgg signature equals the explode+MIN-columns plan") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

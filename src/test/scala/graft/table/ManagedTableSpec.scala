@@ -213,6 +213,15 @@ class ManagedTableSpec extends SparkSpec {
       3L -> "insert", 4L -> "delete"))
   }
 
+  test("readVersion preserves each version's own schema across evolution") {
+    val t = freshTable("mt-tt-schema")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))                          // v0: 2 cols
+    t.overwrite(Seq((1L, "a", 9.5)).toDF("k", "v", "score"))            // v1: 3 cols
+    assert(t.readVersion(0).columns.toSeq == Seq("k", "v"))
+    assert(t.readVersion(1).columns.toSeq == Seq("k", "v", "score"))
+    assert(t.readVersion(0).as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
   test("vacuumVersions drops retained snapshots; current read unaffected") {
     val t = freshTable("mt-vac")
     t.overwrite(Seq((1L, "a")).toDF("k", "v"))
