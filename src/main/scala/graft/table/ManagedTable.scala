@@ -172,6 +172,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       }.reduce(_ unionByName _)
   }
 
+  /** Timestamp-pinned read (Delta's `TIMESTAMP AS OF`): the latest version
+    * committed at or before `ts` (ISO-8601 instant). Resolved from the
+    * commit log's timestamps, then delegated to [[readVersion]].
+    */
+  def readAsOf(ts: String): DataFrame = {
+    val cutoff = java.time.Instant.parse(ts)
+    val vs = history().select("version", "timestamp").collect()
+      .map(r => (r.getAs[Long]("version"),
+        java.time.Instant.parse(r.getAs[String]("timestamp"))))
+      .filter { case (_, t) => !t.isAfter(cutoff) }
+    require(vs.nonEmpty, s"no version committed at or before $ts")
+    readVersion(vs.map(_._1).max)
+  }
+
   /** Change-data-feed between two logged versions (Delta's
     * `table_changes`): rows of `toV` vs `fromV` classified as
     * insert / delete / update / unchanged on `keys` — time travel composed

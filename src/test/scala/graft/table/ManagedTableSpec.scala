@@ -213,6 +213,21 @@ class ManagedTableSpec extends SparkSpec {
       3L -> "insert", 4L -> "delete"))
   }
 
+  test("readAsOf resolves the latest version at or before a timestamp") {
+    val t = freshTable("mt-asof")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))                          // v0
+    val betweenTs = java.time.Instant.now().toString
+    Thread.sleep(5)
+    t.overwrite(Seq((2L, "b")).toDF("k", "v"))                          // v1
+    assert(t.readAsOf(betweenTs).as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a")))
+    assert(t.readAsOf(java.time.Instant.now().toString)
+      .as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+    intercept[IllegalArgumentException] {
+      t.readAsOf("2000-01-01T00:00:00Z")
+    }
+  }
+
   test("readVersion preserves each version's own schema across evolution") {
     val t = freshTable("mt-tt-schema")
     t.overwrite(Seq((1L, "a")).toDF("k", "v"))                          // v0: 2 cols
