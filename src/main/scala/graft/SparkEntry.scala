@@ -687,6 +687,11 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- Typed cogroup (two-sided per-key processing) ----
+    "q87_cogroup_reconcile" -> ((s, d) =>
+      Relational.reconcileOrderTotals(s, Tables.orders(s, d), Tables.lineitem(s, d))
+        .orderBy("o_orderkey")),
+
     // ---- SQL entry point (E2: spark.sql over registered views) ----
     "q44_sql_entry" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
@@ -985,6 +990,12 @@ object SparkEntry {
                   tk -> len(list_filter(words, x -> x = tk)))) AS DOUBLE)
              / len(words) AS top_word_share
          FROM b ORDER BY doc_id""",
+    "q87_cogroup_reconcile" ->
+      """SELECT o_orderkey, o_totalprice AS o_total,
+           CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 0) AS DOUBLE) AS line_sum,
+           CAST(COUNT(l_orderkey) AS BIGINT) AS n_lines
+         FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+         GROUP BY 1, 2 ORDER BY o_orderkey""",
     "q81_interval_join" ->
       """WITH ev AS (SELECT event_id, date_trunc('second', ts) AS ts, user_id, value
                      FROM events)

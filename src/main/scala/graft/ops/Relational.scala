@@ -176,4 +176,38 @@ object Relational {
     val w = Window.partitionBy(col(groupCol)).orderBy(desc(measure), col(tieBreak))
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
+
+  /** Order-total reconciliation via typed `cogroup` — the Dataset API's
+    * two-sided per-key processing: each order key sees BOTH its header row
+    * and all its line rows in one function call (arbitrary per-key logic
+    * that joins can't express in general; here the logic is deliberately
+    * join-expressible so the DuckDB oracle can verify the operator, q87).
+    *
+    * Determinism: line amounts accumulate in BigDecimal (exact, therefore
+    * iterator-order-independent — cogroup iterators have no defined order)
+    * and convert to double once, matching the [[dsum]] contract. Scale:
+    * cogroup shuffles both sides on the key exactly once (one Exchange
+    * each) — same cost shape as a shuffle join, and bucketed layouts
+    * co-locate it the same way.
+    */
+  def reconcileOrderTotals(spark: SparkSession, orders: DataFrame,
+                           lineitem: DataFrame): DataFrame = {
+    import spark.implicits._
+    val o = orders
+      .select(col("o_orderkey").cast("long"), col("o_totalprice").cast("double"))
+      .as[(Long, Double)].groupByKey(_._1)
+    val l = lineitem
+      .select(col("l_orderkey").cast("long"), col("l_extendedprice").cast("double"))
+      .as[(Long, Double)].groupByKey(_._1)
+    o.cogroup(l) { (k, os, ls) =>
+      val header = os.toSeq.headOption
+      var n = 0L
+      var sum = java.math.BigDecimal.ZERO
+      ls.foreach { x =>
+        n += 1
+        sum = sum.add(new java.math.BigDecimal(x._2.toString))
+      }
+      header.map(h => (k, h._2, sum.doubleValue(), n)).iterator
+    }.toDF("o_orderkey", "o_total", "line_sum", "n_lines")
+  }
 }
