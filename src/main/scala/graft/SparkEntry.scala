@@ -335,7 +335,9 @@ object SparkEntry {
         .orderBy("source")
     }),
     "q72_token_packing" -> ((s, d) =>
-      Sampling.packByTokenBudget(
+      // distributed two-pass prefix sum — identical shards to the global
+      // window form (SamplingSpec), no single-partition stage
+      Sampling.packByTokenBudgetDistributed(
           Tables.documents(s, d)
             .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("tokens")),
           "doc_id", "tokens", budget = 2000L)

@@ -68,9 +68,8 @@ object Sampling {
 
   /** Token-budget shard packing: documents in a stable order are packed
     * greedily into shards of ≈`budget` tokens (shard id = exclusive running
-    * token sum ÷ budget). One global window at driver-of-order granularity —
-    * at scale, pack per partition-range instead (same expression over a
-    * range-partitioned sort).
+    * token sum ÷ budget). One global window — fine up to millions of rows;
+    * [[packByTokenBudgetDistributed]] is the identical-result scale form.
     */
   def packByTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
                         budget: Long): DataFrame = {
@@ -79,5 +78,44 @@ object Sampling {
     df.withColumn("__cum", sum(col(tokenCol)).over(w))
       .withColumn("shard", floor((col("__cum") - col(tokenCol)) / budget).cast("long"))
       .drop("__cum")
+  }
+
+  /** [[packByTokenBudget]] without the single-partition global window — the
+    * classic two-pass distributed prefix sum:
+    *
+    *   1. range-partition by id (the pack order) and cumsum WITHIN each
+    *      partition (parallel windows);
+    *   2. collect one total per partition (N partition sums, driver-tiny),
+    *      turn them into exclusive per-partition offsets, and add the
+    *      offset back as a broadcast map literal.
+    *
+    * The global running sum — and therefore every shard id — is identical
+    * to the global-window form for any partition count (asserted in spec):
+    * the prefix sum over a total order is independent of where the
+    * partition boundaries fall.
+    */
+  def packByTokenBudgetDistributed(df: DataFrame, idCol: String, tokenCol: String,
+                                   budget: Long, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, col(idCol))
+      .sortWithinPartitions(idCol)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // pin partitioning: pass 2 must see pass 1's pids
+    val ptotals = sorted.groupBy("__pid")
+      .agg(sum(col(tokenCol).cast("long")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until n).scanLeft(0L)((acc, p) => acc + ptotals.getOrElse(p, 0L))
+    val offsetExpr =
+      if (n == 1) lit(0L)
+      else element_at(
+        map((0 until n).flatMap(p => Seq(lit(p), lit(offsets(p)))): _*), col("__pid"))
+    val w = Window.partitionBy("__pid").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted
+      .withColumn("__cum", sum(col(tokenCol).cast("long")).over(w) + offsetExpr)
+      .withColumn("shard", floor((col("__cum") - col(tokenCol)) / budget).cast("long"))
+      .drop("__cum", "__pid")
   }
 }

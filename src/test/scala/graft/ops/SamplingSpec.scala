@@ -72,4 +72,18 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(a == b)
   }
+
+  test("distributed token packing equals the global-window form (any partitioning)") {
+    val r = new scala.util.Random(11)
+    val docs = (1L to 500L).map(i => (i, 1L + r.nextInt(400).toLong))
+      .toDF("doc_id", "tokens")
+    val global = Sampling.packByTokenBudget(docs, "doc_id", "tokens", budget = 1000L)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    for (parts <- Seq(1, 3, 7, 16)) {
+      val dist = Sampling.packByTokenBudgetDistributed(
+          docs.repartition(5), "doc_id", "tokens", budget = 1000L, partitions = parts)
+        .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+      assert(dist == global, s"partitions=$parts")
+    }
+  }
 }
