@@ -647,6 +647,16 @@ object SparkEntry {
           "doc_id", "text", n = 3)
         .orderBy("doc_id")
     }),
+    "q88_dedup_incremental" -> ((s, d) => {
+      // rows-only (minhash family); the daily-ingest dedup: new batch vs
+      // the existing corpus's signature store, then within-batch
+      val docs = Tables.documents(s, d)
+      val existing = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 =!= 0)
+      val existingSig = Dedup.minhashSignatures(existing, "doc_id", "text", 3, 32)
+      val (kept, _) = Dedup.dedupIncremental(batch, "doc_id", "text", existingSig)
+      kept.select("doc_id", "lang", "source").orderBy("doc_id")
+    }),
     "q48_dedup_corpus" -> ((s, d) =>
       Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text", minEstSim = 0.9,
           signatures = Some(docSignatures(s, d)))

@@ -209,16 +209,24 @@ object Dedup {
     * (signatures are per-doc values, independent of corpus membership, so a
     * cached table semi-joined to any doc subset is exact).
     */
-  def minhashLshPairsFromSignatures(sig: DataFrame, numHashes: Int = 32,
-                                    bands: Int = 8,
-                                    minEstSim: Double = 0.5): DataFrame = {
+  /** Explode a signature table into (doc_id, sig, band, bh) band-bucket
+    * rows — the LSH join key material shared by the self-join and the
+    * across-corpora variants.
+    */
+  private def bandBuckets(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val banded = sig.select(col("doc_id"), col("sig"),
+    sig.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         bi => struct(bi.as("band"), xxhash64(slice(col("sig"), bi * r + 1, lit(r))).as("bh"))))
         .as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+  }
+
+  def minhashLshPairsFromSignatures(sig: DataFrame, numHashes: Int = 32,
+                                    bands: Int = 8,
+                                    minEstSim: Double = 0.5): DataFrame = {
+    val banded = bandBuckets(sig, numHashes, bands)
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -293,6 +301,45 @@ object Dedup {
     }
     val labels = parent.keys.toSeq.map(id => (id, find(id)))
     labels.toDF("id", "label")
+  }
+
+  /** New-batch doc ids that near-match ANY existing-corpus doc, via the
+    * band-bucket join of the two signature tables — the existing corpus is
+    * represented only by its (small) signature store, never rescanned.
+    */
+  def minhashMatchesAcross(newSig: DataFrame, existingSig: DataFrame,
+                           numHashes: Int = 32, bands: Int = 8,
+                           minEstSim: Double = 0.9): DataFrame = {
+    val a = bandBuckets(newSig, numHashes, bands).as("a")
+    val b = bandBuckets(existingSig, numHashes, bands).as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("doc_id"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          eq => eq)).cast("double") / numHashes).as("est_sim"))
+      .filter(col("est_sim") >= minEstSim)
+      .select("doc_id").distinct()
+  }
+
+  /** Incremental corpus dedup — the daily-ingest form: drop new docs that
+    * near-match the EXISTING corpus (via its signature table), then
+    * near-dedup WITHIN the surviving batch. Returns the kept new docs and
+    * their signatures (append them to the signature store for the next
+    * batch). Cost scales with the batch, not the corpus: the corpus
+    * contributes only its signatures to one band-bucket join.
+    */
+  def dedupIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+                       existingSignatures: DataFrame,
+                       n: Int = 3, minEstSim: Double = 0.9): (DataFrame, DataFrame) = {
+    val newSig = minhashSignatures(newDocs, idCol, textCol, n, numHashes = 32)
+      .localCheckpoint() // used by the cross join, the batch dedup, and the return
+    val dupOfExisting = minhashMatchesAcross(newSig, existingSignatures,
+      minEstSim = minEstSim)
+    val fresh = newDocs.join(dupOfExisting,
+      newDocs(idCol) === dupOfExisting("doc_id"), "left_anti")
+    val kept = dedupCorpus(fresh, idCol, textCol, n = n, minEstSim = minEstSim,
+      signatures = Some(newSig))
+    val keptSig = newSig.join(kept.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
+    (kept, keptSig)
   }
 
   /** End-to-end corpus dedup: candidate pairs (MinHash LSH) → connected

@@ -105,6 +105,27 @@ class DedupSpec extends SparkSpec {
     assert(c(4L) == 0.0 && c(5L) == 0.0)
   }
 
+  test("incremental dedup: batch docs matching the existing corpus are dropped") {
+    // existing corpus = doc 1 only, represented by its signature store
+    val existingSig = Dedup.minhashSignatures(
+      docs.filter(col("doc_id") === 1L), "doc_id", "text", n = 3, numHashes = 32)
+    val batch = docs.filter(col("doc_id") =!= 1L) // 2,3,4,5
+    val (kept, keptSig) = Dedup.dedupIncremental(batch, "doc_id", "text", existingSig)
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(3L))            // exact dup of existing doc 1
+    assert(ids.contains(4L) && ids.contains(5L))
+    assert(ids.contains(2L))             // near- but not 0.9-dup of doc 1
+    // returned signatures cover exactly the kept docs (store append-ready)
+    assert(keptSig.select("doc_id").as[Long].collect().toSet == ids)
+    // a second batch with a dup of a KEPT doc is dropped against the
+    // appended store
+    val store = existingSig.unionByName(keptSig)
+    val batch2 = Seq((10L, "completely different text about spark engines and data"))
+      .toDF("doc_id", "text") // exact dup of kept doc 4
+    val (kept2, _) = Dedup.dedupIncremental(batch2, "doc_id", "text", store)
+    assert(kept2.count() == 0)
+  }
+
   test("stop-shingle removal caps hot shingles") {
     val many = (1L to 50L).map(i => (i, s"common prefix words here tail$i")).toDF("doc_id", "text")
     val idx = Dedup.shingleIndex(many, "doc_id", "text", 3, maxDocFreq = 10)
