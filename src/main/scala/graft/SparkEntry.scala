@@ -325,6 +325,17 @@ object SparkEntry {
         .toDF().orderBy("media_id")),
 
     // ---- Data mixing / shard packing / weighted sampling ----
+    "q89_quarantine" -> ((s, d) => {
+      val (_, bad) = graft.ops.Quality.quarantine(
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag"),
+        Seq(
+          "qty_lt_30" -> (col("l_quantity") < 30.0),
+          "price_lt_50k" -> (col("l_extendedprice") < 50000.0),
+          "flag_is_n" -> (col("l_returnflag") === "N")))
+      bad.select("l_orderkey", "l_linenumber", "violations")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     "q71_data_mix" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Sampling.mix(Seq(
@@ -1194,6 +1205,15 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1 ORDER BY event_type""",
+    "q89_quarantine" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber,
+           concat_ws(',',
+             CASE WHEN NOT (l_quantity < 30) THEN 'qty_lt_30' END,
+             CASE WHEN NOT (l_extendedprice < 50000) THEN 'price_lt_50k' END,
+             CASE WHEN NOT (l_returnflag = 'N') THEN 'flag_is_n' END) AS violations
+         FROM lineitem)
+         SELECT l_orderkey, l_linenumber, violations FROM t
+         WHERE violations <> '' ORDER BY l_orderkey, l_linenumber""",
     "q67_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

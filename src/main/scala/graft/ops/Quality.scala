@@ -52,6 +52,23 @@ object Quality {
     * (This matches SQL `CASE WHEN NOT cond THEN 1 ELSE 0 END` and the q70
     * oracle; add an explicit `isNotNull` constraint to treat nulls as bad.)
     */
+  /** Quarantine split — the enforcement form of [[check]]: rows violating
+    * any constraint land in the `bad` frame tagged with the comma-joined
+    * names of their violated constraints (declaration order); everything
+    * else passes through untouched. Same null semantics as [[check]]
+    * (NULL predicate = pass). One pass, pure expressions — the split is
+    * two filters over the same scan, no shuffle.
+    */
+  def quarantine(df: DataFrame,
+                 constraints: Seq[(String, Column)]): (DataFrame, DataFrame) = {
+    // concat_ws skips nulls, so each satisfied constraint contributes nothing
+    val reasons = concat_ws(",",
+      constraints.map { case (name, cond) => when(!cond, lit(name)) }: _*)
+    val tagged = df.withColumn("violations", reasons)
+    (tagged.filter(col("violations") === "").drop("violations"),
+      tagged.filter(col("violations") =!= ""))
+  }
+
   def check(df: DataFrame, constraints: Seq[(String, Column)]): DataFrame = {
     val aggs = constraints.map { case (name, cond) =>
       sum(when(!cond, 1L).otherwise(0L)).as(s"__v_$name")

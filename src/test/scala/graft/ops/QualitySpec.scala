@@ -32,4 +32,14 @@ class QualitySpec extends SparkSpec {
     assert(out("v_present") == ((1L, false)))
     assert(out("k_small") == ((0L, true)))
   }
+
+  test("quarantine splits rows and tags violated constraint names in order") {
+    val (good, bad) = Quality.quarantine(df, Seq(
+      "v_positive" -> (col("v") > 0.0),
+      "g_is_a" -> (col("g") === "a")))
+    assert(good.select("k").as[Long].collect().toSet == Set(1L))
+    // row2: v null -> v_positive passes; g=b -> g_is_a violated
+    val badMap = bad.select("k", "violations").as[(Long, String)].collect().toMap
+    assert(badMap == Map(2L -> "g_is_a", 3L -> "v_positive"))
+  }
 }
