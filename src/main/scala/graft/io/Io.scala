@@ -55,6 +55,23 @@ object Io {
       .option("dateFormat", dateFormat)
       .csv(path)
 
+  /** Write with a target per-file size — the knob that avoids both the
+    * reference's small-files pathology (19,803 files / 363 MB,
+    * deltalake.ipynb cell 29) and giant unsplittable files. File count =
+    * plan-estimated bytes / target, from Catalyst's logical `sizeInBytes`
+    * (an in-memory upper bound — parquet compresses below it, which errs
+    * toward slightly smaller files; exact sizing needs a post-write
+    * compaction pass like [[graft.table.ManagedTable.compact]]).
+    */
+  def writeSized(df: DataFrame, path: String,
+                 targetFileBytes: Long = 256L * 1024 * 1024): Int = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = math.max(1L, math.min(100000L,
+      (est / BigInt(targetFileBytes)).toLong + 1)).toInt
+    df.repartition(n).write.mode("overwrite").parquet(path)
+    n
+  }
+
   /** JSON-lines source/sink — the third standard file format an engine
     * user expects besides parquet/CSV. Explicit schema preferred (JSON
     * inference needs an extra pass and widens types); compression defaults

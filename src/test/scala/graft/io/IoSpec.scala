@@ -67,6 +67,19 @@ class IoSpec extends SparkSpec {
     assert(files >= 4)
   }
 
+  test("writeSized scales file count with the size estimate") {
+    val small = tmpDir("io-sized-s")
+    val one = Io.writeSized(spark.range(100).toDF("id"), small)
+    assert(one == 1)
+    assert(spark.read.parquet(small).count() == 100)
+    val many = tmpDir("io-sized-m")
+    // force a tiny target so even a small frame splits into several files
+    val n = Io.writeSized(spark.range(100000).toDF("id"), many,
+      targetFileBytes = 64 * 1024)
+    assert(n > 1)
+    assert(spark.read.parquet(many).count() == 100000)
+  }
+
   test("parquet zstd codec round-trips and writes .zstd part files") {
     val dir = tmpDir("io-zstd")
     val df = spark.range(1000).toDF("id")
