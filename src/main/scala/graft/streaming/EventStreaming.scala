@@ -104,14 +104,16 @@ object EventStreaming {
     * oracle-checkable (q81).
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-                   toleranceMinutes: Int, streaming: Boolean = false): DataFrame = {
+                   toleranceMinutes: Int, streaming: Boolean = false,
+                   joinType: String = "inner"): DataFrame = {
     val wm = s"${2 * toleranceMinutes} minutes"
     val l = (if (streaming) left.withWatermark("ts", wm) else left).alias("l")
     val r = (if (streaming) right.withWatermark("ts", wm) else right).alias("r")
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
         col("r.ts") >= col("l.ts") &&
-        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $toleranceMinutes MINUTES"))
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $toleranceMinutes MINUTES"),
+      joinType)
   }
 
   /** Streaming MERGE sink: upsert every micro-batch into a ManagedTable

@@ -146,6 +146,33 @@ class EventStreamingSpec extends SparkSpec {
       == Seq("MERGE", "OVERWRITE"))
   }
 
+  test("left-outer stream-stream join emits unmatched rows after watermark expiry") {
+    implicit val sq = spark.sqlContext
+    val lMem = MemoryStream[Event]; val rMem = MemoryStream[Event]
+    val q = intervalJoin(lMem.toDF, rMem.toDF, "user_id",
+        toleranceMinutes = 1, streaming = true, joinType = "left_outer")
+      .select(col("l.event_id").as("l_id"), col("r.event_id").as("r_id"))
+      .writeStream.format("memory").queryName("ivj_outer").outputMode("append").start()
+    // batch 1: one matched pair, one left row with no match
+    lMem.addData(
+      Event(10, ts("2024-01-01 10:00:00"), 1, "a", 1.0),
+      Event(12, ts("2024-01-01 10:00:00"), 2, "a", 1.0)) // never matched
+    rMem.addData(Event(11, ts("2024-01-01 10:00:30"), 1, "b", 2.0))
+    q.processAllAvailable()
+    // batch 2: advance BOTH watermarks far past batch 1 so the unmatched
+    // left row's join state expires and the null-padded result is emitted
+    lMem.addData(Event(90, ts("2024-01-01 12:00:00"), 9, "a", 0.0))
+    rMem.addData(Event(91, ts("2024-01-01 12:00:00"), 9, "b", 0.0))
+    q.processAllAvailable()
+    lMem.addData(Event(92, ts("2024-01-01 14:00:00"), 9, "a", 0.0))
+    rMem.addData(Event(93, ts("2024-01-01 14:00:00"), 9, "b", 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ivj_outer")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got.contains((10L, 11L)), got)   // matched pair
+    assert(got.contains((12L, -1L)), got)   // unmatched left emitted with null
+  }
+
   test("batch sessionization: gaps-and-islands on a crafted timeline") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00"), 100L, "c", 1.0),
