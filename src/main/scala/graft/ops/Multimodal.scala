@@ -135,12 +135,23 @@ object Multimodal {
   }
 
   /** Size-aware repartition so each decode task holds a bounded payload
-    * volume (the knob that matters at 100 TB; on testdata it's a no-op
-    * sized by row counts).
+    * volume — the knob that matters at 100 TB, where one task OOMing on a
+    * run of giant videos stalls the stage. Partition count = plan-estimated
+    * rows ÷ `targetRecordsPerTask` (falling back to the slot count when the
+    * plan carries no row estimate), floored at the slot count so small
+    * inputs still use every core; range-partitioning on descending size
+    * spreads the heavy payloads across tasks instead of clustering them.
     */
   def repartitionForDecode(media: DataFrame, targetRecordsPerTask: Long): DataFrame = {
-    val n = media.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt
+    require(targetRecordsPerTask > 0)
+    val slots = media.sparkSession.sparkContext.defaultParallelism
+    val rows = media.queryExecution.optimizedPlan.stats.rowCount
+    val n = rows match {
+      case Some(r) =>
+        math.max(slots.toLong, (r / BigInt(targetRecordsPerTask)).toLong + 1)
+          .min(100000L).toInt
+      case None => slots
+    }
     media.repartitionByRange(n, col("n_bytes").desc, col("media_id"))
   }
 }

@@ -48,4 +48,19 @@ class MultimodalSpec extends SparkSpec {
     assert(a.n_bytes <= 64 && a.n_bytes > 0)
     assert(a.payload.toSeq == b.payload.toSeq)
   }
+
+  test("repartitionForDecode sizes task count from rows/target, floored at slots") {
+    val docs = (1L to 100L).map(i => (i, s"payload text number $i"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    // LocalRelation carries an exact row count: 100/10 + 1 = 11 tasks
+    val n = Multimodal.repartitionForDecode(media, targetRecordsPerTask = 10L)
+      .rdd.getNumPartitions
+    assert(n == 11, s"got $n")
+    // huge target floors at the slot count (everything still parallel)
+    val slots = spark.sparkContext.defaultParallelism
+    val m = Multimodal.repartitionForDecode(media, targetRecordsPerTask = 1000000L)
+      .rdd.getNumPartitions
+    assert(m == slots, s"got $m")
+  }
 }
