@@ -29,6 +29,12 @@ final class CorpusPipeline(spark: SparkSession, warehouse: String) {
 
   val corpus = new ManagedTable(spark, s"$warehouse/corpus")
 
+  /** MinHash signatures of every doc currently in the corpus — the state
+    * that makes [[runIncremental]] scale with the batch instead of the
+    * corpus (the corpus itself is never re-signed or rescanned).
+    */
+  val signatureStore = new ManagedTable(spark, s"$warehouse/signatures")
+
   /** Stage 1-2: quality + language annotation. */
   def annotate(docs: DataFrame, textCol: String): DataFrame =
     TextAnalysis.qualityScore(docs, textCol)
@@ -65,6 +71,34 @@ final class CorpusPipeline(spark: SparkSession, warehouse: String) {
       .withColumn("split", when(col("is_train"), "train").otherwise("test"))
       .drop("is_train")
     corpus.overwrite(split, Seq("lang_pred", "split"))
+    // seed the signature store with the kept docs' signatures so later
+    // incremental batches dedup against this corpus without rescanning it
+    val sig = signatures.getOrElse(
+      Dedup.minhashSignatures(docs, idCol, textCol, n = 3, numHashes = 32))
+    signatureStore.overwrite(
+      sig.join(corpus.read.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi"))
+    corpus.read
+  }
+
+  /** Continuous-ingest form: annotate + quality-filter the new batch,
+    * near-dedup it against the signature store AND within itself
+    * ([[Dedup.dedupIncremental]]), split, append to the corpus, and grow
+    * the signature store with the kept docs. Cost scales with the batch —
+    * the existing corpus contributes only its signatures to one
+    * band-bucket join.
+    */
+  def runIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+                     minQuality: Double = 0.5, minEstSim: Double = 0.9,
+                     trainPct: Int = 90): DataFrame = {
+    val annotated = annotate(newDocs, textCol)
+      .filter(col("quality_score") >= minQuality)
+    val (kept, keptSig) = Dedup.dedupIncremental(
+      annotated, idCol, textCol, signatureStore.read, minEstSim = minEstSim)
+    val split = Sampling.hashSplit(kept, idCol, trainPct)
+      .withColumn("split", when(col("is_train"), "train").otherwise("test"))
+      .drop("is_train")
+    corpus.append(split.localCheckpoint(), Seq("lang_pred", "split"))
+    signatureStore.append(keptSig)
     corpus.read
   }
 

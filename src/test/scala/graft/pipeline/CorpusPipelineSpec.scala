@@ -25,6 +25,34 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(s == n)
   }
 
+  test("incremental run: corpus dups dropped, fresh docs appended, store grows") {
+    import spark.implicits._
+    val wh = tmpDir("corpus-inc") + "/wh"
+    val p = new CorpusPipeline(spark, wh)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    p.run(docs, "doc_id", "text", minQuality = 0.0, minEstSim = 0.9)
+    val n0 = p.corpus.read.count()
+    val sig0 = p.signatureStore.read.count()
+    assert(sig0 == n0) // one signature per kept doc
+    // batch: one exact dup of a kept corpus doc + one genuinely new doc
+    val dupText = p.corpus.read.orderBy("doc_id").select("text").head.getString(0)
+    val batch = Seq(
+      (900001L, dupText),
+      (900002L, "a genuinely new document with words that appear nowhere else qqq zzz")
+    ).toDF("doc_id", "text")
+    val after = p.runIncremental(batch, "doc_id", "text", minQuality = 0.0)
+    val keptNew = after.filter(col("doc_id") >= 900000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptNew == Set(900002L), s"got $keptNew") // dup dropped, fresh kept
+    assert(after.count() == n0 + 1)
+    assert(p.signatureStore.read.count() == sig0 + 1)
+    // the appended store blocks a re-send of the same new doc
+    val again = p.runIncremental(
+      Seq((900003L, "a genuinely new document with words that appear nowhere else qqq zzz"))
+        .toDF("doc_id", "text"), "doc_id", "text", minQuality = 0.0)
+    assert(again.count() == n0 + 1)
+  }
+
   test("pipeline is deterministic: rerun on re-sharded input matches") {
     val whA = tmpDir("corpus-a") + "/wh"; val whB = tmpDir("corpus-b") + "/wh"
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
