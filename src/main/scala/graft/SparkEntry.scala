@@ -662,10 +662,13 @@ object SparkEntry {
       // rows-only (minhash family); the daily-ingest dedup: new batch vs
       // the existing corpus's signature store, then within-batch
       val docs = Tables.documents(s, d)
+      val sigAll = docSignatures(s, d) // shared per-corpus signature cache
       val existing = docs.filter(col("doc_id") % 2 === 0)
       val batch = docs.filter(col("doc_id") % 2 =!= 0)
-      val existingSig = Dedup.minhashSignatures(existing, "doc_id", "text", 3, 32)
-      val (kept, _) = Dedup.dedupIncremental(batch, "doc_id", "text", existingSig)
+      val existingSig = sigAll.join(
+        existing.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val (kept, _) = Dedup.dedupIncremental(batch, "doc_id", "text", existingSig,
+        signatures = Some(sigAll))
       kept.select("doc_id", "lang", "source").orderBy("doc_id")
     }),
     "q48_dedup_corpus" -> ((s, d) =>

@@ -329,8 +329,11 @@ object Dedup {
     */
   def dedupIncremental(newDocs: DataFrame, idCol: String, textCol: String,
                        existingSignatures: DataFrame,
-                       n: Int = 3, minEstSim: Double = 0.9): (DataFrame, DataFrame) = {
-    val newSig = minhashSignatures(newDocs, idCol, textCol, n, numHashes = 32)
+                       n: Int = 3, minEstSim: Double = 0.9,
+                       signatures: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val newSig = signatures.map(
+        _.join(newDocs.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi"))
+      .getOrElse(minhashSignatures(newDocs, idCol, textCol, n, numHashes = 32))
       .localCheckpoint() // used by the cross join, the batch dedup, and the return
     val dupOfExisting = minhashMatchesAcross(newSig, existingSignatures,
       minEstSim = minEstSim)
