@@ -283,6 +283,14 @@ object SparkEntry {
     "q29_ann_lsh" -> ((s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10)),
+    "q90_ivf_knn_join" -> ((s, d) => {
+      // rows-only (ANN family): batch top-k neighbors for every 100th
+      // vector in ONE pass over the prebuilt IVF index
+      val idx = ivfIndex(s, d)
+      val queries = Tables.embeddings(s, d).filter(col("vec_id") % 100 === 0)
+      Similarity.ivfKnnJoin(s, idx, queries, "vec_id", "embedding", k = 5, nProbe = 2)
+        .orderBy("query_id", "neighbor_id")
+    }),
     "q30_text_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), "text")
         .select("doc_id", "n_chars_m", "token_count", "avg_word_len",

@@ -145,6 +145,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch kNN join over a prebuilt IVF index: top-k approximate neighbors
+    * for EVERY query row in one pass — the operator behind embedding-level
+    * corpus dedup and retrieval joins. Each query scores the broadcast
+    * codebook, keeps its `nProbe` nearest lists, and joins the (pruned)
+    * inverted lists on the list id; Spark's dynamic partition pruning cuts
+    * the list scan to the union of probed partitions because
+    * `assigned_label` is the index's partition column. Per-query results
+    * are identical to [[ivfProbe]] (asserted in spec).
+    */
+  def ivfKnnJoin(spark: SparkSession, path: String, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val lists = spark.read.parquet(s"$path/lists")
+    val q = queries.select(col(idCol).as("__qid"), col(vecCol).as("__qvec"))
+    // nProbe nearest lists per query (query × codebook is small: |Q|·|lists|)
+    val probes = Relational.topKPerGroup(
+        q.join(broadcast(cents))
+          .select(col("__qid"), col("__qvec"), col("label"),
+            cosine(col("centroid"), col("__qvec")).as("__c")),
+        "__qid", nProbe, "__c", "label")
+      .select(col("__qid"), col("__qvec"), col("label").as("assigned_label"))
+    // no dedup needed: the index assigns each doc to exactly one list
+    val scored = lists.join(probes, Seq("assigned_label"))
+      .filter(col(idCol) =!= col("__qid"))
+      .select(col("__qid").as("query_id"), col(idCol).as("neighbor_id"),
+        cosine(col(vecCol), col("__qvec")).as("cos_sim"))
+    Relational.topKPerGroup(scored, "query_id", k, "cos_sim", "neighbor_id")
+      .drop("rn")
+  }
+
   /** IVF-style ANN without a prebuilt index: one-shot form of
     * [[buildIvfIndex]]+[[ivfProbe]] for ad-hoc queries — the assignment is
     * computed inline (a full pass), so for repeated probes build the index

@@ -93,6 +93,27 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("batch IVF kNN join equals per-query probes") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.model.Tables.embeddings(spark, dir)
+    val cents = Embeddings.centroids(e, "label", "embedding")
+    val path = tmpDir("ivf-knn")
+    Similarity.buildIvfIndex(e, "vec_id", "embedding", cents, path)
+    val queryIds = Seq(0L, 7L, 13L)
+    val queries = e.filter(col("vec_id").isin(queryIds: _*))
+    val batch = Similarity.ivfKnnJoin(spark, path, queries, "vec_id", "embedding",
+        k = 5, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    queryIds.foreach { qid =>
+      val qv = e.filter(col("vec_id") === qid).select("embedding").head.getSeq[Float](0)
+      val single = Similarity.ivfProbe(spark, path, "vec_id", "embedding", qv,
+          k = 5, nProbe = 2, excludeId = Some(qid))
+        .select("vec_id").as[Long].collect().toSet
+      assert(batch(qid) == single, s"qid=$qid")
+    }
+  }
+
   test("lsh bucket is deterministic across evaluations") {
     val planes = Similarity.hyperplanes(4, 3)
     val b1 = embs.select(Similarity.lshBucket(col("embedding"), planes)).as[Long].collect()
