@@ -175,6 +175,20 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Embedding near-duplicate pairs at scale: every vector kNN-joins the
+    * IVF index and pairs with neighbors at cosine ≥ `minCos` — the indexed
+    * complement of the exact-but-quadratic [[nearDupPairs]]. With `nProbe`
+    * = the full codebook it degenerates to the exact result (spec); in
+    * production nProbe bounds each query to a few lists, trading recall
+    * for a corpus-linear scan. `kCap` bounds per-vector candidate fanout.
+    */
+  def nearDupPairsIndexed(spark: SparkSession, path: String, embeddings: DataFrame,
+                          idCol: String, vecCol: String, minCos: Double,
+                          nProbe: Int, kCap: Int = 50): DataFrame =
+    ivfKnnJoin(spark, path, embeddings, idCol, vecCol, k = kCap, nProbe = nProbe)
+      .filter(col("cos_sim") >= minCos && col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("id1"), col("neighbor_id").as("id2"), col("cos_sim"))
+
   /** IVF-style ANN without a prebuilt index: one-shot form of
     * [[buildIvfIndex]]+[[ivfProbe]] for ad-hoc queries — the assignment is
     * computed inline (a full pass), so for repeated probes build the index

@@ -114,6 +114,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("indexed near-dup pairs with full probing equal the exact quadratic form") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.model.Tables.embeddings(spark, dir)
+    val cents = Embeddings.centroids(e, "label", "embedding")
+    val nLists = cents.count().toInt
+    val path = tmpDir("ivf-neardup")
+    Similarity.buildIvfIndex(e, "vec_id", "embedding", cents, path)
+    val indexed = Similarity.nearDupPairsIndexed(spark, path, e, "vec_id", "embedding",
+        minCos = 0.4, nProbe = nLists, kCap = 1000)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val exact = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(indexed == exact, s"indexed=${indexed.size} exact=${exact.size}")
+    assert(exact.nonEmpty)
+  }
+
   test("lsh bucket is deterministic across evaluations") {
     val planes = Similarity.hyperplanes(4, 3)
     val b1 = embs.select(Similarity.lshBucket(col("embedding"), planes)).as[Long].collect()
