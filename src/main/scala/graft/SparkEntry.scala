@@ -143,6 +143,16 @@ object SparkEntry {
         countDistinct(col("l_orderkey")).as("n_orders"),
         count(lit(1)).as("n_rows"))
     }),
+    "q91_grouped_distinct" -> ((s, d) =>
+      // per-group COUNT(DISTINCT) — planned as expand + two-level agg
+      // (partial distinct per partition, exact merge); the multi-distinct
+      // form (users + types in one pass) exercises the expand path
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("date"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_type")).as("n_types"),
+          count(lit(1)).as("n_events"))
+        .orderBy("date")),
     "q14_distinct" -> ((s, d) => {
       Tables.orders(s, d)
         .select("o_orderstatus", "o_orderpriority").distinct()
@@ -908,6 +918,13 @@ object SparkEntry {
            COUNT(DISTINCT l_orderkey) AS n_orders,
            COUNT(*) AS n_rows
          FROM lineitem""",
+    // ts → DATE floors identically for ns (DuckDB) and µs (Spark) precision
+    "q91_grouped_distinct" ->
+      """SELECT CAST(ts AS DATE) AS date,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           COUNT(*) AS n_events
+         FROM events GROUP BY 1 ORDER BY date""",
     "q14_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
          ORDER BY o_orderstatus, o_orderpriority""",
