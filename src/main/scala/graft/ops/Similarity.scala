@@ -186,8 +186,16 @@ object Similarity {
                           idCol: String, vecCol: String, minCos: Double,
                           nProbe: Int, kCap: Int = 50): DataFrame =
     ivfKnnJoin(spark, path, embeddings, idCol, vecCol, k = kCap, nProbe = nProbe)
-      .filter(col("cos_sim") >= minCos && col("query_id") < col("neighbor_id"))
-      .select(col("query_id").as("id1"), col("neighbor_id").as("id2"), col("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+      // symmetrize BEFORE orienting the pair: a hit found only in the
+      // higher-id→lower-id direction (the lower id's top-kCap being full of
+      // closer neighbors) must still survive — discarding one direction
+      // outright would lose recall beyond the documented nProbe approximation.
+      // cos_sim is direction-independent (the dot fold sees the identical
+      // product sequence), so distinct dedups the two orientations exactly.
+      .select(least(col("query_id"), col("neighbor_id")).as("id1"),
+        greatest(col("query_id"), col("neighbor_id")).as("id2"), col("cos_sim"))
+      .distinct()
 
   /** IVF-style ANN without a prebuilt index: one-shot form of
     * [[buildIvfIndex]]+[[ivfProbe]] for ad-hoc queries — the assignment is

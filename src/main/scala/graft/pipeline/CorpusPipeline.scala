@@ -98,7 +98,10 @@ final class CorpusPipeline(spark: SparkSession, warehouse: String) {
       .withColumn("split", when(col("is_train"), "train").otherwise("test"))
       .drop("is_train")
     corpus.append(split.localCheckpoint(), Seq("lang_pred", "split"))
-    signatureStore.append(keptSig)
+    // keptSig's plan anti-joins against signatureStore's own parquet path;
+    // materialize it BEFORE appending to that same path so the append job
+    // never re-reads the files it is writing (and the dedup isn't recomputed)
+    signatureStore.append(keptSig.localCheckpoint())
     corpus.read
   }
 

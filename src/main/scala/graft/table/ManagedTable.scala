@@ -122,14 +122,17 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def remapManifests(oldRoot: String, newRoot: String,
                              subdirs: Seq[String]): Unit = {
     if (!fs.exists(logDir)) return
+    // manifests store jstr-escaped paths — escape the prefixes the same way
+    // (strip jstr's closing quote; keep the opening one as the match anchor)
+    // so a path containing a backslash/control char still matches.
+    def prefix(s: String): String = jstr(s).dropRight(1)
     val pairs =
-      if (subdirs.isEmpty) Seq((oldRoot + "/", newRoot + "/"))
-      else subdirs.map(d => (s"$oldRoot/$d/", s"$newRoot/$d/"))
+      if (subdirs.isEmpty) Seq((prefix(oldRoot + "/"), prefix(newRoot + "/")))
+      else subdirs.map(d => (prefix(s"$oldRoot/$d/"), prefix(s"$newRoot/$d/")))
     fs.listStatus(logDir).foreach { st =>
       val in = fs.open(st.getPath)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      val updated = pairs.foldLeft(txt) { case (t, (o, n)) =>
-        t.replace("\"" + o, "\"" + n) }
+      val updated = pairs.foldLeft(txt) { case (t, (o, n)) => t.replace(o, n) }
       if (updated != txt) {
         val out = fs.create(st.getPath, true)
         try out.write(updated.getBytes("UTF-8")) finally out.close()
@@ -276,8 +279,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
         .select(partitionCols.map(c => col(c)): _*).distinct()
       val affected = srcParts.union(matchedParts).distinct().localCheckpoint()
-      // rows of the affected partitions only, merged source-wins
-      val targetAffected = target.join(broadcast(affected), partitionCols, "left_semi")
+      // rows of the affected partitions only, merged source-wins — null-safe
+      // equality, or rows in a null partition would silently miss the semi
+      // join while their dir still gets retired below (data loss)
+      val affectedKeyed = affected.toDF(partitionCols.map("__ap_" + _): _*)
+      val partMatch = partitionCols
+        .map(c => target(c) <=> affectedKeyed("__ap_" + c)).reduce(_ && _)
+      val targetAffected = target.join(broadcast(affectedKeyed), partMatch, "left_semi")
       val merged = Merge.upsert(targetAffected, source, keys).localCheckpoint()
       // materialize the affected partition set before any file moves — its
       // plan reads the current table files (merged is already checkpointed)
@@ -287,8 +295,16 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       // keep serving both the new and all prior versions
       val cur = version
       val movedDirs = affectedRows.toSeq.flatMap { row =>
+        // Spark escapes partition values on disk (Hive-style %-escaping;
+        // null → __HIVE_DEFAULT_PARTITION__) — build dir names with the
+        // same function the writer uses, or values needing escaping would
+        // miss fs.exists and silently duplicate their keys on append.
         val dir = partitionCols.zipWithIndex
-          .map { case (c, i) => s"$c=${row.get(i)}" }.mkString("/")
+          .map { case (c, i) =>
+            val v = row.get(i)
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .getPartitionPathString(c, if (v == null) null else v.toString)
+          }.mkString("/")
         val src = new Path(s"$path/$dir")
         if (fs.exists(src)) {
           val dstDir = new Path(s"${retainedDir(cur)}/$dir")
@@ -367,9 +383,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         val h = spark.read.json(logDir.toString)
           .select("version", "timestamp", "partitionColumns").collect()
         val latest = h.maxBy(_.getAs[Long]("version"))
+        // compare as Instants, not strings: Instant.toString emits variable
+        // fractional precision and '.' sorts before 'Z', so lexicographic
+        // min/max can pick the wrong timestamp when precisions mix
+        val ts = h.map(r => java.time.Instant.parse(r.getAs[String]("timestamp")))
+        implicit val instOrd: Ordering[java.time.Instant] =
+          Ordering.fromLessThan(_ isBefore _)
         (latest.getSeq[String](latest.fieldIndex("partitionColumns")),
-          h.map(_.getAs[String]("timestamp")).min,
-          h.map(_.getAs[String]("timestamp")).max)
+          ts.min.toString, ts.max.toString)
       } else (Seq.empty[String], null: String, null: String)
     Seq((("parquet"): String, new Path(path).getName, path, partCols,
         files.size.toLong, files.map(_._2).sum, version, createdAt, modifiedAt))

@@ -130,6 +130,53 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("indexed near-dup at full probe reproduces q23's oracle rows on sf0.01") {
+    // q23_embed_neardup is the bit-exact DuckDB-anchored form (quadratic,
+    // small-sf only); this pins the PRODUCTION path — the IVF-indexed join —
+    // to the same rows AND the same cos_sim values on the oracle fixture,
+    // closing the exactness chain indexed ≡ quadratic ≡ DuckDB.
+    val dir = "/root/testdata/sf0.01"
+    val e = graft.model.Tables.embeddings(spark, dir)
+    val cents = Embeddings.centroids(e, "label", "embedding")
+    val nLists = cents.count().toInt
+    val path = tmpDir("ivf-neardup-oracle")
+    Similarity.buildIvfIndex(e, "vec_id", "embedding", cents, path)
+    val indexed = Similarity.nearDupPairsIndexed(spark, path, e, "vec_id", "embedding",
+        minCos = 0.4, nProbe = nLists, kCap = 1000000)
+      .select("id1", "id2", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    val oracleAnchor = graft.SparkEntry.queries("q23_embed_neardup")(spark, dir)
+      .select("id1", "id2", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    assert(indexed == oracleAnchor,
+      s"indexed=${indexed.size} anchor=${oracleAnchor.size}")
+    assert(oracleAnchor.nonEmpty)
+  }
+
+  test("symmetrization keeps a pair discovered in only one direction under kCap") {
+    // Planted geometry (unit vectors at -2°…+25° from v0): with kCap=2,
+    // v0's top-2 is {v1, v2} — v5 never appears in a query-0 result — but
+    // v5's top-2 is {v0, v1} with cos(0,5)≈0.906 ≥ minCos. The (0,5) pair is
+    // therefore discovered ONLY in the 5→0 direction; orienting by
+    // query<neighbor before symmetrizing would drop it (ADVICE r2).
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.99985f, -0.01745f, 0.0f)),
+      (2L, Seq(0.99939f, -0.03490f, 0.0f)),
+      (5L, Seq(0.90631f, 0.42262f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val path = tmpDir("ivf-sym")
+    // single-list index: candidate generation is exhaustive, so kCap is the
+    // only truncation in play
+    val centOne = Seq((0L, Seq(1.0f, 0.0f, 0.0f))).toDF("label", "centroid")
+    Similarity.buildIvfIndex(vecs, "vec_id", "embedding", centOne, path)
+    val pairs = Similarity.nearDupPairsIndexed(spark, path, vecs, "vec_id", "embedding",
+        minCos = 0.85, nProbe = 1, kCap = 2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSeq
+    assert(pairs.contains((0L, 5L)), s"one-direction pair lost: $pairs")
+    // orientation + dedup: every pair asc-ordered and emitted exactly once
+    assert(pairs.forall(p => p._1 < p._2), pairs)
+    assert(pairs.distinct == pairs, pairs)
+  }
+
   test("lsh bucket is deterministic across evaluations") {
     val planes = Similarity.hyperplanes(4, 3)
     val b1 = embs.select(Similarity.lshBucket(col("embedding"), planes)).as[Long].collect()

@@ -95,6 +95,26 @@ class ManagedTableSpec extends SparkSpec {
     assert(filesIn("c") == cBefore)
   }
 
+  test("partitioned merge handles escaped and null partition values") {
+    // Spark writes "pt BR:1" as an escaped dir and null as
+    // __HIVE_DEFAULT_PARTITION__; retiring affected partitions must find
+    // those dirs or matched keys would silently duplicate on append.
+    val t = freshTable("mt-escpart")
+    // k=4 is an UNMATCHED row sharing the null partition with matched k=3:
+    // it must survive the partition's retire-and-rewrite (null-safe semi join)
+    t.overwrite(Seq((1L, Some("pt BR:1"), "a"), (2L, Some("en"), "b"),
+      (3L, None: Option[String], "c"), (4L, None: Option[String], "d"))
+      .toDF("k", "p", "v"), Seq("p"))
+    t.merge(Seq((1L, Some("pt BR:1"), "A"), (3L, None: Option[String], "C"))
+      .toDF("k", "p", "v"), Seq("k"), Seq("p"))
+    val got = t.read.select("k", "p", "v").orderBy("k")
+      .as[(Long, Option[String], String)].collect().toSeq
+    assert(got == Seq((1L, Some("pt BR:1"), "A"), (2L, Some("en"), "b"),
+      (3L, None, "C"), (4L, None, "d")), got)
+    // and the pre-merge snapshot still time-travels despite the escaped dirs
+    assert(t.readVersion(0).count() == 4)
+  }
+
   test("partitioned overwrite prunes partitions on read") {
     val t = freshTable("mt-part")
     val df = Seq((1L, "2024-01-01"), (2L, "2024-01-02")).toDF("k", "d")
