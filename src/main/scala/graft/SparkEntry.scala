@@ -341,6 +341,12 @@ object SparkEntry {
       Multimodal.extractFeatures(s,
           Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"))
         .toDF().orderBy("media_id")),
+    "q35a_media_digest" -> ((s, d) =>
+      // the oracle-checkable expression half of q35: byte length + content
+      // digests of the payload as codegen'd built-ins (no stub codec)
+      Multimodal.mediaDigests(
+          Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"))
+        .orderBy("media_id")),
 
     // ---- Data mixing / shard packing / weighted sampling ----
     "q89_quarantine" -> ((s, d) => {
@@ -465,15 +471,17 @@ object SparkEntry {
         .groupBy("change_type").agg(count(lit(1)).as("n"))
         .orderBy("change_type")
     }),
-    "q62_ntile" -> ((s, d) => {
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d)
-        .select(col("o_orderkey"),
-          ntile(4).over(w).cast("long").as("quartile"))
+    "q62_ntile" -> ((s, d) =>
+      // distributed NTILE: two-pass prefix-count rank + exact bucket-size
+      // rule — bit-identical to ntile(4) OVER (ORDER BY …) without forcing
+      // the whole SF-proportional table through one task's window
+      Relational.ntileDistributed(
+          Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+          4, col("o_totalprice"), col("o_orderkey"))
+        .withColumnRenamed("__ntile", "quartile")
         .groupBy("quartile").agg(count(lit(1)).as("n"),
           min("o_orderkey").as("min_key"))
-        .orderBy("quartile")
-    }),
+        .orderBy("quartile")),
     "q63_stats_exact" -> ((s, d) => {
       // stddev/corr assembled from EXACT decimal sums: order-independent
       // partial aggregation, unlike streaming co-moment formulas. Price is
@@ -1077,6 +1085,14 @@ object SparkEntry {
     "q34_media_meta" ->
       """SELECT doc_id AS media_id, 'txt' AS format,
            CAST(strlen(text) AS BIGINT) AS n_bytes
+         FROM documents ORDER BY media_id""",
+    "q35a_media_digest" ->
+      // DuckDB md5/sha256 over VARCHAR digest its UTF-8 bytes — the same
+      // bytes Spark digests from the to_binary(text,'utf-8') payload
+      """SELECT doc_id AS media_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex
          FROM documents ORDER BY media_id""",
     "q16_merge_upsert" ->
       """SELECT event_id, user_id, value * 2 AS value FROM events WHERE event_id % 10 >= 5

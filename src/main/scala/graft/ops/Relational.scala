@@ -177,6 +177,62 @@ object Relational {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Global dense row rank over a total order WITHOUT a single-partition
+    * window — the two-pass distributed prefix count (same shape as
+    * [[Sampling.packByTokenBudgetDistributed]]):
+    *
+    *   1. range-partition by the order columns and row_number WITHIN each
+    *      partition (parallel windows);
+    *   2. collect one row count per partition (driver-tiny), convert to
+    *      exclusive offsets, add back as a broadcast map literal.
+    *
+    * Returns (df + `__rank` long column, total row count). The rank equals
+    * the global-window `row_number` for any partition count because range
+    * partitioning preserves the total order across partition boundaries.
+    * `orderCols` must be a total order (include a unique tie-break).
+    */
+  def globalRank(df: DataFrame, orderCols: Column*): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // pin partitioning: pass 2 must see pass 1's pids
+    val pcounts = sorted.groupBy("__pid").agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until n).scanLeft(0L)((acc, p) => acc + pcounts.getOrElse(p, 0L))
+    val offsetExpr =
+      if (n == 1) lit(0L)
+      else element_at(
+        map((0 until n).flatMap(p => Seq(lit(p), lit(offsets(p)))): _*), col("__pid"))
+    val w = Window.partitionBy("__pid").orderBy(orderCols: _*)
+    (sorted.withColumn("__rank", row_number().over(w).cast("long") + offsetExpr)
+       .drop("__pid"),
+     pcounts.values.sum)
+  }
+
+  /** NTILE over an SF-proportional table without the global-window
+    * scale-killer: bucket boundaries follow from the [[globalRank]] rank and
+    * the exact SQL NTILE size rule — with N rows and b buckets the first
+    * N mod b buckets hold ⌈N/b⌉ rows, the rest ⌊N/b⌋ — so the assignment is
+    * bit-identical to `ntile(b) OVER (ORDER BY ...)` while every stage stays
+    * partition-parallel (asserted in PlanSpec).
+    */
+  def ntileDistributed(df: DataFrame, buckets: Int, orderCols: Column*): DataFrame = {
+    require(buckets >= 1)
+    val (ranked, total) = globalRank(df, orderCols: _*)
+    val q = total / buckets
+    val rem = total % buckets
+    val cut = rem * (q + 1) // rows living in the ⌈N/b⌉-sized buckets
+    // q == 0 (fewer rows than buckets) degenerates correctly: cut = total,
+    // every rank takes the first branch, bucket = rank.
+    val rank = col("__rank")
+    val bucket =
+      when(rank <= cut, floor((rank - 1) / lit(q + 1)) + 1)
+        .otherwise(lit(rem) + floor((rank - lit(cut) - 1) / lit(q)) + 1)
+    ranked.withColumn("__ntile", bucket.cast("long")).drop("__rank")
+  }
+
   /** Order-total reconciliation via typed `cogroup` — the Dataset API's
     * two-sided per-key processing: each order key sees BOTH its header row
     * and all its line rows in one function call (arbitrary per-key logic

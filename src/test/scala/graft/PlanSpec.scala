@@ -99,6 +99,19 @@ class PlanSpec extends SparkSpec {
       || scan.contains("GreaterThan(l_quantity,45.0)"), scan)
   }
 
+  test("q62 ntile has no single-partition window over the fact table") {
+    // every Window node in the executed plan must be partitioned by the
+    // range-partition id — an unpartitioned Window.orderBy over orders
+    // would funnel the whole SF-proportional table through one task
+    val df = SparkEntry.queries("q62_ntile")(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty, plan) // the rank window is still a window
+    windowLines.foreach(l => assert(l.contains("__pid"),
+      s"unpartitioned window in q62 plan:\n$l"))
+  }
+
   test("q15 top-k plans as TakeOrderedAndProject, not a global sort") {
     val plan = executedPlan("q15_topk")
     assert(plan.contains("TakeOrderedAndProject"), plan)
