@@ -86,14 +86,57 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
+  /** Per-file row counts, read once from each file's parquet footer and
+    * cached in a `._log/_file_rows.txt` sidecar keyed by (path, length).
+    * A commit therefore reads footers ONLY for files it hasn't seen —
+    * the files the mutation just wrote — never re-counting unaffected
+    * partitions, and never running a Spark job. Driver-side IO is one
+    * footer per NEW file; at 100 TB that is proportional to the write,
+    * not the table.
+    */
+  private def fileRowCounts(files: Seq[(String, Long)]): Map[String, Long] = {
+    val sidecar = new Path(logDir, "_file_rows.txt")
+    val cached: Map[String, (Long, Long)] = // path -> (len, rows)
+      if (!fs.exists(sidecar)) Map.empty
+      else {
+        val in = fs.open(sidecar)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .flatMap { l =>
+            l.split('\t') match {
+              case Array(p, len, rows) => Some(p -> (len.toLong, rows.toLong))
+              case _ => None
+            }
+          }.toMap
+        finally in.close()
+      }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val counts = files.map { case (p, len) =>
+      cached.get(p).filter(_._1 == len) match {
+        case Some((_, rows)) => p -> rows
+        case None =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p), conf))
+          val rows = try rd.getRecordCount finally rd.close()
+          p -> rows
+      }
+    }.toMap
+    fs.mkdirs(logDir)
+    val out = fs.create(sidecar, true)
+    try out.write(files.map { case (p, len) => s"$p\t$len\t${counts(p)}" }
+      .sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    counts
+  }
+
   /** Append a commit entry describing the CURRENT live dir as version
-    * `version + 1`. Listing + metadata-only count; no data pass.
+    * `version + 1`. Listing + new-file footer reads; no data pass, no
+    * Spark job (see [[fileRowCounts]]).
     */
   private def commit(operation: String, partitionCols: Seq[String]): Unit = {
     val v = version + 1
     val files = listParquet(new Path(path))
       .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) }
-    val rowCount = if (files.isEmpty) 0L else read.count() // parquet metadata count
+    val rowCount = fileRowCounts(files).values.sum
     val json = Seq(
       s""""version":$v""",
       s""""timestamp":${jstr(java.time.Instant.now().toString)}""",
@@ -199,15 +242,58 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def changes(fromV: Long, toV: Long, keys: Seq[String]): DataFrame =
     Merge.snapshotDiff(readVersion(fromV), readVersion(toV), keys)
 
-  /** Drop retained snapshot dirs (and nothing else): versions whose data
-    * lives only in a retained dir become unreadable, like Delta's VACUUM
-    * past the retention window. The live dir and the log stay intact.
+  /** Drop ALL retained snapshot dirs (and nothing else): versions whose
+    * data lives only in a retained dir become unreadable, like Delta's
+    * VACUUM with zero retention. The live dir and the log stay intact.
     */
   def vacuumVersions(): Unit =
     (0L to version).foreach { v =>
       val p = new Path(retainedDir(v))
       if (fs.exists(p)) fs.delete(p, true)
     }
+
+  /** Retention-windowed VACUUM — Delta's `vacuum(retentionHours)`
+    * discipline: drop only retained dirs that serve NO version committed at
+    * or after `olderThan`, so time travel keeps working inside the window
+    * and an operator can run this on a schedule without losing yesterday's
+    * snapshots. A retained dir may hold files referenced by several
+    * versions' manifests (partition-pruned merges move dirs, they don't
+    * copy), so the keep-set is computed from the manifests of the
+    * in-window versions, not from the dirs' own ages.
+    */
+  def vacuumVersions(olderThan: java.time.Instant): Unit = {
+    if (!fs.exists(logDir)) return
+    import org.apache.spark.sql.functions.explode
+    val refs = spark.read.json(logDir.toString)
+      .select(col("timestamp"), explode(col("files")).as("f"))
+      .collect()
+      .filter(r => !java.time.Instant.parse(r.getString(0)).isBefore(olderThan))
+      .map(_.getString(1))
+    (0L to version).foreach { v =>
+      val root = retainedDir(v)
+      val p = new Path(root)
+      if (fs.exists(p) && !refs.exists(_.startsWith(root + "/"))) fs.delete(p, true)
+    }
+  }
+
+  /** RESTORE (rollback): make logged snapshot `v` the new CURRENT version
+    * via the usual atomic swap, recorded as a RESTORE commit — the log
+    * keeps the bad versions (auditable, still time-travelable) and the
+    * table serves the old data again. The incident-response completion of
+    * [[history]]/[[readVersion]]: Delta's `RESTORE TABLE ... TO VERSION AS
+    * OF` (reference's Delta surface, deltalake.ipynb:8760).
+    */
+  def restore(v: Long): Unit = {
+    require(v >= 0 && v <= version, s"version $v out of range [0, $version]")
+    val manifest = spark.read.json(new Path(logDir, f"v$v%05d.json").toString)
+    val partCols: Seq[String] = {
+      val r = manifest.select("partitionColumns").head
+      if (r.isNullAt(0)) Nil else r.getSeq[String](0)
+    }
+    // the snapshot's plan reads live + retained files; the swap happens
+    // only after the tmp write completes, so no checkpoint is needed
+    replaceWith(readVersion(v), partCols, "RESTORE")
+  }
 
   def read: DataFrame = spark.read.parquet(path)
 

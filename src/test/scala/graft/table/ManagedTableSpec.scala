@@ -283,6 +283,77 @@ class ManagedTableSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b"), (9L, "z")))
   }
 
+  test("restore makes an old snapshot current via a RESTORE commit") {
+    val t = freshTable("mt-restore")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))            // v0
+    t.merge(Seq((2L, "BAD"), (3L, "BAD")).toDF("k", "v"), Seq("k"))  // v1: bad merge
+    t.restore(0)                                                     // v2
+    assert(t.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    val h = t.history().collect()
+    assert(h.map(_.getAs[String]("operation")).toSeq ==
+      Seq("RESTORE", "MERGE", "OVERWRITE"))
+    // the bad version stays auditable and time-travelable after the rollback
+    assert(t.readVersion(1).orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "BAD"), (3L, "BAD")))
+  }
+
+  test("restore of a partitioned snapshot keeps the partitioned layout") {
+    val t = freshTable("mt-restore-part")
+    t.overwrite(Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "v", "p"), Seq("p")) // v0
+    t.merge(Seq((2L, "X", "p2")).toDF("k", "v", "p"), Seq("k"), Seq("p"))            // v1
+    t.restore(0)                                                                     // v2
+    assert(t.read.orderBy("k").select("k", "v", "p")
+      .as[(Long, String, String)].collect().toSeq ==
+      Seq((1L, "a", "p1"), (2L, "b", "p2")))
+    // layout is still partitioned: partition pruning reaches the scan
+    assert(new java.io.File(t.path + "/p=p1").isDirectory)
+  }
+
+  test("retention-windowed vacuum keeps snapshots inside the window readable") {
+    val t = freshTable("mt-vac-window")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))  // v0
+    t.overwrite(Seq((2L, "b")).toDF("k", "v"))  // v1 (v0's data retired)
+    Thread.sleep(5)
+    val cutoff = java.time.Instant.now()        // v0, v1 committed before this
+    Thread.sleep(5)
+    t.overwrite(Seq((3L, "c")).toDF("k", "v"))  // v2 (v1's data retired, in-window)
+    // v1's snapshot is referenced by no in-window commit manifest? No:
+    // v1's manifest itself is pre-cutoff, but v1's data dir serves only v1.
+    // v0's dir serves only pre-cutoff v0 → dropped; v1's dir likewise.
+    // Everything the IN-window commit (v2) references lives in the live dir.
+    t.vacuumVersions(olderThan = cutoff)
+    intercept[IllegalStateException] { t.readVersion(0).count() }
+    assert(t.read.as[(Long, String)].collect().toSeq == Seq((3L, "c")))
+    // a dir referenced by an in-window version is NOT dropped:
+    t.overwrite(Seq((4L, "d")).toDF("k", "v"))  // v3, retires v2's data
+    t.vacuumVersions(olderThan = cutoff)        // v2/v3 are in-window
+    assert(t.readVersion(2).as[(Long, String)].collect().toSeq == Seq((3L, "c")))
+  }
+
+  test("commit rowCount parity without a Spark count job") {
+    val t = freshTable("mt-commitstats")
+    t.overwrite(Seq((1L, "a", "p1"), (2L, "b", "p2"), (3L, "c", "p2"))
+      .toDF("k", "v", "p"), Seq("p"))
+    // count Spark jobs during an append: the parquet write is the ONLY job —
+    // the commit derives row counts from new-file footers + the sidecar
+    // cache, never from a read.count() over the table
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      t.append(Seq((4L, "d", "p1")).toDF("k", "v", "p"), Seq("p"))
+      Thread.sleep(1000) // listener bus delivery is async
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 1, s"expected only the write job, saw ${jobs.get()}")
+    val h = t.history().collect()
+    assert(h.head.getAs[Long]("rowCount") == 4L)
+    assert(h.last.getAs[Long]("rowCount") == 3L)
+  }
+
   test("pre-log tables bootstrap their current state as version 0") {
     val dir = tmpDir("mt-boot") + "/t"
     Seq((1L, "a")).toDF("k", "v").write.parquet(dir) // written outside ManagedTable
