@@ -105,6 +105,19 @@ object Multimodal {
       lit("txt").as("format"),
       octet_length(col(textCol)).cast("long").as("n_bytes"))
 
+  /** The expression-only half of feature extraction, split out so it stays
+    * oracle-checkable: byte length and content digests are pure codegen'd
+    * built-ins over the binary payload — no stub codec, no typed boundary —
+    * and hash-match any engine that digests the same bytes (q35a). The
+    * decode-derived columns (width/height/mean) remain in
+    * [[extractFeatures]] behind the honestly-stubbed codec.
+    */
+  def mediaDigests(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      md5(col("payload")).as("md5_hex"),
+      sha2(col("payload"), 256).as("sha256_hex"))
+
   /** [[MediaRow]] + the expression-computed checksum (public: Dataset
     * encoders codegen constructor access from generated classes).
     */
