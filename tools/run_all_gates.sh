@@ -19,3 +19,6 @@ python3 tools/check.py /root/testdata/sf0.01 /tmp/gates_verify | tail -1
 echo "== bench (sf0.1) =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" 2>&1 \
   | grep '"metric"'
+# bench.json is the canonical artifact (sbt's [success] trailer breaks
+# last-line stdout parsing); keep a stable copy for the driver/judge.
+cp -f bench.json BENCH_LOCAL.json
