@@ -638,6 +638,42 @@ object SparkEntry {
         .select(col("approx_orders"), col("p50_price"),
           col("__p").getItem(0).as("p10_price"),
           col("__p").getItem(1).as("p90_price"))),
+    "q92_kll_quantiles" -> ((s, d) =>
+      // rows-only (sketch family): mergeable KLL quantile sketches per
+      // group — the persist-and-merge form of approx_percentile
+      // (error-bound + merge identity pinned in SketchesSpec)
+      graft.ops.Sketches.kllQuantiles(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice", Seq(0.1, 0.5, 0.9))),
+    "q93_theta_overlap" -> ((s, d) => {
+      // rows-only (sketch family): distinct-customer overlap between two
+      // order-status slices from two sketches — no join, no distinct
+      val o = Tables.orders(s, d)
+      graft.ops.Sketches.thetaOverlap(
+        o.filter(col("o_orderstatus") === "F"),
+        o.filter(col("o_orderstatus") === "O"), "o_custkey")
+    }),
+    "q94_map_metrics" -> ((s, d) => {
+      // map-typed columns end-to-end: build map<linestatus,n> per
+      // returnflag, derive a share map with transform_values, zip the two
+      // maps with map_zip_with, explode back to scalars. The map fns are
+      // CodegenFallback — they run on the GROUPED (tiny) result; the heavy
+      // two-level count underneath stays whole-stage codegen.
+      val per = Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n"))
+      per.groupBy("l_returnflag")
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("l_linestatus"), col("n"))))).as("m"))
+        .withColumn("total",
+          aggregate(map_values(col("m")), lit(0L), (a, x) => a + x))
+        .withColumn("shares", transform_values(col("m"),
+          (_, v) => v.cast("double") / col("total").cast("double")))
+        .withColumn("stats", map_zip_with(col("m"), col("shares"),
+          (_, n, sh) => struct(n.as("n"), sh.as("share"))))
+        .select(col("l_returnflag"), explode(col("stats")))
+        .select(col("l_returnflag"), col("key").as("l_linestatus"),
+          col("value.n").as("n"), col("value.share").as("share"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
     "q50_pivot" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_orderstatus")
@@ -1094,6 +1130,15 @@ object SparkEntry {
            md5(text) AS md5_hex,
            sha256(text) AS sha256_hex
          FROM documents ORDER BY media_id""",
+    "q94_map_metrics" ->
+      // the map round-trip reduces to the two-level count it carries;
+      // share = one IEEE division of exact longs on both sides
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE) /
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY l_returnflag) AS DOUBLE)
+             AS share
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
     "q16_merge_upsert" ->
       """SELECT event_id, user_id, value * 2 AS value FROM events WHERE event_id % 10 >= 5
          UNION ALL

@@ -27,6 +27,59 @@ class SkewSpec extends SparkSpec {
     assert(got(1).isNullAt(2)) // k=99 survives with null dim
   }
 
+  test("AQE splits a skewed join partition (OptimizeSkewedJoin fires)") {
+    // Preconditions AQE needs before the skew=true marker can appear:
+    // a real shuffle SMJ (both broadcast paths disabled), a skewed
+    // partition larger than BOTH factor×median AND the byte threshold,
+    // and an advisory size smaller than the skewed partition so there is
+    // something to split into. Round-2 attempts missed the second
+    // broadcast knob (adaptive has its OWN threshold) — with both at -1
+    // and thresholds scaled to local data sizes, the optimizer fires.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // one hot key with ~200k wide rows (≫64KB in one shuffle partition),
+      // the rest uniform-tiny
+      val fact = spark.range(220000L)
+        .select((when(col("id") < 200000L, 7L).otherwise(col("id") % 97)).as("k"),
+          concat(lit("payload-payload-payload-payload-"), col("id")).as("v"))
+      // key-unique right side: the join fans out 1:1, only the LEFT shuffle
+      // partition holding key 7 is skewed (and gets split).
+      // Two more preconditions found adjudicating the round-2 failure:
+      //  - the wide payload column must SURVIVE column pruning into the
+      //    shuffle (an all-equal pruned key column compresses below any
+      //    realistic threshold — shuffle sizes are compressed bytes);
+      //  - nothing downstream may require the join's hash partitioning
+      //    (a same-key groupBy right after the join makes the split add a
+      //    shuffle, which OptimizeSkewedJoin refuses without
+      //    forceOptimizeSkewedJoin).
+      val other = spark.range(97L).select(col("id").as("k"), col("id").as("w"))
+      val joined = fact.join(other, "k")
+        .filter(substring(col("v"), -1, 1) === "7") // thin the collect, keep the join shape
+      // collect() executes THIS DataFrame's own queryExecution (count()
+      // would execute a different wrapped plan and leave this one initial)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire:\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("bucketed table join is shuffle-free (co-located sort-merge join)") {
     spark.sql("DROP TABLE IF EXISTS bt_fact")
     spark.sql("DROP TABLE IF EXISTS bt_dim")
