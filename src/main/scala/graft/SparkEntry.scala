@@ -652,6 +652,19 @@ object SparkEntry {
         o.filter(col("o_orderstatus") === "F"),
         o.filter(col("o_orderstatus") === "O"), "o_custkey")
     }),
+    "q95_approx_topk" -> ((s, d) =>
+      // frequency-sketch heavy hitters (ApproxTopK over a DataSketches
+      // ItemsSketch — mergeable, partial-agg). With k ≥ the true
+      // cardinality every item comes back with EXACT counts, so this
+      // sketch query is oracle-checkable; at real cardinalities the same
+      // plan returns approximate heavy hitters in one pass
+      // (accumulate/combine/estimate merge identity in SketchesSpec)
+      Tables.events(s, d)
+        .select(expr("approx_top_k(event_type, 20)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("event_type"),
+          col("e.count").cast("long").as("n"))
+        .orderBy(desc("n"), col("event_type"))),
     "q94_map_metrics" -> ((s, d) => {
       // map-typed columns end-to-end: build map<linestatus,n> per
       // returnflag, derive a share map with transform_values, zip the two
@@ -1130,6 +1143,12 @@ object SparkEntry {
            md5(text) AS md5_hex,
            sha256(text) AS sha256_hex
          FROM documents ORDER BY media_id""",
+    "q95_approx_topk" ->
+      // k=20 ≥ the 5 distinct event types → the sketch holds every item
+      // exactly; the oracle is the plain exact aggregation
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY event_type
+         ORDER BY n DESC, event_type""",
     "q94_map_metrics" ->
       // the map round-trip reduces to the two-level count it carries;
       // share = one IEEE division of exact longs on both sides

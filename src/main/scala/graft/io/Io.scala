@@ -145,11 +145,16 @@ object Io {
   def createSchema(spark: SparkSession, name: String): Unit =
     spark.sql(s"CREATE SCHEMA IF NOT EXISTS $name")
 
+  /** Single-quoted SQL string literal with embedded quotes doubled — so a
+    * comment or path containing `'` can't break out of the literal.
+    */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   def registerExternalTable(spark: SparkSession, table: String, location: String,
                             comment: String = ""): Unit = {
-    val c = if (comment.nonEmpty) s" COMMENT '$comment'" else ""
+    val c = if (comment.nonEmpty) s" COMMENT ${sqlLit(comment)}" else ""
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(s"CREATE TABLE $table USING PARQUET$c LOCATION '$location'")
+    spark.sql(s"CREATE TABLE $table USING PARQUET$c LOCATION ${sqlLit(location)}")
   }
 
   def showTables(spark: SparkSession, schema: String): DataFrame =

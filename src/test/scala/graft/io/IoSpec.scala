@@ -53,10 +53,12 @@ class IoSpec extends SparkSpec {
     val dir = tmpDir("io-ddl") + "/t"
     spark.range(5).toDF("id").write.parquet(dir)
     Io.createSchema(spark, "gold_test")
-    Io.registerExternalTable(spark, "gold_test.t1", dir, "test table")
+    // a single quote in the comment must not break out of the SQL literal
+    Io.registerExternalTable(spark, "gold_test.t1", dir, "client's test table")
     assert(spark.table("gold_test.t1").count() == 5)
     assert(Io.showTables(spark, "gold_test").count() >= 1)
-    assert(Io.describeTable(spark, "gold_test.t1").count() >= 1)
+    val desc = Io.describeTable(spark, "gold_test.t1")
+    assert(desc.count() >= 1)
     spark.sql("DROP TABLE gold_test.t1")
   }
 

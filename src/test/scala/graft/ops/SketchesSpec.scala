@@ -58,6 +58,28 @@ class SketchesSpec extends SparkSpec {
     assert(r._5 == (sa diff sb).size.toDouble, s"a_only ${r._5}")
   }
 
+  test("approx_top_k accumulate/combine/estimate equals the one-shot form") {
+    // the mergeable form of q95: per-half sketch states combine into the
+    // same heavy-hitter estimate as sketching everything at once — the
+    // property that lets per-batch top-k states live in a sketch store
+    val ev = graft.model.Tables.events(spark, dir).select("event_id", "event_type")
+    ev.filter(col("event_id") % 2 === 0).createOrReplaceTempView("tk_h1")
+    ev.filter(col("event_id") % 2 === 1).createOrReplaceTempView("tk_h2")
+    ev.createOrReplaceTempView("tk_all")
+    val merged = spark.sql(
+      """SELECT approx_top_k_estimate(approx_top_k_combine(st, 20), 20) AS tk
+         FROM (SELECT approx_top_k_accumulate(event_type, 20) AS st FROM tk_h1
+               UNION ALL
+               SELECT approx_top_k_accumulate(event_type, 20) FROM tk_h2)""")
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.count")).as[(String, Long)].collect().toSet
+    val oneShot = spark.sql(
+      "SELECT approx_top_k(event_type, 20) AS tk FROM tk_all")
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.count")).as[(String, Long)].collect().toSet
+    assert(merged == oneShot && oneShot.nonEmpty, s"$merged vs $oneShot")
+  }
+
   test("merging per-batch sketches equals sketching the union (sketch store)") {
     val h1 = orders.filter(col("o_orderkey") % 2 === 0)
     val h2 = orders.filter(col("o_orderkey") % 2 === 1)
