@@ -63,13 +63,33 @@ final class CorpusPipeline(spark: SparkSession, warehouse: String) {
     */
   def run(docs: DataFrame, idCol: String, textCol: String,
           minQuality: Double = 0.5, minEstSim: Double = 0.9,
-          trainPct: Int = 90, signatures: Option[DataFrame] = None): DataFrame = {
+          trainPct: Int = 90, signatures: Option[DataFrame] = None): DataFrame =
+    runObserved(docs, idCol, textCol, minQuality, minEstSim, trainPct,
+      signatures)._1
+
+  /** [[run]] with IN-FLIGHT audit metrics (`Dataset.observe`, same pattern
+    * as `Medallion.runSilverObserved`): docs/tokens/train-share are
+    * accumulated DURING the corpus write — at 100 TB this is the audit
+    * that would otherwise cost a second full scan of the written table.
+    * Observed on the final pre-write plan only (exactly one action
+    * consumes it): mid-pipeline nodes are re-executed by dedup's internal
+    * jobs, which would make observed values action-order-dependent.
+    */
+  def runObserved(docs: DataFrame, idCol: String, textCol: String,
+                  minQuality: Double = 0.5, minEstSim: Double = 0.9,
+                  trainPct: Int = 90, signatures: Option[DataFrame] = None)
+      : (DataFrame, Map[String, Any]) = {
     val annotated = annotate(docs, textCol)
       .filter(col("quality_score") >= minQuality)
     val deduped = dedup(annotated, idCol, textCol, minEstSim, signatures)
+    val obs = new org.apache.spark.sql.Observation("corpus_audit")
     val split = Sampling.hashSplit(deduped, idCol, trainPct)
       .withColumn("split", when(col("is_train"), "train").otherwise("test"))
       .drop("is_train")
+      .observe(obs,
+        count(lit(1)).as("docs_written"),
+        sum(col("token_estimate")).as("tokens_written"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("train_docs"))
     corpus.overwrite(split, Seq("lang_pred", "split"))
     // seed the signature store with the kept docs' signatures so later
     // incremental batches dedup against this corpus without rescanning it
@@ -77,7 +97,7 @@ final class CorpusPipeline(spark: SparkSession, warehouse: String) {
       Dedup.minhashSignatures(docs, idCol, textCol, n = 3, numHashes = 32))
     signatureStore.overwrite(
       sig.join(corpus.read.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi"))
-    corpus.read
+    (corpus.read, obs.get)
   }
 
   /** Continuous-ingest form: annotate + quality-filter the new batch,

@@ -25,6 +25,21 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(s == n)
   }
 
+  test("observed run: in-flight audit metrics match the written table") {
+    val wh = tmpDir("corpus-obs") + "/wh"
+    val p = new CorpusPipeline(spark, wh)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (out, m) = p.runObserved(docs, "doc_id", "text",
+      minQuality = 0.3, minEstSim = 0.9)
+    val written = out.count()
+    assert(m("docs_written") == written)
+    assert(m("tokens_written") ==
+      out.agg(sum("token_estimate")).head.getLong(0))
+    assert(m("train_docs") ==
+      out.filter(col("split") === "train").count())
+    assert(written > 0)
+  }
+
   test("incremental run: corpus dups dropped, fresh docs appended, store grows") {
     import spark.implicits._
     val wh = tmpDir("corpus-inc") + "/wh"
