@@ -365,45 +365,106 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
         .select(partitionCols.map(c => col(c)): _*).distinct()
       val affected = srcParts.union(matchedParts).distinct().localCheckpoint()
-      // rows of the affected partitions only, merged source-wins — null-safe
-      // equality, or rows in a null partition would silently miss the semi
-      // join while their dir still gets retired below (data loss)
-      val affectedKeyed = affected.toDF(partitionCols.map("__ap_" + _): _*)
-      val partMatch = partitionCols
-        .map(c => target(c) <=> affectedKeyed("__ap_" + c)).reduce(_ && _)
-      val targetAffected = target.join(broadcast(affectedKeyed), partMatch, "left_semi")
-      val merged = Merge.upsert(targetAffected, source, keys).localCheckpoint()
-      // materialize the affected partition set before any file moves — its
-      // plan reads the current table files (merged is already checkpointed)
-      val affectedRows = affected.collect().toSet
-      // retire ONLY the affected partition dirs into the current version's
-      // snapshot (renames, no copy); unaffected partitions stay in place and
-      // keep serving both the new and all prior versions
-      val cur = version
-      val movedDirs = affectedRows.toSeq.flatMap { row =>
-        // Spark escapes partition values on disk (Hive-style %-escaping;
-        // null → __HIVE_DEFAULT_PARTITION__) — build dir names with the
-        // same function the writer uses, or values needing escaping would
-        // miss fs.exists and silently duplicate their keys on append.
-        val dir = partitionCols.zipWithIndex
-          .map { case (c, i) =>
-            val v = row.get(i)
-            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .getPartitionPathString(c, if (v == null) null else v.toString)
-          }.mkString("/")
-        val src = new Path(s"$path/$dir")
-        if (fs.exists(src)) {
-          val dstDir = new Path(s"${retainedDir(cur)}/$dir")
-          fs.mkdirs(dstDir.getParent)
-          fs.rename(src, dstDir)
-          Some(dir)
-        } else None
+      val merged = Merge.upsert(rowsInPartitions(target, affected, partitionCols),
+        source, keys).localCheckpoint()
+      swapPartitions(affected, partitionCols, merged, "MERGE")
+    }
+
+  /** Rows of `target` living in the partitions listed by `affected` —
+    * null-safe equality, or rows in a null partition would silently miss
+    * the semi join while their dir still gets retired (data loss).
+    */
+  private def rowsInPartitions(target: DataFrame, affected: DataFrame,
+                               partitionCols: Seq[String]): DataFrame = {
+    val affectedKeyed = affected.toDF(partitionCols.map("__ap_" + _): _*)
+    val partMatch = partitionCols
+      .map(c => target(c) <=> affectedKeyed("__ap_" + c)).reduce(_ && _)
+    target.join(broadcast(affectedKeyed), partMatch, "left_semi")
+  }
+
+  /** Retire the partition dirs listed by `affected` into the current
+    * version's snapshot (renames, no copy — unaffected partitions stay in
+    * place serving every version) and append `replacement` (whose rows
+    * must all belong to affected partitions) as the new content. The
+    * shared tail of partition-pruned MERGE and [[rewritePartitions]].
+    * `replacement` must already be materialized (its plan may read the
+    * files being moved).
+    */
+  private def swapPartitions(affected: DataFrame, partitionCols: Seq[String],
+                             replacement: DataFrame, operation: String): Unit = {
+    // materialize the affected partition set before any file moves — its
+    // plan reads the current table files
+    val affectedRows = affected.collect().toSet
+    val cur = version
+    val movedDirs = affectedRows.toSeq.flatMap { row =>
+      // Spark escapes partition values on disk (Hive-style %-escaping;
+      // null → __HIVE_DEFAULT_PARTITION__) — build dir names with the
+      // same function the writer uses, or values needing escaping would
+      // miss fs.exists and silently duplicate their keys on append.
+      val dir = partitionCols.zipWithIndex
+        .map { case (c, i) =>
+          val v = row.get(i)
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(c, if (v == null) null else v.toString)
+        }.mkString("/")
+      val src = new Path(s"$path/$dir")
+      if (fs.exists(src)) {
+        val dstDir = new Path(s"${retainedDir(cur)}/$dir")
+        fs.mkdirs(dstDir.getParent)
+        fs.rename(src, dstDir)
+        Some(dir)
+      } else None
+    }
+    if (movedDirs.nonEmpty) remapManifests(qualifiedRoot, retainedDir(cur), movedDirs)
+    // the affected dirs are gone from the live dir, so the replacement rows
+    // (⊆ affected partitions) land as a plain partitioned append
+    replacement.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
+    commit(operation, partitionCols)
+  }
+
+  /** Rewrite ONLY the partitions matching `partitionCond` through `f` —
+    * the partition-scoped DML primitive behind [[deleteScoped]] /
+    * [[updateScoped]]. At 100 TB this is the difference between rewriting
+    * a few date partitions and rewriting the table: unaffected partitions
+    * are never read, never moved, never re-counted. `f` must not move rows
+    * out of the matched partitions (MERGE is the operator for cross-
+    * partition movement).
+    */
+  def rewritePartitions(partitionCond: org.apache.spark.sql.Column,
+                        partitionCols: Seq[String],
+                        operation: String = "REWRITE_PARTITIONS")
+                       (f: DataFrame => DataFrame): Unit = {
+    require(partitionCols.nonEmpty, "rewritePartitions needs a partitioned table")
+    ensureBootstrapped()
+    val target = read
+    val affected = target.filter(partitionCond)
+      .select(partitionCols.map(col): _*).distinct().localCheckpoint()
+    val replacement =
+      f(rowsInPartitions(target, affected, partitionCols)).localCheckpoint()
+    swapPartitions(affected, partitionCols, replacement, operation)
+  }
+
+  /** DELETE with partition pruning: only partitions matching
+    * `partitionCond` are rewritten; `cond`-null rows are kept (same
+    * semantics as [[delete]]).
+    */
+  def deleteScoped(partitionCond: org.apache.spark.sql.Column,
+                   cond: org.apache.spark.sql.Column,
+                   partitionCols: Seq[String]): Unit =
+    rewritePartitions(partitionCond, partitionCols, "DELETE")(
+      _.filter(!cond || cond.isNull))
+
+  /** UPDATE with partition pruning: `set` assignments applied to rows
+    * matching `cond` inside the partitions matching `partitionCond`.
+    */
+  def updateScoped(partitionCond: org.apache.spark.sql.Column,
+                   cond: org.apache.spark.sql.Column,
+                   set: Map[String, org.apache.spark.sql.Column],
+                   partitionCols: Seq[String]): Unit =
+    rewritePartitions(partitionCond, partitionCols, "UPDATE") { df =>
+      set.foldLeft(df) { case (d, (c, e)) =>
+        d.withColumn(c, org.apache.spark.sql.functions.when(cond, e).otherwise(col(c)))
       }
-      if (movedDirs.nonEmpty) remapManifests(qualifiedRoot, retainedDir(cur), movedDirs)
-      // the affected dirs are gone from the live dir, so the merged rows
-      // (⊆ affected partitions) land as a plain partitioned append
-      merged.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
-      commit("MERGE", partitionCols)
     }
 
   /** MERGE insert-only (deltalake.ipynb:1786–1791): append just the new keys. */

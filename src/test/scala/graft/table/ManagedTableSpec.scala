@@ -126,6 +126,33 @@ class ManagedTableSpec extends SparkSpec {
     assert(!plan.contains("PushedFilters: [IsNotNull(d)"), plan)
   }
 
+  test("deleteScoped rewrites only the matched partitions") {
+    val t = freshTable("mt-delscope")
+    t.overwrite(Seq((1L, "2024-01", 5.0), (2L, "2024-01", 50.0),
+      (3L, "2024-02", 50.0)).toDF("k", "m", "v"), Seq("m"))
+    def filesIn(part: String) =
+      new java.io.File(t.path + s"/m=$part").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSet
+    val febBefore = filesIn("2024-02")
+    t.deleteScoped(col("m") === "2024-01", col("v") > 10.0, Seq("m"))
+    assert(t.read.select("k").as[Long].collect().toSet == Set(1L, 3L))
+    // the untouched partition's files are bit-identical (never rewritten)
+    assert(filesIn("2024-02") == febBefore)
+    // history shows a DELETE commit; pre-delete snapshot still readable
+    assert(t.history(1).collect().head.getAs[String]("operation") == "DELETE")
+    assert(t.readVersion(0).count() == 3)
+  }
+
+  test("updateScoped applies set only inside matched partitions") {
+    val t = freshTable("mt-updscope")
+    t.overwrite(Seq((1L, "a", 5.0), (2L, "a", 50.0), (3L, "b", 50.0))
+      .toDF("k", "p", "v"), Seq("p"))
+    t.updateScoped(col("p") === "a", col("v") > 10.0,
+      Map("v" -> (col("v") * 2)), Seq("p"))
+    assert(t.read.orderBy("k").select("k", "v").as[(Long, Double)]
+      .collect().toSeq == Seq((1L, 5.0), (2L, 100.0), (3L, 50.0)))
+  }
+
   test("delete removes matching rows, keeps null-cond rows") {
     val t = freshTable("mt-del")
     t.overwrite(Seq((1L, Some(5.0)), (2L, Some(50.0)), (3L, None))
