@@ -31,6 +31,36 @@ class JdbcSpec extends SparkSpec {
     assert(Io.readJdbc(spark, url, "t_modes").count() == 2)
   }
 
+  test("Postgres dialect maps the silver/gold schema to the reference's DDL types") {
+    // The warehouse twin can't run real Postgres offline (accepted gap),
+    // but Spark SHIPS the Postgres dialect — so the DDL type mapping the
+    // reference's silver.py relies on (BIGINT keys, DOUBLE PRECISION
+    // amounts, NUMERIC decimals, TEXT dims, TIMESTAMP dates) is testable
+    // without a server: writeJdbc against a postgresql:// URL would emit
+    // exactly these column types.
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types._
+    val pg = JdbcDialects.get("jdbc:postgresql://db.example.invalid/wh")
+    def ddl(dt: DataType): String =
+      pg.getJDBCType(dt)
+        .orElse(org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+          .getCommonJDBCType(dt))
+        .map(_.databaseTypeDefinition).getOrElse(sys.error(s"no mapping: $dt"))
+    assert(ddl(LongType) == "BIGINT")
+    assert(ddl(DoubleType) == "FLOAT8")          // Postgres DOUBLE PRECISION
+    assert(ddl(DecimalType(18, 6)) == "NUMERIC(18,6)")
+    assert(ddl(StringType) == "TEXT")
+    // Spark's TimestampType has instant semantics → timestamptz; the
+    // reference's naive silver timestamps are the NTZ type → TIMESTAMP
+    assert(ddl(TimestampType) == "TIMESTAMP WITH TIME ZONE")
+    assert(ddl(TimestampNTZType) == "TIMESTAMP")
+    assert(ddl(BooleanType) == "BOOLEAN")
+    assert(ddl(BinaryType) == "BYTEA")
+    // identifier quoting differs from Derby's — pinned so a dialect swap
+    // can't silently change emitted DDL
+    assert(pg.quoteIdentifier("order") == "\"order\"")
+  }
+
   test("partitioned read shards the extract across range queries") {
     val df = spark.range(0, 100).toDF("id").withColumn("v", col("id") * 2)
     Io.writeJdbc(df, url, "t_part")
