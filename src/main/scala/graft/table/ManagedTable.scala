@@ -508,7 +508,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
 
   /** Multi-dimensional clustering (M6, `executeZOrderBy`): range-partition on
     * the clustering columns and sort within partitions so parquet row-group
-    * min/max stats make selective scans skip files/row-groups.
+    * min/max stats make selective scans skip files/row-groups. Locality is
+    * strongest on the LEADING column; [[clusterZ]] is the true Morton-key
+    * form with balanced locality on every column.
     */
   def cluster(cols: String*): Unit = {
     import org.apache.spark.sql.functions.col
@@ -516,6 +518,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     replaceWith(read.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*), Nil,
       "ZORDER")
   }
+
+  /** True Z-order clustering: quantile-bucket every column, interleave the
+    * bucket bits into one Morton key, and lay the table out by that key
+    * ([[graft.ops.Zorder]]) — every clustered column gets row-group
+    * min/max locality, not just the leading one.
+    */
+  def clusterZ(cols: Seq[String], bits: Int = 8, numFiles: Int = 0): Unit =
+    replaceWith(graft.ops.Zorder.cluster(read, cols, bits, numFiles), Nil, "ZORDER")
 
   /** Table metadata summary (M7, `detail()` / DESCRIBE DETAIL,
     * deltalake.ipynb:8593–8613): format, location, partition columns, file

@@ -58,6 +58,50 @@ object ClusterBench {
       println(f"[cluster-bench] $name: rows=$n1%d identical=${n1 == n2}%b " +
         f"plain=${t1}%.3fs clustered=${t2}%.3fs speedup=${speedup}%.1f%%")
     }
+
+    // Morton-key clustering vs range+sort on the TRAILING dimension — the
+    // case range+sort can't serve: lead-clustered layout gives client_id
+    // (2nd col) no locality, z-order gives every column ~2^(-bits/n).
+    // Row-group stats tell the story deterministically (no timing noise):
+    // the tighter the per-group client_id span, the more groups a
+    // client_id predicate skips.
+    // explicit 32-file layouts: an unspecified-count range shuffle is
+    // AQE-coalesced to ONE file at this scale, which erases all locality
+    val lead = new ManagedTable(spark, s"$wh/lead")
+    lead.overwrite(m.silverTxn.read
+      .repartitionByRange(32, col("transaction_date"), col("client_id"))
+      .sortWithinPartitions("transaction_date", "client_id"))
+    val zed = new ManagedTable(spark, s"$wh/zed")
+    zed.overwrite(m.silverTxn.read)
+    zed.clusterZ(Seq("transaction_date", "client_id"), bits = 6, numFiles = 32)
+    def medianClientSpan(path: String): Long = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      val spans = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(_.getPath.getName.endsWith(".parquet")).flatMap { st =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+          try {
+            val footer = rd.getFooter
+            val idx = footer.getFileMetaData.getSchema.getFieldIndex("client_id")
+            import scala.jdk.CollectionConverters._
+            footer.getBlocks.asScala.map { b =>
+              val s = b.getColumns.asScala(idx).getStatistics
+              s.genericGetMax.asInstanceOf[Number].longValue -
+                s.genericGetMin.asInstanceOf[Number].longValue
+            }
+          } finally rd.close()
+        }.sorted
+      spans(spans.length / 2)
+    }
+    val leadSpan = medianClientSpan(lead.path)
+    val zSpan = medianClientSpan(zed.path)
+    val probeQ = (df: DataFrame) =>
+      df.filter(col("client_id").between(100L, 110L)).count()
+    val same = probeQ(lead.read) == probeQ(zed.read)
+    println(f"[cluster-bench] trailing-dim row-group client_id span: " +
+      f"lead-clustered=$leadSpan%d zorder=$zSpan%d identical=$same%b " +
+      f"(smaller = more skippable)")
     spark.stop()
   }
 }
