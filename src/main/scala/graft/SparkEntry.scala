@@ -858,6 +858,14 @@ object SparkEntry {
         .orderBy("window_start", "event_type")),
     "q37_sessionize" -> ((s, d) =>
       graft.streaming.EventStreaming.sessionizeBatch(Tables.events(s, d), 30)),
+    "q96_window_sketch_users" -> ((s, d) =>
+      // theta-sketch windowed distinct users (streaming twin spec'd over
+      // MemoryStream): exact below the sketch threshold — which test-scale
+      // per-hour cardinalities are — so the oracle is COUNT(DISTINCT); at
+      // 100 TB the same plan degrades to bounded-error estimates with
+      // bounded per-window state instead of per-user sets
+      graft.streaming.EventStreaming.hourlyDistinctUsers(Tables.events(s, d))
+        .orderBy("window_start")),
 
     // ---- Top-k (O1-O4) ----
     "q15_topk" -> ((s, d) =>
@@ -1577,6 +1585,13 @@ object SparkEntry {
            event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q96_window_sketch_users" ->
+      // exact regime: per-hour user cardinality is far below the theta
+      // sketch's 4096-entry nominal size
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start,
+           COUNT(DISTINCT user_id) AS approx_users,
+           COUNT(*) AS n_events
+         FROM events GROUP BY 1 ORDER BY window_start""",
     "q37_sessionize" ->
       """WITH e AS (
            SELECT user_id, ts, value,

@@ -44,6 +44,25 @@ object EventStreaming {
         col("event_type"), col("n"), col("total_value"))
   }
 
+  /** Windowed approximate-distinct-user counts via a theta sketch — the
+    * streaming cardinality shape that scales where COUNT(DISTINCT) can't:
+    * per-window state is one bounded sketch (mergeable across partitions
+    * AND across late-arriving micro-batches), never a per-user set. Works
+    * identically in batch and streaming (`withWm` adds the watermark that
+    * bounds state); estimates are exact below the sketch threshold
+    * (spec'd against the batch COUNT(DISTINCT) twin).
+    */
+  def hourlyDistinctUsers(events: DataFrame, withWm: Boolean = false): DataFrame = {
+    val in = if (withWm) events.withWatermark("ts", "2 hours") else events
+    in.groupBy(window(col("ts"), "1 hour"))
+      .agg(theta_sketch_estimate(theta_sketch_agg(col("user_id")))
+        .cast("long").as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("window_start"),
+        col("approx_users"), col("n_events"))
+  }
+
   /** Batch sessionization twin: 30-min-gap sessions via lag + running sum —
     * the classic gaps-and-islands plan. Windows are partitioned by user, so
     * the shuffle is on user_id and each partition sorts locally (scales

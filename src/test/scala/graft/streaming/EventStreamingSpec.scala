@@ -33,6 +33,30 @@ class EventStreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00", "view", 1L)))
   }
 
+  test("streaming sketch distinct-users matches batch COUNT(DISTINCT) across triggers") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = hourlyDistinctUsers(mem.toDF, withWm = true)
+      .writeStream.format("memory").queryName("sk_users").outputMode("complete").start()
+    // two triggers touching the same window: the per-window SKETCH state
+    // must merge across micro-batches (user 1 repeats — not double-counted)
+    mem.addData(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:15:00"), 2, "click", 2.0))
+    q.processAllAvailable()
+    mem.addData(
+      Event(3, ts("2024-01-01 10:25:00"), 1, "view", 3.0),
+      Event(4, ts("2024-01-01 10:35:00"), 3, "view", 4.0),
+      Event(5, ts("2024-01-01 11:05:00"), 3, "view", 5.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sk_users").orderBy("window_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // exact regime: cardinalities far below the sketch threshold
+    assert(got == Seq(
+      ("2024-01-01 10:00:00", 3L, 4L),
+      ("2024-01-01 11:00:00", 1L, 1L)))
+  }
+
   test("stateful sessionization: state survives across triggers, gap closes session") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]
