@@ -2,7 +2,7 @@ package graft.table
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 
 /** A managed Parquet table directory emulating the reference's Delta-table
   * capability surface (SURVEY.md §7.4): overwrite/append/partitioned writes,
@@ -86,46 +86,145 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
-  /** Per-file row counts, read once from each file's parquet footer and
-    * cached in a `._log/_file_rows.txt` sidecar keyed by (path, length).
-    * A commit therefore reads footers ONLY for files it hasn't seen —
-    * the files the mutation just wrote — never re-counting unaffected
-    * partitions, and never running a Spark job. Driver-side IO is one
-    * footer per NEW file; at 100 TB that is proportional to the write,
-    * not the table.
+  /** Per-column min/max for a file: kind "i"/"d" (numeric, compared as
+    * BigDecimal) or "s" (UTF-8 string, compared lexicographically) with
+    * URL-encoded bounds, so any value round-trips through the TSV sidecar.
     */
-  private def fileRowCounts(files: Seq[(String, Long)]): Map[String, Long] = {
+  private type FileStats = Map[String, (String, String, String)] // col -> (kind,min,max)
+  private case class FileMeta(rows: Long, stats: FileStats)
+
+  /** How many leaf columns get data-skipping stats (Delta's
+    * dataSkippingNumIndexedCols analogue).
+    */
+  private val statsCols = 8
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Read row count AND per-column min/max from one parquet footer. */
+  private def footerMeta(p: Path): FileMeta = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try {
+      val footer = rd.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      val blocks = footer.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      val stats = schema.getColumns.asScala.take(statsCols).zipWithIndex
+        .flatMap { case (cd, i) =>
+          val prim = cd.getPrimitiveType
+          val isStr = prim.getLogicalTypeAnnotation.isInstanceOf[
+            org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+          val kind = prim.getPrimitiveTypeName match {
+            case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 |
+                 org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 => "i"
+            case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.DOUBLE |
+                 org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT => "d"
+            case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY
+              if isStr => "s"
+            case _ => "" // timestamps/raw binary/boolean: no skipping stats
+          }
+          val perBlock = blocks.map(_.getColumns.asScala(i).getStatistics)
+          if (kind.isEmpty || perBlock.isEmpty ||
+              perBlock.exists(s => s == null || s.isEmpty || !s.hasNonNullValue)) None
+          else {
+            def str(v: Any): String = v match {
+              case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+              case x => x.toString
+            }
+            val mins = perBlock.map(s => str(s.genericGetMin))
+            val maxs = perBlock.map(s => str(s.genericGetMax))
+            val (mn, mx) =
+              if (kind == "s") (mins.min, maxs.max)
+              else (mins.minBy(BigDecimal(_)), maxs.maxBy(BigDecimal(_)))
+            Some(cd.getPath.mkString(".") -> (kind, mn, mx))
+          }
+        }.toMap
+      FileMeta(rows, stats)
+    } finally rd.close()
+  }
+
+  /** Per-file row counts and data-skipping min/max, read once from each
+    * file's parquet footer and cached in a `._log/_file_rows.txt` sidecar
+    * keyed by (path, length). A commit therefore reads footers ONLY for
+    * files it hasn't seen — the files the mutation just wrote — never
+    * re-counting unaffected partitions, and never running a Spark job.
+    * Driver-side IO is one footer per NEW file; at 100 TB that is
+    * proportional to the write, not the table.
+    */
+  private def fileMeta(files: Seq[(String, Long)]): Map[String, FileMeta] = {
     val sidecar = new Path(logDir, "_file_rows.txt")
-    val cached: Map[String, (Long, Long)] = // path -> (len, rows)
+    val cached: Map[String, (Long, FileMeta)] = // path -> (len, meta)
       if (!fs.exists(sidecar)) Map.empty
       else {
         val in = fs.open(sidecar)
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
           .flatMap { l =>
             l.split('\t') match {
-              case Array(p, len, rows) => Some(p -> (len.toLong, rows.toLong))
+              case Array(p, len, rows, rest @ _*) =>
+                val stats = rest.grouped(4).collect {
+                  case Seq(c, k, mn, mx) => dec(c) -> (k, dec(mn), dec(mx))
+                }.toMap
+                Some(p -> (len.toLong, FileMeta(rows.toLong, stats)))
               case _ => None
             }
           }.toMap
         finally in.close()
       }
-    val conf = spark.sparkContext.hadoopConfiguration
-    val counts = files.map { case (p, len) =>
+    val metas = files.map { case (p, len) =>
       cached.get(p).filter(_._1 == len) match {
-        case Some((_, rows)) => p -> rows
-        case None =>
-          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p), conf))
-          val rows = try rd.getRecordCount finally rd.close()
-          p -> rows
+        case Some((_, m)) => p -> m
+        case None => p -> footerMeta(new Path(p))
       }
     }.toMap
     fs.mkdirs(logDir)
     val out = fs.create(sidecar, true)
-    try out.write(files.map { case (p, len) => s"$p\t$len\t${counts(p)}" }
-      .sorted.mkString("\n").getBytes("UTF-8"))
+    try out.write(files.map { case (p, len) =>
+      val m = metas(p)
+      val statsCells = m.stats.toSeq.sortBy(_._1).flatMap { case (c, (k, mn, mx)) =>
+        Seq(enc(c), k, enc(mn), enc(mx)) }
+      (Seq(p, len.toString, m.rows.toString) ++ statsCells).mkString("\t")
+    }.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    counts
+    metas
+  }
+
+  /** Live files whose [col min, col max] interval may intersect [lo, hi] —
+    * manifest-level data skipping (Delta's per-file stats pruning): the
+    * decision uses only the commit sidecar, no file is opened. Files with
+    * no stats for `colName` are kept conservatively. Returns (kept, all).
+    */
+  def filesOverlapping(colName: String, lo: Any, hi: Any): (Seq[String], Seq[String]) = {
+    val files = listParquet(new Path(path))
+      .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) }
+    val metas = fileMeta(files)
+    def leq(kind: String, a: String, b: String): Boolean =
+      if (kind == "s") a <= b else BigDecimal(a) <= BigDecimal(b)
+    val kept = files.map(_._1).filter { p =>
+      metas(p).stats.get(colName) match {
+        case Some((k, mn, mx)) =>
+          leq(k, mn, hi.toString) && leq(k, lo.toString, mx)
+        case None => true
+      }
+    }
+    (kept, files.map(_._1))
+  }
+
+  /** Range read with file-level data skipping: scan ONLY the files whose
+    * stats overlap [lo, hi], then apply the exact predicate. Combined with
+    * [[clusterZ]]/[[cluster]] layouts this is the Delta data-skipping
+    * story: stats prune files from the manifest, parquet row-group stats
+    * prune inside the survivors, and the filter keeps exactness.
+    */
+  def readWhere(colName: String, lo: Any, hi: Any): DataFrame = {
+    val (kept, _) = filesOverlapping(colName, lo, hi)
+    if (kept.isEmpty) return read.filter(org.apache.spark.sql.functions.lit(false))
+    spark.read.option("basePath", qualifiedRoot).parquet(kept: _*)
+      .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
   /** Append a commit entry describing the CURRENT live dir as version
@@ -136,7 +235,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val v = version + 1
     val files = listParquet(new Path(path))
       .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) }
-    val rowCount = fileRowCounts(files).values.sum
+    val rowCount = fileMeta(files).values.map(_.rows).sum
     val json = Seq(
       s""""version":$v""",
       s""""timestamp":${jstr(java.time.Instant.now().toString)}""",

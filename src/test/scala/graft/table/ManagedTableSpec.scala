@@ -358,6 +358,32 @@ class ManagedTableSpec extends SparkSpec {
     assert(t.readVersion(2).as[(Long, String)].collect().toSeq == Seq((3L, "c")))
   }
 
+  test("data skipping: readWhere prunes files from commit stats only") {
+    val t = freshTable("mt-skip")
+    // 8 files, each a narrow l_orderkey range (explicit count beats AQE
+    // coalescing), so a point-ish range must prune most files
+    val li = graft.model.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    t.overwrite(li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey"))
+    val (kept, all) = t.filesOverlapping("l_orderkey", 100L, 120L)
+    assert(all.size == 8, all)
+    assert(kept.size <= 2, s"expected <=2 kept files, got ${kept.size}")
+    // pruned read ≡ full-scan filter, bit-for-bit
+    val pruned = t.readWhere("l_orderkey", 100L, 120L)
+    val full = t.read.filter(col("l_orderkey").between(100L, 120L))
+    assert(pruned.count() == full.count() && full.count() > 0)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // string-typed stats prune too (dates are strings in this projection)
+    val (keptD, _) = t.filesOverlapping("l_orderkey", -5L, -1L)
+    assert(keptD.isEmpty) // fully outside the data range
+    assert(t.readWhere("l_orderkey", -5L, -1L).count() == 0)
+    // a column with no stats (index > statsCols or unsupported type) keeps
+    // every file — conservative, never wrong
+    val (keptNone, allNone) = t.filesOverlapping("no_such_col", 0, 1)
+    assert(keptNone == allNone)
+  }
+
   test("commit rowCount parity without a Spark count job") {
     val t = freshTable("mt-commitstats")
     t.overwrite(Seq((1L, "a", "p1"), (2L, "b", "p2"), (3L, "c", "p2"))
