@@ -411,12 +411,47 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       commit("OVERWRITE", partitionCols)
     }
 
-  def append(df: DataFrame, partitionCols: Seq[String] = Nil): Unit =
-    appendAs(df, partitionCols, "APPEND")
+  def append(df: DataFrame, partitionCols: Seq[String] = Nil,
+             allowEvolution: Boolean = false): Unit =
+    appendAs(df, partitionCols, "APPEND", allowEvolution)
 
-  private def appendAs(df: DataFrame, partitionCols: Seq[String], operation: String): Unit = {
+  /** Delta-style write-time schema enforcement: align `df` to the table
+    * schema before it reaches the files. Missing columns null-fill,
+    * up-castable types widen, EXTRA columns and incompatible types are
+    * rejected — a drifted producer fails loudly at the append instead of
+    * silently mixing schemas into the directory. `allowEvolution` lets
+    * extra columns through as additive evolution (readable via
+    * [[readEvolved]]'s mergeSchema).
+    */
+  private def conform(df: DataFrame, allowEvolution: Boolean): DataFrame = {
+    val table = read.schema
+    val dfFields = df.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val tableNames = table.fields.map(_.name.toLowerCase).toSet
+    val extra = df.schema.fields.filterNot(f => tableNames(f.name.toLowerCase))
+    if (extra.nonEmpty && !allowEvolution)
+      throw new IllegalArgumentException(
+        s"schema mismatch: extra column(s) ${extra.map(_.name).mkString(", ")} " +
+          "not in the table; pass allowEvolution=true for additive evolution")
+    val aligned = table.fields.map { tf =>
+      dfFields.get(tf.name.toLowerCase) match {
+        case Some(f) if f.dataType == tf.dataType => col(f.name)
+        case Some(f) if org.apache.spark.sql.catalyst.expressions.Cast
+            .canUpCast(f.dataType, tf.dataType) =>
+          col(f.name).cast(tf.dataType).as(tf.name)
+        case Some(f) => throw new IllegalArgumentException(
+          s"type mismatch for column ${tf.name}: " +
+            s"write has ${f.dataType.simpleString}, table has ${tf.dataType.simpleString}")
+        case None => lit(null).cast(tf.dataType).as(tf.name)
+      }
+    } ++ extra.map(f => col(f.name))
+    df.select(aligned.toSeq: _*)
+  }
+
+  private def appendAs(df: DataFrame, partitionCols: Seq[String],
+                       operation: String, allowEvolution: Boolean = false): Unit = {
     ensureBootstrapped()
-    val w = df.write.mode(SaveMode.Append)
+    val conformed = if (exists) conform(df, allowEvolution) else df
+    val w = conformed.write.mode(SaveMode.Append)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
     commit(operation, partitionCols)
   }

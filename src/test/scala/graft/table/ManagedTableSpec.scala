@@ -182,12 +182,31 @@ class ManagedTableSpec extends SparkSpec {
   test("schema evolution: appended column surfaces via readEvolved") {
     val t = freshTable("mt-evolve")
     t.overwrite(Seq((1L, "a")).toDF("k", "v"))
-    t.append(Seq((2L, "b", 9.5)).toDF("k", "v", "score"))
+    t.append(Seq((2L, "b", 9.5)).toDF("k", "v", "score"), allowEvolution = true)
     val evolved = t.readEvolved.orderBy("k")
     assert(evolved.columns.toSet == Set("k", "v", "score"))
     val rows = evolved.collect()
     assert(rows(0).isNullAt(2))              // old file -> null score
     assert(rows(1).getDouble(2) == 9.5)
+  }
+
+  test("schema enforcement: drifted appends fail loudly, compatible ones align") {
+    val t = freshTable("mt-enforce")
+    t.overwrite(Seq((1L, "a", 1.5)).toDF("k", "v", "score"))
+    // extra column without evolution: rejected before any file is written
+    intercept[IllegalArgumentException] {
+      t.append(Seq((2L, "b", 2.5, true)).toDF("k", "v", "score", "flag"))
+    }
+    assert(t.read.count() == 1) // nothing leaked into the directory
+    // incompatible type: rejected
+    intercept[IllegalArgumentException] {
+      t.append(Seq(("oops", "b", 2.5)).toDF("k", "v", "score"))
+    }
+    // missing column null-fills; up-castable int widens to the table's long
+    t.append(Seq((3, "c")).toDF("k", "v"))
+    val got = t.read.orderBy("k").select("k", "v", "score")
+      .as[(Long, String, Option[Double])].collect().toSeq
+    assert(got == Seq((1L, "a", Some(1.5)), (3L, "c", None)))
   }
 
   test("detail reports files and bytes") {
@@ -401,7 +420,9 @@ class ManagedTableSpec extends SparkSpec {
       t.append(Seq((4L, "d", "p1")).toDF("k", "v", "p"), Seq("p"))
       Thread.sleep(1000) // listener bus delivery is async
     } finally spark.sparkContext.removeSparkListener(listener)
-    assert(jobs.get() == 1, s"expected only the write job, saw ${jobs.get()}")
+    // exactly: the schema read for write-time enforcement (one footer,
+    // O(1)) + the write itself — and in particular no COUNT over the table
+    assert(jobs.get() <= 2, s"expected schema-read + write only, saw ${jobs.get()}")
     val h = t.history().collect()
     assert(h.head.getAs[Long]("rowCount") == 4L)
     assert(h.last.getAs[Long]("rowCount") == 3L)
