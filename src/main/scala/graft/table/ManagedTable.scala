@@ -451,9 +451,72 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                        operation: String, allowEvolution: Boolean = false): Unit = {
     ensureBootstrapped()
     val conformed = if (exists) conform(df, allowEvolution) else df
+    enforceConstraints(conformed)
     val w = conformed.write.mode(SaveMode.Append)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
     commit(operation, partitionCols)
+  }
+
+  // ---- CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT) ----------
+
+  private def constraintsFile = new Path(logDir, "_constraints.txt")
+
+  /** Declared CHECK constraints: name → SQL boolean expression. */
+  def constraints: Map[String, String] =
+    if (!fs.exists(constraintsFile)) Map.empty
+    else {
+      val in = fs.open(constraintsFile)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .flatMap(_.split('\t') match {
+          case Array(n, e) => Some(dec(n) -> dec(e))
+          case _ => None
+        }).toMap
+      finally in.close()
+    }
+
+  private def writeConstraints(cs: Map[String, String]): Unit = {
+    fs.mkdirs(logDir)
+    val out = fs.create(constraintsFile, true)
+    try out.write(cs.toSeq.sortBy(_._1)
+      .map { case (n, e) => s"${enc(n)}\t${enc(e)}" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Declare a CHECK constraint (SQL boolean expression over the table's
+    * columns). Existing data is validated first — the add fails if any
+    * current row violates it; afterwards every write path (append, MERGE,
+    * DELETE/UPDATE, scoped rewrites, RESTORE) enforces it BEFORE files are
+    * written. NULL evaluations pass, per SQL CHECK semantics.
+    */
+  def addConstraint(name: String, sqlExpr: String): Unit = {
+    require(!constraints.contains(name), s"constraint $name already exists")
+    if (exists) {
+      val bad = read.filter(!org.apache.spark.sql.functions.expr(sqlExpr)).limit(1).count()
+      if (bad > 0) throw new IllegalStateException(
+        s"cannot add constraint $name: existing rows violate ($sqlExpr)")
+    }
+    writeConstraints(constraints + (name -> sqlExpr))
+  }
+
+  def dropConstraint(name: String): Unit = writeConstraints(constraints - name)
+
+  /** One aggregation pass over the INCOMING data (never the table): count
+    * violations per declared constraint, throw naming the violated ones.
+    * Only rows where the expression is definitively false violate.
+    */
+  private def enforceConstraints(df: DataFrame): Unit = {
+    val cs = constraints
+    if (cs.isEmpty) return
+    import org.apache.spark.sql.functions.{expr, sum, when}
+    val counts = df.select(cs.toSeq.map { case (n, e) =>
+      sum(when(!expr(e), 1L).otherwise(0L)).as(n) }: _*).head()
+    val violated = cs.keys.toSeq.sorted
+      .filter(n => !counts.isNullAt(counts.fieldIndex(n)) &&
+        counts.getAs[Long](n) > 0)
+      .map(n => s"$n (${counts.getAs[Long](n)} rows: ${cs(n)})")
+    if (violated.nonEmpty) throw new IllegalStateException(
+      s"CHECK constraint violation: ${violated.mkString("; ")}")
   }
 
   /** Atomic replace: write to a temp sibling dir, retire the current dir as
@@ -464,6 +527,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def replaceWith(df: DataFrame, partitionCols: Seq[String],
                           operation: String): Unit = {
     ensureBootstrapped()
+    enforceConstraints(df)
     val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp.toString)
@@ -526,6 +590,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   private def swapPartitions(affected: DataFrame, partitionCols: Seq[String],
                              replacement: DataFrame, operation: String): Unit = {
+    enforceConstraints(replacement)
     // materialize the affected partition set before any file moves — its
     // plan reads the current table files
     val affectedRows = affected.collect().toSet

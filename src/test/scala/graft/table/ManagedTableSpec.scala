@@ -428,6 +428,45 @@ class ManagedTableSpec extends SparkSpec {
     assert(h.last.getAs[Long]("rowCount") == 3L)
   }
 
+  test("CHECK constraints: validated on add, enforced before any write") {
+    val t = freshTable("mt-check")
+    t.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+    // adding a constraint the current data violates is rejected
+    intercept[IllegalStateException] { t.addConstraint("v_big", "v > 15.0") }
+    t.addConstraint("v_pos", "v > 0.0")
+    assert(t.constraints == Map("v_pos" -> "v > 0.0"))
+    // violating append fails BEFORE files are written
+    intercept[IllegalStateException] {
+      t.append(Seq((3L, -1.0)).toDF("k", "v"))
+    }
+    assert(t.read.count() == 2)
+    // violating merge (partitionless → atomic swap path) fails too
+    intercept[IllegalStateException] {
+      t.merge(Seq((2L, -5.0)).toDF("k", "v"), Seq("k"))
+    }
+    assert(t.read.filter(col("v") < 0).count() == 0)
+    // NULL evaluations pass (SQL CHECK semantics)
+    t.append(Seq((4L, None: Option[Double])).toDF("k", "v"))
+    assert(t.read.count() == 3)
+    // dropped constraint stops enforcement
+    t.dropConstraint("v_pos")
+    t.append(Seq((5L, -1.0)).toDF("k", "v"))
+    assert(t.read.count() == 4)
+  }
+
+  test("CHECK constraints gate the partition-scoped write paths") {
+    val t = freshTable("mt-check-part")
+    t.overwrite(Seq((1L, "a", 5.0), (2L, "b", 6.0)).toDF("k", "p", "v"), Seq("p"))
+    t.addConstraint("v_pos", "v > 0.0")
+    intercept[IllegalStateException] {
+      t.updateScoped(col("p") === "a", col("k") === 1L,
+        Map("v" -> lit(-9.0)), Seq("p"))
+    }
+    // the rejected rewrite left the partition intact and readable
+    assert(t.read.orderBy("k").select("v").as[Double].collect().toSeq ==
+      Seq(5.0, 6.0))
+  }
+
   test("pre-log tables bootstrap their current state as version 0") {
     val dir = tmpDir("mt-boot") + "/t"
     Seq((1L, "a")).toDF("k", "v").write.parquet(dir) // written outside ManagedTable
