@@ -325,6 +325,15 @@ object SparkEntry {
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
         .orderBy("doc_id")),
+    "q97_trigram_fluency" -> ((s, d) => {
+      // CCNet-shape perplexity filtering, bit-exact: score docs by the
+      // mean corpus frequency of their char trigrams (integer sums + one
+      // division); the trigram model is bounded-vocab broadcast state
+      val docs = Tables.documents(s, d)
+      TextAnalysis.fluencyScore(docs, "doc_id", "text",
+          TextAnalysis.trigramModel(docs, "doc_id", "text"))
+        .orderBy("doc_id")
+    }),
     "q79_pii_scrub" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.scrubPii(col("text")).as("clean_text"))
@@ -1151,6 +1160,21 @@ object SparkEntry {
            md5(text) AS md5_hex,
            sha256(text) AS sha256_hex
          FROM documents ORDER BY media_id""",
+    "q97_trigram_fluency" ->
+      // DuckDB length()/substr() are character-based like Spark's;
+      // unnest(range()) is the lateral index generator (generate_series
+      // rejects lateral column args)
+      """WITH tg AS (
+           SELECT doc_id, substr(lower(text), CAST(u.i AS INT), 3) AS trigram
+           FROM documents,
+             LATERAL unnest(range(1, greatest(CAST(length(text) AS BIGINT) - 1, 1))) AS u(i)
+           WHERE length(text) >= 3
+         ), model AS (SELECT trigram, COUNT(*) AS c FROM tg GROUP BY trigram)
+         SELECT tg.doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+                CAST(SUM(c) AS DOUBLE) / COUNT(*) AS fluency
+         FROM tg JOIN model USING (trigram)
+         GROUP BY tg.doc_id ORDER BY tg.doc_id""",
     "q95_approx_topk" ->
       // k=20 ≥ the 5 distinct event types → the sketch holds every item
       // exactly; the oracle is the plain exact aggregation

@@ -84,6 +84,45 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** One row per character trigram of the lowercased text (docs shorter
+    * than 3 chars emit none). Codegen-friendly: explode(sequence) +
+    * expression-arg substring — no higher-order functions on the per-doc
+    * hot path — and the projection prunes to (id, trigram) before any
+    * shuffle.
+    */
+  def charTrigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), lower(col(textCol)).as("__t"))
+      .filter(length(col("__t")) >= 3)
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(1), length(col("__t")) - 2)).as("__i"))
+      .select(col(idCol), expr("substring(__t, __i, 3)").as("trigram"))
+
+  /** Corpus trigram frequency model: trigram → occurrence count. The
+    * vocabulary is bounded (character trigrams), so the model stays small
+    * no matter the corpus size — broadcastable state, same role as a
+    * KenLM table in CCNet-style filtering.
+    */
+  def trigramModel(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    charTrigrams(df, idCol, textCol).groupBy("trigram")
+      .agg(count(lit(1)).as("c"))
+
+  /** Frequency-based fluency score — the shape of perplexity filtering
+    * (CCNet) with a bit-exact formulation: score = mean corpus frequency
+    * of the doc's trigrams, i.e. Σ count(trigram) / n_trigrams. Docs made
+    * of rare trigrams (gibberish, wrong language, binary junk) score low;
+    * integer sums + ONE IEEE division keep it oracle-exact, unlike
+    * log-prob scores whose ln() differs across engines at ulp level.
+    * The model is broadcast (bounded vocab); the only shuffle is the
+    * per-doc aggregation.
+    */
+  def fluencyScore(df: DataFrame, idCol: String, textCol: String,
+                   model: DataFrame): DataFrame =
+    charTrigrams(df, idCol, textCol)
+      .join(broadcast(model), Seq("trigram"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"),
+        (sum("c").cast("double") / count(lit(1))).as("fluency"))
+
   /** Non-cryptographic rolling-hash fingerprint over the whitespace-
     * normalized text ([[graft.functions.RollingHash]] — a codegen'd
     * polynomial hash; cheaper than md5 when cryptographic strength isn't

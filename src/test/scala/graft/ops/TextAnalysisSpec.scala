@@ -76,4 +76,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(1)._2 == 0.0 && math.abs(m(1)._3 - 0.2) < 1e-12)
     assert(m(2)._2 == 0.0 && m(2)._3 == 1.0)
   }
+
+  test("trigram fluency: hand-computed mean corpus frequency, short docs excluded") {
+    val docs = Seq((1L, "AAAA"), (2L, "abab"), (3L, "ab")).toDF("doc_id", "text")
+    val model = TextAnalysis.trigramModel(docs, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    // lowercased: doc1 -> aaa,aaa; doc2 -> aba,bab; doc3 -> none
+    assert(model == Map("aaa" -> 2L, "aba" -> 1L, "bab" -> 1L))
+    val scores = TextAnalysis.fluencyScore(docs, "doc_id", "text",
+        TextAnalysis.trigramModel(docs, "doc_id", "text"))
+      .select("doc_id", "n_trigrams", "fluency")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(scores.toSeq == Seq((1L, 2L, 2.0), (2L, 2L, 1.0)))
+  }
 }
