@@ -329,9 +329,7 @@ object SparkEntry {
       // CCNet-shape perplexity filtering, bit-exact: score docs by the
       // mean corpus frequency of their char trigrams (integer sums + one
       // division); the trigram model is bounded-vocab broadcast state
-      val docs = Tables.documents(s, d)
-      TextAnalysis.fluencyScore(docs, "doc_id", "text",
-          TextAnalysis.trigramModel(docs, "doc_id", "text"))
+      TextAnalysis.fluencySelfScore(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")
     }),
     "q79_pii_scrub" -> ((s, d) =>

@@ -88,5 +88,10 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id", "n_trigrams", "fluency")
       .as[(Long, Long, Double)].collect().sortBy(_._1)
     assert(scores.toSeq == Seq((1L, 2L, 2.0), (2L, 2L, 1.0)))
+    // the checkpointed self-score form is result-identical
+    val self = TextAnalysis.fluencySelfScore(docs, "doc_id", "text")
+      .select("doc_id", "n_trigrams", "fluency")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(self.toSeq == scores.toSeq)
   }
 }
