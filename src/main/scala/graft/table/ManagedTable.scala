@@ -441,7 +441,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         case Some(f) => throw new IllegalArgumentException(
           s"type mismatch for column ${tf.name}: " +
             s"write has ${f.dataType.simpleString}, table has ${tf.dataType.simpleString}")
-        case None => lit(null).cast(tf.dataType).as(tf.name)
+        case None => generatedColumns.get(tf.name) match {
+          // a declared generated column materializes from its expression
+          case Some(e) =>
+            org.apache.spark.sql.functions.expr(e).cast(tf.dataType).as(tf.name)
+          case None => lit(null).cast(tf.dataType).as(tf.name)
+        }
       }
     } ++ extra.map(f => col(f.name))
     df.select(aligned.toSeq: _*)
@@ -455,6 +460,48 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val w = conformed.write.mode(SaveMode.Append)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
     commit(operation, partitionCols)
+  }
+
+  // ---- generated columns (Delta's GENERATED ALWAYS AS) -----------------
+
+  private def generatedFile = new Path(logDir, "_generated.txt")
+
+  /** Declared generated columns: name → SQL expression over the other
+    * columns. When a write omits the column, [[conform]] computes it from
+    * the expression instead of null-filling — Delta's generated-column
+    * behavior, typically used for derived partition keys (e.g.
+    * `ship_month` from a date) so writers never hand-maintain them.
+    */
+  def generatedColumns: Map[String, String] =
+    if (!fs.exists(generatedFile)) Map.empty
+    else {
+      val in = fs.open(generatedFile)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .flatMap(_.split('\t') match {
+          case Array(n, e) => Some(dec(n) -> dec(e))
+          case _ => None
+        }).toMap
+      finally in.close()
+    }
+
+  /** Declare `name` as generated from `sqlExpr`. The column must already
+    * exist in the table schema, and the existing data must agree with the
+    * expression — a divergent declaration is rejected, like a CHECK add.
+    */
+  def addGeneratedColumn(name: String, sqlExpr: String): Unit = {
+    import org.apache.spark.sql.functions.expr
+    require(exists, "declare generated columns on an existing table")
+    require(read.columns.contains(name), s"no such column: $name")
+    val divergent = read
+      .filter(!(col(name) <=> expr(sqlExpr))).limit(1).count()
+    if (divergent > 0) throw new IllegalStateException(
+      s"cannot declare $name generated: existing rows diverge from ($sqlExpr)")
+    fs.mkdirs(logDir)
+    val out = fs.create(generatedFile, true)
+    try out.write((generatedColumns + (name -> sqlExpr)).toSeq.sortBy(_._1)
+      .map { case (n, e) => s"${enc(n)}\t${enc(e)}" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
   }
 
   // ---- CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT) ----------

@@ -102,6 +102,14 @@ object ClusterBench {
     println(f"[cluster-bench] trailing-dim row-group client_id span: " +
       f"lead-clustered=$leadSpan%d zorder=$zSpan%d identical=$same%b " +
       f"(smaller = more skippable)")
+    // …and the commit-stats skipping layer composes with the layout: the
+    // same trailing-column predicate prunes FILES from the manifest alone
+    val (keptLead, allLead) = lead.filesOverlapping("client_id", 100L, 110L)
+    val (keptZ, allZ) = zed.filesOverlapping("client_id", 100L, 110L)
+    val prunedSame = zed.readWhere("client_id", 100L, 110L).count() == probeQ(zed.read)
+    println(f"[cluster-bench] manifest file skipping for client_id∈[100,110]: " +
+      f"lead-clustered ${keptLead.size}%d/${allLead.size}%d kept, " +
+      f"zorder ${keptZ.size}%d/${allZ.size}%d kept, pruned-read identical=$prunedSame%b")
     spark.stop()
   }
 }

@@ -428,6 +428,24 @@ class ManagedTableSpec extends SparkSpec {
     assert(h.last.getAs[Long]("rowCount") == 3L)
   }
 
+  test("generated columns: omitted in a write, materialized from the expression") {
+    val t = freshTable("mt-gen")
+    t.overwrite(Seq((1L, "2024-03-15", "2024-03"))
+      .toDF("k", "d", "month"), Seq("month"))
+    // declaring against divergent data is rejected
+    intercept[IllegalStateException] {
+      t.addGeneratedColumn("month", "substring(d, 1, 6)")
+    }
+    t.addGeneratedColumn("month", "substring(d, 1, 7)")
+    // writer omits the partition column entirely — it generates
+    t.append(Seq((2L, "2024-04-02")).toDF("k", "d"), Seq("month"))
+    val got = t.read.orderBy("k").select("k", "d", "month")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == Seq((1L, "2024-03-15", "2024-03"), (2L, "2024-04-02", "2024-04")))
+    // and the generated value landed as a real partition directory
+    assert(new java.io.File(t.path + "/month=2024-04").isDirectory)
+  }
+
   test("CHECK constraints: validated on add, enforced before any write") {
     val t = freshTable("mt-check")
     t.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
