@@ -68,6 +68,42 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(again.count() == n0 + 1)
   }
 
+  test("streaming corpus ingest: foreachBatch runIncremental dedups across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val wh = tmpDir("corpus-stream") + "/wh"
+    val p = new CorpusPipeline(spark, wh)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    p.run(docs, "doc_id", "text", minQuality = 0.0, minEstSim = 0.9)
+    val n0 = p.corpus.read.count()
+    val dupText = p.corpus.read.orderBy("doc_id").select("text").head.getString(0)
+    val fresh = "a brand new streaming document with words appearing nowhere else xxq zzv"
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        p.runIncremental(batch, "doc_id", "text", minQuality = 0.0): Unit
+      }
+      .start()
+    // batch 1: a corpus dup + a fresh doc
+    mem.addData((910001L, dupText), (910002L, fresh))
+    q.processAllAvailable()
+    assert(p.corpus.read.count() == n0 + 1)
+    // batch 2: re-send of batch 1's fresh doc — the signature store grown
+    // by batch 1 must block it across the micro-batch boundary
+    mem.addData((910003L, fresh))
+    q.processAllAvailable(); q.stop()
+    val keptNew = p.corpus.read.filter(col("doc_id") >= 910000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptNew == Set(910002L), s"got $keptNew")
+    assert(p.corpus.read.count() == n0 + 1)
+    // every history mutation is a logged APPEND after the seed OVERWRITE
+    val ops = p.corpus.history().collect().map(_.getAs[String]("operation")).toSeq
+    assert(ops.count(_ == "APPEND") >= 1 && ops.last == "OVERWRITE")
+  }
+
   test("pipeline is deterministic: rerun on re-sharded input matches") {
     val whA = tmpDir("corpus-a") + "/wh"; val whB = tmpDir("corpus-b") + "/wh"
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
