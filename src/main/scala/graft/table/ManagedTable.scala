@@ -396,6 +396,16 @@ final class ManagedTable(spark: SparkSession, val path: String) {
 
   def read: DataFrame = spark.read.parquet(path)
 
+  /** Structured-Streaming source over the table (Delta's streaming-source
+    * role): downstream jobs tail the table and see the files APPENDS add.
+    * Appends-only contract, like Delta without ignoreChanges: a rewriting
+    * mutation (MERGE/OVERWRITE/compaction) produces new files that would
+    * re-emit — run those on tables consumed in batch, or restart the
+    * stream from a fresh checkpoint after maintenance.
+    */
+  def readStream: DataFrame =
+    spark.readStream.schema(read.schema).parquet(path)
+
   /** Schema-evolved read (the reference's `mergeSchema`, deltalake.ipynb:
     * 4599 cell 25): unions the schemas of all files; rows from files
     * missing a column read null. Pair with [[append]]-ing a widened frame

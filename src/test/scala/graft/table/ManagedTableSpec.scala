@@ -485,6 +485,22 @@ class ManagedTableSpec extends SparkSpec {
       Seq(5.0, 6.0))
   }
 
+  test("readStream tails the table: appends arrive across micro-batches") {
+    val t = freshTable("mt-stream")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    val q = t.readStream
+      .writeStream.format("memory").queryName("mt_tail").outputMode("append")
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("mt_tail").count() == 1)
+    t.append(Seq((2L, "b"), (3L, "c")).toDF("k", "v"))
+    q.processAllAvailable()
+    t.append(Seq((4L, "d")).toDF("k", "v"))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("mt_tail").select("k").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L))
+  }
+
   test("pre-log tables bootstrap their current state as version 0") {
     val dir = tmpDir("mt-boot") + "/t"
     Seq((1L, "a")).toDF("k", "v").write.parquet(dir) // written outside ManagedTable
