@@ -1163,10 +1163,13 @@ object SparkEntry {
       // unnest(range()) is the lateral index generator (generate_series
       // rejects lateral column args)
       """WITH tg AS (
+           -- index off length(lower(text)): Unicode case mapping can change
+           -- the character count (U+0130), and Spark's sequence uses the
+           -- lowercased length
            SELECT doc_id, substr(lower(text), CAST(u.i AS INT), 3) AS trigram
            FROM documents,
-             LATERAL unnest(range(1, greatest(CAST(length(text) AS BIGINT) - 1, 1))) AS u(i)
-           WHERE length(text) >= 3
+             LATERAL unnest(range(1, greatest(CAST(length(lower(text)) AS BIGINT) - 1, 1))) AS u(i)
+           WHERE length(lower(text)) >= 3
          ), model AS (SELECT trigram, COUNT(*) AS c FROM tg GROUP BY trigram)
          SELECT tg.doc_id,
                 CAST(COUNT(*) AS BIGINT) AS n_trigrams,

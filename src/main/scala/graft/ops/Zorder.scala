@@ -22,8 +22,8 @@ import org.apache.spark.sql.functions._
   *
   * Sorting/range-partitioning by the key gives every column row-group
   * min/max locality ∝ 2^(-bits/n), so parquet data skipping prunes on any
-  * clustered column, not just the first. Supports up to 4 columns × 16
-  * bits (64-bit key).
+  * clustered column, not just the first. Supports any n·bits ≤ 63 (the
+  * key is a signed BIGINT): e.g. 2 cols × 16 bits, 4 cols × 15, 7 × 9.
   *
   * Ties inside a quantile bucket are broken arbitrarily — file LAYOUT may
   * differ across runs, query RESULTS never do (spec'd).

@@ -103,6 +103,33 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
+  /** Unsigned UTF-8 byte order — parquet's binary-stats ordering. Java's
+    * String compare is UTF-16 code-unit order, which DISAGREES for
+    * supplementary characters vs [U+E000, U+FFFF]; comparing stats in any
+    * other order than the one that produced them can prune a file that
+    * holds matching rows.
+    */
+  private def utf8Leq(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length <= y.length
+  }
+
+  /** Numeric stat order via double (Infinity-safe; monotonic rounding for
+    * huge longs only creates ties, which keep files — conservative).
+    * NaN compares keep the file.
+    */
+  private def numLeq(a: String, b: String): Boolean = {
+    val x = java.lang.Double.parseDouble(a); val y = java.lang.Double.parseDouble(b)
+    if (x.isNaN || y.isNaN) true else x <= y
+  }
+
   /** Read row count AND per-column min/max from one parquet footer. */
   private def footerMeta(p: Path): FileMeta = {
     import scala.jdk.CollectionConverters._
@@ -138,10 +165,19 @@ final class ManagedTable(spark: SparkSession, val path: String) {
             }
             val mins = perBlock.map(s => str(s.genericGetMin))
             val maxs = perBlock.map(s => str(s.genericGetMax))
-            val (mn, mx) =
-              if (kind == "s") (mins.min, maxs.max)
-              else (mins.minBy(BigDecimal(_)), maxs.maxBy(BigDecimal(_)))
-            Some(cd.getPath.mkString(".") -> (kind, mn, mx))
+            if (kind != "s" &&
+                (mins ++ maxs).exists(v => java.lang.Double.parseDouble(v).isNaN))
+              None // NaN bounds carry no ordering information: no stats
+            else {
+              val (mn, mx) =
+                if (kind == "s")
+                  (mins.reduce((a, b) => if (utf8Leq(a, b)) a else b),
+                   maxs.reduce((a, b) => if (utf8Leq(a, b)) b else a))
+                else
+                  (mins.reduce((a, b) => if (numLeq(a, b)) a else b),
+                   maxs.reduce((a, b) => if (numLeq(a, b)) b else a))
+              Some(cd.getPath.mkString(".") -> (kind, mn, mx))
+            }
           }
         }.toMap
       FileMeta(rows, stats)
@@ -175,21 +211,27 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           }.toMap
         finally in.close()
       }
+    var anyNew = false
     val metas = files.map { case (p, len) =>
       cached.get(p).filter(_._1 == len) match {
         case Some((_, m)) => p -> m
-        case None => p -> footerMeta(new Path(p))
+        case None => anyNew = true; p -> footerMeta(new Path(p))
       }
     }.toMap
-    fs.mkdirs(logDir)
-    val out = fs.create(sidecar, true)
-    try out.write(files.map { case (p, len) =>
-      val m = metas(p)
-      val statsCells = m.stats.toSeq.sortBy(_._1).flatMap { case (c, (k, mn, mx)) =>
-        Seq(enc(c), k, enc(mn), enc(mx)) }
-      (Seq(p, len.toString, m.rows.toString) ++ statsCells).mkString("\t")
-    }.sorted.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    // rewrite the sidecar only when a new footer was actually read: pure
+    // read paths (filesOverlapping/readWhere) on a committed table must
+    // not mutate the log — every live file is already cached by its commit
+    if (anyNew) {
+      fs.mkdirs(logDir)
+      val out = fs.create(sidecar, true)
+      try out.write(files.map { case (p, len) =>
+        val m = metas(p)
+        val statsCells = m.stats.toSeq.sortBy(_._1).flatMap { case (c, (k, mn, mx)) =>
+          Seq(enc(c), k, enc(mn), enc(mx)) }
+        (Seq(p, len.toString, m.rows.toString) ++ statsCells).mkString("\t")
+      }.sorted.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
     metas
   }
 
@@ -203,7 +245,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) }
     val metas = fileMeta(files)
     def leq(kind: String, a: String, b: String): Boolean =
-      if (kind == "s") a <= b else BigDecimal(a) <= BigDecimal(b)
+      if (kind == "s") utf8Leq(a, b) else numLeq(a, b)
     val kept = files.map(_._1).filter { p =>
       metas(p).stats.get(colName) match {
         case Some((k, mn, mx)) =>
@@ -433,8 +475,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * extra columns through as additive evolution (readable via
     * [[readEvolved]]'s mergeSchema).
     */
-  private def conform(df: DataFrame, allowEvolution: Boolean): DataFrame = {
-    val table = read.schema
+  private def conform(df: DataFrame, allowEvolution: Boolean,
+                      table: org.apache.spark.sql.types.StructType,
+                      partitionCols: Seq[String]): DataFrame = {
+    val partitionSet = partitionCols.map(_.toLowerCase).toSet
     val dfFields = df.schema.fields.map(f => f.name.toLowerCase -> f).toMap
     val tableNames = table.fields.map(_.name.toLowerCase).toSet
     val extra = df.schema.fields.filterNot(f => tableNames(f.name.toLowerCase))
@@ -444,9 +488,17 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           "not in the table; pass allowEvolution=true for additive evolution")
     val aligned = table.fields.map { tf =>
       dfFields.get(tf.name.toLowerCase) match {
-        case Some(f) if f.dataType == tf.dataType => col(f.name)
+        case Some(f) if f.dataType == tf.dataType => col(f.name).as(tf.name)
         case Some(f) if org.apache.spark.sql.catalyst.expressions.Cast
             .canUpCast(f.dataType, tf.dataType) =>
+          col(f.name).cast(tf.dataType).as(tf.name)
+        // partition columns read back through partition-value INFERENCE
+        // (string "2024" on disk → int in read.schema), so the writer's
+        // original type legitimately differs: cast to the inferred type
+        // rather than rejecting the append
+        case Some(f) if partitionSet(tf.name.toLowerCase) &&
+            org.apache.spark.sql.catalyst.expressions.Cast
+              .canCast(f.dataType, tf.dataType) =>
           col(f.name).cast(tf.dataType).as(tf.name)
         case Some(f) => throw new IllegalArgumentException(
           s"type mismatch for column ${tf.name}: " +
@@ -462,10 +514,25 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     df.select(aligned.toSeq: _*)
   }
 
+  /** The table schema, or None when it cannot be inferred — e.g. a
+    * partitioned dir whose rows were all deleted leaves no data files.
+    */
+  private def tableSchemaOpt: Option[org.apache.spark.sql.types.StructType] =
+    try Some(read.schema) catch { case _: Exception => None }
+
   private def appendAs(df: DataFrame, partitionCols: Seq[String],
                        operation: String, allowEvolution: Boolean = false): Unit = {
     ensureBootstrapped()
-    val conformed = if (exists) conform(df, allowEvolution) else df
+    val conformed0 =
+      if (exists) tableSchemaOpt
+        .map(conform(df, allowEvolution, _, partitionCols)).getOrElse(df)
+      else df
+    // materialize BEFORE the check when constraints exist, so the rows the
+    // check saw are exactly the rows the write persists (a nondeterministic
+    // source could otherwise pass the check and write violating rows), and
+    // the plan isn't computed twice
+    val conformed =
+      if (constraints.nonEmpty) conformed0.localCheckpoint() else conformed0
     enforceConstraints(conformed)
     val w = conformed.write.mode(SaveMode.Append)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
@@ -581,9 +648,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * or the new table, never a partial write (single-writer; SURVEY.md
     * §7.6.5).
     */
-  private def replaceWith(df: DataFrame, partitionCols: Seq[String],
+  private def replaceWith(df0: DataFrame, partitionCols: Seq[String],
                           operation: String): Unit = {
     ensureBootstrapped()
+    // same checked-rows-are-written-rows materialization as appendAs;
+    // only paid when constraints are declared
+    val df = if (constraints.nonEmpty) df0.localCheckpoint() else df0
     enforceConstraints(df)
     val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
     val w = df.write.mode(SaveMode.Overwrite)
@@ -649,8 +719,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                              replacement: DataFrame, operation: String): Unit = {
     enforceConstraints(replacement)
     // materialize the affected partition set before any file moves — its
-    // plan reads the current table files
-    val affectedRows = affected.collect().toSet
+    // plan reads the current table files. Values are stringified by
+    // Spark's OWN cast-to-string (session timezone, no JVM toString
+    // artifacts like Timestamp's trailing ".0") because the dynamic
+    // partition writer names dirs from exactly that cast.
+    val affectedRows = affected
+      .select(partitionCols.map(c => col(c).cast("string")): _*)
+      .collect().toSet
     val cur = version
     val movedDirs = affectedRows.toSeq.flatMap { row =>
       // Spark escapes partition values on disk (Hive-style %-escaping;
@@ -659,9 +734,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       // miss fs.exists and silently duplicate their keys on append.
       val dir = partitionCols.zipWithIndex
         .map { case (c, i) =>
-          val v = row.get(i)
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .getPartitionPathString(c, if (v == null) null else v.toString)
+            .getPartitionPathString(c, row.getString(i))
         }.mkString("/")
       val src = new Path(s"$path/$dir")
       if (fs.exists(src)) {

@@ -446,6 +446,60 @@ class ManagedTableSpec extends SparkSpec {
     assert(new java.io.File(t.path + "/month=2024-04").isDirectory)
   }
 
+  test("partitioned merge on a timestamp partition column retires the right dirs") {
+    val t = freshTable("mt-tspart")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    t.overwrite(Seq((1L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, ts("2024-01-02 11:30:00"), "b")).toDF("k", "p", "v"), Seq("p"))
+    // the matched key's old copy must disappear — JVM Timestamp.toString
+    // ("…10:00:00.0") would miss the dir Spark named via cast-to-string
+    t.merge(Seq((1L, ts("2024-01-01 10:00:00"), "A")).toDF("k", "p", "v"),
+      Seq("k"), Seq("p"))
+    val got = t.read.select("k", "v").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "A", 2L -> "b"), got)
+    assert(t.read.count() == 2) // no silent duplicate of key 1
+  }
+
+  test("append accepts writer-typed values on inference-mangled partition columns") {
+    val t = freshTable("mt-inferpart")
+    // string "2024"/"2025" partition values read back as ints (partition
+    // type inference) — the append's string column must cast, not reject
+    t.overwrite(Seq((1L, "2024"), (2L, "2025")).toDF("k", "p"), Seq("p"))
+    t.append(Seq((3L, "2024")).toDF("k", "p"), Seq("p"))
+    assert(t.read.filter(col("p") === 2024).count() == 2)
+  }
+
+  test("non-finite double stats don't break commits; skipping stays conservative") {
+    val t = freshTable("mt-inf")
+    t.overwrite(Seq((1L, 1.5), (2L, Double.PositiveInfinity), (3L, Double.NaN))
+      .toDF("k", "v"))
+    t.append(Seq((4L, 2.5)).toDF("k", "v")) // second commit re-reads nothing, but proves the first parsed
+    assert(t.history(1).collect().head.getAs[Long]("rowCount") == 4L)
+    // the Infinity file keeps matching rows; a range query stays exact
+    assert(t.readWhere("v", 1.0, 3.0).count() == 2)
+  }
+
+  test("string skipping stats compare in UTF-8 byte order, not UTF-16") {
+    val t = freshTable("mt-utf8")
+    // parquet orders binary stats by unsigned UTF-8 bytes: max is the
+    // 4-byte emoji, and U+FFFD sorts BELOW it in byte order but ABOVE it
+    // in Java's UTF-16 code-unit order — UTF-16 comparison would prune
+    // the file that holds the matching row
+    t.overwrite(Seq((1L, "A"), (2L, "�"), (3L, "😀"))
+      .toDF("k", "s").coalesce(1)) // one file: stats span [A, 😀]
+    val (kept, all) = t.filesOverlapping("s", "�", "�")
+    assert(all.size == 1 && kept == all, s"kept $kept of $all")
+    assert(t.readWhere("s", "�", "�").count() == 1)
+  }
+
+  test("append re-seeds a table whose rows were all deleted") {
+    val t = freshTable("mt-emptied")
+    t.overwrite(Seq((1L, "a")).toDF("k", "p"), Seq("p"))
+    t.delete(col("k") === 1L, Seq("p"))
+    t.append(Seq((2L, "b")).toDF("k", "p"), Seq("p"))
+    assert(t.read.select("k").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("CHECK constraints: validated on add, enforced before any write") {
     val t = freshTable("mt-check")
     t.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
