@@ -879,10 +879,16 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         (latest.getSeq[String](latest.fieldIndex("partitionColumns")),
           ts.min.toString, ts.max.toString)
       } else (Seq.empty[String], null: String, null: String)
+    // table properties surface (Delta's DESCRIBE DETAIL carries these in
+    // properties): declared CHECK constraints and generated columns
+    val props = constraints.toSeq.sorted.map { case (n, e) => s"check:$n=$e" } ++
+      generatedColumns.toSeq.sorted.map { case (n, e) => s"generated:$n=$e" }
     Seq((("parquet"): String, new Path(path).getName, path, partCols,
-        files.size.toLong, files.map(_._2).sum, version, createdAt, modifiedAt))
+        files.size.toLong, files.map(_._2).sum, version, createdAt, modifiedAt,
+        props))
       .toDF("format", "name", "location", "partition_columns",
-        "num_files", "size_in_bytes", "version", "created_at", "last_modified")
+        "num_files", "size_in_bytes", "version", "created_at", "last_modified",
+        "properties")
   }
 
   private def listParquet(p: Path): Seq[(String, Long)] = {

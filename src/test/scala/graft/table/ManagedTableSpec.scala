@@ -227,6 +227,12 @@ class ManagedTableSpec extends SparkSpec {
     assert(row.getAs[Long]("version") == 0L)
     assert(row.getAs[String]("created_at") != null)
     assert(row.getAs[String]("last_modified") != null)
+    assert(row.getSeq[String](row.fieldIndex("properties")).isEmpty)
+    // declared constraints/generated columns surface as properties
+    t.addConstraint("k_pos", "k > 0")
+    val row2 = t.detail().collect()(0)
+    assert(row2.getSeq[String](row2.fieldIndex("properties")) ==
+      Seq("check:k_pos=k > 0"))
   }
 
   test("history records every mutation with operation + stats, latest first") {
