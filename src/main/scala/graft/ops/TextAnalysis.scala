@@ -121,10 +121,14 @@ object TextAnalysis {
 
   private def fluencyFromTrigrams(tg: DataFrame, idCol: String,
                                   model: DataFrame): DataFrame =
-    tg.join(broadcast(model), Seq("trigram"))
+    // left join: a doc whose trigrams are ALL absent from the model (the
+    // gibberish this filter exists to catch) must surface with fluency 0,
+    // not vanish from the output
+    tg.join(broadcast(model), Seq("trigram"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_trigrams"),
-        (sum("c").cast("double") / count(lit(1))).as("fluency"))
+        (sum(coalesce(col("c"), lit(0L))).cast("double") / count(lit(1)))
+          .as("fluency"))
 
   /** Self-scored corpus fluency: build the model from the SAME corpus being
     * scored, materializing the trigram explode once (localCheckpoint)

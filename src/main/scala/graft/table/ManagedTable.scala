@@ -144,24 +144,46 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val stats = schema.getColumns.asScala.take(statsCols).zipWithIndex
         .flatMap { case (cd, i) =>
           val prim = cd.getPrimitiveType
-          val isStr = prim.getLogicalTypeAnnotation.isInstanceOf[
-            org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+          val ann = prim.getLogicalTypeAnnotation
+          // INT32/INT64 stats are stored in PHYSICAL units: decimal as the
+          // unscaled integer, date as epoch days, timestamps as epoch
+          // micros. filesOverlapping compares against USER-space predicate
+          // values, so only annotations with a faithful decode get stats;
+          // decimal decodes via its scale, date to an ISO string (lexical
+          // order == chronological), everything else is skipped.
           val kind = prim.getPrimitiveTypeName match {
             case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 |
-                 org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 => "i"
+                 org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 =>
+              ann match {
+                case null => "i"
+                case it: org.apache.parquet.schema.LogicalTypeAnnotation
+                      .IntLogicalTypeAnnotation if it.isSigned => "i"
+                case _: org.apache.parquet.schema.LogicalTypeAnnotation
+                      .DecimalLogicalTypeAnnotation => "i"
+                case _: org.apache.parquet.schema.LogicalTypeAnnotation
+                      .DateLogicalTypeAnnotation => "s"
+                case _ => "" // timestamp/time/unsigned: storage-unit stats
+              }
             case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.DOUBLE |
                  org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT => "d"
             case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY
-              if isStr => "s"
-            case _ => "" // timestamps/raw binary/boolean: no skipping stats
+              if ann.isInstanceOf[
+                org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation] => "s"
+            case _ => "" // raw binary/boolean: no skipping stats
           }
           val perBlock = blocks.map(_.getColumns.asScala(i).getStatistics)
           if (kind.isEmpty || perBlock.isEmpty ||
               perBlock.exists(s => s == null || s.isEmpty || !s.hasNonNullValue)) None
           else {
-            def str(v: Any): String = v match {
-              case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
-              case x => x.toString
+            def str(v: Any): String = (ann, v) match {
+              case (d: org.apache.parquet.schema.LogicalTypeAnnotation
+                    .DecimalLogicalTypeAnnotation, n: Number) =>
+                java.math.BigDecimal.valueOf(n.longValue, d.getScale).toPlainString
+              case (_: org.apache.parquet.schema.LogicalTypeAnnotation
+                    .DateLogicalTypeAnnotation, n: Number) =>
+                java.time.LocalDate.ofEpochDay(n.longValue).toString
+              case (_, b: org.apache.parquet.io.api.Binary) => b.toStringUsingUTF8
+              case (_, x) => x.toString
             }
             val mins = perBlock.map(s => str(s.genericGetMin))
             val maxs = perBlock.map(s => str(s.genericGetMax))
@@ -200,14 +222,16 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         val in = fs.open(sidecar)
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
           .flatMap { l =>
-            l.split('\t') match {
+            // a torn line (crash mid-write of an earlier sidecar) is a
+            // cache miss — the footer is re-read — never a hard failure
+            scala.util.Try(l.split('\t') match {
               case Array(p, len, rows, rest @ _*) =>
                 val stats = rest.grouped(4).collect {
                   case Seq(c, k, mn, mx) => dec(c) -> (k, dec(mn), dec(mx))
                 }.toMap
                 Some(p -> (len.toLong, FileMeta(rows.toLong, stats)))
               case _ => None
-            }
+            }).toOption.flatten
           }.toMap
         finally in.close()
       }
@@ -223,7 +247,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // not mutate the log — every live file is already cached by its commit
     if (anyNew) {
       fs.mkdirs(logDir)
-      val out = fs.create(sidecar, true)
+      // temp + rename: a crash mid-write can never leave a torn sidecar in
+      // place (rename is atomic on HDFS/local; worst case after the delete
+      // is NO sidecar, which is just a cold cache)
+      val tmp = new Path(logDir, "_file_rows.txt.tmp")
+      val out = fs.create(tmp, true)
       try out.write(files.map { case (p, len) =>
         val m = metas(p)
         val statsCells = m.stats.toSeq.sortBy(_._1).flatMap { case (c, (k, mn, mx)) =>
@@ -231,6 +259,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         (Seq(p, len.toString, m.rows.toString) ++ statsCells).mkString("\t")
       }.sorted.mkString("\n").getBytes("UTF-8"))
       finally out.close()
+      if (fs.exists(sidecar)) fs.delete(sidecar, false)
+      fs.rename(tmp, sidecar)
     }
     metas
   }
@@ -479,6 +509,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                       table: org.apache.spark.sql.types.StructType,
                       partitionCols: Seq[String]): DataFrame = {
     val partitionSet = partitionCols.map(_.toLowerCase).toSet
+    // case-sensitive mode allows frames with columns differing only by
+    // case; the lower-cased resolution map below would silently bind one
+    // of them — reject the ambiguity instead
+    val caseDupes = df.schema.fields.groupBy(_.name.toLowerCase)
+      .filter(_._2.length > 1).values.flatten.map(_.name)
+    if (caseDupes.nonEmpty)
+      throw new IllegalArgumentException(
+        s"ambiguous columns differing only by case: ${caseDupes.mkString(", ")}")
     val dfFields = df.schema.fields.map(f => f.name.toLowerCase -> f).toMap
     val tableNames = table.fields.map(_.name.toLowerCase).toSet
     val extra = df.schema.fields.filterNot(f => tableNames(f.name.toLowerCase))

@@ -74,14 +74,16 @@ object ClusterBench {
     val zed = new ManagedTable(spark, s"$wh/zed")
     zed.overwrite(m.silverTxn.read)
     zed.clusterZ(Seq("transaction_date", "client_id"), bits = 6, numFiles = 32)
-    def medianClientSpan(path: String): Long = {
+    def medianClientSpan(path: String): Option[Long] = {
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
       val spans = fs.listStatus(new org.apache.hadoop.fs.Path(path))
         .filter(_.getPath.getName.endsWith(".parquet")).flatMap { st =>
           val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
-          try {
+          // a file without a numeric client_id (or without stats) just
+          // contributes no spans — the tool reports, it must not crash
+          try scala.util.Try {
             val footer = rd.getFooter
             val idx = footer.getFileMetaData.getSchema.getFieldIndex("client_id")
             import scala.jdk.CollectionConverters._
@@ -90,18 +92,23 @@ object ClusterBench {
               s.genericGetMax.asInstanceOf[Number].longValue -
                 s.genericGetMin.asInstanceOf[Number].longValue
             }
-          } finally rd.close()
+          }.getOrElse(Seq.empty)
+          finally rd.close()
         }.sorted
-      spans(spans.length / 2)
+      if (spans.isEmpty) None else Some(spans(spans.length / 2))
     }
-    val leadSpan = medianClientSpan(lead.path)
-    val zSpan = medianClientSpan(zed.path)
     val probeQ = (df: DataFrame) =>
       df.filter(col("client_id").between(100L, 110L)).count()
-    val same = probeQ(lead.read) == probeQ(zed.read)
-    println(f"[cluster-bench] trailing-dim row-group client_id span: " +
-      f"lead-clustered=$leadSpan%d zorder=$zSpan%d identical=$same%b " +
-      f"(smaller = more skippable)")
+    (medianClientSpan(lead.path), medianClientSpan(zed.path)) match {
+      case (Some(leadSpan), Some(zSpan)) =>
+        val same = probeQ(lead.read) == probeQ(zed.read)
+        println(f"[cluster-bench] trailing-dim row-group client_id span: " +
+          f"lead-clustered=$leadSpan%d zorder=$zSpan%d identical=$same%b " +
+          f"(smaller = more skippable)")
+      case _ =>
+        println("[cluster-bench] no client_id row-group stats found — " +
+          "skipping the span report")
+    }
     // …and the commit-stats skipping layer composes with the layout: the
     // same trailing-column predicate prunes FILES from the manifest alone
     val (keptLead, allLead) = lead.filesOverlapping("client_id", 100L, 110L)

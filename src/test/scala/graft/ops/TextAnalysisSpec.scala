@@ -94,4 +94,16 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().sortBy(_._1)
     assert(self.toSeq == scores.toSeq)
   }
+
+  test("fluency vs an external model: all-unknown docs score 0, not vanish") {
+    // the gibberish doc the filter exists to catch must SURFACE with a low
+    // score — an inner join would silently drop it from the output
+    val docs = Seq((1L, "abab"), (2L, "zqxj")).toDF("doc_id", "text")
+    val model = TextAnalysis.trigramModel(
+      Seq((10L, "abab")).toDF("doc_id", "text"), "doc_id", "text")
+    val scores = TextAnalysis.fluencyScore(docs, "doc_id", "text", model)
+      .select("doc_id", "n_trigrams", "fluency")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(scores.toSeq == Seq((1L, 2L, 1.0), (2L, 2L, 0.0)))
+  }
 }

@@ -561,6 +561,66 @@ class ManagedTableSpec extends SparkSpec {
       Set(1L, 2L, 3L, 4L))
   }
 
+  test("data skipping decodes decimal and date stats to user space") {
+    val t = freshTable("mt-skip-logical")
+    // decimal(12,2) is stored as an unscaled INT64 and date as epoch-day
+    // INT32: comparing the RAW footer stats (100..40000, 19723..) to
+    // user-space predicate values (50.00, DATE'2024-02-01') would prune
+    // files that hold matching rows — the stats must be decoded
+    val df = spark.range(0, 400).select(
+      col("id").as("k"),
+      (col("id") + 1).cast("decimal(12,2)").as("amount"),
+      expr("date_add(date'2024-01-01', cast(id as int))").as("d"),
+      expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id)").as("ts"))
+    t.overwrite(df.repartitionByRange(8, col("k")).sortWithinPartitions("k"))
+    val loA = new java.math.BigDecimal("50.00")
+    val hiA = new java.math.BigDecimal("60.00")
+    val (keptA, allA) = t.filesOverlapping("amount", loA, hiA)
+    assert(allA.size == 8, allA)
+    assert(keptA.size <= 2, s"expected <=2 kept files, got ${keptA.size}")
+    val prunedA = t.readWhere("amount", loA, hiA)
+    val fullA = t.read.filter(col("amount").between(loA, hiA))
+    assert(prunedA.count() == fullA.count() && fullA.count() == 11)
+    assert(prunedA.exceptAll(fullA).isEmpty && fullA.exceptAll(prunedA).isEmpty)
+    val loD = java.sql.Date.valueOf("2024-02-01")
+    val hiD = java.sql.Date.valueOf("2024-02-10")
+    val (keptD, _) = t.filesOverlapping("d", loD, hiD)
+    assert(keptD.size <= 2, s"expected <=2 kept files, got ${keptD.size}")
+    assert(t.readWhere("d", loD, hiD).count() == 10)
+    // timestamp stats stay in storage units (epoch micros) — no faithful
+    // user-space decode, so the column must be conservatively unskippable
+    val (keptTs, allTs) = t.filesOverlapping("ts",
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:50"),
+      java.sql.Timestamp.valueOf("2024-01-01 00:01:00"))
+    assert(keptTs == allTs)
+  }
+
+  test("a torn sidecar line is a cache miss, not a table-wide failure") {
+    val t = freshTable("mt-torn")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // simulate a crash mid-write of a pre-atomic-rename sidecar: a torn
+    // numeric cell used to throw on every subsequent table operation
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sidecar = new org.apache.hadoop.fs.Path(t.path + "._log/_file_rows.txt")
+    val fs = sidecar.getFileSystem(conf)
+    val out = fs.create(sidecar, true)
+    out.write("/some/file.parquet\t12\tNOT_A_NU".getBytes("UTF-8"))
+    out.close()
+    assert(t.read.count() == 2)
+    val (kept, all) = t.filesOverlapping("k", 1L, 2L)
+    assert(kept == all && all.nonEmpty) // footers re-read, no crash
+    t.append(Seq((3L, "c")).toDF("k", "v")) // commit path heals the sidecar
+    assert(t.read.count() == 3)
+  }
+
+  test("append rejects frames with columns differing only by case") {
+    val t = freshTable("mt-case-dupe")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    val dupe = Seq((2L, "b", "B")).toDF("k", "v", "V")
+    val e = intercept[IllegalArgumentException](t.append(dupe))
+    assert(e.getMessage.contains("case"))
+  }
+
   test("pre-log tables bootstrap their current state as version 0") {
     val dir = tmpDir("mt-boot") + "/t"
     Seq((1L, "a")).toDF("k", "v").write.parquet(dir) // written outside ManagedTable
