@@ -694,6 +694,21 @@ object SparkEntry {
           col("value.n").as("n"), col("value.share").as("share"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
+    "q98_chunk_dedup" -> ((s, d) =>
+      // CCNet-style duplicated-span removal: drop 10-word chunks that
+      // occur verbatim in more than one document, keep every doc as a row
+      ops.Dedup.dropDuplicateChunks(Tables.documents(s, d), "doc_id", "text",
+          chunkWords = 10)
+        .orderBy("doc_id")),
+    "q99_unpivot" -> ((s, d) =>
+      // melt the lineitem measures to long form (Spark 4 unpivot API)
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure")),
     "q50_pivot" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_orderstatus")
@@ -1490,6 +1505,42 @@ object SparkEntry {
          FROM events e
          ASOF LEFT JOIN r ON e.event_type = r.event_type AND CAST(e.ts AS TIMESTAMP) >= r.t
          ORDER BY e.event_id""",
+    "q98_chunk_dedup" ->
+      // same tokenization contract as the Spark side: lower+trim, \s+
+      // split; chunks are 1-based list_slice windows of 10 words; a chunk
+      // survives iff exactly one document contains it
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+           FROM documents
+         ), c AS (
+           SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+                  array_to_string(
+                    list_slice(ws, CAST(u.i AS BIGINT)*10 + 1,
+                                   CAST(u.i AS BIGINT)*10 + 10), ' ') AS chunk
+           FROM w, LATERAL unnest(range(CAST(ceil(len(ws)/10.0) AS BIGINT))) AS u(i)
+         ), f AS (
+           SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs FROM c GROUP BY chunk
+         ), j AS (SELECT c.*, f.n_docs FROM c JOIN f USING (chunk))
+         SELECT d.doc_id,
+                COALESCE(string_agg(CASE WHEN j.n_docs = 1 THEN j.chunk END,
+                                    ' ' ORDER BY j.chunk_idx), '') AS clean_text,
+                CAST(COUNT(CASE WHEN j.n_docs = 1 THEN 1 END) AS BIGINT) AS chunks_kept,
+                CAST(COUNT(CASE WHEN j.n_docs > 1 THEN 1 END) AS BIGINT) AS chunks_dropped
+         FROM documents d LEFT JOIN j USING (doc_id)
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
+    "q99_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+           FROM lineitem WHERE l_orderkey < 100
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+           FROM lineitem WHERE l_orderkey < 100
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+           FROM lineitem WHERE l_orderkey < 100
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+           FROM lineitem WHERE l_orderkey < 100
+         ORDER BY l_orderkey, l_linenumber, measure""",
     "q50_pivot" ->
       """SELECT o_orderstatus,
            CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,

@@ -119,6 +119,52 @@ object Dedup {
       .select("d1", "d2", "inter", "jaccard")
   }
 
+  /** Corpus-level duplicated-span removal (the CCNet "dedup lines across
+    * shards" pass, re-expressed for word-stream documents): segment each
+    * text into consecutive `chunkWords`-word chunks, drop every chunk
+    * whose exact text occurs in MORE than one document, and reconstruct
+    * the surviving text in original order. Boilerplate (headers, license
+    * blocks, navigation) repeats verbatim across pages and is exactly
+    * what this removes before training.
+    *
+    * Scale: one explode (docs × chunks ≈ words/chunkWords rows), one
+    * hash-aggregate keyed on the chunk text to count distinct docs
+    * (map-side combine applies), one shuffle back on doc id for ordered
+    * reassembly. No pairwise join anywhere — linear in corpus size. At
+    * 100 TB the chunk-count aggregation keys on `xxhash64(chunk)` instead
+    * of the raw string if chunk payloads dominate the shuffle; semantics
+    * are identical modulo 64-bit collisions.
+    *
+    * Every input doc keeps a row: a fully-boilerplate doc surfaces with
+    * empty `clean_text` (so downstream length filters catch it) rather
+    * than disappearing.
+    */
+  def dropDuplicateChunks(docs: DataFrame, idCol: String, textCol: String,
+                          chunkWords: Int = 20): DataFrame = {
+    val w = TextAnalysis.words(col(textCol))
+    val chunked = docs
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0),
+            ceil(size(w).cast("double") / chunkWords).cast("int") - 1),
+          i => concat_ws(" ", slice(w, i * chunkWords + 1, lit(chunkWords))))
+      ).as(Seq("chunk_idx", "chunk")))
+    val docFreq = chunked.groupBy("chunk")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    val kept = chunked.join(docFreq, Seq("chunk"))
+    docs.select(col(idCol))
+      .join(
+        kept.groupBy(idCol).agg(
+          concat_ws(" ", transform(
+            array_sort(collect_list(when(col("n_docs") === 1,
+              struct(col("chunk_idx"), col("chunk"))))),
+            s => s.getField("chunk"))).as("clean_text"),
+          count(when(col("n_docs") === 1, 1)).as("chunks_kept"),
+          count(when(col("n_docs") > 1, 1)).as("chunks_dropped")),
+        Seq(idCol), "left")
+      .na.fill(0L, Seq("chunks_kept", "chunks_dropped"))
+      .na.fill("", Seq("clean_text"))
+  }
+
   /** Benchmark-contamination screen — the eval-leakage gate of a training
     * pipeline: for each corpus doc, the fraction of its n-gram shingles
     * that appear anywhere in the benchmark set. Join keys are 64-bit

@@ -456,14 +456,117 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   def restore(v: Long): Unit = {
     require(v >= 0 && v <= version, s"version $v out of range [0, $version]")
-    val manifest = spark.read.json(new Path(logDir, f"v$v%05d.json").toString)
-    val partCols: Seq[String] = {
-      val r = manifest.select("partitionColumns").head
-      if (r.isNullAt(0)) Nil else r.getSeq[String](0)
-    }
     // the snapshot's plan reads live + retained files; the swap happens
     // only after the tmp write completes, so no checkpoint is needed
-    replaceWith(readVersion(v), partCols, "RESTORE")
+    replaceWith(readVersion(v), loggedPartitionCols(v), "RESTORE")
+  }
+
+  /** Partition columns recorded in snapshot `v`'s manifest. */
+  private def loggedPartitionCols(v: Long): Seq[String] = {
+    val manifest = spark.read.json(new Path(logDir, f"v$v%05d.json").toString)
+    val r = manifest.select("partitionColumns").head
+    if (r.isNullAt(0)) Nil else r.getSeq[String](0)
+  }
+
+  /** Deep CLONE (Delta's `CREATE TABLE … DEEP CLONE`): an independent
+    * copy of the CURRENT snapshot at `targetPath`, with its own fresh
+    * history starting at a CLONE commit. Constraints and generated
+    * columns carry over; retained old versions do not (the clone's
+    * history starts at the cloned state, exactly like Delta).
+    *
+    * Scale: the byte copy runs as a distributed job — one task per
+    * file, like Delta's deep clone — so the driver does only the
+    * listing. The source's footer-stats sidecar is remapped onto the
+    * clone, so the CLONE commit opens zero footers. A shallow
+    * (manifest-reference, zero-copy) clone is deliberately not offered:
+    * every graft table's live dir is plain parquet readable by any
+    * engine, and manifest indirection would break that contract (and
+    * make either table's vacuum able to corrupt the other).
+    */
+  def cloneTo(targetPath: String): ManagedTable = {
+    require(exists, s"cannot clone: $path does not exist")
+    ensureBootstrapped()
+    val dstRoot = new Path(targetPath)
+    require(!fs.exists(dstRoot), s"clone target $targetPath already exists")
+    val srcQ = qualifiedRoot
+    val dstQ = fs.makeQualified(dstRoot).toString
+    val rels = listParquet(new Path(path)).map { case (p, _) =>
+      fs.makeQualified(new Path(p)).toString.stripPrefix(srcQ + "/")
+    }
+    fs.mkdirs(dstRoot)
+    val slices = math.max(1, math.min(rels.size, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(rels, slices).foreach { rel =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val s = new Path(srcQ + "/" + rel)
+      val d = new Path(dstQ + "/" + rel)
+      org.apache.hadoop.fs.FileUtil.copy(
+        s.getFileSystem(conf), s, d.getFileSystem(conf), d, false, conf)
+    }
+    val t = new ManagedTable(spark, targetPath)
+    fs.mkdirs(t.logDir)
+    // remap the stats sidecar (keyed path+len; lengths are copy-invariant)
+    // so the CLONE commit's fileMeta is a pure cache hit
+    for (f <- Seq("_file_rows.txt", "_constraints.txt", "_generated.txt")) {
+      val src = new Path(logDir, f)
+      if (fs.exists(src)) {
+        val in = fs.open(src)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val out = fs.create(new Path(t.logDir, f), true)
+        try out.write(txt.replace(srcQ + "/", dstQ + "/").getBytes("UTF-8"))
+        finally out.close()
+      }
+    }
+    t.commit("CLONE", loggedPartitionCols(version))
+    t
+  }
+
+  /** True iff any declared CHECK constraint or generated-column
+    * expression references `colName` (word-boundary, case-insensitive —
+    * conservative: a quoted-string mention also counts).
+    */
+  private def referencedByTableMeta(colName: String): Option[String] = {
+    val re = ("(?i)\\b" + java.util.regex.Pattern.quote(colName) + "\\b").r
+    (constraints.map { case (n, e) => s"constraint $n" -> e } ++
+      generatedColumns.map { case (n, e) => s"generated column $n" -> e })
+      .collectFirst { case (what, e) if re.findFirstIn(e).isDefined => what }
+  }
+
+  /** ALTER TABLE … RENAME COLUMN. Plain parquet binds columns by NAME
+    * (graft has no column-mapping indirection — that would make the live
+    * dir unreadable to engines without the mapping), so a rename
+    * rewrites the current snapshot, recorded as its own commit; earlier
+    * versions still time-travel under their original schema. Renaming a
+    * partition column or a column referenced by a CHECK constraint or
+    * generated column is rejected.
+    */
+  def renameColumn(oldName: String, newName: String): Unit = {
+    ensureBootstrapped()
+    val names = read.schema.fieldNames
+    require(names.exists(_.equalsIgnoreCase(oldName)), s"no such column: $oldName")
+    require(!names.exists(_.equalsIgnoreCase(newName)),
+      s"column $newName already exists")
+    val pcs = loggedPartitionCols(version)
+    require(!pcs.exists(_.equalsIgnoreCase(oldName)),
+      s"cannot rename partition column $oldName")
+    referencedByTableMeta(oldName).foreach(what => throw new IllegalArgumentException(
+      s"cannot rename $oldName: referenced by $what (drop it first)"))
+    replaceWith(read.withColumnRenamed(oldName, newName), pcs, "RENAME COLUMN")
+  }
+
+  /** ALTER TABLE … DROP COLUMN — a rewrite of the current snapshot (see
+    * [[renameColumn]] for why); old versions keep the column.
+    */
+  def dropColumn(colName: String): Unit = {
+    ensureBootstrapped()
+    require(read.schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
+      s"no such column: $colName")
+    val pcs = loggedPartitionCols(version)
+    require(!pcs.exists(_.equalsIgnoreCase(colName)),
+      s"cannot drop partition column $colName")
+    referencedByTableMeta(colName).foreach(what => throw new IllegalArgumentException(
+      s"cannot drop $colName: referenced by $what (drop it first)"))
+    replaceWith(read.drop(colName), pcs, "DROP COLUMN")
   }
 
   def read: DataFrame = spark.read.parquet(path)

@@ -126,6 +126,34 @@ class DedupSpec extends SparkSpec {
     assert(kept2.count() == 0)
   }
 
+  test("dropDuplicateChunks removes cross-doc boilerplate, keeps unique spans") {
+    val boiler = Seq(
+      (1L, "the same header alpha beta gamma"),
+      (2L, "the same header delta epsilon zeta"),
+      (3L, "common footer text"),
+      (4L, "common footer text")).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateChunks(boiler, "doc_id", "text", chunkWords = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "alpha beta gamma", 1L, 1L),
+      (2L, "delta epsilon zeta", 1L, 1L),
+      // wholly-boilerplate docs SURFACE with empty text, not vanish
+      (3L, "", 0L, 1L),
+      (4L, "", 0L, 1L)))
+  }
+
+  test("dropDuplicateChunks keeps within-doc repetition (cross-doc only)") {
+    val rep = Seq((1L, "x y z x y z"), (2L, "totally unrelated words here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateChunks(rep, "doc_id", "text", chunkWords = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // "x y z" repeats only WITHIN doc 1: countDistinct(doc)=1, so both
+    // occurrences survive in original order
+    assert(out.head == ((1L, "x y z x y z", 2L, 0L)))
+  }
+
   test("stop-shingle removal caps hot shingles") {
     val many = (1L to 50L).map(i => (i, s"common prefix words here tail$i")).toDF("doc_id", "text")
     val idx = Dedup.shingleIndex(many, "doc_id", "text", 3, maxDocFreq = 10)

@@ -621,6 +621,50 @@ class ManagedTableSpec extends SparkSpec {
     assert(e.getMessage.contains("case"))
   }
 
+  test("deep clone: independent copy with fresh CLONE history, meta carried") {
+    val t = freshTable("mt-clone-src")
+    t.overwrite(Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "v", "p"), Seq("p"))
+    t.addConstraint("k_pos", "k > 0")
+    val c = t.cloneTo(tmpDir("mt-clone-dst") + "/t")
+    // same data, partitioned layout preserved
+    assert(c.read.orderBy("k").as[(Long, String, String)].collect().toSeq ==
+      t.read.orderBy("k").as[(Long, String, String)].collect().toSeq)
+    assert(c.history().collect().map(_.getAs[String]("operation")).toSeq == Seq("CLONE"))
+    assert(c.constraints == Map("k_pos" -> "k > 0"))
+    // fully independent: mutating the clone leaves the source untouched
+    c.append(Seq((3L, "c", "p1")).toDF("k", "v", "p"), Seq("p"))
+    assert(c.read.count() == 3 && t.read.count() == 2)
+    // ...and the clone enforces the carried constraint
+    intercept[IllegalStateException](
+      c.append(Seq((-9L, "x", "p1")).toDF("k", "v", "p"), Seq("p")))
+    // cloning onto an existing path is refused
+    intercept[IllegalArgumentException](t.cloneTo(c.path))
+  }
+
+  test("rename/drop column rewrite the snapshot; old versions keep theirs") {
+    val t = freshTable("mt-alter")
+    t.overwrite(Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "v", "w"))
+    t.renameColumn("v", "label")
+    assert(t.read.schema.fieldNames.toSeq == Seq("k", "label", "w"))
+    assert(t.read.orderBy("k").select("label").as[String].collect().toSeq ==
+      Seq("a", "b"))
+    t.dropColumn("w")
+    assert(t.read.schema.fieldNames.toSeq == Seq("k", "label"))
+    // time travel serves each version under its own schema
+    assert(t.readVersion(0).schema.fieldNames.toSeq == Seq("k", "v", "w"))
+    assert(t.history().collect().map(_.getAs[String]("operation")).toSeq ==
+      Seq("DROP COLUMN", "RENAME COLUMN", "OVERWRITE"))
+    // guarded: unknown/duplicate/partition/constraint-referenced columns
+    intercept[IllegalArgumentException](t.renameColumn("nope", "x"))
+    intercept[IllegalArgumentException](t.renameColumn("k", "label"))
+    t.addConstraint("k_pos", "k > 0")
+    intercept[IllegalArgumentException](t.renameColumn("k", "kk"))
+    intercept[IllegalArgumentException](t.dropColumn("k"))
+    val p = freshTable("mt-alter-part")
+    p.overwrite(Seq((1L, "a")).toDF("k", "p"), Seq("p"))
+    intercept[IllegalArgumentException](p.renameColumn("p", "q"))
+  }
+
   test("pre-log tables bootstrap their current state as version 0") {
     val dir = tmpDir("mt-boot") + "/t"
     Seq((1L, "a")).toDF("k", "v").write.parquet(dir) // written outside ManagedTable
