@@ -127,13 +127,16 @@ object Dedup {
     * blocks, navigation) repeats verbatim across pages and is exactly
     * what this removes before training.
     *
-    * Scale: one explode (docs × chunks ≈ words/chunkWords rows), one
-    * hash-aggregate keyed on the chunk text to count distinct docs
-    * (map-side combine applies), one shuffle back on doc id for ordered
-    * reassembly. No pairwise join anywhere — linear in corpus size. At
-    * 100 TB the chunk-count aggregation keys on `xxhash64(chunk)` instead
-    * of the raw string if chunk payloads dominate the shuffle; semantics
-    * are identical modulo 64-bit collisions.
+    * Scale: explode to (doc, chunk) rows, one map-side-combinable
+    * hash-aggregate keyed on the chunk text for the uniqueness flag, a
+    * chunk-keyed join back, and one shuffle on doc id for ordered
+    * reassembly. No pairwise join anywhere — linear in corpus size. The
+    * explode is computed twice (frequency pass + reassembly pass):
+    * re-running a columnar scan + split is cheaper at 100 TB than
+    * materializing the exploded corpus to disk. At that scale key the
+    * aggregation/join on `xxhash64(chunk)` instead of the raw string if
+    * chunk payloads dominate the shuffle; semantics are identical modulo
+    * 64-bit collisions.
     *
     * Every input doc keeps a row: a fully-boilerplate doc surfaces with
     * empty `clean_text` (so downstream length filters catch it) rather
@@ -148,18 +151,23 @@ object Dedup {
             ceil(size(w).cast("double") / chunkWords).cast("int") - 1),
           i => concat_ws(" ", slice(w, i * chunkWords + 1, lit(chunkWords))))
       ).as(Seq("chunk_idx", "chunk")))
+    // "appears in >1 distinct doc" ⇔ min(doc) != max(doc): a single-phase
+    // aggregate with map-side combine — a boilerplate chunk present in
+    // millions of docs reduces locally before the shuffle, where
+    // countDistinct's two-phase expand (or a window over the chunk) would
+    // funnel every occurrence of the hot key to one reducer
     val docFreq = chunked.groupBy("chunk")
-      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .agg((min(col(idCol)) === max(col(idCol))).as("uniq"))
     val kept = chunked.join(docFreq, Seq("chunk"))
     docs.select(col(idCol))
       .join(
         kept.groupBy(idCol).agg(
           concat_ws(" ", transform(
-            array_sort(collect_list(when(col("n_docs") === 1,
+            array_sort(collect_list(when(col("uniq"),
               struct(col("chunk_idx"), col("chunk"))))),
             s => s.getField("chunk"))).as("clean_text"),
-          count(when(col("n_docs") === 1, 1)).as("chunks_kept"),
-          count(when(col("n_docs") > 1, 1)).as("chunks_dropped")),
+          count(when(col("uniq"), 1)).as("chunks_kept"),
+          count(when(!col("uniq"), 1)).as("chunks_dropped")),
         Seq(idCol), "left")
       .na.fill(0L, Seq("chunks_kept", "chunks_dropped"))
       .na.fill("", Seq("clean_text"))

@@ -206,35 +206,75 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     } finally rd.close()
   }
 
+  private def sidecarBase = new Path(logDir, "_file_rows.txt")
+  private def sidecarSegDir = new Path(logDir, "_file_rows.d")
+
+  /** Compact the stats cache into its base file once this many segment
+    * files accumulate (Delta's checkpoint-every-N-commits analogue).
+    */
+  private val sidecarCompactAt = 16
+
+  private def sidecarLine(p: String, len: Long, m: FileMeta): String = {
+    val statsCells = m.stats.toSeq.sortBy(_._1).flatMap { case (c, (k, mn, mx)) =>
+      Seq(enc(c), k, enc(mn), enc(mx)) }
+    (Seq(p, len.toString, m.rows.toString) ++ statsCells).mkString("\t")
+  }
+
+  /** Parse one sidecar file; a torn line (crash mid-write) degrades to a
+    * cache miss for that file — the footer is re-read — never a failure.
+    */
+  private def readSidecarFile(p: Path): Map[String, (Long, FileMeta)] =
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .flatMap { l =>
+          scala.util.Try(l.split('\t') match {
+            case Array(pp, len, rows, rest @ _*) =>
+              val stats = rest.grouped(4).collect {
+                case Seq(c, k, mn, mx) => dec(c) -> (k, dec(mn), dec(mx))
+              }.toMap
+              Some(pp -> (len.toLong, FileMeta(rows.toLong, stats)))
+            case _ => None
+          }).toOption.flatten
+        }.toMap
+      finally in.close()
+    }
+
+  /** Atomic small-file write: temp + rename, so a crash can never leave a
+    * torn file in place (worst case after the delete is NO file, which is
+    * just a cold cache).
+    */
+  private def writeAtomic(dst: Path, text: String): Unit = {
+    fs.mkdirs(dst.getParent)
+    val tmp = new Path(dst.getParent, dst.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(tmp, dst)
+  }
+
+  private def sidecarSegments: Seq[Path] =
+    if (!fs.exists(sidecarSegDir)) Nil
+    else fs.listStatus(sidecarSegDir).map(_.getPath)
+      .filter(_.getName.endsWith(".txt")).sortBy(_.getName).toSeq
+
   /** Per-file row counts and data-skipping min/max, read once from each
-    * file's parquet footer and cached in a `._log/_file_rows.txt` sidecar
-    * keyed by (path, length). A commit therefore reads footers ONLY for
-    * files it hasn't seen — the files the mutation just wrote — never
-    * re-counting unaffected partitions, and never running a Spark job.
-    * Driver-side IO is one footer per NEW file; at 100 TB that is
-    * proportional to the write, not the table.
+    * file's parquet footer and cached in a log-structured sidecar keyed by
+    * (path, length): a base `_file_rows.txt` plus per-commit segment files
+    * under `_file_rows.d/`. A commit reads footers ONLY for files it
+    * hasn't seen — the files the mutation just wrote — and appends ONLY
+    * those entries as one new segment, so per-commit metadata IO is
+    * proportional to the WRITE, not the table (at 1 M files, a full-cache
+    * rewrite per mutation would be ~100 MB of driver IO). Segments are
+    * folded into the base every [[sidecarCompactAt]] commits — Delta's
+    * JSON-deltas-plus-checkpoint shape — which also drops entries for
+    * files that no longer exist. No Spark job runs anywhere in this path.
     */
   private def fileMeta(files: Seq[(String, Long)]): Map[String, FileMeta] = {
-    val sidecar = new Path(logDir, "_file_rows.txt")
+    val segs = sidecarSegments
     val cached: Map[String, (Long, FileMeta)] = // path -> (len, meta)
-      if (!fs.exists(sidecar)) Map.empty
-      else {
-        val in = fs.open(sidecar)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .flatMap { l =>
-            // a torn line (crash mid-write of an earlier sidecar) is a
-            // cache miss — the footer is re-read — never a hard failure
-            scala.util.Try(l.split('\t') match {
-              case Array(p, len, rows, rest @ _*) =>
-                val stats = rest.grouped(4).collect {
-                  case Seq(c, k, mn, mx) => dec(c) -> (k, dec(mn), dec(mx))
-                }.toMap
-                Some(p -> (len.toLong, FileMeta(rows.toLong, stats)))
-              case _ => None
-            }).toOption.flatten
-          }.toMap
-        finally in.close()
-      }
+      segs.foldLeft(readSidecarFile(sidecarBase))((m, s) => m ++ readSidecarFile(s))
     var anyNew = false
     val metas = files.map { case (p, len) =>
       cached.get(p).filter(_._1 == len) match {
@@ -242,25 +282,24 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         case None => anyNew = true; p -> footerMeta(new Path(p))
       }
     }.toMap
-    // rewrite the sidecar only when a new footer was actually read: pure
-    // read paths (filesOverlapping/readWhere) on a committed table must
-    // not mutate the log — every live file is already cached by its commit
+    // write only when a new footer was actually read: pure read paths
+    // (filesOverlapping/readWhere) on a committed table must not mutate
+    // the log — every live file is already cached by its commit
     if (anyNew) {
-      fs.mkdirs(logDir)
-      // temp + rename: a crash mid-write can never leave a torn sidecar in
-      // place (rename is atomic on HDFS/local; worst case after the delete
-      // is NO sidecar, which is just a cold cache)
-      val tmp = new Path(logDir, "_file_rows.txt.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(files.map { case (p, len) =>
-        val m = metas(p)
-        val statsCells = m.stats.toSeq.sortBy(_._1).flatMap { case (c, (k, mn, mx)) =>
-          Seq(enc(c), k, enc(mn), enc(mx)) }
-        (Seq(p, len.toString, m.rows.toString) ++ statsCells).mkString("\t")
-      }.sorted.mkString("\n").getBytes("UTF-8"))
-      finally out.close()
-      if (fs.exists(sidecar)) fs.delete(sidecar, false)
-      fs.rename(tmp, sidecar)
+      if (segs.size + 1 >= sidecarCompactAt) {
+        // checkpoint: fold everything live into the base, drop segments
+        writeAtomic(sidecarBase,
+          files.map { case (p, len) => sidecarLine(p, len, metas(p)) }
+            .sorted.mkString("\n"))
+        fs.delete(sidecarSegDir, true)
+      } else {
+        val fresh = files.collect {
+          case (p, len) if !cached.get(p).exists(_._1 == len) =>
+            sidecarLine(p, len, metas(p))
+        }
+        writeAtomic(new Path(sidecarSegDir,
+          f"seg-${System.nanoTime()}%019d.txt"), fresh.sorted.mkString("\n"))
+      }
     }
     metas
   }
@@ -343,7 +382,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val pairs =
       if (subdirs.isEmpty) Seq((prefix(oldRoot + "/"), prefix(newRoot + "/")))
       else subdirs.map(d => (prefix(s"$oldRoot/$d/"), prefix(s"$newRoot/$d/")))
-    fs.listStatus(logDir).foreach { st =>
+    fs.listStatus(logDir).filter(_.isFile).foreach { st =>
       val in = fs.open(st.getPath)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       val updated = pairs.foldLeft(txt) { case (t, (o, n)) => t.replace(o, n) }
@@ -504,17 +543,24 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     }
     val t = new ManagedTable(spark, targetPath)
     fs.mkdirs(t.logDir)
-    // remap the stats sidecar (keyed path+len; lengths are copy-invariant)
-    // so the CLONE commit's fileMeta is a pure cache hit
-    for (f <- Seq("_file_rows.txt", "_constraints.txt", "_generated.txt")) {
+    // remap the stats cache (keyed path+len; lengths are copy-invariant)
+    // so the CLONE commit's fileMeta is a pure cache hit: fold the
+    // source's base + segments into the clone's compacted base
+    val lines = (readSidecarFile(sidecarBase) ++
+        sidecarSegments.foldLeft(Map.empty[String, (Long, FileMeta)])(
+          (m, s) => m ++ readSidecarFile(s)))
+      .map { case (p, (len, m)) =>
+        sidecarLine(p.replace(srcQ + "/", dstQ + "/"), len, m) }
+    if (lines.nonEmpty)
+      t.writeAtomic(t.sidecarBase, lines.toSeq.sorted.mkString("\n"))
+    for (f <- Seq("_constraints.txt", "_generated.txt")) {
       val src = new Path(logDir, f)
       if (fs.exists(src)) {
         val in = fs.open(src)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
         val out = fs.create(new Path(t.logDir, f), true)
-        try out.write(txt.replace(srcQ + "/", dstQ + "/").getBytes("UTF-8"))
-        finally out.close()
+        try out.write(txt.getBytes("UTF-8")) finally out.close()
       }
     }
     t.commit("CLONE", loggedPartitionCols(version))

@@ -621,6 +621,36 @@ class ManagedTableSpec extends SparkSpec {
     assert(e.getMessage.contains("case"))
   }
 
+  test("stats sidecar: per-commit segments, periodic compaction, skipping intact") {
+    val t = freshTable("mt-sidecar-seg")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val segDir = new org.apache.hadoop.fs.Path(t.path + "._log/_file_rows.d")
+    val fs = segDir.getFileSystem(conf)
+    def nSegs = if (fs.exists(segDir))
+      fs.listStatus(segDir).count(_.getPath.getName.endsWith(".txt")) else 0
+    t.overwrite(Seq((0L, "v0")).toDF("k", "v"))
+    val afterOverwrite = nSegs
+    // each append adds ONE segment holding only the new files' entries —
+    // per-commit metadata IO proportional to the write, not the table
+    t.append(Seq((1L, "v1")).toDF("k", "v"))
+    assert(nSegs == afterOverwrite + 1)
+    t.append(Seq((2L, "v2")).toDF("k", "v"))
+    assert(nSegs == afterOverwrite + 2)
+    // enough commits trigger compaction: segments fold into the base
+    var i = 3L
+    while (nSegs > 0 && i < 40L) { t.append(Seq((i, s"v$i")).toDF("k", "v")); i += 1 }
+    assert(nSegs == 0, "compaction never fired")
+    assert(i < 40L)
+    // cache still answers correctly after compaction: skipping agrees
+    // with a full scan and the commit row counts are exact
+    assert(t.read.count() == i)
+    val (kept, all) = t.filesOverlapping("k", 0L, 1L)
+    assert(kept.nonEmpty && kept.size < all.size)
+    assert(t.readWhere("k", 0L, 1L).as[(Long, String)].collect().toSet ==
+      Set((0L, "v0"), (1L, "v1")))
+    assert(t.history(1).head.getAs[Long]("rowCount") == i)
+  }
+
   test("deep clone: independent copy with fresh CLONE history, meta carried") {
     val t = freshTable("mt-clone-src")
     t.overwrite(Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "v", "p"), Seq("p"))
