@@ -48,11 +48,26 @@ object Similarity {
   }
 
   /** Exact pairwise cosine near-duplicates (cos ≥ `minCos`). Quadratic —
-    * the small-corpus baseline; LSH below is the scale path. Norms are
-    * precomputed per row (O(n)) instead of per pair (O(n²)).
+    * the small-corpus baseline; [[nearDupPairsIndexed]] is the scale path.
+    * Norms are precomputed per row (O(n)) instead of per pair (O(n²)).
+    *
+    * Scale guard: an inequality-only join plans as a broadcast nested
+    * loop, so above `maxRows` input rows this REFUSES to run (a bounded
+    * `limit(maxRows+1)` probe, not a full count) and points at the
+    * IVF-indexed form instead of silently planning a cartesian that would
+    * never finish at corpus scale. `allowQuadratic = true` overrides for
+    * callers who measured and accepted the O(n²) cost.
     */
   def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
-                   minCos: Double): DataFrame = {
+                   minCos: Double, maxRows: Int = 10000,
+                   allowQuadratic: Boolean = false): DataFrame = {
+    if (!allowQuadratic) {
+      val probed = embeddings.select(col(idCol)).limit(maxRows + 1).count()
+      if (probed > maxRows) throw new IllegalArgumentException(
+        s"nearDupPairs is quadratic (all-pairs join) and the input exceeds " +
+          s"$maxRows rows; use nearDupPairsIndexed (IVF kNN join, corpus-" +
+          s"linear) or pass allowQuadratic = true after sizing the cost")
+    }
     val a = embeddings.select(col(idCol).as("id1"), col(vecCol).as("v1"),
       norm(col(vecCol)).as("n1"))
     val b = embeddings.select(col(idCol).as("id2"), col(vecCol).as("v2"),

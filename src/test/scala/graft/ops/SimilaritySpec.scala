@@ -177,6 +177,20 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.distinct == pairs, pairs)
   }
 
+  test("quadratic near-dup guard refuses oversized inputs, allows override") {
+    val big = spark.range(0, 50).selectExpr("id as vec_id",
+      "array(cast(id as float), 1.0f) as embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(big, "vec_id", "embedding", 0.9, maxRows = 10)
+    }
+    assert(e.getMessage.contains("nearDupPairsIndexed"))
+    // override still runs, and under-threshold inputs are untouched
+    assert(Similarity.nearDupPairs(big, "vec_id", "embedding", -1.0,
+      maxRows = 10, allowQuadratic = true).count() == 50L * 49 / 2)
+    assert(Similarity.nearDupPairs(embs, "vec_id", "embedding", 0.99)
+      .count() > 0)
+  }
+
   test("lsh bucket is deterministic across evaluations") {
     val planes = Similarity.hyperplanes(4, 3)
     val b1 = embs.select(Similarity.lshBucket(col("embedding"), planes)).as[Long].collect()
