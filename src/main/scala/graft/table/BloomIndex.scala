@@ -1,0 +1,147 @@
+package graft.table
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.{col, input_file_name}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Per-file bloom-filter index for point-lookup data skipping — the
+  * complement of the min/max sidecar stats, which can't prune
+  * `client_id = X` scans on layouts not clustered by `client_id` (the
+  * reference's Z-order demo query, deltalake.ipynb:8408, is exactly this
+  * shape). Databricks Delta ships the same idea as one small index file
+  * per data file; graft stores them under
+  * `<table>._log/_bloom.d/<enc(col)>/<sha1(file)>.bf`.
+  *
+  * Contract:
+  *  - Bloom keys are the column's SPARK STRING CAST (date → "2024-01-01",
+  *    long → "42"), so build (executor-side cast) and probe (driver-side
+  *    [[keyOf]]) agree for every type.
+  *  - A file with no index entry is KEPT — conservative, never wrong; a
+  *    bloom "maybe" keeps the file, only a definite "no" prunes it.
+  *  - The build is one distributed pass over ONLY the files passed in
+  *    (mutations index just their new files), one task group per file via
+  *    `groupByKey(input_file_name)`; each file's filter is a few hundred
+  *    KB and the driver writes them out — bounded by the write's file
+  *    count, never the table's.
+  */
+private[table] object BloomIndex {
+
+  private def sha1(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** file:///x and file:/x both normalize to file:/x — input_file_name
+    * emits the URI form, manifests the makeQualified form.
+    */
+  private[table] def normalize(p: String): String = new Path(p).toString
+
+  private[table] def bfPath(colDir: Path, dataFile: String): Path =
+    new Path(colDir, sha1(normalize(dataFile)) + ".bf")
+
+  /** Driver-side probe key — must agree EXACTLY with the executor-side
+    * string cast, or a mismatched key would read as a definite bloom miss
+    * and wrongly prune a file holding the value. That is why bloom
+    * indexes are restricted (enforced at [[ManagedTable.addBloomIndex]])
+    * to string / integral / date columns, whose JVM toString and Spark
+    * cast forms provably coincide; timestamp, float and decimal casts
+    * have formatting variants (fraction trimming, scale, E-notation) that
+    * don't.
+    */
+  private[table] def keyOf(value: Any): String = value match {
+    case null => ""
+    case d: java.sql.Date => d.toLocalDate.toString
+    case x => x.toString
+  }
+
+  private final class BloomAgg(items: Long, fpp: Double)
+      extends Aggregator[(String, String), BloomFilter, Array[Byte]] {
+    def zero: BloomFilter = BloomFilter.create(items, fpp)
+    def reduce(b: BloomFilter, a: (String, String)): BloomFilter = {
+      b.putString(a._2); b
+    }
+    def merge(x: BloomFilter, y: BloomFilter): BloomFilter = {
+      x.mergeInPlace(y); x
+    }
+    def finish(b: BloomFilter): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      b.writeTo(out); out.toByteArray
+    }
+    def bufferEncoder: Encoder[BloomFilter] = Encoders.kryo[BloomFilter]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Build (or rebuild) the per-file filters for `dataFiles`, writing one
+    * `.bf` per file under `colDir`. Null column values are not indexed
+    * (a null probe key never prunes — [[mightContain]] keeps on "").
+    */
+  def build(spark: SparkSession, fs: FileSystem, dataFiles: Seq[String],
+            colName: String, items: Long, fpp: Double, colDir: Path): Unit = {
+    if (dataFiles.isEmpty) return
+    import spark.implicits._
+    val perFile = spark.read.parquet(dataFiles: _*)
+      .select(input_file_name().as("_1"), col(colName).cast("string").as("_2"))
+      .filter(col("_2").isNotNull)
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .agg(new BloomAgg(items, fpp).toColumn.name("bf"))
+      .collect()
+    fs.mkdirs(colDir)
+    perFile.foreach { case (f, bytes) =>
+      val dst = bfPath(colDir, f)
+      val tmp = new Path(colDir, dst.getName + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      if (fs.exists(dst)) fs.delete(dst, false)
+      fs.rename(tmp, dst)
+    }
+    // a file rewritten with zero non-null keys produces no group above;
+    // it must still get a (definitively empty) filter, or probes would
+    // keep it forever as "unindexed"
+    val written = perFile.map(f => normalize(f._1)).toSet
+    dataFiles.filterNot(f => written(normalize(f))).foreach { f =>
+      val empty = BloomFilter.create(1, fpp)
+      val out = new java.io.ByteArrayOutputStream()
+      empty.writeTo(out)
+      val dst = bfPath(colDir, f)
+      val o = fs.create(dst, true)
+      try o.write(out.toByteArray) finally o.close()
+    }
+  }
+
+  /** Files among `dataFiles` lacking an index entry under `colDir`. */
+  def unindexed(fs: FileSystem, colDir: Path, dataFiles: Seq[String]): Seq[String] =
+    if (!fs.exists(colDir)) dataFiles
+    else {
+      val have = fs.listStatus(colDir).map(_.getPath.getName)
+        .filter(_.endsWith(".bf")).toSet
+      dataFiles.filterNot(f => have(sha1(normalize(f)) + ".bf"))
+    }
+
+  /** Drop index entries whose data file is no longer live (compaction of
+    * the index dir; replaced/moved files leave dead `.bf`s behind).
+    */
+  def dropStale(fs: FileSystem, colDir: Path, liveFiles: Seq[String]): Unit = {
+    if (!fs.exists(colDir)) return
+    val live = liveFiles.map(f => sha1(normalize(f)) + ".bf").toSet
+    fs.listStatus(colDir).map(_.getPath)
+      .filter(p => p.getName.endsWith(".bf") && !live(p.getName))
+      .foreach(p => fs.delete(p, false))
+  }
+
+  /** Bloom verdict for one file: false ONLY on a definite miss. A missing
+    * or unreadable filter, or a null probe value, keeps the file.
+    */
+  def mightContain(fs: FileSystem, colDir: Path, dataFile: String,
+                   value: Any): Boolean = {
+    val key = keyOf(value)
+    if (key.isEmpty) return true
+    val p = bfPath(colDir, dataFile)
+    if (!fs.exists(p)) return true
+    try {
+      val in = fs.open(p)
+      try BloomFilter.readFrom(in).mightContainString(key) finally in.close()
+    } catch { case _: Exception => true }
+  }
+}

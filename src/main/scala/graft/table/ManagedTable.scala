@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions.{broadcast, col, lit}
   * (path)` always sees the CURRENT version (the live dir holds only it).
   *
   * Non-goal (documented, as in SURVEY.md §7.4): concurrent writers —
-  * single-writer batch semantics like the reference notebook.
+  * single-writer batch semantics like the reference notebook. A fail-fast
+  * lease ([[withCommitLock]]) makes a second concurrent writer error out
+  * immediately instead of corrupting the log; full optimistic concurrency
+  * (conflict detection + retry) remains out of scope.
   *
   * Scale notes:
   *  - Partitioned layout + partition pruning is what bounds rewrite cost:
@@ -121,6 +124,42 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     x.length <= y.length
   }
 
+  /** String skipping-stats are truncated to this many code points (Delta's
+    * 32-char discipline): a long text column among the first [[statsCols]]
+    * leaves would otherwise put two document-sized bounds on every sidecar
+    * line.
+    */
+  private val statsTruncLen = 32
+  private def truncCp(s: String, n: Int): String = {
+    val end = try s.offsetByCodePoints(0, n)
+      catch { case _: IndexOutOfBoundsException => s.length }
+    s.substring(0, end)
+  }
+
+  /** Truncated lower bound: any prefix is utf8Leq the full string. */
+  private def truncMin(s: String): String = truncCp(s, statsTruncLen)
+
+  /** Truncated upper bound: 32-code-point prefix with its last code point
+    * incremented, which is utf8-greater than EVERY string sharing the
+    * untruncated prefix (UTF-8 preserves code-point order). Increments
+    * landing in the surrogate gap jump to U+E000; if every code point is
+    * already U+10FFFF there is no bounded upper bound — None, and the
+    * caller drops the column's stats (keep-file-conservative).
+    */
+  private def truncMax(s: String): Option[String] = {
+    if (s.codePointCount(0, s.length) <= statsTruncLen) return Some(s)
+    val cps = truncCp(s, statsTruncLen).codePoints.toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) >= Character.MAX_CODE_POINT) i -= 1
+    if (i < 0) None
+    else {
+      val inc = if (cps(i) + 1 >= Character.MIN_SURROGATE &&
+                    cps(i) + 1 <= Character.MAX_SURROGATE) 0xE000 else cps(i) + 1
+      val kept = cps.take(i + 1); kept(i) = inc
+      Some(new String(kept, 0, kept.length))
+    }
+  }
+
   /** Numeric stat order via double (Infinity-safe; monotonic rounding for
     * huge longs only creates ties, which keep files — conservative).
     * NaN compares keep the file.
@@ -160,8 +199,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                       .IntLogicalTypeAnnotation if it.isSigned => "i"
                 case _: org.apache.parquet.schema.LogicalTypeAnnotation
                       .DecimalLogicalTypeAnnotation => "i"
+                // date stats stay in storage units (epoch days, kind "D");
+                // filesOverlapping decodes the USER predicate to epoch days
+                // instead. Decoding the stat to an ISO string and comparing
+                // lexically would break for BCE dates ("-0001-…" sorts
+                // opposite to chronology) and years ≥ 10000 ("+10000-…").
                 case _: org.apache.parquet.schema.LogicalTypeAnnotation
-                      .DateLogicalTypeAnnotation => "s"
+                      .DateLogicalTypeAnnotation => "D"
                 case _ => "" // timestamp/time/unsigned: storage-unit stats
               }
             case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.DOUBLE |
@@ -179,25 +223,22 @@ final class ManagedTable(spark: SparkSession, val path: String) {
               case (d: org.apache.parquet.schema.LogicalTypeAnnotation
                     .DecimalLogicalTypeAnnotation, n: Number) =>
                 java.math.BigDecimal.valueOf(n.longValue, d.getScale).toPlainString
-              case (_: org.apache.parquet.schema.LogicalTypeAnnotation
-                    .DateLogicalTypeAnnotation, n: Number) =>
-                java.time.LocalDate.ofEpochDay(n.longValue).toString
               case (_, b: org.apache.parquet.io.api.Binary) => b.toStringUsingUTF8
-              case (_, x) => x.toString
+              case (_, x) => x.toString // dates stay as raw epoch days (kind "D")
             }
             val mins = perBlock.map(s => str(s.genericGetMin))
             val maxs = perBlock.map(s => str(s.genericGetMax))
             if (kind != "s" &&
                 (mins ++ maxs).exists(v => java.lang.Double.parseDouble(v).isNaN))
               None // NaN bounds carry no ordering information: no stats
-            else {
-              val (mn, mx) =
-                if (kind == "s")
-                  (mins.reduce((a, b) => if (utf8Leq(a, b)) a else b),
-                   maxs.reduce((a, b) => if (utf8Leq(a, b)) b else a))
-                else
-                  (mins.reduce((a, b) => if (numLeq(a, b)) a else b),
-                   maxs.reduce((a, b) => if (numLeq(a, b)) b else a))
+            else if (kind == "s") {
+              val mn = mins.reduce((a, b) => if (utf8Leq(a, b)) a else b)
+              val mx = maxs.reduce((a, b) => if (utf8Leq(a, b)) b else a)
+              truncMax(mx).map(m =>
+                cd.getPath.mkString(".") -> (kind, truncMin(mn), m))
+            } else {
+              val mn = mins.reduce((a, b) => if (numLeq(a, b)) a else b)
+              val mx = maxs.reduce((a, b) => if (numLeq(a, b)) b else a)
               Some(cd.getPath.mkString(".") -> (kind, mn, mx))
             }
           }
@@ -297,8 +338,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           case (p, len) if !cached.get(p).exists(_._1 == len) =>
             sidecarLine(p, len, metas(p))
         }
+        // name segments by a persisted monotonic sequence (next after the
+        // max existing segment), not a clock: nanoTime's origin is arbitrary
+        // (can be negative, breaking the zero-padded lexical sort) and not
+        // monotonic across driver restarts, and the base++segments fold
+        // relies on lexical order == commit order
+        val next = segs.lastOption.map(_.getName
+          .stripPrefix("seg-").stripSuffix(".txt").toLong + 1).getOrElse(0L)
         writeAtomic(new Path(sidecarSegDir,
-          f"seg-${System.nanoTime()}%019d.txt"), fresh.sorted.mkString("\n"))
+          f"seg-$next%019d.txt"), fresh.sorted.mkString("\n"))
       }
     }
     metas
@@ -315,8 +363,22 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val metas = fileMeta(files)
     def leq(kind: String, a: String, b: String): Boolean =
       if (kind == "s") utf8Leq(a, b) else numLeq(a, b)
+    // date ("D") stats are epoch-day numbers; decode the user-space
+    // predicate to the same unit (an unrecognized form keeps every file —
+    // conservative, never wrong)
+    def toEpochDay(v: Any): Option[Long] = v match {
+      case d: java.time.LocalDate => Some(d.toEpochDay)
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+      case x => scala.util.Try(
+        java.time.LocalDate.parse(x.toString).toEpochDay).toOption
+    }
     val kept = files.map(_._1).filter { p =>
       metas(p).stats.get(colName) match {
+        case Some(("D", mn, mx)) =>
+          (toEpochDay(lo), toEpochDay(hi)) match {
+            case (Some(l), Some(h)) => mn.toDouble <= h && l <= mx.toDouble
+            case _ => true
+          }
         case Some((k, mn, mx)) =>
           leq(k, mn, hi.toString) && leq(k, lo.toString, mx)
         case None => true
@@ -338,6 +400,104 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
+  // ---- per-file bloom indexes (point-lookup skipping) ------------------
+
+  private def bloomDeclFile = new Path(logDir, "_bloom_cols.txt")
+  private def bloomColDir(colName: String) =
+    new Path(new Path(logDir, "_bloom.d"), enc(colName))
+
+  /** Declared bloom-indexed columns: name → (expectedItemsPerFile, fpp). */
+  def bloomIndexes: Map[String, (Long, Double)] =
+    if (!fs.exists(bloomDeclFile)) Map.empty
+    else {
+      val in = fs.open(bloomDeclFile)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .flatMap(_.split('\t') match {
+          case Array(n, items, fpp) =>
+            scala.util.Try(dec(n) -> (items.toLong, fpp.toDouble)).toOption
+          case _ => None
+        }).toMap
+      finally in.close()
+    }
+
+  /** Declare a per-file bloom index on `colName` — point-lookup skipping
+    * for high-cardinality keys that min/max stats can't prune on
+    * unclustered layouts (`client_id = X` against a date-ordered table:
+    * every file's [min, max] straddles X, but each file's bloom answers
+    * definitively-no for most of them). Existing live files are indexed
+    * now (one distributed pass); every later mutation indexes just its
+    * new files as part of the commit. Restricted to string / integral /
+    * date columns so the probe key provably matches the build key (see
+    * [[BloomIndex.keyOf]]).
+    */
+  def addBloomIndex(colName: String, expectedItemsPerFile: Long = 100000L,
+                    fpp: Double = 0.01): Unit = {
+    require(exists, "declare bloom indexes on an existing table")
+    import org.apache.spark.sql.types._
+    val field = read.schema.fields.find(_.name == colName)
+      .getOrElse(throw new IllegalArgumentException(s"no such column: $colName"))
+    field.dataType match {
+      case StringType | LongType | IntegerType | ShortType | ByteType | DateType =>
+      case dt => throw new IllegalArgumentException(
+        s"bloom index on ${dt.simpleString} is unsupported (string cast is " +
+          "not round-trippable); index string/integral/date columns")
+    }
+    ensureBootstrapped()
+    writeAtomic(bloomDeclFile,
+      (bloomIndexes + (colName -> (expectedItemsPerFile, fpp))).toSeq.sortBy(_._1)
+        .map { case (n, (i, f)) => s"${enc(n)}\t$i\t$f" }.mkString("\n"))
+    refreshBloomIndexes()
+  }
+
+  def dropBloomIndex(colName: String): Unit = {
+    writeAtomic(bloomDeclFile,
+      (bloomIndexes - colName).toSeq.sortBy(_._1)
+        .map { case (n, (i, f)) => s"${enc(n)}\t$i\t$f" }.mkString("\n"))
+    fs.delete(bloomColDir(colName), true)
+  }
+
+  /** Index live files missing a filter (new files since the last refresh)
+    * and drop entries for files no longer live. Called by every commit
+    * when indexes are declared — the pass reads ONLY the unindexed files,
+    * so the cost tracks the write, not the table.
+    */
+  def refreshBloomIndexes(): Unit = {
+    val decls = bloomIndexes
+    if (decls.isEmpty) return
+    val live = listParquet(new Path(path))
+      .map { case (p, _) => fs.makeQualified(new Path(p)).toString }
+    decls.foreach { case (c, (items, fpp)) =>
+      val dir = bloomColDir(c)
+      BloomIndex.build(spark, fs, BloomIndex.unindexed(fs, dir, live),
+        c, items, fpp, dir)
+      BloomIndex.dropStale(fs, dir, live)
+    }
+  }
+
+  /** Live files that may hold `colName = value`: min/max stats prune
+    * first, then the per-file bloom gives a definitive no for most of the
+    * survivors. Returns (kept, all) like [[filesOverlapping]].
+    */
+  def filesForPoint(colName: String, value: Any): (Seq[String], Seq[String]) = {
+    val (ranged, all) = filesOverlapping(colName, value, value)
+    if (!bloomIndexes.contains(colName)) (ranged, all)
+    else {
+      val dir = bloomColDir(colName)
+      (ranged.filter(f => BloomIndex.mightContain(fs, dir, f, value)), all)
+    }
+  }
+
+  /** Point-lookup read: scan only the files the stats AND bloom keep,
+    * then apply the exact predicate — never a false positive in results,
+    * the index only bounds the scan.
+    */
+  def readPoint(colName: String, value: Any): DataFrame = {
+    val (kept, _) = filesForPoint(colName, value)
+    if (kept.isEmpty) return read.filter(org.apache.spark.sql.functions.lit(false))
+    spark.read.option("basePath", qualifiedRoot).parquet(kept: _*)
+      .filter(col(colName) === lit(value))
+  }
+
   /** Append a commit entry describing the CURRENT live dir as version
     * `version + 1`. Listing + new-file footer reads; no data pass, no
     * Spark job (see [[fileRowCounts]]).
@@ -347,9 +507,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val files = listParquet(new Path(path))
       .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) }
     val rowCount = fileMeta(files).values.map(_.rows).sum
+    val ts = java.time.Instant.now().toString
     val json = Seq(
       s""""version":$v""",
-      s""""timestamp":${jstr(java.time.Instant.now().toString)}""",
+      s""""timestamp":${jstr(ts)}""",
       s""""operation":${jstr(operation)}""",
       s""""partitionColumns":[${partitionCols.map(jstr).mkString(",")}]""",
       s""""numFiles":${files.size}""",
@@ -360,11 +521,141 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     fs.mkdirs(logDir)
     val out = fs.create(new Path(logDir, f"v$v%05d.json"), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
+    // checkpoint the summary into the history file (Delta's _last_checkpoint
+    // discipline): history()/readAsOf/detail/vacuum read ONE file, not
+    // O(commits) manifests. Crash between the manifest write above and this
+    // append self-heals: historyRows folds any missing version back in.
+    appendHistory(CommitInfo(v, ts, operation, partitionCols,
+      files.size, files.map(_._2).sum, rowCount))
     // consistency sidecar: what the live dir held at this commit (drives
     // the RECOVER check in ensureBootstrapped)
     val side = fs.create(new Path(logDir, "_latest_files.txt"), true)
     try side.write(files.map(_._1).sorted.mkString("\n").getBytes("UTF-8"))
     finally side.close()
+    // opt-in exception to the no-data-pass commit: declared bloom indexes
+    // read the NEW files once (cost tracks the write, not the table)
+    refreshBloomIndexes()
+  }
+
+  // ---- single-writer lease --------------------------------------------
+
+  private def lockFile = new Path(logDir, "_commit.lock")
+
+  /** Fail-fast single-writer lease around every mutation funnel: a lease
+    * file created atomically (create-if-absent — atomic on HDFS and object
+    * stores with preconditions) at mutation start and removed after the
+    * commit. A second concurrent writer gets an IMMEDIATE clear error
+    * instead of interleaving `v%05d.json` / sidecar writes and corrupting
+    * the log. Full optimistic concurrency (conflict detection + retry) is a
+    * documented non-goal (SURVEY.md §7.4) — this is the table-stakes guard
+    * for anything an operator schedules. A writer that died holding the
+    * lease leaves it behind; the error names [[breakCommitLock]] for the
+    * operator (the lease records holder pid + timestamp for the autopsy).
+    */
+  private def withCommitLock[T](f: => T): T = {
+    fs.mkdirs(logDir)
+    val out =
+      try fs.create(lockFile, false)
+      catch { case _: java.io.IOException =>
+        val held = try {
+          val in = fs.open(lockFile)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        } catch { case _: Exception => "unknown holder" }
+        throw new java.util.ConcurrentModificationException(
+          s"another writer holds the commit lease on $path ($held); graft " +
+            "tables are single-writer — retry after it finishes, or " +
+            "breakCommitLock() if the holder is dead")
+      }
+    try out.write(
+      s"${java.time.Instant.now()}\tpid=${ProcessHandle.current().pid()}"
+        .getBytes("UTF-8"))
+    finally out.close()
+    try f finally fs.delete(lockFile, false)
+  }
+
+  /** Remove a lease left by a dead writer (verify the pid first). */
+  def breakCommitLock(): Unit =
+    if (fs.exists(lockFile)) fs.delete(lockFile, false)
+
+  // ---- commit-log checkpoint (history summaries) -----------------------
+
+  /** One commit's summary — everything [[history]] serves, which is every
+    * manifest field except the file list (that stays per-version for
+    * [[readVersion]], which is O(1) files by construction).
+    */
+  private case class CommitInfo(version: Long, timestamp: String,
+      operation: String, partitionColumns: Seq[String],
+      numFiles: Long, sizeInBytes: Long, rowCount: Long)
+
+  private def historyFile = new Path(logDir, "_history.txt")
+
+  private def histLine(c: CommitInfo): String =
+    Seq(c.version.toString, enc(c.timestamp), enc(c.operation),
+      c.partitionColumns.map(enc).mkString(","),
+      c.numFiles.toString, c.sizeInBytes.toString, c.rowCount.toString)
+      .mkString("\t")
+
+  private def readHistoryFile(): Seq[CommitInfo] =
+    if (!fs.exists(historyFile)) Nil
+    else {
+      val in = fs.open(historyFile)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().flatMap { l =>
+        scala.util.Try(l.split('\t') match {
+          case Array(v, ts, op, pcs, nf, sz, rc) =>
+            Some(CommitInfo(v.toLong, dec(ts), dec(op),
+              if (pcs.isEmpty) Nil else pcs.split(',').toSeq.map(dec),
+              nf.toLong, sz.toLong, rc.toLong))
+          case _ => None
+        }).toOption.flatten
+      }.toSeq
+      finally in.close()
+    }
+
+  private def appendHistory(c: CommitInfo): Unit =
+    writeAtomic(historyFile,
+      (readHistoryFile().filter(_.version < c.version) :+ c)
+        .sortBy(_.version).map(histLine).mkString("\n"))
+
+  /** Manifest schema (explicit: inference over a manifest subset could
+    * type an all-empty partitionColumns as array<null>).
+    */
+  private val manifestSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "version LONG, timestamp STRING, operation STRING, " +
+      "partitionColumns ARRAY<STRING>, numFiles LONG, sizeInBytes LONG, " +
+      "rowCount LONG, files ARRAY<STRING>")
+
+  /** All commit summaries, oldest first, served from the checkpoint file.
+    * Self-healing: versions the checkpoint is missing (a table from before
+    * this feature, or a crash between manifest and checkpoint writes) are
+    * folded in from their manifests — ONE batched read of just the missing
+    * files — and persisted, so the steady state reads exactly one file.
+    */
+  private def historyRows: Seq[CommitInfo] = {
+    val cur = version
+    if (cur < 0) return Nil
+    val cached = readHistoryFile()
+    val have = cached.map(_.version).toSet
+    val missing = (0L to cur).filterNot(have)
+      .filter(v => fs.exists(new Path(logDir, f"v$v%05d.json")))
+    if (missing.isEmpty) cached.sortBy(_.version)
+    else {
+      val folded = spark.read.schema(manifestSchema)
+        .json(missing.map(v => new Path(logDir, f"v$v%05d.json").toString): _*)
+        .collect().map { r =>
+          CommitInfo(r.getAs[Long]("version"), r.getAs[String]("timestamp"),
+            r.getAs[String]("operation"),
+            // getAs materializes a MUTABLE ArraySeq; .toList converts to the
+            // immutable Seq the case class field is typed as
+            Option(r.getAs[scala.collection.Seq[String]]("partitionColumns"))
+              .map(_.toList).getOrElse(Nil),
+            r.getAs[Long]("numFiles"), r.getAs[Long]("sizeInBytes"),
+            r.getAs[Long]("rowCount"))
+        }
+      val all = (cached ++ folded).sortBy(_.version)
+      writeAtomic(historyFile, all.map(histLine).mkString("\n"))
+      all
+    }
   }
 
   /** Rewrite manifests after data under `oldRoot` moved to `newRoot`.
@@ -382,7 +673,17 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val pairs =
       if (subdirs.isEmpty) Seq((prefix(oldRoot + "/"), prefix(newRoot + "/")))
       else subdirs.map(d => (prefix(s"$oldRoot/$d/"), prefix(s"$newRoot/$d/")))
-    fs.listStatus(logDir).filter(_.isFile).foreach { st =>
+    // only the version manifests (jstr-escaped JSON) are remapped. The
+    // stats sidecar (base AND segments) is deliberately left alone: its
+    // entries are validated by (path, len) so a stale pre-move path is a
+    // harmless cache miss, and the next compaction drops it — remapping
+    // one sidecar layer but not the other would leave them inconsistent.
+    // `_latest_files.txt` is rewritten wholesale by the commit that
+    // immediately follows every move, so it needs no remap either.
+    fs.listStatus(logDir).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.startsWith("v") && n.endsWith(".json")
+    }.foreach { st =>
       val in = fs.open(st.getPath)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       val updated = pairs.foldLeft(txt) { case (t, (o, n)) => t.replace(o, n) }
@@ -398,11 +699,16 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * columns, file/row stats.
     */
   def history(n: Int = Int.MaxValue): DataFrame = {
-    import org.apache.spark.sql.functions.desc
-    spark.read.json(logDir.toString)
-      .select("version", "timestamp", "operation", "partitionColumns",
-        "numFiles", "sizeInBytes", "rowCount")
-      .orderBy(desc("version")).limit(n)
+    import org.apache.spark.sql.Row
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "version LONG, timestamp STRING, operation STRING, " +
+        "partitionColumns ARRAY<STRING>, numFiles LONG, sizeInBytes LONG, " +
+        "rowCount LONG")
+    val rows = historyRows.sortBy(-_.version).take(n).map(c =>
+      Row(c.version, c.timestamp, c.operation, c.partitionColumns,
+        c.numFiles, c.sizeInBytes, c.rowCount))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
   /** Version-pinned read (time travel): reconstruct snapshot `v` from its
@@ -434,12 +740,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   def readAsOf(ts: String): DataFrame = {
     val cutoff = java.time.Instant.parse(ts)
-    val vs = history().select("version", "timestamp").collect()
-      .map(r => (r.getAs[Long]("version"),
-        java.time.Instant.parse(r.getAs[String]("timestamp"))))
-      .filter { case (_, t) => !t.isAfter(cutoff) }
+    val vs = historyRows
+      .filter(c => !java.time.Instant.parse(c.timestamp).isAfter(cutoff))
     require(vs.nonEmpty, s"no version committed at or before $ts")
-    readVersion(vs.map(_._1).max)
+    readVersion(vs.map(_.version).max)
   }
 
   /** Change-data-feed between two logged versions (Delta's
@@ -471,19 +775,44 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * copy), so the keep-set is computed from the manifests of the
     * in-window versions, not from the dirs' own ages.
     */
-  def vacuumVersions(olderThan: java.time.Instant): Unit = {
-    if (!fs.exists(logDir)) return
-    import org.apache.spark.sql.functions.explode
-    val refs = spark.read.json(logDir.toString)
-      .select(col("timestamp"), explode(col("files")).as("f"))
-      .collect()
-      .filter(r => !java.time.Instant.parse(r.getString(0)).isBefore(olderThan))
-      .map(_.getString(1))
-    (0L to version).foreach { v =>
-      val root = retainedDir(v)
-      val p = new Path(root)
-      if (fs.exists(p) && !refs.exists(_.startsWith(root + "/"))) fs.delete(p, true)
-    }
+  def vacuumVersions(olderThan: java.time.Instant): Unit =
+    droppableRetainedDirs(olderThan).foreach(r => fs.delete(new Path(r), true))
+
+  /** DRY RUN for the retention-windowed vacuum (Delta's `VACUUM … DRY
+    * RUN`): the retained snapshot dirs a [[vacuumVersions(olderThan)]]
+    * call would delete, deleting nothing — the operator's preview before
+    * scheduling the real thing.
+    */
+  def vacuumDryRun(olderThan: java.time.Instant): Seq[String] =
+    droppableRetainedDirs(olderThan)
+
+  /** Retained dirs serving NO version committed at or after `olderThan`.
+    * In-window versions come from the checkpoint (one file read); only
+    * THEIR manifests are opened, and the collect is the distinct set of
+    * referenced retained roots — never the exploded file list (at millions
+    * of files × thousands of commits that collect is a driver OOM; the
+    * root set is bounded by the version count).
+    */
+  private def droppableRetainedDirs(olderThan: java.time.Instant): Seq[String] = {
+    if (!fs.exists(logDir)) return Nil
+    val existing = (0L to version).map(v => retainedDir(v))
+      .filter(r => fs.exists(new Path(r)))
+    if (existing.isEmpty) return Nil
+    val inWindow = historyRows
+      .filter(c => !java.time.Instant.parse(c.timestamp).isBefore(olderThan))
+      .map(c => new Path(logDir, f"v${c.version}%05d.json").toString)
+    val live: Set[String] =
+      if (inWindow.isEmpty) Set.empty
+      else {
+        import org.apache.spark.sql.functions.{concat, explode, lit}
+        import spark.implicits._
+        val roots = existing.toDF("root")
+        spark.read.schema(manifestSchema).json(inWindow: _*)
+          .select(explode(col("files")).as("f"))
+          .join(broadcast(roots), col("f").startsWith(concat(col("root"), lit("/"))))
+          .select("root").distinct().as[String].collect().toSet
+      }
+    existing.filterNot(live)
   }
 
   /** RESTORE (rollback): make logged snapshot `v` the new CURRENT version
@@ -500,12 +829,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     replaceWith(readVersion(v), loggedPartitionCols(v), "RESTORE")
   }
 
-  /** Partition columns recorded in snapshot `v`'s manifest. */
-  private def loggedPartitionCols(v: Long): Seq[String] = {
-    val manifest = spark.read.json(new Path(logDir, f"v$v%05d.json").toString)
-    val r = manifest.select("partitionColumns").head
-    if (r.isNullAt(0)) Nil else r.getSeq[String](0)
-  }
+  /** Partition columns recorded in snapshot `v`'s summary — a checkpoint
+    * lookup, no manifest read, no Spark job.
+    */
+  private def loggedPartitionCols(v: Long): Seq[String] =
+    historyRows.find(_.version == v).map(_.partitionColumns).getOrElse(Nil)
 
   /** Deep CLONE (Delta's `CREATE TABLE … DEEP CLONE`): an independent
     * copy of the CURRENT snapshot at `targetPath`, with its own fresh
@@ -534,8 +862,19 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     }
     fs.mkdirs(dstRoot)
     val slices = math.max(1, math.min(rels.size, spark.sparkContext.defaultParallelism))
+    // the session's hadoop conf (object-store credentials/endpoints, fs
+    // overrides from spark.hadoop.*) must reach the copy tasks: Configuration
+    // isn't serializable, so ship its entries and rebuild per task — a fresh
+    // `new Configuration()` here would silently drop session settings and
+    // misresolve paths on S3A/ABFS, the stores the 100 TB design targets.
+    val confEntries: Array[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      spark.sparkContext.hadoopConfiguration.asScala
+        .map(e => e.getKey -> e.getValue).toArray
+    }
     spark.sparkContext.parallelize(rels, slices).foreach { rel =>
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      confEntries.foreach { case (k, v) => conf.set(k, v) }
       val s = new Path(srcQ + "/" + rel)
       val d = new Path(dstQ + "/" + rel)
       org.apache.hadoop.fs.FileUtil.copy(
@@ -563,7 +902,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         try out.write(txt.getBytes("UTF-8")) finally out.close()
       }
     }
-    t.commit("CLONE", loggedPartitionCols(version))
+    t.withCommitLock { t.commit("CLONE", loggedPartitionCols(version)) }
     t
   }
 
@@ -636,7 +975,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
 
   def overwrite(df: DataFrame, partitionCols: Seq[String] = Nil): Unit =
     if (exists) replaceWith(df, partitionCols, "OVERWRITE")
-    else {
+    else withCommitLock {
       val w = df.write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
       commit("OVERWRITE", partitionCols)
@@ -708,23 +1047,24 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     try Some(read.schema) catch { case _: Exception => None }
 
   private def appendAs(df: DataFrame, partitionCols: Seq[String],
-                       operation: String, allowEvolution: Boolean = false): Unit = {
-    ensureBootstrapped()
-    val conformed0 =
-      if (exists) tableSchemaOpt
-        .map(conform(df, allowEvolution, _, partitionCols)).getOrElse(df)
-      else df
-    // materialize BEFORE the check when constraints exist, so the rows the
-    // check saw are exactly the rows the write persists (a nondeterministic
-    // source could otherwise pass the check and write violating rows), and
-    // the plan isn't computed twice
-    val conformed =
-      if (constraints.nonEmpty) conformed0.localCheckpoint() else conformed0
-    enforceConstraints(conformed)
-    val w = conformed.write.mode(SaveMode.Append)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
-    commit(operation, partitionCols)
-  }
+                       operation: String, allowEvolution: Boolean = false): Unit =
+    withCommitLock {
+      ensureBootstrapped()
+      val conformed0 =
+        if (exists) tableSchemaOpt
+          .map(conform(df, allowEvolution, _, partitionCols)).getOrElse(df)
+        else df
+      // materialize BEFORE the check when constraints exist, so the rows the
+      // check saw are exactly the rows the write persists (a nondeterministic
+      // source could otherwise pass the check and write violating rows), and
+      // the plan isn't computed twice
+      val conformed =
+        if (constraints.nonEmpty) conformed0.localCheckpoint() else conformed0
+      enforceConstraints(conformed)
+      val w = conformed.write.mode(SaveMode.Append)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+      commit(operation, partitionCols)
+    }
 
   // ---- generated columns (Delta's GENERATED ALWAYS AS) -----------------
 
@@ -836,7 +1176,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * §7.6.5).
     */
   private def replaceWith(df0: DataFrame, partitionCols: Seq[String],
-                          operation: String): Unit = {
+                          operation: String): Unit = withCommitLock {
     ensureBootstrapped()
     // same checked-rows-are-written-rows materialization as appendAs;
     // only paid when constraints are declared
@@ -903,7 +1243,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * files being moved).
     */
   private def swapPartitions(affected: DataFrame, partitionCols: Seq[String],
-                             replacement: DataFrame, operation: String): Unit = {
+                             replacement: DataFrame, operation: String): Unit =
+    withCommitLock {
     enforceConstraints(replacement)
     // materialize the affected partition set before any file moves — its
     // plan reads the current table files. Values are stringified by
@@ -937,7 +1278,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // (⊆ affected partitions) land as a plain partitioned append
     replacement.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
     commit(operation, partitionCols)
-  }
+    }
 
   /** Rewrite ONLY the partitions matching `partitionCond` through `f` —
     * the partition-scoped DML primitive behind [[deleteScoped]] /
@@ -1052,20 +1393,19 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def detail(): DataFrame = {
     import spark.implicits._
     val files = listParquet(new Path(path))
-    val (partCols, createdAt, modifiedAt) =
-      if (fs.exists(logDir)) {
-        val h = spark.read.json(logDir.toString)
-          .select("version", "timestamp", "partitionColumns").collect()
-        val latest = h.maxBy(_.getAs[Long]("version"))
+    val (partCols, createdAt, modifiedAt) = {
+      val h = historyRows
+      if (h.nonEmpty) {
+        val latest = h.maxBy(_.version)
         // compare as Instants, not strings: Instant.toString emits variable
         // fractional precision and '.' sorts before 'Z', so lexicographic
         // min/max can pick the wrong timestamp when precisions mix
-        val ts = h.map(r => java.time.Instant.parse(r.getAs[String]("timestamp")))
+        val ts = h.map(c => java.time.Instant.parse(c.timestamp))
         implicit val instOrd: Ordering[java.time.Instant] =
           Ordering.fromLessThan(_ isBefore _)
-        (latest.getSeq[String](latest.fieldIndex("partitionColumns")),
-          ts.min.toString, ts.max.toString)
+        (latest.partitionColumns, ts.min.toString, ts.max.toString)
       } else (Seq.empty[String], null: String, null: String)
+    }
     // table properties surface (Delta's DESCRIBE DETAIL carries these in
     // properties): declared CHECK constraints and generated columns
     val props = constraints.toSeq.sorted.map { case (n, e) => s"check:$n=$e" } ++

@@ -704,4 +704,205 @@ class ManagedTableSpec extends SparkSpec {
       Seq("APPEND", "BOOTSTRAP"))
     assert(t.readVersion(0).as[(Long, String)].collect().toSeq == Seq((1L, "a")))
   }
+
+  test("history checkpoint: a 50-commit table serves history without manifests") {
+    val t = freshTable("mt-hist-ckpt")
+    t.overwrite(Seq((0L, "v0")).toDF("k", "v"))
+    (1L to 50L).foreach(i => t.append(Seq((i, s"v$i")).toDF("k", "v")))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val logDir = new org.apache.hadoop.fs.Path(t.path + "._log")
+    val fs = logDir.getFileSystem(conf)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(logDir, "_history.txt")))
+    // self-healing: delete the checkpoint — history rebuilds it from the
+    // manifests (one batched read of the missing versions) and re-persists
+    fs.delete(new org.apache.hadoop.fs.Path(logDir, "_history.txt"), false)
+    assert(t.history().count() == 51)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(logDir, "_history.txt")))
+    // steady state reads the checkpoint ONLY: park every manifest except
+    // the latest (readVersion needs O(1) manifests by design, history zero)
+    val parked = new org.apache.hadoop.fs.Path(tmpDir("mt-hist-parked"))
+    fs.listStatus(logDir).map(_.getPath)
+      .filter(p => p.getName.startsWith("v") && p.getName.endsWith(".json"))
+      .filter(_.getName != "v00050.json")
+      .foreach(p => fs.rename(p, new org.apache.hadoop.fs.Path(parked, p.getName)))
+    val h = t.history().collect()
+    assert(h.length == 51 && h.head.getAs[Long]("version") == 50L)
+    assert(h.map(_.getAs[String]("operation")).toSet == Set("OVERWRITE", "APPEND"))
+    assert(h.forall(r => !r.isNullAt(r.fieldIndex("timestamp"))))
+    // timestamp-pinned resolution also runs off the checkpoint
+    assert(t.readAsOf(java.time.Instant.now().toString).count() == 51)
+    assert(t.readVersion(50).count() == 51)
+  }
+
+  test("writer lease: a held lock fails a second writer fast, table intact") {
+    val t = freshTable("mt-lock")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lock = new org.apache.hadoop.fs.Path(t.path + "._log/_commit.lock")
+    val fs = lock.getFileSystem(conf)
+    assert(!fs.exists(lock), "lease must be released after a mutation")
+    // writer A mid-mutation holds the lease; writer B (second instance on
+    // the same path) must fail FAST with a clear error, not corrupt the log
+    val out = fs.create(lock, false)
+    out.write("2026-08-12T00:00:00Z\tpid=12345".getBytes("UTF-8")); out.close()
+    val b = new ManagedTable(spark, t.path)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      b.append(Seq((2L, "b")).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("breakCommitLock"))
+    intercept[java.util.ConcurrentModificationException] {
+      b.merge(Seq((3L, "c")).toDF("k", "v"), Seq("k"))
+    }
+    // the failed writer changed nothing
+    assert(b.read.as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    assert(b.history().count() == 1)
+    // operator clears the dead holder's lease; writes resume
+    b.breakCommitLock()
+    b.append(Seq((2L, "b")).toDF("k", "v"))
+    assert(b.read.count() == 2 && !fs.exists(lock))
+  }
+
+  test("string skipping stats are truncated but stay exact and pruning") {
+    val t = freshTable("mt-trunc")
+    // document-sized strings in the FIRST stats column: untruncated bounds
+    // would put two ~2 KB values on every sidecar line (2 KB, not more —
+    // parquet-mr itself drops footer stats entirely past MAX_STATS_SIZE
+    // 4 KB, which would leave nothing to truncate)
+    val doc = "x" * 2000
+    val df = spark.range(0, 200).selectExpr(
+      s"concat('doc-', lpad(cast(id as string), 5, '0'), '$doc') as body",
+      "id as k")
+    t.overwrite(df.repartitionByRange(8, col("body")).sortWithinPartitions("body"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(t.path + "._log/_file_rows.txt")
+    val segD = new org.apache.hadoop.fs.Path(t.path + "._log/_file_rows.d")
+    val fs = base.getFileSystem(conf)
+    val sidecarPaths = (if (fs.exists(base)) Seq(base) else Nil) ++
+      (if (fs.exists(segD)) fs.listStatus(segD).map(_.getPath).toSeq else Nil)
+    val lines = sidecarPaths.flatMap { p =>
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    assert(lines.nonEmpty)
+    assert(lines.forall(_.length < 600),
+      s"sidecar line not bounded: ${lines.map(_.length).max} chars")
+    // truncated stats still prune (strings diverge inside 32 chars)...
+    val (kept, all) = t.filesOverlapping("body", "doc-00010", "doc-00020~")
+    assert(all.size == 8 && kept.size <= 2, s"kept ${kept.size} of ${all.size}")
+    // ...and the pruned read stays EXACT vs a full-scan filter
+    val pruned = t.readWhere("body", "doc-00010", "doc-00020~")
+    val full = t.read.filter(col("body").between("doc-00010", "doc-00020~"))
+    assert(pruned.count() == full.count() && full.count() == 11)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+  }
+
+  test("date skipping survives BCE and five-digit years (epoch-day stats)") {
+    // lexical ISO-string order disagrees with chronology for "-0001-…"
+    // (sorts before "0001" but is EARLIER than everything CE) and
+    // "+10000-…"; epoch-day numeric stats don't
+    val t = freshTable("mt-date-extreme")
+    val df = spark.sql(
+      """select * from values
+        |  (1L, date'-0001-06-15'), (2L, date'2024-03-01'),
+        |  (3L, date'2024-06-01'), (4L, date'+10000-01-01')
+        |as t(k, d)""".stripMargin)
+    t.overwrite(df.repartitionByRange(4, col("d")))
+    def got(lo: java.time.LocalDate, hi: java.time.LocalDate): Set[Long] =
+      t.readWhere("d", lo, hi).select("k").as[Long].collect().toSet
+    assert(got(java.time.LocalDate.of(-1, 1, 1),
+               java.time.LocalDate.of(-1, 12, 31)) == Set(1L))
+    assert(got(java.time.LocalDate.of(9999, 1, 1),
+               java.time.LocalDate.of(10000, 6, 1)) == Set(4L))
+    assert(got(java.time.LocalDate.of(2024, 1, 1),
+               java.time.LocalDate.of(2024, 12, 31)) == Set(2L, 3L))
+    // modern-date pruning still actually skips files
+    val (kept, all) = t.filesOverlapping("d",
+      java.time.LocalDate.of(2024, 1, 1), java.time.LocalDate.of(2024, 3, 15))
+    assert(all.size == 4 && kept.size <= 2)
+  }
+
+  test("sidecar segment names are a monotonic sequence, not a clock") {
+    val t = freshTable("mt-seg-names")
+    t.overwrite(Seq((0L, "a")).toDF("k", "v"))
+    t.append(Seq((1L, "b")).toDF("k", "v"))
+    t.append(Seq((2L, "c")).toDF("k", "v"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val segD = new org.apache.hadoop.fs.Path(t.path + "._log/_file_rows.d")
+    val fs = segD.getFileSystem(conf)
+    val names = fs.listStatus(segD).map(_.getPath.getName)
+      .filter(_.endsWith(".txt")).sorted.toSeq
+    val nums = names.map(_.stripPrefix("seg-").stripSuffix(".txt").toLong)
+    assert(nums.forall(_ >= 0), s"negative segment number in $names")
+    assert(nums == nums.sorted && nums.distinct == nums, names)
+    assert(nums == (nums.head to nums.last), s"gaps in sequence: $nums")
+  }
+
+  test("bloom index prunes point lookups that min/max stats cannot") {
+    val t = freshTable("mt-bloom")
+    // k-ordered layout, probe on u — a high-cardinality key scattered
+    // across files (odd multiplier is a bijection mod 4000), so every
+    // file's [min, max] on u straddles nearly any probe value
+    val df = spark.range(0, 4000).selectExpr("id as k",
+      "pmod(id * 2654435761L, 4000L) as u")
+    t.overwrite(df.repartitionByRange(8, col("k")).sortWithinPartitions("k"))
+    t.addBloomIndex("u", expectedItemsPerFile = 1000L, fpp = 0.01)
+    val (ranged, all) = t.filesOverlapping("u", 1234L, 1234L)
+    assert(all.size == 8 && ranged.size >= 6,
+      s"stats alone should NOT prune here: ${ranged.size}/${all.size}")
+    val (kept, _) = t.filesForPoint("u", 1234L)
+    assert(kept.size <= 3, s"bloom kept ${kept.size} of ${all.size}")
+    assert(t.readPoint("u", 1234L).select("k").as[Long].collect().toSeq ==
+      t.read.filter(col("u") === 1234L).select("k").as[Long].collect().toSeq)
+    assert(t.readPoint("u", 1234L).count() == 1)
+    // commits index their new files automatically; results stay exact
+    t.append(Seq((9999L, 1234L)).toDF("k", "u"))
+    assert(t.readPoint("u", 1234L).count() == 2)
+    val (kept2, all2) = t.filesForPoint("u", 1234L)
+    assert(all2.size == 9 && kept2.size <= 4)
+    // unsupported type is rejected loudly (probe key would not round-trip)
+    val d = freshTable("mt-bloom-bad")
+    d.overwrite(spark.range(3).selectExpr("cast(id as double) as x"))
+    intercept[IllegalArgumentException](d.addBloomIndex("x"))
+  }
+
+  test("vacuum dry run lists exactly what the real vacuum then deletes") {
+    val t = freshTable("mt-vac-dry")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))  // v0
+    t.overwrite(Seq((2L, "b")).toDF("k", "v"))  // v1, retires v0's data
+    Thread.sleep(5)
+    val cutoff = java.time.Instant.now()
+    Thread.sleep(5)
+    t.overwrite(Seq((3L, "c")).toDF("k", "v"))  // v2, retires v1's (in-window)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def dirExists(s: String) =
+      new org.apache.hadoop.fs.Path(s).getFileSystem(conf)
+        .exists(new org.apache.hadoop.fs.Path(s))
+    val would = t.vacuumDryRun(olderThan = cutoff)
+    assert(would.nonEmpty)
+    assert(would.forall(dirExists), "dry run must delete NOTHING")
+    assert(t.readVersion(0).count() == 1) // still time-travelable
+    t.vacuumVersions(olderThan = cutoff)
+    assert(would.forall(!dirExists(_)), "real vacuum drops the dry-run list")
+    assert(t.read.as[(Long, String)].collect().toSeq == Seq((3L, "c")))
+  }
+
+  test("retention vacuum with partitioned retained dirs keeps in-window data") {
+    val t = freshTable("mt-vac-part")
+    val v0 = Seq((1L, "a", "p1"), (2L, "b", "p2"), (3L, "c", "p3"))
+      .toDF("k", "v", "p")
+    t.overwrite(v0, Seq("p"))                               // v0, many files
+    Thread.sleep(5)
+    val cutoff = java.time.Instant.now()
+    Thread.sleep(5)
+    t.merge(Seq((2L, "B", "p2")).toDF("k", "v", "p"), Seq("k"), Seq("p")) // v1
+    t.merge(Seq((3L, "C", "p3")).toDF("k", "v", "p"), Seq("k"), Seq("p")) // v2
+    // v1/v2 are in-window and reference files in retained dirs (the moved
+    // p2/p3 partitions); the keep-set must find those roots referenced
+    t.vacuumVersions(olderThan = cutoff)
+    assert(t.readVersion(1).orderBy("k").as[(Long, String, String)].collect()
+      .toSeq == Seq((1L, "a", "p1"), (2L, "B", "p2"), (3L, "c", "p3")))
+    assert(t.read.orderBy("k").as[(Long, String, String)].collect()
+      .toSeq == Seq((1L, "a", "p1"), (2L, "B", "p2"), (3L, "C", "p3")))
+  }
 }
