@@ -709,6 +709,23 @@ object SparkEntry {
             col("l_discount"), col("l_tax")),
           "measure", "value")
         .orderBy("l_orderkey", "l_linenumber", "measure")),
+    "q100_bloom_point" -> ((s, d) => {
+      // point lookup through the per-file bloom index: the table is laid
+      // out by ship date, so every file's [min, max] straddles an orderkey
+      // probe and min/max stats prune nothing — the bloom gives a definite
+      // no for most files, and the read stays exact (the index only bounds
+      // the scan; the final filter applies the precise predicate)
+      val wh = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/t")
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_shipdate")
+      t.overwrite(li.repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate"))
+      t.addBloomIndex("l_orderkey", expectedItemsPerFile = 200000L, fpp = 0.01)
+      t.readPoint("l_orderkey", 1L)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_linenumber")
+    }),
     "q50_pivot" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_orderstatus")
@@ -1541,6 +1558,10 @@ object SparkEntry {
          SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
            FROM lineitem WHERE l_orderkey < 100
          ORDER BY l_orderkey, l_linenumber, measure""",
+    "q100_bloom_point" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+         FROM lineitem WHERE l_orderkey = 1
+         ORDER BY l_linenumber""",
     "q50_pivot" ->
       """SELECT o_orderstatus,
            CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,

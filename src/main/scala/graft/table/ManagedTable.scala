@@ -483,7 +483,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     if (!bloomIndexes.contains(colName)) (ranged, all)
     else {
       val dir = bloomColDir(colName)
-      (ranged.filter(f => BloomIndex.mightContain(fs, dir, f, value)), all)
+      // probe in parallel: each test opens one small .bf (an object-store
+      // RPC); serially that's O(candidates) round-trip latencies when
+      // min/max left thousands of candidates. Hadoop FileSystem reads are
+      // thread-safe.
+      import scala.collection.parallel.CollectionConverters._
+      (ranged.par.filter(f => BloomIndex.mightContain(fs, dir, f, value)).seq.toSeq,
+        all)
     }
   }
 
@@ -725,9 +731,21 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val missing = files.filterNot(f => fs.exists(new Path(f)))
     if (missing.nonEmpty) throw new IllegalStateException(
       s"version $v is no longer readable (vacuumed?); missing e.g. ${missing.head}")
-    val roots = qualifiedRoot +:
-      (0L to version).map(retainedDir).filter(r => fs.exists(new Path(r)))
-    files.groupBy(f => roots.find(r => f.startsWith(r + "/")).getOrElse(""))
+    // each file's root (for basePath partition resolution) parses straight
+    // from its path under our naming scheme — qualifiedRoot or
+    // qualifiedRoot + "._v<N>" — instead of probing fs.exists for every
+    // version (O(versions) RPCs) and prefix-matching every file against
+    // every root (O(files × versions) compares): O(files), no IO
+    val vPrefix = qualifiedRoot + "._v"
+    def rootOf(f: String): String =
+      if (f.startsWith(vPrefix)) {
+        val slash = f.indexOf('/', vPrefix.length)
+        if (slash > 0 && f.substring(vPrefix.length, slash).forall(_.isDigit))
+          f.substring(0, slash)
+        else ""
+      } else if (f.startsWith(qualifiedRoot + "/")) qualifiedRoot
+      else ""
+    files.groupBy(rootOf)
       .map { case (root, fsOfRoot) =>
         val rd = if (root.nonEmpty) spark.read.option("basePath", root) else spark.read
         rd.parquet(fsOfRoot: _*)
@@ -761,10 +779,22 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * VACUUM with zero retention. The live dir and the log stay intact.
     */
   def vacuumVersions(): Unit =
-    (0L to version).foreach { v =>
-      val p = new Path(retainedDir(v))
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    retainedDirsOnDisk.foreach(r => fs.delete(new Path(r), true))
+
+  /** Retained snapshot dirs actually present — ONE parent listing, not
+    * O(versions) existence probes (at thousands of commits those are
+    * thousands of object-store RPCs).
+    */
+  private def retainedDirsOnDisk: Seq[String] = {
+    val parent = new Path(path).getParent
+    val prefix = new Path(path).getName + "._v"
+    if (parent == null || !fs.exists(parent)) Nil
+    else fs.listStatus(parent).map(_.getPath)
+      .filter(p => p.getName.startsWith(prefix) &&
+        p.getName.stripPrefix(prefix).nonEmpty &&
+        p.getName.stripPrefix(prefix).forall(_.isDigit))
+      .map(p => fs.makeQualified(p).toString).toSeq
+  }
 
   /** Retention-windowed VACUUM — Delta's `vacuum(retentionHours)`
     * discipline: drop only retained dirs that serve NO version committed at
@@ -795,8 +825,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   private def droppableRetainedDirs(olderThan: java.time.Instant): Seq[String] = {
     if (!fs.exists(logDir)) return Nil
-    val existing = (0L to version).map(v => retainedDir(v))
-      .filter(r => fs.exists(new Path(r)))
+    val existing = retainedDirsOnDisk
     if (existing.isEmpty) return Nil
     val inWindow = historyRows
       .filter(c => !java.time.Instant.parse(c.timestamp).isBefore(olderThan))
