@@ -11,10 +11,12 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/documents.parquet").count()
     catch { case _: Throwable => () }
-    // Per-query median of N runs (default 3): a single-run bench on a
-    // shared host is noise-dominated — r4 showed a 2.8× driver-vs-local gap
-    // on identical code — and the median is robust to one slow outlier.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // Per-query median of N runs (default 3; upper median for even N): a
+    // single-run bench on a shared host is noise-dominated — r4 showed a
+    // 2.8× driver-vs-local gap on identical code — and the median is
+    // robust to one slow outlier. Malformed/zero env values fall back to 3.
+    val iters = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_ITERS").flatMap(_.toIntOption).getOrElse(3))
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()

@@ -274,7 +274,12 @@ object SparkEntry {
 
     // ---- LLM-pipeline: dedup / similarity / text / multimodal ----
     "q23_embed_neardup" -> ((s, d) =>
-      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+      // the DELIBERATELY quadratic small-sf oracle anchor (production path
+      // = nearDupPairsIndexed, proven ≡ at full probe in SimilaritySpec);
+      // allowQuadratic keeps this anchor runnable at any driver SF instead
+      // of tripping the row-threshold guard that protects real users
+      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4,
+          allowQuadratic = true)
         .orderBy("id1", "id2")),
     "q24_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text").orderBy("fp")),

@@ -40,20 +40,13 @@ private[table] object BloomIndex {
   private[table] def bfPath(colDir: Path, dataFile: String): Path =
     new Path(colDir, sha1(normalize(dataFile)) + ".bf")
 
-  /** Driver-side probe key — must agree EXACTLY with the executor-side
-    * string cast, or a mismatched key would read as a definite bloom miss
-    * and wrongly prune a file holding the value. That is why bloom
-    * indexes are restricted (enforced at [[ManagedTable.addBloomIndex]])
-    * to string / integral / date columns, whose JVM toString and Spark
-    * cast forms provably coincide; timestamp, float and decimal casts
-    * have formatting variants (fraction trimming, scale, E-notation) that
-    * don't.
-    */
-  private[table] def keyOf(value: Any): String = value match {
-    case null => ""
-    case d: java.sql.Date => d.toLocalDate.toString
-    case x => x.toString
-  }
+  // Probe keys are canonicalized by ManagedTable.bloomProbeKey to the
+  // string Spark's cast produces for the column's type — a mismatched key
+  // would read as a definite bloom miss and wrongly prune a file holding
+  // the value. That is also why bloom indexes are restricted (enforced at
+  // ManagedTable.addBloomIndex) to string / integral / date columns:
+  // timestamp, float and decimal casts have formatting variants (fraction
+  // trimming, scale, E-notation) that don't round-trip.
 
   private final class BloomAgg(items: Long, fpp: Double)
       extends Aggregator[(String, String), BloomFilter, Array[Byte]] {
@@ -88,14 +81,7 @@ private[table] object BloomIndex {
       .agg(new BloomAgg(items, fpp).toColumn.name("bf"))
       .collect()
     fs.mkdirs(colDir)
-    perFile.foreach { case (f, bytes) =>
-      val dst = bfPath(colDir, f)
-      val tmp = new Path(colDir, dst.getName + ".tmp")
-      val out = fs.create(tmp, true)
-      try out.write(bytes) finally out.close()
-      if (fs.exists(dst)) fs.delete(dst, false)
-      fs.rename(tmp, dst)
-    }
+    perFile.foreach { case (f, bytes) => writeBf(fs, colDir, f, bytes) }
     // a file rewritten with zero non-null keys produces no group above;
     // it must still get a (definitively empty) filter, or probes would
     // keep it forever as "unindexed"
@@ -104,10 +90,22 @@ private[table] object BloomIndex {
       val empty = BloomFilter.create(1, fpp)
       val out = new java.io.ByteArrayOutputStream()
       empty.writeTo(out)
-      val dst = bfPath(colDir, f)
-      val o = fs.create(dst, true)
-      try o.write(out.toByteArray) finally o.close()
+      writeBf(fs, colDir, f, out.toByteArray)
     }
+  }
+
+  /** Atomic (tmp + rename) filter write: a crash mid-write must not leave
+    * a torn `.bf` that [[unindexed]] would count as indexed forever.
+    */
+  private def writeBf(fs: FileSystem, colDir: Path, dataFile: String,
+                      bytes: Array[Byte]): Unit = {
+    val dst = bfPath(colDir, dataFile)
+    val tmp = new Path(colDir, dst.getName + ".tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(tmp, dst)
   }
 
   /** Files among `dataFiles` lacking an index entry under `colDir`. */
@@ -126,17 +124,18 @@ private[table] object BloomIndex {
     if (!fs.exists(colDir)) return
     val live = liveFiles.map(f => sha1(normalize(f)) + ".bf").toSet
     fs.listStatus(colDir).map(_.getPath)
-      .filter(p => p.getName.endsWith(".bf") && !live(p.getName))
+      .filter(p => (p.getName.endsWith(".bf") && !live(p.getName)) ||
+        p.getName.contains(".tmp-")) // crash debris from torn writes
       .foreach(p => fs.delete(p, false))
   }
 
   /** Bloom verdict for one file: false ONLY on a definite miss. A missing
-    * or unreadable filter, or a null probe value, keeps the file.
+    * or unreadable filter, or an empty probe key, keeps the file. `key`
+    * must already be canonical (ManagedTable.bloomProbeKey).
     */
   def mightContain(fs: FileSystem, colDir: Path, dataFile: String,
-                   value: Any): Boolean = {
-    val key = keyOf(value)
-    if (key.isEmpty) return true
+                   key: String): Boolean = {
+    if (key == null || key.isEmpty) return true
     val p = bfPath(colDir, dataFile)
     if (!fs.exists(p)) return true
     try {

@@ -70,16 +70,21 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * no observed table state is ever missing from the log.
     */
   private def ensureBootstrapped(): Unit =
-    if (exists && version < 0) commit("BOOTSTRAP", Nil)
-    else if (exists) {
-      val sidecar = new Path(logDir, "_latest_files.txt")
-      if (fs.exists(sidecar)) {
-        val in = fs.open(sidecar)
-        val recorded = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().toSet finally in.close()
-        val live = listParquet(new Path(path))
-          .map(f => fs.makeQualified(new Path(f._1)).toString).toSet
-        if (live != recorded) commit("RECOVER", Nil)
+    if (exists) withCommitLock {
+      // lock held (reentrant inside the mutation funnels): a BOOTSTRAP or
+      // RECOVER commit from here must not interleave with another writer's
+      // commit. The state is (re-)checked under the lease.
+      if (version < 0) commit("BOOTSTRAP", Nil)
+      else {
+        val sidecar = new Path(logDir, "_latest_files.txt")
+        if (fs.exists(sidecar)) {
+          val in = fs.open(sidecar)
+          val recorded = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toSet finally in.close()
+          val live = listParquet(new Path(path))
+            .map(f => fs.makeQualified(new Path(f._1)).toString).toSet
+          if (live != recorded) commit("RECOVER", Nil)
+        }
       }
     }
 
@@ -288,7 +293,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   private def writeAtomic(dst: Path, text: String): Unit = {
     fs.mkdirs(dst.getParent)
-    val tmp = new Path(dst.getParent, dst.getName + ".tmp")
+    // unique tmp name: two concurrent writers (e.g. a reader's history
+    // self-heal racing a commit) must never rename away each other's tmp —
+    // last rename wins on dst, nobody crashes
+    val tmp = new Path(dst.getParent, dst.getName + ".tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
     val out = fs.create(tmp, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
     if (fs.exists(dst)) fs.delete(dst, false)
@@ -433,20 +442,38 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def addBloomIndex(colName: String, expectedItemsPerFile: Long = 100000L,
                     fpp: Double = 0.01): Unit = {
     require(exists, "declare bloom indexes on an existing table")
+    ensureBootstrapped()
     import org.apache.spark.sql.types._
     val field = read.schema.fields.find(_.name == colName)
       .getOrElse(throw new IllegalArgumentException(s"no such column: $colName"))
+    // partition columns don't exist inside the leaf files the build reads
+    // (their values live in the dir names) — and they're pruned by the
+    // partition layout already, a bloom adds nothing
+    if (loggedPartitionCols(version).exists(_.equalsIgnoreCase(colName)))
+      throw new IllegalArgumentException(
+        s"cannot bloom-index partition column $colName (partition pruning " +
+          "already serves point lookups on it)")
     field.dataType match {
       case StringType | LongType | IntegerType | ShortType | ByteType | DateType =>
       case dt => throw new IllegalArgumentException(
         s"bloom index on ${dt.simpleString} is unsupported (string cast is " +
           "not round-trippable); index string/integral/date columns")
     }
-    ensureBootstrapped()
+    val before = bloomIndexes
     writeAtomic(bloomDeclFile,
-      (bloomIndexes + (colName -> (expectedItemsPerFile, fpp))).toSeq.sortBy(_._1)
+      (before + (colName -> (expectedItemsPerFile, fpp))).toSeq.sortBy(_._1)
         .map { case (n, (i, f)) => s"${enc(n)}\t$i\t$f" }.mkString("\n"))
-    refreshBloomIndexes()
+    // build NOW and loudly; a failed build must not leave a poisoned
+    // declaration behind that every later commit trips over
+    try refreshBloomIndexes(failFast = true)
+    catch {
+      case e: Throwable =>
+        if (before.isEmpty) fs.delete(bloomDeclFile, false)
+        else writeAtomic(bloomDeclFile, before.toSeq.sortBy(_._1)
+          .map { case (n, (i, f)) => s"${enc(n)}\t$i\t$f" }.mkString("\n"))
+        fs.delete(bloomColDir(colName), true)
+        throw e
+    }
   }
 
   def dropBloomIndex(colName: String): Unit = {
@@ -461,16 +488,27 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * when indexes are declared — the pass reads ONLY the unindexed files,
     * so the cost tracks the write, not the table.
     */
-  def refreshBloomIndexes(): Unit = {
+  def refreshBloomIndexes(failFast: Boolean = false): Unit = {
     val decls = bloomIndexes
     if (decls.isEmpty) return
     val live = listParquet(new Path(path))
       .map { case (p, _) => fs.makeQualified(new Path(p)).toString }
     decls.foreach { case (c, (items, fpp)) =>
       val dir = bloomColDir(c)
-      BloomIndex.build(spark, fs, BloomIndex.unindexed(fs, dir, live),
-        c, items, fpp, dir)
-      BloomIndex.dropStale(fs, dir, live)
+      // from the commit path a failed build must NOT fail the mutation —
+      // the data is already committed, and unindexed files are merely kept
+      // conservatively by every probe (addBloomIndex passes failFast to
+      // surface build errors at declaration time instead)
+      try {
+        BloomIndex.build(spark, fs, BloomIndex.unindexed(fs, dir, live),
+          c, items, fpp, dir)
+        BloomIndex.dropStale(fs, dir, live)
+      } catch {
+        case e: Throwable if !failFast =>
+          Console.err.println(
+            s"[graft] bloom index refresh for '$c' failed (files stay " +
+              s"unindexed, probes keep them conservatively): ${e.getMessage}")
+      }
     }
   }
 
@@ -478,18 +516,50 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * first, then the per-file bloom gives a definitive no for most of the
     * survivors. Returns (kept, all) like [[filesOverlapping]].
     */
+  /** The canonical bloom probe key for `value` against `colName`: the
+    * string Spark's cast produces for the COLUMN's type, which is what the
+    * build indexed. A raw `value.toString` would read "0042" against a
+    * long column as a definite bloom miss and wrongly prune a file the
+    * exact filter (which casts) would match. None = not canonicalizable →
+    * the bloom is skipped entirely (conservative, min/max still applies).
+    */
+  private def bloomProbeKey(colName: String, value: Any): Option[String] = {
+    import org.apache.spark.sql.types._
+    tableSchemaOpt.flatMap(_.fields.find(_.name == colName)).map(_.dataType)
+      .flatMap {
+        case LongType | IntegerType | ShortType | ByteType => value match {
+          case n: java.lang.Number => Some(n.longValue.toString)
+          case s => scala.util.Try(s.toString.trim.toLong.toString).toOption
+        }
+        case DateType => value match {
+          case d: java.time.LocalDate => Some(d.toString)
+          case d: java.sql.Date => Some(d.toLocalDate.toString)
+          case s => scala.util.Try(
+            java.time.LocalDate.parse(s.toString).toString).toOption
+        }
+        case StringType => value match {
+          case s: String => Some(s)
+          case _ => None // a non-string probe casts the COLUMN side: no key
+        }
+        case _ => None
+      }
+  }
+
   def filesForPoint(colName: String, value: Any): (Seq[String], Seq[String]) = {
     val (ranged, all) = filesOverlapping(colName, value, value)
-    if (!bloomIndexes.contains(colName)) (ranged, all)
-    else {
-      val dir = bloomColDir(colName)
-      // probe in parallel: each test opens one small .bf (an object-store
-      // RPC); serially that's O(candidates) round-trip latencies when
-      // min/max left thousands of candidates. Hadoop FileSystem reads are
-      // thread-safe.
-      import scala.collection.parallel.CollectionConverters._
-      (ranged.par.filter(f => BloomIndex.mightContain(fs, dir, f, value)).seq.toSeq,
-        all)
+    val key = if (bloomIndexes.contains(colName)) bloomProbeKey(colName, value)
+              else None
+    key match {
+      case None => (ranged, all)
+      case Some(k) =>
+        val dir = bloomColDir(colName)
+        // probe in parallel: each test opens one small .bf (an object-store
+        // RPC); serially that's O(candidates) round-trip latencies when
+        // min/max left thousands of candidates. Hadoop FileSystem reads are
+        // thread-safe.
+        import scala.collection.parallel.CollectionConverters._
+        (ranged.par.filter(f => BloomIndex.mightContain(fs, dir, f, k)).seq.toSeq,
+          all)
     }
   }
 
@@ -558,7 +628,18 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * lease leaves it behind; the error names [[breakCommitLock]] for the
     * operator (the lease records holder pid + timestamp for the autopsy).
     */
+  /** Reentrancy depth for THIS instance on THIS thread: funnels nest
+    * (replaceWith → ensureBootstrapped → commit), and the inner frames
+    * must not re-acquire — or deadlock on — the lease the outer frame
+    * already holds. A second INSTANCE on the same path still conflicts
+    * through the lease file, which is the point.
+    */
+  private val lockDepth = new ThreadLocal[Integer] {
+    override def initialValue: Integer = 0
+  }
+
   private def withCommitLock[T](f: => T): T = {
+    if (lockDepth.get > 0) return f
     fs.mkdirs(logDir)
     val out =
       try fs.create(lockFile, false)
@@ -573,11 +654,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
             "tables are single-writer — retry after it finishes, or " +
             "breakCommitLock() if the holder is dead")
       }
-    try out.write(
-      s"${java.time.Instant.now()}\tpid=${ProcessHandle.current().pid()}"
-        .getBytes("UTF-8"))
-    finally out.close()
-    try f finally fs.delete(lockFile, false)
+    // once the lease file exists WE must delete it on every exit path —
+    // including a failed holder-info write (an orphaned lease would block
+    // all writers until a manual breakCommitLock)
+    try {
+      try out.write(
+        s"${java.time.Instant.now()}\tpid=${ProcessHandle.current().pid()}"
+          .getBytes("UTF-8"))
+      finally out.close()
+      lockDepth.set(1)
+      f
+    } finally {
+      lockDepth.set(0)
+      fs.delete(lockFile, false)
+    }
   }
 
   /** Remove a lease left by a dead writer (verify the pid first). */
@@ -921,7 +1011,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         sidecarLine(p.replace(srcQ + "/", dstQ + "/"), len, m) }
     if (lines.nonEmpty)
       t.writeAtomic(t.sidecarBase, lines.toSeq.sorted.mkString("\n"))
-    for (f <- Seq("_constraints.txt", "_generated.txt")) {
+    // bloom DECLARATIONS carry over like constraints; the filters
+    // themselves are keyed by file path, so the clone's CLONE commit
+    // rebuilds them for the copied files via refreshBloomIndexes
+    for (f <- Seq("_constraints.txt", "_generated.txt", "_bloom_cols.txt")) {
       val src = new Path(logDir, f)
       if (fs.exists(src)) {
         val in = fs.open(src)

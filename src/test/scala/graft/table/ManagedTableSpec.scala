@@ -866,6 +866,45 @@ class ManagedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](d.addBloomIndex("x"))
   }
 
+  test("bloom probe keys canonicalize through the column type") {
+    // a raw toString probe ("0042", " 42 ", int vs long) must not read as
+    // a definite bloom miss and silently prune files the exact filter
+    // (which casts) would match
+    val t = freshTable("mt-bloom-key")
+    t.overwrite(spark.range(0, 400).selectExpr("id as k",
+      "pmod(id * 2654435761L, 400L) as u")
+      .repartitionByRange(4, col("k")))
+    t.addBloomIndex("u", expectedItemsPerFile = 200L)
+    assert(t.readPoint("u", 42L).count() == 1)
+    assert(t.readPoint("u", 42).count() == 1)        // Int probe, Long col
+    assert(t.readPoint("u", "42").count() == 1)      // String probe
+    assert(t.readPoint("u", " 42 ").count() == 1)    // whitespace survives
+  }
+
+  test("bloom index declaration is rejected on partition columns, not poisoned") {
+    val t = freshTable("mt-bloom-part")
+    t.overwrite(Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "v", "p"), Seq("p"))
+    // partition values live in dir names, not leaf files: building would
+    // crash, and a persisted declaration would break every later commit
+    intercept[IllegalArgumentException](t.addBloomIndex("p"))
+    assert(t.bloomIndexes.isEmpty, "failed declaration must roll back")
+    t.append(Seq((3L, "c", "p1")).toDF("k", "v", "p"), Seq("p")) // commits fine
+    assert(t.read.count() == 3)
+  }
+
+  test("deep clone carries bloom declarations and rebuilds the filters") {
+    val t = freshTable("mt-bloom-clone")
+    t.overwrite(spark.range(0, 200).selectExpr("id as k",
+      "pmod(id * 2654435761L, 200L) as u").repartitionByRange(4, col("k")))
+    t.addBloomIndex("u", expectedItemsPerFile = 100L)
+    val c = t.cloneTo(tmpDir("mt-bloom-clone-dst") + "/t")
+    assert(c.bloomIndexes.contains("u"), "clone must keep the declaration")
+    val (kept, all) = c.filesForPoint("u", 7L)
+    assert(all.size == 4 && kept.size < all.size,
+      s"clone's rebuilt blooms should prune: ${kept.size}/${all.size}")
+    assert(c.readPoint("u", 7L).count() == 1)
+  }
+
   test("vacuum dry run lists exactly what the real vacuum then deletes") {
     val t = freshTable("mt-vac-dry")
     t.overwrite(Seq((1L, "a")).toDF("k", "v"))  // v0
