@@ -69,23 +69,32 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * or an out-of-band writer) gets recorded as a RECOVER version first, so
     * no observed table state is ever missing from the log.
     */
-  private def ensureBootstrapped(): Unit =
-    if (exists) withCommitLock {
-      // lock held (reentrant inside the mutation funnels): a BOOTSTRAP or
-      // RECOVER commit from here must not interleave with another writer's
-      // commit. The state is (re-)checked under the lease.
-      if (version < 0) commit("BOOTSTRAP", Nil)
+  /** True when the table state calls for a BOOTSTRAP or RECOVER commit. */
+  private def needsBootstrapCommit: Boolean =
+    if (version < 0) true
+    else {
+      val sidecar = new Path(logDir, "_latest_files.txt")
+      if (!fs.exists(sidecar)) false
       else {
-        val sidecar = new Path(logDir, "_latest_files.txt")
-        if (fs.exists(sidecar)) {
-          val in = fs.open(sidecar)
-          val recorded = try scala.io.Source.fromInputStream(in, "UTF-8")
-            .getLines().toSet finally in.close()
-          val live = listParquet(new Path(path))
-            .map(f => fs.makeQualified(new Path(f._1)).toString).toSet
-          if (live != recorded) commit("RECOVER", Nil)
-        }
+        val in = fs.open(sidecar)
+        val recorded = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toSet finally in.close()
+        val live = listParquet(new Path(path))
+          .map(f => fs.makeQualified(new Path(f._1)).toString).toSet
+        live != recorded
       }
+    }
+
+  private def ensureBootstrapped(): Unit =
+    // cheap check first: the overwhelmingly common case (logged table,
+    // consistent sidecar) must not pay a lease acquire/release round trip.
+    // Only when a commit is actually needed take the lease and RE-CHECK
+    // under it — a BOOTSTRAP/RECOVER commit from here must not interleave
+    // with another writer's commit. (Inside the mutation funnels the lease
+    // is already held and the acquire is a reentrant no-op.)
+    if (exists && needsBootstrapCommit) withCommitLock {
+      if (version < 0) commit("BOOTSTRAP", Nil)
+      else if (needsBootstrapCommit) commit("RECOVER", Nil)
     }
 
   private def jstr(s: String): String =
@@ -301,7 +310,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val out = fs.create(tmp, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
     if (fs.exists(dst)) fs.delete(dst, false)
-    fs.rename(tmp, dst)
+    // a false rename = we lost a benign race (dst recreated by the other
+    // writer, or our tmp reaped by a concurrent vacuum): last writer wins,
+    // the losing content is rebuildable (history self-heals, sidecar
+    // entries are a cache) — clean up rather than crash
+    if (!fs.rename(tmp, dst) && fs.exists(tmp)) fs.delete(tmp, false)
   }
 
   private def sidecarSegments: Seq[Path] =
@@ -369,6 +382,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def filesOverlapping(colName: String, lo: Any, hi: Any): (Seq[String], Seq[String]) = {
     val files = listParquet(new Path(path))
       .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) }
+    // a null bound can't prune (and must not NPE): keep everything, the
+    // exact predicate downstream decides (SQL comparisons to null match
+    // nothing anyway)
+    if (lo == null || hi == null) return (files.map(_._1), files.map(_._1))
     val metas = fileMeta(files)
     def leq(kind: String, a: String, b: String): Boolean =
       if (kind == "s") utf8Leq(a, b) else numLeq(a, b)
@@ -415,19 +432,36 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def bloomColDir(colName: String) =
     new Path(new Path(logDir, "_bloom.d"), enc(colName))
 
-  /** Declared bloom-indexed columns: name → (expectedItemsPerFile, fpp). */
-  def bloomIndexes: Map[String, (Long, Double)] =
+  /** Declarations with the column's recorded Spark type (simpleString).
+    * The type is fixed at declaration time; recording it makes probe-key
+    * canonicalization zero-IO instead of a schema (listing + footer) read
+    * per point lookup. Legacy 3-field lines parse with an empty type and
+    * fall back to a schema read at probe time.
+    */
+  private def bloomDecls: Map[String, (Long, Double, String)] =
     if (!fs.exists(bloomDeclFile)) Map.empty
     else {
       val in = fs.open(bloomDeclFile)
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .flatMap(_.split('\t') match {
           case Array(n, items, fpp) =>
-            scala.util.Try(dec(n) -> (items.toLong, fpp.toDouble)).toOption
+            scala.util.Try(dec(n) -> (items.toLong, fpp.toDouble, "")).toOption
+          case Array(n, items, fpp, tpe) =>
+            scala.util.Try(dec(n) -> (items.toLong, fpp.toDouble, dec(tpe))).toOption
           case _ => None
         }).toMap
       finally in.close()
     }
+
+  private def writeBloomDecls(ds: Map[String, (Long, Double, String)]): Unit =
+    if (ds.isEmpty) { if (fs.exists(bloomDeclFile)) fs.delete(bloomDeclFile, false) }
+    else writeAtomic(bloomDeclFile, ds.toSeq.sortBy(_._1)
+      .map { case (n, (i, f, t)) => s"${enc(n)}\t$i\t$f\t${enc(t)}" }
+      .mkString("\n"))
+
+  /** Declared bloom-indexed columns: name → (expectedItemsPerFile, fpp). */
+  def bloomIndexes: Map[String, (Long, Double)] =
+    bloomDecls.view.mapValues(v => (v._1, v._2)).toMap
 
   /** Declare a per-file bloom index on `colName` — point-lookup skipping
     * for high-cardinality keys that min/max stats can't prune on
@@ -440,7 +474,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * [[BloomIndex.keyOf]]).
     */
   def addBloomIndex(colName: String, expectedItemsPerFile: Long = 100000L,
-                    fpp: Double = 0.01): Unit = {
+                    fpp: Double = 0.01): Unit = withCommitLock {
+    // under the lease: the declaration write, the build and any rollback
+    // must not race another writer's commit-time refresh (or a concurrent
+    // declaration, which would silently lose one of the two)
     require(exists, "declare bloom indexes on an existing table")
     ensureBootstrapped()
     import org.apache.spark.sql.types._
@@ -448,38 +485,47 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       .getOrElse(throw new IllegalArgumentException(s"no such column: $colName"))
     // partition columns don't exist inside the leaf files the build reads
     // (their values live in the dir names) — and they're pruned by the
-    // partition layout already, a bloom adds nothing
-    if (loggedPartitionCols(version).exists(_.equalsIgnoreCase(colName)))
-      throw new IllegalArgumentException(
-        s"cannot bloom-index partition column $colName (partition pruning " +
-          "already serves point lookups on it)")
+    // partition layout already, a bloom adds nothing. The latest commit's
+    // partitionColumns can be Nil after BOOTSTRAP/RECOVER, so ALSO detect
+    // the layout structurally from the Hive-style `col=` dir names.
+    val partitioned =
+      loggedPartitionCols(version).exists(_.equalsIgnoreCase(colName)) ||
+        listParquet(new Path(path)).exists(
+          _._1.toLowerCase.contains(s"/${colName.toLowerCase}="))
+    if (partitioned) throw new IllegalArgumentException(
+      s"cannot bloom-index partition column $colName (partition pruning " +
+        "already serves point lookups on it)")
     field.dataType match {
       case StringType | LongType | IntegerType | ShortType | ByteType | DateType =>
       case dt => throw new IllegalArgumentException(
         s"bloom index on ${dt.simpleString} is unsupported (string cast is " +
           "not round-trippable); index string/integral/date columns")
     }
-    val before = bloomIndexes
-    writeAtomic(bloomDeclFile,
-      (before + (colName -> (expectedItemsPerFile, fpp))).toSeq.sortBy(_._1)
-        .map { case (n, (i, f)) => s"${enc(n)}\t$i\t$f" }.mkString("\n"))
-    // build NOW and loudly; a failed build must not leave a poisoned
-    // declaration behind that every later commit trips over
-    try refreshBloomIndexes(failFast = true)
-    catch {
+    val before = bloomDecls
+    writeBloomDecls(before + (colName ->
+      (expectedItemsPerFile, fpp, field.dataType.simpleString)))
+    // build THIS column now and loudly; a failed build must not leave a
+    // poisoned declaration behind that every later commit trips over
+    try {
+      val live = listParquet(new Path(path))
+        .map { case (p, _) => fs.makeQualified(new Path(p)).toString }
+      val dir = bloomColDir(colName)
+      BloomIndex.build(spark, fs, BloomIndex.unindexed(fs, dir, live),
+        colName, expectedItemsPerFile, fpp, dir)
+      BloomIndex.dropStale(fs, dir, live)
+    } catch {
       case e: Throwable =>
-        if (before.isEmpty) fs.delete(bloomDeclFile, false)
-        else writeAtomic(bloomDeclFile, before.toSeq.sortBy(_._1)
-          .map { case (n, (i, f)) => s"${enc(n)}\t$i\t$f" }.mkString("\n"))
-        fs.delete(bloomColDir(colName), true)
+        writeBloomDecls(before)
+        // existing healthy filters from a prior declaration of the same
+        // column survive a failed RE-declaration; only a first-time add
+        // cleans up after itself
+        if (!before.contains(colName)) fs.delete(bloomColDir(colName), true)
         throw e
     }
   }
 
-  def dropBloomIndex(colName: String): Unit = {
-    writeAtomic(bloomDeclFile,
-      (bloomIndexes - colName).toSeq.sortBy(_._1)
-        .map { case (n, (i, f)) => s"${enc(n)}\t$i\t$f" }.mkString("\n"))
+  def dropBloomIndex(colName: String): Unit = withCommitLock {
+    writeBloomDecls(bloomDecls - colName)
     fs.delete(bloomColDir(colName), true)
   }
 
@@ -488,23 +534,23 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * when indexes are declared — the pass reads ONLY the unindexed files,
     * so the cost tracks the write, not the table.
     */
-  def refreshBloomIndexes(failFast: Boolean = false): Unit = {
-    val decls = bloomIndexes
+  def refreshBloomIndexes(): Unit = {
+    val decls = bloomDecls
     if (decls.isEmpty) return
     val live = listParquet(new Path(path))
       .map { case (p, _) => fs.makeQualified(new Path(p)).toString }
-    decls.foreach { case (c, (items, fpp)) =>
+    decls.foreach { case (c, (items, fpp, _)) =>
       val dir = bloomColDir(c)
       // from the commit path a failed build must NOT fail the mutation —
       // the data is already committed, and unindexed files are merely kept
-      // conservatively by every probe (addBloomIndex passes failFast to
-      // surface build errors at declaration time instead)
+      // conservatively by every probe (addBloomIndex surfaces build errors
+      // at declaration time instead). NonFatal only: OOM/interrupts fly.
       try {
         BloomIndex.build(spark, fs, BloomIndex.unindexed(fs, dir, live),
           c, items, fpp, dir)
         BloomIndex.dropStale(fs, dir, live)
       } catch {
-        case e: Throwable if !failFast =>
+        case scala.util.control.NonFatal(e) =>
           Console.err.println(
             s"[graft] bloom index refresh for '$c' failed (files stay " +
               s"unindexed, probes keep them conservatively): ${e.getMessage}")
@@ -523,32 +569,45 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * exact filter (which casts) would match. None = not canonicalizable →
     * the bloom is skipped entirely (conservative, min/max still applies).
     */
-  private def bloomProbeKey(colName: String, value: Any): Option[String] = {
-    import org.apache.spark.sql.types._
-    tableSchemaOpt.flatMap(_.fields.find(_.name == colName)).map(_.dataType)
-      .flatMap {
-        case LongType | IntegerType | ShortType | ByteType => value match {
-          case n: java.lang.Number => Some(n.longValue.toString)
-          case s => scala.util.Try(s.toString.trim.toLong.toString).toOption
-        }
-        case DateType => value match {
-          case d: java.time.LocalDate => Some(d.toString)
-          case d: java.sql.Date => Some(d.toLocalDate.toString)
-          case s => scala.util.Try(
-            java.time.LocalDate.parse(s.toString).toString).toOption
-        }
-        case StringType => value match {
-          case s: String => Some(s)
-          case _ => None // a non-string probe casts the COLUMN side: no key
-        }
+  private def bloomProbeKey(tpe: String, value: Any): Option[String] =
+    tpe match {
+      case "bigint" | "int" | "smallint" | "tinyint" => value match {
+        // integral probes ONLY: a fractional Number's longValue would
+        // build a key for the WRONG long (Spark's predicate compares in
+        // double, where distinct longs can tie) — a definite bloom miss
+        // on a file the exact filter matches. Non-integral → no key,
+        // bloom skipped, min/max still applies.
+        case n @ (_: java.lang.Long | _: java.lang.Integer |
+                  _: java.lang.Short | _: java.lang.Byte) =>
+          Some(n.asInstanceOf[java.lang.Number].longValue.toString)
+        case n: java.math.BigInteger => Some(n.toString)
+        case s: String => scala.util.Try(s.trim.toLong.toString).toOption
         case _ => None
       }
-  }
+      case "date" => value match {
+        case d: java.time.LocalDate => Some(d.toString)
+        case d: java.sql.Date => Some(d.toLocalDate.toString)
+        case s => scala.util.Try(
+          java.time.LocalDate.parse(s.toString).toString).toOption
+      }
+      case "string" => value match {
+        case s: String => Some(s)
+        case _ => None // a non-string probe casts the COLUMN side: no key
+      }
+      case _ => None
+    }
 
   def filesForPoint(colName: String, value: Any): (Seq[String], Seq[String]) = {
     val (ranged, all) = filesOverlapping(colName, value, value)
-    val key = if (bloomIndexes.contains(colName)) bloomProbeKey(colName, value)
-              else None
+    // the recorded type makes key derivation zero-IO; legacy blank-typed
+    // declarations fall back to one schema read
+    val key = bloomDecls.get(colName).flatMap { case (_, _, declType) =>
+      val tpe =
+        if (declType.nonEmpty) declType
+        else tableSchemaOpt.flatMap(_.fields.find(_.name == colName))
+          .map(_.dataType.simpleString).getOrElse("")
+      bloomProbeKey(tpe, value)
+    }
     key match {
       case None => (ranged, all)
       case Some(k) =>
@@ -1471,7 +1530,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     replaceWith(updated, partitionCols, "UPDATE")
   }
 
-  /** Remove leftover tmp/old directories from interrupted swaps. */
+  /** Remove leftover tmp/old directories from interrupted swaps, plus
+    * `.tmp-` file debris crashed writers left in the log dir (writeAtomic
+    * names tmps uniquely, so a crash orphans one per interrupted write).
+    */
   def vacuum(): Unit = {
     val parent = new Path(path).getParent
     val prefix = new Path(path).getName
@@ -1480,6 +1542,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       if (n.startsWith(prefix + ".tmp-") || n.startsWith(prefix + ".old-"))
         fs.delete(st.getPath, true)
     }
+    def reapTmp(p: Path): Unit = if (fs.exists(p))
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) reapTmp(st.getPath)
+        else if (st.getPath.getName.contains(".tmp-"))
+          fs.delete(st.getPath, false)
+      }
+    reapTmp(logDir)
   }
 
   /** Compaction (M5, `optimize().executeCompaction()`): rewrite to n files. */

@@ -881,6 +881,31 @@ class ManagedTableSpec extends SparkSpec {
     assert(t.readPoint("u", " 42 ").count() == 1)    // whitespace survives
   }
 
+  test("fractional probes skip the bloom instead of false-missing") {
+    // a Double probe's longValue can name the WRONG long (the predicate
+    // compares in double where distinct longs tie), so no bloom key is
+    // derived — conservative skip, and the exact filter still matches
+    val t = freshTable("mt-bloom-frac")
+    t.overwrite(spark.range(0, 400).selectExpr("id as k",
+      "pmod(id * 2654435761L, 400L) as u").repartitionByRange(4, col("k")))
+    t.addBloomIndex("u", expectedItemsPerFile = 200L)
+    assert(t.readPoint("u", 42.0).count() == 1)
+  }
+
+  test("bloom guard detects partition layout structurally after BOOTSTRAP") {
+    // a pre-log partitioned dir bootstraps with partitionColumns = Nil, so
+    // the logged-metadata check alone would pass and the build would crash
+    // on the missing leaf column — the Hive-style `col=` dir names betray
+    // the layout regardless of log state
+    val dir = tmpDir("mt-bloom-boot") + "/t"
+    Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "v", "p")
+      .write.partitionBy("p").parquet(dir)
+    val t = new ManagedTable(spark, dir)
+    val e = intercept[IllegalArgumentException](t.addBloomIndex("p"))
+    assert(e.getMessage.contains("partition"))
+    assert(t.bloomIndexes.isEmpty)
+  }
+
   test("bloom index declaration is rejected on partition columns, not poisoned") {
     val t = freshTable("mt-bloom-part")
     t.overwrite(Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "v", "p"), Seq("p"))
