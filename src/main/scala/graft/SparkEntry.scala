@@ -731,6 +731,24 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
         .orderBy("l_linenumber")
     }),
+    "q101_sql_merge" -> ((s, d) => {
+      // the SQL command surface (graft.sql): MERGE INTO through the
+      // injected-parser grammar against a real managed table — same
+      // upsert semantics as q16, driven entirely by SQL text
+      val wh = java.nio.file.Files.createTempDirectory("graft-sqlm").toString
+      val p = s"$wh/t"
+      val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+      new graft.table.ManagedTable(s, p)
+        .overwrite(ev.filter(col("event_id") % 10 < 8))
+      ev.filter(col("event_id") % 10 >= 5)
+        .withColumn("value", col("value") * lit(2.0))
+        .createOrReplaceTempView("q101_src")
+      graft.sql.GraftSql.sql(s,
+        s"""MERGE INTO graft.`$p` AS t USING q101_src AS s ON t.event_id = s.event_id
+            WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+      new graft.table.ManagedTable(s, p).read
+        .select("event_id", "user_id", "value").orderBy("event_id")
+    }),
     "q50_pivot" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_orderstatus")
@@ -1567,6 +1585,12 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
          FROM lineitem WHERE l_orderkey = 1
          ORDER BY l_linenumber""",
+    // q101: SQL MERGE ≡ q16's upsert (source wins on matched keys)
+    "q101_sql_merge" ->
+      """SELECT event_id, user_id, value * 2 AS value FROM events WHERE event_id % 10 >= 5
+         UNION ALL
+         SELECT event_id, user_id, value FROM events WHERE event_id % 10 < 5
+         ORDER BY event_id""",
     "q50_pivot" ->
       """SELECT o_orderstatus,
            CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,

@@ -1,0 +1,324 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+
+import graft.table.ManagedTable
+
+/** SQL command surface for [[graft.table.ManagedTable]] — the managed-table
+  * maintenance/DML statements Delta exposes through its injected parser
+  * (deltalake.ipynb's `MERGE INTO` semantics at 2939–2945, `DESCRIBE
+  * DETAIL` at 8593–8613, `history()` at 8760), re-expressed as Spark
+  * `LeafRunnableCommand`s so they plan and run through the engine's normal
+  * eager-command path (`ExecutedCommandExec`) with zero custom physical
+  * operators.
+  *
+  * Grammar (case-insensitive; `<tbl>` is ``graft.`/path` ``, `'/path'` or
+  * `"/path"`):
+  *
+  * {{{
+  * DESCRIBE HISTORY <tbl> [LIMIT n]
+  * DESCRIBE DETAIL <tbl>
+  * OPTIMIZE <tbl> [ZORDER BY (c1, c2, ...)]
+  * VACUUM <tbl> [RETAIN n HOURS] [DRY RUN]
+  * RESTORE [TABLE] <tbl> TO VERSION AS OF v
+  * MERGE INTO <tbl> [AS] t USING <table|view|(subquery)> [AS] s
+  *   ON t.k1 = s.k1 [AND t.k2 = s.k2 ...]
+  *   [WHEN MATCHED THEN UPDATE SET *]
+  *   [WHEN NOT MATCHED THEN INSERT *]
+  * }}}
+  *
+  * MERGE supports exactly the reference's two shapes: UPDATE-ALL +
+  * INSERT-ALL (upsert, [[ManagedTable.merge]]) and INSERT-ALL only
+  * ([[ManagedTable.mergeInsertOnly]]); the ON clause must be a conjunction
+  * of same-named column equalities, which is what keyed MERGE means here.
+  * Partition columns for the partition-pruned rewrite come from the
+  * table's own commit log, so SQL callers get file pruning for free.
+  *
+  * Anything not matching the grammar above falls through to the delegate
+  * Spark parser untouched (see [[GraftSqlParser]]).
+  */
+object GraftSqlCommands {
+
+  private def attrs(fields: (String, DataType)*): Seq[Attribute] =
+    fields.map { case (n, t) => AttributeReference(n, t, nullable = true)() }
+
+  /** Output schema of DESCRIBE HISTORY — mirrors [[ManagedTable.history]]. */
+  private[sql] val historyAttrs: Seq[Attribute] = attrs(
+    "version" -> LongType, "timestamp" -> StringType,
+    "operation" -> StringType,
+    "partitionColumns" -> ArrayType(StringType),
+    "numFiles" -> LongType, "sizeInBytes" -> LongType,
+    "rowCount" -> LongType)
+
+  /** Output schema of DESCRIBE DETAIL — mirrors [[ManagedTable.detail]]. */
+  private[sql] val detailAttrs: Seq[Attribute] = attrs(
+    "format" -> StringType, "name" -> StringType, "location" -> StringType,
+    "partition_columns" -> ArrayType(StringType),
+    "num_files" -> LongType, "size_in_bytes" -> LongType,
+    "version" -> LongType, "created_at" -> StringType,
+    "last_modified" -> StringType, "properties" -> ArrayType(StringType))
+
+  case class DescribeHistoryCommand(path: String, limit: Option[Int])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = historyAttrs
+    override def run(spark: SparkSession): Seq[Row] =
+      new ManagedTable(spark, path)
+        .history(limit.getOrElse(Int.MaxValue)).collect().toSeq
+  }
+
+  case class DescribeDetailCommand(path: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = detailAttrs
+    override def run(spark: SparkSession): Seq[Row] =
+      new ManagedTable(spark, path).detail().collect().toSeq
+  }
+
+  /** OPTIMIZE: plain form compacts to ceil(bytes / targetFileBytes) files
+    * (Delta's size-targeted bin-packing, 128 MB default); ZORDER BY runs
+    * the true Morton-key clustering ([[ManagedTable.clusterZ]]).
+    */
+  case class OptimizeCommand(path: String, zorderBy: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs(
+      "path" -> StringType, "files_before" -> LongType,
+      "files_after" -> LongType)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val t = new ManagedTable(spark, path)
+      val before = t.detail().select("num_files").head.getLong(0)
+      if (zorderBy.nonEmpty) t.clusterZ(zorderBy)
+      else {
+        val bytes = t.detail().select("size_in_bytes").head.getLong(0)
+        t.compact(math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt)
+      }
+      val after = t.detail().select("num_files").head.getLong(0)
+      Seq(Row(path, before, after))
+    }
+  }
+
+  /** VACUUM with Delta's default 168 h retention; DRY RUN lists the
+    * retained snapshot dirs that would be dropped without touching them.
+    */
+  case class VacuumCommand(path: String, retainHours: Option[Double],
+      dryRun: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs("path" -> StringType)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val t = new ManagedTable(spark, path)
+      val cutoff = java.time.Instant.now().minusMillis(
+        (retainHours.getOrElse(168.0) * 3600 * 1000).toLong)
+      val dropped = t.vacuumDryRun(cutoff)
+      if (!dryRun) t.vacuumVersions(cutoff)
+      dropped.map(Row(_))
+    }
+  }
+
+  case class RestoreCommand(path: String, version: Long)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs(
+      "path" -> StringType, "restored_version" -> LongType,
+      "new_version" -> LongType)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val t = new ManagedTable(spark, path)
+      t.restore(version)
+      Seq(Row(path, version, t.version))
+    }
+  }
+
+  /** Keyed MERGE: `sourceText` is re-parsed by the session (so views,
+    * tables and subqueries all work); partition columns for the pruned
+    * rewrite are read from the target's latest commit.
+    */
+  case class MergeIntoGraftCommand(path: String, sourceText: String,
+      keys: Seq[String], insertOnly: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs("num_source_rows" -> LongType)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val src = sourceText.trim
+      val source =
+        if (src.startsWith("(")) spark.sql(src.stripPrefix("(").stripSuffix(")"))
+        else spark.table(src)
+      val t = new ManagedTable(spark, path)
+      val partCols: Seq[String] =
+        if (!t.exists) Nil
+        else {
+          val h = t.history(1).select("partitionColumns").collect()
+          if (h.isEmpty) Nil else h.head.getSeq[String](0)
+        }
+      if (insertOnly) t.mergeInsertOnly(source, keys, partCols)
+      else t.merge(source, keys, partCols)
+      Seq(Row(source.count()))
+    }
+  }
+
+  /** CONVERT TO GRAFT — adopt an existing plain-parquet dir into the
+    * commit log ([[ManagedTable.bootstrap]]); Delta's `CONVERT TO DELTA`.
+    */
+  case class ConvertToGraftCommand(path: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs(
+      "path" -> StringType, "version" -> LongType)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val t = new ManagedTable(spark, path)
+      t.bootstrap()
+      Seq(Row(path, t.version))
+    }
+  }
+
+  /** The ALTER TABLE surface graft supports: CHECK constraints and column
+    * rename/drop (each a logged operation on the managed table). DDL
+    * returns no rows, matching Spark/Delta ALTER semantics.
+    */
+  case class AlterTableGraftCommand(path: String,
+      alter: ManagedTable => Unit) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Nil
+    override def run(spark: SparkSession): Seq[Row] = {
+      alter(new ManagedTable(spark, path))
+      Nil
+    }
+    // `alter` is a closure: print by path only
+    override def simpleString(maxFields: Int): String = s"AlterTableGraftCommand $path"
+  }
+
+  // ---- the grammar ------------------------------------------------------
+
+  // graft.`/path`  |  '/path'  |  "/path"
+  private val Tbl = """(?:graft\.`([^`]+)`|'([^']+)'|"([^"]+)")"""
+  private def tbl(m: java.util.regex.Matcher, g: Int): String =
+    Seq(m.group(g), m.group(g + 1), m.group(g + 2)).find(_ != null).get
+
+  private def rx(pattern: String) = java.util.regex.Pattern.compile(
+    pattern, java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
+
+  private val DescHistory =
+    rx(s"""^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Tbl\\s*(?:LIMIT\\s+(\\d+))?\\s*;?\\s*$$""")
+  private val DescDetail =
+    rx(s"""^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Tbl\\s*;?\\s*$$""")
+  private val Optimize =
+    rx(s"""^\\s*OPTIMIZE\\s+$Tbl\\s*(?:ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""")
+  private val Vacuum =
+    rx(s"""^\\s*VACUUM\\s+$Tbl\\s*(?:RETAIN\\s+([0-9.]+)\\s+HOURS?)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""")
+  private val Restore =
+    rx(s"""^\\s*RESTORE\\s+(?:TABLE\\s+)?$Tbl\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""")
+  private val Convert =
+    rx(s"""^\\s*CONVERT\\s+TO\\s+GRAFT\\s+$Tbl\\s*;?\\s*$$""")
+  private val AlterAddConstraint =
+    rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""")
+  private val AlterDropConstraint =
+    rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""")
+  private val AlterRenameColumn =
+    rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$$""")
+  private val AlterDropColumn =
+    rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*;?\\s*$$""")
+  private val MergePrefix = rx(s"""^\\s*MERGE\\s+INTO\\s+$Tbl\\s*(?:AS\\s+)?(\\w+)?\\s+USING\\s+""")
+  private val WhenMatched =
+    rx("""WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""")
+  private val WhenNotMatched =
+    rx("""WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*""")
+  private val KeyEquality =
+    rx("""^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""")
+
+  /** Parse a graft SQL statement; `None` means "not ours — delegate".
+    * A statement that starts like a graft command but is malformed throws
+    * with a pointed message instead of falling through to a delegate that
+    * can only produce a generic syntax error.
+    */
+  def parse(sqlText: String): Option[LeafRunnableCommand] = {
+    val dh = DescHistory.matcher(sqlText)
+    if (dh.matches())
+      return Some(DescribeHistoryCommand(tbl(dh, 1), Option(dh.group(4)).map(_.toInt)))
+    val dd = DescDetail.matcher(sqlText)
+    if (dd.matches()) return Some(DescribeDetailCommand(tbl(dd, 1)))
+    val op = Optimize.matcher(sqlText)
+    if (op.matches()) {
+      val z = Option(op.group(4)).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+      return Some(OptimizeCommand(tbl(op, 1), z))
+    }
+    val va = Vacuum.matcher(sqlText)
+    if (va.matches())
+      return Some(VacuumCommand(tbl(va, 1),
+        Option(va.group(4)).map(_.toDouble), va.group(5) != null))
+    val re = Restore.matcher(sqlText)
+    if (re.matches()) return Some(RestoreCommand(tbl(re, 1), re.group(4).toLong))
+    val cv = Convert.matcher(sqlText)
+    if (cv.matches()) return Some(ConvertToGraftCommand(tbl(cv, 1)))
+    val ac = AlterAddConstraint.matcher(sqlText)
+    if (ac.matches()) {
+      val (name, expr) = (ac.group(4), ac.group(5))
+      return Some(AlterTableGraftCommand(tbl(ac, 1), _.addConstraint(name, expr)))
+    }
+    val dc = AlterDropConstraint.matcher(sqlText)
+    if (dc.matches()) {
+      val name = dc.group(4)
+      return Some(AlterTableGraftCommand(tbl(dc, 1), _.dropConstraint(name)))
+    }
+    val rc = AlterRenameColumn.matcher(sqlText)
+    if (rc.matches()) {
+      val (from, to) = (rc.group(4), rc.group(5))
+      return Some(AlterTableGraftCommand(tbl(rc, 1), _.renameColumn(from, to)))
+    }
+    val xc = AlterDropColumn.matcher(sqlText)
+    if (xc.matches()) {
+      val colName = xc.group(4)
+      return Some(AlterTableGraftCommand(tbl(xc, 1), _.dropColumn(colName)))
+    }
+    val mp = MergePrefix.matcher(sqlText)
+    if (mp.find() && mp.start() == 0) return Some(parseMerge(sqlText, mp))
+    None
+  }
+
+  /** MERGE needs more than a regex: the USING source may be a
+    * parenthesized subquery containing ON / AND / WHEN of its own, so the
+    * source is delimited by paren matching and the keyword scan only runs
+    * at paren depth 0.
+    */
+  private def parseMerge(sqlText: String,
+      mp: java.util.regex.Matcher): MergeIntoGraftCommand = {
+    val target = tbl(mp, 1)
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"graft MERGE INTO: $msg; supported shape is MERGE INTO <tbl> [AS] t " +
+        "USING <src> [AS] s ON t.k = s.k [AND ...] " +
+        "[WHEN MATCHED THEN UPDATE SET *] [WHEN NOT MATCHED THEN INSERT *]")
+    val rest = sqlText.substring(mp.end())
+    // source: balanced-paren subquery or a bare identifier chain
+    val (sourceText, afterSource) =
+      if (rest.startsWith("(")) {
+        var depth = 0; var i = 0; var end = -1
+        while (i < rest.length && end < 0) {
+          rest.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) end = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (end < 0) fail("unbalanced parentheses in USING source")
+        (rest.substring(0, end + 1), rest.substring(end + 1))
+      } else {
+        val m = rx("""^\s*([\w.]+)""").matcher(rest)
+        if (!m.find()) fail("missing USING source")
+        (m.group(1), rest.substring(m.end()))
+      }
+    // optional [AS] alias, then ON
+    val onM = rx("""^\s*(?:AS\s+)?(\w+)?\s*\bON\b""").matcher(afterSource)
+    if (!onM.find()) fail("missing ON clause")
+    val afterOn = afterSource.substring(onM.end())
+    val whenM = rx("""\bWHEN\b""").matcher(afterOn)
+    if (!whenM.find()) fail("missing WHEN clause")
+    val condText = afterOn.substring(0, whenM.start())
+    val whenText = afterOn.substring(whenM.start())
+    val keys = condText.split("(?i)\\bAND\\b").toSeq.map { eq =>
+      val km = KeyEquality.matcher(eq)
+      if (!km.matches())
+        fail(s"ON must be a conjunction of t.col = s.col equalities, got '${eq.trim}'")
+      if (km.group(2).toLowerCase != km.group(4).toLowerCase)
+        fail(s"ON equality must join the same column on both sides, got '${eq.trim}'")
+      km.group(2)
+    }
+    val matched = WhenMatched.matcher(whenText).find()
+    val notMatched = WhenNotMatched.matcher(whenText).find()
+    if (matched && notMatched) MergeIntoGraftCommand(target, sourceText, keys, insertOnly = false)
+    else if (notMatched) MergeIntoGraftCommand(target, sourceText, keys, insertOnly = true)
+    else fail("need WHEN NOT MATCHED THEN INSERT * (optionally with WHEN " +
+      "MATCHED THEN UPDATE SET *); update-only MERGE is not supported")
+  }
+}

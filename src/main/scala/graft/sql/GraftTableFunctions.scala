@@ -1,0 +1,83 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+import graft.table.ManagedTable
+
+/** SQL table-valued functions over [[ManagedTable]], registered through
+  * `SparkSessionExtensions.injectTableFunction` — the architecture Delta
+  * uses for its `table_changes(...)` TVF, and the composable-in-a-SELECT
+  * complement to the [[GraftSqlCommands]] statements:
+  *
+  * {{{
+  * SELECT * FROM graft_version('/w/t', 3)              -- VERSION AS OF
+  * SELECT * FROM graft_as_of('/w/t', '2026-08-01T00:00:00Z') -- TIMESTAMP AS OF
+  * SELECT * FROM graft_history('/w/t')
+  * SELECT * FROM graft_table_changes('/w/t', 0, 2, 'k')  -- CDF on key k
+  * }}}
+  *
+  * Because these return plain logical plans, they join/filter/aggregate
+  * like any table — `SELECT change_type, count(*) FROM
+  * graft_table_changes(...) GROUP BY 1` — and every downstream Catalyst
+  * optimization (pushdown into the snapshot's parquet scan, pruning)
+  * applies. Arguments must be literals: the plan is resolved at analysis
+  * time, exactly like Delta's time-travel resolution.
+  */
+object GraftTableFunctions {
+
+  private def lit(e: Expression, fn: String, what: String): Any = e match {
+    case l: Literal => l.value
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $what must be a literal, got ${e.sql}")
+  }
+  private def str(e: Expression, fn: String, what: String): String =
+    String.valueOf(lit(e, fn, what))
+  private def long(e: Expression, fn: String, what: String): Long =
+    lit(e, fn, what) match {
+      case n: Number => n.longValue()
+      case v => throw new IllegalArgumentException(s"$fn: $what must be integral, got $v")
+    }
+
+  private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.queryExecution.logical
+
+  // usage strings live in the Scaladoc above; the 3-arg ExpressionInfo
+  // ctor skips the strict group/since/source validation of the full form
+  private def tvf(name: String)(
+      builder: Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(GraftTableFunctions.getClass.getCanonicalName, null, name),
+    builder)
+
+  /** All graft TVFs, for `SparkSessionExtensions.injectTableFunction`. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] = Seq(
+    tvf("graft_version") { args =>
+      require(args.length == 2, "graft_version(path, version)")
+      val s = SparkSession.active
+      plan(new ManagedTable(s, str(args(0), "graft_version", "path"))
+        .readVersion(long(args(1), "graft_version", "version")))
+    },
+    tvf("graft_as_of") { args =>
+      require(args.length == 2, "graft_as_of(path, timestamp)")
+      val s = SparkSession.active
+      plan(new ManagedTable(s, str(args(0), "graft_as_of", "path"))
+        .readAsOf(str(args(1), "graft_as_of", "timestamp")))
+    },
+    tvf("graft_history") { args =>
+      require(args.length == 1, "graft_history(path)")
+      val s = SparkSession.active
+      plan(new ManagedTable(s, str(args(0), "graft_history", "path")).history())
+    },
+    tvf("graft_table_changes") { args =>
+      require(args.length >= 4, "graft_table_changes(path, fromV, toV, key1[, key2, ...])")
+      val s = SparkSession.active
+      val keys = args.drop(3).map(str(_, "graft_table_changes", "key"))
+      plan(new ManagedTable(s, str(args(0), "graft_table_changes", "path"))
+        .changes(long(args(1), "graft_table_changes", "fromV"),
+          long(args(2), "graft_table_changes", "toV"), keys))
+    })
+}

@@ -85,6 +85,19 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       }
     }
 
+  /** CONVERT-TO-GRAFT (Delta's `CONVERT TO DELTA parquet.`/p``,
+    * deltalake.ipynb's bronze parquet→Delta adoption shape): record an
+    * existing plain-parquet directory's current state as a logged version —
+    * BOOTSTRAP for a table that predates the log, RECOVER for a live dir
+    * that diverged from its last commit. Idempotent on a consistent table:
+    * the cheap consistency probe runs first and no commit (or lease
+    * round-trip) happens unless state is actually missing from the log.
+    */
+  def bootstrap(): Unit = {
+    require(exists, s"no parquet directory at $path to convert")
+    ensureBootstrapped()
+  }
+
   private def ensureBootstrapped(): Unit =
     // cheap check first: the overwhelmingly common case (logged table,
     // consistent sidecar) must not pay a lease acquire/release round trip.
@@ -697,22 +710,43 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     override def initialValue: Integer = 0
   }
 
+  /** How long this instance queues for a held commit lease before throwing,
+    * in milliseconds. 0 (the default) is the fail-fast contract; a positive
+    * wait turns concurrent writers into a bounded FIFO-ish queue (each
+    * retries the atomic create until the holder releases) — the cheap way
+    * to let a scheduler overlap two jobs on one table without either
+    * corrupting the log or needing full OCC (still a SURVEY §7.4 non-goal).
+    */
+  @volatile private var leaseWaitMs: Long =
+    sys.props.getOrElse("graft.commit.leaseWaitMs", "0").toLong
+
+  /** Set the lease wait (fluent); see [[leaseWaitMs]]. */
+  def withLeaseWait(ms: Long): this.type = { leaseWaitMs = ms; this }
+
   private def withCommitLock[T](f: => T): T = {
     if (lockDepth.get > 0) return f
     fs.mkdirs(logDir)
-    val out =
-      try fs.create(lockFile, false)
+    val deadline = System.nanoTime() + leaseWaitMs * 1000000L
+    var out: org.apache.hadoop.fs.FSDataOutputStream = null
+    while (out == null) {
+      try out = fs.create(lockFile, false)
       catch { case _: java.io.IOException =>
-        val held = try {
-          val in = fs.open(lockFile)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        } catch { case _: Exception => "unknown holder" }
-        throw new java.util.ConcurrentModificationException(
-          s"another writer holds the commit lease on $path ($held); graft " +
-            "tables are single-writer — retry after it finishes, or " +
-            "breakCommitLock() if the holder is dead")
+        if (leaseWaitMs > 0 && System.nanoTime() < deadline) Thread.sleep(50)
+        else {
+          val held = try {
+            val in = fs.open(lockFile)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          } catch { case _: Exception => "unknown holder" }
+          val waited = if (leaseWaitMs > 0) s" after waiting ${leaseWaitMs} ms" else ""
+          throw new java.util.ConcurrentModificationException(
+            s"another writer holds the commit lease on $path ($held)$waited; " +
+              "graft tables are single-writer — retry after it finishes, " +
+              "withLeaseWait(ms) to queue, or breakCommitLock() if the " +
+              "holder is dead")
+        }
       }
+    }
     // once the lease file exists WE must delete it on every exit path —
     // including a failed holder-info write (an orphaned lease would block
     // all writers until a manual breakCommitLock)

@@ -1,0 +1,246 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.table.ManagedTable
+import org.apache.spark.sql.SparkSession
+
+class GraftSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(name: String): (ManagedTable, String) = {
+    val p = tmpDir(name) + "/t"
+    (new ManagedTable(spark, p), p)
+  }
+
+  // ---- parser ----------------------------------------------------------
+
+  test("non-graft statements are not claimed") {
+    assert(GraftSqlCommands.parse("SELECT 1").isEmpty)
+    assert(GraftSqlCommands.parse("DESCRIBE TABLE foo").isEmpty)
+    assert(GraftSqlCommands.parse("MERGE data FROM x").isEmpty)
+    // Spark's own MERGE INTO over a catalog identifier target stays Spark's
+    assert(GraftSqlCommands.parse(
+      "MERGE INTO cat.db.t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *").isEmpty)
+  }
+
+  test("command statements parse with all table-ref spellings") {
+    import GraftSqlCommands._
+    assert(parse("DESCRIBE HISTORY graft.`/w/t`").contains(
+      DescribeHistoryCommand("/w/t", None)))
+    assert(parse("describe history '/w/t' limit 3").contains(
+      DescribeHistoryCommand("/w/t", Some(3))))
+    assert(parse("""DESC DETAIL "/w/t"""").contains(DescribeDetailCommand("/w/t")))
+    assert(parse("OPTIMIZE '/w/t'").contains(OptimizeCommand("/w/t", Nil)))
+    assert(parse("OPTIMIZE '/w/t' ZORDER BY (a, b)").contains(
+      OptimizeCommand("/w/t", Seq("a", "b"))))
+    assert(parse("VACUUM '/w/t'").contains(VacuumCommand("/w/t", None, dryRun = false)))
+    assert(parse("VACUUM '/w/t' RETAIN 0 HOURS DRY RUN").contains(
+      VacuumCommand("/w/t", Some(0.0), dryRun = true)))
+    assert(parse("RESTORE TABLE '/w/t' TO VERSION AS OF 2").contains(
+      RestoreCommand("/w/t", 2)))
+  }
+
+  test("MERGE INTO parses upsert, insert-only, and subquery sources") {
+    import GraftSqlCommands._
+    val up = parse(
+      """MERGE INTO graft.`/w/t` AS t USING src AS s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    assert(up.contains(MergeIntoGraftCommand("/w/t", "src", Seq("k"), insertOnly = false)))
+    val ins = parse(
+      """MERGE INTO '/w/t' t USING src s ON t.k1 = s.k1 AND t.k2 = s.k2
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(ins.contains(MergeIntoGraftCommand("/w/t", "src", Seq("k1", "k2"), insertOnly = true)))
+    // subquery source with its own ON/WHEN-bearing text inside parens
+    val sub = parse(
+      """MERGE INTO '/w/t' AS t
+         USING (SELECT a.k, a.v FROM a JOIN b ON a.k = b.k WHERE b.v > 0) AS s
+         ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    assert(sub.exists { case m: MergeIntoGraftCommand =>
+      m.sourceText.trim.startsWith("(SELECT") && m.keys == Seq("k") && !m.insertOnly
+    })
+  }
+
+  test("malformed graft MERGE fails with a pointed error, not a delegate fallthrough") {
+    import GraftSqlCommands._
+    // non-equi ON
+    val e1 = intercept[IllegalArgumentException](parse(
+      "MERGE INTO '/w/t' t USING s ON t.k > s.k WHEN NOT MATCHED THEN INSERT *"))
+    assert(e1.getMessage.contains("conjunction"))
+    // different columns on the two sides
+    val e2 = intercept[IllegalArgumentException](parse(
+      "MERGE INTO '/w/t' t USING s ON t.a = s.b WHEN NOT MATCHED THEN INSERT *"))
+    assert(e2.getMessage.contains("same column"))
+    // update-only merge is unsupported
+    val e3 = intercept[IllegalArgumentException](parse(
+      "MERGE INTO '/w/t' t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *"))
+    assert(e3.getMessage.contains("not supported"))
+  }
+
+  // ---- execution through GraftSql.sql (no extensions needed) ------------
+
+  test("SQL MERGE INTO upserts a managed table end to end") {
+    val (t, p) = freshTable("sql-merge")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    Seq((2L, "B"), (3L, "C")).toDF("k", "v").createOrReplaceTempView("sql_merge_src")
+    val metrics = GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$p` AS t USING sql_merge_src AS s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    assert(metrics.select("num_source_rows").as[Long].head() == 2L)
+    assert(t.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "C")))
+  }
+
+  test("SQL MERGE with a partitioned target takes the partition-pruned path") {
+    val (t, p) = freshTable("sql-merge-part")
+    t.overwrite(Seq((1L, "p1", "a"), (2L, "p2", "b")).toDF("k", "part", "v"),
+      Seq("part"))
+    Seq((2L, "p2", "B"), (3L, "p3", "C")).toDF("k", "part", "v")
+      .createOrReplaceTempView("sql_merge_part_src")
+    GraftSql.sql(spark,
+      s"""MERGE INTO '$p' AS t USING sql_merge_part_src AS s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    assert(t.read.select("k", "part", "v").orderBy("k")
+      .as[(Long, String, String)].collect().toSeq ==
+      Seq((1L, "p1", "a"), (2L, "p2", "B"), (3L, "p3", "C")))
+    // the pruned rewrite logs MERGE against the partitioned layout
+    assert(t.history(1).select("operation").as[String].head() == "MERGE")
+  }
+
+  test("SQL insert-only MERGE never updates matched rows") {
+    val (t, p) = freshTable("sql-merge-ins")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    Seq((1L, "A"), (2L, "B")).toDF("k", "v")
+      .createOrReplaceTempView("sql_merge_ins_src")
+    GraftSql.sql(spark,
+      s"MERGE INTO '$p' t USING sql_merge_ins_src s ON t.k = s.k " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    assert(t.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B")))
+  }
+
+  test("DESCRIBE HISTORY / DETAIL / OPTIMIZE / RESTORE / VACUUM round-trip") {
+    val (t, p) = freshTable("sql-cmds")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    t.append(Seq((3L, "c")).toDF("k", "v"))
+
+    val hist = GraftSql.sql(spark, s"DESCRIBE HISTORY graft.`$p`")
+    assert(hist.select("operation").as[String].collect().toSeq ==
+      Seq("APPEND", "OVERWRITE"))
+    assert(GraftSql.sql(spark, s"DESCRIBE HISTORY '$p' LIMIT 1").count() == 1)
+
+    val detail = GraftSql.sql(spark, s"DESCRIBE DETAIL '$p'")
+    assert(detail.select("version").as[Long].head() == 1L)
+
+    val opt = GraftSql.sql(spark, s"OPTIMIZE '$p'").collect().head
+    assert(opt.getLong(2) == 1L) // 3 tiny rows -> 1 file
+    assert(t.read.count() == 3)
+
+    // restore to pre-append, then confirm the restore is itself a commit
+    GraftSql.sql(spark, s"RESTORE TABLE '$p' TO VERSION AS OF 0")
+    assert(t.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+
+    // dry run lists but keeps; real vacuum at zero retention drops
+    val dry = GraftSql.sql(spark, s"VACUUM '$p' RETAIN 0 HOURS DRY RUN")
+    assert(dry.count() > 0)
+    assert(t.readVersion(1).count() == 3) // still readable after dry run
+    GraftSql.sql(spark, s"VACUUM '$p' RETAIN 0 HOURS")
+    intercept[Exception](t.readVersion(1).count())
+  }
+
+  test("CONVERT TO GRAFT adopts a plain-parquet dir into the commit log") {
+    val dir = tmpDir("sql-convert") + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(dir)
+    val out = GraftSql.sql(spark, s"CONVERT TO GRAFT '$dir'").collect().head
+    assert(out.getLong(1) == 0L) // BOOTSTRAP became version 0
+    val t = new ManagedTable(spark, dir)
+    assert(t.history().select("operation").as[String].collect().toSeq ==
+      Seq("BOOTSTRAP"))
+    // idempotent: converting a consistent table adds no commit
+    GraftSql.sql(spark, s"CONVERT TO GRAFT '$dir'")
+    assert(t.version == 0L)
+  }
+
+  test("ALTER TABLE: constraints and column DDL through SQL") {
+    val (t, p) = freshTable("sql-alter")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    GraftSql.sql(spark, s"ALTER TABLE '$p' ADD CONSTRAINT k_pos CHECK (k > 0)")
+    assert(t.constraints == Map("k_pos" -> "k > 0"))
+    // the constraint is enforced on the next write
+    intercept[Exception](t.append(Seq((-1L, "x")).toDF("k", "v")))
+    GraftSql.sql(spark, s"ALTER TABLE '$p' DROP CONSTRAINT k_pos")
+    assert(t.constraints.isEmpty)
+    GraftSql.sql(spark, s"ALTER TABLE graft.`$p` RENAME COLUMN v TO label")
+    assert(t.read.columns.toSeq == Seq("k", "label"))
+    GraftSql.sql(spark, s"ALTER TABLE '$p' DROP COLUMN label")
+    assert(t.read.columns.toSeq == Seq("k"))
+    // ALTER TABLE on a catalog identifier is not ours
+    assert(GraftSqlCommands.parse("ALTER TABLE db.t DROP COLUMN c").isEmpty)
+  }
+
+  test("ZORDER BY through SQL reorders the layout and commits") {
+    val (t, p) = freshTable("sql-zorder")
+    t.overwrite((1 to 1000).map(i => (i.toLong, (i * 37 % 1000).toLong))
+      .toDF("a", "b").repartition(4))
+    GraftSql.sql(spark, s"OPTIMIZE '$p' ZORDER BY (a, b)")
+    assert(t.history(1).select("operation").as[String].head() == "ZORDER")
+    assert(t.read.count() == 1000)
+  }
+
+  test("non-graft SQL falls through to spark.sql") {
+    assert(GraftSql.sql(spark, "SELECT 41 + 1 AS x").as[Int].head() == 42)
+  }
+
+  // ---- the injected-parser path (Delta's architecture) ------------------
+
+  test("injectParser: spark.sql runs graft statements on an extended session") {
+    val orig = spark // keep the shared suite session to restore below
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val extended = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftSparkSessionExtension)
+      .getOrCreate()
+    try {
+      assert(extended ne orig) // a genuinely new session with the parser
+      import extended.implicits._
+      val p = tmpDir("sql-ext") + "/t"
+      val t = new ManagedTable(extended, p)
+      t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+      Seq((2L, "B"), (3L, "C")).toDF("k", "v").createOrReplaceTempView("ext_src")
+      extended.sql(
+        s"""MERGE INTO graft.`$p` AS t USING ext_src AS s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+      assert(t.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "B"), (3L, "C")))
+      assert(extended.sql(s"DESCRIBE HISTORY '$p'")
+        .select("operation").as[String].collect().toSeq == Seq("MERGE", "OVERWRITE"))
+      // ordinary SQL still parses through the delegate on the same session
+      assert(extended.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
+
+      // table-valued functions compose inside SELECTs (Delta's
+      // table_changes architecture): time travel, history, and CDF
+      assert(extended.sql(s"SELECT * FROM graft_version('$p', 0) ORDER BY k")
+        .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+      assert(extended.sql(
+        s"SELECT max(version) AS v FROM graft_history('$p')")
+        .as[Long].head() == 1L)
+      val cdf = extended.sql(
+        s"""SELECT change_type, count(*) AS n
+            FROM graft_table_changes('$p', 0, 1, 'k')
+            GROUP BY change_type ORDER BY change_type""")
+        .as[(String, Long)].collect().toSeq
+      assert(cdf == Seq(("insert", 1L), ("unchanged", 1L), ("update", 1L)))
+      // non-literal args are rejected with a pointed error
+      val tvfErr = intercept[Exception](
+        extended.sql(s"SELECT * FROM graft_version('$p', 1 + 1)").collect())
+      assert(tvfErr.getMessage.contains("literal"))
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+}

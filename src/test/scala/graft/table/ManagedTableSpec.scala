@@ -762,6 +762,30 @@ class ManagedTableSpec extends SparkSpec {
     assert(b.read.count() == 2 && !fs.exists(lock))
   }
 
+  test("writer lease: withLeaseWait queues behind the holder instead of failing") {
+    val t = freshTable("mt-lockwait")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lock = new org.apache.hadoop.fs.Path(t.path + "._log/_commit.lock")
+    val fs = lock.getFileSystem(conf)
+    val out = fs.create(lock, false)
+    out.write("2026-08-12T00:00:00Z\tpid=12345".getBytes("UTF-8")); out.close()
+    // a waiting writer with a too-short budget still fails, with the wait
+    // named in the error
+    val b = new ManagedTable(spark, t.path).withLeaseWait(200)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      b.append(Seq((2L, "b")).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("200 ms"))
+    // holder releases mid-wait: the queued writer proceeds without error
+    val releaser = new Thread(() => { Thread.sleep(500); fs.delete(lock, false) })
+    releaser.start()
+    val c = new ManagedTable(spark, t.path).withLeaseWait(10000)
+    c.append(Seq((3L, "c")).toDF("k", "v"))
+    releaser.join()
+    assert(c.read.count() == 2 && !fs.exists(lock))
+  }
+
   test("string skipping stats are truncated but stay exact and pruning") {
     val t = freshTable("mt-trunc")
     // document-sized strings in the FIRST stats column: untruncated bounds
