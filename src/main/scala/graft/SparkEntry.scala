@@ -749,6 +749,21 @@ object SparkEntry {
       new graft.table.ManagedTable(s, p).read
         .select("event_id", "user_id", "value").orderBy("event_id")
     }),
+    "q102_sql_dml" -> ((s, d) => {
+      // SQL DELETE + UPDATE through the command surface: remove one event
+      // slice, then rescale another, and read the table back — the Delta
+      // DML statements driven end to end as SQL text
+      val wh = java.nio.file.Files.createTempDirectory("graft-sqld").toString
+      val p = s"$wh/t"
+      val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+      new graft.table.ManagedTable(s, p)
+        .overwrite(ev.filter(col("event_id") % 10 < 8))
+      graft.sql.GraftSql.sql(s, s"DELETE FROM graft.`$p` WHERE event_id % 10 >= 6")
+      graft.sql.GraftSql.sql(s,
+        s"UPDATE graft.`$p` SET value = value * 3 WHERE event_id % 5 = 0")
+      new graft.table.ManagedTable(s, p).read
+        .select("event_id", "user_id", "value").orderBy("event_id")
+    }),
     "q50_pivot" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_orderstatus")
@@ -1590,6 +1605,12 @@ object SparkEntry {
       """SELECT event_id, user_id, value * 2 AS value FROM events WHERE event_id % 10 >= 5
          UNION ALL
          SELECT event_id, user_id, value FROM events WHERE event_id % 10 < 5
+         ORDER BY event_id""",
+    // q102: target %10<8, SQL DELETE drops %10>=6, SQL UPDATE triples %5==0
+    "q102_sql_dml" ->
+      """SELECT event_id, user_id,
+           CASE WHEN event_id % 5 = 0 THEN value * 3 ELSE value END AS value
+         FROM events WHERE event_id % 10 < 6
          ORDER BY event_id""",
     "q50_pivot" ->
       """SELECT o_orderstatus,

@@ -151,6 +151,84 @@ object GraftSqlCommands {
     }
   }
 
+  /** Partition columns recorded in the target's latest commit — what the
+    * DML/MERGE commands pass so the partition-pruned rewrite paths engage
+    * without the SQL caller naming them.
+    */
+  private def latestPartitionCols(t: ManagedTable): Seq[String] =
+    if (!t.exists) Nil
+    else {
+      val h = t.history(1).select("partitionColumns").collect()
+      if (h.isEmpty) Nil else h.head.getSeq[String](0)
+    }
+
+  /** Column names a SQL expression references (unresolved attribute names,
+    * lowercased) — used to detect partition-only predicates.
+    */
+  private def referencedCols(sqlExpr: String): Set[String] = {
+    import org.apache.spark.sql.functions.expr
+    org.apache.spark.sql.GraftBridge.expression(expr(sqlExpr))
+      .references.map(_.name.toLowerCase).toSet
+  }
+
+  /** DELETE FROM: rows matching the predicate are removed. A predicate
+    * over partition columns only takes [[ManagedTable.deleteScoped]] —
+    * the pruned rewrite that touches matching partitions alone (the 100 TB
+    * path); anything else rewrites the table via the atomic swap.
+    */
+  case class DeleteFromGraftCommand(path: String, whereText: Option[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Nil
+    override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.{expr, lit}
+      val t = new ManagedTable(spark, path)
+      val pcs = latestPartitionCols(t)
+      val cond = whereText.map(expr).getOrElse(lit(true))
+      val partitionOnly = whereText.exists(w =>
+        pcs.nonEmpty && referencedCols(w).subsetOf(pcs.map(_.toLowerCase).toSet))
+      if (partitionOnly) t.deleteScoped(cond, cond, pcs)
+      else t.delete(cond, pcs)
+      Nil
+    }
+  }
+
+  /** UPDATE … SET: assignments applied to rows matching the predicate;
+    * a partition-only predicate takes the pruned
+    * [[ManagedTable.updateScoped]] rewrite.
+    */
+  case class UpdateGraftCommand(path: String, setText: Seq[(String, String)],
+      whereText: Option[String]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Nil
+    override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.{expr, lit}
+      val t = new ManagedTable(spark, path)
+      val pcs = latestPartitionCols(t)
+      val cond = whereText.map(expr).getOrElse(lit(true))
+      val set = setText.map { case (c, e) => c -> expr(e) }.toMap
+      val partitionOnly = whereText.exists(w =>
+        pcs.nonEmpty && referencedCols(w).subsetOf(pcs.map(_.toLowerCase).toSet))
+      if (partitionOnly) t.updateScoped(cond, cond, set, pcs)
+      else t.update(cond, set, pcs)
+      Nil
+    }
+  }
+
+  /** INSERT INTO (append) / INSERT OVERWRITE (replace) from any query the
+    * session can run; CREATE OR REPLACE TABLE … AS SELECT materializes a
+    * new table, with optional PARTITIONED BY.
+    */
+  case class InsertGraftCommand(path: String, queryText: String,
+      overwrite: Boolean, partitionBy: Seq[String]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Nil
+    override def run(spark: SparkSession): Seq[Row] = {
+      val t = new ManagedTable(spark, path)
+      val df = spark.sql(queryText)
+      val pcs = if (partitionBy.nonEmpty) partitionBy else latestPartitionCols(t)
+      if (overwrite) t.overwrite(df, pcs) else t.append(df, pcs)
+      Nil
+    }
+  }
+
   /** CONVERT TO GRAFT — adopt an existing plain-parquet dir into the
     * commit log ([[ManagedTable.bootstrap]]); Delta's `CONVERT TO DELTA`.
     */
@@ -201,6 +279,14 @@ object GraftSqlCommands {
     rx(s"""^\\s*RESTORE\\s+(?:TABLE\\s+)?$Tbl\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""")
   private val Convert =
     rx(s"""^\\s*CONVERT\\s+TO\\s+GRAFT\\s+$Tbl\\s*;?\\s*$$""")
+  private val Delete =
+    rx(s"""^\\s*DELETE\\s+FROM\\s+$Tbl\\s*(?:WHERE\\s+(.+?))?\\s*;?\\s*$$""")
+  private val Update =
+    rx(s"""^\\s*UPDATE\\s+$Tbl\\s+SET\\s+(.+?)\\s*(?:WHERE\\s+(.+?))?\\s*;?\\s*$$""")
+  private val Insert =
+    rx(s"""^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+$Tbl\\s+((?:SELECT|VALUES|TABLE|WITH|FROM)\\b.+?)\\s*;?\\s*$$""")
+  private val Ctas =
+    rx(s"""^\\s*CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+$Tbl\\s*(?:PARTITIONED\\s+BY\\s*\\(([^)]+)\\)\\s*)?AS\\s+(.+?)\\s*;?\\s*$$""")
   private val AlterAddConstraint =
     rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterDropConstraint =
@@ -241,6 +327,23 @@ object GraftSqlCommands {
     if (re.matches()) return Some(RestoreCommand(tbl(re, 1), re.group(4).toLong))
     val cv = Convert.matcher(sqlText)
     if (cv.matches()) return Some(ConvertToGraftCommand(tbl(cv, 1)))
+    val del = Delete.matcher(sqlText)
+    if (del.matches())
+      return Some(DeleteFromGraftCommand(tbl(del, 1), Option(del.group(4))))
+    val up = Update.matcher(sqlText)
+    if (up.matches())
+      return Some(UpdateGraftCommand(tbl(up, 1),
+        parseAssignments(up.group(4)), Option(up.group(5))))
+    val ins = Insert.matcher(sqlText)
+    if (ins.matches())
+      return Some(InsertGraftCommand(tbl(ins, 2), ins.group(5),
+        overwrite = ins.group(1).equalsIgnoreCase("OVERWRITE"), Nil))
+    val ct = Ctas.matcher(sqlText)
+    if (ct.matches()) {
+      val pby = Option(ct.group(4)).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+      return Some(InsertGraftCommand(tbl(ct, 1), ct.group(5),
+        overwrite = true, pby))
+    }
     val ac = AlterAddConstraint.matcher(sqlText)
     if (ac.matches()) {
       val (name, expr) = (ac.group(4), ac.group(5))
@@ -264,6 +367,29 @@ object GraftSqlCommands {
     val mp = MergePrefix.matcher(sqlText)
     if (mp.find() && mp.start() == 0) return Some(parseMerge(sqlText, mp))
     None
+  }
+
+  /** Split `SET a = f(x, y), b = 2` into (column, expression) pairs:
+    * commas inside parentheses or single-quoted strings don't split.
+    */
+  private def parseAssignments(setText: String): Seq[(String, String)] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; var start = 0
+    for (i <- 0 until setText.length) setText.charAt(i) match {
+      case '\'' => inStr = !inStr
+      case '(' if !inStr => depth += 1
+      case ')' if !inStr => depth -= 1
+      case ',' if !inStr && depth == 0 =>
+        parts += setText.substring(start, i); start = i + 1
+      case _ =>
+    }
+    parts += setText.substring(start)
+    parts.toSeq.map { a =>
+      val m = rx("""^\s*(\w+)\s*=\s*(.+?)\s*$""").matcher(a)
+      if (!m.matches()) throw new IllegalArgumentException(
+        s"graft UPDATE: SET expects col = expr assignments, got '${a.trim}'")
+      (m.group(1), m.group(2))
+    }
   }
 
   /** MERGE needs more than a regex: the USING source may be a

@@ -21,6 +21,11 @@ class GraftSqlSpec extends SparkSpec {
     // Spark's own MERGE INTO over a catalog identifier target stays Spark's
     assert(GraftSqlCommands.parse(
       "MERGE INTO cat.db.t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *").isEmpty)
+    // same for DML over catalog identifiers
+    assert(GraftSqlCommands.parse("DELETE FROM db.t WHERE x = 1").isEmpty)
+    assert(GraftSqlCommands.parse("UPDATE db.t SET x = 1").isEmpty)
+    assert(GraftSqlCommands.parse("INSERT INTO db.t SELECT 1").isEmpty)
+    assert(GraftSqlCommands.parse("CREATE OR REPLACE TABLE db.t AS SELECT 1").isEmpty)
   }
 
   test("command statements parse with all table-ref spellings") {
@@ -147,6 +152,57 @@ class GraftSqlSpec extends SparkSpec {
     assert(t.readVersion(1).count() == 3) // still readable after dry run
     GraftSql.sql(spark, s"VACUUM '$p' RETAIN 0 HOURS")
     intercept[Exception](t.readVersion(1).count())
+  }
+
+  test("SQL DELETE / UPDATE / INSERT round-trip on an unpartitioned table") {
+    val (t, p) = freshTable("sql-dml")
+    t.overwrite(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"))
+    GraftSql.sql(spark, s"DELETE FROM graft.`$p` WHERE k = 2")
+    assert(t.read.orderBy("k").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (3L, 30.0)))
+    GraftSql.sql(spark, s"UPDATE '$p' SET v = v * 2, k = k + 10 WHERE k > 1")
+    assert(t.read.orderBy("k").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (13L, 60.0)))
+    GraftSql.sql(spark,
+      s"INSERT INTO '$p' SELECT CAST(99 AS BIGINT) AS k, CAST(9.9 AS DOUBLE) AS v")
+    assert(t.read.count() == 3)
+    GraftSql.sql(spark,
+      s"INSERT OVERWRITE '$p' VALUES (CAST(7 AS BIGINT), CAST(0.7 AS DOUBLE))")
+    assert(t.read.as[(Long, Double)].collect().toSeq == Seq((7L, 0.7)))
+    // operations are all logged commits
+    assert(t.history().select("operation").as[String].collect().toSeq ==
+      Seq("OVERWRITE", "APPEND", "UPDATE", "DELETE", "OVERWRITE"))
+  }
+
+  test("partition-only SQL DELETE takes the scoped (pruned) rewrite") {
+    val (t, p) = freshTable("sql-dml-part")
+    t.overwrite(Seq((1L, "p1", "a"), (2L, "p2", "b"), (3L, "p2", "c"))
+      .toDF("k", "part", "v"), Seq("part"))
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p1Files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$p/part=p1"))
+      .map(s => (s.getPath.getName, s.getModificationTime))
+      .filter(_._1.endsWith(".parquet")).toSet
+    val before = p1Files
+    GraftSql.sql(spark, s"DELETE FROM '$p' WHERE part = 'p2'")
+    assert(t.read.select("k").as[Long].collect().toSeq == Seq(1L))
+    // pruned rewrite: the untouched p1 partition kept its exact files
+    assert(before.nonEmpty && p1Files == before)
+    GraftSql.sql(spark,
+      s"UPDATE '$p' SET v = concat(v, '!') WHERE part = 'p1'")
+    assert(t.read.select("v").as[String].collect().toSeq == Seq("a!"))
+  }
+
+  test("CREATE OR REPLACE TABLE AS SELECT materializes a partitioned table") {
+    val dir = tmpDir("sql-ctas") + "/t"
+    Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "grp", "v")
+      .createOrReplaceTempView("ctas_src")
+    GraftSql.sql(spark,
+      s"CREATE OR REPLACE TABLE '$dir' PARTITIONED BY (grp) AS SELECT * FROM ctas_src")
+    val t = new ManagedTable(spark, dir)
+    assert(t.read.count() == 2)
+    assert(t.history(1).select("partitionColumns").collect()
+      .head.getSeq[String](0) == Seq("grp"))
   }
 
   test("CONVERT TO GRAFT adopts a plain-parquet dir into the commit log") {
