@@ -149,6 +149,25 @@ object EventStreaming {
       }
       .start()
 
+  /** Streaming APPEND sink with the exactly-once contract (Delta's
+    * `txnAppId`/`txnVersion` pattern): each micro-batch lands via
+    * [[graft.table.ManagedTable.appendIdempotent]] keyed by the sink's
+    * `batchId`, so a batch replayed after a crash-and-restart (Structured
+    * Streaming's at-least-once delivery to foreachBatch) is a no-op
+    * instead of a duplicate. Use for append-only ingestion; key-based
+    * dedup across batches is [[mergeSink]]'s job.
+    */
+  def appendSinkExactlyOnce(stream: DataFrame, table: graft.table.ManagedTable,
+                            appId: String, checkpoint: String,
+                            partitionCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.appendIdempotent(batch, appId, batchId, partitionCols); ()
+      }
+      .start()
+
   /** One-shot backfill THROUGH the streaming path: a file-source stream
     * with `Trigger.AvailableNow` drains everything currently in `srcPath`
     * into the managed table via the merge sink, then stops. The checkpoint

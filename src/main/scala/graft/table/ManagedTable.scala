@@ -1,7 +1,7 @@
 package graft.table
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, lit}
 
 /** A managed Parquet table directory emulating the reference's Delta-table
@@ -650,21 +650,27 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * `version + 1`. Listing + new-file footer reads; no data pass, no
     * Spark job (see [[fileRowCounts]]).
     */
-  private def commit(operation: String, partitionCols: Seq[String]): Unit = {
+  private def commit(operation: String, partitionCols: Seq[String],
+                     txn: Option[(String, Long)] = None): Unit = {
     val v = version + 1
     val files = listParquet(new Path(path))
       .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) }
     val rowCount = fileMeta(files).values.map(_.rows).sum
     val ts = java.time.Instant.now().toString
-    val json = Seq(
+    val json = (Seq(
       s""""version":$v""",
       s""""timestamp":${jstr(ts)}""",
       s""""operation":${jstr(operation)}""",
       s""""partitionColumns":[${partitionCols.map(jstr).mkString(",")}]""",
       s""""numFiles":${files.size}""",
       s""""sizeInBytes":${files.map(_._2).sum}""",
-      s""""rowCount":$rowCount""",
-      s""""files":[${files.map(f => jstr(f._1)).mkString(",")}]"""
+      s""""rowCount":$rowCount""") ++
+      // the txn marker rides IN the commit (Delta's txnAppId/txnVersion):
+      // the write and its dedup record are one atomic manifest, so a crash
+      // can never apply the data without the marker (or vice versa)
+      txn.map { case (app, tv) =>
+        s""""txn":{"app":${jstr(app)},"version":$tv}""" } ++ Seq(
+      s""""files":[${files.map(f => jstr(f._1)).mkString(",")}]""")
     ).mkString("{", ",", "}")
     fs.mkdirs(logDir)
     val out = fs.create(new Path(logDir, f"v$v%05d.json"), true)
@@ -674,7 +680,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // O(commits) manifests. Crash between the manifest write above and this
     // append self-heals: historyRows folds any missing version back in.
     appendHistory(CommitInfo(v, ts, operation, partitionCols,
-      files.size, files.map(_._2).sum, rowCount))
+      files.size, files.map(_._2).sum, rowCount, txn))
     // consistency sidecar: what the live dir held at this commit (drives
     // the RECOVER check in ensureBootstrapped)
     val side = fs.create(new Path(logDir, "_latest_files.txt"), true)
@@ -775,14 +781,19 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   private case class CommitInfo(version: Long, timestamp: String,
       operation: String, partitionColumns: Seq[String],
-      numFiles: Long, sizeInBytes: Long, rowCount: Long)
+      numFiles: Long, sizeInBytes: Long, rowCount: Long,
+      txn: Option[(String, Long)] = None)
 
   private def historyFile = new Path(logDir, "_history.txt")
 
   private def histLine(c: CommitInfo): String =
     Seq(c.version.toString, enc(c.timestamp), enc(c.operation),
       c.partitionColumns.map(enc).mkString(","),
-      c.numFiles.toString, c.sizeInBytes.toString, c.rowCount.toString)
+      c.numFiles.toString, c.sizeInBytes.toString, c.rowCount.toString,
+      // 8th field since the idempotent-append feature: "-" = no txn
+      // (enc never emits a bare "-": letters/digits pass through, the
+      // rest is %-escaped)
+      c.txn.map { case (a, v) => s"${enc(a)},$v" }.getOrElse("-"))
       .mkString("\t")
 
   private def readHistoryFile(): Seq[CommitInfo] =
@@ -790,11 +801,22 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     else {
       val in = fs.open(historyFile)
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().flatMap { l =>
+        def parseTxn(t: String): Option[(String, Long)] =
+          if (t == "-") None
+          else t.split(',') match {
+            case Array(a, v) => Some((dec(a), v.toLong))
+            case _ => None
+          }
         scala.util.Try(l.split('\t') match {
+          // 7-field form: checkpoints written before the txn field existed
           case Array(v, ts, op, pcs, nf, sz, rc) =>
             Some(CommitInfo(v.toLong, dec(ts), dec(op),
               if (pcs.isEmpty) Nil else pcs.split(',').toSeq.map(dec),
               nf.toLong, sz.toLong, rc.toLong))
+          case Array(v, ts, op, pcs, nf, sz, rc, txn) =>
+            Some(CommitInfo(v.toLong, dec(ts), dec(op),
+              if (pcs.isEmpty) Nil else pcs.split(',').toSeq.map(dec),
+              nf.toLong, sz.toLong, rc.toLong, parseTxn(txn)))
           case _ => None
         }).toOption.flatten
       }.toSeq
@@ -812,7 +834,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private val manifestSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "version LONG, timestamp STRING, operation STRING, " +
       "partitionColumns ARRAY<STRING>, numFiles LONG, sizeInBytes LONG, " +
-      "rowCount LONG, files ARRAY<STRING>")
+      "rowCount LONG, txn STRUCT<app: STRING, version: LONG>, " +
+      "files ARRAY<STRING>")
 
   /** All commit summaries, oldest first, served from the checkpoint file.
     * Self-healing: versions the checkpoint is missing (a table from before
@@ -839,7 +862,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
             Option(r.getAs[scala.collection.Seq[String]]("partitionColumns"))
               .map(_.toList).getOrElse(Nil),
             r.getAs[Long]("numFiles"), r.getAs[Long]("sizeInBytes"),
-            r.getAs[Long]("rowCount"))
+            r.getAs[Long]("rowCount"),
+            Option(r.getAs[Row]("txn")).map(t =>
+              (t.getAs[String]("app"), t.getAs[Long]("version"))))
         }
       val all = (cached ++ folded).sortBy(_.version)
       writeAtomic(historyFile, all.map(histLine).mkString("\n"))
@@ -1262,7 +1287,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     try Some(read.schema) catch { case _: Exception => None }
 
   private def appendAs(df: DataFrame, partitionCols: Seq[String],
-                       operation: String, allowEvolution: Boolean = false): Unit =
+                       operation: String, allowEvolution: Boolean = false,
+                       txn: Option[(String, Long)] = None): Unit =
     withCommitLock {
       ensureBootstrapped()
       val conformed0 =
@@ -1278,7 +1304,42 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       enforceConstraints(conformed)
       val w = conformed.write.mode(SaveMode.Append)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
-      commit(operation, partitionCols)
+      commit(operation, partitionCols, txn)
+    }
+
+  /** Latest transaction version committed for `appId`, from the history
+    * checkpoint (O(1) files) — Delta's `txnVersion(appId)`.
+    */
+  def lastTxnVersion(appId: String): Option[Long] =
+    historyRows.flatMap(_.txn).collect { case (a, v) if a == appId => v }
+      .maxOption
+
+  /** Idempotent append (Delta's `txnAppId`/`txnVersion` option pair): the
+    * write applies only if `txnVersion` is NEWER than the latest version
+    * committed for `appId`; a replay of an already-committed version is a
+    * no-op returning false. The (appId, version) marker is recorded inside
+    * the same commit manifest as the data, so a crash between write and
+    * marker is impossible and re-running a failed batch is always safe —
+    * the exactly-once contract a Structured Streaming `foreachBatch` sink
+    * needs (pass the sink's `batchId` as `txnVersion`):
+    *
+    * {{{
+    * df.writeStream.foreachBatch { (batch, id) =>
+    *   table.appendIdempotent(batch, "my-sink", id); ()
+    * }
+    * }}}
+    *
+    * The check runs under the commit lease, so two racing writers with the
+    * same (appId, version) apply exactly one.
+    */
+  def appendIdempotent(df: DataFrame, appId: String, txnVersion: Long,
+                       partitionCols: Seq[String] = Nil): Boolean =
+    withCommitLock {
+      if (lastTxnVersion(appId).exists(_ >= txnVersion)) false
+      else {
+        appendAs(df, partitionCols, "APPEND", txn = Some((appId, txnVersion)))
+        true
+      }
     }
 
   // ---- generated columns (Delta's GENERATED ALWAYS AS) -----------------

@@ -786,6 +786,38 @@ class ManagedTableSpec extends SparkSpec {
     assert(c.read.count() == 2 && !fs.exists(lock))
   }
 
+  test("appendIdempotent: replayed batches are no-ops, markers survive crash recovery") {
+    val t = freshTable("mt-txn")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    // batch 0 applies
+    assert(t.appendIdempotent(Seq((2L, "b")).toDF("k", "v"), "sink", 0L))
+    assert(t.read.count() == 2)
+    // replaying batch 0 is a no-op (restart-after-success shape)
+    assert(!t.appendIdempotent(Seq((2L, "b")).toDF("k", "v"), "sink", 0L))
+    assert(t.read.count() == 2)
+    // an OLDER batch id is also refused (only strictly newer applies)
+    assert(!t.appendIdempotent(Seq((9L, "z")).toDF("k", "v"), "sink", -1L))
+    // batch 1 applies; an independent app id has its own sequence
+    assert(t.appendIdempotent(Seq((3L, "c")).toDF("k", "v"), "sink", 1L))
+    assert(t.appendIdempotent(Seq((4L, "d")).toDF("k", "v"), "other", 0L))
+    assert(t.read.count() == 4)
+    assert(t.lastTxnVersion("sink").contains(1L))
+    assert(t.lastTxnVersion("other").contains(0L))
+    assert(t.lastTxnVersion("nope").isEmpty)
+    // a fresh instance reads the same markers (they live in the log)
+    val b = new ManagedTable(spark, t.path)
+    assert(b.lastTxnVersion("sink").contains(1L))
+    // crash recovery: delete the history checkpoint — markers must
+    // self-heal from the per-version manifests, keeping replays no-ops
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hist = new org.apache.hadoop.fs.Path(t.path + "._log/_history.txt")
+    hist.getFileSystem(conf).delete(hist, false)
+    val c = new ManagedTable(spark, t.path)
+    assert(c.lastTxnVersion("sink").contains(1L))
+    assert(!c.appendIdempotent(Seq((3L, "c")).toDF("k", "v"), "sink", 1L))
+    assert(c.read.count() == 4)
+  }
+
   test("string skipping stats are truncated but stay exact and pruning") {
     val t = freshTable("mt-trunc")
     // document-sized strings in the FIRST stats column: untruncated bounds
