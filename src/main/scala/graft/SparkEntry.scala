@@ -764,6 +764,19 @@ object SparkEntry {
       new graft.table.ManagedTable(s, p).read
         .select("event_id", "user_id", "value").orderBy("event_id")
     }),
+    "q103_delete_vectors" -> ((s, d) => {
+      // merge-on-read DELETE (Delta deletion vectors): two vectored
+      // deletes mark rows in per-file bitmaps — zero data files rewritten,
+      // commit cost tracks the deleted rows — and every read path filters
+      // through them ([[graft.table.ManagedTable.deleteVectored]])
+      val wh = java.nio.file.Files.createTempDirectory("graft-dv").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/t")
+      val ev = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+      t.overwrite(ev.repartition(4))
+      t.deleteVectored(col("event_id") % 10 >= 7)
+      t.deleteVectored(col("event_type") === lit("purchase") && col("value") < 10.0)
+      t.read.orderBy("event_id")
+    }),
     "q50_pivot" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_orderstatus")
@@ -1611,6 +1624,13 @@ object SparkEntry {
       """SELECT event_id, user_id,
            CASE WHEN event_id % 5 = 0 THEN value * 3 ELSE value END AS value
          FROM events WHERE event_id % 10 < 6
+         ORDER BY event_id""",
+    // q103: two vectored deletes ≡ the complement filter; NULL-cond rows
+    // survive a DELETE (filter(cond) marks only true), matching COALESCE
+    "q103_delete_vectors" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE NOT COALESCE(event_id % 10 >= 7, FALSE)
+           AND NOT COALESCE(event_type = 'purchase' AND value < 10.0, FALSE)
          ORDER BY event_id""",
     "q50_pivot" ->
       """SELECT o_orderstatus,

@@ -186,7 +186,14 @@ object GraftSqlCommands {
       val cond = whereText.map(expr).getOrElse(lit(true))
       val partitionOnly = whereText.exists(w =>
         pcs.nonEmpty && referencedCols(w).subsetOf(pcs.map(_.toLowerCase).toSet))
+      // graft.enableDeletionVectors=true (Delta's table feature of the same
+      // role) switches non-partition deletes to merge-on-read bitmaps; a
+      // partition-only predicate stays on the pruned dir swap, which beats
+      // marking every row of a dropped partition
+      val useDv = t.properties.get("graft.enableDeletionVectors")
+        .exists(_.equalsIgnoreCase("true"))
       if (partitionOnly) t.deleteScoped(cond, cond, pcs)
+      else if (useDv) t.deleteVectored(cond, pcs)
       else t.delete(cond, pcs)
       Nil
     }
@@ -295,6 +302,12 @@ object GraftSqlCommands {
     rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$$""")
   private val AlterDropColumn =
     rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*;?\\s*$$""")
+  private val AlterSetProps =
+    rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""")
+  private val AlterUnsetProps =
+    rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+UNSET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""")
+  private val Reorg =
+    rx(s"""^\\s*REORG\\s+TABLE\\s+$Tbl\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$$""")
   private val MergePrefix = rx(s"""^\\s*MERGE\\s+INTO\\s+$Tbl\\s*(?:AS\\s+)?(\\w+)?\\s+USING\\s+""")
   private val WhenMatched =
     rx("""WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""")
@@ -364,9 +377,41 @@ object GraftSqlCommands {
       val colName = xc.group(4)
       return Some(AlterTableGraftCommand(tbl(xc, 1), _.dropColumn(colName)))
     }
+    val sp = AlterSetProps.matcher(sqlText)
+    if (sp.matches()) {
+      val pairs = parsePropertyPairs(sp.group(4))
+      return Some(AlterTableGraftCommand(tbl(sp, 1), _.setProperties(pairs)))
+    }
+    val upr = AlterUnsetProps.matcher(sqlText)
+    if (upr.matches()) {
+      val keys = parsePropertyKeys(upr.group(4))
+      return Some(AlterTableGraftCommand(tbl(upr, 1), _.unsetProperties(keys)))
+    }
+    val rg = Reorg.matcher(sqlText)
+    if (rg.matches())
+      return Some(AlterTableGraftCommand(tbl(rg, 1), _.purgeDeletes()))
     val mp = MergePrefix.matcher(sqlText)
     if (mp.find() && mp.start() == 0) return Some(parseMerge(sqlText, mp))
     None
+  }
+
+  /** `'k' = 'v', "k2" = "v2"` → pairs (TBLPROPERTIES value list). */
+  private def parsePropertyPairs(text: String): Map[String, String] = {
+    val m = rx("""['"]([^'"]+)['"]\s*=\s*['"]([^'"]*)['"]""").matcher(text)
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    while (m.find()) out += (m.group(1) -> m.group(2))
+    if (out.isEmpty) throw new IllegalArgumentException(
+      s"graft SET TBLPROPERTIES expects 'key' = 'value' pairs, got '$text'")
+    out.toMap
+  }
+
+  private def parsePropertyKeys(text: String): Seq[String] = {
+    val m = rx("""['"]([^'"]+)['"]""").matcher(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group(1)
+    if (out.isEmpty) throw new IllegalArgumentException(
+      s"graft UNSET TBLPROPERTIES expects quoted keys, got '$text'")
+    out.toSeq
   }
 
   /** Split `SET a = f(x, y), b = 2` into (column, expression) pairs:

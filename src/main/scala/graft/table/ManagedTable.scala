@@ -435,7 +435,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def readWhere(colName: String, lo: Any, hi: Any): DataFrame = {
     val (kept, _) = filesOverlapping(colName, lo, hi)
     if (kept.isEmpty) return read.filter(org.apache.spark.sql.functions.lit(false))
-    spark.read.option("basePath", qualifiedRoot).parquet(kept: _*)
+    applyDv(spark.read.option("basePath", qualifiedRoot).parquet(kept: _*), currentDv)
       .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
@@ -642,20 +642,200 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def readPoint(colName: String, value: Any): DataFrame = {
     val (kept, _) = filesForPoint(colName, value)
     if (kept.isEmpty) return read.filter(org.apache.spark.sql.functions.lit(false))
-    spark.read.option("basePath", qualifiedRoot).parquet(kept: _*)
+    applyDv(spark.read.option("basePath", qualifiedRoot).parquet(kept: _*), currentDv)
       .filter(col(colName) === lit(value))
+  }
+
+  // ---- deletion vectors (merge-on-read DELETE) -------------------------
+
+  private def dvDir = new Path(logDir, "_dv")
+  private def dvFile(v: Long): Path = new Path(dvDir, f"v$v%05d.txt")
+
+  /** The deletion-vector state AT version `v`: file → sorted deleted row
+    * indexes. One snapshot file per version that has any DVs (written by
+    * [[commit]] before the manifest appears, so no reader can observe a
+    * version without its DVs); absence = no deleted rows at that version.
+    * Line format: `enc(qualifiedPath)\tcount\t{DvCodec payload}`.
+    */
+  private def dvMapForVersion(v: Long): Map[String, Array[Long]] = {
+    if (v < 0 || !fs.exists(dvDir)) return Map.empty
+    val f = dvFile(v)
+    if (!fs.exists(f)) return Map.empty
+    val in = fs.open(f)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toSeq finally in.close()
+    lines.map { line =>
+      val parts = line.split("\t", 3)
+      dec(parts(0)) -> DvCodec.decode(parts(2))
+    }.toMap
+  }
+
+  private def writeDvSnapshot(v: Long, dv: Map[String, Array[Long]]): Unit =
+    writeAtomic(dvFile(v), dv.toSeq.sortBy(_._1).map { case (p, idxs) =>
+      s"${enc(p)}\t${idxs.length}\t${DvCodec.encode(idxs)}"
+    }.mkString("\n"))
+
+  /** Current per-file deleted-row counts (empty when the table carries no
+    * deletion vectors) — the observable half of [[deleteVectored]].
+    */
+  def deletionVectors: Map[String, Long] =
+    dvMapForVersion(version).map { case (p, a) => p -> a.length.toLong }
+
+  /** Apply a DV map to a parquet scan: resolve each row's
+    * `_metadata.file_path`/`row_index` against the bitmaps and drop marked
+    * rows. Zero-shuffle, zero-join — one codegen'd filter at the scan
+    * ([[DvDeleted]]); a no-op (the exact original frame) when `dv` is
+    * empty, so DV-free tables pay nothing on any read path.
+    */
+  private def applyDv(df: DataFrame, dv: Map[String, Array[Long]]): DataFrame =
+    if (dv.isEmpty) df
+    else {
+      val norm = dv.map { case (p, a) => new Path(p).toString -> a }
+      df.filter(!DvDeleted(col("_metadata.file_path"), col("_metadata.row_index"), norm))
+    }
+
+  /** DELETE rows matching `cond` WITHOUT rewriting any data file (Delta's
+    * deletion vectors / merge-on-read DELETE): the matching rows'
+    * (file, row-index) pairs are folded into per-file bitmaps stored in a
+    * per-version log sidecar, and every read path filters through them.
+    * At 100 TB this turns a point-delete (GDPR erasure, bad-batch
+    * retraction) from a multi-TB rewrite into a metadata-plus-bitmap
+    * commit whose cost tracks the DELETED rows, not the table.
+    *
+    * The deletes are materialized — files rewritten without the marked
+    * rows, bitmaps dropped — by the next rewriting maintenance op
+    * ([[compact]] / [[cluster]] / [[clusterZ]] / OVERWRITE), because those
+    * read through the DV filter; Delta's `REORG TABLE … APPLY (PURGE)`
+    * equivalent is simply `compact(n)`.
+    */
+  def deleteVectored(cond: org.apache.spark.sql.Column,
+                     partitionCols: Seq[String] = Nil): Unit = withCommitLock {
+    ensureBootstrapped()
+    val prev = dvMapForVersion(version)
+    val scan = spark.read.parquet(path)
+      .withColumn("__dv_file", col("_metadata.file_path"))
+      .withColumn("__dv_idx", col("_metadata.row_index"))
+    val live =
+      if (prev.isEmpty) scan
+      else scan.filter(!DvDeleted(col("__dv_file"), col("__dv_idx"),
+        prev.map { case (p, a) => new Path(p).toString -> a }))
+    // fold to one (file, encoded-bitmap) row per touched file ON THE
+    // EXECUTORS; the driver collects only compressed bitmaps (bytes per
+    // deleted row), never raw row indexes
+    import spark.implicits._
+    val packed = live.filter(cond)
+      .select(col("__dv_file"), col("__dv_idx"))
+      .groupBy("__dv_file")
+      .agg(org.apache.spark.sql.functions.sort_array(
+        org.apache.spark.sql.functions.collect_list(col("__dv_idx"))).as("idxs"))
+      .select(col("__dv_file").as[String], col("idxs").as[Seq[Long]])
+      .map { case (f, idxs) => (f, DvCodec.encode(idxs.toArray)) }
+      .collect()
+    if (packed.nonEmpty) {
+      // re-key scan-form paths (file:///…) to the manifest's qualified form
+      // so commit's survivor pruning matches them against the file list
+      val merged = packed.foldLeft(prev) { case (m, (f, encoded)) =>
+        val key = fs.makeQualified(new Path(f)).toString
+        val idxs = DvCodec.decode(encoded)
+        m.updated(key, m.get(key).map(DvCodec.merge(_, idxs)).getOrElse(idxs))
+      }
+      commit("DELETE", partitionCols, dvNew = Some(merged))
+    }
+  }
+
+  /** Materialize deletion vectors (Delta's `REORG TABLE … APPLY (PURGE)`):
+    * rewrite ONLY the files that carry a bitmap — their surviving rows are
+    * re-written as fresh files, the old files retire into the current
+    * version's snapshot, and the new version has no vectors. Files without
+    * deletions are never read, never moved — on a 100 TB table where a
+    * point-delete touched a handful of files, purge cost tracks those
+    * files, not the table. [[compact]] remains the whole-table form.
+    */
+  def purgeDeletes(): Unit = withCommitLock {
+    ensureBootstrapped()
+    val dv = dvMapForVersion(version)
+    if (dv.nonEmpty) {
+      val pcs = loggedPartitionCols(version)
+      val files = dv.keys.toSeq.sorted
+      // materialize the survivors BEFORE the moves — the plan reads the
+      // files being retired (basePath keeps partition columns resolving)
+      val survivors = applyDv(
+        spark.read.option("basePath", qualifiedRoot).parquet(files: _*), dv)
+        .localCheckpoint()
+      val cur = version
+      val moved = files.map { f =>
+        val rel = f.stripPrefix(qualifiedRoot + "/")
+        val dst = new Path(retainedDir(cur) + "/" + rel)
+        fs.mkdirs(dst.getParent)
+        fs.rename(new Path(f), dst)
+        f -> (retainedDir(cur) + "/" + rel)
+      }.toMap
+      remapFiles(moved)
+      val w = survivors.write.mode(SaveMode.Append)
+      (if (pcs.nonEmpty) w.partitionBy(pcs: _*) else w).parquet(path)
+      // moved files fall out of the carried DV map by path; the rewritten
+      // rows carry no vectors — the PURGE commit is vector-free
+      commit("PURGE", pcs)
+    }
+  }
+
+  /** Exact-path remap of log metadata (manifests + DV snapshots) for
+    * individually retired files — the file-granular sibling of
+    * [[remapManifests]]'s prefix remap.
+    */
+  private def remapFiles(mapping: Map[String, String]): Unit = {
+    if (!fs.exists(logDir) || mapping.isEmpty) return
+    fs.listStatus(logDir).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.startsWith("v") && n.endsWith(".json")
+    }.foreach { st =>
+      val in = fs.open(st.getPath)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val updated = mapping.foldLeft(txt) { case (t, (o, n)) =>
+        t.replace(jstr(o), jstr(n)) }
+      if (updated != txt) {
+        val out = fs.create(st.getPath, true)
+        try out.write(updated.getBytes("UTF-8")) finally out.close()
+      }
+    }
+    if (fs.exists(dvDir)) fs.listStatus(dvDir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".txt"))
+      .foreach { st =>
+        val in = fs.open(st.getPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        val updated = txt.split("\n", -1).map { line =>
+          val tab = line.indexOf('\t')
+          if (tab < 0) line
+          else mapping.get(dec(line.substring(0, tab)))
+            .map(n => enc(n) + line.substring(tab)).getOrElse(line)
+        }.mkString("\n")
+        if (updated != txt) writeAtomic(st.getPath, updated)
+      }
   }
 
   /** Append a commit entry describing the CURRENT live dir as version
     * `version + 1`. Listing + new-file footer reads; no data pass, no
-    * Spark job (see [[fileRowCounts]]).
+    * Spark job (see [[fileRowCounts]]). Deletion vectors carry forward
+    * (pruned to surviving files — a rewrite that drops or moves a file
+    * drops its bitmap with it) unless the mutation supplies its own map.
     */
   private def commit(operation: String, partitionCols: Seq[String],
-                     txn: Option[(String, Long)] = None): Unit = {
+                     txn: Option[(String, Long)] = None,
+                     dvNew: Option[Map[String, Array[Long]]] = None): Unit = {
     val v = version + 1
     val files = listParquet(new Path(path))
       .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) }
-    val rowCount = fileMeta(files).values.map(_.rows).sum
+    val fileSet = files.map(_._1).toSet
+    val dv = dvNew.getOrElse(dvMapForVersion(v - 1))
+      .filter { case (p, _) => fileSet.contains(p) }
+    val deletedRows = dv.values.map(_.length.toLong).sum
+    // DV snapshot BEFORE the manifest: a version must never be visible
+    // without its deletion vectors (resurrected rows). A crash in between
+    // orphans one snapshot file for a version that doesn't exist yet; the
+    // next commit at this version overwrites or removes it.
+    if (dv.nonEmpty) writeDvSnapshot(v, dv)
+    else if (fs.exists(dvFile(v))) fs.delete(dvFile(v), false)
+    val rowCount = fileMeta(files).values.map(_.rows).sum - deletedRows
     val ts = java.time.Instant.now().toString
     val json = (Seq(
       s""""version":$v""",
@@ -665,6 +845,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       s""""numFiles":${files.size}""",
       s""""sizeInBytes":${files.map(_._2).sum}""",
       s""""rowCount":$rowCount""") ++
+      (if (deletedRows > 0) Seq(s""""numDeletedRows":$deletedRows""") else Nil) ++
       // the txn marker rides IN the commit (Delta's txnAppId/txnVersion):
       // the write and its dedup record are one atomic manifest, so a crash
       // can never apply the data without the marker (or vice versa)
@@ -906,6 +1087,30 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         try out.write(updated.getBytes("UTF-8")) finally out.close()
       }
     }
+    // deletion-vector snapshots key bitmaps BY PATH for the manifests'
+    // files — they move together or time travel resurrects deleted rows.
+    // Paths there are enc()-coded, not jstr-escaped: remap the decoded form.
+    val rawPairs =
+      if (subdirs.isEmpty) Seq((oldRoot + "/", newRoot + "/"))
+      else subdirs.map(d => (s"$oldRoot/$d/", s"$newRoot/$d/"))
+    if (fs.exists(dvDir)) fs.listStatus(dvDir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".txt"))
+      .foreach { st =>
+        val in = fs.open(st.getPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        val updated = txt.split("\n", -1).map { line =>
+          val tab = line.indexOf('\t')
+          if (tab < 0) line
+          else {
+            val p = dec(line.substring(0, tab))
+            val p2 = rawPairs.collectFirst {
+              case (o, n) if p.startsWith(o) => n + p.substring(o.length)
+            }.getOrElse(p)
+            enc(p2) + line.substring(tab)
+          }
+        }.mkString("\n")
+        if (updated != txt) writeAtomic(st.getPath, updated)
+      }
   }
 
   /** The commit history, latest first (the reference's `history(n)`,
@@ -953,10 +1158,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         else ""
       } else if (f.startsWith(qualifiedRoot + "/")) qualifiedRoot
       else ""
+    // the version's deletion vectors apply per scan group BEFORE the union
+    // (_metadata columns don't survive a union)
+    val dv = dvMapForVersion(v)
     files.groupBy(rootOf)
       .map { case (root, fsOfRoot) =>
         val rd = if (root.nonEmpty) spark.read.option("basePath", root) else spark.read
-        rd.parquet(fsOfRoot: _*)
+        applyDv(rd.parquet(fsOfRoot: _*), dv)
       }.reduce(_ unionByName _)
   }
 
@@ -1132,7 +1340,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // bloom DECLARATIONS carry over like constraints; the filters
     // themselves are keyed by file path, so the clone's CLONE commit
     // rebuilds them for the copied files via refreshBloomIndexes
-    for (f <- Seq("_constraints.txt", "_generated.txt", "_bloom_cols.txt")) {
+    for (f <- Seq("_constraints.txt", "_generated.txt", "_bloom_cols.txt",
+                  "_props.txt")) {
       val src = new Path(logDir, f)
       if (fs.exists(src)) {
         val in = fs.open(src)
@@ -1142,7 +1351,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         try out.write(txt.getBytes("UTF-8")) finally out.close()
       }
     }
-    t.withCommitLock { t.commit("CLONE", loggedPartitionCols(version)) }
+    // deletion vectors travel with the byte-copied files (path-rekeyed to
+    // the clone) — otherwise the clone would resurrect every DV-deleted row
+    val dvClone = currentDv.map { case (p, a) => p.replace(srcQ + "/", dstQ + "/") -> a }
+    t.withCommitLock { t.commit("CLONE", loggedPartitionCols(version),
+      dvNew = if (dvClone.isEmpty) None else Some(dvClone)) }
     t
   }
 
@@ -1194,7 +1407,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     replaceWith(read.drop(colName), pcs, "DROP COLUMN")
   }
 
-  def read: DataFrame = spark.read.parquet(path)
+  /** DV state of the LATEST version, with a one-probe fast path: tables
+    * that never used [[deleteVectored]] have no `_dv` dir, so every read
+    * costs one existence check and zero log reads.
+    */
+  private def currentDv: Map[String, Array[Long]] =
+    if (!fs.exists(dvDir)) Map.empty else dvMapForVersion(version)
+
+  def read: DataFrame = applyDv(spark.read.parquet(path), currentDv)
 
   /** Structured-Streaming source over the table (Delta's streaming-source
     * role): downstream jobs tail the table and see the files APPENDS add.
@@ -1204,14 +1424,18 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * stream from a fresh checkpoint after maintenance.
     */
   def readStream: DataFrame =
-    spark.readStream.schema(read.schema).parquet(path)
+    // DV filter applies with the map snapshotted at stream start; deletes
+    // vectored AFTER that need a restart to take effect downstream (same
+    // contract as the rewriting-mutation caveat above)
+    applyDv(spark.readStream.schema(read.schema).parquet(path), currentDv)
 
   /** Schema-evolved read (the reference's `mergeSchema`, deltalake.ipynb:
     * 4599 cell 25): unions the schemas of all files; rows from files
     * missing a column read null. Pair with [[append]]-ing a widened frame
     * for additive schema evolution.
     */
-  def readEvolved: DataFrame = spark.read.option("mergeSchema", "true").parquet(path)
+  def readEvolved: DataFrame =
+    applyDv(spark.read.option("mergeSchema", "true").parquet(path), currentDv)
 
   def overwrite(df: DataFrame, partitionCols: Seq[String] = Nil): Unit =
     if (exists) replaceWith(df, partitionCols, "OVERWRITE")
@@ -1427,6 +1651,43 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   }
 
   def dropConstraint(name: String): Unit = writeConstraints(constraints - name)
+
+  // ---- table properties ------------------------------------------------
+
+  private def propsFile = new Path(logDir, "_props.txt")
+
+  /** Free-form table properties (Delta's TBLPROPERTIES,
+    * deltalake.ipynb's table-feature toggles): stored like constraints,
+    * surfaced by [[detail]], carried by [[cloneTo]]. The property
+    * `graft.enableDeletionVectors=true` switches the SQL DELETE surface
+    * to the merge-on-read [[deleteVectored]] path.
+    */
+  def properties: Map[String, String] =
+    if (!fs.exists(propsFile)) Map.empty
+    else {
+      val in = fs.open(propsFile)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .flatMap(_.split('\t') match {
+          case Array(k, v) => Some(dec(k) -> dec(v))
+          case _ => None
+        }).toMap
+      finally in.close()
+    }
+
+  private def writeProperties(ps: Map[String, String]): Unit = {
+    fs.mkdirs(logDir)
+    val out = fs.create(propsFile, true)
+    try out.write(ps.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${enc(k)}\t${enc(v)}" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def setProperties(ps: Map[String, String]): Unit =
+    writeProperties(properties ++ ps)
+
+  def unsetProperties(keys: Seq[String]): Unit =
+    writeProperties(properties -- keys)
 
   /** One aggregation pass over the INCOMING data (never the table): count
     * violations per declared constraint, throw naming the violated ones.
@@ -1695,7 +1956,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // table properties surface (Delta's DESCRIBE DETAIL carries these in
     // properties): declared CHECK constraints and generated columns
     val props = constraints.toSeq.sorted.map { case (n, e) => s"check:$n=$e" } ++
-      generatedColumns.toSeq.sorted.map { case (n, e) => s"generated:$n=$e" }
+      generatedColumns.toSeq.sorted.map { case (n, e) => s"generated:$n=$e" } ++
+      properties.toSeq.sorted.map { case (k, v) => s"prop:$k=$v" } ++ {
+        val dv = deletionVectors
+        if (dv.isEmpty) Nil
+        else Seq(s"deletionVectors:files=${dv.size},rows=${dv.values.sum}")
+      }
     Seq((("parquet"): String, new Path(path).getName, path, partCols,
         files.size.toLong, files.map(_._2).sum, version, createdAt, modifiedAt,
         props))

@@ -299,4 +299,34 @@ class GraftSqlSpec extends SparkSpec {
       SparkSession.setActiveSession(orig)
     }
   }
+
+  test("SET TBLPROPERTIES flips SQL DELETE to deletion vectors; REORG purges") {
+    import org.apache.spark.sql.functions.col
+    val (t, p) = freshTable("sql-dv")
+    t.overwrite(spark.range(100).toDF("id").repartition(4))
+    GraftSql.sql(spark,
+      s"ALTER TABLE graft.`$p` SET TBLPROPERTIES ('graft.enableDeletionVectors' = 'true')")
+    val filesBefore = t.detail().select("num_files").as[Long].head()
+    GraftSql.sql(spark, s"DELETE FROM graft.`$p` WHERE id % 4 = 1")
+    // merge-on-read: rows gone, zero files rewritten
+    assert(t.read.count() == 75)
+    assert(t.detail().select("num_files").as[Long].head() == filesBefore)
+    assert(t.deletionVectors.values.sum == 25L)
+    // DESCRIBE DETAIL carries both the property and the DV state
+    val props = GraftSql.sql(spark, s"DESCRIBE DETAIL '$p'")
+      .select("properties").as[Seq[String]].head()
+    assert(props.contains("prop:graft.enableDeletionVectors=true"))
+    assert(props.exists(_.startsWith("deletionVectors:")))
+    // REORG materializes; the table is then vector-free with same content
+    GraftSql.sql(spark, s"REORG TABLE graft.`$p` APPLY (PURGE)")
+    assert(t.deletionVectors.isEmpty)
+    assert(t.read.count() == 75)
+    // UNSET returns DELETE to the copy-on-write rewrite
+    GraftSql.sql(spark,
+      s"ALTER TABLE '$p' UNSET TBLPROPERTIES ('graft.enableDeletionVectors')")
+    GraftSql.sql(spark, s"DELETE FROM '$p' WHERE id % 4 = 2")
+    assert(t.read.count() == 50)
+    assert(t.deletionVectors.isEmpty)
+    assert(t.read.filter(col("id") % 4 === 2).count() == 0)
+  }
 }
