@@ -777,6 +777,20 @@ object SparkEntry {
       t.deleteVectored(col("event_type") === lit("purchase") && col("value") < 10.0)
       t.read.orderBy("event_id")
     }),
+    "q104_mor_upsert" -> ((s, d) => {
+      // merge-on-read UPDATE then MERGE: replacements append as new files,
+      // displaced copies are bitmap-marked — zero target files rewritten
+      // ([[graft.table.ManagedTable.updateVectored]] / [[mergeVectored]])
+      val wh = java.nio.file.Files.createTempDirectory("graft-mor").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/t")
+      val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+      t.overwrite(ev.repartition(4))
+      t.updateVectored(col("event_id") % 7 === 0,
+        Map("value" -> (col("value") * 2.0)))
+      t.mergeVectored(ev.filter(col("event_id") % 10 === 3)
+        .withColumn("user_id", col("user_id") + 1000000L), Seq("event_id"))
+      t.read.orderBy("event_id")
+    }),
     "q50_pivot" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_orderstatus")
@@ -1632,6 +1646,14 @@ object SparkEntry {
          WHERE NOT COALESCE(event_id % 10 >= 7, FALSE)
            AND NOT COALESCE(event_type = 'purchase' AND value < 10.0, FALSE)
          ORDER BY event_id""",
+    // q104: vectored UPDATE doubles %7==0 values, then vectored MERGE
+    // replaces %10==3 rows with ORIGINAL-value copies under a shifted user
+    "q104_mor_upsert" ->
+      """SELECT event_id,
+           CASE WHEN event_id % 10 = 3 THEN user_id + 1000000 ELSE user_id END AS user_id,
+           CASE WHEN event_id % 10 = 3 THEN value
+                WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS value
+         FROM events ORDER BY event_id""",
     "q50_pivot" ->
       """SELECT o_orderstatus,
            CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,

@@ -145,7 +145,10 @@ object GraftSqlCommands {
           val h = t.history(1).select("partitionColumns").collect()
           if (h.isEmpty) Nil else h.head.getSeq[String](0)
         }
+      val useDv = t.properties.get("graft.enableDeletionVectors")
+        .exists(_.equalsIgnoreCase("true"))
       if (insertOnly) t.mergeInsertOnly(source, keys, partCols)
+      else if (useDv) t.mergeVectored(source, keys, partCols)
       else t.merge(source, keys, partCols)
       Seq(Row(source.count()))
     }
@@ -214,7 +217,10 @@ object GraftSqlCommands {
       val set = setText.map { case (c, e) => c -> expr(e) }.toMap
       val partitionOnly = whereText.exists(w =>
         pcs.nonEmpty && referencedCols(w).subsetOf(pcs.map(_.toLowerCase).toSet))
+      val useDv = t.properties.get("graft.enableDeletionVectors")
+        .exists(_.equalsIgnoreCase("true"))
       if (partitionOnly) t.updateScoped(cond, cond, set, pcs)
+      else if (useDv) t.updateVectored(cond, set, pcs)
       else t.update(cond, set, pcs)
       Nil
     }

@@ -712,18 +712,86 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                      partitionCols: Seq[String] = Nil): Unit = withCommitLock {
     ensureBootstrapped()
     val prev = dvMapForVersion(version)
+    val packed = packDvMarks(dvScanWithMeta(prev).filter(cond))
+    if (packed.nonEmpty)
+      commit("DELETE", partitionCols, dvNew = Some(mergeDvInto(prev, packed)))
+  }
+
+  /** Merge-on-read UPDATE: the matched rows' OLD copies are bitmap-marked
+    * and their updated copies appended as new files — one commit, no
+    * existing file rewritten. On a 100 TB table an update touching 0.1% of
+    * rows costs one scan plus a write proportional to the UPDATED rows.
+    * Same assignment semantics as [[update]].
+    */
+  def updateVectored(cond: org.apache.spark.sql.Column,
+                     set: Map[String, org.apache.spark.sql.Column],
+                     partitionCols: Seq[String] = Nil): Unit = withCommitLock {
+    ensureBootstrapped()
+    val prev = dvMapForVersion(version)
+    val matched = dvScanWithMeta(prev).filter(cond)
+    val packed = packDvMarks(matched)
+    if (packed.nonEmpty) {
+      // materialize the replacements BEFORE appending: their plan reads the
+      // directory being appended to
+      val updated = set.foldLeft(matched.drop("__dv_file", "__dv_idx")) {
+        case (d, (c, e)) => d.withColumn(c, e)
+      }.localCheckpoint()
+      enforceConstraints(updated)
+      val w = updated.write.mode(SaveMode.Append)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+      commit("UPDATE", partitionCols, dvNew = Some(mergeDvInto(prev, packed)))
+    }
+  }
+
+  /** Merge-on-read MERGE upsert: target rows matching a source key are
+    * bitmap-marked (their replacement arrives with the source), and the
+    * whole source appends as new files — [[Merge.upsert]] semantics with
+    * write cost proportional to the SOURCE batch, zero target files
+    * rewritten. The 100 TB shape for a small-delta upsert into a huge
+    * unpartitioned table, where even the partition-pruned rewrite of
+    * [[merge]] would rewrite whole partitions.
+    */
+  def mergeVectored(source: DataFrame, keys: Seq[String],
+                    partitionCols: Seq[String] = Nil): Unit =
+    if (!exists) overwrite(source, partitionCols)
+    else withCommitLock {
+      ensureBootstrapped()
+      val prev = dvMapForVersion(version)
+      // AQE turns this key semi join into a broadcast join for the normal
+      // small-delta source; the target never shuffles
+      val displaced = dvScanWithMeta(prev)
+        .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      val packed = packDvMarks(displaced)
+      val incoming = tableSchemaOpt
+        .map(conform(source, allowEvolution = false, _, partitionCols))
+        .getOrElse(source).localCheckpoint()
+      enforceConstraints(incoming)
+      val w = incoming.write.mode(SaveMode.Append)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+      commit("MERGE", partitionCols,
+        dvNew = if (packed.isEmpty) None else Some(mergeDvInto(prev, packed)))
+    }
+
+  /** Live scan with `__dv_file`/`__dv_idx` metadata columns, already
+    * filtered through the PREVIOUS deletion vectors (rows deleted earlier
+    * must not be re-marked or re-matched).
+    */
+  private def dvScanWithMeta(prev: Map[String, Array[Long]]): DataFrame = {
     val scan = spark.read.parquet(path)
       .withColumn("__dv_file", col("_metadata.file_path"))
       .withColumn("__dv_idx", col("_metadata.row_index"))
-    val live =
-      if (prev.isEmpty) scan
-      else scan.filter(!DvDeleted(col("__dv_file"), col("__dv_idx"),
-        prev.map { case (p, a) => new Path(p).toString -> a }))
-    // fold to one (file, encoded-bitmap) row per touched file ON THE
-    // EXECUTORS; the driver collects only compressed bitmaps (bytes per
-    // deleted row), never raw row indexes
+    if (prev.isEmpty) scan
+    else scan.filter(!DvDeleted(col("__dv_file"), col("__dv_idx"),
+      prev.map { case (p, a) => new Path(p).toString -> a }))
+  }
+
+  /** Fold marked rows to one (file, encoded-bitmap) row per touched file ON
+    * THE EXECUTORS; the driver collects only compressed bitmaps (bytes per
+    * marked row), never raw row indexes.
+    */
+  private def packDvMarks(marked: DataFrame): Array[(String, String)] = {
     import spark.implicits._
-    val packed = live.filter(cond)
+    marked
       .select(col("__dv_file"), col("__dv_idx"))
       .groupBy("__dv_file")
       .agg(org.apache.spark.sql.functions.sort_array(
@@ -731,17 +799,19 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       .select(col("__dv_file").as[String], col("idxs").as[Seq[Long]])
       .map { case (f, idxs) => (f, DvCodec.encode(idxs.toArray)) }
       .collect()
-    if (packed.nonEmpty) {
-      // re-key scan-form paths (file:///…) to the manifest's qualified form
-      // so commit's survivor pruning matches them against the file list
-      val merged = packed.foldLeft(prev) { case (m, (f, encoded)) =>
-        val key = fs.makeQualified(new Path(f)).toString
-        val idxs = DvCodec.decode(encoded)
-        m.updated(key, m.get(key).map(DvCodec.merge(_, idxs)).getOrElse(idxs))
-      }
-      commit("DELETE", partitionCols, dvNew = Some(merged))
-    }
   }
+
+  /** Union freshly packed marks into the previous DV map, re-keying the
+    * scan-form paths (file:///…) to the manifest's qualified form so
+    * commit's survivor pruning matches them against the file list.
+    */
+  private def mergeDvInto(prev: Map[String, Array[Long]],
+                          packed: Array[(String, String)]): Map[String, Array[Long]] =
+    packed.foldLeft(prev) { case (m, (f, encoded)) =>
+      val key = fs.makeQualified(new Path(f)).toString
+      val idxs = DvCodec.decode(encoded)
+      m.updated(key, m.get(key).map(DvCodec.merge(_, idxs)).getOrElse(idxs))
+    }
 
   /** Materialize deletion vectors (Delta's `REORG TABLE … APPLY (PURGE)`):
     * rewrite ONLY the files that carry a bitmap — their surviving rows are

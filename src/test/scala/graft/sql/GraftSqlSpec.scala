@@ -317,15 +317,32 @@ class GraftSqlSpec extends SparkSpec {
       .select("properties").as[Seq[String]].head()
     assert(props.contains("prop:graft.enableDeletionVectors=true"))
     assert(props.exists(_.startsWith("deletionVectors:")))
+    // UPDATE under the property is merge-on-read too: old copies marked,
+    // replacements appended
+    GraftSql.sql(spark, s"UPDATE graft.`$p` SET id = id + 1000 WHERE id % 4 = 2")
+    assert(t.read.filter(col("id") >= 1000).count() == 25)
+    assert(t.read.count() == 75)
+    assert(t.history(1).select("operation").as[String].head() == "UPDATE")
+    // MERGE under the property displaces matched keys via bitmaps
+    spark.range(0, 3).toDF("id").createOrReplaceTempView("dv_sql_src")
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$p` AS t USING dv_sql_src AS s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    // ids 0 and 3-cycle: 0 matched (survived the deletes), 1 was deleted →
+    // re-inserted, 2 was updated away to 1002 → re-inserted
+    assert(t.read.filter(col("id") < 3).count() == 3)
+    assert(t.history(1).select("operation").as[String].head() == "MERGE")
+    val afterMerge = t.read.count()
     // REORG materializes; the table is then vector-free with same content
     GraftSql.sql(spark, s"REORG TABLE graft.`$p` APPLY (PURGE)")
     assert(t.deletionVectors.isEmpty)
-    assert(t.read.count() == 75)
+    assert(t.read.count() == afterMerge)
     // UNSET returns DELETE to the copy-on-write rewrite
     GraftSql.sql(spark,
       s"ALTER TABLE '$p' UNSET TBLPROPERTIES ('graft.enableDeletionVectors')")
+    val toDrop = t.read.filter(col("id") % 4 === 2).count()
     GraftSql.sql(spark, s"DELETE FROM '$p' WHERE id % 4 = 2")
-    assert(t.read.count() == 50)
+    assert(t.read.count() == afterMerge - toDrop)
     assert(t.deletionVectors.isEmpty)
     assert(t.read.filter(col("id") % 4 === 2).count() == 0)
   }

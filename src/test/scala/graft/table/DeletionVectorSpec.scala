@@ -203,6 +203,51 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.read.count() == 850)
   }
 
+  test("updateVectored appends replacements and marks old copies") {
+    val t = freshTable("dv-update")
+    t.overwrite(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+      .repartition(3))
+    val filesBefore = t.detail().select("num_files").as[Long].head()
+    t.updateVectored(col("k") >= 2, Map("v" -> (col("v") * 10)))
+    assert(t.read.orderBy("k").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (2L, 200.0), (3L, 300.0)))
+    // old files untouched, replacements appended as new files
+    assert(t.detail().select("num_files").as[Long].head() > filesBefore)
+    assert(t.deletionVectors.values.sum == 2L)
+    assert(t.history(1).select("operation").as[String].head() == "UPDATE")
+    // a second update compounds on the CURRENT values, not resurrected ones
+    t.updateVectored(col("k") === 2, Map("v" -> (col("v") + 1)))
+    assert(t.read.orderBy("k").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (2L, 201.0), (3L, 300.0)))
+    // matching nothing commits nothing
+    val v = t.version
+    t.updateVectored(col("k") === 99, Map("v" -> lit(0.0)))
+    assert(t.version == v)
+  }
+
+  test("mergeVectored upserts with write cost on the source side only") {
+    val t = freshTable("dv-mor-merge")
+    t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .repartition(3))
+    t.mergeVectored(Seq((2L, "B"), (4L, "D")).toDF("k", "v"), Seq("k"))
+    assert(t.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
+    assert(t.deletionVectors.values.sum == 1L) // old copy of k=2
+    assert(t.history(1).select("operation").as[String].head() == "MERGE")
+    // idempotent: merging the same batch again displaces its own appends
+    t.mergeVectored(Seq((2L, "B"), (4L, "D")).toDF("k", "v"), Seq("k"))
+    assert(t.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
+    // insert-only merge (no matched keys) carries vectors, adds rows
+    t.mergeVectored(Seq((5L, "E")).toDF("k", "v"), Seq("k"))
+    assert(t.read.count() == 5)
+    // compaction materializes everything back to a vector-free table
+    t.compact(1)
+    assert(t.deletionVectors.isEmpty)
+    assert(t.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D"), (5L, "E")))
+  }
+
   test("table properties round-trip and reach detail()") {
     val t = freshTable("dv-props")
     t.overwrite(spark.range(5).toDF("id"))
