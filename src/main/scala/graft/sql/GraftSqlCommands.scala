@@ -21,7 +21,7 @@ import graft.table.ManagedTable
   * {{{
   * DESCRIBE HISTORY <tbl> [LIMIT n]
   * DESCRIBE DETAIL <tbl>
-  * OPTIMIZE <tbl> [ZORDER BY (c1, c2, ...)]
+  * OPTIMIZE <tbl> [ZORDER BY (c1, c2, ...)] [WHERE <partition pred>]
   * VACUUM <tbl> [RETAIN n HOURS] [DRY RUN]
   * RESTORE [TABLE] <tbl> TO VERSION AS OF v
   * MERGE INTO <tbl> [AS] t USING <table|view|(subquery)> [AS] s
@@ -80,15 +80,24 @@ object GraftSqlCommands {
     * the true Morton-key clustering ([[ManagedTable.clusterZ]]).
     */
   case class OptimizeCommand(path: String, zorderBy: Seq[String],
+      whereText: Option[String] = None,
       targetFileBytes: Long = 128L * 1024 * 1024)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = attrs(
       "path" -> StringType, "files_before" -> LongType,
       "files_after" -> LongType)
     override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.expr
       val t = new ManagedTable(spark, path)
       val before = t.detail().select("num_files").head.getLong(0)
-      if (zorderBy.nonEmpty) t.clusterZ(zorderBy)
+      if (whereText.nonEmpty) {
+        // partition-scoped compaction: the predicate must cover partition
+        // columns only (compactWhere enforces a partitioned table); one
+        // compacted file lands per matched partition dir
+        require(zorderBy.isEmpty, "OPTIMIZE ... WHERE does not take ZORDER BY")
+        t.compactWhere(expr(whereText.get), 1)
+      }
+      else if (zorderBy.nonEmpty) t.clusterZ(zorderBy)
       else {
         val bytes = t.detail().select("size_in_bytes").head.getLong(0)
         t.compact(math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt)
@@ -285,7 +294,7 @@ object GraftSqlCommands {
   private val DescDetail =
     rx(s"""^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Tbl\\s*;?\\s*$$""")
   private val Optimize =
-    rx(s"""^\\s*OPTIMIZE\\s+$Tbl\\s*(?:ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""")
+    rx(s"""^\\s*OPTIMIZE\\s+$Tbl\\s*(?:ZORDER\\s+BY\\s*\\(([^)]+)\\))?(?:\\s*WHERE\\s+(.+?))?\\s*;?\\s*$$""")
   private val Vacuum =
     rx(s"""^\\s*VACUUM\\s+$Tbl\\s*(?:RETAIN\\s+([0-9.]+)\\s+HOURS?)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""")
   private val Restore =
@@ -336,7 +345,7 @@ object GraftSqlCommands {
     val op = Optimize.matcher(sqlText)
     if (op.matches()) {
       val z = Option(op.group(4)).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
-      return Some(OptimizeCommand(tbl(op, 1), z))
+      return Some(OptimizeCommand(tbl(op, 1), z, Option(op.group(5))))
     }
     val va = Vacuum.matcher(sqlText)
     if (va.matches())

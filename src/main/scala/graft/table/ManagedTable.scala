@@ -1981,6 +1981,64 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def compact(numFiles: Int): Unit =
     replaceWith(read.repartition(numFiles), Nil, "OPTIMIZE")
 
+  /** Incremental compaction — Delta's ACTUAL `OPTIMIZE` semantics: only
+    * files below `minFileBytes` are rewritten, bin-packed toward
+    * `targetFileBytes`; right-sized files are never read, never moved. On
+    * a 100 TB table that has accumulated thousands of small streaming
+    * appends, cost tracks the small files, not the table (the whole-table
+    * [[compact]] would rewrite everything). Files carrying deletion
+    * vectors are included regardless of size, so an incremental OPTIMIZE
+    * also purges their bitmaps. No-op (no commit) when fewer than two
+    * files qualify and none carry vectors.
+    */
+  def compactSmall(minFileBytes: Long = 16L * 1024 * 1024,
+                   targetFileBytes: Long = 128L * 1024 * 1024): Unit = withCommitLock {
+    ensureBootstrapped()
+    val dv = dvMapForVersion(version)
+    val all = listParquet(new Path(path))
+      .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) }
+    val small = all.filter { case (p, len) => len < minFileBytes || dv.contains(p) }
+    if (small.size >= 2 || small.exists(f => dv.contains(f._1))) {
+      val pcs = loggedPartitionCols(version)
+      val files = small.map(_._1)
+      val bins = math.max(1L,
+        (small.map(_._2).sum + targetFileBytes - 1) / targetFileBytes).toInt
+      // materialize BEFORE the moves — the plan reads the files being
+      // retired; basePath keeps partition columns resolving. Partitioned
+      // tables cluster by the partition columns so each value's rows land
+      // in one task → one compacted file per partition dir, not bins×dirs.
+      val survivors = applyDv(
+        spark.read.option("basePath", qualifiedRoot).parquet(files: _*), dv)
+      val repacked = (if (pcs.nonEmpty)
+        survivors.repartition(bins, pcs.map(col): _*)
+      else survivors.repartition(bins)).localCheckpoint()
+      val cur = version
+      val moved = files.map { f =>
+        val rel = f.stripPrefix(qualifiedRoot + "/")
+        val dst = new Path(retainedDir(cur) + "/" + rel)
+        fs.mkdirs(dst.getParent)
+        fs.rename(new Path(f), dst)
+        f -> (retainedDir(cur) + "/" + rel)
+      }.toMap
+      remapFiles(moved)
+      val w = repacked.write.mode(SaveMode.Append)
+      (if (pcs.nonEmpty) w.partitionBy(pcs: _*) else w).parquet(path)
+      commit("OPTIMIZE", pcs)
+    }
+  }
+
+  /** Partition-scoped compaction (`OPTIMIZE <tbl> WHERE <partition
+    * predicate>`): rewrite only the matching partitions to `numFiles`
+    * files each batch — unaffected partitions are never read or moved.
+    */
+  def compactWhere(partitionCond: org.apache.spark.sql.Column,
+                   numFiles: Int): Unit = {
+    ensureBootstrapped()
+    val pcs = loggedPartitionCols(version)
+    require(pcs.nonEmpty, "compactWhere needs a partitioned table")
+    rewritePartitions(partitionCond, pcs, "OPTIMIZE")(_.repartition(numFiles))
+  }
+
   /** Multi-dimensional clustering (M6, `executeZOrderBy`): range-partition on
     * the clustering columns and sort within partitions so parquet row-group
     * min/max stats make selective scans skip files/row-groups. Locality is

@@ -248,6 +248,53 @@ class DeletionVectorSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D"), (5L, "E")))
   }
 
+  test("compactSmall bin-packs only undersized files and purges their vectors") {
+    val t = freshTable("dv-compact-small")
+    // one big-ish file plus many small appends (the streaming-ingest shape)
+    t.overwrite(spark.range(10000).toDF("id").coalesce(1))
+    for (i <- 0 until 4)
+      t.append(spark.range(10000 + i * 10, 10000 + i * 10 + 10).toDF("id").coalesce(1))
+    val bigFile = spark.read.parquet(t.path).select(input_file_name())
+      .groupBy("input_file_name()").count()
+      .orderBy(desc("count")).limit(1)
+      .collect()(0).getString(0)
+    t.deleteVectored(col("id") === 10001L) // lands in a small file
+    t.compactSmall(minFileBytes = 10L * 1024) // the 10 k-row file is bigger
+    // small files merged, vectors purged, content right
+    assert(t.deletionVectors.isEmpty)
+    assert(t.read.count() == 10039)
+    assert(t.history(1).select("operation").as[String].head() == "OPTIMIZE")
+    // the right-sized file was not rewritten (same physical path survives)
+    val after = spark.read.parquet(t.path).select(input_file_name())
+      .distinct().as[String].collect().toSet
+    assert(after.contains(bigFile))
+    assert(after.size < 5) // 1 untouched + packed bin(s)
+    // idempotent: second run has < 2 qualifying files and commits nothing
+    val v = t.version
+    t.compactSmall(minFileBytes = 1L) // nothing under 1 byte
+    assert(t.version == v)
+  }
+
+  test("SQL OPTIMIZE WHERE compacts only the matching partitions") {
+    val t = freshTable("dv-opt-where")
+    val df = spark.range(100).toDF("id")
+      .withColumn("p", (col("id") % 2).cast("string"))
+    t.overwrite(df.repartition(4), Seq("p"))
+    val fs = new org.apache.hadoop.fs.Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesIn(dir: String) = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"${t.path}/$dir"))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+    val p1Before = filesIn("p=1")
+    assert(filesIn("p=0").size > 1)
+    graft.sql.GraftSql.sql(spark,
+      s"OPTIMIZE graft.`${t.path}` WHERE p = '0'")
+    // matched partition compacted to one file; unmatched untouched
+    assert(filesIn("p=0").size == 1)
+    assert(filesIn("p=1") == p1Before)
+    assert(t.read.count() == 100)
+  }
+
   test("table properties round-trip and reach detail()") {
     val t = freshTable("dv-props")
     t.overwrite(spark.range(5).toDF("id"))
