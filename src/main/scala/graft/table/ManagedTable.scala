@@ -757,14 +757,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     else withCommitLock {
       ensureBootstrapped()
       val prev = dvMapForVersion(version)
+      val src = assignIdentities(source)
       // AQE turns this key semi join into a broadcast join for the normal
       // small-delta source; the target never shuffles
       val displaced = dvScanWithMeta(prev)
-        .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        .join(src.select(keys.map(col): _*).distinct(), keys, "left_semi")
       val packed = packDvMarks(displaced)
       val incoming = tableSchemaOpt
-        .map(conform(source, allowEvolution = false, _, partitionCols))
-        .getOrElse(source).localCheckpoint()
+        .map(conform(src, allowEvolution = false, _, partitionCols))
+        .getOrElse(src).localCheckpoint()
       enforceConstraints(incoming)
       val w = incoming.write.mode(SaveMode.Append)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
@@ -1411,7 +1412,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // themselves are keyed by file path, so the clone's CLONE commit
     // rebuilds them for the copied files via refreshBloomIndexes
     for (f <- Seq("_constraints.txt", "_generated.txt", "_bloom_cols.txt",
-                  "_props.txt")) {
+                  "_props.txt", "_identity.txt")) {
       val src = new Path(logDir, f)
       if (fs.exists(src)) {
         val in = fs.open(src)
@@ -1510,7 +1511,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def overwrite(df: DataFrame, partitionCols: Seq[String] = Nil): Unit =
     if (exists) replaceWith(df, partitionCols, "OVERWRITE")
     else withCommitLock {
-      val w = df.write.mode(SaveMode.Overwrite)
+      val w = assignIdentities(df).write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
       commit("OVERWRITE", partitionCols)
     }
@@ -1585,10 +1586,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                        txn: Option[(String, Long)] = None): Unit =
     withCommitLock {
       ensureBootstrapped()
+      val dfi = assignIdentities(df)
       val conformed0 =
         if (exists) tableSchemaOpt
-          .map(conform(df, allowEvolution, _, partitionCols)).getOrElse(df)
-        else df
+          .map(conform(dfi, allowEvolution, _, partitionCols)).getOrElse(dfi)
+        else dfi
       // materialize BEFORE the check when constraints exist, so the rows the
       // check saw are exactly the rows the write persists (a nondeterministic
       // source could otherwise pass the check and write violating rows), and
@@ -1759,6 +1761,83 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def unsetProperties(keys: Seq[String]): Unit =
     writeProperties(properties -- keys)
 
+  // ---- identity columns --------------------------------------------------
+
+  private def identityFile = new Path(logDir, "_identity.txt")
+
+  /** Declared identity columns: name → (start, step, next value to assign).
+    * `next` is the persisted high-water mark — advanced BEFORE each data
+    * write, so a crash mid-append burns a range (a gap) but can never hand
+    * the same value out twice. Delta's IDENTITY contract: unique, gaps
+    * allowed.
+    */
+  def identityColumns: Map[String, (Long, Long, Long)] =
+    if (!fs.exists(identityFile)) Map.empty
+    else {
+      val in = fs.open(identityFile)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .flatMap(_.split('\t') match {
+          case Array(n, s, k, nx) => Some(dec(n) -> (s.toLong, k.toLong, nx.toLong))
+          case _ => None
+        }).toMap
+      finally in.close()
+    }
+
+  private def writeIdentity(m: Map[String, (Long, Long, Long)]): Unit = {
+    fs.mkdirs(logDir)
+    val out = fs.create(identityFile, true)
+    try out.write(m.toSeq.sortBy(_._1)
+      .map { case (n, (s, k, nx)) => s"${enc(n)}\t$s\t$k\t$nx" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Declare an identity column (Delta's `GENERATED BY DEFAULT AS IDENTITY
+    * (START WITH s INCREMENT BY k)`): writes that omit the column get
+    * engine-assigned values; writes that carry it (including every internal
+    * rewrite, which reads existing values through [[read]]) pass it through
+    * unchanged. Existing rows are backfilled once, as a logged rewrite.
+    */
+  def addIdentityColumn(name: String, startWith: Long = 1L,
+                        incrementBy: Long = 1L): Unit = withCommitLock {
+    require(incrementBy != 0, "incrementBy must be non-zero")
+    require(!identityColumns.contains(name), s"identity column $name already exists")
+    require(tableSchemaOpt.forall(!_.fieldNames.exists(_.equalsIgnoreCase(name))),
+      s"column $name already exists in the table schema")
+    writeIdentity(identityColumns + (name -> (startWith, incrementBy, startWith)))
+    if (exists && tableSchemaOpt.isDefined)
+      replaceWith(assignIdentities(read), loggedPartitionCols(version), "ADD IDENTITY")
+  }
+
+  /** Assign values for every declared identity column ABSENT from `df`:
+    * dense `next + step·i` per row via `zipWithIndex` (one extra count job
+    * over the incoming batch — two passes, no global window, no driver
+    * collect), with the high-water mark persisted BEFORE the data lands.
+    * Called from every write funnel; frames already carrying the column
+    * (all internal rewrites) pass through untouched.
+    */
+  private def assignIdentities(df: DataFrame): DataFrame = {
+    val ids = identityColumns
+    val missing = ids.filter { case (n, _) =>
+      !df.schema.fieldNames.exists(_.equalsIgnoreCase(n)) }
+    if (missing.isEmpty) df
+    else {
+      // pin the batch: the assignment runs extra jobs over it (count +
+      // zipWithIndex offsets) and a nondeterministic source must yield the
+      // same rows to each
+      val pinned = df.localCheckpoint()
+      val cnt = pinned.count()
+      missing.foldLeft(pinned) { case (d, (name, (start, step, next))) =>
+        writeIdentity(identityColumns.updated(name, (start, step, next + step * cnt)))
+        val schema = d.schema.add(name, org.apache.spark.sql.types.LongType,
+          nullable = false)
+        val rdd = d.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (next + step * i)) }
+        spark.createDataFrame(rdd, schema)
+      }
+    }
+  }
+
   /** One aggregation pass over the INCOMING data (never the table): count
     * violations per declared constraint, throw naming the violated ones.
     * Only rows where the expression is definitively false violate.
@@ -1782,9 +1861,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * or the new table, never a partial write (single-writer; SURVEY.md
     * §7.6.5).
     */
-  private def replaceWith(df0: DataFrame, partitionCols: Seq[String],
+  private def replaceWith(df0i: DataFrame, partitionCols: Seq[String],
                           operation: String): Unit = withCommitLock {
     ensureBootstrapped()
+    val df0 = assignIdentities(df0i)
     // same checked-rows-are-written-rows materialization as appendAs;
     // only paid when constraints are declared
     val df = if (constraints.nonEmpty) df0.localCheckpoint() else df0
@@ -1815,17 +1895,19 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     if (!exists) overwrite(source, partitionCols)
     else if (partitionCols.isEmpty)
       // writing to the tmp dir scans the OLD files, so no checkpoint needed
-      replaceWith(Merge.upsert(read, source, keys), partitionCols, "MERGE")
+      replaceWith(Merge.upsert(read, assignIdentities(source), keys),
+        partitionCols, "MERGE")
     else {
       ensureBootstrapped()
+      val src = assignIdentities(source)
       val target = read
-      val srcParts = source.select(partitionCols.map(c => col(c)): _*).distinct()
+      val srcParts = src.select(partitionCols.map(c => col(c)): _*).distinct()
       val matchedParts = target
-        .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        .join(src.select(keys.map(col): _*).distinct(), keys, "left_semi")
         .select(partitionCols.map(c => col(c)): _*).distinct()
       val affected = srcParts.union(matchedParts).distinct().localCheckpoint()
       val merged = Merge.upsert(rowsInPartitions(target, affected, partitionCols),
-        source, keys).localCheckpoint()
+        src, keys).localCheckpoint()
       swapPartitions(affected, partitionCols, merged, "MERGE")
     }
 
@@ -2085,7 +2167,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // properties): declared CHECK constraints and generated columns
     val props = constraints.toSeq.sorted.map { case (n, e) => s"check:$n=$e" } ++
       generatedColumns.toSeq.sorted.map { case (n, e) => s"generated:$n=$e" } ++
-      properties.toSeq.sorted.map { case (k, v) => s"prop:$k=$v" } ++ {
+      properties.toSeq.sorted.map { case (k, v) => s"prop:$k=$v" } ++
+      identityColumns.toSeq.sortBy(_._1).map { case (n, (s0, k, nx)) =>
+        s"identity:$n=start $s0 step $k next $nx" } ++ {
         val dv = deletionVectors
         if (dv.isEmpty) Nil
         else Seq(s"deletionVectors:files=${dv.size},rows=${dv.values.sum}")
