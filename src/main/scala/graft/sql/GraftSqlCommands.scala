@@ -21,6 +21,7 @@ import graft.table.ManagedTable
   * {{{
   * DESCRIBE HISTORY <tbl> [LIMIT n]
   * DESCRIBE DETAIL <tbl>
+  * SHOW TBLPROPERTIES <tbl>
   * OPTIMIZE <tbl> [ZORDER BY (c1, c2, ...)] [WHERE <partition pred>]
   * VACUUM <tbl> [RETAIN n HOURS] [DRY RUN]
   * RESTORE [TABLE] <tbl> TO VERSION AS OF v
@@ -67,6 +68,14 @@ object GraftSqlCommands {
     override def run(spark: SparkSession): Seq[Row] =
       new ManagedTable(spark, path)
         .history(limit.getOrElse(Int.MaxValue)).collect().toSeq
+  }
+
+  case class ShowTblPropertiesCommand(path: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs(
+      "key" -> StringType, "value" -> StringType)
+    override def run(spark: SparkSession): Seq[Row] =
+      new ManagedTable(spark, path).properties.toSeq.sorted
+        .map { case (k, v) => Row(k, v) }
   }
 
   case class DescribeDetailCommand(path: String) extends LeafRunnableCommand {
@@ -317,6 +326,8 @@ object GraftSqlCommands {
     rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$$""")
   private val AlterDropColumn =
     rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*;?\\s*$$""")
+  private val ShowProps =
+    rx(s"""^\\s*SHOW\\s+TBLPROPERTIES\\s+$Tbl\\s*;?\\s*$$""")
   private val AlterSetProps =
     rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterUnsetProps =
@@ -392,6 +403,8 @@ object GraftSqlCommands {
       val colName = xc.group(4)
       return Some(AlterTableGraftCommand(tbl(xc, 1), _.dropColumn(colName)))
     }
+    val shp = ShowProps.matcher(sqlText)
+    if (shp.matches()) return Some(ShowTblPropertiesCommand(tbl(shp, 1)))
     val sp = AlterSetProps.matcher(sqlText)
     if (sp.matches()) {
       val pairs = parsePropertyPairs(sp.group(4))

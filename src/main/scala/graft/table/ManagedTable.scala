@@ -1508,6 +1508,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def readEvolved: DataFrame =
     applyDv(spark.read.option("mergeSchema", "true").parquet(path), currentDv)
 
+  /** Streaming change-data-feed (Delta's `readChangeFeed` stream): each
+    * micro-batch carries the insert/update/delete diff between the last
+    * processed version and the current one, classified on `keys` —
+    * [[graft.streaming.CdfStreamSource]] with offsets = table versions.
+    * `startingVersion` < 0 (default) starts at the CURRENT version (future
+    * changes only).
+    */
+  def readChangeStream(keys: Seq[String], startingVersion: Long = -1L): DataFrame = {
+    val r = spark.readStream.format("graft.streaming.CdfSourceProvider")
+      .option("path", path).option("keys", keys.mkString(","))
+    (if (startingVersion >= 0) r.option("startingVersion", startingVersion.toString)
+     else r).load()
+  }
+
   def overwrite(df: DataFrame, partitionCols: Seq[String] = Nil): Unit =
     if (exists) replaceWith(df, partitionCols, "OVERWRITE")
     else withCommitLock {

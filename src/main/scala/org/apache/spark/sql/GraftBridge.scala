@@ -10,4 +10,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Re-tag a batch plan as a streaming micro-batch frame — what a V1
+    * `Source.getBatch` must return (the engine asserts `isStreaming`).
+    * Same package-private `internalCreateDataFrame` the built-in file
+    * stream source uses; the RDD stays lazy, nothing materializes here.
+    */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

@@ -337,6 +337,10 @@ class GraftSqlSpec extends SparkSpec {
     GraftSql.sql(spark, s"REORG TABLE graft.`$p` APPLY (PURGE)")
     assert(t.deletionVectors.isEmpty)
     assert(t.read.count() == afterMerge)
+    // SHOW TBLPROPERTIES lists the keys as rows
+    assert(GraftSql.sql(spark, s"SHOW TBLPROPERTIES graft.`$p`")
+      .as[(String, String)].collect().toSeq ==
+      Seq(("graft.enableDeletionVectors", "true")))
     // UNSET returns DELETE to the copy-on-write rewrite
     GraftSql.sql(spark,
       s"ALTER TABLE '$p' UNSET TBLPROPERTIES ('graft.enableDeletionVectors')")

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.table.ManagedTable
+import org.apache.spark.sql.functions._
+
+/** Streaming change-data-feed over a managed table: per-commit diffs with
+  * version-number offsets, including merge-on-read (deletion-vector)
+  * deletes.
+  */
+class CdfStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("change stream emits insert/update/delete per commit with versions") {
+    val t = new ManagedTable(spark, tmpDir("cdf-src") + "/t")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val q = t.readChangeStream(Seq("k"))
+      .writeStream.format("memory").queryName("cdf_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // default start = current version: the seed data is NOT replayed
+      assert(spark.table("cdf_sink").count() == 0)
+
+      t.merge(Seq((2L, "B"), (3L, "C")).toDF("k", "v"), Seq("k"))
+      q.processAllAvailable()
+      val afterMerge = spark.table("cdf_sink")
+        .select("k", "v", "change_type", "graft_commit_version")
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(afterMerge == Set(
+        (2L, "B", "update", 1L), (3L, "C", "insert", 1L)))
+
+      // a vectored (merge-on-read) delete surfaces as a CDF delete too
+      t.deleteVectored(col("k") === 1)
+      q.processAllAvailable()
+      val deletes = spark.table("cdf_sink")
+        .filter(col("change_type") === "delete")
+        .select("k", "graft_commit_version").as[(Long, Long)].collect().toSeq
+      assert(deletes == Seq((1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("startingVersion replays history; multiple commits coalesce to net change") {
+    val t = new ManagedTable(spark, tmpDir("cdf-replay") + "/t")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))            // v0
+    t.append(Seq((2L, "b")).toDF("k", "v"))               // v1
+    t.merge(Seq((2L, "b2")).toDF("k", "v"), Seq("k"))     // v2
+    val q = t.readChangeStream(Seq("k"), startingVersion = 0)
+      .writeStream.format("memory").queryName("cdf_replay")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // one batch: the NET diff v0 → v2 (k=2 appears once, as an insert)
+      val rows = spark.table("cdf_replay")
+        .select("k", "v", "change_type").as[(Long, String, String)]
+        .collect().toSet
+      assert(rows == Set((2L, "b2", "insert")))
+    } finally q.stop()
+  }
+}
