@@ -214,7 +214,9 @@ object GraftSqlCommands {
       val useDv = t.properties.get("graft.enableDeletionVectors")
         .exists(_.equalsIgnoreCase("true"))
       if (partitionOnly) t.deleteScoped(cond, cond, pcs)
-      else if (useDv) t.deleteVectored(cond, pcs)
+      // a predicate-free (full-table) delete must DROP the files, not
+      // bitmap every row of every file — the degenerate DV case
+      else if (useDv && whereText.nonEmpty) t.deleteVectored(cond, pcs)
       else t.delete(cond, pcs)
       Nil
     }

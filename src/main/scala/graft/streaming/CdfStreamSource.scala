@@ -50,9 +50,15 @@ class CdfStreamSource(sqlContext: SQLContext, path: String,
     case other => other.json().trim.toLong
   }
 
+  // ALWAYS the current version — the engine compares against its
+  // checkpointed offset, so a restart resumes from the checkpoint even
+  // though this instance's startingVersion re-resolved to "now"; gating on
+  // startingVersion here would withhold changes committed while the stream
+  // was down until some future commit bumped the version past it.
+  // startingVersion only seeds fromV for the very first batch (start=None).
   override def getOffset: Option[Offset] = {
     val v = table.version
-    if (v > startingVersion) Some(LongOffset(v)) else None
+    if (v >= 0) Some(LongOffset(v)) else None
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

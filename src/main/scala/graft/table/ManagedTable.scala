@@ -737,8 +737,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         case (d, (c, e)) => d.withColumn(c, e)
       }.localCheckpoint()
       enforceConstraints(updated)
-      val w = updated.write.mode(SaveMode.Append)
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+      appendViaTmp(updated, partitionCols)
       commit("UPDATE", partitionCols, dvNew = Some(mergeDvInto(prev, packed)))
     }
   }
@@ -767,11 +766,33 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         .map(conform(src, allowEvolution = false, _, partitionCols))
         .getOrElse(src).localCheckpoint()
       enforceConstraints(incoming)
-      val w = incoming.write.mode(SaveMode.Append)
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+      appendViaTmp(incoming, partitionCols)
       commit("MERGE", partitionCols,
         dvNew = if (packed.isEmpty) None else Some(mergeDvInto(prev, packed)))
     }
+
+  /** Append `df`'s rows to the live dir with a MINIMAL crash window: the
+    * Spark write runs against a tmp sibling dir (ignored by listings,
+    * reaped by [[vacuum]]), and only fast per-file renames touch the live
+    * dir. A crash mid-job orphans the tmp dir — harmless; only a crash
+    * inside the rename loop (milliseconds, not a whole write job) can
+    * leave rows for the RECOVER commit to legitimize early. Used by the
+    * merge-on-read DML paths, where a stray append without its bitmap
+    * commit would otherwise surface duplicate keys.
+    */
+  private def appendViaTmp(df: DataFrame, partitionCols: Seq[String]): Unit = {
+    val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp.toString)
+    val tmpQ = fs.makeQualified(tmp).toString
+    listParquet(tmp).foreach { case (f, _) =>
+      val rel = fs.makeQualified(new Path(f)).toString.stripPrefix(tmpQ + "/")
+      val dst = new Path(path + "/" + rel)
+      fs.mkdirs(dst.getParent)
+      fs.rename(new Path(f), dst)
+    }
+    fs.delete(tmp, true)
+  }
 
   /** Live scan with `__dv_file`/`__dv_idx` metadata columns, already
     * filtered through the PREVIOUS deletion vectors (rows deleted earlier
@@ -826,28 +847,40 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     ensureBootstrapped()
     val dv = dvMapForVersion(version)
     if (dv.nonEmpty) {
-      val pcs = loggedPartitionCols(version)
       val files = dv.keys.toSeq.sorted
       // materialize the survivors BEFORE the moves — the plan reads the
       // files being retired (basePath keeps partition columns resolving)
       val survivors = applyDv(
         spark.read.option("basePath", qualifiedRoot).parquet(files: _*), dv)
         .localCheckpoint()
-      val cur = version
-      val moved = files.map { f =>
-        val rel = f.stripPrefix(qualifiedRoot + "/")
-        val dst = new Path(retainedDir(cur) + "/" + rel)
-        fs.mkdirs(dst.getParent)
-        fs.rename(new Path(f), dst)
-        f -> (retainedDir(cur) + "/" + rel)
-      }.toMap
-      remapFiles(moved)
-      val w = survivors.write.mode(SaveMode.Append)
-      (if (pcs.nonEmpty) w.partitionBy(pcs: _*) else w).parquet(path)
       // moved files fall out of the carried DV map by path; the rewritten
       // rows carry no vectors — the PURGE commit is vector-free
-      commit("PURGE", pcs)
+      retireAndReplace(files, survivors, "PURGE")
     }
+  }
+
+  /** Shared tail of the file-granular rewrites ([[purgeDeletes]],
+    * [[compactSmall]]): retire exactly `files` into the current version's
+    * snapshot (remapping manifests + DV snapshots file-by-file), append
+    * the already-materialized `replacement` rows, and commit. Caller holds
+    * the lease and has materialized `replacement` (its plan reads the
+    * files being moved).
+    */
+  private def retireAndReplace(files: Seq[String], replacement: DataFrame,
+                               operation: String): Unit = {
+    val pcs = loggedPartitionCols(version)
+    val cur = version
+    val moved = files.map { f =>
+      val rel = f.stripPrefix(qualifiedRoot + "/")
+      val dst = new Path(retainedDir(cur) + "/" + rel)
+      fs.mkdirs(dst.getParent)
+      fs.rename(new Path(f), dst)
+      f -> (retainedDir(cur) + "/" + rel)
+    }.toMap
+    remapFiles(moved)
+    val w = replacement.write.mode(SaveMode.Append)
+    (if (pcs.nonEmpty) w.partitionBy(pcs: _*) else w).parquet(path)
+    commit(operation, pcs)
   }
 
   /** Exact-path remap of log metadata (manifests + DV snapshots) for
@@ -1907,11 +1940,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   def merge(source: DataFrame, keys: Seq[String], partitionCols: Seq[String] = Nil): Unit =
     if (!exists) overwrite(source, partitionCols)
-    else if (partitionCols.isEmpty)
-      // writing to the tmp dir scans the OLD files, so no checkpoint needed
+    else if (partitionCols.isEmpty) withCommitLock {
+      // identity assignment advances the persisted high-water mark —
+      // a read-modify-write that must not interleave with a lease-holding
+      // writer (the lock is reentrant; replaceWith re-enters below).
+      // Writing to the tmp dir scans the OLD files, so no checkpoint needed
       replaceWith(Merge.upsert(read, assignIdentities(source), keys),
         partitionCols, "MERGE")
-    else {
+    }
+    else withCommitLock {
       ensureBootstrapped()
       val src = assignIdentities(source)
       val target = read
@@ -2108,18 +2145,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val repacked = (if (pcs.nonEmpty)
         survivors.repartition(bins, pcs.map(col): _*)
       else survivors.repartition(bins)).localCheckpoint()
-      val cur = version
-      val moved = files.map { f =>
-        val rel = f.stripPrefix(qualifiedRoot + "/")
-        val dst = new Path(retainedDir(cur) + "/" + rel)
-        fs.mkdirs(dst.getParent)
-        fs.rename(new Path(f), dst)
-        f -> (retainedDir(cur) + "/" + rel)
-      }.toMap
-      remapFiles(moved)
-      val w = repacked.write.mode(SaveMode.Append)
-      (if (pcs.nonEmpty) w.partitionBy(pcs: _*) else w).parquet(path)
-      commit("OPTIMIZE", pcs)
+      retireAndReplace(files, repacked, "OPTIMIZE")
     }
   }
 

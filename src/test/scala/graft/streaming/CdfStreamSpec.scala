@@ -40,6 +40,35 @@ class CdfStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restart resumes from the checkpoint, emitting changes made while down") {
+    val dir = tmpDir("cdf-restart")
+    val t = new ManagedTable(spark, dir + "/t")
+    val ckpt = dir + "/ckpt"
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    def start() = t.readChangeStream(Seq("k"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.filter(col("change_type") === "insert").select("k")
+          .as[Long].collect().foreach(k => seen.add(k)); ()
+      }.start()
+    val q1 = start()
+    q1.processAllAvailable()
+    t.append(Seq((2L, "b")).toDF("k", "v"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(seen.contains(2L))
+    // this change lands while NO stream is running
+    t.append(Seq((3L, "c")).toDF("k", "v"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // the restarted instance re-resolves "now" but must still drain the
+      // checkpointed gap — nothing arrives if resume is broken
+      assert(seen.contains(3L))
+    } finally q2.stop()
+  }
+
   test("startingVersion replays history; multiple commits coalesce to net change") {
     val t = new ManagedTable(spark, tmpDir("cdf-replay") + "/t")
     t.overwrite(Seq((1L, "a")).toDF("k", "v"))            // v0
