@@ -24,7 +24,7 @@ import graft.table.ManagedTable
   * SHOW TBLPROPERTIES <tbl>
   * OPTIMIZE <tbl> [ZORDER BY (c1, c2, ...)] [WHERE <partition pred>]
   * VACUUM <tbl> [RETAIN n HOURS] [DRY RUN]
-  * RESTORE [TABLE] <tbl> TO VERSION AS OF v
+  * RESTORE [TABLE] <tbl> TO VERSION AS OF v | TIMESTAMP AS OF 'ts'
   * MERGE INTO <tbl> [AS] t USING <table|view|(subquery)> [AS] s
   *   ON t.k1 = s.k1 [AND t.k2 = s.k2 ...]
   *   [WHEN MATCHED THEN UPDATE SET *]
@@ -132,15 +132,17 @@ object GraftSqlCommands {
     }
   }
 
-  case class RestoreCommand(path: String, version: Long)
-      extends LeafRunnableCommand {
+  case class RestoreCommand(path: String, version: Option[Long],
+      timestamp: Option[String]) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = attrs(
-      "path" -> StringType, "restored_version" -> LongType,
-      "new_version" -> LongType)
+      "path" -> StringType, "new_version" -> LongType)
     override def run(spark: SparkSession): Seq[Row] = {
       val t = new ManagedTable(spark, path)
-      t.restore(version)
-      Seq(Row(path, version, t.version))
+      version match {
+        case Some(v) => t.restore(v)
+        case None => t.restoreAsOf(timestamp.get)
+      }
+      Seq(Row(path, t.version))
     }
   }
 
@@ -251,12 +253,15 @@ object GraftSqlCommands {
     * new table, with optional PARTITIONED BY.
     */
   case class InsertGraftCommand(path: String, queryText: String,
-      overwrite: Boolean, partitionBy: Seq[String]) extends LeafRunnableCommand {
+      overwrite: Boolean, partitionBy: Seq[String],
+      tblProperties: Map[String, String] = Map.empty)
+      extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Nil
     override def run(spark: SparkSession): Seq[Row] = {
       val t = new ManagedTable(spark, path)
       val df = spark.sql(queryText)
       val pcs = if (partitionBy.nonEmpty) partitionBy else latestPartitionCols(t)
+      if (tblProperties.nonEmpty) t.setProperties(tblProperties)
       if (overwrite) t.overwrite(df, pcs) else t.append(df, pcs)
       Nil
     }
@@ -309,7 +314,7 @@ object GraftSqlCommands {
   private val Vacuum =
     rx(s"""^\\s*VACUUM\\s+$Tbl\\s*(?:RETAIN\\s+([0-9.]+)\\s+HOURS?)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""")
   private val Restore =
-    rx(s"""^\\s*RESTORE\\s+(?:TABLE\\s+)?$Tbl\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""")
+    rx(s"""^\\s*RESTORE\\s+(?:TABLE\\s+)?$Tbl\\s+TO\\s+(?:VERSION\\s+AS\\s+OF\\s+(\\d+)|TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')\\s*;?\\s*$$""")
   private val Convert =
     rx(s"""^\\s*CONVERT\\s+TO\\s+GRAFT\\s+$Tbl\\s*;?\\s*$$""")
   private val Delete =
@@ -319,7 +324,7 @@ object GraftSqlCommands {
   private val Insert =
     rx(s"""^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+$Tbl\\s+((?:SELECT|VALUES|TABLE|WITH|FROM)\\b.+?)\\s*;?\\s*$$""")
   private val Ctas =
-    rx(s"""^\\s*CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+$Tbl\\s*(?:PARTITIONED\\s+BY\\s*\\(([^)]+)\\)\\s*)?AS\\s+(.+?)\\s*;?\\s*$$""")
+    rx(s"""^\\s*CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+$Tbl\\s*(?:PARTITIONED\\s+BY\\s*\\(([^)]+)\\)\\s*)?(?:TBLPROPERTIES\\s*\\(([^)]+)\\)\\s*)?AS\\s+(.+?)\\s*;?\\s*$$""")
   private val AlterAddConstraint =
     rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterDropConstraint =
@@ -365,7 +370,9 @@ object GraftSqlCommands {
       return Some(VacuumCommand(tbl(va, 1),
         Option(va.group(4)).map(_.toDouble), va.group(5) != null))
     val re = Restore.matcher(sqlText)
-    if (re.matches()) return Some(RestoreCommand(tbl(re, 1), re.group(4).toLong))
+    if (re.matches())
+      return Some(RestoreCommand(tbl(re, 1),
+        Option(re.group(4)).map(_.toLong), Option(re.group(5))))
     val cv = Convert.matcher(sqlText)
     if (cv.matches()) return Some(ConvertToGraftCommand(tbl(cv, 1)))
     val del = Delete.matcher(sqlText)
@@ -382,8 +389,9 @@ object GraftSqlCommands {
     val ct = Ctas.matcher(sqlText)
     if (ct.matches()) {
       val pby = Option(ct.group(4)).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
-      return Some(InsertGraftCommand(tbl(ct, 1), ct.group(5),
-        overwrite = true, pby))
+      val props = Option(ct.group(5)).map(parsePropertyPairs).getOrElse(Map.empty)
+      return Some(InsertGraftCommand(tbl(ct, 1), ct.group(6),
+        overwrite = true, pby, props))
     }
     val ac = AlterAddConstraint.matcher(sqlText)
     if (ac.matches()) {

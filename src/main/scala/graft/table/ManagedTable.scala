@@ -1378,6 +1378,17 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     replaceWith(readVersion(v), loggedPartitionCols(v), "RESTORE")
   }
 
+  /** Timestamp-pinned rollback (`RESTORE … TIMESTAMP AS OF`): restore to
+    * the latest version committed at or before `ts`.
+    */
+  def restoreAsOf(ts: String): Unit = {
+    val cutoff = java.time.Instant.parse(ts)
+    val vs = historyRows
+      .filter(c => !java.time.Instant.parse(c.timestamp).isAfter(cutoff))
+    require(vs.nonEmpty, s"no version committed at or before $ts")
+    restore(vs.map(_.version).max)
+  }
+
   /** Partition columns recorded in snapshot `v`'s summary — a checkpoint
     * lookup, no manifest read, no Spark job.
     */

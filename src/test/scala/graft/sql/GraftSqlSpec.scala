@@ -42,7 +42,9 @@ class GraftSqlSpec extends SparkSpec {
     assert(parse("VACUUM '/w/t' RETAIN 0 HOURS DRY RUN").contains(
       VacuumCommand("/w/t", Some(0.0), dryRun = true)))
     assert(parse("RESTORE TABLE '/w/t' TO VERSION AS OF 2").contains(
-      RestoreCommand("/w/t", 2)))
+      RestoreCommand("/w/t", Some(2), None)))
+    assert(parse("RESTORE '/w/t' TO TIMESTAMP AS OF '2026-01-01T00:00:00Z'")
+      .contains(RestoreCommand("/w/t", None, Some("2026-01-01T00:00:00Z"))))
   }
 
   test("MERGE INTO parses upsert, insert-only, and subquery sources") {
@@ -143,6 +145,9 @@ class GraftSqlSpec extends SparkSpec {
 
     // restore to pre-append, then confirm the restore is itself a commit
     GraftSql.sql(spark, s"RESTORE TABLE '$p' TO VERSION AS OF 0")
+    // timestamp-pinned restore: "now" resolves to the latest version
+    GraftSql.sql(spark,
+      s"RESTORE TABLE '$p' TO TIMESTAMP AS OF '${java.time.Instant.now()}'")
     assert(t.read.orderBy("k").as[(Long, String)].collect().toSeq ==
       Seq((1L, "a"), (2L, "b")))
 
@@ -298,6 +303,19 @@ class GraftSqlSpec extends SparkSpec {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
     }
+  }
+
+  test("CTAS with TBLPROPERTIES creates the table with properties set") {
+    val dir = tmpDir("sql-ctas-props") + "/t"
+    Seq((1L, "x")).toDF("k", "v").createOrReplaceTempView("ctas_props_src")
+    GraftSql.sql(spark,
+      s"""CREATE OR REPLACE TABLE '$dir'
+          TBLPROPERTIES ('graft.enableDeletionVectors' = 'true', 'team' = 'data')
+          AS SELECT * FROM ctas_props_src""")
+    val t = new ManagedTable(spark, dir)
+    assert(t.read.count() == 1)
+    assert(t.properties == Map(
+      "graft.enableDeletionVectors" -> "true", "team" -> "data"))
   }
 
   test("SET TBLPROPERTIES flips SQL DELETE to deletion vectors; REORG purges") {
