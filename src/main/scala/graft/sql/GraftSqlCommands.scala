@@ -339,6 +339,8 @@ object GraftSqlCommands {
     rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterUnsetProps =
     rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+UNSET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""")
+  private val AlterAddIdentity =
+    rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+ADD\\s+IDENTITY\\s+COLUMN\\s+(\\w+)(?:\\s+START\\s+WITH\\s+(-?\\d+))?(?:\\s+INCREMENT\\s+BY\\s+(-?\\d+))?\\s*;?\\s*$$""")
   private val Reorg =
     rx(s"""^\\s*REORG\\s+TABLE\\s+$Tbl\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$$""")
   private val MergePrefix = rx(s"""^\\s*MERGE\\s+INTO\\s+$Tbl\\s*(?:AS\\s+)?(\\w+)?\\s+USING\\s+""")
@@ -424,6 +426,14 @@ object GraftSqlCommands {
     if (upr.matches()) {
       val keys = parsePropertyKeys(upr.group(4))
       return Some(AlterTableGraftCommand(tbl(upr, 1), _.unsetProperties(keys)))
+    }
+    val ai = AlterAddIdentity.matcher(sqlText)
+    if (ai.matches()) {
+      val (name, st, inc) = (ai.group(4),
+        Option(ai.group(5)).map(_.toLong).getOrElse(1L),
+        Option(ai.group(6)).map(_.toLong).getOrElse(1L))
+      return Some(AlterTableGraftCommand(tbl(ai, 1),
+        _.addIdentityColumn(name, st, inc)))
     }
     val rg = Reorg.matcher(sqlText)
     if (rg.matches())

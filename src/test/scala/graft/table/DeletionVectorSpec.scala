@@ -306,6 +306,36 @@ class DeletionVectorSpec extends SparkSpec {
     assert(props.contains("prop:graft.enableDeletionVectors=true"))
   }
 
+  test("vectored delete and append serialize under the lease wait") {
+    val t0 = freshTable("dv-race")
+    t0.overwrite(spark.range(100).toDF("id"))
+    val t1 = new ManagedTable(spark, t0.path).withLeaseWait(30000)
+    val t2 = new ManagedTable(spark, t0.path).withLeaseWait(30000)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val f1 = pool.submit(new Runnable {
+        def run(): Unit = t1.deleteVectored(col("id") < 50) })
+      val f2 = pool.submit(new Runnable {
+        def run(): Unit = t2.append(spark.range(100, 150).toDF("id")) })
+      f1.get(); f2.get()
+    } finally pool.shutdown()
+    // either order: 50 survivors of the original rows + 50 appended
+    assert(t0.read.count() == 100)
+    assert(t0.read.filter(col("id") < 50).count() == 0)
+    val ops = t0.history().select("operation").as[String].collect().toSet
+    assert(ops.contains("DELETE") && ops.contains("APPEND"))
+  }
+
+  test("zero-retention vacuum keeps current DV reads intact") {
+    val t = freshTable("dv-vacuum")
+    t.overwrite(spark.range(100).toDF("id"))
+    t.deleteVectored(col("id") < 10)
+    t.overwrite(spark.range(200, 205).toDF("id"))
+    t.vacuumVersions()
+    assert(t.read.count() == 5)
+    intercept[Exception](t.readVersion(1).count())
+  }
+
   test("detail() surfaces deletion-vector state in properties") {
     val t = freshTable("dv-detail")
     t.overwrite(spark.range(10).toDF("id"))

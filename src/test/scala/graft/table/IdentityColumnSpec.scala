@@ -71,6 +71,34 @@ class IdentityColumnSpec extends SparkSpec {
     assert(props.exists(_.startsWith("identity:id=start 1 step 1 next")))
   }
 
+  test("SQL ALTER TABLE ADD IDENTITY COLUMN declares and backfills") {
+    val t = freshTable("id-sql")
+    t.overwrite(Seq("a", "b").toDF("v"))
+    graft.sql.GraftSql.sql(spark,
+      s"ALTER TABLE graft.`${t.path}` ADD IDENTITY COLUMN rid START WITH 7 INCREMENT BY 3")
+    assert(t.read.select("rid").as[Long].collect().sorted.toSeq == Seq(7L, 10L))
+    t.append(Seq("c").toDF("v"))
+    assert(t.read.select("rid").as[Long].collect().sorted.toSeq == Seq(7L, 10L, 13L))
+  }
+
+  test("two queued writers never hand out the same identity value") {
+    val t = freshTable("id-race")
+    t.overwrite(Seq("seed").toDF("v"))
+    t.addIdentityColumn("id")
+    val t1 = new ManagedTable(spark, t.path).withLeaseWait(30000)
+    val t2 = new ManagedTable(spark, t.path).withLeaseWait(30000)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val f1 = pool.submit(new Runnable {
+        def run(): Unit = t1.append(Seq("x1", "x2").toDF("v")) })
+      val f2 = pool.submit(new Runnable {
+        def run(): Unit = t2.merge(Seq(("y1")).toDF("v"), Seq("v")) })
+      f1.get(); f2.get()
+    } finally pool.shutdown()
+    val ids = t.read.select("id").as[Long].collect().toSeq
+    assert(ids.size == 4 && ids.distinct.size == 4)
+  }
+
   test("clone carries the identity declaration and high-water mark") {
     val t = freshTable("id-clone")
     t.overwrite(Seq("a", "b").toDF("v"))
