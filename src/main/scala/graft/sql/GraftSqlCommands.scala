@@ -104,7 +104,7 @@ object GraftSqlCommands {
         // columns only (compactWhere enforces a partitioned table); one
         // compacted file lands per matched partition dir
         require(zorderBy.isEmpty, "OPTIMIZE ... WHERE does not take ZORDER BY")
-        t.compactWhere(expr(whereText.get), 1)
+        t.compactWhere(expr(whereText.get))
       }
       else if (zorderBy.nonEmpty) t.clusterZ(zorderBy)
       else {
@@ -159,12 +159,7 @@ object GraftSqlCommands {
         if (src.startsWith("(")) spark.sql(src.stripPrefix("(").stripSuffix(")"))
         else spark.table(src)
       val t = new ManagedTable(spark, path)
-      val partCols: Seq[String] =
-        if (!t.exists) Nil
-        else {
-          val h = t.history(1).select("partitionColumns").collect()
-          if (h.isEmpty) Nil else h.head.getSeq[String](0)
-        }
+      val partCols = latestPartitionCols(t)
       val useDv = t.properties.get("graft.enableDeletionVectors")
         .exists(_.equalsIgnoreCase("true"))
       if (insertOnly) t.mergeInsertOnly(source, keys, partCols)
@@ -254,6 +249,7 @@ object GraftSqlCommands {
     */
   case class InsertGraftCommand(path: String, queryText: String,
       overwrite: Boolean, partitionBy: Seq[String],
+      isCtas: Boolean = false,
       tblProperties: Map[String, String] = Map.empty)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Nil
@@ -261,8 +257,15 @@ object GraftSqlCommands {
       val t = new ManagedTable(spark, path)
       val df = spark.sql(queryText)
       val pcs = if (partitionBy.nonEmpty) partitionBy else latestPartitionCols(t)
-      if (tblProperties.nonEmpty) t.setProperties(tblProperties)
       if (overwrite) t.overwrite(df, pcs) else t.append(df, pcs)
+      // CREATE OR REPLACE defines a NEW table: the property set is replaced
+      // wholesale (an inherited enableDeletionVectors must not survive),
+      // and only AFTER the data write, so a failed query changes nothing
+      if (isCtas) {
+        val stale = t.properties.keys.toSeq.filterNot(tblProperties.contains)
+        if (stale.nonEmpty) t.unsetProperties(stale)
+        if (tblProperties.nonEmpty) t.setProperties(tblProperties)
+      }
       Nil
     }
   }
@@ -324,7 +327,7 @@ object GraftSqlCommands {
   private val Insert =
     rx(s"""^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+$Tbl\\s+((?:SELECT|VALUES|TABLE|WITH|FROM)\\b.+?)\\s*;?\\s*$$""")
   private val Ctas =
-    rx(s"""^\\s*CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+$Tbl\\s*(?:PARTITIONED\\s+BY\\s*\\(([^)]+)\\)\\s*)?(?:TBLPROPERTIES\\s*\\(([^)]+)\\)\\s*)?AS\\s+(.+?)\\s*;?\\s*$$""")
+    rx(s"""^\\s*CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+$Tbl\\s*(?:PARTITIONED\\s+BY\\s*\\(([^)]+)\\)\\s*)?(?:TBLPROPERTIES\\s*\\((.+?)\\)\\s*)?AS\\s+(.+?)\\s*;?\\s*$$""")
   private val AlterAddConstraint =
     rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterDropConstraint =
@@ -391,9 +394,10 @@ object GraftSqlCommands {
     val ct = Ctas.matcher(sqlText)
     if (ct.matches()) {
       val pby = Option(ct.group(4)).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
-      val props = Option(ct.group(5)).map(parsePropertyPairs).getOrElse(Map.empty)
+      val props = Option(ct.group(5))
+        .map(parsePropertyPairs).getOrElse(Map.empty[String, String])
       return Some(InsertGraftCommand(tbl(ct, 1), ct.group(6),
-        overwrite = true, pby, props))
+        overwrite = true, pby, isCtas = true, tblProperties = props))
     }
     val ac = AlterAddConstraint.matcher(sqlText)
     if (ac.matches()) {
@@ -443,11 +447,16 @@ object GraftSqlCommands {
     None
   }
 
-  /** `'k' = 'v', "k2" = "v2"` → pairs (TBLPROPERTIES value list). */
+  /** `'k' = 'v', "k2" = "v2"` → pairs (TBLPROPERTIES value list). Quotes
+    * must MATCH per token, and values may contain the other quote char or
+    * parens.
+    */
   private def parsePropertyPairs(text: String): Map[String, String] = {
-    val m = rx("""['"]([^'"]+)['"]\s*=\s*['"]([^'"]*)['"]""").matcher(text)
+    val m = rx("""'([^']+)'\s*=\s*'([^']*)'|"([^"]+)"\s*=\s*"([^"]*)"""").matcher(text)
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    while (m.find()) out += (m.group(1) -> m.group(2))
+    while (m.find())
+      if (m.group(1) != null) out += (m.group(1) -> m.group(2))
+      else out += (m.group(3) -> m.group(4))
     if (out.isEmpty) throw new IllegalArgumentException(
       s"graft SET TBLPROPERTIES expects 'key' = 'value' pairs, got '$text'")
     out.toMap

@@ -105,8 +105,27 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
     val t = new ManagedTable(sqlContext.sparkSession, path)
     require(t.exists, s"no managed table at $path")
     // default: only changes committed AFTER stream start (Delta's default
-    // readChangeFeed position is "latest")
-    new CdfStreamSource(sqlContext, path, keys, startV.getOrElse(t.version))
+    // readChangeFeed position is "latest") — but "latest" is resolved ONCE
+    // and pinned in the stream's metadata dir: a restart before the first
+    // offset commit must not re-resolve to a later version and skip the
+    // changes in between
+    val resolved = startV.getOrElse {
+      val hadoop = sqlContext.sparkSession.sparkContext.hadoopConfiguration
+      val pin = new org.apache.hadoop.fs.Path(metadataPath, "graft-cdf-start")
+      val fs = pin.getFileSystem(hadoop)
+      if (fs.exists(pin)) {
+        val in = fs.open(pin)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      } else {
+        val v = t.version
+        fs.mkdirs(pin.getParent)
+        val out = fs.create(pin, false) // create-if-absent: racing starts agree
+        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+        v
+      }
+    }
+    new CdfStreamSource(sqlContext, path, keys, resolved)
   }
 }
 

@@ -789,7 +789,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val rel = fs.makeQualified(new Path(f)).toString.stripPrefix(tmpQ + "/")
       val dst = new Path(path + "/" + rel)
       fs.mkdirs(dst.getParent)
-      fs.rename(new Path(f), dst)
+      // rename returns false (not an exception) on quota/permission/dst
+      // failures: failing loudly BEFORE the tmp delete means no replacement
+      // is silently destroyed and no bitmap commit follows
+      if (!fs.rename(new Path(f), dst))
+        throw new java.io.IOException(s"failed to move $f to $dst")
     }
     fs.delete(tmp, true)
   }
@@ -874,7 +878,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val rel = f.stripPrefix(qualifiedRoot + "/")
       val dst = new Path(retainedDir(cur) + "/" + rel)
       fs.mkdirs(dst.getParent)
-      fs.rename(new Path(f), dst)
+      // fail BEFORE the manifest remap — a half-moved file must not be
+      // double-counted as both live and retained
+      if (!fs.rename(new Path(f), dst))
+        throw new java.io.IOException(s"failed to retire $f to $dst")
       f -> (retainedDir(cur) + "/" + rel)
     }.toMap
     remapFiles(moved)
@@ -902,19 +909,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         try out.write(updated.getBytes("UTF-8")) finally out.close()
       }
     }
-    if (fs.exists(dvDir)) fs.listStatus(dvDir)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".txt"))
-      .foreach { st =>
-        val in = fs.open(st.getPath)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        val updated = txt.split("\n", -1).map { line =>
-          val tab = line.indexOf('\t')
-          if (tab < 0) line
-          else mapping.get(dec(line.substring(0, tab)))
-            .map(n => enc(n) + line.substring(tab)).getOrElse(line)
-        }.mkString("\n")
-        if (updated != txt) writeAtomic(st.getPath, updated)
-      }
+    rewriteDvSnapshots(p => mapping.getOrElse(p, p))
   }
 
   /** Append a commit entry describing the CURRENT live dir as version
@@ -1197,6 +1192,16 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val rawPairs =
       if (subdirs.isEmpty) Seq((oldRoot + "/", newRoot + "/"))
       else subdirs.map(d => (s"$oldRoot/$d/", s"$newRoot/$d/"))
+    rewriteDvSnapshots(p => rawPairs.collectFirst {
+      case (o, n) if p.startsWith(o) => n + p.substring(o.length)
+    }.getOrElse(p))
+  }
+
+  /** Rewrite the path key of every DV-snapshot line through `f` — the one
+    * place that understands the sidecar line format, shared by the prefix
+    * remap ([[remapManifests]]) and the exact-file remap ([[remapFiles]]).
+    */
+  private def rewriteDvSnapshots(f: String => String): Unit =
     if (fs.exists(dvDir)) fs.listStatus(dvDir)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".txt"))
       .foreach { st =>
@@ -1205,17 +1210,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         val updated = txt.split("\n", -1).map { line =>
           val tab = line.indexOf('\t')
           if (tab < 0) line
-          else {
-            val p = dec(line.substring(0, tab))
-            val p2 = rawPairs.collectFirst {
-              case (o, n) if p.startsWith(o) => n + p.substring(o.length)
-            }.getOrElse(p)
-            enc(p2) + line.substring(tab)
-          }
+          else enc(f(dec(line.substring(0, tab)))) + line.substring(tab)
         }.mkString("\n")
         if (updated != txt) writeAtomic(st.getPath, updated)
       }
-  }
 
   /** The commit history, latest first (the reference's `history(n)`,
     * deltalake.ipynb:8760): version, timestamp, operation, partition
@@ -1504,6 +1502,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       s"cannot rename partition column $oldName")
     referencedByTableMeta(oldName).foreach(what => throw new IllegalArgumentException(
       s"cannot rename $oldName: referenced by $what (drop it first)"))
+    // a stale identity declaration would make the rewrite's assignIdentities
+    // resurrect the old name with fresh values
+    require(!identityColumns.keys.exists(_.equalsIgnoreCase(oldName)),
+      s"cannot rename identity column $oldName (dropIdentityColumn first)")
     replaceWith(read.withColumnRenamed(oldName, newName), pcs, "RENAME COLUMN")
   }
 
@@ -1519,6 +1521,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       s"cannot drop partition column $colName")
     referencedByTableMeta(colName).foreach(what => throw new IllegalArgumentException(
       s"cannot drop $colName: referenced by $what (drop it first)"))
+    require(!identityColumns.keys.exists(_.equalsIgnoreCase(colName)),
+      s"cannot drop identity column $colName (dropIdentityColumn first)")
     replaceWith(read.drop(colName), pcs, "DROP COLUMN")
   }
 
@@ -1804,14 +1808,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       finally in.close()
     }
 
-  private def writeProperties(ps: Map[String, String]): Unit = {
-    fs.mkdirs(logDir)
-    val out = fs.create(propsFile, true)
-    try out.write(ps.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"${enc(k)}\t${enc(v)}" }
-      .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-  }
+  private def writeProperties(ps: Map[String, String]): Unit =
+    // atomic: a torn write must never make the property set half-vanish
+    writeAtomic(propsFile, ps.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${enc(k)}\t${enc(v)}" }.mkString("\n"))
 
   def setProperties(ps: Map[String, String]): Unit =
     writeProperties(properties ++ ps)
@@ -1841,14 +1841,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       finally in.close()
     }
 
-  private def writeIdentity(m: Map[String, (Long, Long, Long)]): Unit = {
-    fs.mkdirs(logDir)
-    val out = fs.create(identityFile, true)
-    try out.write(m.toSeq.sortBy(_._1)
-      .map { case (n, (s, k, nx)) => s"${enc(n)}\t$s\t$k\t$nx" }
-      .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-  }
+  private def writeIdentity(m: Map[String, (Long, Long, Long)]): Unit =
+    // atomic: the high-water mark is correctness-critical — a torn write
+    // losing the declaration would stop assignment and null-fill the column
+    writeAtomic(identityFile, m.toSeq.sortBy(_._1)
+      .map { case (n, (s, k, nx)) => s"${enc(n)}\t$s\t$k\t$nx" }.mkString("\n"))
 
   /** Declare an identity column (Delta's `GENERATED BY DEFAULT AS IDENTITY
     * (START WITH s INCREMENT BY k)`): writes that omit the column get
@@ -1866,6 +1863,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     if (exists && tableSchemaOpt.isDefined)
       replaceWith(assignIdentities(read), loggedPartitionCols(version), "ADD IDENTITY")
   }
+
+  /** Remove an identity DECLARATION: the column (if present) stays as an
+    * ordinary column, no further values are assigned. Required before
+    * [[renameColumn]]/[[dropColumn]] can touch the column.
+    */
+  def dropIdentityColumn(name: String): Unit =
+    writeIdentity(identityColumns - name)
 
   /** Assign values for every declared identity column ABSENT from `df`:
     * dense `next + step·i` per row via `zipWithIndex` (one extra count job
@@ -2164,12 +2168,16 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * predicate>`): rewrite only the matching partitions to `numFiles`
     * files each batch — unaffected partitions are never read or moved.
     */
-  def compactWhere(partitionCond: org.apache.spark.sql.Column,
-                   numFiles: Int): Unit = {
+  def compactWhere(partitionCond: org.apache.spark.sql.Column): Unit = {
     ensureBootstrapped()
     val pcs = loggedPartitionCols(version)
     require(pcs.nonEmpty, "compactWhere needs a partitioned table")
-    rewritePartitions(partitionCond, pcs, "OPTIMIZE")(_.repartition(numFiles))
+    // hash-cluster by the partition columns: each matched partition's rows
+    // land in ONE task (one compacted file per dir) while DIFFERENT
+    // partitions compact in parallel — repartition(1) would funnel every
+    // matched partition through a single task
+    rewritePartitions(partitionCond, pcs, "OPTIMIZE")(
+      _.repartition(pcs.map(col): _*))
   }
 
   /** Multi-dimensional clustering (M6, `executeZOrderBy`): range-partition on

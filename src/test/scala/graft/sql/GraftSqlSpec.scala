@@ -316,6 +316,17 @@ class GraftSqlSpec extends SparkSpec {
     assert(t.read.count() == 1)
     assert(t.properties == Map(
       "graft.enableDeletionVectors" -> "true", "team" -> "data"))
+    // CREATE OR REPLACE defines a NEW table: the old property set must NOT
+    // leak into it (an inherited enableDeletionVectors would silently flip
+    // later DELETEs to merge-on-read)
+    GraftSql.sql(spark,
+      s"CREATE OR REPLACE TABLE '$dir' TBLPROPERTIES ('team' = 'ops') AS " +
+        "SELECT * FROM ctas_props_src")
+    assert(t.properties == Map("team" -> "ops"))
+    // a value containing a paren or the other quote char parses intact
+    GraftSql.sql(spark,
+      s"""ALTER TABLE '$dir' SET TBLPROPERTIES ('note' = 'a)b "c"')""")
+    assert(t.properties("note") == """a)b "c"""")
   }
 
   test("SET TBLPROPERTIES flips SQL DELETE to deletion vectors; REORG purges") {

@@ -99,6 +99,18 @@ class IdentityColumnSpec extends SparkSpec {
     assert(ids.size == 4 && ids.distinct.size == 4)
   }
 
+  test("rename/drop of an identity column is rejected until its declaration drops") {
+    val t = freshTable("id-guard")
+    t.overwrite(Seq("a").toDF("v"))
+    t.addIdentityColumn("id")
+    intercept[IllegalArgumentException](t.renameColumn("id", "rid"))
+    intercept[IllegalArgumentException](t.dropColumn("id"))
+    t.dropIdentityColumn("id")
+    t.renameColumn("id", "rid") // a plain column now — rename proceeds
+    assert(t.read.columns.toSeq.contains("rid"))
+    assert(t.identityColumns.isEmpty)
+  }
+
   test("clone carries the identity declaration and high-water mark") {
     val t = freshTable("id-clone")
     t.overwrite(Seq("a", "b").toDF("v"))
