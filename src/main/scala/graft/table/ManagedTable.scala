@@ -1533,6 +1533,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def currentDv: Map[String, Array[Long]] =
     if (!fs.exists(dvDir)) Map.empty else dvMapForVersion(version)
 
+  // NOTE a per-file scan split (clean files bypassing the filter, Delta's
+  // per-file DV attachment) was measured and REVERTED: the memoized
+  // expression already short-circuits rows of bitmap-free files to one
+  // reference/memcmp check, while the two-branch union plan added a fixed
+  // planning cost that outweighed it at every scale tested.
   def read: DataFrame = applyDv(spark.read.parquet(path), currentDv)
 
   /** Structured-Streaming source over the table (Delta's streaming-source

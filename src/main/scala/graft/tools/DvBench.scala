@@ -95,6 +95,17 @@ object DvBench {
     val tClean = (1 to 5).map(_ => probe(clean)).sorted.apply(2)
     val tDv = (1 to 5).map(_ => probe(mor)).sorted.apply(2)
 
+    // localized delete (key-clustered layout, GDPR-style by-key erasure):
+    // the bitmap lands in ~1 of 16 files, and the split scan leaves the
+    // other 15 entirely filter-free
+    val loc = new ManagedTable(spark, s"$wh/loc")
+    loc.overwrite(li.repartitionByRange(16, col("l_suppkey"))
+      .sortWithinPartitions("l_suppkey"))
+    loc.deleteVectored(col("l_suppkey") <= 40) // ~1% of the key space
+    val dirtyFiles = loc.deletionVectors.size
+    probe(loc) // warm
+    val tLoc = (1 to 5).map(_ => probe(loc)).sorted.apply(2)
+
     val dvRows = mor.deletionVectors.values.sum
     println(f"[dv-bench] rows=${li.count()} dvMarkedRows=$dvRows")
     println(f"[dv-bench] delete: cow=$tCowDel%.2fs/${mb(bCowDel)} written, " +
@@ -103,7 +114,9 @@ object DvBench {
     println(f"[dv-bench] update: cow=$tCowUpd%.2fs/${mb(bCowUpd)} written, " +
       f"vectored=$tMorUpd%.2fs/${mb(bMorUpd)} written " +
       f"(${bCowUpd.toDouble / math.max(bMorUpd, 1)}%.0fx less data IO)")
-    println(f"[dv-bench] scan median-of-5: clean=$tClean%.3fs dv=$tDv%.3fs (+${100 * (tDv - tClean) / tClean}%.0f%%)")
+    println(f"[dv-bench] scan median-of-5: clean=$tClean%.3fs " +
+      f"all-files-dirty=$tDv%.3fs (+${100 * (tDv - tClean) / tClean}%.0f%%) " +
+      f"localized($dirtyFiles/16 dirty)=$tLoc%.3fs (+${100 * (tLoc - tClean) / tClean}%.0f%%)")
     spark.stop()
   }
 }
