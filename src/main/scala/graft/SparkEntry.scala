@@ -791,6 +791,20 @@ object SparkEntry {
         .withColumn("user_id", col("user_id") + 1000000L), Seq("event_id"))
       t.read.orderBy("event_id")
     }),
+    "q105_small_files" -> ((s, d) => {
+      // streaming-append small-file debt + a vectored delete, then
+      // incremental OPTIMIZE ([[graft.table.ManagedTable.compactSmall]]):
+      // the small files bin-pack, the bitmaps purge, the answer is exact
+      val wh = java.nio.file.Files.createTempDirectory("graft-opt").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/t")
+      val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+      t.overwrite(ev.filter(col("event_id") % 4 =!= 0).repartition(2))
+      for (i <- 0 to 3) // four tiny appends reconstruct the %4==0 slice
+        t.append(ev.filter(col("event_id") % 16 === i * 4).coalesce(1))
+      t.deleteVectored(col("value") < 5.0)
+      t.compactSmall(minFileBytes = 64L * 1024 * 1024)
+      t.read.orderBy("event_id")
+    }),
     "q50_pivot" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_orderstatus")
@@ -1654,6 +1668,12 @@ object SparkEntry {
            CASE WHEN event_id % 10 = 3 THEN value
                 WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS value
          FROM events ORDER BY event_id""",
+    // q105: appends reassemble the full events set; the vectored delete
+    // then drops value<5 (NULL survives), and compaction must not change it
+    "q105_small_files" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE NOT COALESCE(value < 5.0, FALSE)
+         ORDER BY event_id""",
     "q50_pivot" ->
       """SELECT o_orderstatus,
            CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
