@@ -336,6 +336,39 @@ class DeletionVectorSpec extends SparkSpec {
     intercept[Exception](t.readVersion(1).count())
   }
 
+  test("DvCodec round-trips and merges arbitrary index sets (property)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val genIdxs = Gen.listOf(Gen.chooseNum(0L, 1L << 40)).map(_.distinct.sorted.toArray)
+    val prop = Prop.forAll(genIdxs, genIdxs) { (a: Array[Long], b: Array[Long]) =>
+      val rt = DvCodec.decode(DvCodec.encode(a)).toSeq == a.toSeq
+      val mg = DvCodec.merge(a, b).toSeq == (a.toSet ++ b.toSet).toSeq.sorted
+      rt && mg
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("a stale staged DV snapshot from a crashed writer cannot corrupt the next commit") {
+    val t = freshTable("dv-stale")
+    t.overwrite(spark.range(100).toDF("id"))
+    // simulate a writer that crashed between staging the next version's DV
+    // snapshot and writing the manifest: orphan dv file for version+1
+    val logDir = new org.apache.hadoop.fs.Path(t.path + "._log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(logDir, f"_dv/v${t.version + 1}%05d.txt")
+    fs.mkdirs(orphan.getParent)
+    val out = fs.create(orphan, true)
+    try out.write("bogus%2Fpath\t3\tAQEB".getBytes("UTF-8")) finally out.close()
+    // the next commit at that version must replace/ignore the orphan
+    t.append(spark.range(100, 120).toDF("id"))
+    assert(t.read.count() == 120)
+    assert(t.deletionVectors.isEmpty)
+    // and a real vectored delete afterwards behaves normally
+    t.deleteVectored(col("id") < 10)
+    assert(t.read.count() == 110)
+  }
+
   test("detail() surfaces deletion-vector state in properties") {
     val t = freshTable("dv-detail")
     t.overwrite(spark.range(10).toDF("id"))
