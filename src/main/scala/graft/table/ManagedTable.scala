@@ -398,8 +398,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // a null bound can't prune (and must not NPE): keep everything, the
     // exact predicate downstream decides (SQL comparisons to null match
     // nothing anyway)
-    if (lo == null || hi == null) return (files.map(_._1), files.map(_._1))
+    // a file whose rows are ALL bitmap-deleted can't contribute a match —
+    // skip it entirely (a retention-style delete that empties old files
+    // makes scans drop them without waiting for compaction)
     val metas = fileMeta(files)
+    val dv = currentDv
+    def emptied(p: String): Boolean =
+      dv.get(p).exists(_.length >= metas(p).rows)
+    if (lo == null || hi == null)
+      return (files.map(_._1).filterNot(emptied), files.map(_._1))
     def leq(kind: String, a: String, b: String): Boolean =
       if (kind == "s") utf8Leq(a, b) else numLeq(a, b)
     // date ("D") stats are epoch-day numbers; decode the user-space
@@ -411,7 +418,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       case x => scala.util.Try(
         java.time.LocalDate.parse(x.toString).toEpochDay).toOption
     }
-    val kept = files.map(_._1).filter { p =>
+    val kept = files.map(_._1).filterNot(emptied).filter { p =>
       metas(p).stats.get(colName) match {
         case Some(("D", mn, mx)) =>
           (toEpochDay(lo), toEpochDay(hi)) match {

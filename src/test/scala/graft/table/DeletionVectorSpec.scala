@@ -369,6 +369,18 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.read.count() == 110)
   }
 
+  test("a fully-deleted file is pruned from skipping-path scans") {
+    val t = freshTable("dv-empty-file")
+    // range layout: ids 0..99 land in the first file alone
+    t.overwrite(spark.range(400).toDF("id")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id"))
+    t.deleteVectored(col("id") < 100) // empties exactly one file
+    val (kept, all) = t.filesOverlapping("id", 0L, 399L)
+    assert(all.size == 4 && kept.size == 3)
+    assert(t.readWhere("id", 0L, 399L).count() == 300)
+    assert(t.readWhere("id", 0L, 50L).count() == 0)
+  }
+
   test("detail() surfaces deletion-vector state in properties") {
     val t = freshTable("dv-detail")
     t.overwrite(spark.range(10).toDF("id"))
