@@ -25,16 +25,34 @@ object Bench {
       }.sorted
       name -> times(times.size / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Machine-parseable twice over: a file the driver can read directly, and
-    // the bare JSON as the process's final stdout line (after spark.stop()
-    // so no executor log noise can follow it).
+    // Full fidelity (complete query names, full-precision seconds) goes to
+    // the bench.json FILE; the stdout line is a compact variant. The driver
+    // captures only the last ~2000 chars of process output, and the full
+    // 106-query line is ~7 KB — r3/r4 both came back `parsed: null` because
+    // the line's head fell outside the capture window. Short keys (the qNN
+    // prefix, unique by construction; full name kept on the rare collision)
+    // plus millisecond rounding keep the line ~1.4 KB.
+    def jline(m: Map[String, Double], fmt: Double => String): String = {
+      val qs = m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val full = jline(results, _.toString)
+    val shortKeys = results.map { case (k, v) =>
+      val s = k.takeWhile(_ != '_')
+      (if (results.keys.count(_.takeWhile(_ != '_') == s) == 1) s else k) -> v
+    }
     java.nio.file.Files.write(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")), json.getBytes("UTF-8"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")), full.getBytes("UTF-8"))
     spark.stop()
-    println(json)
+    // Last stdout line (after spark.stop() so no executor noise follows).
+    // Written straight to FD 1: sbt's in-process `run` swaps System.out for
+    // its logger and prefixes every println with "[info] ", which a strict
+    // line parser rejects — the raw descriptor bypasses the swap and lands
+    // the bare JSON on the real stdout.
+    val out = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+    out.write((jline(shortKeys, v => f"$v%.3f") + "\n").getBytes("UTF-8"))
+    out.flush()
   }
 }
