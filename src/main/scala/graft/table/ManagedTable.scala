@@ -351,12 +351,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val segs = sidecarSegments
     val cached: Map[String, (Long, FileMeta)] = // path -> (len, meta)
       segs.foldLeft(readSidecarFile(sidecarBase))((m, s) => m ++ readSidecarFile(s))
-    var anyNew = false
+    // footers for unseen files are independent small reads — open them in
+    // parallel (same discipline as the bloom probe below): a commit that
+    // wrote hundreds of files against an object store would otherwise pay
+    // hundreds of SERIAL footer round-trips here
+    val unseen = files.collect {
+      case (p, len) if !cached.get(p).exists(_._1 == len) => p
+    }
+    val anyNew = unseen.nonEmpty
+    val fresh: Map[String, FileMeta] = {
+      import scala.collection.parallel.CollectionConverters._
+      unseen.par.map(p => p -> footerMeta(new Path(p))).seq.toMap
+    }
     val metas = files.map { case (p, len) =>
-      cached.get(p).filter(_._1 == len) match {
-        case Some((_, m)) => p -> m
-        case None => anyNew = true; p -> footerMeta(new Path(p))
-      }
+      p -> cached.get(p).filter(_._1 == len).map(_._2).getOrElse(fresh(p))
     }.toMap
     // write only when a new footer was actually read: pure read paths
     // (filesOverlapping/readWhere) on a committed table must not mutate
