@@ -82,9 +82,18 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, minJaccard: Double,
-                        maxDocFreq: Long = 0L): DataFrame = {
-    val idx = shingleIndex(docs, idCol, textCol, n, maxDocFreq)
+                        maxDocFreq: Long = 0L,
+                        reuseIndex: Boolean = true): DataFrame = {
+    val idx0 = shingleIndex(docs, idCol, textCol, n, maxDocFreq)
       .select(col("doc_id"), xxhash64(col("s")).as("s"))
+    // The hashed index feeds FIVE shuffle consumers (sizes, df, ranked,
+    // and both verification joins); without materialization each one
+    // re-runs the scan + CPU-bound shingling. A lazy local checkpoint
+    // computes it once, spills via the block manager, and frees with the
+    // RDD — no explicit unpersist in a lazy API. Trade-off: checkpoint
+    // blocks are not lineage-recoverable, so on clusters with executor
+    // churn pass reuseIndex=false (recompute, full fault tolerance).
+    val idx = if (reuseIndex) idx0.localCheckpoint(eager = false) else idx0
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
 
     // global rarity order; prefix = the (1-t)n+1 rarest shingles per doc
@@ -97,8 +106,13 @@ object Dedup {
       .filter(col("rk") <= floor((lit(1.0) - minJaccard) * col("n_sh")) + 1)
       .select("doc_id", "s")
 
-    // candidates: pairs sharing a shingle that lies in either doc's prefix
-    val cands = prefix.as("p").join(idx.as("f"),
+    // candidates: pairs whose PREFIXES share a shingle. Prefix filtering
+    // (PPJoin Lemma 1): under one global token order, J(x,y) ≥ t implies
+    // prefix(x) ∩ prefix(y) ≠ ∅ for prefix length |x| − ⌈t·|x|⌉ + 1, and
+    // ⌊(1−t)·|x|⌋ + 1 ≥ that bound — so prefix ⋈ prefix loses no true
+    // pair. Joining prefix against the FULL index would be correct too but
+    // quadratic in the hot-shingle fanout it exists to avoid.
+    val cands = prefix.as("p").join(prefix.as("f"),
         col("p.s") === col("f.s") && col("p.doc_id") =!= col("f.doc_id"))
       .select(least(col("p.doc_id"), col("f.doc_id")).as("d1"),
         greatest(col("p.doc_id"), col("f.doc_id")).as("d2"))
