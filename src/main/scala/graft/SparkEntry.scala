@@ -805,6 +805,20 @@ object SparkEntry {
       t.compactSmall(minFileBytes = 64L * 1024 * 1024)
       t.read.orderBy("event_id")
     }),
+    "q106_salted_join" -> ((s, d) => {
+      // hot-key-safe equi-join: the fact side is salted, the dim side
+      // exploded ×buckets, and the result is BIT-IDENTICAL to the plain
+      // join (the oracle proves it) — the celebrity-key survival plan
+      // when one key's rows exceed what AQE's skew split can rebalance
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+      val dim = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.ops.Skew.saltedJoin(fact, dim, "suppkey", buckets = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("s_nationkey")
+    }),
     "q50_pivot" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_orderstatus")
@@ -834,6 +848,30 @@ object SparkEntry {
           graft.ops.Embeddings.centroids(e, "label", "embedding"))
         .orderBy("vec_id", "assigned_label")
     }),
+    "q107_embed_moments" -> ((s, d) => {
+      // upper-triangle second moments Σxᵢxⱼ of the embedding store under
+      // the DECIMAL determinism contract — the bit-exact oracle twin of
+      // the one-pass VectorMomentsAgg (equality asserted in
+      // EmbeddingsSpec); covariance/PCA derive from these sums
+      val dim = 64
+      val ex = Tables.embeddings(s, d)
+        .select(col("embedding").as("v"), posexplode(col("embedding")).as(Seq("i0", "x")))
+      ex.select((col("i0") + 1).cast("long").as("i"), col("x").cast("double").as("x"),
+          posexplode(slice(col("v"), (col("i0") + 1).cast("int"), lit(dim))).as(Seq("j0", "y")))
+        .select(col("i"), (col("i") + col("j0")).cast("long").as("j"),
+          (col("x") * col("y").cast("double")).as("xy"))
+        .groupBy("i", "j").agg(dsum(col("xy")).as("sxy"))
+        .orderBy("i", "j")
+    }),
+    "q108_pca_project" -> ((s, d) =>
+      // rows-only (eigenbasis is engine-specific): whitened top-8 PCA
+      // projection of the store — one-pass moments, driver-side 64×64
+      // Jacobi, broadcast-literal projection (no shuffle, no join);
+      // invariants (orthonormal basis, per-component variance = λ,
+      // agreement with the decimal-contract moments) are spec-checked
+      graft.ops.Embeddings.pcaProject(Tables.embeddings(s, d), "vec_id", "embedding",
+          dim = 64, k = 8, whiten = true)
+        .orderBy("vec_id", "pos")),
     "q83_quantize_int8" -> ((s, d) =>
       graft.ops.Embeddings.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy("vec_id", "pos")),
@@ -1674,6 +1712,20 @@ object SparkEntry {
       """SELECT event_id, user_id, value FROM events
          WHERE NOT COALESCE(value < 5.0, FALSE)
          ORDER BY event_id""",
+    "q107_embed_moments" ->
+      """SELECT i, j,
+           CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+         FROM embeddings
+         CROSS JOIN generate_series(1, 64) AS t(i)
+         CROSS JOIN generate_series(1, 64) AS u(j)
+         WHERE j >= i
+         GROUP BY 1, 2 ORDER BY i, j""",
+    "q106_salted_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY 1 ORDER BY s_nationkey""",
     "q50_pivot" ->
       """SELECT o_orderstatus,
            CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,

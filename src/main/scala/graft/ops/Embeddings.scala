@@ -51,6 +51,142 @@ object Embeddings {
           .cast("int").as("q"))
   }
 
+  /** One-pass population moments of a vector column via
+    * [[graft.functions.VectorMomentsAgg]]: (n, Σx, upper-tri Σxxᵀ),
+    * collected as the single aggregate row. The only data movement is the
+    * O(d²)-double partial buffers.
+    */
+  def moments(embeddings: DataFrame, vecCol: String, dim: Int)
+      : (Long, Array[Double], Array[Double]) = {
+    val r = embeddings
+      .agg(graft.functions.VectorMomentsAgg.vector_moments(col(vecCol), dim).as("m"))
+      .select("m.n", "m.s", "m.ss").head()
+    (r.getLong(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray)
+  }
+
+  /** Population covariance matrix from [[moments]]: cov(i,j) = Σxy/n − μᵢμⱼ. */
+  def covarianceMatrix(embeddings: DataFrame, vecCol: String, dim: Int)
+      : Array[Array[Double]] = {
+    val (n, s, ss) = moments(embeddings, vecCol, dim)
+    require(n > 0, s"covariance needs rows, got n=$n")
+    val mu = s.map(_ / n)
+    val c = Array.ofDim[Double](dim, dim)
+    var k = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val v = ss(k) / n - mu(i) * mu(j)
+        c(i)(j) = v; c(j)(i) = v
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** Cyclic-Jacobi eigendecomposition of a symmetric matrix (driver-side;
+    * d ≤ a few hundred — the d×d covariance is always metadata-sized no
+    * matter how many rows produced it). Returns (eigenvalues, eigenvectors
+    * as rows), sorted by eigenvalue DESC with deterministic tie-break and
+    * sign convention (largest-|component| entry positive, lowest index on
+    * ties) so reruns and re-partitionings yield the same basis.
+    */
+  private[graft] def jacobiEigen(m: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def offDiag: Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) { var j = i + 1; while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && offDiag > 1e-20) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq; a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi; a(q)(i) = s * api + c * aqi
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq; v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { c =>
+      val col = Array.tabulate(d)(r => v(r)(c))
+      val pivot = col.indices.maxBy(i => (math.abs(col(i)), -i))
+      if (col(pivot) < 0) col.map(-_) else col
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** Top-k PCA basis of the embedding store: (eigenvalues, components k×d). */
+  def pcaBasis(embeddings: DataFrame, vecCol: String, dim: Int, k: Int)
+      : (Array[Double], Array[Array[Double]]) = {
+    require(k >= 1 && k <= dim, s"k=$k out of range [1, $dim]")
+    val (vals, vecs) = jacobiEigen(covarianceMatrix(embeddings, vecCol, dim))
+    (vals.take(k), vecs.take(k))
+  }
+
+  /** Project every vector onto the top-k principal components (long form:
+    * id, pos 1..k, p). `whiten=true` scales each component by 1/√λ so the
+    * output has ~unit variance per dimension — the standard preprocessing
+    * before quantization or cosine ANN. The basis is computed once on the
+    * driver (two tiny collects) and enters the plan as literals, so the
+    * projection itself is one narrow codegen'd map over the store —
+    * no shuffle, no join.
+    */
+  def pcaProject(embeddings: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, k: Int, whiten: Boolean = false): DataFrame = {
+    val (n, s, _) = moments(embeddings, vecCol, dim)
+    require(n > 0, "pcaProject needs a non-empty store")
+    val mu = s.map(_ / n)
+    val (vals, comps) = pcaBasis(embeddings, vecCol, dim, k)
+    val muLit = typedLit(mu.toSeq)
+    val centered = zip_with(col(vecCol), muLit, (x, m) => x.cast("double") - m)
+    val projCols = (0 until k).map { j =>
+      val raw = graft.functions.Vec.dot(centered, typedLit(comps(j).toSeq))
+      val scaled =
+        if (whiten && vals(j) > 0.0) raw / math.sqrt(vals(j)) else raw
+      scaled.as(s"p$j")
+    }
+    embeddings
+      .select(col(idCol), array(projCols: _*).as("proj"))
+      .select(col(idCol), posexplode(col("proj")).as(Seq("pos0", "p")))
+      .select(col(idCol), (col("pos0") + 1).cast("int").as("pos"), col("p"))
+  }
+
   /** Assign each vector to the nearest centroid by cosine (broadcast the
     * centroid table; linear scan, no shuffle).
     */

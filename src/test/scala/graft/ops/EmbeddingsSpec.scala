@@ -55,4 +55,79 @@ class EmbeddingsSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- moments / PCA ---------------------------------------------------
+
+  private def randomStore(n: Int, d: Int, seed: Int) = {
+    val r = new scala.util.Random(seed)
+    // correlated data: dims 0/1 strongly coupled so PCA has a clear axis
+    (0L until n.toLong).map { i =>
+      val base = r.nextGaussian()
+      val v = Array.tabulate(d) {
+        case 0 => (base * 3.0 + r.nextGaussian() * 0.1).toFloat
+        case 1 => (base * 2.0 + r.nextGaussian() * 0.1).toFloat
+        case _ => (r.nextGaussian() * 0.5).toFloat
+      }
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("vector_moments agrees with the explode-based sums; skips bad rows") {
+    val d = 6
+    val good = randomStore(40, d, 11)
+    val bad = Seq((100L, Seq(1.0f, 2.0f)), (101L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val (n, s, ss) = Embeddings.moments(good.union(bad), "embedding", d)
+    assert(n == 40) // wrong-length and null rows ignored
+    val rows = good.select("embedding").as[Seq[Float]].collect()
+    val expS = Array.tabulate(d)(i => rows.map(_(i).toDouble).sum)
+    (0 until d).foreach(i => assert(math.abs(s(i) - expS(i)) < 1e-9))
+    var k = 0
+    for (i <- 0 until d; j <- i until d) {
+      val exp = rows.map(v => v(i).toDouble * v(j).toDouble).sum
+      assert(math.abs(ss(k) - exp) < 1e-9, s"ss($i,$j)")
+      k += 1
+    }
+  }
+
+  test("jacobiEigen reconstructs the matrix with an orthonormal basis") {
+    val r = new scala.util.Random(3)
+    val d = 8
+    val half = Array.fill(d, d)(r.nextGaussian())
+    val sym = Array.tabulate(d, d)((i, j) =>
+      (0 until d).map(k => half(i)(k) * half(j)(k)).sum)
+    val (vals, vecs) = Embeddings.jacobiEigen(sym)
+    assert(vals.sorted.reverse.sameElements(vals)) // sorted desc
+    for (a <- 0 until d; b <- 0 until d) {
+      val dotAB = (0 until d).map(i => vecs(a)(i) * vecs(b)(i)).sum
+      assert(math.abs(dotAB - (if (a == b) 1.0 else 0.0)) < 1e-9, s"ortho($a,$b)")
+      // Σ_k λ_k v_k[a] v_k[b] == sym(a)(b)
+      val rec = (0 until d).map(k => vals(k) * vecs(k)(a) * vecs(k)(b)).sum
+      assert(math.abs(rec - sym(a)(b)) < 1e-8, s"reconstruct($a,$b)")
+    }
+  }
+
+  test("pcaProject: component variances equal eigenvalues; whitening normalizes") {
+    val d = 6
+    val store = randomStore(300, d, 5)
+    val (vals, _) = Embeddings.pcaBasis(store, "embedding", d, 3)
+    assert(vals(0) > vals(1)) // the engineered dominant axis
+    val proj = Embeddings.pcaProject(store, "vec_id", "embedding", d, 3)
+      .collect().map(r => (r.getInt(1), r.getDouble(2)))
+    (1 to 3).foreach { pos =>
+      val xs = proj.filter(_._1 == pos).map(_._2)
+      val mean = xs.sum / xs.length
+      val popVar = xs.map(x => (x - mean) * (x - mean)).sum / xs.length
+      assert(math.abs(popVar - vals(pos - 1)) < 1e-6 * math.max(1.0, vals(pos - 1)),
+        s"var(pos=$pos)=$popVar vs λ=${vals(pos - 1)}")
+      assert(math.abs(mean) < 1e-9, "projection of centered data has zero mean")
+    }
+    val white = Embeddings.pcaProject(store, "vec_id", "embedding", d, 3, whiten = true)
+      .collect().map(r => (r.getInt(1), r.getDouble(2)))
+    (1 to 3).foreach { pos =>
+      val xs = white.filter(_._1 == pos).map(_._2)
+      val popVar = xs.map(x => x * x).sum / xs.length
+      assert(math.abs(popVar - 1.0) < 1e-6, s"whitened var(pos=$pos)=$popVar")
+    }
+  }
 }
