@@ -819,6 +819,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("s_nationkey")
     }),
+    "q109_null_skipping" -> ((s, d) => {
+      // null-count data skipping: a derived nullable column, clustered so
+      // nulls concentrate in few files (range partitioner sorts nulls
+      // first), then an IS NULL read through the skipping path — only
+      // files whose footer nullCount admits a null are scanned
+      val wh = java.nio.file.Files.createTempDirectory("graft-nulls").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/t")
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        when(col("value") < 5.0, lit(null).cast("double"))
+          .otherwise(col("value")).as("v"))
+      t.overwrite(ev.repartitionByRange(8, col("v")))
+      t.readWhereNull("v").select("event_id", "user_id").orderBy("event_id")
+    }),
     "q50_pivot" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_orderstatus")
@@ -1721,6 +1734,9 @@ object SparkEntry {
          CROSS JOIN generate_series(1, 64) AS u(j)
          WHERE j >= i
          GROUP BY 1, 2 ORDER BY i, j""",
+    "q109_null_skipping" ->
+      """SELECT event_id, user_id FROM events
+         WHERE value < 5.0 ORDER BY event_id""",
     "q106_salted_join" ->
       """SELECT s_nationkey, COUNT(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty

@@ -116,11 +116,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
-  /** Per-column min/max for a file: kind "i"/"d" (numeric, compared as
-    * BigDecimal) or "s" (UTF-8 string, compared lexicographically) with
-    * URL-encoded bounds, so any value round-trips through the TSV sidecar.
+  /** Per-column skipping stats for a file: kind "i"/"d" (numeric, compared
+    * as BigDecimal), "s" (UTF-8 string, lexicographic), "D" (date, epoch
+    * days) with URL-encoded bounds, or "n" (no usable bounds — all-null,
+    * NaN-bounded or unordered type; null COUNT only), plus the column's
+    * null count (−1 = unknown: footer didn't record it, or the entry was
+    * read from a pre-nullcount v1 sidecar line).
     */
-  private type FileStats = Map[String, (String, String, String)] // col -> (kind,min,max)
+  private type FileStats = Map[String, (String, String, String, Long)] // col -> (kind,min,max,nulls)
   private case class FileMeta(rows: Long, stats: FileStats)
 
   /** How many leaf columns get data-skipping stats (Delta's
@@ -243,8 +246,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
             case _ => "" // raw binary/boolean: no skipping stats
           }
           val perBlock = blocks.map(_.getColumns.asScala(i).getStatistics)
+          // null count is independent of bound usability: every block must
+          // record it (isNumNullsSet), else it's unknown (−1, never prunes)
+          val nulls: Long =
+            if (perBlock.isEmpty ||
+                perBlock.exists(s => s == null || !s.isNumNullsSet)) -1L
+            else perBlock.map(_.getNumNulls).sum
+          val colName = cd.getPath.mkString(".")
+          // bounds unusable (unordered type, all-null, NaN) → kind "n":
+          // the null count alone still serves IS [NOT] NULL skipping and
+          // prunes all-null files from range scans
+          def noBounds: Option[(String, (String, String, String, Long))] =
+            if (nulls >= 0) Some(colName -> ("n", "", "", nulls)) else None
           if (kind.isEmpty || perBlock.isEmpty ||
-              perBlock.exists(s => s == null || s.isEmpty || !s.hasNonNullValue)) None
+              perBlock.exists(s => s == null || s.isEmpty || !s.hasNonNullValue)) noBounds
           else {
             def str(v: Any): String = (ann, v) match {
               case (d: org.apache.parquet.schema.LogicalTypeAnnotation
@@ -257,16 +272,16 @@ final class ManagedTable(spark: SparkSession, val path: String) {
             val maxs = perBlock.map(s => str(s.genericGetMax))
             if (kind != "s" &&
                 (mins ++ maxs).exists(v => java.lang.Double.parseDouble(v).isNaN))
-              None // NaN bounds carry no ordering information: no stats
+              noBounds // NaN bounds carry no ordering information
             else if (kind == "s") {
               val mn = mins.reduce((a, b) => if (utf8Leq(a, b)) a else b)
               val mx = maxs.reduce((a, b) => if (utf8Leq(a, b)) b else a)
               truncMax(mx).map(m =>
-                cd.getPath.mkString(".") -> (kind, truncMin(mn), m))
+                colName -> (kind, truncMin(mn), m, nulls)).orElse(noBounds)
             } else {
               val mn = mins.reduce((a, b) => if (numLeq(a, b)) a else b)
               val mx = maxs.reduce((a, b) => if (numLeq(a, b)) b else a)
-              Some(cd.getPath.mkString(".") -> (kind, mn, mx))
+              Some(colName -> (kind, mn, mx, nulls))
             }
           }
         }.toMap
@@ -282,10 +297,18 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   private val sidecarCompactAt = 16
 
+  /** v2 line: `path len rows %v2 (col kind min max nulls)*`. The explicit
+    * format marker is what makes the null-count upgrade safe: a v1 line
+    * (4-cell stat groups, no marker) must never be regrouped by 5 into
+    * garbage bounds that wrongly prune files. The marker starts with '%',
+    * which [[enc]] (URLEncoder) always escapes — so no v1 line's first
+    * encoded COLUMN NAME cell can ever equal it.
+    */
+  private val sidecarV2 = "%v2"
   private def sidecarLine(p: String, len: Long, m: FileMeta): String = {
-    val statsCells = m.stats.toSeq.sortBy(_._1).flatMap { case (c, (k, mn, mx)) =>
-      Seq(enc(c), k, enc(mn), enc(mx)) }
-    (Seq(p, len.toString, m.rows.toString) ++ statsCells).mkString("\t")
+    val statsCells = m.stats.toSeq.sortBy(_._1).flatMap { case (c, (k, mn, mx, nulls)) =>
+      Seq(enc(c), k, enc(mn), enc(mx), nulls.toString) }
+    (Seq(p, len.toString, m.rows.toString, sidecarV2) ++ statsCells).mkString("\t")
   }
 
   /** Parse one sidecar file; a torn line (crash mid-write) degrades to a
@@ -298,9 +321,16 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .flatMap { l =>
           scala.util.Try(l.split('\t') match {
+            case Array(pp, len, rows, `sidecarV2`, rest @ _*) =>
+              val stats = rest.grouped(5).collect {
+                case Seq(c, k, mn, mx, nulls) =>
+                  dec(c) -> (k, dec(mn), dec(mx), nulls.toLong)
+              }.toMap
+              Some(pp -> (len.toLong, FileMeta(rows.toLong, stats)))
             case Array(pp, len, rows, rest @ _*) =>
+              // pre-nullcount v1 line: 4-cell groups, null count unknown
               val stats = rest.grouped(4).collect {
-                case Seq(c, k, mn, mx) => dec(c) -> (k, dec(mn), dec(mx))
+                case Seq(c, k, mn, mx) => dec(c) -> (k, dec(mn), dec(mx), -1L)
               }.toMap
               Some(pp -> (len.toLong, FileMeta(rows.toLong, stats)))
             case _ => None
@@ -428,17 +458,68 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     }
     val kept = files.map(_._1).filterNot(emptied).filter { p =>
       metas(p).stats.get(colName) match {
-        case Some(("D", mn, mx)) =>
+        case Some(("D", mn, mx, _)) =>
           (toEpochDay(lo), toEpochDay(hi)) match {
             case (Some(l), Some(h)) => mn.toDouble <= h && l <= mx.toDouble
             case _ => true
           }
-        case Some((k, mn, mx)) =>
+        // no usable bounds — but a column that is ALL null in this file
+        // cannot match a range predicate: prune; otherwise conservative
+        case Some(("n", _, _, nulls)) => nulls < metas(p).rows
+        case Some((k, mn, mx, _)) =>
           leq(k, mn, hi.toString) && leq(k, lo.toString, mx)
         case None => true
       }
     }
     (kept, files.map(_._1))
+  }
+
+  /** Live files that may hold a NULL in `colName` — null-count skipping
+    * (Delta's nullCount stats): a file whose recorded null count is 0 is
+    * pruned; unknown (−1, v1 sidecar entries) or missing stats keep the
+    * file conservatively. Returns (kept, all), like [[filesOverlapping]].
+    */
+  def filesWithNulls(colName: String): (Seq[String], Seq[String]) = {
+    val files = listParquet(new Path(path))
+      .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) }
+    val metas = fileMeta(files)
+    val dv = currentDv
+    def emptied(p: String): Boolean =
+      dv.get(p).exists(_.length >= metas(p).rows)
+    val kept = files.map(_._1).filterNot(emptied).filter { p =>
+      metas(p).stats.get(colName) match {
+        case Some((_, _, _, nulls)) => nulls != 0L
+        case None => true
+      }
+    }
+    (kept, files.map(_._1))
+  }
+
+  /** `WHERE colName IS NULL` with file-level null-count skipping: scan
+    * only the files whose stats admit a null, then apply the exact
+    * predicate. On a layout clustered by `colName` (nulls sort together)
+    * this touches a handful of files out of the table.
+    */
+  def readWhereNull(colName: String): DataFrame = {
+    val (kept, _) = filesWithNulls(colName)
+    if (kept.isEmpty) return read.filter(org.apache.spark.sql.functions.lit(false))
+    applyDv(spark.read.option("basePath", qualifiedRoot).parquet(kept: _*), currentDv)
+      .filter(col(colName).isNull)
+  }
+
+  /** `WHERE colName IS NOT NULL` with all-null files pruned. */
+  def readWhereNotNull(colName: String): DataFrame = {
+    val files = listParquet(new Path(path))
+      .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) }
+    val metas = fileMeta(files)
+    val dv = currentDv
+    val kept = files.map(_._1).filter { p =>
+      !dv.get(p).exists(_.length >= metas(p).rows) &&
+      !metas(p).stats.get(colName).exists(_._4 >= metas(p).rows)
+    }
+    if (kept.isEmpty) return read.filter(org.apache.spark.sql.functions.lit(false))
+    applyDv(spark.read.option("basePath", qualifiedRoot).parquet(kept: _*), currentDv)
+      .filter(col(colName).isNotNull)
   }
 
   /** Range read with file-level data skipping: scan ONLY the files whose

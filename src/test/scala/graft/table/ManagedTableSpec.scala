@@ -1025,4 +1025,76 @@ class ManagedTableSpec extends SparkSpec {
     assert(t.read.orderBy("k").as[(Long, String, String)].collect()
       .toSeq == Seq((1L, "a", "p1"), (2L, "B", "p2"), (3L, "C", "p3")))
   }
+
+  // ---- null-count skipping ---------------------------------------------
+
+  test("null-count skipping: IS NULL scans touch only files that hold nulls") {
+    val t = freshTable("mt-nulls")
+    // nulls cluster into one range partition (range partitioner sorts
+    // nulls first), so 3 of 4 files record nullCount=0
+    val df = spark.range(0, 400)
+      .selectExpr("id as k", "if(id % 8 = 0, cast(null as double), cast(id as double)) as v")
+    t.overwrite(df.repartitionByRange(4, col("v")))
+    val (kept, all) = t.filesWithNulls("v")
+    assert(all.size == 4 && kept.size == 1, s"kept ${kept.size} of ${all.size}")
+    val gotNull = t.readWhereNull("v").select("k").as[Long].collect().sorted
+    assert(gotNull.toSeq == (0L until 400L by 8).toSeq)
+    val gotNotNull = t.readWhereNotNull("v").count()
+    assert(gotNotNull == 350)
+  }
+
+  test("all-null column: range scans prune the file, IS NOT NULL prunes it too") {
+    val t = freshTable("mt-allnull")
+    // file 1: v entirely null; file 2: v populated — written as two appends
+    t.overwrite(Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
+      .toDF("k", "v").coalesce(1))
+    t.append(Seq((3L, Some(1.5)), (4L, Some(2.5))).toDF("k", "v").coalesce(1))
+    val (kept, all) = t.filesOverlapping("v", 0.0, 10.0)
+    assert(all.size == 2 && kept.size == 1,
+      s"all-null file not pruned from range scan: kept ${kept.size} of ${all.size}")
+    assert(t.readWhere("v", 0.0, 10.0).select("k").as[Long].collect().sorted.toSeq
+      == Seq(3L, 4L))
+    assert(t.readWhereNotNull("v").count() == 2)
+    assert(t.readWhereNull("v").select("k").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L))
+  }
+
+  test("v1 sidecar lines (no null counts) parse conservatively and stay exact") {
+    val t = freshTable("mt-v1compat")
+    val df = spark.range(0, 100)
+      .selectExpr("id as k", "if(id % 10 = 0, cast(null as double), cast(id as double)) as v")
+    t.overwrite(df.repartitionByRange(4, col("v")))
+    // rewrite every sidecar file in the PRE-nullcount v1 format: drop the
+    // %v2 marker and the 5th (nulls) cell of each stat group
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(t.path + "._log/_file_rows.txt")
+    val segD = new org.apache.hadoop.fs.Path(t.path + "._log/_file_rows.d")
+    val fs = base.getFileSystem(conf)
+    val paths = (if (fs.exists(base)) Seq(base) else Nil) ++
+      (if (fs.exists(segD)) fs.listStatus(segD).map(_.getPath).toSeq else Nil)
+    assert(paths.nonEmpty)
+    paths.foreach { p =>
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      val v1 = lines.map { l =>
+        val cells = l.split('\t')
+        assert(cells(3) == "%v2", s"expected v2 line, got: $l")
+        val stats = cells.drop(4).grouped(5).flatMap(_.take(4)).toSeq
+        (cells.take(3) ++ stats).mkString("\t")
+      }
+      val out = fs.create(p, true)
+      try out.write(v1.mkString("\n").getBytes("UTF-8")) finally out.close()
+    }
+    // unknown null counts: nothing prunes, but reads remain exact
+    val (kept, all) = t.filesWithNulls("v")
+    assert(kept.size == all.size, "v1 entries must keep every file (unknown counts)")
+    assert(t.readWhereNull("v").count() == 10)
+    assert(t.readWhereNotNull("v").count() == 90)
+    // min/max bounds from the v1 groups still prune range scans
+    val (keptR, allR) = t.filesOverlapping("v", 1.0, 20.0)
+    assert(keptR.size < allR.size)
+    assert(t.readWhere("v", 1.0, 20.0).count() ==
+      t.read.filter(col("v").between(1.0, 20.0)).count())
+  }
 }
