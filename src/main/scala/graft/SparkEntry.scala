@@ -764,6 +764,24 @@ object SparkEntry {
       new graft.table.ManagedTable(s, p).read
         .select("event_id", "user_id", "value").orderBy("event_id")
     }),
+    "q110_multipred_scan" -> ((s, d) => {
+      // the reference's Z-order A/B scan shape (deltalake.ipynb:8408:
+      // date range AND amount threshold) through conjunctive file-level
+      // skipping: the kept-set is the INTERSECTION of each predicate's
+      // overlap set, computed from the stats sidecar before any file opens
+      val wh = java.nio.file.Files.createTempDirectory("graft-mpred").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/t")
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          to_date(col("l_shipdate")).as("ship_date"),
+          col("l_extendedprice").cast("double").as("price"))
+      t.overwrite(li, partitionCols = Nil)
+      t.clusterZ(Seq("ship_date", "price"))
+      t.readWhereAll(Seq(
+          ("ship_date", java.sql.Date.valueOf("1996-01-01"), java.sql.Date.valueOf("1996-06-30")),
+          ("price", 50000.0, 90000.0)))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     "q103_delete_vectors" -> ((s, d) => {
       // merge-on-read DELETE (Delta deletion vectors): two vectored
       // deletes mark rows in per-file bitmaps — zero data files rewritten,
@@ -1737,6 +1755,13 @@ object SparkEntry {
     "q109_null_skipping" ->
       """SELECT event_id, user_id FROM events
          WHERE value < 5.0 ORDER BY event_id""",
+    "q110_multipred_scan" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
+           CAST(l_extendedprice AS DOUBLE) AS price
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+           AND CAST(l_extendedprice AS DOUBLE) BETWEEN 50000.0 AND 90000.0
+         ORDER BY l_orderkey, l_linenumber""",
     "q106_salted_join" ->
       """SELECT s_nationkey, COUNT(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty

@@ -42,7 +42,15 @@ object GraftFunctions {
       cosineExpr _),
     ("rolling_hash",
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-      (args: Seq[Expression]) => RollingHash(args(0))))
+      (args: Seq[Expression]) => RollingHash(args(0))),
+    ("vec_moments",
+      new ExpressionInfo(classOf[VectorMomentsAgg].getName, "vec_moments"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, org.apache.spark.sql.catalyst.expressions.Literal(d: Int,
+            org.apache.spark.sql.types.IntegerType)) => VectorMomentsAgg(v, d)
+        case _ => throw new IllegalArgumentException(
+          "vec_moments(vec, dim) needs a literal int dimension")
+      }))
 
   /** Register into a live session's function registry. */
   def register(spark: SparkSession): Unit =

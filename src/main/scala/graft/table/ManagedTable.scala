@@ -507,6 +507,42 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       .filter(col(colName).isNull)
   }
 
+  /** Metadata-only `COUNT(*)`: Σ sidecar row counts − Σ live deletion-
+    * vector cardinalities. Zero data files open (footers are sidecar
+    * cache hits on a committed table), no Spark job — the way Delta
+    * serves `SELECT COUNT(*)` from stats. Exactness is guaranteed by the
+    * same invariants the reads rely on: every live file's row count is
+    * recorded at commit, and DV bitmaps only mark rows that exist.
+    */
+  def countFast(): Long = {
+    val files = listParquet(new Path(path))
+      .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) }
+    val metas = fileMeta(files)
+    val dv = currentDv
+    files.map { case (p, _) =>
+      metas(p).rows - dv.get(p).map(_.length.toLong).getOrElse(0L)
+    }.sum
+  }
+
+  /** Conjunctive multi-column range read: file-level skipping intersects
+    * every predicate's kept-set BEFORE any file opens, so a scan like
+    * `date BETWEEN … AND amount BETWEEN …` prunes on both columns (the
+    * reference's Z-order demo query shape, deltalake.ipynb:8408 — with a
+    * Z/range-clustered layout each extra predicate multiplies the prune).
+    * Exactness: every predicate is re-applied on the surviving rows.
+    */
+  def readWhereAll(preds: Seq[(String, Any, Any)]): DataFrame = {
+    require(preds.nonEmpty, "readWhereAll needs at least one predicate")
+    val keptSets = preds.map { case (c, lo, hi) => filesOverlapping(c, lo, hi)._1.toSet }
+    val kept = keptSets.reduce(_ intersect _).toSeq.sorted
+    if (kept.isEmpty) return read.filter(org.apache.spark.sql.functions.lit(false))
+    val scan = applyDv(
+      spark.read.option("basePath", qualifiedRoot).parquet(kept: _*), currentDv)
+    preds.foldLeft(scan) { case (df, (c, lo, hi)) =>
+      df.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    }
+  }
+
   /** `WHERE colName IS NOT NULL` with all-null files pruned. */
   def readWhereNotNull(colName: String): DataFrame = {
     val files = listParquet(new Path(path))

@@ -124,4 +124,33 @@ class PlanSpec extends SparkSpec {
     // lineitem has 11 columns; the mart needs exactly 2 from it
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>"), plan)
   }
+
+  test("PCA projection is a shuffle-free narrow map over the store") {
+    // the basis enters as literals (driver-side eigensolve of the d×d
+    // covariance); the projection itself must stay scan → project →
+    // generate with NO Exchange — at 100 TB an exchange here would move
+    // the whole embedding store. (q108 adds a final ORDER BY for the
+    // deterministic gate; assert on the operator itself.)
+    val df = graft.ops.Embeddings.pcaProject(
+      graft.model.Tables.embeddings(spark, dir), "vec_id", "embedding", dim = 64, k = 4)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("q106 salted join degrades to a shuffle SMJ at scale, never a fact broadcast") {
+    // at-scale plan shape (auto-broadcast off, q01's discipline): the
+    // salted join carries no hint, so it must become a shuffle SMJ on
+    // (key, salt) — the salt column is what spreads a hot key over
+    // reducers; any broadcast here would be size-based only
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q106_salted_join")(spark, dir)
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      assert(plan.contains("__salt"), plan) // join key includes the salt
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -72,4 +72,16 @@ class FunctionsSpec extends SparkSpec {
     val b = df.coalesce(1).agg(MinHashAgg.minhash_agg(col("h"), 8)).as[Seq[Long]].head()
     assert(a == b)
   }
+
+  test("vec_moments SQL function matches the Column API; rejects non-literal dim") {
+    GraftFunctions.register(spark)
+    Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f))).toDF("id", "v")
+      .createOrReplaceTempView("mvecs")
+    val viaSql = spark.sql("SELECT m.n, m.s, m.ss FROM " +
+        "(SELECT vec_moments(v, 2) AS m FROM mvecs)")
+      .as[(Long, Seq[Double], Seq[Double])].head()
+    assert(viaSql == ((2L, Seq(4.0, 6.0), Seq(10.0, 14.0, 20.0))))
+    val err = intercept[Exception](spark.sql("SELECT vec_moments(v, id) FROM mvecs"))
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
 }

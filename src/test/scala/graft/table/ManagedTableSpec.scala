@@ -1097,4 +1097,35 @@ class ManagedTableSpec extends SparkSpec {
     assert(t.readWhere("v", 1.0, 20.0).count() ==
       t.read.filter(col("v").between(1.0, 20.0)).count())
   }
+
+  test("countFast serves COUNT(*) from metadata, tracking DML exactly") {
+    val t = freshTable("mt-countfast")
+    t.overwrite(spark.range(0, 1000).selectExpr("id as k", "cast(id as double) as v")
+      .repartition(4))
+    assert(t.countFast() == 1000)
+    t.append(spark.range(1000, 1200).selectExpr("id as k", "cast(id as double) as v"))
+    assert(t.countFast() == 1200)
+    t.deleteVectored(col("k") % 10 === 0) // 120 rows bitmap-deleted
+    assert(t.countFast() == 1080)
+    assert(t.countFast() == t.read.count())
+  }
+
+  test("readWhereAll intersects per-column kept-sets and stays exact") {
+    val t = freshTable("mt-multipred")
+    // two independently-informative columns under a range-clustered layout
+    val df = spark.range(0, 800).selectExpr(
+      "id as k", "cast(id as double) as a", "cast(799 - id as double) as b")
+    t.overwrite(df.repartitionByRange(8, col("k")).sortWithinPartitions("k"))
+    val keptA = t.filesOverlapping("a", 100.0, 299.0)._1.toSet
+    val keptB = t.filesOverlapping("b", 550.0, 780.0)._1.toSet
+    assert(keptA.size < 8 && keptB.size < 8)
+    val both = keptA intersect keptB
+    assert(both.size < math.min(keptA.size, keptB.size) || both.size <= 2,
+      s"intersection did not tighten: a=${keptA.size} b=${keptB.size} both=${both.size}")
+    val got = t.readWhereAll(Seq(("a", 100.0, 299.0), ("b", 550.0, 780.0)))
+      .select("k").as[Long].collect().sorted
+    assert(got.toSeq == (100L to 249L).toSeq) // a∈[100,299] ∧ b∈[550,780] ⇒ k∈[100,249]
+    // degenerate: disjoint kept-sets short-circuit to an empty result
+    assert(t.readWhereAll(Seq(("a", 0.0, 10.0), ("a", 700.0, 750.0))).count() == 0)
+  }
 }
