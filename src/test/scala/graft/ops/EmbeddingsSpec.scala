@@ -130,4 +130,42 @@ class EmbeddingsSpec extends SparkSpec {
       assert(math.abs(popVar - 1.0) < 1e-6, s"whitened var(pos=$pos)=$popVar")
     }
   }
+
+  test("jacobiEigen on arbitrary symmetric matrices (property)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val genSym = for {
+      d <- Gen.chooseNum(1, 10)
+      cells <- Gen.listOfN(d * d, Gen.chooseNum(-100.0, 100.0))
+    } yield {
+      val h = cells.toArray.grouped(d).toArray
+      Array.tabulate(d, d)((i, j) => h(i)(j) + h(j)(i)) // symmetric, indefinite
+    }
+    val prop = Prop.forAll(genSym) { m =>
+      val d = m.length
+      val (vals, vecs) = Embeddings.jacobiEigen(m)
+      val scale = math.max(1.0, m.map(_.map(math.abs).max).max)
+      val sortedDesc = vals.zip(vals.tail).forall { case (a, b) => a >= b }
+      val ortho = (0 until d).forall(a => (0 until d).forall { b =>
+        val dot = (0 until d).map(i => vecs(a)(i) * vecs(b)(i)).sum
+        math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-8
+      })
+      val recon = (0 until d).forall(a => (0 until d).forall { b =>
+        val r = (0 until d).map(k => vals(k) * vecs(k)(a) * vecs(k)(b)).sum
+        math.abs(r - m(a)(b)) < 1e-7 * scale
+      })
+      sortedDesc && ortho && recon
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("moments aggregate is partition-layout invariant (within double tolerance)") {
+    val store = randomStore(200, 5, 21)
+    val (n1, s1, ss1) = Embeddings.moments(store.repartition(13), "embedding", 5)
+    val (n2, s2, ss2) = Embeddings.moments(store.coalesce(1), "embedding", 5)
+    assert(n1 == n2)
+    s1.zip(s2).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    ss1.zip(ss2).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+  }
 }
