@@ -433,18 +433,29 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def filesOverlapping(colName: String, lo: Any, hi: Any): (Seq[String], Seq[String]) = {
     val files = listParquet(new Path(path))
       .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) }
-    // a null bound can't prune (and must not NPE): keep everything, the
-    // exact predicate downstream decides (SQL comparisons to null match
-    // nothing anyway)
+    val metas = fileMeta(files)
+    val kept = overlapKept(files, metas, currentDv, colName, lo, hi)
+    (kept, files.map(_._1))
+  }
+
+  /** Stats evaluation for one range predicate against pre-fetched listing/
+    * metadata — shared by [[filesOverlapping]] and [[readWhereAll]] so an
+    * N-predicate scan pays ONE listing + ONE sidecar read, not N (at a
+    * million files the repeated driver listing would dominate the prune).
+    */
+  private def overlapKept(files: Seq[(String, Long)], metas: Map[String, FileMeta],
+                          dv: Map[String, Array[Long]],
+                          colName: String, lo: Any, hi: Any): Seq[String] = {
     // a file whose rows are ALL bitmap-deleted can't contribute a match —
     // skip it entirely (a retention-style delete that empties old files
     // makes scans drop them without waiting for compaction)
-    val metas = fileMeta(files)
-    val dv = currentDv
     def emptied(p: String): Boolean =
       dv.get(p).exists(_.length >= metas(p).rows)
+    // a null bound can't prune (and must not NPE): keep everything, the
+    // exact predicate downstream decides (SQL comparisons to null match
+    // nothing anyway)
     if (lo == null || hi == null)
-      return (files.map(_._1).filterNot(emptied), files.map(_._1))
+      return files.map(_._1).filterNot(emptied)
     def leq(kind: String, a: String, b: String): Boolean =
       if (kind == "s") utf8Leq(a, b) else numLeq(a, b)
     // date ("D") stats are epoch-day numbers; decode the user-space
@@ -456,7 +467,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       case x => scala.util.Try(
         java.time.LocalDate.parse(x.toString).toEpochDay).toOption
     }
-    val kept = files.map(_._1).filterNot(emptied).filter { p =>
+    files.map(_._1).filterNot(emptied).filter { p =>
       metas(p).stats.get(colName) match {
         case Some(("D", mn, mx, _)) =>
           (toEpochDay(lo), toEpochDay(hi)) match {
@@ -471,7 +482,6 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         case None => true
       }
     }
-    (kept, files.map(_._1))
   }
 
   /** Live files that may hold a NULL in `colName` — null-count skipping
@@ -533,11 +543,17 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   def readWhereAll(preds: Seq[(String, Any, Any)]): DataFrame = {
     require(preds.nonEmpty, "readWhereAll needs at least one predicate")
-    val keptSets = preds.map { case (c, lo, hi) => filesOverlapping(c, lo, hi)._1.toSet }
+    // one listing + one sidecar read serve every predicate
+    val files = listParquet(new Path(path))
+      .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) }
+    val metas = fileMeta(files)
+    val dv = currentDv
+    val keptSets = preds.map { case (c, lo, hi) =>
+      overlapKept(files, metas, dv, c, lo, hi).toSet }
     val kept = keptSets.reduce(_ intersect _).toSeq.sorted
     if (kept.isEmpty) return read.filter(org.apache.spark.sql.functions.lit(false))
     val scan = applyDv(
-      spark.read.option("basePath", qualifiedRoot).parquet(kept: _*), currentDv)
+      spark.read.option("basePath", qualifiedRoot).parquet(kept: _*), dv)
     preds.foldLeft(scan) { case (df, (c, lo, hi)) =>
       df.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
     }
