@@ -64,10 +64,11 @@ object Embeddings {
     (r.getLong(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray)
   }
 
-  /** Population covariance matrix from [[moments]]: cov(i,j) = Σxy/n − μᵢμⱼ. */
-  def covarianceMatrix(embeddings: DataFrame, vecCol: String, dim: Int)
-      : Array[Array[Double]] = {
-    val (n, s, ss) = moments(embeddings, vecCol, dim)
+  /** Population covariance from already-collected moments:
+    * cov(i,j) = Σxy/n − μᵢμⱼ (driver-side arithmetic, no data pass).
+    */
+  private def covFromMoments(n: Long, s: Array[Double], ss: Array[Double],
+                             dim: Int): Array[Array[Double]] = {
     require(n > 0, s"covariance needs rows, got n=$n")
     val mu = s.map(_ / n)
     val c = Array.ofDim[Double](dim, dim)
@@ -83,6 +84,13 @@ object Embeddings {
       i += 1
     }
     c
+  }
+
+  /** Population covariance matrix of a vector column (one [[moments]] pass). */
+  def covarianceMatrix(embeddings: DataFrame, vecCol: String, dim: Int)
+      : Array[Array[Double]] = {
+    val (n, s, ss) = moments(embeddings, vecCol, dim)
+    covFromMoments(n, s, ss, dim)
   }
 
   /** Cyclic-Jacobi eigendecomposition of a symmetric matrix (driver-side;
@@ -162,17 +170,20 @@ object Embeddings {
   /** Project every vector onto the top-k principal components (long form:
     * id, pos 1..k, p). `whiten=true` scales each component by 1/√λ so the
     * output has ~unit variance per dimension — the standard preprocessing
-    * before quantization or cosine ANN. The basis is computed once on the
-    * driver (two tiny collects) and enters the plan as literals, so the
+    * before quantization or cosine ANN. ONE moments pass serves both the
+    * mean and the eigenbasis (at a 100 TB store a second aggregation pass
+    * is the dominant cost); the basis enters the plan as literals, so the
     * projection itself is one narrow codegen'd map over the store —
     * no shuffle, no join.
     */
   def pcaProject(embeddings: DataFrame, idCol: String, vecCol: String,
                  dim: Int, k: Int, whiten: Boolean = false): DataFrame = {
-    val (n, s, _) = moments(embeddings, vecCol, dim)
+    require(k >= 1 && k <= dim, s"k=$k out of range [1, $dim]")
+    val (n, s, ss) = moments(embeddings, vecCol, dim)
     require(n > 0, "pcaProject needs a non-empty store")
     val mu = s.map(_ / n)
-    val (vals, comps) = pcaBasis(embeddings, vecCol, dim, k)
+    val (vals0, vecs0) = jacobiEigen(covFromMoments(n, s, ss, dim))
+    val (vals, comps) = (vals0.take(k), vecs0.take(k))
     val muLit = typedLit(mu.toSeq)
     val centered = zip_with(col(vecCol), muLit, (x, m) => x.cast("double") - m)
     val projCols = (0 until k).map { j =>

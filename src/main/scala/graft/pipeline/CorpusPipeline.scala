@@ -125,6 +125,35 @@ final class CorpusPipeline(spark: SparkSession, warehouse: String) {
     corpus.read
   }
 
+  /** Continuous corpus ingestion: every micro-batch flows through
+    * [[runIncremental]] (annotate → quality filter → dedup against the
+    * signature store AND within the batch → split → append), so the live
+    * stream and batch loads share one dedup contract. The first batch
+    * bootstraps the corpus + signature store via [[run]].
+    *
+    * Delivery semantics: foreachBatch is at-least-once, and the signature
+    * store is what makes that safe WITHOUT a txn marker — a replayed
+    * batch's documents minhash-match their own signatures already in the
+    * store, so the entire replay dedups away (asserted in spec). At
+    * 100 TB each trigger costs one band-bucket join against signatures,
+    * never a corpus rescan.
+    */
+  def ingestStream(stream: DataFrame, idCol: String, textCol: String,
+                   checkpoint: String,
+                   minQuality: Double = 0.5, minEstSim: Double = 0.9,
+                   trainPct: Int = 90): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!corpus.exists || !signatureStore.exists)
+          run(batch, idCol, textCol, minQuality, minEstSim, trainPct)
+        else
+          runIncremental(batch, idCol, textCol, minQuality, minEstSim, trainPct)
+        ()
+      }
+      .start()
+
   /** Corpus accounting: docs + tokens per (lang, split) — the numbers a
     * training run budget needs.
     */

@@ -124,4 +124,36 @@ class CorpusPipelineSpec extends SparkSpec {
     // sf0.001 documents contain planted near-dups; some must be removed
     assert(kept.count() < docs.count())
   }
+
+  test("streaming ingest: cross-batch dedup via the store; replayed batches vanish") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val wh = tmpDir("corpus-stream") + "/wh"
+    val p = new CorpusPipeline(spark, wh)
+    // distinct-vocabulary docs (no accidental near-dups across texts)
+    def doc(tag: String) = (1 to 40).map(i => s"$tag$i word$tag$i").mkString(" ")
+    val (tA, tB, tC) = (doc("alpha"), doc("beta"), doc("gamma"))
+    val mem = MemoryStream[(Long, String)]
+    val q = p.ingestStream(mem.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      checkpoint = tmpDir("corpus-stream-ckpt"), minQuality = 0.0)
+    // batch 0 bootstraps the corpus+store; contains an in-batch exact dup
+    mem.addData((1L, tA), (2L, tB), (3L, tA))
+    q.processAllAvailable()
+    assert(p.corpus.read.count() == 2)
+    // batch 1: duplicate of a STORED doc (identical signature → est 1.0,
+    // deterministically dropped) plus one genuinely new doc
+    mem.addData((10L, tA), (11L, tC))
+    q.processAllAvailable()
+    assert(p.corpus.read.count() == 3)
+    assert(p.corpus.read.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 11L))
+    // batch 2: an at-least-once REPLAY of batch 1 — every doc matches its
+    // own signatures in the store, the whole batch dedups away
+    mem.addData((10L, tA), (11L, tC))
+    q.processAllAvailable()
+    q.stop()
+    assert(p.corpus.read.count() == 3)
+    // the signature store tracks exactly the kept docs
+    assert(p.signatureStore.read.select("doc_id").distinct().count() == 3)
+  }
 }
