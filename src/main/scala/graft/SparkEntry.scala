@@ -782,6 +782,54 @@ object SparkEntry {
           ("price", 50000.0, 90000.0)))
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    "q111_semdedup" -> ((s, d) => {
+      // SemDeDup (arXiv:2303.09540): cluster-bounded semantic dedup —
+      // nearest-centroid assignment (q46's bit-exact contract), pairwise
+      // cosine ONLY within a cluster, drop when a lower-id neighbor is
+      // ≥ minCos. Clusters here come from the store's own labels
+      // (deterministic, oracle-expressible); q113 runs the label-free
+      // k-means path over the same corpus.
+      val e = Tables.embeddings(s, d)
+      graft.ops.Dedup.semDedup(e, "vec_id", "embedding",
+          graft.ops.Embeddings.centroids(e, "label", "embedding"), 0.4)
+        .orderBy("vec_id")
+    }),
+    "q112_temperature_mix" -> ((s, d) =>
+      // multinomial α-sampling (XLM-R/mT5): per-language keep rate
+      // (n_min/n_d)^(1−α); α = 0.5 rides on sqrt so both engines round
+      // identically, and the modulo selector makes row membership exact
+      // (modulus 100 ≲ the sf id range so the threshold actually bites)
+      Sampling.temperatureSample(Tables.documents(s, d), "lang", "doc_id",
+          alpha = 0.5, byHash = false, modulus = 100L)
+        .select(col("doc_id"), col("lang"), col("sample_rate"))
+        .orderBy("doc_id")),
+    "q113_semdedup_kmeans" -> ((s, d) => {
+      // rows-only: the label-free SemDeDup — deterministic k-means
+      // (content-hash seeded, DECIMAL-contract means) then cluster-bounded
+      // dedup; invariants (determinism, objective descent, ≡ semDedup on
+      // the fitted codebook) are spec-checked in EmbeddingsSpec/DedupSpec
+      val e = Tables.embeddings(s, d).cache()
+      graft.ops.Dedup.semDedupAuto(e, "vec_id", "embedding",
+          k = 8, iters = 3, minCos = 0.4)
+        .orderBy("vec_id")
+    }),
+    "q114_dedup_keep_best" -> ((s, d) => {
+      // exact dedup with quality-aware keeper selection: a re-whitespaced
+      // copy of every 5th doc shares its normalized fingerprint; scoring
+      // by raw compactness (fewest raw chars) keeps the clean original
+      // and drops the padded copy — the WHICH-id-survives check is what
+      // the oracle pins (a wrong keeper surfaces as doc_id+100000)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val padded = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          regexp_replace(col("text"), " ", "  ").as("text"))
+      graft.ops.Dedup.exactKeepBest(
+          docs.unionByName(padded)
+            .withColumn("compactness", -length(col("text")).cast("long")),
+          "doc_id", "text", "compactness")
+        .select(col("doc_id"), col("dup_count"))
+        .orderBy("doc_id")
+    }),
     "q103_delete_vectors" -> ((s, d) => {
       // merge-on-read DELETE (Delta deletion vectors): two vectored
       // deletes mark rows in per-file bitmaps — zero data files rewritten,
@@ -1762,6 +1810,65 @@ object SparkEntry {
          WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
            AND CAST(l_extendedprice AS DOUBLE) BETWEEN 50000.0 AND 90000.0
          ORDER BY l_orderkey, l_linenumber""",
+    // assignment CTEs = q46's bit-exact contract (DECIMAL centroid means,
+    // list_dot_product cosine, ascending-label ties); the NOT EXISTS is
+    // semDedup's greedy lower-id-dominates rule. dot(y,x) sums the same
+    // product sequence as Spark's dot(x,y) and IEEE multiply commutes
+    // bitwise, so the ≥ threshold decisions are identical.
+    "q111_semdedup" ->
+      """WITH comp AS (
+           SELECT label, i AS pos,
+             CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
+           FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+           GROUP BY 1, 2),
+         cents AS (
+           SELECT label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label),
+         scored AS (
+           SELECT e.vec_id, c.label AS assigned_label,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(c.centroid, c.centroid))) AS cos_sim
+           FROM embeddings e CROSS JOIN cents c),
+         ranked AS (
+           SELECT vec_id, assigned_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, assigned_label) AS rn
+           FROM scored),
+         asg AS (
+           SELECT r.vec_id, r.assigned_label, CAST(e.embedding AS DOUBLE[]) AS v
+           FROM ranked r JOIN embeddings e USING (vec_id) WHERE r.rn = 1)
+         SELECT x.vec_id, x.assigned_label FROM asg x
+         WHERE NOT EXISTS (
+           SELECT 1 FROM asg y
+           WHERE y.assigned_label = x.assigned_label AND y.vec_id < x.vec_id
+             AND list_dot_product(y.v, x.v)
+               / (sqrt(list_dot_product(y.v, y.v)) * sqrt(list_dot_product(x.v, x.v))) >= 0.4)
+         ORDER BY vec_id""",
+    "q112_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         r AS (SELECT lang,
+                 sqrt(CAST((SELECT MIN(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE)) AS sample_rate
+               FROM c)
+         SELECT d.doc_id, d.lang, r.sample_rate
+         FROM documents d JOIN r USING (lang)
+         WHERE d.doc_id % 100 < CAST(FLOOR(r.sample_rate * 100) AS BIGINT)
+         ORDER BY d.doc_id""",
+    "q114_dedup_keep_best" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id,
+             regexp_replace(text, ' ', '  ', 'g') AS text
+           FROM documents WHERE doc_id % 5 = 0),
+         s AS (SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                 -CAST(length(text) AS BIGINT) AS compactness
+               FROM all_docs),
+         r AS (SELECT doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY fp ORDER BY compactness DESC, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY fp) AS dup_count
+               FROM s)
+         SELECT doc_id, CAST(dup_count AS BIGINT) AS dup_count
+         FROM r WHERE rn = 1 ORDER BY doc_id""",
     "q106_salted_join" ->
       """SELECT s_nationkey, COUNT(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty

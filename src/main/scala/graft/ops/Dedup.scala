@@ -485,4 +485,66 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup over
+    * an embedding store: assign every vector to its nearest centroid,
+    * compute pairwise cosine ONLY within each cluster, and drop a vector
+    * when a lower-id same-cluster neighbor sits at cosine ≥ `minCos`
+    * (whether or not that neighbor itself survives — the greedy rule that
+    * keeps the semantics join-expressible instead of needing transitive
+    * closure). Returns the kept (idCol, assigned_label) rows.
+    *
+    * Scale design: the clustering is what makes embedding dedup tractable
+    * at 100 TB — the only join is an equi-join on `assigned_label`, so the
+    * quadratic cost is bounded per cluster (pick k ≈ corpus/«a few
+    * thousand»; the paper runs k = 11k on LAION). Assignment is a
+    * broadcast of the metadata-sized codebook over a linear scan
+    * ([[Embeddings.assignToCentroids]]); norms are precomputed per row,
+    * never per pair. One pathologically hot cluster is the skew risk —
+    * split it by re-clustering within, don't raise minCos.
+    */
+  def semDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+               cents: DataFrame, minCos: Double): DataFrame = {
+    val assigned = Embeddings.assignToCentroids(embeddings, idCol, vecCol, cents)
+      .select(col(idCol), col("assigned_label"))
+    val e = embeddings.select(col(idCol), col(vecCol)).join(assigned, Seq(idCol))
+    val a = e.select(col("assigned_label"), col(idCol).as("__id"),
+      col(vecCol).as("__v"), Similarity.norm(col(vecCol)).as("__na"))
+    val b = e.select(col("assigned_label"), col(idCol).as("__id2"),
+      col(vecCol).as("__v2"), Similarity.norm(col(vecCol)).as("__nb"))
+    val dominated = a.join(b, Seq("assigned_label"))
+      .filter(col("__id2") < col("__id") &&
+        Similarity.dot(col("__v"), col("__v2")) / (col("__na") * col("__nb")) >= minCos)
+      .select(col("__id").as(idCol)).distinct()
+    e.select(col(idCol), col("assigned_label"))
+      .join(dominated, Seq(idCol), "left_anti")
+  }
+
+  /** [[semDedup]] for a corpus with no given clustering: fit the
+    * deterministic k-means codebook first ([[Embeddings.kmeansFit]]) and
+    * dedup within the learned clusters — the full SemDeDup recipe.
+    */
+  def semDedupAuto(embeddings: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int, minCos: Double): DataFrame =
+    semDedup(embeddings, idCol, vecCol,
+      Embeddings.kmeansFit(embeddings, idCol, vecCol, k, iters), minCos)
+
+  /** Exact dedup with quality-aware keeper selection: group on the
+    * normalized fingerprint and keep the highest-`scoreCol` copy (ties →
+    * lowest id) instead of [[exact]]'s min-id convention — the dedup that
+    * keeps the clean copy and discards the boilerplate-damaged one.
+    * Returns the kept rows (all input columns) plus their `dup_count`.
+    * The windows run per fingerprint group — duplicate sets, never the
+    * corpus — so partitions stay balanced at any scale.
+    */
+  def exactKeepBest(docs: DataFrame, idCol: String, textCol: String,
+                    scoreCol: String): DataFrame = {
+    val grp = Window.partitionBy(col("__fp"))
+    docs.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__rn",
+        row_number().over(grp.orderBy(desc(scoreCol), col(idCol))))
+      .withColumn("dup_count", count(lit(1)).over(grp))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__fp")
+  }
 }

@@ -211,4 +211,53 @@ object Embeddings {
     Relational.topKPerGroup(scored, idCol, 1, "cos_sim", "__clabel")
       .select(col(idCol), col("__clabel").as("assigned_label"), col("cos_sim"))
   }
+
+  /** Deterministic Lloyd k-means over the embedding store, cosine
+    * assignment (the spherical shape [[assignToCentroids]] uses). Init is
+    * content-deterministic — the k rows with the smallest
+    * (xxhash64(id), id) seed the codebook — so the fit reproduces across
+    * runs, partitionings and cluster sizes (no `rand()`, the [[Sampling]]
+    * discipline). Each iteration is one broadcast assignment plus one
+    * cell-level mean under the DECIMAL determinism contract
+    * ([[centroidComponents]]' aggregation, so the means are
+    * partition-order independent too); the k×d codebook lives on the
+    * driver between passes (metadata-sized at any corpus scale). Empty
+    * clusters keep their previous centroid. Returns (label, centroid),
+    * the [[centroids]] shape. Cache the input first: the fit makes
+    * `iters + 1` passes over it.
+    */
+  def kmeansFit(embeddings: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    val seeds = embeddings
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(k)
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .as[Seq[Double]].collect()
+    require(seeds.length == k, s"k=$k exceeds the ${seeds.length} input rows")
+    var codebook: Seq[(Int, Seq[Double])] = seeds.toSeq.zipWithIndex.map(_.swap)
+    for (_ <- 0 until iters) {
+      val cents = codebook.toDF("label", "centroid")
+      val assigned = assignToCentroids(embeddings, idCol, vecCol, cents)
+        .select(col(idCol), col("assigned_label"))
+      val next = centroids(embeddings.join(assigned, Seq(idCol)),
+          "assigned_label", vecCol)
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      codebook = codebook.map { case (l, old) => (l, next.getOrElse(l, old)) }
+    }
+    codebook.toDF("label", "centroid")
+  }
+
+  /** Mean cosine distance (1 − cos) to the assigned centroid — the
+    * spherical k-means objective; non-increasing over [[kmeansFit]]
+    * iterations (spec-asserted).
+    */
+  def kmeansObjective(embeddings: DataFrame, idCol: String, vecCol: String,
+                      cents: DataFrame): Double =
+    assignToCentroids(embeddings, idCol, vecCol, cents)
+      .agg(avg(lit(1.0) - col("cos_sim"))).head().getDouble(0)
 }

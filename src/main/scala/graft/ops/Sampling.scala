@@ -66,6 +66,40 @@ object Sampling {
       df.filter(col(idCol) % 100 < math.round(frac * 100).toInt)
     }.reduce(_ unionByName _)
 
+  /** Temperature-based domain rebalancing — the multinomial α-sampling of
+    * multilingual pretraining (XLM-R / mT5): sampling probability per
+    * domain p_d ∝ n_d^α, realized as deterministic per-row keep rates
+    * r_d = (n_min / n_d)^(1−α). The smallest domain keeps everything and
+    * larger domains are downsampled toward it: α = 1 is the natural
+    * distribution, α = 0 flattens to uniform domain sizes. Selection is
+    * content-hash (reproducible under re-sharding, the [[hashSplit]]
+    * discipline); `byHash = false` switches to the id-modulo selector
+    * that any SQL engine reproduces exactly (the oracle anchor, like
+    * [[modSplit]]). α = 0.5 routes through `sqrt` — correctly rounded
+    * IEEE, so engines agree bit-exactly, where `pow` only promises
+    * ≤ 1 ulp. `modulus` sets the keep-rate granularity (1/modulus); with
+    * the modulo selector pick it ≲ the id range, or sequential ids all
+    * land under the threshold. Adds `sample_rate`; costs one
+    * metadata-sized aggregate broadcast back onto the data — no shuffle
+    * of the rows themselves.
+    */
+  def temperatureSample(df: DataFrame, domainCol: String, idCol: String,
+                        alpha: Double, byHash: Boolean = true,
+                        modulus: Long = 1000000L): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha out of [0,1]: $alpha")
+    require(modulus > 0, s"modulus must be positive: $modulus")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__nmin"))
+    val ratio = col("__nmin").cast("double") / col("__n").cast("double")
+    val rate = if (alpha == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - alpha))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col(domainCol), rate.as("sample_rate"))
+    val sel = pmod(if (byHash) xxhash64(col(idCol)) else col(idCol).cast("long"),
+      lit(modulus))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(sel < floor(col("sample_rate") * modulus).cast("long"))
+  }
+
   /** Token-budget shard packing: documents in a stable order are packed
     * greedily into shards of ≈`budget` tokens (shard id = exclusive running
     * token sum ÷ budget). One global window — fine up to millions of rows;

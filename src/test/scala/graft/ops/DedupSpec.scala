@@ -161,4 +161,82 @@ class DedupSpec extends SparkSpec {
     assert(idx.filter(col("s") === "common prefix words").count() == 0)
     assert(idx.count() > 0)
   }
+
+  test("semDedup keeps the lowest-id representative per cluster-local dup set") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f)),     // cluster 0 keeper
+      (2L, Seq(0.999f, 0.02f)),  // near-dup of 1 → dropped
+      (3L, Seq(0.0f, 1.0f)),     // cluster 1 keeper
+      (4L, Seq(0.02f, 0.999f)),  // near-dup of 3 → dropped
+      (5L, Seq(0.7f, 0.7f))      // equidistant odd one out → kept
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))).toDF("label", "centroid")
+    val kept = Dedup.semDedup(e, "vec_id", "embedding", cents, 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L))
+  }
+
+  test("semDedup greedy rule: a dropped doc still dominates its own near-dups") {
+    // chain at ~20° steps: cos(1,2) ≈ cos(2,3) ≈ 0.94 ≥ 0.9 but
+    // cos(1,3) ≈ 0.77 < 0.9 — doc 3 must STILL drop (dominated by the
+    // already-dropped 2), the documented non-transitive greedy semantics
+    def at(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val e = Seq((1L, at(0)), (2L, at(20)), (3L, at(40))).toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1.0, 0.0))).toDF("label", "centroid")
+    val kept = Dedup.semDedup(e, "vec_id", "embedding", cents, 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
+  test("semDedup never pairs across clusters") {
+    // identical vectors in DIFFERENT clusters both survive: the pairwise
+    // join is cluster-bounded by construction
+    val e = Seq((1L, Seq(1.0f, 1.0f)), (2L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    // force different assignment via distinct nearest centroids is
+    // impossible for identical vectors — instead check the join shape on
+    // clearly-separated clusters with within-cluster identity only
+    val e2 = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))).toDF("label", "centroid")
+    val kept = Dedup.semDedup(e2, "vec_id", "embedding", cents, 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L)) // orthogonal → different clusters → both kept
+    val sameCluster = Dedup.semDedup(e, "vec_id", "embedding", cents, 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(sameCluster == Set(1L)) // identical → same cluster → one keeper
+  }
+
+  test("semDedupAuto ≡ semDedup over the separately-fitted codebook") {
+    val r = new scala.util.Random(11)
+    def jitter(base: Seq[Float]) = base.map(x => x + (r.nextFloat() - 0.5f) * 0.05f)
+    val rows = (0 until 30).map { i =>
+      val base = if (i % 3 == 0) Seq(1.0f, 0.1f, 0f) else if (i % 3 == 1)
+        Seq(0f, 1.0f, 0.1f) else Seq(0.1f, 0f, 1.0f)
+      (i.toLong, jitter(base))
+    }
+    val e = rows.toDF("vec_id", "embedding").cache()
+    val cents = Embeddings.kmeansFit(e, "vec_id", "embedding", k = 3, iters = 2)
+    val viaAuto = Dedup.semDedupAuto(e, "vec_id", "embedding", k = 3, iters = 2,
+      minCos = 0.98).select("vec_id").as[Long].collect().toSet
+    val viaFit = Dedup.semDedup(e, "vec_id", "embedding", cents, 0.98)
+      .select("vec_id").as[Long].collect().toSet
+    assert(viaAuto == viaFit)
+    assert(viaAuto.nonEmpty && viaAuto.size < 30) // jittered triples collapse
+  }
+
+  test("exactKeepBest keeps the highest-score copy, ties to lowest id") {
+    val d = Seq(
+      (1L, "alpha beta gamma", 0.3),
+      (2L, "ALPHA  beta   gamma", 0.9),  // same fingerprint, better score
+      (3L, "alpha beta gamma", 0.9),     // ties with 2 → 2 wins (lower id)
+      (4L, "something else", 0.1)
+    ).toDF("doc_id", "text", "score")
+    val kept = Dedup.exactKeepBest(d, "doc_id", "text", "score")
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(kept == Map(2L -> 3L, 4L -> 1L))
+  }
 }

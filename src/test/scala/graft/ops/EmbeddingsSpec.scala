@@ -168,4 +168,45 @@ class EmbeddingsSpec extends SparkSpec {
     s1.zip(s2).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
     ss1.zip(ss2).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
   }
+
+  test("kmeansFit is bit-deterministic across partition layouts") {
+    val store = randomStore(120, 6, 33).cache()
+    val a = Embeddings.kmeansFit(store.repartition(11), "vec_id", "embedding", 4, 3)
+      .as[(Int, Seq[Double])].collect().toMap
+    val b = Embeddings.kmeansFit(store.coalesce(1), "vec_id", "embedding", 4, 3)
+      .as[(Int, Seq[Double])].collect().toMap
+    // content-hash init + DECIMAL-contract means: identical bits, not just close
+    assert(a == b)
+    assert(a.size == 4 && a.values.forall(_.length == 6))
+  }
+
+  test("kmeansFit objective is non-increasing over iterations") {
+    val store = randomStore(150, 5, 9).cache()
+    val objs = (0 to 3).map { it =>
+      Embeddings.kmeansObjective(store, "vec_id", "embedding",
+        Embeddings.kmeansFit(store, "vec_id", "embedding", 4, it))
+    }
+    objs.sliding(2).foreach { case Seq(prev, next) =>
+      assert(next <= prev + 1e-12, s"objective rose: $objs")
+    }
+  }
+
+  test("kmeansFit recovers well-separated clusters; empty clusters keep their seed") {
+    // three tight orthogonal bundles; k=3 must land one centroid in each
+    val r = new scala.util.Random(5)
+    val rows = (0 until 60).map { i =>
+      val base = Array(0f, 0f, 0f); base(i % 3) = 1f
+      (i.toLong, base.toSeq.map(_ + (r.nextFloat() - 0.5f) * 0.02f))
+    }
+    val e = rows.toDF("vec_id", "embedding").cache()
+    val cents = Embeddings.kmeansFit(e, "vec_id", "embedding", 3, 5)
+    val assigned = Embeddings.assignToCentroids(e, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("assigned_label")).as[(Long, Int)].collect()
+    // every bundle maps to exactly one distinct label
+    val byBundle = assigned.groupBy(_._1 % 3).map { case (b, xs) =>
+      b -> xs.map(_._2).distinct
+    }
+    assert(byBundle.values.forall(_.length == 1), byBundle.toString)
+    assert(byBundle.values.flatten.toSet.size == 3)
+  }
 }

@@ -86,4 +86,50 @@ class SamplingSpec extends SparkSpec {
       assert(dist == global, s"partitions=$parts")
     }
   }
+
+  // 400/200/100 rows in domains big/mid/small
+  private lazy val domains = (1L to 700L)
+    .map(i => (i, if (i <= 400) "big" else if (i <= 600) "mid" else "small"))
+    .toDF("id", "dom")
+
+  test("temperatureSample: alpha=1 is the natural distribution (keeps all)") {
+    assert(Sampling.temperatureSample(domains, "dom", "id", 1.0).count() == 700)
+  }
+
+  test("temperatureSample: alpha=0 flattens toward the smallest domain") {
+    val got = Sampling.temperatureSample(domains, "dom", "id", 0.0)
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    // rates: big 0.25, mid 0.5, small 1.0 → expected ≈ 100 each (hash jitter)
+    assert(got("small") == 100)
+    assert(math.abs(got("big") - 100) < 40, got.toString)
+    assert(math.abs(got("mid") - 100) < 40, got.toString)
+  }
+
+  test("temperatureSample rates follow (n_min/n)^(1-alpha); alpha=0.5 via sqrt") {
+    val rates = Sampling.temperatureSample(domains, "dom", "id", 0.5)
+      .select("dom", "sample_rate").distinct().as[(String, Double)].collect().toMap
+    assert(rates("small") == 1.0)
+    assert(rates("mid") == math.sqrt(100.0 / 200.0))
+    assert(rates("big") == math.sqrt(100.0 / 400.0))
+  }
+
+  test("temperatureSample modulo selector is exactly reproducible") {
+    // modulus 10, alpha=0: thresholds big=floor(0.25*10)=2, mid=5, small=10
+    val got = Sampling.temperatureSample(domains, "dom", "id", 0.0,
+        byHash = false, modulus = 10L)
+      .select("id").as[Long].collect().toSet
+    val expect = (1L to 700L).filter { i =>
+      val thr = if (i <= 400) 2 else if (i <= 600) 5 else 10
+      i % 10 < thr
+    }.toSet
+    assert(got == expect)
+  }
+
+  test("temperatureSample is stable under repartitioning") {
+    val a = Sampling.temperatureSample(domains, "dom", "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.temperatureSample(domains.repartition(13), "dom", "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
 }
