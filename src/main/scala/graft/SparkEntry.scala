@@ -830,6 +830,40 @@ object SparkEntry {
         .select(col("doc_id"), col("dup_count"))
         .orderBy("doc_id")
     }),
+    "q116_pq_adc" -> ((s, d) => {
+      // rows-only: PQ codebooks are k-means state no SQL engine
+      // reproduces; determinism, exact-on-centroid ADC and cluster recall
+      // are spec-gated (EmbeddingsSpec). 64-dim → 4 sub-quantizers of 16
+      // dims × 8 centroids: 4-byte codes, 64× smaller than the vectors
+      val e = Tables.embeddings(s, d).cache()
+      val cb = graft.ops.Embeddings.pqTrain(e, "vec_id", "embedding",
+        dim = 64, m = 4, k = 8, iters = 2)
+      val codes = graft.ops.Embeddings.pqEncode(e, "vec_id", "embedding",
+        cb, dim = 64, m = 4)
+      val q = e.filter(col("vec_id") === 0).select("embedding").head()
+        .getSeq[Float](0).map(_.toDouble).toSeq
+      graft.ops.Embeddings.pqAdcTopK(codes.filter(col("vec_id") =!= 0),
+        "vec_id", cb, q, m = 4, topK = 10)
+    }),
+    "q115_incremental_mart" -> ((s, d) => {
+      // incrementally-maintained gold mart (graft.table.IncrementalAgg):
+      // initial build → append-only refresh that reads ONLY the appended
+      // files (manifest set-diff) → vectored delete forcing the full
+      // fallback. DECIMAL running sums make every schedule bit-identical
+      // to a one-shot aggregation — which is exactly what the oracle runs
+      val wh = java.nio.file.Files.createTempDirectory("graft-mv").toString
+      val src = new graft.table.ManagedTable(s, s"$wh/src")
+      val mv = new graft.table.IncrementalAgg(s, s"$wh/mv", src,
+        Seq("event_type"), Seq("value"))
+      val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+      src.overwrite(ev.filter(col("event_id") % 2 === 0))
+      mv.refresh()                                     // initial
+      src.append(ev.filter(col("event_id") % 2 === 1))
+      mv.refresh()                                     // incremental (new files only)
+      src.deleteVectored(col("event_id") % 10 >= 8)
+      mv.refresh()                                     // full fallback
+      mv.read.orderBy("event_type")
+    }),
     "q103_delete_vectors" -> ((s, d) => {
       // merge-on-read DELETE (Delta deletion vectors): two vectored
       // deletes mark rows in per-file bitmaps — zero data files rewritten,
@@ -1852,6 +1886,12 @@ object SparkEntry {
          FROM documents d JOIN r USING (lang)
          WHERE d.doc_id % 100 < CAST(FLOOR(r.sample_rate * 100) AS BIGINT)
          ORDER BY d.doc_id""",
+    "q115_incremental_mart" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
+         FROM events WHERE event_id % 10 < 8
+         GROUP BY 1 ORDER BY event_type""",
     "q114_dedup_keep_best" ->
       """WITH all_docs AS (
            SELECT doc_id, text FROM documents

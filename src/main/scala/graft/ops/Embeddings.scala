@@ -212,8 +212,30 @@ object Embeddings {
       .select(col(idCol), col("__clabel").as("assigned_label"), col("cos_sim"))
   }
 
-  /** Deterministic Lloyd k-means over the embedding store, cosine
-    * assignment (the spherical shape [[assignToCentroids]] uses). Init is
+  /** [[assignToCentroids]]' Euclidean sibling: nearest centroid by L2
+    * distance (the metric product quantization and classic Lloyd use).
+    * argmin ‖x−c‖² = argmin (‖c‖² − 2⟨x,c⟩) — ‖x‖² is constant per row,
+    * so the scan computes one dot per centroid and never a subtraction
+    * loop; ties break to the ascending label like the cosine form.
+    */
+  def assignToCentroidsL2(embeddings: DataFrame, idCol: String, vecCol: String,
+                          cents: DataFrame): DataFrame = {
+    val c = cents.select(col("label").as("__clabel"), col("centroid"))
+    val scored = embeddings.join(broadcast(c))
+      .select(col(idCol), col("__clabel"),
+        (Similarity.dot(col("centroid"), col("centroid"))
+          - lit(2.0) * Similarity.dot(col(vecCol), col("centroid"))).as("__part"))
+    // topKPerGroup keeps the MAX of its rank column → rank by the negated
+    // partial distance
+    Relational.topKPerGroup(scored.withColumn("__rank", -col("__part")),
+        idCol, 1, "__rank", "__clabel")
+      .select(col(idCol), col("__clabel").as("assigned_label"))
+  }
+
+  /** Deterministic Lloyd k-means over the embedding store — cosine
+    * assignment by default (the spherical shape [[assignToCentroids]]
+    * uses), `metric = "l2"` for the Euclidean form ([[pqTrain]]'s
+    * sub-quantizers). Init is
     * content-deterministic — the k rows with the smallest
     * (xxhash64(id), id) seed the codebook — so the fit reproduces across
     * runs, partitionings and cluster sizes (no `rand()`, the [[Sampling]]
@@ -227,11 +249,12 @@ object Embeddings {
     * `iters + 1` passes over it.
     */
   def kmeansFit(embeddings: DataFrame, idCol: String, vecCol: String,
-                k: Int, iters: Int): DataFrame = {
+                k: Int, iters: Int, metric: String = "cosine"): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     require(k >= 1, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be non-negative, got $iters")
+    require(metric == "cosine" || metric == "l2", s"unknown metric: $metric")
     val seeds = embeddings
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(k)
@@ -241,7 +264,9 @@ object Embeddings {
     var codebook: Seq[(Int, Seq[Double])] = seeds.toSeq.zipWithIndex.map(_.swap)
     for (_ <- 0 until iters) {
       val cents = codebook.toDF("label", "centroid")
-      val assigned = assignToCentroids(embeddings, idCol, vecCol, cents)
+      val assigned = (if (metric == "l2")
+          assignToCentroidsL2(embeddings, idCol, vecCol, cents)
+        else assignToCentroids(embeddings, idCol, vecCol, cents))
         .select(col(idCol), col("assigned_label"))
       val next = centroids(embeddings.join(assigned, Seq(idCol)),
           "assigned_label", vecCol)
@@ -260,4 +285,135 @@ object Embeddings {
                       cents: DataFrame): Double =
     assignToCentroids(embeddings, idCol, vecCol, cents)
       .agg(avg(lit(1.0) - col("cos_sim"))).head().getDouble(0)
+
+  // ---- product quantization (Jégou, Douze, Schmid 2011) -----------------
+
+  /** (id, sub, __sub) — every vector exploded into its m contiguous
+    * sub-vectors; the shared shape of joint PQ training and encoding.
+    */
+  private def explodeSubs(embeddings: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, m: Int): DataFrame = {
+    val d = dim / m
+    embeddings.select(col(idCol), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"), slice(col(vecCol), s * d + 1, d).as("__sub"))): _*))
+        .as("e"))
+      .select(col(idCol), col("e.sub").as("sub"), col("e.__sub").as("__sub"))
+  }
+
+  /** Per-(id, sub) nearest sub-centroid by L2 over the broadcast m·k
+    * codebook — one job for ALL subspaces (the window keys on (id, sub):
+    * corpus-cardinality, perfectly spread). Same argmin identity and
+    * ascending-label ties as [[assignToCentroidsL2]].
+    */
+  private def assignSubs(subs: DataFrame, idCol: String,
+                         codebooks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = codebooks.select(col("sub"), col("label"), col("centroid"))
+    val scored = subs.join(broadcast(cb), Seq("sub"))
+      .withColumn("__rank",
+        lit(2.0) * Similarity.dot(col("__sub"), col("centroid"))
+          - Similarity.dot(col("centroid"), col("centroid")))
+    scored.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol), col("sub"))
+          .orderBy(desc("__rank"), col("label"))))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("sub"), col("label"), col("__sub"))
+  }
+
+  /** Train an m-subspace product quantizer: split each vector into m
+    * contiguous sub-vectors of dim/m dims and fit m independent L2
+    * codebooks of k centroids JOINTLY — one assignment job + one
+    * DECIMAL-contract mean job per Lloyd iteration covers every subspace
+    * (the m separate fits would re-scan the corpus m times per
+    * iteration; at 100 TB the scan count is the cost). Init is the same
+    * content-deterministic rule as [[kmeansFit]] — the k rows with the
+    * smallest (xxhash64(id), id) seed every subspace's codebook — so the
+    * joint fit is bit-identical to m independent `kmeansFit(metric="l2")`
+    * runs over the slices (spec-asserted). Returns (sub, label,
+    * centroid): m·k rows, metadata-sized. Storage story: codes are m
+    * small ints per vector (m bytes at k ≤ 256) vs dim floats — a
+    * 4·dim/m× cut (64× at dim=64, m=4), far past int8's fixed 4×, with
+    * [[pqAdcTopK]] scoring straight on the codes.
+    */
+  def pqTrain(embeddings: DataFrame, idCol: String, vecCol: String,
+              dim: Int, m: Int, k: Int, iters: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val d = dim / m
+    val seeds = embeddings
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(k)
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .as[Seq[Double]].collect()
+    require(seeds.length == k, s"k=$k exceeds the ${seeds.length} input rows")
+    var codebook: Seq[(Int, Int, Seq[Double])] =
+      for (s <- 0 until m; (v, l) <- seeds.zipWithIndex)
+        yield (s, l, v.slice(s * d, (s + 1) * d))
+    val subs = explodeSubs(embeddings, idCol, vecCol, dim, m)
+    for (_ <- 0 until iters) {
+      val cents = codebook.toDF("sub", "label", "centroid")
+      val next = assignSubs(subs, idCol, cents)
+        .select(col("sub"), col("label"), posexplode(col("__sub")).as(Seq("pos", "x")))
+        .groupBy("sub", "label", "pos")
+        .agg((dsum(col("x").cast("double")) / count(lit(1))).as("c"))
+        .groupBy("sub", "label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("sub"), col("label"),
+          transform(col("pc"), p => p.getField("c")).as("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq).toMap
+      codebook = codebook.map { case (s, l, old) =>
+        (s, l, next.getOrElse((s, l), old))
+      }
+    }
+    codebook.toDF("sub", "label", "centroid")
+  }
+
+  /** Encode every vector as its m nearest-sub-centroid labels (one
+    * `codes` array<int> per row), all subspaces in ONE assignment job
+    * plus one per-id regroup — never m passes or m joins.
+    */
+  def pqEncode(embeddings: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame, dim: Int, m: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    assignSubs(explodeSubs(embeddings, idCol, vecCol, dim, m), idCol, codebooks)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("sub"), col("label")))).as("sl"))
+      .select(col(idCol),
+        transform(col("sl"), p => p.getField("label")).as("codes"))
+  }
+
+  /** Asymmetric-distance top-k over PQ codes: the query builds one
+    * m×k inner-product lookup table on the driver (tiny — it scores the
+    * codebook, not the corpus), the table enters the plan as array
+    * literals, and every code row scores with m `element_at`s + adds —
+    * a codegen'd narrow map over m-byte codes instead of dim-float
+    * vectors, the PQ scan economics. Approximates ⟨q,x⟩ by
+    * Σ_s ⟨q_s, centroid(s, code_s)⟩; exact when vectors sit on their
+    * centroids (spec), recall-checked against the exact scan otherwise.
+    */
+  def pqAdcTopK(codes: DataFrame, idCol: String, codebooks: DataFrame,
+                queryVec: Seq[Double], m: Int, topK: Int): DataFrame = {
+    val d = queryVec.length / m
+    val cb = codebooks.select(col("sub"), col("label"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2))
+      .toMap
+    val tables: Seq[Seq[(Int, Double)]] = (0 until m).map { s =>
+      val qs = queryVec.slice(s * d, (s + 1) * d)
+      cb.keys.filter(_._1 == s).map(_._2).toSeq.sorted.map { l =>
+        l -> cb((s, l)).zip(qs).map { case (c, q) => c * q }.sum
+      }
+    }
+    val score = (0 until m).foldLeft(lit(0.0)) { (acc, s) =>
+      // labels are dense 0..k-1 (kmeansFit construction): element_at is a
+      // direct 1-based index into the per-subspace table literal
+      acc + element_at(array(tables(s).map(t => lit(t._2)): _*),
+        col("codes").getItem(s) + 1)
+    }
+    codes.select(col(idCol), score.as("adc_score"))
+      .orderBy(desc("adc_score"), col(idCol))
+      .limit(topK)
+  }
 }

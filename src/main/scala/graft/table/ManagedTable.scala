@@ -1387,9 +1387,30 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   def readVersion(v: Long): DataFrame = {
     require(v >= 0 && v <= version, s"version $v out of range [0, $version]")
+    readFileSubset(v, manifestFiles(v))
+  }
+
+  /** The data-file list of logged version `v` (one manifest read). */
+  private[table] def manifestFiles(v: Long): Seq[String] = {
     val manifest = spark.read.json(new Path(logDir, f"v$v%05d.json").toString)
-    val files = manifest.select(org.apache.spark.sql.functions.explode(col("files")))
+    manifest.select(org.apache.spark.sql.functions.explode(col("files")))
       .collect().map(_.getString(0)).toSeq
+  }
+
+  /** (version, operation) of commits in (fromV, toV], oldest first — the
+    * incrementalizability probe (checkpoint lookups, no manifest reads).
+    */
+  private[table] def operationsBetween(fromV: Long, toV: Long): Seq[(Long, String)] =
+    historyRows.filter(c => c.version > fromV && c.version <= toV)
+      .sortBy(_.version).map(c => (c.version, c.operation))
+
+  /** Read a subset of version `v`'s files with the same basePath partition
+    * resolution and deletion-vector filtering as a full [[readVersion]] —
+    * the building block incremental consumers (e.g.
+    * [[IncrementalAgg.refresh]]) use to scan ONLY the files a commit
+    * window added, never the whole snapshot.
+    */
+  private[table] def readFileSubset(v: Long, files: Seq[String]): DataFrame = {
     if (files.isEmpty) return spark.emptyDataFrame
     val missing = files.filterNot(f => fs.exists(new Path(f)))
     if (missing.nonEmpty) throw new IllegalStateException(
