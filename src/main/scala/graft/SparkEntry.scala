@@ -830,6 +830,20 @@ object SparkEntry {
         .select(col("doc_id"), col("dup_count"))
         .orderBy("doc_id")
     }),
+    "q117_replace_where" -> ((s, d) => {
+      // Delta replaceWhere: partition-scoped atomic backfill. The 'click'
+      // partition is deleted+reinserted (corrected values) in ONE commit;
+      // every other partition is never read or moved. `value * 2` is an
+      // exponent bump — IEEE-exact in both engines, hash-stable
+      val wh = java.nio.file.Files.createTempDirectory("graft-rw").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/events")
+      val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+      t.overwrite(ev, Seq("event_type"))
+      val fixed = ev.filter(col("event_type") === "click")
+        .withColumn("value", col("value") * 2)
+      t.overwriteWhere(fixed, col("event_type") === "click", Seq("event_type"))
+      t.read.select("event_id", "event_type", "value").orderBy("event_id")
+    }),
     "q116_pq_adc" -> ((s, d) => {
       // rows-only: PQ codebooks are k-means state no SQL engine
       // reproduces; determinism, exact-on-centroid ADC and cluster recall
@@ -1886,6 +1900,10 @@ object SparkEntry {
          FROM documents d JOIN r USING (lang)
          WHERE d.doc_id % 100 < CAST(FLOOR(r.sample_rate * 100) AS BIGINT)
          ORDER BY d.doc_id""",
+    "q117_replace_where" ->
+      """SELECT event_id, event_type,
+           CASE WHEN event_type = 'click' THEN value * 2 ELSE value END AS value
+         FROM events ORDER BY event_id""",
     "q115_incremental_mart" ->
       """SELECT event_type, COUNT(*) AS cnt,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,

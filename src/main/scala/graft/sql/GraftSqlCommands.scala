@@ -270,6 +270,24 @@ object GraftSqlCommands {
     }
   }
 
+  /** INSERT INTO … REPLACE WHERE (Delta's replaceWhere SQL form): the
+    * predicate-scoped overwrite [[ManagedTable.overwriteWhere]] — one
+    * atomic commit that deletes the matching rows and inserts the query's
+    * result, with the incoming-rows-must-match check. Partition columns
+    * come from the latest commit so a partition-only predicate engages
+    * the pruned swap without the caller naming them.
+    */
+  case class InsertReplaceWhereCommand(path: String, condText: String,
+      queryText: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Nil
+    override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.expr
+      val t = new ManagedTable(spark, path)
+      t.overwriteWhere(spark.sql(queryText), expr(condText), latestPartitionCols(t))
+      Nil
+    }
+  }
+
   /** CONVERT TO GRAFT — adopt an existing plain-parquet dir into the
     * commit log ([[ManagedTable.bootstrap]]); Delta's `CONVERT TO DELTA`.
     */
@@ -326,6 +344,8 @@ object GraftSqlCommands {
     rx(s"""^\\s*UPDATE\\s+$Tbl\\s+SET\\s+(.+?)\\s*(?:WHERE\\s+(.+?))?\\s*;?\\s*$$""")
   private val Insert =
     rx(s"""^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+$Tbl\\s+((?:SELECT|VALUES|TABLE|WITH|FROM)\\b.+?)\\s*;?\\s*$$""")
+  private val InsertReplaceWhere =
+    rx(s"""^\\s*INSERT\\s+INTO\\s+$Tbl\\s+REPLACE\\s+WHERE\\s+(.+?)\\s+((?:SELECT|VALUES|TABLE|WITH|FROM)\\b.+?)\\s*;?\\s*$$""")
   private val Ctas =
     rx(s"""^\\s*CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+$Tbl\\s*(?:PARTITIONED\\s+BY\\s*\\(([^)]+)\\)\\s*)?(?:TBLPROPERTIES\\s*\\((.+?)\\)\\s*)?AS\\s+(.+?)\\s*;?\\s*$$""")
   private val AlterAddConstraint =
@@ -387,6 +407,9 @@ object GraftSqlCommands {
     if (up.matches())
       return Some(UpdateGraftCommand(tbl(up, 1),
         parseAssignments(up.group(4)), Option(up.group(5))))
+    val irw = InsertReplaceWhere.matcher(sqlText)
+    if (irw.matches())
+      return Some(InsertReplaceWhereCommand(tbl(irw, 1), irw.group(4), irw.group(5)))
     val ins = Insert.matcher(sqlText)
     if (ins.matches())
       return Some(InsertGraftCommand(tbl(ins, 2), ins.group(5),

@@ -2254,6 +2254,64 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       }
     }
 
+  /** Predicate-scoped overwrite — Delta's `replaceWhere` write option as a
+    * first-class op: atomically delete the rows matching `cond` and insert
+    * `df` in ONE commit, the idempotent-backfill primitive (re-running a
+    * day's pipeline replaces exactly that day, however many times it
+    * runs). Every incoming row must satisfy `cond` (Delta's default
+    * constraint, checked against the MATERIALIZED batch so the rows the
+    * check saw are the rows written) — a buggy backfill cannot leak rows
+    * into ranges it doesn't own. Rows where `cond` is null don't match and
+    * are kept, the same tri-state rule as [[delete]]. On a partitioned
+    * table only the partitions holding matching rows — plus those `df`
+    * writes into — are moved ([[swapPartitions]]); unaffected partitions
+    * are never read, moved or re-counted. At 100 TB that is the difference
+    * between a daily backfill touching one date partition and rewriting
+    * the table.
+    */
+  def overwriteWhere(df: DataFrame, cond: org.apache.spark.sql.Column,
+                     partitionCols: Seq[String] = Nil): Unit = withCommitLock {
+    def requireSatisfies(d: DataFrame): Unit = {
+      if (d.filter(!cond || cond.isNull).limit(1).count() > 0)
+        throw new IllegalArgumentException(
+          "overwriteWhere: every incoming row must satisfy the REPLACE " +
+            "WHERE predicate (rows outside the replaced range would " +
+            "silently widen the overwrite)")
+    }
+    if (!exists) {
+      val src = assignIdentities(df).localCheckpoint()
+      requireSatisfies(src)
+      overwrite(src, partitionCols)
+    } else {
+      ensureBootstrapped()
+      // pin once: the probe, the affected-partition projection and the
+      // final write must all see the same rows even from a
+      // nondeterministic source
+      val src = tableSchemaOpt
+        .map(conform(assignIdentities(df), allowEvolution = false, _, partitionCols))
+        .getOrElse(assignIdentities(df))
+        .localCheckpoint()
+      requireSatisfies(src)
+      if (partitionCols.isEmpty)
+        replaceWith(read.filter(!cond || cond.isNull).unionByName(src),
+          Nil, "REPLACE_WHERE")
+      else {
+        val target = read
+        val affected = target.filter(cond)
+          .select(partitionCols.map(col): _*).distinct()
+          .union(src.select(partitionCols.map(col): _*).distinct())
+          .distinct().localCheckpoint()
+        // affected partitions move wholesale, so their cond-null / non-
+        // matching co-residents ride along into the replacement unchanged
+        val replacement = rowsInPartitions(target, affected, partitionCols)
+          .filter(!cond || cond.isNull)
+          .unionByName(src)
+          .localCheckpoint()
+        swapPartitions(affected, partitionCols, replacement, "REPLACE_WHERE")
+      }
+    }
+  }
+
   /** MERGE insert-only (deltalake.ipynb:1786–1791): append just the new keys. */
   def mergeInsertOnly(source: DataFrame, keys: Seq[String], partitionCols: Seq[String] = Nil): Unit =
     if (!exists) overwrite(source, partitionCols)

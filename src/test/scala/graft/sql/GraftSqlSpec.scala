@@ -198,6 +198,26 @@ class GraftSqlSpec extends SparkSpec {
     assert(t.read.select("v").as[String].collect().toSeq == Seq("a!"))
   }
 
+  test("INSERT INTO … REPLACE WHERE is the predicate-scoped overwrite") {
+    val (t, p) = freshTable("sql-rwh")
+    t.overwrite(Seq((1L, "d1", 1.0), (2L, "d2", 2.0), (3L, "d1", 3.0))
+      .toDF("k", "day", "v"), Seq("day"))
+    // backfill d1 atomically; incoming rows checked against the predicate
+    GraftSql.sql(spark,
+      s"""INSERT INTO '$p' REPLACE WHERE day = 'd1'
+         SELECT CAST(10 AS BIGINT) AS k, 'd1' AS day, CAST(9.0 AS DOUBLE) AS v""")
+    assert(t.read.orderBy("k").as[(Long, Double, String)].collect().toSeq ==
+      Seq((2L, 2.0, "d2"), (10L, 9.0, "d1")))
+    assert(t.history(1).select("operation").as[String].head() == "REPLACE_WHERE")
+    // rows outside the predicate's range are rejected, table unchanged
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"""INSERT INTO '$p' REPLACE WHERE day = 'd1'
+           SELECT CAST(11 AS BIGINT) AS k, 'd2' AS day, CAST(1.0 AS DOUBLE) AS v""")
+    }
+    assert(t.read.count() == 2)
+  }
+
   test("CREATE OR REPLACE TABLE AS SELECT materializes a partitioned table") {
     val dir = tmpDir("sql-ctas") + "/t"
     Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "grp", "v")

@@ -1128,4 +1128,71 @@ class ManagedTableSpec extends SparkSpec {
     // degenerate: disjoint kept-sets short-circuit to an empty result
     assert(t.readWhereAll(Seq(("a", 0.0, 10.0), ("a", 700.0, 750.0))).count() == 0)
   }
+
+  test("overwriteWhere replaces exactly the matching rows in one commit") {
+    val t = freshTable("mt-rwh")
+    t.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0),
+      (4L, null.asInstanceOf[String], 4.0)).toDF("k", "g", "v"))
+    val v0 = t.version
+    t.overwriteWhere(Seq((10L, "a", 10.0), (11L, "a", 11.0)).toDF("k", "g", "v"),
+      col("g") === "a")
+    // matching rows gone, replacements in, null-predicate row KEPT
+    assert(t.read.orderBy("k").as[(Long, String, Double)].collect().toSeq ==
+      Seq((2L, "b", 2.0), (4L, null, 4.0), (10L, "a", 10.0), (11L, "a", 11.0)))
+    // ONE commit, named for the operation; time travel serves the old rows
+    assert(t.version == v0 + 1)
+    assert(t.history(1).select("operation").as[String].head() == "REPLACE_WHERE")
+    assert(t.readVersion(v0).count() == 4)
+  }
+
+  test("overwriteWhere rejects rows outside the replaced range") {
+    val t = freshTable("mt-rwh-guard")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "g"))
+    val before = t.read.orderBy("k").collect().toSeq
+    intercept[IllegalArgumentException] {
+      t.overwriteWhere(Seq((9L, "b")).toDF("k", "g"), col("g") === "a")
+    }
+    assert(t.read.orderBy("k").collect().toSeq == before) // nothing changed
+  }
+
+  test("partitioned overwriteWhere moves ONLY the affected partitions") {
+    val base = tmpDir("mt-rwh-part")
+    val t = new ManagedTable(spark, s"$base/t")
+    t.overwrite(Seq((1L, "d1", 1.0), (2L, "d1", 2.0), (3L, "d2", 3.0),
+      (4L, "d3", 4.0)).toDF("k", "day", "v"), Seq("day"))
+    // physical files of the untouched partitions, before
+    def filesOf(day: String): Set[String] =
+      t.read.filter(col("day") === day)
+        .select(input_file_name()).as[String].collect().toSet
+    val d2Before = filesOf("d2")
+    val d3Before = filesOf("d3")
+    val cur = t.version
+    // backfill d1 and introduce a brand-new partition d9
+    t.overwriteWhere(
+      Seq((10L, "d1", 10.0), (12L, "d9", 12.0)).toDF("k", "day", "v"),
+      col("day").isin("d1", "d9"), Seq("day"))
+    assert(t.read.orderBy("k").as[(Long, Double, String)].collect().toSeq ==
+      Seq((3L, 3.0, "d2"), (4L, 4.0, "d3"), (10L, 10.0, "d1"), (12L, 12.0, "d9")))
+    // untouched partitions were not rewritten: same physical files
+    assert(filesOf("d2") == d2Before)
+    assert(filesOf("d3") == d3Before)
+    // the retained snapshot holds ONLY the moved partition dir (d9 had no
+    // dir to move): unaffected partitions never left the live dir
+    val retained = new java.io.File(s"$base/t._v$cur")
+    assert(retained.listFiles().map(_.getName).filter(_.startsWith("day=")).toSet
+      == Set("day=d1"))
+    // and time travel still reassembles the full old snapshot
+    assert(t.readVersion(cur).orderBy("k").as[(Long, Double, String)]
+      .collect().map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("overwriteWhere on a missing table creates it (predicate still checked)") {
+    val t = freshTable("mt-rwh-new")
+    intercept[IllegalArgumentException] {
+      t.overwriteWhere(Seq((1L, "x")).toDF("k", "g"), col("g") === "a")
+    }
+    assert(!t.exists)
+    t.overwriteWhere(Seq((1L, "a")).toDF("k", "g"), col("g") === "a")
+    assert(t.read.as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
 }
