@@ -830,6 +830,21 @@ object SparkEntry {
         .select(col("doc_id"), col("dup_count"))
         .orderBy("doc_id")
     }),
+    "q118_shallow_clone" -> ((s, d) => {
+      // zero-copy SHALLOW CLONE: the clone's founding commit references
+      // the source's files (no data moves — cloning 100 TB is a metadata
+      // write), reads resolve through the source root, pinned against a
+      // post-clone source append, and DV-deleted rows stay hidden
+      val wh = java.nio.file.Files.createTempDirectory("graft-sc").toString
+      val src = new graft.table.ManagedTable(s, s"$wh/supplier")
+      val sup = Tables.supplier(s, d)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      src.overwrite(sup)
+      src.deleteVectored(col("s_acctbal") < 0)
+      val clone = src.shallowCloneTo(s"$wh/supplier_clone")
+      src.append(sup.limit(5)) // post-clone append: invisible to the clone
+      clone.read.orderBy("s_suppkey")
+    }),
     "q117_replace_where" -> ((s, d) => {
       // Delta replaceWhere: partition-scoped atomic backfill. The 'click'
       // partition is deleted+reinserted (corrected values) in ONE commit;
@@ -1900,6 +1915,9 @@ object SparkEntry {
          FROM documents d JOIN r USING (lang)
          WHERE d.doc_id % 100 < CAST(FLOOR(r.sample_rate * 100) AS BIGINT)
          ORDER BY d.doc_id""",
+    "q118_shallow_clone" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+         FROM supplier WHERE s_acctbal >= 0 ORDER BY s_suppkey""",
     "q117_replace_where" ->
       """SELECT event_id, event_type,
            CASE WHEN event_type = 'click' THEN value * 2 ELSE value END AS value

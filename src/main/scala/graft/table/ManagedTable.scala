@@ -72,6 +72,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   /** True when the table state calls for a BOOTSTRAP or RECOVER commit. */
   private def needsBootstrapCommit: Boolean =
     if (version < 0) true
+    // an unmaterialized shallow clone's live dir is empty by design while
+    // its manifest references the source's files — that divergence is the
+    // clone contract, not a crash to RECOVER from (a RECOVER here would
+    // wipe the manifest)
+    else if (isShallowClone) false
     else {
       val sidecar = new Path(logDir, "_latest_files.txt")
       if (!fs.exists(sidecar)) false
@@ -431,8 +436,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * no stats for `colName` are kept conservatively. Returns (kept, all).
     */
   def filesOverlapping(colName: String, lo: Any, hi: Any): (Seq[String], Seq[String]) = {
-    val files = listParquet(new Path(path))
-      .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) }
+    val files = liveFilesQ()
     val metas = fileMeta(files)
     val kept = overlapKept(files, metas, currentDv, colName, lo, hi)
     (kept, files.map(_._1))
@@ -490,8 +494,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * file conservatively. Returns (kept, all), like [[filesOverlapping]].
     */
   def filesWithNulls(colName: String): (Seq[String], Seq[String]) = {
-    val files = listParquet(new Path(path))
-      .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) }
+    val files = liveFilesQ()
     val metas = fileMeta(files)
     val dv = currentDv
     def emptied(p: String): Boolean =
@@ -513,7 +516,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def readWhereNull(colName: String): DataFrame = {
     val (kept, _) = filesWithNulls(colName)
     if (kept.isEmpty) return read.filter(org.apache.spark.sql.functions.lit(false))
-    applyDv(spark.read.option("basePath", qualifiedRoot).parquet(kept: _*), currentDv)
+    scanKept(kept, currentDv)
       .filter(col(colName).isNull)
   }
 
@@ -525,8 +528,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * recorded at commit, and DV bitmaps only mark rows that exist.
     */
   def countFast(): Long = {
-    val files = listParquet(new Path(path))
-      .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) }
+    val files = liveFilesQ()
     val metas = fileMeta(files)
     val dv = currentDv
     files.map { case (p, _) =>
@@ -544,16 +546,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def readWhereAll(preds: Seq[(String, Any, Any)]): DataFrame = {
     require(preds.nonEmpty, "readWhereAll needs at least one predicate")
     // one listing + one sidecar read serve every predicate
-    val files = listParquet(new Path(path))
-      .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) }
+    val files = liveFilesQ()
     val metas = fileMeta(files)
     val dv = currentDv
     val keptSets = preds.map { case (c, lo, hi) =>
       overlapKept(files, metas, dv, c, lo, hi).toSet }
     val kept = keptSets.reduce(_ intersect _).toSeq.sorted
     if (kept.isEmpty) return read.filter(org.apache.spark.sql.functions.lit(false))
-    val scan = applyDv(
-      spark.read.option("basePath", qualifiedRoot).parquet(kept: _*), dv)
+    val scan = scanKept(kept, dv)
     preds.foldLeft(scan) { case (df, (c, lo, hi)) =>
       df.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
     }
@@ -561,8 +561,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
 
   /** `WHERE colName IS NOT NULL` with all-null files pruned. */
   def readWhereNotNull(colName: String): DataFrame = {
-    val files = listParquet(new Path(path))
-      .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) }
+    val files = liveFilesQ()
     val metas = fileMeta(files)
     val dv = currentDv
     val kept = files.map(_._1).filter { p =>
@@ -570,7 +569,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       !metas(p).stats.get(colName).exists(_._4 >= metas(p).rows)
     }
     if (kept.isEmpty) return read.filter(org.apache.spark.sql.functions.lit(false))
-    applyDv(spark.read.option("basePath", qualifiedRoot).parquet(kept: _*), currentDv)
+    scanKept(kept, currentDv)
       .filter(col(colName).isNotNull)
   }
 
@@ -583,7 +582,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def readWhere(colName: String, lo: Any, hi: Any): DataFrame = {
     val (kept, _) = filesOverlapping(colName, lo, hi)
     if (kept.isEmpty) return read.filter(org.apache.spark.sql.functions.lit(false))
-    applyDv(spark.read.option("basePath", qualifiedRoot).parquet(kept: _*), currentDv)
+    scanKept(kept, currentDv)
       .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
@@ -636,6 +635,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   def addBloomIndex(colName: String, expectedItemsPerFile: Long = 100000L,
                     fpp: Double = 0.01): Unit = withCommitLock {
+    requireMaterialized("addBloomIndex")
     // under the lease: the declaration write, the build and any rollback
     // must not race another writer's commit-time refresh (or a concurrent
     // declaration, which would silently lose one of the two)
@@ -698,8 +698,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def refreshBloomIndexes(): Unit = {
     val decls = bloomDecls
     if (decls.isEmpty) return
-    val live = listParquet(new Path(path))
-      .map { case (p, _) => fs.makeQualified(new Path(p)).toString }
+    // manifest-driven on a shallow clone (its live dir is empty; the
+    // copied filters key the referenced source paths and must survive)
+    val live = liveFilesQ().map(_._1)
     decls.foreach { case (c, (items, fpp, _)) =>
       val dir = bloomColDir(c)
       // from the commit path a failed build must NOT fail the mutation —
@@ -790,7 +791,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def readPoint(colName: String, value: Any): DataFrame = {
     val (kept, _) = filesForPoint(colName, value)
     if (kept.isEmpty) return read.filter(org.apache.spark.sql.functions.lit(false))
-    applyDv(spark.read.option("basePath", qualifiedRoot).parquet(kept: _*), currentDv)
+    scanKept(kept, currentDv)
       .filter(col(colName) === lit(value))
   }
 
@@ -858,6 +859,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   def deleteVectored(cond: org.apache.spark.sql.Column,
                      partitionCols: Seq[String] = Nil): Unit = withCommitLock {
+    requireMaterialized("DELETE (vectored)")
     ensureBootstrapped()
     val prev = dvMapForVersion(version)
     val packed = packDvMarks(dvScanWithMeta(prev).filter(cond))
@@ -874,6 +876,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def updateVectored(cond: org.apache.spark.sql.Column,
                      set: Map[String, org.apache.spark.sql.Column],
                      partitionCols: Seq[String] = Nil): Unit = withCommitLock {
+    requireMaterialized("UPDATE (vectored)")
     ensureBootstrapped()
     val prev = dvMapForVersion(version)
     val matched = dvScanWithMeta(prev).filter(cond)
@@ -902,6 +905,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                     partitionCols: Seq[String] = Nil): Unit =
     if (!exists) overwrite(source, partitionCols)
     else withCommitLock {
+      requireMaterialized("MERGE (vectored)")
       ensureBootstrapped()
       val prev = dvMapForVersion(version)
       val src = assignIdentities(source)
@@ -996,6 +1000,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * files, not the table. [[compact]] remains the whole-table form.
     */
   def purgeDeletes(): Unit = withCommitLock {
+    requireMaterialized("REORG (purge)")
     ensureBootstrapped()
     val dv = dvMapForVersion(version)
     if (dv.nonEmpty) {
@@ -1020,6 +1025,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   private def retireAndReplace(files: Seq[String], replacement: DataFrame,
                                operation: String): Unit = {
+    requireMaterialized(operation)
     val pcs = loggedPartitionCols(version)
     val cur = version
     val moved = files.map { f =>
@@ -1068,10 +1074,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   private def commit(operation: String, partitionCols: Seq[String],
                      txn: Option[(String, Long)] = None,
-                     dvNew: Option[Map[String, Array[Long]]] = None): Unit = {
+                     dvNew: Option[Map[String, Array[Long]]] = None,
+                     filesExplicit: Option[Seq[(String, Long)]] = None): Unit = {
     val v = version + 1
-    val files = listParquet(new Path(path))
-      .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) }
+    // filesExplicit: a shallow clone's founding commit records the SOURCE's
+    // files — the live dir is empty by design and must not be listed
+    val files = filesExplicit.getOrElse(listParquet(new Path(path))
+      .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) })
     val fileSet = files.map(_._1).toSet
     val dv = dvNew.getOrElse(dvMapForVersion(v - 1))
       .filter { case (p, _) => fileSet.contains(p) }
@@ -1410,34 +1419,101 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * [[IncrementalAgg.refresh]]) use to scan ONLY the files a commit
     * window added, never the whole snapshot.
     */
-  private[table] def readFileSubset(v: Long, files: Seq[String]): DataFrame = {
+  private[table] def readFileSubset(v: Long, files: Seq[String],
+                                    mergeSchema: Boolean = false): DataFrame = {
     if (files.isEmpty) return spark.emptyDataFrame
-    val missing = files.filterNot(f => fs.exists(new Path(f)))
-    if (missing.nonEmpty) throw new IllegalStateException(
-      s"version $v is no longer readable (vacuumed?); missing e.g. ${missing.head}")
-    // each file's root (for basePath partition resolution) parses straight
-    // from its path under our naming scheme — qualifiedRoot or
-    // qualifiedRoot + "._v<N>" — instead of probing fs.exists for every
-    // version (O(versions) RPCs) and prefix-matching every file against
-    // every root (O(files × versions) compares): O(files), no IO
-    val vPrefix = qualifiedRoot + "._v"
-    def rootOf(f: String): String =
-      if (f.startsWith(vPrefix)) {
-        val slash = f.indexOf('/', vPrefix.length)
-        if (slash > 0 && f.substring(vPrefix.length, slash).forall(_.isDigit))
-          f.substring(0, slash)
-        else ""
-      } else if (f.startsWith(qualifiedRoot + "/")) qualifiedRoot
-      else ""
+    val where = resolveLive(s"version $v", files)
     // the version's deletion vectors apply per scan group BEFORE the union
-    // (_metadata columns don't survive a union)
-    val dv = dvMapForVersion(v)
-    files.groupBy(rootOf)
+    // (_metadata columns don't survive a union); keys follow any
+    // shallow-clone resolution so moved files keep their bitmaps
+    val dv = dvMapForVersion(v).map { case (p, a) => where.getOrElse(p, p) -> a }
+    scanResolved(files.map(where), dv, mergeSchema)
+  }
+
+  /** Manifest paths resolved to where each file lives NOW — identity for
+    * a file that exists. A foreign file (a shallow clone's reference into
+    * its source) that the source has since retired by a rewrite resolves
+    * to the same rel path under one of the source's retained snapshot
+    * dirs: retire renames move a file exactly once, and UUID part names
+    * make the rel path unique across snapshots — so a clone survives
+    * source OPTIMIZE/DML exactly until the source VACUUMs the snapshot
+    * (Delta's shallow-clone contract), and then fails pointedly.
+    */
+  private def resolveLive(context: String,
+                          files: Seq[String]): Map[String, String] = {
+    val frs = foreignRoots
+    lazy val retainedByRoot: Map[String, Seq[String]] =
+      frs.map(r => r -> retainedDirsOf(new Path(r)).sorted.reverse).toMap
+    files.map { f =>
+      f -> (if (fs.exists(new Path(f))) f
+        else frs.collectFirst { case r if f.startsWith(r + "/") =>
+          val rel = f.stripPrefix(r + "/")
+          retainedByRoot(r).collectFirst {
+            case rd if fs.exists(new Path(s"$rd/$rel")) => s"$rd/$rel" }
+        }.flatten.getOrElse(throw new IllegalStateException(
+          s"$context is no longer readable (vacuumed?); missing $f")))
+    }.toMap
+  }
+
+  /** Scan an explicit resolved file set with per-root basePath partition
+    * resolution and DV filtering — the shared tail of [[readVersion]],
+    * the skipping reads and shallow-clone scans. Each file's root parses
+    * straight from its path under our naming scheme (`root` or
+    * `root._v<N>`, own root first then any clone-source root): O(files)
+    * string work, no fs probes.
+    */
+  private def scanResolved(resolved: Seq[String], dv: Map[String, Array[Long]],
+                           mergeSchema: Boolean = false): DataFrame = {
+    val roots = qualifiedRoot +: foreignRoots
+    def rootOf(f: String): String = roots.collectFirst {
+      case r if f.startsWith(r + "/") => r
+      case r if f.startsWith(r + "._v") &&
+          { val s = f.indexOf('/', r.length + 3)
+            s > 0 && f.substring(r.length + 3, s).forall(_.isDigit) } =>
+        f.substring(0, f.indexOf('/', r.length + 3))
+    }.getOrElse("")
+    resolved.groupBy(rootOf)
       .map { case (root, fsOfRoot) =>
-        val rd = if (root.nonEmpty) spark.read.option("basePath", root) else spark.read
+        val rd0 = if (mergeSchema) spark.read.option("mergeSchema", "true")
+          else spark.read
+        val rd = if (root.nonEmpty) rd0.option("basePath", root) else rd0
         applyDv(rd.parquet(fsOfRoot: _*), dv)
       }.reduce(_ unionByName _)
   }
+
+  /** Scan `kept` live files — the skipping-path tail: the one-basePath
+    * fast path for a normal table, the resolved per-root scan for an
+    * unmaterialized shallow clone.
+    */
+  private def scanKept(kept: Seq[String], dv: Map[String, Array[Long]]): DataFrame =
+    if (!isShallowClone)
+      applyDv(spark.read.option("basePath", qualifiedRoot).parquet(kept: _*), dv)
+    else {
+      val where = resolveLive("the clone snapshot", kept)
+      scanResolved(kept.map(where),
+        dv.map { case (p, a) => where.getOrElse(p, p) -> a })
+    }
+
+  /** The live (path, length) set every skipping/maintenance read works
+    * from: the directory listing for a normal table; the latest manifest
+    * for an unmaterialized shallow clone (whose live dir is empty by
+    * design), with lengths served from the carried-over stats sidecar —
+    * no listing of the source, one getFileStatus only for a file the
+    * sidecar missed.
+    */
+  private def liveFilesQ(): Seq[(String, Long)] =
+    if (!isShallowClone)
+      listParquet(new Path(path))
+        .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) }
+    else {
+      val cached = readSidecarFile(sidecarBase) ++
+        sidecarSegments.foldLeft(Map.empty[String, (Long, FileMeta)])(
+          (m, s) => m ++ readSidecarFile(s))
+      manifestFiles(version).map(f =>
+        f -> cached.get(f).map(_._1).getOrElse(
+          fs.getFileStatus(new Path(
+            resolveLive("the clone snapshot", Seq(f))(f))).getLen))
+    }
 
   /** Timestamp-pinned read (Delta's `TIMESTAMP AS OF`): the latest version
     * committed at or before `ts` (ISO-8601 instant). Resolved from the
@@ -1472,9 +1548,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * O(versions) existence probes (at thousands of commits those are
     * thousands of object-store RPCs).
     */
-  private def retainedDirsOnDisk: Seq[String] = {
-    val parent = new Path(path).getParent
-    val prefix = new Path(path).getName + "._v"
+  private def retainedDirsOnDisk: Seq[String] = retainedDirsOf(new Path(path))
+
+  /** Same listing for an arbitrary root — a shallow clone resolving files
+    * its source has since retired probes the SOURCE's snapshot dirs.
+    */
+  private def retainedDirsOf(root: Path): Seq[String] = {
+    val parent = root.getParent
+    val prefix = root.getName + "._v"
     if (parent == null || !fs.exists(parent)) Nil
     else fs.listStatus(parent).map(_.getPath)
       .filter(p => p.getName.startsWith(prefix) &&
@@ -1577,8 +1658,161 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * engine, and manifest indirection would break that contract (and
     * make either table's vacuum able to corrupt the other).
     */
+  // ---- shallow clone ---------------------------------------------------
+
+  private val shallowSourceProp = "graft.shallowClone.sourceRoot"
+
+  /** True iff this table is an UNMATERIALIZED shallow clone: its manifest
+    * references the clone source's files and its own live dir is empty.
+    * [[materialize]] clears the state.
+    */
+  def isShallowClone: Boolean = properties.contains(shallowSourceProp)
+
+  /** Foreign roots this table's manifests may reference (the shallow-clone
+    * source) — qualified, no trailing slash.
+    */
+  private def foreignRoots: Seq[String] = properties.get(shallowSourceProp).toSeq
+
+  /** Every mutation funnel refuses on an unmaterialized shallow clone: the
+    * referenced files belong to the SOURCE, and graft mutations retire
+    * files by renaming — which would corrupt the source's table from the
+    * clone. (Delta can mutate shallow clones because its removes are
+    * manifest-only; our rename-retire model cannot, so the contract is
+    * zero-copy READS — snapshot, time travel, skipping, CDF — and an
+    * explicit one-time [[materialize]] to make the clone writable.)
+    */
+  private def requireMaterialized(op: String): Unit =
+    if (isShallowClone) throw new UnsupportedOperationException(
+      s"$op on an unmaterialized shallow clone: its data files belong to " +
+        "the clone source and must not be moved or rewritten — call " +
+        "materialize() first (one distributed copy of the still-" +
+        "referenced files), then mutate")
+
+  /** Zero-copy clone (Delta's `SHALLOW CLONE`): the target's founding
+    * commit records the SOURCE's current live files — no data moves, so
+    * cloning a 100 TB table is a metadata write. The clone reads, time-
+    * travels (from its founding version), data-skips (the stats sidecar
+    * and bloom filters carry over verbatim — their entries key by exactly
+    * the paths the clone references) and serves CDF; source appends after
+    * the clone are invisible (the clone is pinned to its founding
+    * manifest), source rewrites are followed into the source's retained
+    * snapshot dirs, and a source VACUUM breaks the clone pointedly —
+    * Delta's shallow-clone lifecycle. Mutations require [[materialize]].
+    */
+  def shallowCloneTo(targetPath: String): ManagedTable = {
+    require(exists, s"cannot clone: $path does not exist")
+    requireMaterialized("shallowCloneTo") // no clone-of-clone chains
+    ensureBootstrapped()
+    val dstRoot = new Path(targetPath)
+    require(!fs.exists(dstRoot), s"clone target $targetPath already exists")
+    val files = listParquet(new Path(path))
+      .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) }
+    fs.mkdirs(dstRoot)
+    val t = new ManagedTable(spark, targetPath)
+    fs.mkdirs(t.logDir)
+    // stats sidecar carries over VERBATIM — entries key by the referenced
+    // (source) paths, which is exactly what the clone's manifest records
+    val lines = (readSidecarFile(sidecarBase) ++
+        sidecarSegments.foldLeft(Map.empty[String, (Long, FileMeta)])(
+          (m, s) => m ++ readSidecarFile(s)))
+      .map { case (p, (len, m)) => sidecarLine(p, len, m) }
+    if (lines.nonEmpty)
+      t.writeAtomic(t.sidecarBase, lines.toSeq.sorted.mkString("\n"))
+    for (f <- Seq("_constraints.txt", "_generated.txt", "_bloom_cols.txt",
+                  "_props.txt", "_identity.txt")) {
+      val src = new Path(logDir, f)
+      if (fs.exists(src)) {
+        val in = fs.open(src)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val out = fs.create(new Path(t.logDir, f), true)
+        try out.write(txt.getBytes("UTF-8")) finally out.close()
+      }
+    }
+    // bloom filter FILES too: they key by sha1(data-file path), and the
+    // clone references those very paths — point-lookup skipping is free
+    val bloomDir = new Path(logDir, "_bloom.d")
+    if (fs.exists(bloomDir))
+      org.apache.hadoop.fs.FileUtil.copy(fs, bloomDir,
+        fs, new Path(t.logDir, "_bloom.d"), false,
+        spark.sparkContext.hadoopConfiguration)
+    // the marker prop must precede the founding commit: commit-time bloom
+    // refresh and any later consistency probe dispatch on it
+    t.setProperties(Map(shallowSourceProp -> qualifiedRoot))
+    val dvClone = currentDv
+    t.withCommitLock { t.commit("CLONE_SHALLOW", loggedPartitionCols(version),
+      dvNew = if (dvClone.isEmpty) None else Some(dvClone),
+      filesExplicit = Some(files)) }
+    t
+  }
+
+  /** Turn a shallow clone into an ordinary self-contained table: copy the
+    * still-referenced source files under this root (one distributed pass,
+    * session hadoop conf shipped to the copy tasks like [[cloneTo]]),
+    * remap the manifest/DV/sidecar to the local copies, drop the marker
+    * and commit. After this the source can VACUUM freely and every
+    * mutation works. Idempotent: a materialized table no-ops.
+    */
+  def materialize(): Unit = withCommitLock {
+    if (isShallowClone) {
+      val frs = foreignRoots
+      val origs = manifestFiles(version)
+      val where = resolveLive("materialize", origs)
+      val dstQ = qualifiedRoot
+      // orig manifest path → (current location, local destination): rel
+      // layout (partition dirs) is preserved under our root
+      val moves: Seq[(String, String, String)] = origs.flatMap { f =>
+        frs.find(r => f.startsWith(r + "/")).map { r =>
+          (f, where(f), dstQ + "/" + f.stripPrefix(r + "/"))
+        }
+      }
+      val confEntries: Array[(String, String)] = {
+        import scala.jdk.CollectionConverters._
+        spark.sparkContext.hadoopConfiguration.asScala
+          .map(e => e.getKey -> e.getValue).toArray
+      }
+      val slices = math.max(1,
+        math.min(moves.size, spark.sparkContext.defaultParallelism))
+      if (moves.nonEmpty)
+        spark.sparkContext.parallelize(moves.map(m => (m._2, m._3)), slices)
+          .foreach { case (src, dst) =>
+            val conf = new org.apache.hadoop.conf.Configuration(false)
+            confEntries.foreach { case (k, v) => conf.set(k, v) }
+            val s = new Path(src)
+            val d = new Path(dst)
+            org.apache.hadoop.fs.FileUtil.copy(
+              s.getFileSystem(conf), s, d.getFileSystem(conf), d, false, conf)
+          }
+      val mapping = moves.map(m => m._1 -> m._3).toMap
+      remapFiles(mapping)
+      // sidecar entries: same bytes, new path — lengths are copy-invariant,
+      // so the remapped lines stay valid cache hits
+      val lines = (readSidecarFile(sidecarBase) ++
+          sidecarSegments.foldLeft(Map.empty[String, (Long, FileMeta)])(
+            (m, s) => m ++ readSidecarFile(s)))
+        .map { case (p, (len, m)) =>
+          sidecarLine(mapping.getOrElse(p, p), len, m) }
+      if (lines.nonEmpty) {
+        writeAtomic(sidecarBase, lines.toSeq.sorted.mkString("\n"))
+        fs.delete(sidecarSegDir, true)
+      }
+      // bloom filters key by sha1(path): re-key by renaming each entry to
+      // the local path's digest (same filter bytes — contents unchanged)
+      val bloomDir = new Path(logDir, "_bloom.d")
+      if (fs.exists(bloomDir)) fs.listStatus(bloomDir).foreach { colDir =>
+        mapping.foreach { case (o, n) =>
+          val src = BloomIndex.bfPath(colDir.getPath, o)
+          if (fs.exists(src)) fs.rename(src, BloomIndex.bfPath(colDir.getPath, n))
+        }
+      }
+      unsetProperties(Seq(shallowSourceProp))
+      commit("MATERIALIZE", loggedPartitionCols(version))
+    }
+  }
+
   def cloneTo(targetPath: String): ManagedTable = {
     require(exists, s"cannot clone: $path does not exist")
+    requireMaterialized("cloneTo")
     ensureBootstrapped()
     val dstRoot = new Path(targetPath)
     require(!fs.exists(dstRoot), s"clone target $targetPath already exists")
@@ -1707,7 +1941,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   // expression already short-circuits rows of bitmap-free files to one
   // reference/memcmp check, while the two-branch union plan added a fixed
   // planning cost that outweighed it at every scale tested.
-  def read: DataFrame = applyDv(spark.read.parquet(path), currentDv)
+  def read: DataFrame =
+    // an unmaterialized shallow clone reads its pinned founding manifest
+    // (files live under the SOURCE's root); everything else reads the dir
+    if (isShallowClone) readVersion(version)
+    else applyDv(spark.read.parquet(path), currentDv)
 
   /** Structured-Streaming source over the table (Delta's streaming-source
     * role): downstream jobs tail the table and see the files APPENDS add.
@@ -1716,11 +1954,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * re-emit — run those on tables consumed in batch, or restart the
     * stream from a fresh checkpoint after maintenance.
     */
-  def readStream: DataFrame =
+  def readStream: DataFrame = {
+    // a file-stream source tails the DIRECTORY; an unmaterialized shallow
+    // clone's files live under the source root, so the stream would
+    // silently see nothing — refuse pointedly (stream the SOURCE, or
+    // materialize the clone first)
+    if (isShallowClone) throw new UnsupportedOperationException(
+      "readStream on an unmaterialized shallow clone: the file-stream " +
+        "source tails the live dir, which is empty by design — stream " +
+        "the clone source, or materialize() first")
     // DV filter applies with the map snapshotted at stream start; deletes
     // vectored AFTER that need a restart to take effect downstream (same
     // contract as the rewriting-mutation caveat above)
     applyDv(spark.readStream.schema(read.schema).parquet(path), currentDv)
+  }
 
   /** Schema-evolved read (the reference's `mergeSchema`, deltalake.ipynb:
     * 4599 cell 25): unions the schemas of all files; rows from files
@@ -1728,7 +1975,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * for additive schema evolution.
     */
   def readEvolved: DataFrame =
-    applyDv(spark.read.option("mergeSchema", "true").parquet(path), currentDv)
+    if (isShallowClone) readFileSubset(version, manifestFiles(version),
+      mergeSchema = true)
+    else applyDv(spark.read.option("mergeSchema", "true").parquet(path), currentDv)
 
   /** Streaming change-data-feed (Delta's `readChangeFeed` stream): each
     * micro-batch carries the insert/update/delete diff between the last
@@ -1821,6 +2070,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                        operation: String, allowEvolution: Boolean = false,
                        txn: Option[(String, Long)] = None): Unit =
     withCommitLock {
+      requireMaterialized(operation)
       ensureBootstrapped()
       val dfi = assignIdentities(df)
       val conformed0 =
@@ -2029,6 +2279,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   def addIdentityColumn(name: String, startWith: Long = 1L,
                         incrementBy: Long = 1L): Unit = withCommitLock {
+    // guard BEFORE the declaration write: replaceWith's own guard would
+    // fire after it, stranding a declared-but-unassigned identity column
+    requireMaterialized("ADD IDENTITY")
     require(incrementBy != 0, "incrementBy must be non-zero")
     require(!identityColumns.contains(name), s"identity column $name already exists")
     require(tableSchemaOpt.forall(!_.fieldNames.exists(_.equalsIgnoreCase(name))),
@@ -2099,6 +2352,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   private def replaceWith(df0i: DataFrame, partitionCols: Seq[String],
                           operation: String): Unit = withCommitLock {
+    requireMaterialized(operation)
     ensureBootstrapped()
     val df0 = assignIdentities(df0i)
     // same checked-rows-are-written-rows materialization as appendAs;
@@ -2174,6 +2428,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def swapPartitions(affected: DataFrame, partitionCols: Seq[String],
                              replacement: DataFrame, operation: String): Unit =
     withCommitLock {
+    requireMaterialized(operation)
     enforceConstraints(replacement)
     // materialize the affected partition set before any file moves — its
     // plan reads the current table files. Values are stringified by
@@ -2440,7 +2695,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   def detail(): DataFrame = {
     import spark.implicits._
-    val files = listParquet(new Path(path))
+    val files = if (isShallowClone) liveFilesQ() else listParquet(new Path(path))
     val (partCols, createdAt, modifiedAt) = {
       val h = historyRows
       if (h.nonEmpty) {
