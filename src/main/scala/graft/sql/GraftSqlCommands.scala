@@ -288,6 +288,23 @@ object GraftSqlCommands {
     }
   }
 
+  /** CREATE TABLE … [SHALLOW|DEEP] CLONE … (Delta's CLONE SQL): DEEP (the
+    * default, matching Delta) byte-copies the data distributed; SHALLOW
+    * writes a founding commit referencing the source's files — zero data
+    * movement at any size.
+    */
+  case class CloneTableCommand(sourcePath: String, targetPath: String,
+      shallow: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs(
+      "path" -> StringType, "version" -> LongType,
+      "shallow" -> org.apache.spark.sql.types.BooleanType)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val s = new ManagedTable(spark, sourcePath)
+      val t = if (shallow) s.shallowCloneTo(targetPath) else s.cloneTo(targetPath)
+      Seq(Row(targetPath, t.version, shallow))
+    }
+  }
+
   /** CONVERT TO GRAFT — adopt an existing plain-parquet dir into the
     * commit log ([[ManagedTable.bootstrap]]); Delta's `CONVERT TO DELTA`.
     */
@@ -338,6 +355,8 @@ object GraftSqlCommands {
     rx(s"""^\\s*RESTORE\\s+(?:TABLE\\s+)?$Tbl\\s+TO\\s+(?:VERSION\\s+AS\\s+OF\\s+(\\d+)|TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')\\s*;?\\s*$$""")
   private val Convert =
     rx(s"""^\\s*CONVERT\\s+TO\\s+GRAFT\\s+$Tbl\\s*;?\\s*$$""")
+  private val Clone =
+    rx(s"""^\\s*CREATE\\s+TABLE\\s+$Tbl\\s+(SHALLOW\\s+|DEEP\\s+)?CLONE\\s+$Tbl\\s*;?\\s*$$""")
   private val Delete =
     rx(s"""^\\s*DELETE\\s+FROM\\s+$Tbl\\s*(?:WHERE\\s+(.+?))?\\s*;?\\s*$$""")
   private val Update =
@@ -400,6 +419,10 @@ object GraftSqlCommands {
         Option(re.group(4)).map(_.toLong), Option(re.group(5))))
     val cv = Convert.matcher(sqlText)
     if (cv.matches()) return Some(ConvertToGraftCommand(tbl(cv, 1)))
+    val cl = Clone.matcher(sqlText)
+    if (cl.matches())
+      return Some(CloneTableCommand(tbl(cl, 5), tbl(cl, 1),
+        shallow = Option(cl.group(4)).exists(_.trim.equalsIgnoreCase("SHALLOW"))))
     val del = Delete.matcher(sqlText)
     if (del.matches())
       return Some(DeleteFromGraftCommand(tbl(del, 1), Option(del.group(4))))

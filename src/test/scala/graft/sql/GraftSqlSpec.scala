@@ -230,6 +230,22 @@ class GraftSqlSpec extends SparkSpec {
       .head.getSeq[String](0) == Seq("grp"))
   }
 
+  test("CREATE TABLE … SHALLOW CLONE / CLONE through SQL") {
+    val (t, p) = freshTable("sql-clone")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val base = tmpDir("sql-clone-targets")
+    // SHALLOW: zero-copy, reads the source snapshot
+    val r = GraftSql.sql(spark,
+      s"CREATE TABLE '$base/shallow' SHALLOW CLONE '$p'").collect()
+    assert(r.head.getBoolean(2))
+    val sc = new ManagedTable(spark, s"$base/shallow")
+    assert(sc.isShallowClone && sc.read.count() == 2)
+    // default (no keyword) = DEEP, matching Delta: self-contained copy
+    GraftSql.sql(spark, s"CREATE TABLE '$base/deep' CLONE '$p'")
+    val dc = new ManagedTable(spark, s"$base/deep")
+    assert(!dc.isShallowClone && dc.read.count() == 2)
+  }
+
   test("CONVERT TO GRAFT adopts a plain-parquet dir into the commit log") {
     val dir = tmpDir("sql-convert") + "/t"
     Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(dir)
