@@ -830,6 +830,22 @@ object SparkEntry {
         .select(col("doc_id"), col("dup_count"))
         .orderBy("doc_id")
     }),
+    "q119_column_stats" -> ((s, d) => {
+      // metadata-only ANALYZE: min/max/null-count folded from the commit
+      // sidecar, zero data files opened, no scan job — the oracle runs the
+      // FULL-SCAN aggregates and must agree bit-exactly
+      val wh = java.nio.file.Files.createTempDirectory("graft-an").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/lineitem")
+      t.overwrite(Tables.lineitem(s, d).repartition(8))
+      t.columnStats()
+        .filter(col("col_name").isin(
+          "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("col_name"),
+          col("min_value").cast("double").as("min_value"),
+          col("max_value").cast("double").as("max_value"),
+          col("null_count"), col("row_count"))
+        .orderBy("col_name")
+    }),
     "q118_shallow_clone" -> ((s, d) => {
       // zero-copy SHALLOW CLONE: the clone's founding commit references
       // the source's files (no data moves — cloning 100 TB is a metadata
@@ -1915,6 +1931,29 @@ object SparkEntry {
          FROM documents d JOIN r USING (lang)
          WHERE d.doc_id % 100 < CAST(FLOOR(r.sample_rate * 100) AS BIGINT)
          ORDER BY d.doc_id""",
+    "q119_column_stats" ->
+      """SELECT * FROM (
+           SELECT 'l_orderkey' AS col_name,
+             CAST(MIN(l_orderkey) AS DOUBLE) AS min_value,
+             CAST(MAX(l_orderkey) AS DOUBLE) AS max_value,
+             CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS null_count,
+             CAST(COUNT(*) AS BIGINT) AS row_count FROM lineitem
+           UNION ALL
+           SELECT 'l_quantity',
+             CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE),
+             CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM lineitem
+           UNION ALL
+           SELECT 'l_extendedprice',
+             CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
+             CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM lineitem
+           UNION ALL
+           SELECT 'l_discount',
+             CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
+             CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM lineitem
+         ) ORDER BY col_name""",
     "q118_shallow_clone" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
          FROM supplier WHERE s_acctbal >= 0 ORDER BY s_suppkey""",

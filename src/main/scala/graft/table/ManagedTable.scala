@@ -527,6 +527,63 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * same invariants the reads rely on: every live file's row count is
     * recorded at commit, and DV bitmaps only mark rows that exist.
     */
+  /** Metadata-only ANALYZE: per-column min/max/null-count folded from the
+    * commit sidecar — zero data files open on a committed table, no Spark
+    * job (Delta serves `DESCRIBE DETAIL`-adjacent stats the same way; at
+    * 100 TB this is the difference between instant and a full scan). One
+    * row per column seen in any live file's stats:
+    * (col_name, data_kind, min_value, max_value, null_count, row_count,
+    * num_files, files_with_stats).
+    *
+    * Honesty contract: bounds are emitted ONLY when every live file
+    * carries usable bounds of one kind for the column (a file with
+    * NaN/all-null/unordered stats nulls them out — conservative, never
+    * wrong); string bounds are the 32-code-point sidecar BOUNDS (min-
+    * prefix / incremented max-prefix — enclosing, not necessarily
+    * attained); under deletion vectors min/max may be attained only by a
+    * deleted row (bounds, not witnesses) and null_count counts physical
+    * rows. `row_count` is physical — [[countFast]] is the DV-adjusted
+    * count.
+    */
+  def columnStats(): DataFrame = {
+    import spark.implicits._
+    val files = liveFilesQ()
+    val metas = fileMeta(files)
+    val rowsTotal = metas.values.map(_.rows).sum
+    val nFiles = files.size.toLong
+    val cols = metas.values.flatMap(_.stats.keys).toSeq.distinct.sorted
+    val out = cols.map { c =>
+      val per = files.map(f => metas(f._1).stats.get(c))
+      val known = per.flatten
+      val boundKinds = known.map(_._1).filter(Set("i", "d", "s", "D")).distinct
+      val bounds: Option[(String, String, String)] =
+        if (per.exists(_.isEmpty) || boundKinds.size != 1 ||
+            known.exists(_._1 != boundKinds.head)) None
+        else {
+          val k = boundKinds.head
+          val leq: (String, String) => Boolean =
+            if (k == "s") utf8Leq else numLeq
+          val mn = known.map(_._2).reduce((a, b) => if (leq(a, b)) a else b)
+          val mx = known.map(_._3).reduce((a, b) => if (leq(a, b)) b else a)
+          // epoch-day stats decode to ISO for the caller (display form;
+          // skipping never compares these lexically)
+          def dec(v: String) =
+            if (k == "D") java.time.LocalDate.ofEpochDay(v.toLong).toString else v
+          Some((k, dec(mn), dec(mx)))
+        }
+      val nulls: Option[Long] = {
+        val ns = per.map(_.map(_._4).getOrElse(-1L))
+        if (ns.exists(_ < 0)) None else Some(ns.sum)
+      }
+      (c,
+        bounds.map(_._1).getOrElse(if (known.nonEmpty) "n" else ""),
+        bounds.map(_._2), bounds.map(_._3),
+        nulls, rowsTotal, nFiles, known.size.toLong)
+    }
+    out.toDF("col_name", "data_kind", "min_value", "max_value",
+      "null_count", "row_count", "num_files", "files_with_stats")
+  }
+
   def countFast(): Long = {
     val files = liveFilesQ()
     val metas = fileMeta(files)

@@ -1129,6 +1129,54 @@ class ManagedTableSpec extends SparkSpec {
     assert(t.readWhereAll(Seq(("a", 0.0, 10.0), ("a", 700.0, 750.0))).count() == 0)
   }
 
+  test("columnStats serves exact min/max/nulls from metadata alone") {
+    val t = freshTable("mt-colstats")
+    t.overwrite(spark.range(0, 500).selectExpr(
+      "id as k", "cast(id as double) / 4 as v",
+      "case when id % 10 = 0 then null else concat('s', id) end as s",
+      "date_add(date'2024-01-01', cast(id % 30 as int)) as d")
+      .repartition(4))
+    val st = t.columnStats().collect()
+      .map(r => r.getString(0) -> r).toMap
+    // numeric bounds are exact attained values
+    assert(st("k").getString(2) == "0" && st("k").getString(3) == "499")
+    assert(st("v").getString(2).toDouble == 0.0 &&
+      st("v").getString(3).toDouble == 124.75)
+    assert(st("k").getLong(4) == 0L)      // null_count
+    assert(st("s").getLong(4) == 50L)     // the every-10th nulls
+    // date kind decodes epoch days to ISO bounds
+    assert(st("d").getString(1) == "D" && st("d").getString(2) == "2024-01-01"
+      && st("d").getString(3) == "2024-01-30")
+    // row/file accounting
+    assert(st("k").getLong(5) == 500L && st("k").getLong(6) == 4L
+      && st("k").getLong(7) == 4L)
+    // agreement with the full scan, column by column
+    val full = t.read.selectExpr("min(k)", "max(k)", "min(v)", "max(v)",
+      "count(*) - count(s)").head()
+    assert(st("k").getString(2).toLong == full.getLong(0))
+    assert(st("k").getString(3).toLong == full.getLong(1))
+    assert(st("v").getString(3).toDouble == full.getDouble(3))
+    assert(st("s").getLong(4) == full.getLong(4))
+  }
+
+  test("columnStats nulls out bounds it cannot promise") {
+    val t = freshTable("mt-colstats-nan")
+    // file with a NaN in v → that file's bounds are unusable → table-level
+    // bounds for v must be UNKNOWN, not wrong
+    t.overwrite(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    t.append(Seq((3L, Double.NaN)).toDF("k", "v"))
+    val st = t.columnStats().collect().map(r => r.getString(0) -> r).toMap
+    assert(st("v").isNullAt(2) && st("v").isNullAt(3))
+    assert(st("k").getString(2) == "1" && st("k").getString(3) == "3") // k unaffected
+    // an all-null column: kind n, zero bounds, full null count
+    val t2 = freshTable("mt-colstats-allnull")
+    t2.overwrite(Seq((1L, null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String])).toDF("k", "s"))
+    val st2 = t2.columnStats().collect().map(r => r.getString(0) -> r).toMap
+    assert(st2("s").getString(1) == "n" && st2("s").isNullAt(2))
+    assert(st2("s").getLong(4) == 2L)
+  }
+
   test("overwriteWhere replaces exactly the matching rows in one commit") {
     val t = freshTable("mt-rwh")
     t.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0),
