@@ -830,6 +830,19 @@ object SparkEntry {
         .select(col("doc_id"), col("dup_count"))
         .orderBy("doc_id")
     }),
+    "q120_merge_evolution" -> ((s, d) => {
+      // MERGE WITH SCHEMA EVOLUTION: the source carries a column the table
+      // doesn't have — one MERGE commit widens the table, unmatched rows
+      // read null in the new column (Delta's withSchemaEvolution)
+      val wh = java.nio.file.Files.createTempDirectory("graft-me").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/nation")
+      t.overwrite(Tables.nation(s, d).select("n_nationkey", "n_name"))
+      val src = Tables.nation(s, d).filter(col("n_nationkey") < 10)
+        .select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey").as("region"))
+      t.merge(src, Seq("n_nationkey"), allowEvolution = true)
+      t.read.orderBy("n_nationkey")
+    }),
     "q119_column_stats" -> ((s, d) => {
       // metadata-only ANALYZE: min/max/null-count folded from the commit
       // sidecar, zero data files opened, no scan job — the oracle runs the
@@ -1931,6 +1944,10 @@ object SparkEntry {
          FROM documents d JOIN r USING (lang)
          WHERE d.doc_id % 100 < CAST(FLOOR(r.sample_rate * 100) AS BIGINT)
          ORDER BY d.doc_id""",
+    "q120_merge_evolution" ->
+      """SELECT n_nationkey, n_name,
+           CASE WHEN n_nationkey < 10 THEN n_regionkey END AS region
+         FROM nation ORDER BY n_nationkey""",
     "q119_column_stats" ->
       """SELECT * FROM (
            SELECT 'l_orderkey' AS col_name,

@@ -151,7 +151,8 @@ object GraftSqlCommands {
     * rewrite are read from the target's latest commit.
     */
   case class MergeIntoGraftCommand(path: String, sourceText: String,
-      keys: Seq[String], insertOnly: Boolean) extends LeafRunnableCommand {
+      keys: Seq[String], insertOnly: Boolean,
+      schemaEvolution: Boolean = false) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = attrs("num_source_rows" -> LongType)
     override def run(spark: SparkSession): Seq[Row] = {
       val src = sourceText.trim
@@ -162,9 +163,13 @@ object GraftSqlCommands {
       val partCols = latestPartitionCols(t)
       val useDv = t.properties.get("graft.enableDeletionVectors")
         .exists(_.equalsIgnoreCase("true"))
-      if (insertOnly) t.mergeInsertOnly(source, keys, partCols)
-      else if (useDv) t.mergeVectored(source, keys, partCols)
-      else t.merge(source, keys, partCols)
+      if (insertOnly)
+        t.mergeInsertOnly(source, keys, partCols, allowEvolution = schemaEvolution)
+      // the DV (merge-on-read) path appends only replacement copies, so a
+      // widened schema would leave old files unreadable without
+      // mergeSchema — an evolving MERGE takes the rewriting path instead
+      else if (useDv && !schemaEvolution) t.mergeVectored(source, keys, partCols)
+      else t.merge(source, keys, partCols, allowEvolution = schemaEvolution)
       Seq(Row(source.count()))
     }
   }
@@ -385,7 +390,7 @@ object GraftSqlCommands {
     rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+ADD\\s+IDENTITY\\s+COLUMN\\s+(\\w+)(?:\\s+START\\s+WITH\\s+(-?\\d+))?(?:\\s+INCREMENT\\s+BY\\s+(-?\\d+))?\\s*;?\\s*$$""")
   private val Reorg =
     rx(s"""^\\s*REORG\\s+TABLE\\s+$Tbl\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$$""")
-  private val MergePrefix = rx(s"""^\\s*MERGE\\s+INTO\\s+$Tbl\\s*(?:AS\\s+)?(\\w+)?\\s+USING\\s+""")
+  private val MergePrefix = rx(s"""^\\s*MERGE\\s+(WITH\\s+SCHEMA\\s+EVOLUTION\\s+)?INTO\\s+$Tbl\\s*(?:AS\\s+)?(\\w+)?\\s+USING\\s+""")
   private val WhenMatched =
     rx("""WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""")
   private val WhenNotMatched =
@@ -547,7 +552,8 @@ object GraftSqlCommands {
     */
   private def parseMerge(sqlText: String,
       mp: java.util.regex.Matcher): MergeIntoGraftCommand = {
-    val target = tbl(mp, 1)
+    val evolve = mp.group(1) != null // WITH SCHEMA EVOLUTION
+    val target = tbl(mp, 2)
     def fail(msg: String): Nothing = throw new IllegalArgumentException(
       s"graft MERGE INTO: $msg; supported shape is MERGE INTO <tbl> [AS] t " +
         "USING <src> [AS] s ON t.k = s.k [AND ...] " +
@@ -590,8 +596,10 @@ object GraftSqlCommands {
     }
     val matched = WhenMatched.matcher(whenText).find()
     val notMatched = WhenNotMatched.matcher(whenText).find()
-    if (matched && notMatched) MergeIntoGraftCommand(target, sourceText, keys, insertOnly = false)
-    else if (notMatched) MergeIntoGraftCommand(target, sourceText, keys, insertOnly = true)
+    if (matched && notMatched) MergeIntoGraftCommand(target, sourceText,
+      keys, insertOnly = false, schemaEvolution = evolve)
+    else if (notMatched) MergeIntoGraftCommand(target, sourceText,
+      keys, insertOnly = true, schemaEvolution = evolve)
     else fail("need WHEN NOT MATCHED THEN INSERT * (optionally with WHEN " +
       "MATCHED THEN UPDATE SET *); update-only MERGE is not supported")
   }

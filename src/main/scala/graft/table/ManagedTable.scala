@@ -2438,20 +2438,50 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * matched row may move partitions; its old copy must go too).
     * Unpartitioned tables fall back to the full atomic swap.
     */
-  def merge(source: DataFrame, keys: Seq[String], partitionCols: Seq[String] = Nil): Unit =
+  /** Null-typed columns of `other` that `df` lacks, appended (Delta's
+    * automatic schema evolution: new columns land at the end, existing
+    * rows read null). Case-insensitive match like [[conform]].
+    */
+  private def widenTo(df: DataFrame,
+                      other: org.apache.spark.sql.types.StructType): DataFrame =
+    other.fields.foldLeft(df) { (d, f) =>
+      if (d.schema.fieldNames.exists(_.equalsIgnoreCase(f.name))) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+
+  def merge(source: DataFrame, keys: Seq[String],
+            partitionCols: Seq[String] = Nil,
+            allowEvolution: Boolean = false): Unit = {
+    // WITH SCHEMA EVOLUTION (Delta's withSchemaEvolution): both sides
+    // widen to the union schema, so a source carrying new columns evolves
+    // the table in the same MERGE commit. An actually-evolving merge
+    // rewrites the WHOLE table even when partitioned — a pruned rewrite
+    // would leave unaffected partitions on the old file schema, and plain
+    // (non-mergeSchema) reads infer from one footer; evolution is a rare
+    // one-time migration, so the full rewrite is the correct trade.
+    def evolving = allowEvolution && exists &&
+      source.schema.fieldNames.exists(n =>
+        !read.schema.fieldNames.exists(_.equalsIgnoreCase(n)))
     if (!exists) overwrite(source, partitionCols)
-    else if (partitionCols.isEmpty) withCommitLock {
+    else if (partitionCols.isEmpty || evolving) withCommitLock {
       // identity assignment advances the persisted high-water mark —
       // a read-modify-write that must not interleave with a lease-holding
       // writer (the lock is reentrant; replaceWith re-enters below).
       // Writing to the tmp dir scans the OLD files, so no checkpoint needed
-      replaceWith(Merge.upsert(read, assignIdentities(source), keys),
+      val (tgt, src0) =
+        if (allowEvolution) (widenTo(read, source.schema),
+          widenTo(source, read.schema))
+        else (read, source)
+      replaceWith(Merge.upsert(tgt, assignIdentities(src0), keys),
         partitionCols, "MERGE")
     }
     else withCommitLock {
       ensureBootstrapped()
-      val src = assignIdentities(source)
+      // allowEvolution without new columns: a source MISSING table columns
+      // still widens (null-fills) so the upsert union aligns
+      val src1 = if (allowEvolution) widenTo(source, read.schema) else source
       val target = read
+      val src = assignIdentities(src1)
       val srcParts = src.select(partitionCols.map(c => col(c)): _*).distinct()
       val matchedParts = target
         .join(src.select(keys.map(col): _*).distinct(), keys, "left_semi")
@@ -2461,6 +2491,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         src, keys).localCheckpoint()
       swapPartitions(affected, partitionCols, merged, "MERGE")
     }
+  }
 
   /** Rows of `target` living in the partitions listed by `affected` —
     * null-safe equality, or rows in a null partition would silently miss
@@ -2624,11 +2655,17 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     }
   }
 
-  /** MERGE insert-only (deltalake.ipynb:1786–1791): append just the new keys. */
-  def mergeInsertOnly(source: DataFrame, keys: Seq[String], partitionCols: Seq[String] = Nil): Unit =
+  /** MERGE insert-only (deltalake.ipynb:1786–1791): append just the new
+    * keys. `allowEvolution` lets a source with extra columns through as
+    * additive append-path evolution ([[appendAs]]'s contract: widened
+    * files, [[readEvolved]] reads the union schema).
+    */
+  def mergeInsertOnly(source: DataFrame, keys: Seq[String],
+                      partitionCols: Seq[String] = Nil,
+                      allowEvolution: Boolean = false): Unit =
     if (!exists) overwrite(source, partitionCols)
     else appendAs(Merge.newRowsOnly(source, read, keys).localCheckpoint(),
-      partitionCols, "MERGE_INSERT_ONLY")
+      partitionCols, "MERGE_INSERT_ONLY", allowEvolution)
 
   /** DELETE rows matching `cond` — the Delta DML surface completed. The
     * whole table is rewritten via atomic swap (partition-scoped variants

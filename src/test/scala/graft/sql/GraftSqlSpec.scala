@@ -230,6 +230,22 @@ class GraftSqlSpec extends SparkSpec {
       .head.getSeq[String](0) == Seq("grp"))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION through SQL widens the target") {
+    val (t, p) = freshTable("sql-merge-evolve")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    Seq((2L, "B", 9.0), (3L, "C", 3.5)).toDF("k", "v", "score")
+      .createOrReplaceTempView("evolve_src")
+    GraftSql.sql(spark,
+      s"""MERGE WITH SCHEMA EVOLUTION INTO '$p' AS t USING evolve_src AS s
+         ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(t.read.columns.toSeq == Seq("k", "v", "score"))
+    assert(t.read.orderBy("k").as[(Long, String, Option[Double])]
+      .collect().toSeq ==
+      Seq((1L, "a", None), (2L, "B", Some(9.0)), (3L, "C", Some(3.5))))
+  }
+
   test("CREATE TABLE … SHALLOW CLONE / CLONE through SQL") {
     val (t, p) = freshTable("sql-clone")
     t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))

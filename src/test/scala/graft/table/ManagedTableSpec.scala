@@ -1129,6 +1129,39 @@ class ManagedTableSpec extends SparkSpec {
     assert(t.readWhereAll(Seq(("a", 0.0, 10.0), ("a", 700.0, 750.0))).count() == 0)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the table to the union schema") {
+    val t = freshTable("mt-merge-evolve")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // without the flag: the mismatched source fails (strict enforcement)
+    intercept[Exception] {
+      t.merge(Seq((2L, "B", 9.0)).toDF("k", "v", "score"), Seq("k"))
+    }
+    t.merge(Seq((2L, "B", 9.0), (3L, "C", 3.5)).toDF("k", "v", "score"),
+      Seq("k"), allowEvolution = true)
+    // new column lands at the end; untouched rows read null
+    assert(t.read.columns.toSeq == Seq("k", "v", "score"))
+    assert(t.read.orderBy("k").as[(Long, String, Option[Double])]
+      .collect().toSeq ==
+      Seq((1L, "a", None), (2L, "B", Some(9.0)), (3L, "C", Some(3.5))))
+    // source MISSING a table column null-fills under the flag
+    t.merge(Seq((4L, "d")).toDF("k", "v"), Seq("k"), allowEvolution = true)
+    assert(t.read.filter(col("k") === 4L).select("score").head().isNullAt(0))
+  }
+
+  test("partitioned evolving MERGE rewrites ALL partitions onto one schema") {
+    val t = freshTable("mt-merge-evolve-part")
+    t.overwrite(Seq((1L, "d1", 1.0), (2L, "d2", 2.0)).toDF("k", "day", "v"),
+      Seq("day"))
+    t.merge(Seq((2L, "d2", 2.5, "ok")).toDF("k", "day", "v", "tag"),
+      Seq("k"), Seq("day"), allowEvolution = true)
+    // the UNAFFECTED d1 partition must also carry the new column (plain,
+    // non-mergeSchema reads see one schema)
+    assert(t.read.columns.sorted.toSeq == Seq("day", "k", "tag", "v"))
+    assert(t.read.orderBy("k").as[(Long, Double, Option[String], String)]
+      .collect().toSeq ==
+      Seq((1L, 1.0, None, "d1"), (2L, 2.5, Some("ok"), "d2")))
+  }
+
   test("columnStats serves exact min/max/nulls from metadata alone") {
     val t = freshTable("mt-colstats")
     t.overwrite(spark.range(0, 500).selectExpr(
