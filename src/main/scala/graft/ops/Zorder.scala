@@ -30,16 +30,26 @@ import org.apache.spark.sql.functions._
   */
 object Zorder {
 
-  /** Append an interleaved z-key column `__z` built from `cols`. */
-  def withZKey(df: DataFrame, cols: Seq[String], bits: Int = 8): DataFrame = {
-    val n = cols.length
-    require(n >= 1 && n * bits <= 63, s"$n cols × $bits bits exceeds a BIGINT")
+  /** Equal-frequency rank quantization of every clustering column to
+    * `2^bits` buckets — shared by the Morton and Hilbert keys. Returns the
+    * frame plus the 1-based bucket column names.
+    */
+  private def quantized(df: DataFrame, cols: Seq[String],
+                        bits: Int): (DataFrame, Seq[String]) = {
     var cur = df
     val bcols = cols.zipWithIndex.map { case (c, i) =>
       cur = Relational.ntileDistributed(cur, 1 << bits, col(c))
         .withColumnRenamed("__ntile", s"__zb$i")
       s"__zb$i"
     }
+    (cur, bcols)
+  }
+
+  /** Append an interleaved z-key column `__z` built from `cols`. */
+  def withZKey(df: DataFrame, cols: Seq[String], bits: Int = 8): DataFrame = {
+    val n = cols.length
+    require(n >= 1 && n * bits <= 63, s"$n cols × $bits bits exceeds a BIGINT")
+    val (cur, bcols) = quantized(df, cols, bits)
     // bit j of every column's 0-based bucket id lands at position j*n + i
     val z = (0 until bits).flatMap { j =>
       (0 until n).map { i =>
@@ -47,6 +57,24 @@ object Zorder {
       }
     }.reduce(_ + _)
     cur.withColumn("__z", z).drop(bcols: _*)
+  }
+
+  /** Append a Hilbert-curve key column `__h` built from `cols` — same
+    * quantization as [[withZKey]], but the bucket coordinates feed the
+    * Hilbert transform ([[graft.functions.Hilbert]]) instead of bit
+    * interleaving. Consecutive key values are always grid NEIGHBORS (the
+    * Morton curve jumps diagonally at every power-of-two boundary), so
+    * equal-size file ranges cover tighter value blobs and range scans
+    * prune more files; spec'd head-to-head in HilbertSpec.
+    */
+  def withHilbertKey(df: DataFrame, cols: Seq[String], bits: Int = 8): DataFrame = {
+    val n = cols.length
+    require(n >= 1 && n * bits <= 62, s"$n cols × $bits bits exceeds a BIGINT")
+    val (cur, bcols) = quantized(df, cols, bits)
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    val coords = array(bcols.map(c => (col(c) - 1).cast("long")): _*)
+    val h = column(graft.functions.HilbertIndex(expression(coords), bits))
+    cur.withColumn("__h", h).drop(bcols: _*)
   }
 
   /** Cluster a frame by the z-key: range-partition (file-level locality) +
@@ -67,5 +95,19 @@ object Zorder {
       .repartitionByRange(n, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+  }
+
+  /** [[cluster]] with the Hilbert key — same layout mechanics (explicit
+    * file count, range partition + in-file sort), tighter per-file value
+    * bounds on every clustered column.
+    */
+  def clusterHilbert(df: DataFrame, cols: Seq[String], bits: Int = 8,
+                     numFiles: Int = 0): DataFrame = {
+    val n = if (numFiles > 0) numFiles
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    withHilbertKey(df, cols, bits)
+      .repartitionByRange(n, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
   }
 }
