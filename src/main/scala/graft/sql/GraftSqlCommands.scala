@@ -86,11 +86,14 @@ object GraftSqlCommands {
 
   /** OPTIMIZE: plain form compacts to ceil(bytes / targetFileBytes) files
     * (Delta's size-targeted bin-packing, 128 MB default); ZORDER BY runs
-    * the true Morton-key clustering ([[ManagedTable.clusterZ]]).
+    * the true Morton-key clustering ([[ManagedTable.clusterZ]]); CLUSTER
+    * BY runs the Hilbert-curve layout ([[ManagedTable.clusterHilbert]] —
+    * liquid clustering's curve, tighter per-file bounds than Morton).
     */
   case class OptimizeCommand(path: String, zorderBy: Seq[String],
       whereText: Option[String] = None,
-      targetFileBytes: Long = 128L * 1024 * 1024)
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      hilbert: Boolean = false)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = attrs(
       "path" -> StringType, "files_before" -> LongType,
@@ -103,10 +106,12 @@ object GraftSqlCommands {
         // partition-scoped compaction: the predicate must cover partition
         // columns only (compactWhere enforces a partitioned table); one
         // compacted file lands per matched partition dir
-        require(zorderBy.isEmpty, "OPTIMIZE ... WHERE does not take ZORDER BY")
+        require(zorderBy.isEmpty, "OPTIMIZE ... WHERE does not take ZORDER/CLUSTER BY")
         t.compactWhere(expr(whereText.get))
       }
-      else if (zorderBy.nonEmpty) t.clusterZ(zorderBy)
+      else if (zorderBy.nonEmpty) {
+        if (hilbert) t.clusterHilbert(zorderBy) else t.clusterZ(zorderBy)
+      }
       else {
         val bytes = t.detail().select("size_in_bytes").head.getLong(0)
         t.compact(math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt)
@@ -353,7 +358,7 @@ object GraftSqlCommands {
   private val DescDetail =
     rx(s"""^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Tbl\\s*;?\\s*$$""")
   private val Optimize =
-    rx(s"""^\\s*OPTIMIZE\\s+$Tbl\\s*(?:ZORDER\\s+BY\\s*\\(([^)]+)\\))?(?:\\s*WHERE\\s+(.+?))?\\s*;?\\s*$$""")
+    rx(s"""^\\s*OPTIMIZE\\s+$Tbl\\s*(?:(ZORDER|CLUSTER)\\s+BY\\s*\\(([^)]+)\\))?(?:\\s*WHERE\\s+(.+?))?\\s*;?\\s*$$""")
   private val Vacuum =
     rx(s"""^\\s*VACUUM\\s+$Tbl\\s*(?:RETAIN\\s+([0-9.]+)\\s+HOURS?)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""")
   private val Restore =
@@ -411,8 +416,10 @@ object GraftSqlCommands {
     if (dd.matches()) return Some(DescribeDetailCommand(tbl(dd, 1)))
     val op = Optimize.matcher(sqlText)
     if (op.matches()) {
-      val z = Option(op.group(4)).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
-      return Some(OptimizeCommand(tbl(op, 1), z, Option(op.group(5))))
+      val cols = Option(op.group(5)).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+      val hilbert = Option(op.group(4)).exists(_.equalsIgnoreCase("CLUSTER"))
+      return Some(OptimizeCommand(tbl(op, 1), cols, Option(op.group(6)),
+        hilbert = hilbert))
     }
     val va = Vacuum.matcher(sqlText)
     if (va.matches())

@@ -585,6 +585,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   }
 
   def countFast(): Long = {
+    requireReadable()
     val files = liveFilesQ()
     val metas = fileMeta(files)
     val dv = currentDv
@@ -731,6 +732,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       BloomIndex.build(spark, fs, BloomIndex.unindexed(fs, dir, live),
         colName, expectedItemsPerFile, fpp, dir)
       BloomIndex.dropStale(fs, dir, live)
+      ensureFeature("bloom-index", reader = false)
     } catch {
       case e: Throwable =>
         writeBloomDecls(before)
@@ -1142,6 +1144,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val dv = dvNew.getOrElse(dvMapForVersion(v - 1))
       .filter { case (p, _) => fileSet.contains(p) }
     val deletedRows = dv.values.map(_.length.toLong).sum
+    // a live bitmap makes the table unreadable to builds that don't apply
+    // DVs (they would resurrect deleted rows) — record the reader feature
+    // in the SAME commit that first introduces one
+    if (dv.exists(_._2.nonEmpty)) ensureFeature("deletion-vectors", reader = true)
     // DV snapshot BEFORE the manifest: a version must never be visible
     // without its deletion vectors (resurrected rows). A crash in between
     // orphans one snapshot file for a version that doesn't exist yet; the
@@ -1256,6 +1262,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           .getBytes("UTF-8"))
       finally out.close()
       lockDepth.set(1)
+      requireWritable()
       f
     } finally {
       lockDepth.set(0)
@@ -1266,6 +1273,102 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   /** Remove a lease left by a dead writer (verify the pid first). */
   def breakCommitLock(): Unit =
     if (fs.exists(lockFile)) fs.delete(lockFile, false)
+
+  // ---- protocol / table features ---------------------------------------
+
+  private def protocolFile = new Path(logDir, "_protocol.txt")
+
+  /** Reader features THIS build understands — a table demanding one this
+    * set lacks would be read WRONG, not just slower (e.g. ignoring
+    * deletion vectors resurrects deleted rows), so reads fail fast
+    * instead. Delta's protocol-versioning discipline (readerFeatures /
+    * writerFeatures), with named features instead of opaque version ints.
+    */
+  val supportedReaderFeatures: Set[String] =
+    Set("deletion-vectors", "shallow-clone")
+
+  /** Writer features THIS build honors on mutation — a writer lacking one
+    * could commit while silently breaking invariants other clients rely
+    * on (skip CHECK constraints, duplicate identity values, leave bloom
+    * indexes stale). Writers must also support every reader feature.
+    */
+  val supportedWriterFeatures: Set[String] =
+    supportedReaderFeatures ++ Set("check-constraints", "generated-columns",
+      "identity-columns", "bloom-index")
+
+  /** (readerFeatures, writerFeatures) recorded on this table. */
+  def protocol: (Set[String], Set[String]) = readProtocol()
+
+  private def readProtocol(): (Set[String], Set[String]) =
+    if (!fs.exists(protocolFile)) (Set.empty, Set.empty)
+    else {
+      val in = fs.open(protocolFile)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      def grab(k: String) = lines.collect {
+        case l if l.startsWith(s"$k:") => dec(l.substring(k.length + 1))
+      }.toSet
+      (grab("reader"), grab("writer"))
+    }
+
+  // reads check the protocol once per table handle (Delta's
+  // snapshot-scoped check); mutations re-read under the lease
+  @volatile private var protocolCache: Option[(Set[String], Set[String])] = None
+
+  private def requireReadable(): Unit = {
+    val p = protocolCache match {
+      case Some(v) => v
+      case None =>
+        val v = readProtocol(); protocolCache = Some(v); v
+    }
+    val unknown = p._1 -- supportedReaderFeatures
+    if (unknown.nonEmpty) throw new UnsupportedOperationException(
+      s"table $path requires reader features ${unknown.mkString(", ")} " +
+        "this build does not support — reading would return wrong results; " +
+        "upgrade the library (supported: " +
+        s"${supportedReaderFeatures.mkString(", ")})")
+  }
+
+  /** Mutation-side gate — runs under the commit lease with a FRESH read
+    * (another writer may have added a feature since this handle opened).
+    */
+  private def requireWritable(): Unit = {
+    val p = readProtocol()
+    protocolCache = Some(p)
+    val unknown = (p._1 ++ p._2) -- supportedWriterFeatures
+    if (unknown.nonEmpty) throw new UnsupportedOperationException(
+      s"table $path requires writer features ${unknown.mkString(", ")} " +
+        "this build does not support — committing could break invariants " +
+        "other clients rely on; upgrade the library (supported: " +
+        s"${supportedWriterFeatures.mkString(", ")})")
+  }
+
+  /** Record that this table uses `name` (idempotent; callers hold the
+    * commit lease — every call site is inside a mutation funnel).
+    */
+  private def ensureFeature(name: String, reader: Boolean): Unit = {
+    val (r, w) = readProtocol()
+    writeProtocolSets(if (reader) r + name else r, w + name)
+  }
+
+  /** Retire a feature the table no longer uses (e.g. a materialized clone
+    * needs no follow-the-source resolution).
+    */
+  private def dropFeature(name: String): Unit = {
+    val (r, w) = readProtocol()
+    writeProtocolSets(r - name, w - name)
+  }
+
+  private def writeProtocolSets(nr: Set[String], nw: Set[String]): Unit =
+    if (protocolCache.isEmpty || protocolCache.get != ((nr, nw))) {
+      if (readProtocol() != ((nr, nw))) {
+        fs.mkdirs(logDir)
+        writeAtomic(protocolFile,
+          (nr.toSeq.sorted.map(f => s"reader:${enc(f)}") ++
+            nw.toSeq.sorted.map(f => s"writer:${enc(f)}")).mkString("\n"))
+      }
+      protocolCache = Some((nr, nw))
+    }
 
   // ---- commit-log checkpoint (history summaries) -----------------------
 
@@ -1452,6 +1555,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * unioned. Throws if the snapshot was vacuumed.
     */
   def readVersion(v: Long): DataFrame = {
+    requireReadable()
     require(v >= 0 && v <= version, s"version $v out of range [0, $version]")
     readFileSubset(v, manifestFiles(v))
   }
@@ -1542,7 +1646,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * fast path for a normal table, the resolved per-root scan for an
     * unmaterialized shallow clone.
     */
-  private def scanKept(kept: Seq[String], dv: Map[String, Array[Long]]): DataFrame =
+  private def scanKept(kept: Seq[String], dv: Map[String, Array[Long]]): DataFrame = {
+    requireReadable()
     if (!isShallowClone)
       applyDv(spark.read.option("basePath", qualifiedRoot).parquet(kept: _*), dv)
     else {
@@ -1550,6 +1655,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       scanResolved(kept.map(where),
         dv.map { case (p, a) => where.getOrElse(p, p) -> a })
     }
+  }
 
   /** The live (path, length) set every skipping/maintenance read works
     * from: the directory listing for a normal table; the latest manifest
@@ -1776,7 +1882,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     if (lines.nonEmpty)
       t.writeAtomic(t.sidecarBase, lines.toSeq.sorted.mkString("\n"))
     for (f <- Seq("_constraints.txt", "_generated.txt", "_bloom_cols.txt",
-                  "_props.txt", "_identity.txt")) {
+                  "_props.txt", "_identity.txt", "_protocol.txt")) {
       val src = new Path(logDir, f)
       if (fs.exists(src)) {
         val in = fs.open(src)
@@ -1796,6 +1902,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // the marker prop must precede the founding commit: commit-time bloom
     // refresh and any later consistency probe dispatch on it
     t.setProperties(Map(shallowSourceProp -> qualifiedRoot))
+    // reads resolve through the source root — a build without follow-the-
+    // source resolution would see an empty dir, so the clone demands the
+    // reader feature until materialized
+    t.ensureFeature("shallow-clone", reader = true)
     val dvClone = currentDv
     t.withCommitLock { t.commit("CLONE_SHALLOW", loggedPartitionCols(version),
       dvNew = if (dvClone.isEmpty) None else Some(dvClone),
@@ -1863,6 +1973,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         }
       }
       unsetProperties(Seq(shallowSourceProp))
+      // self-contained now: any build can read it without the resolver
+      dropFeature("shallow-clone")
       commit("MATERIALIZE", loggedPartitionCols(version))
     }
   }
@@ -1914,7 +2026,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // themselves are keyed by file path, so the clone's CLONE commit
     // rebuilds them for the copied files via refreshBloomIndexes
     for (f <- Seq("_constraints.txt", "_generated.txt", "_bloom_cols.txt",
-                  "_props.txt", "_identity.txt")) {
+                  "_props.txt", "_identity.txt", "_protocol.txt")) {
       val src = new Path(logDir, f)
       if (fs.exists(src)) {
         val in = fs.open(src)
@@ -1998,11 +2110,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   // expression already short-circuits rows of bitmap-free files to one
   // reference/memcmp check, while the two-branch union plan added a fixed
   // planning cost that outweighed it at every scale tested.
-  def read: DataFrame =
+  def read: DataFrame = {
+    requireReadable()
     // an unmaterialized shallow clone reads its pinned founding manifest
     // (files live under the SOURCE's root); everything else reads the dir
     if (isShallowClone) readVersion(version)
     else applyDv(spark.read.parquet(path), currentDv)
+  }
 
   /** Structured-Streaming source over the table (Delta's streaming-source
     * role): downstream jobs tail the table and see the files APPENDS add.
@@ -2144,6 +2258,30 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val w = conformed.write.mode(SaveMode.Append)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
       commit(operation, partitionCols, txn)
+      maybeAutoCompact()
+    }
+
+  /** Delta's auto-compaction: when the `graft.autoCompact` table property
+    * is set, an append that leaves ≥ `graft.autoCompact.minFiles`
+    * (default 8) files under `graft.autoCompact.minFileBytes` (default
+    * 16 MiB) triggers [[compactSmall]] as its own OPTIMIZE commit, inside
+    * the same lease the append holds. Streaming micro-batch sinks and
+    * frequent small appends stop accreting a small-file problem that
+    * waits for a maintenance window — at 100 TB the scan cost of a
+    * thousand 1 MiB files is the difference between a partition prune and
+    * a listing stampede. Time-travel semantics are unchanged (the append
+    * version stays addressable; compaction is the next version).
+    */
+  private def maybeAutoCompact(): Unit =
+    if (properties.get("graft.autoCompact").exists(_.equalsIgnoreCase("true"))) {
+      val minBytes = properties.get("graft.autoCompact.minFileBytes")
+        .flatMap(_.toLongOption).getOrElse(16L * 1024 * 1024)
+      val minFiles = properties.get("graft.autoCompact.minFiles")
+        .flatMap(_.toIntOption).getOrElse(8)
+      val smallCount = listParquet(new Path(path))
+        .count(_._2 < minBytes)
+      if (smallCount >= minFiles)
+        compactSmall(minFileBytes = minBytes)
     }
 
   /** Latest transaction version committed for `appId`, from the history
@@ -2221,6 +2359,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       .map { case (n, e) => s"${enc(n)}\t${enc(e)}" }
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    ensureFeature("generated-columns", reader = false)
   }
 
   // ---- CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT) ----------
@@ -2263,6 +2402,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         s"cannot add constraint $name: existing rows violate ($sqlExpr)")
     }
     writeConstraints(constraints + (name -> sqlExpr))
+    ensureFeature("check-constraints", reader = false)
   }
 
   def dropConstraint(name: String): Unit = writeConstraints(constraints - name)
@@ -2344,6 +2484,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     require(tableSchemaOpt.forall(!_.fieldNames.exists(_.equalsIgnoreCase(name))),
       s"column $name already exists in the table schema")
     writeIdentity(identityColumns + (name -> (startWith, incrementBy, startWith)))
+    ensureFeature("identity-columns", reader = false)
     if (exists && tableSchemaOpt.isDefined)
       replaceWith(assignIdentities(read), loggedPartitionCols(version), "ADD IDENTITY")
   }
@@ -2781,6 +2922,16 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   def clusterZ(cols: Seq[String], bits: Int = 8, numFiles: Int = 0): Unit =
     replaceWith(graft.ops.Zorder.cluster(read, cols, bits, numFiles), Nil, "ZORDER")
+
+  /** Hilbert-curve clustering — [[clusterZ]] with the Hilbert key
+    * ([[graft.ops.Zorder.clusterHilbert]]): consecutive key values are
+    * always grid neighbors, so each file's min/max box is tighter and
+    * multi-column range scans ([[readWhereAll]]) prune more files than
+    * under the Morton layout (the reason liquid clustering uses Hilbert).
+    */
+  def clusterHilbert(cols: Seq[String], bits: Int = 8, numFiles: Int = 0): Unit =
+    replaceWith(graft.ops.Zorder.clusterHilbert(read, cols, bits, numFiles), Nil,
+      "ZORDER")
 
   /** Table metadata summary (M7, `detail()` / DESCRIBE DETAIL,
     * deltalake.ipynb:8593–8613): format, location, partition columns, file

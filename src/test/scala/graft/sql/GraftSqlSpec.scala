@@ -38,6 +38,8 @@ class GraftSqlSpec extends SparkSpec {
     assert(parse("OPTIMIZE '/w/t'").contains(OptimizeCommand("/w/t", Nil)))
     assert(parse("OPTIMIZE '/w/t' ZORDER BY (a, b)").contains(
       OptimizeCommand("/w/t", Seq("a", "b"))))
+    assert(parse("OPTIMIZE '/w/t' CLUSTER BY (a, b)").contains(
+      OptimizeCommand("/w/t", Seq("a", "b"), hilbert = true)))
     assert(parse("VACUUM '/w/t'").contains(VacuumCommand("/w/t", None, dryRun = false)))
     assert(parse("VACUUM '/w/t' RETAIN 0 HOURS DRY RUN").contains(
       VacuumCommand("/w/t", Some(0.0), dryRun = true)))
@@ -297,6 +299,15 @@ class GraftSqlSpec extends SparkSpec {
     t.overwrite((1 to 1000).map(i => (i.toLong, (i * 37 % 1000).toLong))
       .toDF("a", "b").repartition(4))
     GraftSql.sql(spark, s"OPTIMIZE '$p' ZORDER BY (a, b)")
+    assert(t.history(1).select("operation").as[String].head() == "ZORDER")
+    assert(t.read.count() == 1000)
+  }
+
+  test("CLUSTER BY through SQL runs the Hilbert layout and commits") {
+    val (t, p) = freshTable("sql-hilbert")
+    t.overwrite((1 to 1000).map(i => (i.toLong, (i * 37 % 1000).toLong))
+      .toDF("a", "b").repartition(4))
+    GraftSql.sql(spark, s"OPTIMIZE '$p' CLUSTER BY (a, b)")
     assert(t.history(1).select("operation").as[String].head() == "ZORDER")
     assert(t.read.count() == 1000)
   }

@@ -1,0 +1,80 @@
+package graft.table
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Protocol / table-feature versioning: a table demanding a feature this
+  * build doesn't know must fail FAST and CLEARLY — wrong results (e.g.
+  * resurrected DV-deleted rows) are never an acceptable fallback.
+  */
+class ProtocolSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(name: String): ManagedTable = {
+    val t = new ManagedTable(spark, tmpDir(name) + "/t")
+    t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    t
+  }
+
+  private def writeProtocol(t: ManagedTable, lines: Seq[String]): Unit = {
+    val log = new java.io.File(t.path + "._log")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(log.getPath, "_protocol.txt"),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  test("plain tables carry no protocol and read/write freely") {
+    val t = freshTable("proto-plain")
+    assert(t.protocol == ((Set.empty[String], Set.empty[String])))
+    assert(t.read.count() == 3)
+    t.append(Seq((4L, "d")).toDF("id", "s"))
+    assert(t.read.count() == 4)
+  }
+
+  test("unknown READER feature blocks reads with a clear error") {
+    val t = freshTable("proto-reader")
+    writeProtocol(t, Seq("reader:future-magic", "writer:future-magic"))
+    val fresh = new ManagedTable(spark, t.path) // new handle: no stale cache
+    val e = intercept[UnsupportedOperationException](fresh.read.count())
+    assert(e.getMessage.contains("future-magic"))
+    assert(e.getMessage.contains("upgrade"))
+    intercept[UnsupportedOperationException](fresh.countFast())
+    intercept[UnsupportedOperationException](fresh.readVersion(0))
+  }
+
+  test("unknown WRITER feature blocks mutations but not reads") {
+    val t = freshTable("proto-writer")
+    writeProtocol(t, Seq("writer:append-only-v9"))
+    val fresh = new ManagedTable(spark, t.path)
+    assert(fresh.read.count() == 3) // readable: reader set is empty
+    val e = intercept[UnsupportedOperationException](
+      fresh.append(Seq((9L, "z")).toDF("id", "s")))
+    assert(e.getMessage.contains("append-only-v9"))
+    assert(fresh.read.count() == 3) // nothing committed
+  }
+
+  test("vectored DELETE auto-registers the deletion-vectors reader feature") {
+    val t = freshTable("proto-dv")
+    assert(t.protocol._1.isEmpty)
+    t.deleteVectored(col("id") === 2L)
+    assert(t.protocol._1.contains("deletion-vectors"))
+    assert(t.read.count() == 2) // this build supports it: still readable
+  }
+
+  test("shallow clone registers shallow-clone on the CLONE only") {
+    val src = freshTable("proto-clone")
+    val clone = src.shallowCloneTo(tmpDir("proto-clone-dst") + "/c")
+    assert(clone.protocol._1.contains("shallow-clone"))
+    assert(!src.protocol._1.contains("shallow-clone"))
+    assert(clone.read.count() == 3)
+  }
+
+  test("declarative table metadata registers writer features") {
+    val t = freshTable("proto-meta")
+    t.addConstraint("id_pos", "id > 0")
+    assert(t.protocol._2.contains("check-constraints"))
+    assert(t.protocol._1.isEmpty) // constraints never gate reads
+    t.addBloomIndex("id", 100L)
+    assert(t.protocol._2.contains("bloom-index"))
+  }
+}
