@@ -830,6 +830,46 @@ object SparkEntry {
         .select(col("doc_id"), col("dup_count"))
         .orderBy("doc_id")
     }),
+    "q122_hilbert_scan" -> ((s, d) => {
+      // q110's conjunctive-skipping scan over a HILBERT-clustered layout
+      // (liquid clustering's curve): same exact result, tighter per-file
+      // min/max boxes than Morton — HilbertSpec pins the locality win,
+      // this pins end-to-end exactness through the clustered rewrite
+      val wh = java.nio.file.Files.createTempDirectory("graft-hil").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/t")
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          to_date(col("l_shipdate")).as("ship_date"),
+          col("l_extendedprice").cast("double").as("price"))
+      t.overwrite(li, partitionCols = Nil)
+      t.clusterHilbert(Seq("ship_date", "price"))
+      t.readWhereAll(Seq(
+          ("ship_date", java.sql.Date.valueOf("1996-01-01"), java.sql.Date.valueOf("1996-06-30")),
+          ("price", 50000.0, 90000.0)))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q121_fuzzy_join" -> ((s, d) => {
+      // bounded edit-distance self-join (PassJoin segment blocking — an
+      // equi-join on pigeonhole segments, never a cross product). The
+      // production shape: exact-dedup to distinct-string representatives
+      // FIRST (2000 part rows collapse to 64 names at sf0.01), then fuzzy
+      // match at k ≤ 2; deterministic mutated twins (one deletion, one
+      // substitution) guarantee both edit kinds appear in the result
+      val names = Tables.part(s, d).groupBy(col("p_name").as("name"))
+        .agg(min(col("p_partkey")).as("id"))
+      val dels = names.filter(col("id") % 3 === 0)
+        .select((col("id") + 1000000L).as("id"),
+          concat(substring(col("name"), 1, 2), expr("substring(name, 4)"))
+            .as("name"))
+      val subs = names.filter(col("id") % 5 === 0)
+        .select((col("id") + 2000000L).as("id"),
+          concat(substring(col("name"), 1, 2), lit("#"),
+            expr("substring(name, 4)")).as("name"))
+      graft.ops.FuzzyJoin.fuzzySelfJoin(
+          names.select("id", "name").unionByName(dels).unionByName(subs),
+          "id", "name", maxDist = 2)
+        .orderBy("id1", "id2")
+    }),
     "q120_merge_evolution" -> ((s, d) => {
       // MERGE WITH SCHEMA EVOLUTION: the source carries a column the table
       // doesn't have — one MERGE commit widens the table, unmatched rows
@@ -1902,6 +1942,15 @@ object SparkEntry {
          WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
            AND CAST(l_extendedprice AS DOUBLE) BETWEEN 50000.0 AND 90000.0
          ORDER BY l_orderkey, l_linenumber""",
+    // same relation as q110 — the layout under test (Hilbert vs Morton)
+    // must be invisible to the result
+    "q122_hilbert_scan" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
+           CAST(l_extendedprice AS DOUBLE) AS price
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+           AND CAST(l_extendedprice AS DOUBLE) BETWEEN 50000.0 AND 90000.0
+         ORDER BY l_orderkey, l_linenumber""",
     // assignment CTEs = q46's bit-exact contract (DECIMAL centroid means,
     // list_dot_product cosine, ascending-label ties); the NOT EXISTS is
     // semDedup's greedy lower-id-dominates rule. dot(y,x) sums the same
@@ -1944,6 +1993,22 @@ object SparkEntry {
          FROM documents d JOIN r USING (lang)
          WHERE d.doc_id % 100 < CAST(FLOOR(r.sample_rate * 100) AS BIGINT)
          ORDER BY d.doc_id""",
+    "q121_fuzzy_join" ->
+      """WITH names AS (SELECT p_name AS name, MIN(p_partkey) AS id FROM part GROUP BY 1),
+         dels AS (SELECT id + 1000000 AS id,
+                    substr(name, 1, 2) || substr(name, 4) AS name
+                  FROM names WHERE id % 3 = 0),
+         subs AS (SELECT id + 2000000 AS id,
+                    substr(name, 1, 2) || '#' || substr(name, 4) AS name
+                  FROM names WHERE id % 5 = 0),
+         u AS (SELECT id, name FROM names
+               UNION ALL SELECT * FROM dels
+               UNION ALL SELECT * FROM subs)
+         SELECT a.id AS id1, b.id AS id2,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist
+         FROM u a JOIN u b ON a.id < b.id
+         WHERE levenshtein(a.name, b.name) <= 2
+         ORDER BY id1, id2""",
     "q120_merge_evolution" ->
       """SELECT n_nationkey, n_name,
            CASE WHEN n_nationkey < 10 THEN n_regionkey END AS region
