@@ -830,6 +830,25 @@ object SparkEntry {
         .select(col("doc_id"), col("dup_count"))
         .orderBy("doc_id")
     }),
+    "q123_copy_into" -> ((s, d) => {
+      // COPY INTO landing-zone drain: two producer drops, three copies —
+      // the second loads ONLY the new files, the third is a no-op replay.
+      // The oracle sees the union exactly once: idempotency is the gate
+      val base = java.nio.file.Files.createTempDirectory("graft-copy").toString
+      val src = s"$base/landing"
+      val orders = Tables.orders(s, d)
+      orders.filter(col("o_orderkey") % 7 === 0)
+        .write.mode("append").parquet(src)
+      val t = new graft.table.ManagedTable(s, s"$base/t")
+      t.copyInto(src)
+      orders.filter(col("o_orderkey") % 7 === 1)
+        .write.mode("append").parquet(src)
+      t.copyInto(src)
+      t.copyInto(src) // replay: loads nothing, commits nothing
+      t.read.select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("total"))
+        .orderBy("o_orderkey")
+    }),
     "q122_hilbert_scan" -> ((s, d) => {
       // q110's conjunctive-skipping scan over a HILBERT-clustered layout
       // (liquid clustering's curve): same exact result, tighter per-file
@@ -1942,6 +1961,12 @@ object SparkEntry {
          WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
            AND CAST(l_extendedprice AS DOUBLE) BETWEEN 50000.0 AND 90000.0
          ORDER BY l_orderkey, l_linenumber""",
+    // the union of both producer drops exactly once — a double-load or a
+    // missed file both hash-mismatch
+    "q123_copy_into" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS total
+         FROM orders WHERE o_orderkey % 7 IN (0, 1)
+         ORDER BY o_orderkey""",
     // same relation as q110 — the layout under test (Hilbert vs Morton)
     // must be invisible to the result
     "q122_hilbert_scan" ->

@@ -24,6 +24,8 @@ import graft.table.ManagedTable
   * SHOW TBLPROPERTIES <tbl>
   * OPTIMIZE <tbl> [ZORDER BY (c1, c2, ...)] [WHERE <partition pred>]
   * VACUUM <tbl> [RETAIN n HOURS] [DRY RUN]
+  * COPY INTO <tbl> FROM '<dir>' FILEFORMAT = PARQUET|CSV
+  *   [PATTERN = '<glob>'] [FORMAT_OPTIONS('k' = 'v', ...)] [FORCE]
   * RESTORE [TABLE] <tbl> TO VERSION AS OF v | TIMESTAMP AS OF 'ts'
   * MERGE INTO <tbl> [AS] t USING <table|view|(subquery)> [AS] s
   *   ON t.k1 = s.k1 [AND t.k2 = s.k2 ...]
@@ -315,6 +317,23 @@ object GraftSqlCommands {
     }
   }
 
+  /** COPY INTO — idempotent file ingestion ([[ManagedTable.copyInto]]):
+    * loads only source files no previous COPY INTO committed, so the
+    * statement is safe to re-run on a schedule over a landing zone.
+    */
+  case class CopyIntoCommand(path: String, srcDir: String, format: String,
+      pattern: Option[String], options: Map[String, String], force: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs(
+      "path" -> StringType, "files_loaded" -> LongType,
+      "rows_loaded" -> LongType)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val (f, r) = new ManagedTable(spark, path)
+        .copyInto(srcDir, format, options, pattern, force)
+      Seq(Row(path, f, r))
+    }
+  }
+
   /** CONVERT TO GRAFT — adopt an existing plain-parquet dir into the
     * commit log ([[ManagedTable.bootstrap]]); Delta's `CONVERT TO DELTA`.
     */
@@ -365,6 +384,8 @@ object GraftSqlCommands {
     rx(s"""^\\s*RESTORE\\s+(?:TABLE\\s+)?$Tbl\\s+TO\\s+(?:VERSION\\s+AS\\s+OF\\s+(\\d+)|TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')\\s*;?\\s*$$""")
   private val Convert =
     rx(s"""^\\s*CONVERT\\s+TO\\s+GRAFT\\s+$Tbl\\s*;?\\s*$$""")
+  private val CopyInto =
+    rx(s"""^\\s*COPY\\s+INTO\\s+$Tbl\\s+FROM\\s+'([^']+)'\\s+FILEFORMAT\\s*=\\s*(\\w+)(?:\\s+PATTERN\\s*=\\s*'([^']+)')?(?:\\s+FORMAT_OPTIONS\\s*\\((.+?)\\))?(\\s+FORCE)?\\s*;?\\s*$$""")
   private val Clone =
     rx(s"""^\\s*CREATE\\s+TABLE\\s+$Tbl\\s+(SHALLOW\\s+|DEEP\\s+)?CLONE\\s+$Tbl\\s*;?\\s*$$""")
   private val Delete =
@@ -431,6 +452,12 @@ object GraftSqlCommands {
         Option(re.group(4)).map(_.toLong), Option(re.group(5))))
     val cv = Convert.matcher(sqlText)
     if (cv.matches()) return Some(ConvertToGraftCommand(tbl(cv, 1)))
+    val ci = CopyInto.matcher(sqlText)
+    if (ci.matches())
+      return Some(CopyIntoCommand(tbl(ci, 1), ci.group(4), ci.group(5),
+        Option(ci.group(6)),
+        Option(ci.group(7)).map(parsePropertyPairs).getOrElse(Map.empty),
+        force = ci.group(8) != null))
     val cl = Clone.matcher(sqlText)
     if (cl.matches())
       return Some(CloneTableCommand(tbl(cl, 5), tbl(cl, 1),

@@ -2319,6 +2319,93 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       }
     }
 
+  // ---- COPY INTO (idempotent file ingestion) ---------------------------
+
+  private def copyLoadDir = new Path(logDir, "_copy_loaded.d")
+
+  /** Source files already ingested by [[copyInto]]: the union of the
+    * per-commit load segments whose version actually COMMITTED. A segment
+    * written for a version above the current one is the orphan of a copy
+    * that crashed between segment write and commit — it is ignored here
+    * and overwritten by the next attempt, so a crash can neither lose a
+    * batch (files marked loaded but never committed) nor duplicate one
+    * (files committed but never marked). Segment size is proportional to
+    * the files EACH copy ingested, never the table, so the metadata cost
+    * of the loaded-set scales with the ingest history like Delta's
+    * per-commit add-file log.
+    */
+  private def copyLoadedSet(): Set[String] =
+    if (!fs.exists(copyLoadDir)) Set.empty
+    else {
+      val cur = version
+      fs.listStatus(copyLoadDir).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith("v") && n.endsWith(".txt") &&
+            n.stripPrefix("v").stripSuffix(".txt").forall(_.isDigit) &&
+            n.stripPrefix("v").stripSuffix(".txt").toLong <= cur
+        }
+        .flatMap { p =>
+          val in = fs.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .map(dec).toList
+          finally in.close()
+        }.toSet
+    }
+
+  /** Delta's `COPY INTO`: ingest the files under `srcDir` matching
+    * `pattern` (default `*.parquet` / `*.csv` by format), skipping every
+    * file a previous copy already loaded — re-running the same statement
+    * after new files land ingests ONLY the new ones, and re-running it
+    * unchanged is a no-op. The retry-safe landing-zone pattern: producers
+    * drop immutable files, the scheduled COPY INTO drains them, crashes
+    * and replays are free. `force = true` reloads matches regardless
+    * (Delta's COPY_OPTIONS force). Returns (filesLoaded, rowsLoaded).
+    *
+    * CSV reads take the TABLE's schema when it exists (header/sep/etc.
+    * via `options`); a first copy into an empty table needs the shape
+    * options (`header`, `inferSchema`) to carry the schema.
+    */
+  def copyInto(srcDir: String, format: String = "parquet",
+               options: Map[String, String] = Map.empty,
+               pattern: Option[String] = None,
+               force: Boolean = false): (Long, Long) = withCommitLock {
+    requireMaterialized("COPY INTO")
+    ensureBootstrapped()
+    val fmt = format.toLowerCase
+    require(fmt == "parquet" || fmt == "csv",
+      s"COPY INTO supports FILEFORMAT parquet|csv, got $format")
+    val glob = pattern.getOrElse(if (fmt == "csv") "*.csv" else "*.parquet")
+    val all = Option(fs.globStatus(new Path(new Path(srcDir), glob)))
+      .getOrElse(Array.empty)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(st => fs.makeQualified(st.getPath).toString).sorted.toSeq
+    val loaded = if (force) Set.empty[String] else copyLoadedSet()
+    val fresh = all.filterNot(loaded)
+    if (fresh.isEmpty) (0L, 0L)
+    else {
+      val reader = spark.read.options(options)
+      val df = fmt match {
+        case "csv" => tableSchemaOpt match {
+          case Some(s) if exists => reader.schema(s).csv(fresh: _*)
+          case _ => reader.csv(fresh: _*)
+        }
+        case _ => reader.parquet(fresh: _*)
+      }
+      // the load segment is named for the version the append WILL commit
+      // and written first: committed-but-unmarked is impossible, and an
+      // unmarked orphan (crash before commit) is invisible to the next
+      // read of the loaded-set (version-gated above)
+      val target = version + 1
+      writeAtomic(new Path(copyLoadDir, f"v$target%05d.txt"),
+        fresh.sorted.map(enc).mkString("\n"))
+      val rowsBefore = if (exists) countFast() else 0L
+      appendAs(df, loggedPartitionCols(version), "COPY INTO")
+      (fresh.size.toLong, countFast() - rowsBefore)
+    }
+  }
+
   // ---- generated columns (Delta's GENERATED ALWAYS AS) -----------------
 
   private def generatedFile = new Path(logDir, "_generated.txt")
