@@ -830,6 +830,28 @@ object SparkEntry {
         .select(col("doc_id"), col("dup_count"))
         .orderBy("doc_id")
     }),
+    "q124_cluster_incremental" -> ((s, d) => {
+      // liquid-style maintenance loop: declare clustering keys, OPTIMIZE
+      // (full layout), append a third of the data, OPTIMIZE again — the
+      // second pass rewrites ONLY the appended files
+      // (ClusterIncrementalSpec pins that); the conjunctive scan must see
+      // the identical relation regardless of which pass laid out a row
+      val wh = java.nio.file.Files.createTempDirectory("graft-clinc").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/t")
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          to_date(col("l_shipdate")).as("ship_date"),
+          col("l_extendedprice").cast("double").as("price"))
+      t.overwrite(li.filter(col("l_orderkey") % 3 =!= 0), partitionCols = Nil)
+      t.setProperties(Map("graft.clusterBy" -> "ship_date,price"))
+      graft.sql.GraftSql.sql(s, s"OPTIMIZE '${t.path}'").collect()
+      t.append(li.filter(col("l_orderkey") % 3 === 0))
+      graft.sql.GraftSql.sql(s, s"OPTIMIZE '${t.path}'").collect()
+      t.readWhereAll(Seq(
+          ("ship_date", java.sql.Date.valueOf("1997-01-01"), java.sql.Date.valueOf("1997-06-30")),
+          ("price", 20000.0, 60000.0)))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     "q123_copy_into" -> ((s, d) => {
       // COPY INTO landing-zone drain: two producer drops, three copies —
       // the second loads ONLY the new files, the third is a no-op replay.
@@ -1960,6 +1982,15 @@ object SparkEntry {
          FROM lineitem
          WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
            AND CAST(l_extendedprice AS DOUBLE) BETWEEN 50000.0 AND 90000.0
+         ORDER BY l_orderkey, l_linenumber""",
+    // the layout (full vs incremental pass) must be invisible to the
+    // relation — both thirds appear exactly once
+    "q124_cluster_incremental" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
+           CAST(l_extendedprice AS DOUBLE) AS price
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-06-30'
+           AND CAST(l_extendedprice AS DOUBLE) BETWEEN 20000.0 AND 60000.0
          ORDER BY l_orderkey, l_linenumber""",
     // the union of both producer drops exactly once — a double-load or a
     // missed file both hash-mismatch

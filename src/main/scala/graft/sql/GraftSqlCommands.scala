@@ -54,7 +54,8 @@ object GraftSqlCommands {
     "operation" -> StringType,
     "partitionColumns" -> ArrayType(StringType),
     "numFiles" -> LongType, "sizeInBytes" -> LongType,
-    "rowCount" -> LongType)
+    "rowCount" -> LongType, "filesAdded" -> LongType,
+    "filesRemoved" -> LongType, "rowDelta" -> LongType)
 
   /** Output schema of DESCRIBE DETAIL — mirrors [[ManagedTable.detail]]. */
   private[sql] val detailAttrs: Seq[Attribute] = attrs(
@@ -115,8 +116,22 @@ object GraftSqlCommands {
         if (hilbert) t.clusterHilbert(zorderBy) else t.clusterZ(zorderBy)
       }
       else {
-        val bytes = t.detail().select("size_in_bytes").head.getLong(0)
-        t.compact(math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt)
+        // liquid semantics: a table with declared clustering keys
+        // (graft.clusterBy) treats plain OPTIMIZE as INCREMENTAL
+        // clustering — only files appended since the last pass move
+        val declared = t.properties.get("graft.clusterBy")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .filter(_.nonEmpty)
+        declared match {
+          case Some(cols) =>
+            val curve = t.properties.getOrElse("graft.clusterCurve", "hilbert")
+            t.clusterIncremental(cols, curve = curve,
+              targetFileBytes = targetFileBytes)
+          case None =>
+            val bytes = t.detail().select("size_in_bytes").head.getLong(0)
+            t.compact(math.max(1L,
+              (bytes + targetFileBytes - 1) / targetFileBytes).toInt)
+        }
       }
       val after = t.detail().select("num_files").head.getLong(0)
       Seq(Row(path, before, after))

@@ -1155,6 +1155,23 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     if (dv.nonEmpty) writeDvSnapshot(v, dv)
     else if (fs.exists(dvFile(v))) fs.delete(dvFile(v), false)
     val rowCount = fileMeta(files).values.map(_.rows).sum - deletedRows
+    // operation metrics vs the PREVIOUS commit, both O(1) reads: the live
+    // set it recorded (_latest_files.txt) and its row count (checkpoint)
+    val prevSet: Set[String] = {
+      val p = new Path(logDir, "_latest_files.txt")
+      if (!fs.exists(p)) Set.empty
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toSet
+        finally in.close()
+      }
+    }
+    val prevHist = readHistoryFile()
+    val prevRowCount = prevHist.filter(_.version < v)
+      .sortBy(_.version).lastOption.map(_.rowCount).getOrElse(0L)
+    val metrics = (files.count(f => !prevSet(f._1)).toLong,
+      prevSet.count(p => !fileSet(p)).toLong, rowCount - prevRowCount)
     val ts = java.time.Instant.now().toString
     val json = (Seq(
       s""""version":$v""",
@@ -1170,6 +1187,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       // can never apply the data without the marker (or vice versa)
       txn.map { case (app, tv) =>
         s""""txn":{"app":${jstr(app)},"version":$tv}""" } ++ Seq(
+      s""""metrics":{"filesAdded":${metrics._1},"filesRemoved":${metrics._2},"rowDelta":${metrics._3}}""",
       s""""files":[${files.map(f => jstr(f._1)).mkString(",")}]""")
     ).mkString("{", ",", "}")
     fs.mkdirs(logDir)
@@ -1180,7 +1198,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // O(commits) manifests. Crash between the manifest write above and this
     // append self-heals: historyRows folds any missing version back in.
     appendHistory(CommitInfo(v, ts, operation, partitionCols,
-      files.size, files.map(_._2).sum, rowCount, txn))
+      files.size, files.map(_._2).sum, rowCount, txn, Some(metrics)),
+      prevHist)
     // consistency sidecar: what the live dir held at this commit (drives
     // the RECOVER check in ensureBootstrapped)
     val side = fs.create(new Path(logDir, "_latest_files.txt"), true)
@@ -1379,7 +1398,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private case class CommitInfo(version: Long, timestamp: String,
       operation: String, partitionColumns: Seq[String],
       numFiles: Long, sizeInBytes: Long, rowCount: Long,
-      txn: Option[(String, Long)] = None)
+      txn: Option[(String, Long)] = None,
+      // (filesAdded, filesRemoved, rowDelta) vs the previous commit —
+      // Delta's operationMetrics role; None for pre-feature commits
+      metrics: Option[(Long, Long, Long)] = None)
 
   private def historyFile = new Path(logDir, "_history.txt")
 
@@ -1390,7 +1412,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       // 8th field since the idempotent-append feature: "-" = no txn
       // (enc never emits a bare "-": letters/digits pass through, the
       // rest is %-escaped)
-      c.txn.map { case (a, v) => s"${enc(a)},$v" }.getOrElse("-"))
+      c.txn.map { case (a, v) => s"${enc(a)},$v" }.getOrElse("-"),
+      // 9th field since operation metrics: "fa,fr,rd" or "-" = unknown
+      c.metrics.map { case (fa, fr, rd) => s"$fa,$fr,$rd" }.getOrElse("-"))
       .mkString("\t")
 
   private def readHistoryFile(): Seq[CommitInfo] =
@@ -1404,6 +1428,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
             case Array(a, v) => Some((dec(a), v.toLong))
             case _ => None
           }
+        def parseMetrics(m: String): Option[(Long, Long, Long)] =
+          if (m == "-") None
+          else m.split(',') match {
+            case Array(fa, fr, rd) => Some((fa.toLong, fr.toLong, rd.toLong))
+            case _ => None
+          }
         scala.util.Try(l.split('\t') match {
           // 7-field form: checkpoints written before the txn field existed
           case Array(v, ts, op, pcs, nf, sz, rc) =>
@@ -1414,15 +1444,22 @@ final class ManagedTable(spark: SparkSession, val path: String) {
             Some(CommitInfo(v.toLong, dec(ts), dec(op),
               if (pcs.isEmpty) Nil else pcs.split(',').toSeq.map(dec),
               nf.toLong, sz.toLong, rc.toLong, parseTxn(txn)))
+          case Array(v, ts, op, pcs, nf, sz, rc, txn, met) =>
+            Some(CommitInfo(v.toLong, dec(ts), dec(op),
+              if (pcs.isEmpty) Nil else pcs.split(',').toSeq.map(dec),
+              nf.toLong, sz.toLong, rc.toLong, parseTxn(txn),
+              parseMetrics(met)))
           case _ => None
         }).toOption.flatten
       }.toSeq
       finally in.close()
     }
 
-  private def appendHistory(c: CommitInfo): Unit =
+  private def appendHistory(c: CommitInfo,
+                            preRead: Seq[CommitInfo] = null): Unit =
     writeAtomic(historyFile,
-      (readHistoryFile().filter(_.version < c.version) :+ c)
+      (Option(preRead).getOrElse(readHistoryFile())
+        .filter(_.version < c.version) :+ c)
         .sortBy(_.version).map(histLine).mkString("\n"))
 
   /** Manifest schema (explicit: inference over a manifest subset could
@@ -1432,6 +1469,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     "version LONG, timestamp STRING, operation STRING, " +
       "partitionColumns ARRAY<STRING>, numFiles LONG, sizeInBytes LONG, " +
       "rowCount LONG, txn STRUCT<app: STRING, version: LONG>, " +
+      "metrics STRUCT<filesAdded: LONG, filesRemoved: LONG, rowDelta: LONG>, " +
       "files ARRAY<STRING>")
 
   /** All commit summaries, oldest first, served from the checkpoint file.
@@ -1461,7 +1499,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
             r.getAs[Long]("numFiles"), r.getAs[Long]("sizeInBytes"),
             r.getAs[Long]("rowCount"),
             Option(r.getAs[Row]("txn")).map(t =>
-              (t.getAs[String]("app"), t.getAs[Long]("version"))))
+              (t.getAs[String]("app"), t.getAs[Long]("version"))),
+            Option(r.getAs[Row]("metrics")).map(m =>
+              (m.getAs[Long]("filesAdded"), m.getAs[Long]("filesRemoved"),
+                m.getAs[Long]("rowDelta"))))
         }
       val all = (cached ++ folded).sortBy(_.version)
       writeAtomic(historyFile, all.map(histLine).mkString("\n"))
@@ -1541,10 +1582,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "version LONG, timestamp STRING, operation STRING, " +
         "partitionColumns ARRAY<STRING>, numFiles LONG, sizeInBytes LONG, " +
-        "rowCount LONG")
+        "rowCount LONG, filesAdded LONG, filesRemoved LONG, rowDelta LONG")
     val rows = historyRows.sortBy(-_.version).take(n).map(c =>
       Row(c.version, c.timestamp, c.operation, c.partitionColumns,
-        c.numFiles, c.sizeInBytes, c.rowCount))
+        c.numFiles, c.sizeInBytes, c.rowCount,
+        c.metrics.map(_._1).orNull, c.metrics.map(_._2).orNull,
+        c.metrics.map(_._3).orNull))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
@@ -3019,6 +3062,57 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def clusterHilbert(cols: Seq[String], bits: Int = 8, numFiles: Int = 0): Unit =
     replaceWith(graft.ops.Zorder.clusterHilbert(read, cols, bits, numFiles), Nil,
       "ZORDER")
+
+  /** Operation string an incremental clustering commits — carries the
+    * column set and curve so the NEXT incremental pass can tell whether
+    * the last clustering used the same layout (a changed column set means
+    * nothing on disk is clustered for the new keys).
+    */
+  private def clusterOp(cols: Seq[String], curve: String): String =
+    s"CLUSTER(${cols.mkString(",")};$curve)"
+
+  /** Liquid-style INCREMENTAL clustering: lay out only the files appended
+    * since the last clustering with this column set, leaving already-
+    * clustered files untouched — OPTIMIZE cost proportional to NEW data,
+    * never the table (at 100 TB a full re-layout per maintenance window
+    * is undoable; clustering the day's appends is routine). No sidecar
+    * tracks the clustered set: a file is clustered iff it already existed
+    * at the last `CLUSTER(cols;curve)` commit's manifest, so the
+    * unclustered set is one manifest diff. Files rewritten by a later
+    * compaction drop out of that manifest and simply get re-clustered.
+    * The first call (or a call with a NEW column set) falls back to the
+    * full curve layout. Within each pass the batch is range-partitioned
+    * on the curve key and sized to `targetFileBytes`.
+    */
+  def clusterIncremental(cols: Seq[String], bits: Int = 8,
+                         curve: String = "hilbert",
+                         targetFileBytes: Long = 128L * 1024 * 1024): Unit =
+    withCommitLock {
+      ensureBootstrapped()
+      val op = clusterOp(cols, curve)
+      def layout(df: DataFrame, numFiles: Int): DataFrame =
+        if (curve == "morton") graft.ops.Zorder.cluster(df, cols, bits, numFiles)
+        else graft.ops.Zorder.clusterHilbert(df, cols, bits, numFiles)
+      historyRows.filter(_.operation == op).map(_.version).maxOption match {
+        case None =>
+          // nothing on disk is clustered for these keys: full layout
+          replaceWith(layout(read, 0), Nil, op)
+        case Some(vc) =>
+          val clustered = manifestFiles(vc).toSet
+          val live = liveFilesQ()
+          val fresh = live.filterNot { case (p, _) => clustered(p) }
+          if (fresh.nonEmpty) {
+            val dv = dvMapForVersion(version)
+            val bins = math.max(1L, (fresh.map(_._2).sum + targetFileBytes - 1)
+              / targetFileBytes).toInt
+            val batch = applyDv(spark.read
+              .option("basePath", qualifiedRoot)
+              .parquet(fresh.map(_._1): _*), dv)
+            retireAndReplace(fresh.map(_._1),
+              layout(batch, bins).localCheckpoint(), op)
+          }
+      }
+    }
 
   /** Table metadata summary (M7, `detail()` / DESCRIBE DETAIL,
     * deltalake.ipynb:8593–8613): format, location, partition columns, file

@@ -21,4 +21,15 @@ object GraftBridge {
     cs.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse re-tag: wrap a streaming micro-batch's physical RDD as a
+    * BATCH frame so it can feed a batch writer (the V1 sink idiom — the
+    * incoming `addBatch` DataFrame carries a streaming-internal plan that
+    * batch actions reject). Stays lazy and fully distributed.
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }
