@@ -27,19 +27,28 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
 
-  /** `events.ts` is nanosecond-precision parquet, which Spark's TimestampType
-    * (µs) cannot hold natively — read it as a long
-    * (`spark.sql.legacy.parquet.nanosAsLong=true`, set in every session
-    * builder) and truncate to microseconds, matching DuckDB's
-    * `CAST(ts AS TIMESTAMP)` floor semantics.
+  /** `events.ts` has shipped in two physical forms across testdata
+    * generations: nanosecond-precision (which Spark's TimestampType (µs)
+    * cannot hold natively — read as long via
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and truncate, matching
+    * DuckDB's `CAST(ts AS TIMESTAMP)` floor semantics) and plain
+    * microsecond timestamps (read natively; NTZ casts to session-tz
+    * timestamp, an identity under the UTC sessions every entry point
+    * builds). Dispatch on the loaded type so both generations read to the
+    * same TimestampType column.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     // defensive: callers may hold a session without this conf; it is a
     // runtime SQL conf, so setting it here keeps any session working
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
