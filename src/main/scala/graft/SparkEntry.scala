@@ -838,7 +838,11 @@ object SparkEntry {
       // the identical relation regardless of which pass laid out a row
       val wh = java.nio.file.Files.createTempDirectory("graft-clinc").toString
       val t = new graft.table.ManagedTable(s, s"$wh/t")
-      val li = Tables.lineitem(s, d)
+      // a deterministic quarter of lineitem: this query gates LAYOUT
+      // semantics (incremental re-cluster exactness), not rewrite
+      // throughput — q02's scans own that — so don't pay 3 bench
+      // iterations of a full-table rebuild for it
+      val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 4 === 0)
         .select(col("l_orderkey"), col("l_linenumber"),
           to_date(col("l_shipdate")).as("ship_date"),
           col("l_extendedprice").cast("double").as("price"))
@@ -878,7 +882,9 @@ object SparkEntry {
       // this pins end-to-end exactness through the clustered rewrite
       val wh = java.nio.file.Files.createTempDirectory("graft-hil").toString
       val t = new graft.table.ManagedTable(s, s"$wh/t")
-      val li = Tables.lineitem(s, d)
+      // deterministic quarter, same rationale as q124: the gate is curve
+      // exactness through the rewrite, not full-table rebuild throughput
+      val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 4 === 0)
         .select(col("l_orderkey"), col("l_linenumber"),
           to_date(col("l_shipdate")).as("ship_date"),
           col("l_extendedprice").cast("double").as("price"))
@@ -1989,7 +1995,8 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
            CAST(l_extendedprice AS DOUBLE) AS price
          FROM lineitem
-         WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-06-30'
+         WHERE l_orderkey % 4 = 0
+           AND CAST(l_shipdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-06-30'
            AND CAST(l_extendedprice AS DOUBLE) BETWEEN 20000.0 AND 60000.0
          ORDER BY l_orderkey, l_linenumber""",
     // the union of both producer drops exactly once — a double-load or a
@@ -2004,7 +2011,8 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
            CAST(l_extendedprice AS DOUBLE) AS price
          FROM lineitem
-         WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+         WHERE l_orderkey % 4 = 0
+           AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
            AND CAST(l_extendedprice AS DOUBLE) BETWEEN 50000.0 AND 90000.0
          ORDER BY l_orderkey, l_linenumber""",
     // assignment CTEs = q46's bit-exact contract (DECIMAL centroid means,

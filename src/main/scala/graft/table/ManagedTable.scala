@@ -1191,7 +1191,16 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       s""""files":[${files.map(f => jstr(f._1)).mkString(",")}]""")
     ).mkString("{", ",", "}")
     fs.mkdirs(logDir)
-    val out = fs.create(new Path(logDir, f"v$v%05d.json"), true)
+    // put-if-absent on the manifest itself (Delta's commit discipline): a
+    // version number is claimed exactly once. The lease already serializes
+    // writers; this is the backstop that turns any future lease bypass or
+    // non-atomic-create filesystem into a loud error instead of a silently
+    // overwritten commit.
+    val manifest = new Path(logDir, f"v$v%05d.json")
+    if (fs.exists(manifest)) throw new java.util.ConcurrentModificationException(
+      s"commit race on $path: version $v already exists — another writer " +
+        "committed concurrently (is the lease being bypassed?)")
+    val out = fs.create(manifest, false)
     try out.write(json.getBytes("UTF-8")) finally out.close()
     // checkpoint the summary into the history file (Delta's _last_checkpoint
     // discipline): history()/readAsOf/detail/vacuum read ONE file, not
@@ -1248,22 +1257,56 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   /** Set the lease wait (fluent); see [[leaseWaitMs]]. */
   def withLeaseWait(ms: Long): this.type = { leaseWaitMs = ms; this }
 
-  private def withCommitLock[T](f: => T): T = {
+  private def withCommitLock[T](f: => T): T = withCommitLockWait(leaseWaitMs)(f)
+
+  /** [[withCommitLock]] with an explicit queue wait for THIS acquisition —
+    * the optimistic-commit path holds the lease for milliseconds, so its
+    * callers always queue briefly instead of failing fast, independent of
+    * the instance-wide [[leaseWaitMs]] contract.
+    */
+  /** Atomically create the lease file, returning a stream to write holder
+    * info into, or None when another writer holds it. `fs.create(p, false)`
+    * is atomic create-if-absent on HDFS and object stores with
+    * preconditions, but on the LOCAL filesystem ChecksumFileSystem expands
+    * it to exists()-then-create — a TOCTOU window two racing writers both
+    * pass (observed: interleaved renames, one manifest overwriting the
+    * other). For `file:` paths go through NIO's O_CREAT|O_EXCL instead,
+    * which the kernel makes atomic.
+    */
+  private def tryCreateLock(): Option[org.apache.hadoop.fs.FSDataOutputStream] = {
+    val scheme = fs.getUri.getScheme
+    if (scheme == null || scheme == "file") {
+      val local = java.nio.file.Paths.get(lockFile.toUri.getPath)
+      try {
+        java.nio.file.Files.createFile(local) // atomic O_EXCL
+        Some(fs.create(lockFile, true)) // we own it; open for holder info
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => None
+        case _: java.io.IOException => None
+      }
+    } else {
+      try Some(fs.create(lockFile, false))
+      catch { case _: java.io.IOException => None }
+    }
+  }
+
+  private def withCommitLockWait[T](waitMs: Long)(f: => T): T = {
     if (lockDepth.get > 0) return f
     fs.mkdirs(logDir)
-    val deadline = System.nanoTime() + leaseWaitMs * 1000000L
+    val deadline = System.nanoTime() + waitMs * 1000000L
     var out: org.apache.hadoop.fs.FSDataOutputStream = null
     while (out == null) {
-      try out = fs.create(lockFile, false)
-      catch { case _: java.io.IOException =>
-        if (leaseWaitMs > 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      tryCreateLock() match {
+        case Some(s) => out = s
+        case None =>
+        if (waitMs > 0 && System.nanoTime() < deadline) Thread.sleep(50)
         else {
           val held = try {
             val in = fs.open(lockFile)
             try scala.io.Source.fromInputStream(in, "UTF-8").mkString
             finally in.close()
           } catch { case _: Exception => "unknown holder" }
-          val waited = if (leaseWaitMs > 0) s" after waiting ${leaseWaitMs} ms" else ""
+          val waited = if (waitMs > 0) s" after waiting ${waitMs} ms" else ""
           throw new java.util.ConcurrentModificationException(
             s"another writer holds the commit lease on $path ($held)$waited; " +
               "graft tables are single-writer — retry after it finishes, " +
@@ -2361,6 +2404,136 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         true
       }
     }
+
+  // ---- optimistic concurrency (blind-append OCC) -----------------------
+
+  /** Test seam: runs after the staging write completes and BEFORE the
+    * commit lease is taken — the window another writer's commit can land
+    * in. Production never sets it.
+    */
+  private[table] var occBetweenStageAndCommit: () => Unit = () => ()
+
+  /** Optimistic-concurrency append — Delta's blind-append OCC discipline.
+    *
+    * [[append]] holds the commit lease for the WHOLE mutation, so two
+    * appenders serialize their data writes end-to-end; at 100 TB an ingest
+    * job holds the table lock for hours. Here the expensive Spark write
+    * runs against a `.tmp-` sibling dir with NO lease held (concurrent
+    * stagers overlap fully), and the critical section shrinks to Delta's
+    * commit shape: per-file renames into the live dir plus one manifest
+    * write — milliseconds, so callers queue (`commitWaitMs`) instead of
+    * failing fast.
+    *
+    * Conflict rules (checked under the lease, against the snapshot read at
+    * stage time): a blind append commutes with concurrent APPEND / DELETE /
+    * UPDATE / MERGE / OPTIMIZE — none of them touch files they cannot see,
+    * and this table's live set is directory-derived, so earlier commits
+    * never reference the staged files. It CONFLICTS — throwing
+    * `ConcurrentModificationException`, staged files reaped — only when an
+    * intervening commit invalidated the staging itself:
+    *  - the table schema changed (the staged files would mix schemas);
+    *  - the partition layout changed (the staged relative paths are wrong);
+    *  - the CHECK constraints changed (rows were validated against a stale
+    *    rule set).
+    * This mirrors Delta, where blind appends survive everything except
+    * metadata/protocol changes.
+    *
+    * Tables with identity columns fall back to the fully-locked [[append]]:
+    * their high-water-mark allocation must serialize. Schema evolution is
+    * deliberately unsupported — an evolving append is not blind.
+    */
+  def appendOptimistic(df: DataFrame, partitionCols: Seq[String] = Nil,
+                       commitWaitMs: Long = 60000L): Unit = {
+    occAppend(df, partitionCols, txn = None, commitWaitMs); ()
+  }
+
+  /** [[appendOptimistic]] with [[appendIdempotent]]'s exactly-once marker:
+    * the (appId, txnVersion) replay check runs under the same short lease
+    * as the commit, so racing replays of one micro-batch stage in parallel
+    * but exactly one applies (the loser's staged files are reaped).
+    * Returns false on a detected replay.
+    */
+  def appendIdempotentOptimistic(df: DataFrame, appId: String,
+                                 txnVersion: Long,
+                                 partitionCols: Seq[String] = Nil,
+                                 commitWaitMs: Long = 60000L): Boolean =
+    occAppend(df, partitionCols, Some((appId, txnVersion)), commitWaitMs)
+
+  private def occAppend(df: DataFrame, partitionCols: Seq[String],
+                        txn: Option[(String, Long)],
+                        commitWaitMs: Long): Boolean = {
+    requireMaterialized("APPEND")
+    // founding write (no concurrency to overlap) and identity tables (the
+    // high-water mark allocates under the lease) take the locked path
+    if (!exists || identityColumns.nonEmpty) {
+      txn match {
+        case Some((app, tv)) => return appendIdempotent(df, app, tv, partitionCols)
+        case None => append(df, partitionCols); return true
+      }
+    }
+    ensureBootstrapped()
+    // ---- stage (leaseless; the expensive part) ----
+    val v0 = version
+    val pcs0 = loggedPartitionCols(v0)
+    val schema0 = tableSchemaOpt
+    val cons0 = constraints
+    val conformed0 = schema0.map(conform(df, allowEvolution = false, _,
+      partitionCols)).getOrElse(df)
+    val conformed =
+      if (cons0.nonEmpty) conformed0.localCheckpoint() else conformed0
+    enforceConstraints(conformed)
+    val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    try {
+      val w = conformed.write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(tmp.toString)
+      occBetweenStageAndCommit()
+      // ---- validate + publish (short lease; Delta's commit shape) ----
+      val applied = withCommitLockWait(commitWaitMs) {
+        if (txn.exists { case (app, tv) =>
+          lastTxnVersion(app).exists(_ >= tv) }) false
+        else {
+          val v1 = version
+          def conflict(what: String): Nothing = {
+            val ops = historyRows.filter(r => r.version > v0 && r.version <= v1)
+              .sortBy(_.version).map(r => s"v${r.version}:${r.operation}")
+            val via = if (ops.isEmpty) "a metadata-only write"
+              else s"intervening: ${ops.mkString(", ")}"
+            throw new java.util.ConcurrentModificationException(
+              s"optimistic append to $path staged against version $v0 but " +
+                s"$what by the time it committed ($via); re-stage against " +
+                "the current version and retry")
+          }
+          // constraints are a metadata-only write — no version bump marks
+          // them, so this check cannot hide behind v1 != v0
+          if (constraints != cons0) conflict("the CHECK constraints changed")
+          if (v1 != v0) {
+            if (loggedPartitionCols(v1) != pcs0)
+              conflict("the partition layout changed")
+            if (tableSchemaOpt != schema0) conflict("the table schema changed")
+          }
+          val tmpQ = fs.makeQualified(tmp).toString
+          listParquet(tmp).foreach { case (f, _) =>
+            val rel = fs.makeQualified(new Path(f)).toString.stripPrefix(tmpQ + "/")
+            val dst = new Path(path + "/" + rel)
+            fs.mkdirs(dst.getParent)
+            // fail BEFORE the manifest write — a half-published stage is
+            // RECOVER's job, not a silent partial commit
+            if (!fs.rename(new Path(f), dst))
+              throw new java.io.IOException(s"failed to publish $f to $dst")
+          }
+          commit("APPEND", partitionCols, txn)
+          true
+        }
+      }
+      if (applied) maybeAutoCompact()
+      applied
+    } finally {
+      // conflict, replay or crash-before-publish: the staged sibling is
+      // debris (also [[vacuum]]-reaped if this cleanup itself dies)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    }
+  }
 
   // ---- COPY INTO (idempotent file ingestion) ---------------------------
 

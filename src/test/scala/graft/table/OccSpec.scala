@@ -1,0 +1,139 @@
+package graft.table
+
+import graft.SparkSpec
+
+/** Optimistic-concurrency append (Delta's blind-append OCC): the data
+  * write stages leaseless against a tmp sibling; only rename+manifest
+  * serialize through the commit lease. Conflicts (schema / partition
+  * layout / constraints changed mid-stage) throw; commuting operations
+  * (concurrent appends, deletes, compactions) do not.
+  */
+class OccSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stagedSiblings(t: ManagedTable): Seq[String] = {
+    val dir = new java.io.File(t.path).getParentFile
+    val name = new java.io.File(t.path).getName
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith(name + ".tmp-")).toSeq
+  }
+
+  test("parallel optimistic appends all commit; rows exact; versions contiguous") {
+    val path = tmpDir("occ-parallel") + "/t"
+    new ManagedTable(spark, path).overwrite(Seq((0L, "seed")).toDF("id", "s"))
+    val writers = 4
+    val perWriter = 2
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = (0 until writers).map { w =>
+        Future {
+          val t = new ManagedTable(spark, path) // own instance = own writer
+          for (i <- 0 until perWriter)
+            t.appendOptimistic(
+              Seq((1L + w * perWriter + i, s"w$w-$i")).toDF("id", "s"))
+        }
+      }
+      Await.result(Future.sequence(fs), 120.seconds)
+    } finally pool.shutdown()
+    val t = new ManagedTable(spark, path)
+    assert(t.read.count() == 1 + writers * perWriter)
+    assert(t.read.as[(Long, String)].collect().map(_._1).sorted.toSeq ==
+      (0L to (writers * perWriter).toLong))
+    val hist = t.history().collect()
+    val appends = hist.filter(_.getAs[String]("operation") == "APPEND")
+    assert(appends.length == writers * perWriter, s"history: ${hist.toSeq}")
+    // no gaps: every version from 0 to latest is logged exactly once
+    val versions = hist.map(_.getAs[Long]("version")).sorted.toSeq
+    assert(versions == (0L to versions.max))
+    assert(stagedSiblings(t).isEmpty, "staged tmp dirs must be reaped")
+  }
+
+  test("schema change mid-stage conflicts; staged files reaped; table intact") {
+    val path = tmpDir("occ-schema") + "/t"
+    val t = new ManagedTable(spark, path)
+    t.overwrite(Seq((1L, "a")).toDF("id", "s"))
+    t.occBetweenStageAndCommit = () => {
+      // another writer replaces the table with a DIFFERENT schema while
+      // our append is staged
+      new ManagedTable(spark, path)
+        .overwrite(Seq((9L, "z", true)).toDF("id", "s", "flag"))
+    }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.appendOptimistic(Seq((2L, "b")).toDF("id", "s"))
+    }
+    assert(e.getMessage.contains("schema changed"), e.getMessage)
+    assert(e.getMessage.contains("OVERWRITE"), e.getMessage)
+    val after = new ManagedTable(spark, path)
+    assert(after.read.columns.sorted.toSeq == Seq("flag", "id", "s"))
+    assert(after.read.count() == 1) // the overwrite won; nothing leaked in
+    assert(stagedSiblings(after).isEmpty, "conflicted stage must be reaped")
+  }
+
+  test("constraint change mid-stage conflicts") {
+    val path = tmpDir("occ-cons") + "/t"
+    val t = new ManagedTable(spark, path)
+    t.overwrite(Seq((1L, "a")).toDF("id", "s"))
+    t.occBetweenStageAndCommit = () =>
+      new ManagedTable(spark, path).addConstraint("id_pos", "id > 0")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.appendOptimistic(Seq((2L, "b")).toDF("id", "s"))
+    }
+    assert(e.getMessage.contains("constraints changed"), e.getMessage)
+  }
+
+  test("concurrent DELETE commutes with a blind append") {
+    val path = tmpDir("occ-delete") + "/t"
+    val t = new ManagedTable(spark, path)
+    t.overwrite(Seq((1L, "keep"), (2L, "drop")).toDF("id", "s"))
+    t.occBetweenStageAndCommit = () =>
+      new ManagedTable(spark, path)
+        .delete(org.apache.spark.sql.functions.col("s") === "drop")
+    t.appendOptimistic(Seq((3L, "new")).toDF("id", "s"))
+    val rows = new ManagedTable(spark, path)
+      .read.as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "keep"), (3L, "new")))
+  }
+
+  test("concurrent OPTIMIZE commutes with a blind append") {
+    val path = tmpDir("occ-optimize") + "/t"
+    val t = new ManagedTable(spark, path)
+    t.overwrite(Seq.tabulate(8)(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .repartition(4))
+    t.occBetweenStageAndCommit = () =>
+      new ManagedTable(spark, path).compact(1)
+    t.appendOptimistic(Seq((100L, "new")).toDF("id", "s"))
+    val after = new ManagedTable(spark, path)
+    assert(after.read.count() == 9)
+    assert(after.read.as[(Long, String)].collect().toMap.apply(100L) == "new")
+  }
+
+  test("idempotent OCC append: replays stage but applies exactly once") {
+    val path = tmpDir("occ-txn") + "/t"
+    val t = new ManagedTable(spark, path)
+    t.overwrite(Seq((0L, "seed")).toDF("id", "s"))
+    assert(t.appendIdempotentOptimistic(
+      Seq((1L, "b1")).toDF("id", "s"), "sink", 1L))
+    // replay of the same (appId, version): staged, detected, reaped
+    assert(!t.appendIdempotentOptimistic(
+      Seq((1L, "b1")).toDF("id", "s"), "sink", 1L))
+    assert(t.read.count() == 2)
+    assert(stagedSiblings(t).isEmpty)
+    // the next version applies
+    assert(t.appendIdempotentOptimistic(
+      Seq((2L, "b2")).toDF("id", "s"), "sink", 2L))
+    assert(t.read.count() == 3)
+  }
+
+  test("append to an identity-column table falls back to the locked path") {
+    val path = tmpDir("occ-ident") + "/t"
+    val t = new ManagedTable(spark, path)
+    t.overwrite(Seq(Tuple1("a")).toDF("s"))
+    t.addIdentityColumn("rid")
+    t.appendOptimistic(Seq(Tuple1("b")).toDF("s"))
+    val ids = t.read.select("rid").as[Long].collect().sorted.toSeq
+    assert(ids.distinct.length == 2, s"identity ids must stay unique: $ids")
+  }
+}
