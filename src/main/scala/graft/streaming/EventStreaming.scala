@@ -156,6 +156,13 @@ object EventStreaming {
     * Streaming's at-least-once delivery to foreachBatch) is a no-op
     * instead of a duplicate. Use for append-only ingestion; key-based
     * dedup across batches is [[mergeSink]]'s job.
+    *
+    * Batches land through the OPTIMISTIC append path: each micro-batch's
+    * Spark write stages with no table lock held, so several sinks (or a
+    * sink plus a batch ingest job) feeding one table overlap their data
+    * writes and serialize only the milliseconds-long rename+manifest
+    * commit — the replay check runs inside that same critical section, so
+    * racing replays of one batch still apply exactly once.
     */
   def appendSinkExactlyOnce(stream: DataFrame, table: graft.table.ManagedTable,
                             appId: String, checkpoint: String,
@@ -164,7 +171,7 @@ object EventStreaming {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        table.appendIdempotent(batch, appId, batchId, partitionCols); ()
+        table.appendIdempotentOptimistic(batch, appId, batchId, partitionCols); ()
       }
       .start()
 

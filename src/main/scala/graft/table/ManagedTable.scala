@@ -982,6 +982,117 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         dvNew = if (packed.isEmpty) None else Some(mergeDvInto(prev, packed)))
     }
 
+  // ---- optimistic merge-on-read DML ------------------------------------
+
+  /** [[deleteVectored]] with the blind-append OCC discipline: the full
+    * predicate scan + bitmap pack (the expensive part — a whole-table read
+    * at 100 TB) runs with NO lease held; only the manifest commit
+    * serializes. Under the lease the staged marks are validated: commits
+    * that landed mid-scan must all be blind appends (APPEND / COPY INTO) —
+    * they never move, rewrite or re-bitmap the marked files, and under
+    * write-serializable isolation this delete logically precedes them.
+    * Any concurrent DELETE/UPDATE/MERGE/OPTIMIZE conflicts (Delta's
+    * `ConcurrentDeleteDeleteException` / `ConcurrentDeleteReadException`
+    * shape) — the staged bitmaps could double-mark or miss rewritten rows.
+    */
+  def deleteVectoredOptimistic(cond: org.apache.spark.sql.Column,
+                               partitionCols: Seq[String] = Nil,
+                               commitWaitMs: Long = 60000L): Unit = {
+    requireMaterialized("DELETE (vectored)")
+    ensureBootstrapped()
+    val v0 = version
+    val cons0 = constraints
+    val dv0 = dvMapForVersion(v0)
+    val packed = packDvMarks(dvScanWithMeta(dv0).filter(cond))
+    if (packed.isEmpty) return
+    occBetweenStageAndCommit()
+    withCommitLockWait(commitWaitMs) {
+      occValidate("DELETE", v0, cons0, commuting = Some(occBlindAppendOps))
+      commit("DELETE", partitionCols, dvNew = Some(mergeDvInto(dv0, packed)))
+    }
+  }
+
+  /** [[updateVectored]] with the blind-append OCC discipline: scan, mark,
+    * and the replacement-row write all stage leaseless; the lease covers
+    * only rename + manifest. Conflict rules as [[deleteVectoredOptimistic]],
+    * plus schema/partition-layout drift (the staged replacement files were
+    * written against the old layout).
+    */
+  def updateVectoredOptimistic(cond: org.apache.spark.sql.Column,
+                               set: Map[String, org.apache.spark.sql.Column],
+                               partitionCols: Seq[String] = Nil,
+                               commitWaitMs: Long = 60000L): Unit = {
+    requireMaterialized("UPDATE (vectored)")
+    ensureBootstrapped()
+    val v0 = version
+    val pcs0 = loggedPartitionCols(v0)
+    val schema0 = tableSchemaOpt
+    val cons0 = constraints
+    val dv0 = dvMapForVersion(v0)
+    val matched = dvScanWithMeta(dv0).filter(cond)
+    val packed = packDvMarks(matched)
+    if (packed.isEmpty) return
+    val updated = set.foldLeft(matched.drop("__dv_file", "__dv_idx")) {
+      case (d, (c, e)) => d.withColumn(c, e)
+    }.localCheckpoint()
+    enforceConstraints(updated)
+    var tmp: Path = null
+    try {
+      tmp = stageToTmp(updated, partitionCols)
+      occBetweenStageAndCommit()
+      withCommitLockWait(commitWaitMs) {
+        occValidate("UPDATE", v0, cons0, commuting = Some(occBlindAppendOps),
+          pcs0 = Some(pcs0), schema0 = Some(schema0))
+        publishStaged(tmp)
+        commit("UPDATE", partitionCols, dvNew = Some(mergeDvInto(dv0, packed)))
+      }
+    } finally {
+      if (tmp != null && fs.exists(tmp)) fs.delete(tmp, true)
+    }
+  }
+
+  /** [[mergeVectored]] with the blind-append OCC discipline: the displaced-
+    * row mark and the source write stage leaseless; conflict rules as
+    * [[updateVectoredOptimistic]]. The at-scale shape for concurrent
+    * small-delta upserts into one huge table: each merge's cost is its own
+    * source batch, and none of them queue behind each other's scans.
+    */
+  def mergeVectoredOptimistic(source: DataFrame, keys: Seq[String],
+                              partitionCols: Seq[String] = Nil,
+                              commitWaitMs: Long = 60000L): Unit =
+    if (!exists) overwrite(source, partitionCols)
+    else {
+      requireMaterialized("MERGE (vectored)")
+      if (identityColumns.nonEmpty) { mergeVectored(source, keys, partitionCols); return }
+      ensureBootstrapped()
+      val v0 = version
+      val pcs0 = loggedPartitionCols(v0)
+      val schema0 = tableSchemaOpt
+      val cons0 = constraints
+      val dv0 = dvMapForVersion(v0)
+      val displaced = dvScanWithMeta(dv0)
+        .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      val packed = packDvMarks(displaced)
+      val incoming = schema0
+        .map(conform(source, allowEvolution = false, _, partitionCols))
+        .getOrElse(source).localCheckpoint()
+      enforceConstraints(incoming)
+      var tmp: Path = null
+      try {
+        tmp = stageToTmp(incoming, partitionCols)
+        occBetweenStageAndCommit()
+        withCommitLockWait(commitWaitMs) {
+          occValidate("MERGE", v0, cons0, commuting = Some(occBlindAppendOps),
+            pcs0 = Some(pcs0), schema0 = Some(schema0))
+          publishStaged(tmp)
+          commit("MERGE", partitionCols,
+            dvNew = if (packed.isEmpty) None else Some(mergeDvInto(dv0, packed)))
+        }
+      } finally {
+        if (tmp != null && fs.exists(tmp)) fs.delete(tmp, true)
+      }
+    }
+
   /** Append `df`'s rows to the live dir with a MINIMAL crash window: the
     * Spark write runs against a tmp sibling dir (ignored by listings,
     * reaped by [[vacuum]]), and only fast per-file renames touch the live
@@ -991,10 +1102,25 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * merge-on-read DML paths, where a stray append without its bitmap
     * commit would otherwise surface duplicate keys.
     */
-  private def appendViaTmp(df: DataFrame, partitionCols: Seq[String]): Unit = {
+  private def appendViaTmp(df: DataFrame, partitionCols: Seq[String]): Unit =
+    publishStaged(stageToTmp(df, partitionCols))
+
+  /** Run the (expensive) Spark write against a fresh `.tmp-` sibling and
+    * return its path — the stage half of [[appendViaTmp]], callable with
+    * no lease held (optimistic paths stage here, then publish inside their
+    * short commit critical section).
+    */
+  private def stageToTmp(df: DataFrame, partitionCols: Seq[String]): Path = {
     val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp.toString)
+    tmp
+  }
+
+  /** Move a staged sibling's parquet files into the live dir (fast per-file
+    * renames — the publish half of [[appendViaTmp]]).
+    */
+  private def publishStaged(tmp: Path): Unit = {
     val tmpQ = fs.makeQualified(tmp).toString
     listParquet(tmp).foreach { case (f, _) =>
       val rel = fs.makeQualified(new Path(f)).toString.stripPrefix(tmpQ + "/")
@@ -2459,6 +2585,57 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                                  commitWaitMs: Long = 60000L): Boolean =
     occAppend(df, partitionCols, Some((appId, txnVersion)), commitWaitMs)
 
+  /** Under the commit lease: validate that every commit between `v0` and
+    * the current version commutes with a write staged against `v0`'s
+    * snapshot, throwing `ConcurrentModificationException` otherwise.
+    *
+    *  - `commuting = None`: any operation commutes (a blind append cares
+    *    only about schema/layout/constraint drift). `Some(set)`: only the
+    *    named operations commute — the read-modify-write DML paths pass
+    *    the blind-append set, because anything else may have moved,
+    *    rewritten or re-bitmapped the files their stage read or marked.
+    *  - Constraint drift is checked UNCONDITIONALLY: constraints are a
+    *    metadata-only write with no version bump to hide behind.
+    *  - `pcs0`/`schema0` check partition-layout and schema drift for
+    *    stages that wrote data files against the old layout.
+    */
+  private def occValidate(what: String, v0: Long,
+                          cons0: Map[String, String],
+                          commuting: Option[Set[String]],
+                          pcs0: Option[Seq[String]] = None,
+                          schema0: Option[Option[org.apache.spark.sql.types.StructType]] = None): Unit = {
+    val v1 = version
+    def conflict(why: String): Nothing = {
+      val ops = historyRows.filter(r => r.version > v0 && r.version <= v1)
+        .sortBy(_.version).map(r => s"v${r.version}:${r.operation}")
+      val via = if (ops.isEmpty) "a metadata-only write"
+        else s"intervening: ${ops.mkString(", ")}"
+      throw new java.util.ConcurrentModificationException(
+        s"optimistic $what on $path staged against version $v0 but " +
+          s"$why by the time it committed ($via); re-stage against " +
+          "the current version and retry")
+    }
+    if (constraints != cons0) conflict("the CHECK constraints changed")
+    if (v1 != v0) {
+      commuting.foreach { ok =>
+        val bad = historyRows.filter(r => r.version > v0 && r.version <= v1)
+          .filterNot(r => ok(r.operation))
+        if (bad.nonEmpty) conflict("non-commuting operation(s) committed")
+      }
+      pcs0.foreach(p => if (loggedPartitionCols(v1) != p)
+        conflict("the partition layout changed"))
+      schema0.foreach(s0 => if (tableSchemaOpt != s0)
+        conflict("the table schema changed"))
+    }
+  }
+
+  /** The operations that commute with a stage computed from an older
+    * snapshot in the read-modify-write DML paths: blind appends only —
+    * under write-serializable isolation the staged DML logically precedes
+    * them, and they never move, rewrite or re-bitmap existing files.
+    */
+  private val occBlindAppendOps = Set("APPEND", "COPY INTO")
+
   private def occAppend(df: DataFrame, partitionCols: Seq[String],
                         txn: Option[(String, Long)],
                         commitWaitMs: Long): Boolean = {
@@ -2482,46 +2659,18 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val conformed =
       if (cons0.nonEmpty) conformed0.localCheckpoint() else conformed0
     enforceConstraints(conformed)
-    val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    var tmp: Path = null
     try {
-      val w = conformed.write.mode(SaveMode.Overwrite)
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-        .parquet(tmp.toString)
+      tmp = stageToTmp(conformed, partitionCols)
       occBetweenStageAndCommit()
       // ---- validate + publish (short lease; Delta's commit shape) ----
       val applied = withCommitLockWait(commitWaitMs) {
         if (txn.exists { case (app, tv) =>
           lastTxnVersion(app).exists(_ >= tv) }) false
         else {
-          val v1 = version
-          def conflict(what: String): Nothing = {
-            val ops = historyRows.filter(r => r.version > v0 && r.version <= v1)
-              .sortBy(_.version).map(r => s"v${r.version}:${r.operation}")
-            val via = if (ops.isEmpty) "a metadata-only write"
-              else s"intervening: ${ops.mkString(", ")}"
-            throw new java.util.ConcurrentModificationException(
-              s"optimistic append to $path staged against version $v0 but " +
-                s"$what by the time it committed ($via); re-stage against " +
-                "the current version and retry")
-          }
-          // constraints are a metadata-only write — no version bump marks
-          // them, so this check cannot hide behind v1 != v0
-          if (constraints != cons0) conflict("the CHECK constraints changed")
-          if (v1 != v0) {
-            if (loggedPartitionCols(v1) != pcs0)
-              conflict("the partition layout changed")
-            if (tableSchemaOpt != schema0) conflict("the table schema changed")
-          }
-          val tmpQ = fs.makeQualified(tmp).toString
-          listParquet(tmp).foreach { case (f, _) =>
-            val rel = fs.makeQualified(new Path(f)).toString.stripPrefix(tmpQ + "/")
-            val dst = new Path(path + "/" + rel)
-            fs.mkdirs(dst.getParent)
-            // fail BEFORE the manifest write — a half-published stage is
-            // RECOVER's job, not a silent partial commit
-            if (!fs.rename(new Path(f), dst))
-              throw new java.io.IOException(s"failed to publish $f to $dst")
-          }
+          occValidate("append", v0, cons0, commuting = None,
+            pcs0 = Some(pcs0), schema0 = Some(schema0))
+          publishStaged(tmp)
           commit("APPEND", partitionCols, txn)
           true
         }
@@ -2531,7 +2680,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     } finally {
       // conflict, replay or crash-before-publish: the staged sibling is
       // debris (also [[vacuum]]-reaped if this cleanup itself dies)
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (tmp != null && fs.exists(tmp)) fs.delete(tmp, true)
     }
   }
 

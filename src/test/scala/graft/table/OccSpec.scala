@@ -127,6 +127,61 @@ class OccSpec extends SparkSpec {
     assert(t.read.count() == 3)
   }
 
+  test("optimistic vectored DELETE commutes with a concurrent blind append") {
+    val path = tmpDir("occ-vdel") + "/t"
+    val t = new ManagedTable(spark, path)
+    t.overwrite(Seq((1L, "keep"), (2L, "drop")).toDF("id", "s"))
+    t.occBetweenStageAndCommit = () =>
+      new ManagedTable(spark, path).append(Seq((3L, "late")).toDF("id", "s"))
+    t.deleteVectoredOptimistic(org.apache.spark.sql.functions.col("s") === "drop")
+    val rows = new ManagedTable(spark, path)
+      .read.as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "keep"), (3L, "late")))
+  }
+
+  test("optimistic vectored DELETE conflicts with a concurrent DELETE") {
+    val path = tmpDir("occ-vdel2") + "/t"
+    val t = new ManagedTable(spark, path)
+    t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    t.occBetweenStageAndCommit = () =>
+      new ManagedTable(spark, path)
+        .deleteVectored(org.apache.spark.sql.functions.col("id") === 3L)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.deleteVectoredOptimistic(org.apache.spark.sql.functions.col("id") === 1L)
+    }
+    assert(e.getMessage.contains("non-commuting"), e.getMessage)
+    // the loser's marks must not have leaked: only the winner's delete applied
+    assert(new ManagedTable(spark, path).read.count() == 2)
+  }
+
+  test("optimistic vectored UPDATE stages leaseless and lands exactly") {
+    val path = tmpDir("occ-vupd") + "/t"
+    val t = new ManagedTable(spark, path)
+    t.overwrite(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v"))
+    t.occBetweenStageAndCommit = () =>
+      new ManagedTable(spark, path).append(Seq((4L, 40.0)).toDF("id", "v"))
+    t.updateVectoredOptimistic(
+      org.apache.spark.sql.functions.col("id") <= 2L,
+      Map("v" -> (org.apache.spark.sql.functions.col("v") * 10)))
+    val got = new ManagedTable(spark, path)
+      .read.as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 100.0, 2L -> 200.0, 3L -> 30.0, 4L -> 40.0))
+    assert(stagedSiblings(t).isEmpty)
+  }
+
+  test("optimistic vectored MERGE upserts exactly; commutes with appends") {
+    val path = tmpDir("occ-vmrg") + "/t"
+    val t = new ManagedTable(spark, path)
+    t.overwrite(Seq((1L, "old1"), (2L, "old2")).toDF("id", "s"))
+    t.occBetweenStageAndCommit = () =>
+      new ManagedTable(spark, path).append(Seq((9L, "late")).toDF("id", "s"))
+    t.mergeVectoredOptimistic(
+      Seq((2L, "new2"), (3L, "new3")).toDF("id", "s"), Seq("id"))
+    val rows = new ManagedTable(spark, path)
+      .read.as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "old1"), (2L, "new2"), (3L, "new3"), (9L, "late")))
+  }
+
   test("append to an identity-column table falls back to the locked path") {
     val path = tmpDir("occ-ident") + "/t"
     val t = new ManagedTable(spark, path)
