@@ -284,7 +284,11 @@ object GraftSqlCommands {
       val t = new ManagedTable(spark, path)
       val df = spark.sql(queryText)
       val pcs = if (partitionBy.nonEmpty) partitionBy else latestPartitionCols(t)
-      if (overwrite) t.overwrite(df, pcs) else t.append(df, pcs)
+      // INSERT INTO is a blind append — route it through the optimistic
+      // commit (leaseless staging, short rename+manifest critical section)
+      // like Delta, where every transactional write is OCC; identity-column
+      // and founding writes fall back to the locked path inside
+      if (overwrite) t.overwrite(df, pcs) else t.appendOptimistic(df, pcs)
       // CREATE OR REPLACE defines a NEW table: the property set is replaced
       // wholesale (an inherited enableDeletionVectors must not survive),
       // and only AFTER the data write, so a failed query changes nothing

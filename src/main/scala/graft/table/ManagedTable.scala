@@ -1007,7 +1007,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     if (packed.isEmpty) return
     occBetweenStageAndCommit()
     withCommitLockWait(commitWaitMs) {
-      occValidate("DELETE", v0, cons0, commuting = Some(occBlindAppendOps))
+      occValidate("DELETE", v0, cons0, commuting = Some(occDmlCommuting))
       commit("DELETE", partitionCols, dvNew = Some(mergeDvInto(dv0, packed)))
     }
   }
@@ -1041,7 +1041,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       tmp = stageToTmp(updated, partitionCols)
       occBetweenStageAndCommit()
       withCommitLockWait(commitWaitMs) {
-        occValidate("UPDATE", v0, cons0, commuting = Some(occBlindAppendOps),
+        occValidate("UPDATE", v0, cons0, commuting = Some(occDmlCommuting),
           pcs0 = Some(pcs0), schema0 = Some(schema0))
         publishStaged(tmp)
         commit("UPDATE", partitionCols, dvNew = Some(mergeDvInto(dv0, packed)))
@@ -1082,7 +1082,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         tmp = stageToTmp(incoming, partitionCols)
         occBetweenStageAndCommit()
         withCommitLockWait(commitWaitMs) {
-          occValidate("MERGE", v0, cons0, commuting = Some(occBlindAppendOps),
+          occValidate("MERGE", v0, cons0, commuting = Some(occDmlCommuting),
             pcs0 = Some(pcs0), schema0 = Some(schema0))
           publishStaged(tmp)
           commit("MERGE", partitionCols,
@@ -1435,9 +1435,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           val waited = if (waitMs > 0) s" after waiting ${waitMs} ms" else ""
           throw new java.util.ConcurrentModificationException(
             s"another writer holds the commit lease on $path ($held)$waited; " +
-              "graft tables are single-writer — retry after it finishes, " +
-              "withLeaseWait(ms) to queue, or breakCommitLock() if the " +
-              "holder is dead")
+              "whole-mutation writes serialize through the lease — retry " +
+              "after it finishes, withLeaseWait(ms) to queue, use the " +
+              "appendOptimistic/…VectoredOptimistic paths for concurrent " +
+              "ingest, or breakCommitLock() if the holder is dead")
         }
       }
     }
@@ -2635,6 +2636,24 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * them, and they never move, rewrite or re-bitmap existing files.
     */
   private val occBlindAppendOps = Set("APPEND", "COPY INTO")
+
+  /** The commuting set for optimistic DML at THIS table's isolation level
+    * (Delta's `delta.isolationLevel`, table property
+    * `graft.isolationLevel`, default WriteSerializable). Under
+    * `Serializable` nothing commutes with a read-modify-write stage: a
+    * DELETE committing after a concurrent blind append would have to
+    * cover the appended rows for the history to serialize in commit
+    * order, so the staged (append-blind) bitmaps conflict. Blind appends
+    * themselves commute under BOTH levels — they read nothing, so
+    * delete-then-append is a serial history either way (exactly Delta's
+    * matrix, where the DELETE side, not the append, pays for
+    * Serializable). Read under the commit lease, so the level in force
+    * at commit time decides.
+    */
+  private def occDmlCommuting: Set[String] =
+    if (properties.get("graft.isolationLevel").exists(_.equalsIgnoreCase("Serializable")))
+      Set.empty
+    else occBlindAppendOps
 
   private def occAppend(df: DataFrame, partitionCols: Seq[String],
                         txn: Option[(String, Long)],

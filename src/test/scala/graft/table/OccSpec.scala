@@ -182,6 +182,21 @@ class OccSpec extends SparkSpec {
     assert(rows == Set((1L, "old1"), (2L, "new2"), (3L, "new3"), (9L, "late")))
   }
 
+  test("Serializable isolation: blind appends no longer commute with DML") {
+    val path = tmpDir("occ-ser") + "/t"
+    val t = new ManagedTable(spark, path)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    t.setProperties(Map("graft.isolationLevel" -> "Serializable"))
+    t.occBetweenStageAndCommit = () =>
+      new ManagedTable(spark, path).append(Seq((3L, "late")).toDF("id", "s"))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.deleteVectoredOptimistic(org.apache.spark.sql.functions.col("id") === 1L)
+    }
+    assert(e.getMessage.contains("non-commuting"), e.getMessage)
+    // the blind APPEND side committed; only the delete lost the race
+    assert(new ManagedTable(spark, path).read.count() == 3)
+  }
+
   test("append to an identity-column table falls back to the locked path") {
     val path = tmpDir("occ-ident") + "/t"
     val t = new ManagedTable(spark, path)
