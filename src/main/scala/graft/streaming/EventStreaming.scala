@@ -145,7 +145,15 @@ object EventStreaming {
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        table.merge(batch.dropDuplicates(keys), keys)
+        // same dispatch as the SQL MERGE surface: a table that opted into
+        // merge-on-read (graft.enableDeletionVectors) upserts via the
+        // optimistic vectored path — per-batch cost tracks the BATCH, no
+        // target files rewritten, no table-wide lock across the batch
+        // write — while the default stays the partition-pruned rewrite
+        if (table.properties.get("graft.enableDeletionVectors")
+            .exists(_.equalsIgnoreCase("true")))
+          table.mergeVectoredOptimistic(batch.dropDuplicates(keys), keys)
+        else table.merge(batch.dropDuplicates(keys), keys)
       }
       .start()
 

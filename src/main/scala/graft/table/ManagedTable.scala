@@ -2331,6 +2331,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     else applyDv(spark.read.parquet(path), currentDv)
   }
 
+  /** Manifest-pinned snapshot read — the consistent-read contract for
+    * tables with CONCURRENT writers. The file list comes from the latest
+    * commit's manifest, not a live directory listing, so an optimistic
+    * publish in flight (staged files renamed in, manifest not yet
+    * written — a milliseconds window, but real under a thousand readers)
+    * and any out-of-band file debris are invisible; [[read]] stays the
+    * live-listing form (cheapest, and the RECOVER machinery depends on
+    * observing the raw dir). A concurrent rewrite that retires files this
+    * snapshot references behaves like Delta's vacuum-vs-reader race: the
+    * read fails on a missing file rather than returning wrong rows.
+    */
+  def readCommitted: DataFrame =
+    if (version < 0) read else readVersion(version)
+
   /** Structured-Streaming source over the table (Delta's streaming-source
     * role): downstream jobs tail the table and see the files APPENDS add.
     * Appends-only contract, like Delta without ignoreChanges: a rewriting

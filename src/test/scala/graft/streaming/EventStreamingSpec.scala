@@ -114,6 +114,27 @@ class EventStreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 9.0), (2L, 2.0), (3L, 3.0)))
   }
 
+  test("merge sink on a DV table takes the vectored OCC path; same rows") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val table = new graft.table.ManagedTable(spark, tmpDir("stream-mor") + "/t")
+    table.overwrite(Seq((1L, 1L, 0.5)).toDF("event_id", "user_id", "value"))
+    table.setProperties(Map("graft.enableDeletionVectors" -> "true"))
+    val ckpt = tmpDir("stream-mor-ckpt")
+    val q = mergeSink(mem.toDF.select($"event_id", $"user_id", $"value"),
+      table, Seq("event_id"), ckpt)
+    mem.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "a", 9.0),
+      Event(2, ts("2024-01-01 10:01:00"), 1, "b", 2.0))
+    q.processAllAvailable(); q.stop()
+    val got = table.read.orderBy("event_id")
+      .select("event_id", "value").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 9.0), (2L, 2.0)))
+    // the displaced row went through a bitmap, not a rewrite: the upsert
+    // commit is a MERGE carrying deleted rows
+    val hist = table.history().collect()
+    assert(hist.exists(r => r.getAs[String]("operation") == "MERGE"), hist.toSeq)
+  }
+
   test("exactly-once append sink: a replayed micro-batch lands only once") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]

@@ -197,6 +197,69 @@ class OccSpec extends SparkSpec {
     assert(new ManagedTable(spark, path).read.count() == 3)
   }
 
+  test("readCommitted pins the manifest: uncommitted dir files are invisible") {
+    val path = tmpDir("occ-readc") + "/t"
+    val t = new ManagedTable(spark, path)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    // an out-of-band writer (or an OCC publish caught mid-window) drops a
+    // parquet file into the live dir with no commit
+    Seq((99L, "uncommitted")).toDF("id", "s").coalesce(1)
+      .write.mode("append").parquet(path)
+    assert(new ManagedTable(spark, path).readCommitted.count() == 2)
+    assert(new ManagedTable(spark, path).read.count() == 3) // live listing
+  }
+
+  test("seeded random interleaving of optimistic writers keeps the log sane") {
+    // 3 writers × 6 seeded ops (optimistic append / vectored delete /
+    // vectored merge) race through the OCC paths; conflicts are LEGAL
+    // outcomes (counted, swallowed) — the invariants are what must hold:
+    // contiguous versions, every surviving id exactly once, no stage debris
+    val path = tmpDir("occ-stress") + "/t"
+    new ManagedTable(spark, path)
+      .overwrite(Seq.tabulate(20)(i => (i.toLong, "seed")).toDF("id", "s"))
+    val rnd = new scala.util.Random(42)
+    val plans = Seq.tabulate(3) { w =>
+      Seq.tabulate(6) { i => (rnd.nextInt(3), 1000L + w * 100 + i) }
+    }
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger
+    try {
+      Await.result(Future.sequence(plans.map { plan =>
+        Future {
+          val t = new ManagedTable(spark, path)
+          plan.foreach { case (op, id) =>
+            try op match {
+              case 0 => t.appendOptimistic(Seq((id, s"w$id")).toDF("id", "s"))
+              case 1 => t.deleteVectoredOptimistic(
+                org.apache.spark.sql.functions.col("id") === (id % 20))
+              case 2 => t.mergeVectoredOptimistic(
+                Seq((id % 20, s"m$id")).toDF("id", "s"), Seq("id"))
+            } catch {
+              case _: java.util.ConcurrentModificationException =>
+                conflicts.incrementAndGet()
+            }
+          }
+        }
+      }), 180.seconds)
+    } finally pool.shutdown()
+    val t = new ManagedTable(spark, path)
+    val hist = t.history().collect()
+    val versions = hist.map(_.getAs[Long]("version")).sorted.toSeq
+    assert(versions == (0L to versions.max), "versions must be contiguous")
+    // surviving ids are unique (no row duplicated by a lost-update race)
+    val ids = t.read.select("id").as[Long].collect().toSeq
+    assert(ids.distinct.length == ids.length,
+      s"duplicated ids after interleaving: ${ids.groupBy(identity).filter(_._2.length > 1).keys}")
+    // every appended id either landed or its writer saw a conflict; seeds
+    // can only be deleted/merged, never duplicated
+    assert(ids.count(_ < 1000L) <= 20)
+    assert(stagedSiblings(t).isEmpty, "stage debris must be reaped")
+    info(s"interleaving done: ${versions.max} commits, ${conflicts.get} conflicts")
+  }
+
   test("append to an identity-column table falls back to the locked path") {
     val path = tmpDir("occ-ident") + "/t"
     val t = new ManagedTable(spark, path)
