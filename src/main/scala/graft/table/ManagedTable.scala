@@ -1233,8 +1233,16 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * individually retired files — the file-granular sibling of
     * [[remapManifests]]'s prefix remap.
     */
+  /** Set by every manifest-path remap; the next [[commit]] sees it and
+    * writes a full checkpoint manifest instead of a delta (see the
+    * isCheckpoint note there). Mutations run under the lease, so the
+    * flag's remap→commit window is single-writer by construction.
+    */
+  private var manifestsRemapped = false
+
   private def remapFiles(mapping: Map[String, String]): Unit = {
     if (!fs.exists(logDir) || mapping.isEmpty) return
+    manifestsRemapped = true
     fs.listStatus(logDir).filter { st =>
       val n = st.getPath.getName
       st.isFile && n.startsWith("v") && n.endsWith(".json")
@@ -1299,6 +1307,35 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val metrics = (files.count(f => !prevSet(f._1)).toLong,
       prevSet.count(p => !fileSet(p)).toLong, rowCount - prevRowCount)
     val ts = java.time.Instant.now().toString
+    // Delta's log shape: most commits record only their ADD/REMOVE delta
+    // vs the previous live set, with a periodic full-file-list checkpoint
+    // manifest bounding reconstruction depth. Without this every commit
+    // writes O(table files) — at ~800k files (100 TB at 128 MB/file) an
+    // append would pay an ~80 MB metadata write for a 1-row change.
+    // Checkpoints are forced where the delta base is untrustworthy or
+    // nearly the whole table anyway: the founding commit, BOOTSTRAP /
+    // RECOVER (the live dir diverged out-of-band, so recon(v) must equal
+    // the observed state exactly), explicit file lists (clones), and a
+    // missing consistency sidecar.
+    val ckptEvery = math.max(1, properties
+      .get("graft.manifest.checkpointInterval").flatMap(_.toIntOption)
+      .getOrElse(10))
+    // a commit that FOLLOWS a manifest remap in the same mutation (dir
+    // swap, file retirement) must checkpoint: the remap rewrote historical
+    // add entries to retained paths, so a delta computed against the
+    // pre-move sidecar would no longer cancel them on reconstruction
+    val isCheckpoint = v % ckptEvery == 0 || filesExplicit.isDefined ||
+      operation == "BOOTSTRAP" || operation == "RECOVER" ||
+      manifestsRemapped ||
+      !fs.exists(new Path(logDir, "_latest_files.txt"))
+    manifestsRemapped = false
+    val fileEntry =
+      if (isCheckpoint) s""""files":[${files.map(f => jstr(f._1)).mkString(",")}]"""
+      else {
+        val added = files.collect { case (p, _) if !prevSet(p) => jstr(p) }
+        val removed = prevSet.toSeq.filterNot(fileSet).sorted.map(jstr)
+        s""""add":[${added.mkString(",")}],"remove":[${removed.mkString(",")}]"""
+      }
     val json = (Seq(
       s""""version":$v""",
       s""""timestamp":${jstr(ts)}""",
@@ -1314,7 +1351,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       txn.map { case (app, tv) =>
         s""""txn":{"app":${jstr(app)},"version":$tv}""" } ++ Seq(
       s""""metrics":{"filesAdded":${metrics._1},"filesRemoved":${metrics._2},"rowDelta":${metrics._3}}""",
-      s""""files":[${files.map(f => jstr(f._1)).mkString(",")}]""")
+      fileEntry)
     ).mkString("{", ",", "}")
     fs.mkdirs(logDir)
     // put-if-absent on the manifest itself (Delta's commit discipline): a
@@ -1688,6 +1725,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def remapManifests(oldRoot: String, newRoot: String,
                              subdirs: Seq[String]): Unit = {
     if (!fs.exists(logDir)) return
+    manifestsRemapped = true
     // manifests store jstr-escaped paths — escape the prefixes the same way
     // (strip jstr's closing quote; keep the opening one as the match anchor)
     // so a path containing a backslash/control char still matches.
@@ -1773,11 +1811,68 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     readFileSubset(v, manifestFiles(v))
   }
 
-  /** The data-file list of logged version `v` (one manifest read). */
+  private def manifestText(v: Long): String = {
+    val in = fs.open(new Path(logDir, f"v$v%05d.json"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** Extract the string array under top-level `key` from one of OUR OWN
+    * manifests (single-line JSON, [[jstr]]-escaped strings), driver-side —
+    * no Spark job per metadata read. The `"key":[` match anchor cannot
+    * occur inside a value: a raw `"` in a path is always written `\"`.
+    */
+  private def jsonStringArray(txt: String, key: String): Option[Seq[String]] = {
+    val anchor = "\"" + key + "\":["
+    val start = txt.indexOf(anchor)
+    if (start < 0) return None
+    var i = start + anchor.length
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    while (i < txt.length && txt.charAt(i) != ']') {
+      if (txt.charAt(i) == '"') {
+        val sb = new StringBuilder
+        i += 1
+        while (txt.charAt(i) != '"') {
+          if (txt.charAt(i) == '\\') {
+            txt.charAt(i + 1) match {
+              case 'u' =>
+                sb.append(Integer.parseInt(txt.substring(i + 2, i + 6), 16).toChar)
+                i += 6
+              case c => sb.append(c); i += 2
+            }
+          } else { sb.append(txt.charAt(i)); i += 1 }
+        }
+        i += 1
+        out += sb.toString
+      } else i += 1
+    }
+    Some(out.toSeq)
+  }
+
+  /** The data-file list of logged version `v`: from `v`'s own manifest
+    * when it is a checkpoint (full `files` list), else reconstructed by
+    * walking back to the nearest checkpoint and folding the intervening
+    * `add`/`remove` deltas forward — at most `checkpointInterval` small
+    * manifest reads, independent of table size (the point: commits write
+    * O(delta) metadata, reads fold O(interval) deltas).
+    */
   private[table] def manifestFiles(v: Long): Seq[String] = {
-    val manifest = spark.read.json(new Path(logDir, f"v$v%05d.json").toString)
-    manifest.select(org.apache.spark.sql.functions.explode(col("files")))
-      .collect().map(_.getString(0)).toSeq
+    var i = v
+    var base: Option[Seq[String]] = None
+    val deltas = scala.collection.mutable.ListBuffer[(Seq[String], Seq[String])]()
+    while (base.isEmpty) {
+      require(i >= 0,
+        s"no checkpoint manifest at or below v$v in $logDir — corrupt log")
+      val txt = manifestText(i)
+      jsonStringArray(txt, "files") match {
+        case some @ Some(_) => base = some
+        case None =>
+          deltas.prepend((jsonStringArray(txt, "add").getOrElse(Nil),
+            jsonStringArray(txt, "remove").getOrElse(Nil)))
+          i -= 1
+      }
+    }
+    deltas.foldLeft(base.get.toSet) { case (s, (a, r)) => s ++ a -- r }
+      .toSeq.sorted
   }
 
   /** (version, operation) of commits in (fromV, toV], oldest first — the
@@ -1973,17 +2068,34 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     if (existing.isEmpty) return Nil
     val inWindow = historyRows
       .filter(c => !java.time.Instant.parse(c.timestamp).isBefore(olderThan))
-      .map(c => new Path(logDir, f"v${c.version}%05d.json").toString)
+      .map(_.version).sorted
     val live: Set[String] =
       if (inWindow.isEmpty) Set.empty
       else {
-        import org.apache.spark.sql.functions.{concat, explode, lit}
-        import spark.implicits._
-        val roots = existing.toDF("root")
-        spark.read.schema(manifestSchema).json(inWindow: _*)
-          .select(explode(col("files")).as("f"))
-          .join(broadcast(roots), col("f").startsWith(concat(col("root"), lit("/"))))
-          .select("root").distinct().as[String].collect().toSet
+        // the union of the window's live sets touches a retained root only
+        // through (a) the earliest version's reconstructed set or (b) a
+        // later manifest's own add/checkpoint entries — removals never
+        // UN-reference within a union, so one reconstruction plus each
+        // later manifest's entries covers the window. Roots extract by
+        // prefix (`<root>._v<k>/…`), so the collect stays bounded by the
+        // retained-dir count, never the exploded file list.
+        val prefix = qualifiedRoot + "._v"
+        val refs = scala.collection.mutable.Set[String]()
+        def note(fls: Iterable[String]): Unit = fls.foreach { f =>
+          if (f.startsWith(prefix)) {
+            val cut = f.indexOf('/', prefix.length)
+            if (cut > 0) refs += f.substring(0, cut)
+          }
+        }
+        note(manifestFiles(inWindow.head))
+        inWindow.tail.foreach { v =>
+          val txt = manifestText(v)
+          jsonStringArray(txt, "files") match {
+            case Some(full) => note(full)
+            case None => note(jsonStringArray(txt, "add").getOrElse(Nil))
+          }
+        }
+        refs.toSet
       }
     existing.filterNot(live)
   }
