@@ -1812,7 +1812,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   }
 
   private def manifestText(v: Long): String = {
-    val in = fs.open(new Path(logDir, f"v$v%05d.json"))
+    val p = new Path(logDir, f"v$v%05d.json")
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"version $v of $path is below the log-cleanup horizon " +
+        s"(manifest expired by cleanupLog) — time travel reaches only " +
+        "versions whose manifests are retained")
+    val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
@@ -2069,6 +2074,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val inWindow = historyRows
       .filter(c => !java.time.Instant.parse(c.timestamp).isBefore(olderThan))
       .map(_.version).sorted
+      // versions whose manifests cleanupLog already expired are beyond the
+      // travel horizon: they cannot keep a retained dir alive
+      .filter(v => fs.exists(new Path(logDir, f"v$v%05d.json")))
     val live: Set[String] =
       if (inWindow.isEmpty) Set.empty
       else {
@@ -2098,6 +2106,43 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         refs.toSet
       }
     existing.filterNot(live)
+  }
+
+  /** Log retention (Delta's `delta.logRetentionDuration` cleanup): drop
+    * version manifests and DV snapshots BELOW `beforeV`, ending their time
+    * travel — exactly Delta's contract, where expired log segments bound
+    * the travel window — while every version ≥ `beforeV` keeps working.
+    * At scale this is what stops the log dir from growing without bound
+    * (every [[version]] call lists it: 100k manifests ≈ 100 object-store
+    * listing pages per metadata read).
+    *
+    * If `beforeV`'s manifest is a delta, it is first rewritten as a full
+    * checkpoint (its reconstruction folded in; other fields untouched) so
+    * the walk-back never crosses the horizon. [[history]] keeps ALL
+    * summaries (the audit trail is O(1)-per-commit text, not worth
+    * expiring); COPY INTO load segments are kept (forgetting them would
+    * re-ingest already-loaded files); reads below the horizon throw a
+    * horizon error, not a reconstruction failure.
+    */
+  def cleanupLog(beforeV: Long): Unit = withCommitLock {
+    require(beforeV >= 0 && beforeV <= version,
+      s"cleanup horizon $beforeV out of range [0, $version]")
+    val txt = manifestText(beforeV)
+    if (jsonStringArray(txt, "files").isEmpty) {
+      val full = manifestFiles(beforeV)
+      // splice the reconstruction in place of the delta fields — a textual
+      // edit of OUR OWN single-line serialization, same as the remaps
+      val start = txt.indexOf("\"add\":[")
+      val removeEnd = txt.indexOf("]", txt.indexOf("\"remove\":[")) + 1
+      val spliced = txt.substring(0, start) +
+        s""""files":[${full.map(jstr).mkString(",")}]""" +
+        txt.substring(removeEnd)
+      writeAtomic(new Path(logDir, f"v$beforeV%05d.json"), spliced)
+    }
+    (0L until beforeV).foreach { v =>
+      fs.delete(new Path(logDir, f"v$v%05d.json"), false)
+      fs.delete(dvFile(v), false)
+    }
   }
 
   /** RESTORE (rollback): make logged snapshot `v` the new CURRENT version
@@ -2813,7 +2858,17 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         if (txn.exists { case (app, tv) =>
           lastTxnVersion(app).exists(_ >= tv) }) false
         else {
-          occValidate("append", v0, cons0, commuting = None,
+          // Delta's conflict matrix: a blind INSERT conflicts with nothing
+          // under WriteSerializable; under Serializable it conflicts with
+          // concurrent DELETE/UPDATE/MERGE (serializing in commit order
+          // would require those to have covered the appended rows) but
+          // still commutes with other appends and file reorganizations
+          val appendCommuting =
+            if (properties.get("graft.isolationLevel")
+                .exists(_.equalsIgnoreCase("Serializable")))
+              Some(occBlindAppendOps ++ Set("OPTIMIZE", "PURGE"))
+            else None
+          occValidate("append", v0, cons0, commuting = appendCommuting,
             pcs0 = Some(pcs0), schema0 = Some(schema0))
           publishStaged(tmp)
           commit("APPEND", partitionCols, txn)

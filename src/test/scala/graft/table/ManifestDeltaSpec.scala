@@ -75,6 +75,31 @@ class ManifestDeltaSpec extends SparkSpec {
     assert(t.read.count() == 3)
   }
 
+  test("cleanupLog expires manifests below the horizon; above keeps working") {
+    val t = new ManagedTable(spark, tmpDir("mdelta-clean") + "/t")
+    t.overwrite(Seq((0L, "seed")).toDF("id", "s"))
+    for (i <- 1 to 15)
+      t.append(Seq((i.toLong, s"r$i")).toDF("id", "s").coalesce(1))
+    // horizon at a DELTA version: v12 is rewritten as a checkpoint first
+    t.cleanupLog(12L)
+    assert(isCheckpoint(t, 12L),
+      "the horizon manifest must become a full checkpoint")
+    for (v <- 0L until 12L)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(t.path + "._log", f"v$v%05d.json")),
+        s"manifest v$v should be expired")
+    // above the horizon: exact reconstruction; below: a clear horizon error
+    for (v <- Seq(12L, 13L, 15L))
+      assert(t.readVersion(v).count() == v + 1)
+    val e = intercept[IllegalStateException] { t.readVersion(5L) }
+    assert(e.getMessage.contains("horizon"), e.getMessage)
+    // the audit trail and the live table survive; the table stays writable
+    assert(t.history().count() == 16)
+    t.append(Seq((16L, "r16")).toDF("id", "s"))
+    assert(t.read.count() == 17)
+    assert(t.readVersion(16L).count() == 17)
+  }
+
   test("partitioned append deltas + pruned merges reconstruct exactly") {
     val t = new ManagedTable(spark, tmpDir("mdelta-part") + "/t")
     val df = Seq((1L, "x", 10.0), (2L, "y", 20.0)).toDF("id", "part", "v")

@@ -197,6 +197,21 @@ class OccSpec extends SparkSpec {
     assert(new ManagedTable(spark, path).read.count() == 3)
   }
 
+  test("Serializable isolation: a blind append conflicts with a mid-stage DELETE") {
+    val path = tmpDir("occ-ser-app") + "/t"
+    val t = new ManagedTable(spark, path)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    t.setProperties(Map("graft.isolationLevel" -> "Serializable"))
+    t.occBetweenStageAndCommit = () =>
+      new ManagedTable(spark, path)
+        .delete(org.apache.spark.sql.functions.col("id") === 2L)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.appendOptimistic(Seq((3L, "c")).toDF("id", "s"))
+    }
+    assert(e.getMessage.contains("non-commuting"), e.getMessage)
+    assert(new ManagedTable(spark, path).read.count() == 1)
+  }
+
   test("readCommitted pins the manifest: uncommitted dir files are invisible") {
     val path = tmpDir("occ-readc") + "/t"
     val t = new ManagedTable(spark, path)
