@@ -100,6 +100,28 @@ class ManifestDeltaSpec extends SparkSpec {
     assert(t.readVersion(16L).count() == 17)
   }
 
+  test("delta manifests round-trip paths with spaces, unicode and quotes") {
+    // partition VALUES land in file paths; the jstr writer and the
+    // driver-side array parser must agree on escaping for reconstruction
+    // to fold adds/removes exactly
+    val t = new ManagedTable(spark, tmpDir("mdelta-esc") + "/t")
+    // (no non-ASCII value: the container JVM's POSIX locale cannot create
+    // such paths at all — Spark's own writer fails before any manifest)
+    val rows = Seq((1L, "plain"), (2L, "with space"), (3L, "equals=colon:"),
+      (4L, "qu\"ote"), (5L, "back\\slash"))
+    t.overwrite(rows.take(2).toDF("id", "part"), Seq("part"))
+    rows.drop(2).foreach { r =>
+      t.append(Seq(r).toDF("id", "part"), Seq("part"))
+    }
+    assert(t.readVersion(1L).count() == 3)
+    assert(t.readVersion(3L).count() == 5)
+    assert(t.read.select("id").as[Long].collect().sorted.toSeq == (1L to 5L))
+    // survives a swap (remap + checkpoint) too
+    t.compact(2)
+    assert(t.readVersion(3L).count() == 5)
+    assert(t.read.count() == 5)
+  }
+
   test("partitioned append deltas + pruned merges reconstruct exactly") {
     val t = new ManagedTable(spark, tmpDir("mdelta-part") + "/t")
     val df = Seq((1L, "x", 10.0), (2L, "y", 20.0)).toDF("id", "part", "v")
