@@ -275,6 +275,25 @@ class OccSpec extends SparkSpec {
     info(s"interleaving done: ${versions.max} commits, ${conflicts.get} conflicts")
   }
 
+  test("a publish crashed before its manifest RECOVERs on the next write") {
+    // the OCC crash window: staged files renamed into the live dir, death
+    // before the manifest write. The rows are legitimized as a RECOVER
+    // version by the next writer's bootstrap probe — present exactly once,
+    // never silently merged into another writer's APPEND attribution
+    val path = tmpDir("occ-crash") + "/t"
+    val t = new ManagedTable(spark, path)
+    t.overwrite(Seq((1L, "a")).toDF("id", "s"))
+    Seq((2L, "orphan")).toDF("id", "s").coalesce(1)
+      .write.mode("append").parquet(path) // the crashed publish's leftovers
+    new ManagedTable(spark, path).appendOptimistic(Seq((3L, "c")).toDF("id", "s"))
+    val after = new ManagedTable(spark, path)
+    assert(after.read.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "orphan"), (3L, "c")))
+    val ops = after.history().collect().map(_.getAs[String]("operation")).toSeq
+    assert(ops.contains("RECOVER"), ops)
+    assert(after.readVersion(after.version).count() == 3)
+  }
+
   test("append to an identity-column table falls back to the locked path") {
     val path = tmpDir("occ-ident") + "/t"
     val t = new ManagedTable(spark, path)
