@@ -149,11 +149,19 @@ object EventStreaming {
         // merge-on-read (graft.enableDeletionVectors) upserts via the
         // optimistic vectored path — per-batch cost tracks the BATCH, no
         // target files rewritten, no table-wide lock across the batch
-        // write — while the default stays the partition-pruned rewrite
+        // write — while the default stays the partition-pruned rewrite.
+        // A conflict (maintenance OPTIMIZE or another DML landing inside
+        // the batch's stage window) must NOT kill the streaming query:
+        // fall back to the fully-locked recompute, which queues on the
+        // lease and is always correct.
+        val dedup = batch.dropDuplicates(keys)
         if (table.properties.get("graft.enableDeletionVectors")
             .exists(_.equalsIgnoreCase("true")))
-          table.mergeVectoredOptimistic(batch.dropDuplicates(keys), keys)
-        else table.merge(batch.dropDuplicates(keys), keys)
+          try table.mergeVectoredOptimistic(dedup, keys)
+          catch { case _: java.util.ConcurrentModificationException =>
+            table.withLeaseWait(60000L).mergeVectored(dedup, keys)
+          }
+        else table.merge(dedup, keys)
       }
       .start()
 

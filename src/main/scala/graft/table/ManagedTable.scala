@@ -391,12 +391,21 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // wrote hundreds of files against an object store would otherwise pay
     // hundreds of SERIAL footer round-trips here
     val unseen = files.collect {
-      case (p, len) if !cached.get(p).exists(_._1 == len) => p
+      case (p, len) if !cached.get(p).exists(_._1 == len) => (p, len)
     }
     val anyNew = unseen.nonEmpty
     val fresh: Map[String, FileMeta] = {
+      // staged writes pre-read their footers at stage time (see
+      // [[stageToTmp]]); only files with no pre-read pay a footer read
+      // here. remove() is the one atomic claim — a racing fileMeta on the
+      // same instance simply loses the entry and falls back to the footer
+      // read, never to a crash
+      val claimed = unseen.flatMap { case (p, len) =>
+        preReadMetas.remove(p).collect { case (l, m) if l == len => p -> m }
+      }.toMap
+      val toRead = unseen.collect { case (p, _) if !claimed.contains(p) => p }
       import scala.collection.parallel.CollectionConverters._
-      unseen.par.map(p => p -> footerMeta(new Path(p))).seq.toMap
+      toRead.par.map(p => p -> footerMeta(new Path(p))).seq.toMap ++ claimed
     }
     val metas = files.map { case (p, len) =>
       p -> cached.get(p).filter(_._1 == len).map(_._2).getOrElse(fresh(p))
@@ -1047,7 +1056,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         commit("UPDATE", partitionCols, dvNew = Some(mergeDvInto(dv0, packed)))
       }
     } finally {
-      if (tmp != null && fs.exists(tmp)) fs.delete(tmp, true)
+      reapStage(tmp)
     }
   }
 
@@ -1089,7 +1098,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
             dvNew = if (packed.isEmpty) None else Some(mergeDvInto(dv0, packed)))
         }
       } finally {
-        if (tmp != null && fs.exists(tmp)) fs.delete(tmp, true)
+        reapStage(tmp)
       }
     }
 
@@ -1114,7 +1123,45 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp.toString)
+    // read the staged files' footers NOW — leaseless on the optimistic
+    // paths — keyed by their FUTURE live path (file length is
+    // rename-invariant, so the key stays valid through publish). The
+    // commit's stats collection then hits this cache instead of paying
+    // O(new files) footer round-trips inside the critical section: at 10k
+    // staged files on an object store that is the difference between a
+    // milliseconds commit and tens of seconds under the lease.
+    val tmpQ = fs.makeQualified(tmp).toString
+    import scala.collection.parallel.CollectionConverters._
+    val keys = listParquet(tmp).par.map { case (f, len) =>
+      val rel = fs.makeQualified(new Path(f)).toString.stripPrefix(tmpQ + "/")
+      val live = qualifiedRoot + "/" + rel
+      preReadMetas.put(live, (len, footerMeta(new Path(f))))
+      live
+    }.seq
+    stagedMetaKeys.put(tmp.toString, keys)
     tmp
+  }
+
+  /** Footer stats pre-read at stage time, consumed by [[fileMeta]] during
+    * the following commit (concurrent stagers on one instance are legal:
+    * TrieMap, keys are distinct future live paths). [[stagedMetaKeys]]
+    * remembers each stage's keys so [[reapStage]] can drop the entries of
+    * a stage that conflicted, detected a replay, or crashed — otherwise a
+    * long-lived instance retrying forever would leak one entry per staged
+    * file.
+    */
+  private val preReadMetas =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, FileMeta)]
+  private val stagedMetaKeys =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+
+  /** Failure-path cleanup for a staged write: the tmp sibling and any
+    * UNCONSUMED pre-read footer entries (a published stage's entries were
+    * already claimed by its commit; removing tracking then is a no-op).
+    */
+  private def reapStage(tmp: Path): Unit = if (tmp != null) {
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    stagedMetaKeys.remove(tmp.toString).foreach(_.foreach(preReadMetas.remove))
   }
 
   /** Move a staged sibling's parquet files into the live dir (fast per-file
@@ -1133,6 +1180,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         throw new java.io.IOException(s"failed to move $f to $dst")
     }
     fs.delete(tmp, true)
+    // published: the entries now belong to the imminent commit (which
+    // claims them from preReadMetas); only the stage tracking retires here
+    stagedMetaKeys.remove(tmp.toString)
   }
 
   /** Live scan with `__dv_file`/`__dv_idx` metadata columns, already
@@ -2116,9 +2166,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * (every [[version]] call lists it: 100k manifests ≈ 100 object-store
     * listing pages per metadata read).
     *
-    * If `beforeV`'s manifest is a delta, it is first rewritten as a full
-    * checkpoint (its reconstruction folded in; other fields untouched) so
-    * the walk-back never crosses the horizon. [[history]] keeps ALL
+    * The horizon rounds DOWN to the nearest checkpoint manifest so the
+    * walk-back never crosses it (at most `checkpointInterval` extra
+    * manifests retained; nothing is rewritten). [[history]] keeps ALL
     * summaries (the audit trail is O(1)-per-commit text, not worth
     * expiring); COPY INTO load segments are kept (forgetting them would
     * re-ingest already-loaded files); reads below the horizon throw a
@@ -2127,19 +2177,18 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def cleanupLog(beforeV: Long): Unit = withCommitLock {
     require(beforeV >= 0 && beforeV <= version,
       s"cleanup horizon $beforeV out of range [0, $version]")
-    val txt = manifestText(beforeV)
-    if (jsonStringArray(txt, "files").isEmpty) {
-      val full = manifestFiles(beforeV)
-      // splice the reconstruction in place of the delta fields — a textual
-      // edit of OUR OWN single-line serialization, same as the remaps
-      val start = txt.indexOf("\"add\":[")
-      val removeEnd = txt.indexOf("]", txt.indexOf("\"remove\":[")) + 1
-      val spliced = txt.substring(0, start) +
-        s""""files":[${full.map(jstr).mkString(",")}]""" +
-        txt.substring(removeEnd)
-      writeAtomic(new Path(logDir, f"v$beforeV%05d.json"), spliced)
-    }
-    (0L until beforeV).foreach { v =>
+    // round the horizon DOWN to the nearest checkpoint manifest: versions
+    // ≥ beforeV may be deltas whose reconstruction walks back to it, and
+    // keeping ≤ interval extra manifests costs nothing. Crucially this
+    // REWRITES no manifest — an earlier design spliced the horizon delta
+    // into a full checkpoint in place, which left a crash window (the
+    // atomic-overwrite delete+rename gap) where the only checkpoint at or
+    // below the horizon was missing and every later reconstruction broke.
+    var horizon = beforeV
+    while (horizon > 0 &&
+        jsonStringArray(manifestText(horizon), "files").isEmpty)
+      horizon -= 1
+    (0L until horizon).foreach { v =>
       fs.delete(new Path(logDir, f"v$v%05d.json"), false)
       fs.delete(dvFile(v), false)
     }
@@ -2839,6 +2888,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       }
     }
     ensureBootstrapped()
+    // cheap leaseless replay probe BEFORE the expensive stage: a streaming
+    // restart replays its last batch every time, and staging a large batch
+    // just to discover the marker under the lease is a full wasted data
+    // write. Races are fine — the authoritative check re-runs under the
+    // lease below.
+    if (txn.exists { case (app, tv) => lastTxnVersion(app).exists(_ >= tv) })
+      return false
     // ---- stage (leaseless; the expensive part) ----
     val v0 = version
     val pcs0 = loggedPartitionCols(v0)
@@ -2875,12 +2931,19 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           true
         }
       }
-      if (applied) maybeAutoCompact()
+      // best-effort maintenance OUTSIDE the commit: if another writer
+      // holds the lease right now, skip silently — the append itself has
+      // COMMITTED, and surfacing a lock error here would make the caller
+      // believe it failed and retry into duplicates. The next append past
+      // the threshold re-triggers compaction.
+      if (applied) try maybeAutoCompact() catch {
+        case _: java.util.ConcurrentModificationException => ()
+      }
       applied
     } finally {
       // conflict, replay or crash-before-publish: the staged sibling is
       // debris (also [[vacuum]]-reaped if this cleanup itself dies)
-      if (tmp != null && fs.exists(tmp)) fs.delete(tmp, true)
+      reapStage(tmp)
     }
   }
 

@@ -80,16 +80,16 @@ class ManifestDeltaSpec extends SparkSpec {
     t.overwrite(Seq((0L, "seed")).toDF("id", "s"))
     for (i <- 1 to 15)
       t.append(Seq((i.toLong, s"r$i")).toDF("id", "s").coalesce(1))
-    // horizon at a DELTA version: v12 is rewritten as a checkpoint first
+    // horizon at a DELTA version rounds DOWN to the nearest checkpoint
+    // (v10): nothing is rewritten, manifests below v10 expire
     t.cleanupLog(12L)
-    assert(isCheckpoint(t, 12L),
-      "the horizon manifest must become a full checkpoint")
-    for (v <- 0L until 12L)
+    assert(isCheckpoint(t, 10L))
+    for (v <- 0L until 10L)
       assert(!java.nio.file.Files.exists(
         java.nio.file.Paths.get(t.path + "._log", f"v$v%05d.json")),
         s"manifest v$v should be expired")
-    // above the horizon: exact reconstruction; below: a clear horizon error
-    for (v <- Seq(12L, 13L, 15L))
+    // above the rounded horizon: exact reconstruction; below: horizon error
+    for (v <- Seq(10L, 12L, 13L, 15L))
       assert(t.readVersion(v).count() == v + 1)
     val e = intercept[IllegalStateException] { t.readVersion(5L) }
     assert(e.getMessage.contains("horizon"), e.getMessage)
