@@ -397,12 +397,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val fresh: Map[String, FileMeta] = {
       // staged writes pre-read their footers at stage time (see
       // [[stageToTmp]]); only files with no pre-read pay a footer read
-      // here. remove() is the one atomic claim — a racing fileMeta on the
-      // same instance simply loses the entry and falls back to the footer
-      // read, never to a crash
-      val claimed = unseen.flatMap { case (p, len) =>
-        preReadMetas.remove(p).collect { case (l, m) if l == len => p -> m }
-      }.toMap
+      // here. remove() is the one atomic claim, and ONLY a lease holder
+      // (the commit the entries were staged for) may claim — a read path
+      // racing the publish window must not steal them, or the commit pays
+      // O(new files) footer reads back inside the critical section
+      val claimed =
+        if (lockDepth.get > 0) unseen.flatMap { case (p, len) =>
+          preReadMetas.remove(p).collect { case (l, m) if l == len => p -> m }
+        }.toMap
+        else Map.empty[String, FileMeta]
       val toRead = unseen.collect { case (p, _) if !claimed.contains(p) => p }
       import scala.collection.parallel.CollectionConverters._
       toRead.par.map(p => p -> footerMeta(new Path(p))).seq.toMap ++ claimed
@@ -410,10 +413,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val metas = files.map { case (p, len) =>
       p -> cached.get(p).filter(_._1 == len).map(_._2).getOrElse(fresh(p))
     }.toMap
-    // write only when a new footer was actually read: pure read paths
-    // (filesOverlapping/readWhere) on a committed table must not mutate
-    // the log — every live file is already cached by its commit
-    if (anyNew) {
+    // persist only under the lease: pure read paths (filesOverlapping/
+    // readWhere) on a committed table must not mutate the log — every
+    // live file is cached by its commit anyway, and a leaseless segment
+    // write racing a commit's would collide on the same next-segment
+    // number (last rename wins, loser's entries silently dropped)
+    if (anyNew && lockDepth.get > 0) {
       if (segs.size + 1 >= sidecarCompactAt) {
         // checkpoint: fold everything live into the base, drop segments
         writeAtomic(sidecarBase,
@@ -1131,16 +1136,32 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // staged files on an object store that is the difference between a
     // milliseconds commit and tens of seconds under the lease.
     val tmpQ = fs.makeQualified(tmp).toString
-    import scala.collection.parallel.CollectionConverters._
-    val keys = listParquet(tmp).par.map { case (f, len) =>
-      val rel = fs.makeQualified(new Path(f)).toString.stripPrefix(tmpQ + "/")
-      val live = qualifiedRoot + "/" + rel
-      preReadMetas.put(live, (len, footerMeta(new Path(f))))
-      live
-    }.seq
-    stagedMetaKeys.put(tmp.toString, keys)
+    // track keys AS they are inserted (not after): a footer read failing
+    // mid-loop must still leave every inserted entry reachable by
+    // [[reapStage]], or a retrying writer leaks entries per attempt
+    val keyAcc = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    try {
+      import scala.collection.parallel.CollectionConverters._
+      listParquet(tmp).par.foreach { case (f, len) =>
+        val live = stagedLivePath(tmpQ, f)
+        preReadMetas.put(live, (len, footerMeta(new Path(f))))
+        keyAcc.add(live)
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      stagedMetaKeys.put(tmp.toString, keyAcc.asScala.toSeq)
+    }
     tmp
   }
+
+  /** The live path a staged file publishes to — THE key contract between
+    * [[stageToTmp]]'s pre-read cache and [[publishStaged]]'s rename
+    * destination; both sides must derive it through here or pre-read
+    * entries silently stop matching.
+    */
+  private def stagedLivePath(tmpQ: String, stagedFile: String): String =
+    qualifiedRoot + "/" +
+      fs.makeQualified(new Path(stagedFile)).toString.stripPrefix(tmpQ + "/")
 
   /** Footer stats pre-read at stage time, consumed by [[fileMeta]] during
     * the following commit (concurrent stagers on one instance are legal:
@@ -1170,8 +1191,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def publishStaged(tmp: Path): Unit = {
     val tmpQ = fs.makeQualified(tmp).toString
     listParquet(tmp).foreach { case (f, _) =>
-      val rel = fs.makeQualified(new Path(f)).toString.stripPrefix(tmpQ + "/")
-      val dst = new Path(path + "/" + rel)
+      val dst = new Path(stagedLivePath(tmpQ, f))
       fs.mkdirs(dst.getParent)
       // rename returns false (not an exception) on quota/permission/dst
       // failures: failing loudly BEFORE the tmp delete means no replacement
@@ -2697,8 +2717,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   /** Delta's auto-compaction: when the `graft.autoCompact` table property
     * is set, an append that leaves ≥ `graft.autoCompact.minFiles`
     * (default 8) files under `graft.autoCompact.minFileBytes` (default
-    * 16 MiB) triggers [[compactSmall]] as its own OPTIMIZE commit, inside
-    * the same lease the append holds. Streaming micro-batch sinks and
+    * 16 MiB) triggers [[compactSmall]] as its own OPTIMIZE commit — run
+    * reentrantly inside the lease on the locked append path, and OUTSIDE
+    * the commit lease (own short lease, best-effort: any failure is
+    * swallowed because the append already committed) on the optimistic
+    * path. Streaming micro-batch sinks and
     * frequent small appends stop accreting a small-file problem that
     * waits for a maintenance window — at 100 TB the scan cost of a
     * thousand 1 MiB files is the difference between a partition prune and
@@ -2875,6 +2898,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       Set.empty
     else occBlindAppendOps
 
+  /** True when `txn`'s (appId, version) is already committed — shared by
+    * the leaseless pre-probe and the authoritative under-lease check.
+    */
+  private def txnReplayed(txn: Option[(String, Long)]): Boolean =
+    txn.exists { case (app, tv) => lastTxnVersion(app).exists(_ >= tv) }
+
   private def occAppend(df: DataFrame, partitionCols: Seq[String],
                         txn: Option[(String, Long)],
                         commitWaitMs: Long): Boolean = {
@@ -2893,8 +2922,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // just to discover the marker under the lease is a full wasted data
     // write. Races are fine — the authoritative check re-runs under the
     // lease below.
-    if (txn.exists { case (app, tv) => lastTxnVersion(app).exists(_ >= tv) })
-      return false
+    if (txnReplayed(txn)) return false
     // ---- stage (leaseless; the expensive part) ----
     val v0 = version
     val pcs0 = loggedPartitionCols(v0)
@@ -2911,8 +2939,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       occBetweenStageAndCommit()
       // ---- validate + publish (short lease; Delta's commit shape) ----
       val applied = withCommitLockWait(commitWaitMs) {
-        if (txn.exists { case (app, tv) =>
-          lastTxnVersion(app).exists(_ >= tv) }) false
+        if (txnReplayed(txn)) false
         else {
           // Delta's conflict matrix: a blind INSERT conflicts with nothing
           // under WriteSerializable; under Serializable it conflicts with
@@ -2931,13 +2958,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           true
         }
       }
-      // best-effort maintenance OUTSIDE the commit: if another writer
-      // holds the lease right now, skip silently — the append itself has
-      // COMMITTED, and surfacing a lock error here would make the caller
-      // believe it failed and retry into duplicates. The next append past
-      // the threshold re-triggers compaction.
+      // best-effort maintenance OUTSIDE the commit: the append itself has
+      // COMMITTED, so NO compaction failure — a lost lease race, a Spark
+      // rewrite error, a transient store fault — may surface here as an
+      // append failure (the caller would retry into duplicate rows). The
+      // next append past the threshold re-triggers compaction.
       if (applied) try maybeAutoCompact() catch {
-        case _: java.util.ConcurrentModificationException => ()
+        case scala.util.control.NonFatal(_) => ()
       }
       applied
     } finally {
@@ -2993,6 +3020,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * CSV reads take the TABLE's schema when it exists (header/sep/etc.
     * via `options`); a first copy into an empty table needs the shape
     * options (`header`, `inferSchema`) to carry the schema.
+    *
+    * Deliberately FULLY locked (no optimistic variant): the crash-safety
+    * protocol names the load-marker segment for the exact version the
+    * append will commit, so the loaded-set check, marker write and commit
+    * must see one version number — staging the data leaseless would let a
+    * concurrent copy load the same files between check and commit. A
+    * landing zone has one scheduled drainer; concurrent-ingest tables use
+    * [[appendOptimistic]].
     */
   def copyInto(srcDir: String, format: String = "parquet",
                options: Map[String, String] = Map.empty,
