@@ -1376,7 +1376,18 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       .sortBy(_.version).lastOption.map(_.rowCount).getOrElse(0L)
     val metrics = (files.count(f => !prevSet(f._1)).toLong,
       prevSet.count(p => !fileSet(p)).toLong, rowCount - prevRowCount)
-    val ts = java.time.Instant.now().toString
+    // in-commit timestamp monotonicity (Delta's ICT discipline): the
+    // recorded time never regresses below the previous commit's — a clock
+    // stepping backwards (NTP) or sub-precision ties would otherwise make
+    // readAsOf's timestamp→version resolution disagree with commit order
+    val ts = {
+      val now = java.time.Instant.now()
+      val floor = prevHist.sortBy(_.version).lastOption
+        .flatMap(c => scala.util.Try(
+          java.time.Instant.parse(c.timestamp)).toOption)
+        .map(_.plusMillis(1))
+      (if (floor.exists(_.isAfter(now))) floor.get else now).toString
+    }
     // Delta's log shape: most commits record only their ADD/REMOVE delta
     // vs the previous live set, with a periodic full-file-list checkpoint
     // manifest bounding reconstruction depth. Without this every commit

@@ -122,6 +122,19 @@ class ManifestDeltaSpec extends SparkSpec {
     assert(t.read.count() == 5)
   }
 
+  test("commit timestamps are strictly increasing in commit order") {
+    val t = new ManagedTable(spark, tmpDir("mdelta-ict") + "/t")
+    t.overwrite(Seq((0L, "seed")).toDF("id", "s"))
+    for (i <- 1 to 5)
+      t.append(Seq((i.toLong, s"r$i")).toDF("id", "s").coalesce(1))
+    val byVersion = t.history().collect()
+      .sortBy(_.getAs[Long]("version"))
+      .map(r => java.time.Instant.parse(r.getAs[String]("timestamp")))
+    byVersion.sliding(2).foreach { case Array(a, b) =>
+      assert(a.isBefore(b), s"timestamps must strictly increase: $a !< $b")
+    }
+  }
+
   test("partitioned append deltas + pruned merges reconstruct exactly") {
     val t = new ManagedTable(spark, tmpDir("mdelta-part") + "/t")
     val df = Seq((1L, "x", 10.0), (2L, "y", 20.0)).toDF("id", "part", "v")
