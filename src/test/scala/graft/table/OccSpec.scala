@@ -275,6 +275,36 @@ class OccSpec extends SparkSpec {
     info(s"interleaving done: ${versions.max} commits, ${conflicts.get} conflicts")
   }
 
+  test("parallel optimistic appends into a PARTITIONED table land exactly") {
+    val path = tmpDir("occ-part") + "/t"
+    new ManagedTable(spark, path).overwrite(
+      Seq((0L, "p0", "seed")).toDF("id", "part", "s"), Seq("part"))
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      Await.result(Future.sequence((0 until 3).map { w =>
+        Future {
+          val t = new ManagedTable(spark, path)
+          // each writer hits BOTH its own partition and a shared one
+          t.appendOptimistic(
+            Seq((10L + w, s"p$w", s"own$w"), (20L + w, "shared", s"sh$w"))
+              .toDF("id", "part", "s"), Seq("part"))
+        }
+      }), 120.seconds)
+    } finally pool.shutdown()
+    val t = new ManagedTable(spark, path)
+    assert(t.read.count() == 7)
+    assert(t.read.filter(org.apache.spark.sql.functions.col("part") === "shared")
+      .count() == 3)
+    // partition pruning still works over the OCC-published layout
+    assert(t.read.filter(org.apache.spark.sql.functions.col("part") === "p1")
+      .select("id").as[Long].collect().toSeq == Seq(11L))
+    assert(t.readVersion(t.version).count() == 7)
+    assert(stagedSiblings(t).isEmpty)
+  }
+
   test("a publish crashed before its manifest RECOVERs on the next write") {
     // the OCC crash window: staged files renamed into the live dir, death
     // before the manifest write. The rows are legitimized as a RECOVER
