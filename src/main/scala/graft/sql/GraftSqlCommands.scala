@@ -261,8 +261,13 @@ object GraftSqlCommands {
       val set = setText.map { case (c, e) => c -> expr(e) }.toMap
       val partitionOnly = whereText.exists(w =>
         pcs.nonEmpty && referencedCols(w).subsetOf(pcs.map(_.toLowerCase).toSet))
-      val useDv = t.properties.get("graft.enableDeletionVectors")
-        .exists(_.equalsIgnoreCase("true"))
+      // a predicate-free UPDATE touches every row: bitmapping the whole
+      // table and appending a full replacement copy (the DV path) doubles
+      // storage and taxes every later read for zero write saving — same
+      // guard the DELETE command applies
+      val useDv = whereText.nonEmpty &&
+        t.properties.get("graft.enableDeletionVectors")
+          .exists(_.equalsIgnoreCase("true"))
       if (partitionOnly) t.updateScoped(cond, cond, set, pcs)
       else if (useDv) t.updateVectored(cond, set, pcs)
       else t.update(cond, set, pcs)
@@ -283,7 +288,15 @@ object GraftSqlCommands {
     override def run(spark: SparkSession): Seq[Row] = {
       val t = new ManagedTable(spark, path)
       val df = spark.sql(queryText)
-      val pcs = if (partitionBy.nonEmpty) partitionBy else latestPartitionCols(t)
+      // CREATE OR REPLACE defines a NEW table: with no PARTITIONED BY the
+      // new table is UNPARTITIONED — inheriting the replaced table's
+      // layout would fail when the new query lacks the old partition
+      // column, or silently keep a layout the statement never asked for.
+      // Plain INSERTs conform to the existing table's layout as before.
+      val pcs =
+        if (partitionBy.nonEmpty) partitionBy
+        else if (isCtas) Nil
+        else latestPartitionCols(t)
       // INSERT INTO is a blind append — route it through the optimistic
       // commit (leaseless staging, short rename+manifest critical section)
       // like Delta, where every transactional write is OCC; identity-column
@@ -410,11 +423,11 @@ object GraftSqlCommands {
   private val Delete =
     rx(s"""^\\s*DELETE\\s+FROM\\s+$Tbl\\s*(?:WHERE\\s+(.+?))?\\s*;?\\s*$$""")
   private val Update =
-    rx(s"""^\\s*UPDATE\\s+$Tbl\\s+SET\\s+(.+?)\\s*(?:WHERE\\s+(.+?))?\\s*;?\\s*$$""")
+    rx(s"""^\\s*UPDATE\\s+$Tbl\\s+SET\\s+(.+?)\\s*;?\\s*$$""")
   private val Insert =
     rx(s"""^\\s*INSERT\\s+(INTO|OVERWRITE)\\s+$Tbl\\s+((?:SELECT|VALUES|TABLE|WITH|FROM)\\b.+?)\\s*;?\\s*$$""")
   private val InsertReplaceWhere =
-    rx(s"""^\\s*INSERT\\s+INTO\\s+$Tbl\\s+REPLACE\\s+WHERE\\s+(.+?)\\s+((?:SELECT|VALUES|TABLE|WITH|FROM)\\b.+?)\\s*;?\\s*$$""")
+    rx(s"""^\\s*INSERT\\s+INTO\\s+$Tbl\\s+REPLACE\\s+WHERE\\s+(.+?)\\s*;?\\s*$$""")
   private val Ctas =
     rx(s"""^\\s*CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+$Tbl\\s*(?:PARTITIONED\\s+BY\\s*\\(([^)]+)\\)\\s*)?(?:TBLPROPERTIES\\s*\\((.+?)\\)\\s*)?AS\\s+(.+?)\\s*;?\\s*$$""")
   private val AlterAddConstraint =
@@ -440,6 +453,32 @@ object GraftSqlCommands {
     rx("""WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""")
   private val WhenNotMatched =
     rx("""WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*""")
+  /** First index where one of `words` appears as a whole word OUTSIDE
+    * single-quoted literals (doubled '' quotes toggle twice and stay
+    * closed) and, with `trackParens`, outside any parentheses — the SQL
+    * splitter a reluctant regex cannot be.
+    */
+  private def indexOfTopLevel(s: String, words: Seq[String],
+                              trackParens: Boolean = false): Int = {
+    var i = 0; var inQ = false; var depth = 0
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inQ = !inQ
+      else if (!inQ && trackParens && c == '(') depth += 1
+      else if (!inQ && trackParens && c == ')') depth -= 1
+      else if (!inQ && depth == 0)
+        words.foreach { w =>
+          if (s.regionMatches(true, i, w, 0, w.length) &&
+              (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+              (i + w.length == s.length || !isWordChar(s.charAt(i + w.length))))
+            return i
+        }
+      i += 1
+    }
+    -1
+  }
+
   private val KeyEquality =
     rx("""^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""")
 
@@ -485,12 +524,31 @@ object GraftSqlCommands {
     if (del.matches())
       return Some(DeleteFromGraftCommand(tbl(del, 1), Option(del.group(4))))
     val up = Update.matcher(sqlText)
-    if (up.matches())
+    if (up.matches()) {
+      // quote/paren-aware SET|WHERE split: a 'where' inside a string
+      // literal or a scalar-subquery paren must not start the predicate
+      val tail = up.group(4)
+      val wIdx = indexOfTopLevel(tail, Seq("WHERE"), trackParens = true)
+      val (setT, whereT) =
+        if (wIdx < 0) (tail, None)
+        else (tail.substring(0, wIdx).trim,
+          Some(tail.substring(wIdx + "WHERE".length).trim))
       return Some(UpdateGraftCommand(tbl(up, 1),
-        parseAssignments(up.group(4)), Option(up.group(5))))
+        parseAssignments(setT), whereT))
+    }
     val irw = InsertReplaceWhere.matcher(sqlText)
-    if (irw.matches())
-      return Some(InsertReplaceWhereCommand(tbl(irw, 1), irw.group(4), irw.group(5)))
+    if (irw.matches()) {
+      // the predicate|query split walks to the first TOP-LEVEL query
+      // keyword — one inside the predicate's quotes or subquery parens
+      // (dt IN (SELECT ...)) must not cut the statement in half
+      val tail = irw.group(4)
+      val qIdx = indexOfTopLevel(tail,
+        Seq("SELECT", "VALUES", "TABLE", "WITH", "FROM"), trackParens = true)
+      if (qIdx <= 0) throw new IllegalArgumentException(
+        "INSERT INTO ... REPLACE WHERE needs <predicate> followed by a query")
+      return Some(InsertReplaceWhereCommand(tbl(irw, 1),
+        tail.substring(0, qIdx).trim, tail.substring(qIdx)))
+    }
     val ins = Insert.matcher(sqlText)
     if (ins.matches())
       return Some(InsertGraftCommand(tbl(ins, 2), ins.group(5),
@@ -649,6 +707,17 @@ object GraftSqlCommands {
     }
     val matched = WhenMatched.matcher(whenText).find()
     val notMatched = WhenNotMatched.matcher(whenText).find()
+    // EVERY WHEN clause must be one of the two supported forms — an
+    // unsupported one (WHEN MATCHED THEN DELETE, conditional WHEN ... AND,
+    // UPDATE SET col = expr) must FAIL, not silently degrade to
+    // insert-only and leave matched rows untouched
+    val whenCount = { val m = rx("""\bWHEN\b""").matcher(whenText)
+      var n = 0; while (m.find()) n += 1; n }
+    val supported = (if (matched) 1 else 0) + (if (notMatched) 1 else 0)
+    if (whenCount != supported)
+      fail(s"unsupported WHEN clause in '${whenText.trim.take(120)}'; only " +
+        "WHEN MATCHED THEN UPDATE SET * and WHEN NOT MATCHED THEN INSERT * " +
+        "are supported (no DELETE actions, conditions, or column lists)")
     if (matched && notMatched) MergeIntoGraftCommand(target, sourceText,
       keys, insertOnly = false, schemaEvolution = evolve)
     else if (notMatched) MergeIntoGraftCommand(target, sourceText,

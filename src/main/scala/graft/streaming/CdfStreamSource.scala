@@ -120,9 +120,18 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
       } else {
         val v = t.version
         fs.mkdirs(pin.getParent)
-        val out = fs.create(pin, false) // create-if-absent: racing starts agree
-        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-        v
+        // create-if-absent so racing starts agree — the LOSER of the race
+        // must re-read the winner's pinned version, not die on the
+        // FileAlreadyExists the exclusive create throws at it
+        try {
+          val out = fs.create(pin, false)
+          try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+          v
+        } catch { case _: java.io.IOException =>
+          val in = fs.open(pin)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+          finally in.close()
+        }
       }
     }
     new CdfStreamSource(sqlContext, path, keys, resolved)

@@ -99,13 +99,17 @@ object EventStreaming {
         col("n_events"), col("total_value"))
       .orderBy("user_id", "session_start")
 
-  /** Streaming exact dedup: `dropDuplicates` keyed by event id with a
-    * watermark bounding the dedup state — the streaming half of the
-    * ingestion-dedup story (late duplicates beyond the watermark age out
-    * of state; within it, re-deliveries are dropped exactly once).
+  /** Streaming exact dedup keyed by event id with a watermark bounding
+    * the dedup state. `dropDuplicatesWithinWatermark` is the form whose
+    * state Spark actually EVICTS: plain `dropDuplicates("event_id")`
+    * under a watermark only ages state out when the event-time column is
+    * part of the dedup key, so it would keep one state row per distinct
+    * id forever and OOM a long-running query. Within the watermark,
+    * re-deliveries drop exactly once; beyond it they age out.
     */
   def streamingDedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-static join: enrich a stream with a static dimension (broadcast
     * per micro-batch; the dimension is re-read each batch, so slowly-
@@ -138,9 +142,18 @@ object EventStreaming {
   /** Streaming MERGE sink: upsert every micro-batch into a ManagedTable
     * via foreachBatch — the streaming→lakehouse loop (continuous ingestion
     * with exactly-once-per-key table state, like Delta's merge sink).
+    *
+    * `latestBy` picks WHICH row wins when one micro-batch carries several
+    * rows for a key (e.g. `Seq("ts")` keeps the newest by event time) —
+    * deterministic, ties broken by the remaining columns. Empty (the
+    * default) falls back to `dropDuplicates(keys)`, which keeps an
+    * ARBITRARY row per key: fine for idempotent re-deliveries of one
+    * payload, wrong when a batch can contain a stale and a corrected
+    * version of the same key.
     */
   def mergeSink(stream: DataFrame, table: graft.table.ManagedTable,
-                keys: Seq[String], checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+                keys: Seq[String], checkpoint: String,
+                latestBy: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
@@ -154,7 +167,17 @@ object EventStreaming {
         // the batch's stage window) must NOT kill the streaming query:
         // fall back to the fully-locked recompute, which queues on the
         // lease and is always correct.
-        val dedup = batch.dropDuplicates(keys)
+        val dedup =
+          if (latestBy.isEmpty) batch.dropDuplicates(keys)
+          else {
+            val order = latestBy.map(col(_).desc) ++
+              batch.columns.filterNot(c => keys.contains(c) ||
+                latestBy.contains(c)).sorted.map(col(_).desc)
+            batch.withColumn("__rn", org.apache.spark.sql.functions.row_number()
+                .over(org.apache.spark.sql.expressions.Window
+                  .partitionBy(keys.map(col): _*).orderBy(order: _*)))
+              .filter(col("__rn") === 1).drop("__rn")
+          }
         if (table.properties.get("graft.enableDeletionVectors")
             .exists(_.equalsIgnoreCase("true")))
           try table.mergeVectoredOptimistic(dedup, keys)
@@ -218,28 +241,49 @@ object EventStreaming {
   /** Streaming sessionization: per-user state machine in
     * `flatMapGroupsWithState` — closes a session when the gap is exceeded
     * (emitting it) and keeps the open session in state across triggers.
+    *
+    * Event-time TIMEOUT closes idle users' sessions: the state function
+    * only runs for keys with data in a batch, so without a timeout a user
+    * who stops sending never has their final session emitted and their
+    * state lives forever (silent loss + unbounded state over the user
+    * population). The watermark drives timeout firing; a late event
+    * within the gap also EXTENDS the session backwards
+    * (`min(start, t)`), matching the batch twin's global sort.
     */
   def sessionizeStream(spark: SparkSession, events: Dataset[Event],
-                       gapMinutes: Int): Dataset[SessionOut] = {
+                       gapMinutes: Int,
+                       watermark: String = "10 minutes"): Dataset[SessionOut] = {
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
-          val sorted = batch.toSeq.sortBy(_.ts.getTime)
-          var cur = state.getOption.orNull
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          for (e <- sorted) {
-            val t = e.ts.getTime
-            if (cur == null) cur = SessionState(t, t, 1L, e.value)
-            else if (t - cur.end > gapMs) {
-              closed += SessionOut(userId, cur.start, cur.end, cur.n, cur.total)
-              cur = SessionState(t, t, 1L, e.value)
-            } else cur = SessionState(cur.start, math.max(cur.end, t),
-              cur.n + 1, cur.total + e.value)
+          if (state.hasTimedOut) {
+            val cur = state.get
+            state.remove()
+            Iterator(SessionOut(userId, cur.start, cur.end, cur.n, cur.total))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption.orNull
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              if (cur == null) cur = SessionState(t, t, 1L, e.value)
+              else if (t - cur.end > gapMs) {
+                closed += SessionOut(userId, cur.start, cur.end, cur.n, cur.total)
+                cur = SessionState(t, t, 1L, e.value)
+              } else cur = SessionState(math.min(cur.start, t),
+                math.max(cur.end, t), cur.n + 1, cur.total + e.value)
+            }
+            if (cur != null) {
+              state.update(cur)
+              // fire once the watermark passes the gap after the session's
+              // last event — the point where no in-gap event can still arrive
+              state.setTimeoutTimestamp(cur.end + gapMs)
+            }
+            closed.iterator
           }
-          if (cur != null) state.update(cur)
-          closed.iterator
         })
   }
 }

@@ -86,6 +86,51 @@ class GraftSqlSpec extends SparkSpec {
     assert(e3.getMessage.contains("not supported"))
   }
 
+  test("MERGE with an unsupported WHEN clause fails loudly, never downgrades") {
+    val e = intercept[IllegalArgumentException] {
+      GraftSqlCommands.parse(
+        "MERGE INTO graft.`/t` t USING s ON t.k = s.k " +
+          "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e.getMessage.contains("unsupported WHEN"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSqlCommands.parse(
+        "MERGE INTO graft.`/t` t USING s ON t.k = s.k " +
+          "WHEN MATCHED AND t.v < s.v THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e2.getMessage.contains("unsupported WHEN"), e2.getMessage)
+  }
+
+  test("UPDATE with 'where' inside a string literal updates everything") {
+    val (t, p) = freshTable("sql-qupd")
+    t.overwrite(Seq((1L, "x"), (2L, "y")).toDF("id", "note"))
+    GraftSql.sql(spark, s"UPDATE '$p' SET note = 'fixed where it broke'")
+    val notes = t.read.select("note").as[String].collect().toSeq
+    assert(notes == Seq.fill(2)("fixed where it broke"), notes)
+  }
+
+  test("REPLACE WHERE predicate may contain a subquery") {
+    val (t, p) = freshTable("sql-rws")
+    t.overwrite(Seq((1L, "old1"), (2L, "old2")).toDF("id", "s"))
+    GraftSql.sql(spark,
+      s"INSERT INTO '$p' REPLACE WHERE id IN (SELECT 1 AS id) " +
+        "SELECT 1 AS id, 'new1' AS s")
+    assert(t.read.as[(Long, String)].collect().toSet ==
+      Set((1L, "new1"), (2L, "old2")))
+  }
+
+  test("CREATE OR REPLACE without PARTITIONED BY yields an unpartitioned table") {
+    val (t, p) = freshTable("sql-ctasp")
+    t.overwrite(Seq((1L, "p0", "a")).toDF("id", "part", "s"), Seq("part"))
+    // the new query lacks the old partition column entirely
+    GraftSql.sql(spark,
+      s"CREATE OR REPLACE TABLE graft.`$p` AS SELECT 7 AS x")
+    val after = new ManagedTable(spark, p)
+    assert(after.read.columns.toSeq == Seq("x"))
+    assert(after.read.as[Long].collect().toSeq == Seq(7L))
+  }
+
   // ---- execution through GraftSql.sql (no extensions needed) ------------
 
   test("SQL MERGE INTO upserts a managed table end to end") {

@@ -78,6 +78,28 @@ class EventStreamingSpec extends SparkSpec {
     assert(s(0).session_end == ts("2024-01-01 10:10:00").getTime)
   }
 
+  test("sessionization timeout closes an idle user's session via the watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionizeStream(spark, mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_to").outputMode("append").start()
+    // user 7 sends one event, then goes idle forever
+    mem.addData(Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("sessions_to").count() == 0)
+    // OTHER users' traffic advances the watermark past 10:00 + gap; user 7
+    // has no further data, so only the event-time timeout can close them
+    mem.addData(Event(2, ts("2024-01-01 12:00:00"), 8, "view", 2.0))
+    q.processAllAvailable()
+    mem.addData(Event(3, ts("2024-01-01 12:05:00"), 8, "view", 3.0))
+    q.processAllAvailable(); q.stop()
+    val closed = spark.table("sessions_to").as[SessionOut].collect()
+      .filter(_.user_id == 7L)
+    assert(closed.length == 1,
+      s"idle user's session must be emitted by timeout: ${closed.toSeq}")
+    assert(closed(0).n_events == 1L && closed(0).total_value == 1.0)
+  }
+
   test("streaming dedup drops re-delivered events across triggers") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]
