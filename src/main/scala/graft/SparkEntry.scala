@@ -1425,7 +1425,7 @@ object SparkEntry {
            MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
          FROM documents GROUP BY 1 ORDER BY fp""",
     "q25_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents),
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words FROM documents),
          sh AS (SELECT DISTINCT doc_id,
                   unnest(CASE WHEN len(words) >= 3
                     THEN list_transform(generate_series(1, len(words) - 2),
@@ -1451,7 +1451,7 @@ object SparkEntry {
          ORDER BY cos_sim DESC, b.vec_id LIMIT 10""",
     "q30_text_quality" ->
       """WITH t AS (SELECT doc_id, text,
-             string_split_regex(lower(trim(text)), '\s+') AS words FROM documents)
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words FROM documents)
          SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars_m,
            CAST(len(words) AS BIGINT) AS token_count,
@@ -1464,7 +1464,7 @@ object SparkEntry {
          FROM t ORDER BY doc_id""",
     "q31_langid" ->
       """WITH t AS (SELECT doc_id,
-             string_split_regex(lower(trim(text)), '\s+') AS words FROM documents),
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words FROM documents),
          s AS (SELECT doc_id,
              CAST(len(list_filter(words, w -> list_contains(['the','a','of','and','in','to','is'], w))) AS BIGINT) AS s_en,
              CAST(len(list_filter(words, w -> list_contains(['der','die','das','und','ist','von'], w))) AS BIGINT) AS s_de,
@@ -1488,7 +1488,7 @@ object SparkEntry {
     // plain spaces (filtered like Spark's p != '' && p != ' ').
     "q33_token_estimate" ->
       """SELECT doc_id,
-           CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS token_count,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS BIGINT) AS token_count,
            CAST(len(regexp_extract_all(lower(trim(text)), '[a-z0-9]+'))
              + length(regexp_replace(lower(trim(text)), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS token_estimate
          FROM documents ORDER BY doc_id""",
@@ -1499,11 +1499,11 @@ object SparkEntry {
                regexp_replace(text,
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'),
-             'https?://[^ ]+', '<URL>', 'g') AS clean_text
+             'https?://\S+', '<URL>', 'g') AS clean_text
          FROM documents ORDER BY doc_id""",
     "q80_repetition" ->
       """WITH t AS (
-           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+           SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words
            FROM documents),
          b AS (
            SELECT doc_id, words,
@@ -1692,7 +1692,7 @@ object SparkEntry {
     "q72_token_packing" ->
       """WITH d AS (
            SELECT doc_id,
-             CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS tokens
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS BIGINT) AS tokens
            FROM documents),
          c AS (SELECT doc_id, tokens,
              SUM(tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -1902,7 +1902,7 @@ object SparkEntry {
       // split; chunks are 1-based list_slice windows of 10 words; a chunk
       // survives iff exactly one document contains it
       """WITH w AS (
-           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+           SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
            FROM documents
          ), c AS (
            SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
@@ -2177,7 +2177,7 @@ object SparkEntry {
          SELECT vec_id, assigned_label, cos_sim FROM ranked WHERE rn = 1
          ORDER BY vec_id, assigned_label""",
     "q47_top_ngrams" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents),
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words FROM documents),
          sh AS (SELECT DISTINCT doc_id,
                   unnest(CASE WHEN len(words) >= 2
                     THEN list_transform(generate_series(1, len(words) - 1),
@@ -2187,7 +2187,7 @@ object SparkEntry {
          SELECT ngram, COUNT(*) AS df FROM sh GROUP BY 1
          ORDER BY df DESC, ngram LIMIT 20""",
     "q82_contamination" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words
                     FROM documents),
          sh AS (SELECT DISTINCT doc_id,
                   unnest(CASE WHEN len(words) >= 3

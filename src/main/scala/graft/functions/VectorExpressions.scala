@@ -44,7 +44,14 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // mismatched dimensions must ERROR, not silently truncate: a corrupt
+    // 32-dim row among 64-dim embeddings would otherwise mis-rank kNN /
+    // semDedup with a plausible-looking score (the DuckDB twin,
+    // list_dot_product, rejects mismatches the same way)
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"vec_dot: mismatched vector lengths ${a.numElements()} vs ${b.numElements()}")
+    val n = a.numElements()
     val leftFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val rightFloat = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
     var acc = 0.0
@@ -63,7 +70,12 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val ga = accessor(left); val gb = accessor(right)
       val n = ctx.freshName("n"); val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot: mismatched vector lengths " + $a.numElements() +
+         |      " vs " + $b.numElements());
+         |}
+         |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ((double) $a.$ga($i)) * ((double) $b.$gb($i));

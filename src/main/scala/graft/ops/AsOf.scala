@@ -36,34 +36,33 @@ object AsOf {
     val outNames = payloadCols.map(c =>
       if (left.columns.contains(c)) c + rightSuffix else c)
 
-    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
     val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    // the payload forward-fills as ONE struct — the whole latest right row
+    // wins atomically. Filling each column independently would let a
+    // legitimately-NULL field in the newest right row inherit a stale
+    // value from an older row, fabricating a (col1, col2) combination
+    // that never existed in the right table.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      right.schema.fields.filter(f => payloadCols.contains(f.name)))
 
-    val l = left.withColumn("__tag", lit(1))
-    val lAligned = payloadCols.zip(outNames).foldLeft(l) { case (df, (in, out)) =>
-      df.withColumn(s"__p_$out", lit(null).cast(rightTypes(in)))
-    }
-    val r = right.withColumn("__tag", lit(0))
-    val rAligned = payloadCols.zip(outNames).foldLeft(r) { case (df, (in, out)) =>
-      df.withColumn(s"__p_$out", col(in))
-    }
-    // keep only key/time/tag/payload on the right; fill left-only columns null
     val leftOnly = left.columns.filter(c => c != key && c != time).toSeq
+    val lUnion = left.withColumn("__tag", lit(1))
+      .withColumn("__p", lit(null).cast(payloadType))
+      .select((Seq(key, time, "__tag", "__p") ++ leftOnly).map(col): _*)
     val rUnion = leftOnly.foldLeft(
-      rAligned.select((Seq(key, time, "__tag") ++ outNames.map("__p_" + _)).map(col): _*)) {
+      right.withColumn("__tag", lit(0))
+        .withColumn("__p", struct(payloadCols.map(col): _*))
+        .select(Seq(key, time, "__tag", "__p").map(col): _*)) {
       (df, c) => df.withColumn(c, lit(null).cast(leftTypes(c)))
     }
-    val lUnion = lAligned.select(
-      (Seq(key, time, "__tag") ++ outNames.map("__p_" + _) ++ leftOnly).map(col): _*)
 
     val w = Window.partitionBy(key).orderBy(col(time), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = outNames.foldLeft(lUnion.unionByName(rUnion)) { (df, out) =>
-      df.withColumn(s"__p_$out", last(col(s"__p_$out"), ignoreNulls = true).over(w))
-    }
+    val filled = lUnion.unionByName(rUnion)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
     val result = filled.filter(col("__tag") === 1).drop("__tag")
-    outNames.foldLeft(result) { (df, out) =>
-      df.withColumnRenamed(s"__p_$out", out)
-    }
+    payloadCols.zip(outNames).foldLeft(result) { case (df, (in, out)) =>
+      df.withColumn(out, col("__p").getField(in))
+    }.drop("__p")
   }
 }

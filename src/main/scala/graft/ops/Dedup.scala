@@ -316,7 +316,7 @@ object Dedup {
     * propagation takes over (iterations bounded by component diameter,
     * lineage truncated per step). Identical output either way.
     */
-  def components(pairs: DataFrame, maxIter: Int = 10,
+  def components(pairs: DataFrame, maxIter: Int = 25,
                  maxDriverEdges: Long = 1000000L): DataFrame = {
     // materialize once: the (possibly expensive) candidate-pair plan would
     // otherwise be re-executed by every iteration's jobs
@@ -345,6 +345,12 @@ object Dedup {
       labels = updated
       i += 1
     }
+    // an unconverged result silently under-dedups (long duplicate chains
+    // keep several copies per cluster) — min-label propagation needs one
+    // iteration per component diameter, so fail loudly and name the knob
+    require(converged, s"connected components did not converge within " +
+      s"$maxIter iterations - a duplicate cluster's diameter exceeds the " +
+      "cap; raise maxIter")
     labels
   }
 

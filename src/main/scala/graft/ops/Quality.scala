@@ -18,7 +18,7 @@ object Quality {
   def columnStats(df: DataFrame): DataFrame = {
     val total = count(lit(1))
     val aggs = df.schema.fields.flatMap { f =>
-      val c = col(f.name)
+      val c = col(s"`${f.name}`")
       Seq(
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"),
         approx_count_distinct(c).as(s"__dist_${f.name}")) ++
@@ -32,12 +32,16 @@ object Quality {
         })
     }
     val row = df.agg(total.as("__total"), aggs: _*)
+    // backticked resolution: a source column named with a dot (legal,
+    // common in ingested JSON) would otherwise make col() parse the alias
+    // as a struct-field access and fail the whole stats pass
+    def q(n: String) = col(s"`$n`")
     val perCol = df.schema.fields.map { f =>
       struct(lit(f.name).as("column"),
-        col(s"__nulls_${f.name}").as("n_nulls"),
-        col(s"__dist_${f.name}").as("approx_distinct"),
-        col(s"__min_${f.name}").as("min_val"),
-        col(s"__max_${f.name}").as("max_val"))
+        q(s"__nulls_${f.name}").as("n_nulls"),
+        q(s"__dist_${f.name}").as("approx_distinct"),
+        q(s"__min_${f.name}").as("min_val"),
+        q(s"__max_${f.name}").as("max_val"))
     }
     row.select(col("__total").as("n_rows"), explode(array(perCol: _*)).as("s"))
       .select(col("s.column"), col("n_rows"), col("s.n_nulls"),

@@ -14,11 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Lower-cased whitespace tokenization. `trim` first so no empty edge
-    * tokens appear (Spark's split and DuckDB's string_split_regex agree on
-    * interior separators but both emit empty strings at the edges).
+  /** Lower-cased whitespace tokenization. `trim` kills empty edge tokens
+    * for interior-separated text; the explicit empty-string removal covers
+    * the one case trim cannot — EMPTY or whitespace-only text, where both
+    * Spark's split and DuckDB's string_split_regex return [""] and every
+    * downstream metric would count a phantom token (token_count 1, two
+    * blank docs Jaccard-matching at 1.0 via the "" shingle). The oracle
+    * twins apply the identical list_filter.
     */
-  def words(text: Column): Column = split(lower(trim(text)), "\\s+")
+  def words(text: Column): Column =
+    array_remove(split(lower(trim(text)), "\\s+"), "")
 
   def tokenCount(text: Column): Column = size(words(text)).cast("long")
 
@@ -169,7 +174,9 @@ object TextAnalysis {
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
     val phone = regexp_replace(email,
       "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>")
-    regexp_replace(phone, "https?://[^ ]+", "<URL>")
+    // \\S, not [^ ]: a URL at end of line must not swallow the newline
+    // and the first word of the next line into the <URL> tag
+    regexp_replace(phone, "https?://\\S+", "<URL>")
   }
 
   /** Gopher-style repetition metrics: the fraction of duplicate word
@@ -187,11 +194,21 @@ object TextAnalysis {
       (b: Column) => b.isNotNull)
     val nBi = size(bigrams)
     val topShare = {
-      // most frequent token count / token count, via sort + fold-free
-      // aggregate: count occurrences of each distinct token
-      val counts = transform(array_distinct(w),
-        t => size(filter(w, x => x === t)))
-      array_max(counts).cast("double") / size(w)
+      // most frequent token count / token count as a SINGLE pass over the
+      // sorted token array (longest equal run). The naive per-distinct
+      // filter scan is O(distinct × total) interpreted work per document —
+      // a 100k-word doc with 30k distinct words runs ~3e9 comparisons in
+      // one row's evaluation; the sort+run form is O(n log n) and exact.
+      val best = aggregate(array_sort(w),
+        struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"),
+            acc.getField("run") + 1).otherwise(lit(1))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+      when(size(w) > 0, best.cast("double") / size(w)).otherwise(lit(0.0))
     }
     df.withColumn("dup_bigram_frac",
         when(nBi > 0,

@@ -81,7 +81,12 @@ final class CorpusPipeline(spark: SparkSession, warehouse: String) {
       : (DataFrame, Map[String, Any]) = {
     val annotated = annotate(docs, textCol)
       .filter(col("quality_score") >= minQuality)
-    val deduped = dedup(annotated, idCol, textCol, minEstSim, signatures)
+    // ONE signature pass feeds both dedup and the store seed below — the
+    // explode+hash signing is the pipeline's dominant cost, and computing
+    // it a second time over the raw docs would double it
+    val sig = signatures.getOrElse(
+      Dedup.minhashSignatures(docs, idCol, textCol, n = 3, numHashes = 32))
+    val deduped = dedup(annotated, idCol, textCol, minEstSim, Some(sig))
     val obs = new org.apache.spark.sql.Observation("corpus_audit")
     val split = Sampling.hashSplit(deduped, idCol, trainPct)
       .withColumn("split", when(col("is_train"), "train").otherwise("test"))
@@ -93,8 +98,6 @@ final class CorpusPipeline(spark: SparkSession, warehouse: String) {
     corpus.overwrite(split, Seq("lang_pred", "split"))
     // seed the signature store with the kept docs' signatures so later
     // incremental batches dedup against this corpus without rescanning it
-    val sig = signatures.getOrElse(
-      Dedup.minhashSignatures(docs, idCol, textCol, n = 3, numHashes = 32))
     signatureStore.overwrite(
       sig.join(corpus.read.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi"))
     (corpus.read, obs.get)
@@ -109,7 +112,8 @@ final class CorpusPipeline(spark: SparkSession, warehouse: String) {
     */
   def runIncremental(newDocs: DataFrame, idCol: String, textCol: String,
                      minQuality: Double = 0.5, minEstSim: Double = 0.9,
-                     trainPct: Int = 90): DataFrame = {
+                     trainPct: Int = 90,
+                     batchId: Option[Long] = None): DataFrame = {
     val annotated = annotate(newDocs, textCol)
       .filter(col("quality_score") >= minQuality)
     val (kept, keptSig) = Dedup.dedupIncremental(
@@ -117,11 +121,26 @@ final class CorpusPipeline(spark: SparkSession, warehouse: String) {
     val split = Sampling.hashSplit(kept, idCol, trainPct)
       .withColumn("split", when(col("is_train"), "train").otherwise("test"))
       .drop("is_train")
-    corpus.append(split.localCheckpoint(), Seq("lang_pred", "split"))
     // keptSig's plan anti-joins against signatureStore's own parquet path;
-    // materialize it BEFORE appending to that same path so the append job
-    // never re-reads the files it is writing (and the dedup isn't recomputed)
-    signatureStore.append(keptSig.localCheckpoint())
+    // materialize BEFORE appending to that same path so the append job
+    // never re-reads the files it is writing (and the dedup isn't
+    // recomputed). With a batchId both appends are txn-marked
+    // (appendIdempotent): a replay after a crash BETWEEN the two appends
+    // re-applies exactly the missing one — without the marker, corpus-
+    // then-crash duplicates the batch (its signatures were never stored)
+    // and the reverse order would silently DROP it (the docs match their
+    // own stored signatures and dedup away).
+    val splitM = split.localCheckpoint()
+    val sigM = keptSig.localCheckpoint()
+    batchId match {
+      case Some(id) =>
+        corpus.appendIdempotent(splitM, "corpus-ingest", id,
+          Seq("lang_pred", "split"))
+        signatureStore.appendIdempotent(sigM, "corpus-ingest", id)
+      case None =>
+        corpus.append(splitM, Seq("lang_pred", "split"))
+        signatureStore.append(sigM)
+    }
     corpus.read
   }
 
@@ -131,12 +150,13 @@ final class CorpusPipeline(spark: SparkSession, warehouse: String) {
     * stream and batch loads share one dedup contract. The first batch
     * bootstraps the corpus + signature store via [[run]].
     *
-    * Delivery semantics: foreachBatch is at-least-once, and the signature
-    * store is what makes that safe WITHOUT a txn marker — a replayed
-    * batch's documents minhash-match their own signatures already in the
-    * store, so the entire replay dedups away (asserted in spec). At
-    * 100 TB each trigger costs one band-bucket join against signatures,
-    * never a corpus rescan.
+    * Delivery semantics: foreachBatch is at-least-once; both appends are
+    * txn-marked with the micro-batch id (exactly-once — a replay after a
+    * crash between the corpus and signature appends re-applies only the
+    * missing one), and the signature store additionally dedups replayed
+    * DOCUMENTS by content (asserted in spec). At 100 TB each trigger
+    * costs one band-bucket join against signatures, never a corpus
+    * rescan.
     */
   def ingestStream(stream: DataFrame, idCol: String, textCol: String,
                    checkpoint: String,
@@ -145,11 +165,21 @@ final class CorpusPipeline(spark: SparkSession, warehouse: String) {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!corpus.exists || !signatureStore.exists)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!corpus.exists)
           run(batch, idCol, textCol, minQuality, minEstSim, trainPct)
+        else if (!signatureStore.exists)
+          // overwriting an EXISTING corpus because its signature sidecar
+          // went missing would destroy every previously ingested batch —
+          // fail loudly; the operator re-seeds signatures via run() or
+          // re-signs the corpus offline
+          throw new IllegalStateException(
+            s"corpus at ${corpus.path} exists but its signature store is " +
+              "missing - refusing to bootstrap-overwrite; re-seed the " +
+              "signature store first")
         else
-          runIncremental(batch, idCol, textCol, minQuality, minEstSim, trainPct)
+          runIncremental(batch, idCol, textCol, minQuality, minEstSim,
+            trainPct, batchId = Some(id))
         ()
       }
       .start()

@@ -27,6 +27,20 @@ class AsOfSpec extends SparkSpec {
     assert(got(("C", 5L)) == None)          // no quotes for C -> null
   }
 
+  test("a NULL field in the latest right row stays NULL - rows never mix") {
+    // the payload forward-fills as one struct: bid=15/ask=NULL at t=2 must
+    // yield (15, NULL), never the fabricated (15, 20) a per-column fill
+    // would invent from the older row
+    val left = Seq(("A", 3L, 1.0)).toDF("sym", "t", "px")
+    val right = Seq(
+      ("A", 1L, Some(10.0), Some(20.0)),
+      ("A", 2L, Some(15.0), Option.empty[Double])
+    ).toDF("sym", "t", "bid", "ask")
+    val got = AsOf.asofJoin(left, right, "sym", "t")
+      .select("bid", "ask").as[(Option[Double], Option[Double])].head()
+    assert(got == (Some(15.0), None), got)
+  }
+
   test("as-of join keeps exactly the left rows") {
     val got = AsOf.asofJoin(trades, quotes, "sym", "t")
     assert(got.count() == trades.count())
