@@ -132,9 +132,18 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private case class FileMeta(rows: Long, stats: FileStats)
 
   /** How many leaf columns get data-skipping stats (Delta's
-    * dataSkippingNumIndexedCols analogue).
+    * dataSkippingNumIndexedCols analogue, which defaults to 32 and is a
+    * table property). Overridable per table via TBLPROPERTY
+    * `graft.stats.cols` so a wide fact table can index past column 8;
+    * resolved ONCE per metadata operation (not per footer — the property
+    * lookup is a file read).
     */
-  private val statsCols = 8
+  private val statsColsDefault = 8
+  private val statsColsProp = "graft.stats.cols"
+  private def statsColsNow: Int =
+    properties.get(statsColsProp)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(statsColsDefault)
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -160,7 +169,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   }
 
   /** String skipping-stats are truncated to this many code points (Delta's
-    * 32-char discipline): a long text column among the first [[statsCols]]
+    * 32-char discipline): a long text column among the first [[statsColsNow]]
     * leaves would otherwise put two document-sized bounds on every sidecar
     * line.
     */
@@ -195,6 +204,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     }
   }
 
+  /** Parquet writers normalize zero float/double bounds to min = -0.0 and
+    * max = +0.0 (a widening so either sign matches the range). Surfacing
+    * -0.0 from ANALYZE leaks that storage artifact: a full scan of the same
+    * data reports min 0.0. Canonicalize ±0.0 → 0.0 for kind-"d" bounds —
+    * skipping-safe because IEEE range compares treat the zeros as equal.
+    */
+  private def canonZero(kind: String, v: String): String =
+    if (kind == "d" && java.lang.Double.parseDouble(v) == 0.0d) "0.0" else v
+
   /** Numeric stat order via double (Infinity-safe; monotonic rounding for
     * huge longs only creates ties, which keep files — conservative).
     * NaN compares keep the file.
@@ -204,8 +222,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     if (x.isNaN || y.isNaN) true else x <= y
   }
 
-  /** Read row count AND per-column min/max from one parquet footer. */
-  private def footerMeta(p: Path): FileMeta = {
+  /** Read row count AND per-column min/max from one parquet footer,
+    * indexing the first `nCols` leaf columns (caller resolves
+    * [[statsColsNow]] once per operation).
+    */
+  private def footerMeta(p: Path, nCols: Int): FileMeta = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
     val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -215,7 +236,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val schema = footer.getFileMetaData.getSchema
       val blocks = footer.getBlocks.asScala
       val rows = blocks.map(_.getRowCount).sum
-      val stats = schema.getColumns.asScala.take(statsCols).zipWithIndex
+      val stats = schema.getColumns.asScala.take(nCols).zipWithIndex
         .flatMap { case (cd, i) =>
           val prim = cd.getPrimitiveType
           val ann = prim.getLogicalTypeAnnotation
@@ -286,7 +307,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
             } else {
               val mn = mins.reduce((a, b) => if (numLeq(a, b)) a else b)
               val mx = maxs.reduce((a, b) => if (numLeq(a, b)) b else a)
-              Some(colName -> (kind, mn, mx, nulls))
+              Some(colName -> (kind, canonZero(kind, mn), canonZero(kind, mx), nulls))
             }
           }
         }.toMap
@@ -408,7 +429,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         else Map.empty[String, FileMeta]
       val toRead = unseen.collect { case (p, _) if !claimed.contains(p) => p }
       import scala.collection.parallel.CollectionConverters._
-      toRead.par.map(p => p -> footerMeta(new Path(p))).seq.toMap ++ claimed
+      val nc = if (toRead.isEmpty) statsColsDefault else statsColsNow
+      toRead.par.map(p => p -> footerMeta(new Path(p), nc)).seq.toMap ++ claimed
     }
     val metas = files.map { case (p, len) =>
       p -> cached.get(p).filter(_._1 == len).map(_._2).getOrElse(fresh(p))
@@ -580,9 +602,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           val mn = known.map(_._2).reduce((a, b) => if (leq(a, b)) a else b)
           val mx = known.map(_._3).reduce((a, b) => if (leq(a, b)) b else a)
           // epoch-day stats decode to ISO for the caller (display form;
-          // skipping never compares these lexically)
+          // skipping never compares these lexically); ±0.0 double bounds
+          // from pre-canonicalization sidecars decode to 0.0 (canonZero)
           def dec(v: String) =
-            if (k == "D") java.time.LocalDate.ofEpochDay(v.toLong).toString else v
+            if (k == "D") java.time.LocalDate.ofEpochDay(v.toLong).toString
+            else canonZero(k, v)
           Some((k, dec(mn), dec(mx)))
         }
       val nulls: Option[Long] = {
@@ -1126,32 +1150,41 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   private def stageToTmp(df: DataFrame, partitionCols: Seq[String]): Path = {
     val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-    val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp.toString)
-    // read the staged files' footers NOW — leaseless on the optimistic
-    // paths — keyed by their FUTURE live path (file length is
-    // rename-invariant, so the key stays valid through publish). The
-    // commit's stats collection then hits this cache instead of paying
-    // O(new files) footer round-trips inside the critical section: at 10k
-    // staged files on an object store that is the difference between a
-    // milliseconds commit and tens of seconds under the lease.
-    val tmpQ = fs.makeQualified(tmp).toString
     // track keys AS they are inserted (not after): a footer read failing
     // mid-loop must still leave every inserted entry reachable by
     // [[reapStage]], or a retrying writer leaks entries per attempt
     val keyAcc = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     try {
+      val w = df.write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp.toString)
+      // read the staged files' footers NOW — leaseless on the optimistic
+      // paths — keyed by their FUTURE live path (file length is
+      // rename-invariant, so the key stays valid through publish). The
+      // commit's stats collection then hits this cache instead of paying
+      // O(new files) footer round-trips inside the critical section: at 10k
+      // staged files on an object store that is the difference between a
+      // milliseconds commit and tens of seconds under the lease.
+      val tmpQ = fs.makeQualified(tmp).toString
+      val nc = statsColsNow
       import scala.collection.parallel.CollectionConverters._
       listParquet(tmp).par.foreach { case (f, len) =>
         val live = stagedLivePath(tmpQ, f)
-        preReadMetas.put(live, (len, footerMeta(new Path(f))))
+        preReadMetas.put(live, (len, footerMeta(new Path(f), nc)))
         keyAcc.add(live)
       }
-    } finally {
       import scala.jdk.CollectionConverters._
       stagedMetaKeys.put(tmp.toString, keyAcc.asScala.toSeq)
+      tmp
+    } catch {
+      // a write/footer failure here happens BEFORE the caller ever sees
+      // tmp (its finally runs reapStage(null)) — clean the staged dir and
+      // every already-inserted pre-read entry ourselves, then rethrow
+      case e: Throwable =>
+        import scala.jdk.CollectionConverters._
+        stagedMetaKeys.put(tmp.toString, keyAcc.asScala.toSeq)
+        reapStage(tmp)
+        throw e
     }
-    tmp
   }
 
   /** The live path a staged file publishes to — THE key contract between

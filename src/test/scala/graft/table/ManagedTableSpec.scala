@@ -1192,6 +1192,54 @@ class ManagedTableSpec extends SparkSpec {
     assert(st("s").getLong(4) == full.getLong(4))
   }
 
+  test("graft.stats.cols widens data-skipping stats past the default 8") {
+    def wideDf(n: Int) = {
+      val cols = (1 to 11).map(i => expr(s"id * $i").as(s"c$i")) :+
+        expr("cast(id as double) * 12").as("c12")
+      spark.range(0, n).select((col("id") +: cols): _*)
+    }
+    // default width: column 12 gets NO stats → no columnStats row, and
+    // skipping keeps every file (conservative)
+    val t0 = freshTable("mt-statswidth-dflt")
+    t0.overwrite(wideDf(400).repartition(4, col("id")))
+    assert(!t0.columnStats().collect().map(_.getString(0)).contains("c12"))
+    // widened table: set the property BEFORE the write so commit-time
+    // footer reads index all 13 leaves
+    val t = freshTable("mt-statswidth")
+    t.setProperties(Map("graft.stats.cols" -> "16"))
+    t.overwrite(wideDf(400).repartition(4, col("id")))
+    val st = t.columnStats().collect().map(r => r.getString(0) -> r).toMap
+    assert(st.contains("c12"))
+    assert(st("c12").getString(2).toDouble == 0.0 &&
+      st("c12").getString(3).toDouble == 399.0 * 12)
+    // and skipping on column 12 actually prunes: a range covering no file
+    // returns zero rows without scanning, a covered range is exact
+    assert(t.readWhere("c12", -100.0, -1.0).count() == 0L)
+    assert(t.readWhere("c12", 0.0, 120.0).count() == 11L)
+    // existing sidecar lines from the default-width table still parse
+    assert(t0.readWhere("c1", 0L, 10L).count() == 11L)
+  }
+
+  test("columnStats canonicalizes signed-zero double bounds to 0.0") {
+    val t = freshTable("mt-colstats-szero")
+    // a mix of -0.0 and +0.0: the parquet writer records min = -0.0 and
+    // max = +0.0 in the footer; ANALYZE must surface 0.0 for both (what a
+    // full scan reports), not the storage artifact
+    t.overwrite(Seq((1L, -0.0), (2L, 0.0), (3L, 0.0)).toDF("k", "v"))
+    val st = t.columnStats().collect().map(r => r.getString(0) -> r).toMap
+    assert(st("v").getString(2) == "0.0" && st("v").getString(3) == "0.0")
+    // the sign bit itself must be positive, not just ==-equal
+    assert(java.lang.Double.doubleToRawLongBits(st("v").getString(2).toDouble) == 0L)
+    assert(java.lang.Double.doubleToRawLongBits(st("v").getString(3).toDouble) == 0L)
+    // a genuinely negative min must NOT be canonicalized
+    val t2 = freshTable("mt-colstats-neg")
+    t2.overwrite(Seq((1L, -2.5), (2L, 0.0)).toDF("k", "v"))
+    val st2 = t2.columnStats().collect().map(r => r.getString(0) -> r).toMap
+    assert(st2("v").getString(2) == "-2.5" && st2("v").getString(3) == "0.0")
+    // skipping still matches zero rows under either zero sign
+    assert(t.readWhere("v", -0.0, 0.0).count() == 3L)
+  }
+
   test("columnStats nulls out bounds it cannot promise") {
     val t = freshTable("mt-colstats-nan")
     // file with a NaN in v → that file's bounds are unusable → table-level
