@@ -11,6 +11,20 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/documents.parquet").count()
     catch { case _: Throwable => () }
+    // Host-load calibration: median-of-5 of a FIXED piece of work (a 100M
+    // range sum — pure CPU, no IO, plan already warm). Two runs of the same
+    // code on the same data can then be compared on calibrated totals: a
+    // loaded host inflates `calib` and query times alike, so
+    // total/calib-ratio is the cross-run signal (r5's apparent per-query
+    // regressions were all host noise).
+    val calib = {
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(100000000L).selectExpr("sum(id)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(2)
+    }
     // Per-query median of N runs (default 3; upper median for even N): a
     // single-run bench on a shared host is noise-dominated — r4 showed a
     // 2.8× driver-vs-local gap on identical code — and the median is
@@ -36,7 +50,7 @@ object Bench {
     def jline(m: Map[String, Double], fmt: Double => String): String = {
       val qs = m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"queries":$qs,"sf":"$sfDir"}"""
     }
     val full = jline(results, _.toString)
     val shortKeys = results.map { case (k, v) =>

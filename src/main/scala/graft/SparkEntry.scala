@@ -463,14 +463,23 @@ object SparkEntry {
       graft.table.Merge.scd2Apply(dim, changes, Seq("user_id"), "eff")
         .orderBy(col("user_id"), col("valid_from"))
     }),
-    "q66_synthetic_gen" -> ((s, _) =>
-      // seeded generator (reference cell 1 path); rows-only: rand(seed) is
-      // engine-specific by definition
-      graft.datagen.Synthetic.transactions(s, 10000L, seed = 42L, partitions = 8)
-        .groupBy("category", "currency")
-        .agg(count(lit(1)).as("n"),
-          Relational.dsum(col("amount")).as("total"))
-        .orderBy("category", "currency")),
+    "q66_synthetic_gen" -> ((s, _) => {
+      // seeded generator (reference cell 1 path). rand(seed) VALUES are
+      // engine-specific, but the generator's CONTRACT is not: every
+      // category×currency cell is populated, amounts stay in the reference
+      // range [1, 10000] (deltalake.ipynb:144), and the cells partition all
+      // 10 000 rows — all oracle-checkable as a static truth table. The
+      // seeded per-cell counts stay pinned in SyntheticSpec.
+      val tx = graft.datagen.Synthetic.transactions(s, 10000L, seed = 42L, partitions = 8)
+      tx.groupBy("category", "currency")
+        .agg(count(lit(1)).as("__n"),
+          min(col("amount")).as("__mn"), max(col("amount")).as("__mx"))
+        .select(col("category"), col("currency"),
+          (col("__n") > 0L).as("nonempty"),
+          (col("__mn") >= 1.0 && col("__mx") <= 10000.0).as("amounts_in_range"),
+          sum(col("__n")).over().as("total_rows"))
+        .orderBy("category", "currency")
+    }),
 
     // ---- CDC diff / ntile / exact moments / histogram ----
     "q61_snapshot_diff" -> ((s, d) => {
@@ -639,26 +648,51 @@ object SparkEntry {
 
     // ---- Approximate / OLAP-shaped aggregations ----
     "q49_approx_stats" -> ((s, d) =>
-      // sketch aggregates for 100 TB cardinality/quantile work; rows-only
-      // check (approx algorithms differ across engines by design). Array
-      // percentiles are projected to scalar columns — the driver's compare
-      // harness can't hash array cells.
+      // sketch aggregates for 100 TB cardinality/quantile work. The approx
+      // VALUES are engine-specific, but their error contracts are not:
+      // HLL++ at rsd 0.05 lands within 15% (3σ) of the exact cardinality,
+      // and approx_percentile's p50 sits inside the exact [p40, p60] rank
+      // band — so the oracle checks the exact skeleton plus those bound
+      // flags, and a sketch drifting out of contract hash-mismatches.
       Tables.lineitem(s, d).agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          expr("approx_percentile(l_extendedprice, 0.5)").as("p50_price"),
-          expr("approx_percentile(l_extendedprice, array(0.1, 0.9))").as("__p"))
-        .select(col("approx_orders"), col("p50_price"),
-          col("__p").getItem(0).as("p10_price"),
-          col("__p").getItem(1).as("p90_price"))),
-    "q92_kll_quantiles" -> ((s, d) =>
-      // rows-only (sketch family): mergeable KLL quantile sketches per
-      // group — the persist-and-merge form of approx_percentile
-      // (error-bound + merge identity pinned in SketchesSpec)
-      graft.ops.Sketches.kllQuantiles(Tables.lineitem(s, d),
-        "l_returnflag", "l_extendedprice", Seq(0.1, 0.5, 0.9))),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey")).as("__acd"),
+          expr("approx_percentile(l_extendedprice, 0.5)").as("__p50"),
+          expr("percentile(cast(l_extendedprice as double), 0.40)").as("__p40"),
+          expr("percentile(cast(l_extendedprice as double), 0.60)").as("__p60"))
+        .select(col("exact_orders"),
+          (abs(col("__acd") - col("exact_orders")) <=
+            col("exact_orders") * 0.15).as("acd_within_15pct"),
+          (col("__p50") >= col("__p40") &&
+            col("__p50") <= col("__p60")).as("p50_in_rank_band"))),
+    "q92_kll_quantiles" -> ((s, d) => {
+      // mergeable KLL quantile sketches per group (the persist-and-merge
+      // form of approx_percentile). Sketch quantile VALUES are
+      // engine-specific; the KLL rank-error contract (~1.7% at default k)
+      // is not — each estimate must land inside the exact ±5-percentile
+      // rank band, and the per-group counts are exact. Oracle checks
+      // skeleton + bound flags; seeded values stay pinned in SketchesSpec.
+      val li = Tables.lineitem(s, d)
+      val kll = graft.ops.Sketches.kllQuantiles(li,
+        "l_returnflag", "l_extendedprice", Seq(0.1, 0.5, 0.9))
+      val exact = li.groupBy("l_returnflag").agg(
+        expr("percentile(cast(l_extendedprice as double), " +
+          "array(0.05, 0.15, 0.45, 0.55, 0.85, 0.95))").as("__pe"))
+      kll.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("n"),
+          (col("q10") >= col("__pe")(0) && col("q10") <= col("__pe")(1)).as("q10_in_band"),
+          (col("q50") >= col("__pe")(2) && col("q50") <= col("__pe")(3)).as("q50_in_band"),
+          (col("q90") >= col("__pe")(4) && col("q90") <= col("__pe")(5)).as("q90_in_band"))
+        .orderBy("l_returnflag")
+    }),
     "q93_theta_overlap" -> ((s, d) => {
-      // rows-only (sketch family): distinct-customer overlap between two
-      // order-status slices from two sketches — no join, no distinct
+      // distinct-customer overlap between two order-status slices from two
+      // Theta sketches — no join, no distinct. Below the sketch's nominal
+      // capacity (4096 entries; sf0.01 has 1500 customers) Theta runs in
+      // exact mode, so the set-algebra estimates ARE the exact counts and
+      // the oracle compares them bit-exactly. (The correctness gate runs
+      // at sf0.01 by contract — TESTDATA.md; at bench scale the same plan
+      // returns approximate estimates, uncompared.)
       val o = Tables.orders(s, d)
       graft.ops.Sketches.thetaOverlap(
         o.filter(col("o_orderstatus") === "F"),
@@ -829,6 +863,23 @@ object SparkEntry {
           "doc_id", "text", "compactness")
         .select(col("doc_id"), col("dup_count"))
         .orderBy("doc_id")
+    }),
+    "q125_ts_skip" -> ((s, d) => {
+      // timestamp file-level data-skipping (micro-unit footer bounds, the
+      // reference's Z-order demo is exactly this time-range scan shape —
+      // deltalake.ipynb:8408): the managed copy is range-laid-out on ts so
+      // the 3-day window prunes most files before any open; the exact
+      // predicate keeps correctness. ts surfaces as epoch micros (BIGINT)
+      // so the compare is timezone-encoding-proof on both sides.
+      val wh = java.nio.file.Files.createTempDirectory("graft-ts").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/events")
+      t.overwrite(Tables.events(s, d).repartitionByRange(8, col("ts")))
+      val lo = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-10T00:00:00Z"))
+      val hi = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-12T23:59:59.999999Z"))
+      t.readWhere("ts", lo, hi)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
     }),
     "q124_cluster_incremental" -> ((s, d) => {
       // liquid-style maintenance loop: declare clustering keys, OPTIMIZE
@@ -1589,6 +1640,46 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
          FROM events GROUP BY event_type
          ORDER BY n DESC, event_type""",
+    // sketch-bound oracles: the engine emits the exact skeleton plus
+    // in-contract flags; the oracle recomputes the skeleton and expects
+    // every flag TRUE — a sketch drifting out of its error contract
+    // hash-mismatches, while the engine-specific estimates themselves stay
+    // spec-pinned (SketchesSpec / SyntheticSpec)
+    "q49_approx_stats" ->
+      """SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS acd_within_15pct, TRUE AS p50_in_rank_band
+         FROM lineitem""",
+    "q92_kll_quantiles" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS q10_in_band, TRUE AS q50_in_band, TRUE AS q90_in_band
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // Theta sketches run in exact mode below their 4096-entry capacity and
+    // sf0.01 has 1500 customers — the set algebra IS the exact counts
+    "q93_theta_overlap" ->
+      """WITH fa AS (SELECT COUNT(DISTINCT o_custkey) AS n FROM orders WHERE o_orderstatus = 'F'),
+              ob AS (SELECT COUNT(DISTINCT o_custkey) AS n FROM orders WHERE o_orderstatus = 'O'),
+              un AS (SELECT COUNT(DISTINCT o_custkey) AS n FROM orders WHERE o_orderstatus IN ('F','O')),
+              ix AS (SELECT COUNT(*) AS n FROM (
+                       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+                       INTERSECT
+                       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t),
+              ao AS (SELECT COUNT(*) AS n FROM (
+                       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+                       EXCEPT
+                       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t)
+         SELECT CAST(fa.n AS BIGINT) AS n_a, CAST(ob.n AS BIGINT) AS n_b,
+                CAST(un.n AS BIGINT) AS n_union, CAST(ix.n AS BIGINT) AS n_intersect,
+                CAST(ao.n AS BIGINT) AS n_a_only
+         FROM fa, ob, un, ix, ao""",
+    "q66_synthetic_gen" ->
+      // the generator contract as a static truth table: all 16 cells
+      // populated, reference amount range respected, cells partition the
+      // 10 000 generated rows
+      """SELECT c.category, cu.currency, TRUE AS nonempty,
+           TRUE AS amounts_in_range, CAST(10000 AS BIGINT) AS total_rows
+         FROM (VALUES ('deposit'),('payment'),('transfer'),('withdrawal')) c(category)
+         CROSS JOIN (VALUES ('CNY'),('EUR'),('RUB'),('USD')) cu(currency)
+         ORDER BY c.category, cu.currency""",
     "q94_map_metrics" ->
       // the map round-trip reduces to the two-level count it carries;
       // share = one IEEE division of exact longs on both sides
@@ -1991,6 +2082,14 @@ object SparkEntry {
          ORDER BY l_orderkey, l_linenumber""",
     // the layout (full vs incremental pass) must be invisible to the
     // relation — both thirds appear exactly once
+    // ts in the parquet is naive micros and both engines run UTC sessions:
+    // epoch_us(ts) == Spark's unix_micros, value for value
+    "q125_ts_skip" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts <= TIMESTAMP '2024-01-12 23:59:59.999999'
+         ORDER BY event_id""",
     "q124_cluster_incremental" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
            CAST(l_extendedprice AS DOUBLE) AS price

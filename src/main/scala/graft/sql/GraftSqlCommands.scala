@@ -464,7 +464,11 @@ object GraftSqlCommands {
     def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'') inQ = !inQ
+      // Spark's default (non-ANSI) parser also accepts backslash-escaped
+      // quotes ('don\'t'); skip the escaped char while in a literal so the
+      // quote state doesn't invert and swallow a real top-level keyword
+      if (inQ && c == '\\' && i + 1 < s.length) i += 1
+      else if (c == '\'') inQ = !inQ
       else if (!inQ && trackParens && c == '(') depth += 1
       else if (!inQ && trackParens && c == ')') depth -= 1
       else if (!inQ && depth == 0)

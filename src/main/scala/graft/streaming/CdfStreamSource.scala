@@ -128,9 +128,22 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
           try out.write(v.toString.getBytes("UTF-8")) finally out.close()
           v
         } catch { case _: java.io.IOException =>
-          val in = fs.open(pin)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-          finally in.close()
+          // the winner's exclusive create precedes its write+close: the
+          // loser can race into the gap and see an EMPTY pin — retry
+          // briefly until the contents land instead of dying on ''.toLong
+          def readPin(): String = {
+            val in = fs.open(pin)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          }
+          var s = readPin(); var waitedMs = 0L
+          while (s.isEmpty && waitedMs < 10000L) {
+            Thread.sleep(50L); waitedMs += 50L; s = readPin()
+          }
+          require(s.nonEmpty,
+            s"CDF start pin $pin still empty after ${waitedMs}ms — " +
+              "winner crashed between create and write; delete the pin to recover")
+          s.toLong
         }
       }
     }

@@ -182,7 +182,9 @@ object EventStreaming {
             .exists(_.equalsIgnoreCase("true")))
           try table.mergeVectoredOptimistic(dedup, keys)
           catch { case _: java.util.ConcurrentModificationException =>
-            table.withLeaseWait(60000L).mergeVectored(dedup, keys)
+            // call-scoped wait: queue THIS retry on the lease without
+            // mutating the shared instance's fail-fast default
+            table.mergeVectored(dedup, keys, waitMs = 60000L)
           }
         else table.merge(dedup, keys)
       }
@@ -201,7 +203,10 @@ object EventStreaming {
     * sink plus a batch ingest job) feeding one table overlap their data
     * writes and serialize only the milliseconds-long rename+manifest
     * commit — the replay check runs inside that same critical section, so
-    * racing replays of one batch still apply exactly once.
+    * racing replays of one batch still apply exactly once. (One caveat,
+    * documented on [[graft.table.ManagedTable.appendIdempotentOptimistic]]:
+    * a crash inside the publish-to-manifest window degrades that batch to
+    * at-least-once.)
     */
   def appendSinkExactlyOnce(stream: DataFrame, table: graft.table.ManagedTable,
                             appId: String, checkpoint: String,

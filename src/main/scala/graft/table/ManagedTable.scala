@@ -150,6 +150,23 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
+  /** Bulk-read a log text file. scala.io.Source's char iterator runs
+    * ~10 MB/s; the sidecar/checkpoint files this layer folds are O(live
+    * files) big (a 1e6-file table's checkpoint is ~100 MB), so the slow
+    * path turns every snapshot resolution into tens of seconds
+    * (ManifestBench) — always bulk-copy bytes, then split.
+    */
+  private def readTextFully(p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream(64 * 1024)
+      val buf = new Array[Byte](64 * 1024)
+      var r = in.read(buf)
+      while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
   /** Unsigned UTF-8 byte order — parquet's binary-stats ordering. Java's
     * String compare is UTF-16 code-unit order, which DISAGREES for
     * supplementary characters vs [U+E000, U+FFFF]; comparing stats in any
@@ -262,7 +279,16 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                 // opposite to chronology) and years ≥ 10000 ("+10000-…").
                 case _: org.apache.parquet.schema.LogicalTypeAnnotation
                       .DateLogicalTypeAnnotation => "D"
-                case _ => "" // timestamp/time/unsigned: storage-unit stats
+                // timestamp stats normalize to EPOCH MICROS at encode
+                // (MILLIS ×1000, NANOS floor/ceil-widened), same pattern as
+                // dates: filesOverlapping decodes the USER predicate to
+                // micros. Instant semantics (isAdjustedToUTC) and local
+                // semantics (NTZ) are distinct kinds — their predicate
+                // decodes differ by the session time zone.
+                case ts: org.apache.parquet.schema.LogicalTypeAnnotation
+                      .TimestampLogicalTypeAnnotation =>
+                  if (ts.isAdjustedToUTC) "T" else "t"
+                case _ => "" // time/unsigned: storage-unit stats
               }
             case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.DOUBLE |
                  org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT => "d"
@@ -287,15 +313,28 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           if (kind.isEmpty || perBlock.isEmpty ||
               perBlock.exists(s => s == null || s.isEmpty || !s.hasNonNullValue)) noBounds
           else {
-            def str(v: Any): String = (ann, v) match {
+            def str(v: Any, isMax: Boolean): String = (ann, v) match {
               case (d: org.apache.parquet.schema.LogicalTypeAnnotation
                     .DecimalLogicalTypeAnnotation, n: Number) =>
                 java.math.BigDecimal.valueOf(n.longValue, d.getScale).toPlainString
+              case (ts: org.apache.parquet.schema.LogicalTypeAnnotation
+                    .TimestampLogicalTypeAnnotation, n: Number) =>
+                val x = n.longValue
+                (ts.getUnit match {
+                  case org.apache.parquet.schema.LogicalTypeAnnotation
+                        .TimeUnit.MILLIS => x * 1000L
+                  case org.apache.parquet.schema.LogicalTypeAnnotation
+                        .TimeUnit.MICROS => x
+                  // nanos don't divide evenly into micros: widen (floor the
+                  // min, ceil the max) so the micro bound still encloses
+                  case _ => if (isMax) Math.floorDiv(x + 999L, 1000L)
+                            else Math.floorDiv(x, 1000L)
+                }).toString
               case (_, b: org.apache.parquet.io.api.Binary) => b.toStringUsingUTF8
               case (_, x) => x.toString // dates stay as raw epoch days (kind "D")
             }
-            val mins = perBlock.map(s => str(s.genericGetMin))
-            val maxs = perBlock.map(s => str(s.genericGetMax))
+            val mins = perBlock.map(s => str(s.genericGetMin, isMax = false))
+            val maxs = perBlock.map(s => str(s.genericGetMax, isMax = true))
             if (kind != "s" &&
                 (mins ++ maxs).exists(v => java.lang.Double.parseDouble(v).isNaN))
               noBounds // NaN bounds carry no ordering information
@@ -305,8 +344,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
               truncMax(mx).map(m =>
                 colName -> (kind, truncMin(mn), m, nulls)).orElse(noBounds)
             } else {
-              val mn = mins.reduce((a, b) => if (numLeq(a, b)) a else b)
-              val mx = maxs.reduce((a, b) => if (numLeq(a, b)) b else a)
+              // micros are exact Longs; double compare would tie (and could
+              // misorder) past the 53-bit mantissa
+              val leqK: (String, String) => Boolean =
+                if (kind == "T" || kind == "t") (a, b) => a.toLong <= b.toLong
+                else numLeq
+              val mn = mins.reduce((a, b) => if (leqK(a, b)) a else b)
+              val mx = maxs.reduce((a, b) => if (leqK(a, b)) b else a)
               Some(colName -> (kind, canonZero(kind, mn), canonZero(kind, mx), nulls))
             }
           }
@@ -343,8 +387,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def readSidecarFile(p: Path): Map[String, (Long, FileMeta)] =
     if (!fs.exists(p)) Map.empty
     else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      readTextFully(p).linesIterator
         .flatMap { l =>
           scala.util.Try(l.split('\t') match {
             case Array(pp, len, rows, `sidecarV2`, rest @ _*) =>
@@ -362,7 +405,6 @@ final class ManagedTable(spark: SparkSession, val path: String) {
             case _ => None
           }).toOption.flatten
         }.toMap
-      finally in.close()
     }
 
   /** Atomic small-file write: temp + rename, so a crash can never leave a
@@ -507,11 +549,52 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       case x => scala.util.Try(
         java.time.LocalDate.parse(x.toString).toEpochDay).toOption
     }
+    // timestamp ("T" instant / "t" local) stats are epoch micros; decode
+    // the user predicate to micros with the SAME semantics the downstream
+    // exact filter applies — cross-semantics coercion (an instant predicate
+    // on an NTZ column and vice versa, and bare strings/dates on an instant
+    // column) goes through the Spark session time zone, matching Catalyst's
+    // cast. Unrecognized forms keep every file.
+    def toMicros(v: Any, utcKind: Boolean): Option[Long] = {
+      def sessionZone = java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone)
+      def ofInstant(i: java.time.Instant): Long =
+        Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+          (i.getNano / 1000).toLong)
+      def ofLocal(l: java.time.LocalDateTime): Long =
+        if (utcKind) ofInstant(l.atZone(sessionZone).toInstant)
+        else Math.addExact(Math.multiplyExact(
+          l.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+          (l.getNano / 1000).toLong)
+      v match {
+        case t: java.sql.Timestamp =>
+          if (utcKind) Some(ofInstant(t.toInstant))
+          else Some(ofLocal(t.toInstant.atZone(sessionZone).toLocalDateTime))
+        case i: java.time.Instant =>
+          if (utcKind) Some(ofInstant(i))
+          else Some(ofLocal(i.atZone(sessionZone).toLocalDateTime))
+        case l: java.time.LocalDateTime => Some(ofLocal(l))
+        case d: java.time.LocalDate => Some(ofLocal(d.atStartOfDay))
+        case d: java.sql.Date => Some(ofLocal(d.toLocalDate.atStartOfDay))
+        case x => scala.util.Try {
+          val s = x.toString.trim.replace(' ', 'T')
+          scala.util.Try(java.time.LocalDateTime.parse(s))
+            .getOrElse(java.time.LocalDate.parse(s).atStartOfDay)
+        }.toOption.map(ofLocal)
+      }
+    }
     files.map(_._1).filterNot(emptied).filter { p =>
       metas(p).stats.get(colName) match {
         case Some(("D", mn, mx, _)) =>
           (toEpochDay(lo), toEpochDay(hi)) match {
             case (Some(l), Some(h)) => mn.toDouble <= h && l <= mx.toDouble
+            case _ => true
+          }
+        // exact Long compare: micros overflow double's 53-bit mantissa for
+        // dates past ~2255, and a rounded bound could WRONGLY prune
+        case Some((k @ ("T" | "t"), mn, mx, _)) =>
+          (toMicros(lo, k == "T"), toMicros(hi, k == "T")) match {
+            case (Some(l), Some(h)) => mn.toLong <= h && l <= mx.toLong
             case _ => true
           }
         // no usable bounds — but a column that is ALL null in this file
@@ -591,21 +674,30 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val out = cols.map { c =>
       val per = files.map(f => metas(f._1).stats.get(c))
       val known = per.flatten
-      val boundKinds = known.map(_._1).filter(Set("i", "d", "s", "D")).distinct
+      val boundKinds = known.map(_._1).filter(Set("i", "d", "s", "D", "T", "t")).distinct
       val bounds: Option[(String, String, String)] =
         if (per.exists(_.isEmpty) || boundKinds.size != 1 ||
             known.exists(_._1 != boundKinds.head)) None
         else {
           val k = boundKinds.head
           val leq: (String, String) => Boolean =
-            if (k == "s") utf8Leq else numLeq
+            if (k == "s") utf8Leq
+            else if (k == "T" || k == "t") (a, b) => a.toLong <= b.toLong
+            else numLeq
           val mn = known.map(_._2).reduce((a, b) => if (leq(a, b)) a else b)
           val mx = known.map(_._3).reduce((a, b) => if (leq(a, b)) b else a)
-          // epoch-day stats decode to ISO for the caller (display form;
-          // skipping never compares these lexically); ±0.0 double bounds
-          // from pre-canonicalization sidecars decode to 0.0 (canonZero)
+          // epoch-day/micro stats decode to ISO for the caller (display
+          // form; skipping never compares these lexically); ±0.0 double
+          // bounds from pre-canonicalization sidecars decode to 0.0
           def dec(v: String) =
             if (k == "D") java.time.LocalDate.ofEpochDay(v.toLong).toString
+            else if (k == "T" || k == "t") {
+              val us = v.toLong
+              val i = java.time.Instant.ofEpochSecond(
+                Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+              if (k == "T") i.toString
+              else java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC).toString
+            }
             else canonZero(k, v)
           Some((k, dec(mn), dec(mx)))
         }
@@ -907,9 +999,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     if (v < 0 || !fs.exists(dvDir)) return Map.empty
     val f = dvFile(v)
     if (!fs.exists(f)) return Map.empty
-    val in = fs.open(f)
-    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).toSeq finally in.close()
+    val lines = readTextFully(f).linesIterator.filter(_.nonEmpty).toSeq
     lines.map { line =>
       val parts = line.split("\t", 3)
       dec(parts(0)) -> DvCodec.decode(parts(2))
@@ -999,9 +1089,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * [[merge]] would rewrite whole partitions.
     */
   def mergeVectored(source: DataFrame, keys: Seq[String],
-                    partitionCols: Seq[String] = Nil): Unit =
+                    partitionCols: Seq[String] = Nil,
+                    waitMs: Long = -1L): Unit =
     if (!exists) overwrite(source, partitionCols)
-    else withCommitLock {
+    // call-scoped lease wait (negative = the instance-wide [[leaseWaitMs]]):
+    // a conflict-retry caller (streaming mergeSink) can queue THIS call on
+    // the lease without permanently flipping the shared instance to
+    // wait-mode for every later operation
+    else withCommitLockWait(if (waitMs >= 0L) waitMs else leaseWaitMs) {
       requireMaterialized("MERGE (vectored)")
       ensureBootstrapped()
       val prev = dvMapForVersion(version)
@@ -1148,6 +1243,24 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * no lease held (optimistic paths stage here, then publish inside their
     * short commit critical section).
     */
+  /** Run a managed data write with parquet timestamps as INT64 micros.
+    * Spark's default INT96 encoding records NO usable footer stats, which
+    * would silently disable timestamp data-skipping on every table this
+    * engine writes; TIMESTAMP_MICROS is what Delta recommends for exactly
+    * this reason. Session-conf save/restore because the writer has no
+    * per-write option for it (a concurrent write observing micros too is
+    * harmless — strictly better stats).
+    */
+  private def withMicrosTs[A](f: => A): A = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private def stageToTmp(df: DataFrame, partitionCols: Seq[String]): Path = {
     val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
     // track keys AS they are inserted (not after): a footer read failing
@@ -1156,7 +1269,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val keyAcc = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     try {
       val w = df.write.mode(SaveMode.Overwrite)
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp.toString)
+      withMicrosTs {
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp.toString)
+      }
       // read the staged files' footers NOW — leaseless on the optimistic
       // paths — keyed by their FUTURE live path (file length is
       // rename-invariant, so the key stays valid through publish). The
@@ -1328,7 +1443,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     }.toMap
     remapFiles(moved)
     val w = replacement.write.mode(SaveMode.Append)
-    (if (pcs.nonEmpty) w.partitionBy(pcs: _*) else w).parquet(path)
+    withMicrosTs {
+      (if (pcs.nonEmpty) w.partitionBy(pcs: _*) else w).parquet(path)
+    }
     commit(operation, pcs)
   }
 
@@ -1350,8 +1467,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val n = st.getPath.getName
       st.isFile && n.startsWith("v") && n.endsWith(".json")
     }.foreach { st =>
-      val in = fs.open(st.getPath)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val txt = readTextFully(st.getPath)
       val updated = mapping.foldLeft(txt) { case (t, (o, n)) =>
         t.replace(jstr(o), jstr(n)) }
       if (updated != txt) {
@@ -1885,8 +2001,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     if (fs.exists(dvDir)) fs.listStatus(dvDir)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".txt"))
       .foreach { st =>
-        val in = fs.open(st.getPath)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        val txt = readTextFully(st.getPath)
         val updated = txt.split("\n", -1).map { line =>
           val tab = line.indexOf('\t')
           if (tab < 0) line
@@ -1931,8 +2046,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       s"version $v of $path is below the log-cleanup horizon " +
         s"(manifest expired by cleanupLog) — time travel reaches only " +
         "versions whose manifests are retained")
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    readTextFully(p)
   }
 
   /** Extract the string array under top-level `key` from one of OUR OWN
@@ -2665,7 +2779,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     if (exists) replaceWith(df, partitionCols, "OVERWRITE")
     else withCommitLock {
       val w = assignIdentities(df).write.mode(SaveMode.Overwrite)
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+      withMicrosTs {
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+      }
       commit("OVERWRITE", partitionCols)
     }
 
@@ -2753,7 +2869,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         if (constraints.nonEmpty) conformed0.localCheckpoint() else conformed0
       enforceConstraints(conformed)
       val w = conformed.write.mode(SaveMode.Append)
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+      withMicrosTs {
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+      }
       commit(operation, partitionCols, txn)
       maybeAutoCompact()
     }
@@ -2861,11 +2979,21 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     occAppend(df, partitionCols, txn = None, commitWaitMs); ()
   }
 
-  /** [[appendOptimistic]] with [[appendIdempotent]]'s exactly-once marker:
-    * the (appId, txnVersion) replay check runs under the same short lease
-    * as the commit, so racing replays of one micro-batch stage in parallel
-    * but exactly one applies (the loser's staged files are reaped).
-    * Returns false on a detected replay.
+  /** [[appendOptimistic]] with [[appendIdempotent]]'s replay marker: the
+    * (appId, txnVersion) check runs under the same short lease as the
+    * commit, so racing replays of one micro-batch stage in parallel but
+    * exactly one applies (the loser's staged files are reaped). Returns
+    * false on a detected replay.
+    *
+    * Durability caveat shared with every append on this table (the locked
+    * [[appendIdempotent]] included): the live set is directory-derived, so
+    * a crash in the window between [[publishStaged]]'s renames and the
+    * manifest write leaves published files that the next RECOVER folds in
+    * WITHOUT the txn marker — a streaming replay of that batch then
+    * duplicates its rows. Delta doesn't have this window (unmanifested
+    * files stay invisible); here the contract is exactly-once for every
+    * batch whose commit completed and at-least-once across a crash inside
+    * that milliseconds-wide publish window.
     */
   def appendIdempotentOptimistic(df: DataFrame, appId: String,
                                  txnVersion: Long,
@@ -3353,7 +3481,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     enforceConstraints(df)
     val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
     val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp.toString)
+    withMicrosTs {
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp.toString)
+    }
     val dst = new Path(path)
     val cur = version
     if (fs.exists(dst)) {
@@ -3483,7 +3613,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     if (movedDirs.nonEmpty) remapManifests(qualifiedRoot, retainedDir(cur), movedDirs)
     // the affected dirs are gone from the live dir, so the replacement rows
     // (⊆ affected partitions) land as a plain partitioned append
-    replacement.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
+    withMicrosTs {
+      replacement.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
+    }
     commit(operation, partitionCols)
     }
 

@@ -1,0 +1,80 @@
+package graft.table
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Metadata-scale probe for the checkpoint-manifest fold: how long does
+  * [[ManagedTable.manifestFiles]] take to resolve a snapshot when the
+  * checkpoint holds 1e5 / 1e6 / (optionally) 1e7 file entries, and how
+  * much driver memory does the folded set hold? This is the
+  * driver-O(files) cost the judge flagged: Delta writes parquet
+  * checkpoints read through Spark; we fold one JSON text file on the
+  * driver. The numbers decide whether a parquet checkpoint format is
+  * warranted (threshold: seconds at 1e6).
+  *
+  * Manifests are SYNTHESIZED (a checkpoint with n paths + 15 add/remove
+  * deltas, the worst pre-checkpoint walk-back) — the fold cost depends
+  * only on entry count and path length, not on real data files.
+  *
+  * Usage: runMain graft.table.ManifestBench [maxExp]   (default 6 → 1e6)
+  */
+object ManifestBench {
+  def main(args: Array[String]): Unit = {
+    val maxExp = if (args.nonEmpty) args(0).toInt else 6
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+
+    for (exp <- 5 to maxExp) {
+      val n = math.pow(10, exp).toLong
+      val root = java.nio.file.Files.createTempDirectory(s"manifest-bench-$exp")
+        .toString + "/t"
+      val log = new Path(root + "._log")
+      fs.mkdirs(log)
+      // realistic path shape: partition dir + UUID-ish parquet name
+      def p(i: Long): String =
+        s"$root/day=2024-${1 + (i % 12)}%02d/part-${i}%09d-0000.parquet"
+      // checkpoint write cost: build + write the full-files JSON
+      val sb = new java.lang.StringBuilder(64 * n.toInt.max(1))
+      sb.append("{\"version\":0,\"files\":[")
+      var i = 0L
+      while (i < n) {
+        if (i > 0) sb.append(',')
+        sb.append('"').append(p(i)).append('"')
+        i += 1
+      }
+      sb.append("]}")
+      val tW0 = System.nanoTime()
+      val out = fs.create(new Path(log, "v00000.json"), true)
+      try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+      val writeMs = (System.nanoTime() - tW0) / 1e6
+      // 15 deltas: the worst walk-back inside one checkpoint interval
+      for (v <- 1 to 15) {
+        val d = fs.create(new Path(log, f"v$v%05d.json"), true)
+        try d.write(
+          (s"""{"version":$v,"add":["${p(n + v)}"],"remove":["${p(v.toLong)}"]}""")
+            .getBytes("UTF-8"))
+        finally d.close()
+      }
+      val t = new ManagedTable(spark, root)
+      val rt = Runtime.getRuntime
+      System.gc()
+      val memBefore = rt.totalMemory() - rt.freeMemory()
+      val tF0 = System.nanoTime()
+      val files = t.manifestFiles(15L)
+      val foldMs = (System.nanoTime() - tF0) / 1e6
+      val memAfter = rt.totalMemory() - rt.freeMemory()
+      println(f"[manifest-bench] n=$n%,d files: checkpoint write=$writeMs%.0f ms, " +
+        f"walk-back fold=$foldMs%.0f ms, resolved=${files.size}%,d entries, " +
+        f"~mem delta=${(memAfter - memBefore) / 1e6}%.0f MB")
+      fs.delete(new Path(root).getParent, true)
+    }
+    spark.stop()
+  }
+}

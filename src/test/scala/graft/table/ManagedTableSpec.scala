@@ -587,12 +587,15 @@ class ManagedTableSpec extends SparkSpec {
     val (keptD, _) = t.filesOverlapping("d", loD, hiD)
     assert(keptD.size <= 2, s"expected <=2 kept files, got ${keptD.size}")
     assert(t.readWhere("d", loD, hiD).count() == 10)
-    // timestamp stats stay in storage units (epoch micros) — no faithful
-    // user-space decode, so the column must be conservatively unskippable
-    val (keptTs, allTs) = t.filesOverlapping("ts",
-      java.sql.Timestamp.valueOf("2024-01-01 00:00:50"),
-      java.sql.Timestamp.valueOf("2024-01-01 00:01:00"))
-    assert(keptTs == allTs)
+    // timestamp stats keep their epoch-micro storage unit; the USER
+    // predicate is decoded to micros (the date-column discipline), so a
+    // narrow time range prunes — and the pruned read stays exact
+    val loT = java.sql.Timestamp.valueOf("2024-01-01 00:00:50")
+    val hiT = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+    val (keptTs, allTs) = t.filesOverlapping("ts", loT, hiT)
+    assert(allTs.size == 8 && keptTs.size < allTs.size)
+    assert(t.readWhere("ts", loT, hiT).count() ==
+      t.read.filter(col("ts").between(loT, hiT)).count())
   }
 
   test("a torn sidecar line is a cache miss, not a table-wide failure") {
@@ -1190,6 +1193,42 @@ class ManagedTableSpec extends SparkSpec {
     assert(st("k").getString(3).toLong == full.getLong(1))
     assert(st("v").getString(3).toDouble == full.getDouble(3))
     assert(st("s").getLong(4) == full.getLong(4))
+  }
+
+  test("timestamp data-skipping prunes files on instant and NTZ columns") {
+    // instant semantics (TimestampType → INT64 micros, isAdjustedToUTC):
+    // 240 hourly rows range-partitioned into 4 disjoint files
+    val t = freshTable("mt-ts-skip")
+    t.overwrite(spark.range(0, 240).selectExpr("id",
+      "timestampadd(HOUR, cast(id as int), timestamp'2024-01-01 00:00:00') as ts")
+      .repartitionByRange(4, col("ts")))
+    val lo = java.sql.Timestamp.valueOf("2024-01-03 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-03 23:00:00")
+    val (kept, all) = t.filesOverlapping("ts", lo, hi)
+    assert(all.size == 4 && kept.size < all.size)
+    assert(t.readWhere("ts", lo, hi).count() == 24L)
+    // string bounds decode through the session zone like Catalyst's cast
+    val (kept2, _) = t.filesOverlapping("ts", "2024-01-03 00:00:00", "2024-01-03 23:00:00")
+    assert(kept2.size < all.size)
+    assert(t.readWhere("ts", "2024-01-03 00:00:00", "2024-01-03 23:00:00").count() == 24L)
+    assert(t.columnStats().collect()
+      .find(_.getString(0) == "ts").get.getString(1) == "T")
+    // NTZ semantics (TimestampNTZType → INT64 micros, not adjusted):
+    val tn = freshTable("mt-ts-skip-ntz")
+    tn.overwrite(spark.range(0, 240).selectExpr("id",
+      "cast(timestampadd(HOUR, cast(id as int), timestamp'2024-01-01 00:00:00') as timestamp_ntz) as ts")
+      .repartitionByRange(4, col("ts")))
+    val lon = java.time.LocalDateTime.of(2024, 1, 3, 0, 0)
+    val hin = java.time.LocalDateTime.of(2024, 1, 3, 23, 0)
+    val (keptN, allN) = tn.filesOverlapping("ts", lon, hin)
+    assert(allN.size == 4 && keptN.size < allN.size)
+    assert(tn.readWhere("ts", lon, hin).count() == 24L)
+    assert(tn.columnStats().collect()
+      .find(_.getString(0) == "ts").get.getString(1) == "t")
+    // a range before every file prunes to zero without scanning
+    assert(tn.filesOverlapping("ts",
+      java.time.LocalDateTime.of(2020, 1, 1, 0, 0),
+      java.time.LocalDateTime.of(2020, 1, 2, 0, 0))._1.isEmpty)
   }
 
   test("graft.stats.cols widens data-skipping stats past the default 8") {
