@@ -864,6 +864,31 @@ object SparkEntry {
         .select(col("doc_id"), col("dup_count"))
         .orderBy("doc_id")
     }),
+    "q126_catalog_stats" -> ((s, d) => {
+      // metadata-fold statistics published into the session catalog
+      // (ManagedTable.publishCatalog): rowCount/sizeInBytes/column bounds
+      // attach with NO scan job, so planner size estimates come from
+      // metadata — PlanSpec pins the CBO broadcast flip; here the oracle
+      // pins that the published relation serves exactly the managed rows
+      val wh = java.nio.file.Files.createTempDirectory("graft-cat").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/orders")
+      t.overwrite(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")))
+      s.sql("DROP TABLE IF EXISTS graft_q126_orders")
+      t.publishCatalog("graft_q126_orders")
+      val out = s.table("graft_q126_orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderstatus")
+      // materialize before the temp table is dropped out from under a
+      // lazy consumer, then clean the catalog entry (external: data stays)
+      val rows = out.localCheckpoint()
+      s.sql("DROP TABLE IF EXISTS graft_q126_orders")
+      rows
+    }),
     "q125_ts_skip" -> ((s, d) => {
       // timestamp file-level data-skipping (micro-unit footer bounds, the
       // reference's Z-order demo is exactly this time-range scan shape —
@@ -2082,6 +2107,12 @@ object SparkEntry {
          ORDER BY l_orderkey, l_linenumber""",
     // the layout (full vs incremental pass) must be invisible to the
     // relation — both thirds appear exactly once
+    "q126_catalog_stats" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // ts in the parquet is naive micros and both engines run UTC sessions:
     // epoch_us(ts) == Spark's unix_micros, value for value
     "q125_ts_skip" ->

@@ -61,6 +61,7 @@ object GraftSqlCommands {
   private[sql] val detailAttrs: Seq[Attribute] = attrs(
     "format" -> StringType, "name" -> StringType, "location" -> StringType,
     "partition_columns" -> ArrayType(StringType),
+    "clustering_columns" -> ArrayType(StringType),
     "num_files" -> LongType, "size_in_bytes" -> LongType,
     "version" -> LongType, "created_at" -> StringType,
     "last_modified" -> StringType, "properties" -> ArrayType(StringType))

@@ -724,6 +724,80 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     }.sum
   }
 
+  /** Publish this table into the session catalog as an EXTERNAL parquet
+    * table named `name`, with table AND column statistics attached from
+    * the commit sidecar — a metadata-only ANALYZE straight into the
+    * optimizer, no scan job. With exact `rowCount`/`sizeInBytes` the
+    * planner's join-side size estimates come from metadata instead of the
+    * file-size heuristic, and under `spark.sql.cbo.enabled` the column
+    * min/max/null-counts drive filter-selectivity estimation — a filtered
+    * join side whose estimated output shrinks below
+    * `autoBroadcastJoinThreshold` flips from a shuffle join to a
+    * broadcast (PlanSpec pins this). At 100 TB that flip is the
+    * difference between shuffling a fact table and shipping a few MB.
+    *
+    * Refused while deletion vectors are outstanding: the catalog relation
+    * scans the raw files and would resurrect bitmap-deleted rows — run
+    * [[purgeDeletes]] first. Re-publishing after new commits refreshes
+    * both the table definition and the statistics.
+    */
+  def publishCatalog(name: String, computeNdv: Boolean = false): Unit = {
+    requireReadable()
+    require(currentDv.isEmpty,
+      s"publishCatalog: $path carries deletion vectors; a catalog scan " +
+        "of the raw files would resurrect deleted rows — purgeDeletes first")
+    val pcs = loggedPartitionCols(version)
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val ddl = read.schema.toDDL
+    val pby =
+      if (pcs.nonEmpty) s" PARTITIONED BY (${pcs.map(c => s"`$c`").mkString(", ")})"
+      else ""
+    spark.sql(s"CREATE TABLE `$name` ($ddl) USING parquet$pby " +
+      s"LOCATION '$qualifiedRoot'")
+    if (pcs.nonEmpty) spark.sql(s"MSCK REPAIR TABLE `$name`")
+    val files = liveFilesQ()
+    val metas = fileMeta(files)
+    val size = files.map(_._2).sum
+    val rows = metas.values.map(_.rows).sum
+    // NDVs are the one statistic the metadata fold cannot supply, and
+    // Catalyst's filter-selectivity estimation requires them alongside
+    // min/max — `computeNdv` pays ONE approximate scan for every column
+    // (what ANALYZE ... FOR COLUMNS does, but HLL-cheap); a guessed NDV
+    // would mislead equality-selectivity estimation, so default off.
+    val ndv: Map[String, BigInt] =
+      if (!computeNdv) Map.empty
+      else {
+        val cols = read.schema.fieldNames
+        val row = read.agg(
+          org.apache.spark.sql.functions.approx_count_distinct(cols.head)
+            .as(cols.head),
+          cols.tail.map(c =>
+            org.apache.spark.sql.functions.approx_count_distinct(c).as(c)): _*)
+          .head()
+        cols.zipWithIndex.map { case (c, i) => c -> BigInt(row.getLong(i)) }.toMap
+      }
+    // column stats from the metadata fold; bounds only for kinds whose
+    // sidecar form IS the catalog's external string form (numeric, date —
+    // columnStats decodes "D" to ISO). Strings/timestamps contribute
+    // null counts (and NDVs when computed) only.
+    val colStats = columnStats().collect().flatMap { r =>
+      val cname = r.getString(0)
+      val usable = Set("i", "d", "D")(r.getString(1))
+      val mn = if (usable && !r.isNullAt(2)) Some(r.getString(2)) else None
+      val mx = if (usable && !r.isNullAt(3)) Some(r.getString(3)) else None
+      val nulls = if (r.isNullAt(4)) None else Some(BigInt(r.getLong(4)))
+      if (mn.isEmpty && nulls.isEmpty && !ndv.contains(cname)) None
+      else Some(cname ->
+        org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
+          distinctCount = ndv.get(cname), min = mn, max = mx,
+          nullCount = nulls))
+    }.toMap
+    spark.sessionState.catalog.alterTableStats(
+      org.apache.spark.sql.catalyst.TableIdentifier(name),
+      Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+        BigInt(size), Some(BigInt(rows)), colStats)))
+  }
+
   /** Conjunctive multi-column range read: file-level skipping intersects
     * every predicate's kept-set BEFORE any file opens, so a scan like
     * `date BETWEEN … AND amount BETWEEN …` prunes on both columns (the
@@ -2245,8 +2319,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * data lives only in a retained dir become unreadable, like Delta's
     * VACUUM with zero retention. The live dir and the log stay intact.
     */
-  def vacuumVersions(): Unit =
-    retainedDirsOnDisk.foreach(r => fs.delete(new Path(r), true))
+  def vacuumVersions(): Unit = {
+    // dir-level parallel deletes: on an object store each recursive delete
+    // is O(files-in-dir) RPCs, and the dirs are independent — a serial
+    // driver loop makes VACUUM latency O(total files)/1 thread
+    import scala.collection.parallel.CollectionConverters._
+    retainedDirsOnDisk.par.foreach(r => fs.delete(new Path(r), true))
+  }
 
   /** Retained snapshot dirs actually present — ONE parent listing, not
     * O(versions) existence probes (at thousands of commits those are
@@ -2277,8 +2356,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * copy), so the keep-set is computed from the manifests of the
     * in-window versions, not from the dirs' own ages.
     */
-  def vacuumVersions(olderThan: java.time.Instant): Unit =
-    droppableRetainedDirs(olderThan).foreach(r => fs.delete(new Path(r), true))
+  def vacuumVersions(olderThan: java.time.Instant): Unit = {
+    import scala.collection.parallel.CollectionConverters._
+    droppableRetainedDirs(olderThan).par.foreach(r => fs.delete(new Path(r), true))
+  }
 
   /** DRY RUN for the retention-windowed vacuum (Delta's `VACUUM … DRY
     * RUN`): the retained snapshot dirs a [[vacuumVersions(olderThan)]]
@@ -3759,7 +3840,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def vacuum(): Unit = {
     val parent = new Path(path).getParent
     val prefix = new Path(path).getName
-    fs.listStatus(parent).foreach { st =>
+    import scala.collection.parallel.CollectionConverters._
+    fs.listStatus(parent).toSeq.par.foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith(prefix + ".tmp-") || n.startsWith(prefix + ".old-"))
         fs.delete(st.getPath, true)
@@ -3942,12 +4024,17 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         if (dv.isEmpty) Nil
         else Seq(s"deletionVectors:files=${dv.size},rows=${dv.values.sum}")
       }
+    // Delta's DESCRIBE DETAIL clusteringColumns field: the declared liquid
+    // clustering keys (`graft.clusterBy`, the [[clusterIncremental]] driver)
+    val clusterCols = properties.get("graft.clusterBy")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty[String])
     Seq((("parquet"): String, new Path(path).getName, path, partCols,
-        files.size.toLong, files.map(_._2).sum, version, createdAt, modifiedAt,
-        props))
+        clusterCols, files.size.toLong, files.map(_._2).sum, version,
+        createdAt, modifiedAt, props))
       .toDF("format", "name", "location", "partition_columns",
-        "num_files", "size_in_bytes", "version", "created_at", "last_modified",
-        "properties")
+        "clustering_columns", "num_files", "size_in_bytes", "version",
+        "created_at", "last_modified", "properties")
   }
 
   private def listParquet(p: Path): Seq[(String, Long)] = {

@@ -153,4 +153,48 @@ class PlanSpec extends SparkSpec {
       assert(plan.contains("__salt"), plan) // join key includes the salt
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("publishCatalog stats flip a filtered join side to broadcast under CBO") {
+    // metadata-only ANALYZE → catalog statistics: with exact rowCount +
+    // column min/max from the commit sidecar, CBO estimates the filtered
+    // fact slice at ~0.5% of the table, dropping its size below the
+    // broadcast threshold; the file-size heuristic alone (no stats, filter
+    // doesn't shrink sizeInBytes) keeps both sides big → shuffle SMJ. At
+    // 100 TB this flip is shipping a few MB instead of shuffling a fact.
+    val wh = tmpDir("plan-catstats")
+    def wide(n: Long) = spark.range(0L, n).selectExpr(
+      "id as k", "id % 997 as v", "repeat('x', 24) as pad")
+    val fact = new graft.table.ManagedTable(spark, s"$wh/fact")
+    fact.overwrite(wide(200000L).repartition(4))
+    val other = new graft.table.ManagedTable(spark, s"$wh/other")
+    other.overwrite(wide(100000L).repartition(4))
+    spark.sql("DROP TABLE IF EXISTS graft_cat_fact")
+    fact.publishCatalog("graft_cat_fact", computeNdv = true)
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevC = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+      // catalog stats are attached and exact
+      val rel = spark.table("graft_cat_fact").queryExecution.optimizedPlan
+      assert(rel.stats.rowCount.contains(BigInt(200000)), rel.stats)
+      // without stats: same data via the path scan — filter doesn't shrink
+      // the estimate, both sides exceed the threshold, shuffle SMJ
+      val noStats = fact.read.filter(col("k") < 1000L)
+        .join(other.read, "k")
+      assert(noStats.queryExecution.sparkPlan.toString.contains("SortMergeJoin"),
+        noStats.queryExecution.sparkPlan.toString)
+      // with stats: the filtered catalog side estimates tiny → broadcast
+      val withStats = spark.table("graft_cat_fact").filter(col("k") < 1000L)
+        .join(other.read, "k")
+      val plan = withStats.queryExecution.sparkPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      // and the published relation still returns the right rows
+      assert(withStats.count() == 1000L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.set("spark.sql.cbo.enabled", prevC)
+      spark.sql("DROP TABLE IF EXISTS graft_cat_fact")
+    }
+  }
 }

@@ -75,6 +75,12 @@ class ClusterIncrementalSpec extends SparkSpec {
     graft.sql.GraftSql.sql(spark, s"OPTIMIZE '${t.path}'").collect()
     assert(afterFull.subsetOf(liveFiles(t)), "incremental, not full")
     assert(t.read.count() == 3200)
+    // DESCRIBE DETAIL surfaces the declared clustering keys (Delta's
+    // clusteringColumns field), both via the API and the SQL command
+    assert(t.detail().select("clustering_columns").as[Seq[String]].head() ==
+      Seq("id", "k"))
+    assert(graft.sql.GraftSql.sql(spark, s"DESCRIBE DETAIL '${t.path}'")
+      .select("clustering_columns").as[Seq[String]].head() == Seq("id", "k"))
   }
 
   test("deletion vectors drop their rows when the file is re-clustered") {

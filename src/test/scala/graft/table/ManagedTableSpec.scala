@@ -1195,6 +1195,32 @@ class ManagedTableSpec extends SparkSpec {
     assert(st("s").getLong(4) == full.getLong(4))
   }
 
+  test("publishCatalog registers a partitioned table with exact stats") {
+    val t = freshTable("mt-pubcat")
+    t.overwrite(spark.range(0, 300).selectExpr(
+      "id as k", "cast(id % 3 as string) as g", "cast(id as double) as v"),
+      partitionCols = Seq("g"))
+    spark.sql("DROP TABLE IF EXISTS graft_spec_pubcat")
+    try {
+      t.publishCatalog("graft_spec_pubcat")
+      // partition discovery (MSCK) found every partition's rows
+      assert(spark.table("graft_spec_pubcat").count() == 300L)
+      assert(spark.table("graft_spec_pubcat")
+        .filter(col("g") === "1").count() == 100L)
+      // stats attached: exact rowCount, size = live file bytes
+      val st = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("graft_spec_pubcat")).stats
+      assert(st.exists(_.rowCount.contains(BigInt(300))))
+      assert(st.exists(_.colStats.get("k").exists(_.min.contains("0"))))
+      // DV-carrying tables are refused (the catalog scan would resurrect
+      // deleted rows)
+      t.deleteVectored(col("k") < 10L, Nil)
+      val e = intercept[IllegalArgumentException](
+        t.publishCatalog("graft_spec_pubcat2"))
+      assert(e.getMessage.contains("purgeDeletes"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_spec_pubcat")
+  }
+
   test("timestamp data-skipping prunes files on instant and NTZ columns") {
     // instant semantics (TimestampType → INT64 micros, isAdjustedToUTC):
     // 240 hourly rows range-partitioned into 4 disjoint files
