@@ -874,8 +874,7 @@ object SparkEntry {
       val t = new graft.table.ManagedTable(s, s"$wh/orders")
       t.overwrite(Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")))
-      s.sql("DROP TABLE IF EXISTS graft_q126_orders")
-      t.publishCatalog("graft_q126_orders")
+      t.publishCatalog("graft_q126_orders") // drops any stale registration itself
       val out = s.table("graft_q126_orders")
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),

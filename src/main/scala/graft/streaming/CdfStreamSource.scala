@@ -113,11 +113,27 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
       val hadoop = sqlContext.sparkSession.sparkContext.hadoopConfiguration
       val pin = new org.apache.hadoop.fs.Path(metadataPath, "graft-cdf-start")
       val fs = pin.getFileSystem(hadoop)
-      if (fs.exists(pin)) {
-        val in = fs.open(pin)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-        finally in.close()
-      } else {
+      // a winner's exclusive create precedes its write+close, so ANY
+      // reader (the create-race loser AND a starter that merely observed
+      // fs.exists) can race into the gap and see an EMPTY pin — retry
+      // briefly until the contents land instead of dying on ''.toLong
+      def readPinRetrying(): Long = {
+        def readPin(): String = {
+          val in = fs.open(pin)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        }
+        var s = readPin(); var waitedMs = 0L
+        while (s.isEmpty && waitedMs < 10000L) {
+          Thread.sleep(50L); waitedMs += 50L; s = readPin()
+        }
+        require(s.nonEmpty,
+          s"CDF start pin $pin still empty after ${waitedMs}ms — " +
+            "winner crashed between create and write; delete the pin to recover")
+        s.toLong
+      }
+      if (fs.exists(pin)) readPinRetrying()
+      else {
         val v = t.version
         fs.mkdirs(pin.getParent)
         // create-if-absent so racing starts agree — the LOSER of the race
@@ -127,24 +143,7 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
           val out = fs.create(pin, false)
           try out.write(v.toString.getBytes("UTF-8")) finally out.close()
           v
-        } catch { case _: java.io.IOException =>
-          // the winner's exclusive create precedes its write+close: the
-          // loser can race into the gap and see an EMPTY pin — retry
-          // briefly until the contents land instead of dying on ''.toLong
-          def readPin(): String = {
-            val in = fs.open(pin)
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-            finally in.close()
-          }
-          var s = readPin(); var waitedMs = 0L
-          while (s.isEmpty && waitedMs < 10000L) {
-            Thread.sleep(50L); waitedMs += 50L; s = readPin()
-          }
-          require(s.nonEmpty,
-            s"CDF start pin $pin still empty after ${waitedMs}ms — " +
-              "winner crashed between create and write; delete the pin to recover")
-          s.toLong
-        }
+        } catch { case _: java.io.IOException => readPinRetrying() }
       }
     }
     new CdfStreamSource(sqlContext, path, keys, resolved)

@@ -665,9 +665,16 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * count.
     */
   def columnStats(): DataFrame = {
-    import spark.implicits._
     val files = liveFilesQ()
-    val metas = fileMeta(files)
+    columnStatsFrom(files, fileMeta(files))
+  }
+
+  /** [[columnStats]] over a pre-fetched listing+fold — callers that
+    * already paid the listing ([[publishCatalog]]) must not pay it twice.
+    */
+  private def columnStatsFrom(files: Seq[(String, Long)],
+                              metas: Map[String, FileMeta]): DataFrame = {
+    import spark.implicits._
     val rowsTotal = metas.values.map(_.rows).sum
     val nFiles = files.size.toLong
     val cols = metas.values.flatMap(_.stats.keys).toSeq.distinct.sorted
@@ -743,18 +750,26 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   def publishCatalog(name: String, computeNdv: Boolean = false): Unit = {
     requireReadable()
+    // an unmaterialized shallow clone's data files live under the SOURCE
+    // root — the catalog table at the clone's own location would serve
+    // zero rows while the attached stats claim the full table
+    requireMaterialized("publishCatalog")
     require(currentDv.isEmpty,
       s"publishCatalog: $path carries deletion vectors; a catalog scan " +
         "of the raw files would resurrect deleted rows — purgeDeletes first")
     val pcs = loggedPartitionCols(version)
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    val ddl = read.schema.toDDL
+    val base = read
+    val ddl = base.schema.toDDL
     val pby =
       if (pcs.nonEmpty) s" PARTITIONED BY (${pcs.map(c => s"`$c`").mkString(", ")})"
       else ""
     spark.sql(s"CREATE TABLE `$name` ($ddl) USING parquet$pby " +
       s"LOCATION '$qualifiedRoot'")
     if (pcs.nonEmpty) spark.sql(s"MSCK REPAIR TABLE `$name`")
+    // ONE listing + ONE sidecar fold serves size, rows AND the column
+    // stats below (the repeated driver listing is the dominant metadata
+    // cost at a million files)
     val files = liveFilesQ()
     val metas = fileMeta(files)
     val size = files.map(_._2).sum
@@ -767,8 +782,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val ndv: Map[String, BigInt] =
       if (!computeNdv) Map.empty
       else {
-        val cols = read.schema.fieldNames
-        val row = read.agg(
+        val cols = base.schema.fieldNames
+        val row = base.agg(
           org.apache.spark.sql.functions.approx_count_distinct(cols.head)
             .as(cols.head),
           cols.tail.map(c =>
@@ -780,7 +795,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // sidecar form IS the catalog's external string form (numeric, date —
     // columnStats decodes "D" to ISO). Strings/timestamps contribute
     // null counts (and NDVs when computed) only.
-    val colStats = columnStats().collect().flatMap { r =>
+    val colStats = columnStatsFrom(files, metas).collect().flatMap { r =>
       val cname = r.getString(0)
       val usable = Set("i", "d", "D")(r.getString(1))
       val mn = if (usable && !r.isNullAt(2)) Some(r.getString(2)) else None
@@ -1322,16 +1337,35 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * would silently disable timestamp data-skipping on every table this
     * engine writes; TIMESTAMP_MICROS is what Delta recommends for exactly
     * this reason. Session-conf save/restore because the writer has no
-    * per-write option for it (a concurrent write observing micros too is
-    * harmless — strictly better stats).
+    * per-write option for it — REFCOUNTED per session, because optimistic
+    * writers stage leaselessly in parallel by design: with a naive
+    * save/restore, writer A's finally could revert the conf to INT96 just
+    * before writer B's `.parquet()` action starts (silently disabling the
+    * stats this helper exists for), or the last finisher could leak
+    * TIMESTAMP_MICROS into the user's session. The override is now held
+    * while ANY managed write is in flight and the outermost exit restores
+    * the value captured by the first entry.
     */
   private def withMicrosTs[A](f: => A): A = {
     val key = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try f finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    ManagedTable.microsTsLock.synchronized {
+      val (depth, prev) = ManagedTable.microsTsState.getOrElse(spark, (0, None))
+      val p = if (depth == 0) {
+        val p0 = spark.conf.getOption(key)
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+        p0
+      } else prev
+      ManagedTable.microsTsState.update(spark, (depth + 1, p))
+    }
+    try f finally ManagedTable.microsTsLock.synchronized {
+      val (depth, prev) = ManagedTable.microsTsState(spark)
+      if (depth == 1) {
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+        ManagedTable.microsTsState.remove(spark)
+      } else ManagedTable.microsTsState.update(spark, (depth - 1, prev))
     }
   }
 
@@ -4014,10 +4048,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       } else (Seq.empty[String], null: String, null: String)
     }
     // table properties surface (Delta's DESCRIBE DETAIL carries these in
-    // properties): declared CHECK constraints and generated columns
+    // properties): declared CHECK constraints and generated columns.
+    // `properties` opens the props file per call — read it ONCE for both
+    // the props list and clustering_columns below
+    val ps = properties
     val props = constraints.toSeq.sorted.map { case (n, e) => s"check:$n=$e" } ++
       generatedColumns.toSeq.sorted.map { case (n, e) => s"generated:$n=$e" } ++
-      properties.toSeq.sorted.map { case (k, v) => s"prop:$k=$v" } ++
+      ps.toSeq.sorted.map { case (k, v) => s"prop:$k=$v" } ++
       identityColumns.toSeq.sortBy(_._1).map { case (n, (s0, k, nx)) =>
         s"identity:$n=start $s0 step $k next $nx" } ++ {
         val dv = deletionVectors
@@ -4026,7 +4063,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       }
     // Delta's DESCRIBE DETAIL clusteringColumns field: the declared liquid
     // clustering keys (`graft.clusterBy`, the [[clusterIncremental]] driver)
-    val clusterCols = properties.get("graft.clusterBy")
+    val clusterCols = ps.get("graft.clusterBy")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty[String])
     Seq((("parquet"): String, new Path(path).getName, path, partCols,
@@ -4045,4 +4082,16 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       else Nil
     }.toSeq
   }
+}
+
+object ManagedTable {
+  /** Per-session refcount for the [[ManagedTable.withMicrosTs]] conf
+    * override: (in-flight managed writes, value to restore when the count
+    * reaches zero). Keyed by session so independent sessions never
+    * restore each other's conf; weak-ref semantics are unnecessary — the
+    * entry is removed at every outermost exit.
+    */
+  private val microsTsLock = new Object
+  private val microsTsState =
+    scala.collection.mutable.Map.empty[SparkSession, (Int, Option[String])]
 }

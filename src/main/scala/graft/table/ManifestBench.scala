@@ -37,9 +37,9 @@ object ManifestBench {
         .toString + "/t"
       val log = new Path(root + "._log")
       fs.mkdirs(log)
-      // realistic path shape: partition dir + UUID-ish parquet name
+      // realistic path shape: partition dir + fixed-width parquet name
       def p(i: Long): String =
-        s"$root/day=2024-${1 + (i % 12)}%02d/part-${i}%09d-0000.parquet"
+        f"$root/day=2024-${1 + (i % 12)}%02d/part-$i%09d-0000.parquet"
       // checkpoint write cost: build + write the full-files JSON
       val sb = new java.lang.StringBuilder(64 * n.toInt.max(1))
       sb.append("{\"version\":0,\"files\":[")

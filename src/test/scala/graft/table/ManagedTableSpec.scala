@@ -1212,6 +1212,13 @@ class ManagedTableSpec extends SparkSpec {
         org.apache.spark.sql.catalyst.TableIdentifier("graft_spec_pubcat")).stats
       assert(st.exists(_.rowCount.contains(BigInt(300))))
       assert(st.exists(_.colStats.get("k").exists(_.min.contains("0"))))
+      // an unmaterialized shallow clone is refused: its data files live
+      // under the SOURCE root, so the catalog table at the clone's own
+      // location would serve zero rows with full-table stats attached
+      val clone = t.shallowCloneTo(tmpDir("mt-pubcat-clone") + "/c")
+      val ec = intercept[UnsupportedOperationException](
+        clone.publishCatalog("graft_spec_pubcat3"))
+      assert(ec.getMessage.contains("materialize"))
       // DV-carrying tables are refused (the catalog scan would resurrect
       // deleted rows)
       t.deleteVectored(col("k") < 10L, Nil)
