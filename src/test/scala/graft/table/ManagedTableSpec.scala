@@ -1264,6 +1264,31 @@ class ManagedTableSpec extends SparkSpec {
       java.time.LocalDateTime.of(2020, 1, 2, 0, 0))._1.isEmpty)
   }
 
+  test("MILLIS-unit timestamp footers scale to micro bounds on adoption") {
+    // an externally-written dir (Delta's CONVERT TO DELTA shape) can carry
+    // TIMESTAMP_MILLIS parquet; the footer-stats encoder must scale those
+    // bounds ×1000 to the sidecar's micro unit or every prune is wrong
+    val dir = tmpDir("mt-ts-millis") + "/t"
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "TIMESTAMP_MILLIS")
+      spark.range(0, 240).selectExpr("id",
+        "timestampadd(HOUR, cast(id as int), timestamp'2024-01-01 00:00:00') as ts")
+        .repartitionByRange(4, col("ts"))
+        .write.parquet(dir)
+    } finally spark.conf.set(key, prev)
+    val t = new graft.table.ManagedTable(spark, dir)
+    t.append(spark.range(240, 241).coalesce(1).selectExpr("id",
+      "timestamp'2024-02-01 00:00:00' as ts")) // adoption commit records stats
+    val lo = java.sql.Timestamp.valueOf("2024-01-03 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-03 23:00:00")
+    val (kept, all) = t.filesOverlapping("ts", lo, hi)
+    assert(all.size == 5 && kept.size < all.size)
+    assert(t.readWhere("ts", lo, hi).count() == 24L)
+    assert(t.read.count() == 241L)
+  }
+
   test("graft.stats.cols widens data-skipping stats past the default 8") {
     def wideDf(n: Int) = {
       val cols = (1 to 11).map(i => expr(s"id * $i").as(s"c$i")) :+
