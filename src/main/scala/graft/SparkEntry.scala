@@ -306,6 +306,17 @@ object SparkEntry {
       Similarity.ivfKnnJoin(s, idx, queries, "vec_id", "embedding", k = 5, nProbe = 2)
         .orderBy("query_id", "neighbor_id")
     }),
+    "q90a_ivf_knn_exact" -> ((s, d) => {
+      // q90's machinery under a DuckDB oracle: at nProbe ≥ the codebook
+      // size the probe prunes nothing, so the SAME index + join must emit
+      // bit-exactly the brute-force per-query top-k (the spec asserts
+      // probe≡join per query; this gates the whole path against SQL)
+      val idx = ivfIndex(s, d)
+      val queries = Tables.embeddings(s, d).filter(col("vec_id") % 100 === 0)
+      Similarity.ivfKnnJoin(s, idx, queries, "vec_id", "embedding", k = 5,
+          nProbe = Int.MaxValue)
+        .orderBy("query_id", "neighbor_id")
+    }),
     "q30_text_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), "text")
         .select("doc_id", "n_chars_m", "token_count", "avg_word_len",
@@ -536,6 +547,19 @@ object SparkEntry {
         .run(Tables.documents(s, d), "doc_id", "text",
           minQuality = 0.3, minEstSim = 0.9, signatures = Some(docSignatures(s, d)))
         .select("doc_id", "lang_pred", "split", "token_estimate", "quality_score")
+        .orderBy("doc_id")
+    }),
+    "q60a_pipeline_skeleton" -> ((s, d) => {
+      // q60's e2e plumbing under a DuckDB oracle: minEstSim > 1 makes the
+      // near-dup stage a proven no-op (no minhash estimate exceeds 1), so
+      // the SAME annotate→filter→exact-dedup→split→write→read-back path
+      // must emit exactly the SQL-reproducible skeleton; only the seeded
+      // split column stays engine-specific and is projected away
+      val wh = s"/tmp/graft_corpus_skel_${new java.io.File(d).getName}"
+      new graft.pipeline.CorpusPipeline(s, wh)
+        .run(Tables.documents(s, d), "doc_id", "text",
+          minQuality = 0.5, minEstSim = 1.1, signatures = Some(docSignatures(s, d)))
+        .select("doc_id", "lang_pred", "token_estimate", "quality_score")
         .orderBy("doc_id")
     }),
 
@@ -1524,6 +1548,19 @@ object SparkEntry {
          FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
          WHERE b.vec_id <> 0
          ORDER BY cos_sim DESC, b.vec_id LIMIT 10""",
+    "q90a_ivf_knn_exact" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+         scored AS (
+           SELECT q.query_id, b.vec_id AS neighbor_id,
+             list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cos_sim
+           FROM embeddings b, q WHERE b.vec_id <> q.query_id)
+         SELECT query_id, neighbor_id, cos_sim FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+           FROM scored) t
+         WHERE rn <= 5
+         ORDER BY query_id, neighbor_id""",
     "q30_text_quality" ->
       """WITH t AS (SELECT doc_id, text,
              list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words FROM documents)
@@ -1537,6 +1574,38 @@ object SparkEntry {
            LEAST(CAST(len(words) AS DOUBLE) / 100.0, 1.0) * 0.5
              + CAST(len(list_distinct(words)) AS DOUBLE) / len(words) * 0.5 AS quality_score
          FROM t ORDER BY doc_id""",
+    "q60a_pipeline_skeleton" ->
+      """WITH t AS (SELECT doc_id, text,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words FROM documents),
+         ann AS (SELECT doc_id, text,
+             LEAST(CAST(len(words) AS DOUBLE) / 100.0, 1.0) * 0.5
+               + CAST(len(list_distinct(words)) AS DOUBLE) / len(words) * 0.5 AS quality_score,
+             CAST(len(regexp_extract_all(lower(trim(text)), '[a-z0-9]+'))
+               + length(regexp_replace(lower(trim(text)), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS token_estimate
+           FROM t),
+         sc AS (SELECT doc_id,
+             CAST(len(list_filter(words, w -> list_contains(['the','a','of','and','in','to','is'], w))) AS BIGINT) AS s_en,
+             CAST(len(list_filter(words, w -> list_contains(['der','die','das','und','ist','von'], w))) AS BIGINT) AS s_de,
+             CAST(len(list_filter(words, w -> list_contains(['el','la','de','y','los','es'], w))) AS BIGINT) AS s_es,
+             CAST(len(list_filter(words, w -> list_contains(['le','la','et','les','des','est'], w))) AS BIGINT) AS s_fr,
+             CAST(len(list_filter(words, w -> list_contains(['的','是','在','了','和'], w))) AS BIGINT) AS s_zh
+           FROM t),
+         lang AS (SELECT doc_id,
+             CASE WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+                  WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+                  WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+                  WHEN s_fr = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+                  ELSE 'zh' END AS lang_pred
+           FROM sc),
+         kept AS (SELECT a.doc_id, a.text, a.quality_score, a.token_estimate
+           FROM ann a WHERE a.quality_score >= 0.5),
+         keepers AS (SELECT MIN(doc_id) AS doc_id FROM kept
+           GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+         SELECT k.doc_id, l.lang_pred, a.token_estimate, a.quality_score
+         FROM keepers k
+         JOIN ann a ON a.doc_id = k.doc_id
+         JOIN lang l ON l.doc_id = k.doc_id
+         ORDER BY k.doc_id""",
     "q31_langid" ->
       """WITH t AS (SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words FROM documents),

@@ -435,6 +435,8 @@ object GraftSqlCommands {
     rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterDropConstraint =
     rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""")
+  private val AlterAddColumns =
+    rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterRenameColumn =
     rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$$""")
   private val AlterDropColumn =
@@ -575,6 +577,11 @@ object GraftSqlCommands {
     if (dc.matches()) {
       val name = dc.group(4)
       return Some(AlterTableGraftCommand(tbl(dc, 1), _.dropConstraint(name)))
+    }
+    val acs = AlterAddColumns.matcher(sqlText)
+    if (acs.matches()) {
+      val ddl = acs.group(4)
+      return Some(AlterTableGraftCommand(tbl(acs, 1), _.addColumns(ddl)))
     }
     val rc = AlterRenameColumn.matcher(sqlText)
     if (rc.matches()) {

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
@@ -22,6 +23,9 @@ import graft.table.ManagedTable
   *   .option("path", "/data/events")        // managed-table root
   *   .option("keys", "event_id")            // CDF classification keys
   *   .option("startingVersion", "0")        // optional; default = current
+  *   .option("startingTimestamp", "2026-01-01T00:00:00Z") // alternative
+  *   .option("maxVersionsPerTrigger", "10") // admission control
+  *   .option("maxFilesPerTrigger", "1000")  // admission control
   *   .load()
   * }}}
   *
@@ -34,9 +38,38 @@ import graft.table.ManagedTable
   * coalesce into one diff (v_last → v_now), which is exactly the net
   * change. Snapshots the retention vacuum already dropped can't diff:
   * keep `startingVersion`/checkpoint inside the retention window.
+  *
+  * '''Admission control''' (Delta's `maxFilesPerTrigger` /
+  * `maxBytesPerTrigger` role): without limits, a stream that was down
+  * through N commits — or one backfilling from `startingVersion 0` on a
+  * large table — folds the entire backlog into ONE batch, whose diff join
+  * must hold both end snapshots; at 100 TB that first batch is the whole
+  * table. With `maxVersionsPerTrigger` / `maxFilesPerTrigger` set, each
+  * trigger caps the END version it offers so the backlog drains as a
+  * sequence of bounded batches. The atom is a COMMIT: a version never
+  * splits across batches (each batch stays an exact net-diff between two
+  * logged versions), and at least one commit is always admitted even when
+  * it alone exceeds `maxFilesPerTrigger` — Delta's same always-make-
+  * progress rule. Per-commit file counts come from the history
+  * checkpoint's `filesAdded` metric (one driver-side text read per
+  * trigger, no manifest folding); commits from before that metric existed
+  * count as 0 — conservative toward larger batches, never toward a stall.
+  *
+  * The cap needs the stream's current position, which the V1 source API
+  * doesn't hand back: the source persists the last batch end it
+  * constructed as a pace pin in its metadata dir (atomic
+  * write-tmp-then-rename in [[getBatch]]). A fresh stream caps from the
+  * very first trigger (its position IS `startingVersion`); a RESTARTED
+  * stream from before the pin existed has an unknown position for its
+  * first trigger, which therefore runs uncapped — limits engage from the
+  * next batch. The pin only bounds batch SIZE, never placement: batch
+  * boundaries remain the engine's checkpointed offsets, so a stale or
+  * lost pin can inflate one batch but can never skip or replay a change.
   */
 class CdfStreamSource(sqlContext: SQLContext, path: String,
-                      keys: Seq[String], startingVersion: Long)
+                      keys: Seq[String], startingVersion: Long,
+                      maxVersions: Option[Long], maxFiles: Option[Long],
+                      pacedBase: Option[Long], pacePin: Option[Path])
     extends Source {
 
   private val spark = sqlContext.sparkSession
@@ -44,26 +77,67 @@ class CdfStreamSource(sqlContext: SQLContext, path: String,
 
   override val schema: StructType = CdfSourceProvider.cdfSchema(spark, path)
 
+  /** End version of the last batch this source constructed — the
+    * admission-control base. None = restarted without a pace pin
+    * (position unknown until the first getBatch).
+    */
+  private var lastEnd: Option[Long] = pacedBase
+
   private def toVersion(o: Offset): Long = o match {
     case l: LongOffset => l.offset
     case s: SerializedOffset => s.json.trim.toLong
     case other => other.json().trim.toLong
   }
 
-  // ALWAYS the current version — the engine compares against its
-  // checkpointed offset, so a restart resumes from the checkpoint even
-  // though this instance's startingVersion re-resolved to "now"; gating on
-  // startingVersion here would withhold changes committed while the stream
-  // was down until some future commit bumped the version past it.
-  // startingVersion only seeds fromV for the very first batch (start=None).
+  // The END version this trigger offers: the current version, capped by
+  // admission control when limits are set and the position is known. The
+  // engine compares against its checkpointed offset, so a restart resumes
+  // from the checkpoint even though this instance's startingVersion
+  // re-resolved to "now"; gating on startingVersion here would withhold
+  // changes committed while the stream was down until some future commit
+  // bumped the version past it. startingVersion only seeds fromV for the
+  // very first batch (start=None).
   override def getOffset: Option[Offset] = {
-    val v = table.version
-    if (v >= 0) Some(LongOffset(v)) else None
+    val cur = table.version
+    if (cur < 0) return None
+    val end =
+      if (maxVersions.isEmpty && maxFiles.isEmpty) cur
+      else lastEnd match {
+        case None => cur // pre-pin restart: one uncapped trigger, then paced
+        case Some(base) =>
+          var v = base; var admitted = 0L; var files = 0L; var stop = false
+          table.commitPace(base).foreach { case (ver, fa) =>
+            if (!stop && ver <= cur) {
+              val f = math.max(0L, fa)
+              val overV = maxVersions.exists(admitted >= _)
+              val overF = maxFiles.exists(m => admitted > 0 && files + f > m)
+              if (overV || overF) stop = true
+              else { v = ver; admitted += 1; files += f }
+            }
+          }
+          v
+      }
+    Some(LongOffset(end))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val fromV = start.map(toVersion).getOrElse(startingVersion)
     val toV = toVersion(end)
+    // ratchet the pace position and persist it so a restart resumes
+    // capped; rendered atomic by tmp+rename, and harmless if lost (the
+    // pin bounds size, the engine's offsets own correctness)
+    if (lastEnd.forall(_ < toV)) {
+      lastEnd = Some(toV)
+      pacePin.foreach { pin =>
+        try {
+          val fs = pin.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val tmp = new Path(pin.getParent, pin.getName + ".tmp")
+          val out = fs.create(tmp, true)
+          try out.write(toV.toString.getBytes("UTF-8")) finally out.close()
+          fs.delete(pin, false); fs.rename(tmp, pin)
+        } catch { case _: java.io.IOException => () }
+      }
+    }
     val diff = table.changes(fromV, toV, keys)
       .filter(col("change_type") =!= "unchanged")
       .withColumn("graft_commit_version",
@@ -83,35 +157,56 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-cdf"
 
-  private def params(parameters: Map[String, String]): (String, Seq[String], Option[Long]) = {
+  private case class Params(path: String, keys: Seq[String],
+      startV: Option[Long], startTs: Option[String],
+      maxVersions: Option[Long], maxFiles: Option[Long])
+
+  private def params(parameters: Map[String, String]): Params = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-cdf needs option 'path'"))
     val keys = parameters.getOrElse("keys",
       throw new IllegalArgumentException("graft-cdf needs option 'keys'"))
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    (path, keys, parameters.get("startingVersion").map(_.toLong))
+    def posLong(name: String): Option[Long] = parameters.get(name).map { s =>
+      val v = s.toLong
+      require(v >= 1, s"$name must be >= 1, got $v")
+      v
+    }
+    val startV = parameters.get("startingVersion").map(_.toLong)
+    val startTs = parameters.get("startingTimestamp")
+    require(startV.isEmpty || startTs.isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    Params(path, keys, startV, startTs,
+      posLong("maxVersionsPerTrigger"), posLong("maxFilesPerTrigger"))
   }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
-    val (path, _, _) = params(parameters)
-    (shortName(), CdfSourceProvider.cdfSchema(sqlContext.sparkSession, path))
+    val p = params(parameters)
+    (shortName(), CdfSourceProvider.cdfSchema(sqlContext.sparkSession, p.path))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    val (path, keys, startV) = params(parameters)
-    val t = new ManagedTable(sqlContext.sparkSession, path)
-    require(t.exists, s"no managed table at $path")
+    val p = params(parameters)
+    val t = new ManagedTable(sqlContext.sparkSession, p.path)
+    require(t.exists, s"no managed table at ${p.path}")
+    val hadoop = sqlContext.sparkSession.sparkContext.hadoopConfiguration
+    // startingTimestamp (Delta: "changes committed AT OR AFTER the
+    // timestamp") resolves to the version just below the first qualifying
+    // commit — the exclusive lower bound of the (fromV, toV] diff. All
+    // commits predating ts ⇒ behave like the default latest start.
+    val tsResolvedStart = p.startTs.map { ts =>
+      t.versionAtOrAfter(ts).map(v => math.max(-1L, v - 1)).getOrElse(t.version)
+    }
     // default: only changes committed AFTER stream start (Delta's default
     // readChangeFeed position is "latest") — but "latest" is resolved ONCE
     // and pinned in the stream's metadata dir: a restart before the first
     // offset commit must not re-resolve to a later version and skip the
     // changes in between
-    val resolved = startV.getOrElse {
-      val hadoop = sqlContext.sparkSession.sparkContext.hadoopConfiguration
-      val pin = new org.apache.hadoop.fs.Path(metadataPath, "graft-cdf-start")
+    val resolved = p.startV.orElse(tsResolvedStart).getOrElse {
+      val pin = new Path(metadataPath, "graft-cdf-start")
       val fs = pin.getFileSystem(hadoop)
       // a winner's exclusive create precedes its write+close, so ANY
       // reader (the create-race loser AND a starter that merely observed
@@ -146,8 +241,45 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
         } catch { case _: java.io.IOException => readPinRetrying() }
       }
     }
-    new CdfStreamSource(sqlContext, path, keys, resolved)
+    // pace-pin base for admission control: the persisted last batch end
+    // when present; else, for a FRESH stream (no engine offset WAL yet),
+    // the resolved start — a pre-pin RESTART has an unknown position, so
+    // its first trigger runs uncapped (see class doc)
+    val pacePin = new Path(metadataPath, "graft-cdf-pace")
+    val paced: Option[Long] =
+      if (p.maxVersions.isEmpty && p.maxFiles.isEmpty) None
+      else {
+        val fs = pacePin.getFileSystem(hadoop)
+        if (fs.exists(pacePin)) {
+          val in = fs.open(pacePin)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                  finally in.close()
+          s.toLongOption
+        } else if (isFreshStream(metadataPath, hadoop)) Some(resolved)
+        else None
+      }
+    new CdfStreamSource(sqlContext, p.path, p.keys, resolved,
+      p.maxVersions, p.maxFiles, paced, Some(pacePin))
   }
+
+  /** True when the engine has no offset WAL yet — i.e. this stream has
+    * never committed or even constructed a batch, so the source's
+    * resolved starting version IS its exact position. metadataPath is
+    * `<checkpoint>/sources/<i>`; the WAL lives at `<checkpoint>/offsets`
+    * (the documented checkpoint layout). Unreadable ⇒ not fresh, which
+    * only costs one uncapped first trigger.
+    */
+  private def isFreshStream(metadataPath: String,
+      hadoop: org.apache.hadoop.conf.Configuration): Boolean =
+    try {
+      val src = new Path(metadataPath)
+      val ckpt = Option(src.getParent).flatMap(p => Option(p.getParent))
+      ckpt.exists { root =>
+        val offsets = new Path(root, "offsets")
+        val fs = offsets.getFileSystem(hadoop)
+        !fs.exists(offsets) || fs.listStatus(offsets).isEmpty
+      }
+    } catch { case _: java.io.IOException => false }
 }
 
 object CdfSourceProvider {

@@ -1369,7 +1369,29 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     }
   }
 
-  private def stageToTmp(df: DataFrame, partitionCols: Seq[String]): Path = {
+  /** Delta's optimized write (`delta.autoOptimize.optimizeWrite` role):
+    * when the `graft.optimizeWrite` table property is true, writes
+    * rebalance through one AQE shuffle before hitting parquet — a
+    * partitioned table shuffles on its partition columns so each
+    * partition dir is written by as few tasks as its size warrants
+    * (instead of one file per incoming task per dir); an unpartitioned
+    * table coalesces to advisory-sized output splits. REBALANCE (not a
+    * plain repartition) because AQE both merges undersized shuffle
+    * partitions and SPLITS skewed ones at
+    * `spark.sql.adaptive.advisoryPartitionSizeInBytes` — a hot partition
+    * value still fans out over several writers, the skew failure mode a
+    * naive `repartition(partitionCols)` bakes in. At scale this is the
+    * difference between a trickle sink accreting one shard per task per
+    * trigger per dir and target-sized files with no post-hoc OPTIMIZE
+    * debt; the cost is one extra shuffle of exactly the written rows.
+    */
+  private def maybeOptimizeWrite(df: DataFrame, partitionCols: Seq[String]): DataFrame =
+    if (!properties.get("graft.optimizeWrite").exists(_.equalsIgnoreCase("true"))) df
+    else if (partitionCols.nonEmpty) df.hint("rebalance", partitionCols: _*)
+    else df.hint("rebalance")
+
+  private def stageToTmp(df0: DataFrame, partitionCols: Seq[String]): Path = {
+    val df = maybeOptimizeWrite(df0, partitionCols)
     val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
     // track keys AS they are inserted (not after): a footer read failing
     // mid-loop must still leave every inserted entry reachable by
@@ -2287,7 +2309,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         val rd0 = if (mergeSchema) spark.read.option("mergeSchema", "true")
           else spark.read
         val rd = if (root.nonEmpty) rd0.option("basePath", root) else rd0
-        applyDv(rd.parquet(fsOfRoot: _*), dv)
+        applyDv(parquetScan(rd, fsOfRoot), dv)
       }.reduce(_ unionByName _)
   }
 
@@ -2298,7 +2320,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def scanKept(kept: Seq[String], dv: Map[String, Array[Long]]): DataFrame = {
     requireReadable()
     if (!isShallowClone)
-      applyDv(spark.read.option("basePath", qualifiedRoot).parquet(kept: _*), dv)
+      applyDv(parquetScan(
+        spark.read.option("basePath", qualifiedRoot), kept), dv)
     else {
       val where = resolveLive("the clone snapshot", kept)
       scanResolved(kept.map(where),
@@ -2331,13 +2354,41 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * committed at or before `ts` (ISO-8601 instant). Resolved from the
     * commit log's timestamps, then delegated to [[readVersion]].
     */
-  def readAsOf(ts: String): DataFrame = {
+  def readAsOf(ts: String): DataFrame = readVersion(versionAsOf(ts))
+
+  /** Latest version committed at or before `ts` (ISO-8601 instant) — the
+    * `TIMESTAMP AS OF` resolution, exposed so callers (RESTORE, clones,
+    * the CDF source) share one timestamp→version rule.
+    */
+  def versionAsOf(ts: String): Long = {
     val cutoff = java.time.Instant.parse(ts)
     val vs = historyRows
       .filter(c => !java.time.Instant.parse(c.timestamp).isAfter(cutoff))
     require(vs.nonEmpty, s"no version committed at or before $ts")
-    readVersion(vs.map(_.version).max)
+    vs.map(_.version).max
   }
+
+  /** Earliest version committed at or after `ts`, or None when every
+    * commit predates it — Delta's `startingTimestamp` stream-resolution
+    * rule ("all changes committed at or after the timestamp").
+    */
+  def versionAtOrAfter(ts: String): Option[Long] = {
+    val cutoff = java.time.Instant.parse(ts)
+    val vs = historyRows
+      .filter(c => !java.time.Instant.parse(c.timestamp).isBefore(cutoff))
+    if (vs.isEmpty) None else Some(vs.map(_.version).min)
+  }
+
+  /** (version, filesAdded) of commits after `fromV`, oldest first, from
+    * the checkpointed history file — ONE driver-side text read, no
+    * manifest folding. The streaming source's admission-control probe
+    * (Delta's `maxFilesPerTrigger` needs per-commit file counts without
+    * reconstructing snapshots). filesAdded is −1 for commits from before
+    * the metrics field existed; callers must treat −1 as unknown.
+    */
+  private[graft] def commitPace(fromV: Long): Seq[(Long, Long)] =
+    historyRows.filter(_.version > fromV).sortBy(_.version)
+      .map(c => (c.version, c.metrics.map(_._1).getOrElse(-1L)))
 
   /** Change-data-feed between two logged versions (Delta's
     * `table_changes`): rows of `toV` vs `fromV` classified as
@@ -2504,13 +2555,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   /** Timestamp-pinned rollback (`RESTORE … TIMESTAMP AS OF`): restore to
     * the latest version committed at or before `ts`.
     */
-  def restoreAsOf(ts: String): Unit = {
-    val cutoff = java.time.Instant.parse(ts)
-    val vs = historyRows
-      .filter(c => !java.time.Instant.parse(c.timestamp).isAfter(cutoff))
-    require(vs.nonEmpty, s"no version committed at or before $ts")
-    restore(vs.map(_.version).max)
-  }
+  def restoreAsOf(ts: String): Unit = restore(versionAsOf(ts))
 
   /** Partition columns recorded in snapshot `v`'s summary — a checkpoint
     * lookup, no manifest read, no Spark job.
@@ -2790,8 +2835,64 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // resurrect the old name with fresh values
     require(!identityColumns.keys.exists(_.equalsIgnoreCase(oldName)),
       s"cannot rename identity column $oldName (dropIdentityColumn first)")
+    if (declaredExtraColumns.exists(_.name.equalsIgnoreCase(oldName))
+        && !materializedAnywhere(oldName)) {
+      // a declared-only column lives purely in metadata: rename IS a
+      // metadata edit, zero files rewritten
+      setExtrasProperty(declaredExtraColumns.map(f =>
+        if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName) else f))
+      return
+    }
     replaceWith(read.withColumnRenamed(oldName, newName), pcs, "RENAME COLUMN")
+    // the rewrite materialized every column, so any extras declaration
+    // (oldName's or a bystander's) is now redundant — but oldName's MUST
+    // go or reads would resurrect it as a null column
+    if (declaredExtraColumns.nonEmpty) setExtrasProperty(
+      declaredExtraColumns.filterNot(_.name.equalsIgnoreCase(oldName)))
   }
+
+  /** Metadata-only ALTER TABLE ADD COLUMNS (Delta's schema-in-the-log
+    * add): declare new nullable columns in table metadata — ZERO data
+    * files rewritten. Reads serve them as typed nulls for files from
+    * before the ALTER ([[parquetScan]]'s explicit-schema per-file
+    * clipping); writes from here on conform to the widened schema, so the
+    * columns materialize organically, and a full rewrite (OPTIMIZE /
+    * REORG) materializes them everywhere. `ddl` is a Spark DDL column
+    * list, e.g. `"score DOUBLE, tag STRING"`.
+    *
+    * Like constraints and properties, the declaration is CURRENT-state
+    * metadata: time-travel reads also see the widened schema (older
+    * snapshots read the column as null), and [[columnStats]] nullCount
+    * for a declared column counts only files that materialized it.
+    */
+  def addColumns(ddl: String): Unit = {
+    ensureBootstrapped()
+    val adds = org.apache.spark.sql.types.StructType.fromDDL(ddl).fields.toSeq
+    require(adds.nonEmpty, "ADD COLUMNS needs at least one column")
+    require(adds.map(_.name.toLowerCase).distinct.size == adds.size,
+      "duplicate column name in ADD COLUMNS")
+    val existing = read.schema.fieldNames
+    adds.foreach { f =>
+      require(!existing.exists(_.equalsIgnoreCase(f.name)),
+        s"column ${f.name} already exists")
+    }
+    setExtrasProperty(declaredExtraColumns ++ adds)
+  }
+
+  private def setExtrasProperty(
+      extras: Seq[org.apache.spark.sql.types.StructField]): Unit =
+    if (extras.isEmpty) unsetProperties(Seq("graft.schema.extras"))
+    else setProperties(Map("graft.schema.extras" ->
+      org.apache.spark.sql.types.StructType(extras).toDDL))
+
+  /** True when any data file physically carries `colName` — the probe
+    * that decides whether dropping/renaming a declared column needs a
+    * rewrite at all (mergeSchema unions every footer, so a column present
+    * in even one file is seen).
+    */
+  private def materializedAnywhere(colName: String): Boolean =
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .schema.fieldNames.exists(_.equalsIgnoreCase(colName))
 
   /** ALTER TABLE … DROP COLUMN — a rewrite of the current snapshot (see
     * [[renameColumn]] for why); old versions keep the column.
@@ -2807,7 +2908,19 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       s"cannot drop $colName: referenced by $what (drop it first)"))
     require(!identityColumns.keys.exists(_.equalsIgnoreCase(colName)),
       s"cannot drop identity column $colName (dropIdentityColumn first)")
+    if (declaredExtraColumns.exists(_.name.equalsIgnoreCase(colName))
+        && !materializedAnywhere(colName)) {
+      // declared-only column: the drop is a metadata edit (and a crash
+      // between a materialized drop's rewrite and its un-declare below
+      // retries into this branch, which completes the cleanup)
+      setExtrasProperty(
+        declaredExtraColumns.filterNot(_.name.equalsIgnoreCase(colName)))
+      return
+    }
     replaceWith(read.drop(colName), pcs, "DROP COLUMN")
+    if (declaredExtraColumns.exists(_.name.equalsIgnoreCase(colName)))
+      setExtrasProperty(
+        declaredExtraColumns.filterNot(_.name.equalsIgnoreCase(colName)))
   }
 
   /** DV state of the LATEST version, with a one-probe fast path: tables
@@ -2827,7 +2940,42 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // an unmaterialized shallow clone reads its pinned founding manifest
     // (files live under the SOURCE's root); everything else reads the dir
     if (isShallowClone) readVersion(version)
-    else applyDv(spark.read.parquet(path), currentDv)
+    else applyDv(parquetScan(spark.read, Seq(path)), currentDv)
+  }
+
+  /** Columns declared by a metadata-only ADD COLUMNS but not yet present
+    * in every data file (Delta's schema-in-the-log role): until a rewrite
+    * materializes them, files from before the ALTER simply lack the
+    * column and must read null.
+    */
+  private def declaredExtraColumns: Seq[org.apache.spark.sql.types.StructField] =
+    properties.get("graft.schema.extras")
+      .map(ddl => org.apache.spark.sql.types.StructType.fromDDL(ddl).fields.toSeq)
+      .getOrElse(Nil)
+
+  /** The parquet scan every read path funnels through. Without declared
+    * extras this is exactly `rd.parquet(paths)`. With extras the scan
+    * must NOT trust single-footer schema inference: after an ADD COLUMNS
+    * the dir mixes pre-ALTER files (column absent) with post-ALTER files
+    * (column present), and whichever footer inference samples, the other
+    * population would be misread — an old footer silently DROPS the new
+    * column's real data, a new footer happens to be right. So the scan
+    * re-runs with an explicit schema = inferred ∪ missing extras: the
+    * parquet reader then serves each file's absent columns as null (the
+    * same per-file clipping Delta's log-schema reads rely on), both
+    * populations read correctly, and column order is deterministic
+    * because post-ALTER writers conform extras to the tail.
+    */
+  private def parquetScan(rd: org.apache.spark.sql.DataFrameReader,
+                          paths: Seq[String]): DataFrame = {
+    val extras = declaredExtraColumns
+    val inferred = rd.parquet(paths: _*)
+    if (extras.isEmpty) return inferred
+    val missing = extras.filterNot(f =>
+      inferred.columns.exists(_.equalsIgnoreCase(f.name)))
+    if (missing.isEmpty) inferred
+    else rd.schema(org.apache.spark.sql.types.StructType(
+      inferred.schema.fields ++ missing)).parquet(paths: _*)
   }
 
   /** Manifest-pinned snapshot read — the consistent-read contract for
@@ -2874,7 +3022,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def readEvolved: DataFrame =
     if (isShallowClone) readFileSubset(version, manifestFiles(version),
       mergeSchema = true)
-    else applyDv(spark.read.option("mergeSchema", "true").parquet(path), currentDv)
+    else applyDv(parquetScan(
+      spark.read.option("mergeSchema", "true"), Seq(path)), currentDv)
 
   /** Streaming change-data-feed (Delta's `readChangeFeed` stream): each
     * micro-batch carries the insert/update/delete diff between the last
@@ -2883,17 +3032,24 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * `startingVersion` < 0 (default) starts at the CURRENT version (future
     * changes only).
     */
-  def readChangeStream(keys: Seq[String], startingVersion: Long = -1L): DataFrame = {
-    val r = spark.readStream.format("graft.streaming.CdfSourceProvider")
+  def readChangeStream(keys: Seq[String], startingVersion: Long = -1L,
+                       maxVersionsPerTrigger: Long = -1L,
+                       maxFilesPerTrigger: Long = -1L,
+                       startingTimestamp: String = null): DataFrame = {
+    var r = spark.readStream.format("graft.streaming.CdfSourceProvider")
       .option("path", path).option("keys", keys.mkString(","))
-    (if (startingVersion >= 0) r.option("startingVersion", startingVersion.toString)
-     else r).load()
+    if (startingVersion >= 0) r = r.option("startingVersion", startingVersion.toString)
+    if (startingTimestamp != null) r = r.option("startingTimestamp", startingTimestamp)
+    if (maxVersionsPerTrigger >= 1) r = r.option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
+    if (maxFilesPerTrigger >= 1) r = r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    r.load()
   }
 
   def overwrite(df: DataFrame, partitionCols: Seq[String] = Nil): Unit =
     if (exists) replaceWith(df, partitionCols, "OVERWRITE")
     else withCommitLock {
-      val w = assignIdentities(df).write.mode(SaveMode.Overwrite)
+      val w = maybeOptimizeWrite(assignIdentities(df), partitionCols)
+        .write.mode(SaveMode.Overwrite)
       withMicrosTs {
         (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
       }
@@ -2983,7 +3139,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val conformed =
         if (constraints.nonEmpty) conformed0.localCheckpoint() else conformed0
       enforceConstraints(conformed)
-      val w = conformed.write.mode(SaveMode.Append)
+      val w = maybeOptimizeWrite(conformed, partitionCols).write.mode(SaveMode.Append)
       withMicrosTs {
         (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
       }
@@ -3595,7 +3751,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val df = if (constraints.nonEmpty) df0.localCheckpoint() else df0
     enforceConstraints(df)
     val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-    val w = df.write.mode(SaveMode.Overwrite)
+    val w = maybeOptimizeWrite(df, partitionCols).write.mode(SaveMode.Overwrite)
     withMicrosTs {
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp.toString)
     }
@@ -3836,6 +3992,40 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       }
     }
   }
+
+  /** Dynamic partition overwrite (Spark's
+    * `partitionOverwriteMode=dynamic` / Delta's dynamic overwrite):
+    * atomically replace EXACTLY the partitions the incoming frame carries
+    * rows for; every other partition is untouched — never read, moved or
+    * re-counted. The [[overwriteWhere]] alternative for when the
+    * backfill's scope IS its data: there is no predicate to author, so
+    * the predicate and the data cannot disagree (replaceWhere's failure
+    * mode) — the flip side is that an accidentally-empty source replaces
+    * nothing rather than clearing its range, which is also Spark's
+    * dynamic-mode contract. One commit; affected partitions move
+    * wholesale via [[swapPartitions]], so at scale a daily restatement
+    * costs the restated partitions, not the table.
+    */
+  def overwritePartitionsDynamic(df: DataFrame, partitionCols: Seq[String]): Unit =
+    withCommitLock {
+      require(partitionCols.nonEmpty,
+        "dynamic partition overwrite needs partition columns")
+      if (!exists) overwrite(df, partitionCols)
+      else {
+        ensureBootstrapped()
+        // pin once: the affected-partition projection and the write must
+        // see the same rows even from a nondeterministic source
+        val src = tableSchemaOpt
+          .map(conform(assignIdentities(df), allowEvolution = false, _, partitionCols))
+          .getOrElse(assignIdentities(df))
+          .localCheckpoint()
+        val affected = src.select(partitionCols.map(col): _*).distinct()
+          .localCheckpoint()
+        // every incoming row lands in an affected partition by
+        // construction, so src IS the replacement content
+        swapPartitions(affected, partitionCols, src, "OVERWRITE_DYNAMIC")
+      }
+    }
 
   /** MERGE insert-only (deltalake.ipynb:1786–1791): append just the new
     * keys. `allowEvolution` lets a source with extra columns through as

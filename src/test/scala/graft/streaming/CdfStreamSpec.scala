@@ -69,6 +69,95 @@ class CdfStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("maxVersionsPerTrigger drains a backlog as per-version batches") {
+    val t = new ManagedTable(spark, tmpDir("cdf-pace-v") + "/t")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v").coalesce(1))   // v0
+    t.append(Seq((2L, "b")).toDF("k", "v").coalesce(1))      // v1
+    t.append(Seq((3L, "c")).toDF("k", "v").coalesce(1))      // v2
+    val q = t.readChangeStream(Seq("k"), startingVersion = 0,
+        maxVersionsPerTrigger = 1)
+      .writeStream.format("memory").queryName("cdf_pace_v")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // uncapped this backlog is ONE batch stamped version 2; capped it
+      // must arrive as (0,1] then (1,2], each stamped with its own end
+      val rows = spark.table("cdf_pace_v")
+        .select("k", "change_type", "graft_commit_version")
+        .as[(Long, String, Long)].collect().toSet
+      assert(rows == Set((2L, "insert", 1L), (3L, "insert", 2L)))
+    } finally q.stop()
+  }
+
+  test("maxFilesPerTrigger packs whole commits up to the file budget") {
+    val t = new ManagedTable(spark, tmpDir("cdf-pace-f") + "/t")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v").coalesce(1))   // v0
+    t.append(Seq((2L, "b")).toDF("k", "v").coalesce(1))      // v1: 1 file
+    t.append(Seq((3L, "c")).toDF("k", "v").coalesce(1))      // v2: 1 file
+    t.append(Seq((4L, "d")).toDF("k", "v").coalesce(1))      // v3: 1 file
+    val q = t.readChangeStream(Seq("k"), startingVersion = 0,
+        maxFilesPerTrigger = 2)
+      .writeStream.format("memory").queryName("cdf_pace_f")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // budget 2 admits v1+v2 into the first batch (stamped 2), v3 alone
+      // into the second (stamped 3)
+      val rows = spark.table("cdf_pace_f")
+        .select("k", "graft_commit_version").as[(Long, Long)].collect().toSet
+      assert(rows == Set((2L, 2L), (3L, 2L), (4L, 3L)))
+    } finally q.stop()
+  }
+
+  test("rate limits survive a restart via the pace pin") {
+    val dir = tmpDir("cdf-pace-restart")
+    val t = new ManagedTable(spark, dir + "/t")
+    val ckpt = dir + "/ckpt"
+    t.overwrite(Seq((1L, "a")).toDF("k", "v").coalesce(1))   // v0
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def start() = t.readChangeStream(Seq("k"), maxVersionsPerTrigger = 1)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("k", "graft_commit_version").as[(Long, Long)]
+          .collect().foreach(seen.add); ()
+      }.start()
+    val q1 = start()
+    q1.processAllAvailable()
+    t.append(Seq((2L, "b")).toDF("k", "v").coalesce(1))      // v1
+    q1.processAllAvailable()
+    q1.stop()
+    // two commits land while the stream is down; the restarted instance
+    // must drain them as TWO capped batches, not one coalesced catch-up
+    t.append(Seq((3L, "c")).toDF("k", "v").coalesce(1))      // v2
+    t.append(Seq((4L, "d")).toDF("k", "v").coalesce(1))      // v3
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val rows = seen.asScala.toSet
+      assert(rows == Set((2L, 1L), (3L, 2L), (4L, 3L)))
+    } finally q2.stop()
+  }
+
+  test("startingTimestamp starts at the first commit at or after the timestamp") {
+    val t = new ManagedTable(spark, tmpDir("cdf-start-ts") + "/t")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))               // v0
+    t.append(Seq((2L, "b")).toDF("k", "v"))                  // v1
+    t.append(Seq((3L, "c")).toDF("k", "v"))                  // v2
+    val tsOfV1 = t.history().filter(col("version") === 1)
+      .select("timestamp").as[String].head()
+    val q = t.readChangeStream(Seq("k"), startingTimestamp = tsOfV1)
+      .writeStream.format("memory").queryName("cdf_start_ts")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // v1 committed AT the timestamp, so the feed covers (v0, v2]:
+      // k=2 and k=3 arrive, the seed row k=1 does not
+      val ks = spark.table("cdf_start_ts").select("k").as[Long].collect().toSet
+      assert(ks == Set(2L, 3L))
+    } finally q.stop()
+  }
+
   test("startingVersion replays history; multiple commits coalesce to net change") {
     val t = new ManagedTable(spark, tmpDir("cdf-replay") + "/t")
     t.overwrite(Seq((1L, "a")).toDF("k", "v"))            // v0

@@ -1412,6 +1412,36 @@ class ManagedTableSpec extends SparkSpec {
       .collect().map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("dynamic partition overwrite replaces exactly the incoming partitions") {
+    val base = tmpDir("mt-dynover")
+    val t = new ManagedTable(spark, s"$base/t")
+    t.overwrite(Seq((1L, "d1", 1.0), (2L, "d1", 2.0), (3L, "d2", 3.0),
+      (4L, "d3", 4.0)).toDF("k", "day", "v"), Seq("day"))
+    def filesOf(day: String): Set[String] =
+      t.read.filter(col("day") === day)
+        .select(input_file_name()).as[String].collect().toSet
+    val d2Before = filesOf("d2")
+    val d3Before = filesOf("d3")
+    val cur = t.version
+    // the incoming frame's own partitions (d1 restated, d9 new) define the
+    // scope — no predicate anywhere
+    t.overwritePartitionsDynamic(
+      Seq((10L, "d1", 10.0), (12L, "d9", 12.0)).toDF("k", "day", "v"), Seq("day"))
+    assert(t.read.orderBy("k").as[(Long, Double, String)].collect().toSeq ==
+      Seq((3L, 3.0, "d2"), (4L, 4.0, "d3"), (10L, 10.0, "d1"), (12L, 12.0, "d9")))
+    // untouched partitions kept their physical files; time travel intact
+    assert(filesOf("d2") == d2Before)
+    assert(filesOf("d3") == d3Before)
+    assert(t.readVersion(cur).orderBy("k").as[(Long, Double, String)]
+      .collect().map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    val op = t.history(1).collect().head.getAs[String]("operation")
+    assert(op == "OVERWRITE_DYNAMIC", op)
+    // founding write path
+    val t2 = new ManagedTable(spark, s"$base/t2")
+    t2.overwritePartitionsDynamic(Seq((1L, "a", 1.0)).toDF("k", "g", "v"), Seq("g"))
+    assert(t2.read.count() == 1)
+  }
+
   test("overwriteWhere on a missing table creates it (predicate still checked)") {
     val t = freshTable("mt-rwh-new")
     intercept[IllegalArgumentException] {
