@@ -336,8 +336,9 @@ object SparkEntry {
           TextAnalysis.tokenEstimate(col("text")).as("token_estimate"))
         .orderBy("doc_id")),
     "q74_rolling_fp" -> ((s, d) =>
-      // rows-only: the polynomial rolling hash is engine-specific (value
-      // cross-checked against a manual fold in TextAnalysisSpec)
+      // oracle-gated: the polynomial hash (h = h*31 + byte over the
+      // normalized UTF-8 bytes) is reproduced in DuckDB via HUGEINT
+      // modular arithmetic over the hex-decoded byte list
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
         .orderBy("doc_id")),
@@ -1574,6 +1575,19 @@ object SparkEntry {
            LEAST(CAST(len(words) AS DOUBLE) / 100.0, 1.0) * 0.5
              + CAST(len(list_distinct(words)) AS DOUBLE) / len(words) * 0.5 AS quality_score
          FROM t ORDER BY doc_id""",
+    "q74_rolling_fp" ->
+      """WITH n AS (SELECT doc_id, encode(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS b FROM documents),
+         h AS (SELECT doc_id, hex(b) AS hx, octet_length(b) AS nb FROM n),
+         bytes AS (SELECT doc_id, list_transform(range(nb), i ->
+             (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS bs FROM h),
+         fold AS (SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(bs, x -> CAST(x AS HUGEINT))),
+               (acc, x) -> (acc * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS hu
+           FROM bytes)
+         SELECT doc_id, CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+             THEN hu - CAST('18446744073709551616' AS HUGEINT) ELSE hu END AS BIGINT) AS rolling_fp
+         FROM fold ORDER BY doc_id""",
     "q60a_pipeline_skeleton" ->
       """WITH t AS (SELECT doc_id, text,
              list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words FROM documents),

@@ -2891,7 +2891,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * in even one file is seen).
     */
   private def materializedAnywhere(colName: String): Boolean =
-    spark.read.option("mergeSchema", "true").parquet(path)
+    // a shallow clone's live dir is empty (files under the source root);
+    // claim "materialized" so the caller takes the rewrite path, whose
+    // requireMaterialized raises the pointed materialize-first error
+    isShallowClone || spark.read.option("mergeSchema", "true").parquet(path)
       .schema.fieldNames.exists(_.equalsIgnoreCase(colName))
 
   /** ALTER TABLE … DROP COLUMN — a rewrite of the current snapshot (see

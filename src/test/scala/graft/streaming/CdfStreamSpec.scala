@@ -158,6 +158,25 @@ class CdfStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startingTimestamp beyond all commits behaves like the default latest start") {
+    val t = new ManagedTable(spark, tmpDir("cdf-ts-future") + "/t")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))               // v0
+    t.append(Seq((2L, "b")).toDF("k", "v"))                  // v1
+    val q = t.readChangeStream(Seq("k"),
+        startingTimestamp = "2100-01-01T00:00:00Z")
+      .writeStream.format("memory").queryName("cdf_ts_future")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdf_ts_future").count() == 0)
+      // changes committed after stream start still arrive
+      t.append(Seq((3L, "c")).toDF("k", "v"))
+      q.processAllAvailable()
+      assert(spark.table("cdf_ts_future").select("k").as[Long]
+        .collect().toSet == Set(3L))
+    } finally q.stop()
+  }
+
   test("startingVersion replays history; multiple commits coalesce to net change") {
     val t = new ManagedTable(spark, tmpDir("cdf-replay") + "/t")
     t.overwrite(Seq((1L, "a")).toDF("k", "v"))            // v0
