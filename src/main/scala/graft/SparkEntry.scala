@@ -1030,6 +1030,17 @@ object SparkEntry {
       t.merge(src, Seq("n_nationkey"), allowEvolution = true)
       t.read.orderBy("n_nationkey")
     }),
+    "q127_show_partitions" -> ((s, d) => {
+      // metadata-only SHOW PARTITIONS: the per-partition row counts fold
+      // from listing + sidecar (minus DV cardinalities), zero data files
+      // opened — the oracle runs the full-scan GROUP BY and must agree
+      val wh = java.nio.file.Files.createTempDirectory("graft-parts").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/orders")
+      t.overwrite(Tables.orders(s, d).repartition(8), Seq("o_orderstatus"))
+      t.partitions()
+        .select(col("o_orderstatus"), col("row_count"))
+        .orderBy("o_orderstatus")
+    }),
     "q119_column_stats" -> ((s, d) => {
       // metadata-only ANALYZE: min/max/null-count folded from the commit
       // sidecar, zero data files opened, no scan job — the oracle runs the
@@ -2289,6 +2300,10 @@ object SparkEntry {
       """SELECT n_nationkey, n_name,
            CASE WHEN n_nationkey < 10 THEN n_regionkey END AS region
          FROM nation ORDER BY n_nationkey""",
+    "q127_show_partitions" ->
+      """SELECT CAST(o_orderstatus AS VARCHAR) AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS row_count
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "q119_column_stats" ->
       """SELECT * FROM (
            SELECT 'l_orderkey' AS col_name,

@@ -21,7 +21,9 @@ import graft.table.ManagedTable
   * {{{
   * DESCRIBE HISTORY <tbl> [LIMIT n]
   * DESCRIBE DETAIL <tbl>
+  * ALTER TABLE <tbl> ADD COLUMNS (name type, ...)
   * SHOW TBLPROPERTIES <tbl>
+  * SHOW PARTITIONS <tbl>
   * OPTIMIZE <tbl> [ZORDER BY (c1, c2, ...)] [WHERE <partition pred>]
   * VACUUM <tbl> [RETAIN n HOURS] [DRY RUN]
   * COPY INTO <tbl> FROM '<dir>' FILEFORMAT = PARQUET|CSV
@@ -86,6 +88,26 @@ object GraftSqlCommands {
     override val output: Seq[Attribute] = detailAttrs
     override def run(spark: SparkSession): Seq[Row] =
       new ManagedTable(spark, path).detail().collect().toSeq
+  }
+
+  /** SHOW PARTITIONS in Spark's one-string-per-partition shape
+    * (`day=d1/hour=3`), plus the metadata-fold inventory columns — all
+    * served from listing + sidecar, zero data files opened.
+    */
+  case class ShowPartitionsCommand(path: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs(
+      "partition" -> StringType, "num_files" -> LongType,
+      "size_bytes" -> LongType, "row_count" -> LongType)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val df = new ManagedTable(spark, path).partitions()
+      val n = df.schema.fields.length - 3
+      df.collect().toSeq.map { r =>
+        val part = (0 until n).map(i =>
+          df.schema.fields(i).name + "=" + String.valueOf(r.get(i)))
+          .mkString("/")
+        Row(part, r.getLong(n), r.getLong(n + 1), r.getLong(n + 2))
+      }
+    }
   }
 
   /** OPTIMIZE: plain form compacts to ceil(bytes / targetFileBytes) files
@@ -443,6 +465,8 @@ object GraftSqlCommands {
     rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*;?\\s*$$""")
   private val ShowProps =
     rx(s"""^\\s*SHOW\\s+TBLPROPERTIES\\s+$Tbl\\s*;?\\s*$$""")
+  private val ShowParts =
+    rx(s"""^\\s*SHOW\\s+PARTITIONS\\s+$Tbl\\s*;?\\s*$$""")
   private val AlterSetProps =
     rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterUnsetProps =
@@ -595,6 +619,8 @@ object GraftSqlCommands {
     }
     val shp = ShowProps.matcher(sqlText)
     if (shp.matches()) return Some(ShowTblPropertiesCommand(tbl(shp, 1)))
+    val shpa = ShowParts.matcher(sqlText)
+    if (shpa.matches()) return Some(ShowPartitionsCommand(tbl(shpa, 1)))
     val sp = AlterSetProps.matcher(sqlText)
     if (sp.matches()) {
       val pairs = parsePropertyPairs(sp.group(4))

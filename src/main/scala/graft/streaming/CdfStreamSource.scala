@@ -63,8 +63,10 @@ import graft.table.ManagedTable
   * stream from before the pin existed has an unknown position for its
   * first trigger, which therefore runs uncapped — limits engage from the
   * next batch. The pin only bounds batch SIZE, never placement: batch
-  * boundaries remain the engine's checkpointed offsets, so a stale or
-  * lost pin can inflate one batch but can never skip or replay a change.
+  * boundaries remain the engine's checkpointed offsets, so a LOST pin
+  * costs one uncapped batch and a STALE pin (written, then the engine
+  * committed past it before a crash) self-heals through the offer
+  * ratchet in [[getOffset]] — neither can skip or replay a change.
   */
 class CdfStreamSource(sqlContext: SQLContext, path: String,
                       keys: Seq[String], startingVersion: Long,
@@ -77,11 +79,20 @@ class CdfStreamSource(sqlContext: SQLContext, path: String,
 
   override val schema: StructType = CdfSourceProvider.cdfSchema(spark, path)
 
-  /** End version of the last batch this source constructed — the
-    * admission-control base. None = restarted without a pace pin
-    * (position unknown until the first getBatch).
+  /** Admission-control base: ratchets on every OFFER (getOffset result),
+    * not just on constructed batches. Offer-ratcheting is what makes a
+    * STALE pace pin (pin write lost after the engine committed past it)
+    * self-heal: offers at or below the engine's checkpointed offset are
+    * ignored and produce no getBatch, so a batch-only ratchet would
+    * recompute the same capped end forever and stall; advancing the
+    * cursor per offer walks it past the checkpoint within a bounded
+    * number of triggers, and the first offer beyond it spans at most one
+    * admission budget. Offers never skip data — batch boundaries are the
+    * engine's offsets; the cursor only bounds batch SIZE.
+    * None = restarted without a pace pin (position unknown; the first
+    * trigger runs uncapped and getBatch re-seeds).
     */
-  private var lastEnd: Option[Long] = pacedBase
+  private var paceCursor: Option[Long] = pacedBase
 
   private def toVersion(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -102,7 +113,7 @@ class CdfStreamSource(sqlContext: SQLContext, path: String,
     if (cur < 0) return None
     val end =
       if (maxVersions.isEmpty && maxFiles.isEmpty) cur
-      else lastEnd match {
+      else paceCursor match {
         case None => cur // pre-pin restart: one uncapped trigger, then paced
         case Some(base) =>
           var v = base; var admitted = 0L; var files = 0L; var stop = false
@@ -115,6 +126,7 @@ class CdfStreamSource(sqlContext: SQLContext, path: String,
               else { v = ver; admitted += 1; files += f }
             }
           }
+          paceCursor = Some(v) // ratchet per offer (see field doc)
           v
       }
     Some(LongOffset(end))
@@ -125,9 +137,10 @@ class CdfStreamSource(sqlContext: SQLContext, path: String,
     val toV = toVersion(end)
     // ratchet the pace position and persist it so a restart resumes
     // capped; rendered atomic by tmp+rename, and harmless if lost (the
-    // pin bounds size, the engine's offsets own correctness)
-    if (lastEnd.forall(_ < toV)) {
-      lastEnd = Some(toV)
+    // pin bounds size, the engine's offsets own correctness, and a stale
+    // pin self-heals through getOffset's offer-ratchet)
+    if (paceCursor.forall(_ < toV)) {
+      paceCursor = Some(toV)
       pacePin.foreach { pin =>
         try {
           val fs = pin.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -731,6 +731,48 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     }.sum
   }
 
+  /** SHOW PARTITIONS, metadata-only: one row per live partition dir with
+    * its file count, bytes, and EXACT row count (sidecar row counts minus
+    * outstanding deletion-vector cardinalities) — zero data files opened,
+    * no Spark job. Values are the on-disk partition strings (Spark's own
+    * cast-to-string, `__HIVE_DEFAULT_PARTITION__` for null), unescaped
+    * from the Hive-style dir encoding. At scale this is the partition
+    * inventory an operator reads before scoping a backfill or DELETE —
+    * serving it from the listing+sidecar keeps it O(files) driver work
+    * with no object-store GETs.
+    */
+  def partitions(): DataFrame = {
+    requireReadable()
+    val pcs = loggedPartitionCols(version)
+    require(pcs.nonEmpty, s"$path is not partitioned")
+    val files = liveFilesQ()
+    val metas = fileMeta(files)
+    val dv = currentDv
+    import org.apache.spark.sql.Row
+    val rows = files.groupBy { case (p, _) =>
+      p.stripPrefix(qualifiedRoot + "/").split('/').dropRight(1).toSeq
+    }.toSeq.map { case (segs, fsOf) =>
+      val values = segs.map { s =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(s.substring(s.indexOf('=') + 1))
+      }
+      Row.fromSeq(values ++ Seq(fsOf.size.toLong, fsOf.map(_._2).sum,
+        fsOf.map { case (p2, _) =>
+          metas(p2).rows - dv.get(p2).map(_.length.toLong).getOrElse(0L)
+        }.sum))
+    }.sortBy(_.toSeq.take(pcs.size).map(String.valueOf).mkString(" "))
+    val schema = org.apache.spark.sql.types.StructType(
+      pcs.map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType)) ++ Seq(
+        org.apache.spark.sql.types.StructField("num_files",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("size_bytes",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("row_count",
+          org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** Publish this table into the session catalog as an EXTERNAL parquet
     * table named `name`, with table AND column statistics attached from
     * the commit sidecar — a metadata-only ANALYZE straight into the
@@ -1390,6 +1432,17 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     else if (partitionCols.nonEmpty) df.hint("rebalance", partitionCols: _*)
     else df.hint("rebalance")
 
+  /** Operations whose caller already arranged the physical layout — the
+    * clustering sorts (ZORDER/CLUSTER), compaction's explicit file
+    * counts (OPTIMIZE/PURGE), snapshot restores — where the
+    * optimizeWrite rebalance shuffle would scramble exactly the order or
+    * file structure the operation exists to produce. Their writes bypass
+    * [[maybeOptimizeWrite]].
+    */
+  private def layoutBearing(op: String): Boolean =
+    op == "OPTIMIZE" || op == "ZORDER" || op == "RESTORE" || op == "PURGE" ||
+      op.startsWith("CLUSTER")
+
   private def stageToTmp(df0: DataFrame, partitionCols: Seq[String]): Path = {
     val df = maybeOptimizeWrite(df0, partitionCols)
     val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
@@ -1614,7 +1667,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * (pruned to surviving files — a rewrite that drops or moves a file
     * drops its bitmap with it) unless the mutation supplies its own map.
     */
-  private def commit(operation: String, partitionCols: Seq[String],
+  private def commit(operation: String, partitionCols0: Seq[String],
                      txn: Option[(String, Long)] = None,
                      dvNew: Option[Map[String, Array[Long]]] = None,
                      filesExplicit: Option[Seq[(String, Long)]] = None): Unit = {
@@ -1623,6 +1676,21 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // files — the live dir is empty by design and must not be listed
     val files = filesExplicit.getOrElse(listParquet(new Path(path))
       .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) })
+    // a caller that passes no partition columns on a commit that did not
+    // relocate files (DV deletes, bloom indexing, ANALYZE) must not ERASE
+    // the layout from the log — RESTORE, DESCRIBE DETAIL, compactWhere
+    // and SHOW PARTITIONS all read it per-version. The dir structure is
+    // the physical truth: infer `col=` segments from the first live file
+    // when the param is empty (an overwrite TO unpartitioned writes files
+    // at the root, so the inference correctly records Nil there).
+    val partitionCols =
+      if (partitionCols0.nonEmpty) partitionCols0
+      else files.headOption.map { case (p, _) =>
+        p.stripPrefix(qualifiedRoot + "/").split('/').dropRight(1).toSeq
+          .takeWhile(_.contains('='))
+          .map(s => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(s.substring(0, s.indexOf('='))))
+      }.getOrElse(Nil)
     val fileSet = files.map(_._1).toSet
     val dv = dvNew.getOrElse(dvMapForVersion(v - 1))
       .filter { case (p, _) => fileSet.contains(p) }
@@ -2397,8 +2465,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * feed is computed from snapshots, not captured at write time (no write
     * amplification; cost is two manifest reads + one key join).
     */
-  def changes(fromV: Long, toV: Long, keys: Seq[String]): DataFrame =
-    Merge.snapshotDiff(readVersion(fromV), readVersion(toV), keys)
+  def changes(fromV: Long, toV: Long, keys: Seq[String]): DataFrame = {
+    val to = readVersion(toV)
+    // fromV < 0 is the empty pre-founding state: a change feed starting
+    // at or before the first commit replays the whole snapshot as
+    // inserts (the CDF stream's startingTimestamp ≤ ts(v0) resolution)
+    val from = if (fromV < 0) to.filter(org.apache.spark.sql.functions.lit(false))
+      else readVersion(fromV)
+    Merge.snapshotDiff(from, to, keys)
+  }
 
   /** Drop ALL retained snapshot dirs (and nothing else): versions whose
     * data lives only in a retained dir become unreadable, like Delta's
@@ -2824,8 +2899,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     ensureBootstrapped()
     val names = read.schema.fieldNames
     require(names.exists(_.equalsIgnoreCase(oldName)), s"no such column: $oldName")
-    require(!names.exists(_.equalsIgnoreCase(newName)),
-      s"column $newName already exists")
+    if (names.exists(_.equalsIgnoreCase(newName))) {
+      // a rename of a MATERIALIZED declared column that crashed between
+      // its rewrite and the extras un-declare leaves this exact state:
+      // newName in the files, oldName still declared (all-null). Point
+      // the operator at the one-call cleanup instead of a dead end.
+      val crashDebris = declaredExtraColumns.exists(_.name.equalsIgnoreCase(oldName)) &&
+        !materializedAnywhere(oldName)
+      throw new IllegalArgumentException(s"column $newName already exists" +
+        (if (crashDebris) s"; $oldName is declared but materialized in no " +
+          s"file — if a prior renameColumn($oldName, $newName) crashed " +
+          s"between its rewrite and un-declare, dropColumn(\"$oldName\") " +
+          "removes the leftover declaration"
+        else ""))
+    }
     val pcs = loggedPartitionCols(version)
     require(!pcs.exists(_.equalsIgnoreCase(oldName)),
       s"cannot rename partition column $oldName")
@@ -2974,11 +3061,25 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val extras = declaredExtraColumns
     val inferred = rd.parquet(paths: _*)
     if (extras.isEmpty) return inferred
-    val missing = extras.filterNot(f =>
-      inferred.columns.exists(_.equalsIgnoreCase(f.name)))
-    if (missing.isEmpty) inferred
-    else rd.schema(org.apache.spark.sql.types.StructType(
-      inferred.schema.fields ++ missing)).parquet(paths: _*)
+    // normalized field order — [data cols, declared extras, partition
+    // cols] — so the schema is IDENTICAL before and after an extra
+    // materializes: naive appending would put a not-yet-written extra
+    // after the partition columns ([k,v,day,score]) but flip to
+    // [k,v,score,day] on the first post-ALTER append (inference then
+    // sees the column in a footer, ahead of the dir-derived partition
+    // col), breaking positional consumers between the two states
+    val pcs = loggedPartitionCols(version).map(_.toLowerCase).toSet
+    val extraNames = extras.map(_.name.toLowerCase).toSet
+    val fields = inferred.schema.fields
+    val dataF = fields.filterNot(f =>
+      pcs(f.name.toLowerCase) || extraNames(f.name.toLowerCase))
+    val partF = fields.filter(f => pcs(f.name.toLowerCase))
+    // a materialized extra keeps its file type; a missing one reads as
+    // its declared type (nulls per file, parquet's clipping)
+    val extraF = extras.map(e =>
+      fields.find(_.name.equalsIgnoreCase(e.name)).getOrElse(e))
+    rd.schema(org.apache.spark.sql.types.StructType(dataF ++ extraF ++ partF))
+      .parquet(paths: _*)
   }
 
   /** Manifest-pinned snapshot read — the consistent-read contract for
@@ -3754,7 +3855,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val df = if (constraints.nonEmpty) df0.localCheckpoint() else df0
     enforceConstraints(df)
     val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-    val w = maybeOptimizeWrite(df, partitionCols).write.mode(SaveMode.Overwrite)
+    val w = (if (layoutBearing(operation)) df else maybeOptimizeWrite(df, partitionCols))
+      .write.mode(SaveMode.Overwrite)
     withMicrosTs {
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp.toString)
     }
@@ -3886,9 +3988,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     }
     if (movedDirs.nonEmpty) remapManifests(qualifiedRoot, retainedDir(cur), movedDirs)
     // the affected dirs are gone from the live dir, so the replacement rows
-    // (⊆ affected partitions) land as a plain partitioned append
+    // (⊆ affected partitions) land as a plain partitioned append — through
+    // the optimizeWrite rebalance unless the operation brought its own
+    // layout (compactWhere's OPTIMIZE arranges one task per partition)
+    val out = if (layoutBearing(operation)) replacement
+      else maybeOptimizeWrite(replacement, partitionCols)
     withMicrosTs {
-      replacement.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
+      out.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
     }
     commit(operation, partitionCols)
     }
@@ -4016,14 +4122,22 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       if (!exists) overwrite(df, partitionCols)
       else {
         ensureBootstrapped()
+        // a wrong column list would silently write a SECOND partition
+        // layout next to the real one (the probe for dirs to retire never
+        // matches) — refuse instead of corrupting the directory scheme
+        val logged = loggedPartitionCols(version)
+        require(logged.map(_.toLowerCase) == partitionCols.map(_.toLowerCase),
+          s"dynamic overwrite partition columns ${partitionCols.mkString(",")} " +
+            s"must match the table's (${logged.mkString(",")})")
         // pin once: the affected-partition projection and the write must
         // see the same rows even from a nondeterministic source
         val src = tableSchemaOpt
           .map(conform(assignIdentities(df), allowEvolution = false, _, partitionCols))
           .getOrElse(assignIdentities(df))
           .localCheckpoint()
+        // derived from the pinned src and consumed exactly once (one
+        // collect inside swapPartitions) — no second checkpoint needed
         val affected = src.select(partitionCols.map(col): _*).distinct()
-          .localCheckpoint()
         // every incoming row lands in an affected partition by
         // construction, so src IS the replacement content
         swapPartitions(affected, partitionCols, src, "OVERWRITE_DYNAMIC")

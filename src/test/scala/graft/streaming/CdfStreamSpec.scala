@@ -158,6 +158,25 @@ class CdfStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startingTimestamp at or before the first commit replays everything") {
+    val t = new ManagedTable(spark, tmpDir("cdf-ts-origin") + "/t")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))               // v0
+    t.append(Seq((2L, "b")).toDF("k", "v"))                  // v1
+    val tsOfV0 = t.history().filter(col("version") === 0)
+      .select("timestamp").as[String].head()
+    val q = t.readChangeStream(Seq("k"), startingTimestamp = tsOfV0)
+      .writeStream.format("memory").queryName("cdf_ts_origin")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // v0 commits AT the timestamp, so the base is the empty pre-founding
+      // state: even the seed row replays, as an insert
+      val rows = spark.table("cdf_ts_origin")
+        .select("k", "change_type").as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "insert"), (2L, "insert")))
+    } finally q.stop()
+  }
+
   test("startingTimestamp beyond all commits behaves like the default latest start") {
     val t = new ManagedTable(spark, tmpDir("cdf-ts-future") + "/t")
     t.overwrite(Seq((1L, "a")).toDF("k", "v"))               // v0

@@ -49,6 +49,22 @@ class AddColumnsSpec extends SparkSpec {
       .as[(Long, Option[Double])].collect().toMap == rows)
   }
 
+  test("partitioned table: column ORDER is stable across materialization") {
+    val t = new ManagedTable(spark, tmpDir("addcols-part") + "/t")
+    t.overwrite(Seq((1L, "a", "d1")).toDF("k", "v", "day"), Seq("day"))
+    t.addColumns("score DOUBLE")
+    // extras sit BEFORE the partition columns from the very first read …
+    val orderBefore = t.read.schema.fieldNames.toSeq
+    assert(orderBefore == Seq("k", "v", "score", "day"), orderBefore)
+    // … so materializing the column must not flip the order (inference
+    // then sees score in a footer, ahead of the dir-derived day)
+    t.append(Seq((2L, "b", 0.7, "d2")).toDF("k", "v", "score", "day"), Seq("day"))
+    val orderAfter = t.read.schema.fieldNames.toSeq
+    assert(orderAfter == orderBefore, orderAfter)
+    assert(t.read.select("k", "score").as[(Long, Option[Double])]
+      .collect().toMap == Map(1L -> None, 2L -> Some(0.7)))
+  }
+
   test("validation: existing or duplicate names are refused") {
     val t = new ManagedTable(spark, tmpDir("addcols-val") + "/t")
     t.overwrite(Seq((1L, "a")).toDF("k", "v"))

@@ -1440,6 +1440,34 @@ class ManagedTableSpec extends SparkSpec {
     val t2 = new ManagedTable(spark, s"$base/t2")
     t2.overwritePartitionsDynamic(Seq((1L, "a", 1.0)).toDF("k", "g", "v"), Seq("g"))
     assert(t2.read.count() == 1)
+    // a wrong column list must refuse, not write a second layout
+    intercept[IllegalArgumentException] {
+      t.overwritePartitionsDynamic(
+        Seq((13L, "d1", 13.0)).toDF("k", "day", "v"), Seq("v"))
+    }
+  }
+
+  test("partitions(): metadata-only inventory with exact DV-adjusted counts") {
+    val t = new ManagedTable(spark, tmpDir("mt-parts") + "/t")
+    t.overwrite(Seq((1L, "d1"), (2L, "d1"), (3L, "d2")).toDF("k", "day"),
+      Seq("day"))
+    t.setProperties(Map("graft.enableDeletionVectors" -> "true"))
+    val p0 = t.partitions().select("day", "row_count")
+      .as[(String, Long)].collect().toMap
+    assert(p0 == Map("d1" -> 2L, "d2" -> 1L))
+    // a vectored delete shrinks the count without touching a file
+    t.deleteVectored(col("k") === 1)
+    val p1 = t.partitions().select("day", "row_count")
+      .as[(String, Long)].collect().toMap
+    assert(p1 == Map("d1" -> 1L, "d2" -> 1L))
+    // SQL form renders Spark's one-string partition shape
+    val sqlRows = graft.sql.GraftSql.sql(spark, s"SHOW PARTITIONS '${t.path}'")
+      .select("partition", "row_count").as[(String, Long)].collect().toMap
+    assert(sqlRows == Map("day=d1" -> 1L, "day=d2" -> 1L))
+    // unpartitioned tables refuse pointedly
+    val u = new ManagedTable(spark, tmpDir("mt-parts-u") + "/t")
+    u.overwrite(Seq((1L, "x")).toDF("k", "v"))
+    intercept[IllegalArgumentException] { u.partitions() }
   }
 
   test("overwriteWhere on a missing table creates it (predicate still checked)") {
