@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.col
@@ -39,118 +40,105 @@ import graft.table.ManagedTable
   * change. Snapshots the retention vacuum already dropped can't diff:
   * keep `startingVersion`/checkpoint inside the retention window.
   *
-  * '''Admission control''' (Delta's `maxFilesPerTrigger` /
-  * `maxBytesPerTrigger` role): without limits, a stream that was down
-  * through N commits — or one backfilling from `startingVersion 0` on a
-  * large table — folds the entire backlog into ONE batch, whose diff join
-  * must hold both end snapshots; at 100 TB that first batch is the whole
-  * table. With `maxVersionsPerTrigger` / `maxFilesPerTrigger` set, each
-  * trigger caps the END version it offers so the backlog drains as a
-  * sequence of bounded batches. The atom is a COMMIT: a version never
-  * splits across batches (each batch stays an exact net-diff between two
-  * logged versions), and at least one commit is always admitted even when
-  * it alone exceeds `maxFilesPerTrigger` — Delta's same always-make-
-  * progress rule. Per-commit file counts come from the history
-  * checkpoint's `filesAdded` metric (one driver-side text read per
-  * trigger, no manifest folding); commits from before that metric existed
-  * count as 0 — conservative toward larger batches, never toward a stall.
+  * '''Admission control''' (Delta's `maxFilesPerTrigger` role): without
+  * limits, a stream that was down through N commits — or one backfilling
+  * from `startingVersion 0` on a large table — folds the entire backlog
+  * into ONE batch, whose diff join must hold both end snapshots; at
+  * 100 TB that first batch is the whole table. With
+  * `maxVersionsPerTrigger` / `maxFilesPerTrigger` set, [[latestOffset]]
+  * caps the end version each trigger offers, so the backlog drains as a
+  * sequence of bounded batches. The source implements Spark's
+  * [[SupportsTriggerAvailableNow]] (hence `SupportsAdmissionControl`) —
+  * the engine hands `latestOffset` the last COMMITTED offset as the walk
+  * base, so pacing needs no state of its own anywhere: not in memory,
+  * not on disk, correct across restarts by construction. The atom is a
+  * COMMIT: a version never splits across batches (each batch stays an
+  * exact net-diff between two logged versions), and at least one commit
+  * is always admitted even when it alone exceeds `maxFilesPerTrigger` —
+  * Delta's same always-make-progress rule. Per-commit file counts come
+  * from the history checkpoint's `filesAdded` metric (one driver-side
+  * text read per trigger, no manifest folding); commits from before that
+  * metric existed count as 0 — conservative toward larger batches, never
+  * toward a stall.
   *
-  * The cap needs the stream's current position, which the V1 source API
-  * doesn't hand back: the source persists the last batch end it
-  * constructed as a pace pin in its metadata dir (atomic
-  * write-tmp-then-rename in [[getBatch]]). A fresh stream caps from the
-  * very first trigger (its position IS `startingVersion`); a RESTARTED
-  * stream from before the pin existed has an unknown position for its
-  * first trigger, which therefore runs uncapped — limits engage from the
-  * next batch. The pin only bounds batch SIZE, never placement: batch
-  * boundaries remain the engine's checkpointed offsets, so a LOST pin
-  * costs one uncapped batch and a STALE pin (written, then the engine
-  * committed past it before a crash) self-heals through the offer
-  * ratchet in [[getOffset]] — neither can skip or replay a change.
+  * '''Trigger.AvailableNow''': [[prepareForTriggerAvailableNow]] latches
+  * the current version as the drain target; `latestOffset` never offers
+  * past it, and the engine keeps triggering capped batches until the
+  * target is reached, then stops — a bounded-memory "process the backlog
+  * and exit" run. (Without the interface the engine would wrap the
+  * source and latch its FIRST capped offer, stopping a rate-limited
+  * drain after one batch.)
   */
 class CdfStreamSource(sqlContext: SQLContext, path: String,
                       keys: Seq[String], startingVersion: Long,
-                      maxVersions: Option[Long], maxFiles: Option[Long],
-                      pacedBase: Option[Long], pacePin: Option[Path])
-    extends Source {
+                      maxVersions: Option[Long], maxFiles: Option[Long])
+    extends Source with SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
   private def table = new ManagedTable(spark, path)
 
   override val schema: StructType = CdfSourceProvider.cdfSchema(spark, path)
 
-  /** Admission-control base: ratchets on every OFFER (getOffset result),
-    * not just on constructed batches. Offer-ratcheting is what makes a
-    * STALE pace pin (pin write lost after the engine committed past it)
-    * self-heal: offers at or below the engine's checkpointed offset are
-    * ignored and produce no getBatch, so a batch-only ratchet would
-    * recompute the same capped end forever and stall; advancing the
-    * cursor per offer walks it past the checkpoint within a bounded
-    * number of triggers, and the first offer beyond it spans at most one
-    * admission budget. Offers never skip data — batch boundaries are the
-    * engine's offsets; the cursor only bounds batch SIZE.
-    * None = restarted without a pace pin (position unknown; the first
-    * trigger runs uncapped and getBatch re-seeds).
-    */
-  private var paceCursor: Option[Long] = pacedBase
+  /** Trigger.AvailableNow drain target; None under other triggers. */
+  private var availableNowTarget: Option[Long] = None
 
-  private def toVersion(o: Offset): Long = o match {
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(table.version)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  private def toVersion(o: OffsetV2): Long = o match {
     case l: LongOffset => l.offset
     case s: SerializedOffset => s.json.trim.toLong
     case other => other.json().trim.toLong
   }
 
-  // The END version this trigger offers: the current version, capped by
-  // admission control when limits are set and the position is known. The
-  // engine compares against its checkpointed offset, so a restart resumes
-  // from the checkpoint even though this instance's startingVersion
-  // re-resolved to "now"; gating on startingVersion here would withhold
-  // changes committed while the stream was down until some future commit
-  // bumped the version past it. startingVersion only seeds fromV for the
-  // very first batch (start=None).
-  override def getOffset: Option[Offset] = {
-    val cur = table.version
-    if (cur < 0) return None
+  /** The END version this trigger offers: the current version (capped at
+    * the AvailableNow target when latched), admission-capped relative to
+    * the engine-provided `start` — the last committed offset, or null on
+    * a stream's very first batch, where the resolved `startingVersion`
+    * is the exact position. The engine compares the result against its
+    * checkpointed offset, so nothing here can skip or replay a change;
+    * the cap only bounds batch SIZE.
+    */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val cur0 = table.version
+    if (cur0 < 0) return null
+    val cur = availableNowTarget.fold(cur0)(math.min(cur0, _))
+    val base = Option(start).map(toVersion).getOrElse(startingVersion)
     val end =
       if (maxVersions.isEmpty && maxFiles.isEmpty) cur
-      else paceCursor match {
-        case None => cur // pre-pin restart: one uncapped trigger, then paced
-        case Some(base) =>
-          var v = base; var admitted = 0L; var files = 0L; var stop = false
-          table.commitPace(base).foreach { case (ver, fa) =>
-            if (!stop && ver <= cur) {
-              val f = math.max(0L, fa)
-              val overV = maxVersions.exists(admitted >= _)
-              val overF = maxFiles.exists(m => admitted > 0 && files + f > m)
-              if (overV || overF) stop = true
-              else { v = ver; admitted += 1; files += f }
-            }
+      else {
+        var v = base; var admitted = 0L; var files = 0L; var stop = false
+        table.commitPace(base).foreach { case (ver, fa) =>
+          if (!stop && ver <= cur) {
+            val f = math.max(0L, fa)
+            val overV = maxVersions.exists(admitted >= _)
+            val overF = maxFiles.exists(m => admitted > 0 && files + f > m)
+            if (overV || overF) stop = true
+            else { v = ver; admitted += 1; files += f }
           }
-          paceCursor = Some(v) // ratchet per offer (see field doc)
-          v
+        }
+        v
       }
-    Some(LongOffset(end))
+    LongOffset(math.max(end, base))
+  }
+
+  override def reportLatestOffset(): OffsetV2 = {
+    val v = table.version
+    if (v < 0) null else LongOffset(v)
+  }
+
+  // legacy V1 path — the engine uses latestOffset for admission-control
+  // sources; keep a sane uncapped answer should anything else call it
+  override def getOffset: Option[Offset] = {
+    val v = table.version
+    if (v >= 0) Some(LongOffset(v)) else None
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val fromV = start.map(toVersion).getOrElse(startingVersion)
-    val toV = toVersion(end)
-    // ratchet the pace position and persist it so a restart resumes
-    // capped; rendered atomic by tmp+rename, and harmless if lost (the
-    // pin bounds size, the engine's offsets own correctness, and a stale
-    // pin self-heals through getOffset's offer-ratchet)
-    if (paceCursor.forall(_ < toV)) {
-      paceCursor = Some(toV)
-      pacePin.foreach { pin =>
-        try {
-          val fs = pin.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val tmp = new Path(pin.getParent, pin.getName + ".tmp")
-          val out = fs.create(tmp, true)
-          try out.write(toV.toString.getBytes("UTF-8")) finally out.close()
-          fs.delete(pin, false); fs.rename(tmp, pin)
-        } catch { case _: java.io.IOException => () }
-      }
-    }
+    val fromV = start.map(o => toVersion(o: OffsetV2)).getOrElse(startingVersion)
+    val toV = toVersion(end: OffsetV2)
     val diff = table.changes(fromV, toV, keys)
       .filter(col("change_type") =!= "unchanged")
       .withColumn("graft_commit_version",
@@ -208,8 +196,9 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
     val hadoop = sqlContext.sparkSession.sparkContext.hadoopConfiguration
     // startingTimestamp (Delta: "changes committed AT OR AFTER the
     // timestamp") resolves to the version just below the first qualifying
-    // commit — the exclusive lower bound of the (fromV, toV] diff. All
-    // commits predating ts ⇒ behave like the default latest start.
+    // commit — the exclusive lower bound of the (fromV, toV] diff, with
+    // -1 meaning the empty pre-founding state (full replay as inserts).
+    // All commits predating ts ⇒ behave like the default latest start.
     val tsResolvedStart = p.startTs.map { ts =>
       t.versionAtOrAfter(ts).map(v => math.max(-1L, v - 1)).getOrElse(t.version)
     }
@@ -254,45 +243,9 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
         } catch { case _: java.io.IOException => readPinRetrying() }
       }
     }
-    // pace-pin base for admission control: the persisted last batch end
-    // when present; else, for a FRESH stream (no engine offset WAL yet),
-    // the resolved start — a pre-pin RESTART has an unknown position, so
-    // its first trigger runs uncapped (see class doc)
-    val pacePin = new Path(metadataPath, "graft-cdf-pace")
-    val paced: Option[Long] =
-      if (p.maxVersions.isEmpty && p.maxFiles.isEmpty) None
-      else {
-        val fs = pacePin.getFileSystem(hadoop)
-        if (fs.exists(pacePin)) {
-          val in = fs.open(pacePin)
-          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                  finally in.close()
-          s.toLongOption
-        } else if (isFreshStream(metadataPath, hadoop)) Some(resolved)
-        else None
-      }
     new CdfStreamSource(sqlContext, p.path, p.keys, resolved,
-      p.maxVersions, p.maxFiles, paced, Some(pacePin))
+      p.maxVersions, p.maxFiles)
   }
-
-  /** True when the engine has no offset WAL yet — i.e. this stream has
-    * never committed or even constructed a batch, so the source's
-    * resolved starting version IS its exact position. metadataPath is
-    * `<checkpoint>/sources/<i>`; the WAL lives at `<checkpoint>/offsets`
-    * (the documented checkpoint layout). Unreadable ⇒ not fresh, which
-    * only costs one uncapped first trigger.
-    */
-  private def isFreshStream(metadataPath: String,
-      hadoop: org.apache.hadoop.conf.Configuration): Boolean =
-    try {
-      val src = new Path(metadataPath)
-      val ckpt = Option(src.getParent).flatMap(p => Option(p.getParent))
-      ckpt.exists { root =>
-        val offsets = new Path(root, "offsets")
-        val fs = offsets.getFileSystem(hadoop)
-        !fs.exists(offsets) || fs.listStatus(offsets).isEmpty
-      }
-    } catch { case _: java.io.IOException => false }
 }
 
 object CdfSourceProvider {

@@ -109,7 +109,29 @@ class CdfStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("rate limits survive a restart via the pace pin") {
+  test("Trigger.AvailableNow drains a capped backlog fully, then stops") {
+    val t = new ManagedTable(spark, tmpDir("cdf-avnow") + "/t")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v").coalesce(1))   // v0
+    t.append(Seq((2L, "b")).toDF("k", "v").coalesce(1))      // v1
+    t.append(Seq((3L, "c")).toDF("k", "v").coalesce(1))      // v2
+    t.append(Seq((4L, "d")).toDF("k", "v").coalesce(1))      // v3
+    val q = t.readChangeStream(Seq("k"), startingVersion = 0,
+        maxVersionsPerTrigger = 1)
+      .writeStream.format("memory").queryName("cdf_avnow")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      // AvailableNow must keep triggering capped batches until the
+      // backlog latched at start is drained, then terminate on its own
+      assert(q.awaitTermination(120000L), "AvailableNow query did not finish")
+      val rows = spark.table("cdf_avnow")
+        .select("k", "graft_commit_version").as[(Long, Long)].collect().toSet
+      assert(rows == Set((2L, 1L), (3L, 2L), (4L, 3L)))
+    } finally q.stop()
+  }
+
+  test("rate limits survive a restart (engine-provided start offsets)") {
     val dir = tmpDir("cdf-pace-restart")
     val t = new ManagedTable(spark, dir + "/t")
     val ckpt = dir + "/ckpt"
