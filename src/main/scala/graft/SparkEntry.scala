@@ -1030,6 +1030,28 @@ object SparkEntry {
       t.merge(src, Seq("n_nationkey"), allowEvolution = true)
       t.read.orderBy("n_nationkey")
     }),
+    "q128_schema_evolution" -> ((s, d) => {
+      // the metadata-only schema surface e2e: found an INT-keyed slice,
+      // widen the key to BIGINT and ADD a column — both pure property
+      // edits, zero rewrites — then append a slice carrying wide keys and
+      // real values for the new column; the mixed dir must read back as
+      // ONE coherent wide schema bit-equal to the full-scan oracle
+      val wh = java.nio.file.Files.createTempDirectory("graft-evo").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/orders")
+      val o = Tables.orders(s, d)
+      t.overwrite(o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").cast("int").as("okey"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price")))
+      t.addColumns("discount DOUBLE")
+      t.alterColumnType("okey", "BIGINT")
+      t.append(o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey").as("okey"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"),
+          (col("o_totalprice") * 0.1).as("discount")))
+      t.read.orderBy("okey")
+    }),
     "q127_show_partitions" -> ((s, d) => {
       // metadata-only SHOW PARTITIONS: the per-partition row counts fold
       // from listing + sidecar (minus DV cardinalities), zero data files
@@ -2300,6 +2322,15 @@ object SparkEntry {
       """SELECT n_nationkey, n_name,
            CASE WHEN n_nationkey < 10 THEN n_regionkey END AS region
          FROM nation ORDER BY n_nationkey""",
+    "q128_schema_evolution" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS okey, o_orderstatus AS status,
+           o_totalprice AS price, CAST(NULL AS DOUBLE) AS discount
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT CAST(o_orderkey AS BIGINT), o_orderstatus, o_totalprice,
+           o_totalprice * 0.1
+         FROM orders WHERE o_orderkey % 2 = 1
+         ORDER BY okey""",
     "q127_show_partitions" ->
       """SELECT CAST(o_orderstatus AS VARCHAR) AS o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS row_count

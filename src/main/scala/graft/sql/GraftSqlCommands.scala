@@ -22,6 +22,7 @@ import graft.table.ManagedTable
   * DESCRIBE HISTORY <tbl> [LIMIT n]
   * DESCRIBE DETAIL <tbl>
   * ALTER TABLE <tbl> ADD COLUMNS (name type, ...)
+  * ALTER TABLE <tbl> ALTER COLUMN name TYPE type
   * SHOW TBLPROPERTIES <tbl>
   * SHOW PARTITIONS <tbl>
   * OPTIMIZE <tbl> [ZORDER BY (c1, c2, ...)] [WHERE <partition pred>]
@@ -459,6 +460,8 @@ object GraftSqlCommands {
     rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""")
   private val AlterAddColumns =
     rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*;?\\s*$$""")
+  private val AlterColumnType =
+    rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+TYPE\\s+(.+?)\\s*;?\\s*$$""")
   private val AlterRenameColumn =
     rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$$""")
   private val AlterDropColumn =
@@ -606,6 +609,12 @@ object GraftSqlCommands {
     if (acs.matches()) {
       val ddl = acs.group(4)
       return Some(AlterTableGraftCommand(tbl(acs, 1), _.addColumns(ddl)))
+    }
+    val act = AlterColumnType.matcher(sqlText)
+    if (act.matches()) {
+      val (colName, typeDdl) = (act.group(4), act.group(5))
+      return Some(AlterTableGraftCommand(tbl(act, 1),
+        _.alterColumnType(colName, typeDdl)))
     }
     val rc = AlterRenameColumn.matcher(sqlText)
     if (rc.matches()) {

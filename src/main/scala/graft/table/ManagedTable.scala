@@ -2933,9 +2933,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     replaceWith(read.withColumnRenamed(oldName, newName), pcs, "RENAME COLUMN")
     // the rewrite materialized every column, so any extras declaration
     // (oldName's or a bystander's) is now redundant — but oldName's MUST
-    // go or reads would resurrect it as a null column
+    // go or reads would resurrect it as a null column; a type override
+    // under the old name is dead too (new files carry the wide type)
     if (declaredExtraColumns.nonEmpty) setExtrasProperty(
       declaredExtraColumns.filterNot(_.name.equalsIgnoreCase(oldName)))
+    if (declaredTypeOverrideFields.exists(_.name.equalsIgnoreCase(oldName)))
+      setTypeOverrides(
+        declaredTypeOverrideFields.filterNot(_.name.equalsIgnoreCase(oldName)))
   }
 
   /** Metadata-only ALTER TABLE ADD COLUMNS (Delta's schema-in-the-log
@@ -2971,6 +2975,72 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     if (extras.isEmpty) unsetProperties(Seq("graft.schema.extras"))
     else setProperties(Map("graft.schema.extras" ->
       org.apache.spark.sql.types.StructType(extras).toDDL))
+
+  /** Metadata-only ALTER COLUMN TYPE (Delta's type-widening table
+    * feature): declare a LOSSLESS widening for an existing column — ZERO
+    * files rewritten. Pre-ALTER files keep their narrow physical type and
+    * the vectorized reader widens them per file under the requested
+    * schema; appends from here on conform (upcast) to the wide type.
+    * Allowed pairs: tinyint→smallint→int→bigint (any upward step),
+    * float→double, tinyint/smallint/int→double (exact in a double's 53
+    * bits; bigint→double is lossy and refused), decimal(p,s)→decimal
+    * (p′,s′) with s′ ≥ s and p′−s′ ≥ p−s, and date→timestamp_ntz. Like
+    * constraints, the declaration is current-state metadata: time-travel
+    * reads also see the wide type.
+    */
+  def alterColumnType(colName: String, newTypeDdl: String): Unit = {
+    ensureBootstrapped()
+    import org.apache.spark.sql.types._
+    val cur = read.schema.fields.find(_.name.equalsIgnoreCase(colName))
+      .getOrElse(throw new IllegalArgumentException(s"no such column: $colName"))
+    val to = StructType.fromDDL(s"`x` $newTypeDdl").fields(0).dataType
+    require(!loggedPartitionCols(version).exists(_.equalsIgnoreCase(colName)),
+      s"cannot change the type of partition column $colName")
+    require(!identityColumns.keys.exists(_.equalsIgnoreCase(colName)),
+      s"cannot change the type of identity column $colName")
+    def intRank(dt: DataType): Option[Int] = dt match {
+      case ByteType => Some(0); case ShortType => Some(1)
+      case IntegerType => Some(2); case LongType => Some(3); case _ => None
+    }
+    val ok = (cur.dataType, to) match {
+      case (a, b) if a == b => false
+      case (f, t) if intRank(f).isDefined && intRank(t).isDefined =>
+        intRank(f).get < intRank(t).get
+      case (FloatType, DoubleType) => true
+      case (f, DoubleType) => intRank(f).exists(_ <= 2)
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+      case (DateType, TimestampNTZType) => true
+      case _ => false
+    }
+    require(ok, s"cannot change $colName from ${cur.dataType.simpleString} " +
+      s"to ${to.simpleString}: only lossless widenings are metadata-only " +
+      "(rewrite through overwrite() for anything else)")
+    // a declared-only extra just updates its declaration; a real column
+    // records a type override the scan applies per file
+    if (declaredExtraColumns.exists(_.name.equalsIgnoreCase(colName)))
+      setExtrasProperty(declaredExtraColumns.map(f =>
+        if (f.name.equalsIgnoreCase(colName)) f.copy(dataType = to) else f))
+    else {
+      val next = declaredTypeOverrideFields
+        .filterNot(_.name.equalsIgnoreCase(colName)) :+ StructField(cur.name, to)
+      setProperties(Map("graft.schema.types" -> StructType(next).toDDL))
+    }
+  }
+
+  /** [[declaredTypeOverrides]] with original-case names, for rewriting
+    * the property on ALTER/drop/rename.
+    */
+  private def declaredTypeOverrideFields: Seq[org.apache.spark.sql.types.StructField] =
+    properties.get("graft.schema.types")
+      .map(ddl => org.apache.spark.sql.types.StructType.fromDDL(ddl).fields.toSeq)
+      .getOrElse(Nil)
+
+  private def setTypeOverrides(
+      fields: Seq[org.apache.spark.sql.types.StructField]): Unit =
+    if (fields.isEmpty) unsetProperties(Seq("graft.schema.types"))
+    else setProperties(Map("graft.schema.types" ->
+      org.apache.spark.sql.types.StructType(fields).toDDL))
 
   /** True when any data file physically carries `colName` — the probe
     * that decides whether dropping/renaming a declared column needs a
@@ -3011,6 +3081,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     if (declaredExtraColumns.exists(_.name.equalsIgnoreCase(colName)))
       setExtrasProperty(
         declaredExtraColumns.filterNot(_.name.equalsIgnoreCase(colName)))
+    if (declaredTypeOverrideFields.exists(_.name.equalsIgnoreCase(colName)))
+      setTypeOverrides(
+        declaredTypeOverrideFields.filterNot(_.name.equalsIgnoreCase(colName)))
   }
 
   /** DV state of the LATEST version, with a one-probe fast path: tables
@@ -3056,11 +3129,25 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * populations read correctly, and column order is deterministic
     * because post-ALTER writers conform extras to the tail.
     */
+  /** Widened types declared by a metadata-only ALTER COLUMN TYPE:
+    * lower-cased column name → target type. Pre-ALTER files keep their
+    * narrow physical type; the vectorized parquet reader widens per file
+    * under the explicit requested schema (int→long, float→double,
+    * int-family→double, decimal p/s growth, date→timestamp_ntz — each
+    * verified lossless on this Spark build).
+    */
+  private def declaredTypeOverrides: Map[String, org.apache.spark.sql.types.DataType] =
+    properties.get("graft.schema.types")
+      .map(ddl => org.apache.spark.sql.types.StructType.fromDDL(ddl).fields
+        .map(f => f.name.toLowerCase -> f.dataType).toMap)
+      .getOrElse(Map.empty)
+
   private def parquetScan(rd: org.apache.spark.sql.DataFrameReader,
                           paths: Seq[String]): DataFrame = {
     val extras = declaredExtraColumns
+    val widen = declaredTypeOverrides
     val inferred = rd.parquet(paths: _*)
-    if (extras.isEmpty) return inferred
+    if (extras.isEmpty && widen.isEmpty) return inferred
     // normalized field order — [data cols, declared extras, partition
     // cols] — so the schema is IDENTICAL before and after an extra
     // materializes: naive appending would put a not-yet-written extra
@@ -3078,7 +3165,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // its declared type (nulls per file, parquet's clipping)
     val extraF = extras.map(e =>
       fields.find(_.name.equalsIgnoreCase(e.name)).getOrElse(e))
-    rd.schema(org.apache.spark.sql.types.StructType(dataF ++ extraF ++ partF))
+    val ordered = (dataF ++ extraF ++ partF).map(f =>
+      widen.get(f.name.toLowerCase).map(t => f.copy(dataType = t)).getOrElse(f))
+    rd.schema(org.apache.spark.sql.types.StructType(ordered))
       .parquet(paths: _*)
   }
 
