@@ -103,8 +103,13 @@ object GraftSqlCommands {
       val df = new ManagedTable(spark, path).partitions()
       val n = df.schema.fields.length - 3
       df.collect().toSeq.map { r =>
+        // re-escape values into the on-disk dir form (Spark's own SHOW
+        // PARTITIONS shape): an unescaped value containing '/' or '='
+        // would render ambiguously against the segment separators
         val part = (0 until n).map(i =>
-          df.schema.fields(i).name + "=" + String.valueOf(r.get(i)))
+          df.schema.fields(i).name + "=" +
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .escapePathName(String.valueOf(r.get(i))))
           .mkString("/")
         Row(part, r.getLong(n), r.getLong(n + 1), r.getLong(n + 2))
       }

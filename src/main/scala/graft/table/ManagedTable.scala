@@ -741,6 +741,23 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * serving it from the listing+sidecar keeps it O(files) driver work
     * with no object-store GETs.
     */
+  /** The trailing `col=value` run of a file path's parent dirs — its
+    * Hive partition segments as (unescaped name, unescaped value) pairs,
+    * independent of which root the file lives under (a shallow clone's
+    * files live under the SOURCE root, where a root stripPrefix would
+    * silently yield garbage). Shared by [[commit]]'s partition-column
+    * inference and [[partitions]].
+    */
+  private def partitionSegments(p: String): Seq[(String, String)] =
+    p.split('/').dropRight(1).reverse.takeWhile(_.contains('='))
+      .reverse.toSeq.map { s =>
+        val i = s.indexOf('=')
+        (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(s.substring(0, i)),
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(s.substring(i + 1)))
+      }
+
   def partitions(): DataFrame = {
     requireReadable()
     val pcs = loggedPartitionCols(version)
@@ -749,18 +766,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val metas = fileMeta(files)
     val dv = currentDv
     import org.apache.spark.sql.Row
-    val rows = files.groupBy { case (p, _) =>
-      p.stripPrefix(qualifiedRoot + "/").split('/').dropRight(1).toSeq
-    }.toSeq.map { case (segs, fsOf) =>
-      val values = segs.map { s =>
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName(s.substring(s.indexOf('=') + 1))
-      }
+    // partitionSegments (not a root stripPrefix) so a shallow clone's
+    // source-rooted file paths parse exactly like live-dir ones
+    val rows = files.groupBy { case (p, _) => partitionSegments(p).map(_._2) }
+      .toSeq.map { case (values, fsOf) =>
       Row.fromSeq(values ++ Seq(fsOf.size.toLong, fsOf.map(_._2).sum,
         fsOf.map { case (p2, _) =>
           metas(p2).rows - dv.get(p2).map(_.length.toLong).getOrElse(0L)
         }.sum))
-    }.sortBy(_.toSeq.take(pcs.size).map(String.valueOf).mkString(" "))
+    }.sortBy(_.toSeq.take(pcs.size).map(String.valueOf).mkString(" "))
     val schema = org.apache.spark.sql.types.StructType(
       pcs.map(c => org.apache.spark.sql.types.StructField(c,
         org.apache.spark.sql.types.StringType)) ++ Seq(
@@ -1686,10 +1700,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val partitionCols =
       if (partitionCols0.nonEmpty) partitionCols0
       else files.headOption.map { case (p, _) =>
-        p.stripPrefix(qualifiedRoot + "/").split('/').dropRight(1).toSeq
-          .takeWhile(_.contains('='))
-          .map(s => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .unescapePathName(s.substring(0, s.indexOf('='))))
+        partitionSegments(p).map(_._1)
       }.getOrElse(Nil)
     val fileSet = files.map(_._1).toSet
     val dv = dvNew.getOrElse(dvMapForVersion(v - 1))
@@ -3155,20 +3166,41 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // [k,v,score,day] on the first post-ALTER append (inference then
     // sees the column in a footer, ahead of the dir-derived partition
     // col), breaking positional consumers between the two states
-    val pcs = loggedPartitionCols(version).map(_.toLowerCase).toSet
-    val extraNames = extras.map(_.name.toLowerCase).toSet
-    val fields = inferred.schema.fields
-    val dataF = fields.filterNot(f =>
-      pcs(f.name.toLowerCase) || extraNames(f.name.toLowerCase))
-    val partF = fields.filter(f => pcs(f.name.toLowerCase))
-    // a materialized extra keeps its file type; a missing one reads as
-    // its declared type (nulls per file, parquet's clipping)
-    val extraF = extras.map(e =>
-      fields.find(_.name.equalsIgnoreCase(e.name)).getOrElse(e))
-    val ordered = (dataF ++ extraF ++ partF).map(f =>
+    val ordered = if (extras.isEmpty) {
+      // widen-only: types change in place, order needs no normalization —
+      // and no partition-column (history) lookup on the hot read path
+      inferred.schema.fields.toSeq
+    } else {
+      val pcs = scanPartitionCols
+      val extraNames = extras.map(_.name.toLowerCase).toSet
+      val fields = inferred.schema.fields
+      val dataF = fields.filterNot(f =>
+        pcs(f.name.toLowerCase) || extraNames(f.name.toLowerCase))
+      val partF = fields.filter(f => pcs(f.name.toLowerCase))
+      // the DECLARATION is the source of truth for an extra's type: every
+      // write conformed to it, and after an alterColumnType widening the
+      // declared type is wider than older files' — the explicit schema
+      // widens those per file (preferring a sampled footer's type here
+      // would make the schema nondeterministic and lose the widening)
+      (dataF ++ extras ++ partF).toSeq
+    }
+    val withTypes = ordered.map(f =>
       widen.get(f.name.toLowerCase).map(t => f.copy(dataType = t)).getOrElse(f))
-    rd.schema(org.apache.spark.sql.types.StructType(ordered))
+    rd.schema(org.apache.spark.sql.types.StructType(withTypes))
       .parquet(paths: _*)
+  }
+
+  /** Partition-column set for [[parquetScan]]'s order normalization,
+    * memoized per instance (invalidated by [[overwrite]], the only
+    * layout-changing op): the alternative is a history-checkpoint read
+    * on EVERY scan of a table with declared extras.
+    */
+  private var scanPartitionColsMemo: Option[Set[String]] = None
+  private def scanPartitionCols: Set[String] = scanPartitionColsMemo match {
+    case Some(s) => s
+    case None =>
+      val s = loggedPartitionCols(version).map(_.toLowerCase).toSet
+      scanPartitionColsMemo = Some(s); s
   }
 
   /** Manifest-pinned snapshot read — the consistent-read contract for
@@ -3238,7 +3270,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     r.load()
   }
 
-  def overwrite(df: DataFrame, partitionCols: Seq[String] = Nil): Unit =
+  def overwrite(df: DataFrame, partitionCols: Seq[String] = Nil): Unit = {
     if (exists) replaceWith(df, partitionCols, "OVERWRITE")
     else withCommitLock {
       val w = maybeOptimizeWrite(assignIdentities(df), partitionCols)
@@ -3248,6 +3280,18 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       }
       commit("OVERWRITE", partitionCols)
     }
+    // an overwrite REDEFINES the schema from its frame: stale ADD COLUMNS
+    // / ALTER COLUMN TYPE declarations describe the OLD schema — leaving
+    // them would resurrect dropped columns as nulls or force a dead wide
+    // type onto incompatible new files (an unreadable table). Cleared
+    // after the commit: a crash in between leaves the documented
+    // current-state-metadata staleness for exactly one retry, never data
+    // loss (overwrite again, or unset the properties, recovers).
+    if (properties.contains("graft.schema.extras") ||
+        properties.contains("graft.schema.types"))
+      unsetProperties(Seq("graft.schema.extras", "graft.schema.types"))
+    scanPartitionColsMemo = None // the overwrite may have changed the layout
+  }
 
   def append(df: DataFrame, partitionCols: Seq[String] = Nil,
              allowEvolution: Boolean = false): Unit =

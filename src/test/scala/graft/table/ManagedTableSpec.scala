@@ -1468,6 +1468,10 @@ class ManagedTableSpec extends SparkSpec {
     val u = new ManagedTable(spark, tmpDir("mt-parts-u") + "/t")
     u.overwrite(Seq((1L, "x")).toDF("k", "v"))
     intercept[IllegalArgumentException] { u.partitions() }
+    // a shallow clone's source-rooted file paths parse the same
+    val c = t.shallowCloneTo(tmpDir("mt-parts-clone") + "/c")
+    assert(c.partitions().select("day", "row_count")
+      .as[(String, Long)].collect().toMap == p1)
   }
 
   test("overwriteWhere on a missing table creates it (predicate still checked)") {

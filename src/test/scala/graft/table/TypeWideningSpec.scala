@@ -69,6 +69,32 @@ class TypeWideningSpec extends SparkSpec {
     assert(t.read.filter(col("score") === 5L).count() == 1)
   }
 
+  test("widening a MATERIALIZED declared column sticks (declaration wins)") {
+    val t = new ManagedTable(spark, tmpDir("widen-extra-mat") + "/t")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    t.addColumns("score INT")
+    t.append(Seq((2L, "b", 7)).toDF("k", "v", "score"))   // materializes INT
+    t.alterColumnType("score", "BIGINT")
+    // the declaration is the source of truth: whatever footer inference
+    // samples, the schema is deterministically wide
+    assert(t.read.schema("score").dataType == LongType)
+    t.append(Seq((3L, "c", 3000000000L)).toDF("k", "v", "score"))
+    assert(t.read.orderBy("k").select("score").as[Option[Long]]
+      .collect().toSeq == Seq(None, Some(7L), Some(3000000000L)))
+  }
+
+  test("a full overwrite clears stale schema declarations") {
+    val t = new ManagedTable(spark, tmpDir("widen-ovr") + "/t")
+    t.overwrite(Seq((1, "a")).toDF("k", "v"))
+    t.alterColumnType("k", "BIGINT")
+    t.addColumns("score DOUBLE")
+    // overwrite re-founds the schema: k becomes a STRING, score is gone
+    t.overwrite(Seq(("x", "a")).toDF("k", "v"))
+    assert(t.read.schema("k").dataType == StringType)
+    assert(!t.read.schema.fieldNames.contains("score"))
+    assert(t.read.as[(String, String)].collect().toSeq == Seq(("x", "a")))
+  }
+
   test("drop clears the override; SQL form works") {
     val t = new ManagedTable(spark, tmpDir("widen-sql") + "/t")
     t.overwrite(Seq((1, "a")).toDF("k", "v"))
