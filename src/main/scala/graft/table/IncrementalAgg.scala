@@ -7,30 +7,43 @@ import org.apache.spark.sql.functions._
   * materialized-gold-mart discipline (the reference's marts are full
   * recomputes per run, gold.py; Delta's DBSQL materialized views are the
   * managed form): `refresh()` brings the view to the source's current
-  * version, and when every commit in the window is an APPEND or a
-  * row-neutral rewrite (OPTIMIZE / ZORDER) it reads ONLY the files the
-  * APPEND commits added — additions are attributed PER COMMIT (each
-  * APPEND's own manifest diff), so a later compaction's rewritten files
-  * are never mistaken for new rows, and routine maintenance on a
-  * streaming-append table doesn't force recomputes. Any row-changing
-  * commit (DELETE/UPDATE/MERGE/OVERWRITE/RESTORE/…) falls back to a full
-  * recompute — the incrementalizability rule production MV engines
-  * apply. If a needed pre-compaction file was vacuumed away before the
-  * refresh, the incremental read fails cleanly and the refresh falls
-  * back to full (refresh-then-vacuum is the happy ordering).
+  * version reading only what each commit in the window actually changed:
   *
-  * Maintained aggregates: COUNT(*) plus SUM per listed column, held as
-  * DECIMAL running totals. Decimal addition is exact and associative, so
-  * ANY refresh schedule produces bit-identical state to a one-shot
-  * aggregation over the final snapshot (spec + DuckDB-oracle anchored —
-  * the DECIMAL determinism contract extended to incremental maintenance).
-  * AVG derives as sum/cnt at read time; MIN/MAX are deliberately absent
-  * (not incrementally maintainable under deletes).
+  *  - APPEND / COPY INTO: only the files the commit added (its own
+  *    manifest diff, attributed PER COMMIT so a later compaction's
+  *    rewritten files are never mistaken for new rows);
+  *  - OPTIMIZE / ZORDER / CLUSTER / PURGE: row-neutral (they rewrite
+  *    files, not rows — reads were already DV-filtered), skipped;
+  *  - merge-on-read DELETE / UPDATE / MERGE (no live file removed): the
+  *    commit's deletion-vector diff is SUBTRACTED (the newly-marked rows
+  *    read back from just the marked files) and its appended replacement/
+  *    insert files are added — the window stays incremental through DML,
+  *    which is what a continuously-merged silver table needs;
+  *  - anything else (OVERWRITE, RESTORE, a copy-on-write rewrite, schema
+  *    changes): full recompute — the incrementalizability rule production
+  *    MV engines apply.
+  *
+  * If a needed pre-compaction file was vacuumed away before the refresh,
+  * the incremental read fails cleanly and the refresh falls back to full
+  * (refresh-then-vacuum is the happy ordering).
+  *
+  * Maintained aggregates: COUNT(*) plus SUM and non-null count per listed
+  * column, held as DECIMAL/LONG running totals. Decimal addition and
+  * subtraction are exact, associative and commutative, so ANY refresh
+  * schedule — including one interleaving DV-diff subtractions — produces
+  * bit-identical state to a one-shot aggregation over the final snapshot
+  * (spec + DuckDB-oracle anchored). Groups whose row count reaches zero
+  * are dropped, exactly as a recompute would never produce them; the
+  * per-column non-null count finalizes a no-non-null-values SUM back to
+  * NULL (an all-cancelling 0 is distinguishable only through it) and
+  * makes AVG = sum/nnz the exact SQL `avg` under NULLs. MIN/MAX are
+  * deliberately absent (not incrementally maintainable under deletes).
   *
   * At 100 TB: view state is one row per group (mart-sized); an
-  * append-only refresh costs one scan of the NEW files plus a
-  * state-sized aggregation — the corpus-wide aggregation runs once at
-  * bootstrap and never again on the append path.
+  * append-only refresh costs one scan of the NEW files, a DML refresh one
+  * scan of the marked + appended files, each plus a state-sized
+  * aggregation — the corpus-wide aggregation runs once at bootstrap and
+  * never again outside OVERWRITE/RESTORE.
   */
 final class IncrementalAgg(spark: SparkSession, statePath: String,
                            source: ManagedTable, keys: Seq[String],
@@ -45,57 +58,118 @@ final class IncrementalAgg(spark: SparkSession, statePath: String,
     if (!state.exists) -1L
     else state.properties.get(versionProp).map(_.toLong).getOrElse(-1L)
 
-  /** One aggregation pass: (keys, cnt, sum_<c>…) with decimal sums. */
+  /** One aggregation pass: (keys, cnt, [sum_<c>, nnz_<c>]…) with decimal
+    * sums and per-column non-null counts.
+    */
   private def aggregate(df: DataFrame): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
-        sumCols.map(c =>
-          sum(col(c).cast("decimal(18,6)")).cast("decimal(28,6)").as(s"sum_$c")): _*)
+        sumCols.flatMap(c => Seq(
+          sum(col(c).cast("decimal(18,6)")).cast("decimal(28,6)").as(s"sum_$c"),
+          count(col(c)).as(s"nnz_$c"))): _*)
 
-  /** Fold a delta state into the current one (exact decimal adds). */
-  private def combine(cur: DataFrame, delta: DataFrame): DataFrame =
-    cur.unionByName(delta)
+  /** Negate a partial state — the subtraction feed for rows a DV commit
+    * removed. Exact: decimal negation plus long negation.
+    */
+  private def negate(partial: DataFrame): DataFrame =
+    partial.select(
+      keys.map(col) ++ Seq((-col("cnt")).as("cnt")) ++ sumCols.flatMap(c => Seq(
+        (-col(s"sum_$c")).cast("decimal(28,6)").as(s"sum_$c"),
+        (-col(s"nnz_$c")).as(s"nnz_$c"))): _*)
+
+  /** Fold signed delta states into the current one (exact decimal adds);
+    * groups whose running row count hits zero disappear, as a recompute
+    * would never produce them.
+    */
+  private def combine(cur: DataFrame, deltas: Seq[DataFrame]): DataFrame =
+    deltas.foldLeft(cur)(_ unionByName _)
       .groupBy(keys.map(col): _*)
       .agg(sum(col("cnt")).as("cnt"),
-        sumCols.map(c =>
-          sum(col(s"sum_$c")).cast("decimal(28,6)").as(s"sum_$c")): _*)
+        sumCols.flatMap(c => Seq(
+          sum(col(s"sum_$c")).cast("decimal(28,6)").as(s"sum_$c"),
+          sum(col(s"nnz_$c")).as(s"nnz_$c"))): _*)
+      .filter(col("cnt") > 0)
+
+  /** Commits that add rows exclusively through their added files. */
+  private val addBearing = Set("APPEND", "COPY INTO")
+
+  /** Commits that rewrite files but not rows (reads were already
+    * DV-filtered): their manifest churn is invisible to the view as long
+    * as additions are attributed per-commit.
+    */
+  private def rowNeutral(op: String): Boolean =
+    op == "OPTIMIZE" || op == "ZORDER" || op == "PURGE" ||
+      op.startsWith("CLUSTER(")
+
+  /** DML ops that are incremental WHEN merge-on-read (no live file
+    * removed): DV diff subtracts, added files add.
+    */
+  private val morDml = Set("DELETE", "UPDATE", "MERGE")
+
+  private case class CopyOnWriteRewrite() extends Exception
 
   /** Bring the view up to the source's current version. Returns the
     * refresh mode actually taken: "noop" (already current), "initial"
-    * (first build), "incremental" (append-only window, new files only) or
-    * "full" (window contains a non-append commit).
+    * (first build), "incremental" (append/row-neutral window, new files
+    * only), "incremental-mor" (window also carried merge-on-read DML,
+    * processed by DV-diff subtraction) or "full" (a non-incrementalizable
+    * commit, a copy-on-write rewrite, or a vacuumed-away window file).
     */
-  /** Commits that rewrite files but not rows: their manifest churn is
-    * invisible to the view as long as additions are attributed per-commit.
-    */
-  private val rowNeutral = Set("OPTIMIZE", "ZORDER")
-
   def refresh(): String = {
     val to = source.version
     val from = refreshedVersion
     if (to < 0 || to == from) return "noop"
     val window = source.operationsBetween(from, to)
+    // a state written by the pre-nnz schema can't be folded into — one
+    // full recompute migrates it
+    def stateCurrentSchema: Boolean = {
+      val cols = state.read.columns.toSet
+      sumCols.forall(c => cols.contains(s"nnz_$c"))
+    }
     var mode =
       if (from < 0) "initial"
+      else if (!stateCurrentSchema) "full"
       else if (window.forall { case (_, op) =>
-        op == "APPEND" || rowNeutral(op) }) "incremental"
+        addBearing(op) || rowNeutral(op) || morDml(op) }) {
+        if (window.exists { case (_, op) => morDml(op) }) "incremental-mor"
+        else "incremental"
+      }
       else "full"
     val next = mode match {
-      case "incremental" =>
-        // per-commit attribution: each APPEND's own manifest diff. The
+      case "incremental" | "incremental-mor" =>
+        // per-commit attribution: each commit's own manifest diff. The
         // file lists of adjacent versions are shared via the memo, so a
         // w-commit window costs w+1 manifest reads, not 2w.
         val memo = scala.collection.mutable.Map.empty[Long, Set[String]]
         def files(v: Long) = memo.getOrElseUpdate(v, source.manifestFiles(v).toSet)
-        val added = window.collect { case (v, "APPEND") => files(v) -- files(v - 1) }
-          .foldLeft(Set.empty[String])(_ ++ _).toSeq.sorted
-        if (added.isEmpty) { // row-neutral-only window: state already current
-          state.setProperties(Map(versionProp -> to.toString))
-          return "incremental"
-        }
-        try combine(state.read, aggregate(source.readFileSubset(to, added)))
-        catch { case _: IllegalStateException => // vacuumed mid-window
-          mode = "full"; aggregate(source.read)
+        try {
+          val deltas = window.flatMap { case (v, op) =>
+            if (rowNeutral(op)) Nil
+            else {
+              // a DML commit that removed live files rewrote rows in
+              // place (copy-on-write): its manifest diff is not a row
+              // diff — recompute
+              if (morDml(op) && (files(v - 1) -- files(v)).nonEmpty)
+                throw CopyOnWriteRewrite()
+              val added = (files(v) -- files(v - 1)).toSeq.sorted
+              val add =
+                if (added.isEmpty) Nil
+                else Seq(aggregate(source.readFileSubset(v, added)))
+              val sub =
+                if (!morDml(op)) Nil
+                else source.dvNewlyMarkedRows(v).map(df => negate(aggregate(df))).toSeq
+              add ++ sub
+            }
+          }
+          if (deltas.isEmpty) { // row-neutral-only window: state already current
+            state.setProperties(Map(versionProp -> to.toString))
+            return mode
+          }
+          combine(state.read, deltas)
+        } catch {
+          case _: CopyOnWriteRewrite => mode = "full"; aggregate(source.read)
+          case _: IllegalStateException => // vacuumed mid-window
+            mode = "full"; aggregate(source.read)
         }
       case _ => aggregate(source.read)
     }
@@ -107,11 +181,17 @@ final class IncrementalAgg(spark: SparkSession, statePath: String,
   }
 
   /** The view for consumers: cnt plus per-column sum/avg as DOUBLE (the
-    * oracle-facing DECIMAL→DOUBLE contract).
+    * oracle-facing DECIMAL→DOUBLE contract). The non-null count finalizes
+    * sum to NULL when no non-null value remains (an all-cancelling 0 is
+    * indistinguishable from it in the running total alone) and makes avg
+    * the exact SQL `avg(c)` = sum/nnz.
     */
   def read: DataFrame =
     state.read.select(
       keys.map(col) ++ Seq(col("cnt")) ++ sumCols.flatMap(c => Seq(
-        col(s"sum_$c").cast("double").as(s"sum_$c"),
-        (col(s"sum_$c").cast("double") / col("cnt")).as(s"avg_$c"))): _*)
+        when(col(s"nnz_$c") === 0, lit(null).cast("double"))
+          .otherwise(col(s"sum_$c").cast("double")).as(s"sum_$c"),
+        when(col(s"nnz_$c") === 0, lit(null).cast("double"))
+          .otherwise(col(s"sum_$c").cast("double") / col(s"nnz_$c"))
+          .as(s"avg_$c"))): _*)
 }

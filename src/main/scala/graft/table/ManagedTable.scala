@@ -1167,12 +1167,18 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * rows. Zero-shuffle, zero-join — one codegen'd filter at the scan
     * ([[DvDeleted]]); a no-op (the exact original frame) when `dv` is
     * empty, so DV-free tables pay nothing on any read path.
+    * `keepMarked` INVERTS the filter — only the marked rows survive — for
+    * consumers that need exactly the rows a deletion-vector change removed
+    * ([[dvNewlyMarkedRows]]); with an empty map that's no rows at all.
     */
-  private def applyDv(df: DataFrame, dv: Map[String, Array[Long]]): DataFrame =
-    if (dv.isEmpty) df
+  private def applyDv(df: DataFrame, dv: Map[String, Array[Long]],
+                      keepMarked: Boolean = false): DataFrame =
+    if (dv.isEmpty) { if (keepMarked) df.filter(lit(false)) else df }
     else {
       val norm = dv.map { case (p, a) => new Path(p).toString -> a }
-      df.filter(!DvDeleted(col("_metadata.file_path"), col("_metadata.row_index"), norm))
+      val marked =
+        DvDeleted(col("_metadata.file_path"), col("_metadata.row_index"), norm)
+      df.filter(if (keepMarked) marked else !marked)
     }
 
   /** DELETE rows matching `cond` WITHOUT rewriting any data file (Delta's
@@ -2341,6 +2347,33 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     scanResolved(files.map(where), dv, mergeSchema)
   }
 
+  /** The rows commit `v`'s deletion-vector change newly MARKED deleted
+    * (positions in dv(v) but not dv(v−1)), read back from the marked
+    * files — the SUBTRACTION feed incremental consumers
+    * ([[IncrementalAgg.refresh]]) need to process a merge-on-read
+    * DELETE/UPDATE/MERGE without recomputing: cost tracks the files the
+    * commit touched, never the snapshot. None when the commit marked
+    * nothing (an insert-only MERGE), so callers skip the scan entirely.
+    * Marks only DISAPPEAR via file rewrites (OPTIMIZE/PURGE retire the
+    * file along with its bitmap), so the positive diff alone is the
+    * commit's full row-removal story.
+    */
+  private[table] def dvNewlyMarkedRows(v: Long): Option[DataFrame] = {
+    val before = dvMapForVersion(v - 1)
+    val diff = dvMapForVersion(v).flatMap { case (p, marks) =>
+      val prev = before.getOrElse(p, Array.empty[Long])
+      val fresh = marks.filter(m => java.util.Arrays.binarySearch(prev, m) < 0)
+      if (fresh.isEmpty) None else Some(p -> fresh)
+    }
+    if (diff.isEmpty) None
+    else {
+      val files = diff.keys.toSeq.sorted
+      val where = resolveLive(s"version $v", files)
+      val keyed = diff.map { case (p, a) => where.getOrElse(p, p) -> a }
+      Some(scanResolved(files.map(where), keyed, keepMarked = true))
+    }
+  }
+
   /** Manifest paths resolved to where each file lives NOW — identity for
     * a file that exists. A foreign file (a shallow clone's reference into
     * its source) that the source has since retired by a rewrite resolves
@@ -2374,7 +2407,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * string work, no fs probes.
     */
   private def scanResolved(resolved: Seq[String], dv: Map[String, Array[Long]],
-                           mergeSchema: Boolean = false): DataFrame = {
+                           mergeSchema: Boolean = false,
+                           keepMarked: Boolean = false): DataFrame = {
     val roots = qualifiedRoot +: foreignRoots
     def rootOf(f: String): String = roots.collectFirst {
       case r if f.startsWith(r + "/") => r
@@ -2388,7 +2422,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         val rd0 = if (mergeSchema) spark.read.option("mergeSchema", "true")
           else spark.read
         val rd = if (root.nonEmpty) rd0.option("basePath", root) else rd0
-        applyDv(parquetScan(rd, fsOfRoot), dv)
+        applyDv(parquetScan(rd, fsOfRoot), dv, keepMarked)
       }.reduce(_ unionByName _)
   }
 
