@@ -1126,9 +1126,11 @@ object SparkEntry {
     "q115_incremental_mart" -> ((s, d) => {
       // incrementally-maintained gold mart (graft.table.IncrementalAgg):
       // initial build → append-only refresh that reads ONLY the appended
-      // files (manifest set-diff) → vectored delete forcing the full
-      // fallback. DECIMAL running sums make every schedule bit-identical
-      // to a one-shot aggregation — which is exactly what the oracle runs
+      // files (manifest set-diff) → vectored delete processed by DV-diff
+      // SUBTRACTION (incremental-mor: only the newly-marked rows read
+      // back, never the snapshot). DECIMAL running sums/negations make
+      // every schedule bit-identical to a one-shot aggregation — which is
+      // exactly what the oracle runs
       val wh = java.nio.file.Files.createTempDirectory("graft-mv").toString
       val src = new graft.table.ManagedTable(s, s"$wh/src")
       val mv = new graft.table.IncrementalAgg(s, s"$wh/mv", src,
@@ -1413,6 +1415,29 @@ object SparkEntry {
       // bounded per-window state instead of per-user sets
       graft.streaming.EventStreaming.hourlyDistinctUsers(Tables.events(s, d))
         .orderBy("window_start")),
+
+    "q129_stream_table" -> ((s, d) => {
+      // append-mode managed-table streaming source
+      // (graft.streaming.TableStreamSource, Delta's plain readStream):
+      // founding overwrite + append + row-neutral OPTIMIZE + append,
+      // drained under Trigger.AvailableNow with admission control
+      // (maxVersionsPerTrigger=1 forces one commit per batch) — the sink
+      // must hold exactly the table's rows, each emitted once, with the
+      // compaction's rewritten files never re-emitted
+      val wh = java.nio.file.Files.createTempDirectory("graft-stream").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/t")
+      val ev = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+      t.overwrite(ev.filter(col("event_id") % 3 === 0))
+      t.append(ev.filter(col("event_id") % 3 === 1))
+      t.compact(numFiles = 2)
+      t.append(ev.filter(col("event_id") % 3 === 2))
+      val sinkName = "q129_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = t.readStreamAppends(startingVersion = 0, maxVersionsPerTrigger = 1)
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000L)
+      s.table(sinkName).orderBy("event_id")
+    }),
 
     // ---- Top-k (O1-O4) ----
     "q15_topk" -> ((s, d) =>
@@ -2322,6 +2347,9 @@ object SparkEntry {
       """SELECT n_nationkey, n_name,
            CASE WHEN n_nationkey < 10 THEN n_regionkey END AS region
          FROM nation ORDER BY n_nationkey""",
+    "q129_stream_table" ->
+      """SELECT event_id, user_id, event_type, value
+         FROM events ORDER BY event_id""",
     "q128_schema_evolution" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS okey, o_orderstatus AS status,
            o_totalprice AS price, CAST(NULL AS DOUBLE) AS discount

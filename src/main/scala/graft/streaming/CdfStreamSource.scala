@@ -87,11 +87,7 @@ class CdfStreamSource(sqlContext: SQLContext, path: String,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  private def toVersion(o: OffsetV2): Long = o match {
-    case l: LongOffset => l.offset
-    case s: SerializedOffset => s.json.trim.toLong
-    case other => other.json().trim.toLong
-  }
+  private def toVersion(o: OffsetV2): Long = StreamCommon.toVersion(o)
 
   /** The END version this trigger offers: the current version (capped at
     * the AvailableNow target when latched), admission-capped relative to
@@ -106,22 +102,7 @@ class CdfStreamSource(sqlContext: SQLContext, path: String,
     if (cur0 < 0) return null
     val cur = availableNowTarget.fold(cur0)(math.min(cur0, _))
     val base = Option(start).map(toVersion).getOrElse(startingVersion)
-    val end =
-      if (maxVersions.isEmpty && maxFiles.isEmpty) cur
-      else {
-        var v = base; var admitted = 0L; var files = 0L; var stop = false
-        table.commitPace(base).foreach { case (ver, fa) =>
-          if (!stop && ver <= cur) {
-            val f = math.max(0L, fa)
-            val overV = maxVersions.exists(admitted >= _)
-            val overF = maxFiles.exists(m => admitted > 0 && files + f > m)
-            if (overV || overF) stop = true
-            else { v = ver; admitted += 1; files += f }
-          }
-        }
-        v
-      }
-    LongOffset(math.max(end, base))
+    LongOffset(StreamCommon.pacedEnd(table, base, cur, maxVersions, maxFiles))
   }
 
   override def reportLatestOffset(): OffsetV2 = {
@@ -193,56 +174,16 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
     val p = params(parameters)
     val t = new ManagedTable(sqlContext.sparkSession, p.path)
     require(t.exists, s"no managed table at ${p.path}")
-    val hadoop = sqlContext.sparkSession.sparkContext.hadoopConfiguration
     // startingTimestamp (Delta: "changes committed AT OR AFTER the
     // timestamp") resolves to the version just below the first qualifying
     // commit — the exclusive lower bound of the (fromV, toV] diff, with
     // -1 meaning the empty pre-founding state (full replay as inserts).
     // All commits predating ts ⇒ behave like the default latest start.
-    val tsResolvedStart = p.startTs.map { ts =>
-      t.versionAtOrAfter(ts).map(v => math.max(-1L, v - 1)).getOrElse(t.version)
-    }
-    // default: only changes committed AFTER stream start (Delta's default
-    // readChangeFeed position is "latest") — but "latest" is resolved ONCE
-    // and pinned in the stream's metadata dir: a restart before the first
-    // offset commit must not re-resolve to a later version and skip the
-    // changes in between
-    val resolved = p.startV.orElse(tsResolvedStart).getOrElse {
-      val pin = new Path(metadataPath, "graft-cdf-start")
-      val fs = pin.getFileSystem(hadoop)
-      // a winner's exclusive create precedes its write+close, so ANY
-      // reader (the create-race loser AND a starter that merely observed
-      // fs.exists) can race into the gap and see an EMPTY pin — retry
-      // briefly until the contents land instead of dying on ''.toLong
-      def readPinRetrying(): Long = {
-        def readPin(): String = {
-          val in = fs.open(pin)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        }
-        var s = readPin(); var waitedMs = 0L
-        while (s.isEmpty && waitedMs < 10000L) {
-          Thread.sleep(50L); waitedMs += 50L; s = readPin()
-        }
-        require(s.nonEmpty,
-          s"CDF start pin $pin still empty after ${waitedMs}ms — " +
-            "winner crashed between create and write; delete the pin to recover")
-        s.toLong
-      }
-      if (fs.exists(pin)) readPinRetrying()
-      else {
-        val v = t.version
-        fs.mkdirs(pin.getParent)
-        // create-if-absent so racing starts agree — the LOSER of the race
-        // must re-read the winner's pinned version, not die on the
-        // FileAlreadyExists the exclusive create throws at it
-        try {
-          val out = fs.create(pin, false)
-          try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-          v
-        } catch { case _: java.io.IOException => readPinRetrying() }
-      }
-    }
+    // Default: only changes committed AFTER stream start (Delta's default
+    // readChangeFeed position is "latest"), resolved once and pinned
+    // ([[StreamCommon.resolveStart]]).
+    val resolved = StreamCommon.resolveStart(sqlContext.sparkSession,
+      metadataPath, "graft-cdf-start", t, p.startV, p.startTs)
     new CdfStreamSource(sqlContext, p.path, p.keys, resolved,
       p.maxVersions, p.maxFiles)
   }

@@ -1,0 +1,305 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.table.ManagedTable
+
+/** Shared machinery of the managed-table streaming sources: offset
+  * decoding, admission-control pacing and the pinned "latest" start
+  * resolution — one implementation serving both [[CdfStreamSource]] and
+  * [[TableStreamSource]].
+  */
+private[streaming] object StreamCommon {
+
+  def toVersion(o: OffsetV2): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json().trim.toLong
+  }
+
+  /** The END version a trigger offers: `cur`, admission-capped relative
+    * to `base` by `maxVersionsPerTrigger` / `maxFilesPerTrigger`. The
+    * atom is a COMMIT — a version never splits across batches — and at
+    * least one commit is always admitted even when it alone exceeds the
+    * file cap (Delta's always-make-progress rule). Per-commit file counts
+    * come from the history checkpoint's `filesAdded` metric (one
+    * driver-side text read per trigger, no manifest folding); commits
+    * predating the metric count as 0 — conservative toward larger
+    * batches, never toward a stall.
+    */
+  def pacedEnd(table: ManagedTable, base: Long, cur: Long,
+               maxVersions: Option[Long], maxFiles: Option[Long]): Long = {
+    if (maxVersions.isEmpty && maxFiles.isEmpty) return math.max(cur, base)
+    var v = base; var admitted = 0L; var files = 0L; var stop = false
+    table.commitPace(base).foreach { case (ver, fa) =>
+      if (!stop && ver <= cur) {
+        val f = math.max(0L, fa)
+        val overV = maxVersions.exists(admitted >= _)
+        val overF = maxFiles.exists(m => admitted > 0 && files + f > m)
+        if (overV || overF) stop = true
+        else { v = ver; admitted += 1; files += f }
+      }
+    }
+    math.max(v, base)
+  }
+
+  /** Resolve the stream's exclusive lower-bound version. Explicit
+    * `startingVersion` / `startingTimestamp` win; otherwise "latest" is
+    * resolved ONCE and pinned in the stream's metadata dir — a restart
+    * before the first offset commit must not re-resolve to a later
+    * version and skip the changes in between. The pin write races safely:
+    * create-if-absent decides a winner, losers (and starters that merely
+    * observed fs.exists) retry the read until the winner's contents land.
+    */
+  def resolveStart(spark: SparkSession, metadataPath: String, pinName: String,
+                   t: ManagedTable, startV: Option[Long],
+                   startTs: Option[String]): Long = {
+    val tsResolvedStart = startTs.map { ts =>
+      t.versionAtOrAfter(ts).map(v => math.max(-1L, v - 1)).getOrElse(t.version)
+    }
+    startV.orElse(tsResolvedStart).getOrElse {
+      val pin = new Path(metadataPath, pinName)
+      val fs = pin.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def readPinRetrying(): Long = {
+        def readPin(): String = {
+          val in = fs.open(pin)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        }
+        var s = readPin(); var waitedMs = 0L
+        while (s.isEmpty && waitedMs < 10000L) {
+          Thread.sleep(50L); waitedMs += 50L; s = readPin()
+        }
+        require(s.nonEmpty,
+          s"stream start pin $pin still empty after ${waitedMs}ms — " +
+            "winner crashed between create and write; delete the pin to recover")
+        s.toLong
+      }
+      if (fs.exists(pin)) readPinRetrying()
+      else {
+        val v = t.version
+        fs.mkdirs(pin.getParent)
+        try {
+          val out = fs.create(pin, false)
+          try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+          v
+        } catch { case _: java.io.IOException => readPinRetrying() }
+      }
+    }
+  }
+}
+
+/** Streaming source over a [[ManagedTable]]'s APPENDS — Delta's plain
+  * `spark.readStream.format("delta")` role (the CDF-less default): each
+  * micro-batch emits the rows the commits in the batch window ADDED,
+  * attributed per commit through its own manifest diff, so a later
+  * OPTIMIZE's rewritten files are never re-emitted as new rows.
+  *
+  * {{{
+  * spark.readStream
+  *   .format("graft.streaming.TableSourceProvider")   // or "graft-table"
+  *   .option("path", "/data/events")        // managed-table root
+  *   .option("startingVersion", "0")        // optional; default = latest
+  *   .option("maxVersionsPerTrigger", "10") // admission control
+  *   .option("maxFilesPerTrigger", "1000")  // admission control
+  *   .option("skipChangeCommits", "true")   // or ignoreDeletes / ignoreChanges
+  *   .load()
+  * }}}
+  *
+  * Commit classification (Delta's `DeltaSource` contract):
+  *  - APPEND / COPY INTO / MERGE_INSERT_ONLY: emit the commit's added
+  *    files — rows exactly as appended (the version's own DV state, so a
+  *    LATER delete never retro-filters a replayed append);
+  *  - OPTIMIZE / ZORDER / CLUSTER / PURGE / MATERIALIZE: row-neutral
+  *    rewrites (dataChange=false in Delta terms), silently skipped;
+  *  - row-changing commits (DELETE / UPDATE / MERGE / OVERWRITE /
+  *    REPLACE_WHERE / RESTORE / RECOVER / schema rewrites): the stream
+  *    FAILS by default — downstream consumers believing they hold an
+  *    append-only feed must not silently miss removals. Opt-outs match
+  *    Delta: `ignoreDeletes` skips DELETE commits, `skipChangeCommits`
+  *    skips every row-changing commit, `ignoreChanges` (legacy) emits
+  *    such commits' ADDED files (rewritten rows re-emitted: downstream
+  *    sees at-least-once on updated rows, Delta's documented trade);
+  *  - metadata-only commits (properties, identity, metadata-only schema
+  *    adds): no file churn, skipped.
+  *
+  * The FOUNDING version (the log's first commit) counts all its files as
+  * adds whatever its operation — a `startingVersion 0` replay begins from
+  * the table's initial population, Delta's same convention.
+  *
+  * Offsets are table VERSIONS (checkpointable longs): restarts resume
+  * exactly, each batch is the union of whole commits, and admission
+  * control ([[StreamCommon.pacedEnd]]) drains backlogs as bounded batches
+  * under `Trigger.AvailableNow` exactly like the CDF source. Default
+  * start is "latest", resolved once and pinned
+  * ([[StreamCommon.resolveStart]]).
+  *
+  * At 100 TB: a batch costs one manifest diff per admitted commit plus a
+  * scan of ONLY the added files — never the snapshot; the history
+  * checkpoint supplies per-commit file counts without manifest folding.
+  */
+class TableStreamSource(sqlContext: SQLContext, path: String,
+                        startingVersion: Long,
+                        maxVersions: Option[Long], maxFiles: Option[Long],
+                        ignoreDeletes: Boolean, ignoreChanges: Boolean,
+                        skipChangeCommits: Boolean)
+    extends Source with SupportsTriggerAvailableNow {
+
+  private val spark = sqlContext.sparkSession
+  private def table = new ManagedTable(spark, path)
+
+  override val schema: StructType = TableSourceProvider.tableSchema(spark, path)
+
+  private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(table.version)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val cur0 = table.version
+    if (cur0 < 0) return null
+    val cur = availableNowTarget.fold(cur0)(math.min(cur0, _))
+    val base = Option(start).map(StreamCommon.toVersion).getOrElse(startingVersion)
+    LongOffset(StreamCommon.pacedEnd(table, base, cur, maxVersions, maxFiles))
+  }
+
+  override def reportLatestOffset(): OffsetV2 = {
+    val v = table.version
+    if (v < 0) null else LongOffset(v)
+  }
+
+  override def getOffset: Option[Offset] = {
+    val v = table.version
+    if (v >= 0) Some(LongOffset(v)) else None
+  }
+
+  private val addBearing = Set("APPEND", "COPY INTO", "MERGE_INSERT_ONLY")
+  private def rowNeutral(op: String): Boolean =
+    op == "OPTIMIZE" || op == "ZORDER" || op == "PURGE" ||
+      op == "MATERIALIZE" || op.startsWith("CLUSTER(")
+  /** Ops that remove or rewrite rows — classified by OPERATION, never by
+    * file churn: a deletion-vector-only DELETE changes no files at all,
+    * yet removes rows an append-only consumer must not silently miss.
+    */
+  private val rowChanging = Set("DELETE", "UPDATE", "MERGE", "OVERWRITE",
+    "OVERWRITE_DYNAMIC", "REPLACE_WHERE", "RESTORE", "RECOVER",
+    "RENAME COLUMN", "DROP COLUMN")
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val t = table
+    val fromV = start.map(o => StreamCommon.toVersion(o: OffsetV2))
+      .getOrElse(startingVersion)
+    val toV = StreamCommon.toVersion(end: OffsetV2)
+    val window = t.operationsBetween(fromV, toV)
+    val firstLogged = t.earliestVersion
+    require(fromV + 1 >= firstLogged,
+      s"TableStreamSource at $path: startingVersion ${fromV + 1} predates " +
+        s"the retained log (earliest $firstLogged) — those commits were " +
+        "expired by log retention and cannot be replayed")
+    // adjacent versions share file lists through the memo: w commits cost
+    // w+1 manifest reads, not 2w
+    val memo = scala.collection.mutable.Map.empty[Long, Set[String]]
+    def files(v: Long): Set[String] =
+      memo.getOrElseUpdate(v,
+        if (v < firstLogged) Set.empty else t.manifestFiles(v).toSet)
+    def adds(v: Long): Seq[String] = (files(v) -- files(v - 1)).toSeq.sorted
+    val parts: Seq[DataFrame] = window.flatMap { case (v, op) =>
+      def emit(): Seq[DataFrame] = {
+        val a = adds(v)
+        if (a.isEmpty) Nil else Seq(t.readFileSubset(v, a))
+      }
+      def refuse(): Nothing = throw new IllegalStateException(
+        s"TableStreamSource at $path: version $v is a row-changing commit " +
+          s"($op); an append-only stream cannot represent it. Set " +
+          "skipChangeCommits=true to skip such commits, ignoreDeletes=true " +
+          "for deletes only, or ignoreChanges=true to re-emit rewritten rows.")
+      if (v == firstLogged) emit() // founding commit: all files are adds
+      else if (addBearing(op)) emit()
+      else if (rowNeutral(op)) Nil
+      else if (skipChangeCommits) Nil
+      else if (rowChanging(op)) {
+        if (op == "DELETE" && ignoreDeletes) Nil
+        else if (ignoreChanges) emit()
+        else refuse()
+      }
+      // an op this build doesn't know: transparent only when it provably
+      // moved no files; otherwise refuse rather than guess
+      else if (adds(v).isEmpty && files(v - 1) == files(v)) Nil
+      else if (ignoreChanges) emit()
+      else refuse()
+    }
+    val out =
+      if (parts.isEmpty)
+        t.read.filter(org.apache.spark.sql.functions.lit(false))
+      else parts.reduce(_ unionByName _)
+    org.apache.spark.sql.GraftBridge.asStreaming(
+      out.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** `format("graft.streaming.TableSourceProvider")` registration. */
+class TableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  private case class Params(path: String, startV: Option[Long],
+      startTs: Option[String], maxVersions: Option[Long],
+      maxFiles: Option[Long], ignoreDeletes: Boolean,
+      ignoreChanges: Boolean, skipChangeCommits: Boolean)
+
+  private def params(parameters: Map[String, String]): Params = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-table needs option 'path'"))
+    def posLong(name: String): Option[Long] = parameters.get(name).map { s =>
+      val v = s.toLong
+      require(v >= 1, s"$name must be >= 1, got $v")
+      v
+    }
+    def bool(name: String): Boolean =
+      parameters.get(name).exists(_.trim.equalsIgnoreCase("true"))
+    val startV = parameters.get("startingVersion").map(_.toLong)
+    val startTs = parameters.get("startingTimestamp")
+    require(startV.isEmpty || startTs.isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    Params(path, startV, startTs,
+      posLong("maxVersionsPerTrigger"), posLong("maxFilesPerTrigger"),
+      bool("ignoreDeletes"), bool("ignoreChanges"), bool("skipChangeCommits"))
+  }
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val p = params(parameters)
+    (shortName(), TableSourceProvider.tableSchema(sqlContext.sparkSession, p.path))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val p = params(parameters)
+    val t = new ManagedTable(sqlContext.sparkSession, p.path)
+    require(t.exists, s"no managed table at ${p.path}")
+    // startingVersion semantics are INCLUSIVE (Delta's): the exclusive
+    // lower bound is one below it
+    val resolved = StreamCommon.resolveStart(sqlContext.sparkSession,
+      metadataPath, "graft-table-start", t, p.startV.map(_ - 1), p.startTs)
+    new TableStreamSource(sqlContext, p.path, resolved,
+      p.maxVersions, p.maxFiles,
+      p.ignoreDeletes, p.ignoreChanges, p.skipChangeCommits)
+  }
+}
+
+object TableSourceProvider {
+  /** The stream's schema: the table's read schema, pinned at start. */
+  def tableSchema(spark: SparkSession, path: String): StructType =
+    new ManagedTable(spark, path).read.schema
+}

@@ -63,6 +63,22 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         n.stripPrefix("v").stripSuffix(".json").toLong }
       .foldLeft(-1L)(math.max)
 
+  /** Earliest version whose manifest the log still holds — log retention
+    * ([[cleanupLog]]) may have expired older ones; -1 when no log. The
+    * incremental consumers (streaming sources, [[graft.table.IncrementalAgg]])
+    * treat this version as the founding commit: everything it references
+    * counts as added.
+    */
+  private[graft] def earliestVersion: Long =
+    if (!fs.exists(logDir)) -1L
+    else fs.listStatus(logDir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .foldLeft(Long.MaxValue)(math.min) match {
+        case Long.MaxValue => -1L
+        case v => v
+      }
+
   /** Tables created before the log existed get their current state recorded
     * as version 0 before the first logged mutation touches it; a live dir
     * that diverged from the last commit (a crash between swap and commit,
@@ -2303,7 +2319,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * manifest reads, independent of table size (the point: commits write
     * O(delta) metadata, reads fold O(interval) deltas).
     */
-  private[table] def manifestFiles(v: Long): Seq[String] = {
+  private[graft] def manifestFiles(v: Long): Seq[String] = {
     var i = v
     var base: Option[Seq[String]] = None
     val deltas = scala.collection.mutable.ListBuffer[(Seq[String], Seq[String])]()
@@ -2326,7 +2342,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   /** (version, operation) of commits in (fromV, toV], oldest first — the
     * incrementalizability probe (checkpoint lookups, no manifest reads).
     */
-  private[table] def operationsBetween(fromV: Long, toV: Long): Seq[(Long, String)] =
+  private[graft] def operationsBetween(fromV: Long, toV: Long): Seq[(Long, String)] =
     historyRows.filter(c => c.version > fromV && c.version <= toV)
       .sortBy(_.version).map(c => (c.version, c.operation))
 
@@ -2336,7 +2352,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * [[IncrementalAgg.refresh]]) use to scan ONLY the files a commit
     * window added, never the whole snapshot.
     */
-  private[table] def readFileSubset(v: Long, files: Seq[String],
+  private[graft] def readFileSubset(v: Long, files: Seq[String],
                                     mergeSchema: Boolean = false): DataFrame = {
     if (files.isEmpty) return spark.emptyDataFrame
     val where = resolveLive(s"version $v", files)
@@ -3301,6 +3317,31 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     if (startingTimestamp != null) r = r.option("startingTimestamp", startingTimestamp)
     if (maxVersionsPerTrigger >= 1) r = r.option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
     if (maxFilesPerTrigger >= 1) r = r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    r.load()
+  }
+
+  /** Streaming read of the table's APPENDS — Delta's plain
+    * `spark.readStream.format("delta")` role; see
+    * [[graft.streaming.TableStreamSource]] for the commit classification
+    * and the `ignoreDeletes` / `ignoreChanges` / `skipChangeCommits`
+    * opt-outs for row-changing commits.
+    */
+  def readStreamAppends(startingVersion: Long = -1L,
+                        maxVersionsPerTrigger: Long = -1L,
+                        maxFilesPerTrigger: Long = -1L,
+                        startingTimestamp: String = null,
+                        ignoreDeletes: Boolean = false,
+                        ignoreChanges: Boolean = false,
+                        skipChangeCommits: Boolean = false): DataFrame = {
+    var r = spark.readStream.format("graft.streaming.TableSourceProvider")
+      .option("path", path)
+    if (startingVersion >= 0) r = r.option("startingVersion", startingVersion.toString)
+    if (startingTimestamp != null) r = r.option("startingTimestamp", startingTimestamp)
+    if (maxVersionsPerTrigger >= 1) r = r.option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
+    if (maxFilesPerTrigger >= 1) r = r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    if (ignoreDeletes) r = r.option("ignoreDeletes", "true")
+    if (ignoreChanges) r = r.option("ignoreChanges", "true")
+    if (skipChangeCommits) r = r.option("skipChangeCommits", "true")
     r.load()
   }
 

@@ -1,0 +1,189 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.table.ManagedTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+/** Append-mode streaming source over a managed table (Delta's plain
+  * `readStream.format("delta")` role): per-commit added files, version
+  * offsets, row-changing-commit refusal with the Delta opt-outs.
+  */
+class TableStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var sinkN = 0
+  private def sink(): String = { sinkN += 1; s"tbl_sink_$sinkN" }
+
+  test("startingVersion 0 replays the founding commit and appends; " +
+      "default start emits only post-start appends") {
+    val t = new ManagedTable(spark, tmpDir("ts-basic") + "/t")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    t.append(Seq((3L, "c")).toDF("k", "v"))
+
+    val s1 = sink()
+    val q1 = t.readStreamAppends(startingVersion = 0)
+      .writeStream.format("memory").queryName(s1).outputMode("append").start()
+    try {
+      q1.processAllAvailable()
+      assert(spark.table(s1).as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q1.stop()
+
+    val s2 = sink()
+    val q2 = t.readStreamAppends() // default = latest: seed not replayed
+      .writeStream.format("memory").queryName(s2).outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(s2).count() == 0)
+      t.append(Seq((4L, "d")).toDF("k", "v"))
+      q2.processAllAvailable()
+      assert(spark.table(s2).as[(Long, String)].collect().toSet ==
+        Set((4L, "d")))
+    } finally q2.stop()
+  }
+
+  test("OPTIMIZE in the window is row-neutral: compacted rows are never " +
+      "re-emitted; appends around it still flow") {
+    val t = new ManagedTable(spark, tmpDir("ts-opt") + "/t")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    val s = sink()
+    val q = t.readStreamAppends()
+      .writeStream.format("memory").queryName(s).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      t.append(Seq((2L, "b")).toDF("k", "v"))
+      t.compact(numFiles = 1) // rewrites (1,a)+(2,b) into one file
+      t.append(Seq((3L, "c")).toDF("k", "v"))
+      q.processAllAvailable()
+      assert(spark.table(s).as[(Long, String)].collect().toSet ==
+        Set((2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
+  test("a row-changing commit fails the stream by default") {
+    val t = new ManagedTable(spark, tmpDir("ts-fail") + "/t")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val s = sink()
+    val q = t.readStreamAppends()
+      .writeStream.format("memory").queryName(s).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      t.deleteVectored(col("k") === 1)
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert(e.getMessage.contains("row-changing") ||
+        Option(e.getCause).exists(_.getMessage.contains("row-changing")))
+    } finally q.stop()
+  }
+
+  test("ignoreDeletes skips DELETE commits; skipChangeCommits skips every " +
+      "row-changing commit; appended rows still arrive") {
+    val t = new ManagedTable(spark, tmpDir("ts-skip") + "/t")
+    t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+
+    val s1 = sink()
+    val q1 = t.readStreamAppends(ignoreDeletes = true)
+      .writeStream.format("memory").queryName(s1).outputMode("append").start()
+    try {
+      q1.processAllAvailable()
+      t.deleteVectored(col("k") === 1)
+      t.append(Seq((4L, "d")).toDF("k", "v"))
+      q1.processAllAvailable()
+      assert(spark.table(s1).as[(Long, String)].collect().toSet ==
+        Set((4L, "d")))
+    } finally q1.stop()
+
+    val s2 = sink()
+    val q2 = t.readStreamAppends(skipChangeCommits = true)
+      .writeStream.format("memory").queryName(s2).outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      t.updateVectored(col("k") === 2, Map("v" -> lit("B")))
+      t.append(Seq((5L, "e")).toDF("k", "v"))
+      q2.processAllAvailable()
+      assert(spark.table(s2).as[(Long, String)].collect().toSet ==
+        Set((5L, "e")))
+    } finally q2.stop()
+  }
+
+  test("ignoreChanges re-emits a DML commit's rewritten rows as inserts") {
+    val t = new ManagedTable(spark, tmpDir("ts-igch") + "/t")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val s = sink()
+    val q = t.readStreamAppends(ignoreChanges = true)
+      .writeStream.format("memory").queryName(s).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // merge-on-read UPDATE appends the replacement row as a new file —
+      // under ignoreChanges that added file is emitted
+      t.updateVectored(col("k") === 2, Map("v" -> lit("B")))
+      q.processAllAvailable()
+      assert(spark.table(s).as[(Long, String)].collect().toSet ==
+        Set((2L, "B")))
+    } finally q.stop()
+  }
+
+  test("admission control drains a backlog as bounded batches under " +
+      "Trigger.AvailableNow, emitting every append exactly once") {
+    val t = new ManagedTable(spark, tmpDir("ts-adm") + "/t")
+    t.overwrite(Seq((0L, "seed")).toDF("k", "v"))
+    for (i <- 1 to 5) t.append(Seq((i.toLong, s"v$i")).toDF("k", "v"))
+    val s = sink()
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = t.readStreamAppends(startingVersion = 0, maxVersionsPerTrigger = 2)
+      .writeStream.option("checkpointLocation", tmpDir("ts-adm-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ks = b.select("k").as[Long].collect()
+        batches.add(ks.length.toLong); ks.foreach(seen.add); ()
+      }.start()
+    q.awaitTermination(120000L)
+    assert((0L to 5L).forall(seen.contains) && seen.size == 6)
+    // 6 commits at <=2 versions per trigger: at least 3 non-empty batches
+    assert(batches.size >= 3)
+    var total = 0L; batches.forEach(n => total += n)
+    assert(total == 6L) // exactly once: no batch re-emits a commit
+  }
+
+  test("restart resumes from the checkpoint, emitting appends made while down") {
+    val dir = tmpDir("ts-restart")
+    val t = new ManagedTable(spark, dir + "/t")
+    val ckpt = dir + "/ckpt"
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    def start() = t.readStreamAppends()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("k").as[Long].collect().foreach(k => seen.add(k)); ()
+      }.start()
+    val q1 = start()
+    q1.processAllAvailable()
+    t.append(Seq((2L, "b")).toDF("k", "v"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(seen.contains(2L) && !seen.contains(1L))
+    t.append(Seq((3L, "c")).toDF("k", "v")) // while the stream is down
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(seen.contains(3L))
+    assert(seen.size == 2) // no replay of already-committed batches
+  }
+
+  test("a replayed append is not retro-filtered by a later delete") {
+    val t = new ManagedTable(spark, tmpDir("ts-replay") + "/t")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    t.append(Seq((2L, "b"), (3L, "c")).toDF("k", "v"))
+    t.deleteVectored(col("k") === 2) // later delete must not rewrite history
+    val s = sink()
+    val q = t.readStreamAppends(startingVersion = 0, ignoreDeletes = true)
+      .writeStream.format("memory").queryName(s).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the v1 append replays WITH row k=2 — it was live when appended
+      assert(spark.table(s).as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+}

@@ -40,12 +40,91 @@ class IncrementalAggSpec extends SparkSpec {
     assert(mv.refresh() == "noop")
   }
 
-  test("a non-append commit in the window forces full recompute") {
+  test("an OVERWRITE in the window forces full recompute") {
     val (src, mv) = mk("mv-full")
     src.overwrite(rows(0 until 100, i => s"g${i % 2}", _ * 1.0))
     mv.refresh()
     src.append(rows(100 until 120, i => s"g${i % 2}", _ * 1.0))
+    src.overwrite(rows(0 until 80, i => s"g${i % 3}", _ * 2.0))
+    assert(mv.refresh() == "full")
+    assert(snapshot(mv) == full(src))
+  }
+
+  test("a vectored DELETE in the window refreshes by DV-diff subtraction") {
+    val (src, mv) = mk("mv-mor-del")
+    src.overwrite(rows(0 until 100, i => s"g${i % 2}", _ * 1.0))
+    mv.refresh()
+    src.append(rows(100 until 120, i => s"g${i % 2}", _ * 1.0))
     src.deleteVectored(col("id") % 10 === 3)
+    assert(mv.refresh() == "incremental-mor")
+    assert(snapshot(mv) == full(src))
+    // a second DV commit re-marking MORE rows subtracts only the NEW marks
+    src.deleteVectored(col("id") % 10 === 4)
+    assert(mv.refresh() == "incremental-mor")
+    assert(snapshot(mv) == full(src))
+  }
+
+  test("vectored UPDATE and MERGE stay incremental: marks subtract, " +
+      "replacement files add") {
+    val (src, mv) = mk("mv-mor-upd")
+    src.overwrite(rows(0 until 90, i => s"g${i % 3}", _ * 0.5))
+    mv.refresh()
+    src.updateVectored(col("id") % 7 === 0, Map("x" -> (col("x") * 3.0)))
+    assert(mv.refresh() == "incremental-mor")
+    assert(snapshot(mv) == full(src))
+    src.mergeVectored(rows(60 until 110, i => s"g${i % 3}", _ * 9.0), Seq("id"))
+    assert(mv.refresh() == "incremental-mor")
+    assert(snapshot(mv) == full(src))
+  }
+
+  test("a copy-on-write DML (live files removed) falls back to full") {
+    val (src, mv) = mk("mv-cow")
+    src.overwrite(rows(0 until 60, i => s"g${i % 2}", _ * 1.0))
+    mv.refresh()
+    src.delete(col("id") % 5 === 0) // rewrite-style DELETE retires files
+    assert(mv.refresh() == "full")
+    assert(snapshot(mv) == full(src))
+  }
+
+  test("a group whose rows all DV-delete disappears from the view") {
+    val (src, mv) = mk("mv-vanish")
+    src.overwrite(rows(0 until 40, i => if (i < 10) "gone" else "kept", _ * 1.0))
+    mv.refresh()
+    assert(snapshot(mv).contains("gone"))
+    src.deleteVectored(col("g") === "gone")
+    assert(mv.refresh() == "incremental-mor")
+    val s = snapshot(mv)
+    assert(!s.contains("gone"))
+    assert(s == full(src))
+  }
+
+  test("NULL finalization: a group left with only null values reads " +
+      "sum/avg NULL, exactly as a recompute would") {
+    val base = tmpDir("mv-nulls")
+    val src = new ManagedTable(spark, s"$base/src")
+    val mv = new IncrementalAgg(spark, s"$base/mv", src, Seq("g"), Seq("x"))
+    val df = Seq(("a", Some(2.0)), ("a", None), ("b", Some(1.0)))
+      .toDF("g", "x")
+    src.overwrite(df)
+    mv.refresh()
+    src.deleteVectored(col("g") === "a" && col("x").isNotNull)
+    assert(mv.refresh() == "incremental-mor")
+    val out = mv.read.orderBy("g")
+      .select("g", "cnt", "sum_x", "avg_x")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)))).toSeq
+    // group a: one null row survives — cnt 1, sum/avg NULL (the running
+    // total alone would say 0.0; the nnz count disambiguates)
+    assert(out == Seq(("a", 1L, None, None),
+      ("b", 1L, Some(1.0), Some(1.0))))
+  }
+
+  test("a pre-nnz state schema migrates via one full recompute") {
+    val (src, mv) = mk("mv-migrate")
+    src.overwrite(rows(0 until 30, i => s"g${i % 2}", _ * 1.0))
+    mv.refresh()
+    mv.state.dropColumn("nnz_x") // simulate a state written by the old schema
+    src.append(rows(30 until 40, i => s"g${i % 2}", _ * 1.0))
     assert(mv.refresh() == "full")
     assert(snapshot(mv) == full(src))
   }
