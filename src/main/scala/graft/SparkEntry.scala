@@ -1416,6 +1416,65 @@ object SparkEntry {
       graft.streaming.EventStreaming.hourlyDistinctUsers(Tables.events(s, d))
         .orderBy("window_start")),
 
+    "q131_dsir" -> ((s, d) => {
+      // DSIR importance resampling (graft.ops.Dsir, arXiv:2302.03169):
+      // hashed-ngram histograms + Laplace log-ratio weights + Gumbel
+      // top-k. rows-only: bucket ids come from xxhash64 (engine-seeded);
+      // the selection contract (shift toward the target distribution,
+      // exact-weight determinism, k) is DsirSpec-gated
+      val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
+      val target = docs.filter(col("lang") === "de").limit(50)
+      graft.ops.Dsir.select(docs, "doc_id", "text", target, "text",
+          k = 100, buckets = 4096)
+        .select(col("doc_id"), col("lang"), col("log_w").cast("double"))
+        .orderBy("doc_id")
+    }),
+    "q132_gopher_rules" -> ((s, d) =>
+      // Gopher quality-rule battery (graft.ops.TextAnalysis.gopherRules,
+      // arXiv:2112.11446 §A1.1.2): per-rule boolean columns + the
+      // conjunction, all codegen'd column expressions with exact DuckDB
+      // twins — integer-count ratios make every flag bit-identical
+      graft.ops.TextAnalysis.gopherRules(
+          Tables.documents(s, d).select("doc_id", "text"), "text")
+        .select("doc_id", "r_word_count", "r_mean_word_len",
+          "r_symbol_ratio", "r_bullet_lines", "r_ellipsis_lines",
+          "r_alpha_words", "r_stopwords", "gopher_pass")
+        .orderBy("doc_id")),
+    "q130_row_tracking" -> ((s, d) => {
+      // row tracking (graft.table.ManagedTable.enableRowTracking /
+      // readWithRowIds, Delta's row-tracking feature): ids assigned at
+      // enable, held through a vectored DELETE (no file moves) and an
+      // OPTIMIZE (ids materialize into the rewritten files), extended by
+      // an append. The id VALUES are engine-assigned; what the oracle
+      // pins is the CONTRACT — every surviving row's id is stable across
+      // the delete+compaction, ids stay unique, and the surviving key set
+      // is exactly the predicate's complement
+      val wh = java.nio.file.Files.createTempDirectory("graft-rowid").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/t")
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") % 7 === 0)
+      t.overwrite(ord.repartition(4))
+      t.enableRowTracking()
+      val before = t.readWithRowIds
+        .select(col("o_orderkey"), col("_graft_row_id").as("id0"))
+        .localCheckpoint()
+      t.deleteVectored(col("o_orderkey") % 3 === 1)
+      t.compact(numFiles = 2)
+      t.append(ord.filter(col("o_orderkey") % 3 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      val after = t.readWithRowIds
+      val n = after.count()
+      val uniqueIds = after.select("_graft_row_id").distinct().count() == n
+      after.join(before, Seq("o_orderkey"))
+        .withColumn("stable",
+          (col("_graft_row_id") === col("id0")) =!=
+            (col("o_orderkey") % 3 === 1)) // survivors keep, re-adds differ
+        .withColumn("ids_unique", lit(uniqueIds))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "stable", "ids_unique")
+        .orderBy("o_orderkey")
+    }),
+
     "q129_stream_table" -> ((s, d) => {
       // append-mode managed-table streaming source
       // (graft.streaming.TableStreamSource, Delta's plain readStream):
@@ -2347,6 +2406,50 @@ object SparkEntry {
       """SELECT n_nationkey, n_name,
            CASE WHEN n_nationkey < 10 THEN n_regionkey END AS region
          FROM nation ORDER BY n_nationkey""",
+    "q132_gopher_rules" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS ws,
+             string_split(text, chr(10)) AS ls,
+             length(regexp_replace(trim(text), '\s+', '', 'g')) AS nws,
+             length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS sym
+           FROM documents)
+         SELECT doc_id,
+           len(ws) BETWEEN 50 AND 100000 AS r_word_count,
+           (len(ws) > 0 AND nws::DOUBLE / len(ws) >= 3.0
+                        AND nws::DOUBLE / len(ws) <= 10.0) AS r_mean_word_len,
+           (len(ws) > 0 AND sym::DOUBLE / len(ws) <= 0.1) AS r_symbol_ratio,
+           len(list_filter(ls, l -> starts_with(trim(l), '-')
+              OR starts_with(trim(l), '*')))::DOUBLE / len(ls) <= 0.9
+             AS r_bullet_lines,
+           len(list_filter(ls, l -> ends_with(trim(l), '...')
+              OR ends_with(trim(l), '…')))::DOUBLE / len(ls) <= 0.3
+             AS r_ellipsis_lines,
+           (len(ws) > 0 AND len(list_filter(ws,
+              x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(ws) >= 0.8)
+             AS r_alpha_words,
+           len(list_filter(['the','be','to','of','and','that','have','with'],
+              s -> list_contains(ws, s))) >= 2 AS r_stopwords,
+           (len(ws) BETWEEN 50 AND 100000
+            AND (len(ws) > 0 AND nws::DOUBLE / len(ws) >= 3.0
+                             AND nws::DOUBLE / len(ws) <= 10.0)
+            AND (len(ws) > 0 AND sym::DOUBLE / len(ws) <= 0.1)
+            AND len(list_filter(ls, l -> starts_with(trim(l), '-')
+                OR starts_with(trim(l), '*')))::DOUBLE / len(ls) <= 0.9
+            AND len(list_filter(ls, l -> ends_with(trim(l), '...')
+                OR ends_with(trim(l), '…')))::DOUBLE / len(ls) <= 0.3
+            AND (len(ws) > 0 AND len(list_filter(ws,
+                x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(ws) >= 0.8)
+            AND len(list_filter(['the','be','to','of','and','that','have','with'],
+                s -> list_contains(ws, s))) >= 2) AS gopher_pass
+         FROM w ORDER BY doc_id""",
+    "q130_row_tracking" ->
+      """SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 3 = 1 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice,
+           TRUE AS stable, TRUE AS ids_unique
+         FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey""",
     "q129_stream_table" ->
       """SELECT event_id, user_id, event_type, value
          FROM events ORDER BY event_id""",

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  * arXiv:2302.03169): pick raw-corpus documents whose hashed-n-gram
+  * distribution matches a small TARGET corpus (the "train on data that
+  * looks like your eval/domain" selection step of modern LM pipelines).
+  *
+  * Pipeline (the paper's, Spark-first):
+  *  1. features: unigram+bigram word n-grams hashed into `buckets`
+  *     (xxhash64, codegen'd) — a fixed-width bag-of-ngrams;
+  *  2. two bucket histograms (one groupBy each over target and raw),
+  *     Laplace-smoothed into log-probabilities on the driver — the
+  *     histogram is `buckets`-bounded, never corpus-bounded;
+  *  3. per-document importance weight log w = Σ_tokens [log p̂_target(b) −
+  *     log p̂_raw(b)] via a BROADCAST join against the `buckets`-row
+  *     ratio table, then one groupBy(doc). The log-ratios are quantized
+  *     to DECIMAL(20,12) before summing, so the per-doc weight is exact
+  *     and independent of aggregation order — the engine's documents-
+  *     pipeline determinism contract;
+  *  4. Gumbel-top-k resampling: rank by log w + Gumbel(g), g derived from
+  *     a seeded per-doc hash — the paper's sampling-without-replacement
+  *     trick, deterministic here like every sampler in [[Sampling]].
+  *
+  * At 100 TB: histograms are two map-side-combined aggs to `buckets`
+  * cells; scoring is explode → broadcast lookup → one re-agg by doc id
+  * (the only shuffle, pre-aggregated map-side); selection is a TakeOrdered
+  * top-k, never a global sort.
+  */
+object Dsir {
+
+  /** Hashed unigram+bigram bucket ids for `text` (long array, values in
+    * [0, buckets)). Empty/one-word docs degrade gracefully (no bigrams).
+    */
+  def ngramBuckets(text: Column, buckets: Int): Column = {
+    val ws = TextAnalysis.words(text)
+    val bis = when(size(ws) >= 2,
+      zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(ws, bis), g => pmod(xxhash64(g), lit(buckets.toLong)))
+  }
+
+  /** (bucket, cnt) histogram of a corpus — `buckets`-bounded output. */
+  def bucketHistogram(df: DataFrame, textCol: String, buckets: Int): DataFrame =
+    df.select(explode(ngramBuckets(col(textCol), buckets)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Per-document importance weights against `target`: (idCol, log_w)
+    * with log_w an exact DECIMAL(28,12) sum of quantized per-ngram
+    * log-ratios — higher means "more target-like". Documents with no
+    * recognized n-gram (empty text) weigh 0.
+    */
+  def importanceWeights(raw: DataFrame, idCol: String, textCol: String,
+                        target: DataFrame, targetTextCol: String,
+                        buckets: Int = 8192): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    def hist(df: DataFrame, tc: String): Map[Long, Long] =
+      bucketHistogram(df, tc, buckets).as[(Long, Long)].collect().toMap
+    val p = hist(target, targetTextCol)
+    val q = hist(raw, textCol)
+    val totP = p.values.sum.toDouble + buckets
+    val totQ = q.values.sum.toDouble + buckets
+    // Laplace(+1)-smoothed log-ratio per bucket, quantized to 12 decimal
+    // places ON THE DRIVER — the broadcast table carries decimals, so the
+    // distributed sum is exact whatever the aggregation order
+    val ratio = (0L until buckets.toLong).map { b =>
+      val lr = math.log((p.getOrElse(b, 0L) + 1L) / totP) -
+        math.log((q.getOrElse(b, 0L) + 1L) / totQ)
+      (b, BigDecimal(lr).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+    }.toDF("bucket", "log_ratio")
+    raw.select(col(idCol), explode(ngramBuckets(col(textCol), buckets)).as("bucket"))
+      .join(broadcast(ratio), "bucket")
+      .groupBy(idCol)
+      .agg(sum(col("log_ratio")).cast("decimal(28,12)").as("log_w"))
+      .unionByName( // empty docs: no exploded rows, weight 0
+        raw.filter(size(TextAnalysis.words(col(textCol))) === 0)
+          .select(col(idCol), lit(BigDecimal(0).bigDecimal)
+            .cast("decimal(28,12)").as("log_w")))
+  }
+
+  /** Gumbel-top-k selection over importance weights (the paper's
+    * resampling): keep the `k` docs maximizing `log_w + Gumbel(seed, id)`
+    * — deterministic via the seeded-hash uniform, like every sampler in
+    * [[Sampling]]. With `noise = false` this is plain top-k by weight.
+    */
+  def resample(weighted: DataFrame, idCol: String, k: Int,
+               seed: Long = 42L, noise: Boolean = true): DataFrame = {
+    val u = (pmod(xxhash64(col(idCol), lit(seed)), lit(1000000000L))
+      .cast("double") + lit(0.5)) / lit(1e9)
+    val gumbel = if (noise) -log(-log(u)) else lit(0.0)
+    val keyed = weighted.withColumn("__g",
+      col("log_w").cast("double") + gumbel)
+    keyed.orderBy(col("__g").desc, col(idCol)).limit(k).drop("__g")
+  }
+
+  /** End-to-end DSIR: weights + resample, returning the selected raw rows
+    * with their weights attached.
+    */
+  def select(raw: DataFrame, idCol: String, textCol: String,
+             target: DataFrame, targetTextCol: String, k: Int,
+             buckets: Int = 8192, seed: Long = 42L): DataFrame = {
+    val w = importanceWeights(raw, idCol, textCol, target, targetTextCol, buckets)
+    raw.join(resample(w, idCol, k, seed), Seq(idCol))
+  }
+}

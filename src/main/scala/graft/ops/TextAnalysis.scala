@@ -83,6 +83,63 @@ object TextAnalysis {
       least(col("token_count").cast("double") / lit(100.0), lit(1.0)) * lit(0.5)
         + col("unique_ratio") * lit(0.5))
 
+  /** Gopher quality-filter rules (Rae et al. 2021, arXiv:2112.11446
+    * §A1.1.2 — the heuristic battery most web-corpus pipelines start
+    * from), each surfaced as its own boolean column plus the conjunction:
+    *
+    *  - `r_word_count`:    50 ≤ words ≤ 100000
+    *  - `r_mean_word_len`: mean word length in [3, 10]
+    *  - `r_symbol_ratio`:  (# + …) symbols per word ≤ 0.1
+    *  - `r_bullet_lines`:  ≤ 90% of lines start with a bullet (- or *)
+    *  - `r_ellipsis_lines`: ≤ 30% of lines end with an ellipsis
+    *  - `r_alpha_words`:   ≥ 80% of words contain an alphabetic char
+    *  - `r_stopwords`:     ≥ 2 distinct hits from the 8-stopword probe
+    *
+    * Pure column expressions (codegen'd, zero shuffle), each with an
+    * exact DuckDB twin: the ratios divide exact integer counts, so the
+    * flags are bit-identical across engines. Word counts reuse [[words]];
+    * line metrics split on newline without dropping blanks (a blank line
+    * neither starts with a bullet nor ends with an ellipsis).
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherRules(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val w = words(t)
+    val nTok = size(w).cast("long")
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines, l =>
+      trim(l).startsWith("-") || trim(l).startsWith("*"))).cast("long")
+    val ellipsisLines = size(filter(lines, l =>
+      trim(l).endsWith("...") || trim(l).endsWith("…"))).cast("long")
+    val alphaWords = size(filter(w, x => x.rlike("[a-z]"))).cast("long")
+    val symbolCount =
+      (length(t) - length(regexp_replace(t, "[#…]", ""))).cast("long")
+    val stopHits = size(filter(array(gopherStopwords.map(lit): _*),
+      s => array_contains(w, s))).cast("long")
+    val meanLen =
+      length(regexp_replace(trim(t), "\\s+", "")).cast("double") / nTok
+    df.withColumn("r_word_count", nTok.between(50L, 100000L))
+      .withColumn("r_mean_word_len",
+        nTok > 0L && meanLen >= 3.0 && meanLen <= 10.0)
+      .withColumn("r_symbol_ratio",
+        nTok > 0L && symbolCount.cast("double") / nTok <= 0.1)
+      .withColumn("r_bullet_lines",
+        bulletLines.cast("double") / nLines <= 0.9)
+      .withColumn("r_ellipsis_lines",
+        ellipsisLines.cast("double") / nLines <= 0.3)
+      .withColumn("r_alpha_words",
+        nTok > 0L && alphaWords.cast("double") / nTok >= 0.8)
+      .withColumn("r_stopwords", stopHits >= 2L)
+      .withColumn("gopher_pass",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_bullet_lines") &&
+          col("r_ellipsis_lines") && col("r_alpha_words") &&
+          col("r_stopwords"))
+  }
+
   /** Whitespace-normalized md5 fingerprint (document identity for exact
     * dedup; SQL twin: `md5(regexp_replace(lower(trim(text)),'\s+',' '))`).
     */

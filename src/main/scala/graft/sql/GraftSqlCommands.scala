@@ -638,7 +638,17 @@ object GraftSqlCommands {
     val sp = AlterSetProps.matcher(sqlText)
     if (sp.matches()) {
       val pairs = parsePropertyPairs(sp.group(4))
-      return Some(AlterTableGraftCommand(tbl(sp, 1), _.setProperties(pairs)))
+      return Some(AlterTableGraftCommand(tbl(sp, 1), { t =>
+        // enabling row tracking is MORE than a property write: current
+        // files need their id bases assigned (Delta's same dispatch for
+        // delta.enableRowTracking) — route through the real enable
+        val (rowTracking, plain) =
+          pairs.partition { case (k, v) =>
+            k.equalsIgnoreCase("graft.rowTracking") &&
+              v.equalsIgnoreCase("true") }
+        if (plain.nonEmpty) t.setProperties(plain)
+        if (rowTracking.nonEmpty) t.enableRowTracking()
+      }))
     }
     val upr = AlterUnsetProps.matcher(sqlText)
     if (upr.matches()) {

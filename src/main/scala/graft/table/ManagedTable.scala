@@ -269,7 +269,16 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val schema = footer.getFileMetaData.getSchema
       val blocks = footer.getBlocks.asScala
       val rows = blocks.map(_.getRowCount).sum
-      val stats = schema.getColumns.asScala.take(nCols).zipWithIndex
+      // the materialized row-id column never takes a stats-window slot (it
+      // would displace a user column); its presence is recorded as a
+      // sentinel entry so commit() recognizes a maintenance rewrite's
+      // output without a second footer read
+      val allCols = schema.getColumns.asScala.zipWithIndex
+      val hasRowIdCol = allCols.exists(
+        _._1.getPath.mkString(".") == RowTracking.col)
+      val stats0 = allCols
+        .filter { case (cd, _) => cd.getPath.mkString(".") != RowTracking.col }
+        .take(nCols)
         .flatMap { case (cd, i) =>
           val prim = cd.getPrimitiveType
           val ann = prim.getLogicalTypeAnnotation
@@ -371,6 +380,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
             }
           }
         }.toMap
+      val stats =
+        if (hasRowIdCol)
+          stats0 + (RowTracking.col -> (RowTracking.statsKind, "", "", -1L))
+        else stats0
       FileMeta(rows, stats)
     } finally rd.close()
   }
@@ -694,6 +707,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val rowsTotal = metas.values.map(_.rows).sum
     val nFiles = files.size.toLong
     val cols = metas.values.flatMap(_.stats.keys).toSeq.distinct.sorted
+      .filterNot(_ == RowTracking.col) // internal sentinel, not a user column
     val out = cols.map { c =>
       val per = files.map(f => metas(f._1).stats.get(c))
       val known = per.flatten
@@ -1577,7 +1591,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * must not be re-marked or re-matched).
     */
   private def dvScanWithMeta(prev: Map[String, Array[Long]]): DataFrame = {
-    val scan = spark.read.parquet(path)
+    val scan = spark.read.parquet(path).drop(RowTracking.col)
       .withColumn("__dv_file", col("_metadata.file_path"))
       .withColumn("__dv_idx", col("_metadata.row_index"))
     if (prev.isEmpty) scan
@@ -1629,9 +1643,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val files = dv.keys.toSeq.sorted
       // materialize the survivors BEFORE the moves — the plan reads the
       // files being retired (basePath keeps partition columns resolving)
-      val survivors = applyDv(
-        spark.read.option("basePath", qualifiedRoot).parquet(files: _*), dv)
-        .localCheckpoint()
+      val survivors = maintScan(files, dv).localCheckpoint()
       // moved files fall out of the carried DV map by path; the rewritten
       // rows carry no vectors — the PURGE commit is vector-free
       retireAndReplace(files, survivors, "PURGE")
@@ -1738,7 +1750,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // next commit at this version overwrites or removes it.
     if (dv.nonEmpty) writeDvSnapshot(v, dv)
     else if (fs.exists(dvFile(v))) fs.delete(dvFile(v), false)
-    val rowCount = fileMeta(files).values.map(_.rows).sum - deletedRows
+    val metas = fileMeta(files)
+    val rowCount = metas.values.map(_.rows).sum - deletedRows
+    // row tracking: files this commit introduced get their id bases (or
+    // their materialized marker) BEFORE the manifest lands — a version
+    // must never be visible without its bases. Crash in between: sidecar
+    // entries for unreferenced files, harmless (paths are UUID-unique,
+    // the replay assigns nothing new; burned HWM range = gaps, like
+    // identity columns).
+    if (rowTrackingEnabled) assignRowIds(files.map(_._1), metas)
     // operation metrics vs the PREVIOUS commit, both O(1) reads: the live
     // set it recorded (_latest_files.txt) and its row count (checkpoint)
     val prevSet: Set[String] = {
@@ -1972,7 +1992,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * writerFeatures), with named features instead of opaque version ints.
     */
   val supportedReaderFeatures: Set[String] =
-    Set("deletion-vectors", "shallow-clone")
+    Set("deletion-vectors", "shallow-clone", "row-tracking")
 
   /** Writer features THIS build honors on mutation — a writer lacking one
     * could commit while silently breaking invariants other clients rely
@@ -2774,6 +2794,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       .map { case (p, (len, m)) => sidecarLine(p, len, m) }
     if (lines.nonEmpty)
       t.writeAtomic(t.sidecarBase, lines.toSeq.sorted.mkString("\n"))
+    // row-id bases carry VERBATIM too (the clone's manifest references
+    // the same source paths); readWithRowIds unlocks after materialize()
+    if (rowTrackingEnabled) {
+      val (rn, rm) = readRowIds()
+      t.writeAtomic(t.rowIdsFile, (Seq(s"#next\t$rn") ++
+        rm.toSeq.sortBy(_._1).map { case (p, b) => s"${enc(p)}\t$b" })
+        .mkString("\n"))
+    }
     for (f <- Seq("_constraints.txt", "_generated.txt", "_bloom_cols.txt",
                   "_props.txt", "_identity.txt", "_protocol.txt")) {
       val src = new Path(logDir, f)
@@ -2856,6 +2884,16 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         writeAtomic(sidecarBase, lines.toSeq.sorted.mkString("\n"))
         fs.delete(sidecarSegDir, true)
       }
+      // row-id bases re-key to the local copies (same bytes, same rows);
+      // this is what unlocks readWithRowIds on a materialized clone
+      if (rowTrackingEnabled) {
+        val (rn, rm) = readRowIds()
+        writeAtomic(rowIdsFile, (Seq(s"#next\t$rn") ++
+          rm.toSeq.map { case (p, b) => (mapping.getOrElse(p, p), b) }
+            .sortBy(_._1).map { case (p, b) => s"${enc(p)}\t$b" })
+          .mkString("\n"))
+        fs.delete(rowIdsSegDir, true)
+      }
       // bloom filters key by sha1(path): re-key by renaming each entry to
       // the local path's digest (same filter bytes — contents unchanged)
       val bloomDir = new Path(logDir, "_bloom.d")
@@ -2915,6 +2953,16 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         sidecarLine(p.replace(srcQ + "/", dstQ + "/"), len, m) }
     if (lines.nonEmpty)
       t.writeAtomic(t.sidecarBase, lines.toSeq.sorted.mkString("\n"))
+    // row-id bases carry path-rekeyed like the stats sidecar: the copied
+    // bytes hold the same rows (and the same materialized id columns), so
+    // each base — and the HWM — stays exactly right for the copy
+    if (rowTrackingEnabled) {
+      val (rn, rm) = readRowIds()
+      t.writeAtomic(t.rowIdsFile, (Seq(s"#next\t$rn") ++
+        rm.toSeq.sortBy(_._1).map { case (p, b) =>
+          s"${enc(p.replace(srcQ + "/", dstQ + "/"))}\t$b" })
+        .mkString("\n"))
+    }
     // bloom DECLARATIONS carry over like constraints; the filters
     // themselves are keyed by file path, so the clone's CLONE commit
     // rebuilds them for the copied files via refreshBloomIndexes
@@ -3207,7 +3255,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                           paths: Seq[String]): DataFrame = {
     val extras = declaredExtraColumns
     val widen = declaredTypeOverrides
-    val inferred = rd.parquet(paths: _*)
+    // the materialized row-id column is internal: schema inference may or
+    // may not sample a footer that carries it (maintenance rewrites
+    // materialize file-by-file), so a plain scan DROPS it — the logical
+    // schema stays deterministic whichever footer inference picked, and
+    // Catalyst prunes the column out of the physical read
+    val inferred = rd.parquet(paths: _*).drop(RowTracking.col)
     if (extras.isEmpty && widen.isEmpty) return inferred
     // normalized field order — [data cols, declared extras, partition
     // cols] — so the schema is IDENTICAL before and after an extra
@@ -3824,6 +3877,174 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     }
   }
 
+  // ---- row tracking (Delta's row-tracking table feature) ---------------
+
+  private def rowIdsFile = new Path(logDir, "_rowids.txt")
+  private def rowIdsSegDir = new Path(logDir, "_rowids.d")
+  private val rowTrackingProp = "graft.rowTracking"
+
+  /** True when row tracking is enabled on this table. */
+  def rowTrackingEnabled: Boolean =
+    properties.get(rowTrackingProp).contains("true")
+
+  /** Enable row tracking: every CURRENT file gets an id base immediately
+    * (so [[readWithRowIds]] works without waiting for a commit), new
+    * files get theirs at commit time, and maintenance rewrites start
+    * materializing ids. Ids are unique over the table's lifetime — the
+    * high-water mark only advances. Refused when any file already carries
+    * a materialized id column this table has no record of (a deep clone
+    * of a tracked table): fresh bases could collide with those ids.
+    */
+  def enableRowTracking(): Unit = withCommitLock {
+    requireMaterialized("row tracking")
+    ensureBootstrapped()
+    val files = listParquet(new Path(path))
+      .map { case (p, l) => (fs.makeQualified(new Path(p)).toString, l) }
+    val metas = fileMeta(files)
+    val (_, ids) = readRowIds()
+    val orphanMaterialized = files.map(_._1).filter(f =>
+      !ids.contains(f) && metas(f).stats.contains(RowTracking.col))
+    require(orphanMaterialized.isEmpty,
+      s"cannot enable row tracking on $path: ${orphanMaterialized.size} " +
+        "file(s) carry materialized row ids with no recorded base (a deep " +
+        "clone of a tracked table?) — fresh ids could collide with them")
+    setProperties(Map(rowTrackingProp -> "true"))
+    assignRowIds(files.map(_._1), metas)
+    // a writer feature: any build can still READ (plain scans drop the
+    // materialized column); the reader gate arrives with the first
+    // materialized file, which an unaware build would misread as data
+    ensureFeature("row-tracking", reader = false)
+  }
+
+  /** (high-water mark, path → base; base −1 = materialized ids in-file),
+    * folded from the base file plus assignment segments. A path is
+    * assigned exactly once, so merge order is immaterial; the HWM is the
+    * max across every piece.
+    */
+  private def readRowIds(): (Long, Map[String, Long]) = {
+    def parse(p: Path): (Long, Map[String, Long]) =
+      if (!fs.exists(p)) (0L, Map.empty)
+      else {
+        var next = 0L
+        val m = readTextFully(p).linesIterator.flatMap { l =>
+          scala.util.Try(l.split('\t') match {
+            case Array("#next", n) => next = math.max(next, n.toLong); None
+            case Array(pp, b) => Some(dec(pp) -> b.toLong)
+            case _ => None
+          }).toOption.flatten
+        }.toMap
+        (next, m)
+      }
+    val (n0, m0) = parse(rowIdsFile)
+    if (!fs.exists(rowIdsSegDir)) (n0, m0)
+    else fs.listStatus(rowIdsSegDir).map(_.getPath).sortBy(_.getName)
+      .foldLeft((n0, m0)) { case ((n, m), seg) =>
+        val (ns, ms) = parse(seg)
+        (math.max(n, ns), m ++ ms)
+      }
+  }
+
+  /** Persist bases for files lacking one. Writes a SEGMENT per batch —
+    * never the O(live files) base file — so a streaming-append table pays
+    * O(new files) metadata per commit (the stats sidecar's same
+    * discipline); segments compact into a live-pruned base past a
+    * threshold. Files whose footer carries the materialized column
+    * (sentinel in `metas`) record −1. Caller holds the lease.
+    */
+  private def assignRowIds(files: Seq[String],
+                           metas: Map[String, FileMeta]): Unit = {
+    val (next0, ids) = readRowIds()
+    val fresh = files.filterNot(ids.contains).sorted
+    if (fresh.isEmpty) return
+    var next = next0
+    val entries = fresh.map { f =>
+      if (metas(f).stats.contains(RowTracking.col)) f -> -1L
+      else { val b = next; next += metas(f).rows; f -> b }
+    }
+    // first materialized file: gate readers — an unaware build's scan
+    // would surface the id column as data (nondeterministically, by
+    // whichever footer inference samples)
+    if (entries.exists(_._2 == -1L)) ensureFeature("row-tracking", reader = true)
+    fs.mkdirs(rowIdsSegDir)
+    writeAtomic(new Path(rowIdsSegDir,
+      java.util.UUID.randomUUID().toString + ".txt"),
+      (Seq(s"#next\t$next") ++ entries.map { case (p, b) => s"${enc(p)}\t$b" })
+        .mkString("\n"))
+    if (fs.listStatus(rowIdsSegDir).length > sidecarCompactAt) {
+      val (n, m) = readRowIds()
+      val live = files.toSet
+      writeAtomic(rowIdsFile, (Seq(s"#next\t$n") ++
+        m.filter(kv => live(kv._1)).toSeq.sortBy(_._1)
+          .map { case (p, b) => s"${enc(p)}\t$b" }).mkString("\n"))
+      fs.delete(rowIdsSegDir, true)
+    }
+  }
+
+  /** Current snapshot with the stable [[RowTracking.col]] id column —
+    * fresh files compute `base + row_index` through a codegen'd map probe
+    * ([[FileBaseRowId]], zero shuffle, zero join); materialized files
+    * read the physical column. Deletion vectors filter as everywhere;
+    * surviving rows keep their ids by construction.
+    */
+  def readWithRowIds: DataFrame = {
+    requireReadable()
+    require(!isShallowClone,
+      s"readWithRowIds on $path: materialize() the shallow clone first")
+    require(rowTrackingEnabled,
+      s"row tracking is not enabled on $path (enableRowTracking())")
+    val files = listParquet(new Path(path))
+      .map(p => fs.makeQualified(new Path(p._1)).toString)
+    if (files.isEmpty)
+      return read.withColumn(RowTracking.col, lit(-1L))
+    scanWithRowIds(files, currentDv)
+  }
+
+  /** Row-id-carrying scan of an explicit live-file subset — the shared
+    * read of [[readWithRowIds]] and the materializing maintenance
+    * rewrites. Output column order: table columns, then the id.
+    */
+  private def scanWithRowIds(files: Seq[String],
+                             dv: Map[String, Array[Long]]): DataFrame = {
+    val (_, ids) = readRowIds()
+    val missing = files.filterNot(ids.contains)
+    require(missing.isEmpty, s"no row-id base recorded for " +
+      s"${missing.take(3).mkString(", ")}${if (missing.size > 3) " …" else ""}")
+    val (mat, freshF) = files.partition(f => ids(f) == -1L)
+    def ordered(df: DataFrame): DataFrame =
+      df.select((df.columns.filterNot(_ == RowTracking.col).map(col) :+
+        col(RowTracking.col)).toSeq: _*)
+    val parts = Seq(
+      if (freshF.isEmpty) None else Some {
+        val bases = freshF.map(f => new Path(f).toString -> ids(f)).toMap
+        ordered(applyDv(
+          spark.read.option("basePath", qualifiedRoot).parquet(freshF: _*)
+            .drop(RowTracking.col) // defense: fresh files never carry it
+            .withColumn(RowTracking.col,
+              FileBaseRowId(col("_metadata.file_path"), bases) +
+                col("_metadata.row_index")),
+          dv))
+      },
+      if (mat.isEmpty) None else Some(
+        ordered(applyDv(
+          spark.read.option("basePath", qualifiedRoot).parquet(mat: _*), dv)))
+    ).flatten
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Maintenance source: carries ids when tracking is on — the rewrite's
+    * output files then hold them as a real column (how OPTIMIZE keeps ids
+    * stable), plain [[read]] otherwise.
+    */
+  private def maintRead(): DataFrame =
+    if (rowTrackingEnabled) readWithRowIds else read
+
+  /** [[maintRead]] for an explicit file subset. */
+  private def maintScan(files: Seq[String],
+                        dv: Map[String, Array[Long]]): DataFrame =
+    if (rowTrackingEnabled) scanWithRowIds(files, dv)
+    else applyDv(
+      spark.read.option("basePath", qualifiedRoot).parquet(files: _*), dv)
+
   // ---- generated columns (Delta's GENERATED ALWAYS AS) -----------------
 
   private def generatedFile = new Path(logDir, "_generated.txt")
@@ -4406,7 +4627,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
 
   /** Compaction (M5, `optimize().executeCompaction()`): rewrite to n files. */
   def compact(numFiles: Int): Unit =
-    replaceWith(read.repartition(numFiles), Nil, "OPTIMIZE")
+    replaceWith(maintRead().repartition(numFiles), Nil, "OPTIMIZE")
 
   /** Incremental compaction — Delta's ACTUAL `OPTIMIZE` semantics: only
     * files below `minFileBytes` are rewritten, bin-packed toward
@@ -4434,8 +4655,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       // retired; basePath keeps partition columns resolving. Partitioned
       // tables cluster by the partition columns so each value's rows land
       // in one task → one compacted file per partition dir, not bins×dirs.
-      val survivors = applyDv(
-        spark.read.option("basePath", qualifiedRoot).parquet(files: _*), dv)
+      val survivors = maintScan(files, dv)
       val repacked = (if (pcs.nonEmpty)
         survivors.repartition(bins, pcs.map(col): _*)
       else survivors.repartition(bins)).localCheckpoint()
@@ -4468,7 +4688,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def cluster(cols: String*): Unit = {
     import org.apache.spark.sql.functions.col
     val cs = cols.map(col)
-    replaceWith(read.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*), Nil,
+    replaceWith(
+      maintRead().repartitionByRange(cs: _*).sortWithinPartitions(cs: _*), Nil,
       "ZORDER")
   }
 
@@ -4478,7 +4699,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * min/max locality, not just the leading one.
     */
   def clusterZ(cols: Seq[String], bits: Int = 8, numFiles: Int = 0): Unit =
-    replaceWith(graft.ops.Zorder.cluster(read, cols, bits, numFiles), Nil, "ZORDER")
+    replaceWith(graft.ops.Zorder.cluster(maintRead(), cols, bits, numFiles), Nil, "ZORDER")
 
   /** Hilbert-curve clustering — [[clusterZ]] with the Hilbert key
     * ([[graft.ops.Zorder.clusterHilbert]]): consecutive key values are
@@ -4487,8 +4708,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * under the Morton layout (the reason liquid clustering uses Hilbert).
     */
   def clusterHilbert(cols: Seq[String], bits: Int = 8, numFiles: Int = 0): Unit =
-    replaceWith(graft.ops.Zorder.clusterHilbert(read, cols, bits, numFiles), Nil,
-      "ZORDER")
+    replaceWith(graft.ops.Zorder.clusterHilbert(maintRead(), cols, bits, numFiles),
+      Nil, "ZORDER")
 
   /** Operation string an incremental clustering commits — carries the
     * column set and curve so the NEXT incremental pass can tell whether
@@ -4523,7 +4744,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       historyRows.filter(_.operation == op).map(_.version).maxOption match {
         case None =>
           // nothing on disk is clustered for these keys: full layout
-          replaceWith(layout(read, 0), Nil, op)
+          replaceWith(layout(maintRead(), 0), Nil, op)
         case Some(vc) =>
           val clustered = manifestFiles(vc).toSet
           val live = liveFilesQ()
@@ -4532,9 +4753,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
             val dv = dvMapForVersion(version)
             val bins = math.max(1L, (fresh.map(_._2).sum + targetFileBytes - 1)
               / targetFileBytes).toInt
-            val batch = applyDv(spark.read
-              .option("basePath", qualifiedRoot)
-              .parquet(fresh.map(_._1): _*), dv)
+            val batch = maintScan(fresh.map(_._1), dv)
             retireAndReplace(fresh.map(_._1),
               layout(batch, bins).localCheckpoint(), op)
           }

@@ -106,4 +106,34 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().sortBy(_._1)
     assert(scores.toSeq == Seq((1L, 2L, 1.0), (2L, 2L, 0.0)))
   }
+
+  test("gopher rules: each rule trips on its designed pathology") {
+    // 55 words, mean word length 175/55 ≈ 3.18, six stopword kinds
+    val good = ("the fox and the dog have fun with all of that " * 5).trim
+    val docs = Seq(
+      (1L, good),
+      (2L, "too short to have fifty words"),          // word-count
+      (3L, ("a b c d " * 15).trim + " " + good),      // mean word len < 3
+      (4L, good + " " + ("#### " * 20).trim),         // symbol ratio
+      (5L, (1 to 10).map(i => s"- bullet $i").mkString("\n")), // bullets
+      (6L, (1 to 10).map(i => s"line $i...").mkString("\n")),  // ellipses
+      (7L, good.split(" ").map(w => w + " 123456").mkString(" ")), // alpha
+      (8L, "zig zag quux corge waldo fred plugh " * 10)          // stopwords
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs, "text")
+      .select("doc_id", "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words", "r_stopwords",
+        "gopher_pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean,
+           Boolean, Boolean)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(r(1L)._9, "the clean doc must pass every rule")
+    assert(!r(2L)._2 && !r(2L)._9) // too few words
+    assert(!r(3L)._3)              // mean word length below 3
+    assert(!r(4L)._4)              // symbol-to-word ratio above 0.1
+    assert(!r(5L)._5)              // all lines bulleted
+    assert(!r(6L)._6)              // all lines ellipsis-terminated
+    assert(!r(7L)._7)              // under 80% alphabetic words
+    assert(!r(8L)._8 && !r(8L)._9) // no stopword hits
+  }
 }

@@ -437,6 +437,21 @@ class GraftSqlSpec extends SparkSpec {
     assert(t.properties("note") == """a)b "c"""")
   }
 
+  test("SET TBLPROPERTIES ('graft.rowTracking'='true') routes through the " +
+      "real enable: current files get bases, other pairs still land") {
+    val (t, p) = freshTable("sql-rowtrack")
+    t.overwrite(spark.range(10).toDF("id").repartition(2))
+    GraftSql.sql(spark, s"ALTER TABLE graft.`$p` SET TBLPROPERTIES " +
+      "('graft.rowTracking' = 'true', 'team' = 'data')")
+    assert(t.properties("graft.rowTracking") == "true")
+    assert(t.properties("team") == "data")
+    // a bare property write would leave existing files base-less and this
+    // read would throw "no row-id base recorded"
+    val ids = t.readWithRowIds.select(graft.table.RowTracking.col)
+      .as[Long].collect().toSet
+    assert(ids == (0L until 10L).toSet)
+  }
+
   test("SET TBLPROPERTIES flips SQL DELETE to deletion vectors; REORG purges") {
     import org.apache.spark.sql.functions.col
     val (t, p) = freshTable("sql-dv")
