@@ -76,8 +76,11 @@ object Dsir {
       .join(broadcast(ratio), "bucket")
       .groupBy(idCol)
       .agg(sum(col("log_ratio")).cast("decimal(28,12)").as("log_w"))
-      .unionByName( // empty docs: no exploded rows, weight 0
-        raw.filter(size(TextAnalysis.words(col(textCol))) === 0)
+      .unionByName( // empty AND null docs: no exploded rows, weight 0
+        // (size() of a null array is null, never 0 — test null explicitly
+        // or the doc would vanish from the weight table entirely)
+        raw.filter(col(textCol).isNull ||
+            size(TextAnalysis.words(col(textCol))) <= 0)
           .select(col(idCol), lit(BigDecimal(0).bigDecimal)
             .cast("decimal(28,12)").as("log_w")))
   }

@@ -62,21 +62,15 @@ class TableStreamSink(sqlContext: SQLContext, path: String, appId: String,
         t.setProperties(Map(s"graft.sink.$appId" -> batchId.toString))
       }
     } else {
-      val t = table
-      if (!t.exists) {
-        // founding write: create the table, then stamp the txn marker via
-        // the idempotent path on the next batches; the founding batch
-        // itself is guarded by the property below
-        if (t.lastTxnVersion(appId).isEmpty) {
-          t.overwrite(batch, partitionCols)
-          t.setProperties(Map(s"graft.sink.$appId" -> batchId.toString))
-        }
-      } else if (t.properties.get(s"graft.sink.$appId").exists(_.toLong >= batchId)) {
-        () // replay of the founding (or a complete-mode) batch
-      } else {
-        t.appendIdempotentOptimistic(batch, appId, batchId, partitionCols)
-        ()
-      }
+      // EVERY batch — the founding one included — lands through the
+      // idempotent append: the (appId, batchId) marker rides inside the
+      // data commit itself, so a crash anywhere replays safely (a
+      // founding overwrite followed by a separate marker write would
+      // duplicate the founding rows if the crash fell between the two;
+      // appendIdempotentOptimistic routes !exists through the locked
+      // founding path itself)
+      table.appendIdempotentOptimistic(batch, appId, batchId, partitionCols)
+      ()
     }
   }
 
@@ -100,10 +94,20 @@ class TableSinkProvider extends StreamSinkProvider with DataSourceRegister {
     require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
       s"graft-table sink supports Append and Complete output modes, got $outputMode")
     // the checkpoint IS the stream's identity across restarts — the right
-    // default idempotency key; no checkpoint means no replay protocol to
-    // defend against, so a fresh key is correct there too
+    // default idempotency key. A session-wide
+    // spark.sql.streaming.checkpointLocation resolves to
+    // <default>/<queryName> for a NAMED query (Spark's own layout), so
+    // that stable identity is honored too; an unnamed query under the
+    // session default gets a FRESH checkpoint dir per start (no replay
+    // protocol to defend against), so a fresh key is correct there, as
+    // it is with no checkpoint at all.
     val appId = parameters.get("txnAppId")
       .orElse(parameters.get("checkpointLocation"))
+      .orElse(for {
+        base <- Option(sqlContext.sparkSession.conf
+          .get("spark.sql.streaming.checkpointLocation", null))
+        qn <- parameters.get("queryName")
+      } yield s"$base/$qn")
       .getOrElse("graft-sink-" + java.util.UUID.randomUUID())
     new TableStreamSink(sqlContext, path, appId, partitionColumns, outputMode)
   }

@@ -129,9 +129,11 @@ private[streaming] object StreamCommon {
   *  - metadata-only commits (properties, identity, metadata-only schema
   *    adds): no file churn, skipped.
   *
-  * The FOUNDING version (the log's first commit) counts all its files as
-  * adds whatever its operation — a `startingVersion 0` replay begins from
-  * the table's initial population, Delta's same convention.
+  * The FOUNDING version (v0) counts all its files as adds whatever its
+  * operation — a `startingVersion 0` replay begins from the table's
+  * initial population, Delta's same convention. A commit whose
+  * PREDECESSOR manifest has been expired by log retention refuses (its
+  * incremental diff is unrecoverable); only genuine v0 emits a snapshot.
   *
   * Offsets are table VERSIONS (checkpointable longs): restarts resume
   * exactly, each batch is the union of whole commits, and admission
@@ -205,11 +207,21 @@ class TableStreamSource(sqlContext: SQLContext, path: String,
         s"the retained log (earliest $firstLogged) — those commits were " +
         "expired by log retention and cannot be replayed")
     // adjacent versions share file lists through the memo: w commits cost
-    // w+1 manifest reads, not 2w
+    // w+1 manifest reads, not 2w. v = −1 is the empty pre-founding state;
+    // an EXPIRED manifest refuses — treating it as empty would re-emit
+    // the whole snapshot at the boundary version as "adds" (silent
+    // duplicate delivery after a log cleanup trims up to the stream's
+    // next version)
     val memo = scala.collection.mutable.Map.empty[Long, Set[String]]
     def files(v: Long): Set[String] =
       memo.getOrElseUpdate(v,
-        if (v < firstLogged) Set.empty else t.manifestFiles(v).toSet)
+        if (v < 0) Set.empty
+        else if (v < firstLogged) throw new IllegalStateException(
+          s"TableStreamSource at $path: manifest v$v was expired by log " +
+            s"retention (earliest retained $firstLogged) — the incremental " +
+            "diff for the next batch is unrecoverable; restart from a " +
+            s"startingVersion >= $firstLogged or a fresh checkpoint")
+        else t.manifestFiles(v).toSet)
     def adds(v: Long): Seq[String] = (files(v) -- files(v - 1)).toSeq.sorted
     val parts: Seq[DataFrame] = window.flatMap { case (v, op) =>
       def emit(): Seq[DataFrame] = {
@@ -221,7 +233,7 @@ class TableStreamSource(sqlContext: SQLContext, path: String,
           s"($op); an append-only stream cannot represent it. Set " +
           "skipChangeCommits=true to skip such commits, ignoreDeletes=true " +
           "for deletes only, or ignoreChanges=true to re-emit rewritten rows.")
-      if (v == firstLogged) emit() // founding commit: all files are adds
+      if (v == 0L) emit() // the founding commit: all its files are adds
       else if (addBearing(op)) emit()
       else if (rowNeutral(op)) Nil
       else if (skipChangeCommits) Nil
@@ -267,7 +279,13 @@ class TableSourceProvider extends StreamSourceProvider with DataSourceRegister {
     }
     def bool(name: String): Boolean =
       parameters.get(name).exists(_.trim.equalsIgnoreCase("true"))
-    val startV = parameters.get("startingVersion").map(_.toLong)
+    val startV = parameters.get("startingVersion").map { s =>
+      val v = scala.util.Try(s.trim.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"startingVersion must be a non-negative integer, got '$s'"))
+      require(v >= 0, s"startingVersion must be >= 0, got $v")
+      v
+    }
     val startTs = parameters.get("startingTimestamp")
     require(startV.isEmpty || startTs.isEmpty,
       "startingVersion and startingTimestamp are mutually exclusive")

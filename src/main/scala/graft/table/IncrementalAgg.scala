@@ -90,8 +90,12 @@ final class IncrementalAgg(spark: SparkSession, statePath: String,
           sum(col(s"nnz_$c")).as(s"nnz_$c"))): _*)
       .filter(col("cnt") > 0)
 
-  /** Commits that add rows exclusively through their added files. */
-  private val addBearing = Set("APPEND", "COPY INTO")
+  /** Commits that add rows exclusively through their added files —
+    * insert-only merges included (their anti-joined rows land as plain
+    * appended files; treating them as non-incremental would turn the
+    * cheapest DML there is into a full recompute).
+    */
+  private val addBearing = Set("APPEND", "COPY INTO", "MERGE_INSERT_ONLY")
 
   /** Commits that rewrite files but not rows (reads were already
     * DV-filtered): their manifest churn is invisible to the view as long

@@ -3252,15 +3252,21 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       .getOrElse(Map.empty)
 
   private def parquetScan(rd: org.apache.spark.sql.DataFrameReader,
-                          paths: Seq[String]): DataFrame = {
+                          paths: Seq[String],
+                          keepRowId: Boolean = false): DataFrame = {
     val extras = declaredExtraColumns
     val widen = declaredTypeOverrides
     // the materialized row-id column is internal: schema inference may or
     // may not sample a footer that carries it (maintenance rewrites
     // materialize file-by-file), so a plain scan DROPS it — the logical
     // schema stays deterministic whichever footer inference picked, and
-    // Catalyst prunes the column out of the physical read
-    val inferred = rd.parquet(paths: _*).drop(RowTracking.col)
+    // Catalyst prunes the column out of the physical read. keepRowId
+    // (row-id scans over all-materialized file groups, where inference
+    // always sees the column) retains it, at the END of the normalized
+    // order so schema evolution and ids compose.
+    val inferred0 = rd.parquet(paths: _*)
+    val inferred =
+      if (keepRowId) inferred0 else inferred0.drop(RowTracking.col)
     if (extras.isEmpty && widen.isEmpty) return inferred
     // normalized field order — [data cols, declared extras, partition
     // cols] — so the schema is IDENTICAL before and after an extra
@@ -4013,12 +4019,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     def ordered(df: DataFrame): DataFrame =
       df.select((df.columns.filterNot(_ == RowTracking.col).map(col) :+
         col(RowTracking.col)).toSeq: _*)
+    // both groups scan through parquetScan so declared extras / type
+    // widening normalize exactly as on the plain read path (a raw
+    // inference here could mix pre/post-ALTER footers and fail or drop
+    // an extra's data inside a maintenance rewrite)
     val parts = Seq(
       if (freshF.isEmpty) None else Some {
         val bases = freshF.map(f => new Path(f).toString -> ids(f)).toMap
         ordered(applyDv(
-          spark.read.option("basePath", qualifiedRoot).parquet(freshF: _*)
-            .drop(RowTracking.col) // defense: fresh files never carry it
+          parquetScan(spark.read.option("basePath", qualifiedRoot), freshF)
             .withColumn(RowTracking.col,
               FileBaseRowId(col("_metadata.file_path"), bases) +
                 col("_metadata.row_index")),
@@ -4026,7 +4035,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       },
       if (mat.isEmpty) None else Some(
         ordered(applyDv(
-          spark.read.option("basePath", qualifiedRoot).parquet(mat: _*), dv)))
+          parquetScan(spark.read.option("basePath", qualifiedRoot), mat,
+            keepRowId = true), dv)))
     ).flatten
     parts.reduce(_ unionByName _)
   }
@@ -4038,12 +4048,16 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def maintRead(): DataFrame =
     if (rowTrackingEnabled) readWithRowIds else read
 
-  /** [[maintRead]] for an explicit file subset. */
+  /** [[maintRead]] for an explicit file subset. Routes through
+    * [[parquetScan]] either way, so subset rewrites (compactSmall,
+    * clusterIncremental, purge) honor declared extras / type widening
+    * exactly like the full read.
+    */
   private def maintScan(files: Seq[String],
                         dv: Map[String, Array[Long]]): DataFrame =
     if (rowTrackingEnabled) scanWithRowIds(files, dv)
     else applyDv(
-      spark.read.option("basePath", qualifiedRoot).parquet(files: _*), dv)
+      parquetScan(spark.read.option("basePath", qualifiedRoot), files), dv)
 
   // ---- generated columns (Delta's GENERATED ALWAYS AS) -----------------
 

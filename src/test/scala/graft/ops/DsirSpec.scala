@@ -43,15 +43,16 @@ class DsirSpec extends SparkSpec {
     assert(w2 == w)
   }
 
-  test("an empty document weighs 0 and survives into the weight table") {
+  test("empty and NULL documents weigh 0 and survive into the weight table") {
     val target = Seq((1L, "alpha beta")).toDF("doc_id", "text")
-    val raw = Seq((10L, "alpha beta"), (11L, "   "), (12L, ""))
+    val raw = Seq((10L, Some("alpha beta")), (11L, Some("   ")),
+        (12L, Some("")), (13L, None: Option[String]))
       .toDF("doc_id", "text")
     val w = Dsir.importanceWeights(raw, "doc_id", "text", target, "text", B)
       .select(col("doc_id"), col("log_w").cast("double"))
       .as[(Long, Double)].collect().toMap
-    assert(w.keySet == Set(10L, 11L, 12L))
-    assert(w(11L) == 0.0 && w(12L) == 0.0)
+    assert(w.keySet == Set(10L, 11L, 12L, 13L))
+    assert(w(11L) == 0.0 && w(12L) == 0.0 && w(13L) == 0.0)
   }
 
   test("resample is deterministic, returns k rows, and under extreme " +

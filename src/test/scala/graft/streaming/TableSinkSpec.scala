@@ -89,6 +89,21 @@ class TableSinkSpec extends SparkSpec {
     assert(t.read.as[(Long, Long)].collect().toSet == Set((0L, 2L), (1L, 3L)))
   }
 
+  test("a replayed FOUNDING batch is a no-op: the marker rides inside " +
+      "the founding data commit itself") {
+    val path = tmpDir("sink-found") + "/t"
+    val sink = new TableStreamSink(spark.sqlContext, path, "app-x", Nil,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    sink.addBatch(0L, df)
+    sink.addBatch(0L, df) // crash-replay of the founding batch
+    val t = new ManagedTable(spark, path)
+    assert(t.read.count() == 2)
+    sink.addBatch(1L, Seq((3L, "c")).toDF("k", "v"))
+    sink.addBatch(1L, Seq((3L, "c")).toDF("k", "v"))
+    assert(t.read.count() == 3)
+  }
+
   test("the managed source and sink compose into a table-to-table pipeline") {
     val dir = tmpDir("sink-pipe")
     val src = new ManagedTable(spark, s"$dir/src")

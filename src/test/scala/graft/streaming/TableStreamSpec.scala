@@ -171,6 +171,34 @@ class TableStreamSpec extends SparkSpec {
     assert(seen.size == 2) // no replay of already-committed batches
   }
 
+  test("a log cleanup that expires the stream's resume point fails the " +
+      "stream pointedly instead of re-emitting the snapshot") {
+    val dir = tmpDir("ts-retention")
+    val t = new ManagedTable(spark, dir + "/t")
+    t.setProperties(Map("graft.manifest.checkpointInterval" -> "1"))
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    def start() = t.readStreamAppends()
+      .writeStream.option("checkpointLocation", dir + "/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("k").as[Long].collect().foreach(k => seen.add(k)); ()
+      }.start()
+    val q1 = start()
+    q1.processAllAvailable()
+    t.append(Seq((2L, "b")).toDF("k", "v"))
+    q1.processAllAvailable()
+    q1.stop()
+    t.append(Seq((3L, "c")).toDF("k", "v")) // while down
+    t.cleanupLog(t.version) // expires every manifest below the head
+    val q2 = start()
+    val e = intercept[StreamingQueryException] { q2.processAllAvailable() }
+    q2.stop()
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("expired by log retention")))
+    assert(!seen.contains(3L)) // and nothing was double-delivered
+  }
+
   test("a replayed append is not retro-filtered by a later delete") {
     val t = new ManagedTable(spark, tmpDir("ts-replay") + "/t")
     t.overwrite(Seq((1L, "a")).toDF("k", "v"))

@@ -77,6 +77,16 @@ class IncrementalAggSpec extends SparkSpec {
     assert(snapshot(mv) == full(src))
   }
 
+  test("an insert-only MERGE is add-bearing: the window stays incremental") {
+    val (src, mv) = mk("mv-insonly")
+    src.overwrite(rows(0 until 40, i => s"g${i % 2}", _ * 1.0))
+    mv.refresh()
+    src.mergeInsertOnly(rows(20 until 60, i => s"g${i % 2}", _ * 1.0),
+      Seq("id"))
+    assert(mv.refresh() == "incremental")
+    assert(snapshot(mv) == full(src))
+  }
+
   test("a copy-on-write DML (live files removed) falls back to full") {
     val (src, mv) = mk("mv-cow")
     src.overwrite(rows(0 until 60, i => s"g${i % 2}", _ * 1.0))

@@ -105,6 +105,24 @@ class RowTrackingSpec extends SparkSpec {
     assert(idsOf(sh) == src)
   }
 
+  test("type widening composes with row tracking: a maintenance rewrite " +
+      "over mixed narrow/wide files keeps ids and the widened schema") {
+    val t = new ManagedTable(spark, tmpDir("rt-widen") + "/t")
+    t.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v")) // k: INT
+    t.alterColumnType("k", "bigint")                    // metadata-only
+    t.enableRowTracking()
+    t.append(Seq((3L, "c"), (4L, "d")).toDF("k", "v"))  // k: BIGINT file
+    val before = t.readWithRowIds.select(col("k").cast("long"), col(RID))
+      .as[(Long, Long)].collect().toMap
+    assert(before.keySet == Set(1L, 2L, 3L, 4L))
+    t.compact(numFiles = 1) // mixed INT32/INT64 files rewrite through ids
+    val after = t.readWithRowIds.select(col("k").cast("long"), col(RID))
+      .as[(Long, Long)].collect().toMap
+    assert(after == before)
+    assert(t.read.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
   test("enable refuses a table carrying unrecorded materialized ids") {
     val t = mk("rt-orphan-src", (0L until 8L).map(k => (k, s"v$k")))
     t.compact(numFiles = 1) // materialized column in the data files
