@@ -1416,6 +1416,47 @@ object SparkEntry {
       graft.streaming.EventStreaming.hourlyDistinctUsers(Tables.events(s, d))
         .orderBy("window_start")),
 
+    "q134_keyless_cdf" -> ((s, d) => {
+      // keyless change-data-feed via row tracking
+      // (graft.table.ManagedTable.changesById): snapshot diff classified
+      // by STABLE row id — no user key, no content hashing; a vectored
+      // delete feeds `delete` rows, an append feeds `insert` rows, and
+      // the closing OPTIMIZE contributes NOTHING (ids see through file
+      // reorganization). The row DATA is deterministic, so the feed is
+      // fully oracle-checkable even though the ids themselves are not
+      val wh = java.nio.file.Files.createTempDirectory("graft-kcdf").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/t")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      t.overwrite(ord.filter(col("o_orderkey") % 5 === 0).repartition(4))
+      t.enableRowTracking()
+      val v0 = t.version
+      t.deleteVectored(col("o_orderkey") % 3 === 0)
+      t.append(ord.filter(col("o_orderkey") % 5 === 1))
+      t.compact(numFiles = 2) // row-neutral: empty contribution
+      t.changesById(v0, t.version)
+        .select("o_orderkey", "o_custkey", "change_type")
+        .orderBy("change_type", "o_orderkey")
+    }),
+
+    "q133_symlink_manifest" -> ((s, d) => {
+      // Delta's GENERATE symlink_format_manifest
+      // (graft.table.ManagedTable.generateSymlinkManifest + autoManifest
+      // property): an external-engine-style read of ONLY the files the
+      // per-partition manifests list must serve exactly the table's
+      // snapshot — including after an append regenerated the tree
+      val wh = java.nio.file.Files.createTempDirectory("graft-sym").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/t")
+      t.setProperties(Map("graft.symlink.autoManifest" -> "true"))
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      t.overwrite(ord.filter(col("o_orderkey") % 2 === 0), Seq("o_orderstatus"))
+      t.append(ord.filter(col("o_orderkey") % 2 === 1))
+      val listed = t.symlinkManifestFiles()
+      s.read.option("basePath", s"$wh/t").parquet(listed: _*)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     "q131_dsir" -> ((s, d) => {
       // DSIR importance resampling (graft.ops.Dsir, arXiv:2302.03169):
       // hashed-ngram histograms + Laplace log-ratio weights + Gumbel
@@ -2406,6 +2447,17 @@ object SparkEntry {
       """SELECT n_nationkey, n_name,
            CASE WHEN n_nationkey < 10 THEN n_regionkey END AS region
          FROM nation ORDER BY n_nationkey""",
+    "q134_keyless_cdf" ->
+      """SELECT o_orderkey, o_custkey, 'delete' AS change_type
+         FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 = 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, 'insert' AS change_type
+         FROM orders WHERE o_orderkey % 5 = 1
+         ORDER BY change_type, o_orderkey""",
+    "q133_symlink_manifest" ->
+      """SELECT o_orderkey, CAST(o_orderstatus AS VARCHAR) AS o_orderstatus,
+           o_totalprice
+         FROM orders ORDER BY o_orderkey""",
     "q132_gopher_rules" ->
       """WITH w AS (
            SELECT doc_id,

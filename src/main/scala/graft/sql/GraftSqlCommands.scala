@@ -483,6 +483,8 @@ object GraftSqlCommands {
     rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+ADD\\s+IDENTITY\\s+COLUMN\\s+(\\w+)(?:\\s+START\\s+WITH\\s+(-?\\d+))?(?:\\s+INCREMENT\\s+BY\\s+(-?\\d+))?\\s*;?\\s*$$""")
   private val Reorg =
     rx(s"""^\\s*REORG\\s+TABLE\\s+$Tbl\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$$""")
+  private val GenerateManifest =
+    rx(s"""^\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$Tbl\\s*;?\\s*$$""")
   private val MergePrefix = rx(s"""^\\s*MERGE\\s+(WITH\\s+SCHEMA\\s+EVOLUTION\\s+)?INTO\\s+$Tbl\\s*(?:AS\\s+)?(\\w+)?\\s+USING\\s+""")
   private val WhenMatched =
     rx("""WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""")
@@ -666,6 +668,10 @@ object GraftSqlCommands {
     val rg = Reorg.matcher(sqlText)
     if (rg.matches())
       return Some(AlterTableGraftCommand(tbl(rg, 1), _.purgeDeletes()))
+    val gm = GenerateManifest.matcher(sqlText)
+    if (gm.matches())
+      return Some(AlterTableGraftCommand(tbl(gm, 1),
+        _.generateSymlinkManifest()))
     val mp = MergePrefix.matcher(sqlText)
     if (mp.find() && mp.start() == 0) return Some(parseMerge(sqlText, mp))
     None

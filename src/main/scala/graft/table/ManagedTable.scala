@@ -1861,6 +1861,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // opt-in exception to the no-data-pass commit: declared bloom indexes
     // read the NEW files once (cost tracks the write, not the table)
     refreshBloomIndexes()
+    // auto-regenerated symlink manifests (Delta's
+    // symlinkFormatManifest.enabled): external engines always see THIS
+    // commit. A DV-carrying snapshot is unrepresentable (resurrected
+    // rows) — drop the stale tree rather than publish a wrong one.
+    if (properties.get(symlinkAutoProp).contains("true")) {
+      if (dv.exists(_._2.nonEmpty)) {
+        if (fs.exists(symlinkDir)) fs.delete(symlinkDir, true)
+      } else writeSymlinkTree(files.map(_._1))
+    }
   }
 
   // ---- single-writer lease --------------------------------------------
@@ -2444,7 +2453,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   private def scanResolved(resolved: Seq[String], dv: Map[String, Array[Long]],
                            mergeSchema: Boolean = false,
-                           keepMarked: Boolean = false): DataFrame = {
+                           keepMarked: Boolean = false,
+                           keepRowId: Boolean = false): DataFrame = {
     val roots = qualifiedRoot +: foreignRoots
     def rootOf(f: String): String = roots.collectFirst {
       case r if f.startsWith(r + "/") => r
@@ -2458,7 +2468,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         val rd0 = if (mergeSchema) spark.read.option("mergeSchema", "true")
           else spark.read
         val rd = if (root.nonEmpty) rd0.option("basePath", root) else rd0
-        applyDv(parquetScan(rd, fsOfRoot), dv, keepMarked)
+        applyDv(parquetScan(rd, fsOfRoot, keepRowId), dv, keepMarked)
       }.reduce(_ unionByName _)
   }
 
@@ -3492,12 +3502,21 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def tableSchemaOpt: Option[org.apache.spark.sql.types.StructType] =
     try Some(read.schema) catch { case _: Exception => None }
 
-  private def appendAs(df: DataFrame, partitionCols: Seq[String],
+  private def appendAs(df: DataFrame, partitionCols0: Seq[String],
                        operation: String, allowEvolution: Boolean = false,
                        txn: Option[(String, Long)] = None): Unit =
     withCommitLock {
       requireMaterialized(operation)
       ensureBootstrapped()
+      // an append NEVER redefines the layout (only OVERWRITE does): when
+      // the caller passes no partition columns, inherit the table's — a
+      // bare append(df) on a partitioned table must not scatter files at
+      // the root and corrupt the directory scheme (Delta's appends take
+      // the layout from table metadata for the same reason)
+      val partitionCols =
+        if (partitionCols0.nonEmpty) partitionCols0
+        else if (version >= 0) loggedPartitionCols(version)
+        else Nil
       val dfi = assignIdentities(df)
       val conformed0 =
         if (exists) tableSchemaOpt
@@ -3718,9 +3737,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def txnReplayed(txn: Option[(String, Long)]): Boolean =
     txn.exists { case (app, tv) => lastTxnVersion(app).exists(_ >= tv) }
 
-  private def occAppend(df: DataFrame, partitionCols: Seq[String],
+  private def occAppend(df: DataFrame, partitionCols0: Seq[String],
                         txn: Option[(String, Long)],
                         commitWaitMs: Long): Boolean = {
+    // same layout inheritance as the locked append: a blind append never
+    // redefines the partitioning
+    val partitionCols =
+      if (partitionCols0.nonEmpty) partitionCols0
+      else if (version >= 0) loggedPartitionCols(version)
+      else Nil
     requireMaterialized("APPEND")
     // founding write (no concurrency to overlap) and identity tables (the
     // high-water mark allocates under the lease) take the locked path
@@ -3883,6 +3908,69 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     }
   }
 
+  // ---- symlink manifests (Delta's GENERATE symlink_format_manifest) ----
+
+  private def symlinkDir = new Path(path, "_symlink_format_manifest")
+  private val symlinkAutoProp = "graft.symlink.autoManifest"
+
+  /** Delta's `GENERATE symlink_format_manifest`: write
+    * `_symlink_format_manifest/[<partition dirs>/]manifest` text files,
+    * each listing the CURRENT snapshot's absolute data-file paths (one
+    * per line) — the handshake engines without a commit-log reader
+    * (Presto/Trino/Athena/Hive external tables) use to see a consistent
+    * snapshot instead of a directory race. Partitioned tables get one
+    * manifest per partition directory, so external partition pruning
+    * keeps working. Regeneration replaces the whole tree (dropped
+    * partitions disappear); with the `graft.symlink.autoManifest` table
+    * property set, every commit regenerates automatically — Delta's
+    * `symlinkFormatManifest.enabled`.
+    *
+    * Refused while any deletion vector is live: the listed files contain
+    * rows the snapshot has deleted, and an external reader would
+    * resurrect them (Delta refuses DV tables the same way). `purgeDeletes`
+    * first. At 100 TB the write is O(files) driver text output — the same
+    * cost class as a commit checkpoint manifest.
+    */
+  def generateSymlinkManifest(): Unit = {
+    requireMaterialized("GENERATE symlink_format_manifest")
+    requireReadable()
+    require(currentDv.isEmpty,
+      s"cannot generate a symlink manifest for $path: live deletion " +
+        "vectors mark deleted rows inside the listed files and an " +
+        "external reader would resurrect them — run purgeDeletes() first")
+    val files = listParquet(new Path(path))
+      .map { case (p, _) => fs.makeQualified(new Path(p)).toString }
+    writeSymlinkTree(files)
+  }
+
+  private def writeSymlinkTree(files: Seq[String]): Unit = {
+    if (fs.exists(symlinkDir)) fs.delete(symlinkDir, true)
+    files.groupBy { f =>
+      val rel = f.stripPrefix(qualifiedRoot + "/")
+      val cut = rel.lastIndexOf('/')
+      if (cut < 0) "" else rel.substring(0, cut)
+    }.foreach { case (relDir, fls) =>
+      val dir = if (relDir.isEmpty) symlinkDir else new Path(symlinkDir, relDir)
+      fs.mkdirs(dir)
+      writeAtomic(new Path(dir, "manifest"), fls.sorted.mkString("\n"))
+    }
+  }
+
+  /** Current snapshot's manifest-listed files (flat), for consumers and
+    * tests; empty when no manifest has been generated.
+    */
+  def symlinkManifestFiles(): Seq[String] = {
+    if (!fs.exists(symlinkDir)) return Nil
+    def walk(d: Path): Seq[Path] =
+      fs.listStatus(d).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName == "manifest") Seq(st.getPath)
+        else Nil
+      }
+    walk(symlinkDir).flatMap(p =>
+      readTextFully(p).linesIterator.filter(_.nonEmpty).toSeq).sorted
+  }
+
   // ---- row tracking (Delta's row-tracking table feature) ---------------
 
   private def rowIdsFile = new Path(logDir, "_rowids.txt")
@@ -3978,9 +4066,21 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         .mkString("\n"))
     if (fs.listStatus(rowIdsSegDir).length > sidecarCompactAt) {
       val (n, m) = readRowIds()
+      // prune: keep entries for LIVE files and for files some retained
+      // snapshot still holds — version-pinned row-id reads
+      // ([[readVersionWithRowIds]]) resolve retired files through their
+      // original keys, so dropping those entries would break time travel
+      // inside the retention window. VACUUM deletes the retained dirs;
+      // the next compaction here then drops their entries too.
       val live = files.toSet
+      val retained = retainedDirsOnDisk
+      def keep(p: String): Boolean = live(p) ||
+        retained.exists { rd =>
+          val rel = p.stripPrefix(qualifiedRoot + "/")
+          rel != p && fs.exists(new Path(s"$rd/$rel"))
+        }
       writeAtomic(rowIdsFile, (Seq(s"#next\t$n") ++
-        m.filter(kv => live(kv._1)).toSeq.sortBy(_._1)
+        m.filter(kv => keep(kv._1)).toSeq.sortBy(_._1)
           .map { case (p, b) => s"${enc(p)}\t$b" }).mkString("\n"))
       fs.delete(rowIdsSegDir, true)
     }
@@ -4039,6 +4139,81 @@ final class ManagedTable(spark: SparkSession, val path: String) {
             keepRowId = true), dv)))
     ).flatten
     parts.reduce(_ unionByName _)
+  }
+
+  /** Version-pinned [[readWithRowIds]] (time travel with stable ids):
+    * bases are append-only per file path and retired files resolve to
+    * their retained snapshot locations, so any un-vacuumed version reads
+    * back with the SAME ids current reads serve — the foundation of
+    * [[changesById]]. Works from the version's own deletion-vector state.
+    */
+  def readVersionWithRowIds(v: Long): DataFrame = {
+    requireReadable()
+    require(!isShallowClone,
+      s"readVersionWithRowIds on $path: materialize() the clone first")
+    require(rowTrackingEnabled,
+      s"row tracking is not enabled on $path (enableRowTracking())")
+    val files = manifestFiles(v)
+    if (files.isEmpty)
+      return readVersion(v).withColumn(RowTracking.col, lit(-1L))
+    val (_, ids0) = readRowIds()
+    // bases key by the path a file was COMMITTED at; a later rewrite
+    // retires it to `root._vN/<rel>` and remaps the historical manifest
+    // entries — but the rel path survives the (exactly-one) retire move,
+    // so the original key reconstructs by stripping the snapshot segment
+    def originalKey(f: String): String =
+      if (f.startsWith(qualifiedRoot + "._v")) {
+        val s = f.indexOf('/', qualifiedRoot.length + 3)
+        if (s > 0 && f.substring(qualifiedRoot.length + 3, s).forall(_.isDigit))
+          qualifiedRoot + f.substring(s)
+        else f
+      } else f
+    val ids: Map[String, Long] =
+      files.flatMap(f => ids0.get(originalKey(f)).map(f -> _)).toMap
+    val missing = files.filterNot(ids.contains)
+    require(missing.isEmpty, s"no row-id base recorded for " +
+      s"${missing.take(3).mkString(", ")}${if (missing.size > 3) " …" else ""}" +
+      " — was row tracking enabled after this version?")
+    val where = resolveLive(s"version $v", files)
+    val dv = dvMapForVersion(v).map { case (p, a) => where.getOrElse(p, p) -> a }
+    val (mat, freshF) = files.partition(f => ids(f) == -1L)
+    def ordered(df: DataFrame): DataFrame =
+      df.select((df.columns.filterNot(_ == RowTracking.col).map(col) :+
+        col(RowTracking.col)).toSeq: _*)
+    val parts = Seq(
+      if (freshF.isEmpty) None else Some {
+        val bases = freshF
+          .map(f => new Path(where(f)).toString -> ids(f)).toMap
+        ordered(scanResolved(freshF.map(where), dv)
+          .withColumn(RowTracking.col,
+            FileBaseRowId(col("_metadata.file_path"), bases) +
+              col("_metadata.row_index")))
+      },
+      if (mat.isEmpty) None else Some(
+        ordered(scanResolved(mat.map(where), dv, keepRowId = true)))
+    ).flatten
+    parts.reduce(_ unionByName _)
+  }
+
+  /** KEYLESS change-data-feed via row tracking — `table_changes` without
+    * a user key: rows of `toV` vs `fromV` classified `insert` / `delete`
+    * by STABLE row id. An update (merge-on-read replaces the row under a
+    * fresh id) surfaces as delete + insert of the changed row — the
+    * capture-free CDF shape — while row-neutral rewrites (OPTIMIZE /
+    * CLUSTER / PURGE) produce an EMPTY feed: the ids see straight through
+    * file reorganization, which a file-level diff never could. Cost: two
+    * version-pinned scans plus two id-keyed anti-joins (hash-partitioned
+    * on the 8-byte id — no wide row comparison, no content hashing).
+    */
+  def changesById(fromV: Long, toV: Long): DataFrame = {
+    val from = readVersionWithRowIds(fromV)
+    val to = readVersionWithRowIds(toV)
+    val rid = RowTracking.col
+    val deletes = from.join(to.select(rid), Seq(rid), "left_anti")
+      .withColumn("change_type", lit("delete"))
+    val inserts = to.join(from.select(rid), Seq(rid), "left_anti")
+      .withColumn("change_type", lit("insert"))
+    deletes.unionByName(inserts)
   }
 
   /** Maintenance source: carries ids when tracking is on — the rewrite's

@@ -64,10 +64,35 @@ object CdfBench {
         f"drain_s=$wall%.2f peak_batch_s=${batchSecs.max}%.2f")
     }
 
+    /** Same drain through the APPEND-mode source ([[graft.streaming
+      * .TableStreamSource]]): batches scan only each commit's added files
+      * — no snapshot-diff join at all — so for the insert-only backlog
+      * this is the cheap path the CDF source cannot match (the CDF batch
+      * must hash-join both end snapshots to classify changes).
+      */
+    def drainAppends(t: ManagedTable, label: String, maxV: Long): Unit = {
+      val batchRows = scala.collection.mutable.ArrayBuffer[Long]()
+      val q = t.readStreamAppends(startingVersion = 0,
+          maxVersionsPerTrigger = maxV)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          batchRows += b.count(); ()
+        }.start()
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      q.stop()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[cdf-bench] $label: batches=${batchRows.size} " +
+        f"peak_batch_rows=${batchRows.max} total_rows=${batchRows.sum} " +
+        f"drain_s=$wall%.2f")
+    }
+
     val wh = java.nio.file.Files.createTempDirectory("cdf-bench").toString
     println(s"[cdf-bench] backlog: $slices commits, $total events")
-    drain(buildBacklog(s"$wh/u"), "uncapped     ", -1L)
-    drain(buildBacklog(s"$wh/c"), "maxVersions=2", 2L)
+    drain(buildBacklog(s"$wh/u"), "cdf uncapped     ", -1L)
+    drain(buildBacklog(s"$wh/c"), "cdf maxVersions=2", 2L)
+    drainAppends(buildBacklog(s"$wh/au"), "app uncapped     ", -1L)
+    drainAppends(buildBacklog(s"$wh/ac"), "app maxVersions=2", 2L)
     spark.stop()
   }
 }

@@ -1483,4 +1483,21 @@ class ManagedTableSpec extends SparkSpec {
     t.overwriteWhere(Seq((1L, "a")).toDF("k", "g"), col("g") === "a")
     assert(t.read.as[(Long, String)].collect().toSeq == Seq((1L, "a")))
   }
+
+  test("a bare append on a partitioned table inherits the logged layout " +
+      "instead of scattering files at the root") {
+    val t = new ManagedTable(spark, tmpDir("append-inherit") + "/t")
+    t.overwrite(Seq((1L, "p0"), (2L, "p1")).toDF("k", "part"), Seq("part"))
+    t.append(Seq((3L, "p0"), (4L, "p2")).toDF("k", "part")) // no cols passed
+    t.appendOptimistic(Seq((5L, "p1")).toDF("k", "part"))   // OCC path too
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(t.path)
+    val rootFiles = fs.listStatus(root).filter(_.isFile)
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+    assert(rootFiles.isEmpty, "appended files must land in partition dirs")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "part=p2")))
+    assert(t.read.select("k").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L, 5L))
+  }
 }

@@ -123,6 +123,42 @@ class RowTrackingSpec extends SparkSpec {
       org.apache.spark.sql.types.LongType)
   }
 
+  test("version-pinned row-id reads serve historical snapshots with the " +
+      "same ids; the keyless CDF classifies by id and sees through OPTIMIZE") {
+    val t = mk("rt-cdf", (0L until 20L).map(k => (k, s"v$k")))
+    val v0 = t.version
+    val ids0 = idsOf(t)
+    t.deleteVectored(col("k") < 5)
+    val v1 = t.version
+    t.append((100L until 105L).map(k => (k, s"v$k")).toDF("k", "v"))
+    val v2 = t.version
+    t.compact(numFiles = 1) // row-neutral: must not appear in any feed
+    val v3 = t.version
+    // time travel: the v0 snapshot reads back with its original ids
+    val at0 = t.readVersionWithRowIds(v0)
+      .select(col("k"), col(RID)).as[(Long, Long)].collect().toMap
+    assert(at0 == ids0)
+    // keyless CDF v0 -> v2: deletes are the DV-marked rows, inserts the
+    // appended ones — no user key anywhere
+    val ch = t.changesById(v0, v2)
+      .select(col("k"), col("change_type")).as[(Long, String)]
+      .collect().toSet
+    assert(ch == ((0L until 5L).map(k => (k, "delete")) ++
+      (100L until 105L).map(k => (k, "insert"))).toSet)
+    // OPTIMIZE-only window: empty feed (ids see through the rewrite)
+    assert(t.changesById(v2, v3).isEmpty)
+    // and the full window equals the v0->v2 feed
+    assert(t.changesById(v0, v3)
+      .select(col("k"), col("change_type")).as[(Long, String)]
+      .collect().toSet == ch)
+    // a vectored UPDATE surfaces as delete + insert of the changed row
+    t.updateVectored(col("k") === 10, Map("v" -> lit("V10")))
+    val upd = t.changesById(v3, t.version)
+      .select(col("k"), col("v"), col("change_type"))
+      .as[(Long, String, String)].collect().toSet
+    assert(upd == Set((10L, "v10", "delete"), (10L, "V10", "insert")))
+  }
+
   test("enable refuses a table carrying unrecorded materialized ids") {
     val t = mk("rt-orphan-src", (0L until 8L).map(k => (k, s"v$k")))
     t.compact(numFiles = 1) // materialized column in the data files
