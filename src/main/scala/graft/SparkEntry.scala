@@ -1416,6 +1416,20 @@ object SparkEntry {
       graft.streaming.EventStreaming.hourlyDistinctUsers(Tables.events(s, d))
         .orderBy("window_start")),
 
+    "q135_orc_roundtrip" -> ((s, d) => {
+      // ORC sink→source round-trip (graft.io.Io.writeOrc/readOrc):
+      // Spark's second built-in columnar format — same pushdown/pruning
+      // properties as parquet; the read-back must be bit-identical to
+      // what DuckDB computes from the parquet original
+      val out = java.nio.file.Files.createTempDirectory("graft-orc").toString
+      val n = Tables.nation(s, d)
+        .select("n_nationkey", "n_name", "n_regionkey")
+      graft.io.Io.writeOrc(n, s"$out/nation_orc")
+      graft.io.Io.readOrc(s, s"$out/nation_orc")
+        .filter(col("n_regionkey") < 3)
+        .orderBy("n_nationkey")
+    }),
+
     "q134_keyless_cdf" -> ((s, d) => {
       // keyless change-data-feed via row tracking
       // (graft.table.ManagedTable.changesById): snapshot diff classified
@@ -2447,6 +2461,9 @@ object SparkEntry {
       """SELECT n_nationkey, n_name,
            CASE WHEN n_nationkey < 10 THEN n_regionkey END AS region
          FROM nation ORDER BY n_nationkey""",
+    "q135_orc_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+         FROM nation WHERE n_regionkey < 3 ORDER BY n_nationkey""",
     "q134_keyless_cdf" ->
       """SELECT o_orderkey, o_custkey, 'delete' AS change_type
          FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 = 0

@@ -55,6 +55,17 @@ object Io {
       .option("dateFormat", dateFormat)
       .csv(path)
 
+  /** ORC write (beyond-reference interchange format: Spark's built-in
+    * columnar alternative, zlib like its default). Same snappy/zlib
+    * predicate-pushdown + column-pruning properties as the parquet path —
+    * an engine claiming lakehouse interchange should speak both.
+    */
+  def writeOrc(df: DataFrame, path: String, compression: String = "zlib"): Unit =
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Write with a target per-file size — the knob that avoids both the
     * reference's small-files pathology (19,803 files / 363 MB,
     * deltalake.ipynb cell 29) and giant unsplittable files. File count =

@@ -142,6 +142,13 @@ private[streaming] object StreamCommon {
   * start is "latest", resolved once and pinned
   * ([[StreamCommon.resolveStart]]).
   *
+  * `option("initialSnapshot", "true")` — Delta's actual `readStream`
+  * default shape: the FIRST batch is the whole current snapshot (served
+  * by time travel at the offered version, so a pre-offset-commit restart
+  * re-delivers identically), every later batch incremental. This is also
+  * the only way to stream a table whose early log was expired by
+  * retention: those commits cannot replay, the snapshot can.
+  *
   * At 100 TB: a batch costs one manifest diff per admitted commit plus a
   * scan of ONLY the added files — never the snapshot; the history
   * checkpoint supplies per-commit file counts without manifest folding.
@@ -150,7 +157,8 @@ class TableStreamSource(sqlContext: SQLContext, path: String,
                         startingVersion: Long,
                         maxVersions: Option[Long], maxFiles: Option[Long],
                         ignoreDeletes: Boolean, ignoreChanges: Boolean,
-                        skipChangeCommits: Boolean)
+                        skipChangeCommits: Boolean,
+                        initialSnapshot: Boolean = false)
     extends Source with SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
@@ -200,6 +208,17 @@ class TableStreamSource(sqlContext: SQLContext, path: String,
     val fromV = start.map(o => StreamCommon.toVersion(o: OffsetV2))
       .getOrElse(startingVersion)
     val toV = StreamCommon.toVersion(end: OffsetV2)
+    // initial-snapshot mode (Delta's actual readStream default): the very
+    // FIRST batch is the whole snapshot at the offered version — served
+    // by time travel, so a restart before the offset commit re-delivers
+    // the identical batch — and every later batch is incremental. This is
+    // the only way to stream a table whose early log was already expired
+    // by retention (replaying those commits is impossible; the snapshot
+    // is not).
+    if (initialSnapshot && start.isEmpty)
+      return org.apache.spark.sql.GraftBridge.asStreaming(
+        t.readVersion(toV).select(
+          schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))
     val window = t.operationsBetween(fromV, toV)
     val firstLogged = t.earliestVersion
     require(fromV + 1 >= firstLogged,
@@ -267,7 +286,8 @@ class TableSourceProvider extends StreamSourceProvider with DataSourceRegister {
   private case class Params(path: String, startV: Option[Long],
       startTs: Option[String], maxVersions: Option[Long],
       maxFiles: Option[Long], ignoreDeletes: Boolean,
-      ignoreChanges: Boolean, skipChangeCommits: Boolean)
+      ignoreChanges: Boolean, skipChangeCommits: Boolean,
+      initialSnapshot: Boolean)
 
   private def params(parameters: Map[String, String]): Params = {
     val path = parameters.getOrElse("path",
@@ -289,9 +309,14 @@ class TableSourceProvider extends StreamSourceProvider with DataSourceRegister {
     val startTs = parameters.get("startingTimestamp")
     require(startV.isEmpty || startTs.isEmpty,
       "startingVersion and startingTimestamp are mutually exclusive")
+    val snap = bool("initialSnapshot")
+    require(!snap || (startV.isEmpty && startTs.isEmpty),
+      "initialSnapshot replaces startingVersion/startingTimestamp: the " +
+        "first batch IS the current snapshot")
     Params(path, startV, startTs,
       posLong("maxVersionsPerTrigger"), posLong("maxFilesPerTrigger"),
-      bool("ignoreDeletes"), bool("ignoreChanges"), bool("skipChangeCommits"))
+      bool("ignoreDeletes"), bool("ignoreChanges"), bool("skipChangeCommits"),
+      snap)
   }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
@@ -312,7 +337,8 @@ class TableSourceProvider extends StreamSourceProvider with DataSourceRegister {
       metadataPath, "graft-table-start", t, p.startV.map(_ - 1), p.startTs)
     new TableStreamSource(sqlContext, p.path, resolved,
       p.maxVersions, p.maxFiles,
-      p.ignoreDeletes, p.ignoreChanges, p.skipChangeCommits)
+      p.ignoreDeletes, p.ignoreChanges, p.skipChangeCommits,
+      p.initialSnapshot)
   }
 }
 

@@ -3401,7 +3401,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                         startingTimestamp: String = null,
                         ignoreDeletes: Boolean = false,
                         ignoreChanges: Boolean = false,
-                        skipChangeCommits: Boolean = false): DataFrame = {
+                        skipChangeCommits: Boolean = false,
+                        initialSnapshot: Boolean = false): DataFrame = {
     var r = spark.readStream.format("graft.streaming.TableSourceProvider")
       .option("path", path)
     if (startingVersion >= 0) r = r.option("startingVersion", startingVersion.toString)
@@ -3411,6 +3412,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     if (ignoreDeletes) r = r.option("ignoreDeletes", "true")
     if (ignoreChanges) r = r.option("ignoreChanges", "true")
     if (skipChangeCommits) r = r.option("skipChangeCommits", "true")
+    if (initialSnapshot) r = r.option("initialSnapshot", "true")
     r.load()
   }
 

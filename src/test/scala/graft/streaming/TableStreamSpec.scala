@@ -171,6 +171,30 @@ class TableStreamSpec extends SparkSpec {
     assert(seen.size == 2) // no replay of already-committed batches
   }
 
+  test("initialSnapshot: the first batch is the whole current snapshot " +
+      "(DV deletes applied), later appends flow incrementally — and it " +
+      "streams a table whose early log was already expired") {
+    val dir = tmpDir("ts-snap")
+    val t = new ManagedTable(spark, dir + "/t")
+    t.setProperties(Map("graft.manifest.checkpointInterval" -> "1"))
+    t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    t.deleteVectored(col("k") === 2)
+    t.append(Seq((4L, "d")).toDF("k", "v"))
+    t.cleanupLog(t.version) // startingVersion-0 replay now impossible
+    val s = sink()
+    val q = t.readStreamAppends(initialSnapshot = true)
+      .writeStream.format("memory").queryName(s).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(s).as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (3L, "c"), (4L, "d"))) // snapshot, deletes applied
+      t.append(Seq((5L, "e")).toDF("k", "v"))
+      q.processAllAvailable()
+      assert(spark.table(s).as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (3L, "c"), (4L, "d"), (5L, "e")))
+    } finally q.stop()
+  }
+
   test("a log cleanup that expires the stream's resume point fails the " +
       "stream pointedly instead of re-emitting the snapshot") {
     val dir = tmpDir("ts-retention")
