@@ -62,15 +62,24 @@ class TableStreamSink(sqlContext: SQLContext, path: String, appId: String,
         t.setProperties(Map(s"graft.sink.$appId" -> batchId.toString))
       }
     } else {
-      // EVERY batch — the founding one included — lands through the
-      // idempotent append: the (appId, batchId) marker rides inside the
-      // data commit itself, so a crash anywhere replays safely (a
-      // founding overwrite followed by a separate marker write would
-      // duplicate the founding rows if the crash fell between the two;
-      // appendIdempotentOptimistic routes !exists through the locked
-      // founding path itself)
-      table.appendIdempotentOptimistic(batch, appId, batchId, partitionCols)
-      ()
+      val t = table
+      // back-compat: a table founded by the earlier overwrite+property
+      // protocol carries its replay watermark as a PROPERTY, not an
+      // in-commit txn marker — honor it so those founding batches never
+      // re-append
+      if (t.exists &&
+          t.properties.get(s"graft.sink.$appId").exists(_.toLong >= batchId)) ()
+      else {
+        // EVERY batch — the founding one included — lands through the
+        // idempotent append: the (appId, batchId) marker rides inside the
+        // data commit itself, so a crash anywhere replays safely (a
+        // founding overwrite followed by a separate marker write would
+        // duplicate the founding rows if the crash fell between the two;
+        // appendIdempotentOptimistic routes !exists through the locked
+        // founding path itself)
+        t.appendIdempotentOptimistic(batch, appId, batchId, partitionCols)
+        ()
+      }
     }
   }
 

@@ -147,7 +147,12 @@ private[streaming] object StreamCommon {
   * by time travel at the offered version, so a pre-offset-commit restart
   * re-delivers identically), every later batch incremental. This is also
   * the only way to stream a table whose early log was expired by
-  * retention: those commits cannot replay, the snapshot can.
+  * retention: those commits cannot replay, the snapshot can. The
+  * snapshot batch itself is ONE batch — admission control paces the
+  * version it pins, not its file count (unlike Delta, which splits the
+  * initial snapshot by maxFilesPerTrigger) — so size executors for one
+  * table-wide scan, or backfill via `startingVersion` when the log
+  * still allows it.
   *
   * At 100 TB: a batch costs one manifest diff per admitted commit plus a
   * scan of ONLY the added files — never the snapshot; the history
@@ -191,17 +196,12 @@ class TableStreamSource(sqlContext: SQLContext, path: String,
     if (v >= 0) Some(LongOffset(v)) else None
   }
 
-  private val addBearing = Set("APPEND", "COPY INTO", "MERGE_INSERT_ONLY")
+  // the shared taxonomy ([[graft.table.CommitOps]]) keeps this classifier
+  // and IncrementalAgg's in lockstep
+  private val addBearing = graft.table.CommitOps.addBearing
   private def rowNeutral(op: String): Boolean =
-    op == "OPTIMIZE" || op == "ZORDER" || op == "PURGE" ||
-      op == "MATERIALIZE" || op.startsWith("CLUSTER(")
-  /** Ops that remove or rewrite rows — classified by OPERATION, never by
-    * file churn: a deletion-vector-only DELETE changes no files at all,
-    * yet removes rows an append-only consumer must not silently miss.
-    */
-  private val rowChanging = Set("DELETE", "UPDATE", "MERGE", "OVERWRITE",
-    "OVERWRITE_DYNAMIC", "REPLACE_WHERE", "RESTORE", "RECOVER",
-    "RENAME COLUMN", "DROP COLUMN")
+    graft.table.CommitOps.rowNeutral(op)
+  private val rowChanging = graft.table.CommitOps.rowChanging
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val t = table
@@ -221,10 +221,15 @@ class TableStreamSource(sqlContext: SQLContext, path: String,
           schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))
     val window = t.operationsBetween(fromV, toV)
     val firstLogged = t.earliestVersion
-    require(fromV + 1 >= firstLogged,
-      s"TableStreamSource at $path: startingVersion ${fromV + 1} predates " +
-        s"the retained log (earliest $firstLogged) — those commits were " +
-        "expired by log retention and cannot be replayed")
+    // resuming at fromV needs manifest(fromV) as the diff base for the
+    // window's first commit — so anything below the retained horizon
+    // fails, EXCEPT the genuine pre-founding position (fromV = -1 with a
+    // complete log), whose base is the empty set
+    require(if (fromV < 0) firstLogged == 0 else fromV >= firstLogged,
+      s"TableStreamSource at $path: resuming after version $fromV needs " +
+        s"manifest v${math.max(fromV, 0)}, which log retention expired " +
+        s"(earliest retained $firstLogged) — restart with startingVersion " +
+        s">= ${firstLogged + 1}, initialSnapshot=true, or a fresh checkpoint")
     // adjacent versions share file lists through the memo: w commits cost
     // w+1 manifest reads, not 2w. v = −1 is the empty pre-founding state;
     // an EXPIRED manifest refuses — treating it as empty would re-emit
@@ -238,8 +243,9 @@ class TableStreamSource(sqlContext: SQLContext, path: String,
         else if (v < firstLogged) throw new IllegalStateException(
           s"TableStreamSource at $path: manifest v$v was expired by log " +
             s"retention (earliest retained $firstLogged) — the incremental " +
-            "diff for the next batch is unrecoverable; restart from a " +
-            s"startingVersion >= $firstLogged or a fresh checkpoint")
+            "diff for the next batch is unrecoverable; restart with " +
+            s"startingVersion >= ${firstLogged + 1}, initialSnapshot=true, " +
+            "or a fresh checkpoint")
         else t.manifestFiles(v).toSet)
     def adds(v: Long): Seq[String] = (files(v) -- files(v - 1)).toSeq.sorted
     val parts: Seq[DataFrame] = window.flatMap { case (v, op) =>

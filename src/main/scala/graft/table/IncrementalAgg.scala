@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   *  - APPEND / COPY INTO: only the files the commit added (its own
   *    manifest diff, attributed PER COMMIT so a later compaction's
   *    rewritten files are never mistaken for new rows);
-  *  - OPTIMIZE / ZORDER / CLUSTER / PURGE: row-neutral (they rewrite
-  *    files, not rows — reads were already DV-filtered), skipped;
+  *  - OPTIMIZE / ZORDER / CLUSTER / PURGE / MATERIALIZE: row-neutral
+  *    (they rewrite files, not rows — reads were already DV-filtered),
+  *    skipped;
   *  - merge-on-read DELETE / UPDATE / MERGE (no live file removed): the
   *    commit's deletion-vector diff is SUBTRACTED (the newly-marked rows
   *    read back from just the marked files) and its appended replacement/
@@ -90,25 +91,11 @@ final class IncrementalAgg(spark: SparkSession, statePath: String,
           sum(col(s"nnz_$c")).as(s"nnz_$c"))): _*)
       .filter(col("cnt") > 0)
 
-  /** Commits that add rows exclusively through their added files —
-    * insert-only merges included (their anti-joined rows land as plain
-    * appended files; treating them as non-incremental would turn the
-    * cheapest DML there is into a full recompute).
-    */
-  private val addBearing = Set("APPEND", "COPY INTO", "MERGE_INSERT_ONLY")
-
-  /** Commits that rewrite files but not rows (reads were already
-    * DV-filtered): their manifest churn is invisible to the view as long
-    * as additions are attributed per-commit.
-    */
-  private def rowNeutral(op: String): Boolean =
-    op == "OPTIMIZE" || op == "ZORDER" || op == "PURGE" ||
-      op.startsWith("CLUSTER(")
-
-  /** DML ops that are incremental WHEN merge-on-read (no live file
-    * removed): DV diff subtracts, added files add.
-    */
-  private val morDml = Set("DELETE", "UPDATE", "MERGE")
+  // the shared taxonomy ([[CommitOps]]) keeps this classifier and the
+  // streaming source's in lockstep
+  private val addBearing = CommitOps.addBearing
+  private def rowNeutral(op: String): Boolean = CommitOps.rowNeutral(op)
+  private val morDml = CommitOps.morDml
 
   private case class CopyOnWriteRewrite() extends Exception
 

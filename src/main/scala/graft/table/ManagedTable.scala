@@ -1866,7 +1866,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // commit. A DV-carrying snapshot is unrepresentable (resurrected
     // rows) — drop the stale tree rather than publish a wrong one.
     if (properties.get(symlinkAutoProp).contains("true")) {
-      if (dv.exists(_._2.nonEmpty)) {
+      // a founding commit that references FOREIGN files (a shallow clone)
+      // has nothing to manifest under this root — and naively relDir-ing
+      // an absolute foreign path would write manifest files into the
+      // SOURCE table's data directories
+      val foreign = files.exists(f => !f._1.startsWith(qualifiedRoot + "/"))
+      if (dv.exists(_._2.nonEmpty) || foreign) {
         if (fs.exists(symlinkDir)) fs.delete(symlinkDir, true)
       } else writeSymlinkTree(files.map(_._1))
     }
@@ -2454,7 +2459,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def scanResolved(resolved: Seq[String], dv: Map[String, Array[Long]],
                            mergeSchema: Boolean = false,
                            keepMarked: Boolean = false,
-                           keepRowId: Boolean = false): DataFrame = {
+                           keepRowId: Boolean = false,
+                           tap: DataFrame => DataFrame = identity): DataFrame = {
     val roots = qualifiedRoot +: foreignRoots
     def rootOf(f: String): String = roots.collectFirst {
       case r if f.startsWith(r + "/") => r
@@ -2468,7 +2474,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         val rd0 = if (mergeSchema) spark.read.option("mergeSchema", "true")
           else spark.read
         val rd = if (root.nonEmpty) rd0.option("basePath", root) else rd0
-        applyDv(parquetScan(rd, fsOfRoot, keepRowId), dv, keepMarked)
+        // tap runs per GROUP, before the union erases _metadata columns
+        applyDv(tap(parquetScan(rd, fsOfRoot, keepRowId)), dv, keepMarked)
       }.reduce(_ unionByName _)
   }
 
@@ -3742,19 +3749,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def occAppend(df: DataFrame, partitionCols0: Seq[String],
                         txn: Option[(String, Long)],
                         commitWaitMs: Long): Boolean = {
-    // same layout inheritance as the locked append: a blind append never
-    // redefines the partitioning
-    val partitionCols =
-      if (partitionCols0.nonEmpty) partitionCols0
-      else if (version >= 0) loggedPartitionCols(version)
-      else Nil
     requireMaterialized("APPEND")
     // founding write (no concurrency to overlap) and identity tables (the
     // high-water mark allocates under the lease) take the locked path
+    // (which inherits the logged layout itself)
     if (!exists || identityColumns.nonEmpty) {
       txn match {
-        case Some((app, tv)) => return appendIdempotent(df, app, tv, partitionCols)
-        case None => append(df, partitionCols); return true
+        case Some((app, tv)) => return appendIdempotent(df, app, tv, partitionCols0)
+        case None => append(df, partitionCols0); return true
       }
     }
     ensureBootstrapped()
@@ -3767,6 +3769,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // ---- stage (leaseless; the expensive part) ----
     val v0 = version
     val pcs0 = loggedPartitionCols(v0)
+    // layout inheritance reads the SAME v0 snapshot occValidate later
+    // compares against — reading it any earlier would let a concurrent
+    // layout change slip between the two and stage files under a layout
+    // the validation never checks
+    val partitionCols =
+      if (partitionCols0.nonEmpty) partitionCols0 else pcs0
     val schema0 = tableSchemaOpt
     val cons0 = constraints
     val conformed0 = schema0.map(conform(df, allowEvolution = false, _,
@@ -3946,6 +3954,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   }
 
   private def writeSymlinkTree(files: Seq[String]): Unit = {
+    require(files.forall(_.startsWith(qualifiedRoot + "/")),
+      s"symlink manifest for $path: snapshot references files outside " +
+        "the table root (unmaterialized clone?)")
     if (fs.exists(symlinkDir)) fs.delete(symlinkDir, true)
     files.groupBy { f =>
       val rel = f.stripPrefix(qualifiedRoot + "/")
@@ -4075,12 +4086,17 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       // inside the retention window. VACUUM deletes the retained dirs;
       // the next compaction here then drops their entries too.
       val live = files.toSet
-      val retained = retainedDirsOnDisk
-      def keep(p: String): Boolean = live(p) ||
-        retained.exists { rd =>
-          val rel = p.stripPrefix(qualifiedRoot + "/")
-          rel != p && fs.exists(new Path(s"$rd/$rel"))
-        }
+      // ONE recursive listing per retained dir — never a per-(entry,dir)
+      // fs.exists probe matrix (O(entries*dirs) RPCs on an object store)
+      val retainedRel: Set[String] = retainedDirsOnDisk.flatMap { rd =>
+        val rdq = fs.makeQualified(new Path(rd)).toString
+        listParquet(new Path(rd)).map(f =>
+          fs.makeQualified(new Path(f._1)).toString.stripPrefix(rdq + "/"))
+      }.toSet
+      def keep(p: String): Boolean = live(p) || {
+        val rel = p.stripPrefix(qualifiedRoot + "/")
+        rel != p && retainedRel(rel)
+      }
       writeAtomic(rowIdsFile, (Seq(s"#next\t$n") ++
         m.filter(kv => keep(kv._1)).toSeq.sortBy(_._1)
           .map { case (p, b) => s"${enc(p)}\t$b" }).mkString("\n"))
@@ -4117,28 +4133,35 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val missing = files.filterNot(ids.contains)
     require(missing.isEmpty, s"no row-id base recorded for " +
       s"${missing.take(3).mkString(", ")}${if (missing.size > 3) " …" else ""}")
+    rowIdScan(files, files.map(f => f -> f).toMap, ids, dv)
+  }
+
+  /** The fresh/materialized scan assembly [[scanWithRowIds]] and
+    * [[readVersionWithRowIds]] share: `where` resolves each manifest path
+    * to where it lives NOW, `ids` keys by MANIFEST path (−1 =
+    * materialized). Both groups scan through [[parquetScan]] (via
+    * [[scanResolved]]) so declared extras / type widening normalize
+    * exactly as on the plain read path; the fresh group's base+row_index
+    * id computes per scan GROUP, before any union erases `_metadata`.
+    */
+  private def rowIdScan(files: Seq[String], where: Map[String, String],
+                        ids: Map[String, Long],
+                        dv: Map[String, Array[Long]]): DataFrame = {
     val (mat, freshF) = files.partition(f => ids(f) == -1L)
     def ordered(df: DataFrame): DataFrame =
       df.select((df.columns.filterNot(_ == RowTracking.col).map(col) :+
         col(RowTracking.col)).toSeq: _*)
-    // both groups scan through parquetScan so declared extras / type
-    // widening normalize exactly as on the plain read path (a raw
-    // inference here could mix pre/post-ALTER footers and fail or drop
-    // an extra's data inside a maintenance rewrite)
     val parts = Seq(
       if (freshF.isEmpty) None else Some {
-        val bases = freshF.map(f => new Path(f).toString -> ids(f)).toMap
-        ordered(applyDv(
-          parquetScan(spark.read.option("basePath", qualifiedRoot), freshF)
-            .withColumn(RowTracking.col,
-              FileBaseRowId(col("_metadata.file_path"), bases) +
-                col("_metadata.row_index")),
-          dv))
+        val bases = freshF
+          .map(f => new Path(where(f)).toString -> ids(f)).toMap
+        ordered(scanResolved(freshF.map(where), dv, tap =
+          _.withColumn(RowTracking.col,
+            FileBaseRowId(col("_metadata.file_path"), bases) +
+              col("_metadata.row_index"))))
       },
       if (mat.isEmpty) None else Some(
-        ordered(applyDv(
-          parquetScan(spark.read.option("basePath", qualifiedRoot), mat,
-            keepRowId = true), dv)))
+        ordered(scanResolved(mat.map(where), dv, keepRowId = true)))
     ).flatten
     parts.reduce(_ unionByName _)
   }
@@ -4178,23 +4201,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       " — was row tracking enabled after this version?")
     val where = resolveLive(s"version $v", files)
     val dv = dvMapForVersion(v).map { case (p, a) => where.getOrElse(p, p) -> a }
-    val (mat, freshF) = files.partition(f => ids(f) == -1L)
-    def ordered(df: DataFrame): DataFrame =
-      df.select((df.columns.filterNot(_ == RowTracking.col).map(col) :+
-        col(RowTracking.col)).toSeq: _*)
-    val parts = Seq(
-      if (freshF.isEmpty) None else Some {
-        val bases = freshF
-          .map(f => new Path(where(f)).toString -> ids(f)).toMap
-        ordered(scanResolved(freshF.map(where), dv)
-          .withColumn(RowTracking.col,
-            FileBaseRowId(col("_metadata.file_path"), bases) +
-              col("_metadata.row_index")))
-      },
-      if (mat.isEmpty) None else Some(
-        ordered(scanResolved(mat.map(where), dv, keepRowId = true)))
-    ).flatten
-    parts.reduce(_ unionByName _)
+    rowIdScan(files, where, ids, dv)
   }
 
   /** KEYLESS change-data-feed via row tracking — `table_changes` without

@@ -219,7 +219,7 @@ class TableStreamSpec extends SparkSpec {
     q2.stop()
     def msgs(x: Throwable): Seq[String] =
       if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
-    assert(msgs(e).exists(_.contains("expired by log retention")))
+    assert(msgs(e).exists(_.contains("log retention")))
     assert(!seen.contains(3L)) // and nothing was double-delivered
   }
 
