@@ -64,10 +64,15 @@ object Dsir {
     val q = hist(raw, textCol)
     val totP = p.values.sum.toDouble + buckets
     val totQ = q.values.sum.toDouble + buckets
-    // Laplace(+1)-smoothed log-ratio per bucket, quantized to 12 decimal
-    // places ON THE DRIVER — the broadcast table carries decimals, so the
-    // distributed sum is exact whatever the aggregation order
-    val ratio = (0L until buckets.toLong).map { b =>
+    // Laplace(+1)-smoothed log-ratio per OBSERVED bucket, quantized to 12
+    // decimal places ON THE DRIVER — the broadcast table carries decimals,
+    // so the distributed sum is exact whatever the aggregation order.
+    // Only buckets present in either histogram need an entry: every
+    // scored n-gram comes from `raw`, so its bucket is in q by
+    // construction — the table is bounded by OBSERVED vocabulary, never
+    // by `buckets`, which can therefore be huge (fewer hash collisions)
+    // at zero driver cost.
+    val ratio = (p.keySet ++ q.keySet).toSeq.sorted.map { b =>
       val lr = math.log((p.getOrElse(b, 0L) + 1L) / totP) -
         math.log((q.getOrElse(b, 0L) + 1L) / totQ)
       (b, BigDecimal(lr).setScale(12, BigDecimal.RoundingMode.HALF_UP))

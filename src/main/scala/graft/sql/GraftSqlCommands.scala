@@ -30,6 +30,8 @@ import graft.table.ManagedTable
   * COPY INTO <tbl> FROM '<dir>' FILEFORMAT = PARQUET|CSV
   *   [PATTERN = '<glob>'] [FORMAT_OPTIONS('k' = 'v', ...)] [FORCE]
   * RESTORE [TABLE] <tbl> TO VERSION AS OF v | TIMESTAMP AS OF 'ts'
+  * GENERATE symlink_format_manifest FOR TABLE <tbl>
+  * ALTER TABLE <tbl> DROP FEATURE '<name>'
   * MERGE INTO <tbl> [AS] t USING <table|view|(subquery)> [AS] s
   *   ON t.k1 = s.k1 [AND t.k2 = s.k2 ...]
   *   [WHEN MATCHED THEN UPDATE SET *]
@@ -485,6 +487,8 @@ object GraftSqlCommands {
     rx(s"""^\\s*REORG\\s+TABLE\\s+$Tbl\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$$""")
   private val GenerateManifest =
     rx(s"""^\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$Tbl\\s*;?\\s*$$""")
+  private val DropFeature =
+    rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+DROP\\s+FEATURE\\s+'?([\\w-]+)'?\\s*;?\\s*$$""")
   private val MergePrefix = rx(s"""^\\s*MERGE\\s+(WITH\\s+SCHEMA\\s+EVOLUTION\\s+)?INTO\\s+$Tbl\\s*(?:AS\\s+)?(\\w+)?\\s+USING\\s+""")
   private val WhenMatched =
     rx("""WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""")
@@ -672,6 +676,12 @@ object GraftSqlCommands {
     if (gm.matches())
       return Some(AlterTableGraftCommand(tbl(gm, 1),
         _.generateSymlinkManifest()))
+    val dft = DropFeature.matcher(sqlText)
+    if (dft.matches()) {
+      val feature = dft.group(4)
+      return Some(AlterTableGraftCommand(tbl(dft, 1),
+        _.dropTableFeature(feature)))
+    }
     val mp = MergePrefix.matcher(sqlText)
     if (mp.find() && mp.start() == 0) return Some(parseMerge(sqlText, mp))
     None

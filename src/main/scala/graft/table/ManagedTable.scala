@@ -2072,6 +2072,51 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     writeProtocolSets(if (reader) r + name else r, w + name)
   }
 
+  /** Delta's `ALTER TABLE … DROP FEATURE`: retire a protocol feature so
+    * builds without it can use the table again — legal only once nothing
+    * on disk still NEEDS it (the whole point of the gate is that dropping
+    * it early would let an unaware build read wrong):
+    *
+    *  - `deletion-vectors`: no live bitmap may remain (`purgeDeletes()`
+    *    first);
+    *  - `row-tracking`: no live file may carry a materialized id column —
+    *    disable tracking (`unsetProperties(Seq("graft.rowTracking"))`)
+    *    and OPTIMIZE to rewrite them clean, then drop; the id sidecars
+    *    are removed with the feature;
+    *  - `shallow-clone`: `materialize()` already drops it — refused here
+    *    while the clone is still unmaterialized.
+    */
+  def dropTableFeature(name: String): Unit = withCommitLock {
+    val (r, w) = readProtocol()
+    require(r.contains(name) || w.contains(name),
+      s"feature $name is not set on $path")
+    name match {
+      case "deletion-vectors" =>
+        require(currentDv.forall(_._2.isEmpty),
+          s"cannot drop deletion-vectors on $path: live bitmaps remain — " +
+            "purgeDeletes() (REORG … APPLY (PURGE)) first")
+      case "row-tracking" =>
+        require(!rowTrackingEnabled,
+          s"cannot drop row-tracking on $path while it is enabled — unset " +
+            "the graft.rowTracking property first")
+        val files = listParquet(new Path(path))
+          .map { case (p, l) => (fs.makeQualified(new Path(p)).toString, l) }
+        val mat = fileMeta(files).collect {
+          case (f, m) if m.stats.contains(RowTracking.col) => f }
+        require(mat.isEmpty,
+          s"cannot drop row-tracking on $path: ${mat.size} file(s) still " +
+            "carry the materialized id column — OPTIMIZE (with tracking " +
+            "disabled) rewrites them clean")
+        if (fs.exists(rowIdsFile)) fs.delete(rowIdsFile, false)
+        if (fs.exists(rowIdsSegDir)) fs.delete(rowIdsSegDir, true)
+      case "shallow-clone" =>
+        require(!isShallowClone,
+          s"cannot drop shallow-clone on $path: materialize() first")
+      case _ => ()
+    }
+    dropFeature(name)
+  }
+
   /** Retire a feature the table no longer uses (e.g. a materialized clone
     * needs no follow-the-source resolution).
     */

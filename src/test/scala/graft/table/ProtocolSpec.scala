@@ -77,4 +77,45 @@ class ProtocolSpec extends SparkSpec {
     t.addBloomIndex("id", 100L)
     assert(t.protocol._2.contains("bloom-index"))
   }
+
+  test("DROP FEATURE retires a gate only once nothing on disk needs it") {
+    import org.apache.spark.sql.functions.col
+    val t = new ManagedTable(spark, tmpDir("proto-drop") + "/t")
+    t.overwrite(spark.range(40).toDF("id").repartition(2))
+    // deletion-vectors: refused while bitmaps live, drops after purge
+    t.deleteVectored(col("id") % 4 === 1)
+    assert(t.protocol._1.contains("deletion-vectors"))
+    val e1 = intercept[IllegalArgumentException] {
+      t.dropTableFeature("deletion-vectors") }
+    assert(e1.getMessage.contains("purge"))
+    t.purgeDeletes()
+    t.dropTableFeature("deletion-vectors")
+    assert(!t.protocol._1.contains("deletion-vectors"))
+    // row-tracking: refused while enabled, refused while materialized
+    // files remain, drops after disable + clean rewrite
+    t.enableRowTracking()
+    t.compact(numFiles = 1) // materializes ids
+    val e2 = intercept[IllegalArgumentException] {
+      t.dropTableFeature("row-tracking") }
+    assert(e2.getMessage.contains("enabled"))
+    t.unsetProperties(Seq("graft.rowTracking"))
+    val e3 = intercept[IllegalArgumentException] {
+      t.dropTableFeature("row-tracking") }
+    assert(e3.getMessage.contains("materialized"))
+    t.compact(numFiles = 1) // tracking off: rewrites WITHOUT the id column
+    t.dropTableFeature("row-tracking")
+    assert(!t.protocol._1.contains("row-tracking") &&
+      !t.protocol._2.contains("row-tracking"))
+    assert(t.read.count() == 30)
+    // unknown / unset features are refused with a pointed message
+    val e4 = intercept[IllegalArgumentException] {
+      t.dropTableFeature("no-such-feature") }
+    assert(e4.getMessage.contains("not set"))
+    // and the SQL form drives the same path
+    t.deleteVectored(col("id") === 2)
+    t.purgeDeletes()
+    graft.sql.GraftSql.sql(spark,
+      s"ALTER TABLE '${t.path}' DROP FEATURE 'deletion-vectors'")
+    assert(!t.protocol._1.contains("deletion-vectors"))
+  }
 }
