@@ -47,6 +47,17 @@ class TableStreamSink(sqlContext: SQLContext, path: String, appId: String,
 
   private def table = new ManagedTable(sqlContext.sparkSession, path)
 
+  /** Legacy founding watermark (the earlier overwrite+property protocol):
+    * immutable for this sink's lifetime — the new protocol never writes
+    * it in append mode — so ONE read at first use, not a per-micro-batch
+    * metadata round-trip on the hot path.
+    */
+  private lazy val legacyWatermark: Option[Long] = {
+    val t = table
+    if (t.exists) t.properties.get(s"graft.sink.$appId").map(_.toLong)
+    else None
+  }
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the incoming frame carries a streaming-internal plan batch writers
     // reject; re-tag it (lazy, fully distributed)
@@ -62,13 +73,11 @@ class TableStreamSink(sqlContext: SQLContext, path: String, appId: String,
         t.setProperties(Map(s"graft.sink.$appId" -> batchId.toString))
       }
     } else {
-      val t = table
       // back-compat: a table founded by the earlier overwrite+property
       // protocol carries its replay watermark as a PROPERTY, not an
       // in-commit txn marker — honor it so those founding batches never
       // re-append
-      if (t.exists &&
-          t.properties.get(s"graft.sink.$appId").exists(_.toLong >= batchId)) ()
+      if (legacyWatermark.exists(_ >= batchId)) ()
       else {
         // EVERY batch — the founding one included — lands through the
         // idempotent append: the (appId, batchId) marker rides inside the
@@ -77,7 +86,7 @@ class TableStreamSink(sqlContext: SQLContext, path: String, appId: String,
         // duplicate the founding rows if the crash fell between the two;
         // appendIdempotentOptimistic routes !exists through the locked
         // founding path itself)
-        t.appendIdempotentOptimistic(batch, appId, batchId, partitionCols)
+        table.appendIdempotentOptimistic(batch, appId, batchId, partitionCols)
         ()
       }
     }

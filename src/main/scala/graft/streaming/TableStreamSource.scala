@@ -221,15 +221,11 @@ class TableStreamSource(sqlContext: SQLContext, path: String,
           schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))
     val window = t.operationsBetween(fromV, toV)
     val firstLogged = t.earliestVersion
-    // resuming at fromV needs manifest(fromV) as the diff base for the
-    // window's first commit — so anything below the retained horizon
-    // fails, EXCEPT the genuine pre-founding position (fromV = -1 with a
-    // complete log), whose base is the empty set
-    require(if (fromV < 0) firstLogged == 0 else fromV >= firstLogged,
-      s"TableStreamSource at $path: resuming after version $fromV needs " +
-        s"manifest v${math.max(fromV, 0)}, which log retention expired " +
-        s"(earliest retained $firstLogged) — restart with startingVersion " +
-        s">= ${firstLogged + 1}, initialSnapshot=true, or a fresh checkpoint")
+    // no upfront horizon check: whether an expired manifest is actually
+    // NEEDED depends on the window's commits (a row-neutral commit at the
+    // retention boundary emits nothing and needs no diff base) — the
+    // files() accessor below refuses precisely when a diff truly requires
+    // an expired manifest
     // adjacent versions share file lists through the memo: w commits cost
     // w+1 manifest reads, not 2w. v = −1 is the empty pre-founding state;
     // an EXPIRED manifest refuses — treating it as empty would re-emit
@@ -243,9 +239,10 @@ class TableStreamSource(sqlContext: SQLContext, path: String,
         else if (v < firstLogged) throw new IllegalStateException(
           s"TableStreamSource at $path: manifest v$v was expired by log " +
             s"retention (earliest retained $firstLogged) — the incremental " +
-            "diff for the next batch is unrecoverable; restart with " +
-            s"startingVersion >= ${firstLogged + 1}, initialSnapshot=true, " +
-            "or a fresh checkpoint")
+            "diff for the next batch is unrecoverable; start a NEW query " +
+            "(fresh checkpoint — a kept checkpoint overrides these " +
+            s"options) with startingVersion >= ${firstLogged + 1} or " +
+            "initialSnapshot=true")
         else t.manifestFiles(v).toSet)
     def adds(v: Long): Seq[String] = (files(v) -- files(v - 1)).toSeq.sorted
     val parts: Seq[DataFrame] = window.flatMap { case (v, op) =>

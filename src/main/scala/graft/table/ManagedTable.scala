@@ -2095,6 +2095,27 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         require(currentDv.forall(_._2.isEmpty),
           s"cannot drop deletion-vectors on $path: live bitmaps remain — " +
             "purgeDeletes() (REORG … APPLY (PURGE)) first")
+        // HISTORICAL versions need the gate too: a time-traveling reader
+        // without DV support would resurrect their deleted rows (Delta
+        // requires history truncation before this drop for the same
+        // reason). Snapshots of already-expired versions are orphans and
+        // delete with the feature.
+        if (fs.exists(dvDir)) {
+          val snaps = fs.listStatus(dvDir).map(_.getPath).flatMap { p =>
+            val n = p.getName
+            if (n.startsWith("v") && n.endsWith(".txt"))
+              n.stripPrefix("v").stripSuffix(".txt").toLongOption.map(p -> _)
+            else None
+          }
+          val travelable = snaps.collect { case (_, v)
+            if fs.exists(new Path(logDir, f"v$v%05d.json")) => v }
+          require(travelable.isEmpty,
+            s"cannot drop deletion-vectors on $path: versions " +
+              s"${travelable.sorted.mkString(", ")} still carry deletion " +
+              "vectors within the time-travel window — cleanupLog(" +
+              s"${travelable.max + 1}) first")
+          snaps.foreach { case (p, _) => fs.delete(p, false) }
+        }
       case "row-tracking" =>
         require(!rowTrackingEnabled,
           s"cannot drop row-tracking on $path while it is enabled — unset " +
@@ -2112,6 +2133,29 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       case "shallow-clone" =>
         require(!isShallowClone,
           s"cannot drop shallow-clone on $path: materialize() first")
+      // the remaining writer features gate metadata a feature-less build
+      // would silently violate — droppable only once that metadata is gone
+      case "check-constraints" =>
+        require(constraints.isEmpty,
+          s"cannot drop check-constraints on $path: " +
+            s"${constraints.keys.toSeq.sorted.mkString(", ")} still " +
+            "declared — dropConstraint them first")
+      case "generated-columns" =>
+        require(generatedColumns.isEmpty,
+          s"cannot drop generated-columns on $path: " +
+            s"${generatedColumns.keys.toSeq.sorted.mkString(", ")} still " +
+            "declared")
+      case "identity-columns" =>
+        require(identityColumns.isEmpty,
+          s"cannot drop identity-columns on $path: " +
+            s"${identityColumns.keys.toSeq.sorted.mkString(", ")} still " +
+            "declared — a feature-less writer would duplicate the sequence")
+      case "bloom-index" =>
+        require(bloomIndexes.isEmpty,
+          s"cannot drop bloom-index on $path: " +
+            s"${bloomIndexes.keys.toSeq.sorted.mkString(", ")} still " +
+            "declared — a feature-less writer would leave stale filters " +
+            "that wrongly skip files")
       case _ => ()
     }
     dropFeature(name)

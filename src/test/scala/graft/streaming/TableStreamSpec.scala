@@ -223,6 +223,31 @@ class TableStreamSpec extends SparkSpec {
     assert(!seen.contains(3L)) // and nothing was double-delivered
   }
 
+  test("a retention boundary whose first window commit is row-neutral " +
+      "resumes cleanly: no expired manifest is actually needed") {
+    val dir = tmpDir("ts-boundary")
+    val t = new ManagedTable(spark, dir + "/t")
+    t.setProperties(Map("graft.manifest.checkpointInterval" -> "1"))
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    def start() = t.readStreamAppends()
+      .writeStream.option("checkpointLocation", dir + "/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("k").as[Long].collect().foreach(k => seen.add(k)); ()
+      }.start()
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    val offset = t.version // the checkpointed resume point
+    t.compact(numFiles = 1)            // offset+1: row-neutral
+    t.append(Seq((2L, "b")).toDF("k", "v")) // offset+2
+    t.cleanupLog(offset + 1) // expires manifests <= offset
+    val q2 = start()
+    q2.processAllAvailable() // must NOT throw: OPTIMIZE needs no diff base
+    q2.stop()
+    assert(seen.contains(2L) && !seen.contains(1L))
+  }
+
   test("a replayed append is not retro-filtered by a later delete") {
     val t = new ManagedTable(spark, tmpDir("ts-replay") + "/t")
     t.overwrite(Seq((1L, "a")).toDF("k", "v"))

@@ -81,14 +81,20 @@ class ProtocolSpec extends SparkSpec {
   test("DROP FEATURE retires a gate only once nothing on disk needs it") {
     import org.apache.spark.sql.functions.col
     val t = new ManagedTable(spark, tmpDir("proto-drop") + "/t")
+    t.setProperties(Map("graft.manifest.checkpointInterval" -> "1"))
     t.overwrite(spark.range(40).toDF("id").repartition(2))
-    // deletion-vectors: refused while bitmaps live, drops after purge
+    // deletion-vectors: refused while bitmaps live, refused while a
+    // TRAVELABLE version still carries them, drops after history expiry
     t.deleteVectored(col("id") % 4 === 1)
     assert(t.protocol._1.contains("deletion-vectors"))
     val e1 = intercept[IllegalArgumentException] {
       t.dropTableFeature("deletion-vectors") }
     assert(e1.getMessage.contains("purge"))
     t.purgeDeletes()
+    val e1b = intercept[IllegalArgumentException] {
+      t.dropTableFeature("deletion-vectors") }
+    assert(e1b.getMessage.contains("time-travel"))
+    t.cleanupLog(t.version) // expire the DV-carrying versions
     t.dropTableFeature("deletion-vectors")
     assert(!t.protocol._1.contains("deletion-vectors"))
     // row-tracking: refused while enabled, refused while materialized
@@ -111,9 +117,17 @@ class ProtocolSpec extends SparkSpec {
     val e4 = intercept[IllegalArgumentException] {
       t.dropTableFeature("no-such-feature") }
     assert(e4.getMessage.contains("not set"))
+    // writer features gating declared metadata refuse while declared
+    t.addConstraint("pos", "id >= 0")
+    val e5 = intercept[IllegalArgumentException] {
+      t.dropTableFeature("check-constraints") }
+    assert(e5.getMessage.contains("pos"))
+    t.dropConstraint("pos")
+    t.dropTableFeature("check-constraints")
     // and the SQL form drives the same path
     t.deleteVectored(col("id") === 2)
     t.purgeDeletes()
+    t.cleanupLog(t.version)
     graft.sql.GraftSql.sql(spark,
       s"ALTER TABLE '${t.path}' DROP FEATURE 'deletion-vectors'")
     assert(!t.protocol._1.contains("deletion-vectors"))
