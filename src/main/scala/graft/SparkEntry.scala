@@ -1416,6 +1416,33 @@ object SparkEntry {
       graft.streaming.EventStreaming.hourlyDistinctUsers(Tables.events(s, d))
         .orderBy("window_start")),
 
+    "q136_stream_snapshot" -> ((s, d) => {
+      // initial-snapshot streaming start (Delta's readStream default
+      // shape, graft.streaming.TableStreamSource `initialSnapshot`): the
+      // early log is EXPIRED by retention — a startingVersion-0 replay is
+      // impossible — yet the stream serves the whole snapshot (deletion
+      // vectors applied) as its first batch, then a later append flows
+      // incrementally; the sink must equal snapshot + append exactly once
+      val wh = java.nio.file.Files.createTempDirectory("graft-snapstream").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/t")
+      t.setProperties(Map("graft.manifest.checkpointInterval" -> "1"))
+      val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+      t.overwrite(ev.filter(col("event_id") % 3 === 0))
+      t.append(ev.filter(col("event_id") % 3 === 1))
+      t.deleteVectored(col("event_id") % 5 === 0)
+      t.cleanupLog(t.version) // the replay-from-0 door is now closed
+      val sinkName = "q136_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = t.readStreamAppends(initialSnapshot = true)
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable() // batch 0: the snapshot
+        t.append(ev.filter(col("event_id") % 3 === 2))
+        q.processAllAvailable() // batch 1: just the append
+      } finally q.stop()
+      s.table(sinkName).orderBy("event_id")
+    }),
+
     "q135_orc_roundtrip" -> ((s, d) => {
       // ORC sink→source round-trip (graft.io.Io.writeOrc/readOrc):
       // Spark's second built-in columnar format — same pushdown/pruning
@@ -2461,6 +2488,11 @@ object SparkEntry {
       """SELECT n_nationkey, n_name,
            CASE WHEN n_nationkey < 10 THEN n_regionkey END AS region
          FROM nation ORDER BY n_nationkey""",
+    "q136_stream_snapshot" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE (event_id % 3 IN (0, 1) AND event_id % 5 <> 0)
+            OR event_id % 3 = 2
+         ORDER BY event_id""",
     "q135_orc_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
          FROM nation WHERE n_regionkey < 3 ORDER BY n_nationkey""",

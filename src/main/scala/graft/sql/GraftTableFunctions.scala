@@ -79,5 +79,14 @@ object GraftTableFunctions {
       plan(new ManagedTable(s, str(args(0), "graft_table_changes", "path"))
         .changes(long(args(1), "graft_table_changes", "fromV"),
           long(args(2), "graft_table_changes", "toV"), keys))
+    },
+    // keyless CDF over row tracking — `changesById` as a TVF: no key
+    // arguments at all, insert/delete classified by stable row id
+    tvf("graft_changes_by_id") { args =>
+      require(args.length == 3, "graft_changes_by_id(path, fromV, toV)")
+      val s = SparkSession.active
+      plan(new ManagedTable(s, str(args(0), "graft_changes_by_id", "path"))
+        .changesById(long(args(1), "graft_changes_by_id", "fromV"),
+          long(args(2), "graft_changes_by_id", "toV")))
     })
 }

@@ -407,6 +407,20 @@ class GraftSqlSpec extends SparkSpec {
       val tvfErr = intercept[Exception](
         extended.sql(s"SELECT * FROM graft_version('$p', 1 + 1)").collect())
       assert(tvfErr.getMessage.contains("literal"))
+      // keyless CDF TVF over row tracking: no key args at all
+      val p2 = tmpDir("sql-ext-rid") + "/t"
+      val t2 = new ManagedTable(extended, p2)
+      t2.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+      t2.enableRowTracking()
+      val v0 = t2.version
+      t2.deleteVectored(org.apache.spark.sql.functions.col("k") === 1)
+      t2.append(Seq((3L, "c")).toDF("k", "v"))
+      val kcdf = extended.sql(
+        s"""SELECT k, change_type
+            FROM graft_changes_by_id('$p2', $v0, ${t2.version})
+            ORDER BY change_type, k""")
+        .as[(Long, String)].collect().toSeq
+      assert(kcdf == Seq((1L, "delete"), (3L, "insert")))
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
