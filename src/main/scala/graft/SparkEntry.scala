@@ -1505,7 +1505,11 @@ object SparkEntry {
       // the selection contract (shift toward the target distribution,
       // exact-weight determinism, k) is DsirSpec-gated
       val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
-      val target = docs.filter(col("lang") === "de").limit(50)
+      // orderBy before limit: an unordered limit's 50 rows depend on
+      // partition enumeration order — a layout change would silently
+      // shift every importance weight
+      val target = docs.filter(col("lang") === "de")
+        .orderBy("doc_id").limit(50)
       graft.ops.Dsir.select(docs, "doc_id", "text", target, "text",
           k = 100, buckets = 4096)
         .select(col("doc_id"), col("lang"), col("log_w").cast("double"))
@@ -2514,7 +2518,10 @@ object SparkEntry {
                          x -> x <> '') AS ws,
              string_split(text, chr(10)) AS ls,
              length(regexp_replace(trim(text), '\s+', '', 'g')) AS nws,
-             length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS sym
+             (length(text) - length(regexp_replace(text, '[#…]', '', 'g')))
+               + (length(text)
+                  - length(regexp_replace(text, '\.\.\.', '', 'g'))) // 3
+               AS sym
            FROM documents)
          SELECT doc_id,
            len(ws) BETWEEN 50 AND 100000 AS r_word_count,

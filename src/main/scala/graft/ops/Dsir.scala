@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   *  1. features: unigram+bigram word n-grams hashed into `buckets`
   *     (xxhash64, codegen'd) — a fixed-width bag-of-ngrams;
   *  2. two bucket histograms (one groupBy each over target and raw),
-  *     Laplace-smoothed into log-probabilities on the driver — the
-  *     histogram is `buckets`-bounded, never corpus-bounded;
+  *     Laplace-smoothed into log-ratios DISTRIBUTED (a histogram join;
+  *     only the two scalar totals visit the driver) — the table is
+  *     `buckets`-bounded, never corpus-bounded;
   *  3. per-document importance weight log w = Σ_tokens [log p̂_target(b) −
-  *     log p̂_raw(b)] via a BROADCAST join against the `buckets`-row
-  *     ratio table, then one groupBy(doc). The log-ratios are quantized
+  *     log p̂_raw(b)] via a join against the ratio table (broadcast under
+  *     `broadcastBuckets`, else a shuffle join on the 8-byte bucket key),
+  *     then one groupBy(doc). The log-ratios are quantized
   *     to DECIMAL(20,12) before summing, so the per-doc weight is exact
   *     and independent of aggregation order — the engine's documents-
   *     pipeline determinism contract;
@@ -52,33 +54,44 @@ object Dsir {
     * with log_w an exact DECIMAL(28,12) sum of quantized per-ngram
     * log-ratios — higher means "more target-like". Documents with no
     * recognized n-gram (empty text) weigh 0.
+    *
+    * The ratio table is computed DISTRIBUTED (histogram left-join, the
+    * log-ratio as a column) — the driver never materializes the observed
+    * vocabulary; only the two scalar histogram totals come back. It is
+    * broadcast into the scoring join only when `buckets` (an upper bound
+    * on its row count) stays under `broadcastBuckets`; beyond that the
+    * scoring join shuffles on the 8-byte bucket key — so `buckets` may be
+    * huge (fewer hash collisions) without a driver-side cliff.
     */
   def importanceWeights(raw: DataFrame, idCol: String, textCol: String,
                         target: DataFrame, targetTextCol: String,
-                        buckets: Int = 8192): DataFrame = {
-    val spark = raw.sparkSession
-    import spark.implicits._
-    def hist(df: DataFrame, tc: String): Map[Long, Long] =
-      bucketHistogram(df, tc, buckets).as[(Long, Long)].collect().toMap
-    val p = hist(target, targetTextCol)
-    val q = hist(raw, textCol)
-    val totP = p.values.sum.toDouble + buckets
-    val totQ = q.values.sum.toDouble + buckets
-    // Laplace(+1)-smoothed log-ratio per OBSERVED bucket, quantized to 12
-    // decimal places ON THE DRIVER — the broadcast table carries decimals,
-    // so the distributed sum is exact whatever the aggregation order.
-    // Only buckets present in either histogram need an entry: every
-    // scored n-gram comes from `raw`, so its bucket is in q by
-    // construction — the table is bounded by OBSERVED vocabulary, never
-    // by `buckets`, which can therefore be huge (fewer hash collisions)
-    // at zero driver cost.
-    val ratio = (p.keySet ++ q.keySet).toSeq.sorted.map { b =>
-      val lr = math.log((p.getOrElse(b, 0L) + 1L) / totP) -
-        math.log((q.getOrElse(b, 0L) + 1L) / totQ)
-      (b, BigDecimal(lr).setScale(12, BigDecimal.RoundingMode.HALF_UP))
-    }.toDF("bucket", "log_ratio")
+                        buckets: Int = 8192,
+                        broadcastBuckets: Long = 4L * 1000 * 1000): DataFrame = {
+    val pHist = bucketHistogram(target, targetTextCol, buckets)
+    val qHist = bucketHistogram(raw, textCol, buckets)
+    def total(h: DataFrame): Double =
+      Option(h.agg(sum(col("cnt"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L).toDouble + buckets
+    val totP = total(pHist)
+    val totQ = total(qHist)
+    // Laplace(+1)-smoothed log-ratio per OBSERVED raw bucket, quantized to
+    // 12 decimal places — the table carries decimals, so the distributed
+    // sum is exact whatever the aggregation order. Every scored n-gram
+    // comes from `raw`, so its bucket is in the raw histogram by
+    // construction: a LEFT join from qHist covers the whole scoring
+    // domain (target-only buckets never match a scored row).
+    // `cast(decimal)` rounds HALF_UP — same quantization the driver-side
+    // BigDecimal.setScale gave, bit-identical weights.
+    val ratioRaw = qHist.join(
+        pHist.withColumnRenamed("cnt", "p_cnt"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        (log((coalesce(col("p_cnt"), lit(0L)) + lit(1L)).cast("double") / totP)
+          - log((col("cnt") + lit(1L)).cast("double") / totQ))
+          .cast("decimal(20,12)").as("log_ratio"))
+    val ratio =
+      if (buckets.toLong <= broadcastBuckets) broadcast(ratioRaw) else ratioRaw
     raw.select(col(idCol), explode(ngramBuckets(col(textCol), buckets)).as("bucket"))
-      .join(broadcast(ratio), "bucket")
+      .join(ratio, "bucket")
       .groupBy(idCol)
       .agg(sum(col("log_ratio")).cast("decimal(28,12)").as("log_w"))
       .unionByName( // empty AND null docs: no exploded rows, weight 0

@@ -115,8 +115,13 @@ object TextAnalysis {
     val ellipsisLines = size(filter(lines, l =>
       trim(l).endsWith("...") || trim(l).endsWith("…"))).cast("long")
     val alphaWords = size(filter(w, x => x.rlike("[a-z]"))).cast("long")
+    // Rae et al. 2021 §A1.1.2 counts '#' and ellipses — BOTH the single
+    // char '…' and the ASCII three-dot "..." (one symbol per occurrence;
+    // non-overlapping, so the length delta of removing "..." is 3×count).
     val symbolCount =
-      (length(t) - length(regexp_replace(t, "[#…]", ""))).cast("long")
+      ((length(t) - length(regexp_replace(t, "[#…]", ""))) +
+        (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
+        .cast("long")
     val stopHits = size(filter(array(gopherStopwords.map(lit): _*),
       s => array_contains(w, s))).cast("long")
     val meanLen =

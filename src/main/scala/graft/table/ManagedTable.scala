@@ -2128,6 +2128,23 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           s"cannot drop row-tracking on $path: ${mat.size} file(s) still " +
             "carry the materialized id column — OPTIMIZE (with tracking " +
             "disabled) rewrites them clean")
+        // Retained snapshot dirs (OPTIMIZE/CLUSTER/PURGE rewrites move
+        // files there) may hold materialized files that manifests inside
+        // the time-travel window still reference: a feature-less build
+        // time-traveling would surface the id column as user data. Mirror
+        // the deletion-vectors gate — refuse until vacuum/cleanupLog has
+        // expired them. (Conservative over ALL retained dirs: a dir no
+        // travelable version references is exactly what vacuumVersions
+        // removes, so the remedy is the same either way.)
+        val retained = retainedDirsOnDisk.flatMap(d => listParquet(new Path(d)))
+          .map { case (p, l) => (fs.makeQualified(new Path(p)).toString, l) }
+        val matRetained = fileMeta(retained).collect {
+          case (f, m) if m.stats.contains(RowTracking.col) => f }
+        require(matRetained.isEmpty,
+          s"cannot drop row-tracking on $path: ${matRetained.size} retained " +
+            "snapshot file(s) still carry the materialized id column and " +
+            "remain reachable by time travel — vacuumVersions/cleanupLog " +
+            "past them first")
         if (fs.exists(rowIdsFile)) fs.delete(rowIdsFile, false)
         if (fs.exists(rowIdsSegDir)) fs.delete(rowIdsSegDir, true)
       case "shallow-clone" =>

@@ -1,6 +1,6 @@
 package graft.table
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Pure MERGE plan rewrites — the reference's DeltaTable MERGE surface

@@ -75,6 +75,24 @@ class DsirSpec extends SparkSpec {
     assert(ids1.forall(id => id >= 100L && id < 120L))
   }
 
+  test("shuffle-join ratio path (buckets above the broadcast bound) " +
+      "produces bit-identical weights to the broadcast path") {
+    val target = (0 until 20).map(i => (i.toLong, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val raw = (
+      (100 until 110).map(i => (i.toLong, "alpha beta gamma delta")) ++
+      (200 until 210).map(i => (i.toLong, "zig zag quux corge waldo"))
+    ).toDF("doc_id", "text")
+    def weights(broadcastBuckets: Long) =
+      Dsir.importanceWeights(raw, "doc_id", "text", target, "text", B,
+          broadcastBuckets = broadcastBuckets)
+        .select(col("doc_id"), col("log_w").cast("double"))
+        .as[(Long, Double)].collect().toMap
+    // bound below B forces the shuffle join; the default broadcasts
+    assert(weights(broadcastBuckets = 1L) == weights(broadcastBuckets =
+      4L * 1000 * 1000))
+  }
+
   test("noise=false is plain top-k by weight with id tiebreak") {
     // target must repeat the pattern enough for the smoothed log-ratio of
     // its n-grams to go positive (a 1-doc target is dominated by +1

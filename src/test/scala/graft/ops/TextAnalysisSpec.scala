@@ -118,7 +118,8 @@ class TextAnalysisSpec extends SparkSpec {
       (5L, (1 to 10).map(i => s"- bullet $i").mkString("\n")), // bullets
       (6L, (1 to 10).map(i => s"line $i...").mkString("\n")),  // ellipses
       (7L, good.split(" ").map(w => w + " 123456").mkString(" ")), // alpha
-      (8L, "zig zag quux corge waldo fred plugh " * 10)          // stopwords
+      (8L, "zig zag quux corge waldo fred plugh " * 10),         // stopwords
+      (9L, good + " " + ("... " * 20).trim) // ASCII ellipses count as symbols
     ).toDF("doc_id", "text")
     val r = TextAnalysis.gopherRules(docs, "text")
       .select("doc_id", "r_word_count", "r_mean_word_len", "r_symbol_ratio",
@@ -135,5 +136,6 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!r(6L)._6)              // all lines ellipsis-terminated
     assert(!r(7L)._7)              // under 80% alphabetic words
     assert(!r(8L)._8 && !r(8L)._9) // no stopword hits
+    assert(!r(9L)._4)              // "..." counts as a symbol (Rae §A1.1.2)
   }
 }

@@ -109,6 +109,14 @@ class ProtocolSpec extends SparkSpec {
       t.dropTableFeature("row-tracking") }
     assert(e3.getMessage.contains("materialized"))
     t.compact(numFiles = 1) // tracking off: rewrites WITHOUT the id column
+    // the live files are clean now, but the pre-rewrite materialized files
+    // sit in retained snapshot dirs that time travel still reaches — the
+    // drop must refuse until vacuum has expired them (a feature-less build
+    // time-traveling would surface _graft_row_id as user data)
+    val e3b = intercept[IllegalArgumentException] {
+      t.dropTableFeature("row-tracking") }
+    assert(e3b.getMessage.contains("retained"))
+    t.vacuumVersions(java.time.Instant.now())
     t.dropTableFeature("row-tracking")
     assert(!t.protocol._1.contains("row-tracking") &&
       !t.protocol._2.contains("row-tracking"))
