@@ -1416,6 +1416,51 @@ object SparkEntry {
       graft.streaming.EventStreaming.hourlyDistinctUsers(Tables.events(s, d))
         .orderBy("window_start")),
 
+    "q137_merge_cdc" -> ((s, d) => {
+      // CDC-apply: upsert + tombstone-delete in ONE SQL MERGE (the full
+      // clause family, GraftSqlCommands.parseWhenClauses → ManagedTable
+      // .mergeBuilder) — run merge-on-read (deletion vectors on), so the
+      // deletes are bitmap marks and the updates/inserts appends, one
+      // commit, zero target files rewritten
+      val wh = java.nio.file.Files.createTempDirectory("graft-mcdc").toString
+      val p = s"$wh/t"
+      val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+      val t = new graft.table.ManagedTable(s, p)
+      t.overwrite(ev.filter(col("event_id") % 10 < 8))
+      t.setProperties(Map("graft.enableDeletionVectors" -> "true"))
+      ev.filter(col("event_id") % 10 >= 5 && col("event_id") % 10 <= 8)
+        .withColumn("value", col("value") * lit(2.0))
+        .withColumn("op", when(col("event_id") % 10 === 7, lit("D"))
+          .when(col("event_id") % 10 === 8, lit("I")).otherwise(lit("U")))
+        .createOrReplaceTempView("q137_cdc")
+      graft.sql.GraftSql.sql(s,
+        s"""MERGE INTO graft.`$p` AS t USING q137_cdc AS s ON t.event_id = s.event_id
+            WHEN MATCHED AND s.op = 'D' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *""")
+      new graft.table.ManagedTable(s, p).read
+        .select("event_id", "user_id", "value").orderBy("event_id")
+    }),
+    "q138_merge_bysource" -> ((s, d) => {
+      // conditional UPDATE SET + WHEN NOT MATCHED BY SOURCE DELETE
+      // (ManagedTable.mergeBuilder): sync the table toward a snapshot —
+      // matched rows bump to the snapshot value only when it is larger,
+      // snapshot-only rows insert, and rows the snapshot no longer
+      // carries delete when event_id % 10 >= 6
+      val wh = java.nio.file.Files.createTempDirectory("graft-mbs").toString
+      val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+      val t = new graft.table.ManagedTable(s, s"$wh/t")
+      t.overwrite(ev.filter(col("event_id") % 10 < 8))
+      val snapshot = ev.filter(col("event_id") % 3 === 0 &&
+          col("event_id") % 10 < 9)
+        .withColumn("value", col("value") * lit(3.0))
+      t.mergeBuilder(snapshot, Seq("event_id"))
+        .whenMatchedUpdate(Map("value" -> "s.value"), "s.value > t.value")
+        .whenNotMatchedInsertAll()
+        .whenNotMatchedBySourceDelete("t.event_id % 10 >= 6")
+        .execute()
+      t.read.select("event_id", "user_id", "value").orderBy("event_id")
+    }),
     "q136_stream_snapshot" -> ((s, d) => {
       // initial-snapshot streaming start (Delta's readStream default
       // shape, graft.streaming.TableStreamSource `initialSnapshot`): the
@@ -2492,6 +2537,28 @@ object SparkEntry {
       """SELECT n_nationkey, n_name,
            CASE WHEN n_nationkey < 10 THEN n_regionkey END AS region
          FROM nation ORDER BY n_nationkey""",
+    // q137: CDC-apply — %10∈0–4 untouched, 5–6 updated ×2, 7 deleted by
+    // tombstone, 8 inserted ×2 (its tombstoneless CDC row)
+    "q137_merge_cdc" ->
+      """SELECT event_id, user_id, value FROM events WHERE event_id % 10 < 5
+         UNION ALL
+         SELECT event_id, user_id, value * 2 AS value FROM events
+         WHERE event_id % 10 IN (5, 6, 8)
+         ORDER BY event_id""",
+    // q138: matched rows (%3=0) bump to 3× only when larger (value > 0);
+    // unmatched target rows survive only below %10=6; snapshot-only rows
+    // (%3=0, %10=8) insert at 3×
+    "q138_merge_bysource" ->
+      """SELECT event_id, user_id,
+           CASE WHEN value * 3 > value THEN value * 3 ELSE value END AS value
+         FROM events WHERE event_id % 10 < 8 AND event_id % 3 = 0
+         UNION ALL
+         SELECT event_id, user_id, value FROM events
+         WHERE event_id % 10 < 6 AND event_id % 3 <> 0
+         UNION ALL
+         SELECT event_id, user_id, value * 3 AS value FROM events
+         WHERE event_id % 3 = 0 AND event_id % 10 = 8
+         ORDER BY event_id""",
     "q136_stream_snapshot" ->
       """SELECT event_id, user_id, value FROM events
          WHERE (event_id % 3 IN (0, 1) AND event_id % 5 <> 0)

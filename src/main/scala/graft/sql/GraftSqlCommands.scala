@@ -199,13 +199,29 @@ object GraftSqlCommands {
     }
   }
 
+  /** One parsed WHEN clause of a general MERGE, still in text form (the
+    * command re-parses expressions at run time against the session).
+    * `group` ∈ matched / not_matched / by_source; `kind` ∈ update_all /
+    * update / delete / insert_all / insert.
+    */
+  case class MergeWhen(group: String, kind: String,
+      condition: Option[String], assignments: Seq[(String, String)] = Nil)
+
   /** Keyed MERGE: `sourceText` is re-parsed by the session (so views,
     * tables and subqueries all work); partition columns for the pruned
-    * rewrite are read from the target's latest commit.
+    * rewrite are read from the target's latest commit. The classic
+    * UpdateAll+InsertAll / insert-only shapes keep the specialized
+    * anti-join plans (`clauses` empty); everything else — conditional
+    * clauses, matched DELETE, explicit SET/VALUES, NOT MATCHED BY SOURCE —
+    * runs through the clause-family builder, merge-on-read when the
+    * table enables deletion vectors.
     */
   case class MergeIntoGraftCommand(path: String, sourceText: String,
       keys: Seq[String], insertOnly: Boolean,
-      schemaEvolution: Boolean = false) extends LeafRunnableCommand {
+      schemaEvolution: Boolean = false,
+      clauses: Seq[MergeWhen] = Nil,
+      targetAlias: String = "t", sourceAlias: String = "s")
+      extends LeafRunnableCommand {
     override val output: Seq[Attribute] = attrs("num_source_rows" -> LongType)
     override def run(spark: SparkSession): Seq[Row] = {
       val src = sourceText.trim
@@ -216,11 +232,32 @@ object GraftSqlCommands {
       val partCols = latestPartitionCols(t)
       val useDv = t.properties.get("graft.enableDeletionVectors")
         .exists(_.equalsIgnoreCase("true"))
-      if (insertOnly)
+      if (clauses.nonEmpty) {
+        val b = t.mergeBuilder(source, keys, partCols, targetAlias, sourceAlias)
+        clauses.foreach { c =>
+          val cond = c.condition.orNull
+          (c.group, c.kind) match {
+            case ("matched", "update_all") => b.whenMatchedUpdateAll(cond)
+            case ("matched", "update") =>
+              b.whenMatchedUpdate(c.assignments.toMap, cond)
+            case ("matched", "delete") => b.whenMatchedDelete(cond)
+            case ("not_matched", "insert_all") => b.whenNotMatchedInsertAll(cond)
+            case ("not_matched", "insert") =>
+              b.whenNotMatchedInsert(c.assignments.toMap, cond)
+            case ("by_source", "update") =>
+              b.whenNotMatchedBySourceUpdate(c.assignments.toMap, cond)
+            case ("by_source", "delete") => b.whenNotMatchedBySourceDelete(cond)
+            case other => throw new IllegalStateException(s"bad clause $other")
+          }
+        }
+        if (schemaEvolution) b.withSchemaEvolution()
+        // the DV (merge-on-read) path appends only replacement copies, so
+        // a widened schema would leave old files unreadable without
+        // mergeSchema — an evolving MERGE takes the rewriting path instead
+        if (useDv && !schemaEvolution) b.executeVectored() else b.execute()
+      }
+      else if (insertOnly)
         t.mergeInsertOnly(source, keys, partCols, allowEvolution = schemaEvolution)
-      // the DV (merge-on-read) path appends only replacement copies, so a
-      // widened schema would leave old files unreadable without
-      // mergeSchema — an evolving MERGE takes the rewriting path instead
       else if (useDv && !schemaEvolution) t.mergeVectored(source, keys, partCols)
       else t.merge(source, keys, partCols, allowEvolution = schemaEvolution)
       Seq(Row(source.count()))
@@ -490,10 +527,6 @@ object GraftSqlCommands {
   private val DropFeature =
     rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+DROP\\s+FEATURE\\s+'?([\\w-]+)'?\\s*;?\\s*$$""")
   private val MergePrefix = rx(s"""^\\s*MERGE\\s+(WITH\\s+SCHEMA\\s+EVOLUTION\\s+)?INTO\\s+$Tbl\\s*(?:AS\\s+)?(\\w+)?\\s+USING\\s+""")
-  private val WhenMatched =
-    rx("""WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""")
-  private val WhenNotMatched =
-    rx("""WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*""")
   /** First index where one of `words` appears as a whole word OUTSIDE
     * single-quoted literals (doubled '' quotes toggle twice and stay
     * closed) and, with `trackParens`, outside any parentheses — the SQL
@@ -745,8 +778,10 @@ object GraftSqlCommands {
     val target = tbl(mp, 2)
     def fail(msg: String): Nothing = throw new IllegalArgumentException(
       s"graft MERGE INTO: $msg; supported shape is MERGE INTO <tbl> [AS] t " +
-        "USING <src> [AS] s ON t.k = s.k [AND ...] " +
-        "[WHEN MATCHED THEN UPDATE SET *] [WHEN NOT MATCHED THEN INSERT *]")
+        "USING <src> [AS] s ON t.k = s.k [AND ...] followed by WHEN " +
+        "clauses: WHEN MATCHED [AND c] THEN UPDATE SET */SET a=e,…/DELETE, " +
+        "WHEN NOT MATCHED [AND c] THEN INSERT */(cols) VALUES (exprs), " +
+        "WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET …/DELETE")
     val rest = sqlText.substring(mp.end())
     // source: balanced-paren subquery or a bare identifier chain
     val (sourceText, afterSource) =
@@ -783,24 +818,133 @@ object GraftSqlCommands {
         fail(s"ON equality must join the same column on both sides, got '${eq.trim}'")
       km.group(2)
     }
-    val matched = WhenMatched.matcher(whenText).find()
-    val notMatched = WhenNotMatched.matcher(whenText).find()
-    // EVERY WHEN clause must be one of the two supported forms — an
-    // unsupported one (WHEN MATCHED THEN DELETE, conditional WHEN ... AND,
-    // UPDATE SET col = expr) must FAIL, not silently degrade to
-    // insert-only and leave matched rows untouched
-    val whenCount = { val m = rx("""\bWHEN\b""").matcher(whenText)
-      var n = 0; while (m.find()) n += 1; n }
-    val supported = (if (matched) 1 else 0) + (if (notMatched) 1 else 0)
-    if (whenCount != supported)
-      fail(s"unsupported WHEN clause in '${whenText.trim.take(120)}'; only " +
-        "WHEN MATCHED THEN UPDATE SET * and WHEN NOT MATCHED THEN INSERT * " +
-        "are supported (no DELETE actions, conditions, or column lists)")
-    if (matched && notMatched) MergeIntoGraftCommand(target, sourceText,
+    val targetAlias = Option(mp.group(5)).getOrElse("t")
+    // an unaliased bare-identifier source is referenced by its own name
+    // (SQL resolution); subqueries without an alias fall back to "s"
+    val sourceAlias = Option(onM.group(1)).getOrElse(
+      if (sourceText.startsWith("(")) "s"
+      else sourceText.split('.').last.trim)
+    val clauses = parseWhenClauses(whenText, fail)
+    // the two classic shapes keep the specialized anti-join plans (and the
+    // command's historical field shape): unconditional UpdateAll+InsertAll
+    // and unconditional insert-only
+    def classic(k: String) = clauses.forall(c => c.condition.isEmpty) &&
+      (clauses.map(c => (c.group, c.kind)).toSet == (k match {
+        case "upsert" => Set("matched" -> "update_all", "not_matched" -> "insert_all")
+        case _ => Set("not_matched" -> "insert_all")
+      }))
+    if (classic("upsert")) MergeIntoGraftCommand(target, sourceText,
       keys, insertOnly = false, schemaEvolution = evolve)
-    else if (notMatched) MergeIntoGraftCommand(target, sourceText,
+    else if (classic("insert_only")) MergeIntoGraftCommand(target, sourceText,
       keys, insertOnly = true, schemaEvolution = evolve)
-    else fail("need WHEN NOT MATCHED THEN INSERT * (optionally with WHEN " +
-      "MATCHED THEN UPDATE SET *); update-only MERGE is not supported")
+    else MergeIntoGraftCommand(target, sourceText, keys, insertOnly = false,
+      schemaEvolution = evolve, clauses = clauses,
+      targetAlias = targetAlias, sourceAlias = sourceAlias)
+  }
+
+  private val ClauseMatched = rx("""^MATCHED(?:\s+AND\s+(.+))?$""")
+  private val ClauseBySource =
+    rx("""^NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+))?$""")
+  private val ClauseNotMatched =
+    rx("""^NOT\s+MATCHED(?:\s+BY\s+TARGET)?(?:\s+AND\s+(.+))?$""")
+  private val ActionUpdateAll = rx("""^UPDATE\s+SET\s+\*$""")
+  private val ActionUpdate = rx("""^UPDATE\s+SET\s+(.+)$""")
+  private val ActionDelete = rx("""^DELETE$""")
+  private val ActionInsertAll = rx("""^INSERT\s*\*$""")
+  private val ActionInsert =
+    rx("""^INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)$""")
+
+  /** Split `s` on top-level (outside quotes/parens) commas. */
+  private def splitTopLevelCommas(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0; var start = 0; var inQ = false; var depth = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ && c == '\\' && i + 1 < s.length) i += 1
+      else if (c == '\'') inQ = !inQ
+      else if (!inQ && c == '(') depth += 1
+      else if (!inQ && c == ')') depth -= 1
+      else if (!inQ && depth == 0 && c == ',') { out += s.substring(start, i); start = i + 1 }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  /** Parse the WHEN-clause tail of a MERGE into [[MergeWhen]]s — the full
+    * clause family: WHEN MATCHED [AND c] THEN UPDATE SET star | SET a=e,…
+    * | DELETE; WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT star |
+    * (cols) VALUES (exprs); WHEN NOT MATCHED BY SOURCE [AND c] THEN
+    * UPDATE SET … | DELETE.
+    */
+  private def parseWhenClauses(whenText: String,
+      fail: String => Nothing): Seq[MergeWhen] = {
+    // split at top-level WHEN keywords (quote- and paren-aware)
+    val starts = scala.collection.mutable.ArrayBuffer[Int]()
+    var from = 0
+    while (from < whenText.length) {
+      val i = indexOfTopLevel(whenText.substring(from), Seq("WHEN"),
+        trackParens = true)
+      if (i < 0) from = whenText.length
+      else { starts += from + i; from = from + i + 4 }
+    }
+    if (starts.isEmpty) fail("missing WHEN clause")
+    val texts = starts.zipAll(starts.drop(1), -1, whenText.length)
+      .map { case (a, b) => whenText.substring(a + 4, b).trim }
+    def stripQualifier(c: String): String = {
+      val t = c.trim
+      val dot = t.lastIndexOf('.')
+      (if (dot >= 0) t.substring(dot + 1) else t).trim
+    }
+    def parseAssignments(txt: String): Seq[(String, String)] =
+      splitTopLevelCommas(txt).map { a =>
+        val eq = a.indexOf('=')
+        if (eq <= 0 || (eq + 1 < a.length && a.charAt(eq + 1) == '='))
+          fail(s"bad assignment '${a.trim}' (expected col = expr)")
+        (stripQualifier(a.substring(0, eq)), a.substring(eq + 1).trim)
+      }
+    texts.toSeq.map { ct =>
+      val thenIdx = indexOfTopLevel(ct, Seq("THEN"), trackParens = true)
+      if (thenIdx < 0) fail(s"missing THEN in WHEN clause '${ct.take(80)}'")
+      val head = ct.substring(0, thenIdx).trim
+      val action = ct.substring(thenIdx + 4).trim.stripSuffix(";").trim
+      val (group, cond) = {
+        val bs = ClauseBySource.matcher(head)
+        val m = ClauseMatched.matcher(head)
+        val nm = ClauseNotMatched.matcher(head)
+        if (bs.matches()) ("by_source", Option(bs.group(1)))
+        else if (m.matches()) ("matched", Option(m.group(1)))
+        else if (nm.matches()) ("not_matched", Option(nm.group(1)))
+        else fail(s"unsupported WHEN clause head '${head.take(80)}'")
+      }
+      val (kind, assigns) = {
+        val upd = ActionUpdate.matcher(action)
+        val ins = ActionInsert.matcher(action)
+        if (ActionUpdateAll.matcher(action).matches()) ("update_all", Nil)
+        else if (ActionDelete.matcher(action).matches()) ("delete", Nil)
+        else if (ActionInsertAll.matcher(action).matches()) ("insert_all", Nil)
+        else if (upd.matches()) ("update", parseAssignments(upd.group(1)))
+        else if (ins.matches()) {
+          val cols = ins.group(1).split(",").toSeq.map(stripQualifier)
+          val vals = splitTopLevelCommas(ins.group(2)).map(_.trim)
+          if (cols.length != vals.length)
+            fail(s"INSERT column/value count mismatch (${cols.length} vs ${vals.length})")
+          ("insert", cols.zip(vals))
+        }
+        else fail(s"unsupported MERGE action '${action.take(80)}'")
+      }
+      (group, kind) match {
+        case ("matched", "insert_all" | "insert") =>
+          fail("WHEN MATCHED supports UPDATE and DELETE, not INSERT")
+        case ("by_source", "insert_all" | "insert" | "update_all") =>
+          fail("WHEN NOT MATCHED BY SOURCE supports UPDATE SET col=expr " +
+            "and DELETE (source columns are all null there, so UPDATE SET " +
+            "* cannot apply)")
+        case ("not_matched", "update_all" | "update" | "delete") =>
+          fail("WHEN NOT MATCHED supports INSERT only")
+        case _ => ()
+      }
+      MergeWhen(group, kind, cond.map(_.trim), assigns)
+    }
   }
 }

@@ -1,8 +1,8 @@
 package graft.table
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, expr, lit}
 
 /** A managed Parquet table directory emulating the reference's Delta-table
   * capability surface (SURVEY.md §7.4): overwrite/append/partitioned writes,
@@ -4664,6 +4664,174 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val merged = Merge.upsert(rowsInPartitions(target, affected, partitionCols),
         src, keys).localCheckpoint()
       swapPartitions(affected, partitionCols, merged, "MERGE")
+    }
+  }
+
+  /** Fluent builder for the FULL MERGE clause family (Delta's
+    * `DeltaMergeBuilder` shape): conditional and multiple WHEN MATCHED
+    * clauses, matched DELETE, explicit SET/VALUES lists, and WHEN NOT
+    * MATCHED BY SOURCE — everything [[merge]]'s fixed upsert shape
+    * cannot say. Conditions and expressions are SQL strings referencing
+    * the two sides as `t.<col>` / `s.<col>` (or custom aliases via
+    * [[ManagedTable.mergeBuilder]]).
+    *
+    * `execute()` rewrites copy-on-write (partition-pruned when the
+    * clauses provably keep every surviving row inside the affected
+    * partitions); `executeVectored()` is the merge-on-read form — old
+    * copies bitmap-marked, replacements and inserts appended, one
+    * commit, zero target files rewritten.
+    */
+  final class MergeBuilder private[table] (source: DataFrame,
+      keys: Seq[String], partitionCols: Seq[String],
+      targetAlias: String, sourceAlias: String) {
+    import Merge.MergeClause._
+    import Merge.MergeClause
+    private var evolve = false
+    private val matchedCl = scala.collection.mutable.Buffer[MergeClause]()
+    private val notMatchedCl = scala.collection.mutable.Buffer[MergeClause]()
+    private val bySourceCl = scala.collection.mutable.Buffer[MergeClause]()
+    private def cnd(c: String) = Option(c).map(expr)
+    private def exprs(m: Map[String, String]) =
+      m.map { case (k, v) => k -> expr(v) }
+    def whenMatchedUpdateAll(condition: String = null): this.type = {
+      matchedCl += Update(cnd(condition), None); this }
+    def whenMatchedUpdate(set: Map[String, String],
+        condition: String = null): this.type = {
+      matchedCl += Update(cnd(condition), Some(exprs(set))); this }
+    def whenMatchedDelete(condition: String = null): this.type = {
+      matchedCl += Delete(cnd(condition)); this }
+    def whenNotMatchedInsertAll(condition: String = null): this.type = {
+      notMatchedCl += Insert(cnd(condition), None); this }
+    def whenNotMatchedInsert(values: Map[String, String],
+        condition: String = null): this.type = {
+      notMatchedCl += Insert(cnd(condition), Some(exprs(values))); this }
+    def whenNotMatchedBySourceUpdate(set: Map[String, String],
+        condition: String = null): this.type = {
+      bySourceCl += Update(cnd(condition), Some(exprs(set))); this }
+    def whenNotMatchedBySourceDelete(condition: String = null): this.type = {
+      bySourceCl += Delete(cnd(condition)); this }
+    /** Delta's WITH SCHEMA EVOLUTION: source columns the table lacks are
+      * added (rewriting path only — the MOR form appends replacement
+      * copies beside old files and cannot widen them).
+      */
+    def withSchemaEvolution(): this.type = { evolve = true; this }
+    def execute(): Unit = executeMergeClauses(source, keys, partitionCols,
+      matchedCl.toSeq, notMatchedCl.toSeq, bySourceCl.toSeq, evolve,
+      targetAlias, sourceAlias, vectored = false)
+    def executeVectored(): Unit = executeMergeClauses(source, keys,
+      partitionCols, matchedCl.toSeq, notMatchedCl.toSeq, bySourceCl.toSeq,
+      evolve, targetAlias, sourceAlias, vectored = true)
+  }
+
+  /** Entry point for the clause-family MERGE: collect WHEN clauses on the
+    * returned builder, then `execute()` (copy-on-write) or
+    * `executeVectored()` (merge-on-read). Precondition as for [[merge]]:
+    * at most one source row per key.
+    */
+  def mergeBuilder(source: DataFrame, keys: Seq[String],
+      partitionCols: Seq[String] = Nil,
+      targetAlias: String = "t", sourceAlias: String = "s"): MergeBuilder =
+    new MergeBuilder(source, keys, partitionCols, targetAlias, sourceAlias)
+
+  private[table] def executeMergeClauses(source: DataFrame, keys: Seq[String],
+      partitionCols: Seq[String],
+      matched: Seq[Merge.MergeClause], notMatched: Seq[Merge.MergeClause],
+      bySource: Seq[Merge.MergeClause], allowEvolution: Boolean,
+      targetAlias: String, sourceAlias: String, vectored: Boolean): Unit = {
+    import Merge.MergeClause._
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    require(exists,
+      s"MERGE target $path does not exist — write it first (overwrite)")
+    if (vectored) {
+      require(!allowEvolution,
+        "WITH SCHEMA EVOLUTION needs the rewriting MERGE (execute()): the " +
+          "merge-on-read form appends replacement copies beside old files " +
+          "and cannot widen them")
+      mergeClausesVectored(source, keys, partitionCols, matched, notMatched,
+        bySource, targetAlias, sourceAlias)
+    } else withCommitLock {
+      val evolving = allowEvolution && source.schema.fieldNames.exists(n =>
+        !read.schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+      val (tgt, src0) =
+        if (allowEvolution) (widenTo(read, source.schema),
+          widenTo(source, read.schema))
+        else (read, source)
+      val src = assignIdentities(src0)
+      // partition pruning is sound only when every clause provably keeps
+      // surviving rows inside source ∪ matched partitions: by-source
+      // clauses reach rows anywhere; explicit SET/VALUES lists may move a
+      // row into an arbitrary partition when they assign a partition
+      // column (INSERT value lists null-fill unassigned partition
+      // columns, so only a full `INSERT *` is provably in-bounds)
+      def touchesPartitionCol(set: Option[Map[String, Column]]) = set.exists(
+        _.keys.exists(k => partitionCols.exists(_.equalsIgnoreCase(k))))
+      val prunable = partitionCols.nonEmpty && !evolving &&
+        bySource.isEmpty &&
+        matched.forall {
+          case Update(_, set) => !touchesPartitionCol(set)
+          case _ => true
+        } && notMatched.forall {
+          case Insert(_, values) => values.isEmpty
+          case _ => true
+        }
+      if (!prunable)
+        replaceWith(Merge.applyClauses(tgt, src, keys, matched, notMatched,
+          bySource, targetAlias, sourceAlias), partitionCols, "MERGE")
+      else {
+        ensureBootstrapped()
+        val srcParts = src.select(partitionCols.map(col): _*).distinct()
+        val matchedParts = tgt
+          .join(src.select(keys.map(col): _*).distinct(), keys, "left_semi")
+          .select(partitionCols.map(col): _*).distinct()
+        val affected = srcParts.union(matchedParts).distinct().localCheckpoint()
+        val merged = Merge.applyClauses(
+          rowsInPartitions(tgt, affected, partitionCols), src, keys,
+          matched, notMatched, bySource, targetAlias, sourceAlias)
+          .localCheckpoint()
+        swapPartitions(affected, partitionCols, merged, "MERGE")
+      }
+    }
+  }
+
+  /** Merge-on-read clause-family MERGE: one pass annotates every touched
+    * row with its clause verdict; old copies of updated/deleted rows are
+    * bitmap-marked and the updated/inserted rows appended — one commit,
+    * write cost proportional to the rows the clauses actually claim.
+    * Without by-source clauses the target side prunes to matching keys
+    * first (AQE broadcasts the key set for the usual small CDC batch).
+    */
+  private def mergeClausesVectored(source: DataFrame, keys: Seq[String],
+      partitionCols: Seq[String],
+      matched: Seq[Merge.MergeClause], notMatched: Seq[Merge.MergeClause],
+      bySource: Seq[Merge.MergeClause],
+      targetAlias: String, sourceAlias: String): Unit = withCommitLock {
+    requireMaterialized("MERGE (vectored)")
+    ensureBootstrapped()
+    val prev = dvMapForVersion(version)
+    val src = assignIdentities(source)
+    val tMeta = dvScanWithMeta(prev)
+    val tgtPlan =
+      if (bySource.isEmpty)
+        tMeta.join(src.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      else tMeta
+    val ann = Merge.applyClausesAnnotated(tgtPlan, src, keys, matched,
+        notMatched, bySource, targetAlias, sourceAlias,
+        extraCols = Seq("__dv_file", "__dv_idx"))
+      .filter(col("__merge_action").isin("update", "delete", "insert"))
+      .localCheckpoint()
+    val packed = packDvMarks(
+      ann.filter(col("__merge_action").isin("update", "delete")))
+    val appends = ann.filter(col("__merge_action").isin("update", "insert"))
+      .drop("__dv_file", "__dv_idx", "__merge_action")
+    val hasAppends = !appends.isEmpty
+    if (packed.nonEmpty || hasAppends) {
+      if (hasAppends) {
+        enforceConstraints(appends)
+        appendViaTmp(appends, partitionCols)
+      }
+      commit("MERGE", partitionCols,
+        dvNew = if (packed.isEmpty) None else Some(mergeDvInto(prev, packed)))
     }
   }
 

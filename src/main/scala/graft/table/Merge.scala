@@ -87,6 +87,139 @@ object Merge {
       .drop("__ha", "__hb")
   }
 
+  /** One WHEN clause of a general MERGE (Delta's full clause family —
+    * the engine under the reference notebook supports all of these even
+    * though the notebook itself uses only UpdateAll+InsertAll).
+    * Conditions and assignment expressions reference the two sides
+    * through the aliases given to [[applyClauses]] (default `t`/`s`).
+    */
+  sealed trait MergeClause { def condition: Option[Column] }
+  object MergeClause {
+    /** UPDATE action — `set = None` means `UPDATE SET *` (every target
+      * column takes the same-named source column; columns the source
+      * lacks keep their target value). Legal in WHEN MATCHED and WHEN
+      * NOT MATCHED BY SOURCE (where source-side references are null —
+      * write by-source assignments over target columns only).
+      */
+    case class Update(condition: Option[Column],
+                      set: Option[Map[String, Column]]) extends MergeClause
+    /** DELETE action — legal in WHEN MATCHED and WHEN NOT MATCHED BY
+      * SOURCE.
+      */
+    case class Delete(condition: Option[Column]) extends MergeClause
+    /** INSERT action — `values = None` means `INSERT *`; with an explicit
+      * list, unassigned target columns insert null. WHEN NOT MATCHED
+      * [BY TARGET] only.
+      */
+    case class Insert(condition: Option[Column],
+                      values: Option[Map[String, Column]]) extends MergeClause
+  }
+
+  /** The general-MERGE plan with a per-row verdict attached: one join,
+    * then a first-true-wins `when` cascade per output column — standard
+    * SQL MERGE semantics (within each clause group, the first clause
+    * whose condition holds acts; rows no clause claims pass through
+    * target-side, and unclaimed source-only rows drop).
+    *
+    * Output: the target's data columns carrying post-clause values,
+    * `extraCols` passed through target-side (MOR callers thread
+    * `__dv_file`/`__dv_idx` for bitmap marking), and `__merge_action` ∈
+    * update / delete / insert / keep / drop.
+    *
+    * Scale shape: ONE join — full-outer only when an insert clause needs
+    * source-only rows, left-outer otherwise (broadcastable small source);
+    * everything after is a codegen'd projection. Precondition as for
+    * [[upsert]]: at most one source row per key.
+    */
+  def applyClausesAnnotated(target: DataFrame, source: DataFrame,
+      keys: Seq[String],
+      matched: Seq[MergeClause], notMatched: Seq[MergeClause],
+      bySource: Seq[MergeClause],
+      targetAlias: String = "t", sourceAlias: String = "s",
+      extraCols: Seq[String] = Nil): DataFrame = {
+    import MergeClause._
+    require(targetAlias != sourceAlias,
+      s"MERGE aliases must differ, got '$targetAlias' for both sides")
+    require(matched.forall(!_.isInstanceOf[Insert]),
+      "WHEN MATCHED supports UPDATE and DELETE, not INSERT")
+    require(bySource.forall(!_.isInstanceOf[Insert]),
+      "WHEN NOT MATCHED BY SOURCE supports UPDATE and DELETE, not INSERT")
+    require(notMatched.forall(_.isInstanceOf[Insert]),
+      "WHEN NOT MATCHED supports INSERT only")
+    val t = target.withColumn("__t_present", lit(true)).alias(targetAlias)
+    val s = source.withColumn("__s_present", lit(true)).alias(sourceAlias)
+    def tc(c: String) = col(s"$targetAlias.$c")
+    def sc(c: String) = col(s"$sourceAlias.$c")
+    val keyCond = keys.map(k => tc(k) === sc(k)).reduce(_ && _)
+    // source-only rows exist in the output only when an insert clause can
+    // claim them — without one, a left join keeps the source broadcastable
+    val joinType = if (notMatched.nonEmpty) "full_outer" else "left_outer"
+    val joined = t.join(s, keyCond, joinType)
+    val isM = col("__t_present").isNotNull && col("__s_present").isNotNull
+    val tOnly = col("__t_present").isNotNull && col("__s_present").isNull
+    val sOnly = col("__t_present").isNull && col("__s_present").isNotNull
+    val dataCols = target.columns.filterNot(extraCols.contains).toSeq
+    val tgtType = target.schema.map(f => f.name -> f.dataType).toMap
+    val srcCols = source.columns.toSeq
+    def srcCol(c: String): Option[String] =
+      srcCols.find(_.equalsIgnoreCase(c))
+    def assigned(m: Map[String, Column], c: String): Option[Column] =
+      m.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => v }
+    def updateValue(set: Option[Map[String, Column]])(c: String): Column =
+      set match {
+        case None => srcCol(c).map(n => sc(n).cast(tgtType(c))).getOrElse(tc(c))
+        case Some(m) =>
+          assigned(m, c).map(_.cast(tgtType(c))).getOrElse(tc(c))
+      }
+    def insertValue(values: Option[Map[String, Column]])(c: String): Column =
+      values match {
+        case None => srcCol(c).map(n => sc(n).cast(tgtType(c)))
+          .getOrElse(lit(null).cast(tgtType(c)))
+        case Some(m) => assigned(m, c).map(_.cast(tgtType(c)))
+          .getOrElse(lit(null).cast(tgtType(c)))
+      }
+    def guard(base: Column, cond: Option[Column]) =
+      cond.map(base && _).getOrElse(base)
+    case class Branch(g: Column, value: String => Column, action: String)
+    val branches =
+      matched.map {
+        case Update(cond, set) => Branch(guard(isM, cond), updateValue(set), "update")
+        case Delete(cond) => Branch(guard(isM, cond), tc, "delete")
+        case c => throw new IllegalArgumentException(s"bad matched clause $c")
+      } ++ bySource.map {
+        case Update(cond, set) => Branch(guard(tOnly, cond), updateValue(set), "update")
+        case Delete(cond) => Branch(guard(tOnly, cond), tc, "delete")
+        case c => throw new IllegalArgumentException(s"bad by-source clause $c")
+      } ++ notMatched.map {
+        case Insert(cond, values) => Branch(guard(sOnly, cond), insertValue(values), "insert")
+        case c => throw new IllegalArgumentException(s"bad not-matched clause $c")
+      }
+    def cascade(f: Branch => Column, default: Column): Column =
+      branches match {
+        case Nil => default
+        case b +: rest =>
+          rest.foldLeft(when(b.g, f(b)))((w, x) => w.when(x.g, f(x)))
+            .otherwise(default)
+      }
+    val action = cascade(b => lit(b.action),
+      when(sOnly, lit("drop")).otherwise(lit("keep")))
+    joined.select(
+      dataCols.map(c => cascade(_.value(c), tc(c)).as(c)) ++
+        extraCols.map(c => tc(c).as(c)) :+ action.as("__merge_action"): _*)
+  }
+
+  /** General MERGE as a copy-on-write plan: the post-merge table content
+    * ([[applyClausesAnnotated]] minus deleted / unclaimed-source rows).
+    */
+  def applyClauses(target: DataFrame, source: DataFrame, keys: Seq[String],
+      matched: Seq[MergeClause], notMatched: Seq[MergeClause],
+      bySource: Seq[MergeClause],
+      targetAlias: String = "t", sourceAlias: String = "s"): DataFrame =
+    applyClausesAnnotated(target, source, keys, matched, notMatched,
+      bySource, targetAlias, sourceAlias)
+      .filter(col("__merge_action").isin("update", "insert", "keep"))
+      .drop("__merge_action")
+
   /** High-water-mark detection (M4, deltalake.ipynb:1497–1502 cell 15):
     * rows of `df` strictly above the max of `watermarkCol` in `existing`.
     * Expressed as a plan (cross join with the 1-row max, auto-broadcast)

@@ -80,26 +80,66 @@ class GraftSqlSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](parse(
       "MERGE INTO '/w/t' t USING s ON t.a = s.b WHEN NOT MATCHED THEN INSERT *"))
     assert(e2.getMessage.contains("same column"))
-    // update-only merge is unsupported
+    // an INSERT action under WHEN MATCHED is still refused loudly
     val e3 = intercept[IllegalArgumentException](parse(
-      "MERGE INTO '/w/t' t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *"))
-    assert(e3.getMessage.contains("not supported"))
+      "MERGE INTO '/w/t' t USING s ON t.k = s.k WHEN MATCHED THEN INSERT *"))
+    assert(e3.getMessage.contains("UPDATE and DELETE"))
+    // and a DELETE under WHEN NOT MATCHED
+    val e4 = intercept[IllegalArgumentException](parse(
+      "MERGE INTO '/w/t' t USING s ON t.k = s.k WHEN NOT MATCHED THEN DELETE"))
+    assert(e4.getMessage.contains("INSERT only"))
   }
 
-  test("MERGE with an unsupported WHEN clause fails loudly, never downgrades") {
-    val e = intercept[IllegalArgumentException] {
-      GraftSqlCommands.parse(
-        "MERGE INTO graft.`/t` t USING s ON t.k = s.k " +
-          "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *")
-    }
-    assert(e.getMessage.contains("unsupported WHEN"), e.getMessage)
-    val e2 = intercept[IllegalArgumentException] {
-      GraftSqlCommands.parse(
-        "MERGE INTO graft.`/t` t USING s ON t.k = s.k " +
-          "WHEN MATCHED AND t.v < s.v THEN UPDATE SET * " +
-          "WHEN NOT MATCHED THEN INSERT *")
-    }
-    assert(e2.getMessage.contains("unsupported WHEN"), e2.getMessage)
+  test("MERGE parses the full clause family into MergeWhen clauses") {
+    import GraftSqlCommands._
+    val cdc = parse(
+      "MERGE INTO graft.`/t` t USING s ON t.k = s.k " +
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *")
+    assert(cdc.exists { case m: MergeIntoGraftCommand =>
+      m.clauses == Seq(
+        MergeWhen("matched", "delete", Some("s.op = 'D'")),
+        MergeWhen("matched", "update_all", None),
+        MergeWhen("not_matched", "insert_all", Some("s.op <> 'D'")))
+    }, cdc)
+    // conditional UPDATE SET with expressions, explicit INSERT list, and
+    // NOT MATCHED BY SOURCE — commas inside calls stay inside assignments
+    val full = parse(
+      "MERGE INTO '/w/t' tgt USING src ON tgt.k = src.k " +
+        "WHEN MATCHED AND tgt.v < src.v THEN " +
+        "UPDATE SET v = greatest(tgt.v, src.v), note = 'bumped' " +
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v * 2) " +
+        "WHEN NOT MATCHED BY SOURCE AND tgt.v > 100 THEN DELETE")
+    assert(full.exists { case m: MergeIntoGraftCommand =>
+      m.targetAlias == "tgt" && m.sourceAlias == "src" &&
+        m.clauses == Seq(
+          MergeWhen("matched", "update",
+            Some("tgt.v < src.v"),
+            Seq("v" -> "greatest(tgt.v, src.v)", "note" -> "'bumped'")),
+          MergeWhen("not_matched", "insert", None,
+            Seq("k" -> "src.k", "v" -> "src.v * 2")),
+          MergeWhen("by_source", "delete", Some("tgt.v > 100")))
+    }, full)
+    // update-only merge is legal now and routes through the clause path
+    val upd = parse(
+      "MERGE INTO '/w/t' t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *")
+    assert(upd.exists { case m: MergeIntoGraftCommand =>
+      m.clauses == Seq(MergeWhen("matched", "update_all", None)) })
+  }
+
+  test("SQL MERGE clause family end-to-end: CDC apply in one statement") {
+    val (t, p) = freshTable("sql-mcdc")
+    t.overwrite(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"))
+    Seq((2L, 21.0, "U"), (3L, 0.0, "D"), (4L, 40.0, "I"))
+      .toDF("k", "v", "op").createOrReplaceTempView("cdc_batch")
+    GraftSql.sql(spark,
+      s"MERGE INTO '$p' t USING cdc_batch s ON t.k = s.k " +
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *")
+    assert(t.read.select("k", "v").as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (2L, 21.0), (4L, 40.0)))
   }
 
   test("UPDATE with 'where' inside a string literal updates everything") {
