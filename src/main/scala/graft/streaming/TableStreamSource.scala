@@ -95,6 +95,27 @@ private[streaming] object StreamCommon {
   }
 }
 
+/** Offset of an initial snapshot still being delivered: the snapshot is
+  * pinned at table `version` and the first `filesDelivered` files (of the
+  * version's manifest in sorted order) have been emitted. Once the whole
+  * snapshot is out, offsets become plain version longs and the stream is
+  * incremental — exactly Delta's (reservoirVersion, index) shape.
+  */
+private[streaming] case class SnapshotOffset(version: Long, filesDelivered: Long)
+    extends Offset {
+  override val json: String =
+    s"""{"snapshotVersion":$version,"filesDelivered":$filesDelivered}"""
+}
+
+private[streaming] object SnapshotOffset {
+  private val Rx =
+    """\{"snapshotVersion":(\d+),"filesDelivered":(\d+)\}""".r
+  def parse(json: String): Option[SnapshotOffset] = json.trim match {
+    case Rx(v, f) => Some(SnapshotOffset(v.toLong, f.toLong))
+    case _ => None
+  }
+}
+
 /** Streaming source over a [[ManagedTable]]'s APPENDS — Delta's plain
   * `spark.readStream.format("delta")` role (the CDF-less default): each
   * micro-batch emits the rows the commits in the batch window ADDED,
@@ -143,16 +164,17 @@ private[streaming] object StreamCommon {
   * ([[StreamCommon.resolveStart]]).
   *
   * `option("initialSnapshot", "true")` — Delta's actual `readStream`
-  * default shape: the FIRST batch is the whole current snapshot (served
-  * by time travel at the offered version, so a pre-offset-commit restart
-  * re-delivers identically), every later batch incremental. This is also
-  * the only way to stream a table whose early log was expired by
-  * retention: those commits cannot replay, the snapshot can. The
-  * snapshot batch itself is ONE batch — admission control paces the
-  * version it pins, not its file count (unlike Delta, which splits the
-  * initial snapshot by maxFilesPerTrigger) — so size executors for one
-  * table-wide scan, or backfill via `startingVersion` when the log
-  * still allows it.
+  * default shape: the FIRST batches deliver the whole current snapshot
+  * (served at a pinned version, so a mid-snapshot restart re-delivers the
+  * remaining slices identically), every later batch incremental. This is
+  * also the only way to stream a table whose early log was expired by
+  * retention: those commits cannot replay, the snapshot can. With
+  * `maxFilesPerTrigger = k` the snapshot is PACED — delivered as
+  * ⌈files/k⌉ batches through [[SnapshotOffset]] progress offsets below
+  * the pinned version (Delta's (reservoirVersion, index) shape), each
+  * batch one sorted-manifest slice read by `readFileSubset` with the
+  * pinned version's deletion vectors applied; without the option the
+  * snapshot is one table-sized batch.
   *
   * At 100 TB: a batch costs one manifest diff per admitted commit plus a
   * scan of ONLY the added files — never the snapshot; the history
@@ -178,12 +200,46 @@ class TableStreamSource(sqlContext: SQLContext, path: String,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
+  /** The pinned snapshot's manifest, sorted (deterministic slice order
+    * across triggers AND restarts). Memoized per version — the pin never
+    * moves mid-snapshot, so at most one entry is live.
+    */
+  private val snapFilesMemo = scala.collection.mutable.Map.empty[Long, Seq[String]]
+  private def snapshotFiles(v: Long): Seq[String] =
+    snapFilesMemo.getOrElseUpdate(v, table.manifestFiles(v).sorted)
+
+  /** Offset decode: `Right(version)` for a fully-delivered-through-version
+    * offset, `Left(progress)` for a snapshot still being delivered.
+    */
+  private def parseOffset(o: OffsetV2): Either[SnapshotOffset, Long] = o match {
+    case s: SnapshotOffset => Left(s)
+    case s: SerializedOffset =>
+      SnapshotOffset.parse(s.json).toLeft(StreamCommon.toVersion(s))
+    case other => Right(StreamCommon.toVersion(other))
+  }
+
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val cur0 = table.version
     if (cur0 < 0) return null
     val cur = availableNowTarget.fold(cur0)(math.min(cur0, _))
-    val base = Option(start).map(StreamCommon.toVersion).getOrElse(startingVersion)
-    LongOffset(StreamCommon.pacedEnd(table, base, cur, maxVersions, maxFiles))
+    val parsed = Option(start).map(parseOffset)
+    // snapshot phase: advance by maxFilesPerTrigger slices until the
+    // pinned version's manifest is fully delivered, then switch to plain
+    // version offsets (incremental phase)
+    def snapAdvance(pin: Long, delivered: Long): OffsetV2 = {
+      val total = snapshotFiles(pin).size.toLong
+      val next = delivered + maxFiles.getOrElse(math.max(1L, total))
+      if (next < total) SnapshotOffset(pin, next) else LongOffset(pin)
+    }
+    parsed match {
+      case None if initialSnapshot => snapAdvance(cur, 0L)
+      case Some(Left(snap)) => snapAdvance(snap.version, snap.filesDelivered)
+      case Some(Right(base)) =>
+        LongOffset(StreamCommon.pacedEnd(table, base, cur, maxVersions, maxFiles))
+      case None =>
+        LongOffset(StreamCommon.pacedEnd(table, startingVersion, cur,
+          maxVersions, maxFiles))
+    }
   }
 
   override def reportLatestOffset(): OffsetV2 = {
@@ -205,20 +261,34 @@ class TableStreamSource(sqlContext: SQLContext, path: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val t = table
-    val fromV = start.map(o => StreamCommon.toVersion(o: OffsetV2))
-      .getOrElse(startingVersion)
-    val toV = StreamCommon.toVersion(end: OffsetV2)
-    // initial-snapshot mode (Delta's actual readStream default): the very
-    // FIRST batch is the whole snapshot at the offered version — served
-    // by time travel, so a restart before the offset commit re-delivers
-    // the identical batch — and every later batch is incremental. This is
-    // the only way to stream a table whose early log was already expired
-    // by retention (replaying those commits is impossible; the snapshot
-    // is not).
-    if (initialSnapshot && start.isEmpty)
+    val startParsed = start.map(o => parseOffset(o: OffsetV2))
+    val endParsed = parseOffset(end: OffsetV2)
+    // initial-snapshot mode (Delta's actual readStream default): the first
+    // batches deliver the pinned snapshot — sorted-manifest slices via
+    // readFileSubset (the pinned version's DVs applied), so a mid-snapshot
+    // restart re-delivers the remaining slices identically — and every
+    // later batch is incremental. This is the only way to stream a table
+    // whose early log was already expired by retention (replaying those
+    // commits is impossible; the snapshot is not).
+    val inSnapshot = (initialSnapshot && start.isEmpty) ||
+      startParsed.exists(_.isLeft)
+    if (inSnapshot) {
+      val fromIdx = startParsed.flatMap(_.left.toOption)
+        .map(_.filesDelivered).getOrElse(0L)
+      val pin = endParsed.fold(_.version, identity)
+      val all = snapshotFiles(pin)
+      val toIdx = endParsed.fold(_.filesDelivered, _ => all.size.toLong)
+      val slice = all.slice(fromIdx.toInt, toIdx.toInt)
+      val out =
+        if (slice.isEmpty) t.read.filter(org.apache.spark.sql.functions.lit(false))
+        else t.readFileSubset(pin, slice)
       return org.apache.spark.sql.GraftBridge.asStreaming(
-        t.readVersion(toV).select(
+        out.select(
           schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))
+    }
+    // past the snapshot branch, a Some(start) is always Right(version)
+    val fromV = startParsed.flatMap(_.toOption).getOrElse(startingVersion)
+    val toV = endParsed.fold(_.version, identity)
     val window = t.operationsBetween(fromV, toV)
     val firstLogged = t.earliestVersion
     // no upfront horizon check: whether an expired manifest is actually

@@ -248,6 +248,79 @@ class TableStreamSpec extends SparkSpec {
     assert(seen.contains(2L) && !seen.contains(1L))
   }
 
+  test("paced initial snapshot: maxFilesPerTrigger splits the snapshot " +
+      "into ceil(N/k) batches, then appends flow incrementally") {
+    val dir = tmpDir("ts-snappace")
+    val t = new ManagedTable(spark, dir + "/t")
+    // 5 single-row files via repartition(5) → N=5 files
+    t.overwrite(Seq.tabulate(5)(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(5, col("k")))
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = t.readStreamAppends(initialSnapshot = true, maxFilesPerTrigger = 2)
+      .writeStream.option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ks = b.select("k").as[Long].collect()
+        if (ks.nonEmpty) batchSizes.add(ks.length.toLong)
+        ks.foreach(seen.add); ()
+      }.start()
+    q.awaitTermination(120000L)
+    assert(seen.size == 5 && (0L to 4L).forall(seen.contains))
+    // 5 files at <=2 per trigger: 3 snapshot batches (2+2+1), never one big
+    assert(batchSizes.size == 3, batchSizes)
+    batchSizes.forEach(n => assert(n <= 2L))
+    // incremental phase still works after the paced snapshot
+    val seen2 = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    t.append(Seq((9L, "i")).toDF("k", "v"))
+    val q2 = t.readStreamAppends(initialSnapshot = true, maxFilesPerTrigger = 2)
+      .writeStream.option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("k").as[Long].collect().foreach(seen2.add); ()
+      }.start()
+    q2.awaitTermination(120000L)
+    assert(seen2.size == 1 && seen2.contains(9L),
+      s"restart must deliver ONLY the append, got $seen2")
+  }
+
+  test("restart mid-snapshot re-delivers the remaining slices without " +
+      "loss or duplication") {
+    val dir = tmpDir("ts-snaprestart")
+    val t = new ManagedTable(spark, dir + "/t")
+    t.overwrite(Seq.tabulate(6)(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(6, col("k")))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    @volatile var stopAfterFirst = true
+    def start() = t.readStreamAppends(initialSnapshot = true,
+        maxFilesPerTrigger = 2)
+      .writeStream.option("checkpointLocation", dir + "/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+        b.select("k").as[Long].collect().foreach(k => seen.add(k))
+        // crash the query after its first delivered batch
+        if (stopAfterFirst) throw new RuntimeException("induced crash")
+        ()
+      }.start()
+    val q1 = start()
+    intercept[StreamingQueryException] { q1.processAllAvailable() }
+    q1.stop()
+    // foreachBatch failed AFTER the batch ran (rows were seen) but before
+    // the commit — the restart must re-deliver that slice, then the rest
+    val afterCrash = seen.size
+    assert(afterCrash >= 2, s"first slice should have been seen, got $seen")
+    stopAfterFirst = false
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val all = { val b = scala.collection.mutable.ArrayBuffer[Long]()
+      seen.forEach(k => b += k); b.toSeq }
+    // the crashed (uncommitted) slice is replayed exactly once: total
+    // deliveries = crashed attempt + one full pass over all 6 rows
+    assert(all.sorted.toSet == (0L to 5L).toSet)
+    assert(all.size == afterCrash + 6,
+      s"expected the uncommitted slice replayed once: $all")
+  }
+
   test("a replayed append is not retro-filtered by a later delete") {
     val t = new ManagedTable(spark, tmpDir("ts-replay") + "/t")
     t.overwrite(Seq((1L, "a")).toDF("k", "v"))
