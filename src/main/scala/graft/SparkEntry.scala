@@ -1416,6 +1416,25 @@ object SparkEntry {
       graft.streaming.EventStreaming.hourlyDistinctUsers(Tables.events(s, d))
         .orderBy("window_start")),
 
+    "q139_column_mapping" -> ((s, d) => {
+      // column mapping (ManagedTable.enableColumnMapping, Delta's
+      // columnMapping.mode=name): RENAME + DROP COLUMN as metadata edits
+      // — zero files rewritten — then vectored DML and an append through
+      // the logical names; the read-back must match DuckDB computing the
+      // same pipeline over the original column names
+      val wh = java.nio.file.Files.createTempDirectory("graft-colmap").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/t")
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      t.overwrite(o.filter(col("o_orderkey") % 4 < 3))
+      t.enableColumnMapping()
+      t.renameColumn("o_totalprice", "price")
+      t.dropColumn("o_custkey")
+      t.deleteVectored(col("price") < lit(50000.0))
+      t.append(o.filter(col("o_orderkey") % 4 === 3)
+        .select(col("o_orderkey"), col("o_totalprice").as("price")))
+      t.read.select("o_orderkey", "price").orderBy("o_orderkey")
+    }),
     "q137_merge_cdc" -> ((s, d) => {
       // CDC-apply: upsert + tombstone-delete in ONE SQL MERGE (the full
       // clause family, GraftSqlCommands.parseWhenClauses → ManagedTable
@@ -2537,6 +2556,13 @@ object SparkEntry {
       """SELECT n_nationkey, n_name,
            CASE WHEN n_nationkey < 10 THEN n_regionkey END AS region
          FROM nation ORDER BY n_nationkey""",
+    // q139: rename/drop are pure metadata — the data answers as if the
+    // pipeline ran over the original names
+    "q139_column_mapping" ->
+      """SELECT o_orderkey, o_totalprice AS price FROM orders
+         WHERE (o_orderkey % 4 < 3 AND o_totalprice >= 50000.0)
+            OR o_orderkey % 4 = 3
+         ORDER BY o_orderkey""",
     // q137: CDC-apply — %10∈0–4 untouched, 5–6 updated ×2, 7 deleted by
     // tombstone, 8 inserted ×2 (its tombstoneless CDC row)
     "q137_merge_cdc" ->

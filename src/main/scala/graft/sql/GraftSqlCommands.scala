@@ -681,12 +681,19 @@ object GraftSqlCommands {
         // enabling row tracking is MORE than a property write: current
         // files need their id bases assigned (Delta's same dispatch for
         // delta.enableRowTracking) — route through the real enable
-        val (rowTracking, plain) =
+        val (rowTracking, rest) =
           pairs.partition { case (k, v) =>
             k.equalsIgnoreCase("graft.rowTracking") &&
               v.equalsIgnoreCase("true") }
+        // column mapping likewise: the enable records the reader feature
+        // gate, not just the property
+        val (colMapping, plain) =
+          rest.partition { case (k, v) =>
+            k.equalsIgnoreCase("graft.columnMapping") &&
+              v.equalsIgnoreCase("name") }
         if (plain.nonEmpty) t.setProperties(plain)
         if (rowTracking.nonEmpty) t.enableRowTracking()
+        if (colMapping.nonEmpty) t.enableColumnMapping()
       }))
     }
     val upr = AlterUnsetProps.matcher(sqlText)

@@ -1501,7 +1501,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // [[reapStage]], or a retrying writer leaks entries per attempt
     val keyAcc = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     try {
-      val w = df.write.mode(SaveMode.Overwrite)
+      val w = toPhysical(df).write.mode(SaveMode.Overwrite)
       withMicrosTs {
         (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp.toString)
       }
@@ -1591,7 +1591,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * must not be re-marked or re-matched).
     */
   private def dvScanWithMeta(prev: Map[String, Array[Long]]): DataFrame = {
-    val scan = spark.read.parquet(path).drop(RowTracking.col)
+    // mapping applied BEFORE the metadata columns: user predicates over
+    // the scan speak logical names (AddMetadataColumns resolves
+    // _metadata through the aliasing projection)
+    val scan = mapToLogical(spark.read.parquet(path).drop(RowTracking.col))
       .withColumn("__dv_file", col("_metadata.file_path"))
       .withColumn("__dv_idx", col("_metadata.row_index"))
     if (prev.isEmpty) scan
@@ -1673,7 +1676,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       f -> (retainedDir(cur) + "/" + rel)
     }.toMap
     remapFiles(moved)
-    val w = replacement.write.mode(SaveMode.Append)
+    val w = toPhysical(replacement).write.mode(SaveMode.Append)
     withMicrosTs {
       (if (pcs.nonEmpty) w.partitionBy(pcs: _*) else w).parquet(path)
     }
@@ -2006,7 +2009,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * writerFeatures), with named features instead of opaque version ints.
     */
   val supportedReaderFeatures: Set[String] =
-    Set("deletion-vectors", "shallow-clone", "row-tracking")
+    Set("deletion-vectors", "shallow-clone", "row-tracking", "column-mapping")
 
   /** Writer features THIS build honors on mutation — a writer lacking one
     * could commit while silently breaking invariants other clients rely
@@ -2150,6 +2153,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       case "shallow-clone" =>
         require(!isShallowClone,
           s"cannot drop shallow-clone on $path: materialize() first")
+      case "column-mapping" =>
+        // the mapping DATA is the gate, not the mode flag: even with the
+        // mode off, live files still carry physical names a feature-less
+        // build would misread (and dropped columns it would resurrect)
+        require(!columnMappingEnabled && columnMappingPairs.isEmpty &&
+            droppedPhysicalCols.isEmpty,
+          s"cannot drop column-mapping on $path: the mapping is still in " +
+            "use — unset graft.columnMapping and rewrite the table " +
+            "(overwrite) so files carry logical names, then retry")
       // the remaining writer features gate metadata a feature-less build
       // would silently violate — droppable only once that metadata is gone
       case "check-constraints" =>
@@ -3108,6 +3120,81 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     t
   }
 
+  // ---- column mapping (Delta's columnMapping.mode = name) ----------------
+
+  /** Whether the logical→physical name indirection is on
+    * (`graft.columnMapping = name`): RENAME and DROP COLUMN become pure
+    * metadata edits at any table size — the physical column name in the
+    * files never changes; reads alias it. Delta's same trade: a 100 TB
+    * rename is a one-line schema edit instead of a full rewrite.
+    */
+  def columnMappingEnabled: Boolean =
+    properties.get("graft.columnMapping").exists(_.equalsIgnoreCase("name"))
+
+  /** Turn the mapping on. A READER feature: a build without it would
+    * surface physical names as user data and resurrect dropped columns.
+    */
+  def enableColumnMapping(): Unit = withCommitLock {
+    ensureBootstrapped()
+    setProperties(Map("graft.columnMapping" -> "name"))
+    ensureFeature("column-mapping", reader = true)
+  }
+
+  /** (logical, physical) pairs for columns whose names diverge — absent
+    * columns map identically. Percent-encoded like every property value.
+    */
+  private def columnMappingPairs: Seq[(String, String)] =
+    properties.get("graft.schema.mapping").map(_.split(",").toSeq
+      .filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf(':')
+        (dec(kv.substring(0, i)), dec(kv.substring(i + 1)))
+      }).getOrElse(Nil)
+
+  private def setMappingProperty(pairs: Seq[(String, String)]): Unit =
+    if (pairs.isEmpty) unsetProperties(Seq("graft.schema.mapping"))
+    else setProperties(Map("graft.schema.mapping" ->
+      pairs.map { case (l, p) => enc(l) + ":" + enc(p) }.mkString(",")))
+
+  /** Physical names of mapped-away DROP COLUMN victims: their data stays
+    * in the files (dead, reclaimed by the next full rewrite) but every
+    * scan excludes them.
+    */
+  private def droppedPhysicalCols: Seq[String] =
+    properties.get("graft.schema.dropped").map(_.split(",").toSeq
+      .filter(_.nonEmpty).map(dec)).getOrElse(Nil)
+
+  /** Physical→logical projection at the top of every scan: dropped
+    * physical columns vanish, renamed ones surface under their logical
+    * name. A plain select+alias, so Catalyst pushes pruning and filters
+    * straight through it; file-stat skipping keyed by PHYSICAL names
+    * degrades to conservative keeps for renamed columns (correct, just
+    * unpruned — a rewrite re-keys the stats).
+    */
+  private def mapToLogical(df: DataFrame): DataFrame = {
+    val pairs = columnMappingPairs
+    val dropped = droppedPhysicalCols.map(_.toLowerCase).toSet
+    if (pairs.isEmpty && dropped.isEmpty) return df
+    val p2l = pairs.map { case (l, p) => p.toLowerCase -> l }.toMap
+    df.select(df.columns.toSeq.collect {
+      case c if !dropped(c.toLowerCase) =>
+        p2l.get(c.toLowerCase).map(l => col(c).as(l)).getOrElse(col(c))
+    }: _*)
+  }
+
+  /** Logical→physical rename right before a physical write: every data
+    * file stays uniformly on PHYSICAL names whatever operation wrote it,
+    * so the scan schema keeps one name per column across file
+    * generations.
+    */
+  private def toPhysical(df: DataFrame): DataFrame = {
+    val pairs = columnMappingPairs
+    if (pairs.isEmpty) df
+    else pairs.foldLeft(df) { case (d, (l, p)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(l))) d.withColumnRenamed(l, p)
+      else d
+    }
+  }
+
   /** True iff any declared CHECK constraint or generated-column
     * expression references `colName` (word-boundary, case-insensitive —
     * conservative: a quoted-string mention also counts).
@@ -3154,6 +3241,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // resurrect the old name with fresh values
     require(!identityColumns.keys.exists(_.equalsIgnoreCase(oldName)),
       s"cannot rename identity column $oldName (dropIdentityColumn first)")
+    if (columnMappingEnabled) {
+      // mapping on: a pure metadata edit at any size — the physical name
+      // in the files never changes; reads alias it from here on
+      require(!bloomIndexes.keys.exists(_.equalsIgnoreCase(oldName)),
+        s"cannot rename bloom-indexed column $oldName under column " +
+          "mapping (dropBloomIndex first — the index is keyed by name)")
+      val pairs = columnMappingPairs
+      val physical = pairs.collectFirst {
+        case (l, p) if l.equalsIgnoreCase(oldName) => p }.getOrElse(oldName)
+      setMappingProperty(pairs.filterNot(_._1.equalsIgnoreCase(oldName)) ++
+        (if (physical.equalsIgnoreCase(newName)) Nil
+         else Seq(newName -> physical)))
+      return
+    }
     if (declaredExtraColumns.exists(_.name.equalsIgnoreCase(oldName))
         && !materializedAnywhere(oldName)) {
       // a declared-only column lives purely in metadata: rename IS a
@@ -3199,7 +3300,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       require(!existing.exists(_.equalsIgnoreCase(f.name)),
         s"column ${f.name} already exists")
     }
-    setExtrasProperty(declaredExtraColumns ++ adds)
+    // under column mapping, a re-added name must NOT bind to a dropped
+    // (or renamed-away) physical column still present in old files — that
+    // would resurrect its dead data as the new column's values. Declare
+    // such adds under a fresh physical name and map the logical one.
+    val clashes = (droppedPhysicalCols ++ columnMappingPairs.map(_._2))
+      .map(_.toLowerCase).toSet
+    val (plain, mapped) = adds.partition(f =>
+      !columnMappingEnabled || !clashes(f.name.toLowerCase))
+    val fresh = mapped.map { f =>
+      val p = f.name + "_" + java.util.UUID.randomUUID().toString.take(8)
+      (f.copy(name = p), f.name -> p)
+    }
+    setExtrasProperty(declaredExtraColumns ++ plain ++ fresh.map(_._1))
+    if (fresh.nonEmpty) setMappingProperty(columnMappingPairs ++ fresh.map(_._2))
   }
 
   private def setExtrasProperty(
@@ -3248,14 +3362,19 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     require(ok, s"cannot change $colName from ${cur.dataType.simpleString} " +
       s"to ${to.simpleString}: only lossless widenings are metadata-only " +
       "(rewrite through overwrite() for anything else)")
+    // extras and type overrides live BELOW the column-mapping layer: both
+    // are keyed by PHYSICAL name (the scan applies them before aliasing),
+    // so a logical name passed here translates through the mapping first
+    val physName = columnMappingPairs.collectFirst {
+      case (l, p) if l.equalsIgnoreCase(colName) => p }.getOrElse(cur.name)
     // a declared-only extra just updates its declaration; a real column
     // records a type override the scan applies per file
-    if (declaredExtraColumns.exists(_.name.equalsIgnoreCase(colName)))
+    if (declaredExtraColumns.exists(_.name.equalsIgnoreCase(physName)))
       setExtrasProperty(declaredExtraColumns.map(f =>
-        if (f.name.equalsIgnoreCase(colName)) f.copy(dataType = to) else f))
+        if (f.name.equalsIgnoreCase(physName)) f.copy(dataType = to) else f))
     else {
       val next = declaredTypeOverrideFields
-        .filterNot(_.name.equalsIgnoreCase(colName)) :+ StructField(cur.name, to)
+        .filterNot(_.name.equalsIgnoreCase(physName)) :+ StructField(physName, to)
       setProperties(Map("graft.schema.types" -> StructType(next).toDDL))
     }
   }
@@ -3300,6 +3419,30 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       s"cannot drop $colName: referenced by $what (drop it first)"))
     require(!identityColumns.keys.exists(_.equalsIgnoreCase(colName)),
       s"cannot drop identity column $colName (dropIdentityColumn first)")
+    if (columnMappingEnabled) {
+      require(!bloomIndexes.keys.exists(_.equalsIgnoreCase(colName)),
+        s"cannot drop bloom-indexed column $colName under column mapping " +
+          "(dropBloomIndex first)")
+      val pairs = columnMappingPairs
+      val physical = pairs.collectFirst {
+        case (l, p) if l.equalsIgnoreCase(colName) => p }.getOrElse(colName)
+      setMappingProperty(pairs.filterNot(_._1.equalsIgnoreCase(colName)))
+      val declaredOnly =
+        declaredExtraColumns.exists(_.name.equalsIgnoreCase(physical)) &&
+          !materializedAnywhere(physical)
+      // the column's data stays in the files (dead until the next full
+      // rewrite); every scan excludes the physical name from here on —
+      // unless it never materialized, where un-declaring suffices
+      if (!declaredOnly) setProperties(Map("graft.schema.dropped" ->
+        (droppedPhysicalCols :+ physical).map(enc).mkString(",")))
+      if (declaredExtraColumns.exists(_.name.equalsIgnoreCase(physical)))
+        setExtrasProperty(
+          declaredExtraColumns.filterNot(_.name.equalsIgnoreCase(physical)))
+      if (declaredTypeOverrideFields.exists(_.name.equalsIgnoreCase(physical)))
+        setTypeOverrides(
+          declaredTypeOverrideFields.filterNot(_.name.equalsIgnoreCase(physical)))
+      return
+    }
     if (declaredExtraColumns.exists(_.name.equalsIgnoreCase(colName))
         && !materializedAnywhere(colName)) {
       // declared-only column: the drop is a metadata edit (and a crash
@@ -3390,7 +3533,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val inferred0 = rd.parquet(paths: _*)
     val inferred =
       if (keepRowId) inferred0 else inferred0.drop(RowTracking.col)
-    if (extras.isEmpty && widen.isEmpty) return inferred
+    if (extras.isEmpty && widen.isEmpty) return mapToLogical(inferred)
     // normalized field order — [data cols, declared extras, partition
     // cols] — so the schema is IDENTICAL before and after an extra
     // materializes: naive appending would put a not-yet-written extra
@@ -3418,8 +3561,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     }
     val withTypes = ordered.map(f =>
       widen.get(f.name.toLowerCase).map(t => f.copy(dataType = t)).getOrElse(f))
-    rd.schema(org.apache.spark.sql.types.StructType(withTypes))
-      .parquet(paths: _*)
+    mapToLogical(rd.schema(org.apache.spark.sql.types.StructType(withTypes))
+      .parquet(paths: _*))
   }
 
   /** Partition-column set for [[parquetScan]]'s order normalization,
@@ -3467,8 +3610,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         "the clone source, or materialize() first")
     // DV filter applies with the map snapshotted at stream start; deletes
     // vectored AFTER that need a restart to take effect downstream (same
-    // contract as the rewriting-mutation caveat above)
-    applyDv(spark.readStream.schema(read.schema).parquet(path), currentDv)
+    // contract as the rewriting-mutation caveat above). The explicit
+    // schema must be the PHYSICAL one (files carry physical names under
+    // column mapping); the logical aliasing applies on top.
+    applyDv(mapToLogical(
+      spark.readStream.schema(toPhysical(read).schema).parquet(path)),
+      currentDv)
   }
 
   /** Schema-evolved read (the reference's `mergeSchema`, deltalake.ipynb:
@@ -3532,7 +3679,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def overwrite(df: DataFrame, partitionCols: Seq[String] = Nil): Unit = {
     if (exists) replaceWith(df, partitionCols, "OVERWRITE")
     else withCommitLock {
-      val w = maybeOptimizeWrite(assignIdentities(df), partitionCols)
+      val w = toPhysical(maybeOptimizeWrite(assignIdentities(df), partitionCols))
         .write.mode(SaveMode.Overwrite)
       withMicrosTs {
         (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
@@ -3644,7 +3791,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val conformed =
         if (constraints.nonEmpty) conformed0.localCheckpoint() else conformed0
       enforceConstraints(conformed)
-      val w = maybeOptimizeWrite(conformed, partitionCols).write.mode(SaveMode.Append)
+      val w = toPhysical(maybeOptimizeWrite(conformed, partitionCols))
+        .write.mode(SaveMode.Append)
       withMicrosTs {
         (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
       }
@@ -4588,7 +4736,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val df = if (constraints.nonEmpty) df0.localCheckpoint() else df0
     enforceConstraints(df)
     val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-    val w = (if (layoutBearing(operation)) df else maybeOptimizeWrite(df, partitionCols))
+    val w = toPhysical(if (layoutBearing(operation)) df
+        else maybeOptimizeWrite(df, partitionCols))
       .write.mode(SaveMode.Overwrite)
     withMicrosTs {
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp.toString)
@@ -4895,7 +5044,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val out = if (layoutBearing(operation)) replacement
       else maybeOptimizeWrite(replacement, partitionCols)
     withMicrosTs {
-      out.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
+      toPhysical(out).write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
     }
     commit(operation, partitionCols)
     }

@@ -1,0 +1,157 @@
+package graft.table
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Column mapping (Delta's `columnMapping.mode = name`): RENAME and DROP
+  * COLUMN as pure metadata edits — zero files rewritten, old files still
+  * read, writes and DML keep working through the logical→physical
+  * indirection.
+  */
+class ColumnMappingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dataFiles(t: ManagedTable): Set[String] =
+    t.read.select(input_file_name()).as[String].collect().toSet
+
+  test("rename under mapping rewrites zero files; old files still read") {
+    val t = new ManagedTable(spark, tmpDir("cm-ren") + "/t")
+    t.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "note", "amt")
+      .repartition(2))
+    t.enableColumnMapping()
+    val before = dataFiles(t)
+    t.renameColumn("note", "comment")
+    assert(dataFiles(t) == before, "rename must move no data file")
+    assert(t.read.columns.toSeq == Seq("id", "comment", "amt"))
+    assert(t.read.select("id", "comment").as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "b")))
+    assert(t.protocol._1.contains("column-mapping"))
+    // rename back to the physical name drops the mapping entry
+    t.renameColumn("comment", "note")
+    assert(t.read.columns.toSeq == Seq("id", "note", "amt"))
+  }
+
+  test("appends after a rename land physical; scans stay single-schema") {
+    val t = new ManagedTable(spark, tmpDir("cm-app") + "/t")
+    t.overwrite(Seq((1L, "a")).toDF("id", "note"))
+    t.enableColumnMapping()
+    t.renameColumn("note", "comment")
+    // append speaks the LOGICAL schema
+    t.append(Seq((2L, "b")).toDF("id", "comment"))
+    assert(t.read.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // the mixed dir still compacts and reads as ONE schema
+    t.compact(numFiles = 1)
+    assert(t.read.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("drop under mapping is metadata-only; re-adding the name does not " +
+      "resurrect the dead data") {
+    val t = new ManagedTable(spark, tmpDir("cm-drop") + "/t")
+    t.overwrite(Seq((1L, "secret", 1.0), (2L, "hush", 2.0))
+      .toDF("id", "note", "amt").repartition(2))
+    t.enableColumnMapping()
+    val before = dataFiles(t)
+    t.dropColumn("note")
+    assert(dataFiles(t) == before, "drop must move no data file")
+    assert(t.read.columns.toSeq == Seq("id", "amt"))
+    // a NEW column under the old name must read null, not 'secret'
+    t.addColumns("note STRING")
+    assert(t.read.select("note").as[Option[String]].collect().toSeq ==
+      Seq(None, None))
+    // and writes to it round-trip
+    t.append(Seq((3L, 3.0, "fresh")).toDF("id", "amt", "note"))
+    assert(t.read.filter(col("id") === 3).select("note").as[String].head()
+      == "fresh")
+  }
+
+  test("DML, merge, and time travel speak logical names after a rename") {
+    val t = new ManagedTable(spark, tmpDir("cm-dml") + "/t")
+    t.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "note", "amt"))
+    t.enableColumnMapping()
+    t.renameColumn("amt", "amount")
+    // vectored DML with a logical-name predicate and assignment
+    t.deleteVectored(col("amount") > 2.5)
+    t.updateVectored(col("id") === 1, Map("amount" -> lit(10.0)))
+    assert(t.read.select("id", "amount").as[(Long, Double)].collect().toSet
+      == Set((1L, 10.0), (2L, 2.0)))
+    // clause-family merge on the logical schema
+    t.mergeBuilder(Seq((2L, "B", 22.0)).toDF("id", "note", "amount"),
+        Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    assert(t.read.select("id", "amount").as[(Long, Double)].collect().toSet
+      == Set((1L, 10.0), (2L, 22.0)))
+    // time travel serves CURRENT logical names (declaration-is-current
+    // metadata, like extras and type widening)
+    assert(t.readVersion(0).columns.contains("amount"))
+  }
+
+  test("readWhere skipping degrades conservatively on a renamed column " +
+      "but still answers correctly") {
+    val t = new ManagedTable(spark, tmpDir("cm-skip") + "/t")
+    t.overwrite(Seq.tabulate(20)(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .repartitionByRange(4, col("id")))
+    t.enableColumnMapping()
+    t.renameColumn("v", "value")
+    val r = t.readWhere("value", 5.0, 7.0)
+      .select("id").as[Long].collect().toSet
+    assert(r == Set(5L, 6L, 7L))
+  }
+
+  test("type widening composes with mapping (override keyed physical)") {
+    val t = new ManagedTable(spark, tmpDir("cm-widen") + "/t")
+    t.overwrite(Seq((1, "a"), (2, "b")).toDF("n", "s"))
+    t.enableColumnMapping()
+    t.renameColumn("n", "num")
+    t.alterColumnType("num", "BIGINT")
+    assert(t.read.schema("num").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(t.read.select("num").as[Long].collect().toSet == Set(1L, 2L))
+    t.append(Seq((3L, "c")).toDF("num", "s"))
+    assert(t.read.select("num").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("DROP FEATURE refuses while the mapping is in use") {
+    val t = new ManagedTable(spark, tmpDir("cm-feat") + "/t")
+    t.overwrite(Seq((1L, "a")).toDF("id", "note"))
+    t.enableColumnMapping()
+    t.renameColumn("note", "comment")
+    val e = intercept[IllegalArgumentException] {
+      t.dropTableFeature("column-mapping") }
+    assert(e.getMessage.contains("still in use"))
+    // a feature-less build must refuse the table outright (reader gate)
+    assert(t.protocol._1.contains("column-mapping"))
+  }
+
+  test("SQL surface: TBLPROPERTIES enables, RENAME/DROP route metadata-only") {
+    val dir = tmpDir("cm-sql")
+    val p = dir + "/t"
+    val t = new ManagedTable(spark, p)
+    t.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "note", "amt")
+      .repartition(2))
+    graft.sql.GraftSql.sql(spark,
+      s"ALTER TABLE '$p' SET TBLPROPERTIES ('graft.columnMapping' = 'name')")
+    assert(t.columnMappingEnabled && t.protocol._1.contains("column-mapping"))
+    val before = dataFiles(t)
+    graft.sql.GraftSql.sql(spark,
+      s"ALTER TABLE '$p' RENAME COLUMN note TO comment")
+    graft.sql.GraftSql.sql(spark, s"ALTER TABLE '$p' DROP COLUMN amt")
+    assert(dataFiles(t) == before, "SQL rename+drop must move no file")
+    assert(t.read.columns.toSeq == Seq("id", "comment"))
+  }
+
+  test("partition columns and constraint-referenced columns stay refused") {
+    val t = new ManagedTable(spark, tmpDir("cm-ref") + "/t")
+    t.overwrite(Seq((1L, "p1", 1.0)).toDF("id", "part", "amt"), Seq("part"))
+    t.enableColumnMapping()
+    intercept[IllegalArgumentException] { t.renameColumn("part", "division") }
+    t.addConstraint("pos", "amt >= 0")
+    intercept[IllegalArgumentException] { t.renameColumn("amt", "amount") }
+    intercept[IllegalArgumentException] { t.dropColumn("amt") }
+    t.dropConstraint("pos")
+    t.renameColumn("amt", "amount") // allowed once the reference is gone
+    assert(t.read.columns.contains("amount"))
+  }
+}
