@@ -292,6 +292,34 @@ object SparkEntry {
     "q27_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 3)
         .orderBy("d1", "d2")),
+    "q26a_minhash_verified" -> ((s, d) => {
+      // the MinHash-LSH pipeline's VERIFICATION half under a SQL oracle
+      // (the q60a/q90a split pattern): candidates from one-row bands
+      // (bands = numHashes = 32 — a J ≥ 0.8 pair escapes only if all 32
+      // minhashes differ, p ≈ 0.2³²), then exact-Jaccard verification,
+      // which must therefore equal DuckDB's exact all-pairs answer;
+      // only the signature VALUES (q26) stay engine-specific
+      val docs = Tables.documents(s, d)
+      val cands = Dedup.minhashLshPairsFromSignatures(docSignatures(s, d),
+        numHashes = 32, bands = 32, minEstSim = 0.0)
+      Dedup.verifyJaccardPairs(docs, "doc_id", "text", cands, n = 3,
+          minJaccard = 0.8)
+        .orderBy("d1", "d2")
+    }),
+    "q27a_simhash_verified" -> ((s, d) => {
+      // SimHash's verification half under the same oracle: 16×4-bit
+      // pigeonhole blocking (recall 1 GUARANTEED through hamming 15 —
+      // the corpus' J >= 0.8 pairs sit at hamming <= 5; maxDist = 64
+      // disables the distance cut), then exact Jaccard >= 0.8, which
+      // must therefore equal the exact all-pairs answer; the hamming
+      // values themselves (q27) stay engine-specific
+      val docs = Tables.documents(s, d)
+      val cands = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 64,
+        chunks = 16)
+      Dedup.verifyJaccardPairs(docs, "doc_id", "text", cands, n = 3,
+          minJaccard = 0.8)
+        .orderBy("d1", "d2")
+    }),
     "q28_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10)),
@@ -406,6 +434,16 @@ object SparkEntry {
     "q73_weighted_sample" -> ((s, d) =>
       // rows-only: the hash-uniform is engine-specific
       Sampling.weightedSampleExact(
+          graft.ops.TextAnalysis.qualityScore(Tables.documents(s, d), "text")
+            .select("doc_id", "quality_score"),
+          "doc_id", "quality_score", k = 100)
+        .orderBy("doc_id")),
+    "q73a_weighted_sample_md5" -> ((s, d) =>
+      // the E-S sampler under a SQL oracle: md5-derived uniform (both
+      // engines compute it bit-identically) + DECIMAL-quantized key, so
+      // the selected k-set is engine-independent; q73's xxhash64 uniform
+      // stays the production (rows-only) path
+      Sampling.weightedSampleMd5(
           graft.ops.TextAnalysis.qualityScore(Tables.documents(s, d), "text")
             .select("doc_id", "quality_score"),
           "doc_id", "quality_score", k = 100)
@@ -1808,6 +1846,59 @@ object SparkEntry {
          FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
          WHERE CAST(inter AS DOUBLE) / (x.n_sh + y.n_sh - inter) >= 0.8
          ORDER BY d1, d2""",
+    // q26a/q27a: the LSH pipelines' verification halves lose no J>=0.8
+    // pair (one-row bands / relaxed pigeonhole), so each equals the exact
+    // all-pairs answer — the same SQL as q25
+    "q26a_minhash_verified" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest(CASE WHEN len(words) >= 3
+                    THEN list_transform(generate_series(1, len(words) - 2),
+                           i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+                    ELSE [concat_ws(' ', words)] END) AS s
+                FROM w),
+         sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT d1, d2, inter,
+           CAST(inter AS DOUBLE) / (x.n_sh + y.n_sh - inter) AS jaccard
+         FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+         WHERE CAST(inter AS DOUBLE) / (x.n_sh + y.n_sh - inter) >= 0.8
+         ORDER BY d1, d2""",
+    "q27a_simhash_verified" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest(CASE WHEN len(words) >= 3
+                    THEN list_transform(generate_series(1, len(words) - 2),
+                           i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+                    ELSE [concat_ws(' ', words)] END) AS s
+                FROM w),
+         sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT d1, d2, inter,
+           CAST(inter AS DOUBLE) / (x.n_sh + y.n_sh - inter) AS jaccard
+         FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+         WHERE CAST(inter AS DOUBLE) / (x.n_sh + y.n_sh - inter) >= 0.8
+         ORDER BY d1, d2""",
+    // q73a: md5-uniform Efraimidis-Spirakis with a DECIMAL-quantized key
+    // — both engines compute u bit-identically; quantization + id
+    // tiebreak make the k-set engine-independent
+    "q73a_weighted_sample_md5" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words FROM documents),
+         q AS (SELECT doc_id,
+             LEAST(CAST(len(words) AS DOUBLE) / 100.0, 1.0) * 0.5
+               + CAST(len(list_distinct(words)) AS DOUBLE) / len(words) * 0.5 AS quality_score
+           FROM t),
+         w AS (SELECT doc_id, quality_score,
+             CAST(POWER((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13)) AS UBIGINT) + 0.5)
+                 / 4503599627370496.0, 1.0 / quality_score) AS DECIMAL(12,9)) AS k
+           FROM q WHERE quality_score > 0),
+         sel AS (SELECT doc_id, quality_score FROM w ORDER BY k DESC, doc_id LIMIT 100)
+         SELECT doc_id, quality_score FROM sel ORDER BY doc_id""",
     "q28_cosine_topk" ->
       """SELECT b.vec_id,
            list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))

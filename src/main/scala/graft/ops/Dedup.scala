@@ -305,6 +305,41 @@ object Dedup {
       .filter(col("est_sim") >= minEstSim)
   }
 
+  /** Exact-Jaccard verification of a CANDIDATE pair set — the second half
+    * of every LSH dedup pipeline: for exactly the given (d1, d2) pairs,
+    * compute the exact `n`-gram shingle intersection and Jaccard and keep
+    * pairs at or above `minJaccard`. Same output contract as
+    * [[ngramJaccardPairs]]'s verification tail, so when the candidate
+    * generator provably loses no qualifying pair (e.g. one-row bands — a
+    * J ≥ 0.8 pair misses only if all 32 minhashes differ, p ≈ 0.2³²),
+    * the result EQUALS the exact all-pairs answer — which is what puts
+    * the MinHash/SimHash pipelines under a SQL oracle while only the
+    * signature values themselves stay engine-specific.
+    *
+    * Scale: two joins of the candidate set (small — only docs with a
+    * near-dup) against the hashed shingle index; never all-pairs.
+    */
+  def verifyJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         cands: DataFrame, n: Int,
+                         minJaccard: Double): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n, 0L)
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .localCheckpoint(eager = false)
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cands.select("d1", "d2").distinct()
+      .join(idx.withColumnRenamed("doc_id", "d1"), Seq("d1"))
+      .join(idx.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("d1", "d2", "inter", "jaccard")
+  }
+
   /** Connected components over near-dup pairs: every doc's label converges
     * to the smallest doc_id in its component.
     *
@@ -470,18 +505,27 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`, candidates
-    * generated by matching any of four 16-bit chunks (pigeonhole: distance
-    * ≤ 3 guarantees one equal chunk; shuffle is on chunk buckets).
+    * generated by matching any of `chunks` equal-width signature chunks
+    * (pigeonhole: distance ≤ chunks−1 guarantees one equal chunk; the
+    * shuffle is on chunk buckets). The default 4×16-bit split is the
+    * production shape — 65k bucket values keep the per-bucket fanout
+    * tiny at corpus scale; more/narrower chunks widen the guaranteed
+    * radius (16 chunks ⇒ recall 1 through distance 15) at the cost of
+    * hotter buckets — the oracle-anchor configuration (q27a), not the
+    * 100 TB one.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3, chunks: Int = 4): DataFrame = {
+    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
+    val width = 64 / chunks
+    val mask = if (width == 64) -1L else (1L << width) - 1L
     val sh = simhash(docs, idCol, textCol)
-    val chunks = (0 until 4).map { ci =>
+    val chunkCols = (0 until chunks).map { ci =>
       struct(lit(ci).as("chunk"),
-        shiftright(col("simhash"), ci * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))
+        shiftright(col("simhash"), ci * width).bitwiseAND(lit(mask)).as("cv"))
     }
     val chunked = sh.select(col("doc_id"), col("simhash"),
-      explode(array(chunks: _*)).as("cc"))
+      explode(array(chunkCols: _*)).as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.cv"))
     val a = chunked.as("a"); val b = chunked.as("b")
     a.join(b, col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&

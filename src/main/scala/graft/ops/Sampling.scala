@@ -53,6 +53,31 @@ object Sampling {
       .drop("__key")
   }
 
+  /** [[weightedSampleExact]] with the uniform drawn from md5 instead of
+    * xxhash64 — reproducible in ANY engine with md5 (the oracle anchor
+    * for the E–S sampler, the role [[modSplit]] plays for [[hashSplit]]):
+    * u = (int(first 13 hex of md5(id ":" seed), 16) + 0.5) / 2⁵², an
+    * exact dyadic rational both engines compute identically. The E–S key
+    * u^(1/w) is quantized to DECIMAL(12,9) before ranking so a ≤1-ulp
+    * cross-engine `pow` difference cannot flip the selection (ties break
+    * by id in both engines). Zero/negative weights are excluded — E–S is
+    * defined for w > 0.
+    */
+  def weightedSampleMd5(df: DataFrame, idCol: String, weightCol: String,
+                        k: Int, seed: Long = 42L): DataFrame = {
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(":" + seed))), 1, 13), 16, 10).cast("double") + lit(0.5)) /
+      lit(4503599627370496.0) // 2^52
+    val key = pow(u, lit(1.0) / col(weightCol)).cast("decimal(12,9)")
+    // NaN guard: Spark orders NaN above every number, so `w > 0` alone
+    // would KEEP a NaN weight that SQL engines (NULL there) exclude
+    df.filter(col(weightCol) > 0 && !isnan(col(weightCol).cast("double")))
+      .withColumn("__key", key)
+      .orderBy(desc("__key"), col(idCol))
+      .limit(k)
+      .drop("__key")
+  }
+
   /** Mix corpora to target fractions: keep each source's rows where the
     * id-modulo bucket falls under its fraction, then union — the
     * deterministic data-mixing step of a training pipeline (SQL-expressible,
