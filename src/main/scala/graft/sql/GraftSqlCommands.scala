@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types._
 
-import graft.table.ManagedTable
+import graft.table.{IncrementalAgg, ManagedTable}
 
 /** SQL command surface for [[graft.table.ManagedTable]] — the managed-table
   * maintenance/DML statements Delta exposes through its injected parser
@@ -196,6 +196,38 @@ object GraftSqlCommands {
         case None => t.restoreAsOf(timestamp.get)
       }
       Seq(Row(path, t.version))
+    }
+  }
+
+  /** `CREATE MATERIALIZED VIEW '<state>' ON '<source>' GROUP BY (keys)
+    * [SUM (cols)]` — build (or rebuild) an incrementally-maintained
+    * aggregate view ([[graft.table.IncrementalAgg]]) and run its first
+    * refresh; the definition persists on the state table so later
+    * REFRESH statements need only the state path.
+    */
+  case class CreateMvCommand(statePath: String, sourcePath: String,
+      keys: Seq[String], sums: Seq[String]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs("path" -> StringType,
+      "mode" -> StringType, "source_version" -> LongType)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val mv = new IncrementalAgg(spark, statePath,
+        new ManagedTable(spark, sourcePath), keys, sums)
+      val mode = mv.refresh()
+      Seq(Row(statePath, mode, mv.refreshedVersion))
+    }
+  }
+
+  /** `REFRESH MATERIALIZED VIEW '<state>'` — bring a persisted view to
+    * its source's current version (incremental when the commit window
+    * allows, [[graft.table.IncrementalAgg.refresh]]).
+    */
+  case class RefreshMvCommand(statePath: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs("path" -> StringType,
+      "mode" -> StringType, "source_version" -> LongType)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val mv = IncrementalAgg.open(spark, statePath)
+      val mode = mv.refresh()
+      Seq(Row(statePath, mode, mv.refreshedVersion))
     }
   }
 
@@ -520,6 +552,10 @@ object GraftSqlCommands {
     rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+UNSET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""")
   private val AlterAddIdentity =
     rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+ADD\\s+IDENTITY\\s+COLUMN\\s+(\\w+)(?:\\s+START\\s+WITH\\s+(-?\\d+))?(?:\\s+INCREMENT\\s+BY\\s+(-?\\d+))?\\s*;?\\s*$$""")
+  private val CreateMv =
+    rx(s"""^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+$Tbl\\s+ON\\s+$Tbl\\s+GROUP\\s+BY\\s*\\(([^)]*)\\)(?:\\s+SUM\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""")
+  private val RefreshMv =
+    rx(s"""^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$Tbl\\s*;?\\s*$$""")
   private val Reorg =
     rx(s"""^\\s*REORG\\s+TABLE\\s+$Tbl\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$$""")
   private val GenerateManifest =
@@ -722,6 +758,15 @@ object GraftSqlCommands {
       return Some(AlterTableGraftCommand(tbl(dft, 1),
         _.dropTableFeature(feature)))
     }
+    val cmv = CreateMv.matcher(sqlText)
+    if (cmv.matches()) {
+      def names(g: String) = Option(g).toSeq.flatMap(_.split(","))
+        .map(_.trim).filter(_.nonEmpty)
+      return Some(CreateMvCommand(tbl(cmv, 1), tbl(cmv, 4),
+        names(cmv.group(7)), names(cmv.group(8))))
+    }
+    val rmv = RefreshMv.matcher(sqlText)
+    if (rmv.matches()) return Some(RefreshMvCommand(tbl(rmv, 1)))
     val mp = MergePrefix.matcher(sqlText)
     if (mp.find() && mp.start() == 0) return Some(parseMerge(sqlText, mp))
     None

@@ -153,7 +153,7 @@ final class IncrementalAgg(spark: SparkSession, statePath: String,
             }
           }
           if (deltas.isEmpty) { // row-neutral-only window: state already current
-            state.setProperties(Map(versionProp -> to.toString))
+            state.setProperties(Map(versionProp -> to.toString) ++ definition)
             return mode
           }
           combine(state.read, deltas)
@@ -167,9 +167,18 @@ final class IncrementalAgg(spark: SparkSession, statePath: String,
     // overwrite routes through the self-read-safe materializing path, so
     // `next` reading the state it replaces is fine
     state.overwrite(next)
-    state.setProperties(Map(versionProp -> to.toString))
+    state.setProperties(Map(versionProp -> to.toString) ++ definition)
     mode
   }
+
+  /** The view's definition, persisted on the state table so a later
+    * session — or the SQL `REFRESH MATERIALIZED VIEW` statement — can
+    * reopen it from the state path alone ([[IncrementalAgg.open]]).
+    */
+  private def definition: Map[String, String] = Map(
+    "graft.mv.source" -> source.path,
+    "graft.mv.keys" -> keys.mkString(","),
+    "graft.mv.sums" -> sumCols.mkString(","))
 
   /** The view for consumers: cnt plus per-column sum/avg as DOUBLE (the
     * oracle-facing DECIMAL→DOUBLE contract). The non-null count finalizes
@@ -185,4 +194,25 @@ final class IncrementalAgg(spark: SparkSession, statePath: String,
         when(col(s"nnz_$c") === 0, lit(null).cast("double"))
           .otherwise(col(s"sum_$c").cast("double") / col(s"nnz_$c"))
           .as(s"avg_$c"))): _*)
+}
+
+object IncrementalAgg {
+  /** Reopen a materialized view from its state path alone — the
+    * definition (source path, keys, sum columns) is read from the state
+    * table's properties, recorded by every `refresh()`. The SQL
+    * `REFRESH MATERIALIZED VIEW` entry point.
+    */
+  def open(spark: SparkSession, statePath: String): IncrementalAgg = {
+    val st = new ManagedTable(spark, statePath)
+    require(st.exists, s"no materialized view state at $statePath")
+    val ps = st.properties
+    val src = ps.getOrElse("graft.mv.source",
+      throw new IllegalArgumentException(s"$statePath records no " +
+        "graft.mv.source property — not a graft materialized view (or " +
+        "built before definitions were persisted; refresh once via the API)"))
+    def list(k: String) =
+      ps.get(k).map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    new IncrementalAgg(spark, statePath, new ManagedTable(spark, src),
+      list("graft.mv.keys"), list("graft.mv.sums"))
+  }
 }

@@ -1814,7 +1814,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       !fs.exists(new Path(logDir, "_latest_files.txt"))
     manifestsRemapped = false
     val fileEntry =
-      if (isCheckpoint) s""""files":[${files.map(f => jstr(f._1)).mkString(",")}]"""
+      if (isCheckpoint && checkpointFormatParquet) {
+        // columnar checkpoint sidecar + pointer (see checkpointFormatParquet
+        // scaladoc); the reader feature gate rides in the same commit
+        writeCheckpointParquet(ckptParquetPath(v), files.map(_._1))
+        ensureFeature("checkpoint-parquet", reader = true)
+        s""""filesParquet":${jstr(ckptParquetPath(v).getName)}"""
+      }
+      else if (isCheckpoint) s""""files":[${files.map(f => jstr(f._1)).mkString(",")}]"""
       else {
         val added = files.collect { case (p, _) if !prevSet(p) => jstr(p) }
         val removed = prevSet.toSeq.filterNot(fileSet).sorted.map(jstr)
@@ -2009,7 +2016,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * writerFeatures), with named features instead of opaque version ints.
     */
   val supportedReaderFeatures: Set[String] =
-    Set("deletion-vectors", "shallow-clone", "row-tracking", "column-mapping")
+    Set("deletion-vectors", "shallow-clone", "row-tracking", "column-mapping",
+      "checkpoint-parquet")
 
   /** Writer features THIS build honors on mutation — a writer lacking one
     * could commit while silently breaking invariants other clients rely
@@ -2153,6 +2161,18 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       case "shallow-clone" =>
         require(!isShallowClone,
           s"cannot drop shallow-clone on $path: materialize() first")
+      case "checkpoint-parquet" =>
+        val live = if (!fs.exists(logDir)) Nil
+          else fs.listStatus(logDir).map(_.getPath.getName)
+            .filter(_.endsWith(".checkpoint.parquet")).toSeq
+        require(!checkpointFormatParquet && live.isEmpty,
+          s"cannot drop checkpoint-parquet on $path: " +
+            (if (checkpointFormatParquet)
+              "graft.manifest.checkpointFormat is still parquet — unset it, "
+            else "") +
+            (if (live.nonEmpty) s"${live.size} parquet checkpoint(s) remain " +
+              "in the log — commit a JSON checkpoint (e.g. OPTIMIZE) and " +
+              "cleanupLog past them first" else ""))
       case "column-mapping" =>
         // the mapping DATA is the gate, not the mode flag: even with the
         // mode off, live files still carry physical names a feature-less
@@ -2371,9 +2391,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val rawPairs =
       if (subdirs.isEmpty) Seq((oldRoot + "/", newRoot + "/"))
       else subdirs.map(d => (s"$oldRoot/$d/", s"$newRoot/$d/"))
-    rewriteDvSnapshots(p => rawPairs.collectFirst {
+    def rawRemap(p: String): String = rawPairs.collectFirst {
       case (o, n) if p.startsWith(o) => n + p.substring(o.length)
-    }.getOrElse(p))
+    }.getOrElse(p)
+    rewriteDvSnapshots(rawRemap)
+    // parquet checkpoint sidecars hold paths OUTSIDE the JSON text (raw
+    // strings): remap their rows too, or a post-swap reconstruction would
+    // resolve retired files at their pre-move locations
+    fs.listStatus(logDir).filter { st =>
+      st.isFile && st.getPath.getName.endsWith(".checkpoint.parquet")
+    }.foreach { st =>
+      val rows = readCheckpointParquet(st.getPath)
+      val updated = rows.map(rawRemap)
+      if (updated != rows) writeCheckpointParquet(st.getPath, updated)
+    }
   }
 
   /** Rewrite the path key of every DV-snapshot line through `f` — the one
@@ -2464,12 +2495,97 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     Some(out.toSeq)
   }
 
+  // ---- parquet checkpoints (prototype behind a table property) ----------
+
+  /** `graft.manifest.checkpointFormat = parquet` switches checkpoint
+    * manifests from the inline JSON file list to a columnar sidecar
+    * (`vNNNNN.checkpoint.parquet`, one `path` string column) — the 1e7-file
+    * regime ManifestBench identified as the JSON ceiling (43 s / 2.6 GB
+    * heap). Both sides stay DRIVER-side (parquet-hadoop example API, no
+    * Spark job per metadata read — the objection README records against a
+    * Spark-read checkpoint); the JSON manifest then carries a
+    * `filesParquet` pointer instead of `files`. Gated by the
+    * `checkpoint-parquet` READER feature: an unaware build would misread
+    * a pointer manifest as an empty delta and silently reconstruct wrong
+    * snapshots.
+    */
+  private def checkpointFormatParquet: Boolean =
+    properties.get("graft.manifest.checkpointFormat")
+      .exists(_.equalsIgnoreCase("parquet"))
+
+  private def ckptParquetPath(v: Long) =
+    new Path(logDir, f"v$v%05d.checkpoint.parquet")
+
+  private val ckptSchema = org.apache.parquet.schema.MessageTypeParser
+    .parseMessageType("message graft_ckpt { required binary path (STRING); }")
+
+  private[table] def writeCheckpointParquet(p: Path, files: Seq[String]): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(ckptSchema, conf)
+    fs.delete(p, false) // overwrite-on-retry
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter.builder(p)
+      .withConf(conf).withType(ckptSchema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val f = new org.apache.parquet.example.data.simple.SimpleGroupFactory(ckptSchema)
+    try files.foreach(s => w.write(f.newGroup().append("path", s)))
+    finally w.close()
+  }
+
+  private[table] def readCheckpointParquet(p: Path): Seq[String] = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetReader.builder(
+      new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+      .withConf(conf).build()
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      var g = r.read()
+      while (g != null) { out += g.getString("path", 0); g = r.read() }
+    } finally r.close()
+    out.toSeq
+  }
+
+  /** Single-string JSON extractor for OUR manifests (same escape rules as
+    * [[jsonStringArray]]).
+    */
+  private def jsonString(txt: String, key: String): Option[String] = {
+    val anchor = "\"" + key + "\":\""
+    val start = txt.indexOf(anchor)
+    if (start < 0) return None
+    var i = start + anchor.length
+    val sb = new StringBuilder
+    while (txt.charAt(i) != '"') {
+      if (txt.charAt(i) == '\\') {
+        txt.charAt(i + 1) match {
+          case 'u' =>
+            sb.append(Integer.parseInt(txt.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case c => sb.append(c); i += 2
+        }
+      } else { sb.append(txt.charAt(i)); i += 1 }
+    }
+    Some(sb.toString)
+  }
+
+  /** The checkpoint file list of manifest `txt`, whatever its format —
+    * inline JSON array or the parquet-sidecar pointer; None for delta
+    * manifests.
+    */
+  private def checkpointFilesOf(txt: String): Option[Seq[String]] =
+    jsonStringArray(txt, "files").orElse(
+      jsonString(txt, "filesParquet")
+        .map(name => readCheckpointParquet(new Path(logDir, name))))
+
   /** The data-file list of logged version `v`: from `v`'s own manifest
-    * when it is a checkpoint (full `files` list), else reconstructed by
-    * walking back to the nearest checkpoint and folding the intervening
-    * `add`/`remove` deltas forward — at most `checkpointInterval` small
-    * manifest reads, independent of table size (the point: commits write
-    * O(delta) metadata, reads fold O(interval) deltas).
+    * when it is a checkpoint (full `files` list, inline or parquet), else
+    * reconstructed by walking back to the nearest checkpoint and folding
+    * the intervening `add`/`remove` deltas forward — at most
+    * `checkpointInterval` small manifest reads, independent of table size
+    * (the point: commits write O(delta) metadata, reads fold O(interval)
+    * deltas).
     */
   private[graft] def manifestFiles(v: Long): Seq[String] = {
     var i = v
@@ -2479,7 +2595,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       require(i >= 0,
         s"no checkpoint manifest at or below v$v in $logDir — corrupt log")
       val txt = manifestText(i)
-      jsonStringArray(txt, "files") match {
+      checkpointFilesOf(txt) match {
         case some @ Some(_) => base = some
         case None =>
           deltas.prepend((jsonStringArray(txt, "add").getOrElse(Nil),
@@ -2783,7 +2899,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         note(manifestFiles(inWindow.head))
         inWindow.tail.foreach { v =>
           val txt = manifestText(v)
-          jsonStringArray(txt, "files") match {
+          checkpointFilesOf(txt) match {
             case Some(full) => note(full)
             case None => note(jsonStringArray(txt, "add").getOrElse(Nil))
           }
@@ -2820,11 +2936,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // atomic-overwrite delete+rename gap) where the only checkpoint at or
     // below the horizon was missing and every later reconstruction broke.
     var horizon = beforeV
-    while (horizon > 0 &&
-        jsonStringArray(manifestText(horizon), "files").isEmpty)
+    while (horizon > 0 && {
+        val txt = manifestText(horizon)
+        jsonStringArray(txt, "files").isEmpty &&
+          jsonString(txt, "filesParquet").isEmpty
+      })
       horizon -= 1
     (0L until horizon).foreach { v =>
       fs.delete(new Path(logDir, f"v$v%05d.json"), false)
+      fs.delete(ckptParquetPath(v), false)
       fs.delete(dvFile(v), false)
     }
   }

@@ -73,6 +73,32 @@ object ManifestBench {
       println(f"[manifest-bench] n=$n%,d files: checkpoint write=$writeMs%.0f ms, " +
         f"walk-back fold=$foldMs%.0f ms, resolved=${files.size}%,d entries, " +
         f"~mem delta=${(memAfter - memBefore) / 1e6}%.0f MB")
+      // ---- parquet checkpoint format (graft.manifest.checkpointFormat):
+      // same snapshot, checkpoint as a columnar sidecar + pointer manifest
+      val tPW0 = System.nanoTime()
+      t.writeCheckpointParquet(new Path(log, "v00000.checkpoint.parquet"),
+        (0L until n).map(p))
+      val pWriteMs = (System.nanoTime() - tPW0) / 1e6
+      val ptr = fs.create(new Path(log, "v00000.json"), true)
+      try ptr.write(
+        """{"version":0,"filesParquet":"v00000.checkpoint.parquet"}"""
+          .getBytes("UTF-8"))
+      finally ptr.close()
+      val t2 = new ManagedTable(spark, root)
+      System.gc()
+      val memBefore2 = rt.totalMemory() - rt.freeMemory()
+      val tPF0 = System.nanoTime()
+      val files2 = t2.manifestFiles(15L)
+      val pFoldMs = (System.nanoTime() - tPF0) / 1e6
+      val memAfter2 = rt.totalMemory() - rt.freeMemory()
+      val jsonBytes = sb.length().toLong
+      val pqBytes = fs.getFileStatus(
+        new Path(log, "v00000.checkpoint.parquet")).getLen
+      println(f"[manifest-bench] n=$n%,d files PARQUET ckpt: " +
+        f"write=$pWriteMs%.0f ms, walk-back fold=$pFoldMs%.0f ms, " +
+        f"resolved=${files2.size}%,d entries, " +
+        f"~mem delta=${(memAfter2 - memBefore2) / 1e6}%.0f MB, " +
+        f"ckpt bytes json=$jsonBytes%,d vs parquet=$pqBytes%,d")
       fs.delete(new Path(root).getParent, true)
     }
     spark.stop()

@@ -142,6 +142,25 @@ class GraftSqlSpec extends SparkSpec {
       Set((1L, 10.0), (2L, 21.0), (4L, 40.0)))
   }
 
+  test("CREATE/REFRESH MATERIALIZED VIEW builds and incrementally " +
+      "refreshes an IncrementalAgg from SQL alone") {
+    val (src, sp) = freshTable("sql-mv-src")
+    src.overwrite(Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v"))
+    val mvPath = tmpDir("sql-mv") + "/state"
+    val created = GraftSql.sql(spark,
+      s"CREATE MATERIALIZED VIEW '$mvPath' ON '$sp' GROUP BY (k) SUM (v)")
+      .select("mode").as[String].head()
+    assert(created == "initial")
+    src.append(Seq(("a", 10.0)).toDF("k", "v"))
+    val refreshed = GraftSql.sql(spark,
+      s"REFRESH MATERIALIZED VIEW '$mvPath'")
+      .select("mode").as[String].head()
+    assert(refreshed == "incremental")
+    val mv = graft.table.IncrementalAgg.open(spark, mvPath)
+    assert(mv.read.select("k", "sum_v").as[(String, Double)].collect().toSet
+      == Set(("a", 11.0), ("b", 2.0)))
+  }
+
   test("UPDATE with 'where' inside a string literal updates everything") {
     val (t, p) = freshTable("sql-qupd")
     t.overwrite(Seq((1L, "x"), (2L, "y")).toDF("id", "note"))
