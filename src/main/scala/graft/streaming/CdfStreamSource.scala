@@ -71,7 +71,8 @@ import graft.table.ManagedTable
   */
 class CdfStreamSource(sqlContext: SQLContext, path: String,
                       keys: Seq[String], startingVersion: Long,
-                      maxVersions: Option[Long], maxFiles: Option[Long])
+                      maxVersions: Option[Long], maxFiles: Option[Long],
+                      maxBytes: Option[Long] = None)
     extends Source with SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
@@ -102,7 +103,8 @@ class CdfStreamSource(sqlContext: SQLContext, path: String,
     if (cur0 < 0) return null
     val cur = availableNowTarget.fold(cur0)(math.min(cur0, _))
     val base = Option(start).map(toVersion).getOrElse(startingVersion)
-    LongOffset(StreamCommon.pacedEnd(table, base, cur, maxVersions, maxFiles))
+    LongOffset(StreamCommon.pacedEnd(table, base, cur, maxVersions,
+      maxFiles, maxBytes))
   }
 
   override def reportLatestOffset(): OffsetV2 = {
@@ -141,7 +143,8 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
   private case class Params(path: String, keys: Seq[String],
       startV: Option[Long], startTs: Option[String],
-      maxVersions: Option[Long], maxFiles: Option[Long])
+      maxVersions: Option[Long], maxFiles: Option[Long],
+      maxBytes: Option[Long])
 
   private def params(parameters: Map[String, String]): Params = {
     val path = parameters.getOrElse("path",
@@ -159,7 +162,8 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
     require(startV.isEmpty || startTs.isEmpty,
       "startingVersion and startingTimestamp are mutually exclusive")
     Params(path, keys, startV, startTs,
-      posLong("maxVersionsPerTrigger"), posLong("maxFilesPerTrigger"))
+      posLong("maxVersionsPerTrigger"), posLong("maxFilesPerTrigger"),
+      posLong("maxBytesPerTrigger"))
   }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
@@ -185,7 +189,7 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
     val resolved = StreamCommon.resolveStart(sqlContext.sparkSession,
       metadataPath, "graft-cdf-start", t, p.startV, p.startTs)
     new CdfStreamSource(sqlContext, p.path, p.keys, resolved,
-      p.maxVersions, p.maxFiles)
+      p.maxVersions, p.maxFiles, p.maxBytes)
   }
 }
 

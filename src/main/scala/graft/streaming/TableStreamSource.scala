@@ -34,16 +34,21 @@ private[streaming] object StreamCommon {
     * batches, never toward a stall.
     */
   def pacedEnd(table: ManagedTable, base: Long, cur: Long,
-               maxVersions: Option[Long], maxFiles: Option[Long]): Long = {
-    if (maxVersions.isEmpty && maxFiles.isEmpty) return math.max(cur, base)
-    var v = base; var admitted = 0L; var files = 0L; var stop = false
-    table.commitPace(base).foreach { case (ver, fa) =>
+               maxVersions: Option[Long], maxFiles: Option[Long],
+               maxBytes: Option[Long] = None): Long = {
+    if (maxVersions.isEmpty && maxFiles.isEmpty && maxBytes.isEmpty)
+      return math.max(cur, base)
+    var v = base; var admitted = 0L; var files = 0L; var bytes = 0L
+    var stop = false
+    table.commitPace(base).foreach { case (ver, fa, ba) =>
       if (!stop && ver <= cur) {
         val f = math.max(0L, fa)
+        val b = math.max(0L, ba)
         val overV = maxVersions.exists(admitted >= _)
         val overF = maxFiles.exists(m => admitted > 0 && files + f > m)
-        if (overV || overF) stop = true
-        else { v = ver; admitted += 1; files += f }
+        val overB = maxBytes.exists(m => admitted > 0 && bytes + b > m)
+        if (overV || overF || overB) stop = true
+        else { v = ver; admitted += 1; files += f; bytes += b }
       }
     }
     math.max(v, base)
@@ -185,7 +190,8 @@ class TableStreamSource(sqlContext: SQLContext, path: String,
                         maxVersions: Option[Long], maxFiles: Option[Long],
                         ignoreDeletes: Boolean, ignoreChanges: Boolean,
                         skipChangeCommits: Boolean,
-                        initialSnapshot: Boolean = false)
+                        initialSnapshot: Boolean = false,
+                        maxBytes: Option[Long] = None)
     extends Source with SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
@@ -235,10 +241,11 @@ class TableStreamSource(sqlContext: SQLContext, path: String,
       case None if initialSnapshot => snapAdvance(cur, 0L)
       case Some(Left(snap)) => snapAdvance(snap.version, snap.filesDelivered)
       case Some(Right(base)) =>
-        LongOffset(StreamCommon.pacedEnd(table, base, cur, maxVersions, maxFiles))
+        LongOffset(StreamCommon.pacedEnd(table, base, cur, maxVersions,
+          maxFiles, maxBytes))
       case None =>
         LongOffset(StreamCommon.pacedEnd(table, startingVersion, cur,
-          maxVersions, maxFiles))
+          maxVersions, maxFiles, maxBytes))
     }
   }
 
@@ -358,7 +365,8 @@ class TableSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
   private case class Params(path: String, startV: Option[Long],
       startTs: Option[String], maxVersions: Option[Long],
-      maxFiles: Option[Long], ignoreDeletes: Boolean,
+      maxFiles: Option[Long], maxBytes: Option[Long],
+      ignoreDeletes: Boolean,
       ignoreChanges: Boolean, skipChangeCommits: Boolean,
       initialSnapshot: Boolean)
 
@@ -388,6 +396,7 @@ class TableSourceProvider extends StreamSourceProvider with DataSourceRegister {
         "first batch IS the current snapshot")
     Params(path, startV, startTs,
       posLong("maxVersionsPerTrigger"), posLong("maxFilesPerTrigger"),
+      posLong("maxBytesPerTrigger"),
       bool("ignoreDeletes"), bool("ignoreChanges"), bool("skipChangeCommits"),
       snap)
   }
@@ -411,7 +420,7 @@ class TableSourceProvider extends StreamSourceProvider with DataSourceRegister {
     new TableStreamSource(sqlContext, p.path, resolved,
       p.maxVersions, p.maxFiles,
       p.ignoreDeletes, p.ignoreChanges, p.skipChangeCommits,
-      p.initialSnapshot)
+      p.initialSnapshot, p.maxBytes)
   }
 }
 

@@ -1779,6 +1779,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       .sortBy(_.version).lastOption.map(_.rowCount).getOrElse(0L)
     val metrics = (files.count(f => !prevSet(f._1)).toLong,
       prevSet.count(p => !fileSet(p)).toLong, rowCount - prevRowCount)
+    val bytesAdded = files.collect { case (p, len) if !prevSet(p) => len }.sum
     // in-commit timestamp monotonicity (Delta's ICT discipline): the
     // recorded time never regresses below the previous commit's — a clock
     // stepping backwards (NTP) or sub-precision ties would otherwise make
@@ -1841,7 +1842,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       // can never apply the data without the marker (or vice versa)
       txn.map { case (app, tv) =>
         s""""txn":{"app":${jstr(app)},"version":$tv}""" } ++ Seq(
-      s""""metrics":{"filesAdded":${metrics._1},"filesRemoved":${metrics._2},"rowDelta":${metrics._3}}""",
+      s""""metrics":{"filesAdded":${metrics._1},"filesRemoved":${metrics._2},"rowDelta":${metrics._3},"bytesAdded":$bytesAdded}""",
       fileEntry)
     ).mkString("{", ",", "}")
     fs.mkdirs(logDir)
@@ -1861,8 +1862,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // O(commits) manifests. Crash between the manifest write above and this
     // append self-heals: historyRows folds any missing version back in.
     appendHistory(CommitInfo(v, ts, operation, partitionCols,
-      files.size, files.map(_._2).sum, rowCount, txn, Some(metrics)),
-      prevHist)
+      files.size, files.map(_._2).sum, rowCount, txn, Some(metrics),
+      Some(bytesAdded)), prevHist)
     // consistency sidecar: what the live dir held at this commit (drives
     // the RECOVER check in ensureBootstrapped)
     val side = fs.create(new Path(logDir, "_latest_files.txt"), true)
@@ -2241,7 +2242,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       txn: Option[(String, Long)] = None,
       // (filesAdded, filesRemoved, rowDelta) vs the previous commit —
       // Delta's operationMetrics role; None for pre-feature commits
-      metrics: Option[(Long, Long, Long)] = None)
+      metrics: Option[(Long, Long, Long)] = None,
+      // bytes the commit's added files hold — the maxBytesPerTrigger
+      // admission-control unit; None for pre-feature commits
+      bytesAdded: Option[Long] = None)
 
   private def historyFile = new Path(logDir, "_history.txt")
 
@@ -2254,7 +2258,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       // rest is %-escaped)
       c.txn.map { case (a, v) => s"${enc(a)},$v" }.getOrElse("-"),
       // 9th field since operation metrics: "fa,fr,rd" or "-" = unknown
-      c.metrics.map { case (fa, fr, rd) => s"$fa,$fr,$rd" }.getOrElse("-"))
+      c.metrics.map { case (fa, fr, rd) => s"$fa,$fr,$rd" }.getOrElse("-"),
+      // 10th field since byte-based admission control: "-" = unknown
+      c.bytesAdded.map(_.toString).getOrElse("-"))
       .mkString("\t")
 
   private def readHistoryFile(): Seq[CommitInfo] =
@@ -2289,6 +2295,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
               if (pcs.isEmpty) Nil else pcs.split(',').toSeq.map(dec),
               nf.toLong, sz.toLong, rc.toLong, parseTxn(txn),
               parseMetrics(met)))
+          case Array(v, ts, op, pcs, nf, sz, rc, txn, met, ba) =>
+            Some(CommitInfo(v.toLong, dec(ts), dec(op),
+              if (pcs.isEmpty) Nil else pcs.split(',').toSeq.map(dec),
+              nf.toLong, sz.toLong, rc.toLong, parseTxn(txn),
+              parseMetrics(met),
+              if (ba == "-") None else ba.toLongOption))
           case _ => None
         }).toOption.flatten
       }.toSeq
@@ -2309,7 +2321,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     "version LONG, timestamp STRING, operation STRING, " +
       "partitionColumns ARRAY<STRING>, numFiles LONG, sizeInBytes LONG, " +
       "rowCount LONG, txn STRUCT<app: STRING, version: LONG>, " +
-      "metrics STRUCT<filesAdded: LONG, filesRemoved: LONG, rowDelta: LONG>, " +
+      "metrics STRUCT<filesAdded: LONG, filesRemoved: LONG, rowDelta: LONG, " +
+      "bytesAdded: LONG>, " +
       "files ARRAY<STRING>")
 
   /** All commit summaries, oldest first, served from the checkpoint file.
@@ -2342,7 +2355,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
               (t.getAs[String]("app"), t.getAs[Long]("version"))),
             Option(r.getAs[Row]("metrics")).map(m =>
               (m.getAs[Long]("filesAdded"), m.getAs[Long]("filesRemoved"),
-                m.getAs[Long]("rowDelta"))))
+                m.getAs[Long]("rowDelta"))),
+            Option(r.getAs[Row]("metrics")).flatMap(m =>
+              Option(m.getAs[java.lang.Long]("bytesAdded")).map(_.toLong)))
         }
       val all = (cached ++ folded).sortBy(_.version)
       writeAtomic(historyFile, all.map(histLine).mkString("\n"))
@@ -2786,9 +2801,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * reconstructing snapshots). filesAdded is −1 for commits from before
     * the metrics field existed; callers must treat −1 as unknown.
     */
-  private[graft] def commitPace(fromV: Long): Seq[(Long, Long)] =
+  private[graft] def commitPace(fromV: Long): Seq[(Long, Long, Long)] =
     historyRows.filter(_.version > fromV).sortBy(_.version)
-      .map(c => (c.version, c.metrics.map(_._1).getOrElse(-1L)))
+      .map(c => (c.version, c.metrics.map(_._1).getOrElse(-1L),
+        c.bytesAdded.getOrElse(-1L)))
 
   /** Change-data-feed between two logged versions (Delta's
     * `table_changes`): rows of `toV` vs `fromV` classified as
@@ -3759,13 +3775,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def readChangeStream(keys: Seq[String], startingVersion: Long = -1L,
                        maxVersionsPerTrigger: Long = -1L,
                        maxFilesPerTrigger: Long = -1L,
-                       startingTimestamp: String = null): DataFrame = {
+                       startingTimestamp: String = null,
+                       maxBytesPerTrigger: Long = -1L): DataFrame = {
     var r = spark.readStream.format("graft.streaming.CdfSourceProvider")
       .option("path", path).option("keys", keys.mkString(","))
     if (startingVersion >= 0) r = r.option("startingVersion", startingVersion.toString)
     if (startingTimestamp != null) r = r.option("startingTimestamp", startingTimestamp)
     if (maxVersionsPerTrigger >= 1) r = r.option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
     if (maxFilesPerTrigger >= 1) r = r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    if (maxBytesPerTrigger >= 1) r = r.option("maxBytesPerTrigger", maxBytesPerTrigger.toString)
     r.load()
   }
 
@@ -3782,13 +3800,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                         ignoreDeletes: Boolean = false,
                         ignoreChanges: Boolean = false,
                         skipChangeCommits: Boolean = false,
-                        initialSnapshot: Boolean = false): DataFrame = {
+                        initialSnapshot: Boolean = false,
+                        maxBytesPerTrigger: Long = -1L): DataFrame = {
     var r = spark.readStream.format("graft.streaming.TableSourceProvider")
       .option("path", path)
     if (startingVersion >= 0) r = r.option("startingVersion", startingVersion.toString)
     if (startingTimestamp != null) r = r.option("startingTimestamp", startingTimestamp)
     if (maxVersionsPerTrigger >= 1) r = r.option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
     if (maxFilesPerTrigger >= 1) r = r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    if (maxBytesPerTrigger >= 1) r = r.option("maxBytesPerTrigger", maxBytesPerTrigger.toString)
     if (ignoreDeletes) r = r.option("ignoreDeletes", "true")
     if (ignoreChanges) r = r.option("ignoreChanges", "true")
     if (skipChangeCommits) r = r.option("skipChangeCommits", "true")
@@ -4991,6 +5011,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       partitionCols, matchedCl.toSeq, notMatchedCl.toSeq, bySourceCl.toSeq,
       evolve, targetAlias, sourceAlias, vectored = true)
   }
+
+  /** One-statement snapshot sync (the `WHEN NOT MATCHED BY SOURCE`
+    * pattern packaged): make this table mirror `snapshot` exactly —
+    * matched keys update, new keys insert, keys the snapshot no longer
+    * carries delete. The CDC-less way to track an externally-refreshed
+    * table.
+    */
+  def syncFrom(snapshot: DataFrame, keys: Seq[String],
+               partitionCols: Seq[String] = Nil): Unit =
+    mergeBuilder(snapshot, keys, partitionCols)
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .whenNotMatchedBySourceDelete()
+      .execute()
 
   /** Entry point for the clause-family MERGE: collect WHEN clauses on the
     * returned builder, then `execute()` (copy-on-write) or

@@ -146,6 +146,27 @@ class TableStreamSpec extends SparkSpec {
     assert(total == 6L) // exactly once: no batch re-emits a commit
   }
 
+  test("maxBytesPerTrigger paces a backlog by commit bytes") {
+    val t = new ManagedTable(spark, tmpDir("ts-bytes") + "/t")
+    t.overwrite(Seq((0L, "seed")).toDF("k", "v"))
+    for (i <- 1 to 4) t.append(Seq((i.toLong, s"v$i")).toDF("k", "v"))
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    // cap below any single commit's bytes: always-make-progress admits
+    // exactly ONE commit per trigger → 5 single-commit batches
+    val q = t.readStreamAppends(startingVersion = 0, maxBytesPerTrigger = 1)
+      .writeStream.option("checkpointLocation", tmpDir("ts-bytes-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ks = b.select("k").as[Long].collect()
+        if (ks.nonEmpty) batches.add(ks.length.toLong)
+        ks.foreach(seen.add); ()
+      }.start()
+    q.awaitTermination(120000L)
+    assert((0L to 4L).forall(seen.contains) && seen.size == 5)
+    assert(batches.size == 5, s"expected one commit per batch, got $batches")
+  }
+
   test("restart resumes from the checkpoint, emitting appends made while down") {
     val dir = tmpDir("ts-restart")
     val t = new ManagedTable(spark, dir + "/t")

@@ -127,6 +127,14 @@ class MergeClauseSpec extends SparkSpec {
     assert(t.version == v0 + 1, "one commit for the whole clause family")
   }
 
+  test("syncFrom mirrors a snapshot in one statement") {
+    val t = tgt(tmpDir("mc-syncop"),
+      Seq((1L, "x", 1.0), (2L, "x", 2.0), (3L, "x", 3.0)))
+    t.syncFrom(Seq((2L, "y", 22.0), (9L, "y", 99.0))
+      .toDF("id", "status", "amount"), Seq("id"))
+    assert(content(t) == Set((2L, "y", 22.0), (9L, "y", 99.0)))
+  }
+
   test("partition-pruned clause merge only touches affected partitions") {
     val dir = tmpDir("mc-part")
     val t = new ManagedTable(spark, dir + "/t")
