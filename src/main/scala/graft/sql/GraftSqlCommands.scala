@@ -210,8 +210,11 @@ object GraftSqlCommands {
     override val output: Seq[Attribute] = attrs("path" -> StringType,
       "mode" -> StringType, "source_version" -> LongType)
     override def run(spark: SparkSession): Seq[Row] = {
-      val mv = new IncrementalAgg(spark, statePath,
-        new ManagedTable(spark, sourcePath), keys, sums)
+      val src = new ManagedTable(spark, sourcePath)
+      require(src.exists, s"CREATE MATERIALIZED VIEW: source $sourcePath " +
+        "does not exist — write it first (a view over an empty source has " +
+        "no state to build)")
+      val mv = new IncrementalAgg(spark, statePath, src, keys, sums)
       val mode = mv.refresh()
       Seq(Row(statePath, mode, mv.refreshedVersion))
     }
@@ -565,13 +568,20 @@ object GraftSqlCommands {
   private val MergePrefix = rx(s"""^\\s*MERGE\\s+(WITH\\s+SCHEMA\\s+EVOLUTION\\s+)?INTO\\s+$Tbl\\s*(?:AS\\s+)?(\\w+)?\\s+USING\\s+""")
   /** First index where one of `words` appears as a whole word OUTSIDE
     * single-quoted literals (doubled '' quotes toggle twice and stay
-    * closed) and, with `trackParens`, outside any parentheses — the SQL
-    * splitter a reluctant regex cannot be.
+    * closed), outside `CASE … END` expressions (whose internal WHEN/THEN
+    * must never split a MERGE clause), and, with `trackParens`, outside
+    * any parentheses — the SQL splitter a reluctant regex cannot be.
+    * Caveat: a bare unquoted column literally named `end` would
+    * mis-balance the CASE tracking; quote it.
     */
   private def indexOfTopLevel(s: String, words: Seq[String],
                               trackParens: Boolean = false): Int = {
-    var i = 0; var inQ = false; var depth = 0
+    var i = 0; var inQ = false; var depth = 0; var caseDepth = 0
     def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    def wordAt(i: Int, w: String): Boolean =
+      s.regionMatches(true, i, w, 0, w.length) &&
+        (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+        (i + w.length == s.length || !isWordChar(s.charAt(i + w.length)))
     while (i < s.length) {
       val c = s.charAt(i)
       // Spark's default (non-ANSI) parser also accepts backslash-escaped
@@ -581,13 +591,10 @@ object GraftSqlCommands {
       else if (c == '\'') inQ = !inQ
       else if (!inQ && trackParens && c == '(') depth += 1
       else if (!inQ && trackParens && c == ')') depth -= 1
-      else if (!inQ && depth == 0)
-        words.foreach { w =>
-          if (s.regionMatches(true, i, w, 0, w.length) &&
-              (i == 0 || !isWordChar(s.charAt(i - 1))) &&
-              (i + w.length == s.length || !isWordChar(s.charAt(i + w.length))))
-            return i
-        }
+      else if (!inQ && wordAt(i, "CASE")) { caseDepth += 1; i += 3 }
+      else if (!inQ && caseDepth > 0 && wordAt(i, "END")) { caseDepth -= 1; i += 2 }
+      else if (!inQ && depth == 0 && caseDepth == 0)
+        words.foreach { w => if (wordAt(i, w)) return i }
       i += 1
     }
     -1

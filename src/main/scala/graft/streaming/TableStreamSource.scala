@@ -43,7 +43,14 @@ private[streaming] object StreamCommon {
     table.commitPace(base).foreach { case (ver, fa, ba) =>
       if (!stop && ver <= cur) {
         val f = math.max(0L, fa)
-        val b = math.max(0L, ba)
+        // bytesAdded = -1 means a commit from before the metric existed:
+        // under a BYTE cap, unknown must ride ALONE (treat it as
+        // cap-exceeding), not as 0 — a legacy multi-TB backlog would
+        // otherwise drain in one unbounded batch, the exact blowup the
+        // option exists to prevent. File counts keep the documented
+        // conservative-toward-larger-batches -1→0 behavior (a stall-free
+        // default with no size blowup: files cap count, not volume).
+        val b = if (ba < 0) Long.MaxValue / 4 else ba
         val overV = maxVersions.exists(admitted >= _)
         val overF = maxFiles.exists(m => admitted > 0 && files + f > m)
         val overB = maxBytes.exists(m => admitted > 0 && bytes + b > m)
@@ -234,7 +241,17 @@ class TableStreamSource(sqlContext: SQLContext, path: String,
     // version offsets (incremental phase)
     def snapAdvance(pin: Long, delivered: Long): OffsetV2 = {
       val total = snapshotFiles(pin).size.toLong
-      val next = delivered + maxFiles.getOrElse(math.max(1L, total))
+      // a byte cap converts to a file cap through the snapshot's average
+      // file size (the manifest stores paths, not sizes — one history
+      // lookup instead of an fs.stat per file)
+      val bytesAsFiles = maxBytes.flatMap { mb =>
+        table.commitSummary(pin).collect {
+          case (nf, bytes) if nf > 0 && bytes > 0 =>
+            math.max(1L, mb / math.max(1L, bytes / nf))
+        }
+      }
+      val cap = (maxFiles.toSeq ++ bytesAsFiles).reduceOption(_ min _)
+      val next = delivered + cap.getOrElse(math.max(1L, total))
       if (next < total) SnapshotOffset(pin, next) else LongOffset(pin)
     }
     parsed match {

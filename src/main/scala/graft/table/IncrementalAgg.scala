@@ -109,7 +109,15 @@ final class IncrementalAgg(spark: SparkSession, statePath: String,
   def refresh(): String = {
     val to = source.version
     val from = refreshedVersion
-    if (to < 0 || to == from) return "noop"
+    if (to < 0 || to == from) {
+      // still record the definition: a state from before definitions were
+      // persisted (or a CREATE against an already-current source) must
+      // become reopenable by path alone, exactly what open()'s error
+      // message prescribes
+      if (state.exists && !state.properties.contains("graft.mv.source"))
+        state.setProperties(definition)
+      return "noop"
+    }
     val window = source.operationsBetween(from, to)
     // a state written by the pre-nnz schema can't be folded into — one
     // full recompute migrates it

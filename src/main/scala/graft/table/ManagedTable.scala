@@ -2148,10 +2148,19 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         // expired them. (Conservative over ALL retained dirs: a dir no
         // travelable version references is exactly what vacuumVersions
         // removes, so the remedy is the same either way.)
-        val retained = retainedDirsOnDisk.flatMap(d => listParquet(new Path(d)))
-          .map { case (p, l) => (fs.makeQualified(new Path(p)).toString, l) }
-        val matRetained = fileMeta(retained).collect {
-          case (f, m) if m.stats.contains(RowTracking.col) => f }
+        // direct footer reads, NOT fileMeta: the gate runs under the
+        // commit lock, where fileMeta would persist these foreign
+        // (retained-snapshot) paths into the stats sidecar — and a
+        // triggered compaction would fold the base down to ONLY them,
+        // discarding the live files' cached stats
+        val matRetained = {
+          import scala.collection.parallel.CollectionConverters._
+          val nc = statsColsNow
+          retainedDirsOnDisk.flatMap(d => listParquet(new Path(d)))
+            .par.collect { case (p, _)
+              if footerMeta(new Path(p), nc).stats.contains(RowTracking.col) =>
+                p }.seq
+        }
         require(matRetained.isEmpty,
           s"cannot drop row-tracking on $path: ${matRetained.size} retained " +
             "snapshot file(s) still carry the materialized id column and " +
@@ -2538,15 +2547,26 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(ckptSchema, conf)
-    fs.delete(p, false) // overwrite-on-retry
-    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter.builder(p)
+    // writeAtomic discipline (write tmp, then swap): an in-place
+    // delete+stream would leave a crash mid-write with NO sidecar while
+    // the pointer manifest still references it — every version folding
+    // through that checkpoint becomes unreconstructable. The remap path
+    // rewrites these historical sidecars, so the window is real.
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, p.getName + ".tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter.builder(tmp)
       .withConf(conf).withType(ckptSchema)
+      .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
       .withCompressionCodec(
         org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
       .build()
     val f = new org.apache.parquet.example.data.simple.SimpleGroupFactory(ckptSchema)
     try files.foreach(s => w.write(f.newGroup().append("path", s)))
     finally w.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"failed to publish checkpoint $p")
   }
 
   private[table] def readCheckpointParquet(p: Path): Seq[String] = {
@@ -2801,6 +2821,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * reconstructing snapshots). filesAdded is −1 for commits from before
     * the metrics field existed; callers must treat −1 as unknown.
     */
+  /** (numFiles, sizeInBytes) of logged version `v` — one history lookup
+    * (the paced initial snapshot derives a byte cap from it).
+    */
+  private[graft] def commitSummary(v: Long): Option[(Long, Long)] =
+    historyRows.find(_.version == v).map(c => (c.numFiles, c.sizeInBytes))
+
   private[graft] def commitPace(fromV: Long): Seq[(Long, Long, Long)] =
     historyRows.filter(_.version > fromV).sortBy(_.version)
       .map(c => (c.version, c.metrics.map(_._1).getOrElse(-1L),
@@ -3325,10 +3351,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def toPhysical(df: DataFrame): DataFrame = {
     val pairs = columnMappingPairs
     if (pairs.isEmpty) df
-    else pairs.foldLeft(df) { case (d, (l, p)) =>
-      if (d.columns.exists(_.equalsIgnoreCase(l))) d.withColumnRenamed(l, p)
-      else d
-    }
+    // ONE simultaneous projection, not a sequential rename fold: chained
+    // renames can make one pair's logical name equal another pair's
+    // physical name (b→c then a→b gives pairs (c,b),(b,a)), and renaming
+    // c→b first would collide with the live b before it renames to a
+    else df.select(df.columns.toSeq.map { c =>
+      pairs.collectFirst { case (l, p) if l.equalsIgnoreCase(c) =>
+        col(c).as(p) }.getOrElse(col(c))
+    }: _*)
   }
 
   /** True iff any declared CHECK constraint or generated-column
@@ -5069,8 +5099,17 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       // columns, so only a full `INSERT *` is provably in-bounds)
       def touchesPartitionCol(set: Option[Map[String, Column]]) = set.exists(
         _.keys.exists(k => partitionCols.exists(_.equalsIgnoreCase(k))))
+      // a source missing a partition column can still prune a merge with
+      // no insert clause: nothing new lands anywhere (UPDATE SET * keeps
+      // the target's value for source-absent columns, so rows never move
+      // partitions), and matchedParts alone bounds the affected set. With
+      // an insert clause the inserted rows' partitions are unknowable —
+      // full swap.
+      val srcHasParts = partitionCols.forall(pc =>
+        src.columns.exists(_.equalsIgnoreCase(pc)))
       val prunable = partitionCols.nonEmpty && !evolving &&
         bySource.isEmpty &&
+        (srcHasParts || notMatched.isEmpty) &&
         matched.forall {
           case Update(_, set) => !touchesPartitionCol(set)
           case _ => true
@@ -5083,11 +5122,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           bySource, targetAlias, sourceAlias), partitionCols, "MERGE")
       else {
         ensureBootstrapped()
-        val srcParts = src.select(partitionCols.map(col): _*).distinct()
         val matchedParts = tgt
           .join(src.select(keys.map(col): _*).distinct(), keys, "left_semi")
           .select(partitionCols.map(col): _*).distinct()
-        val affected = srcParts.union(matchedParts).distinct().localCheckpoint()
+        val affected = (if (srcHasParts)
+            src.select(partitionCols.map(col): _*).distinct()
+              .union(matchedParts).distinct()
+          else matchedParts).localCheckpoint()
         val merged = Merge.applyClauses(
           rowsInPartitions(tgt, affected, partitionCols), src, keys,
           matched, notMatched, bySource, targetAlias, sourceAlias)

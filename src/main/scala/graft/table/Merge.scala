@@ -159,6 +159,22 @@ object Merge {
     val tOnly = col("__t_present").isNotNull && col("__s_present").isNull
     val sOnly = col("__t_present").isNull && col("__s_present").isNotNull
     val dataCols = target.columns.filterNot(extraCols.contains).toSeq
+    // a typo'd assignment key would otherwise fall through to the
+    // keep-target-value default — a silent no-op update (or a null-filled
+    // insert); fail at plan time like Delta's resolution error
+    def checkAssigned(m: Option[Map[String, Column]], what: String): Unit =
+      m.foreach(_.keys.foreach(k =>
+        require(dataCols.exists(_.equalsIgnoreCase(k)),
+          s"$what names unknown target column '$k' " +
+            s"(columns: ${dataCols.mkString(", ")})")))
+    (matched ++ bySource).foreach {
+      case MergeClause.Update(_, set) => checkAssigned(set, "UPDATE SET")
+      case _ => ()
+    }
+    notMatched.foreach {
+      case MergeClause.Insert(_, values) => checkAssigned(values, "INSERT")
+      case _ => ()
+    }
     val tgtType = target.schema.map(f => f.name -> f.dataType).toMap
     val srcCols = source.columns.toSeq
     def srcCol(c: String): Option[String] =

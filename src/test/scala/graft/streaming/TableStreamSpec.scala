@@ -167,6 +167,41 @@ class TableStreamSpec extends SparkSpec {
     assert(batches.size == 5, s"expected one commit per batch, got $batches")
   }
 
+  test("legacy commits with unknown bytesAdded ride alone under a byte " +
+      "cap instead of draining unbounded") {
+    val dir = tmpDir("ts-legacy")
+    val t = new ManagedTable(spark, dir + "/t")
+    t.overwrite(Seq((0L, "seed")).toDF("k", "v"))
+    for (i <- 1 to 3) t.append(Seq((i.toLong, s"v$i")).toDF("k", "v"))
+    // simulate a pre-feature table: strip the 10th (bytesAdded) history
+    // field so every commit's byte size is unknown
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val hist = new org.apache.hadoop.fs.Path(dir + "/t._log/_history.txt")
+    val in = fs.open(hist)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val stripped = txt.split("\n").map(_.split("\t").take(9).mkString("\t"))
+      .mkString("\n")
+    val out = fs.create(hist, true)
+    try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = t.readStreamAppends(startingVersion = 0,
+        maxBytesPerTrigger = 1000L * 1000 * 1000)
+      .writeStream.option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ks = b.select("k").as[Long].collect()
+        if (ks.nonEmpty) batches.add(ks.length.toLong)
+        ks.foreach(seen.add); ()
+      }.start()
+    q.awaitTermination(120000L)
+    assert(seen.size == 4)
+    assert(batches.size == 4,
+      s"unknown-byte commits must be admitted one per batch, got $batches")
+  }
+
   test("restart resumes from the checkpoint, emitting appends made while down") {
     val dir = tmpDir("ts-restart")
     val t = new ManagedTable(spark, dir + "/t")

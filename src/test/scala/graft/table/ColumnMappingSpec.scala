@@ -66,6 +66,21 @@ class ColumnMappingSpec extends SparkSpec {
       == "fresh")
   }
 
+  test("chained renames (one pair's logical = another's physical) still " +
+      "write correctly") {
+    val t = new ManagedTable(spark, tmpDir("cm-chain") + "/t")
+    t.overwrite(Seq((1L, "A", 1.0)).toDF("a", "b", "c"))
+    t.enableColumnMapping()
+    t.renameColumn("b", "x") // pairs: (x, b)
+    t.renameColumn("a", "b") // pairs: (x, b), (b, a) — b is both sides
+    assert(t.read.columns.toSeq == Seq("b", "x", "c"))
+    t.append(Seq((2L, "B", 2.0)).toDF("b", "x", "c"))
+    assert(t.read.orderBy("b").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "A", 1.0), (2L, "B", 2.0)))
+    t.compact(numFiles = 1) // the rewrite path funnels toPhysical too
+    assert(t.read.count() == 2)
+  }
+
   test("DML, merge, and time travel speak logical names after a rename") {
     val t = new ManagedTable(spark, tmpDir("cm-dml") + "/t")
     t.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))

@@ -181,6 +181,59 @@ class MergeClauseSpec extends SparkSpec {
     assert(content(t) == Set((1L, "a", 1.0)))
   }
 
+  test("a typo'd SET or INSERT column fails loudly, never no-ops") {
+    val t = tgt(tmpDir("mc-typo"), Seq((1L, "a", 1.0)))
+    val src = Seq((1L, "b", 2.0)).toDF("id", "status", "amount")
+    val e1 = intercept[IllegalArgumentException] {
+      t.mergeBuilder(src, Seq("id"))
+        .whenMatchedUpdate(Map("amuont" -> "s.amount")).execute() }
+    assert(e1.getMessage.contains("amuont"))
+    val e2 = intercept[IllegalArgumentException] {
+      t.mergeBuilder(src, Seq("id"))
+        .whenNotMatchedInsert(Map("id" -> "s.id", "wrong" -> "s.amount"))
+        .execute() }
+    assert(e2.getMessage.contains("wrong"))
+  }
+
+  test("a source missing the partition column still prunes a matched-only " +
+      "merge; with an insert clause it takes the full swap") {
+    val t = new ManagedTable(spark, tmpDir("mc-nopart") + "/t")
+    t.overwrite(Seq((1L, "p1", 1.0), (2L, "p2", 2.0))
+      .toDF("id", "part", "amount"), Seq("part"))
+    val src = Seq((2L, 20.0)).toDF("id", "amt2") // no `part` column
+    t.mergeBuilder(src, Seq("id"), partitionCols = Seq("part"))
+      .whenMatchedUpdate(Map("amount" -> "s.amt2"), "s.amt2 > t.amount")
+      .execute()
+    assert(t.read.select("id", "part", "amount")
+      .as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "p1", 1.0), (2L, "p2", 20.0)))
+    // with an insert clause the inserted rows' partitions are unknowable
+    // from a part-less source — must still answer correctly (full swap)
+    val src2 = Seq((3L, 30.0)).toDF("id", "amt2")
+    t.mergeBuilder(src2, Seq("id"), partitionCols = Seq("part"))
+      .whenMatchedUpdate(Map("amount" -> "s.amt2"))
+      .whenNotMatchedInsert(Map("id" -> "s.id", "amount" -> "s.amt2",
+        "part" -> "'p9'"))
+      .execute()
+    assert(t.read.filter(col("id") === 3)
+      .select("part", "amount").as[(String, Double)].head() == ("p9", 30.0))
+  }
+
+  test("a CASE WHEN inside a SET expression parses through SQL MERGE") {
+    val dir = tmpDir("mc-case")
+    val t = new ManagedTable(spark, dir + "/t")
+    t.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+    import spark.implicits._
+    Seq((1L, "U", 100.0), (2L, "X", 200.0)).toDF("k", "op", "nv")
+      .createOrReplaceTempView("mc_case_src")
+    graft.sql.GraftSql.sql(spark,
+      s"MERGE INTO '${dir + "/t"}' t USING mc_case_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET " +
+        "v = CASE WHEN s.op = 'U' THEN s.nv ELSE t.v END")
+    assert(t.read.as[(Long, Double)].collect().toSet ==
+      Set((1L, 100.0), (2L, 20.0)))
+  }
+
   test("illegal clause shapes and empty builders are refused") {
     val t = tgt(tmpDir("mc-bad"), Seq((1L, "a", 1.0)))
     val src = Seq((1L, "b", 2.0)).toDF("id", "status", "amount")
