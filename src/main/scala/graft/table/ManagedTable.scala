@@ -537,6 +537,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     metas
   }
 
+  /** The stats/bloom key for a logical column name: footer stats are
+    * keyed by PHYSICAL names, so skipping keeps pruning after a
+    * metadata-only rename under column mapping.
+    */
+  private def physicalColName(c: String): String =
+    columnMappingPairs.collectFirst {
+      case (l, p) if l.equalsIgnoreCase(c) => p }.getOrElse(c)
+
   /** Live files whose [col min, col max] interval may intersect [lo, hi] —
     * manifest-level data skipping (Delta's per-file stats pruning): the
     * decision uses only the commit sidecar, no file is opened. Files with
@@ -545,7 +553,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def filesOverlapping(colName: String, lo: Any, hi: Any): (Seq[String], Seq[String]) = {
     val files = liveFilesQ()
     val metas = fileMeta(files)
-    val kept = overlapKept(files, metas, currentDv, colName, lo, hi)
+    val kept = overlapKept(files, metas, currentDv, physicalColName(colName), lo, hi)
     (kept, files.map(_._1))
   }
 
@@ -645,10 +653,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val files = liveFilesQ()
     val metas = fileMeta(files)
     val dv = currentDv
+    val statsCol = physicalColName(colName)
     def emptied(p: String): Boolean =
       dv.get(p).exists(_.length >= metas(p).rows)
     val kept = files.map(_._1).filterNot(emptied).filter { p =>
-      metas(p).stats.get(colName) match {
+      metas(p).stats.get(statsCol) match {
         case Some((_, _, _, nulls)) => nulls != 0L
         case None => true
       }
@@ -913,7 +922,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val metas = fileMeta(files)
     val dv = currentDv
     val keptSets = preds.map { case (c, lo, hi) =>
-      overlapKept(files, metas, dv, c, lo, hi).toSet }
+      overlapKept(files, metas, dv, physicalColName(c), lo, hi).toSet }
     val kept = keptSets.reduce(_ intersect _).toSeq.sorted
     if (kept.isEmpty) return read.filter(org.apache.spark.sql.functions.lit(false))
     val scan = scanKept(kept, dv)
@@ -927,9 +936,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val files = liveFilesQ()
     val metas = fileMeta(files)
     val dv = currentDv
+    val statsCol = physicalColName(colName)
     val kept = files.map(_._1).filter { p =>
       !dv.get(p).exists(_.length >= metas(p).rows) &&
-      !metas(p).stats.get(colName).exists(_._4 >= metas(p).rows)
+      !metas(p).stats.get(statsCol).exists(_._4 >= metas(p).rows)
     }
     if (kept.isEmpty) return read.filter(org.apache.spark.sql.functions.lit(false))
     scanKept(kept, currentDv)

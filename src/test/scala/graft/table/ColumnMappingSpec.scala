@@ -103,13 +103,16 @@ class ColumnMappingSpec extends SparkSpec {
     assert(t.readVersion(0).columns.contains("amount"))
   }
 
-  test("readWhere skipping degrades conservatively on a renamed column " +
-      "but still answers correctly") {
+  test("readWhere skipping still PRUNES on a renamed column (stats " +
+      "lookups translate through the mapping)") {
     val t = new ManagedTable(spark, tmpDir("cm-skip") + "/t")
     t.overwrite(Seq.tabulate(20)(i => (i.toLong, i * 1.0)).toDF("id", "v")
-      .repartitionByRange(4, col("id")))
+      .repartitionByRange(4, col("v")))
     t.enableColumnMapping()
     t.renameColumn("v", "value")
+    val (kept, all) = t.filesOverlapping("value", 5.0, 7.0)
+    assert(all.size == 4 && kept.size < all.size,
+      s"rename must not disable skipping: kept ${kept.size} of ${all.size}")
     val r = t.readWhere("value", 5.0, 7.0)
       .select("id").as[Long].collect().toSet
     assert(r == Set(5L, 6L, 7L))
