@@ -72,7 +72,8 @@ import graft.table.ManagedTable
 class CdfStreamSource(sqlContext: SQLContext, path: String,
                       keys: Seq[String], startingVersion: Long,
                       maxVersions: Option[Long], maxFiles: Option[Long],
-                      maxBytes: Option[Long] = None)
+                      maxBytes: Option[Long] = None,
+                      initialSnapshot: Boolean = false)
     extends Source with SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
@@ -98,13 +99,31 @@ class CdfStreamSource(sqlContext: SQLContext, path: String,
     * checkpointed offset, so nothing here can skip or replay a change;
     * the cap only bounds batch SIZE.
     */
+  /** The pinned snapshot's manifest, sorted — shared slice order across
+    * triggers and restarts (initialSnapshot mode only).
+    */
+  private val snapFilesMemo = scala.collection.mutable.Map.empty[Long, Seq[String]]
+  private def snapshotFiles(v: Long): Seq[String] =
+    snapFilesMemo.getOrElseUpdate(v, table.manifestFiles(v).sorted)
+
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val cur0 = table.version
     if (cur0 < 0) return null
     val cur = availableNowTarget.fold(cur0)(math.min(cur0, _))
-    val base = Option(start).map(toVersion).getOrElse(startingVersion)
-    LongOffset(StreamCommon.pacedEnd(table, base, cur, maxVersions,
-      maxFiles, maxBytes))
+    val parsed = Option(start).map(StreamCommon.parseOffset)
+    def snap(pin: Long, delivered: Long): OffsetV2 =
+      StreamCommon.snapAdvance(table, snapshotFiles(pin).size.toLong, pin,
+        delivered, maxFiles, maxBytes)
+    parsed match {
+      case None if initialSnapshot => snap(cur, 0L)
+      case Some(Left(so)) => snap(so.version, so.filesDelivered)
+      case Some(Right(base)) =>
+        LongOffset(StreamCommon.pacedEnd(table, base, cur, maxVersions,
+          maxFiles, maxBytes))
+      case None =>
+        LongOffset(StreamCommon.pacedEnd(table, startingVersion, cur,
+          maxVersions, maxFiles, maxBytes))
+    }
   }
 
   override def reportLatestOffset(): OffsetV2 = {
@@ -120,8 +139,35 @@ class CdfStreamSource(sqlContext: SQLContext, path: String,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val fromV = start.map(o => toVersion(o: OffsetV2)).getOrElse(startingVersion)
-    val toV = toVersion(end: OffsetV2)
+    val startParsed = start.map(o => StreamCommon.parseOffset(o: OffsetV2))
+    val endParsed = StreamCommon.parseOffset(end: OffsetV2)
+    // initial-snapshot mode: the first batches replay the pinned snapshot
+    // as `insert` rows — sorted-manifest slices with the pinned version's
+    // DVs applied — before the incremental diff phase (Delta's
+    // readChangeFeed-with-snapshot shape; also the only CDF start on a
+    // table whose early log was expired by retention)
+    val inSnapshot = (initialSnapshot && start.isEmpty) ||
+      startParsed.exists(_.isLeft)
+    if (inSnapshot) {
+      val fromIdx = startParsed.flatMap(_.left.toOption)
+        .map(_.filesDelivered).getOrElse(0L)
+      val pin = endParsed.fold(_.version, identity)
+      val all = snapshotFiles(pin)
+      val toIdx = endParsed.fold(_.filesDelivered, _ => all.size.toLong)
+      val slice = all.slice(fromIdx.toInt, toIdx.toInt)
+      val rows =
+        if (slice.isEmpty)
+          table.read.filter(org.apache.spark.sql.functions.lit(false))
+        else table.readFileSubset(pin, slice)
+      val out = rows
+        .withColumn("change_type", org.apache.spark.sql.functions.lit("insert"))
+        .withColumn("graft_commit_version",
+          org.apache.spark.sql.functions.lit(pin))
+      return org.apache.spark.sql.GraftBridge.asStreaming(
+        out.select(schema.fieldNames.map(col).toSeq: _*))
+    }
+    val fromV = startParsed.flatMap(_.toOption).getOrElse(startingVersion)
+    val toV = endParsed.fold(_.version, identity)
     val diff = table.changes(fromV, toV, keys)
       .filter(col("change_type") =!= "unchanged")
       .withColumn("graft_commit_version",
@@ -144,7 +190,7 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
   private case class Params(path: String, keys: Seq[String],
       startV: Option[Long], startTs: Option[String],
       maxVersions: Option[Long], maxFiles: Option[Long],
-      maxBytes: Option[Long])
+      maxBytes: Option[Long], initialSnapshot: Boolean)
 
   private def params(parameters: Map[String, String]): Params = {
     val path = parameters.getOrElse("path",
@@ -161,9 +207,14 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
     val startTs = parameters.get("startingTimestamp")
     require(startV.isEmpty || startTs.isEmpty,
       "startingVersion and startingTimestamp are mutually exclusive")
+    val snap = parameters.get("initialSnapshot")
+      .exists(_.trim.equalsIgnoreCase("true"))
+    require(!snap || (startV.isEmpty && startTs.isEmpty),
+      "initialSnapshot replaces startingVersion/startingTimestamp: the " +
+        "first batches ARE the current snapshot (as inserts)")
     Params(path, keys, startV, startTs,
       posLong("maxVersionsPerTrigger"), posLong("maxFilesPerTrigger"),
-      posLong("maxBytesPerTrigger"))
+      posLong("maxBytesPerTrigger"), snap)
   }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
@@ -189,7 +240,7 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
     val resolved = StreamCommon.resolveStart(sqlContext.sparkSession,
       metadataPath, "graft-cdf-start", t, p.startV, p.startTs)
     new CdfStreamSource(sqlContext, p.path, p.keys, resolved,
-      p.maxVersions, p.maxFiles, p.maxBytes)
+      p.maxVersions, p.maxFiles, p.maxBytes, p.initialSnapshot)
   }
 }
 

@@ -61,6 +61,37 @@ private[streaming] object StreamCommon {
     math.max(v, base)
   }
 
+  /** Offset decode shared by the snapshot-capable sources:
+    * `Right(version)` for a fully-delivered-through-version offset,
+    * `Left(progress)` for an initial snapshot still being delivered.
+    */
+  def parseOffset(o: OffsetV2): Either[SnapshotOffset, Long] = o match {
+    case s: SnapshotOffset => Left(s)
+    case s: SerializedOffset =>
+      SnapshotOffset.parse(s.json).toLeft(toVersion(s))
+    case other => Right(toVersion(other))
+  }
+
+  /** Advance an in-progress initial snapshot by one admission-capped
+    * slice: `total` files at the pinned version, `delivered` already out.
+    * A byte cap converts to a file cap through the snapshot's average
+    * file size (one history lookup, no per-file stat). Returns the plain
+    * version offset once the snapshot completes.
+    */
+  def snapAdvance(table: ManagedTable, total: Long, pin: Long,
+                  delivered: Long, maxFiles: Option[Long],
+                  maxBytes: Option[Long]): OffsetV2 = {
+    val bytesAsFiles = maxBytes.flatMap { mb =>
+      table.commitSummary(pin).collect {
+        case (nf, bytes) if nf > 0 && bytes > 0 =>
+          math.max(1L, mb / math.max(1L, bytes / nf))
+      }
+    }
+    val cap = (maxFiles.toSeq ++ bytesAsFiles).reduceOption(_ min _)
+    val next = delivered + cap.getOrElse(math.max(1L, total))
+    if (next < total) SnapshotOffset(pin, next) else LongOffset(pin)
+  }
+
   /** Resolve the stream's exclusive lower-bound version. Explicit
     * `startingVersion` / `startingTimestamp` win; otherwise "latest" is
     * resolved ONCE and pinned in the stream's metadata dir — a restart
@@ -221,15 +252,8 @@ class TableStreamSource(sqlContext: SQLContext, path: String,
   private def snapshotFiles(v: Long): Seq[String] =
     snapFilesMemo.getOrElseUpdate(v, table.manifestFiles(v).sorted)
 
-  /** Offset decode: `Right(version)` for a fully-delivered-through-version
-    * offset, `Left(progress)` for a snapshot still being delivered.
-    */
-  private def parseOffset(o: OffsetV2): Either[SnapshotOffset, Long] = o match {
-    case s: SnapshotOffset => Left(s)
-    case s: SerializedOffset =>
-      SnapshotOffset.parse(s.json).toLeft(StreamCommon.toVersion(s))
-    case other => Right(StreamCommon.toVersion(other))
-  }
+  private def parseOffset(o: OffsetV2): Either[SnapshotOffset, Long] =
+    StreamCommon.parseOffset(o)
 
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val cur0 = table.version
@@ -239,21 +263,9 @@ class TableStreamSource(sqlContext: SQLContext, path: String,
     // snapshot phase: advance by maxFilesPerTrigger slices until the
     // pinned version's manifest is fully delivered, then switch to plain
     // version offsets (incremental phase)
-    def snapAdvance(pin: Long, delivered: Long): OffsetV2 = {
-      val total = snapshotFiles(pin).size.toLong
-      // a byte cap converts to a file cap through the snapshot's average
-      // file size (the manifest stores paths, not sizes — one history
-      // lookup instead of an fs.stat per file)
-      val bytesAsFiles = maxBytes.flatMap { mb =>
-        table.commitSummary(pin).collect {
-          case (nf, bytes) if nf > 0 && bytes > 0 =>
-            math.max(1L, mb / math.max(1L, bytes / nf))
-        }
-      }
-      val cap = (maxFiles.toSeq ++ bytesAsFiles).reduceOption(_ min _)
-      val next = delivered + cap.getOrElse(math.max(1L, total))
-      if (next < total) SnapshotOffset(pin, next) else LongOffset(pin)
-    }
+    def snapAdvance(pin: Long, delivered: Long): OffsetV2 =
+      StreamCommon.snapAdvance(table, snapshotFiles(pin).size.toLong, pin,
+        delivered, maxFiles, maxBytes)
     parsed match {
       case None if initialSnapshot => snapAdvance(cur, 0L)
       case Some(Left(snap)) => snapAdvance(snap.version, snap.filesDelivered)

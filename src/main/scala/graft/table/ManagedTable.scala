@@ -3816,9 +3816,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                        maxVersionsPerTrigger: Long = -1L,
                        maxFilesPerTrigger: Long = -1L,
                        startingTimestamp: String = null,
-                       maxBytesPerTrigger: Long = -1L): DataFrame = {
+                       maxBytesPerTrigger: Long = -1L,
+                       initialSnapshot: Boolean = false): DataFrame = {
     var r = spark.readStream.format("graft.streaming.CdfSourceProvider")
       .option("path", path).option("keys", keys.mkString(","))
+    if (initialSnapshot) r = r.option("initialSnapshot", "true")
     if (startingVersion >= 0) r = r.option("startingVersion", startingVersion.toString)
     if (startingTimestamp != null) r = r.option("startingTimestamp", startingTimestamp)
     if (maxVersionsPerTrigger >= 1) r = r.option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import graft.table.ManagedTable
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Streaming change-data-feed over a managed table: per-commit diffs with
   * version-number offsets, including merge-on-read (deletion-vector)
@@ -159,6 +160,39 @@ class CdfStreamSpec extends SparkSpec {
       val rows = seen.asScala.toSet
       assert(rows == Set((2L, 1L), (3L, 2L), (4L, 3L)))
     } finally q2.stop()
+  }
+
+  test("initialSnapshot: the snapshot replays as paced insert batches " +
+      "(DVs applied, expired early log OK), then diffs flow") {
+    val dir = tmpDir("cdf-snap")
+    val t = new ManagedTable(spark, dir + "/t")
+    t.setProperties(Map("graft.manifest.checkpointInterval" -> "1"))
+    t.overwrite(Seq.tabulate(6)(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(6, col("k")))
+    t.deleteVectored(col("k") === 4)
+    t.cleanupLog(t.version) // a startingVersion-0 replay is now impossible
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, String)]()
+    def start() = t.readChangeStream(Seq("k"), initialSnapshot = true,
+        maxFilesPerTrigger = 2)
+      .writeStream.option("checkpointLocation", dir + "/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select("k", "change_type")
+          .as[(Long, String)].collect()
+        if (rows.nonEmpty) batches.add(rows.length.toLong)
+        rows.foreach(seen.add); ()
+      }.start()
+    val q = start()
+    q.processAllAvailable()
+    // snapshot: 5 live rows (k=4 deleted) as inserts, in >= 3 paced batches
+    assert(seen.asScala.toSet ==
+      Set(0L, 1L, 2L, 3L, 5L).map(k => (k, "insert")), seen)
+    assert(batches.size >= 3, s"snapshot must be paced, got $batches")
+    // incremental phase: an update flows as a diff
+    t.updateVectored(col("k") === 1, Map("v" -> lit("V1")))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.asScala.exists { case (k, ct) => k == 1L && ct == "update" })
   }
 
   test("startingTimestamp starts at the first commit at or after the timestamp") {
