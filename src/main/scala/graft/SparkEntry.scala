@@ -307,17 +307,16 @@ object SparkEntry {
         .orderBy("d1", "d2")
     }),
     "q27a_simhash_verified" -> ((s, d) => {
-      // SimHash's verification half under the same oracle: 8×8-bit
-      // pigeonhole blocking (recall 1 GUARANTEED through hamming 7 —
-      // the corpus' J >= 0.8 pairs sit at hamming <= 5; maxDist = 64
-      // disables the distance cut), then exact Jaccard >= 0.8, which
-      // must therefore equal the exact all-pairs answer; the hamming
-      // values themselves (q27) stay engine-specific. 8-bit chunks keep
-      // 256 bucket values per position — 4-bit chunks (16 values) made
-      // the candidate join quadratic at sf0.1 (measured 108 s)
+      // SimHash's verification half under the same oracle: multi-index
+      // single-bit probing (Dedup.simhashPairsProbing — recall 1
+      // GUARANTEED through hamming 7; the corpus' J >= 0.8 pairs sit at
+      // hamming <= 5), then exact Jaccard >= 0.8, which must therefore
+      // equal the exact all-pairs answer; the hamming values themselves
+      // (q27) stay engine-specific. Probing keeps 16-bit bucket keys —
+      // narrow-chunk pigeonhole blocking went hot-bucket quadratic at
+      // sf0.1 (8-bit chunks: 5.1M candidates, 52 s)
       val docs = Tables.documents(s, d)
-      val cands = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 64,
-        chunks = 8)
+      val cands = Dedup.simhashPairsProbing(docs, "doc_id", "text")
       Dedup.verifyJaccardPairs(docs, "doc_id", "text", cands, n = 3,
           minJaccard = 0.8)
         .orderBy("d1", "d2")

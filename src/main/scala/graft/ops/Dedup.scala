@@ -536,6 +536,45 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** SimHash candidates by multi-index single-bit probing (the HmSearch
+    * family): block on each 16-bit signature chunk exactly AND on every
+    * single-bit flip of it. A pair within Hamming distance 7 has some
+    * chunk differing in ≤ 1 bit (pigeonhole over 4 chunks: all-≥2 would
+    * mean distance ≥ 8), and distance-≤1 chunks collide by construction —
+    * recall 1 through distance 7 while bucket keys keep the full 16-bit
+    * value space. This is the WIDE-radius scale path: relaxing
+    * [[simhashPairs]] to narrower chunks widens its guarantee but
+    * collapses the key space (8-bit chunks measured 5.1M candidate pairs
+    * on 5k docs — hot common-byte buckets go quadratic); probing pays a
+    * fixed 17× probe-row fanout instead, never a hot-value blowup.
+    */
+  def simhashPairsProbing(docs: DataFrame, idCol: String, textCol: String,
+                          maxDist: Int = 7): DataFrame = {
+    require(maxDist <= 7,
+      "4×16-bit chunks with 1-bit probes guarantee recall only through " +
+        s"Hamming distance 7, got $maxDist")
+    val sh = simhash(docs, idCol, textCol)
+    val exact = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(ci => struct(lit(ci).as("ci"),
+        shiftright(col("simhash"), ci * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*))
+        .as("e"))
+      .select(col("doc_id"), col("simhash"), col("e.ci"), col("e.cv"))
+    // probe rows: the exact chunk value plus its 16 single-bit flips; a
+    // distance-1 chunk pair collides through EITHER side's flip, so the
+    // one-directional d1 < d2 cut below loses no pair
+    val probes = exact.select(col("doc_id").as("d1"),
+        col("simhash").as("sig1"), col("ci"),
+        explode(concat(array(col("cv")),
+          expr("transform(sequence(0, 15), j -> cv ^ shiftleft(1L, j))")))
+          .as("cv"))
+    probes.join(exact, Seq("ci", "cv"))
+      .filter(col("d1") < col("doc_id"))
+      .select(col("d1"), col("doc_id").as("d2"),
+        bit_count(col("sig1").bitwiseXOR(col("simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup over
     * an embedding store: assign every vector to its nearest centroid,
     * compute pairwise cosine ONLY within each cluster, and drop a vector

@@ -715,8 +715,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     import spark.implicits._
     val rowsTotal = metas.values.map(_.rows).sum
     val nFiles = files.size.toLong
+    // stats are keyed by PHYSICAL names: surface logical ones (and hide
+    // mapped-away DROP COLUMN victims) so the report matches what a user
+    // of the table can actually query
+    val droppedSet = droppedPhysicalCols.map(_.toLowerCase).toSet
+    val p2l = columnMappingPairs.map { case (l, p) => p.toLowerCase -> l }.toMap
     val cols = metas.values.flatMap(_.stats.keys).toSeq.distinct.sorted
       .filterNot(_ == RowTracking.col) // internal sentinel, not a user column
+      .filterNot(c => droppedSet(c.toLowerCase))
     val out = cols.map { c =>
       val per = files.map(f => metas(f._1).stats.get(c))
       val known = per.flatten
@@ -751,7 +757,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         val ns = per.map(_.map(_._4).getOrElse(-1L))
         if (ns.exists(_ < 0)) None else Some(ns.sum)
       }
-      (c,
+      (p2l.getOrElse(c.toLowerCase, c),
         bounds.map(_._1).getOrElse(if (known.nonEmpty) "n" else ""),
         bounds.map(_._2), bounds.map(_._3),
         nulls, rowsTotal, nFiles, known.size.toLong)

@@ -14,6 +14,33 @@ class DedupSpec extends SparkSpec {
     (5L, "short")
   ).toDF("doc_id", "text")
 
+  test("simhashPairsProbing finds every pair through hamming 7 that " +
+      "chunk blocking provably can't") {
+    import spark.implicits._
+    // near-dup docs whose simhashes differ in >3 bits spread over all four
+    // 16-bit chunks defeat plain 4-chunk pigeonhole blocking; probing's
+    // guarantee reaches hamming 7
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tail variation one two"),
+      (3L, "completely different content about weather patterns in spring"))
+      .toDF("doc_id", "text")
+    val probing = Dedup.simhashPairsProbing(docs, "doc_id", "text")
+      .select("d1", "d2", "hamming").as[(Long, Long, Long)].collect().toSet
+    // ground truth: all pairs' exact hamming
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val all = for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 7
+    } yield (a, b, h.toLong)
+    assert(probing == all.toSet, s"probing=$probing truth=${all.toSet}")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairsProbing(docs, "doc_id", "text", maxDist = 8) }
+    assert(e.getMessage.contains("distance 7"))
+  }
+
   test("exact dedup groups normalized duplicates") {
     val d = Dedup.exact(docs, "doc_id", "text").collect()
     assert(d.length == 4) // 1&3 collapse

@@ -118,6 +118,16 @@ class ColumnMappingSpec extends SparkSpec {
     assert(r == Set(5L, 6L, 7L))
   }
 
+  test("columnStats reports logical names and hides dropped columns") {
+    val t = new ManagedTable(spark, tmpDir("cm-stats") + "/t")
+    t.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "note", "amt"))
+    t.enableColumnMapping()
+    t.renameColumn("amt", "amount")
+    t.dropColumn("note")
+    val cols = t.columnStats().select("col_name").as[String].collect().toSet
+    assert(cols == Set("id", "amount"), cols)
+  }
+
   test("type widening composes with mapping (override keyed physical)") {
     val t = new ManagedTable(spark, tmpDir("cm-widen") + "/t")
     t.overwrite(Seq((1, "a"), (2, "b")).toDF("n", "s"))
