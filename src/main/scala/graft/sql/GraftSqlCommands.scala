@@ -571,12 +571,15 @@ object GraftSqlCommands {
     * closed), outside `CASE … END` expressions (whose internal WHEN/THEN
     * must never split a MERGE clause), and, with `trackParens`, outside
     * any parentheses — the SQL splitter a reluctant regex cannot be.
-    * Caveat: a bare unquoted column literally named `end` would
-    * mis-balance the CASE tracking; quote it.
+    * Backtick-quoted identifiers are opaque (so columns named `case` /
+    * `end` / `when` parse when quoted, Spark's own escape hatch); a BARE
+    * column literally named case or end would mis-balance the CASE
+    * tracking — backquote it.
     */
   private def indexOfTopLevel(s: String, words: Seq[String],
                               trackParens: Boolean = false): Int = {
-    var i = 0; var inQ = false; var depth = 0; var caseDepth = 0
+    var i = 0; var inQ = false; var inBt = false
+    var depth = 0; var caseDepth = 0
     def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
     def wordAt(i: Int, w: String): Boolean =
       s.regionMatches(true, i, w, 0, w.length) &&
@@ -588,12 +591,14 @@ object GraftSqlCommands {
       // quotes ('don\'t'); skip the escaped char while in a literal so the
       // quote state doesn't invert and swallow a real top-level keyword
       if (inQ && c == '\\' && i + 1 < s.length) i += 1
-      else if (c == '\'') inQ = !inQ
-      else if (!inQ && trackParens && c == '(') depth += 1
-      else if (!inQ && trackParens && c == ')') depth -= 1
-      else if (!inQ && wordAt(i, "CASE")) { caseDepth += 1; i += 3 }
-      else if (!inQ && caseDepth > 0 && wordAt(i, "END")) { caseDepth -= 1; i += 2 }
-      else if (!inQ && depth == 0 && caseDepth == 0)
+      else if (!inBt && c == '\'') inQ = !inQ
+      else if (!inQ && c == '`') inBt = !inBt
+      else if (inQ || inBt) ()
+      else if (trackParens && c == '(') depth += 1
+      else if (trackParens && c == ')') depth -= 1
+      else if (wordAt(i, "CASE")) { caseDepth += 1; i += 3 }
+      else if (caseDepth > 0 && wordAt(i, "END")) { caseDepth -= 1; i += 2 }
+      else if (depth == 0 && caseDepth == 0)
         words.foreach { w => if (wordAt(i, w)) return i }
       i += 1
     }
@@ -916,14 +921,16 @@ object GraftSqlCommands {
   /** Split `s` on top-level (outside quotes/parens) commas. */
   private def splitTopLevelCommas(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
-    var i = 0; var start = 0; var inQ = false; var depth = 0
+    var i = 0; var start = 0; var inQ = false; var inBt = false; var depth = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (inQ && c == '\\' && i + 1 < s.length) i += 1
-      else if (c == '\'') inQ = !inQ
-      else if (!inQ && c == '(') depth += 1
-      else if (!inQ && c == ')') depth -= 1
-      else if (!inQ && depth == 0 && c == ',') { out += s.substring(start, i); start = i + 1 }
+      else if (!inBt && c == '\'') inQ = !inQ
+      else if (!inQ && c == '`') inBt = !inBt
+      else if (inQ || inBt) ()
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && c == ',') { out += s.substring(start, i); start = i + 1 }
       i += 1
     }
     out += s.substring(start)
@@ -953,7 +960,12 @@ object GraftSqlCommands {
     def stripQualifier(c: String): String = {
       val t = c.trim
       val dot = t.lastIndexOf('.')
-      (if (dot >= 0) t.substring(dot + 1) else t).trim
+      val bare = (if (dot >= 0) t.substring(dot + 1) else t).trim
+      // assignment TARGETS are plain column names: unwrap backquoting
+      // (used to shield names like `case` from the CASE tracker)
+      if (bare.length >= 2 && bare.head == '`' && bare.last == '`')
+        bare.substring(1, bare.length - 1)
+      else bare
     }
     def parseAssignments(txt: String): Seq[(String, String)] =
       splitTopLevelCommas(txt).map { a =>

@@ -74,10 +74,11 @@ class CdfStreamSource(sqlContext: SQLContext, path: String,
                       maxVersions: Option[Long], maxFiles: Option[Long],
                       maxBytes: Option[Long] = None,
                       initialSnapshot: Boolean = false)
-    extends Source with SupportsTriggerAvailableNow {
+    extends Source with SupportsTriggerAvailableNow with SnapshotPhase {
 
   private val spark = sqlContext.sparkSession
   private def table = new ManagedTable(spark, path)
+  override protected def snapshotTable: ManagedTable = table
 
   override val schema: StructType = CdfSourceProvider.cdfSchema(spark, path)
 
@@ -99,24 +100,15 @@ class CdfStreamSource(sqlContext: SQLContext, path: String,
     * checkpointed offset, so nothing here can skip or replay a change;
     * the cap only bounds batch SIZE.
     */
-  /** The pinned snapshot's manifest, sorted — shared slice order across
-    * triggers and restarts (initialSnapshot mode only).
-    */
-  private val snapFilesMemo = scala.collection.mutable.Map.empty[Long, Seq[String]]
-  private def snapshotFiles(v: Long): Seq[String] =
-    snapFilesMemo.getOrElseUpdate(v, table.manifestFiles(v).sorted)
-
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val cur0 = table.version
     if (cur0 < 0) return null
     val cur = availableNowTarget.fold(cur0)(math.min(cur0, _))
     val parsed = Option(start).map(StreamCommon.parseOffset)
-    def snap(pin: Long, delivered: Long): OffsetV2 =
-      StreamCommon.snapAdvance(table, snapshotFiles(pin).size.toLong, pin,
-        delivered, maxFiles, maxBytes)
     parsed match {
-      case None if initialSnapshot => snap(cur, 0L)
-      case Some(Left(so)) => snap(so.version, so.filesDelivered)
+      case None if initialSnapshot => snapAdvance(cur, 0L, maxFiles, maxBytes)
+      case Some(Left(so)) =>
+        snapAdvance(so.version, so.filesDelivered, maxFiles, maxBytes)
       case Some(Right(base)) =>
         LongOffset(StreamCommon.pacedEnd(table, base, cur, maxVersions,
           maxFiles, maxBytes))
@@ -149,12 +141,7 @@ class CdfStreamSource(sqlContext: SQLContext, path: String,
     val inSnapshot = (initialSnapshot && start.isEmpty) ||
       startParsed.exists(_.isLeft)
     if (inSnapshot) {
-      val fromIdx = startParsed.flatMap(_.left.toOption)
-        .map(_.filesDelivered).getOrElse(0L)
-      val pin = endParsed.fold(_.version, identity)
-      val all = snapshotFiles(pin)
-      val toIdx = endParsed.fold(_.filesDelivered, _ => all.size.toLong)
-      val slice = all.slice(fromIdx.toInt, toIdx.toInt)
+      val (pin, slice) = snapshotSlice(startParsed, endParsed)
       val rows =
         if (slice.isEmpty)
           table.read.filter(org.apache.spark.sql.functions.lit(false))

@@ -72,26 +72,6 @@ private[streaming] object StreamCommon {
     case other => Right(toVersion(other))
   }
 
-  /** Advance an in-progress initial snapshot by one admission-capped
-    * slice: `total` files at the pinned version, `delivered` already out.
-    * A byte cap converts to a file cap through the snapshot's average
-    * file size (one history lookup, no per-file stat). Returns the plain
-    * version offset once the snapshot completes.
-    */
-  def snapAdvance(table: ManagedTable, total: Long, pin: Long,
-                  delivered: Long, maxFiles: Option[Long],
-                  maxBytes: Option[Long]): OffsetV2 = {
-    val bytesAsFiles = maxBytes.flatMap { mb =>
-      table.commitSummary(pin).collect {
-        case (nf, bytes) if nf > 0 && bytes > 0 =>
-          math.max(1L, mb / math.max(1L, bytes / nf))
-      }
-    }
-    val cap = (maxFiles.toSeq ++ bytesAsFiles).reduceOption(_ min _)
-    val next = delivered + cap.getOrElse(math.max(1L, total))
-    if (next < total) SnapshotOffset(pin, next) else LongOffset(pin)
-  }
-
   /** Resolve the stream's exclusive lower-bound version. Explicit
     * `startingVersion` / `startingTimestamp` win; otherwise "latest" is
     * resolved ONCE and pinned in the stream's metadata dir — a restart
@@ -156,6 +136,71 @@ private[streaming] object SnapshotOffset {
   def parse(json: String): Option[SnapshotOffset] = json.trim match {
     case Rx(v, f) => Some(SnapshotOffset(v.toLong, f.toLong))
     case _ => None
+  }
+}
+
+/** The initial-snapshot delivery machinery shared by both managed-table
+  * stream sources: the pinned version's sorted manifest (memoized — the
+  * pin never moves mid-snapshot), slice bounds from the offset pair, and
+  * admission-capped slice advancement. Byte caps use the stats sidecar's
+  * cached per-file lengths (exact even on size-skewed snapshots — an
+  * average-size conversion would let one jumbo file blow past the cap),
+  * with the commit's average size as the fallback for uncached paths.
+  */
+private[streaming] trait SnapshotPhase {
+  protected def snapshotTable: ManagedTable
+
+  private val snapFilesMemo = scala.collection.mutable.Map.empty[Long, Seq[String]]
+  protected def snapshotFiles(v: Long): Seq[String] =
+    snapFilesMemo.getOrElseUpdate(v, snapshotTable.manifestFiles(v).sorted)
+
+  private var snapLengthsMemo: Option[Map[String, Long]] = None
+  private def snapLengths: Map[String, Long] = snapLengthsMemo match {
+    case Some(m) => m
+    case None =>
+      val m = snapshotTable.sidecarLengths; snapLengthsMemo = Some(m); m
+  }
+
+  /** (pin, slice) for a snapshot getBatch: files [fromIdx, toIdx) of the
+    * pinned version's sorted manifest.
+    */
+  protected def snapshotSlice(
+      startParsed: Option[Either[SnapshotOffset, Long]],
+      end: Either[SnapshotOffset, Long]): (Long, Seq[String]) = {
+    val fromIdx = startParsed.flatMap(_.left.toOption)
+      .map(_.filesDelivered).getOrElse(0L)
+    val pin = end.fold(_.version, identity)
+    val all = snapshotFiles(pin)
+    val toIdx = end.fold(_.filesDelivered, _ => all.size.toLong)
+    (pin, all.slice(fromIdx.toInt, toIdx.toInt))
+  }
+
+  /** Advance the snapshot by one admission-capped slice; the plain
+    * version offset once it completes. At least one file always admits
+    * (the always-make-progress rule).
+    */
+  protected def snapAdvance(pin: Long, delivered: Long,
+      maxFiles: Option[Long], maxBytes: Option[Long]): OffsetV2 = {
+    val all = snapshotFiles(pin)
+    val total = all.size.toLong
+    val next =
+      if (maxFiles.isEmpty && maxBytes.isEmpty) total
+      else {
+        val avg = snapshotTable.commitSummary(pin).collect {
+          case (nf, bytes) if nf > 0 && bytes > 0 =>
+            math.max(1L, bytes / nf) }.getOrElse(1L)
+        val lens = if (maxBytes.isDefined) snapLengths else Map.empty[String, Long]
+        var i = delivered; var nf = 0L; var bytes = 0L; var stop = false
+        while (i < total && !stop) {
+          val len = lens.getOrElse(all(i.toInt), avg)
+          val overF = maxFiles.exists(m => nf + 1 > m)
+          val overB = maxBytes.exists(m => nf > 0 && bytes + len > m)
+          if (overF || overB) stop = true
+          else { nf += 1; bytes += len; i += 1 }
+        }
+        math.max(i, delivered + 1)
+      }
+    if (next < total) SnapshotOffset(pin, next) else LongOffset(pin)
   }
 }
 
@@ -230,10 +275,11 @@ class TableStreamSource(sqlContext: SQLContext, path: String,
                         skipChangeCommits: Boolean,
                         initialSnapshot: Boolean = false,
                         maxBytes: Option[Long] = None)
-    extends Source with SupportsTriggerAvailableNow {
+    extends Source with SupportsTriggerAvailableNow with SnapshotPhase {
 
   private val spark = sqlContext.sparkSession
   private def table = new ManagedTable(spark, path)
+  override protected def snapshotTable: ManagedTable = table
 
   override val schema: StructType = TableSourceProvider.tableSchema(spark, path)
 
@@ -244,14 +290,6 @@ class TableStreamSource(sqlContext: SQLContext, path: String,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  /** The pinned snapshot's manifest, sorted (deterministic slice order
-    * across triggers AND restarts). Memoized per version — the pin never
-    * moves mid-snapshot, so at most one entry is live.
-    */
-  private val snapFilesMemo = scala.collection.mutable.Map.empty[Long, Seq[String]]
-  private def snapshotFiles(v: Long): Seq[String] =
-    snapFilesMemo.getOrElseUpdate(v, table.manifestFiles(v).sorted)
-
   private def parseOffset(o: OffsetV2): Either[SnapshotOffset, Long] =
     StreamCommon.parseOffset(o)
 
@@ -260,15 +298,13 @@ class TableStreamSource(sqlContext: SQLContext, path: String,
     if (cur0 < 0) return null
     val cur = availableNowTarget.fold(cur0)(math.min(cur0, _))
     val parsed = Option(start).map(parseOffset)
-    // snapshot phase: advance by maxFilesPerTrigger slices until the
+    // snapshot phase: advance by admission-capped slices until the
     // pinned version's manifest is fully delivered, then switch to plain
     // version offsets (incremental phase)
-    def snapAdvance(pin: Long, delivered: Long): OffsetV2 =
-      StreamCommon.snapAdvance(table, snapshotFiles(pin).size.toLong, pin,
-        delivered, maxFiles, maxBytes)
     parsed match {
-      case None if initialSnapshot => snapAdvance(cur, 0L)
-      case Some(Left(snap)) => snapAdvance(snap.version, snap.filesDelivered)
+      case None if initialSnapshot => snapAdvance(cur, 0L, maxFiles, maxBytes)
+      case Some(Left(snap)) =>
+        snapAdvance(snap.version, snap.filesDelivered, maxFiles, maxBytes)
       case Some(Right(base)) =>
         LongOffset(StreamCommon.pacedEnd(table, base, cur, maxVersions,
           maxFiles, maxBytes))
@@ -309,12 +345,7 @@ class TableStreamSource(sqlContext: SQLContext, path: String,
     val inSnapshot = (initialSnapshot && start.isEmpty) ||
       startParsed.exists(_.isLeft)
     if (inSnapshot) {
-      val fromIdx = startParsed.flatMap(_.left.toOption)
-        .map(_.filesDelivered).getOrElse(0L)
-      val pin = endParsed.fold(_.version, identity)
-      val all = snapshotFiles(pin)
-      val toIdx = endParsed.fold(_.filesDelivered, _ => all.size.toLong)
-      val slice = all.slice(fromIdx.toInt, toIdx.toInt)
+      val (pin, slice) = snapshotSlice(startParsed, endParsed)
       val out =
         if (slice.isEmpty) t.read.filter(org.apache.spark.sql.functions.lit(false))
         else t.readFileSubset(pin, slice)

@@ -2564,10 +2564,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       spark.sparkContext.hadoopConfiguration)
     org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(ckptSchema, conf)
     // writeAtomic discipline (write tmp, then swap): an in-place
-    // delete+stream would leave a crash mid-write with NO sidecar while
-    // the pointer manifest still references it — every version folding
-    // through that checkpoint becomes unreconstructable. The remap path
-    // rewrites these historical sidecars, so the window is real.
+    // delete+stream would expose a crash window as long as the WRITE
+    // itself, during which the pointer manifest references a missing
+    // sidecar. The swap narrows that to the same delete→rename instant
+    // writeAtomic accepts everywhere else in the log (new checkpoints
+    // rename onto nothing and are fully atomic; only the remap path's
+    // in-place rewrite ever takes the delete branch). A failed rename
+    // deletes its tmp — no orphan accretes in the log dir.
     fs.mkdirs(p.getParent)
     val tmp = new Path(p.getParent, p.getName + ".tmp-" +
       java.util.UUID.randomUUID().toString.take(8))
@@ -2581,8 +2584,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     try files.foreach(s => w.write(f.newGroup().append("path", s)))
     finally w.close()
     if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
       throw new java.io.IOException(s"failed to publish checkpoint $p")
+    }
   }
 
   private[table] def readCheckpointParquet(p: Path): Seq[String] = {
@@ -2842,6 +2847,17 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   private[graft] def commitSummary(v: Long): Option[(Long, Long)] =
     historyRows.find(_.version == v).map(c => (c.numFiles, c.sizeInBytes))
+
+  /** Cached per-file byte lengths from the stats sidecar (base +
+    * segments) — every committed file is recorded there, so byte-exact
+    * snapshot pacing needs no per-file fs.stat; files absent from the
+    * cache fall back to the commit's average size at the caller.
+    */
+  private[graft] def sidecarLengths: Map[String, Long] =
+    (readSidecarFile(sidecarBase) ++
+      sidecarSegments.foldLeft(Map.empty[String, (Long, FileMeta)])(
+        (m, s) => m ++ readSidecarFile(s)))
+      .map { case (p, (len, _)) => p -> len }
 
   private[graft] def commitPace(fromV: Long): Seq[(Long, Long, Long)] =
     historyRows.filter(_.version > fromV).sortBy(_.version)
@@ -3344,9 +3360,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   /** Physical→logical projection at the top of every scan: dropped
     * physical columns vanish, renamed ones surface under their logical
     * name. A plain select+alias, so Catalyst pushes pruning and filters
-    * straight through it; file-stat skipping keyed by PHYSICAL names
-    * degrades to conservative keeps for renamed columns (correct, just
-    * unpruned — a rewrite re-keys the stats).
+    * straight through it; file-stat skipping stays effective on renamed
+    * columns because the readWhere-family lookups translate the logical
+    * predicate name through [[physicalColName]] before touching the
+    * sidecar.
     */
   private def mapToLogical(df: DataFrame): DataFrame = {
     val pairs = columnMappingPairs

@@ -126,6 +126,15 @@ class GraftSqlSpec extends SparkSpec {
       "MERGE INTO '/w/t' t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *")
     assert(upd.exists { case m: MergeIntoGraftCommand =>
       m.clauses == Seq(MergeWhen("matched", "update_all", None)) })
+    // a column named `case` parses when backquoted (the CASE tracker
+    // treats backtick-quoted identifiers as opaque); the assignment
+    // target unwraps to the bare name
+    val bq = parse(
+      "MERGE INTO '/w/t' t USING s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET `case` = s.`case`")
+    assert(bq.exists { case m: MergeIntoGraftCommand =>
+      m.clauses == Seq(MergeWhen("matched", "update", None,
+        Seq("case" -> "s.`case`"))) }, bq)
   }
 
   test("SQL MERGE clause family end-to-end: CDC apply in one statement") {
