@@ -301,8 +301,12 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
           eq => eq)).cast("double") / numHashes).as("est_sim"))
-      .dropDuplicates("d1", "d2")
+      // filter BEFORE the dedup shuffle: est_sim is a pure function of the
+      // pair (identical whichever band emitted it), so pre-filtering
+      // changes nothing semantically and the distinct only shuffles pairs
+      // that can survive
       .filter(col("est_sim") >= minEstSim)
+      .dropDuplicates("d1", "d2")
   }
 
   /** Exact-Jaccard verification of a CANDIDATE pair set — the second half
