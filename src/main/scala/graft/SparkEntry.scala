@@ -1455,6 +1455,30 @@ object SparkEntry {
       graft.streaming.EventStreaming.hourlyDistinctUsers(Tables.events(s, d))
         .orderBy("window_start")),
 
+    "q140_sql_mv" -> ((s, d) => {
+      // materialized view lifecycle through SQL alone (CREATE/REFRESH
+      // MATERIALIZED VIEW -> IncrementalAgg): build the view over a
+      // managed orders table, append a delta, REFRESH incrementally
+      // (only the new files are read), read the view back via
+      // IncrementalAgg.open — values must equal a plain GROUP BY over
+      // the final source in DuckDB
+      val wh = java.nio.file.Files.createTempDirectory("graft-sqlmv").toString
+      val src = s"$wh/src"; val mv = s"$wh/mv"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      new graft.table.ManagedTable(s, src)
+        .overwrite(o.filter(col("o_orderkey") % 4 =!= 0))
+      graft.sql.GraftSql.sql(s,
+        s"CREATE MATERIALIZED VIEW '$mv' ON '$src' " +
+          "GROUP BY (o_orderstatus) SUM (o_totalprice)")
+      new graft.table.ManagedTable(s, src)
+        .append(o.filter(col("o_orderkey") % 4 === 0))
+      graft.sql.GraftSql.sql(s, s"REFRESH MATERIALIZED VIEW '$mv'")
+      graft.table.IncrementalAgg.open(s, mv).read
+        .select(col("o_orderstatus").cast("string").as("o_orderstatus"),
+          col("cnt"), col("sum_o_totalprice"), col("avg_o_totalprice"))
+        .orderBy("o_orderstatus")
+    }),
     "q139_column_mapping" -> ((s, d) => {
       // column mapping (ManagedTable.enableColumnMapping, Delta's
       // columnMapping.mode=name): RENAME + DROP COLUMN as metadata edits
@@ -2648,6 +2672,16 @@ object SparkEntry {
       """SELECT n_nationkey, n_name,
            CASE WHEN n_nationkey < 10 THEN n_regionkey END AS region
          FROM nation ORDER BY n_nationkey""",
+    // q140: the SQL-driven MV equals a one-shot GROUP BY over the final
+    // source (DECIMAL running sums make the schedule irrelevant)
+    "q140_sql_mv" ->
+      """SELECT CAST(o_orderstatus AS VARCHAR) AS o_orderstatus,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) AS avg_o_totalprice
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
     // q139: rename/drop are pure metadata — the data answers as if the
     // pipeline ran over the original names
     "q139_column_mapping" ->

@@ -60,7 +60,8 @@ object GraftSqlCommands {
     "partitionColumns" -> ArrayType(StringType),
     "numFiles" -> LongType, "sizeInBytes" -> LongType,
     "rowCount" -> LongType, "filesAdded" -> LongType,
-    "filesRemoved" -> LongType, "rowDelta" -> LongType)
+    "filesRemoved" -> LongType, "rowDelta" -> LongType,
+    "bytesAdded" -> LongType)
 
   /** Output schema of DESCRIBE DETAIL — mirrors [[ManagedTable.detail]]. */
   private[sql] val detailAttrs: Seq[Attribute] = attrs(

@@ -2473,12 +2473,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "version LONG, timestamp STRING, operation STRING, " +
         "partitionColumns ARRAY<STRING>, numFiles LONG, sizeInBytes LONG, " +
-        "rowCount LONG, filesAdded LONG, filesRemoved LONG, rowDelta LONG")
+        "rowCount LONG, filesAdded LONG, filesRemoved LONG, rowDelta LONG, " +
+        "bytesAdded LONG")
     val rows = historyRows.sortBy(-_.version).take(n).map(c =>
       Row(c.version, c.timestamp, c.operation, c.partitionColumns,
         c.numFiles, c.sizeInBytes, c.rowCount,
         c.metrics.map(_._1).orNull, c.metrics.map(_._2).orNull,
-        c.metrics.map(_._3).orNull))
+        c.metrics.map(_._3).orNull, c.bytesAdded.orNull))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
@@ -3020,6 +3021,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       fs.delete(new Path(logDir, f"v$v%05d.json"), false)
       fs.delete(ckptParquetPath(v), false)
       fs.delete(dvFile(v), false)
+    }
+    // reap crash-orphaned atomic-write tmp files (".tmp-" suffixed):
+    // every log writer holds the commit lock this method also holds, so
+    // any tmp present now is a dead writer's leftover, never in-flight
+    fs.listStatus(logDir).foreach { st =>
+      if (st.isFile && st.getPath.getName.contains(".tmp-"))
+        fs.delete(st.getPath, false)
     }
   }
 
