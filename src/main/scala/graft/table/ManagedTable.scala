@@ -3022,11 +3022,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       fs.delete(ckptParquetPath(v), false)
       fs.delete(dvFile(v), false)
     }
-    // reap crash-orphaned atomic-write tmp files (".tmp-" suffixed):
-    // every log writer holds the commit lock this method also holds, so
-    // any tmp present now is a dead writer's leftover, never in-flight
+    // reap crash-orphaned checkpoint-sidecar tmp files. ONLY those: their
+    // writers (commit, remap, drop-feature) all hold the commit lock this
+    // method also holds, so any such tmp present now is a dead writer's
+    // leftover. Other log tmps can be live WITHOUT the lease — the
+    // history self-heal writeAtomics _history.txt from pure read paths —
+    // and reaping one mid-rename would destroy the file it was publishing
     fs.listStatus(logDir).foreach { st =>
-      if (st.isFile && st.getPath.getName.contains(".tmp-"))
+      if (st.isFile && st.getPath.getName.contains(".checkpoint.parquet.tmp-"))
         fs.delete(st.getPath, false)
     }
   }
