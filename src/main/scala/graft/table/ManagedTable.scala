@@ -5105,7 +5105,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   /** Entry point for the clause-family MERGE: collect WHEN clauses on the
     * returned builder, then `execute()` (copy-on-write) or
     * `executeVectored()` (merge-on-read). Precondition as for [[merge]]:
-    * at most one source row per key.
+    * at most one source row per key. Like the classic merge paths (and
+    * unlike plain [[append]]'s conform), declared GENERATED columns are
+    * not computed for inserted rows a source omits — they insert null;
+    * compute them in the source projection when they matter.
     */
   def mergeBuilder(source: DataFrame, keys: Seq[String],
       partitionCols: Seq[String] = Nil,
