@@ -824,7 +824,7 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_shipdate")
       t.overwrite(li.repartitionByRange(8, col("l_shipdate"))
         .sortWithinPartitions("l_shipdate"))
-      t.addBloomIndex("l_orderkey", expectedItemsPerFile = 200000L, fpp = 0.01)
+      t.addBloomIndex("l_orderkey") // auto-sized from the files' row counts
       t.readPoint("l_orderkey", 1L)
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
         .orderBy("l_linenumber")

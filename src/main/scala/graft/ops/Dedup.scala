@@ -536,8 +536,8 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** SimHash candidates by multi-index single-bit probing (the HmSearch
@@ -575,8 +575,8 @@ object Dedup {
       .filter(col("d1") < col("doc_id"))
       .select(col("d1"), col("doc_id").as("d2"),
         bit_count(col("sig1").bitwiseXOR(col("simhash"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup over

@@ -871,10 +871,13 @@ object GraftSqlCommands {
     val onM = rx("""^\s*(?:AS\s+)?(\w+)?\s*\bON\b""").matcher(afterSource)
     if (!onM.find()) fail("missing ON clause")
     val afterOn = afterSource.substring(onM.end())
-    val whenM = rx("""\bWHEN\b""").matcher(afterOn)
-    if (!whenM.find()) fail("missing WHEN clause")
-    val condText = afterOn.substring(0, whenM.start())
-    val whenText = afterOn.substring(whenM.start())
+    // quote/CASE-aware like the clause splitter below: an ON condition is
+    // currently key equalities only, but a string literal containing
+    // 'WHEN' must never split the statement mid-literal
+    val whenIdx = indexOfTopLevel(afterOn, Seq("WHEN"), trackParens = true)
+    if (whenIdx < 0) fail("missing WHEN clause")
+    val condText = afterOn.substring(0, whenIdx)
+    val whenText = afterOn.substring(whenIdx)
     val keys = condText.split("(?i)\\bAND\\b").toSeq.map { eq =>
       val km = KeyEquality.matcher(eq)
       if (!km.matches())

@@ -720,9 +720,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // of the table can actually query
     val droppedSet = droppedPhysicalCols.map(_.toLowerCase).toSet
     val p2l = columnMappingPairs.map { case (l, p) => p.toLowerCase -> l }.toMap
-    val cols = metas.values.flatMap(_.stats.keys).toSeq.distinct.sorted
+    // sort by the LOGICAL name the report displays, not the physical key
+    // the stats are stored under — after a rename they differ
+    val cols = metas.values.flatMap(_.stats.keys).toSeq.distinct
       .filterNot(_ == RowTracking.col) // internal sentinel, not a user column
       .filterNot(c => droppedSet(c.toLowerCase))
+      .sortBy(c => p2l.getOrElse(c.toLowerCase, c))
     val out = cols.map { c =>
       val per = files.map(f => metas(f._1).stats.get(c))
       val known = per.flatten
@@ -1011,8 +1014,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * new files as part of the commit. Restricted to string / integral /
     * date columns so the probe key provably matches the build key (see
     * [[BloomIndex.keyOf]]).
+    *
+    * `expectedItemsPerFile = 0` (the default) sizes the filters from the
+    * table itself: the max per-file row count in the stats sidecar. An
+    * explicit size is for tables whose files are about to grow (e.g. a
+    * compaction target) — oversizing silently multiplies every filter's
+    * bits and the probe's deserialization cost by the same factor.
     */
-  def addBloomIndex(colName: String, expectedItemsPerFile: Long = 100000L,
+  def addBloomIndex(colName: String, expectedItemsPerFile: Long = 0L,
                     fpp: Double = 0.01): Unit = withCommitLock {
     requireMaterialized("addBloomIndex")
     // under the lease: the declaration write, the build and any rollback
@@ -1041,9 +1050,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         s"bloom index on ${dt.simpleString} is unsupported (string cast is " +
           "not round-trippable); index string/integral/date columns")
     }
+    // auto-size from the actual live layout: the sidecar knows every live
+    // file's row count (fileMeta reads footers only for unseen files), so
+    // the declared capacity tracks what the files really hold instead of a
+    // copy-pasted guess. Floor at 1024 so a near-empty table still gets a
+    // usable filter for its first real writes.
+    val items =
+      if (expectedItemsPerFile > 0) expectedItemsPerFile
+      else {
+        val rows = fileMeta(liveFilesQ()).values.map(_.rows)
+        math.max(1024L, if (rows.isEmpty) 100000L else rows.max)
+      }
     val before = bloomDecls
     writeBloomDecls(before + (colName ->
-      (expectedItemsPerFile, fpp, field.dataType.simpleString)))
+      (items, fpp, field.dataType.simpleString)))
     // build THIS column now and loudly; a failed build must not leave a
     // poisoned declaration behind that every later commit trips over
     try {
@@ -1051,7 +1071,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         .map { case (p, _) => fs.makeQualified(new Path(p)).toString }
       val dir = bloomColDir(colName)
       BloomIndex.build(spark, fs, BloomIndex.unindexed(fs, dir, live),
-        colName, expectedItemsPerFile, fpp, dir)
+        colName, items, fpp, dir)
       BloomIndex.dropStale(fs, dir, live)
       ensureFeature("bloom-index", reader = false)
     } catch {
@@ -2206,8 +2226,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         require(!columnMappingEnabled && columnMappingPairs.isEmpty &&
             droppedPhysicalCols.isEmpty,
           s"cannot drop column-mapping on $path: the mapping is still in " +
-            "use — unset graft.columnMapping and rewrite the table " +
-            "(overwrite) so files carry logical names, then retry")
+            "use — run disableColumnMapping() (one locked rewrite to " +
+            "logical names that clears the mapping), then retry")
       // the remaining writer features gate metadata a feature-less build
       // would silently violate — droppable only once that metadata is gone
       case "check-constraints" =>
@@ -3010,11 +3030,17 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // into a full checkpoint in place, which left a crash window (the
     // atomic-overwrite delete+rename gap) where the only checkpoint at or
     // below the horizon was missing and every later reconstruction broke.
+    // a parquet-pointer manifest anchors the horizon only if its sidecar
+    // actually EXISTS: a remap crash between the sidecar's delete and
+    // rename can leave the pointer dangling, and anchoring on it would
+    // delete every earlier manifest while reconstruction at the anchor
+    // itself is broken — same conservatism as the inline-JSON path
     var horizon = beforeV
     while (horizon > 0 && {
         val txt = manifestText(horizon)
         jsonStringArray(txt, "files").isEmpty &&
-          jsonString(txt, "filesParquet").isEmpty
+          !jsonString(txt, "filesParquet").exists(name =>
+            fs.exists(new Path(logDir, name)))
       })
       horizon -= 1
     (0L until horizon).foreach { v =>
@@ -3345,6 +3371,37 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     ensureFeature("column-mapping", reader = true)
   }
 
+  // set only inside disableColumnMapping's rewrite: the snapshot being
+  // written already carries LOGICAL names and must not be re-translated
+  private var bypassPhysicalMapping = false
+
+  /** Turn the mapping OFF: materialize the current logical snapshot,
+    * rewrite the table so the files themselves carry logical names
+    * (dead dropped-column data is reclaimed by the rewrite), then clear
+    * the mode flag, the mapping and the dropped list — one locked
+    * operation. Ordering is crash-safe: the rewrite lands FIRST, and
+    * stale mapping properties over logical-named files are inert for
+    * reads (no physical name matches), so a crash before the property
+    * clear is healed by simply running this again. Once it returns,
+    * `dropTableFeature("column-mapping")` succeeds and a build without
+    * the feature reads the table correctly.
+    */
+  def disableColumnMapping(): Unit = withCommitLock {
+    ensureBootstrapped()
+    if (!columnMappingEnabled && columnMappingPairs.isEmpty &&
+        droppedPhysicalCols.isEmpty) return
+    requireMaterialized("disableColumnMapping")
+    // pin the LOGICAL rows before touching anything: the rewrite below
+    // must not re-read through a half-cleared mapping
+    val snap = read.localCheckpoint()
+    val pcs = loggedPartitionCols(version)
+    bypassPhysicalMapping = true
+    try replaceWith(snap, pcs, "DISABLE COLUMN MAPPING")
+    finally bypassPhysicalMapping = false
+    unsetProperties(Seq(
+      "graft.columnMapping", "graft.schema.mapping", "graft.schema.dropped"))
+  }
+
   /** (logical, physical) pairs for columns whose names diverge — absent
     * columns map identically. Percent-encoded like every property value.
     */
@@ -3393,13 +3450,35 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * generations.
     */
   private def toPhysical(df: DataFrame): DataFrame = {
+    if (bypassPhysicalMapping) return df
     val pairs = columnMappingPairs
-    if (pairs.isEmpty) df
+    val dropped = droppedPhysicalCols
+    if (pairs.isEmpty && dropped.isEmpty) return df
+    // a passthrough column (one with no logical→physical pair) must not
+    // land on a dropped or renamed-away PHYSICAL name still present in
+    // old files: the write would succeed, but reads would hide it
+    // (dropped) or surface it under the OTHER pair's logical name
+    // (renamed-away). addColumns remaps exactly this clash to a fresh
+    // physical name; the full-schema write paths reject instead and point
+    // the caller there.
+    val logical = pairs.map(_._1.toLowerCase).toSet
+    val mappedAway = pairs.map(_._2.toLowerCase).toSet
+    val droppedSet = dropped.map(_.toLowerCase).toSet
+    df.columns.foreach { c =>
+      val lc = c.toLowerCase
+      if (!logical(lc) && (droppedSet(lc) || mappedAway(lc)))
+        throw new IllegalArgumentException(
+          s"column $c collides with a ${
+            if (droppedSet(lc)) "dropped" else "renamed-away"} physical " +
+            "column still present in this table's files; reintroduce it " +
+            "with addColumns / ALTER TABLE ADD COLUMNS (which maps it to " +
+            "a fresh physical name) instead of writing it directly")
+    }
     // ONE simultaneous projection, not a sequential rename fold: chained
     // renames can make one pair's logical name equal another pair's
     // physical name (b→c then a→b gives pairs (c,b),(b,a)), and renaming
     // c→b first would collide with the live b before it renames to a
-    else df.select(df.columns.toSeq.map { c =>
+    df.select(df.columns.toSeq.map { c =>
       pairs.collectFirst { case (l, p) if l.equalsIgnoreCase(c) =>
         col(c).as(p) }.getOrElse(col(c))
     }: _*)

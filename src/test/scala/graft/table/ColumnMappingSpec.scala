@@ -170,6 +170,58 @@ class ColumnMappingSpec extends SparkSpec {
     assert(t.read.columns.toSeq == Seq("id", "comment"))
   }
 
+  test("full-schema writes reject columns colliding with dropped or " +
+      "renamed-away physical names") {
+    val t = new ManagedTable(spark, tmpDir("cm-clash") + "/t")
+    t.overwrite(Seq((1L, "x", 1.0)).toDF("id", "note", "amt"))
+    t.enableColumnMapping()
+    t.renameColumn("note", "comment")
+    // a fresh column named like the renamed-away PHYSICAL name would land
+    // physical and silently surface as `comment` on every read
+    val e1 = intercept[IllegalArgumentException] {
+      t.overwrite(Seq((1L, "y", "z")).toDF("id", "comment", "note"))
+    }
+    assert(e1.getMessage.contains("renamed-away"))
+    t.dropColumn("comment")
+    // same-named reintroduction of a dropped column would be hidden by
+    // the dropped-physical exclusion on every read
+    val e2 = intercept[IllegalArgumentException] {
+      t.overwrite(Seq((1L, "fresh")).toDF("id", "note"))
+    }
+    assert(e2.getMessage.contains("dropped"))
+    // the sanctioned route maps the reintroduced name to a fresh physical
+    t.addColumns("note STRING")
+    assert(t.read.columns.toSeq == Seq("id", "amt", "note"))
+    assert(t.read.select("note").filter(col("note").isNotNull).count() == 0)
+  }
+
+  test("disableColumnMapping rewrites to logical names and clears the " +
+      "mapping in one operation") {
+    val p = tmpDir("cm-off") + "/t"
+    val t = new ManagedTable(spark, p)
+    t.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "note", "amt"))
+    t.enableColumnMapping()
+    t.renameColumn("note", "comment")
+    t.dropColumn("amt")
+    t.disableColumnMapping()
+    assert(!t.columnMappingEnabled)
+    assert(!t.properties.contains("graft.schema.mapping"))
+    assert(!t.properties.contains("graft.schema.dropped"))
+    assert(t.read.columns.toSeq == Seq("id", "comment"))
+    assert(t.read.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // the FILES now carry the logical name (and the dead dropped data is
+    // physically reclaimed): a raw feature-less parquet read agrees
+    val raw = spark.read.parquet(p)
+    assert(raw.columns.sorted.toSeq == Seq("comment", "id"))
+    // and the reader feature is finally droppable
+    t.dropTableFeature("column-mapping")
+    assert(!t.protocol._1.contains("column-mapping"))
+    // idempotent on an unmapped table
+    t.disableColumnMapping()
+    assert(t.read.count() == 2)
+  }
+
   test("partition columns and constraint-referenced columns stay refused") {
     val t = new ManagedTable(spark, tmpDir("cm-ref") + "/t")
     t.overwrite(Seq((1L, "p1", 1.0)).toDF("id", "part", "amt"), Seq("part"))

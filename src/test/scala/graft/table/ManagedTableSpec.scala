@@ -925,6 +925,17 @@ class ManagedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](d.addBloomIndex("x"))
   }
 
+  test("bloom index auto-sizes from the live files' actual row counts") {
+    val t = freshTable("mt-bloom-auto")
+    t.overwrite(spark.range(0, 40000).selectExpr("id as k",
+      "pmod(id * 2654435761L, 40000L) as u").repartition(8))
+    t.addBloomIndex("u") // no explicit size: 40k rows / 8 files = 5k each
+    val (items, _) = t.bloomIndexes("u")
+    assert(items >= 4000L && items <= 6000L,
+      s"auto-sized capacity $items should track the ~5000-row files")
+    assert(t.readPoint("u", 1234L).count() == 1)
+  }
+
   test("bloom probe keys canonicalize through the column type") {
     // a raw toString probe ("0042", " 42 ", int vs long) must not read as
     // a definite bloom miss and silently prune files the exact filter

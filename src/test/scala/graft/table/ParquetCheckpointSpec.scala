@@ -106,4 +106,31 @@ class ParquetCheckpointSpec extends SparkSpec {
       s"expired parquet checkpoints left behind: $staleCkpts")
     assert(t.read.count() == 6) // head still serves
   }
+  test("cleanupLog refuses to anchor on a pointer manifest whose sidecar " +
+      "is missing") {
+    val dir = tmpDir("pc-dangle")
+    val t = mk(dir)
+    for (i <- 1 to 5) t.append(Seq((i.toLong, s"v$i")).toDF("k", "v"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val log = new org.apache.hadoop.fs.Path(dir + "/t._log")
+    // simulate the remap delete->rename crash window on the v2 checkpoint:
+    // the pointer manifest stays, its sidecar is gone
+    val dangling = new org.apache.hadoop.fs.Path(log, "v00002.checkpoint.parquet")
+    assert(fs.exists(dangling), "test setup: v2 should be a parquet checkpoint")
+    fs.delete(dangling, false)
+    // horizon request 3 walks back: v3 delta, v2 DANGLING pointer -- the
+    // guard must fall through to the intact v0 checkpoint and delete
+    // nothing, instead of anchoring on v2 and deleting v0/v1
+    t.cleanupLog(3L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(log, "v00000.json")),
+      "v0 manifest deleted while the v2 anchor's sidecar is missing")
+    assert(t.readVersion(1L).count() == 2)
+    assert(t.read.count() == 6)
+    // an INTACT later checkpoint still anchors normally
+    t.cleanupLog(5L) // rounds down to the intact v4
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(log, "v00000.json")))
+    assert(t.readVersion(4L).count() == 5)
+    assert(t.read.count() == 6)
+  }
 }
