@@ -2,7 +2,7 @@ package graft.table
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, expr, lit}
+import org.apache.spark.sql.functions.{broadcast, col, expr, lit, when}
 
 /** A managed Parquet table directory emulating the reference's Delta-table
   * capability surface (SURVEY.md §7.4): overwrite/append/partitioned writes,
@@ -544,6 +544,18 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def physicalColName(c: String): String =
     columnMappingPairs.collectFirst {
       case (l, p) if l.equalsIgnoreCase(c) => p }.getOrElse(c)
+
+  /** Physical column names surfaced under their logical names — the
+    * inverse of [[physicalColName]], identity without a mapping. Used so
+    * partition columns flow through the code in LOGICAL space (matching
+    * the frames every operator sees) and translate to physical only at
+    * the disk boundaries: `partitionBy`, dir-string construction, and the
+    * manifest's partitionColumns record.
+    */
+  private def toLogicalCols(cols: Seq[String]): Seq[String] = {
+    val p2l = columnMappingPairs.map { case (l, p) => p.toLowerCase -> l }.toMap
+    cols.map(c => p2l.getOrElse(c.toLowerCase, c))
+  }
 
   /** Live files whose [col min, col max] interval may intersect [lo, hi] —
     * manifest-level data skipping (Delta's per-file stats pruning): the
@@ -1539,7 +1551,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     try {
       val w = toPhysical(df).write.mode(SaveMode.Overwrite)
       withMicrosTs {
-        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp.toString)
+        (if (partitionCols.nonEmpty)
+          w.partitionBy(partitionCols.map(physicalColName): _*)
+        else w).parquet(tmp.toString)
       }
       // read the staged files' footers NOW — leaseless on the optimistic
       // paths — keyed by their FUTURE live path (file length is
@@ -1627,10 +1641,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * must not be re-marked or re-matched).
     */
   private def dvScanWithMeta(prev: Map[String, Array[Long]]): DataFrame = {
-    // mapping applied BEFORE the metadata columns: user predicates over
-    // the scan speak logical names (AddMetadataColumns resolves
-    // _metadata through the aliasing projection)
-    val scan = mapToLogical(spark.read.parquet(path).drop(RowTracking.col))
+    // the full parquetScan (not a bare spark.read.parquet): declared
+    // extras and type widenings must surface here too, or a MOR DML after
+    // a metadata-only ADD COLUMNS would silently operate on the narrow
+    // schema. Mapping applied BEFORE the metadata columns: user
+    // predicates over the scan speak logical names (AddMetadataColumns
+    // resolves _metadata through the aliasing projection)
+    val scan = parquetScan(spark.read, Seq(path))
       .withColumn("__dv_file", col("_metadata.file_path"))
       .withColumn("__dv_idx", col("_metadata.row_index"))
     if (prev.isEmpty) scan
@@ -1714,7 +1731,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     remapFiles(moved)
     val w = toPhysical(replacement).write.mode(SaveMode.Append)
     withMicrosTs {
-      (if (pcs.nonEmpty) w.partitionBy(pcs: _*) else w).parquet(path)
+      (if (pcs.nonEmpty) w.partitionBy(pcs.map(physicalColName): _*)
+       else w).parquet(path)
     }
     commit(operation, pcs)
   }
@@ -1771,7 +1789,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // when the param is empty (an overwrite TO unpartitioned writes files
     // at the root, so the inference correctly records Nil there).
     val partitionCols =
-      if (partitionCols0.nonEmpty) partitionCols0
+      // record PHYSICAL names whatever space the caller passed: the log
+      // entry must match the `col=` dir segments across logical renames
+      if (partitionCols0.nonEmpty) partitionCols0.map(physicalColName)
       else files.headOption.map { case (p, _) =>
         partitionSegments(p).map(_._1)
       }.getOrElse(Nil)
@@ -3083,7 +3103,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * lookup, no manifest read, no Spark job.
     */
   private def loggedPartitionCols(v: Long): Seq[String] =
-    historyRows.find(_.version == v).map(_.partitionColumns).getOrElse(Nil)
+    // the log records PHYSICAL names (they match the on-disk `col=` dirs
+    // across renames); callers operate on logical frames, so translate
+    toLogicalCols(
+      historyRows.find(_.version == v).map(_.partitionColumns).getOrElse(Nil))
 
   /** Deep CLONE (Delta's `CREATE TABLE … DEEP CLONE`): an independent
     * copy of the CURRENT snapshot at `targetPath`, with its own fresh
@@ -3522,8 +3545,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         else ""))
     }
     val pcs = loggedPartitionCols(version)
-    require(!pcs.exists(_.equalsIgnoreCase(oldName)),
-      s"cannot rename partition column $oldName")
+    // mapping on: partition renames are legal — the `col=` dir names stay
+    // physical, only the logical surface moves (Delta's columnMapping
+    // behavior). Without the indirection the dir scheme IS the name, so
+    // the rename stays refused.
+    require(columnMappingEnabled || !pcs.exists(_.equalsIgnoreCase(oldName)),
+      s"cannot rename partition column $oldName (enable column mapping " +
+        "first: SET TBLPROPERTIES ('graft.columnMapping' = 'name'))")
     referencedByTableMeta(oldName).foreach(what => throw new IllegalArgumentException(
       s"cannot rename $oldName: referenced by $what (drop it first)"))
     // a stale identity declaration would make the rewrite's assignIdentities
@@ -3863,7 +3891,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def scanPartitionCols: Set[String] = scanPartitionColsMemo match {
     case Some(s) => s
     case None =>
-      val s = loggedPartitionCols(version).map(_.toLowerCase).toSet
+      // BOTH name spaces: the inferred fields this set is matched against
+      // are pre-mapping (physical dir names), while loggedPartitionCols
+      // surfaces logical ones
+      val pcs = loggedPartitionCols(version)
+      val s = (pcs ++ pcs.map(physicalColName)).map(_.toLowerCase).toSet
       scanPartitionColsMemo = Some(s); s
   }
 
@@ -3977,7 +4009,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val w = toPhysical(maybeOptimizeWrite(assignIdentities(df), partitionCols))
         .write.mode(SaveMode.Overwrite)
       withMicrosTs {
-        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+        (if (partitionCols.nonEmpty)
+          w.partitionBy(partitionCols.map(physicalColName): _*)
+        else w).parquet(path)
       }
       commit("OVERWRITE", partitionCols)
     }
@@ -4089,7 +4123,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val w = toPhysical(maybeOptimizeWrite(conformed, partitionCols))
         .write.mode(SaveMode.Append)
       withMicrosTs {
-        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+        (if (partitionCols.nonEmpty)
+          w.partitionBy(partitionCols.map(physicalColName): _*)
+        else w).parquet(path)
       }
       commit(operation, partitionCols, txn)
       maybeAutoCompact()
@@ -5035,7 +5071,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         else maybeOptimizeWrite(df, partitionCols))
       .write.mode(SaveMode.Overwrite)
     withMicrosTs {
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp.toString)
+      (if (partitionCols.nonEmpty)
+        w.partitionBy(partitionCols.map(physicalColName): _*)
+      else w).parquet(tmp.toString)
     }
     val dst = new Path(path)
     val cur = version
@@ -5155,8 +5193,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     def whenNotMatchedBySourceDelete(condition: String = null): this.type = {
       bySourceCl += Delete(cnd(condition)); this }
     /** Delta's WITH SCHEMA EVOLUTION: source columns the table lacks are
-      * added (rewriting path only — the MOR form appends replacement
-      * copies beside old files and cannot widen them).
+      * added — by a widening rewrite on `execute()`, or as a metadata-only
+      * ADD COLUMNS declaration on `executeVectored()` (old files serve
+      * the new columns as null; only type CHANGES still need the
+      * rewriting form).
       */
     def withSchemaEvolution(): this.type = { evolve = true; this }
     def execute(): Unit = executeMergeClauses(source, keys, partitionCols,
@@ -5184,15 +5224,48 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   /** Entry point for the clause-family MERGE: collect WHEN clauses on the
     * returned builder, then `execute()` (copy-on-write) or
     * `executeVectored()` (merge-on-read). Precondition as for [[merge]]:
-    * at most one source row per key. Like the classic merge paths (and
-    * unlike plain [[append]]'s conform), declared GENERATED columns are
-    * not computed for inserted rows a source omits — they insert null;
-    * compute them in the source projection when they matter.
+    * at most one source row per key. Declared GENERATED columns omitted
+    * by an INSERT compute from the inserted row (Delta's behavior — a CDC
+    * pipeline into a table with a derived partition date must not get
+    * null partitions); see [[computeGeneratedOnInserts]].
     */
   def mergeBuilder(source: DataFrame, keys: Seq[String],
       partitionCols: Seq[String] = Nil,
       targetAlias: String = "t", sourceAlias: String = "s"): MergeBuilder =
     new MergeBuilder(source, keys, partitionCols, targetAlias, sourceAlias)
+
+  /** Delta parity on MERGE INSERT: a declared generated column the insert
+    * left null computes from the inserted row's other values — the same
+    * expression plain append's conform evaluates — instead of landing
+    * null. Gated on `__merge_action = insert`, so UPDATE/keep rows are
+    * untouched; an explicit non-null INSERT assignment wins (only nulls
+    * recompute — assigning null to a generated column is meaningless, so
+    * treating it as "omitted" loses nothing).
+    */
+  private def computeGeneratedOnInserts(annotated: DataFrame): DataFrame = {
+    val gens = generatedColumns
+    if (gens.isEmpty) return annotated
+    gens.foldLeft(annotated) { case (df, (name, e)) =>
+      df.columns.find(_.equalsIgnoreCase(name)) match {
+        case None => df
+        case Some(c) => df.withColumn(c,
+          when(col("__merge_action") === "insert" && col(c).isNull,
+            expr(e).cast(df.schema(c).dataType)).otherwise(col(c)))
+      }
+    }
+  }
+
+  /** [[Merge.applyClauses]] plus the generated-column insert computation
+    * — the clause cascade with the table's declared metadata applied.
+    */
+  private def applyClausesComputed(target: DataFrame, source: DataFrame,
+      keys: Seq[String], matched: Seq[Merge.MergeClause],
+      notMatched: Seq[Merge.MergeClause], bySource: Seq[Merge.MergeClause],
+      targetAlias: String, sourceAlias: String): DataFrame =
+    computeGeneratedOnInserts(Merge.applyClausesAnnotated(target, source,
+        keys, matched, notMatched, bySource, targetAlias, sourceAlias))
+      .filter(col("__merge_action").isin("update", "insert", "keep"))
+      .drop("__merge_action")
 
   private[table] def executeMergeClauses(source: DataFrame, keys: Seq[String],
       partitionCols: Seq[String],
@@ -5205,12 +5278,23 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     require(exists,
       s"MERGE target $path does not exist — write it first (overwrite)")
     if (vectored) {
-      require(!allowEvolution,
-        "WITH SCHEMA EVOLUTION needs the rewriting MERGE (execute()): the " +
-          "merge-on-read form appends replacement copies beside old files " +
-          "and cannot widen them")
-      mergeClausesVectored(source, keys, partitionCols, matched, notMatched,
-        bySource, targetAlias, sourceAlias)
+      if (allowEvolution) withCommitLock {
+        // ADDITIVE evolution without rewrites: declare the source-only
+        // columns metadata-only (addColumns' schema-in-the-log role) —
+        // old files read them as null per-file, the merge's appends
+        // materialize them. Type CHANGES on existing columns still need
+        // the rewriting execute(): appended replacement copies cannot
+        // widen the files they sit beside.
+        val tgtNames = read.schema.fieldNames
+        val newFields = source.schema.fields.filterNot(f =>
+          tgtNames.exists(_.equalsIgnoreCase(f.name)))
+        if (newFields.nonEmpty)
+          addColumns(org.apache.spark.sql.types.StructType(newFields).toDDL)
+        mergeClausesVectored(source, keys, partitionCols, matched,
+          notMatched, bySource, targetAlias, sourceAlias)
+      }
+      else mergeClausesVectored(source, keys, partitionCols, matched,
+        notMatched, bySource, targetAlias, sourceAlias)
     } else withCommitLock {
       val evolving = allowEvolution && source.schema.fieldNames.exists(n =>
         !read.schema.fieldNames.exists(_.equalsIgnoreCase(n)))
@@ -5246,7 +5330,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           case _ => true
         }
       if (!prunable)
-        replaceWith(Merge.applyClauses(tgt, src, keys, matched, notMatched,
+        replaceWith(applyClausesComputed(tgt, src, keys, matched, notMatched,
           bySource, targetAlias, sourceAlias), partitionCols, "MERGE")
       else {
         ensureBootstrapped()
@@ -5257,7 +5341,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
             src.select(partitionCols.map(col): _*).distinct()
               .union(matchedParts).distinct()
           else matchedParts).localCheckpoint()
-        val merged = Merge.applyClauses(
+        val merged = applyClausesComputed(
           rowsInPartitions(tgt, affected, partitionCols), src, keys,
           matched, notMatched, bySource, targetAlias, sourceAlias)
           .localCheckpoint()
@@ -5287,9 +5371,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       if (bySource.isEmpty)
         tMeta.join(src.select(keys.map(col): _*).distinct(), keys, "left_semi")
       else tMeta
-    val ann = Merge.applyClausesAnnotated(tgtPlan, src, keys, matched,
+    val ann = computeGeneratedOnInserts(
+      Merge.applyClausesAnnotated(tgtPlan, src, keys, matched,
         notMatched, bySource, targetAlias, sourceAlias,
-        extraCols = Seq("__dv_file", "__dv_idx"))
+        extraCols = Seq("__dv_file", "__dv_idx")))
       .filter(col("__merge_action").isin("update", "delete", "insert"))
       .localCheckpoint()
     val packed = packDvMarks(
@@ -5349,7 +5434,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val dir = partitionCols.zipWithIndex
         .map { case (c, i) =>
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .getPartitionPathString(c, row.getString(i))
+            .getPartitionPathString(physicalColName(c), row.getString(i))
         }.mkString("/")
       val src = new Path(s"$path/$dir")
       if (fs.exists(src)) {
@@ -5367,7 +5452,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val out = if (layoutBearing(operation)) replacement
       else maybeOptimizeWrite(replacement, partitionCols)
     withMicrosTs {
-      toPhysical(out).write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
+      toPhysical(out).write.mode(SaveMode.Append)
+        .partitionBy(partitionCols.map(physicalColName): _*).parquet(path)
     }
     commit(operation, partitionCols)
     }

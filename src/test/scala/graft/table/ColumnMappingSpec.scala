@@ -222,11 +222,37 @@ class ColumnMappingSpec extends SparkSpec {
     assert(t.read.count() == 2)
   }
 
-  test("partition columns and constraint-referenced columns stay refused") {
-    val t = new ManagedTable(spark, tmpDir("cm-ref") + "/t")
-    t.overwrite(Seq((1L, "p1", 1.0)).toDF("id", "part", "amt"), Seq("part"))
+  test("partition-column rename is metadata-only under mapping; dirs and " +
+      "pruning keep working") {
+    val t = new ManagedTable(spark, tmpDir("cm-pren") + "/t")
+    t.overwrite(Seq((1L, "p1", 1.0), (2L, "p2", 2.0))
+      .toDF("id", "part", "amt"), Seq("part"))
+    // without mapping the dir scheme IS the name: refused
+    val e = intercept[IllegalArgumentException] {
+      t.renameColumn("part", "division") }
+    assert(e.getMessage.contains("column mapping"))
     t.enableColumnMapping()
-    intercept[IllegalArgumentException] { t.renameColumn("part", "division") }
+    val before = dataFiles(t)
+    t.renameColumn("part", "division")
+    assert(dataFiles(t) == before, "partition rename must move no file")
+    assert(t.read.columns.toSeq == Seq("id", "amt", "division"))
+    // dirs stay physical `part=`; the logical surface is `division`
+    assert(before.forall(_.contains("/part=")))
+    assert(t.read.filter(col("division") === "p2").select("id")
+      .as[Long].collect().toSeq == Seq(2L))
+    // appends speak the logical name and land in the physical dirs
+    t.append(Seq((3L, 3.0, "p1")).toDF("id", "amt", "division"))
+    assert(t.read.filter(col("division") === "p1").count() == 2)
+    assert(dataFiles(t).forall(_.contains("/part=")))
+    // SHOW PARTITIONS surfaces the logical name
+    assert(t.partitions().columns.head == "division")
+    assert(t.partitions().count() == 2)
+  }
+
+  test("constraint-referenced columns stay refused") {
+    val t = new ManagedTable(spark, tmpDir("cm-ref") + "/t")
+    t.overwrite(Seq((1L, "p1", 1.0)).toDF("id", "part", "amt"))
+    t.enableColumnMapping()
     t.addConstraint("pos", "amt >= 0")
     intercept[IllegalArgumentException] { t.renameColumn("amt", "amount") }
     intercept[IllegalArgumentException] { t.dropColumn("amt") }

@@ -259,4 +259,54 @@ class MergeClauseSpec extends SparkSpec {
       .execute()
     assert(content(t) == Set((1L, "a", 100.0), (2L, "a", 2.0)))
   }
+
+  test("generated columns compute on MERGE INSERT in both forms") {
+    for ((vectored, tag) <- Seq((false, "cow"), (true, "mor"))) {
+      val t = new ManagedTable(spark, tmpDir(s"mc-gen-$tag") + "/t")
+      t.overwrite(Seq((1L, "2024-03-15", "2024-03"))
+        .toDF("id", "d", "month"), Seq("month"))
+      t.addGeneratedColumn("month", "substring(d, 1, 7)")
+      // CDC source omits the generated partition column entirely
+      val src = Seq((1L, "2024-03-20"), (2L, "2024-04-02"))
+        .toDF("id", "d")
+      val b = t.mergeBuilder(src, Seq("id"), Seq("month"))
+        .whenMatchedUpdate(Map("d" -> "s.d"))
+        .whenNotMatchedInsertAll()
+      if (vectored) b.executeVectored() else b.execute()
+      val got = t.read.orderBy("id").select("id", "d", "month")
+        .as[(Long, String, String)].collect().toSeq
+      // the INSERTED row generates its partition value; the UPDATED row
+      // keeps its original (only inserts compute)
+      assert(got == Seq((1L, "2024-03-20", "2024-03"),
+        (2L, "2024-04-02", "2024-04")), s"$tag: $got")
+    }
+  }
+
+  test("vectored schema evolution declares source-only columns " +
+      "metadata-only; old files read null") {
+    val dir = tmpDir("mc-evo-mor")
+    val t = tgt(dir, Seq((1L, "a", 1.0), (2L, "a", 2.0)))
+    def onDisk(): Set[String] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir + "/t"))
+        .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val filesBefore = onDisk()
+    val src = Seq((2L, "b", 2.5, "eu"), (3L, "c", 3.0, "us"))
+      .toDF("id", "status", "amount", "region")
+    t.mergeBuilder(src, Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withSchemaEvolution()
+      .executeVectored()
+    val rows = t.read.select("id", "status", "amount", "region")
+      .as[(Long, String, Double, Option[String])].collect().toSet
+    assert(rows == Set((1L, "a", 1.0, None), (2L, "b", 2.5, Some("eu")),
+      (3L, "c", 3.0, Some("us"))))
+    // merge-on-read: every pre-merge file survives in place, plus appends
+    val after = onDisk()
+    assert(filesBefore.subsetOf(after) && after.size > filesBefore.size,
+      s"MOR evolution must append beside old files, not rewrite them " +
+        s"(before=$filesBefore after=$after)")
+  }
 }
