@@ -189,17 +189,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * other order than the one that produced them can prune a file that
     * holds matching rows.
     */
-  private def utf8Leq(a: String, b: String): Boolean = {
-    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
-    val n = math.min(x.length, y.length)
-    var i = 0
-    while (i < n) {
-      val d = (x(i) & 0xff) - (y(i) & 0xff)
-      if (d != 0) return d < 0
-      i += 1
-    }
-    x.length <= y.length
-  }
+  private def utf8Leq(a: String, b: String): Boolean =
+    MetadataPlane.utf8Leq(a, b)
 
   /** String skipping-stats are truncated to this many code points (Delta's
     * 32-char discipline): a long text column among the first [[statsColsNow]]
@@ -250,10 +241,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * huge longs only creates ties, which keep files — conservative).
     * NaN compares keep the file.
     */
-  private def numLeq(a: String, b: String): Boolean = {
-    val x = java.lang.Double.parseDouble(a); val y = java.lang.Double.parseDouble(b)
-    if (x.isNaN || y.isNaN) true else x <= y
-  }
+  private def numLeq(a: String, b: String): Boolean =
+    MetadataPlane.numLeq(a, b)
 
   /** Read row count AND per-column min/max from one parquet footer,
     * indexing the first `nCols` leaf columns (caller resolves
@@ -403,38 +392,18 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * which [[enc]] (URLEncoder) always escapes — so no v1 line's first
     * encoded COLUMN NAME cell can ever equal it.
     */
-  private val sidecarV2 = "%v2"
-  private def sidecarLine(p: String, len: Long, m: FileMeta): String = {
-    val statsCells = m.stats.toSeq.sortBy(_._1).flatMap { case (c, (k, mn, mx, nulls)) =>
-      Seq(enc(c), k, enc(mn), enc(mx), nulls.toString) }
-    (Seq(p, len.toString, m.rows.toString, sidecarV2) ++ statsCells).mkString("\t")
-  }
+  private def sidecarLine(p: String, len: Long, m: FileMeta): String =
+    MetadataPlane.sidecarLine(MetadataPlane.Entry(p, len, m.rows, m.stats))
 
   /** Parse one sidecar file; a torn line (crash mid-write) degrades to a
     * cache miss for that file — the footer is re-read — never a failure.
     */
   private def readSidecarFile(p: Path): Map[String, (Long, FileMeta)] =
     if (!fs.exists(p)) Map.empty
-    else {
-      readTextFully(p).linesIterator
-        .flatMap { l =>
-          scala.util.Try(l.split('\t') match {
-            case Array(pp, len, rows, `sidecarV2`, rest @ _*) =>
-              val stats = rest.grouped(5).collect {
-                case Seq(c, k, mn, mx, nulls) =>
-                  dec(c) -> (k, dec(mn), dec(mx), nulls.toLong)
-              }.toMap
-              Some(pp -> (len.toLong, FileMeta(rows.toLong, stats)))
-            case Array(pp, len, rows, rest @ _*) =>
-              // pre-nullcount v1 line: 4-cell groups, null count unknown
-              val stats = rest.grouped(4).collect {
-                case Seq(c, k, mn, mx) => dec(c) -> (k, dec(mn), dec(mx), -1L)
-              }.toMap
-              Some(pp -> (len.toLong, FileMeta(rows.toLong, stats)))
-            case _ => None
-          }).toOption.flatten
-        }.toMap
-    }
+    else readTextFully(p).linesIterator
+      .flatMap(MetadataPlane.parseLine(_).map(e =>
+        e.path -> (e.len, FileMeta(e.rows, e.stats))))
+      .toMap
 
   /** Atomic small-file write: temp + rename, so a crash can never leave a
     * torn file in place (worst case after the delete is NO file, which is
@@ -582,78 +551,154 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // makes scans drop them without waiting for compaction)
     def emptied(p: String): Boolean =
       dv.get(p).exists(_.length >= metas(p).rows)
-    // a null bound can't prune (and must not NPE): keep everything, the
-    // exact predicate downstream decides (SQL comparisons to null match
-    // nothing anyway)
-    if (lo == null || hi == null)
-      return files.map(_._1).filterNot(emptied)
-    def leq(kind: String, a: String, b: String): Boolean =
-      if (kind == "s") utf8Leq(a, b) else numLeq(a, b)
-    // date ("D") stats are epoch-day numbers; decode the user-space
-    // predicate to the same unit (an unrecognized form keeps every file —
-    // conservative, never wrong)
-    def toEpochDay(v: Any): Option[Long] = v match {
-      case d: java.time.LocalDate => Some(d.toEpochDay)
-      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
-      case x => scala.util.Try(
-        java.time.LocalDate.parse(x.toString).toEpochDay).toOption
+    // bounds decoded ONCE (session-zone timestamp coercion included);
+    // the per-file decision is MetadataPlane.keepForRange — the same
+    // function the distributed prune runs on executors
+    MetadataPlane.decodeBounds(lo, hi,
+        spark.sessionState.conf.sessionLocalTimeZone) match {
+      case None => files.map(_._1).filterNot(emptied)
+      case Some(b) =>
+        files.map(_._1).filterNot(emptied).filter { p =>
+          MetadataPlane.keepForRange(
+            metas(p).stats.get(colName), metas(p).rows, b)
+        }
     }
-    // timestamp ("T" instant / "t" local) stats are epoch micros; decode
-    // the user predicate to micros with the SAME semantics the downstream
-    // exact filter applies — cross-semantics coercion (an instant predicate
-    // on an NTZ column and vice versa, and bare strings/dates on an instant
-    // column) goes through the Spark session time zone, matching Catalyst's
-    // cast. Unrecognized forms keep every file.
-    def toMicros(v: Any, utcKind: Boolean): Option[Long] = {
-      def sessionZone = java.time.ZoneId.of(
-        spark.sessionState.conf.sessionLocalTimeZone)
-      def ofInstant(i: java.time.Instant): Long =
-        Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
-          (i.getNano / 1000).toLong)
-      def ofLocal(l: java.time.LocalDateTime): Long =
-        if (utcKind) ofInstant(l.atZone(sessionZone).toInstant)
-        else Math.addExact(Math.multiplyExact(
-          l.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
-          (l.getNano / 1000).toLong)
-      v match {
-        case t: java.sql.Timestamp =>
-          if (utcKind) Some(ofInstant(t.toInstant))
-          else Some(ofLocal(t.toInstant.atZone(sessionZone).toLocalDateTime))
-        case i: java.time.Instant =>
-          if (utcKind) Some(ofInstant(i))
-          else Some(ofLocal(i.atZone(sessionZone).toLocalDateTime))
-        case l: java.time.LocalDateTime => Some(ofLocal(l))
-        case d: java.time.LocalDate => Some(ofLocal(d.atStartOfDay))
-        case d: java.sql.Date => Some(ofLocal(d.toLocalDate.atStartOfDay))
-        case x => scala.util.Try {
-          val s = x.toString.trim.replace(' ', 'T')
-          scala.util.Try(java.time.LocalDateTime.parse(s))
-            .getOrElse(java.time.LocalDate.parse(s).atStartOfDay)
-        }.toOption.map(ofLocal)
+  }
+
+  // ---- distributed scan planning (the huge-file-count regime) ----------
+
+  /** `graft.metadata.distributedPlanning`: `auto` (default — kicks in at
+    * ≥ [[ManagedTable.distributedPlanningAutoThreshold]] live files, read
+    * from the manifest's O(1) numFiles record, never from a listing),
+    * `always` (every pruned read, the testing/validation switch),
+    * `never`.
+    */
+  private def distributedPlanningMode: String =
+    properties.getOrElse("graft.metadata.distributedPlanning", "auto")
+
+  private def useDistributedPlanning: Boolean =
+    distributedPlanningMode.toLowerCase match {
+      case "always" => true
+      case "never" => false
+      case _ => historyRows.find(_.version == version)
+        .exists(_.numFiles >= ManagedTable.distributedPlanningAutoThreshold)
+    }
+
+  /** File pruning as a SPARK JOB — how Delta reads its checkpoints and
+    * plans scans at scale. The snapshot's state is the parquet checkpoint
+    * (each row carrying its file's stats cells, written by commit), read
+    * distributed; [[MetadataPlane.keepForRange]] — the SAME decision
+    * function the driver fold runs — executes on the executors; the
+    * driver collects ONLY the surviving paths plus the
+    * churn-since-checkpoint. Driver memory is O(survivors + churn), not
+    * O(live files): README records the driver fold's measured ceiling at
+    * ~2.6 GB heap / 40 s for 1e7 files, where this path costs the cluster
+    * one metadata-file scan and the driver only what the predicate keeps.
+    *
+    * Returns None when the snapshot has no parquet checkpoint to plan
+    * from (inline-JSON tables are the ≤1e6-file regime where the driver
+    * fold is measured fine; a dangling pointer falls back to the driver
+    * path's loud error) — the caller then takes the driver fold.
+    */
+  private[table] def keptByStatsDistributed(
+      preds: Seq[(String, Any, Any)]): Option[Seq[String]] = {
+    if (isShallowClone || version < 0) return None
+    // walk back to the nearest checkpoint manifest (O(interval) small
+    // driver reads); the deltas fold into net add/remove sets of
+    // O(churn-since-checkpoint)
+    var i = version
+    var ckpt: Option[Path] = None
+    val deltas = scala.collection.mutable.ListBuffer[(Seq[String], Seq[String])]()
+    while (ckpt.isEmpty) {
+      if (i < 0) return None
+      val txt = manifestText(i)
+      jsonString(txt, "filesParquet") match {
+        case Some(name) =>
+          val p = new Path(logDir, name)
+          if (!fs.exists(p)) return None
+          ckpt = Some(p)
+        case None =>
+          if (jsonStringArray(txt, "files").isDefined) return None
+          deltas.prepend((jsonStringArray(txt, "add").getOrElse(Nil),
+            jsonStringArray(txt, "remove").getOrElse(Nil)))
+          i -= 1
       }
     }
-    files.map(_._1).filterNot(emptied).filter { p =>
-      metas(p).stats.get(colName) match {
-        case Some(("D", mn, mx, _)) =>
-          (toEpochDay(lo), toEpochDay(hi)) match {
-            case (Some(l), Some(h)) => mn.toDouble <= h && l <= mx.toDouble
-            case _ => true
-          }
-        // exact Long compare: micros overflow double's 53-bit mantissa for
-        // dates past ~2255, and a rounded bound could WRONGLY prune
-        case Some((k @ ("T" | "t"), mn, mx, _)) =>
-          (toMicros(lo, k == "T"), toMicros(hi, k == "T")) match {
-            case (Some(l), Some(h)) => mn.toLong <= h && l <= mx.toLong
-            case _ => true
-          }
-        // no usable bounds — but a column that is ALL null in this file
-        // cannot match a range predicate: prune; otherwise conservative
-        case Some(("n", _, _, nulls)) => nulls < metas(p).rows
-        case Some((k, mn, mx, _)) =>
-          leq(k, mn, hi.toString) && leq(k, lo.toString, mx)
-        case None => true
+    val present = scala.collection.mutable.LinkedHashMap[String, Boolean]()
+    deltas.foreach { case (a, r) =>
+      a.foreach(present(_) = true); r.foreach(present(_) = false) }
+    val adds = present.collect { case (p, true) => p }.toSeq
+    val removed = present.collect { case (p, false) => p }.toSet
+    // bounds decoded ONCE on the driver (session-zone coercion lives
+    // here); executors only compare
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val bounds: Seq[(String, Option[MetadataPlane.Bounds])] = preds.map {
+      case (c, lo, hi) =>
+        (physicalColName(c), MetadataPlane.decodeBounds(lo, hi, zone)) }
+    val dvCounts: Map[String, Long] = currentDv.collect {
+      case (p, a) if a.nonEmpty => p -> a.length.toLong }
+    def decide(stats: Map[String, MetadataPlane.Stat], rows: Long,
+               deleted: Long): Boolean =
+      deleted < rows && bounds.forall { case (c, b) =>
+        b.forall(bb => MetadataPlane.keepForRange(stats.get(c), rows, bb)) }
+    // files added since the checkpoint: their stats live in the
+    // per-commit sidecar segments (driver, O(churn)); missing → kept
+    val segMeta = sidecarSegments
+      .foldLeft(Map.empty[String, (Long, FileMeta)])(
+        (m, s) => m ++ readSidecarFile(s))
+    val keptAdds = adds.filter { p =>
+      segMeta.get(p) match {
+        case Some((_, m)) => decide(m.stats, m.rows, dvCounts.getOrElse(p, 0L))
+        case None => true // no stats known: conservative keep
       }
     }
+    // THE JOB: checkpoint rows in, surviving paths out
+    import spark.implicits._
+    val removedB = spark.sparkContext.broadcast(removed)
+    val dvB = spark.sparkContext.broadcast(dvCounts)
+    val boundsB = spark.sparkContext.broadcast(bounds)
+    val raw = spark.read.parquet(ckpt.get.toString)
+    val cols = raw.columns.toSet
+    def optCol(n: String, t: String) =
+      if (cols(n)) col(n).cast(t) else lit(null).cast(t)
+    val kept = raw.select(col("path").cast("string"),
+        optCol("rows", "long"), optCol("stats", "string"))
+      .as[(String, Option[Long], Option[String])]
+      .flatMap { case (p, rowsOpt, statsOpt) =>
+        if (removedB.value.contains(p)) None
+        else {
+          val stats = statsOpt.filter(_.nonEmpty)
+            .map(MetadataPlane.parseStatsCells)
+            .getOrElse(Map.empty[String, MetadataPlane.Stat])
+          // a v1 path-only row has no row count: emptied/all-null prunes
+          // are then unknowable — Long.MaxValue keeps them conservative
+          val rows = rowsOpt.getOrElse(Long.MaxValue)
+          val deleted = dvB.value.getOrElse(p, 0L)
+          val keep = deleted < rows && boundsB.value.forall { case (c, b) =>
+            b.forall(bb => MetadataPlane.keepForRange(stats.get(c), rows, bb))
+          }
+          if (keep) Some(p) else None
+        }
+      }.collect().toSeq
+    Some((kept ++ keptAdds).distinct.sorted)
+  }
+
+  /** The kept-file set for conjunctive range predicates — a distributed
+    * job when the snapshot size warrants it ([[useDistributedPlanning]]),
+    * the measured driver fold otherwise. Shared by the readWhere family.
+    */
+  private def keptForRangePreds(preds: Seq[(String, Any, Any)]): Seq[String] = {
+    if (useDistributedPlanning)
+      keptByStatsDistributed(preds) match {
+        case Some(k) => return k
+        case None => ()
+      }
+    val files = liveFilesQ()
+    val metas = fileMeta(files)
+    val dv = currentDv
+    preds.map { case (c, lo, hi) =>
+      overlapKept(files, metas, dv, physicalColName(c), lo, hi).toSet }
+      .reduce(_ intersect _).toSeq.sorted
   }
 
   /** Live files that may hold a NULL in `colName` — null-count skipping
@@ -938,15 +983,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   def readWhereAll(preds: Seq[(String, Any, Any)]): DataFrame = {
     require(preds.nonEmpty, "readWhereAll needs at least one predicate")
-    // one listing + one sidecar read serve every predicate
-    val files = liveFilesQ()
-    val metas = fileMeta(files)
-    val dv = currentDv
-    val keptSets = preds.map { case (c, lo, hi) =>
-      overlapKept(files, metas, dv, physicalColName(c), lo, hi).toSet }
-    val kept = keptSets.reduce(_ intersect _).toSeq.sorted
+    // one state resolution serves every predicate (driver fold or
+    // distributed job, by snapshot size)
+    val kept = keptForRangePreds(preds)
     if (kept.isEmpty) return read.filter(org.apache.spark.sql.functions.lit(false))
-    val scan = scanKept(kept, dv)
+    val scan = scanKept(kept, currentDv)
     preds.foldLeft(scan) { case (df, (c, lo, hi)) =>
       df.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
     }
@@ -974,7 +1015,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * prune inside the survivors, and the filter keeps exactness.
     */
   def readWhere(colName: String, lo: Any, hi: Any): DataFrame = {
-    val (kept, _) = filesOverlapping(colName, lo, hi)
+    val kept = keptForRangePreds(Seq((colName, lo, hi)))
     if (kept.isEmpty) return read.filter(org.apache.spark.sql.functions.lit(false))
     scanKept(kept, currentDv)
       .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
@@ -1874,7 +1915,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       if (isCheckpoint && checkpointFormatParquet) {
         // columnar checkpoint sidecar + pointer (see checkpointFormatParquet
         // scaladoc); the reader feature gate rides in the same commit
-        writeCheckpointParquet(ckptParquetPath(v), files.map(_._1))
+        // carry each file's sidecar metadata into the checkpoint rows
+        // (Delta's add.stats): the distributed planner prunes from THIS
+        // file alone, no sidecar fold on the driver
+        writeCheckpointParquet(ckptParquetPath(v), files.map { case (fp, len) =>
+          fp -> metas.get(fp).map(m =>
+            (len, m.rows, MetadataPlane.statsCells(m.stats)))
+        })
         ensureFeature("checkpoint-parquet", reader = true)
         s""""filesParquet":${jstr(ckptParquetPath(v).getName)}"""
       }
@@ -2481,8 +2528,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     fs.listStatus(logDir).filter { st =>
       st.isFile && st.getPath.getName.endsWith(".checkpoint.parquet")
     }.foreach { st =>
-      val rows = readCheckpointParquet(st.getPath)
-      val updated = rows.map(rawRemap)
+      val rows = readCheckpointParquetFull(st.getPath)
+      val updated = rows.map { case (p, meta) => (rawRemap(p), meta) }
       if (updated != rows) writeCheckpointParquet(st.getPath, updated)
     }
   }
@@ -2597,10 +2644,17 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def ckptParquetPath(v: Long) =
     new Path(logDir, f"v$v%05d.checkpoint.parquet")
 
+  // v2 checkpoint row: path + (when the commit knew it) the file's
+  // sidecar metadata — Delta's add.stats shape. The metadata columns are
+  // OPTIONAL so v1 path-only checkpoints keep reading; a row without them
+  // is conservatively unprunable in the distributed planner.
   private val ckptSchema = org.apache.parquet.schema.MessageTypeParser
-    .parseMessageType("message graft_ckpt { required binary path (STRING); }")
+    .parseMessageType("message graft_ckpt { required binary path (STRING); " +
+      "optional int64 len; optional int64 rows; " +
+      "optional binary stats (STRING); }")
 
-  private[table] def writeCheckpointParquet(p: Path, files: Seq[String]): Unit = {
+  private[table] def writeCheckpointParquet(p: Path,
+      files: Seq[(String, Option[(Long, Long, String)])]): Unit = {
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(ckptSchema, conf)
@@ -2622,7 +2676,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
       .build()
     val f = new org.apache.parquet.example.data.simple.SimpleGroupFactory(ckptSchema)
-    try files.foreach(s => w.write(f.newGroup().append("path", s)))
+    try files.foreach { case (s, meta) =>
+      val g = f.newGroup().append("path", s)
+      meta.foreach { case (len, rows, stats) =>
+        g.append("len", len).append("rows", rows)
+        if (stats.nonEmpty) g.append("stats", stats)
+      }
+      w.write(g)
+    }
     finally w.close()
     if (fs.exists(p)) fs.delete(p, false)
     if (!fs.rename(tmp, p)) {
@@ -2631,16 +2692,33 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     }
   }
 
-  private[table] def readCheckpointParquet(p: Path): Seq[String] = {
+  private[table] def readCheckpointParquet(p: Path): Seq[String] =
+    readCheckpointParquetFull(p).map(_._1)
+
+  /** Full checkpoint rows including the optional metadata columns; a v1
+    * path-only file reads with None metadata.
+    */
+  private[table] def readCheckpointParquetFull(
+      p: Path): Seq[(String, Option[(Long, Long, String)])] = {
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     val r = org.apache.parquet.hadoop.ParquetReader.builder(
       new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
       .withConf(conf).build()
-    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val out = scala.collection.mutable.ArrayBuffer[(String, Option[(Long, Long, String)])]()
     try {
       var g = r.read()
-      while (g != null) { out += g.getString("path", 0); g = r.read() }
+      while (g != null) {
+        def has(n: String): Boolean =
+          g.getType.containsField(n) && g.getFieldRepetitionCount(n) > 0
+        val meta =
+          if (has("len") && has("rows"))
+            Some((g.getLong("len", 0), g.getLong("rows", 0),
+              if (has("stats")) g.getString("stats", 0) else ""))
+          else None
+        out += ((g.getString("path", 0), meta))
+        g = r.read()
+      }
     } finally r.close()
     out.toSeq
   }
@@ -5858,4 +5936,10 @@ object ManagedTable {
   private val microsTsLock = new Object
   private val microsTsState =
     scala.collection.mutable.Map.empty[SparkSession, (Int, Option[String])]
+
+  /** `auto` distributed-planning cutover: README's ManifestBench puts the
+    * driver fold at ~3 s / modest heap through 1e6 files and 40 s /
+    * 2.6 GB at 1e7 — 2e6 is where the Spark-job path starts winning both.
+    */
+  private[table] val distributedPlanningAutoThreshold = 2000000L
 }

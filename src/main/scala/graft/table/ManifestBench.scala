@@ -77,7 +77,7 @@ object ManifestBench {
       // same snapshot, checkpoint as a columnar sidecar + pointer manifest
       val tPW0 = System.nanoTime()
       t.writeCheckpointParquet(new Path(log, "v00000.checkpoint.parquet"),
-        (0L until n).map(p))
+        (0L until n).map(i => p(i) -> None))
       val pWriteMs = (System.nanoTime() - tPW0) / 1e6
       val ptr = fs.create(new Path(log, "v00000.json"), true)
       try ptr.write(

@@ -1,0 +1,126 @@
+package graft.table
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Distributed scan planning (`graft.metadata.distributedPlanning`): file
+  * pruning as a Spark job over stats-bearing parquet checkpoint rows —
+  * the huge-file-count regime where the driver fold's heap is the
+  * ceiling. The invariant under test: the distributed prune and the
+  * driver fold agree EXACTLY (they share `MetadataPlane.keepForRange`),
+  * and reads stay bit-identical whichever path planned them.
+  */
+class DistributedPlanningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clustered = spark.range(0, 4000).selectExpr(
+    "id as k",
+    "cast(id as double) / 7 as x",
+    "format_string('s%04d', id) as s",
+    "date_add(date'2024-01-01', cast(id / 40 as int)) as d",
+    "timestamp_seconds(1700000000 + id * 60) as ts")
+
+  /** A range-clustered table whose current snapshot is a stats-bearing
+    * parquet checkpoint (interval 1 → every commit checkpoints).
+    */
+  private def mk(dir: String): ManagedTable = {
+    val t = new ManagedTable(spark, dir + "/t")
+    t.overwrite(clustered.limit(1)) // seed (v0, inline JSON)
+    t.setProperties(Map(
+      "graft.manifest.checkpointFormat" -> "parquet",
+      "graft.manifest.checkpointInterval" -> "1",
+      "graft.metadata.distributedPlanning" -> "always"))
+    t.overwrite(clustered.repartitionByRange(8, col("k"))
+      .sortWithinPartitions("k"))
+    t
+  }
+
+  private def driverKept(t: ManagedTable, c: String, lo: Any, hi: Any): Set[String] = {
+    t.setProperties(Map("graft.metadata.distributedPlanning" -> "never"))
+    try t.filesOverlapping(c, lo, hi)._1.toSet
+    finally t.setProperties(Map("graft.metadata.distributedPlanning" -> "always"))
+  }
+
+  test("distributed prune matches the driver fold exactly across stat kinds") {
+    val t = mk(tmpDir("dp-parity"))
+    val preds: Seq[(String, Any, Any)] = Seq(
+      ("k", 100L, 220L),
+      ("x", 10.0, 30.0),
+      ("s", "s0100", "s0220"),
+      ("d", java.sql.Date.valueOf("2024-01-03"), java.sql.Date.valueOf("2024-01-05")),
+      ("ts", java.time.Instant.ofEpochSecond(1700003600L),
+        java.time.Instant.ofEpochSecond(1700010000L)))
+    preds.foreach { case (c, lo, hi) =>
+      val dist = t.keptByStatsDistributed(Seq((c, lo, hi)))
+      assert(dist.isDefined, s"$c: no checkpoint to plan from?")
+      assert(dist.get.toSet == driverKept(t, c, lo, hi),
+        s"$c: distributed and driver prune disagree")
+      assert(dist.get.size < 8, s"$c: nothing pruned — test layout broken")
+    }
+    // conjunctive predicates intersect
+    val multi = t.keptByStatsDistributed(Seq(("k", 100L, 220L), ("x", 10.0, 30.0)))
+    assert(multi.get.toSet ==
+      driverKept(t, "k", 100L, 220L).intersect(driverKept(t, "x", 10.0, 30.0)))
+    // and the planned READ is exact
+    assert(t.readWhere("k", 100L, 220L).select("k").as[Long].collect().sorted.toSeq
+      == (100L to 220L).toSeq)
+  }
+
+  test("null bounds keep every live file; results stay exact") {
+    val t = mk(tmpDir("dp-null"))
+    val dist = t.keptByStatsDistributed(Seq(("k", null, 10L)))
+    assert(dist.get.size == 8, "a null bound must not prune")
+    assert(t.readWhere("k", null, 10L).count() == 0) // SQL null comparison
+  }
+
+  test("appends after the checkpoint participate through the delta fold") {
+    val t = mk(tmpDir("dp-churn"))
+    t.setProperties(Map("graft.manifest.checkpointInterval" -> "100"))
+    t.append(Seq((9999L, 0.0, "zzz", java.sql.Date.valueOf("2030-01-01"),
+      java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+      .toDF("k", "x", "s", "d", "ts")) // a DELTA manifest, not a checkpoint
+    val dist = t.keptByStatsDistributed(Seq(("k", 9999L, 9999L)))
+    assert(dist.isDefined)
+    assert(dist.get.toSet == driverKept(t, "k", 9999L, 9999L))
+    assert(t.readWhere("k", 9999L, 9999L).count() == 1)
+    // the add's own (sidecar-segment) stats prune it for a miss range
+    val miss = t.keptByStatsDistributed(Seq(("k", 5000L, 6000L)))
+    assert(miss.get.isEmpty)
+  }
+
+  test("a fully DV-deleted file is pruned by both paths") {
+    val t = mk(tmpDir("dp-dv"))
+    t.setProperties(Map("graft.manifest.checkpointInterval" -> "100"))
+    t.deleteVectored(col("k") < 500L) // empties the first range file
+    val dist = t.keptByStatsDistributed(Seq(("k", 0L, 100L)))
+    assert(dist.get.isEmpty, "an emptied file must be pruned")
+    assert(dist.get.toSet == driverKept(t, "k", 0L, 100L))
+    assert(t.readWhere("k", 0L, 600L).count() == 101)
+  }
+
+  test("a v1 path-only checkpoint keeps every file (conservative), reads exact") {
+    val dir = tmpDir("dp-v1")
+    val t = mk(dir)
+    // rewrite the live checkpoint in the v1 shape: paths, no metadata
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val log = new org.apache.hadoop.fs.Path(dir + "/t._log")
+    val latest = fs.listStatus(log).map(_.getPath)
+      .filter(_.getName.endsWith(".checkpoint.parquet")).maxBy(_.getName)
+    val paths = t.readCheckpointParquetFull(latest).map(_._1)
+    t.writeCheckpointParquet(latest, paths.map(_ -> None))
+    val dist = t.keptByStatsDistributed(Seq(("k", 100L, 220L)))
+    assert(dist.get.size == 8, "v1 rows carry no stats: keep all")
+    assert(t.readWhere("k", 100L, 220L).select("k").as[Long].collect().sorted.toSeq
+      == (100L to 220L).toSeq)
+  }
+
+  test("no parquet checkpoint -> None; the driver fold serves the read") {
+    val t = new ManagedTable(spark, tmpDir("dp-json") + "/t")
+    t.overwrite(spark.range(100).selectExpr("id as k")
+      .repartitionByRange(4, col("k")))
+    t.setProperties(Map("graft.metadata.distributedPlanning" -> "always"))
+    assert(t.keptByStatsDistributed(Seq(("k", 0L, 10L))).isEmpty)
+    assert(t.readWhere("k", 0L, 10L).count() == 11)
+  }
+}
