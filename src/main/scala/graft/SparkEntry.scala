@@ -327,6 +327,14 @@ object SparkEntry {
     "q29_ann_lsh" -> ((s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10)),
+    "q29a_ann_exhaustive" -> ((s, d) =>
+      // q29's machinery under the oracle (the q26a verification-half
+      // split): ONE hyperplane + both probe buckets covers the whole
+      // space, so the LSH bucketing/probe/cosine pipeline must emit
+      // bit-exactly the brute-force top-k SQL computes
+      Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryId = 0L, k = 10, numPlanes = 1, numProbes = 2)
+        .select("vec_id", "cos_sim")),
     "q90_ivf_knn_join" -> ((s, d) => {
       // rows-only (ANN family): batch top-k neighbors for every 100th
       // vector in ONE pass over the prebuilt IVF index
@@ -614,6 +622,16 @@ object SparkEntry {
       Similarity.ivfProbe(s, idx, "vec_id", "embedding", qv, k = 10,
           nProbe = 3, excludeId = Some(0L))
         .orderBy(desc("cos_sim"), col("vec_id"))
+    }),
+    "q59a_ivf_exhaustive" -> ((s, d) => {
+      // q59's probe at nProbe ≥ the whole codebook: every inverted list
+      // scans, so the SAME index must emit the brute-force top-k the
+      // oracle computes — gating build+probe end-to-end against SQL
+      val idx = ivfIndex(s, d)
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0)
+      Similarity.ivfProbe(s, idx, "vec_id", "embedding", qv, k = 10,
+        nProbe = 1000000, excludeId = Some(0L))
     }),
 
     // ---- Built-in session windows / CUBE ----
@@ -1155,6 +1173,28 @@ object SparkEntry {
       val e = Tables.embeddings(s, d).cache()
       val cb = graft.ops.Embeddings.pqTrain(e, "vec_id", "embedding",
         dim = 64, m = 4, k = 8, iters = 2)
+      val codes = graft.ops.Embeddings.pqEncode(e, "vec_id", "embedding",
+        cb, dim = 64, m = 4)
+      val q = e.filter(col("vec_id") === 0).select("embedding").head()
+        .getSeq[Float](0).map(_.toDouble).toSeq
+      graft.ops.Embeddings.pqAdcTopK(codes.filter(col("vec_id") =!= 0),
+        "vec_id", cb, q, m = 4, topK = 10)
+    }),
+    "q116a_pq_adc_fixed" -> ((s, d) => {
+      // q116's encode+ADC algebra under the oracle: the codebook is
+      // pinned to the first 8 vectors' subvectors (no k-means — DuckDB
+      // rebuilds the identical codebook from the embeddings table), so
+      // subspace assignment, the code table and the asymmetric-distance
+      // top-k must match an independent SQL reimplementation bit-exactly.
+      // The k-means TRAINING half stays spec-gated (EmbeddingsSpec) —
+      // the q26a verification-half split.
+      val e = Tables.embeddings(s, d)
+      val base = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val cb = (0 until 4).map(sub => base.select(lit(sub).as("sub"),
+          col("label"), slice(col("v"), sub * 16 + 1, 16).as("centroid")))
+        .reduce(_ unionAll _)
       val codes = graft.ops.Embeddings.pqEncode(e, "vec_id", "embedding",
         cb, dim = 64, m = 4)
       val q = e.filter(col("vec_id") === 0).select("embedding").head()
@@ -1932,6 +1972,43 @@ object SparkEntry {
          FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
          WHERE b.vec_id <> 0
          ORDER BY cos_sim DESC, b.vec_id LIMIT 10""",
+    "q29a_ann_exhaustive" ->
+      """SELECT b.vec_id,
+           list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cos_sim
+         FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         WHERE b.vec_id <> 0
+         ORDER BY cos_sim DESC, b.vec_id LIMIT 10""",
+    "q59a_ivf_exhaustive" ->
+      """SELECT b.vec_id,
+           list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cos_sim
+         FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         WHERE b.vec_id <> 0
+         ORDER BY cos_sim DESC, b.vec_id LIMIT 10""",
+    "q116a_pq_adc_fixed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cb AS (SELECT s.sub, CAST(e.vec_id AS INT) AS label,
+             e.v[s.sub*16+1 : s.sub*16+16] AS c
+           FROM e, (SELECT unnest(range(4)) AS sub) s WHERE e.vec_id < 8),
+         scored AS (SELECT e.vec_id, cb.sub, cb.label,
+             2.0 * list_dot_product(e.v[cb.sub*16+1 : cb.sub*16+16], cb.c)
+               - list_dot_product(cb.c, cb.c) AS r
+           FROM e, cb),
+         codes AS (SELECT vec_id, sub, label FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+               ORDER BY r DESC, label) AS rn FROM scored) t WHERE rn = 1),
+         q AS (SELECT v FROM e WHERE vec_id = 0),
+         tab AS (SELECT cb.sub, cb.label,
+             list_dot_product(cb.c, q.v[cb.sub*16+1 : cb.sub*16+16]) AS ip
+           FROM cb, q),
+         sc AS (SELECT c.vec_id, SUM(t.ip ORDER BY c.sub) AS adc_score
+           FROM codes c JOIN tab t ON t.sub = c.sub AND t.label = c.label
+           WHERE c.vec_id <> 0 GROUP BY c.vec_id)
+         SELECT vec_id, adc_score FROM sc
+         ORDER BY adc_score DESC, vec_id LIMIT 10""",
     "q90a_ivf_knn_exact" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
          scored AS (

@@ -735,14 +735,21 @@ object GraftSqlCommands {
             k.equalsIgnoreCase("graft.rowTracking") &&
               v.equalsIgnoreCase("true") }
         // column mapping likewise: the enable records the reader feature
-        // gate, not just the property
-        val (colMapping, plain) =
+        // gate, not just the property; 'none' routes through the DISABLE
+        // path (one locked rewrite to logical names + mapping clear) — a
+        // bare property write would leave files physical and reads wrong
+        val (colMapping, rest2) =
           rest.partition { case (k, v) =>
             k.equalsIgnoreCase("graft.columnMapping") &&
               v.equalsIgnoreCase("name") }
+        val (colMappingOff, plain) =
+          rest2.partition { case (k, v) =>
+            k.equalsIgnoreCase("graft.columnMapping") &&
+              v.equalsIgnoreCase("none") }
         if (plain.nonEmpty) t.setProperties(plain)
         if (rowTracking.nonEmpty) t.enableRowTracking()
         if (colMapping.nonEmpty) t.enableColumnMapping()
+        if (colMappingOff.nonEmpty) t.disableColumnMapping()
       }))
     }
     val upr = AlterUnsetProps.matcher(sqlText)

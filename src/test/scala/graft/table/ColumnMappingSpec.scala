@@ -168,6 +168,13 @@ class ColumnMappingSpec extends SparkSpec {
     graft.sql.GraftSql.sql(spark, s"ALTER TABLE '$p' DROP COLUMN amt")
     assert(dataFiles(t) == before, "SQL rename+drop must move no file")
     assert(t.read.columns.toSeq == Seq("id", "comment"))
+    // 'none' routes through disableColumnMapping (rewrite + clear), not a
+    // bare property write that would leave the files physical
+    graft.sql.GraftSql.sql(spark,
+      s"ALTER TABLE '$p' SET TBLPROPERTIES ('graft.columnMapping' = 'none')")
+    assert(!t.columnMappingEnabled)
+    assert(!t.properties.contains("graft.schema.mapping"))
+    assert(spark.read.parquet(p).columns.sorted.toSeq == Seq("comment", "id"))
   }
 
   test("full-schema writes reject columns colliding with dropped or " +
