@@ -511,7 +511,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * metadata-only rename under column mapping.
     */
   private def physicalColName(c: String): String =
-    columnMappingPairs.collectFirst {
+    // during disableColumnMapping's rewrite the frame AND the dirs being
+    // written are logical — translating a renamed partition column back
+    // to its old physical name would partitionBy a column the snapshot
+    // frame doesn't have
+    if (bypassPhysicalMapping) c
+    else columnMappingPairs.collectFirst {
       case (l, p) if l.equalsIgnoreCase(c) => p }.getOrElse(c)
 
   /** Physical column names surfaced under their logical names — the
@@ -580,8 +585,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     distributedPlanningMode.toLowerCase match {
       case "always" => true
       case "never" => false
-      case _ => historyRows.find(_.version == version)
-        .exists(_.numFiles >= ManagedTable.distributedPlanningAutoThreshold)
+      // auto: only tables ALREADY on parquet checkpoints can be in the
+      // regime — that one property read short-circuits the history load
+      // on the small-table hot path the driver fold is measured fine for
+      case _ => checkpointFormatParquet &&
+        historyRows.find(_.version == version)
+          .exists(_.numFiles >= ManagedTable.distributedPlanningAutoThreshold)
     }
 
   /** File pruning as a SPARK JOB — how Delta reads its checkpoints and
@@ -599,9 +608,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * from (inline-JSON tables are the ≤1e6-file regime where the driver
     * fold is measured fine; a dangling pointer falls back to the driver
     * path's loud error) — the caller then takes the driver fold.
+    *
+    * Consistency model: MANIFEST-PINNED, like [[readCommitted]] — and
+    * like Delta, whose scans always plan from the log, never a listing.
+    * Files sitting in the dir without a manifest entry (an optimistic
+    * publish mid-window, out-of-band debris) are invisible here while
+    * the listing-based driver fold would serve them; on any COMMITTED
+    * snapshot the two paths agree exactly (DistributedPlanningSpec).
     */
   private[table] def keptByStatsDistributed(
-      preds: Seq[(String, Any, Any)]): Option[Seq[String]] = {
+      preds: Seq[(String, Any, Any)]): Option[Seq[String]] =
+    keptByStatsDistributed(preds, currentDv)
+
+  private def keptByStatsDistributed(preds: Seq[(String, Any, Any)],
+      dv: Map[String, Array[Long]]): Option[Seq[String]] = {
     if (isShallowClone || version < 0) return None
     // walk back to the nearest checkpoint manifest (O(interval) small
     // driver reads); the deltas fold into net add/remove sets of
@@ -635,12 +655,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val bounds: Seq[(String, Option[MetadataPlane.Bounds])] = preds.map {
       case (c, lo, hi) =>
         (physicalColName(c), MetadataPlane.decodeBounds(lo, hi, zone)) }
-    val dvCounts: Map[String, Long] = currentDv.collect {
+    val dvCounts: Map[String, Long] = dv.collect {
       case (p, a) if a.nonEmpty => p -> a.length.toLong }
-    def decide(stats: Map[String, MetadataPlane.Stat], rows: Long,
-               deleted: Long): Boolean =
-      deleted < rows && bounds.forall { case (c, b) =>
-        b.forall(bb => MetadataPlane.keepForRange(stats.get(c), rows, bb)) }
     // files added since the checkpoint: their stats live in the
     // per-commit sidecar segments (driver, O(churn)); missing → kept
     val segMeta = sidecarSegments
@@ -648,7 +664,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         (m, s) => m ++ readSidecarFile(s))
     val keptAdds = adds.filter { p =>
       segMeta.get(p) match {
-        case Some((_, m)) => decide(m.stats, m.rows, dvCounts.getOrElse(p, 0L))
+        case Some((_, m)) =>
+          MetadataPlane.decide(m.stats, m.rows, dvCounts.getOrElse(p, 0L), bounds)
         case None => true // no stats known: conservative keep
       }
     }
@@ -673,11 +690,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           // a v1 path-only row has no row count: emptied/all-null prunes
           // are then unknowable — Long.MaxValue keeps them conservative
           val rows = rowsOpt.getOrElse(Long.MaxValue)
-          val deleted = dvB.value.getOrElse(p, 0L)
-          val keep = deleted < rows && boundsB.value.forall { case (c, b) =>
-            b.forall(bb => MetadataPlane.keepForRange(stats.get(c), rows, bb))
-          }
-          if (keep) Some(p) else None
+          if (MetadataPlane.decide(stats, rows, dvB.value.getOrElse(p, 0L),
+              boundsB.value)) Some(p)
+          else None
         }
       }.collect().toSeq
     Some((kept ++ keptAdds).distinct.sorted)
@@ -687,15 +702,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * job when the snapshot size warrants it ([[useDistributedPlanning]]),
     * the measured driver fold otherwise. Shared by the readWhere family.
     */
-  private def keptForRangePreds(preds: Seq[(String, Any, Any)]): Seq[String] = {
+  private def keptForRangePreds(preds: Seq[(String, Any, Any)],
+      dv: Map[String, Array[Long]]): Seq[String] = {
     if (useDistributedPlanning)
-      keptByStatsDistributed(preds) match {
+      keptByStatsDistributed(preds, dv) match {
         case Some(k) => return k
         case None => ()
       }
     val files = liveFilesQ()
     val metas = fileMeta(files)
-    val dv = currentDv
     preds.map { case (c, lo, hi) =>
       overlapKept(files, metas, dv, physicalColName(c), lo, hi).toSet }
       .reduce(_ intersect _).toSeq.sorted
@@ -985,9 +1000,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     require(preds.nonEmpty, "readWhereAll needs at least one predicate")
     // one state resolution serves every predicate (driver fold or
     // distributed job, by snapshot size)
-    val kept = keptForRangePreds(preds)
+    val dv = currentDv // ONE snapshot read serves the prune and the scan
+    val kept = keptForRangePreds(preds, dv)
     if (kept.isEmpty) return read.filter(org.apache.spark.sql.functions.lit(false))
-    val scan = scanKept(kept, currentDv)
+    val scan = scanKept(kept, dv)
     preds.foldLeft(scan) { case (df, (c, lo, hi)) =>
       df.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
     }
@@ -1015,9 +1031,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * prune inside the survivors, and the filter keeps exactness.
     */
   def readWhere(colName: String, lo: Any, hi: Any): DataFrame = {
-    val kept = keptForRangePreds(Seq((colName, lo, hi)))
+    val dv = currentDv // ONE snapshot read serves the prune and the scan
+    val kept = keptForRangePreds(Seq((colName, lo, hi)), dv)
     if (kept.isEmpty) return read.filter(org.apache.spark.sql.functions.lit(false))
-    scanKept(kept, currentDv)
+    scanKept(kept, dv)
       .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
@@ -2562,8 +2579,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         "partitionColumns ARRAY<STRING>, numFiles LONG, sizeInBytes LONG, " +
         "rowCount LONG, filesAdded LONG, filesRemoved LONG, rowDelta LONG, " +
         "bytesAdded LONG")
+    // the log stores PHYSICAL partition names (they match the dirs);
+    // DESCRIBE HISTORY is a user surface — translate like SHOW PARTITIONS
     val rows = historyRows.sortBy(-_.version).take(n).map(c =>
-      Row(c.version, c.timestamp, c.operation, c.partitionColumns,
+      Row(c.version, c.timestamp, c.operation, toLogicalCols(c.partitionColumns),
         c.numFiles, c.sizeInBytes, c.rowCount,
         c.metrics.map(_._1).orNull, c.metrics.map(_._2).orNull,
         c.metrics.map(_._3).orNull, c.bytesAdded.orNull))
@@ -3499,8 +3518,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     bypassPhysicalMapping = true
     try replaceWith(snap, pcs, "DISABLE COLUMN MAPPING")
     finally bypassPhysicalMapping = false
+    // clear ALL schema-indirection metadata, not just the mapping: the
+    // rewrite materialized every declared extra and widened type into the
+    // files under logical names, so a surviving extras/types declaration
+    // would resurface clash-remapped PHYSICAL field names as phantom null
+    // columns once the mapping that translated them is gone (the same
+    // hazard overwrite() clears these properties for)
     unsetProperties(Seq(
-      "graft.columnMapping", "graft.schema.mapping", "graft.schema.dropped"))
+      "graft.columnMapping", "graft.schema.mapping", "graft.schema.dropped",
+      "graft.schema.extras", "graft.schema.types"))
   }
 
   /** (logical, physical) pairs for columns whose names diverge — absent
@@ -5366,10 +5392,28 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         val tgtNames = read.schema.fieldNames
         val newFields = source.schema.fields.filterNot(f =>
           tgtNames.exists(_.equalsIgnoreCase(f.name)))
+        // evolution must not outlive a failed merge: the ADD COLUMNS
+        // declaration is a property write that lands BEFORE the merge
+        // commit, so roll it (and any clash-remap mapping entries) back
+        // if the merge throws — the addBloomIndex rollback discipline
+        val beforeExtras = properties.get("graft.schema.extras")
+        val beforeMapping = properties.get("graft.schema.mapping")
         if (newFields.nonEmpty)
           addColumns(org.apache.spark.sql.types.StructType(newFields).toDDL)
-        mergeClausesVectored(source, keys, partitionCols, matched,
+        try mergeClausesVectored(source, keys, partitionCols, matched,
           notMatched, bySource, targetAlias, sourceAlias)
+        catch {
+          case e: Throwable =>
+            if (newFields.nonEmpty) {
+              def restore(k: String, v: Option[String]): Unit = v match {
+                case Some(s) => setProperties(Map(k -> s))
+                case None => unsetProperties(Seq(k))
+              }
+              restore("graft.schema.extras", beforeExtras)
+              restore("graft.schema.mapping", beforeMapping)
+            }
+            throw e
+        }
       }
       else mergeClausesVectored(source, keys, partitionCols, matched,
         notMatched, bySource, targetAlias, sourceAlias)
@@ -5886,7 +5930,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         val ts = h.map(c => java.time.Instant.parse(c.timestamp))
         implicit val instOrd: Ordering[java.time.Instant] =
           Ordering.fromLessThan(_ isBefore _)
-        (latest.partitionColumns, ts.min.toString, ts.max.toString)
+        (toLogicalCols(latest.partitionColumns), ts.min.toString, ts.max.toString)
       } else (Seq.empty[String], null: String, null: String)
     }
     // table properties surface (Delta's DESCRIBE DETAIL carries these in

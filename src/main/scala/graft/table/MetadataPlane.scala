@@ -162,6 +162,18 @@ object MetadataPlane extends Serializable {
       for { l <- toMicros(lo, utcKind = false, zone)
             h <- toMicros(hi, utcKind = false, zone) } yield (l, h)))
 
+  /** The whole keep decision for one file against a conjunction of
+    * predicates: not fully bitmap-deleted, and every predicate's range
+    * admits the file ([[keepForRange]]; a None bounds — null user bound —
+    * can't prune). ONE implementation for the driver-side
+    * churn-since-checkpoint handling and the executor flatMap — the two
+    * venues must never drift.
+    */
+  def decide(stats: Map[String, Stat], rows: Long, deleted: Long,
+             bounds: Seq[(String, Option[Bounds])]): Boolean =
+    deleted < rows && bounds.forall { case (c, b) =>
+      b.forall(bb => keepForRange(stats.get(c), rows, bb)) }
+
   /** THE per-file skipping decision for one predicate: may this file hold
     * a row in [lo, hi]? Missing/unusable stats keep the file
     * (conservative, never wrong); an all-null column cannot match a range

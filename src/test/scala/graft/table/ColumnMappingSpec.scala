@@ -256,6 +256,28 @@ class ColumnMappingSpec extends SparkSpec {
     assert(t.partitions().count() == 2)
   }
 
+  test("disableColumnMapping handles renamed partition columns and " +
+      "clash-remapped extras") {
+    val p = tmpDir("cm-off2") + "/t"
+    val t = new ManagedTable(spark, p)
+    t.overwrite(Seq((1L, "p1", "x"), (2L, "p2", "y"))
+      .toDF("id", "part", "note"), Seq("part"))
+    t.enableColumnMapping()
+    t.renameColumn("part", "division") // partition rename: metadata-only
+    t.dropColumn("note")
+    t.addColumns("note STRING") // clash-remaps to a fresh physical name
+    t.disableColumnMapping()
+    assert(t.read.columns.sorted.toSeq == Seq("division", "id", "note"))
+    // the clash-remapped extra must NOT resurface as a phantom physical
+    assert(!t.properties.contains("graft.schema.extras"))
+    assert(t.read.filter(col("note").isNotNull).count() == 0)
+    // dirs re-laid under the logical partition name; pruning still works
+    assert(t.read.filter(col("division") === "p1").select("id")
+      .as[Long].collect().toSeq == Seq(1L))
+    t.dropTableFeature("column-mapping")
+    assert(!t.protocol._1.contains("column-mapping"))
+  }
+
   test("constraint-referenced columns stay refused") {
     val t = new ManagedTable(spark, tmpDir("cm-ref") + "/t")
     t.overwrite(Seq((1L, "p1", 1.0)).toDF("id", "part", "amt"))

@@ -309,4 +309,17 @@ class MergeClauseSpec extends SparkSpec {
       s"MOR evolution must append beside old files, not rewrite them " +
         s"(before=$filesBefore after=$after)")
   }
+
+  test("a failed vectored evolution rolls the schema declaration back") {
+    val t = tgt(tmpDir("mc-evo-rb"), Seq((1L, "a", 1.0)))
+    t.addConstraint("amt_pos", "amount >= 0")
+    val src = Seq((2L, "b", -5.0, "eu")).toDF("id", "status", "amount", "region")
+    intercept[Exception] {
+      t.mergeBuilder(src, Seq("id")).whenNotMatchedInsertAll()
+        .withSchemaEvolution().executeVectored()
+    }
+    assert(t.read.columns.toSeq == Seq("id", "status", "amount"),
+      "a failed merge must not leave the evolved schema behind")
+    assert(content(t) == Set((1L, "a", 1.0)))
+  }
 }
