@@ -1231,6 +1231,19 @@ final class ManagedTable(spark: SparkSession, val path: String) {
 
   def filesForPoint(colName: String, value: Any): (Seq[String], Seq[String]) = {
     val (ranged, all) = filesOverlapping(colName, value, value)
+    (bloomSurvivors(colName, value, ranged), all)
+  }
+
+  /** The bloom half of a point lookup: candidates that are not a DEFINITE
+    * bloom miss. The probe is one small `.bf` open per candidate — an
+    * object-store RPC — so it runs concurrent always (driver parallel
+    * collection), and as a SPARK JOB when distributed planning is on and
+    * the candidate set is large: at 1e6 bloom-kept candidates the probe
+    * IO belongs to the cluster, not one driver's connection pool. The
+    * job ships only paths; each task opens its own filters.
+    */
+  private def bloomSurvivors(colName: String, value: Any,
+                             candidates: Seq[String]): Seq[String] = {
     // the recorded type makes key derivation zero-IO; legacy blank-typed
     // declarations fall back to one schema read
     val key = bloomDecls.get(colName).flatMap { case (_, _, declType) =>
@@ -1241,27 +1254,37 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       bloomProbeKey(tpe, value)
     }
     key match {
-      case None => (ranged, all)
+      case None => candidates
       case Some(k) =>
         val dir = bloomColDir(colName)
-        // probe in parallel: each test opens one small .bf (an object-store
-        // RPC); serially that's O(candidates) round-trip latencies when
-        // min/max left thousands of candidates. Hadoop FileSystem reads are
-        // thread-safe.
-        import scala.collection.parallel.CollectionConverters._
-        (ranged.par.filter(f => BloomIndex.mightContain(fs, dir, f, k)).seq.toSeq,
-          all)
+        val distributed = distributedPlanningMode.equalsIgnoreCase("always") ||
+          (useDistributedPlanning && candidates.size > 4096)
+        if (distributed && candidates.nonEmpty) {
+          import spark.implicits._
+          val dirStr = dir.toString
+          spark.createDataset(candidates).mapPartitions { it =>
+            val d = new Path(dirStr)
+            val pfs = d.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            it.filter(f => BloomIndex.mightContain(pfs, d, f, k))
+          }.collect().toSeq
+        } else {
+          import scala.collection.parallel.CollectionConverters._
+          candidates.par.filter(f => BloomIndex.mightContain(fs, dir, f, k)).seq
+        }
     }
   }
 
   /** Point-lookup read: scan only the files the stats AND bloom keep,
     * then apply the exact predicate — never a false positive in results,
-    * the index only bounds the scan.
+    * the index only bounds the scan. Both halves route through the
+    * distributed planner when the snapshot size warrants it.
     */
   def readPoint(colName: String, value: Any): DataFrame = {
-    val (kept, _) = filesForPoint(colName, value)
+    val dv = currentDv
+    val ranged = keptForRangePreds(Seq((colName, value, value)), dv)
+    val kept = bloomSurvivors(colName, value, ranged)
     if (kept.isEmpty) return read.filter(org.apache.spark.sql.functions.lit(false))
-    scanKept(kept, currentDv)
+    scanKept(kept, dv)
       .filter(col(colName) === lit(value))
   }
 

@@ -115,6 +115,18 @@ class DistributedPlanningSpec extends SparkSpec {
       == (100L to 220L).toSeq)
   }
 
+  test("readPoint routes both halves through the planner and stays exact") {
+    val t = mk(tmpDir("dp-point"))
+    t.addBloomIndex("s")
+    def run() = t.readPoint("s", "s0123").select("k").as[Long].collect().toSeq
+    val distRes = run() // always mode: stats prune + bloom probe as jobs
+    assert(distRes == Seq(123L))
+    t.setProperties(Map("graft.metadata.distributedPlanning" -> "never"))
+    try assert(run() == distRes, "driver and distributed point reads differ")
+    finally t.setProperties(
+      Map("graft.metadata.distributedPlanning" -> "always"))
+  }
+
   test("no parquet checkpoint -> None; the driver fold serves the read") {
     val t = new ManagedTable(spark, tmpDir("dp-json") + "/t")
     t.overwrite(spark.range(100).selectExpr("id as k")
