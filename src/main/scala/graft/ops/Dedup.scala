@@ -323,12 +323,21 @@ object Dedup {
     * Scale: two joins of the candidate set (small — only docs with a
     * near-dup) against the hashed shingle index; never all-pairs.
     */
-  def verifyJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                         cands: DataFrame, n: Int,
-                         minJaccard: Double): DataFrame = {
-    val idx = shingleIndex(docs, idCol, textCol, n, 0L)
+  /** The hashed (doc_id, shingle-hash) index [[verifyJaccardPairs]]
+    * verifies against — exposed so callers verifying SEVERAL candidate
+    * sets over one corpus (minhash + simhash pipelines) build and
+    * materialize it once.
+    */
+  def hashedShingleIndex(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame =
+    shingleIndex(docs, idCol, textCol, n, 0L)
       .select(col("doc_id"), xxhash64(col("s")).as("s"))
-      .localCheckpoint(eager = false)
+
+  def verifyJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         cands: DataFrame, n: Int, minJaccard: Double,
+                         index: Option[DataFrame] = None): DataFrame = {
+    val idx = index.getOrElse(hashedShingleIndex(docs, idCol, textCol, n)
+      .localCheckpoint(eager = false))
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cands.select("d1", "d2").distinct()
       .join(idx.withColumnRenamed("doc_id", "d1"), Seq("d1"))

@@ -618,9 +618,19 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   private[table] def keptByStatsDistributed(
       preds: Seq[(String, Any, Any)]): Option[Seq[String]] =
-    keptByStatsDistributed(preds, currentDv)
+    keptByStatsDistributed(rangePreds(preds), currentDv)
 
-  private def keptByStatsDistributed(preds: Seq[(String, Any, Any)],
+  /** Range predicates in the planner's decoded form: bounds resolved ONCE
+    * on the driver (session-zone timestamp coercion lives here), column
+    * names translated to their physical stats keys.
+    */
+  private def rangePreds(preds: Seq[(String, Any, Any)]): Seq[MetadataPlane.Pred] = {
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    preds.map { case (c, lo, hi) => MetadataPlane.RangePred(
+      physicalColName(c), MetadataPlane.decodeBounds(lo, hi, zone)) }
+  }
+
+  private def keptByStatsDistributed(preds: Seq[MetadataPlane.Pred],
       dv: Map[String, Array[Long]]): Option[Seq[String]] = {
     if (isShallowClone || version < 0) return None
     // walk back to the nearest checkpoint manifest (O(interval) small
@@ -649,12 +659,6 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       a.foreach(present(_) = true); r.foreach(present(_) = false) }
     val adds = present.collect { case (p, true) => p }.toSeq
     val removed = present.collect { case (p, false) => p }.toSet
-    // bounds decoded ONCE on the driver (session-zone coercion lives
-    // here); executors only compare
-    val zone = spark.sessionState.conf.sessionLocalTimeZone
-    val bounds: Seq[(String, Option[MetadataPlane.Bounds])] = preds.map {
-      case (c, lo, hi) =>
-        (physicalColName(c), MetadataPlane.decodeBounds(lo, hi, zone)) }
     val dvCounts: Map[String, Long] = dv.collect {
       case (p, a) if a.nonEmpty => p -> a.length.toLong }
     // files added since the checkpoint: their stats live in the
@@ -665,7 +669,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val keptAdds = adds.filter { p =>
       segMeta.get(p) match {
         case Some((_, m)) =>
-          MetadataPlane.decide(m.stats, m.rows, dvCounts.getOrElse(p, 0L), bounds)
+          MetadataPlane.decide(m.stats, m.rows, dvCounts.getOrElse(p, 0L), preds)
         case None => true // no stats known: conservative keep
       }
     }
@@ -673,7 +677,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     import spark.implicits._
     val removedB = spark.sparkContext.broadcast(removed)
     val dvB = spark.sparkContext.broadcast(dvCounts)
-    val boundsB = spark.sparkContext.broadcast(bounds)
+    val predsB = spark.sparkContext.broadcast(preds)
     val raw = spark.read.parquet(ckpt.get.toString)
     val cols = raw.columns.toSet
     def optCol(n: String, t: String) =
@@ -691,18 +695,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           // are then unknowable — Long.MaxValue keeps them conservative
           val rows = rowsOpt.getOrElse(Long.MaxValue)
           if (MetadataPlane.decide(stats, rows, dvB.value.getOrElse(p, 0L),
-              boundsB.value)) Some(p)
+              predsB.value)) Some(p)
           else None
         }
       }.collect().toSeq
     Some((kept ++ keptAdds).distinct.sorted)
   }
 
-  /** The kept-file set for conjunctive range predicates — a distributed
-    * job when the snapshot size warrants it ([[useDistributedPlanning]]),
-    * the measured driver fold otherwise. Shared by the readWhere family.
+  /** The kept-file set for a conjunction of skipping predicates — a
+    * distributed job when the snapshot size warrants it
+    * ([[useDistributedPlanning]]), the measured driver fold otherwise.
+    * BOTH paths run [[MetadataPlane.decide]] per file, so they cannot
+    * drift. Shared by the whole readWhere/readWhereNull family.
     */
-  private def keptForRangePreds(preds: Seq[(String, Any, Any)],
+  private def keptForPreds(preds: Seq[MetadataPlane.Pred],
       dv: Map[String, Array[Long]]): Seq[String] = {
     if (useDistributedPlanning)
       keptByStatsDistributed(preds, dv) match {
@@ -711,10 +717,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       }
     val files = liveFilesQ()
     val metas = fileMeta(files)
-    preds.map { case (c, lo, hi) =>
-      overlapKept(files, metas, dv, physicalColName(c), lo, hi).toSet }
-      .reduce(_ intersect _).toSeq.sorted
+    files.map(_._1).filter { p =>
+      MetadataPlane.decide(metas(p).stats, metas(p).rows,
+        dv.get(p).map(_.length.toLong).getOrElse(0L), preds)
+    }.sorted
   }
+
+  private def keptForRangePreds(preds: Seq[(String, Any, Any)],
+      dv: Map[String, Array[Long]]): Seq[String] =
+    keptForPreds(rangePreds(preds), dv)
 
   /** Live files that may hold a NULL in `colName` — null-count skipping
     * (Delta's nullCount stats): a file whose recorded null count is 0 is
@@ -743,9 +754,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * this touches a handful of files out of the table.
     */
   def readWhereNull(colName: String): DataFrame = {
-    val (kept, _) = filesWithNulls(colName)
+    val dv = currentDv
+    val kept = keptForPreds(
+      Seq(MetadataPlane.NullPred(physicalColName(colName))), dv)
     if (kept.isEmpty) return read.filter(org.apache.spark.sql.functions.lit(false))
-    scanKept(kept, currentDv)
+    scanKept(kept, dv)
       .filter(col(colName).isNull)
   }
 
@@ -1011,16 +1024,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
 
   /** `WHERE colName IS NOT NULL` with all-null files pruned. */
   def readWhereNotNull(colName: String): DataFrame = {
-    val files = liveFilesQ()
-    val metas = fileMeta(files)
     val dv = currentDv
-    val statsCol = physicalColName(colName)
-    val kept = files.map(_._1).filter { p =>
-      !dv.get(p).exists(_.length >= metas(p).rows) &&
-      !metas(p).stats.get(statsCol).exists(_._4 >= metas(p).rows)
-    }
+    val kept = keptForPreds(
+      Seq(MetadataPlane.NotNullPred(physicalColName(colName))), dv)
     if (kept.isEmpty) return read.filter(org.apache.spark.sql.functions.lit(false))
-    scanKept(kept, currentDv)
+    scanKept(kept, dv)
       .filter(col(colName).isNotNull)
   }
 

@@ -162,17 +162,32 @@ object MetadataPlane extends Serializable {
       for { l <- toMicros(lo, utcKind = false, zone)
             h <- toMicros(hi, utcKind = false, zone) } yield (l, h)))
 
+  /** One skipping predicate, bounds pre-decoded on the driver. The
+    * column name is the PHYSICAL stats key (callers translate through
+    * the column mapping before constructing these).
+    */
+  sealed trait Pred extends Serializable
+  /** Range [lo, hi]; None bounds = a null user bound, which can't prune. */
+  final case class RangePred(col: String, bounds: Option[Bounds]) extends Pred
+  /** `col IS NULL`: a file with a recorded null count of 0 prunes;
+    * unknown (-1) or missing stats keep it. */
+  final case class NullPred(col: String) extends Pred
+  /** `col IS NOT NULL`: an all-null file prunes. */
+  final case class NotNullPred(col: String) extends Pred
+
   /** The whole keep decision for one file against a conjunction of
-    * predicates: not fully bitmap-deleted, and every predicate's range
-    * admits the file ([[keepForRange]]; a None bounds — null user bound —
-    * can't prune). ONE implementation for the driver-side
-    * churn-since-checkpoint handling and the executor flatMap — the two
+    * predicates: not fully bitmap-deleted, and every predicate admits
+    * the file. ONE implementation for the driver fold, the driver-side
+    * churn-since-checkpoint handling and the executor flatMap — the
     * venues must never drift.
     */
   def decide(stats: Map[String, Stat], rows: Long, deleted: Long,
-             bounds: Seq[(String, Option[Bounds])]): Boolean =
-    deleted < rows && bounds.forall { case (c, b) =>
-      b.forall(bb => keepForRange(stats.get(c), rows, bb)) }
+             preds: Seq[Pred]): Boolean =
+    deleted < rows && preds.forall {
+      case RangePred(c, b) => b.forall(bb => keepForRange(stats.get(c), rows, bb))
+      case NullPred(c) => stats.get(c).forall(_._4 != 0L)
+      case NotNullPred(c) => !stats.get(c).exists(_._4 >= rows)
+    }
 
   /** THE per-file skipping decision for one predicate: may this file hold
     * a row in [lo, hi]? Missing/unusable stats keep the file

@@ -115,6 +115,34 @@ class DistributedPlanningSpec extends SparkSpec {
       == (100L to 220L).toSeq)
   }
 
+  test("null-count predicates prune through the distributed planner") {
+    val t = new ManagedTable(spark, tmpDir("dp-nulls") + "/t")
+    t.overwrite(spark.range(1).selectExpr("id as k", "cast(id as double) as x"))
+    t.setProperties(Map(
+      "graft.manifest.checkpointFormat" -> "parquet",
+      "graft.manifest.checkpointInterval" -> "1",
+      "graft.metadata.distributedPlanning" -> "always"))
+    t.overwrite(spark.range(0, 4000).selectExpr("id as k",
+        "CASE WHEN id < 500 THEN NULL ELSE cast(id as double) / 7 END as x")
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k"))
+    def files(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    // IS NULL: only the one file whose range holds the nulls scans
+    assert(t.readWhereNull("x").count() == 500)
+    assert(files(t.readWhereNull("x")) <= 2, // range boundaries are sampled
+      "IS NULL must prune to the files holding the null range")
+    // IS NOT NULL: every file still holds non-nulls here — all kept, exact
+    assert(t.readWhereNotNull("x").count() == 3500)
+    // parity with the driver fold
+    t.setProperties(Map("graft.metadata.distributedPlanning" -> "never"))
+    try {
+      assert(t.readWhereNull("x").count() == 500)
+      assert(files(t.readWhereNull("x")) <= 2)
+      assert(t.readWhereNotNull("x").count() == 3500)
+    } finally t.setProperties(
+      Map("graft.metadata.distributedPlanning" -> "always"))
+  }
+
   test("readPoint routes both halves through the planner and stays exact") {
     val t = mk(tmpDir("dp-point"))
     t.addBloomIndex("s")
