@@ -637,16 +637,16 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // driver reads); the deltas fold into net add/remove sets of
     // O(churn-since-checkpoint)
     var i = version
-    var ckpt: Option[Path] = None
+    var ckpt: Option[Seq[Path]] = None
     val deltas = scala.collection.mutable.ListBuffer[(Seq[String], Seq[String])]()
     while (ckpt.isEmpty) {
       if (i < 0) return None
       val txt = manifestText(i)
-      jsonString(txt, "filesParquet") match {
-        case Some(name) =>
-          val p = new Path(logDir, name)
-          if (!fs.exists(p)) return None
-          ckpt = Some(p)
+      checkpointSidecarsOf(txt) match {
+        case Some(names) =>
+          val ps = names.map(n => new Path(logDir, n))
+          if (!ps.forall(fs.exists)) return None
+          ckpt = Some(ps)
         case None =>
           if (jsonStringArray(txt, "files").isDefined) return None
           deltas.prepend((jsonStringArray(txt, "add").getOrElse(Nil),
@@ -678,7 +678,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val removedB = spark.sparkContext.broadcast(removed)
     val dvB = spark.sparkContext.broadcast(dvCounts)
     val predsB = spark.sparkContext.broadcast(preds)
-    val raw = spark.read.parquet(ckpt.get.toString)
+    val raw = spark.read.parquet(ckpt.get.map(_.toString): _*)
     val cols = raw.columns.toSet
     def optCol(n: String, t: String) =
       if (cols(n)) col(n).cast(t) else lit(null).cast(t)
@@ -1966,12 +1966,21 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         // carry each file's sidecar metadata into the checkpoint rows
         // (Delta's add.stats): the distributed planner prunes from THIS
         // file alone, no sidecar fold on the driver
-        writeCheckpointParquet(ckptParquetPath(v), files.map { case (fp, len) =>
+        val entries = files.map { case (fp, len) =>
           fp -> metas.get(fp).map(m =>
             (len, m.rows, MetadataPlane.statsCells(m.stats)))
-        })
-        ensureFeature("checkpoint-parquet", reader = true)
-        s""""filesParquet":${jstr(ckptParquetPath(v).getName)}"""
+        }
+        val partSize = checkpointPartSize
+        if (partSize > 0 && entries.size > partSize) {
+          val names = writeCheckpointParquetParts(v, entries, partSize)
+          ensureFeature("checkpoint-parquet", reader = true)
+          ensureFeature("checkpoint-parquet-multipart", reader = true)
+          s""""filesParquetParts":[${names.map(jstr).mkString(",")}]"""
+        } else {
+          writeCheckpointParquet(ckptParquetPath(v), entries)
+          ensureFeature("checkpoint-parquet", reader = true)
+          s""""filesParquet":${jstr(ckptParquetPath(v).getName)}"""
+        }
       }
       else if (isCheckpoint) s""""files":[${files.map(f => jstr(f._1)).mkString(",")}]"""
       else {
@@ -2169,7 +2178,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   val supportedReaderFeatures: Set[String] =
     Set("deletion-vectors", "shallow-clone", "row-tracking", "column-mapping",
-      "checkpoint-parquet")
+      "checkpoint-parquet", "checkpoint-parquet-multipart")
 
   /** Writer features THIS build honors on mutation — a writer lacking one
     * could commit while silently breaking invariants other clients rely
@@ -2334,6 +2343,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
             (if (live.nonEmpty) s"${live.size} parquet checkpoint(s) remain " +
               "in the log — commit a JSON checkpoint (e.g. OPTIMIZE) and " +
               "cleanupLog past them first" else ""))
+      case "checkpoint-parquet-multipart" =>
+        val partRx = """^v\d+\.p\d+\.checkpoint\.parquet$""".r
+        val liveParts = if (!fs.exists(logDir)) Nil
+          else fs.listStatus(logDir).map(_.getPath.getName)
+            .filter(n => partRx.matches(n)).toSeq
+        require(checkpointPartSize == 0 && liveParts.isEmpty,
+          s"cannot drop checkpoint-parquet-multipart on $path: " +
+            (if (checkpointPartSize > 0)
+              "graft.manifest.checkpointPartSize is still set — unset it, "
+            else "") +
+            (if (liveParts.nonEmpty) s"${liveParts.size} multi-part " +
+              "checkpoint sidecar(s) remain in the log — commit a " +
+              "single-file checkpoint (e.g. OPTIMIZE) and cleanupLog past " +
+              "them first" else ""))
       case "column-mapping" =>
         // the mapping DATA is the gate, not the mode flag: even with the
         // mode off, live files still carry physical names a feature-less
@@ -2694,6 +2717,48 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def ckptParquetPath(v: Long) =
     new Path(logDir, f"v$v%05d.checkpoint.parquet")
 
+  /** Entries per parquet-checkpoint part; 0 (default) keeps the single
+    * sidecar. A positive value splits checkpoints larger than it into
+    * `vNNNNN.pKKK.checkpoint.parquet` parts written in PARALLEL —
+    * Delta's multi-part (v2) checkpoints: at 1e7+ entries one
+    * driver-threaded parquet write is the commit's long pole, and the
+    * distributed planner wants a multi-file scan anyway so each executor
+    * reads its own part. Part files share the `.checkpoint.parquet`
+    * suffix so the remap/retention/reap sweeps cover them unchanged.
+    * Gated by the `checkpoint-parquet-multipart` READER feature: an
+    * unaware build would misread the parts pointer as an empty delta.
+    */
+  private def checkpointPartSize: Int =
+    properties.get("graft.manifest.checkpointPartSize")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(0)
+
+  private def ckptPartPath(v: Long, i: Int) =
+    new Path(logDir, f"v$v%05d.p$i%03d.checkpoint.parquet")
+
+  /** Write one checkpoint as `ceil(n/partSize)` parts concurrently;
+    * returns the part file names in row order. Each part is its own
+    * atomic tmp→rename publish: a crash leaves tmps (reaped under the
+    * commit lock) or unreferenced parts (invisible to readers until the
+    * pointer manifest lands, then swept by retention).
+    */
+  private[table] def writeCheckpointParquetParts(v: Long,
+      files: Seq[(String, Option[(Long, Long, String)])],
+      partSize: Int): Seq[String] = {
+    val parts = files.grouped(partSize).toSeq
+    val names = parts.indices.map(i => ckptPartPath(v, i))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parts.size, 8))
+    try {
+      val futs = parts.zip(names).map { case (chunk, p) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = writeCheckpointParquet(p, chunk)
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+    names.map(_.getName)
+  }
+
   // v2 checkpoint row: path + (when the commit knew it) the file's
   // sidecar metadata — Delta's add.stats shape. The metadata columns are
   // OPTIONAL so v1 path-only checkpoints keep reading; a row without them
@@ -2800,9 +2865,19 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * manifests.
     */
   private def checkpointFilesOf(txt: String): Option[Seq[String]] =
-    jsonStringArray(txt, "files").orElse(
-      jsonString(txt, "filesParquet")
+    jsonStringArray(txt, "files")
+      .orElse(jsonString(txt, "filesParquet")
         .map(name => readCheckpointParquet(new Path(logDir, name))))
+      .orElse(jsonStringArray(txt, "filesParquetParts")
+        .map(_.flatMap(n => readCheckpointParquet(new Path(logDir, n)))))
+
+  /** Sidecar names a checkpoint manifest points at — one for the single
+    * format, several for multi-part; None for inline-JSON or delta
+    * manifests.
+    */
+  private def checkpointSidecarsOf(txt: String): Option[Seq[String]] =
+    jsonString(txt, "filesParquet").map(Seq(_))
+      .orElse(jsonStringArray(txt, "filesParquetParts"))
 
   /** The data-file list of logged version `v`: from `v`'s own manifest
     * when it is a checkpoint (full `files` list, inline or parquet), else
@@ -3187,14 +3262,25 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     while (horizon > 0 && {
         val txt = manifestText(horizon)
         jsonStringArray(txt, "files").isEmpty &&
-          !jsonString(txt, "filesParquet").exists(name =>
-            fs.exists(new Path(logDir, name)))
+          !checkpointSidecarsOf(txt).exists(names =>
+            names.forall(n => fs.exists(new Path(logDir, n))))
       })
       horizon -= 1
     (0L until horizon).foreach { v =>
       fs.delete(new Path(logDir, f"v$v%05d.json"), false)
       fs.delete(ckptParquetPath(v), false)
       fs.delete(dvFile(v), false)
+    }
+    // multi-part sidecars (vNNNNN.pKKK.checkpoint.parquet) below the
+    // horizon: one listing, matched by version prefix — the fixed-name
+    // loop above can't enumerate an unknown part count
+    fs.listStatus(logDir).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.endsWith(".checkpoint.parquet") && n.startsWith("v"))
+        n.drop(1).takeWhile(_.isDigit).toLongOption match {
+          case Some(ver) if ver < horizon => fs.delete(st.getPath, false)
+          case _ =>
+        }
     }
     // reap crash-orphaned checkpoint-sidecar tmp files. ONLY those: their
     // writers (commit, remap, drop-feature) all hold the commit lock this
