@@ -146,6 +146,17 @@ private[streaming] object SnapshotOffset {
   * cached per-file lengths (exact even on size-skewed snapshots — an
   * average-size conversion would let one jumbo file blow past the cap),
   * with the commit's average size as the fallback for uncached paths.
+  *
+  * Above the distributed-planning cutover (the same
+  * `graft.metadata.distributedPlanning` switch the readWhere family
+  * uses), the sorted manifest is never materialized on the driver:
+  * slices come from [[ManagedTable.snapshotSliceDistributed]] — a Spark
+  * job over the parquet-checkpoint rows that collects ONLY the slice —
+  * and the total from the commit's O(1) `numFiles` record. Driver memory
+  * per trigger is O(maxFilesPerTrigger + churn), retiring the
+  * 1e7-file / GBs-of-driver-heap ceiling the readWhere family already
+  * escaped. Both venues slice the SAME Java-string-sorted order, so a
+  * restart that crosses the cutover resumes exactly.
   */
 private[streaming] trait SnapshotPhase {
   protected def snapshotTable: ManagedTable
@@ -170,6 +181,15 @@ private[streaming] trait SnapshotPhase {
     val fromIdx = startParsed.flatMap(_.left.toOption)
       .map(_.filesDelivered).getOrElse(0L)
     val pin = end.fold(_.version, identity)
+    if (snapshotTable.snapshotPlanningDistributed) {
+      val toIdx = end.fold(_.filesDelivered,
+        _ => snapshotTable.commitSummary(pin).map(_._1).getOrElse(-1L))
+      if (toIdx >= 0)
+        snapshotTable.snapshotSliceDistributed(pin, fromIdx, toIdx) match {
+          case Some(rows) => return (pin, rows.map(_._1))
+          case None => () // no parquet checkpoint: driver fold below
+        }
+    }
     val all = snapshotFiles(pin)
     val toIdx = end.fold(_.filesDelivered, _ => all.size.toLong)
     (pin, all.slice(fromIdx.toInt, toIdx.toInt))
@@ -181,14 +201,17 @@ private[streaming] trait SnapshotPhase {
     */
   protected def snapAdvance(pin: Long, delivered: Long,
       maxFiles: Option[Long], maxBytes: Option[Long]): OffsetV2 = {
+    if (snapshotTable.snapshotPlanningDistributed)
+      snapAdvanceDistributed(pin, delivered, maxFiles, maxBytes) match {
+        case Some(o) => return o
+        case None => () // no checkpoint / no history record: driver fold
+      }
     val all = snapshotFiles(pin)
     val total = all.size.toLong
     val next =
       if (maxFiles.isEmpty && maxBytes.isEmpty) total
       else {
-        val avg = snapshotTable.commitSummary(pin).collect {
-          case (nf, bytes) if nf > 0 && bytes > 0 =>
-            math.max(1L, bytes / nf) }.getOrElse(1L)
+        val avg = avgFileSize(pin)
         val lens = if (maxBytes.isDefined) snapLengths else Map.empty[String, Long]
         var i = delivered; var nf = 0L; var bytes = 0L; var stop = false
         while (i < total && !stop) {
@@ -201,6 +224,47 @@ private[streaming] trait SnapshotPhase {
         math.max(i, delivered + 1)
       }
     if (next < total) SnapshotOffset(pin, next) else LongOffset(pin)
+  }
+
+  private def avgFileSize(pin: Long): Long =
+    snapshotTable.commitSummary(pin).collect {
+      case (nf, bytes) if nf > 0 && bytes > 0 =>
+        math.max(1L, bytes / nf) }.getOrElse(1L)
+
+  /** The distributed venue of [[snapAdvance]]: total from the commit's
+    * `numFiles` record, lengths from bounded slice jobs — the driver
+    * holds one chunk (≤ 64k (path, len) rows) at a time, never the
+    * manifest. Same admission semantics as the driver loop.
+    */
+  private def snapAdvanceDistributed(pin: Long, delivered: Long,
+      maxFiles: Option[Long], maxBytes: Option[Long]): Option[OffsetV2] = {
+    val total = snapshotTable.commitSummary(pin).map(_._1).getOrElse(
+      return None)
+    val next =
+      if (maxFiles.isEmpty && maxBytes.isEmpty) total
+      else {
+        val avg = avgFileSize(pin)
+        val chunk = math.min(65536L, maxFiles.map(_ + 1).getOrElse(65536L))
+        var i = delivered; var nf = 0L; var bytes = 0L; var stop = false
+        while (i < total && !stop) {
+          val rows = snapshotTable.snapshotSliceDistributed(
+            pin, i, math.min(total, i + chunk)).getOrElse(return None)
+          if (rows.isEmpty) stop = true // defensive: never spin
+          else {
+            val it = rows.iterator
+            while (it.hasNext && !stop) {
+              val (_, len0) = it.next()
+              val len = if (len0 >= 0) len0 else avg
+              val overF = maxFiles.exists(m => nf + 1 > m)
+              val overB = maxBytes.exists(m => nf > 0 && bytes + len > m)
+              if (overF || overB) stop = true
+              else { nf += 1; bytes += len; i += 1 }
+            }
+          }
+        }
+        math.max(i, delivered + 1)
+      }
+    Some(if (next < total) SnapshotOffset(pin, next) else LongOffset(pin))
   }
 }
 

@@ -2,7 +2,7 @@ package graft.table
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, expr, lit, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, encode, expr, lit, when}
 
 /** A managed Parquet table directory emulating the reference's Delta-table
   * capability surface (SURVEY.md §7.4): overwrite/append/partitioned writes,
@@ -405,6 +405,23 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         e.path -> (e.len, FileMeta(e.rows, e.stats))))
       .toMap
 
+  /** Stream-filter one sidecar file to just `want` paths: memory is
+    * O(matches), not O(file) — the recovery read the distributed planner
+    * takes when compaction folded a post-checkpoint add into the base.
+    */
+  private def readSidecarFiltered(p: Path,
+      want: Set[String]): Map[String, (Long, FileMeta)] =
+    if (want.isEmpty || !fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .flatMap(MetadataPlane.parseLine(_))
+        .filter(e => want(e.path))
+        .map(e => e.path -> (e.len, FileMeta(e.rows, e.stats)))
+        .toMap
+      finally in.close()
+    }
+
   /** Atomic small-file write: temp + rename, so a crash can never leave a
     * torn file in place (worst case after the delete is NO file, which is
     * just a cold cache).
@@ -630,13 +647,23 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       physicalColName(c), MetadataPlane.decodeBounds(lo, hi, zone)) }
   }
 
-  private def keptByStatsDistributed(preds: Seq[MetadataPlane.Pred],
-      dv: Map[String, Array[Long]]): Option[Seq[String]] = {
-    if (isShallowClone || version < 0) return None
+  /** The distributed-assembly base of logged version `v`: the nearest
+    * parquet-checkpoint sidecars at or below `v` plus the intervening
+    * deltas folded into net (adds, removed) sets of
+    * O(churn-since-checkpoint) — the walk-back shared by the planner job
+    * ([[keptByStatsDistributed]]) and the streaming snapshot assembly
+    * ([[snapshotSliceDistributed]]). None when `v` reconstructs from an
+    * inline-JSON checkpoint (the ≤1e6-file regime where the driver fold
+    * is measured fine) or a sidecar is missing (dangling pointer — the
+    * driver path's loud error handles it).
+    */
+  private def distributedBase(
+      v: Long): Option[(Seq[Path], Seq[String], Set[String])] = {
+    if (isShallowClone || v < 0) return None
     // walk back to the nearest checkpoint manifest (O(interval) small
     // driver reads); the deltas fold into net add/remove sets of
     // O(churn-since-checkpoint)
-    var i = version
+    var i = v
     var ckpt: Option[Seq[Path]] = None
     val deltas = scala.collection.mutable.ListBuffer[(Seq[String], Seq[String])]()
     while (ckpt.isEmpty) {
@@ -657,15 +684,36 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val present = scala.collection.mutable.LinkedHashMap[String, Boolean]()
     deltas.foreach { case (a, r) =>
       a.foreach(present(_) = true); r.foreach(present(_) = false) }
-    val adds = present.collect { case (p, true) => p }.toSeq
-    val removed = present.collect { case (p, false) => p }.toSet
-    val dvCounts: Map[String, Long] = dv.collect {
-      case (p, a) if a.nonEmpty => p -> a.length.toLong }
-    // files added since the checkpoint: their stats live in the
-    // per-commit sidecar segments (driver, O(churn)); missing → kept
-    val segMeta = sidecarSegments
+    Some((ckpt.get,
+      present.collect { case (p, true) => p }.toSeq,
+      present.collect { case (p, false) => p }.toSet))
+  }
+
+  /** (len, meta) for files added since the checkpoint: their stats live
+    * in the per-commit sidecar segments (driver, O(churn)); an add whose
+    * segment was folded into the base by sidecar compaction is recovered
+    * by STREAMING the base filtered to just those paths — memory stays
+    * O(churn), and the O(live-files) byte read is paid only in the
+    * post-compaction window, never per planned read.
+    */
+  private def addsMeta(adds: Seq[String]): Map[String, (Long, FileMeta)] = {
+    val segMeta0 = sidecarSegments
       .foldLeft(Map.empty[String, (Long, FileMeta)])(
         (m, s) => m ++ readSidecarFile(s))
+    val missing = adds.filterNot(segMeta0.contains).toSet
+    if (missing.isEmpty) segMeta0
+    else segMeta0 ++ readSidecarFiltered(sidecarBase, missing)
+  }
+
+  private def keptByStatsDistributed(preds: Seq[MetadataPlane.Pred],
+      dv: Map[String, Array[Long]]): Option[Seq[String]] = {
+    val (ckpt, adds, removed) = distributedBase(version) match {
+      case Some(b) => b
+      case None => return None
+    }
+    val dvCounts: Map[String, Long] = dv.collect {
+      case (p, a) if a.nonEmpty => p -> a.length.toLong }
+    val segMeta = addsMeta(adds)
     val keptAdds = adds.filter { p =>
       segMeta.get(p) match {
         case Some((_, m)) =>
@@ -678,29 +726,94 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val removedB = spark.sparkContext.broadcast(removed)
     val dvB = spark.sparkContext.broadcast(dvCounts)
     val predsB = spark.sparkContext.broadcast(preds)
-    val raw = spark.read.parquet(ckpt.get.map(_.toString): _*)
-    val cols = raw.columns.toSet
-    def optCol(n: String, t: String) =
-      if (cols(n)) col(n).cast(t) else lit(null).cast(t)
-    val kept = raw.select(col("path").cast("string"),
-        optCol("rows", "long"), optCol("stats", "string"))
-      .as[(String, Option[Long], Option[String])]
-      .flatMap { case (p, rowsOpt, statsOpt) =>
-        if (removedB.value.contains(p)) None
-        else {
-          val stats = statsOpt.filter(_.nonEmpty)
-            .map(MetadataPlane.parseStatsCells)
-            .getOrElse(Map.empty[String, MetadataPlane.Stat])
-          // a v1 path-only row has no row count: emptied/all-null prunes
-          // are then unknowable — Long.MaxValue keeps them conservative
-          val rows = rowsOpt.getOrElse(Long.MaxValue)
-          if (MetadataPlane.decide(stats, rows, dvB.value.getOrElse(p, 0L),
-              predsB.value)) Some(p)
-          else None
-        }
-      }.collect().toSeq
+    val kept = try {
+      val raw = spark.read.parquet(ckpt.map(_.toString): _*)
+      val cols = raw.columns.toSet
+      def optCol(n: String, t: String) =
+        if (cols(n)) col(n).cast(t) else lit(null).cast(t)
+      raw.select(col("path").cast("string"),
+          optCol("rows", "long"), optCol("stats", "string"))
+        .as[(String, Option[Long], Option[String])]
+        .flatMap { case (p, rowsOpt, statsOpt) =>
+          if (removedB.value.contains(p)) None
+          else {
+            val stats = statsOpt.filter(_.nonEmpty)
+              .map(MetadataPlane.parseStatsCells)
+              .getOrElse(Map.empty[String, MetadataPlane.Stat])
+            // a v1 path-only row has no row count: emptied/all-null prunes
+            // are then unknowable — Long.MaxValue keeps them conservative
+            val rows = rowsOpt.getOrElse(Long.MaxValue)
+            if (MetadataPlane.decide(stats, rows, dvB.value.getOrElse(p, 0L),
+                predsB.value)) Some(p)
+            else None
+          }
+        }.collect().toSeq
+    } finally {
+      // a long-lived session plans many reads; leaked broadcasts would
+      // accrete blocks on driver and executors
+      removedB.destroy(); dvB.destroy(); predsB.destroy()
+    }
     Some((kept ++ keptAdds).distinct.sorted)
   }
+
+  /** Whether metadata folds should run as Spark jobs for this snapshot —
+    * the streaming sources' venue switch (same cutover as the readWhere
+    * family's).
+    */
+  private[graft] def snapshotPlanningDistributed: Boolean =
+    useDistributedPlanning
+
+  /** (path, length) rows for indices [fromIdx, toIdx) of logged version
+    * `v`'s manifest in SORTED order, assembled as a Spark job over the
+    * parquet-checkpoint rows — the streaming sources' initial-snapshot
+    * path for huge tables, where the driver must hold only the slice
+    * (O(maxFilesPerTrigger)) plus the churn-since-checkpoint, never the
+    * full manifest. Length is -1 when unknown (a v1 path-only checkpoint
+    * row, or an add with no cached sidecar entry); callers fall back to
+    * the commit's average file size for pacing.
+    *
+    * Sort order is pinned to Java String order (the driver fold's
+    * `.sorted`) by sorting on the UTF-16BE encoding — Spark's native
+    * string sort is UTF-8-byte order, which disagrees for supplementary
+    * characters, and the two venues must slice identically or a
+    * mid-snapshot venue switch would skip/duplicate files.
+    *
+    * None when `v` has no parquet checkpoint to assemble from (callers
+    * take the measured driver fold).
+    */
+  private[graft] def snapshotSliceDistributed(v: Long, fromIdx: Long,
+      toIdx: Long): Option[Seq[(String, Long)]] =
+    distributedBase(v).map { case (ckpt, adds, removed) =>
+      import spark.implicits._
+      val addMeta = addsMeta(adds)
+      val addRows = adds.map(p =>
+        (p, addMeta.get(p).map(_._1).getOrElse(-1L)))
+      val removedB = spark.sparkContext.broadcast(removed)
+      try {
+        val raw = spark.read.parquet(ckpt.map(_.toString): _*)
+        val lenCol =
+          if (raw.columns.contains("len"))
+            coalesce(col("len").cast("long"), lit(-1L))
+          else lit(-1L)
+        val base = raw.select(col("path").cast("string"), lenCol.as("len"))
+          .as[(String, Long)]
+          .filter(r => !removedB.value.contains(r._1))
+          .union(spark.createDataset(addRows))
+          // a re-added path can appear in both the checkpoint and the
+          // adds: dedupe by path, preferring a known length
+          .groupByKey(_._1)
+          .reduceGroups((a, b) => if (a._2 >= 0) a else b)
+          .map(_._2)
+        base
+          .orderBy(encode(col("_1"), "UTF-16BE"))
+          .as[(String, Long)].rdd
+          .zipWithIndex()
+          .filter { case (_, i) => i >= fromIdx && i < toIdx }
+          .map(_._1)
+          .collect()
+          .sortBy(_._1).toSeq
+      } finally removedB.destroy()
+    }
 
   /** The kept-file set for a conjunction of skipping predicates — a
     * distributed job when the snapshot size warrants it
@@ -788,18 +901,40 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * count.
     */
   def columnStats(): DataFrame = {
+    if (useDistributedPlanning)
+      columnStatsDistributed() match {
+        case Some(df) => return df
+        case None => ()
+      }
     val files = liveFilesQ()
     columnStatsFrom(files, fileMeta(files))
   }
 
   /** [[columnStats]] over a pre-fetched listing+fold — callers that
     * already paid the listing ([[publishCatalog]]) must not pay it twice.
+    * The per-column reduce is [[MetadataPlane.mergeColAgg]], the SAME
+    * merge the distributed job runs — the venues cannot drift.
     */
   private def columnStatsFrom(files: Seq[(String, Long)],
                               metas: Map[String, FileMeta]): DataFrame = {
+    val aggs = scala.collection.mutable.Map.empty[String, MetadataPlane.ColAgg]
+    files.foreach { case (p, _) =>
+      metas(p).stats.foreach { case (c, s) =>
+        val a = MetadataPlane.colAgg(s)
+        aggs(c) = aggs.get(c).map(MetadataPlane.mergeColAgg(_, a)).getOrElse(a)
+      }
+    }
+    formatColumnStats(aggs.toMap,
+      metas.values.map(_.rows).sum, files.size.toLong)
+  }
+
+  /** Shared display tail of both [[columnStats]] venues: bound
+    * suppression for files-without-stats, logical-name translation,
+    * epoch decode — driver-side, from the reduced per-column aggregates.
+    */
+  private def formatColumnStats(aggs: Map[String, MetadataPlane.ColAgg],
+      rowsTotal: Long, nFiles: Long): DataFrame = {
     import spark.implicits._
-    val rowsTotal = metas.values.map(_.rows).sum
-    val nFiles = files.size.toLong
     // stats are keyed by PHYSICAL names: surface logical ones (and hide
     // mapped-away DROP COLUMN victims) so the report matches what a user
     // of the table can actually query
@@ -807,25 +942,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val p2l = columnMappingPairs.map { case (l, p) => p.toLowerCase -> l }.toMap
     // sort by the LOGICAL name the report displays, not the physical key
     // the stats are stored under — after a rename they differ
-    val cols = metas.values.flatMap(_.stats.keys).toSeq.distinct
+    val cols = aggs.keys.toSeq
       .filterNot(_ == RowTracking.col) // internal sentinel, not a user column
       .filterNot(c => droppedSet(c.toLowerCase))
       .sortBy(c => p2l.getOrElse(c.toLowerCase, c))
+    val usable = Set("i", "d", "s", "D", "T", "t")
     val out = cols.map { c =>
-      val per = files.map(f => metas(f._1).stats.get(c))
-      val known = per.flatten
-      val boundKinds = known.map(_._1).filter(Set("i", "d", "s", "D", "T", "t")).distinct
+      val a = aggs(c)
+      // bounds only when EVERY live file carries usable bounds of one
+      // kind for the column (a missing/unusable/mixed file nulls them —
+      // conservative, never wrong)
       val bounds: Option[(String, String, String)] =
-        if (per.exists(_.isEmpty) || boundKinds.size != 1 ||
-            known.exists(_._1 != boundKinds.head)) None
+        if (a.known < nFiles || !usable(a.kind)) None
         else {
-          val k = boundKinds.head
-          val leq: (String, String) => Boolean =
-            if (k == "s") utf8Leq
-            else if (k == "T" || k == "t") (a, b) => a.toLong <= b.toLong
-            else numLeq
-          val mn = known.map(_._2).reduce((a, b) => if (leq(a, b)) a else b)
-          val mx = known.map(_._3).reduce((a, b) => if (leq(a, b)) b else a)
+          val k = a.kind
           // epoch-day/micro stats decode to ISO for the caller (display
           // form; skipping never compares these lexically); ±0.0 double
           // bounds from pre-canonicalization sidecars decode to 0.0
@@ -839,29 +969,129 @@ final class ManagedTable(spark: SparkSession, val path: String) {
               else java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC).toString
             }
             else canonZero(k, v)
-          Some((k, dec(mn), dec(mx)))
+          Some((k, dec(a.mn), dec(a.mx)))
         }
-      val nulls: Option[Long] = {
-        val ns = per.map(_.map(_._4).getOrElse(-1L))
-        if (ns.exists(_ < 0)) None else Some(ns.sum)
-      }
+      val nulls: Option[Long] =
+        if (a.nulls < 0 || a.known < nFiles) None else Some(a.nulls)
       (p2l.getOrElse(c.toLowerCase, c),
-        bounds.map(_._1).getOrElse(if (known.nonEmpty) "n" else ""),
+        bounds.map(_._1).getOrElse(if (a.known > 0) "n" else ""),
         bounds.map(_._2), bounds.map(_._3),
-        nulls, rowsTotal, nFiles, known.size.toLong)
+        nulls, rowsTotal, nFiles, a.known)
     }
     out.toDF("col_name", "data_kind", "min_value", "max_value",
       "null_count", "row_count", "num_files", "files_with_stats")
   }
 
+  /** [[columnStats]] as a Spark job over the parquet-checkpoint rows —
+    * the ANALYZE that never folds O(live files) on the driver: per-column
+    * [[MetadataPlane.ColAgg]]s reduce on the executors, the driver
+    * collects one aggregate per column (plus a sentinel carrying
+    * rowsTotal/nFiles) and merges the O(churn) adds. None (→ driver
+    * fold) when no parquet checkpoint anchors the snapshot, a v1
+    * path-only row hides its row count, or an add has no cached sidecar
+    * entry.
+    */
+  private def columnStatsDistributed(): Option[DataFrame] = {
+    val (ckpt, adds, removed) = distributedBase(version) match {
+      case Some(b) => b
+      case None => return None
+    }
+    val addMeta = addsMeta(adds)
+    if (adds.exists(p => !addMeta.contains(p))) return None
+    import spark.implicits._
+    val removedB = spark.sparkContext.broadcast(removed)
+    val collected = try {
+      val raw = spark.read.parquet(ckpt.map(_.toString): _*)
+      val cols = raw.columns.toSet
+      if (!cols("rows")) return None // v1 checkpoint: rowsTotal unknowable
+      def optCol(n: String, t: String) =
+        if (cols(n)) col(n).cast(t) else lit(null).cast(t)
+      raw.select(col("path").cast("string"), col("rows").cast("long"),
+          optCol("stats", "string"))
+        .as[(String, Option[Long], Option[String])]
+        .filter(r => !removedB.value.contains(r._1))
+        .flatMap { case (_, rowsOpt, statsOpt) =>
+          val stats = statsOpt.filter(_.nonEmpty)
+            .map(MetadataPlane.parseStatsCells)
+            .getOrElse(Map.empty[String, MetadataPlane.Stat])
+          // the sentinel accumulates (rowsTotal in nulls, nFiles in
+          // known); a null rows cell poisons nulls to -1 → fallback
+          stats.iterator.map { case (c, s) =>
+            (c, MetadataPlane.colAgg(s)) } ++ Iterator(
+            ("", MetadataPlane.ColAgg("#", "", "",
+              rowsOpt.getOrElse(-1L), 1L)))
+        }
+        .groupByKey(_._1)
+        .reduceGroups((a, b) => (a._1, MetadataPlane.mergeColAgg(a._2, b._2)))
+        .map(_._2)
+        .collect()
+    } finally removedB.destroy()
+    val aggs = scala.collection.mutable.Map.empty[String, MetadataPlane.ColAgg]
+    collected.foreach { case (c, a) =>
+      aggs(c) = aggs.get(c).map(MetadataPlane.mergeColAgg(_, a)).getOrElse(a) }
+    val sentinel = aggs.remove("")
+    var rowsTotal = sentinel.map(_.nulls).getOrElse(0L)
+    var nFiles = sentinel.map(_.known).getOrElse(0L)
+    if (rowsTotal < 0) return None // some checkpoint row had no row count
+    // fold the O(churn) post-checkpoint adds with the SAME merge
+    adds.foreach { p =>
+      val (_, m) = addMeta(p)
+      rowsTotal += m.rows; nFiles += 1
+      m.stats.foreach { case (c, s) =>
+        val a = MetadataPlane.colAgg(s)
+        aggs(c) = aggs.get(c).map(MetadataPlane.mergeColAgg(_, a)).getOrElse(a)
+      }
+    }
+    Some(formatColumnStats(aggs.toMap, rowsTotal, nFiles))
+  }
+
   def countFast(): Long = {
     requireReadable()
+    if (useDistributedPlanning)
+      countFastDistributed(currentDv) match {
+        case Some(n) => return n
+        case None => ()
+      }
     val files = liveFilesQ()
     val metas = fileMeta(files)
     val dv = currentDv
     files.map { case (p, _) =>
       metas(p).rows - dv.get(p).map(_.length.toLong).getOrElse(0L)
     }.sum
+  }
+
+  /** [[countFast]] as a Spark job: Σ checkpoint-row counts on the
+    * executors, adds (O(churn)) and the DV total on the driver. None
+    * (→ driver fold) when no parquet checkpoint anchors the snapshot or
+    * any row count is unknown.
+    */
+  private def countFastDistributed(
+      dv: Map[String, Array[Long]]): Option[Long] = {
+    val (ckpt, adds, removed) = distributedBase(version) match {
+      case Some(b) => b
+      case None => return None
+    }
+    val addMeta = addsMeta(adds)
+    if (adds.exists(p => !addMeta.contains(p))) return None
+    import spark.implicits._
+    val removedB = spark.sparkContext.broadcast(removed)
+    val (n, nr, s) = try {
+      val raw = spark.read.parquet(ckpt.map(_.toString): _*)
+      if (!raw.columns.contains("rows")) return None
+      val r = raw.select(col("path").cast("string"),
+          col("rows").cast("long").as("rows"))
+        .as[(String, Option[Long])]
+        .filter(r => !removedB.value.contains(r._1))
+        .toDF("path", "rows")
+        .agg(org.apache.spark.sql.functions.count(lit(1)),
+          org.apache.spark.sql.functions.count(col("rows")),
+          org.apache.spark.sql.functions.sum(col("rows")))
+        .head()
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))
+    } finally removedB.destroy()
+    if (n != nr) return None // a v1 path-only row hides its count
+    Some(s + adds.iterator.map(p => addMeta(p)._2.rows).sum -
+      dv.valuesIterator.map(_.length.toLong).sum)
   }
 
   /** SHOW PARTITIONS, metadata-only: one row per live partition dir with
@@ -882,31 +1112,33 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * inference and [[partitions]].
     */
   private def partitionSegments(p: String): Seq[(String, String)] =
-    p.split('/').dropRight(1).reverse.takeWhile(_.contains('='))
-      .reverse.toSeq.map { s =>
-        val i = s.indexOf('=')
-        (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .unescapePathName(s.substring(0, i)),
-          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .unescapePathName(s.substring(i + 1)))
-      }
+    MetadataPlane.partitionSegments(p)
 
   def partitions(): DataFrame = {
     requireReadable()
     val pcs = loggedPartitionCols(version)
     require(pcs.nonEmpty, s"$path is not partitioned")
-    val files = liveFilesQ()
-    val metas = fileMeta(files)
     val dv = currentDv
+    val rolled: Seq[(Seq[String], Long, Long, Long)] = {
+      val dist =
+        if (useDistributedPlanning) partitionsDistributed(dv) else None
+      dist.getOrElse {
+        val files = liveFilesQ()
+        val metas = fileMeta(files)
+        // partitionSegments (not a root stripPrefix) so a shallow clone's
+        // source-rooted file paths parse exactly like live-dir ones
+        files.groupBy { case (p, _) => partitionSegments(p).map(_._2) }
+          .toSeq.map { case (values, fsOf) =>
+            (values, fsOf.size.toLong, fsOf.map(_._2).sum,
+              fsOf.map { case (p2, _) =>
+                metas(p2).rows - dv.get(p2).map(_.length.toLong).getOrElse(0L)
+              }.sum)
+          }
+      }
+    }
     import org.apache.spark.sql.Row
-    // partitionSegments (not a root stripPrefix) so a shallow clone's
-    // source-rooted file paths parse exactly like live-dir ones
-    val rows = files.groupBy { case (p, _) => partitionSegments(p).map(_._2) }
-      .toSeq.map { case (values, fsOf) =>
-      Row.fromSeq(values ++ Seq(fsOf.size.toLong, fsOf.map(_._2).sum,
-        fsOf.map { case (p2, _) =>
-          metas(p2).rows - dv.get(p2).map(_.length.toLong).getOrElse(0L)
-        }.sum))
+    val rows = rolled.map { case (values, nf, bytes, rc) =>
+      Row.fromSeq(values ++ Seq(nf, bytes, rc))
     }.sortBy(_.toSeq.take(pcs.size).map(String.valueOf).mkString(" "))
     val schema = org.apache.spark.sql.types.StructType(
       pcs.map(c => org.apache.spark.sql.types.StructField(c,
@@ -918,6 +1150,62 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         org.apache.spark.sql.types.StructField("row_count",
           org.apache.spark.sql.types.LongType)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** SHOW PARTITIONS as a Spark job: per-partition
+    * (num_files, size_bytes, row_count) rollups reduce on the executors
+    * (partition values parsed from the checkpoint rows' paths, DV counts
+    * broadcast), the driver collects one row per partition and merges
+    * the O(churn) adds. None (→ driver fold) when no parquet checkpoint
+    * anchors the snapshot or any row's length/count is unknown.
+    */
+  private def partitionsDistributed(dv: Map[String, Array[Long]]):
+      Option[Seq[(Seq[String], Long, Long, Long)]] = {
+    val (ckpt, adds, removed) = distributedBase(version) match {
+      case Some(b) => b
+      case None => return None
+    }
+    val addMeta = addsMeta(adds)
+    if (adds.exists(p => !addMeta.contains(p))) return None
+    val dvCounts: Map[String, Long] = dv.collect {
+      case (p, a) if a.nonEmpty => p -> a.length.toLong }
+    import spark.implicits._
+    val removedB = spark.sparkContext.broadcast(removed)
+    val dvB = spark.sparkContext.broadcast(dvCounts)
+    val collected = try {
+      val raw = spark.read.parquet(ckpt.map(_.toString): _*)
+      val cols = raw.columns.toSet
+      if (!cols("rows") || !cols("len")) return None
+      raw.select(col("path").cast("string"), col("len").cast("long"),
+          col("rows").cast("long"))
+        .as[(String, Option[Long], Option[Long])]
+        .filter(r => !removedB.value.contains(r._1))
+        .map { case (p, lenOpt, rowsOpt) =>
+          val ok = lenOpt.isDefined && rowsOpt.isDefined
+          (MetadataPlane.partitionSegments(p).map(_._2),
+            (1L, lenOpt.getOrElse(0L),
+              rowsOpt.getOrElse(0L) - dvB.value.getOrElse(p, 0L), ok))
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          (a._1, (a._2._1 + b._2._1, a._2._2 + b._2._2,
+            a._2._3 + b._2._3, a._2._4 && b._2._4))
+        }
+        .map(_._2)
+        .collect()
+    } finally { removedB.destroy(); dvB.destroy() }
+    if (collected.exists(!_._2._4)) return None // a v1 row hid len/rows
+    val acc = scala.collection.mutable.Map.empty[Seq[String], (Long, Long, Long)]
+    collected.foreach { case (vals, (nf, bytes, rc, _)) =>
+      acc(vals) = (nf, bytes, rc) }
+    adds.foreach { p =>
+      val (len, m) = addMeta(p)
+      val vals = MetadataPlane.partitionSegments(p).map(_._2)
+      val rc = m.rows - dv.get(p).map(_.length.toLong).getOrElse(0L)
+      val (nf0, b0, r0) = acc.getOrElse(vals, (0L, 0L, 0L))
+      acc(vals) = (nf0 + 1, b0 + len, r0 + rc)
+    }
+    Some(acc.toSeq.map { case (vals, (nf, bytes, rc)) => (vals, nf, bytes, rc) })
   }
 
   /** Publish this table into the session catalog as an EXTERNAL parquet
@@ -1270,11 +1558,18 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         if (distributed && candidates.nonEmpty) {
           import spark.implicits._
           val dirStr = dir.toString
-          spark.createDataset(candidates).mapPartitions { it =>
-            val d = new Path(dirStr)
-            val pfs = d.getFileSystem(new org.apache.hadoop.conf.Configuration())
-            it.filter(f => BloomIndex.mightContain(pfs, d, f, k))
-          }.collect().toSeq
+          // ship the SESSION's Hadoop conf (credentials, endpoints, fs
+          // impls) to the tasks — a fresh Configuration would resolve a
+          // differently-configured FileSystem on object stores
+          val confB = spark.sparkContext.broadcast(
+            new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+          try {
+            spark.createDataset(candidates).mapPartitions { it =>
+              val d = new Path(dirStr)
+              val pfs = d.getFileSystem(confB.value.value)
+              it.filter(f => BloomIndex.mightContain(pfs, d, f, k))
+            }.collect().toSeq
+          } finally confB.destroy()
         } else {
           import scala.collection.parallel.CollectionConverters._
           candidates.par.filter(f => BloomIndex.mightContain(fs, dir, f, k)).seq
@@ -1853,6 +2148,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       }
     }
     rewriteDvSnapshots(p => mapping.getOrElse(p, p))
+    remapCheckpointSidecars(p => mapping.getOrElse(p, p))
   }
 
   /** Append a commit entry describing the CURRENT live dir as version
@@ -2593,17 +2889,26 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       case (o, n) if p.startsWith(o) => n + p.substring(o.length)
     }.getOrElse(p)
     rewriteDvSnapshots(rawRemap)
-    // parquet checkpoint sidecars hold paths OUTSIDE the JSON text (raw
-    // strings): remap their rows too, or a post-swap reconstruction would
-    // resolve retired files at their pre-move locations
+    remapCheckpointSidecars(rawRemap)
+  }
+
+  /** Rewrite the path column of every parquet checkpoint sidecar (single
+    * AND multi-part — both share the `.checkpoint.parquet` suffix)
+    * through `f`. Checkpoint rows hold paths OUTSIDE the JSON text (raw
+    * strings), so BOTH remap flavors — the prefix remap
+    * ([[remapManifests]], dir swaps) and the exact-path remap
+    * ([[remapFiles]], file-granular retirement) — must rewrite them too,
+    * or a post-move reconstruction would resolve retired files at their
+    * pre-move locations.
+    */
+  private def remapCheckpointSidecars(f: String => String): Unit =
     fs.listStatus(logDir).filter { st =>
       st.isFile && st.getPath.getName.endsWith(".checkpoint.parquet")
     }.foreach { st =>
       val rows = readCheckpointParquetFull(st.getPath)
-      val updated = rows.map { case (p, meta) => (rawRemap(p), meta) }
+      val updated = rows.map { case (p, meta) => (f(p), meta) }
       if (updated != rows) writeCheckpointParquet(st.getPath, updated)
     }
-  }
 
   /** Rewrite the path key of every DV-snapshot line through `f` — the one
     * place that understands the sidecar line format, shared by the prefix

@@ -99,6 +99,61 @@ object ManifestBench {
         f"resolved=${files2.size}%,d entries, " +
         f"~mem delta=${(memAfter2 - memBefore2) / 1e6}%.0f MB, " +
         f"ckpt bytes json=$jsonBytes%,d vs parquet=$pqBytes%,d")
+      // ---- multi-part checkpoint (graft.manifest.checkpointPartSize):
+      // same rows as 8 parts written in parallel — the claimed motivation
+      // (the single-threaded parquet write is the commit's long pole at
+      // 1e7) measured against the single write above. Rows carry stats
+      // ("k" clustered by file) so the distributed-planner prune below
+      // has something to skip with.
+      def stat(i: Long) = Some((1000L, 100L, MetadataPlane.statsCells(Map(
+        "k" -> (("i", (i * 100).toString, (i * 100 + 99).toString, 0L))))))
+      val partSize = (n / 8 + 1).toInt
+      var statEntries = (0L until n).map(i => p(i) -> stat(i))
+      // apples-to-apples single write: same stat-bearing rows, one file
+      val tSW0 = System.nanoTime()
+      t2.writeCheckpointParquet(
+        new Path(log, "v00000.checkpoint.parquet"), statEntries)
+      val sWriteMs = (System.nanoTime() - tSW0) / 1e6
+      val tMP0 = System.nanoTime()
+      t2.writeCheckpointParquetParts(0L, statEntries, partSize)
+      val mpWriteMs = (System.nanoTime() - tMP0) / 1e6
+      val ptr2 = fs.create(new Path(log, "v00000.json"), true)
+      try ptr2.write(("{\"version\":0,\"filesParquetParts\":[" +
+        (0 until 8).map(k => f""""v00000.p$k%03d.checkpoint.parquet"""")
+          .mkString(",") + "]}").getBytes("UTF-8"))
+      finally ptr2.close()
+      println(f"[manifest-bench] n=$n%,d files MULTI-PART ckpt (8 parts, " +
+        f"parallel): write=$mpWriteMs%.0f ms vs single(with stats)=" +
+        f"$sWriteMs%.0f ms")
+      // distributed planner over the parts: the prune runs as a Spark job
+      // reading every part concurrently; the driver collects ONLY the
+      // survivors. Peak driver heap sampled at 10 ms during the plan —
+      // the r7 "<512 MB at 1e7" design claim, measured.
+      val t3 = new ManagedTable(spark, root)
+      statEntries = null // drop the bench's own O(n) synth before measuring
+      System.gc()
+      val base3 = rt.totalMemory() - rt.freeMemory()
+      val peak = new java.util.concurrent.atomic.AtomicLong(base3)
+      @volatile var sampling = true
+      val sampler = new Thread(() => {
+        while (sampling) {
+          val used = rt.totalMemory() - rt.freeMemory()
+          peak.updateAndGet(m => math.max(m, used))
+          Thread.sleep(10)
+        }
+      })
+      sampler.setDaemon(true); sampler.start()
+      val tDP0 = System.nanoTime()
+      val kept = t3.keptByStatsDistributed(Seq(("k", 0L, 99999L)))
+      val dpMs = (System.nanoTime() - tDP0) / 1e6
+      sampling = false; sampler.join()
+      System.gc()
+      val retained = (rt.totalMemory() - rt.freeMemory()) - base3
+      println(f"[manifest-bench] n=$n%,d files DISTRIBUTED prune over " +
+        f"parts: plan=$dpMs%.0f ms, kept=${kept.map(_.size).getOrElse(-1)}%,d, " +
+        f"driver heap base=${base3 / 1e6}%.0f MB peak=${peak.get / 1e6}%.0f MB " +
+        f"(delta=${(peak.get - base3) / 1e6}%.0f MB, retained after " +
+        f"gc=${retained / 1e6}%.0f MB)")
       fs.delete(new Path(root).getParent, true)
     }
     spark.stop()

@@ -14,6 +14,26 @@ package graft.table
   * time zone for timestamp-predicate coercion) are decoded ON THE DRIVER
   * into [[MetadataPlane.Bounds]] and shipped as plain data.
   */
+/** Java-serializable carrier for a Hadoop Configuration (which is only
+  * Writable): broadcast the SESSION's conf to executor-side FileSystem
+  * opens — a fresh `new Configuration()` in a task would drop every
+  * spark.hadoop.* credential/endpoint/fs-impl override and, on object
+  * stores, resolve a differently-configured (or failing) filesystem.
+  */
+final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 object MetadataPlane extends Serializable {
 
   /** One column's per-file stats cell: (kind, min, max, nullCount).
@@ -174,6 +194,54 @@ object MetadataPlane extends Serializable {
   final case class NullPred(col: String) extends Pred
   /** `col IS NOT NULL`: an all-null file prunes. */
   final case class NotNullPred(col: String) extends Pred
+
+  /** One column's running ANALYZE aggregate: the associative fold both
+    * [[ManagedTable.columnStats]] venues reduce per-file stats with —
+    * kind `"!"` marks mixed/unusable bounds (the column's files disagree
+    * on stat kind, or the kind carries no usable order), `nulls == -1`
+    * marks an unknown null count, `known` counts files carrying stats
+    * for the column. Formatting (display decode, missing-file bound
+    * suppression) happens once, driver-side, from the reduced aggregates.
+    */
+  final case class ColAgg(kind: String, mn: String, mx: String,
+                          nulls: Long, known: Long)
+
+  private val usableKinds = Set("i", "d", "s", "D", "T", "t")
+
+  def colAgg(s: Stat): ColAgg = ColAgg(s._1, s._2, s._3, s._4, 1L)
+
+  /** Associative, commutative merge of two [[ColAgg]]s. */
+  def mergeColAgg(a: ColAgg, b: ColAgg): ColAgg = {
+    val nulls = if (a.nulls < 0 || b.nulls < 0) -1L else a.nulls + b.nulls
+    val known = a.known + b.known
+    if (a.kind != b.kind || !usableKinds(a.kind))
+      ColAgg(if (a.kind == b.kind) a.kind else "!", "", "", nulls, known)
+    else {
+      val leq: (String, String) => Boolean = a.kind match {
+        case "s" => utf8Leq
+        case "T" | "t" => (x, y) => x.toLong <= y.toLong
+        case _ => numLeq
+      }
+      ColAgg(a.kind,
+        if (leq(a.mn, b.mn)) a.mn else b.mn,
+        if (leq(a.mx, b.mx)) b.mx else a.mx,
+        nulls, known)
+    }
+  }
+
+  /** The trailing `col=value` run of a file path's parent dirs, unescaped
+    * — executor-safe (pure path parsing, shared by the driver fold and
+    * the distributed SHOW PARTITIONS job).
+    */
+  def partitionSegments(p: String): Seq[(String, String)] =
+    p.split('/').dropRight(1).reverse.takeWhile(_.contains('='))
+      .reverse.toSeq.map { s =>
+        val i = s.indexOf('=')
+        (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(s.substring(0, i)),
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(s.substring(i + 1)))
+      }
 
   /** The whole keep decision for one file against a conjunction of
     * predicates: not fully bitmap-deleted, and every predicate admits

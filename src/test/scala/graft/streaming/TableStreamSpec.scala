@@ -340,6 +340,77 @@ class TableStreamSpec extends SparkSpec {
       s"restart must deliver ONLY the append, got $seen2")
   }
 
+  test("distributed snapshot assembly: the paced initial snapshot " +
+      "delivers batch-for-batch what the driver fold delivers") {
+    def run(mode: String, dir: String): Seq[Seq[Long]] = {
+      val t = new ManagedTable(spark, dir + "/t")
+      t.overwrite(Seq((0L, "seed")).toDF("k", "v"))
+      t.setProperties(Map(
+        "graft.manifest.checkpointFormat" -> "parquet",
+        "graft.manifest.checkpointInterval" -> "1",
+        "graft.manifest.checkpointPartSize" -> "3", // multi-part sidecars
+        "graft.metadata.distributedPlanning" -> mode))
+      t.overwrite(Seq.tabulate(7)(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .repartitionByRange(7, col("k")))
+      val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+      val q = t.readStreamAppends(initialSnapshot = true, maxFilesPerTrigger = 2)
+        .writeStream.option("checkpointLocation", dir + "/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ks = b.select("k").as[Long].collect().sorted.toSeq
+          if (ks.nonEmpty) batches.add(ks)
+          ()
+        }.start()
+      q.awaitTermination(120000L)
+      val out = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+      batches.forEach(b => out += b)
+      out.toSeq
+    }
+    val dist = run("always", tmpDir("ts-snapdist"))
+    val driver = run("never", tmpDir("ts-snapdrv"))
+    assert(dist == driver,
+      s"venues sliced the snapshot differently: dist=$dist driver=$driver")
+    assert(dist.flatten.sorted == (0L to 6L), "snapshot incomplete")
+    assert(dist.size == 4 && dist.forall(_.size <= 2), // ceil(7/2) slices
+      s"pacing broken under distributed assembly: $dist")
+  }
+
+  test("distributed snapshot assembly: byte pacing and the incremental " +
+      "handoff stay exact under distributedPlanning=always") {
+    val dir = tmpDir("ts-snapbytes")
+    val t = new ManagedTable(spark, dir + "/t")
+    t.overwrite(Seq((0L, "seed")).toDF("k", "v"))
+    t.setProperties(Map(
+      "graft.manifest.checkpointFormat" -> "parquet",
+      "graft.manifest.checkpointInterval" -> "1",
+      "graft.metadata.distributedPlanning" -> "always"))
+    t.overwrite(Seq.tabulate(5)(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(5, col("k")))
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    def start() = t.readStreamAppends(initialSnapshot = true,
+        maxBytesPerTrigger = 1L) // every file exceeds 1 byte → one per batch
+      .writeStream.option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ks = b.select("k").as[Long].collect()
+        if (ks.nonEmpty) batches.add(ks.length.toLong)
+        ks.foreach(seen.add); ()
+      }.start()
+    val q = start()
+    q.awaitTermination(120000L)
+    assert(seen.size == 5 && (0L to 4L).forall(seen.contains))
+    assert(batches.size == 5, // always-make-progress: one file per trigger
+      s"byte pacing under distributed assembly: $batches")
+    // incremental handoff: only the append arrives on restart
+    t.append(Seq((9L, "i")).toDF("k", "v"))
+    seen.clear(); batches.clear()
+    val q2 = start()
+    q2.awaitTermination(120000L)
+    assert(seen.size == 1 && seen.contains(9L),
+      s"post-snapshot restart must deliver only the append, got $seen")
+  }
+
   test("restart mid-snapshot re-delivers the remaining slices without " +
       "loss or duplication") {
     val dir = tmpDir("ts-snaprestart")

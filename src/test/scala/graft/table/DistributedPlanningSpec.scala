@@ -91,11 +91,19 @@ class DistributedPlanningSpec extends SparkSpec {
   test("a fully DV-deleted file is pruned by both paths") {
     val t = mk(tmpDir("dp-dv"))
     t.setProperties(Map("graft.manifest.checkpointInterval" -> "100"))
-    t.deleteVectored(col("k") < 500L) // empties the first range file
-    val dist = t.keptByStatsDistributed(Seq(("k", 0L, 100L)))
+    // empty exactly the file holding k=0: range boundaries are SAMPLED
+    // (RDD-id-seeded), so a fixed cut like k<500 can straddle a file edge
+    // depending on how many RDDs ran before this test
+    val firstFileMax = t.read
+      .select(col("k"), input_file_name().as("f"))
+      .groupBy("f").agg(min("k").as("mn"), max("k").as("mx"))
+      .orderBy("mn").limit(1).select("mx").as[Long].head()
+    t.deleteVectored(col("k") <= firstFileMax)
+    val probeHi = math.min(100L, firstFileMax)
+    val dist = t.keptByStatsDistributed(Seq(("k", 0L, probeHi)))
     assert(dist.get.isEmpty, "an emptied file must be pruned")
-    assert(dist.get.toSet == driverKept(t, "k", 0L, 100L))
-    assert(t.readWhere("k", 0L, 600L).count() == 101)
+    assert(dist.get.toSet == driverKept(t, "k", 0L, probeHi))
+    assert(t.readWhere("k", 0L, 600L).count() == 600 - firstFileMax)
   }
 
   test("a v1 path-only checkpoint keeps every file (conservative), reads exact") {
@@ -153,6 +161,51 @@ class DistributedPlanningSpec extends SparkSpec {
     try assert(run() == distRes, "driver and distributed point reads differ")
     finally t.setProperties(
       Map("graft.metadata.distributedPlanning" -> "always"))
+  }
+
+  test("ANALYZE, SHOW PARTITIONS and metadata COUNT(*) fold identically " +
+      "in both venues (adds and DVs included)") {
+    val dir = tmpDir("dp-meta")
+    val t = new ManagedTable(spark, dir + "/t")
+    t.overwrite(spark.range(1)
+      .selectExpr("id as k", "cast(id as double) as x", "'d0' as day"))
+    t.setProperties(Map(
+      "graft.manifest.checkpointFormat" -> "parquet",
+      "graft.manifest.checkpointInterval" -> "1",
+      "graft.manifest.checkpointPartSize" -> "2",
+      "graft.metadata.distributedPlanning" -> "always"))
+    t.overwrite(spark.range(0, 400).selectExpr("id as k",
+        "CASE WHEN id < 50 THEN NULL ELSE cast(id as double) / 7 END as x",
+        "concat('d', cast(id % 4 as string)) as day"),
+      partitionCols = Seq("day"))
+    // post-checkpoint churn: a delta append + a DV delete
+    t.setProperties(Map("graft.manifest.checkpointInterval" -> "100"))
+    t.append(Seq((9999L, 3.5, "d1")).toDF("k", "x", "day"))
+    t.deleteVectored(col("k") === 7L)
+    def inDriverMode[A](f: => A): A = {
+      t.setProperties(Map("graft.metadata.distributedPlanning" -> "never"))
+      try f
+      finally t.setProperties(
+        Map("graft.metadata.distributedPlanning" -> "always"))
+    }
+    // metadata COUNT(*)
+    val cntDist = t.countFast()
+    assert(cntDist == 400L) // 400 + 1 append - 1 DV-deleted
+    assert(cntDist == inDriverMode(t.countFast()))
+    // ANALYZE
+    def statsRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val csDist = statsRows(t.columnStats())
+    assert(csDist == inDriverMode(statsRows(t.columnStats())),
+      "columnStats venues disagree")
+    assert(csDist.nonEmpty)
+    // SHOW PARTITIONS
+    def partRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    val spDist = partRows(t.partitions())
+    assert(spDist == inDriverMode(partRows(t.partitions())),
+      "partitions venues disagree")
+    assert(spDist.size == 4)
   }
 
   test("no parquet checkpoint -> None; the driver fold serves the read") {
