@@ -409,9 +409,16 @@ object SparkEntry {
         .select("media_id", "format", "n_bytes")
         .orderBy("media_id")),
     "q35_media_features" -> ((s, d) =>
+      // oracle-gated since r9: the stub decode's features (dims + mean
+      // byte intensity) are deterministic integer/exact-division algebra
+      // over the payload bytes, which DuckDB reproduces via the q74 hex
+      // byte-list trick; crc32 (no DuckDB twin) stays on q35a's digests
       Multimodal.extractFeatures(s,
           Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"))
-        .toDF().orderBy("media_id")),
+        .toDF()
+        .select("media_id", "n_bytes", "format", "width", "height",
+          "mean_intensity")
+        .orderBy("media_id")),
     "q35a_media_digest" -> ((s, d) =>
       // the oracle-checkable expression half of q35: byte length + content
       // digests of the payload as codegen'd built-ins (no stub codec)
@@ -929,6 +936,15 @@ object SparkEntry {
           alpha = 0.5, byHash = false, modulus = 100L)
         .select(col("doc_id"), col("lang"), col("sample_rate"))
         .orderBy("doc_id")),
+    "q113a_semdedup_mean" -> ((s, d) =>
+      // q113's k = 1 degenerate under the oracle: a single cluster makes
+      // SemDeDup's score "cosine to the one centroid" = cosine to the
+      // corpus mean — DECIMAL-contract mean + strict sequential dot, so
+      // the label-free family's similarity algebra is bit-anchored while
+      // the k-means TRAINING half stays spec-gated (EmbeddingsSpec)
+      graft.ops.Embeddings.cosineToMean(
+          Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy("vec_id")),
     "q113_semdedup_kmeans" -> ((s, d) => {
       // rows-only: the label-free SemDeDup — deterministic k-means
       // (content-hash seeded, DECIMAL-contract means) then cluster-bounded
@@ -1692,6 +1708,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("log_w").cast("double"))
         .orderBy("doc_id")
     }),
+    "q131a_dsir_md5" -> ((s, d) => {
+      // q131's oracle twin: md5-derived bucket ids (the q73a trick) and
+      // a LINEAR smoothed-probability difference instead of the paper's
+      // log-ratio — every step exactly-rounded IEEE or exact DECIMAL, so
+      // DuckDB reproduces the weights AND the top-k selection
+      // bit-exactly; selection is noise-free top-k (exact weight order,
+      // id tiebreak). The Gumbel production path stays on q131.
+      val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
+      val target = docs.filter(col("lang") === "de")
+        .orderBy("doc_id").limit(50)
+      graft.ops.Dsir.selectMd5Linear(docs, "doc_id", "text", target, "text",
+          k = 100, buckets = 4096)
+        .select(col("doc_id"), col("lang"), col("w").cast("double").as("w"))
+        .orderBy("doc_id")
+    }),
     "q132_gopher_rules" -> ((s, d) =>
       // Gopher quality-rule battery (graft.ops.TextAnalysis.gopherRules,
       // arXiv:2112.11446 §A1.1.2): per-rule boolean columns + the
@@ -2019,6 +2050,66 @@ object SparkEntry {
            WHERE c.vec_id <> 0 GROUP BY c.vec_id)
          SELECT vec_id, adc_score FROM sc
          ORDER BY adc_score DESC, vec_id LIMIT 10""",
+    "q113a_semdedup_mean" ->
+      """WITH comp AS (
+           SELECT i AS pos,
+             CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
+           FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+           GROUP BY 1),
+         m AS (SELECT list(c ORDER BY pos) AS mu FROM comp)
+         SELECT e.vec_id,
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), m.mu)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(m.mu, m.mu))) AS cos_to_mean
+         FROM embeddings e, m ORDER BY e.vec_id""",
+    "q131a_dsir_md5" ->
+      """WITH docs AS (SELECT doc_id, text, lang FROM documents),
+         tw AS (SELECT doc_id, text, lang,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words FROM docs),
+         tgt AS (SELECT doc_id, words FROM tw WHERE lang = 'de' ORDER BY doc_id LIMIT 50),
+         ngr AS (SELECT doc_id,
+             unnest(words || CASE WHEN len(words) >= 2
+               THEN list_transform(generate_series(1, len(words) - 1),
+                 i -> concat_ws(' ', words[i], words[i+1]))
+               ELSE CAST([] AS VARCHAR[]) END) AS g
+           FROM tw WHERE len(words) > 0),
+         tngr AS (SELECT doc_id,
+             unnest(words || CASE WHEN len(words) >= 2
+               THEN list_transform(generate_series(1, len(words) - 1),
+                 i -> concat_ws(' ', words[i], words[i+1]))
+               ELSE CAST([] AS VARCHAR[]) END) AS g
+           FROM tgt WHERE len(words) > 0),
+         qh AS (SELECT CAST(CAST(('0x' || substr(md5(g), 1, 13)) AS UBIGINT) % 4096 AS BIGINT) AS bucket,
+             COUNT(*) AS cnt FROM ngr GROUP BY 1),
+         ph AS (SELECT CAST(CAST(('0x' || substr(md5(g), 1, 13)) AS UBIGINT) % 4096 AS BIGINT) AS bucket,
+             COUNT(*) AS cnt FROM tngr GROUP BY 1),
+         tot AS (SELECT (SELECT COALESCE(SUM(cnt), 0) FROM ph) + 4096 AS tp,
+                        (SELECT COALESCE(SUM(cnt), 0) FROM qh) + 4096 AS tq),
+         ratio AS (SELECT q.bucket,
+             CAST(CAST(COALESCE(p.cnt, 0) + 1 AS DOUBLE) / CAST(t.tp AS DOUBLE)
+               - CAST(q.cnt + 1 AS DOUBLE) / CAST(t.tq AS DOUBLE) AS DECIMAL(20,12)) AS rd
+           FROM qh q LEFT JOIN ph p USING (bucket), tot t),
+         scored AS (SELECT n.doc_id, CAST(SUM(r.rd) AS DECIMAL(28,12)) AS w
+           FROM (SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5(g), 1, 13)) AS UBIGINT) % 4096 AS BIGINT) AS bucket FROM ngr) n
+           JOIN ratio r USING (bucket) GROUP BY n.doc_id
+           UNION ALL SELECT doc_id, CAST(0 AS DECIMAL(28,12)) FROM tw
+             WHERE text IS NULL OR len(words) = 0),
+         sel AS (SELECT doc_id, w FROM scored ORDER BY w DESC, doc_id LIMIT 100)
+         SELECT d.doc_id, d.lang, CAST(s.w AS DOUBLE) AS w
+         FROM sel s JOIN docs d USING (doc_id) ORDER BY d.doc_id""",
+    "q35_media_features" ->
+      """WITH m AS (SELECT doc_id AS media_id, encode(text) AS payload FROM documents),
+         h AS (SELECT media_id, hex(payload) AS hx, octet_length(payload) AS nb FROM m),
+         b AS (SELECT media_id, nb, list_transform(range(nb), i ->
+             (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS bs FROM h)
+         SELECT media_id, nb AS n_bytes, 'txt' AS format,
+           CAST(GREATEST(1, nb % 640) AS INTEGER) AS width,
+           CAST(GREATEST(1, nb % 480) AS INTEGER) AS height,
+           CASE WHEN nb = 0 THEN 0.0
+             ELSE CAST(list_aggregate(bs, 'sum') AS DOUBLE) / CAST(nb AS DOUBLE) END AS mean_intensity
+         FROM b ORDER BY media_id""",
     "q90a_ivf_knn_exact" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
          scored AS (

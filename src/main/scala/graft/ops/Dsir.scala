@@ -127,4 +127,84 @@ object Dsir {
     val w = importanceWeights(raw, idCol, textCol, target, targetTextCol, buckets)
     raw.join(resample(w, idCol, k, seed), Seq(idCol))
   }
+
+  // ---- oracle twin (engine-independent everywhere) ----------------------
+
+  /** [[ngramBuckets]] with ENGINE-INDEPENDENT bucket ids: the 52-bit
+    * md5-prefix integer (the q73a trick) mod `buckets`, reproducible in
+    * any engine with md5. Production keeps xxhash64 (one hash instruction
+    * vs a full digest per n-gram); this variant exists so the DSIR
+    * machinery has a bit-exact cross-engine anchor.
+    */
+  def ngramBucketsMd5(text: Column, buckets: Int): Column = {
+    val ws = TextAnalysis.words(text)
+    val bis = when(size(ws) >= 2,
+      zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(ws, bis), g =>
+      pmod(conv(substring(md5(g), 1, 13), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+  }
+
+  /** The oracle twin of [[importanceWeights]]: md5 bucket ids and a
+    * LINEAR smoothed-probability difference per n-gram —
+    * `(p_b+1)/totP − (q_b+1)/totQ`, each step an exactly-rounded IEEE op,
+    * quantized to DECIMAL(20,12) and summed exactly — instead of the
+    * paper's log-ratio, whose `ln()` is not guaranteed bit-identical
+    * across engines' libm (a 1-ulp log difference at a HALF_UP rounding
+    * boundary would flip a quantized digit). Same plumbing at the same
+    * scale bounds: histograms → distributed ratio table → scoring join →
+    * per-doc exact sum. Positive w = "more target-like", like log w.
+    */
+  def importanceWeightsMd5Linear(raw: DataFrame, idCol: String,
+      textCol: String, target: DataFrame, targetTextCol: String,
+      buckets: Int = 8192,
+      broadcastBuckets: Long = 4L * 1000 * 1000): DataFrame = {
+    // an md5 digest per n-gram costs ~2× xxhash64, and the raw corpus is
+    // hashed by BOTH the histogram and the scoring join — materialize the
+    // exploded (id, bucket) rows once (executor-local blocks, no driver
+    // data) so the digest pass runs once, not twice
+    val rawBuckets = raw.select(col(idCol),
+        explode(ngramBucketsMd5(col(textCol), buckets)).as("bucket"))
+      .localCheckpoint()
+    val pHist = target
+      .select(explode(ngramBucketsMd5(col(targetTextCol), buckets)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val qHist = rawBuckets.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    def total(h: DataFrame): Double =
+      Option(h.agg(sum(col("cnt"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L).toDouble + buckets
+    val totP = total(pHist)
+    val totQ = total(qHist)
+    val ratioRaw = qHist.join(
+        pHist.withColumnRenamed("cnt", "p_cnt"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        (((coalesce(col("p_cnt"), lit(0L)) + lit(1L)).cast("double") / totP)
+          - ((col("cnt") + lit(1L)).cast("double") / totQ))
+          .cast("decimal(20,12)").as("ratio_diff"))
+    val ratio =
+      if (buckets.toLong <= broadcastBuckets) broadcast(ratioRaw) else ratioRaw
+    rawBuckets
+      .join(ratio, "bucket")
+      .groupBy(idCol)
+      .agg(sum(col("ratio_diff")).cast("decimal(28,12)").as("w"))
+      .unionByName(
+        raw.filter(col(textCol).isNull ||
+            size(TextAnalysis.words(col(textCol))) <= 0)
+          .select(col(idCol), lit(BigDecimal(0).bigDecimal)
+            .cast("decimal(28,12)").as("w")))
+  }
+
+  /** End-to-end oracle-twin DSIR: md5-linear weights + noise-free top-k
+    * (exact-weight order, id tiebreak — the Gumbel path stays on
+    * [[select]], whose `-ln(-ln(u))` is engine-seeded).
+    */
+  def selectMd5Linear(raw: DataFrame, idCol: String, textCol: String,
+                      target: DataFrame, targetTextCol: String, k: Int,
+                      buckets: Int = 8192): DataFrame = {
+    val w = importanceWeightsMd5Linear(raw, idCol, textCol,
+      target, targetTextCol, buckets)
+    raw.join(w.orderBy(col("w").desc, col(idCol)).limit(k), Seq(idCol))
+  }
 }

@@ -34,6 +34,28 @@ object Embeddings {
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("label"), transform(col("pc"), p => p.getField("c")).as("centroid"))
 
+  /** Per-row cosine to the corpus MEAN embedding — the k = 1 degenerate
+    * of semantic dedup (a single cluster makes SemDeDup's score "cosine
+    * to the one centroid" = cosine to the global mean), exposed as the
+    * oracle anchor of the label-free k-means family (q113a): the mean
+    * rides the q46 DECIMAL determinism contract, the cosine the strict
+    * sequential [[Similarity.dot]], so an independent SQL engine
+    * reproduces every value bit-exactly. One shuffle of `dim` aggregated
+    * cells + a `dim`-value driver collect; the scoring half is a
+    * codegen'd per-row expression over the scan.
+    */
+  def cosineToMean(embeddings: DataFrame, idCol: String,
+                   vecCol: String): DataFrame = {
+    val mu = embeddings
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg((dsum(col("x").cast("double")) / count(lit(1))).as("c"))
+      .orderBy("pos").select("c").collect().map(_.getDouble(0)).toSeq
+    val v = transform(col(vecCol), x => x.cast("double"))
+    embeddings.select(col(idCol),
+      Similarity.cosine(v, typedLit(mu)).as("cos_to_mean"))
+  }
+
   /** Symmetric int8 scalar quantization (long form: id, pos, q) — the 4×
     * storage cut for a 100 TB embedding store. q = floor(x·127/amax + 0.5):
     * floor-plus-half instead of round() because double round() half-cases
