@@ -300,6 +300,27 @@ object GraftSqlCommands {
     }
   }
 
+  /** SYNC — one-statement snapshot mirror ([[ManagedTable.syncFrom]], the
+    * `WHEN NOT MATCHED BY SOURCE` pattern packaged): make the target
+    * exactly mirror the source snapshot — matched keys update, new keys
+    * insert, keys the source no longer carries delete. The CDC-less way
+    * to track an externally-refreshed table from SQL.
+    */
+  case class SyncGraftCommand(path: String, sourcePath: Option[String],
+      sourceQuery: Option[String], keys: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs("num_source_rows" -> LongType)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val source = sourceQuery match {
+        case Some(q) => spark.sql(q)
+        case None => new ManagedTable(spark, sourcePath.get).read
+      }
+      val t = new ManagedTable(spark, path)
+      t.syncFrom(source, keys, latestPartitionCols(t))
+      Seq(Row(source.count()))
+    }
+  }
+
   /** Partition columns recorded in the target's latest commit — what the
     * DML/MERGE commands pass so the partition-pruned rewrite paths engage
     * without the SQL caller naming them.
@@ -566,6 +587,8 @@ object GraftSqlCommands {
     rx(s"""^\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$Tbl\\s*;?\\s*$$""")
   private val DropFeature =
     rx(s"""^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+DROP\\s+FEATURE\\s+'?([\\w-]+)'?\\s*;?\\s*$$""")
+  private val Sync =
+    rx(s"""^\\s*SYNC\\s+$Tbl\\s+FROM\\s+(?:$Tbl|(\\(.+\\)))\\s+ON\\s*\\(([^)]+)\\)\\s*;?\\s*$$""")
   private val MergePrefix = rx(s"""^\\s*MERGE\\s+(WITH\\s+SCHEMA\\s+EVOLUTION\\s+)?INTO\\s+$Tbl\\s*(?:AS\\s+)?(\\w+)?\\s+USING\\s+""")
   /** First index where one of `words` appears as a whole word OUTSIDE
     * single-quoted literals (doubled '' quotes toggle twice and stay
@@ -787,6 +810,15 @@ object GraftSqlCommands {
     }
     val rmv = RefreshMv.matcher(sqlText)
     if (rmv.matches()) return Some(RefreshMvCommand(tbl(rmv, 1)))
+    val sy = Sync.matcher(sqlText)
+    if (sy.matches()) {
+      val keys = sy.group(8).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(keys.nonEmpty, "SYNC needs at least one key column in ON (...)")
+      val query = Option(sy.group(7))
+        .map(q => q.trim.stripPrefix("(").stripSuffix(")"))
+      val srcPath = if (query.isDefined) None else Some(tbl(sy, 4))
+      return Some(SyncGraftCommand(tbl(sy, 1), srcPath, query, keys))
+    }
     val mp = MergePrefix.matcher(sqlText)
     if (mp.find() && mp.start() == 0) return Some(parseMerge(sqlText, mp))
     None

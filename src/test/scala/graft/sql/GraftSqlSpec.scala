@@ -425,6 +425,32 @@ class GraftSqlSpec extends SparkSpec {
     assert(t.read.count() == 1000)
   }
 
+  test("SYNC mirrors the target onto a source snapshot through SQL " +
+      "(statement ≡ syncFrom API)") {
+    import GraftSqlCommands._
+    assert(parse("SYNC '/w/t' FROM '/w/s' ON (k1, k2)").contains(
+      SyncGraftCommand("/w/t", Some("/w/s"), None, Seq("k1", "k2"))))
+    assert(parse("SELECT 'SYNC' FROM t").isEmpty) // not ours
+    val (t, p) = freshTable("sql-sync")
+    t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    val (src, sp) = freshTable("sql-sync-src")
+    src.overwrite(Seq((2L, "B"), (3L, "c"), (4L, "D")).toDF("k", "v"))
+    // graft-table source form: 1 deleted, 2 updated, 3 kept, 4 inserted
+    GraftSql.sql(spark, s"SYNC graft.`$p` FROM graft.`$sp` ON (k)")
+    val afterStmt = t.read.as[(Long, String)].collect().toSet
+    assert(afterStmt == Set((2L, "B"), (3L, "c"), (4L, "D")))
+    // the statement is exactly the API's clause-MERGE packaging
+    val (t2, _) = freshTable("sql-sync-api")
+    t2.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    t2.syncFrom(src.read, Seq("k"))
+    assert(t2.read.as[(Long, String)].collect().toSet == afterStmt)
+    // query source form
+    Seq((4L, "d2"), (5L, "e")).toDF("k", "v").createOrReplaceTempView("sync_src")
+    GraftSql.sql(spark, s"SYNC '$p' FROM (SELECT k, v FROM sync_src) ON (k)")
+    assert(t.read.as[(Long, String)].collect().toSet ==
+      Set((4L, "d2"), (5L, "e")))
+  }
+
   test("non-graft SQL falls through to spark.sql") {
     assert(GraftSql.sql(spark, "SELECT 41 + 1 AS x").as[Int].head() == 42)
   }

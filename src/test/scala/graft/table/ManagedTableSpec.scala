@@ -1511,4 +1511,68 @@ class ManagedTableSpec extends SparkSpec {
     assert(t.read.select("k").as[Long].collect().toSet ==
       Set(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("in-commit timestamps never regress under a backwards clock, and " +
+      "skewed histories resolve by the documented rules") {
+    val dir = tmpDir("ict")
+    val t = new ManagedTable(spark, dir + "/t")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val histPath = new org.apache.hadoop.fs.Path(dir + "/t._log/_history.txt")
+    def histTs(): Map[Long, java.time.Instant] = {
+      val in = fs.open(histPath)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      lines.map { l =>
+        val f = l.split('\t')
+        f(0).toLong -> java.time.Instant.parse(MetadataPlane.dec(f(1)))
+      }.toMap
+    }
+    def setHistTs(v: Long, ts: java.time.Instant): Unit = {
+      val in = fs.open(histPath)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      val out = lines.map { l =>
+        val f = l.split('\t')
+        if (f(0).toLong == v) { f(1) = MetadataPlane.enc(ts.toString); f.mkString("\t") }
+        else l
+      }
+      val os = fs.create(histPath, true)
+      try os.write(out.mkString("\n").getBytes("UTF-8")) finally os.close()
+    }
+    // 1) ICT floor: record v0's timestamp an hour in the future (an NTP
+    // step backwards, or a skewed prior writer) — the next commit's
+    // recorded time must be floored at prev + 1 ms, never the "earlier"
+    // wall clock, so readAsOf's timestamp→version order equals commit order
+    val future = java.time.Instant.now().plusSeconds(3600)
+    setHistTs(0L, future)
+    new ManagedTable(spark, dir + "/t").append(Seq((2L, "b")).toDF("k", "v"))
+    val ts1 = histTs()(1L)
+    assert(ts1 == future.plusMillis(1),
+      s"v1 recorded $ts1, expected the ICT floor ${future.plusMillis(1)}")
+    // 2) a hand-crafted SKEWED history (an external writer without the
+    // discipline): v2's recorded clock REGRESSES below v1's. Pin the
+    // resolution rules on it.
+    val t0 = java.time.Instant.parse("2026-01-01T00:00:00Z")
+    new ManagedTable(spark, dir + "/t").append(Seq((3L, "c")).toDF("k", "v"))
+    setHistTs(0L, t0)
+    setHistTs(1L, t0.plusSeconds(60))
+    setHistTs(2L, t0.plusSeconds(30)) // the skewed commit
+    val t2 = new ManagedTable(spark, dir + "/t")
+    // versionAtOrAfter: the MINIMUM version whose recorded time qualifies
+    // — a later-but-skewed-earlier commit can never mask an earlier
+    // qualifying version, and a stream starting there still delivers the
+    // skewed commit (delivery is by version, not by clock)
+    assert(t2.versionAtOrAfter(t0.plusSeconds(45).toString) == Some(1L))
+    assert(t2.versionAtOrAfter(t0.plusSeconds(20).toString) == Some(1L))
+    assert(t2.versionAtOrAfter(t0.plusSeconds(61).toString) == None)
+    // versionAsOf: the MAXIMUM version recorded at or before the cutoff —
+    // under skew that can be a LATER version than some excluded one; the
+    // snapshot it serves still contains every earlier version's commits
+    assert(t2.versionAsOf(t0.plusSeconds(30).toString) == 2L)
+    assert(t2.readAsOf(t0.plusSeconds(30).toString).count() == 3L)
+    assert(t2.versionAsOf(t0.plusSeconds(59).toString) == 2L)
+    assert(t2.versionAsOf(t0.plusSeconds(60).toString) == 2L)
+  }
 }
