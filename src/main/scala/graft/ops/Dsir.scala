@@ -67,8 +67,15 @@ object Dsir {
                         target: DataFrame, targetTextCol: String,
                         buckets: Int = 8192,
                         broadcastBuckets: Long = 4L * 1000 * 1000): DataFrame = {
+    // the raw corpus is tokenized+hashed by BOTH the histogram and the
+    // scoring join — materialize the exploded (id, bucket) rows once
+    // (executor-local blocks, spill-backed; ~16 bytes/token vs re-reading
+    // and re-splitting the full text column on the second pass)
+    val rawBuckets = raw.select(col(idCol),
+        explode(ngramBuckets(col(textCol), buckets)).as("bucket"))
+      .localCheckpoint()
     val pHist = bucketHistogram(target, targetTextCol, buckets)
-    val qHist = bucketHistogram(raw, textCol, buckets)
+    val qHist = rawBuckets.groupBy("bucket").agg(count(lit(1)).as("cnt"))
     def total(h: DataFrame): Double =
       Option(h.agg(sum(col("cnt"))).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L).toDouble + buckets
@@ -90,7 +97,7 @@ object Dsir {
           .cast("decimal(20,12)").as("log_ratio"))
     val ratio =
       if (buckets.toLong <= broadcastBuckets) broadcast(ratioRaw) else ratioRaw
-    raw.select(col(idCol), explode(ngramBuckets(col(textCol), buckets)).as("bucket"))
+    rawBuckets
       .join(ratio, "bucket")
       .groupBy(idCol)
       .agg(sum(col("log_ratio")).cast("decimal(28,12)").as("log_w"))
