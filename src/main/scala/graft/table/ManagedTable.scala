@@ -684,9 +684,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val present = scala.collection.mutable.LinkedHashMap[String, Boolean]()
     deltas.foreach { case (a, r) =>
       a.foreach(present(_) = true); r.foreach(present(_) = false) }
+    // excluded = EVERY delta-touched path, not just the net-removed ones:
+    // a path the checkpoint carries that a delta re-added (remove → add,
+    // e.g. a restore recorded as deltas) must be served by the adds side
+    // alone — from its CURRENT sidecar metadata — or the job would both
+    // double-count it and decide it on stale checkpoint stats
     Some((ckpt.get,
       present.collect { case (p, true) => p }.toSeq,
-      present.collect { case (p, false) => p }.toSet))
+      present.keySet.toSet))
   }
 
   /** (len, meta) for files added since the checkpoint: their stats live
@@ -707,7 +712,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
 
   private def keptByStatsDistributed(preds: Seq[MetadataPlane.Pred],
       dv: Map[String, Array[Long]]): Option[Seq[String]] = {
-    val (ckpt, adds, removed) = distributedBase(version) match {
+    val (ckpt, adds, excluded) = distributedBase(version) match {
       case Some(b) => b
       case None => return None
     }
@@ -721,9 +726,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         case None => true // no stats known: conservative keep
       }
     }
-    // THE JOB: checkpoint rows in, surviving paths out
+    // THE JOB: checkpoint rows in, surviving paths out (delta-touched
+    // paths excluded — keptAdds serves them from current sidecar stats)
     import spark.implicits._
-    val removedB = spark.sparkContext.broadcast(removed)
+    val removedB = spark.sparkContext.broadcast(excluded)
     val dvB = spark.sparkContext.broadcast(dvCounts)
     val predsB = spark.sparkContext.broadcast(preds)
     val kept = try {
@@ -783,36 +789,33 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   private[graft] def snapshotSliceDistributed(v: Long, fromIdx: Long,
       toIdx: Long): Option[Seq[(String, Long)]] =
-    distributedBase(v).map { case (ckpt, adds, removed) =>
+    distributedBase(v).map { case (ckpt, adds, excluded) =>
       import spark.implicits._
       val addMeta = addsMeta(adds)
       val addRows = adds.map(p =>
         (p, addMeta.get(p).map(_._1).getOrElse(-1L)))
-      val removedB = spark.sparkContext.broadcast(removed)
+      val excludedB = spark.sparkContext.broadcast(excluded)
       try {
         val raw = spark.read.parquet(ckpt.map(_.toString): _*)
         val lenCol =
           if (raw.columns.contains("len"))
             coalesce(col("len").cast("long"), lit(-1L))
           else lit(-1L)
+        // delta-touched paths are excluded from the checkpoint side and
+        // re-enter through addRows — the union is disjoint by construction
         val base = raw.select(col("path").cast("string"), lenCol.as("len"))
           .as[(String, Long)]
-          .filter(r => !removedB.value.contains(r._1))
+          .filter(r => !excludedB.value.contains(r._1))
           .union(spark.createDataset(addRows))
-          // a re-added path can appear in both the checkpoint and the
-          // adds: dedupe by path, preferring a known length
-          .groupByKey(_._1)
-          .reduceGroups((a, b) => if (a._2 >= 0) a else b)
-          .map(_._2)
         base
-          .orderBy(encode(col("_1"), "UTF-16BE"))
+          .orderBy(encode(col("path"), "UTF-16BE"))
           .as[(String, Long)].rdd
           .zipWithIndex()
           .filter { case (_, i) => i >= fromIdx && i < toIdx }
           .map(_._1)
           .collect()
           .sortBy(_._1).toSeq
-      } finally removedB.destroy()
+      } finally excludedB.destroy()
     }
 
   /** The kept-file set for a conjunction of skipping predicates — a
@@ -992,14 +995,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * entry.
     */
   private def columnStatsDistributed(): Option[DataFrame] = {
-    val (ckpt, adds, removed) = distributedBase(version) match {
+    val (ckpt, adds, excluded) = distributedBase(version) match {
       case Some(b) => b
       case None => return None
     }
     val addMeta = addsMeta(adds)
     if (adds.exists(p => !addMeta.contains(p))) return None
     import spark.implicits._
-    val removedB = spark.sparkContext.broadcast(removed)
+    val removedB = spark.sparkContext.broadcast(excluded)
     val collected = try {
       val raw = spark.read.parquet(ckpt.map(_.toString): _*)
       val cols = raw.columns.toSet
@@ -1067,14 +1070,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   private def countFastDistributed(
       dv: Map[String, Array[Long]]): Option[Long] = {
-    val (ckpt, adds, removed) = distributedBase(version) match {
+    val (ckpt, adds, excluded) = distributedBase(version) match {
       case Some(b) => b
       case None => return None
     }
     val addMeta = addsMeta(adds)
     if (adds.exists(p => !addMeta.contains(p))) return None
     import spark.implicits._
-    val removedB = spark.sparkContext.broadcast(removed)
+    val removedB = spark.sparkContext.broadcast(excluded)
     val (n, nr, s) = try {
       val raw = spark.read.parquet(ckpt.map(_.toString): _*)
       if (!raw.columns.contains("rows")) return None
@@ -1161,7 +1164,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   private def partitionsDistributed(dv: Map[String, Array[Long]]):
       Option[Seq[(Seq[String], Long, Long, Long)]] = {
-    val (ckpt, adds, removed) = distributedBase(version) match {
+    val (ckpt, adds, excluded) = distributedBase(version) match {
       case Some(b) => b
       case None => return None
     }
@@ -1170,7 +1173,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val dvCounts: Map[String, Long] = dv.collect {
       case (p, a) if a.nonEmpty => p -> a.length.toLong }
     import spark.implicits._
-    val removedB = spark.sparkContext.broadcast(removed)
+    val removedB = spark.sparkContext.broadcast(excluded)
     val dvB = spark.sparkContext.broadcast(dvCounts)
     val collected = try {
       val raw = spark.read.parquet(ckpt.map(_.toString): _*)

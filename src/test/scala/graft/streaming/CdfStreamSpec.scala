@@ -195,6 +195,39 @@ class CdfStreamSpec extends SparkSpec {
     assert(seen.asScala.exists { case (k, ct) => k == 1L && ct == "update" })
   }
 
+  test("initialSnapshot under distributedPlanning=always: the CDF paced " +
+      "snapshot delivers the same rows and pacing as the driver fold") {
+    def run(mode: String, dir: String): (Set[(Long, String)], Int) = {
+      val t = new ManagedTable(spark, dir + "/t")
+      t.overwrite(Seq((0L, "seed")).toDF("k", "v"))
+      t.setProperties(Map(
+        "graft.manifest.checkpointFormat" -> "parquet",
+        "graft.manifest.checkpointInterval" -> "1",
+        "graft.metadata.distributedPlanning" -> mode))
+      t.overwrite(Seq.tabulate(6)(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .repartitionByRange(6, col("k")))
+      val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, String)]()
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = t.readChangeStream(Seq("k"), initialSnapshot = true,
+          maxFilesPerTrigger = 2)
+        .writeStream.option("checkpointLocation", dir + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.select("k", "change_type").as[(Long, String)].collect()
+          if (rows.nonEmpty) nBatches.incrementAndGet()
+          rows.foreach(seen.add); ()
+        }.start()
+      q.awaitTermination(120000L)
+      (seen.asScala.toSet, nBatches.get())
+    }
+    val (distRows, distBatches) = run("always", tmpDir("cdf-snapdist"))
+    val (drvRows, drvBatches) = run("never", tmpDir("cdf-snapdrv"))
+    assert(distRows == (0L to 5L).map(k => (k, "insert")).toSet, distRows)
+    assert(distRows == drvRows)
+    assert(distBatches == drvBatches && distBatches == 3, // ceil(6/2)
+      s"pacing differs: dist=$distBatches driver=$drvBatches")
+  }
+
   test("startingTimestamp starts at the first commit at or after the timestamp") {
     val t = new ManagedTable(spark, tmpDir("cdf-start-ts") + "/t")
     t.overwrite(Seq((1L, "a")).toDF("k", "v"))               // v0

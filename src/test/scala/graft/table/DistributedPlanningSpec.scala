@@ -208,6 +208,57 @@ class DistributedPlanningSpec extends SparkSpec {
     assert(spDist.size == 4)
   }
 
+  test("a delta that re-adds a checkpoint path is counted once and " +
+      "decided on current stats (restore-as-delta shape)") {
+    val dir = tmpDir("dp-readd")
+    val t = new ManagedTable(spark, dir + "/t")
+    t.overwrite(spark.range(1).selectExpr("id as k", "'d0' as day"))
+    t.setProperties(Map(
+      "graft.manifest.checkpointFormat" -> "parquet",
+      "graft.manifest.checkpointInterval" -> "1",
+      "graft.metadata.distributedPlanning" -> "always"))
+    t.overwrite(spark.range(0, 400).selectExpr("id as k",
+        "concat('d', cast(id % 4 as string)) as day"),
+      partitionCols = Seq("day")) // v2: parquet checkpoint
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val log = new org.apache.hadoop.fs.Path(dir + "/t._log")
+    val ckpt = fs.listStatus(log).map(_.getPath)
+      .filter(_.getName.endsWith(".checkpoint.parquet")).maxBy(_.getName)
+    val rows = t.readCheckpointParquetFull(ckpt)
+    val f0 = rows.head._1
+    // hand-craft the next version: a delta RE-ADDING a path the
+    // checkpoint already carries (what a restore recorded as a delta
+    // would produce) — the distributed folds must serve f0 from the adds
+    // side ONCE, not from both the checkpoint row and the add
+    val nv = t.version + 1
+    val vNext = new org.apache.hadoop.fs.Path(log, f"v$nv%05d.json")
+    val out = fs.create(vNext, true)
+    try out.write((s"""{"version":$nv,"timestamp":"2026-01-01T00:00:00Z",""" +
+      s""""operation":"RESTORE","partitionColumns":["day"],""" +
+      s""""numFiles":${rows.size},"sizeInBytes":0,"rowCount":400,""" +
+      s""""add":["$f0"],"remove":[]}""").getBytes("UTF-8"))
+    finally out.close()
+    val t3 = new ManagedTable(spark, dir + "/t")
+    def inDriverMode[A](f: => A): A = {
+      t3.setProperties(Map("graft.metadata.distributedPlanning" -> "never"))
+      try f
+      finally t3.setProperties(
+        Map("graft.metadata.distributedPlanning" -> "always"))
+    }
+    val cnt = t3.countFast()
+    assert(cnt == 400L) // the v2 snapshot's rows, f0 counted once
+    assert(cnt == inDriverMode(t3.countFast()),
+      "re-added path double-counted by the distributed fold")
+    assert(t3.partitions().collect().map(_.toString).toSeq ==
+      inDriverMode(t3.partitions().collect().map(_.toString).toSeq))
+    assert(t3.columnStats().collect().map(_.toString).sorted.toSeq ==
+      inDriverMode(t3.columnStats().collect().map(_.toString).sorted.toSeq))
+    // the planner also serves the re-added file exactly once
+    val kept = t3.keptByStatsDistributed(Seq(("k", 0L, 1000L)))
+    assert(kept.get.distinct.size == kept.get.size)
+  }
+
   test("no parquet checkpoint -> None; the driver fold serves the read") {
     val t = new ManagedTable(spark, tmpDir("dp-json") + "/t")
     t.overwrite(spark.range(100).selectExpr("id as k")
