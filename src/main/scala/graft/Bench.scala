@@ -25,8 +25,13 @@ object Bench {
     * Missing/unparsable file → no reference, no reruns.
     */
   private def loadReference(): Map[String, Double] = {
+    // no hardcoded machine paths: env override, then the cwd and a short
+    // upward walk (sbt `run` may execute from a subproject dir)
+    val cwd = java.nio.file.Paths.get(sys.props("user.dir"))
     val candidates = sys.env.get("SPARK_GRAFT_BENCH_REF").toSeq ++
-      Seq("BENCH_LOCAL.json", "/root/repo/BENCH_LOCAL.json")
+      (0 to 2).flatMap(n => Option(
+          (0 until n).foldLeft(cwd)((p, _) => Option(p.getParent).getOrElse(p)))
+        .map(_.resolve("BENCH_LOCAL.json").toString))
     try {
       val path = candidates.find(p =>
         java.nio.file.Files.exists(java.nio.file.Paths.get(p)))

@@ -68,12 +68,14 @@ object Dsir {
                         buckets: Int = 8192,
                         broadcastBuckets: Long = 4L * 1000 * 1000): DataFrame = {
     // the raw corpus is tokenized+hashed by BOTH the histogram and the
-    // scoring join — materialize the exploded (id, bucket) rows once
-    // (executor-local blocks, spill-backed; ~16 bytes/token vs re-reading
-    // and re-splitting the full text column on the second pass)
+    // scoring join — cache the exploded (id, bucket) rows once
+    // (spill-backed; ~16 bytes/token vs re-reading and re-splitting the
+    // full text column on the second pass). persist, NOT localCheckpoint:
+    // lineage stays, so a lost executor recomputes its blocks instead of
+    // failing the job; blocks free when the frame falls out of reference
     val rawBuckets = raw.select(col(idCol),
         explode(ngramBuckets(col(textCol), buckets)).as("bucket"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pHist = bucketHistogram(target, targetTextCol, buckets)
     val qHist = rawBuckets.groupBy("bucket").agg(count(lit(1)).as("cnt"))
     def total(h: DataFrame): Double =
@@ -169,12 +171,12 @@ object Dsir {
       buckets: Int = 8192,
       broadcastBuckets: Long = 4L * 1000 * 1000): DataFrame = {
     // an md5 digest per n-gram costs ~2× xxhash64, and the raw corpus is
-    // hashed by BOTH the histogram and the scoring join — materialize the
-    // exploded (id, bucket) rows once (executor-local blocks, no driver
-    // data) so the digest pass runs once, not twice
+    // hashed by BOTH the histogram and the scoring join — cache the
+    // exploded (id, bucket) rows so the digest pass runs once, not twice
+    // (persist keeps lineage: recomputable on executor loss)
     val rawBuckets = raw.select(col(idCol),
         explode(ngramBucketsMd5(col(textCol), buckets)).as("bucket"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pHist = target
       .select(explode(ngramBucketsMd5(col(targetTextCol), buckets)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))

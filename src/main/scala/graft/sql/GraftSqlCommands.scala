@@ -262,8 +262,13 @@ object GraftSqlCommands {
     override def run(spark: SparkSession): Seq[Row] = {
       val src = sourceText.trim
       val source =
-        if (src.startsWith("(")) spark.sql(src.stripPrefix("(").stripSuffix(")"))
-        else spark.table(src)
+        (if (src.startsWith("(")) spark.sql(src.stripPrefix("(").stripSuffix(")"))
+         else spark.table(src)).persist()
+      // count from the cached snapshot BEFORE the merge — re-running the
+      // source query after the mutation would double its cost and report
+      // the post-merge state for a self-referential source
+      val nSource = source.count()
+      try {
       val t = new ManagedTable(spark, path)
       val partCols = latestPartitionCols(t)
       val useDv = t.properties.get("graft.enableDeletionVectors")
@@ -296,7 +301,8 @@ object GraftSqlCommands {
         t.mergeInsertOnly(source, keys, partCols, allowEvolution = schemaEvolution)
       else if (useDv && !schemaEvolution) t.mergeVectored(source, keys, partCols)
       else t.merge(source, keys, partCols, allowEvolution = schemaEvolution)
-      Seq(Row(source.count()))
+      Seq(Row(nSource))
+      } finally source.unpersist()
     }
   }
 
@@ -311,13 +317,19 @@ object GraftSqlCommands {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = attrs("num_source_rows" -> LongType)
     override def run(spark: SparkSession): Seq[Row] = {
-      val source = sourceQuery match {
+      val source = (sourceQuery match {
         case Some(q) => spark.sql(q)
         case None => new ManagedTable(spark, sourcePath.get).read
-      }
-      val t = new ManagedTable(spark, path)
-      t.syncFrom(source, keys, latestPartitionCols(t))
-      Seq(Row(source.count()))
+      }).persist()
+      // count BEFORE the merge and from the cached snapshot: re-running
+      // the query after the mutation would double the source cost and,
+      // for a self-referential source, report the post-sync state
+      try {
+        val n = source.count()
+        val t = new ManagedTable(spark, path)
+        t.syncFrom(source, keys, latestPartitionCols(t))
+        Seq(Row(n))
+      } finally source.unpersist()
     }
   }
 

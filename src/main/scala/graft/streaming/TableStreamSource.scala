@@ -150,7 +150,7 @@ private[streaming] object SnapshotOffset {
   * Above the distributed-planning cutover (the same
   * `graft.metadata.distributedPlanning` switch the readWhere family
   * uses), the sorted manifest is never materialized on the driver:
-  * slices come from [[ManagedTable.snapshotSliceDistributed]] — a Spark
+  * slices come from [[ManagedTable.snapshotIndexedDistributed]] — a Spark
   * job over the parquet-checkpoint rows that collects ONLY the slice —
   * and the total from the commit's O(1) `numFiles` record. Driver memory
   * per trigger is O(maxFilesPerTrigger + churn), retiring the
@@ -172,6 +172,36 @@ private[streaming] trait SnapshotPhase {
       val m = snapshotTable.sidecarLengths; snapLengthsMemo = Some(m); m
   }
 
+  /** The pinned version's sorted-indexed manifest RDD, memoized per pin —
+    * one sort job per snapshot, every later slice/pacing probe a cheap
+    * filter over its cached blocks. A superseded pin's blocks unpersist.
+    */
+  private var snapIdxMemo:
+      Option[(Long, org.apache.spark.rdd.RDD[((String, Long), Long)])] = None
+  private def snapIndexed(
+      pin: Long): Option[org.apache.spark.rdd.RDD[((String, Long), Long)]] =
+    snapIdxMemo match {
+      case Some((p, r)) if p == pin => Some(r)
+      case _ =>
+        val built = snapshotTable.snapshotIndexedDistributed(pin)
+        built.foreach { r =>
+          snapIdxMemo.foreach(_._2.unpersist(false))
+          snapIdxMemo = Some((pin, r))
+        }
+        built
+    }
+
+  /** (path, len) rows for indices [fromIdx, toIdx) of the pinned sorted
+    * manifest, collected from the memoized index — the driver holds only
+    * the slice. None when no parquet checkpoint anchors the pin.
+    */
+  private def sliceDistributed(pin: Long, fromIdx: Long,
+      toIdx: Long): Option[Seq[(String, Long)]] =
+    if (toIdx <= fromIdx) Some(Nil)
+    else snapIndexed(pin).map(
+      _.filter { case (_, i) => i >= fromIdx && i < toIdx }
+        .map(_._1).collect().sortBy(_._1).toSeq)
+
   /** (pin, slice) for a snapshot getBatch: files [fromIdx, toIdx) of the
     * pinned version's sorted manifest.
     */
@@ -185,7 +215,7 @@ private[streaming] trait SnapshotPhase {
       val toIdx = end.fold(_.filesDelivered,
         _ => snapshotTable.commitSummary(pin).map(_._1).getOrElse(-1L))
       if (toIdx >= 0)
-        snapshotTable.snapshotSliceDistributed(pin, fromIdx, toIdx) match {
+        sliceDistributed(pin, fromIdx, toIdx) match {
           case Some(rows) => return (pin, rows.map(_._1))
           case None => () // no parquet checkpoint: driver fold below
         }
@@ -232,9 +262,11 @@ private[streaming] trait SnapshotPhase {
         math.max(1L, bytes / nf) }.getOrElse(1L)
 
   /** The distributed venue of [[snapAdvance]]: total from the commit's
-    * `numFiles` record, lengths from bounded slice jobs — the driver
-    * holds one chunk (≤ 64k (path, len) rows) at a time, never the
-    * manifest. Same admission semantics as the driver loop.
+    * `numFiles` record, lengths from bounded filter jobs over the
+    * memoized sorted index — the driver holds one chunk (≤ 64k
+    * (path, len) rows) at a time, never the manifest; with a file cap
+    * the whole admission window fits one chunk, so pacing costs one job.
+    * Same admission semantics as the driver loop.
     */
   private def snapAdvanceDistributed(pin: Long, delivered: Long,
       maxFiles: Option[Long], maxBytes: Option[Long]): Option[OffsetV2] = {
@@ -244,10 +276,11 @@ private[streaming] trait SnapshotPhase {
       if (maxFiles.isEmpty && maxBytes.isEmpty) total
       else {
         val avg = avgFileSize(pin)
-        val chunk = math.min(65536L, maxFiles.map(_ + 1).getOrElse(65536L))
+        // saturating: a Long.MaxValue "unbounded" cap must not wrap
+        val chunk = maxFiles.map(m => math.min(m, 65535L) + 1).getOrElse(65536L)
         var i = delivered; var nf = 0L; var bytes = 0L; var stop = false
         while (i < total && !stop) {
-          val rows = snapshotTable.snapshotSliceDistributed(
+          val rows = sliceDistributed(
             pin, i, math.min(total, i + chunk)).getOrElse(return None)
           if (rows.isEmpty) stop = true // defensive: never spin
           else {

@@ -652,7 +652,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * deltas folded into net (adds, removed) sets of
     * O(churn-since-checkpoint) — the walk-back shared by the planner job
     * ([[keptByStatsDistributed]]) and the streaming snapshot assembly
-    * ([[snapshotSliceDistributed]]). None when `v` reconstructs from an
+    * ([[snapshotIndexedDistributed]]). None when `v` reconstructs from an
     * inline-JSON checkpoint (the ≤1e6-file regime where the driver fold
     * is measured fine) or a sidecar is missing (dangling pointer — the
     * driver path's loud error handles it).
@@ -769,14 +769,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private[graft] def snapshotPlanningDistributed: Boolean =
     useDistributedPlanning
 
-  /** (path, length) rows for indices [fromIdx, toIdx) of logged version
-    * `v`'s manifest in SORTED order, assembled as a Spark job over the
-    * parquet-checkpoint rows — the streaming sources' initial-snapshot
-    * path for huge tables, where the driver must hold only the slice
-    * (O(maxFilesPerTrigger)) plus the churn-since-checkpoint, never the
-    * full manifest. Length is -1 when unknown (a v1 path-only checkpoint
-    * row, or an add with no cached sidecar entry); callers fall back to
-    * the commit's average file size for pacing.
+  /** Logged version `v`'s manifest as a SORTED, globally-indexed RDD of
+    * ((path, length), idx) rows, persisted spill-backed — the streaming
+    * sources memoize this per pinned snapshot so each trigger's slice is
+    * one cheap filter over cached blocks instead of a fresh O(N log N)
+    * sort + zipWithIndex job (a paced 1e7-file snapshot runs hundreds of
+    * triggers against one pin). Length is -1 when unknown (a v1
+    * path-only checkpoint row, or an add with no cached sidecar entry);
+    * callers fall back to the commit's average file size for pacing.
     *
     * Sort order is pinned to Java String order (the driver fold's
     * `.sorted`) by sorting on the UTF-16BE encoding — Spark's native
@@ -784,38 +784,36 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * characters, and the two venues must slice identically or a
     * mid-snapshot venue switch would skip/duplicate files.
     *
+    * The exclusion broadcast is deliberately NOT destroyed: the returned
+    * RDD re-evaluates its filter on block loss, and the ContextCleaner
+    * reclaims broadcast and blocks together once the RDD is dropped.
+    *
     * None when `v` has no parquet checkpoint to assemble from (callers
     * take the measured driver fold).
     */
-  private[graft] def snapshotSliceDistributed(v: Long, fromIdx: Long,
-      toIdx: Long): Option[Seq[(String, Long)]] =
+  private[graft] def snapshotIndexedDistributed(v: Long)
+      : Option[org.apache.spark.rdd.RDD[((String, Long), Long)]] =
     distributedBase(v).map { case (ckpt, adds, excluded) =>
       import spark.implicits._
       val addMeta = addsMeta(adds)
       val addRows = adds.map(p =>
         (p, addMeta.get(p).map(_._1).getOrElse(-1L)))
       val excludedB = spark.sparkContext.broadcast(excluded)
-      try {
-        val raw = spark.read.parquet(ckpt.map(_.toString): _*)
-        val lenCol =
-          if (raw.columns.contains("len"))
-            coalesce(col("len").cast("long"), lit(-1L))
-          else lit(-1L)
-        // delta-touched paths are excluded from the checkpoint side and
-        // re-enter through addRows — the union is disjoint by construction
-        val base = raw.select(col("path").cast("string"), lenCol.as("len"))
-          .as[(String, Long)]
-          .filter(r => !excludedB.value.contains(r._1))
-          .union(spark.createDataset(addRows))
-        base
-          .orderBy(encode(col("path"), "UTF-16BE"))
-          .as[(String, Long)].rdd
-          .zipWithIndex()
-          .filter { case (_, i) => i >= fromIdx && i < toIdx }
-          .map(_._1)
-          .collect()
-          .sortBy(_._1).toSeq
-      } finally excludedB.destroy()
+      val raw = spark.read.parquet(ckpt.map(_.toString): _*)
+      val lenCol =
+        if (raw.columns.contains("len"))
+          coalesce(col("len").cast("long"), lit(-1L))
+        else lit(-1L)
+      // delta-touched paths are excluded from the checkpoint side and
+      // re-enter through addRows — the union is disjoint by construction
+      raw.select(col("path").cast("string"), lenCol.as("len"))
+        .as[(String, Long)]
+        .filter(r => !excludedB.value.contains(r._1))
+        .union(spark.createDataset(addRows))
+        .orderBy(encode(col("path"), "UTF-16BE"))
+        .as[(String, Long)].rdd
+        .zipWithIndex()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** The kept-file set for a conjunction of skipping predicates — a
@@ -949,7 +947,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       .filterNot(_ == RowTracking.col) // internal sentinel, not a user column
       .filterNot(c => droppedSet(c.toLowerCase))
       .sortBy(c => p2l.getOrElse(c.toLowerCase, c))
-    val usable = Set("i", "d", "s", "D", "T", "t")
+    val usable = MetadataPlane.usableKinds
     val out = cols.map { c =>
       val a = aggs(c)
       // bounds only when EVERY live file carries usable bounds of one
@@ -2908,9 +2906,32 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     fs.listStatus(logDir).filter { st =>
       st.isFile && st.getPath.getName.endsWith(".checkpoint.parquet")
     }.foreach { st =>
-      val rows = readCheckpointParquetFull(st.getPath)
-      val updated = rows.map { case (p, meta) => (f(p), meta) }
-      if (updated != rows) writeCheckpointParquet(st.getPath, updated)
+      // two-pass STREAMING rewrite, O(1) driver memory at any row count
+      // (a purge on a 1e7-file table must not funnel every checkpoint's
+      // rows through the driver heap): pass 1 scans until the first row
+      // the remap changes; only a hit pays pass 2, which streams rows
+      // through the mapped write (tmp → swap; the still-open reader on
+      // the swapped-away file is fine on POSIX semantics)
+      val hit = {
+        val r = openCheckpointReader(st.getPath)
+        try {
+          var g = r.read(); var found = false
+          while (!found && g != null) {
+            val p = g.getString("path", 0)
+            if (f(p) != p) found = true else g = r.read()
+          }
+          found
+        } finally r.close()
+      }
+      if (hit) {
+        val r = openCheckpointReader(st.getPath)
+        try writeCheckpointParquetIter(st.getPath,
+          Iterator.continually(r.read()).takeWhile(_ != null).map { g =>
+            val (p, meta) = checkpointRow(g)
+            (f(p), meta)
+          })
+        finally r.close()
+      }
     }
 
   /** Rewrite the path key of every DV-snapshot line through `f` — the one
@@ -3077,7 +3098,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       "optional binary stats (STRING); }")
 
   private[table] def writeCheckpointParquet(p: Path,
-      files: Seq[(String, Option[(Long, Long, String)])]): Unit = {
+      files: Seq[(String, Option[(Long, Long, String)])]): Unit =
+    writeCheckpointParquetIter(p, files.iterator)
+
+  /** Iterator form of the checkpoint write — the streaming remap rewrites
+    * arbitrarily large sidecars through it with O(1) driver memory.
+    */
+  private[table] def writeCheckpointParquetIter(p: Path,
+      files: Iterator[(String, Option[(Long, Long, String)])]): Unit = {
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(ckptSchema, conf)
@@ -3118,28 +3146,38 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private[table] def readCheckpointParquet(p: Path): Seq[String] =
     readCheckpointParquetFull(p).map(_._1)
 
+  private def openCheckpointReader(p: Path) = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.parquet.hadoop.ParquetReader.builder(
+      new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+      .withConf(conf).build()
+  }
+
+  /** One checkpoint row decoded; a v1 path-only row reads None metadata. */
+  private def checkpointRow(g: org.apache.parquet.example.data.Group)
+      : (String, Option[(Long, Long, String)]) = {
+    def has(n: String): Boolean =
+      g.getType.containsField(n) && g.getFieldRepetitionCount(n) > 0
+    val meta =
+      if (has("len") && has("rows"))
+        Some((g.getLong("len", 0), g.getLong("rows", 0),
+          if (has("stats")) g.getString("stats", 0) else ""))
+      else None
+    (g.getString("path", 0), meta)
+  }
+
   /** Full checkpoint rows including the optional metadata columns; a v1
     * path-only file reads with None metadata.
     */
   private[table] def readCheckpointParquetFull(
       p: Path): Seq[(String, Option[(Long, Long, String)])] = {
-    val conf = new org.apache.hadoop.conf.Configuration(
-      spark.sparkContext.hadoopConfiguration)
-    val r = org.apache.parquet.hadoop.ParquetReader.builder(
-      new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
-      .withConf(conf).build()
+    val r = openCheckpointReader(p)
     val out = scala.collection.mutable.ArrayBuffer[(String, Option[(Long, Long, String)])]()
     try {
       var g = r.read()
       while (g != null) {
-        def has(n: String): Boolean =
-          g.getType.containsField(n) && g.getFieldRepetitionCount(n) > 0
-        val meta =
-          if (has("len") && has("rows"))
-            Some((g.getLong("len", 0), g.getLong("rows", 0),
-              if (has("stats")) g.getString("stats", 0) else ""))
-          else None
-        out += ((g.getString("path", 0), meta))
+        out += checkpointRow(g)
         g = r.read()
       }
     } finally r.close()

@@ -206,7 +206,11 @@ object MetadataPlane extends Serializable {
   final case class ColAgg(kind: String, mn: String, mx: String,
                           nulls: Long, known: Long)
 
-  private val usableKinds = Set("i", "d", "s", "D", "T", "t")
+  /** Stat kinds whose bounds carry a usable order — shared by the merge
+    * below AND the display gate in ManagedTable.formatColumnStats, so a
+    * new kind can't silently pass one and not the other.
+    */
+  val usableKinds = Set("i", "d", "s", "D", "T", "t")
 
   def colAgg(s: Stat): ColAgg = ColAgg(s._1, s._2, s._3, s._4, 1L)
 

@@ -116,7 +116,11 @@ class ProtocolSpec extends SparkSpec {
     val e3b = intercept[IllegalArgumentException] {
       t.dropTableFeature("row-tracking") }
     assert(e3b.getMessage.contains("retained"))
-    t.vacuumVersions(java.time.Instant.now())
+    // a minute in the future, NOT now(): rapid commits floor their
+    // recorded timestamps at prev + 1 ms (the ICT discipline), which can
+    // run a few ms AHEAD of the wall clock — a now() cutoff then leaves
+    // the last version in-window and the drop refuses (observed flake)
+    t.vacuumVersions(java.time.Instant.now().plusSeconds(60))
     t.dropTableFeature("row-tracking")
     assert(!t.protocol._1.contains("row-tracking") &&
       !t.protocol._2.contains("row-tracking"))
