@@ -412,7 +412,9 @@ object SparkEntry {
       // oracle-gated since r9: the stub decode's features (dims + mean
       // byte intensity) are deterministic integer/exact-division algebra
       // over the payload bytes, which DuckDB reproduces via the q74 hex
-      // byte-list trick; crc32 (no DuckDB twin) stays on q35a's digests
+      // byte-list trick; crc32 (no DuckDB twin) stays on the API,
+      // value-pinned against java.util.zip.CRC32 in MultimodalSpec,
+      // while q35a carries the md5/sha256 content digests
       Multimodal.extractFeatures(s,
           Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"))
         .toDF()

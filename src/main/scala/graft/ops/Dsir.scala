@@ -33,83 +33,146 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** Hashed unigram+bigram bucket ids for `text` (long array, values in
-    * [0, buckets)). Empty/one-word docs degrade gracefully (no bigrams).
+  /** Unigram + bigram n-gram strings of `text` — the one feature
+    * construction both bucket hashers map over. Empty/one-word docs
+    * degrade gracefully (no bigrams).
     */
-  def ngramBuckets(text: Column, buckets: Int): Column = {
+  private def ngramStrings(text: Column): Column = {
     val ws = TextAnalysis.words(text)
     val bis = when(size(ws) >= 2,
       zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
         (a, b) => concat_ws(" ", a, b)))
       .otherwise(array().cast("array<string>"))
-    transform(concat(ws, bis), g => pmod(xxhash64(g), lit(buckets.toLong)))
+    concat(ws, bis)
   }
+
+  /** Hashed unigram+bigram bucket ids for `text` (long array, values in
+    * [0, buckets)).
+    */
+  def ngramBuckets(text: Column, buckets: Int): Column =
+    transform(ngramStrings(text), g => pmod(xxhash64(g), lit(buckets.toLong)))
+
+  /** [[ngramBuckets]] with ENGINE-INDEPENDENT bucket ids: the 52-bit
+    * md5-prefix integer (the q73a trick) mod `buckets`, reproducible in
+    * any engine with md5. Production keeps xxhash64 (one hash instruction
+    * vs a full digest per n-gram); this variant exists so the DSIR
+    * machinery has a bit-exact cross-engine anchor.
+    */
+  def ngramBucketsMd5(text: Column, buckets: Int): Column =
+    transform(ngramStrings(text), g =>
+      pmod(conv(substring(md5(g), 1, 13), 16, 10).cast("long"),
+        lit(buckets.toLong)))
 
   /** (bucket, cnt) histogram of a corpus — `buckets`-bounded output. */
   def bucketHistogram(df: DataFrame, textCol: String, buckets: Int): DataFrame =
     df.select(explode(ngramBuckets(col(textCol), buckets)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
-  /** Per-document importance weights against `target`: (idCol, log_w)
-    * with log_w an exact DECIMAL(28,12) sum of quantized per-ngram
-    * log-ratios — higher means "more target-like". Documents with no
-    * recognized n-gram (empty text) weigh 0.
+  /** Shared plumbing of both weight flavors: histograms → distributed
+    * per-bucket term table (broadcast under `broadcastBuckets`) →
+    * scoring join → per-doc exact DECIMAL(28,12) sum, with the exploded
+    * raw (id, bucket) rows CACHED (persist keeps lineage: a lost
+    * executor recomputes its blocks) so the corpus is tokenized+hashed
+    * once, not twice — `term` builds one bucket's quantized contribution
+    * from (smoothed target count, raw count, totP, totQ).
     *
-    * The ratio table is computed DISTRIBUTED (histogram left-join, the
-    * log-ratio as a column) — the driver never materializes the observed
-    * vocabulary; only the two scalar histogram totals come back. It is
-    * broadcast into the scoring join only when `buckets` (an upper bound
-    * on its row count) stays under `broadcastBuckets`; beyond that the
-    * scoring join shuffles on the 8-byte bucket key — so `buckets` may be
-    * huge (fewer hash collisions) without a driver-side cliff.
+    * Returns (weights, release). Callers MUST release once they have
+    * materialized what they need: Dataset caches register in the
+    * session's CacheManager, a strong reference no GC ever clears — an
+    * unreleased cache leaks executor storage for the session lifetime.
     */
-  def importanceWeights(raw: DataFrame, idCol: String, textCol: String,
-                        target: DataFrame, targetTextCol: String,
-                        buckets: Int = 8192,
-                        broadcastBuckets: Long = 4L * 1000 * 1000): DataFrame = {
-    // the raw corpus is tokenized+hashed by BOTH the histogram and the
-    // scoring join — cache the exploded (id, bucket) rows once
-    // (spill-backed; ~16 bytes/token vs re-reading and re-splitting the
-    // full text column on the second pass). persist, NOT localCheckpoint:
-    // lineage stays, so a lost executor recomputes its blocks instead of
-    // failing the job; blocks free when the frame falls out of reference
+  private def weightsCore(raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, buckets: Int,
+      broadcastBuckets: Long, bucketFn: (Column, Int) => Column,
+      term: (Column, Column, Double, Double) => Column,
+      outCol: String): (DataFrame, () => Unit) = {
     val rawBuckets = raw.select(col(idCol),
-        explode(ngramBuckets(col(textCol), buckets)).as("bucket"))
+        explode(bucketFn(col(textCol), buckets)).as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pHist = bucketHistogram(target, targetTextCol, buckets)
+    val pHist = target
+      .select(explode(bucketFn(col(targetTextCol), buckets)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
     val qHist = rawBuckets.groupBy("bucket").agg(count(lit(1)).as("cnt"))
     def total(h: DataFrame): Double =
       Option(h.agg(sum(col("cnt"))).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L).toDouble + buckets
     val totP = total(pHist)
     val totQ = total(qHist)
-    // Laplace(+1)-smoothed log-ratio per OBSERVED raw bucket, quantized to
-    // 12 decimal places — the table carries decimals, so the distributed
-    // sum is exact whatever the aggregation order. Every scored n-gram
-    // comes from `raw`, so its bucket is in the raw histogram by
-    // construction: a LEFT join from qHist covers the whole scoring
-    // domain (target-only buckets never match a scored row).
+    // every scored n-gram comes from `raw`, so its bucket is in the raw
+    // histogram by construction: a LEFT join from qHist covers the whole
+    // scoring domain (target-only buckets never match a scored row).
     // `cast(decimal)` rounds HALF_UP — same quantization the driver-side
     // BigDecimal.setScale gave, bit-identical weights.
     val ratioRaw = qHist.join(
         pHist.withColumnRenamed("cnt", "p_cnt"), Seq("bucket"), "left")
       .select(col("bucket"),
-        (log((coalesce(col("p_cnt"), lit(0L)) + lit(1L)).cast("double") / totP)
-          - log((col("cnt") + lit(1L)).cast("double") / totQ))
-          .cast("decimal(20,12)").as("log_ratio"))
+        term(coalesce(col("p_cnt"), lit(0L)), col("cnt"), totP, totQ)
+          .cast("decimal(20,12)").as("term"))
     val ratio =
       if (buckets.toLong <= broadcastBuckets) broadcast(ratioRaw) else ratioRaw
-    rawBuckets
+    val weights = rawBuckets
       .join(ratio, "bucket")
       .groupBy(idCol)
-      .agg(sum(col("log_ratio")).cast("decimal(28,12)").as("log_w"))
+      .agg(sum(col("term")).cast("decimal(28,12)").as(outCol))
       .unionByName( // empty AND null docs: no exploded rows, weight 0
         // (size() of a null array is null, never 0 — test null explicitly
         // or the doc would vanish from the weight table entirely)
         raw.filter(col(textCol).isNull ||
             size(TextAnalysis.words(col(textCol))) <= 0)
           .select(col(idCol), lit(BigDecimal(0).bigDecimal)
-            .cast("decimal(28,12)").as("log_w")))
+            .cast("decimal(28,12)").as(outCol)))
+    (weights, () => { rawBuckets.unpersist(false); () })
+  }
+
+  /** The paper's Laplace(+1)-smoothed log-ratio term. */
+  private def logRatioTerm(p: Column, q: Column,
+      totP: Double, totQ: Double): Column =
+    log((p + lit(1L)).cast("double") / totP) -
+      log((q + lit(1L)).cast("double") / totQ)
+
+  /** The oracle twin's LINEAR smoothed-probability difference — every
+    * step an exactly-rounded IEEE op, so any engine reproduces it
+    * bit-exactly (ln() is not bit-portable across libm implementations:
+    * a 1-ulp difference at a HALF_UP rounding boundary would flip a
+    * quantized digit).
+    */
+  private def linearTerm(p: Column, q: Column,
+      totP: Double, totQ: Double): Column =
+    ((p + lit(1L)).cast("double") / totP) -
+      ((q + lit(1L)).cast("double") / totQ)
+
+  /** Per-document importance weights against `target`: (idCol, log_w)
+    * with log_w an exact DECIMAL(28,12) sum of quantized per-ngram
+    * log-ratios — higher means "more target-like". Documents with no
+    * recognized n-gram (empty text) weigh 0.
+    *
+    * Standalone form: the token cache is released immediately, so the
+    * returned frame re-tokenizes per pass (the caller controls its own
+    * materialization); the end-to-end [[select]]/[[selectMd5Linear]]
+    * scope the cache around their selection instead.
+    */
+  def importanceWeights(raw: DataFrame, idCol: String, textCol: String,
+                        target: DataFrame, targetTextCol: String,
+                        buckets: Int = 8192,
+                        broadcastBuckets: Long = 4L * 1000 * 1000): DataFrame = {
+    val (w, release) = weightsCore(raw, idCol, textCol, target, targetTextCol,
+      buckets, broadcastBuckets, ngramBuckets, logRatioTerm, "log_w")
+    release()
+    w
+  }
+
+  /** The oracle twin of [[importanceWeights]]: md5 bucket ids and the
+    * linear term — same plumbing at the same scale bounds, engine-exact
+    * everywhere. Positive w = "more target-like", like log w.
+    */
+  def importanceWeightsMd5Linear(raw: DataFrame, idCol: String,
+      textCol: String, target: DataFrame, targetTextCol: String,
+      buckets: Int = 8192,
+      broadcastBuckets: Long = 4L * 1000 * 1000): DataFrame = {
+    val (w, release) = weightsCore(raw, idCol, textCol, target, targetTextCol,
+      buckets, broadcastBuckets, ngramBucketsMd5, linearTerm, "w")
+    release()
+    w
   }
 
   /** Gumbel-top-k selection over importance weights (the paper's
@@ -127,82 +190,26 @@ object Dsir {
     keyed.orderBy(col("__g").desc, col(idCol)).limit(k).drop("__g")
   }
 
+  /** A k-row selection pinned as driver-local rows — releasing the token
+    * cache must not force the downstream join to recompute the whole
+    * scoring pipeline, and k is small by definition.
+    */
+  private def materializeSmall(df: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    df.sparkSession.createDataFrame(rows, df.schema)
+  }
+
   /** End-to-end DSIR: weights + resample, returning the selected raw rows
-    * with their weights attached.
+    * with their weights attached. The token cache lives exactly as long
+    * as the selection takes to materialize.
     */
   def select(raw: DataFrame, idCol: String, textCol: String,
              target: DataFrame, targetTextCol: String, k: Int,
              buckets: Int = 8192, seed: Long = 42L): DataFrame = {
-    val w = importanceWeights(raw, idCol, textCol, target, targetTextCol, buckets)
-    raw.join(resample(w, idCol, k, seed), Seq(idCol))
-  }
-
-  // ---- oracle twin (engine-independent everywhere) ----------------------
-
-  /** [[ngramBuckets]] with ENGINE-INDEPENDENT bucket ids: the 52-bit
-    * md5-prefix integer (the q73a trick) mod `buckets`, reproducible in
-    * any engine with md5. Production keeps xxhash64 (one hash instruction
-    * vs a full digest per n-gram); this variant exists so the DSIR
-    * machinery has a bit-exact cross-engine anchor.
-    */
-  def ngramBucketsMd5(text: Column, buckets: Int): Column = {
-    val ws = TextAnalysis.words(text)
-    val bis = when(size(ws) >= 2,
-      zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
-        (a, b) => concat_ws(" ", a, b)))
-      .otherwise(array().cast("array<string>"))
-    transform(concat(ws, bis), g =>
-      pmod(conv(substring(md5(g), 1, 13), 16, 10).cast("long"),
-        lit(buckets.toLong)))
-  }
-
-  /** The oracle twin of [[importanceWeights]]: md5 bucket ids and a
-    * LINEAR smoothed-probability difference per n-gram —
-    * `(p_b+1)/totP − (q_b+1)/totQ`, each step an exactly-rounded IEEE op,
-    * quantized to DECIMAL(20,12) and summed exactly — instead of the
-    * paper's log-ratio, whose `ln()` is not guaranteed bit-identical
-    * across engines' libm (a 1-ulp log difference at a HALF_UP rounding
-    * boundary would flip a quantized digit). Same plumbing at the same
-    * scale bounds: histograms → distributed ratio table → scoring join →
-    * per-doc exact sum. Positive w = "more target-like", like log w.
-    */
-  def importanceWeightsMd5Linear(raw: DataFrame, idCol: String,
-      textCol: String, target: DataFrame, targetTextCol: String,
-      buckets: Int = 8192,
-      broadcastBuckets: Long = 4L * 1000 * 1000): DataFrame = {
-    // an md5 digest per n-gram costs ~2× xxhash64, and the raw corpus is
-    // hashed by BOTH the histogram and the scoring join — cache the
-    // exploded (id, bucket) rows so the digest pass runs once, not twice
-    // (persist keeps lineage: recomputable on executor loss)
-    val rawBuckets = raw.select(col(idCol),
-        explode(ngramBucketsMd5(col(textCol), buckets)).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pHist = target
-      .select(explode(ngramBucketsMd5(col(targetTextCol), buckets)).as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
-    val qHist = rawBuckets.groupBy("bucket").agg(count(lit(1)).as("cnt"))
-    def total(h: DataFrame): Double =
-      Option(h.agg(sum(col("cnt"))).head.get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L).toDouble + buckets
-    val totP = total(pHist)
-    val totQ = total(qHist)
-    val ratioRaw = qHist.join(
-        pHist.withColumnRenamed("cnt", "p_cnt"), Seq("bucket"), "left")
-      .select(col("bucket"),
-        (((coalesce(col("p_cnt"), lit(0L)) + lit(1L)).cast("double") / totP)
-          - ((col("cnt") + lit(1L)).cast("double") / totQ))
-          .cast("decimal(20,12)").as("ratio_diff"))
-    val ratio =
-      if (buckets.toLong <= broadcastBuckets) broadcast(ratioRaw) else ratioRaw
-    rawBuckets
-      .join(ratio, "bucket")
-      .groupBy(idCol)
-      .agg(sum(col("ratio_diff")).cast("decimal(28,12)").as("w"))
-      .unionByName(
-        raw.filter(col(textCol).isNull ||
-            size(TextAnalysis.words(col(textCol))) <= 0)
-          .select(col(idCol), lit(BigDecimal(0).bigDecimal)
-            .cast("decimal(28,12)").as("w")))
+    val (w, release) = weightsCore(raw, idCol, textCol, target, targetTextCol,
+      buckets, 4L * 1000 * 1000, ngramBuckets, logRatioTerm, "log_w")
+    try raw.join(materializeSmall(resample(w, idCol, k, seed)), Seq(idCol))
+    finally release()
   }
 
   /** End-to-end oracle-twin DSIR: md5-linear weights + noise-free top-k
@@ -212,8 +219,11 @@ object Dsir {
   def selectMd5Linear(raw: DataFrame, idCol: String, textCol: String,
                       target: DataFrame, targetTextCol: String, k: Int,
                       buckets: Int = 8192): DataFrame = {
-    val w = importanceWeightsMd5Linear(raw, idCol, textCol,
-      target, targetTextCol, buckets)
-    raw.join(w.orderBy(col("w").desc, col(idCol)).limit(k), Seq(idCol))
+    val (w, release) = weightsCore(raw, idCol, textCol, target, targetTextCol,
+      buckets, 4L * 1000 * 1000, ngramBucketsMd5, linearTerm, "w")
+    try raw.join(
+      materializeSmall(w.orderBy(col("w").desc, col(idCol)).limit(k)),
+      Seq(idCol))
+    finally release()
   }
 }

@@ -266,9 +266,10 @@ object GraftSqlCommands {
          else spark.table(src)).persist()
       // count from the cached snapshot BEFORE the merge — re-running the
       // source query after the mutation would double its cost and report
-      // the post-merge state for a self-referential source
-      val nSource = source.count()
+      // the post-merge state for a self-referential source. The count is
+      // INSIDE the try: a failing source must still unpersist.
       try {
+      val nSource = source.count()
       val t = new ManagedTable(spark, path)
       val partCols = latestPartitionCols(t)
       val useDv = t.properties.get("graft.enableDeletionVectors")

@@ -174,21 +174,28 @@ private[streaming] trait SnapshotPhase {
 
   /** The pinned version's sorted-indexed manifest RDD, memoized per pin —
     * one sort job per snapshot, every later slice/pacing probe a cheap
-    * filter over its cached blocks. A superseded pin's blocks unpersist.
+    * filter over its cached blocks. Released when the final slice is
+    * delivered ([[snapshotSlice]]) or a new pin supersedes it — a stream
+    * that turns incremental must not keep GBs of manifest blocks cached
+    * for its remaining lifetime.
     */
-  private var snapIdxMemo:
-      Option[(Long, org.apache.spark.rdd.RDD[((String, Long), Long)])] = None
+  private var snapIdxMemo: Option[
+    (Long, org.apache.spark.rdd.RDD[((String, Long), Long)], () => Unit)] = None
+  private def releaseSnapIndex(): Unit = {
+    snapIdxMemo.foreach(_._3())
+    snapIdxMemo = None
+  }
   private def snapIndexed(
       pin: Long): Option[org.apache.spark.rdd.RDD[((String, Long), Long)]] =
     snapIdxMemo match {
-      case Some((p, r)) if p == pin => Some(r)
+      case Some((p, r, _)) if p == pin => Some(r)
       case _ =>
         val built = snapshotTable.snapshotIndexedDistributed(pin)
-        built.foreach { r =>
-          snapIdxMemo.foreach(_._2.unpersist(false))
-          snapIdxMemo = Some((pin, r))
+        built.foreach { case (r, release) =>
+          releaseSnapIndex()
+          snapIdxMemo = Some((pin, r, release))
         }
-        built
+        built.map(_._1)
     }
 
   /** (path, len) rows for indices [fromIdx, toIdx) of the pinned sorted
@@ -216,7 +223,11 @@ private[streaming] trait SnapshotPhase {
         _ => snapshotTable.commitSummary(pin).map(_._1).getOrElse(-1L))
       if (toIdx >= 0)
         sliceDistributed(pin, fromIdx, toIdx) match {
-          case Some(rows) => return (pin, rows.map(_._1))
+          case Some(rows) =>
+            // a plain-version end means this slice COMPLETES the
+            // snapshot: the cached manifest index has served its purpose
+            if (end.isRight) releaseSnapIndex()
+            return (pin, rows.map(_._1))
           case None => () // no parquet checkpoint: driver fold below
         }
     }

@@ -788,11 +788,18 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * RDD re-evaluates its filter on block loss, and the ContextCleaner
     * reclaims broadcast and blocks together once the RDD is dropped.
     *
+    * Returns (indexedRdd, release): the SORTED PARENT is what persists
+    * (zipWithIndex's partition-offset job materializes it into the cache
+    * — exactly one sort per pin; the index arithmetic on top is a cheap
+    * local pass), and `release` unpersists it — callers MUST release
+    * when the snapshot completes, or the cached manifest blocks occupy
+    * executor storage for the stream's lifetime.
+    *
     * None when `v` has no parquet checkpoint to assemble from (callers
     * take the measured driver fold).
     */
   private[graft] def snapshotIndexedDistributed(v: Long)
-      : Option[org.apache.spark.rdd.RDD[((String, Long), Long)]] =
+      : Option[(org.apache.spark.rdd.RDD[((String, Long), Long)], () => Unit)] =
     distributedBase(v).map { case (ckpt, adds, excluded) =>
       import spark.implicits._
       val addMeta = addsMeta(adds)
@@ -806,14 +813,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         else lit(-1L)
       // delta-touched paths are excluded from the checkpoint side and
       // re-enter through addRows — the union is disjoint by construction
-      raw.select(col("path").cast("string"), lenCol.as("len"))
+      val sorted = raw.select(col("path").cast("string"), lenCol.as("len"))
         .as[(String, Long)]
         .filter(r => !excludedB.value.contains(r._1))
         .union(spark.createDataset(addRows))
         .orderBy(encode(col("path"), "UTF-16BE"))
         .as[(String, Long)].rdd
-        .zipWithIndex()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (sorted.zipWithIndex(), () => { sorted.unpersist(false); () })
     }
 
   /** The kept-file set for a conjunction of skipping predicates — a

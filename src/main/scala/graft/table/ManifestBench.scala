@@ -152,17 +152,17 @@ object ManifestBench {
       // behind retiring the streaming-source driver-manifest ceiling
       val tSI0 = System.nanoTime()
       val idx = t3.snapshotIndexedDistributed(0L)
-      val idxRows = idx.map(_.count()).getOrElse(-1L) // materializes the sort
+      val idxRows = idx.map(_._1.count()).getOrElse(-1L) // materializes the sort
       val siBuildMs = (System.nanoTime() - tSI0) / 1e6
       val tSL0 = System.nanoTime()
-      val sliceN = idx.map(_.filter { case (_, i) =>
+      val sliceN = idx.map(_._1.filter { case (_, i) =>
           i >= n / 2 && i < n / 2 + 10000 }
         .map(_._1).collect().length).getOrElse(-1)
       val sliceMs = (System.nanoTime() - tSL0) / 1e6
       println(f"[manifest-bench] n=$n%,d files STREAM-SNAPSHOT index: " +
         f"build+sort=$siBuildMs%.0f ms ($idxRows%,d rows), 10k-file paced " +
         f"slice from cached blocks=$sliceMs%.0f ms, collected=$sliceN%,d")
-      idx.foreach(_.unpersist(true))
+      idx.foreach(_._2())
       sampling = false; sampler.join()
       System.gc()
       val retained = (rt.totalMemory() - rt.freeMemory()) - base3

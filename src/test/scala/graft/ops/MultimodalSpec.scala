@@ -22,7 +22,17 @@ class MultimodalSpec extends SparkSpec {
     val feats2 = Multimodal.extractFeatures(spark, m).collect().sortBy(_.media_id)
     assert(feats1.toSeq == feats2.toSeq)
     assert(feats1.map(_.media_id).toSeq == Seq(1L, 2L))
-    assert(feats1.forall(_.checksum != 0L))
+    // crc32 pinned by VALUE against java.util.zip.CRC32 on the exact
+    // payload bytes (q35 dropped the column from its oracle projection —
+    // DuckDB has no crc32 — so this is its only value-level gate)
+    val expectCrc = Map(1L -> "hello world", 2L -> "spark").map {
+      case (id, s) =>
+        val c = new java.util.zip.CRC32()
+        c.update(s.getBytes("UTF-8"))
+        id -> c.getValue
+    }
+    assert(feats1.forall(f => f.checksum == expectCrc(f.media_id)),
+      feats1.map(f => (f.media_id, f.checksum)).toSeq.toString)
     assert(feats1.forall(f => f.mean_intensity > 0 && f.width >= 1 && f.height >= 1))
   }
 
