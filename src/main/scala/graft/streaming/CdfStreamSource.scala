@@ -150,6 +150,9 @@ class CdfStreamSource(sqlContext: SQLContext, path: String,
         .withColumn("change_type", org.apache.spark.sql.functions.lit("insert"))
         .withColumn("graft_commit_version",
           org.apache.spark.sql.functions.lit(pin))
+        .withColumn("graft_commit_timestamp",
+          org.apache.spark.sql.functions
+            .lit(table.commitTimestamp(pin).orNull).cast("timestamp"))
       return org.apache.spark.sql.GraftBridge.asStreaming(
         out.select(schema.fieldNames.map(col).toSeq: _*))
     }
@@ -159,6 +162,9 @@ class CdfStreamSource(sqlContext: SQLContext, path: String,
       .filter(col("change_type") =!= "unchanged")
       .withColumn("graft_commit_version",
         org.apache.spark.sql.functions.lit(toV))
+      .withColumn("graft_commit_timestamp",
+        org.apache.spark.sql.functions
+          .lit(table.commitTimestamp(toV).orNull).cast("timestamp"))
     // the engine swaps this plan in for the source: column ORDER must
     // match the declared schema (the diff's join moved the keys first),
     // and the frame must carry the streaming tag
@@ -233,10 +239,13 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
 object CdfSourceProvider {
   /** Table schema + CDF metadata columns (`change_type`,
-    * `graft_commit_version`), the stable streaming schema.
+    * `graft_commit_version`, `graft_commit_timestamp` — Delta's
+    * `_change_type`/`_commit_version`/`_commit_timestamp` trio), the
+    * stable streaming schema.
     */
   def cdfSchema(spark: org.apache.spark.sql.SparkSession, path: String): StructType =
     new ManagedTable(spark, path).read.schema
       .add("change_type", StringType)
       .add("graft_commit_version", org.apache.spark.sql.types.LongType)
+      .add("graft_commit_timestamp", org.apache.spark.sql.types.TimestampType)
 }

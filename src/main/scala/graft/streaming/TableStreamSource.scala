@@ -179,35 +179,33 @@ private[streaming] trait SnapshotPhase {
     * that turns incremental must not keep GBs of manifest blocks cached
     * for its remaining lifetime.
     */
-  private var snapIdxMemo: Option[
-    (Long, org.apache.spark.rdd.RDD[((String, Long), Long)], () => Unit)] = None
+  private var snapIdxMemo:
+      Option[(Long, graft.table.SnapshotIndex)] = None
   private def releaseSnapIndex(): Unit = {
-    snapIdxMemo.foreach(_._3())
+    snapIdxMemo.foreach(_._2.release())
     snapIdxMemo = None
   }
-  private def snapIndexed(
-      pin: Long): Option[org.apache.spark.rdd.RDD[((String, Long), Long)]] =
+  private def snapIndexed(pin: Long): Option[graft.table.SnapshotIndex] =
     snapIdxMemo match {
-      case Some((p, r, _)) if p == pin => Some(r)
+      case Some((p, idx)) if p == pin => Some(idx)
       case _ =>
         val built = snapshotTable.snapshotIndexedDistributed(pin)
-        built.foreach { case (r, release) =>
+        built.foreach { idx =>
           releaseSnapIndex()
-          snapIdxMemo = Some((pin, r, release))
+          snapIdxMemo = Some((pin, idx))
         }
-        built.map(_._1)
+        built
     }
 
   /** (path, len) rows for indices [fromIdx, toIdx) of the pinned sorted
-    * manifest, collected from the memoized index — the driver holds only
-    * the slice. None when no parquet checkpoint anchors the pin.
+    * manifest, collected from the memoized index's partition-pruned
+    * slice — the driver holds only the slice. None when no parquet
+    * checkpoint anchors the pin.
     */
   private def sliceDistributed(pin: Long, fromIdx: Long,
       toIdx: Long): Option[Seq[(String, Long)]] =
     if (toIdx <= fromIdx) Some(Nil)
-    else snapIndexed(pin).map(
-      _.filter { case (_, i) => i >= fromIdx && i < toIdx }
-        .map(_._1).collect().sortBy(_._1).toSeq)
+    else snapIndexed(pin).map(_.slice(fromIdx, toIdx))
 
   /** (pin, slice) for a snapshot getBatch: files [fromIdx, toIdx) of the
     * pinned version's sorted manifest.

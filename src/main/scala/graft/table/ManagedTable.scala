@@ -788,10 +788,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * RDD re-evaluates its filter on block loss, and the ContextCleaner
     * reclaims broadcast and blocks together once the RDD is dropped.
     *
-    * Returns (indexedRdd, release): the SORTED PARENT is what persists
-    * (zipWithIndex's partition-offset job materializes it into the cache
-    * — exactly one sort per pin; the index arithmetic on top is a cheap
-    * local pass), and `release` unpersists it — callers MUST release
+    * The sorted rows persist SERIALIZED (tens of millions of (path, len)
+    * tuples as deserialized objects would triple the footprint and
+    * thrash GC); the one offsets job at build materializes the cache —
+    * exactly one sort per pin. Callers MUST [[SnapshotIndex.release]]
     * when the snapshot completes, or the cached manifest blocks occupy
     * executor storage for the stream's lifetime.
     *
@@ -799,7 +799,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * take the measured driver fold).
     */
   private[graft] def snapshotIndexedDistributed(v: Long)
-      : Option[(org.apache.spark.rdd.RDD[((String, Long), Long)], () => Unit)] =
+      : Option[SnapshotIndex] =
     distributedBase(v).map { case (ckpt, adds, excluded) =>
       import spark.implicits._
       val addMeta = addsMeta(adds)
@@ -819,8 +819,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         .union(spark.createDataset(addRows))
         .orderBy(encode(col("path"), "UTF-16BE"))
         .as[(String, Long)].rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (sorted.zipWithIndex(), () => { sorted.unpersist(false); () })
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // per-partition row counts → global start offsets: the one job
+      // that both materializes the cache and makes every later slice
+      // PARTITION-PRUNED (a task that overlaps the slice range
+      // deserializes; the rest return without touching their blocks)
+      val counts = sorted.mapPartitionsWithIndex((pid, it) =>
+        Iterator((pid, it.size.toLong))).collect().sortBy(_._1).map(_._2)
+      new SnapshotIndex(sorted, counts.scanLeft(0L)(_ + _))
     }
 
   /** The kept-file set for a conjunction of skipping predicates — a
@@ -3444,6 +3450,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   private[graft] def commitSummary(v: Long): Option[(Long, Long)] =
     historyRows.find(_.version == v).map(c => (c.numFiles, c.sizeInBytes))
+
+  /** Recorded commit timestamp of logged version `v` — one history-
+    * checkpoint lookup; the CDF stream's `graft_commit_timestamp` column
+    * (Delta's `_commit_timestamp`).
+    */
+  private[graft] def commitTimestamp(v: Long): Option[java.sql.Timestamp] =
+    historyRows.find(_.version == v).map(c =>
+      java.sql.Timestamp.from(java.time.Instant.parse(c.timestamp)))
 
   /** Cached per-file byte lengths from the stats sidecar (base +
     * segments) — every committed file is recorded there, so byte-exact
@@ -6438,6 +6452,40 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       else Nil
     }.toSeq
   }
+}
+
+/** Driver handle to a pinned snapshot's SORTED manifest held as cached
+  * serialized executor blocks: `offsets(p)` is the global index of
+  * partition p's first row, so a slice job prunes to the overlapping
+  * partitions — the rest of the tasks return without deserializing their
+  * blocks. Built once per pin by
+  * [[ManagedTable.snapshotIndexedDistributed]]; [[release]] when the
+  * snapshot completes.
+  */
+private[graft] final class SnapshotIndex(
+    sorted: org.apache.spark.rdd.RDD[(String, Long)],
+    offsets: Array[Long]) {
+
+  /** Total rows in the index. */
+  def total: Long = offsets.last
+
+  /** (path, len) rows for global indices [fromIdx, toIdx), collected —
+    * the driver holds only the slice.
+    */
+  def slice(fromIdx: Long, toIdx: Long): Seq[(String, Long)] = {
+    if (toIdx <= fromIdx) return Nil
+    val offs = offsets // local val: the closure must not capture `this`
+    sorted.mapPartitionsWithIndex { (pid, it) =>
+      val start = offs(pid)
+      val end = offs(pid + 1)
+      if (start >= toIdx || end <= fromIdx) Iterator.empty
+      else it.slice(
+        math.max(0L, fromIdx - start).toInt,
+        math.min(end - start, toIdx - start).toInt)
+    }.collect().sortBy(_._1).toSeq
+  }
+
+  def release(): Unit = { sorted.unpersist(false); () }
 }
 
 object ManagedTable {

@@ -146,23 +146,6 @@ object ManifestBench {
       val tDP0 = System.nanoTime()
       val kept = t3.keptByStatsDistributed(Seq(("k", 0L, 99999L)))
       val dpMs = (System.nanoTime() - tDP0) / 1e6
-      // ---- streaming snapshot assembly over the parts: build the
-      // memoized sorted-index RDD once (the per-pin cost), then collect
-      // one mid-snapshot paced slice (the per-trigger cost) — the numbers
-      // behind retiring the streaming-source driver-manifest ceiling
-      val tSI0 = System.nanoTime()
-      val idx = t3.snapshotIndexedDistributed(0L)
-      val idxRows = idx.map(_._1.count()).getOrElse(-1L) // materializes the sort
-      val siBuildMs = (System.nanoTime() - tSI0) / 1e6
-      val tSL0 = System.nanoTime()
-      val sliceN = idx.map(_._1.filter { case (_, i) =>
-          i >= n / 2 && i < n / 2 + 10000 }
-        .map(_._1).collect().length).getOrElse(-1)
-      val sliceMs = (System.nanoTime() - tSL0) / 1e6
-      println(f"[manifest-bench] n=$n%,d files STREAM-SNAPSHOT index: " +
-        f"build+sort=$siBuildMs%.0f ms ($idxRows%,d rows), 10k-file paced " +
-        f"slice from cached blocks=$sliceMs%.0f ms, collected=$sliceN%,d")
-      idx.foreach(_._2())
       sampling = false; sampler.join()
       System.gc()
       val retained = (rt.totalMemory() - rt.freeMemory()) - base3
@@ -171,6 +154,22 @@ object ManifestBench {
         f"driver heap base=${base3 / 1e6}%.0f MB peak=${peak.get / 1e6}%.0f MB " +
         f"(delta=${(peak.get - base3) / 1e6}%.0f MB, retained after " +
         f"gc=${retained / 1e6}%.0f MB)")
+      // ---- streaming snapshot assembly over the parts (measured AFTER
+      // the prune so its cache blocks can't pollute the prune's retained
+      // figure): building the index RDD runs the one sort per pin
+      // (zipWithIndex's offset job fills the serialized cache); each
+      // paced slice is then a filter over cached blocks — the numbers
+      // behind retiring the streaming-source driver-manifest ceiling
+      val tSI0 = System.nanoTime()
+      val idx = t3.snapshotIndexedDistributed(0L)
+      val siBuildMs = (System.nanoTime() - tSI0) / 1e6
+      val tSL0 = System.nanoTime()
+      val sliceN = idx.map(_.slice(n / 2, n / 2 + 10000).size).getOrElse(-1)
+      val sliceMs = (System.nanoTime() - tSL0) / 1e6
+      println(f"[manifest-bench] n=$n%,d files STREAM-SNAPSHOT index: " +
+        f"build+sort=$siBuildMs%.0f ms, 10k-file partition-pruned paced " +
+        f"slice=$sliceMs%.0f ms, collected=$sliceN%,d")
+      idx.foreach(_.release())
       fs.delete(new Path(root).getParent, true)
     }
     spark.stop()

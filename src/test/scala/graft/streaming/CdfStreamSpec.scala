@@ -38,6 +38,21 @@ class CdfStreamSpec extends SparkSpec {
         .filter(col("change_type") === "delete")
         .select("k", "graft_commit_version").as[(Long, Long)].collect().toSeq
       assert(deletes == Seq((1L, 2L)))
+      // graft_commit_timestamp (Delta's _commit_timestamp): every change
+      // row carries the RECORDED time of its batch-window's end commit
+      val tsByVersion = t.history().select("version", "timestamp")
+        .as[(Long, String)].collect()
+        .map { case (v, ts) =>
+          // Spark TimestampType is micros; the recorded instant can carry
+          // nanos — truncate the expectation the way the lit() cast does
+          v -> java.sql.Timestamp.from(java.time.Instant.parse(ts)
+            .truncatedTo(java.time.temporal.ChronoUnit.MICROS)) }.toMap
+      val stamped = spark.table("cdf_sink")
+        .select("graft_commit_version", "graft_commit_timestamp")
+        .as[(Long, java.sql.Timestamp)].collect().toSeq
+      assert(stamped.nonEmpty &&
+        stamped.forall { case (v, ts) => ts == tsByVersion(v) },
+        stamped.toString)
     } finally q.stop()
   }
 
