@@ -1137,6 +1137,26 @@ object SparkEntry {
           (col("o_totalprice") * 0.1).as("discount")))
       t.read.orderBy("okey")
     }),
+    "q141_minmax_fast" -> ((s, d) => {
+      // Delta's metadata-optimized MIN/MAX: served from the stats fold
+      // (zero data files opened) when exactness is provable — non-string
+      // kind, no outstanding DVs, every live file stats-covered; the
+      // oracle runs the full-scan aggregates and must agree bit-exactly
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-mmf").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/li")
+      t.overwrite(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          to_date(col("l_shipdate")).as("ship_date"))
+        .repartitionByRange(4, col("l_orderkey")))
+      val (kMin, kMax) = t.minMaxFast("l_orderkey").get
+      val (qMin, qMax) = t.minMaxFast("l_quantity").get
+      val (dMin, dMax) = t.minMaxFast("ship_date").get
+      Seq((kMin.toLong, kMax.toLong, qMin.toDouble, qMax.toDouble, dMin, dMax))
+        .toDF("min_key", "max_key", "min_qty", "max_qty", "min_d", "max_d")
+        .select(col("min_key"), col("max_key"), col("min_qty"), col("max_qty"),
+          to_date(col("min_d")).as("min_date"), to_date(col("max_d")).as("max_date"))
+    }),
     "q127_show_partitions" -> ((s, d) => {
       // metadata-only SHOW PARTITIONS: the per-partition row counts fold
       // from listing + sidecar (minus DV cardinalities), zero data files
@@ -2973,6 +2993,14 @@ object SparkEntry {
       """SELECT CAST(o_orderstatus AS VARCHAR) AS o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS row_count
          FROM orders GROUP BY 1 ORDER BY 1""",
+    "q141_minmax_fast" ->
+      """SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_key,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+           MIN(CAST(l_shipdate AS DATE)) AS min_date,
+           MAX(CAST(l_shipdate AS DATE)) AS max_date
+         FROM lineitem""",
     "q119_column_stats" ->
       """SELECT * FROM (
            SELECT 'l_orderkey' AS col_name,

@@ -1074,6 +1074,38 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     }.sum
   }
 
+  /** Metadata-only MIN/MAX of `colName` — Delta's metadata-optimized
+    * aggregate: the per-file stats fold answers `SELECT MIN(c), MAX(c)`
+    * with zero data files opened, but ONLY when exactness is provable:
+    *
+    *  - every live file carries usable bounds of one kind for the column
+    *    (the [[columnStats]] gate — a missing/mixed/unusable file voids
+    *    the bounds);
+    *  - the kind is NOT string: "s" bounds are 32-code-point TRUNCATIONS
+    *    (min-prefix / incremented max-prefix) — enclosing, not attained;
+    *  - no deletion vectors are outstanding (a bitmap-deleted row may be
+    *    the recorded extreme).
+    *
+    * None when any gate fails — the caller scans instead; a Some is
+    * always exact (SQL MIN/MAX ignore nulls, and parquet bounds cover
+    * exactly the non-null values). Values come back in [[columnStats]]'s
+    * display form (numeric strings; ISO dates/instants). Routes through
+    * the distributed ANALYZE venue above the planning cutover like every
+    * other metadata fold.
+    */
+  def minMaxFast(colName: String): Option[(String, String)] = {
+    requireReadable()
+    if (currentDv.exists(_._2.nonEmpty)) return None
+    columnStats().filter(col("col_name") === colName).collect()
+      .headOption.flatMap { row =>
+        val kind = row.getAs[String]("data_kind")
+        val mn = row.getAs[String]("min_value")
+        val mx = row.getAs[String]("max_value")
+        if (mn == null || mx == null || kind == "s") None
+        else Some((mn, mx))
+      }
+  }
+
   /** [[countFast]] as a Spark job: Σ checkpoint-row counts on the
     * executors, adds (O(churn)) and the DV total on the driver. None
     * (→ driver fold) when no parquet checkpoint anchors the snapshot or

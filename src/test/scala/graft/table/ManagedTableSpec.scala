@@ -1512,6 +1512,40 @@ class ManagedTableSpec extends SparkSpec {
       Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("minMaxFast answers from stats only when exactness is provable") {
+    val t = freshTable("mt-minmax")
+    t.overwrite(Seq((5L, 2.5, "bb", java.sql.Date.valueOf("2024-02-01")),
+        (1L, 7.5, "aa", java.sql.Date.valueOf("2024-01-01")),
+        (9L, 1.5, "zz", java.sql.Date.valueOf("2024-03-01")))
+      .toDF("k", "x", "s", "d").repartition(2))
+    assert(t.minMaxFast("k") == Some(("1", "9")))
+    assert(t.minMaxFast("x") == Some(("1.5", "7.5")))
+    assert(t.minMaxFast("d") == Some(("2024-01-01", "2024-03-01")))
+    // strings refuse: recorded bounds are truncated PREFIXES — enclosing,
+    // not attained (a 40-char min would come back cut)
+    assert(t.minMaxFast("s").isEmpty)
+    // a column with SOME nulls stays exact (SQL MIN/MAX ignore nulls;
+    // parquet bounds cover exactly the non-null values)
+    val t2 = freshTable("mt-minmax-null")
+    t2.overwrite(Seq[(Long, java.lang.Double)]((1L, null), (2L, 3.0), (3L, 8.0))
+      .toDF("k", "x").repartition(1))
+    assert(t2.minMaxFast("x") == Some(("3.0", "8.0")))
+    // but a FILE whose column is entirely null voids the bounds
+    // (conservative: the merge can't distinguish unusable from empty) —
+    // the caller scans, never gets a wrong answer
+    val t3 = freshTable("mt-minmax-allnull")
+    t3.overwrite(Seq[(Long, java.lang.Double)]((1L, null), (2L, null))
+      .toDF("k", "x").repartition(1))
+    t3.append(Seq[(Long, java.lang.Double)]((3L, 4.0)).toDF("k", "x"))
+    assert(t3.minMaxFast("x").isEmpty)
+    // outstanding deletion vectors refuse: the extreme may be deleted
+    t.deleteVectored(col("k") === 5L)
+    assert(t.minMaxFast("k").isEmpty,
+      "outstanding DVs must force the scan path")
+    t.purgeDeletes() // rewrite drops the bitmap; stats are exact again
+    assert(t.minMaxFast("k") == Some(("1", "9")))
+  }
+
   test("in-commit timestamps never regress under a backwards clock, and " +
       "skewed histories resolve by the documented rules") {
     val dir = tmpDir("ict")
