@@ -170,6 +170,32 @@ object ManifestBench {
         f"build+sort=$siBuildMs%.0f ms, 10k-file partition-pruned paced " +
         f"slice=$sliceMs%.0f ms, collected=$sliceN%,d")
       idx.foreach(_.release())
+      // ---- sidecar parse cache (the hot-writer COMMIT path): every
+      // mutation re-reads base+segments; the handle's (len, mtime)-keyed
+      // parse cache makes repeat reads free under its 64 MB bound — and
+      // this measurement shows the bound engaging (cold == warm above it)
+      val baseP = new Path(log, "_file_rows.txt")
+      val bsb = new java.lang.StringBuilder(128 * n.toInt.max(1))
+      var bi = 0L
+      while (bi < n) {
+        if (bi > 0) bsb.append('\n')
+        bsb.append(MetadataPlane.sidecarLine(MetadataPlane.Entry(
+          p(bi), 1000L, 100L,
+          Map("k" -> (("i", (bi * 100).toString, (bi * 100 + 99).toString, 0L))))))
+        bi += 1
+      }
+      val bout = fs.create(baseP, true)
+      try bout.write(bsb.toString.getBytes("UTF-8")) finally bout.close()
+      val t4 = new ManagedTable(spark, root)
+      val tC0 = System.nanoTime()
+      val nLens = t4.sidecarLengths.size
+      val coldMs = (System.nanoTime() - tC0) / 1e6
+      val tC1 = System.nanoTime()
+      t4.sidecarLengths
+      val warmMs = (System.nanoTime() - tC1) / 1e6
+      println(f"[manifest-bench] n=$n%,d files SIDECAR parse " +
+        f"($nLens%,d entries, ${bsb.length() / 1e6}%.0f MB): " +
+        f"cold=$coldMs%.0f ms, cached=$warmMs%.1f ms")
       fs.delete(new Path(root).getParent, true)
     }
     spark.stop()
