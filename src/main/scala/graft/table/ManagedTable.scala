@@ -6524,11 +6524,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   * proves unchanged content. Byte-budgeted LRU — one giant base can
   * never pin unbounded heap, and files above the per-entry bound skip
   * caching entirely (their regime is the documented commit-path
-  * ceiling).
+  * ceiling). Budgets count TEXT bytes; the parsed maps cost ~4-5× that
+  * in heap, so 128 MB of text ≈ ~600 MB pinned worst-case — sized to
+  * still cover a 1e6-file base (~121 MB).
   */
 private[table] object SidecarCache {
-  private val maxTotalBytes = 512L * 1024 * 1024
-  private val maxEntryBytes = 192L * 1024 * 1024
+  private val maxTotalBytes = 128L * 1024 * 1024
+  private val maxEntryBytes = 128L * 1024 * 1024
   private val lru = new java.util.LinkedHashMap[
     String, (Long, Long, Map[String, (Long, FileMeta)])](16, 0.75f, true)
   private var totalBytes = 0L
