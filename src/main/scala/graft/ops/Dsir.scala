@@ -85,10 +85,16 @@ object Dsir {
       target: DataFrame, targetTextCol: String, buckets: Int,
       broadcastBuckets: Long, bucketFn: (Column, Int) => Column,
       term: (Column, Column, Double, Double) => Column,
-      outCol: String): (DataFrame, () => Unit) = {
-    val rawBuckets = raw.select(col(idCol),
+      outCol: String, cache: Boolean): (DataFrame, () => Unit) = {
+    // cache = false (the standalone weight functions): no persist at all —
+    // paying the materialization only to release it unused would be
+    // strictly worse than the two-pass recompute
+    val rawBuckets0 = raw.select(col(idCol),
         explode(bucketFn(col(textCol), buckets)).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rawBuckets =
+      if (cache) rawBuckets0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else rawBuckets0
     val pHist = target
       .select(explode(bucketFn(col(targetTextCol), buckets)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
@@ -121,7 +127,7 @@ object Dsir {
             size(TextAnalysis.words(col(textCol))) <= 0)
           .select(col(idCol), lit(BigDecimal(0).bigDecimal)
             .cast("decimal(28,12)").as(outCol)))
-    (weights, () => { rawBuckets.unpersist(false); () })
+    (weights, () => { if (cache) rawBuckets.unpersist(false); () })
   }
 
   /** The paper's Laplace(+1)-smoothed log-ratio term. */
@@ -146,18 +152,18 @@ object Dsir {
     * log-ratios — higher means "more target-like". Documents with no
     * recognized n-gram (empty text) weigh 0.
     *
-    * Standalone form: the token cache is released immediately, so the
-    * returned frame re-tokenizes per pass (the caller controls its own
-    * materialization); the end-to-end [[select]]/[[selectMd5Linear]]
-    * scope the cache around their selection instead.
+    * Standalone form: NO token cache (the returned frame re-tokenizes
+    * per pass; the caller controls its own materialization) — the
+    * end-to-end [[select]]/[[selectMd5Linear]] scope a cache around
+    * their selection instead.
     */
   def importanceWeights(raw: DataFrame, idCol: String, textCol: String,
                         target: DataFrame, targetTextCol: String,
                         buckets: Int = 8192,
                         broadcastBuckets: Long = 4L * 1000 * 1000): DataFrame = {
-    val (w, release) = weightsCore(raw, idCol, textCol, target, targetTextCol,
-      buckets, broadcastBuckets, ngramBuckets, logRatioTerm, "log_w")
-    release()
+    val (w, _) = weightsCore(raw, idCol, textCol, target, targetTextCol,
+      buckets, broadcastBuckets, ngramBuckets, logRatioTerm, "log_w",
+      cache = false)
     w
   }
 
@@ -169,9 +175,9 @@ object Dsir {
       textCol: String, target: DataFrame, targetTextCol: String,
       buckets: Int = 8192,
       broadcastBuckets: Long = 4L * 1000 * 1000): DataFrame = {
-    val (w, release) = weightsCore(raw, idCol, textCol, target, targetTextCol,
-      buckets, broadcastBuckets, ngramBucketsMd5, linearTerm, "w")
-    release()
+    val (w, _) = weightsCore(raw, idCol, textCol, target, targetTextCol,
+      buckets, broadcastBuckets, ngramBucketsMd5, linearTerm, "w",
+      cache = false)
     w
   }
 
@@ -207,7 +213,8 @@ object Dsir {
              target: DataFrame, targetTextCol: String, k: Int,
              buckets: Int = 8192, seed: Long = 42L): DataFrame = {
     val (w, release) = weightsCore(raw, idCol, textCol, target, targetTextCol,
-      buckets, 4L * 1000 * 1000, ngramBuckets, logRatioTerm, "log_w")
+      buckets, 4L * 1000 * 1000, ngramBuckets, logRatioTerm, "log_w",
+      cache = true)
     try raw.join(materializeSmall(resample(w, idCol, k, seed)), Seq(idCol))
     finally release()
   }
@@ -220,7 +227,8 @@ object Dsir {
                       target: DataFrame, targetTextCol: String, k: Int,
                       buckets: Int = 8192): DataFrame = {
     val (w, release) = weightsCore(raw, idCol, textCol, target, targetTextCol,
-      buckets, 4L * 1000 * 1000, ngramBucketsMd5, linearTerm, "w")
+      buckets, 4L * 1000 * 1000, ngramBucketsMd5, linearTerm, "w",
+      cache = true)
     try raw.join(
       materializeSmall(w.orderBy(col("w").desc, col(idCol)).limit(k)),
       Seq(idCol))

@@ -240,8 +240,12 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
 object CdfSourceProvider {
   /** Table schema + CDF metadata columns (`change_type`,
     * `graft_commit_version`, `graft_commit_timestamp` — Delta's
-    * `_change_type`/`_commit_version`/`_commit_timestamp` trio), the
-    * stable streaming schema.
+    * `_change_type`/`_commit_version`/`_commit_timestamp` trio).
+    * Migration note: `graft_commit_timestamp` was added in round 9 — a
+    * query resuming into a SINK table created with the two-column
+    * metadata schema needs one-time sink schema evolution (e.g.
+    * `mergeSchema`); the source side resumes fine (offsets are plain
+    * versions, independent of the schema).
     */
   def cdfSchema(spark: org.apache.spark.sql.SparkSession, path: String): StructType =
     new ManagedTable(spark, path).read.schema

@@ -462,6 +462,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // the losing content is rebuildable (history self-heals, sidecar
     // entries are a cache) — clean up rather than crash
     if (!fs.rename(tmp, dst) && fs.exists(tmp)) fs.delete(tmp, false)
+    // every same-process rewrite drops its parse-cache entry outright —
+    // the (len, mtime) signature alone can collide when a remap rewrites
+    // equal-width paths within one mtime tick (no-op for uncached paths)
+    SidecarCache.invalidate(dst.toString)
   }
 
   private def sidecarSegments: Seq[Path] =
@@ -534,11 +538,18 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         // max existing segment), not a clock: nanoTime's origin is arbitrary
         // (can be negative, breaking the zero-padded lexical sort) and not
         // monotonic across driver restarts, and the base++segments fold
-        // relies on lexical order == commit order
+        // relies on lexical order == commit order. The uuid suffix makes
+        // every incarnation a DISTINCT path: the sequence resets to 0
+        // after compaction deletes the dir, and a reused path could
+        // collide in the (len, mtime)-keyed SidecarCache of another
+        // process (same-process writes invalidate via writeAtomic).
+        // Numbers are unique among LIVE segments, so lexical order is
+        // still the commit order whatever the suffix.
         val next = segs.lastOption.map(_.getName
-          .stripPrefix("seg-").stripSuffix(".txt").toLong + 1).getOrElse(0L)
+          .stripPrefix("seg-").takeWhile(_.isDigit).toLong + 1).getOrElse(0L)
+        val suffix = java.util.UUID.randomUUID().toString.take(8)
         writeAtomic(new Path(sidecarSegDir,
-          f"seg-$next%019d.txt"), fresh.sorted.mkString("\n"))
+          f"seg-$next%019d-$suffix.txt"), fresh.sorted.mkString("\n"))
       }
     }
     metas
@@ -6507,15 +6518,6 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   }
 }
 
-/** Per-column skipping stats for a file: kind "i"/"d" (numeric, compared
-  * as BigDecimal), "s" (UTF-8 string, lexicographic), "D" (date, epoch
-  * days) with URL-encoded bounds, or "n" (no usable bounds — all-null,
-  * NaN-bounded or unordered type; null COUNT only), plus the column's
-  * null count (−1 = unknown: footer didn't record it, or the entry was
-  * read from a pre-nullcount v1 sidecar line). Top-level (not
-  * handle-inner) so the process-wide sidecar parse cache can hold maps
-  * shared across ManagedTable handles.
-  */
 /** Process-wide sidecar parse cache shared across [[ManagedTable]]
   * handles (stream sources open a fresh handle per trigger — a
   * handle-scoped cache would never hit). Keyed by absolute file path,
@@ -6544,6 +6546,10 @@ private[table] object SidecarCache {
         case (l, mt, m) if l == len && mt == mtime => m
       }
     }
+
+  def invalidate(key: String): Unit = synchronized {
+    Option(lru.remove(key)).foreach { case (l, _, _) => totalBytes -= l }
+  }
 
   def put(key: String, len: Long, mtime: Long,
           m: Map[String, (Long, FileMeta)]): Unit = synchronized {

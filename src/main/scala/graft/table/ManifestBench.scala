@@ -171,9 +171,9 @@ object ManifestBench {
         f"slice=$sliceMs%.0f ms, collected=$sliceN%,d")
       idx.foreach(_.release())
       // ---- sidecar parse cache (the hot-writer COMMIT path): every
-      // mutation re-reads base+segments; the handle's (len, mtime)-keyed
-      // parse cache makes repeat reads free under its 64 MB bound — and
-      // this measurement shows the bound engaging (cold == warm above it)
+      // mutation re-reads base+segments; the PROCESS-WIDE
+      // (len, mtime)-keyed parse cache (SidecarCache, 128 MB per-entry
+      // bound) makes repeat reads free — above the bound cold == warm
       val baseP = new Path(log, "_file_rows.txt")
       val bsb = new java.lang.StringBuilder(128 * n.toInt.max(1))
       var bi = 0L

@@ -891,10 +891,13 @@ class ManagedTableSpec extends SparkSpec {
     val fs = segD.getFileSystem(conf)
     val names = fs.listStatus(segD).map(_.getPath.getName)
       .filter(_.endsWith(".txt")).sorted.toSeq
-    val nums = names.map(_.stripPrefix("seg-").stripSuffix(".txt").toLong)
+    val nums = names.map(_.stripPrefix("seg-").takeWhile(_.isDigit).toLong)
     assert(nums.forall(_ >= 0), s"negative segment number in $names")
     assert(nums == nums.sorted && nums.distinct == nums, names)
     assert(nums == (nums.head to nums.last), s"gaps in sequence: $nums")
+    // uuid suffix: incarnations after a compaction reset must never reuse
+    // a PATH (the process-wide parse cache keys by it)
+    assert(names.forall(_.matches("""seg-\d{19}-[0-9a-f]{8}\.txt""")), names)
   }
 
   test("bloom index prunes point lookups that min/max stats cannot") {
