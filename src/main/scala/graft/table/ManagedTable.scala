@@ -94,16 +94,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // wipe the manifest)
     else if (isShallowClone) false
     else {
-      val sidecar = new Path(logDir, "_latest_files.txt")
-      if (!fs.exists(sidecar)) false
-      else {
-        val in = fs.open(sidecar)
-        val recorded = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().toSet finally in.close()
-        val live = listParquet(new Path(path))
-          .map(f => fs.makeQualified(new Path(f._1)).toString).toSet
-        live != recorded
-      }
+      // manifest-is-truth: compare the dir against the LOG's live set for
+      // the current version (O(1) checkpoint + O(interval) deltas), not
+      // against `_latest_files.txt` — fast-path delta commits
+      // ([[commitFromState]]) don't rewrite that sidecar, and the log is
+      // the authority the readers plan from anyway
+      val recorded = manifestFiles(version).toSet
+      val live = listParquet(new Path(path))
+        .map(f => fs.makeQualified(new Path(f._1)).toString).toSet
+      live != recorded
     }
 
   /** CONVERT-TO-GRAFT (Delta's `CONVERT TO DELTA parquet.`/p``,
@@ -116,19 +115,37 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   def bootstrap(): Unit = {
     require(exists, s"no parquet directory at $path to convert")
+    // the EXPLICIT convert/verify call always re-lists — it is the user's
+    // way to force a consistency check past the handle's trust window
+    trustedDirVersion = Long.MinValue
     ensureBootstrapped()
   }
 
+  /** Last version at which THIS handle verified (by listing) or itself
+    * produced dir↔log consistency. While the log version still equals it,
+    * [[ensureBootstrapped]] skips the O(live files) consistency listing —
+    * the manifest-is-truth trust model: verify at boundaries (fresh
+    * handle, external commit, checkpoint commits' listing path), not per
+    * mutation. An external writer's commit bumps the version and resets
+    * trust automatically.
+    */
+  @volatile private var trustedDirVersion: Long = Long.MinValue
+
   private def ensureBootstrapped(): Unit =
-    // cheap check first: the overwhelmingly common case (logged table,
-    // consistent sidecar) must not pay a lease acquire/release round trip.
-    // Only when a commit is actually needed take the lease and RE-CHECK
-    // under it — a BOOTSTRAP/RECOVER commit from here must not interleave
-    // with another writer's commit. (Inside the mutation funnels the lease
-    // is already held and the acquire is a reentrant no-op.)
-    if (exists && needsBootstrapCommit) withCommitLock {
-      if (version < 0) commit("BOOTSTRAP", Nil)
-      else if (needsBootstrapCommit) commit("RECOVER", Nil)
+    // cheap checks first: a handle that already verified this version
+    // skips the consistency listing outright, and the overwhelmingly
+    // common consistent case must not pay a lease acquire/release round
+    // trip. Only when a commit is actually needed take the lease and
+    // RE-CHECK under it — a BOOTSTRAP/RECOVER commit from here must not
+    // interleave with another writer's commit. (Inside the mutation
+    // funnels the lease is already held and the acquire is a reentrant
+    // no-op.)
+    if (exists && trustedDirVersion != version) {
+      if (needsBootstrapCommit) withCommitLock {
+        if (version < 0) commit("BOOTSTRAP", Nil)
+        else if (needsBootstrapCommit) commit("RECOVER", Nil)
+      }
+      trustedDirVersion = version
     }
 
   private def jstr(s: String): String =
@@ -1539,12 +1556,17 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * when indexes are declared — the pass reads ONLY the unindexed files,
     * so the cost tracks the write, not the table.
     */
-  def refreshBloomIndexes(): Unit = {
+  def refreshBloomIndexes(): Unit = refreshBloomIndexesFor(None)
+
+  /** [[refreshBloomIndexes]] with the live list already in hand (the
+    * commit paths have it — no second dir listing or manifest fold).
+    */
+  private def refreshBloomIndexesFor(liveOpt: Option[Seq[String]]): Unit = {
     val decls = bloomDecls
     if (decls.isEmpty) return
     // manifest-driven on a shallow clone (its live dir is empty; the
     // copied filters key the referenced source paths and must survive)
-    val live = liveFilesQ().map(_._1)
+    val live = liveOpt.getOrElse(liveFilesQ().map(_._1))
     decls.foreach { case (c, (items, fpp, _)) =>
       val dir = bloomColDir(c)
       // from the commit path a failed build must NOT fail the mutation —
@@ -1742,7 +1764,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val prev = dvMapForVersion(version)
     val packed = packDvMarks(dvScanWithMeta(prev).filter(cond))
     if (packed.nonEmpty)
-      commit("DELETE", partitionCols, dvNew = Some(mergeDvInto(prev, packed)))
+      commit("DELETE", partitionCols, dvNew = Some(mergeDvInto(prev, packed)),
+        churn = Some((Nil, Set.empty)))
   }
 
   /** Merge-on-read UPDATE: the matched rows' OLD copies are bitmap-marked
@@ -1766,8 +1789,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         case (d, (c, e)) => d.withColumn(c, e)
       }.localCheckpoint()
       enforceConstraints(updated)
-      appendViaTmp(updated, partitionCols)
-      commit("UPDATE", partitionCols, dvNew = Some(mergeDvInto(prev, packed)))
+      val added = appendViaTmp(updated, partitionCols)
+      commit("UPDATE", partitionCols, dvNew = Some(mergeDvInto(prev, packed)),
+        churn = Some((added, Set.empty)))
     }
   }
 
@@ -1801,9 +1825,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         .map(conform(src, allowEvolution = false, _, partitionCols))
         .getOrElse(src).localCheckpoint()
       enforceConstraints(incoming)
-      appendViaTmp(incoming, partitionCols)
+      val added = appendViaTmp(incoming, partitionCols)
       commit("MERGE", partitionCols,
-        dvNew = if (packed.isEmpty) None else Some(mergeDvInto(prev, packed)))
+        dvNew = if (packed.isEmpty) None else Some(mergeDvInto(prev, packed)),
+        churn = Some((added, Set.empty)))
     }
 
   // ---- optimistic merge-on-read DML ------------------------------------
@@ -1832,7 +1857,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     occBetweenStageAndCommit()
     withCommitLockWait(commitWaitMs) {
       occValidate("DELETE", v0, cons0, commuting = Some(occDmlCommuting))
-      commit("DELETE", partitionCols, dvNew = Some(mergeDvInto(dv0, packed)))
+      commit("DELETE", partitionCols, dvNew = Some(mergeDvInto(dv0, packed)),
+        churn = Some((Nil, Set.empty)))
     }
   }
 
@@ -1867,8 +1893,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       withCommitLockWait(commitWaitMs) {
         occValidate("UPDATE", v0, cons0, commuting = Some(occDmlCommuting),
           pcs0 = Some(pcs0), schema0 = Some(schema0))
-        publishStaged(tmp)
-        commit("UPDATE", partitionCols, dvNew = Some(mergeDvInto(dv0, packed)))
+        val added = publishStaged(tmp)
+        commit("UPDATE", partitionCols, dvNew = Some(mergeDvInto(dv0, packed)),
+          churn = Some((added, Set.empty)))
       }
     } finally {
       reapStage(tmp)
@@ -1908,9 +1935,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         withCommitLockWait(commitWaitMs) {
           occValidate("MERGE", v0, cons0, commuting = Some(occDmlCommuting),
             pcs0 = Some(pcs0), schema0 = Some(schema0))
-          publishStaged(tmp)
+          val added = publishStaged(tmp)
           commit("MERGE", partitionCols,
-            dvNew = if (packed.isEmpty) None else Some(mergeDvInto(dv0, packed)))
+            dvNew = if (packed.isEmpty) None else Some(mergeDvInto(dv0, packed)),
+            churn = Some((added, Set.empty)))
         }
       } finally {
         reapStage(tmp)
@@ -1926,7 +1954,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * merge-on-read DML paths, where a stray append without its bitmap
     * commit would otherwise surface duplicate keys.
     */
-  private def appendViaTmp(df: DataFrame, partitionCols: Seq[String]): Unit =
+  private def appendViaTmp(df: DataFrame,
+                           partitionCols: Seq[String]): Seq[(String, Long)] =
     publishStaged(stageToTmp(df, partitionCols))
 
   /** Run the (expensive) Spark write against a fresh `.tmp-` sibling and
@@ -2079,23 +2108,31 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   }
 
   /** Move a staged sibling's parquet files into the live dir (fast per-file
-    * renames — the publish half of [[appendViaTmp]]).
+    * renames — the publish half of [[appendViaTmp]]). Returns the
+    * published (live path, length) list — the caller's commit passes it
+    * as declared churn so the manifest-is-truth fast path applies.
     */
-  private def publishStaged(tmp: Path): Unit = {
+  private def publishStaged(tmp: Path): Seq[(String, Long)] = {
     val tmpQ = fs.makeQualified(tmp).toString
-    listParquet(tmp).foreach { case (f, _) =>
-      val dst = new Path(stagedLivePath(tmpQ, f))
+    val moved = listParquet(tmp).map { case (f, len) =>
+      // the returned path is the stagedLivePath STRING (the preReadMetas
+      // key contract), not dst.toString — the two must stay identical for
+      // the commit's churn claim to hit the pre-read footer cache
+      val live = stagedLivePath(tmpQ, f)
+      val dst = new Path(live)
       fs.mkdirs(dst.getParent)
       // rename returns false (not an exception) on quota/permission/dst
       // failures: failing loudly BEFORE the tmp delete means no replacement
       // is silently destroyed and no bitmap commit follows
       if (!fs.rename(new Path(f), dst))
         throw new java.io.IOException(s"failed to move $f to $dst")
+      (live, len)
     }
     fs.delete(tmp, true)
     // published: the entries now belong to the imminent commit (which
     // claims them from preReadMetas); only the stage tracking retires here
     stagedMetaKeys.remove(tmp.toString)
+    moved
   }
 
   /** Live scan with `__dv_file`/`__dv_idx` metadata columns, already
@@ -2235,11 +2272,187 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * (pruned to surviving files — a rewrite that drops or moves a file
     * drops its bitmap with it) unless the mutation supplies its own map.
     */
+  /** In-commit timestamp with Delta's ICT monotonicity discipline: the
+    * recorded time never regresses below the previous commit's — a clock
+    * stepping backwards (NTP) or sub-precision ties would otherwise make
+    * readAsOf's timestamp→version resolution disagree with commit order.
+    */
+  private def ictTimestamp(prevHist: Seq[CommitInfo]): String = {
+    val now = java.time.Instant.now()
+    val floor = prevHist.sortBy(_.version).lastOption
+      .flatMap(c => scala.util.Try(
+        java.time.Instant.parse(c.timestamp)).toOption)
+      .map(_.plusMillis(1))
+    (if (floor.exists(_.isAfter(now))) floor.get else now).toString
+  }
+
+  /** One manifest's JSON — the single assembly both commit paths share,
+    * so a field added to one can never silently miss the other.
+    */
+  private def manifestJson(v: Long, ts: String, operation: String,
+      partitionCols: Seq[String], numFiles: Long, sizeInBytes: Long,
+      rowCount: Long, deletedRows: Long, txn: Option[(String, Long)],
+      metrics: (Long, Long, Long), bytesAdded: Long,
+      fileEntry: String): String =
+    (Seq(
+      s""""version":$v""",
+      s""""timestamp":${jstr(ts)}""",
+      s""""operation":${jstr(operation)}""",
+      s""""partitionColumns":[${partitionCols.map(jstr).mkString(",")}]""",
+      s""""numFiles":$numFiles""",
+      s""""sizeInBytes":$sizeInBytes""",
+      s""""rowCount":$rowCount""") ++
+      (if (deletedRows > 0) Seq(s""""numDeletedRows":$deletedRows""") else Nil) ++
+      // the txn marker rides IN the commit (Delta's txnAppId/txnVersion):
+      // the write and its dedup record are one atomic manifest, so a crash
+      // can never apply the data without the marker (or vice versa)
+      txn.map { case (app, tv) =>
+        s""""txn":{"app":${jstr(app)},"version":$tv}""" } ++ Seq(
+      s""""metrics":{"filesAdded":${metrics._1},"filesRemoved":${metrics._2},"rowDelta":${metrics._3},"bytesAdded":$bytesAdded}""",
+      fileEntry)
+    ).mkString("{", ",", "}")
+
+  /** Put-if-absent on the manifest itself (Delta's commit discipline): a
+    * version number is claimed exactly once. The lease already serializes
+    * writers; this is the backstop that turns any future lease bypass or
+    * non-atomic-create filesystem into a loud error instead of a silently
+    * overwritten commit.
+    */
+  private def writeManifestPutIfAbsent(v: Long, json: String): Unit = {
+    fs.mkdirs(logDir)
+    val manifest = new Path(logDir, f"v$v%05d.json")
+    if (fs.exists(manifest)) throw new java.util.ConcurrentModificationException(
+      s"commit race on $path: version $v already exists — another writer " +
+        "committed concurrently (is the lease being bypassed?)")
+    val out = fs.create(manifest, false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** [[fileMeta]] restricted to files KNOWN new (freshly staged UUID
+    * paths): no sidecar base/segment read at all — claims the stage-time
+    * pre-read footers (or reads them, O(added)) and appends exactly one
+    * sidecar segment. Compaction is deliberately left to the next
+    * listing-path commit's full [[fileMeta]] fold, which has the complete
+    * live list in hand; checkpoint cadence bounds segment count.
+    */
+  private def fileMetaAdded(added: Seq[(String, Long)]): Map[String, FileMeta] = {
+    if (added.isEmpty) return Map.empty
+    val claimed = added.flatMap { case (p, len) =>
+      preReadMetas.remove(p).collect { case (l, m) if l == len => p -> m }
+    }.toMap
+    val toRead = added.collect { case (p, _) if !claimed.contains(p) => p }
+    import scala.collection.parallel.CollectionConverters._
+    val nc = if (toRead.isEmpty) statsColsDefault else statsColsNow
+    val metas = toRead.par.map(p => p -> footerMeta(new Path(p), nc)).seq.toMap ++ claimed
+    val segs = sidecarSegments
+    val next = segs.lastOption.map(_.getName
+      .stripPrefix("seg-").takeWhile(_.isDigit).toLong + 1).getOrElse(0L)
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    writeAtomic(new Path(sidecarSegDir,
+      f"seg-$next%019d-$suffix.txt"),
+      added.map { case (p, len) => sidecarLine(p, len, metas(p)) }
+        .sorted.mkString("\n"))
+    metas
+  }
+
+  /** The O(churn) manifest-is-truth commit (Delta's actual commit shape:
+    * commit against the log, never list the table). Preconditions checked
+    * by [[commit]]: the caller declared its exact churn, the parent
+    * version's live state is cached ([[CommitLiveCache]]), and this is a
+    * plain delta commit — checkpoint commits and every trust boundary
+    * (BOOTSTRAP/RECOVER/clone/remap) take the listing path, which
+    * re-verifies against the dir and re-seeds the cache, bounding any
+    * out-of-band drift to one checkpoint interval.
+    */
+  private def commitFromState(v: Long, st: CommitLiveCache.State,
+      operation: String, partitionCols0: Seq[String],
+      txn: Option[(String, Long)],
+      dvNew: Option[Map[String, Array[Long]]],
+      churn: (Seq[(String, Long)], Set[String])): Unit = {
+    val (added0, removed0) = churn
+    // tolerate funnel over-report: only paths actually live can retire,
+    // and a re-declared live path must not double-count as an add
+    val added = added0.filterNot { case (p, _) => st.files.contains(p) }
+    val removed = removed0.filter(st.files.contains)
+    val addedMetas = fileMetaAdded(added)
+    val newFiles = (st.files -- removed) ++
+      added.map { case (p, l) => p -> (l, addedMetas(p).rows) }
+    val fileSet = newFiles.keySet
+    val dv = dvNew.getOrElse(dvMapForVersion(v - 1))
+      .filter { case (p, _) => fileSet.contains(p) }
+    val deletedRows = dv.values.map(_.length.toLong).sum
+    if (dv.exists(_._2.nonEmpty)) ensureFeature("deletion-vectors", reader = true)
+    if (dv.nonEmpty) writeDvSnapshot(v, dv)
+    else if (fs.exists(dvFile(v))) fs.delete(dvFile(v), false)
+    val addedRows = added.iterator.map { case (p, _) => addedMetas(p).rows }.sum
+    val removedRows = removed.iterator.map(p => st.files(p)._2).sum
+    val liveRows = st.liveRows + addedRows - removedRows
+    val rowCount = liveRows - deletedRows
+    val sizeBytes = st.sizeBytes + added.iterator.map(_._2).sum -
+      removed.iterator.map(p => st.files(p)._1).sum
+    // layout inference: prefer THIS commit's added files (they carry the
+    // staged layout deterministically); a no-add commit (DV-only) infers
+    // from any live file — the set is layout-homogeneous by construction
+    val partitionCols =
+      if (partitionCols0.nonEmpty) partitionCols0.map(physicalColName)
+      else added.headOption.orElse(newFiles.headOption)
+        .map { case (p, _) => partitionSegments(p).map(_._1) }
+        .getOrElse(Nil)
+    val prevHist = readHistoryFile()
+    val prevRowCount = prevHist.filter(_.version < v)
+      .sortBy(_.version).lastOption.map(_.rowCount).getOrElse(0L)
+    val metrics = (added.size.toLong, removed.size.toLong,
+      rowCount - prevRowCount)
+    val bytesAdded = added.iterator.map(_._2).sum
+    val ts = ictTimestamp(prevHist)
+    val fileEntry =
+      s""""add":[${added.map(f => jstr(f._1)).mkString(",")}],""" +
+      s""""remove":[${removed.toSeq.sorted.map(jstr).mkString(",")}]"""
+    writeManifestPutIfAbsent(v, manifestJson(v, ts, operation, partitionCols,
+      newFiles.size.toLong, sizeBytes, rowCount, deletedRows, txn, metrics,
+      bytesAdded, fileEntry))
+    appendHistory(CommitInfo(v, ts, operation, partitionCols,
+      newFiles.size, sizeBytes, rowCount, txn, Some(metrics),
+      Some(bytesAdded)), prevHist)
+    // `_latest_files.txt` is deliberately NOT rewritten here — at 1e7
+    // files that is a ~GB of driver IO per commit. Consistency checks
+    // ([[needsBootstrapCommit]]) reconstruct the expected set from the
+    // log instead; the next listing-path commit refreshes the sidecar.
+    refreshBloomIndexesFor(Some(newFiles.keys.toSeq))
+    CommitLiveCache.put(qualifiedRoot,
+      CommitLiveCache.State(v, newFiles, liveRows, sizeBytes))
+    trustedDirVersion = v
+  }
+
   private def commit(operation: String, partitionCols0: Seq[String],
                      txn: Option[(String, Long)] = None,
                      dvNew: Option[Map[String, Array[Long]]] = None,
-                     filesExplicit: Option[Seq[(String, Long)]] = None): Unit = {
+                     filesExplicit: Option[Seq[(String, Long)]] = None,
+                     churn: Option[(Seq[(String, Long)], Set[String])] = None): Unit = {
     val v = version + 1
+    val ckptEvery = math.max(1, properties
+      .get("graft.manifest.checkpointInterval").flatMap(_.toIntOption)
+      .getOrElse(10))
+    // manifest-is-truth fast path: a delta commit whose caller declared
+    // its exact churn and whose parent state is cached never lists the
+    // dir or folds the sidecar base — O(churn) driver work. Row-tracked
+    // tables and symlink-manifest tables stay on the listing path (their
+    // per-commit sidecars fold O(live) state anyway); so does every
+    // checkpoint/boundary commit, which re-verifies against the dir.
+    if (churn.isDefined && filesExplicit.isEmpty && !manifestsRemapped &&
+        v % ckptEvery != 0 &&
+        operation != "BOOTSTRAP" && operation != "RECOVER" &&
+        fs.exists(new Path(logDir, "_latest_files.txt")) &&
+        !rowTrackingEnabled &&
+        !properties.get(symlinkAutoProp).contains("true")) {
+      CommitLiveCache.get(qualifiedRoot, v - 1) match {
+        case Some(st) =>
+          commitFromState(v, st, operation, partitionCols0, txn, dvNew,
+            churn.get)
+          return
+        case None => ()
+      }
+    }
     // filesExplicit: a shallow clone's founding commit records the SOURCE's
     // files — the live dir is empty by design and must not be listed
     val files = filesExplicit.getOrElse(listParquet(new Path(path))
@@ -2281,36 +2494,22 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // the replay assigns nothing new; burned HWM range = gaps, like
     // identity columns).
     if (rowTrackingEnabled) assignRowIds(files.map(_._1), metas)
-    // operation metrics vs the PREVIOUS commit, both O(1) reads: the live
-    // set it recorded (_latest_files.txt) and its row count (checkpoint)
-    val prevSet: Set[String] = {
-      val p = new Path(logDir, "_latest_files.txt")
-      if (!fs.exists(p)) Set.empty
-      else {
-        val in = fs.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().filter(_.nonEmpty).toSet
-        finally in.close()
-      }
-    }
+    // previous live set for metrics + the delta entry — manifest-is-truth:
+    // the cached parent state when this process holds it, else the log's
+    // reconstruction (O(1) checkpoint + O(interval) deltas). The old
+    // `_latest_files.txt` read would be STALE here: fast-path commits
+    // ([[commitFromState]]) don't rewrite that sidecar.
+    val prevSet: Set[String] =
+      CommitLiveCache.get(qualifiedRoot, v - 1).map(_.files.keySet)
+        .getOrElse(if (v - 1 >= 0) manifestFiles(v - 1).toSet
+                   else Set.empty[String])
     val prevHist = readHistoryFile()
     val prevRowCount = prevHist.filter(_.version < v)
       .sortBy(_.version).lastOption.map(_.rowCount).getOrElse(0L)
     val metrics = (files.count(f => !prevSet(f._1)).toLong,
       prevSet.count(p => !fileSet(p)).toLong, rowCount - prevRowCount)
     val bytesAdded = files.collect { case (p, len) if !prevSet(p) => len }.sum
-    // in-commit timestamp monotonicity (Delta's ICT discipline): the
-    // recorded time never regresses below the previous commit's — a clock
-    // stepping backwards (NTP) or sub-precision ties would otherwise make
-    // readAsOf's timestamp→version resolution disagree with commit order
-    val ts = {
-      val now = java.time.Instant.now()
-      val floor = prevHist.sortBy(_.version).lastOption
-        .flatMap(c => scala.util.Try(
-          java.time.Instant.parse(c.timestamp)).toOption)
-        .map(_.plusMillis(1))
-      (if (floor.exists(_.isAfter(now))) floor.get else now).toString
-    }
+    val ts = ictTimestamp(prevHist)
     // Delta's log shape: most commits record only their ADD/REMOVE delta
     // vs the previous live set, with a periodic full-file-list checkpoint
     // manifest bounding reconstruction depth. Without this every commit
@@ -2321,9 +2520,6 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // RECOVER (the live dir diverged out-of-band, so recon(v) must equal
     // the observed state exactly), explicit file lists (clones), and a
     // missing consistency sidecar.
-    val ckptEvery = math.max(1, properties
-      .get("graft.manifest.checkpointInterval").flatMap(_.toIntOption)
-      .getOrElse(10))
     // a commit that FOLLOWS a manifest remap in the same mutation (dir
     // swap, file retirement) must checkpoint: the remap rewrote historical
     // add entries to retained paths, so a delta computed against the
@@ -2362,35 +2558,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         val removed = prevSet.toSeq.filterNot(fileSet).sorted.map(jstr)
         s""""add":[${added.mkString(",")}],"remove":[${removed.mkString(",")}]"""
       }
-    val json = (Seq(
-      s""""version":$v""",
-      s""""timestamp":${jstr(ts)}""",
-      s""""operation":${jstr(operation)}""",
-      s""""partitionColumns":[${partitionCols.map(jstr).mkString(",")}]""",
-      s""""numFiles":${files.size}""",
-      s""""sizeInBytes":${files.map(_._2).sum}""",
-      s""""rowCount":$rowCount""") ++
-      (if (deletedRows > 0) Seq(s""""numDeletedRows":$deletedRows""") else Nil) ++
-      // the txn marker rides IN the commit (Delta's txnAppId/txnVersion):
-      // the write and its dedup record are one atomic manifest, so a crash
-      // can never apply the data without the marker (or vice versa)
-      txn.map { case (app, tv) =>
-        s""""txn":{"app":${jstr(app)},"version":$tv}""" } ++ Seq(
-      s""""metrics":{"filesAdded":${metrics._1},"filesRemoved":${metrics._2},"rowDelta":${metrics._3},"bytesAdded":$bytesAdded}""",
-      fileEntry)
-    ).mkString("{", ",", "}")
-    fs.mkdirs(logDir)
-    // put-if-absent on the manifest itself (Delta's commit discipline): a
-    // version number is claimed exactly once. The lease already serializes
-    // writers; this is the backstop that turns any future lease bypass or
-    // non-atomic-create filesystem into a loud error instead of a silently
-    // overwritten commit.
-    val manifest = new Path(logDir, f"v$v%05d.json")
-    if (fs.exists(manifest)) throw new java.util.ConcurrentModificationException(
-      s"commit race on $path: version $v already exists — another writer " +
-        "committed concurrently (is the lease being bypassed?)")
-    val out = fs.create(manifest, false)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
+    writeManifestPutIfAbsent(v, manifestJson(v, ts, operation, partitionCols,
+      files.size.toLong, files.map(_._2).sum, rowCount, deletedRows, txn,
+      metrics, bytesAdded, fileEntry))
     // checkpoint the summary into the history file (Delta's _last_checkpoint
     // discipline): history()/readAsOf/detail/vacuum read ONE file, not
     // O(commits) manifests. Crash between the manifest write above and this
@@ -2398,14 +2568,26 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     appendHistory(CommitInfo(v, ts, operation, partitionCols,
       files.size, files.map(_._2).sum, rowCount, txn, Some(metrics),
       Some(bytesAdded)), prevHist)
-    // consistency sidecar: what the live dir held at this commit (drives
-    // the RECOVER check in ensureBootstrapped)
+    // consistency sidecar: what the live dir held at this commit.
+    // Informational since the manifest-is-truth change (consistency checks
+    // reconstruct from the log); refreshed only here, on listing-path
+    // commits — fast-path commits skip its O(live files) rewrite.
     val side = fs.create(new Path(logDir, "_latest_files.txt"), true)
     try side.write(files.map(_._1).sorted.mkString("\n").getBytes("UTF-8"))
     finally side.close()
+    // seed the manifest-is-truth cache from this ground-truth listing:
+    // subsequent churn-declaring delta commits go O(churn). Never seeded
+    // from an explicit foreign file list (a shallow clone's live dir is
+    // empty by design — its state must not look committable-against).
+    if (filesExplicit.isEmpty) {
+      CommitLiveCache.put(qualifiedRoot, CommitLiveCache.State(v,
+        files.map { case (p, len) => p -> (len, metas(p).rows) }.toMap,
+        metas.values.map(_.rows).sum, files.map(_._2).sum))
+      trustedDirVersion = v
+    }
     // opt-in exception to the no-data-pass commit: declared bloom indexes
     // read the NEW files once (cost tracks the write, not the table)
-    refreshBloomIndexes()
+    refreshBloomIndexesFor(Some(files.map(_._1)))
     // auto-regenerated symlink manifests (Delta's
     // symlinkFormatManifest.enabled): external engines always see THIS
     // commit. A DV-carrying snapshot is unrepresentable (resurrected
@@ -4772,14 +4954,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val conformed =
         if (constraints.nonEmpty) conformed0.localCheckpoint() else conformed0
       enforceConstraints(conformed)
-      val w = toPhysical(maybeOptimizeWrite(conformed, partitionCols))
-        .write.mode(SaveMode.Append)
-      withMicrosTs {
-        (if (partitionCols.nonEmpty)
-          w.partitionBy(partitionCols.map(physicalColName): _*)
-        else w).parquet(path)
-      }
-      commit(operation, partitionCols, txn)
+      // staged write + per-file publish renames, not a direct
+      // SaveMode.Append: the commit then knows its exact adds and takes
+      // the O(churn) manifest-is-truth path — and the crash window
+      // shrinks to the rename loop, as in the MOR funnels
+      val added = appendViaTmp(conformed, partitionCols)
+      commit(operation, partitionCols, txn, churn = Some((added, Set.empty)))
       maybeAutoCompact()
     }
 
@@ -5039,8 +5219,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
             else None
           occValidate("append", v0, cons0, commuting = appendCommuting,
             pcs0 = Some(pcs0), schema0 = Some(schema0))
-          publishStaged(tmp)
-          commit("APPEND", partitionCols, txn)
+          val added = publishStaged(tmp)
+          commit("APPEND", partitionCols, txn, churn = Some((added, Set.empty)))
           true
         }
       }
@@ -6053,12 +6233,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       .drop("__dv_file", "__dv_idx", "__merge_action")
     val hasAppends = !appends.isEmpty
     if (packed.nonEmpty || hasAppends) {
-      if (hasAppends) {
+      val added = if (hasAppends) {
         enforceConstraints(appends)
         appendViaTmp(appends, partitionCols)
-      }
+      } else Nil
       commit("MERGE", partitionCols,
-        dvNew = if (packed.isEmpty) None else Some(mergeDvInto(prev, packed)))
+        dvNew = if (packed.isEmpty) None else Some(mergeDvInto(prev, packed)),
+        churn = Some((added, Set.empty)))
     }
   }
 
@@ -6530,12 +6711,17 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   * in heap, so 128 MB of text ≈ ~600 MB pinned worst-case — sized to
   * still cover a 1e6-file base (~121 MB).
   */
-private[table] object SidecarCache {
-  private val maxTotalBytes = 128L * 1024 * 1024
-  private val maxEntryBytes = 128L * 1024 * 1024
+private[table] class SidecarCacheBudgeted(val maxTotalBytes: Long,
+                                          val maxEntryBytes: Long) {
   private val lru = new java.util.LinkedHashMap[
     String, (Long, Long, Map[String, (Long, FileMeta)])](16, 0.75f, true)
-  private var totalBytes = 0L
+  private var totalBytesVar = 0L
+
+  /** Accounted TEXT bytes currently pinned — test hook; must always equal
+    * the sum of live entries' lengths.
+    */
+  def totalBytes: Long = synchronized { totalBytesVar }
+  def entryCount: Int = synchronized { lru.size() }
 
   def cacheable(len: Long): Boolean = len <= maxEntryBytes
 
@@ -6548,21 +6734,62 @@ private[table] object SidecarCache {
     }
 
   def invalidate(key: String): Unit = synchronized {
-    Option(lru.remove(key)).foreach { case (l, _, _) => totalBytes -= l }
+    Option(lru.remove(key)).foreach { case (l, _, _) => totalBytesVar -= l }
   }
 
   def put(key: String, len: Long, mtime: Long,
           m: Map[String, (Long, FileMeta)]): Unit = synchronized {
     if (!cacheable(len)) return
-    Option(lru.remove(key)).foreach { case (l, _, _) => totalBytes -= l }
+    Option(lru.remove(key)).foreach { case (l, _, _) => totalBytesVar -= l }
     lru.put(key, (len, mtime, m))
-    totalBytes += len
+    totalBytesVar += len
     val it = lru.entrySet().iterator()
-    while (totalBytes > maxTotalBytes && it.hasNext) {
-      totalBytes -= it.next().getValue._1
+    while (totalBytesVar > maxTotalBytes && it.hasNext) {
+      totalBytesVar -= it.next().getValue._1
       it.remove()
     }
   }
+}
+
+private[table] object SidecarCache
+  extends SidecarCacheBudgeted(128L * 1024 * 1024, 128L * 1024 * 1024)
+
+/** Process-wide live-snapshot cache keyed by table root — the
+  * manifest-is-truth half of the commit path (Delta's snapshot cache).
+  * A commit whose caller declares its exact churn (added/removed files)
+  * and whose parent version is cached skips the dir listing AND the
+  * sidecar base fold entirely: the new live set is the cached set plus
+  * the churn, row/byte totals fold incrementally, and the delta manifest
+  * is written straight from the churn. Entries are validated by version
+  * number at lookup (an external writer's commit bumps the version → the
+  * stale entry misses and the listing path rebuilds it), and every
+  * listing-path commit re-seeds from ground truth — so the cache can
+  * never drift further than one checkpoint interval from a verified
+  * listing. Per-file payload is (len, rows) only (~100 B/file — 1e7
+  * files ≈ 1.5 GB driver heap, the same order Delta's snapshot state
+  * holds); stats stay in the sidecar, which checkpoint commits fold as
+  * before. Entry-capped LRU: a process hot-writes a handful of tables,
+  * not hundreds.
+  */
+private[table] object CommitLiveCache {
+  final case class State(version: Long,
+                         files: Map[String, (Long, Long)], // path -> (len, rows)
+                         liveRows: Long, sizeBytes: Long)
+  private val maxTables = 16
+  private val lru =
+    new java.util.LinkedHashMap[String, State](16, 0.75f, true)
+
+  def get(root: String, expectVersion: Long): Option[State] = synchronized {
+    Option(lru.get(root)).filter(_.version == expectVersion)
+  }
+
+  def put(root: String, st: State): Unit = synchronized {
+    lru.put(root, st)
+    val it = lru.entrySet().iterator()
+    while (lru.size() > maxTables && it.hasNext) { it.next(); it.remove() }
+  }
+
+  def invalidate(root: String): Unit = synchronized { lru.remove(root); () }
 }
 
 private[table] case class FileMeta(rows: Long, stats: FileStats)

@@ -196,6 +196,38 @@ object ManifestBench {
       println(f"[manifest-bench] n=$n%,d files SIDECAR parse " +
         f"($nLens%,d entries, ${bsb.length() / 1e6}%.0f MB): " +
         f"cold=$coldMs%.0f ms, cached=$warmMs%.1f ms")
+      // ---- manifest-is-truth COMMIT path (r10): per-commit driver time
+      // must stay FLAT as the live-file count grows. A delta commit with
+      // declared churn reads the cached parent state (O(1) lookup), folds
+      // the churn (O(added)), and writes a delta manifest + one sidecar
+      // segment — never listing the dir or folding the sidecar base. The
+      // parent state is inflated to n synthetic live files over a REAL
+      // table, so the measured appends do everything a production hot
+      // writer does: stage, publish renames, footer pre-reads, manifest +
+      // history writes — against an n-file parent live set.
+      locally {
+        val croot = java.nio.file.Files
+          .createTempDirectory(s"commit-bench-$exp").toString + "/t"
+        val ct = new ManagedTable(spark, croot)
+        import spark.implicits._
+        ct.overwrite(Seq((0L, "seed")).toDF("k", "v"))
+        ct.setProperties(Map("graft.manifest.checkpointInterval" -> "1000000"))
+        val rootQ = fs.makeQualified(new Path(croot)).toString
+        val st0 = CommitLiveCache.get(rootQ, ct.version).get
+        CommitLiveCache.put(rootQ, CommitLiveCache.State(st0.version,
+          st0.files ++ (0L until n).map(i => p(i) -> ((1000L, 100L))),
+          st0.liveRows + 100L * n, st0.sizeBytes + 1000L * n))
+        val times = (1 to 4).map { i =>
+          val tA0 = System.nanoTime()
+          ct.append(Seq((i.toLong, s"row$i")).toDF("k", "v"))
+          (System.nanoTime() - tA0) / 1e6
+        }
+        println(f"[manifest-bench] n=$n%,d live files FAST COMMIT " +
+          f"(append incl. Spark write): " +
+          times.map(t => f"$t%.0f ms").mkString(", ") +
+          f" — p50 flat vs n is the manifest-is-truth contract")
+        fs.delete(new Path(croot).getParent, true)
+      }
       fs.delete(new Path(root).getParent, true)
     }
     spark.stop()

@@ -1,0 +1,131 @@
+package graft.table
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** The manifest-is-truth commit fast path ([[ManagedTable]] r10): a delta
+  * commit whose funnel declares its exact churn and whose parent state is
+  * cached commits in O(churn) — no dir listing, no sidecar base fold, no
+  * `_latest_files.txt` rewrite. These cases pin (a) that the fast path
+  * actually runs (observable: the consistency sidecar goes stale), (b)
+  * that every log artifact it writes — delta entries, rowCount,
+  * numFiles/sizeInBytes, metrics, DV accounting — matches ground truth,
+  * (c) that checkpoint commits re-verify against the dir and agree with
+  * the state-accumulated log, and (d) the trust/invalidation boundaries
+  * (cross-handle cache sharing, external-commit invalidation).
+  */
+class CommitFastPathSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(name: String) =
+    new ManagedTable(spark, tmpDir(name) + "/t")
+
+  private def latestFilesSidecar(t: ManagedTable) =
+    new java.io.File(t.path + "._log/_latest_files.txt")
+
+  private def manifestText(t: ManagedTable, v: Long): String = {
+    val p = java.nio.file.Paths.get(t.path + "._log", f"v$v%05d.json")
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+  }
+
+  test("fast-path appends skip the consistency sidecar and still log exact deltas") {
+    val t = freshTable("fp-append")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v")) // v0: listing path, seeds state
+    val side0 = latestFilesSidecar(t)
+    val recorded0 = new String(
+      java.nio.file.Files.readAllBytes(side0.toPath), "UTF-8")
+    t.append(Seq((2L, "b")).toDF("k", "v"))    // v1: fast path
+    t.append(Seq((3L, "c")).toDF("k", "v"))    // v2: fast path
+    // the sidecar was NOT rewritten — proof the O(churn) path ran
+    assert(new String(java.nio.file.Files.readAllBytes(side0.toPath),
+      "UTF-8") == recorded0)
+    // each fast commit logged a pure delta: one add, zero removes
+    for (v <- 1L to 2L) {
+      val txt = manifestText(t, v)
+      assert(txt.contains("\"add\":["), s"v$v should be a delta manifest")
+      assert(txt.contains("\"remove\":[]"))
+      assert(txt.contains("\"filesRemoved\":0"))
+    }
+    // log totals match ground truth
+    val h = t.history().collect().sortBy(_.getAs[Long]("version"))
+    assert(h.map(_.getAs[Long]("rowCount")).toSeq == Seq(1L, 2L, 3L))
+    assert(t.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // time travel reconstructs through the fast deltas
+    assert(t.readVersion(1).orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("fast-path DV delete commits O(0) churn with correct row accounting") {
+    val t = freshTable("fp-dv")
+    t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")) // v0
+    val side = latestFilesSidecar(t)
+    val recorded0 = new String(
+      java.nio.file.Files.readAllBytes(side.toPath), "UTF-8")
+    t.deleteVectored(col("k") === 2L)                                 // v1: fast
+    assert(new String(java.nio.file.Files.readAllBytes(side.toPath),
+      "UTF-8") == recorded0, "DV delete must not rewrite the sidecar")
+    val txt = manifestText(t, 1L)
+    assert(txt.contains("\"add\":[],\"remove\":[]"))
+    assert(txt.contains("\"numDeletedRows\":1"))
+    val h = t.history().collect().sortBy(_.getAs[Long]("version"))
+    assert(h.map(_.getAs[Long]("rowCount")).toSeq == Seq(3L, 2L))
+    assert(t.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (3L, "c")))
+    // a MOR merge after the DV delete: adds + bitmaps in one fast commit
+    t.mergeVectored(Seq((3L, "C"), (4L, "d")).toDF("k", "v"), Seq("k")) // v2
+    assert(t.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (3L, "C"), (4L, "d")))
+    assert(t.history().collect().sortBy(_.getAs[Long]("version"))
+      .map(_.getAs[Long]("rowCount")).toSeq == Seq(3L, 2L, 3L))
+  }
+
+  test("checkpoint commit after fast deltas re-lists and agrees with the accumulated log") {
+    val t = freshTable("fp-ckpt")
+    t.overwrite(Seq((0L, "r")).toDF("k", "v")) // v0 (checkpoint by founding)
+    // nine fast appends (v1..v9), then v10 is a checkpoint commit
+    for (i <- 1L to 10L) t.append(Seq((i, s"x$i")).toDF("k", "v"))
+    // v10's manifest carries the FULL file list again (inline or parquet)
+    val txt = manifestText(t, 10L)
+    assert(txt.contains("\"files\"") || txt.contains("\"filesParquet"),
+      "v10 should be a checkpoint manifest")
+    // the re-listed checkpoint equals the state-accumulated set: every
+    // version reconstructs, totals are exact
+    assert(t.read.count() == 11L)
+    assert(t.history().collect().sortBy(_.getAs[Long]("version"))
+      .map(_.getAs[Long]("rowCount")).toSeq == (1L to 11L).toSeq)
+    assert(t.readVersion(5).count() == 6L)
+    // and the consistency sidecar is fresh again at the checkpoint
+    val recorded = new String(java.nio.file.Files.readAllBytes(
+      latestFilesSidecar(t).toPath), "UTF-8").split("\n").filter(_.nonEmpty)
+    assert(recorded.length == t.detail().collect().head
+      .getAs[Long]("num_files").toInt)
+  }
+
+  test("cross-handle state sharing and external-commit invalidation stay correct") {
+    val dir = tmpDir("fp-handles") + "/t"
+    val a = new ManagedTable(spark, dir)
+    val b = new ManagedTable(spark, dir)
+    a.overwrite(Seq((1L, "a")).toDF("k", "v"))  // v0 seeds process-wide state
+    b.append(Seq((2L, "b")).toDF("k", "v"))     // v1: b rides a's state (fast)
+    a.append(Seq((3L, "c")).toDF("k", "v"))     // v2: a rides b's state (fast)
+    assert(a.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(a.history().collect().sortBy(_.getAs[Long]("version"))
+      .map(_.getAs[Long]("rowCount")).toSeq == Seq(1L, 2L, 3L))
+    // delta manifests on both handles' commits — the shared cache applied
+    assert(manifestText(a, 1L).contains("\"add\":["))
+    assert(manifestText(a, 2L).contains("\"add\":["))
+    // a stale-state commit (cache cleared = cold process): listing path
+    // rebuilds ground truth and later commits go fast again
+    CommitLiveCache.invalidate(
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+        .makeQualified(new Path(dir)).toString)
+    a.append(Seq((4L, "d")).toDF("k", "v"))     // v3: listing path (cold)
+    a.append(Seq((5L, "e")).toDF("k", "v"))     // v4: fast again
+    assert(a.read.count() == 5L)
+    assert(a.readVersion(3).count() == 4L)
+  }
+}

@@ -325,14 +325,45 @@ class ManagedTableSpec extends SparkSpec {
     // an external writer (or a crash between swap and commit) changes the
     // live dir without a log entry
     Seq((9L, "z")).toDF("k", "v").write.mode("append").parquet(t.path)
-    t.merge(Seq((2L, "b")).toDF("k", "v"), Seq("k"))                 // RECOVER + MERGE
-    assert(t.history().collect().map(_.getAs[String]("operation")).toSeq ==
+    // manifest-is-truth trust model: consistency is verified at trust
+    // BOUNDARIES (a fresh handle, an external commit, explicit
+    // bootstrap()), not by a per-mutation dir listing — so the detecting
+    // mutation comes through a fresh handle, the crash-recovery shape
+    // (the handle that died is gone; the next job opens its own)
+    val t2 = new ManagedTable(spark, t.path)
+    t2.merge(Seq((2L, "b")).toDF("k", "v"), Seq("k"))                // RECOVER + MERGE
+    assert(t2.history().collect().map(_.getAs[String]("operation")).toSeq ==
       Seq("MERGE", "RECOVER", "OVERWRITE"))
     // the recovered intermediate state is itself time-travelable
-    assert(t.readVersion(1).orderBy("k").as[(Long, String)].collect().toSeq ==
+    assert(t2.readVersion(1).orderBy("k").as[(Long, String)].collect().toSeq ==
       Seq((1L, "a"), (9L, "z")))
+    assert(t2.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (9L, "z")))
+  }
+
+  test("handle trust: same-handle mutations skip the consistency listing; explicit bootstrap() re-verifies") {
+    val t = freshTable("mt-trust")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))                       // v0
+    Seq((9L, "z")).toDF("k", "v").write.mode("append").parquet(t.path)
+    // the SAME handle verified the dir at its own commit and trusts that
+    // version — no per-mutation listing, so no RECOVER interleaves here;
+    // the O(churn) fast-path commit records only its own adds and the
+    // stray file stays outside the log until the next trust boundary
+    t.append(Seq((2L, "b")).toDF("k", "v"))                          // v1
+    assert(t.history().collect().map(_.getAs[String]("operation")).toSeq ==
+      Seq("APPEND", "OVERWRITE"))
+    // the dir-backed read serves the stray rows meanwhile (dir scan), even
+    // though the log hasn't legitimized them yet
     assert(t.read.orderBy("k").as[(Long, String)].collect().toSeq ==
       Seq((1L, "a"), (2L, "b"), (9L, "z")))
+    // a second out-of-band write + explicit bootstrap(): the user-facing
+    // verify call must re-list past the trust window and RECOVER
+    Seq((8L, "y")).toDF("k", "v").write.mode("append").parquet(t.path)
+    t.bootstrap()
+    assert(t.history().collect().map(_.getAs[String]("operation")).head ==
+      "RECOVER")
+    assert(t.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (8L, "y"), (9L, "z")))
   }
 
   test("restore makes an old snapshot current via a RESTORE commit") {
