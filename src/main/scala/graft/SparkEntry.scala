@@ -1157,6 +1157,32 @@ object SparkEntry {
         .select(col("min_key"), col("max_key"), col("min_qty"), col("max_qty"),
           to_date(col("min_d")).as("min_date"), to_date(col("max_d")).as("max_date"))
     }),
+    "q142_sql_metadata_agg" -> ((s, d) => {
+      // Delta's OptimizeMetadataOnlyDeltaQuery through SQL: the injected
+      // optimizer rule (MetadataOnlyAggregates) collapses global
+      // COUNT(*)/MIN/MAX over a managed scan to a metadata LocalRelation —
+      // zero data files opened — when exactness is provable; the oracle
+      // runs the full-scan aggregates and must agree bit-exactly
+      val wh = java.nio.file.Files.createTempDirectory("graft-moa").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/li")
+      t.overwrite(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          to_date(col("l_shipdate")).as("ship_date"))
+        .repartitionByRange(4, col("l_orderkey")))
+      // install the rewrite for sessions built without the graft session
+      // extension (idempotent — Verify/Bench share one session)
+      if (!s.experimental.extraOptimizations
+          .exists(_.isInstanceOf[graft.sql.MetadataOnlyAggregates]))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+
+            new graft.sql.MetadataOnlyAggregates(s)
+      t.read.createOrReplaceTempView("li_moa")
+      s.sql("""SELECT COUNT(*) AS n_rows,
+                      MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+                      MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+                      MIN(ship_date) AS min_date, MAX(ship_date) AS max_date
+               FROM li_moa""")
+    }),
     "q127_show_partitions" -> ((s, d) => {
       // metadata-only SHOW PARTITIONS: the per-partition row counts fold
       // from listing + sidecar (minus DV cardinalities), zero data files
@@ -2995,6 +3021,15 @@ object SparkEntry {
          FROM orders GROUP BY 1 ORDER BY 1""",
     "q141_minmax_fast" ->
       """SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_key,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+           MIN(CAST(l_shipdate AS DATE)) AS min_date,
+           MAX(CAST(l_shipdate AS DATE)) AS max_date
+         FROM lineitem""",
+    "q142_sql_metadata_agg" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
            CAST(MAX(l_orderkey) AS BIGINT) AS max_key,
            CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
            CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,

@@ -56,6 +56,9 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectParser((_, delegate) => new GraftSqlParser(delegate))
     GraftTableFunctions.all.foreach(extensions.injectTableFunction)
+    // Delta's OptimizeMetadataOnlyDeltaQuery analogue: COUNT/MIN/MAX over
+    // a managed scan answered from the commit log when provably exact
+    extensions.injectOptimizerRule(s => new MetadataOnlyAggregates(s))
   }
 }
 

@@ -197,4 +197,45 @@ class PlanSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_cat_fact")
     }
   }
+
+  test("q142 metadata-only SQL aggregates plan ZERO file scans and match the scan exactly") {
+    import spark.implicits._
+    // the q142 query itself (installs the optimizer rule, builds a managed
+    // table, runs SQL COUNT/MIN/MAX over its scan)
+    val df = SparkEntry.queries("q142_sql_metadata_agg")(spark, dir)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("FileScan") && !physical.contains("Scan parquet"),
+      s"metadata-only aggregate still scans files:\n$physical")
+    assert(physical.contains("LocalTableScan") || physical.contains("Scan OneRowRelation")
+      || physical.contains("LocalRelation"), physical)
+    // values agree bit-exactly with the real scan's aggregates — computed
+    // with the rule UNINSTALLED, or the comparison would be metadata vs
+    // metadata (count()/agg() over the managed dir match the rule too)
+    val meta = df.collect().head
+    val installed = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      installed.filterNot(_.isInstanceOf[graft.sql.MetadataOnlyAggregates])
+    try {
+      val raw = spark.table("li_moa")
+      assert(meta.getLong(0) == raw.count())
+      assert(meta.getLong(1) == raw.agg(min("l_orderkey")).head().getLong(0))
+      assert(meta.getLong(2) == raw.agg(max("l_orderkey")).head().getLong(0))
+      assert(meta.getDouble(3) == raw.agg(min("l_quantity")).head().getDouble(0))
+      assert(meta.getDouble(4) == raw.agg(max("l_quantity")).head().getDouble(0))
+      assert(meta.getDate(5) == raw.agg(min("ship_date")).head().getDate(0))
+      assert(meta.getDate(6) == raw.agg(max("ship_date")).head().getDate(0))
+    } finally spark.experimental.extraOptimizations = installed
+    // a DV-carrying table must FALL THROUGH to the scan (the DV filter
+    // breaks the bare-scan match) and still answer correctly
+    val wh = tmpDir("plan-moa-dv")
+    val t = new graft.table.ManagedTable(spark, s"$wh/t")
+    t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    t.deleteVectored(col("k") === 2L)
+    t.read.createOrReplaceTempView("moa_dv")
+    val dv = spark.sql("SELECT COUNT(*) AS n, MIN(k) AS mn, MAX(k) AS mx FROM moa_dv")
+    assert(dv.queryExecution.executedPlan.toString.contains("FileScan") ||
+      dv.queryExecution.executedPlan.toString.contains("Scan parquet"),
+      "DV table should not be served from metadata")
+    assert(dv.collect().head.toSeq == Seq(2L, 1L, 3L))
+  }
 }
