@@ -1448,11 +1448,57 @@ object SparkEntry {
         signatures = Some(sigAll))
       kept.select("doc_id", "lang", "source").orderBy("doc_id")
     }),
+    "q88a_incremental_exact" -> ((s, d) => {
+      // q88's daily-ingest semantics over the LOSSLESS pair set (q26a/q48a
+      // machinery): drop batch (odd-id) docs whose exact Jaccard vs ANY
+      // existing (even-id) doc reaches 0.8, then min-label-component dedup
+      // within the surviving batch — every step engine-independent, the
+      // bit-exact anchor for q88 (which keeps the production est-sim
+      // signature screen)
+      val docs = Tables.documents(s, d)
+      val cands = Dedup.minhashLshPairsFromSignatures(docSignatures(s, d),
+        numHashes = 32, bands = 32, minEstSim = 0.0)
+      val pairs = Dedup.verifyJaccardPairs(docs, "doc_id", "text", cands,
+          n = 3, minJaccard = 0.8, index = Some(hashedShingles(s, d)))
+        .select("d1", "d2").localCheckpoint() // reused by three consumers
+      val batchIds = docs.filter(col("doc_id") % 2 =!= 0).select("doc_id")
+      val crossDup = pairs.filter(col("d1") % 2 =!= col("d2") % 2)
+        .select(when(col("d1") % 2 =!= 0, col("d1")).otherwise(col("d2"))
+          .as("doc_id")).distinct()
+      val survivors = batchIds.join(crossDup, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val batchPairs = pairs
+        .join(survivors.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
+        .join(survivors.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
+      val comp = Dedup.components(batchPairs)
+      val losers = comp.filter(col("id") =!= col("label")).select("id")
+      docs.join(survivors, Seq("doc_id"), "left_semi")
+        .join(losers, col("doc_id") === col("id"), "left_anti")
+        .select("doc_id", "lang", "source").orderBy("doc_id")
+    }),
     "q48_dedup_corpus" -> ((s, d) =>
       Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text", minEstSim = 0.9,
           signatures = Some(docSignatures(s, d)))
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
+    "q48a_dedup_components" -> ((s, d) => {
+      // the corpus-dedup pipeline with a LOSSLESS candidate half (q26a's
+      // one-row bands + exact-Jaccard verification): the pair set equals
+      // DuckDB's all-pairs answer, so min-label connected components and
+      // the min-id-per-component keep-set are engine-independent — the
+      // bit-exact anchor for the rows-only q48/q60 family (which keeps
+      // the production est-sim banding)
+      val docs = Tables.documents(s, d)
+      val cands = Dedup.minhashLshPairsFromSignatures(docSignatures(s, d),
+        numHashes = 32, bands = 32, minEstSim = 0.0)
+      val pairs = Dedup.verifyJaccardPairs(docs, "doc_id", "text", cands,
+        n = 3, minJaccard = 0.8, index = Some(hashedShingles(s, d)))
+      val comp = Dedup.components(pairs)
+      val losers = comp.filter(col("id") =!= col("label")).select(col("id"))
+      docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
 
     // ---- Set operations / grouping sets ----
     "q77_set_ops" -> ((s, d) => {
@@ -2020,6 +2066,67 @@ object SparkEntry {
          FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
          WHERE CAST(inter AS DOUBLE) / (x.n_sh + y.n_sh - inter) >= 0.8
          ORDER BY d1, d2""",
+    "q48a_dedup_components" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest(CASE WHEN len(words) >= 3
+                    THEN list_transform(generate_series(1, len(words) - 2),
+                           i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+                    ELSE [concat_ws(' ', words)] END) AS s
+                FROM w),
+         sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         p0 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         pr AS (SELECT d1, d2 FROM p0
+                JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+                WHERE CAST(inter AS DOUBLE) / (x.n_sh + y.n_sh - inter) >= 0.8),
+         e AS (SELECT d1, d2 FROM pr UNION SELECT d2 AS d1, d1 AS d2 FROM pr),
+         reach(id, r) AS (
+           SELECT d1, d2 FROM e
+           UNION
+           SELECT reach.id, e.d2 FROM reach JOIN e ON e.d1 = reach.r),
+         lab AS (SELECT id, LEAST(id, MIN(r)) AS label FROM reach GROUP BY id),
+         losers AS (SELECT id FROM lab WHERE label <> id)
+         SELECT doc_id, lang, source FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM losers)
+         ORDER BY doc_id""",
+    "q88a_incremental_exact" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest(CASE WHEN len(words) >= 3
+                    THEN list_transform(generate_series(1, len(words) - 2),
+                           i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+                    ELSE [concat_ws(' ', words)] END) AS s
+                FROM w),
+         sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         p0 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         pr AS (SELECT d1, d2 FROM p0
+                JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+                WHERE CAST(inter AS DOUBLE) / (x.n_sh + y.n_sh - inter) >= 0.8),
+         crossdup AS (SELECT CASE WHEN d1 % 2 <> 0 THEN d1 ELSE d2 END AS doc_id
+                      FROM pr WHERE (d1 % 2) <> (d2 % 2)),
+         surv AS (SELECT doc_id FROM documents
+                  WHERE doc_id % 2 <> 0
+                    AND doc_id NOT IN (SELECT doc_id FROM crossdup)),
+         bp AS (SELECT d1, d2 FROM pr
+                WHERE d1 IN (SELECT doc_id FROM surv)
+                  AND d2 IN (SELECT doc_id FROM surv)),
+         e AS (SELECT d1, d2 FROM bp UNION SELECT d2 AS d1, d1 AS d2 FROM bp),
+         reach(id, r) AS (
+           SELECT d1, d2 FROM e
+           UNION
+           SELECT reach.id, e.d2 FROM reach JOIN e ON e.d1 = reach.r),
+         lab AS (SELECT id, LEAST(id, MIN(r)) AS label FROM reach GROUP BY id),
+         losers AS (SELECT id FROM lab WHERE label <> id)
+         SELECT doc_id, lang, source FROM documents
+         WHERE doc_id IN (SELECT doc_id FROM surv)
+           AND doc_id NOT IN (SELECT id FROM losers)
+         ORDER BY doc_id""",
     "q27a_simhash_verified" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words FROM documents),
          sh AS (SELECT DISTINCT doc_id,
