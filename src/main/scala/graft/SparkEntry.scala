@@ -65,6 +65,21 @@ object SparkEntry {
       Dedup.hashedShingleIndex(Tables.documents(s, d), "doc_id", "text",
         n = 3).localCheckpoint())
 
+  /** Exact near-dup pair set (J ≥ 0.8) per corpus dir, computed once per
+    * JVM: lossless one-row-band candidates verified by exact Jaccard —
+    * the engine-independent pair set the q26a / q48a / q88a family share
+    * (each adds only its own components/split logic on top).
+    */
+  private val pairsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.getOrElseUpdate(d, {
+      val cands = Dedup.minhashLshPairsFromSignatures(docSignatures(s, d),
+        numHashes = 32, bands = 32, minEstSim = 0.0)
+      Dedup.verifyJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          cands, n = 3, minJaccard = 0.8, index = Some(hashedShingles(s, d)))
+        .localCheckpoint()
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Gold marts (A1-A4, J1/J3/J4, P2; deltalake.ipynb cell 11) ----
     "q01_client_stats" -> ((s, d) =>
@@ -294,7 +309,8 @@ object SparkEntry {
     "q24_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text").orderBy("fp")),
     "q25_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8)
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8,
+          index = Some(hashedShingles(s, d)))
         .orderBy("d1", "d2")),
     "q26_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairsFromSignatures(docSignatures(s, d))
@@ -309,12 +325,7 @@ object SparkEntry {
       // minhashes differ, p ≈ 0.2³²), then exact-Jaccard verification,
       // which must therefore equal DuckDB's exact all-pairs answer;
       // only the signature VALUES (q26) stay engine-specific
-      val docs = Tables.documents(s, d)
-      val cands = Dedup.minhashLshPairsFromSignatures(docSignatures(s, d),
-        numHashes = 32, bands = 32, minEstSim = 0.0)
-      Dedup.verifyJaccardPairs(docs, "doc_id", "text", cands, n = 3,
-          minJaccard = 0.8, index = Some(hashedShingles(s, d)))
-        .orderBy("d1", "d2")
+      verifiedPairs(s, d).orderBy("d1", "d2")
     }),
     "q27a_simhash_verified" -> ((s, d) => {
       // SimHash's verification half under the same oracle: multi-index
@@ -1456,11 +1467,7 @@ object SparkEntry {
       // bit-exact anchor for q88 (which keeps the production est-sim
       // signature screen)
       val docs = Tables.documents(s, d)
-      val cands = Dedup.minhashLshPairsFromSignatures(docSignatures(s, d),
-        numHashes = 32, bands = 32, minEstSim = 0.0)
-      val pairs = Dedup.verifyJaccardPairs(docs, "doc_id", "text", cands,
-          n = 3, minJaccard = 0.8, index = Some(hashedShingles(s, d)))
-        .select("d1", "d2").localCheckpoint() // reused by three consumers
+      val pairs = verifiedPairs(s, d).select("d1", "d2")
       val batchIds = docs.filter(col("doc_id") % 2 =!= 0).select("doc_id")
       val crossDup = pairs.filter(col("d1") % 2 =!= col("d2") % 2)
         .select(when(col("d1") % 2 =!= 0, col("d1")).otherwise(col("d2"))
@@ -1489,11 +1496,7 @@ object SparkEntry {
       // bit-exact anchor for the rows-only q48/q60 family (which keeps
       // the production est-sim banding)
       val docs = Tables.documents(s, d)
-      val cands = Dedup.minhashLshPairsFromSignatures(docSignatures(s, d),
-        numHashes = 32, bands = 32, minEstSim = 0.0)
-      val pairs = Dedup.verifyJaccardPairs(docs, "doc_id", "text", cands,
-        n = 3, minJaccard = 0.8, index = Some(hashedShingles(s, d)))
-      val comp = Dedup.components(pairs)
+      val comp = Dedup.components(verifiedPairs(s, d))
       val losers = comp.filter(col("id") =!= col("label")).select(col("id"))
       docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
         .select("doc_id", "lang", "source")

@@ -83,9 +83,15 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, minJaccard: Double,
                         maxDocFreq: Long = 0L,
-                        reuseIndex: Boolean = true): DataFrame = {
-    val idx0 = shingleIndex(docs, idCol, textCol, n, maxDocFreq)
-      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+                        reuseIndex: Boolean = true,
+                        index: Option[DataFrame] = None): DataFrame = {
+    // callers verifying several pipelines over one corpus pass the shared
+    // pre-hashed [[hashedShingleIndex]] (only valid for the keep-all
+    // df regime — a doc-frequency cap filters RAW shingles, which a
+    // hashed index no longer has)
+    val idx0 = index.filter(_ => maxDocFreq <= 0L).getOrElse(
+      shingleIndex(docs, idCol, textCol, n, maxDocFreq)
+        .select(col("doc_id"), xxhash64(col("s")).as("s")))
     // The hashed index feeds FIVE shuffle consumers (sizes, df, ranked,
     // and both verification joins); without materialization each one
     // re-runs the scan + CPU-bound shingling. A lazy local checkpoint
@@ -93,7 +99,9 @@ object Dedup {
     // RDD — no explicit unpersist in a lazy API. Trade-off: checkpoint
     // blocks are not lineage-recoverable, so on clusters with executor
     // churn pass reuseIndex=false (recompute, full fault tolerance).
-    val idx = if (reuseIndex) idx0.localCheckpoint(eager = false) else idx0
+    val idx =
+      if (reuseIndex && index.isEmpty) idx0.localCheckpoint(eager = false)
+      else idx0
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
 
     // global rarity order; prefix = the (1-t)n+1 rarest shingles per doc
@@ -119,9 +127,36 @@ object Dedup {
       .distinct()
 
     // exact verification: full intersection count for candidate pairs only
+    jaccardOverCandidates(idx, cands, minJaccard)
+  }
+
+  /** Exact intersection counts + Jaccard ≥ `minJaccard` for candidate
+    * pairs against a hashed (doc_id, s) shingle index — the shared
+    * verification tail of [[ngramJaccardPairs]] and
+    * [[verifyJaccardPairs]]. The index is first SLICED to the documents
+    * that actually appear in a candidate pair (one semi-join) and
+    * materialized once: both sides of the pair-intersection join then
+    * shuffle the slice, not the corpus index, and the per-doc sizes the
+    * Jaccard denominator needs fold from the same slice (a doc's slice
+    * rows are its complete shingle set). On a corpus where only a
+    * fraction of documents have near-dup candidates this removes two
+    * full-index shuffles and one full-index aggregate per verification.
+    */
+  private def jaccardOverCandidates(idx: DataFrame, cands0: DataFrame,
+                                    minJaccard: Double): DataFrame = {
+    // the candidate plan (a band-bucket or prefix join) feeds THREE
+    // consumers here (candDocs twice, the intersection join once) — it
+    // must not re-execute per consumer
+    val cands = cands0.select("d1", "d2").distinct()
+      .localCheckpoint(eager = false)
+    val candDocs = cands.select(col("d1").as("doc_id"))
+      .union(cands.select(col("d2").as("doc_id"))).distinct()
+    val slice = idx.join(candDocs, Seq("doc_id"), "left_semi")
+      .localCheckpoint(eager = false) // two join consumers + sizes
+    val sizes = slice.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cands
-      .join(idx.withColumnRenamed("doc_id", "d1"), Seq("d1"))
-      .join(idx.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+      .join(slice.withColumnRenamed("doc_id", "d1"), Seq("d1"))
+      .join(slice.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("inter"))
     inter
@@ -338,19 +373,7 @@ object Dedup {
                          index: Option[DataFrame] = None): DataFrame = {
     val idx = index.getOrElse(hashedShingleIndex(docs, idCol, textCol, n)
       .localCheckpoint(eager = false))
-    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = cands.select("d1", "d2").distinct()
-      .join(idx.withColumnRenamed("doc_id", "d1"), Seq("d1"))
-      .join(idx.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
-      .groupBy("d1", "d2")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select("d1", "d2", "inter", "jaccard")
+    jaccardOverCandidates(idx, cands, minJaccard)
   }
 
   /** Connected components over near-dup pairs: every doc's label converges
