@@ -2355,6 +2355,46 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     metas
   }
 
+  /** Row-id assignment for KNOWN-new files (the fast commit path): bases
+    * allocate from the persisted high-water mark read from the `#next`
+    * HEADERS alone — first line of the base and of each segment,
+    * O(segments) tiny reads, never the full O(live files) id map — and
+    * land as one new segment. Freshly staged UUID paths cannot already
+    * hold ids, so the membership check [[assignRowIds]] does is vacuous
+    * here; compaction stays with the listing-path commits, whose full
+    * live list makes the entry-keep decision safe.
+    */
+  private def assignRowIdsFast(added: Seq[(String, Long)],
+                               metas: Map[String, FileMeta]): Unit = {
+    if (added.isEmpty) return
+    def headerNext(p: Path): Long =
+      if (!fs.exists(p)) 0L
+      else {
+        val in = fs.open(p)
+        try {
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, "UTF-8"))
+          Option(br.readLine()).filter(_.startsWith("#next\t"))
+            .flatMap(_.stripPrefix("#next\t").trim.toLongOption)
+            .getOrElse(0L)
+        } finally in.close()
+      }
+    val segs: Seq[Path] =
+      if (!fs.exists(rowIdsSegDir)) Nil
+      else fs.listStatus(rowIdsSegDir).map(_.getPath).toSeq
+    var next = (rowIdsFile +: segs).map(headerNext).foldLeft(0L)(math.max)
+    val entries = added.map(_._1).sorted.map { f =>
+      if (metas(f).stats.contains(RowTracking.col)) f -> -1L
+      else { val b = next; next += metas(f).rows; f -> b }
+    }
+    if (entries.exists(_._2 == -1L)) ensureFeature("row-tracking", reader = true)
+    fs.mkdirs(rowIdsSegDir)
+    writeAtomic(new Path(rowIdsSegDir,
+      java.util.UUID.randomUUID().toString + ".txt"),
+      (Seq(s"#next\t$next") ++ entries.map { case (p, b) => s"${enc(p)}\t$b" })
+        .mkString("\n"))
+  }
+
   /** The O(churn) manifest-is-truth commit (Delta's actual commit shape:
     * commit against the log, never list the table). Preconditions checked
     * by [[commit]]: the caller declared its exact churn, the parent
@@ -2375,6 +2415,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val added = added0.filterNot { case (p, _) => st.files.contains(p) }
     val removed = removed0.filter(st.files.contains)
     val addedMetas = fileMetaAdded(added)
+    // row tracking: the new files' id bases (or materialized markers) land
+    // BEFORE the manifest — a version must never be visible without them
+    // (same discipline as the listing path, via the header-only fast form)
+    if (rowTrackingEnabled) assignRowIdsFast(added, addedMetas)
     val newFiles = (st.files -- removed) ++
       added.map { case (p, l) => p -> (l, addedMetas(p).rows) }
     val fileSet = newFiles.keySet
@@ -2435,15 +2479,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       .getOrElse(10))
     // manifest-is-truth fast path: a delta commit whose caller declared
     // its exact churn and whose parent state is cached never lists the
-    // dir or folds the sidecar base — O(churn) driver work. Row-tracked
-    // tables and symlink-manifest tables stay on the listing path (their
-    // per-commit sidecars fold O(live) state anyway); so does every
-    // checkpoint/boundary commit, which re-verifies against the dir.
+    // dir or folds the sidecar base — O(churn) driver work. Symlink-
+    // manifest tables stay on the listing path (their per-commit manifest
+    // tree is O(live) by its own design); so does every checkpoint/
+    // boundary commit, which re-verifies against the dir.
     if (churn.isDefined && filesExplicit.isEmpty && !manifestsRemapped &&
         v % ckptEvery != 0 &&
         operation != "BOOTSTRAP" && operation != "RECOVER" &&
         fs.exists(new Path(logDir, "_latest_files.txt")) &&
-        !rowTrackingEnabled &&
         !properties.get(symlinkAutoProp).contains("true")) {
       CommitLiveCache.get(qualifiedRoot, v - 1) match {
         case Some(st) =>

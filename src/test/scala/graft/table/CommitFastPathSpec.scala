@@ -128,4 +128,48 @@ class CommitFastPathSpec extends SparkSpec {
     assert(a.read.count() == 5L)
     assert(a.readVersion(3).count() == 4L)
   }
+
+  test("row-tracked tables ride the fast path: header-only id allocation stays unique and stable") {
+    val t = freshTable("fp-rowtrack")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    t.enableRowTracking()
+    val side = latestFilesSidecar(t)
+    val recorded0 = new String(
+      java.nio.file.Files.readAllBytes(side.toPath), "UTF-8")
+    t.append(Seq((3L, "c")).toDF("k", "v"))
+    t.append(Seq((4L, "d"), (5L, "e")).toDF("k", "v"))
+    assert(new String(java.nio.file.Files.readAllBytes(side.toPath),
+      "UTF-8") == recorded0, "row-tracked appends should take the fast path")
+    // every row has a distinct stable id; the high-water mark never reused
+    val ids = t.readWithRowIds.select(RowTracking.col).as[Long].collect()
+    assert(ids.distinct.length == ids.length, s"duplicate row ids: ${ids.toSeq}")
+    assert(ids.length == 5)
+    // keyless CDF across the two fast commits classifies by those ids
+    val ch = t.changesById(t.version - 2, t.version)
+    assert(ch.filter(col("change_type") === "insert").count() == 3L)
+  }
+
+  test("interleaved optimistic appends both ride the fast path with exact deltas") {
+    val dir = tmpDir("fp-occ") + "/t"
+    val a = new ManagedTable(spark, dir)
+    val b = new ManagedTable(spark, dir)
+    a.overwrite(Seq((1L, "a")).toDF("k", "v"))             // v0 seeds state
+    // b commits INSIDE a's stage→commit window (blind appends commute
+    // under write-serializable): b's fast commit moves the shared state to
+    // v1, and a's validation + commit then rides THAT state at v2 — the
+    // OCC interleaving and the manifest-is-truth cache compose
+    a.occBetweenStageAndCommit =
+      () => { b.appendOptimistic(Seq((2L, "b")).toDF("k", "v")); () }
+    try a.appendOptimistic(Seq((3L, "c")).toDF("k", "v"))
+    finally a.occBetweenStageAndCommit = () => ()
+    assert(a.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    for (v <- 1L to 2L) {
+      val txt = manifestText(a, v)
+      assert(txt.contains("\"add\":["), s"v$v should be a delta manifest")
+      assert(txt.contains("\"filesAdded\":1"))
+    }
+    assert(a.history().collect().sortBy(_.getAs[Long]("version"))
+      .map(_.getAs[Long]("rowCount")).toSeq == Seq(1L, 2L, 3L))
+  }
 }
