@@ -1180,19 +1180,26 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_quantity"),
           to_date(col("l_shipdate")).as("ship_date"))
         .repartitionByRange(4, col("l_orderkey")))
-      // install the rewrite for sessions built without the graft session
-      // extension (idempotent — Verify/Bench share one session)
-      if (!s.experimental.extraOptimizations
-          .exists(_.isInstanceOf[graft.sql.MetadataOnlyAggregates]))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+
-            new graft.sql.MetadataOnlyAggregates(s)
-      t.read.createOrReplaceTempView("li_moa")
-      s.sql("""SELECT COUNT(*) AS n_rows,
-                      MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
-                      MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
-                      MIN(ship_date) AS min_date, MAX(ship_date) AS max_date
-               FROM li_moa""")
+      // install the rewrite SCOPED to this query (sessions built without
+      // the graft extension), force the metadata-only plan by collecting
+      // NOW, and hand back a local frame — leaving the rule installed in
+      // the shared Verify/Bench session would silently metadata-serve
+      // every later query's bare-scan count() and corrupt measurements
+      val rule = new graft.sql.MetadataOnlyAggregates(s)
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ rule
+      try {
+        t.read.createOrReplaceTempView("li_moa")
+        val out = s.sql(
+          """SELECT COUNT(*) AS n_rows,
+                    MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+                    MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+                    MIN(ship_date) AS min_date, MAX(ship_date) AS max_date
+             FROM li_moa""")
+        val rows = out.collect().toSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+      } finally s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations.filterNot(_ eq rule)
     }),
     "q127_show_partitions" -> ((s, d) => {
       // metadata-only SHOW PARTITIONS: the per-partition row counts fold

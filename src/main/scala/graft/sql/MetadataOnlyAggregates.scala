@@ -26,30 +26,71 @@ import graft.table.ManagedTable
   * Exactness gates, all conservative (any failure falls through to the
   * ordinary scan, which is always correct):
   *   - the child must be a BARE single-root parquet relation with a graft
-  *     commit log beside it — any Filter (including the deletion-vector
-  *     filter a DV-carrying read plans), non-trivial projection (e.g.
+  *     commit log beside it — any Filter, non-trivial projection (e.g.
   *     column-mapping aliasing), or multi-root (time travel) scan bails;
+  *   - the table must carry NO live deletion vectors: the raw scan being
+  *     replaced is DV-unaware, so a log-derived (DV-adjusted) COUNT would
+  *     silently change its answer (`minMaxFast` has the same gate
+  *     internally; the count gate lives here);
   *   - `COUNT` only over non-null literals (`COUNT(*)`/`COUNT(1)`), no
-  *     DISTINCT, no FILTER clause — served by `countFast` (DV-exact);
+  *     DISTINCT, no FILTER clause — served by `countFast`;
   *   - `MIN`/`MAX` only on a plain column whose `minMaxFast` proves
-  *     exactness (non-string kind, every live file stats-covered, no
-  *     outstanding DVs) and whose bound strings parse losslessly into the
-  *     scan's Catalyst type.
+  *     exactness (non-string kind, every live file stats-covered) and
+  *     whose bound strings parse losslessly into the scan's Catalyst
+  *     type.
+  *
+  * Cost discipline: the rule runs inside the fixed-point operator batch,
+  * so everything it does before bailing must be cheap. Aggregate SHAPES
+  * are checked first (pure pattern match, no I/O); the `._log` root probe
+  * and the per-(root, version) metadata answers are memoized process-wide
+  * (version-keyed — an external commit naturally invalidates), so a
+  * query's repeated optimizer iterations and repeated queries over one
+  * hot table pay the metadata fold once, not per iteration.
   *
   * Registered by [[GraftSparkSessionExtension]]; sessions built without
   * extensions can install it at runtime via
   * `spark.experimental.extraOptimizations`.
   */
 class MetadataOnlyAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
+  import MetadataOnlyAggregates._
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case agg: Aggregate if agg.groupingExpressions.isEmpty =>
-      graftScanRoot(agg.child).flatMap(rewrite(agg, _)).getOrElse(agg)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    MetadataOnlyAggregates.maybeTrim()
+    plan.transformDown {
+      case agg: Aggregate
+          if agg.groupingExpressions.isEmpty && shapesRewritable(agg) =>
+        graftScanRoot(agg.child).flatMap(rewrite(agg, _)).getOrElse(agg)
+    }
   }
+
+  /** Cheap pre-gate: every output aggregate has a rewritable SHAPE
+    * (COUNT of non-null literals / MIN / MAX of a plain column, no
+    * distinct/filter). Pure pattern matching — runs before any
+    * filesystem or metadata work so unsupported queries (AVG, SUM,
+    * COUNT(col), …) cost nothing per optimizer iteration.
+    */
+  private def shapesRewritable(agg: Aggregate): Boolean =
+    agg.aggregateExpressions.forall { ne =>
+      val e = ne match { case Alias(child, _) => child; case other => other }
+      e match {
+        case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case c: Count => c.children.forall(a =>
+              a.foldable && a.eval(InternalRow.empty) != null)
+            case Min(_: AttributeReference) => true
+            case Max(_: AttributeReference) => true
+            case _ => false
+          }
+        case _ => false
+      }
+    }
 
   /** The graft table root under `p`, when `p` is a bare (attribute-only
     * projected) single-root file scan with a `v*.json`-bearing `._log`
-    * sibling — the managed-table marker.
+    * sibling — the managed-table marker. The probe result is memoized
+    * per root: whether a dir is graft-managed is stable for a session's
+    * practical lifetime, and correctness never depends on it (a stale
+    * negative only means the OPTIMIZATION is skipped).
     */
   private def graftScanRoot(p: LogicalPlan): Option[String] = p match {
     case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
@@ -57,15 +98,16 @@ class MetadataOnlyAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
     case SubqueryAlias(_, ch) => graftScanRoot(ch)
     case l: LogicalRelation => l.relation match {
       case h: HadoopFsRelation if h.location.rootPaths.length == 1 =>
-        val root = h.location.rootPaths.head
-        val log = new Path(root.toString + "._log")
-        Try {
+        val root = h.location.rootPaths.head.toString
+        val isGraft = rootProbe.getOrElseUpdate(root, Try {
+          val log = new Path(root + "._log")
           val fs = log.getFileSystem(spark.sparkContext.hadoopConfiguration)
           fs.exists(log) && fs.listStatus(log).exists { st =>
             val n = st.getPath.getName
             n.startsWith("v") && n.endsWith(".json")
           }
-        }.toOption.filter(identity).map(_ => root.toString)
+        }.getOrElse(false))
+        if (isGraft) Some(root) else None
       case _ => None
     }
     case _ => None
@@ -73,17 +115,25 @@ class MetadataOnlyAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate, root: String): Option[LogicalPlan] = {
     val t = new ManagedTable(spark, root)
-    lazy val cntOpt: Option[Long] = Try(t.countFast()).toOption
-    val mmCache = scala.collection.mutable.Map.empty[String, Option[(String, String)]]
+    val v = Try(t.version).getOrElse(return None)
+    // DV gate (see scaladoc): a raw scan serves deleted rows; metadata
+    // answers don't. Version-keyed memo — the probe itself reads one
+    // small snapshot file, but not zero, so cache it with the answers.
+    if (answerCache.getOrElseUpdate((root, v, "#dv"),
+        Try(t.hasDeletionVectors).toOption.filter(_ == false)).isEmpty)
+      return None
+
+    def cnt: Option[Any] = answerCache.getOrElseUpdate((root, v, "#count"),
+      Try(t.countFast()).toOption)
     def mm(c: String): Option[(String, String)] =
-      mmCache.getOrElseUpdate(c, Try(t.minMaxFast(c)).toOption.flatten)
+      answerCache.getOrElseUpdate((root, v, c),
+        Try(t.minMaxFast(c)).toOption.flatten)
+        .asInstanceOf[Option[(String, String)]]
 
     def evalOne(e: Expression): Option[Any] = e match {
-      case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+      case ae: AggregateExpression =>
         ae.aggregateFunction match {
-          case c: Count if c.children.forall(a =>
-              a.foldable && a.eval(InternalRow.empty) != null) =>
-            cntOpt
+          case _: Count => cnt
           case Min(a: AttributeReference) =>
             mm(a.name).flatMap { case (mn, _) => parseBound(mn, a.dataType) }
           case Max(a: AttributeReference) =>
@@ -134,4 +184,24 @@ class MetadataOnlyAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => throw new IllegalArgumentException(s"unsupported $dt")
     }
   }.toOption
+}
+
+object MetadataOnlyAggregates {
+  /** root → is-graft-managed; process-wide, unbounded growth capped by
+    * clear-at-1024 (a session touches a bounded set of table roots).
+    */
+  private val rootProbe =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** (root, version, column|"#count"|"#dv") → memoized metadata answer.
+    * Version in the key makes external commits self-invalidating; the
+    * periodic clear bounds residency (stale versions never hit again).
+    */
+  private val answerCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, String), Option[Any]]
+
+  private[sql] def maybeTrim(): Unit = {
+    if (rootProbe.size > 1024) rootProbe.clear()
+    if (answerCache.size > 4096) answerCache.clear()
+  }
 }

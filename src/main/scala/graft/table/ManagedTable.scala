@@ -140,12 +140,21 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // interleave with another writer's commit. (Inside the mutation
     // funnels the lease is already held and the acquire is a reentrant
     // no-op.)
-    if (exists && trustedDirVersion != version) {
-      if (needsBootstrapCommit) withCommitLock {
-        if (version < 0) commit("BOOTSTRAP", Nil)
-        else if (needsBootstrapCommit) commit("RECOVER", Nil)
+    if (exists) {
+      // capture ONCE: trust must be recorded for the version this check
+      // actually verified — re-reading `version` after the (leaseless)
+      // listing would let a concurrent commit land in between and get
+      // trusted without ever being checked against the dir
+      val v0 = version
+      if (trustedDirVersion != v0) {
+        if (needsBootstrapCommit) withCommitLock {
+          if (version < 0) commit("BOOTSTRAP", Nil)
+          else if (needsBootstrapCommit) commit("RECOVER", Nil)
+          // commit() recorded trust for the version it created; when the
+          // under-lease recheck found no divergence, trust stays unset —
+          // conservative, the next call re-verifies
+        } else trustedDirVersion = v0
       }
-      trustedDirVersion = version
     }
 
   private def jstr(s: String): String =
@@ -4659,6 +4668,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * that never used [[deleteVectored]] have no `_dv` dir, so every read
     * costs one existence check and zero log reads.
     */
+  /** Whether the current version carries any live deletion-vector bitmap —
+    * the exactness gate metadata-only rewrites check before substituting a
+    * log-derived answer for a RAW (DV-unaware) scan's.
+    */
+  private[graft] def hasDeletionVectors: Boolean =
+    currentDv.exists(_._2.nonEmpty)
+
   private def currentDv: Map[String, Array[Long]] =
     if (!fs.exists(dvDir)) Map.empty else dvMapForVersion(version)
 
@@ -6814,25 +6830,57 @@ private[table] object SidecarCache
   * before. Entry-capped LRU: a process hot-writes a handful of tables,
   * not hundreds.
   */
-private[table] object CommitLiveCache {
-  final case class State(version: Long,
-                         files: Map[String, (Long, Long)], // path -> (len, rows)
-                         liveRows: Long, sizeBytes: Long)
-  private val maxTables = 16
+private[table] class CommitLiveCacheBudgeted(val maxTables: Int,
+                                             val maxTotalEntries: Long) {
+  import CommitLiveCache.State
+  /** Heap budget, counted in FILE ENTRIES across all cached states (a
+    * path entry costs ~150 B of heap): 24 M entries ≈ 3-4 GB worst case —
+    * covers two 1e7-file hot tables, and a third evicts the eldest
+    * instead of pinning tens of GB (the SidecarCache byte-budget
+    * discipline, in this cache's natural unit). An over-budget SINGLE
+    * table still caches (evicting everything else): for the hot writer
+    * it serves, the alternative is the O(live) listing fold per commit,
+    * which is strictly worse than holding its own state.
+    */
   private val lru =
     new java.util.LinkedHashMap[String, State](16, 0.75f, true)
+  private var totalEntriesVar = 0L
+
+  /** Accounted file entries across live states — test hook; must equal
+    * the sum of cached states' file-map sizes.
+    */
+  def totalEntries: Long = synchronized { totalEntriesVar }
+  def entryCount: Int = synchronized { lru.size() }
 
   def get(root: String, expectVersion: Long): Option[State] = synchronized {
     Option(lru.get(root)).filter(_.version == expectVersion)
   }
 
   def put(root: String, st: State): Unit = synchronized {
+    Option(lru.remove(root)).foreach(old => totalEntriesVar -= old.files.size)
     lru.put(root, st)
+    totalEntriesVar += st.files.size
     val it = lru.entrySet().iterator()
-    while (lru.size() > maxTables && it.hasNext) { it.next(); it.remove() }
+    while ((lru.size() > maxTables ||
+        (totalEntriesVar > maxTotalEntries && lru.size() > 1)) && it.hasNext) {
+      val victim = it.next()
+      if (victim.getKey != root) {
+        totalEntriesVar -= victim.getValue.files.size
+        it.remove()
+      }
+    }
   }
 
-  def invalidate(root: String): Unit = synchronized { lru.remove(root); () }
+  def invalidate(root: String): Unit = synchronized {
+    Option(lru.remove(root)).foreach(old => totalEntriesVar -= old.files.size)
+  }
+}
+
+private[table] object CommitLiveCache
+  extends CommitLiveCacheBudgeted(16, 24L * 1000 * 1000) {
+  final case class State(version: Long,
+                         files: Map[String, (Long, Long)], // path -> (len, rows)
+                         liveRows: Long, sizeBytes: Long)
 }
 
 private[table] case class FileMeta(rows: Long, stats: FileStats)

@@ -200,42 +200,49 @@ class PlanSpec extends SparkSpec {
 
   test("q142 metadata-only SQL aggregates plan ZERO file scans and match the scan exactly") {
     import spark.implicits._
-    // the q142 query itself (installs the optimizer rule, builds a managed
-    // table, runs SQL COUNT/MIN/MAX over its scan)
-    val df = SparkEntry.queries("q142_sql_metadata_agg")(spark, dir)
-    val physical = df.queryExecution.executedPlan.toString
-    assert(!physical.contains("FileScan") && !physical.contains("Scan parquet"),
-      s"metadata-only aggregate still scans files:\n$physical")
-    assert(physical.contains("LocalTableScan") || physical.contains("Scan OneRowRelation")
-      || physical.contains("LocalRelation"), physical)
-    // values agree bit-exactly with the real scan's aggregates — computed
-    // with the rule UNINSTALLED, or the comparison would be metadata vs
-    // metadata (count()/agg() over the managed dir match the rule too)
-    val meta = df.collect().head
-    val installed = spark.experimental.extraOptimizations
+    // scan-truth values FIRST, with no rule anywhere near the session
+    val wh = tmpDir("plan-moa")
+    val t = new graft.table.ManagedTable(spark, s"$wh/li")
+    t.overwrite(spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"),
+        to_date(col("l_shipdate")).as("ship_date")))
+    t.read.createOrReplaceTempView("plan_moa")
+    val sql = """SELECT COUNT(*) AS n_rows,
+                        MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+                        MIN(ship_date) AS min_date, MAX(ship_date) AS max_date
+                 FROM plan_moa"""
+    val scanTruth = spark.sql(sql).collect().head
+    // the rule installed for exactly this scope
+    val rule = new graft.sql.MetadataOnlyAggregates(spark)
     spark.experimental.extraOptimizations =
-      installed.filterNot(_.isInstanceOf[graft.sql.MetadataOnlyAggregates])
+      spark.experimental.extraOptimizations :+ rule
     try {
-      val raw = spark.table("li_moa")
-      assert(meta.getLong(0) == raw.count())
-      assert(meta.getLong(1) == raw.agg(min("l_orderkey")).head().getLong(0))
-      assert(meta.getLong(2) == raw.agg(max("l_orderkey")).head().getLong(0))
-      assert(meta.getDouble(3) == raw.agg(min("l_quantity")).head().getDouble(0))
-      assert(meta.getDouble(4) == raw.agg(max("l_quantity")).head().getDouble(0))
-      assert(meta.getDate(5) == raw.agg(min("ship_date")).head().getDate(0))
-      assert(meta.getDate(6) == raw.agg(max("ship_date")).head().getDate(0))
-    } finally spark.experimental.extraOptimizations = installed
-    // a DV-carrying table must FALL THROUGH to the scan (the DV filter
-    // breaks the bare-scan match) and still answer correctly
-    val wh = tmpDir("plan-moa-dv")
-    val t = new graft.table.ManagedTable(spark, s"$wh/t")
-    t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
-    t.deleteVectored(col("k") === 2L)
-    t.read.createOrReplaceTempView("moa_dv")
-    val dv = spark.sql("SELECT COUNT(*) AS n, MIN(k) AS mn, MAX(k) AS mx FROM moa_dv")
-    assert(dv.queryExecution.executedPlan.toString.contains("FileScan") ||
-      dv.queryExecution.executedPlan.toString.contains("Scan parquet"),
-      "DV table should not be served from metadata")
-    assert(dv.collect().head.toSeq == Seq(2L, 1L, 3L))
+      val df = spark.sql(sql)
+      val physical = df.queryExecution.executedPlan.toString
+      assert(!physical.contains("FileScan") && !physical.contains("Scan parquet"),
+        s"metadata-only aggregate still scans files:\n$physical")
+      assert(physical.contains("LocalTableScan"), physical)
+      assert(df.collect().head.toSeq == scanTruth.toSeq,
+        "metadata answers must equal the scan's bit-exactly")
+      // a DV-carrying table must FALL THROUGH to the scan (the DV gate)
+      // and still answer correctly
+      val t2 = new graft.table.ManagedTable(spark, s"$wh/dv")
+      t2.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+      t2.deleteVectored(col("k") === 2L)
+      t2.read.createOrReplaceTempView("plan_moa_dv")
+      val dv = spark.sql(
+        "SELECT COUNT(*) AS n, MIN(k) AS mn, MAX(k) AS mx FROM plan_moa_dv")
+      assert(dv.queryExecution.executedPlan.toString.contains("Scan"),
+        "DV table should not be served from metadata")
+      assert(dv.collect().head.toSeq == Seq(2L, 1L, 3L))
+      // even a RAW (DV-unaware) scan of the same root must not rewrite:
+      // its COUNT legitimately includes the deleted row
+      val raw = spark.read.parquet(s"$wh/dv")
+      raw.createOrReplaceTempView("plan_moa_raw")
+      val rawCnt = spark.sql("SELECT COUNT(*) AS n FROM plan_moa_raw")
+      assert(rawCnt.collect().head.getLong(0) == 3L,
+        "raw scan count must keep serving physical rows under the DV gate")
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq rule)
   }
 }

@@ -129,6 +129,29 @@ class CommitFastPathSpec extends SparkSpec {
     assert(a.readVersion(3).count() == 4L)
   }
 
+  test("CommitLiveCache entry budget evicts colder tables, keeps the one just written") {
+    import CommitLiveCache.State
+    def st(v: Long, n: Int, tag: String) = State(v,
+      (0 until n).map(i => s"/t/$tag/part-$i.parquet" -> ((100L, 10L))).toMap,
+      10L * n, 100L * n)
+    val c = new CommitLiveCacheBudgeted(maxTables = 16, maxTotalEntries = 100L)
+    c.put("a", st(0, 40, "a"))
+    c.put("b", st(0, 40, "b"))
+    assert(c.totalEntries == 80L && c.entryCount == 2)
+    c.put("c", st(0, 40, "c")) // 120 > 100: evict eldest ("a")
+    assert(c.get("a", 0).isEmpty && c.get("b", 0).isDefined && c.get("c", 0).isDefined)
+    assert(c.totalEntries == 80L && c.entryCount == 2)
+    // one table alone may exceed the budget: its hot writer still caches
+    c.put("big", st(0, 500, "big"))
+    assert(c.get("big", 0).isDefined)
+    assert(c.entryCount == 1 && c.totalEntries == 500L)
+    // replacement never double-counts
+    c.put("big", st(1, 480, "big2"))
+    assert(c.totalEntries == 480L && c.get("big", 1).isDefined)
+    // version-validated lookup: a stale version misses without evicting
+    assert(c.get("big", 0).isEmpty && c.get("big", 1).isDefined)
+  }
+
   test("row-tracked tables ride the fast path: header-only id allocation stays unique and stable") {
     val t = freshTable("fp-rowtrack")
     t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))

@@ -97,26 +97,22 @@ class SidecarCacheSpec extends SparkSpec {
   test("parsed-map heap stays within the budget multiplier the sizing assumes") {
     // the budget counts TEXT bytes; the sizing comment claims the parsed
     // map costs ~4-5x that in heap (so 128 MB text ~ 600 MB pinned).
-    // Measure a real parse: n sidecar lines -> MetadataPlane map. Bounds
-    // are generous (1x..20x) to stay robust on a shared JVM, while still
-    // catching a representation regression that would blow the budget
-    // (e.g. an accidental per-entry String duplication pushing 50x).
+    // Measure a real parse with Spark's retained-size walker
+    // (SizeEstimator — deterministic, no GC-timing dependence in a
+    // shared JVM) and bound the multiplier: a representation regression
+    // (say, an accidental per-entry String duplication pushing 50x)
+    // would silently blow the cache's heap budget.
     val n = 20000
     def line(i: Int): String = MetadataPlane.sidecarLine(MetadataPlane.Entry(
       f"/data/heap/day=2024-01-01/part-$i%09d-abcdef.parquet", 1000L, 100L,
       Map("k" -> (("i", (i * 100).toString, (i * 100 + 99).toString, 0L)))))
     val text = (0 until n).map(line).mkString("\n")
     val textBytes = text.getBytes("UTF-8").length.toLong
-    val rt = Runtime.getRuntime
-    def used(): Long = { System.gc(); System.gc(); Thread.sleep(50)
-      rt.totalMemory() - rt.freeMemory() }
-    val base = used()
     val parsed: Map[String, (Long, FileMeta)] = text.linesIterator
       .flatMap(MetadataPlane.parseLine(_).map(e =>
         e.path -> ((e.len, FileMeta(e.rows, e.stats))))).toMap
-    val withMap = used()
-    assert(parsed.size == n) // keep `parsed` live past the measurement
-    val heap = withMap - base
+    assert(parsed.size == n)
+    val heap = org.apache.spark.util.SizeEstimator.estimate(parsed)
     val mult = heap.toDouble / textBytes
     info(f"parsed-map heap: $heap%,d B over $textBytes%,d B text = $mult%.1fx")
     assert(mult < 20.0,
