@@ -492,6 +492,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // the (len, mtime) signature alone can collide when a remap rewrites
     // equal-width paths within one mtime tick (no-op for uncached paths)
     SidecarCache.invalidate(dst.toString)
+    HistoryCache.invalidate(dst.toString)
   }
 
   private def sidecarSegments: Seq[Path] =
@@ -3027,16 +3028,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * manifest field except the file list (that stays per-version for
     * [[readVersion]], which is O(1) files by construction).
     */
-  private case class CommitInfo(version: Long, timestamp: String,
-      operation: String, partitionColumns: Seq[String],
-      numFiles: Long, sizeInBytes: Long, rowCount: Long,
-      txn: Option[(String, Long)] = None,
-      // (filesAdded, filesRemoved, rowDelta) vs the previous commit —
-      // Delta's operationMetrics role; None for pre-feature commits
-      metrics: Option[(Long, Long, Long)] = None,
-      // bytes the commit's added files hold — the maxBytesPerTrigger
-      // admission-control unit; None for pre-feature commits
-      bytesAdded: Option[Long] = None)
+  private type CommitInfo = graft.table.CommitInfo
+  private val CommitInfo = graft.table.CommitInfo
 
   private def historyFile = new Path(logDir, "_history.txt")
 
@@ -3054,9 +3047,49 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       c.bytesAdded.map(_.toString).getOrElse("-"))
       .mkString("\t")
 
-  private def readHistoryFile(): Seq[CommitInfo] =
-    if (!fs.exists(historyFile)) Nil
+  private def historySegDir = new Path(logDir, "_history.d")
+  private def historySegments: Seq[Path] =
+    if (!fs.exists(historySegDir)) Nil
+    else fs.listStatus(historySegDir).map(_.getPath)
+      .filter(_.getName.endsWith(".txt")).sortBy(_.getName).toSeq
+
+  /** The history checkpoint = compacted base + per-commit segments (the
+    * stats sidecar's log-structured shape, for the same reason): a commit
+    * appends ONE small segment instead of rewriting the whole O(commits)
+    * base, segments fold into the base every [[sidecarCompactAt]]
+    * commits, and the base parse is served by the process-wide
+    * [[HistoryCache]] — which stays VALID between compactions precisely
+    * because appends no longer touch the base. Fold keyed by version
+    * (segments override): a read-path self-heal may rewrite the base
+    * while older segments still exist, and both sides derive from the
+    * same manifests, so last-writer-wins is exact.
+    */
+  private def readHistoryFile(): Seq[CommitInfo] = {
+    val base = parseHistoryPath(historyFile, cache = true)
+    val segs = historySegments
+    if (segs.isEmpty) base
     else {
+      val m = scala.collection.mutable.LinkedHashMap[Long, CommitInfo]()
+      base.foreach(c => m(c.version) = c)
+      segs.foreach(p =>
+        parseHistoryPath(p, cache = false).foreach(c => m(c.version) = c))
+      m.values.toSeq.sortBy(_.version)
+    }
+  }
+
+  private def parseHistoryPath(historyFile: Path,
+                               cache: Boolean): Seq[CommitInfo] =
+    if (!fs.exists(historyFile)) Nil
+    else if (cache) {
+      val st = fs.getFileStatus(historyFile)
+      HistoryCache.get(historyFile.toString, st.getLen,
+        st.getModificationTime).getOrElse {
+        val rows = parseHistoryPath(historyFile, cache = false)
+        HistoryCache.put(historyFile.toString, st.getLen,
+          st.getModificationTime, rows)
+        rows
+      }
+    } else {
       val in = fs.open(historyFile)
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().flatMap { l =>
         def parseTxn(t: String): Option[(String, Long)] =
@@ -3098,12 +3131,36 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       finally in.close()
     }
 
-  private def appendHistory(c: CommitInfo,
-                            preRead: Seq[CommitInfo] = null): Unit =
+  /** Fold base + segments into one `_history.txt` NOW — the shape tests
+    * that hand-edit recorded history need (they predate the segmented
+    * checkpoint and edit a single file).
+    */
+  private[graft] def compactHistoryForTest(): Unit = {
     writeAtomic(historyFile,
-      (Option(preRead).getOrElse(readHistoryFile())
-        .filter(_.version < c.version) :+ c)
-        .sortBy(_.version).map(histLine).mkString("\n"))
+      readHistoryFile().sortBy(_.version).map(histLine).mkString("\n"))
+    fs.delete(historySegDir, true)
+  }
+
+  private def appendHistory(c: CommitInfo,
+                            preRead: Seq[CommitInfo] = null): Unit = {
+    val segs = historySegments
+    if (segs.size + 1 >= sidecarCompactAt) {
+      // compact: fold base + segments + this commit into one base file
+      writeAtomic(historyFile,
+        (Option(preRead).getOrElse(readHistoryFile())
+          .filter(_.version < c.version) :+ c)
+          .sortBy(_.version).map(histLine).mkString("\n"))
+      fs.delete(historySegDir, true)
+    } else {
+      // O(1) append: one single-line segment (naming discipline shared
+      // with the stats sidecar — persisted monotonic sequence + uuid)
+      val next = segs.lastOption.map(_.getName
+        .stripPrefix("seg-").takeWhile(_.isDigit).toLong + 1).getOrElse(0L)
+      val suffix = java.util.UUID.randomUUID().toString.take(8)
+      writeAtomic(new Path(historySegDir,
+        f"seg-$next%019d-$suffix.txt"), histLine(c))
+    }
+  }
 
   /** Manifest schema (explicit: inference over a manifest subset could
     * type an all-empty partitionColumns as array<null>).
@@ -6884,6 +6941,65 @@ private[table] object CommitLiveCache
 }
 
 private[table] case class FileMeta(rows: Long, stats: FileStats)
+
+/** One commit's checkpointed summary (a `_history.txt` line) — package
+  * level so the process-wide [[HistoryCache]] can hold parses across
+  * handles (an inner class would be path-dependent per handle).
+  */
+private[table] case class CommitInfo(version: Long, timestamp: String,
+    operation: String, partitionColumns: Seq[String],
+    numFiles: Long, sizeInBytes: Long, rowCount: Long,
+    txn: Option[(String, Long)] = None,
+    // (filesAdded, filesRemoved, rowDelta) vs the previous commit —
+    // Delta's operationMetrics role; None for pre-feature commits
+    metrics: Option[(Long, Long, Long)] = None,
+    // bytes the commit's added files hold — the maxBytesPerTrigger
+    // admission-control unit; None for pre-feature commits
+    bytesAdded: Option[Long] = None)
+
+/** Process-wide parsed-history cache, (len, mtime)-validated exactly like
+  * [[SidecarCache]]: every commit reads `_history.txt` (ICT floor +
+  * previous row count) and every history()/time-travel resolution reads
+  * it again — a hot writer would otherwise pay an O(commits) parse
+  * several times per commit, forever growing with the audit trail.
+  * `writeAtomic` invalidates on every same-process rewrite; external
+  * writers move (len, mtime). Row-budgeted so a million-commit table
+  * cannot pin unbounded heap.
+  */
+private[graft] object HistoryCache {
+  private val maxTotalRows = 4L * 1000 * 1000
+  private val lru = new java.util.LinkedHashMap[
+    String, (Long, Long, Seq[CommitInfo])](16, 0.75f, true)
+  private var totalRowsVar = 0L
+
+  def totalRows: Long = synchronized { totalRowsVar }
+
+  def get(key: String, len: Long, mtime: Long): Option[Seq[CommitInfo]] =
+    synchronized {
+      Option(lru.get(key)).collect {
+        case (l, mt, rows) if l == len && mt == mtime => rows
+      }
+    }
+
+  def put(key: String, len: Long, mtime: Long,
+          rows: Seq[CommitInfo]): Unit = synchronized {
+    Option(lru.remove(key)).foreach { case (_, _, r) => totalRowsVar -= r.size }
+    lru.put(key, (len, mtime, rows))
+    totalRowsVar += rows.size
+    val it = lru.entrySet().iterator()
+    while (totalRowsVar > maxTotalRows && lru.size() > 1 && it.hasNext) {
+      val victim = it.next()
+      if (victim.getKey != key) {
+        totalRowsVar -= victim.getValue._3.size
+        it.remove()
+      }
+    }
+  }
+
+  def invalidate(key: String): Unit = synchronized {
+    Option(lru.remove(key)).foreach { case (_, _, r) => totalRowsVar -= r.size }
+  }
+}
 
 /** Driver handle to a pinned snapshot's SORTED manifest held as cached
   * serialized executor blocks: `offsets(p)` is the global index of

@@ -178,6 +178,7 @@ class TableStreamSpec extends SparkSpec {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val hist = new org.apache.hadoop.fs.Path(dir + "/t._log/_history.txt")
+    t.compactHistoryForTest() // fold segments: this test edits ONE file
     val in = fs.open(hist)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -185,6 +186,7 @@ class TableStreamSpec extends SparkSpec {
       .mkString("\n")
     val out = fs.create(hist, true)
     try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    graft.table.HistoryCache.invalidate(hist.toString)
     val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     val q = t.readStreamAppends(startingVersion = 0,

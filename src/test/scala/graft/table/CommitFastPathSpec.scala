@@ -129,6 +129,29 @@ class CommitFastPathSpec extends SparkSpec {
     assert(a.readVersion(3).count() == 4L)
   }
 
+  test("history appends are O(1) segments; compaction folds them; fold is complete") {
+    val t = freshTable("fp-hist")
+    t.overwrite(Seq((0L, "r")).toDF("k", "v"))          // v0
+    for (i <- 1L to 3L) t.append(Seq((i, s"x$i")).toDF("k", "v"))
+    val segDir = new java.io.File(t.path + "._log/_history.d")
+    val base = new java.io.File(t.path + "._log/_history.txt")
+    // four commits → four one-line segments, no O(commits) base rewrite
+    assert(segDir.isDirectory && segDir.list().count(_.endsWith(".txt")) == 4)
+    assert(!base.exists(), "no base until the first compaction")
+    // the fold serves complete history (versions, rowCounts, ICT order)
+    val h = t.history().collect().sortBy(_.getAs[Long]("version"))
+    assert(h.map(_.getAs[Long]("version")).toSeq == (0L to 3L))
+    assert(h.map(_.getAs[Long]("rowCount")).toSeq == (1L to 4L))
+    // drive past the compaction threshold: base appears, segments drop
+    for (i <- 4L to 16L) t.append(Seq((i, s"x$i")).toDF("k", "v"))
+    assert(base.exists(), "compaction should have folded the base")
+    assert(!segDir.exists() ||
+      segDir.list().count(_.endsWith(".txt")) < 16)
+    assert(t.history().count() == 17L)
+    // a fresh handle reads the same fold (cross-handle via HistoryCache)
+    assert(new ManagedTable(spark, t.path).history().count() == 17L)
+  }
+
   test("CommitLiveCache entry budget evicts colder tables, keeps the one just written") {
     import CommitLiveCache.State
     def st(v: Long, n: Int, tag: String) = State(v,

@@ -1589,6 +1589,9 @@ class ManagedTableSpec extends SparkSpec {
       spark.sparkContext.hadoopConfiguration)
     val histPath = new org.apache.hadoop.fs.Path(dir + "/t._log/_history.txt")
     def histTs(): Map[Long, java.time.Instant] = {
+      // fold the segmented checkpoint to one file first — this test edits
+      // and reads recorded history as a single on-disk artifact
+      new ManagedTable(spark, dir + "/t").compactHistoryForTest()
       val in = fs.open(histPath)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toList finally in.close()
@@ -1598,6 +1601,7 @@ class ManagedTableSpec extends SparkSpec {
       }.toMap
     }
     def setHistTs(v: Long, ts: java.time.Instant): Unit = {
+      new ManagedTable(spark, dir + "/t").compactHistoryForTest()
       val in = fs.open(histPath)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toList finally in.close()
@@ -1608,6 +1612,8 @@ class ManagedTableSpec extends SparkSpec {
       }
       val os = fs.create(histPath, true)
       try os.write(out.mkString("\n").getBytes("UTF-8")) finally os.close()
+      // a direct rewrite bypasses writeAtomic's cache invalidation
+      HistoryCache.invalidate(histPath.toString)
     }
     // 1) ICT floor: record v0's timestamp an hour in the future (an NTP
     // step backwards, or a skewed prior writer) — the next commit's

@@ -34,7 +34,9 @@ class OperationMetricsSpec extends SparkSpec {
     val t = new ManagedTable(spark, tmpDir("opmetrics-old") + "/t")
     t.overwrite(Seq((1L, "a")).toDF("id", "s"))
     // strip the metrics field from the checkpoint, simulating a table
-    // written by an older build (8-field lines)
+    // written by an older build (8-field lines); fold the segmented
+    // checkpoint into one file first — this test edits it directly
+    t.compactHistoryForTest()
     val hist = new java.io.File(t.path + "._log/_history.txt")
     val lines = scala.io.Source.fromFile(hist).getLines()
       .map(_.split('\t').take(8).mkString("\t")).toList
@@ -42,6 +44,8 @@ class OperationMetricsSpec extends SparkSpec {
     try w.print(lines.mkString("\n")) finally w.close()
     // the raw rewrite invalidates the local-FS checksum shadow — drop it
     new java.io.File(hist.getParent, "." + hist.getName + ".crc").delete()
+    HistoryCache.invalidate("file:" + hist.getAbsolutePath)
+    HistoryCache.invalidate(hist.getAbsolutePath)
     val r = t.history().select("filesAdded", "rowDelta").head
     assert(r.isNullAt(0) && r.isNullAt(1), r)
     // and the next commit records metrics again
