@@ -152,6 +152,32 @@ class CommitFastPathSpec extends SparkSpec {
     assert(new ManagedTable(spark, t.path).history().count() == 17L)
   }
 
+  test("crash between manifest and history segment self-heals from the manifest") {
+    val t = freshTable("fp-heal")
+    t.overwrite(Seq((0L, "r")).toDF("k", "v"))
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    t.append(Seq((2L, "b")).toDF("k", "v"))
+    // simulate the crash window: the last commit's manifest landed but its
+    // history segment didn't (order: manifest first, then history)
+    val segDir = new java.io.File(t.path + "._log/_history.d")
+    val newest = segDir.listFiles().filter(_.getName.endsWith(".txt"))
+      .sortBy(_.getName).last
+    assert(newest.delete())
+    // a fresh handle folds the missing version back in from its manifest
+    // (one batched read) and re-persists — rowCount/ICT stay exact
+    val t2 = new ManagedTable(spark, t.path)
+    val h = t2.history().collect().sortBy(_.getAs[Long]("version"))
+    assert(h.map(_.getAs[Long]("version")).toSeq == Seq(0L, 1L, 2L))
+    assert(h.map(_.getAs[Long]("rowCount")).toSeq == Seq(1L, 2L, 3L))
+    // and the healed table keeps committing (ICT floor intact)
+    t2.append(Seq((3L, "c")).toDF("k", "v"))
+    assert(t2.history().count() == 4L)
+    val ts = t2.history().collect().map(r =>
+      java.time.Instant.parse(r.getAs[String]("timestamp"))).toSeq
+    assert(ts == ts.sorted.reverse || ts == ts.sorted,
+      s"commit timestamps must stay monotone: $ts")
+  }
+
   test("CommitLiveCache entry budget evicts colder tables, keeps the one just written") {
     import CommitLiveCache.State
     def st(v: Long, n: Int, tag: String) = State(v,
