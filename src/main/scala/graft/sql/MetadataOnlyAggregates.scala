@@ -99,14 +99,19 @@ class MetadataOnlyAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
     case l: LogicalRelation => l.relation match {
       case h: HadoopFsRelation if h.location.rootPaths.length == 1 =>
         val root = h.location.rootPaths.head.toString
-        val isGraft = rootProbe.getOrElseUpdate(root, Try {
+        // cache only SUCCESSFUL probes: a transient FS fault must not
+        // disable the rewrite for this root for the process lifetime
+        val isGraft = rootProbe.get(root).getOrElse(Try {
           val log = new Path(root + "._log")
           val fs = log.getFileSystem(spark.sparkContext.hadoopConfiguration)
           fs.exists(log) && fs.listStatus(log).exists { st =>
             val n = st.getPath.getName
             n.startsWith("v") && n.endsWith(".json")
           }
-        }.getOrElse(false))
+        } match {
+          case scala.util.Success(b) => rootProbe.put(root, b); b
+          case scala.util.Failure(_) => false
+        })
         if (isGraft) Some(root) else None
       case _ => None
     }
@@ -116,19 +121,29 @@ class MetadataOnlyAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewrite(agg: Aggregate, root: String): Option[LogicalPlan] = {
     val t = new ManagedTable(spark, root)
     val v = Try(t.version).getOrElse(return None)
+    // answers are memoized under (root, version, MANIFEST SIGNATURE):
+    // the version number alone restarts after a drop-and-recreate at the
+    // same path, so the signature of v's manifest file distinguishes
+    // incarnations — a rebuilt table can never serve the dead one's
+    // cached count. One small getFileStatus per rewrite.
+    val key = Try {
+      val m = new Path(root + "._log", f"v$v%05d.json")
+      val st = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(m)
+      (root, v, st.getLen, st.getModificationTime)
+    }.getOrElse(return None)
     // DV gate (see scaladoc): a raw scan serves deleted rows; metadata
-    // answers don't. Version-keyed memo — the probe itself reads one
-    // small snapshot file, but not zero, so cache it with the answers.
-    if (answerCache.getOrElseUpdate((root, v, "#dv"),
-        Try(t.hasDeletionVectors).toOption.filter(_ == false)).isEmpty)
+    // answers don't. Memoized like the answers — the probe itself reads
+    // one small snapshot file, but not zero.
+    if (!dvFreeCache.getOrElseUpdate(key,
+        Try(t.hasDeletionVectors).toOption.contains(false)))
       return None
 
-    def cnt: Option[Any] = answerCache.getOrElseUpdate((root, v, "#count"),
+    def cnt: Option[Any] = countCache.getOrElseUpdate(key,
       Try(t.countFast()).toOption)
     def mm(c: String): Option[(String, String)] =
-      answerCache.getOrElseUpdate((root, v, c),
+      mmCache.getOrElseUpdate((key, c),
         Try(t.minMaxFast(c)).toOption.flatten)
-        .asInstanceOf[Option[(String, String)]]
 
     def evalOne(e: Expression): Option[Any] = e match {
       case ae: AggregateExpression =>
@@ -187,21 +202,33 @@ class MetadataOnlyAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 object MetadataOnlyAggregates {
-  /** root → is-graft-managed; process-wide, unbounded growth capped by
-    * clear-at-1024 (a session touches a bounded set of table roots).
+  /** Incarnation key: (root, version, manifest len, manifest mtime) —
+    * external commits move the version, drop-and-recreate moves the
+    * signature, so stale hits are structurally impossible.
+    */
+  private type TableKey = (String, Long, Long, Long)
+
+  /** root → is-graft-managed; process-wide (successful probes only —
+    * errors are never cached), growth capped by clear-at-1024.
     */
   private val rootProbe =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
-  /** (root, version, column|"#count"|"#dv") → memoized metadata answer.
-    * Version in the key makes external commits self-invalidating; the
-    * periodic clear bounds residency (stale versions never hit again).
+  /** Typed memo per answer kind (separate maps, no sentinel keys that a
+    * real column name could collide with). Stale versions never hit
+    * again; the periodic clear bounds residency.
     */
-  private val answerCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long, String), Option[Any]]
+  private val dvFreeCache =
+    scala.collection.concurrent.TrieMap.empty[TableKey, Boolean]
+  private val countCache =
+    scala.collection.concurrent.TrieMap.empty[TableKey, Option[Any]]
+  private val mmCache =
+    scala.collection.concurrent.TrieMap.empty[(TableKey, String), Option[(String, String)]]
 
   private[sql] def maybeTrim(): Unit = {
     if (rootProbe.size > 1024) rootProbe.clear()
-    if (answerCache.size > 4096) answerCache.clear()
+    if (dvFreeCache.size > 4096) dvFreeCache.clear()
+    if (countCache.size > 4096) countCache.clear()
+    if (mmCache.size > 4096) mmCache.clear()
   }
 }

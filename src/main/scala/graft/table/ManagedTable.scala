@@ -495,6 +495,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     HistoryCache.invalidate(dst.toString)
   }
 
+  /** The next segment path for a log-structured store's append: persisted
+    * monotonic sequence (next after the max existing segment — lexical
+    * order must equal commit order across driver restarts) with a uuid
+    * suffix so a post-compaction sequence reset can never reuse a path
+    * another process's (len, mtime)-keyed parse cache already holds. ONE
+    * implementation for the sidecar, history, and row-id stores.
+    */
+  private def nextSegPath(dir: Path, segs: Seq[Path]): Path = {
+    val next = segs.lastOption.map(_.getName
+      .stripPrefix("seg-").takeWhile(_.isDigit).toLong + 1).getOrElse(0L)
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    new Path(dir, f"seg-$next%019d-$suffix.txt")
+  }
+
   private def sidecarSegments: Seq[Path] =
     if (!fs.exists(sidecarSegDir)) Nil
     else fs.listStatus(sidecarSegDir).map(_.getPath)
@@ -572,11 +586,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         // process (same-process writes invalidate via writeAtomic).
         // Numbers are unique among LIVE segments, so lexical order is
         // still the commit order whatever the suffix.
-        val next = segs.lastOption.map(_.getName
-          .stripPrefix("seg-").takeWhile(_.isDigit).toLong + 1).getOrElse(0L)
-        val suffix = java.util.UUID.randomUUID().toString.take(8)
-        writeAtomic(new Path(sidecarSegDir,
-          f"seg-$next%019d-$suffix.txt"), fresh.sorted.mkString("\n"))
+        writeAtomic(nextSegPath(sidecarSegDir, segs),
+          fresh.sorted.mkString("\n"))
       }
     }
     metas
@@ -2354,12 +2365,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     import scala.collection.parallel.CollectionConverters._
     val nc = if (toRead.isEmpty) statsColsDefault else statsColsNow
     val metas = toRead.par.map(p => p -> footerMeta(new Path(p), nc)).seq.toMap ++ claimed
-    val segs = sidecarSegments
-    val next = segs.lastOption.map(_.getName
-      .stripPrefix("seg-").takeWhile(_.isDigit).toLong + 1).getOrElse(0L)
-    val suffix = java.util.UUID.randomUUID().toString.take(8)
-    writeAtomic(new Path(sidecarSegDir,
-      f"seg-$next%019d-$suffix.txt"),
+    writeAtomic(nextSegPath(sidecarSegDir, sidecarSegments),
       added.map { case (p, len) => sidecarLine(p, len, metas(p)) }
         .sorted.mkString("\n"))
     metas
@@ -3071,8 +3077,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     else {
       val m = scala.collection.mutable.LinkedHashMap[Long, CommitInfo]()
       base.foreach(c => m(c.version) = c)
+      // segments are write-once: their parses cache under the same
+      // (len, mtime) signature as the base — a hot writer's fold costs
+      // zero re-reads for bytes that cannot change
       segs.foreach(p =>
-        parseHistoryPath(p, cache = false).foreach(c => m(c.version) = c))
+        parseHistoryPath(p, cache = true).foreach(c => m(c.version) = c))
       m.values.toSeq.sortBy(_.version)
     }
   }
@@ -3152,13 +3161,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           .sortBy(_.version).map(histLine).mkString("\n"))
       fs.delete(historySegDir, true)
     } else {
-      // O(1) append: one single-line segment (naming discipline shared
-      // with the stats sidecar — persisted monotonic sequence + uuid)
-      val next = segs.lastOption.map(_.getName
-        .stripPrefix("seg-").takeWhile(_.isDigit).toLong + 1).getOrElse(0L)
-      val suffix = java.util.UUID.randomUUID().toString.take(8)
-      writeAtomic(new Path(historySegDir,
-        f"seg-$next%019d-$suffix.txt"), histLine(c))
+      // O(1) append: one single-line segment
+      writeAtomic(nextSegPath(historySegDir, segs), histLine(c))
     }
   }
 
@@ -6827,44 +6831,62 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   * in heap, so 128 MB of text ≈ ~600 MB pinned worst-case — sized to
   * still cover a 1e6-file base (~121 MB).
   */
-private[table] class SidecarCacheBudgeted(val maxTotalBytes: Long,
-                                          val maxEntryBytes: Long) {
+/** One budgeted (len, mtime)-validated parse cache for all the
+  * log-structured text stores (stats sidecar, history checkpoint): keyed
+  * by absolute path, a hit requires the exact signature the parse was
+  * taken under, eviction is LRU by access under BOTH an entry cap and a
+  * weight budget (`weigh` picks the unit — text bytes for the sidecar,
+  * parsed rows for history). One implementation so the subtle
+  * eviction/accounting logic has one home.
+  */
+private[graft] class SignatureParseCache[V](val maxTotalWeight: Long,
+    val maxEntryBytes: Long, val maxEntries: Int, weigh: (Long, V) => Long) {
   private val lru = new java.util.LinkedHashMap[
-    String, (Long, Long, Map[String, (Long, FileMeta)])](16, 0.75f, true)
-  private var totalBytesVar = 0L
+    String, (Long, Long, Long, V)](16, 0.75f, true) // (len, mtime, weight, v)
+  private var totalVar = 0L
 
-  /** Accounted TEXT bytes currently pinned — test hook; must always equal
-    * the sum of live entries' lengths.
+  /** Accounted weight currently pinned — test hook; must always equal the
+    * sum of live entries' weights.
     */
-  def totalBytes: Long = synchronized { totalBytesVar }
+  def totalWeight: Long = synchronized { totalVar }
   def entryCount: Int = synchronized { lru.size() }
 
   def cacheable(len: Long): Boolean = len <= maxEntryBytes
 
-  def get(key: String, len: Long,
-          mtime: Long): Option[Map[String, (Long, FileMeta)]] =
+  def get(key: String, len: Long, mtime: Long): Option[V] =
     synchronized {
       Option(lru.get(key)).collect {
-        case (l, mt, m) if l == len && mt == mtime => m
+        case (l, mt, _, v) if l == len && mt == mtime => v
       }
     }
 
   def invalidate(key: String): Unit = synchronized {
-    Option(lru.remove(key)).foreach { case (l, _, _) => totalBytesVar -= l }
+    Option(lru.remove(key)).foreach { case (_, _, w, _) => totalVar -= w }
   }
 
-  def put(key: String, len: Long, mtime: Long,
-          m: Map[String, (Long, FileMeta)]): Unit = synchronized {
+  def put(key: String, len: Long, mtime: Long, v: V): Unit = synchronized {
     if (!cacheable(len)) return
-    Option(lru.remove(key)).foreach { case (l, _, _) => totalBytesVar -= l }
-    lru.put(key, (len, mtime, m))
-    totalBytesVar += len
+    Option(lru.remove(key)).foreach { case (_, _, w, _) => totalVar -= w }
+    val w = weigh(len, v)
+    lru.put(key, (len, mtime, w, v))
+    totalVar += w
     val it = lru.entrySet().iterator()
-    while (totalBytesVar > maxTotalBytes && it.hasNext) {
-      totalBytesVar -= it.next().getValue._1
-      it.remove()
+    while ((lru.size() > maxEntries ||
+        (totalVar > maxTotalWeight && lru.size() > 1)) && it.hasNext) {
+      val victim = it.next()
+      if (victim.getKey != key) {
+        totalVar -= victim.getValue._3
+        it.remove()
+      }
     }
   }
+}
+
+private[table] class SidecarCacheBudgeted(maxTotalBytes: Long,
+    maxEntryBytes: Long)
+  extends SignatureParseCache[Map[String, (Long, FileMeta)]](
+    maxTotalBytes, maxEntryBytes, Int.MaxValue, (len, _) => len) {
+  def totalBytes: Long = totalWeight
 }
 
 private[table] object SidecarCache
@@ -6966,40 +6988,12 @@ private[table] case class CommitInfo(version: Long, timestamp: String,
   * writers move (len, mtime). Row-budgeted so a million-commit table
   * cannot pin unbounded heap.
   */
-private[graft] object HistoryCache {
-  private val maxTotalRows = 4L * 1000 * 1000
-  private val lru = new java.util.LinkedHashMap[
-    String, (Long, Long, Seq[CommitInfo])](16, 0.75f, true)
-  private var totalRowsVar = 0L
-
-  def totalRows: Long = synchronized { totalRowsVar }
-
-  def get(key: String, len: Long, mtime: Long): Option[Seq[CommitInfo]] =
-    synchronized {
-      Option(lru.get(key)).collect {
-        case (l, mt, rows) if l == len && mt == mtime => rows
-      }
-    }
-
-  def put(key: String, len: Long, mtime: Long,
-          rows: Seq[CommitInfo]): Unit = synchronized {
-    Option(lru.remove(key)).foreach { case (_, _, r) => totalRowsVar -= r.size }
-    lru.put(key, (len, mtime, rows))
-    totalRowsVar += rows.size
-    val it = lru.entrySet().iterator()
-    while (totalRowsVar > maxTotalRows && lru.size() > 1 && it.hasNext) {
-      val victim = it.next()
-      if (victim.getKey != key) {
-        totalRowsVar -= victim.getValue._3.size
-        it.remove()
-      }
-    }
-  }
-
-  def invalidate(key: String): Unit = synchronized {
-    Option(lru.remove(key)).foreach { case (_, _, r) => totalRowsVar -= r.size }
-  }
-}
+// weight = parsed rows; the entry cap bounds many-small-table residency
+// (a tiny table's history weighs ~nothing but still holds a map slot —
+// CommitLiveCache guards the same shape with maxTables)
+private[graft] object HistoryCache
+  extends SignatureParseCache[Seq[CommitInfo]](
+    4L * 1000 * 1000, Long.MaxValue, 256, (_, rows) => rows.size.toLong)
 
 /** Driver handle to a pinned snapshot's SORTED manifest held as cached
   * serialized executor blocks: `offsets(p)` is the global index of

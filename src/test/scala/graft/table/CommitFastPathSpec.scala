@@ -172,10 +172,11 @@ class CommitFastPathSpec extends SparkSpec {
     // and the healed table keeps committing (ICT floor intact)
     t2.append(Seq((3L, "c")).toDF("k", "v"))
     assert(t2.history().count() == 4L)
-    val ts = t2.history().collect().map(r =>
-      java.time.Instant.parse(r.getAs[String]("timestamp"))).toSeq
-    assert(ts == ts.sorted.reverse || ts == ts.sorted,
-      s"commit timestamps must stay monotone: $ts")
+    val ts = t2.history().collect()
+      .sortBy(_.getAs[Long]("version"))
+      .map(r => java.time.Instant.parse(r.getAs[String]("timestamp"))).toSeq
+    assert(ts == ts.sorted,
+      s"commit timestamps must be non-decreasing in version order: $ts")
   }
 
   test("CommitLiveCache entry budget evicts colder tables, keeps the one just written") {
