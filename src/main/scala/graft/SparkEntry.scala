@@ -648,7 +648,7 @@ object SparkEntry {
       // nProbe pruned list partitions
       val idx = ivfIndex(s, d)
       val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-        .select("embedding").head.getSeq[Float](0)
+        .select("embedding").head().getSeq[Float](0)
       Similarity.ivfProbe(s, idx, "vec_id", "embedding", qv, k = 10,
           nProbe = 3, excludeId = Some(0L))
         .orderBy(desc("cos_sim"), col("vec_id"))
@@ -659,7 +659,7 @@ object SparkEntry {
       // oracle computes — gating build+probe end-to-end against SQL
       val idx = ivfIndex(s, d)
       val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-        .select("embedding").head.getSeq[Float](0)
+        .select("embedding").head().getSeq[Float](0)
       Similarity.ivfProbe(s, idx, "vec_id", "embedding", qv, k = 10,
         nProbe = 1000000, excludeId = Some(0L))
     }),

@@ -100,7 +100,7 @@ object Dsir {
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
     val qHist = rawBuckets.groupBy("bucket").agg(count(lit(1)).as("cnt"))
     def total(h: DataFrame): Double =
-      Option(h.agg(sum(col("cnt"))).head.get(0))
+      Option(h.agg(sum(col("cnt"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L).toDouble + buckets
     val totP = total(pHist)
     val totQ = total(qHist)

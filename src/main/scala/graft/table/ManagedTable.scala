@@ -2513,9 +2513,30 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       }
     }
     // filesExplicit: a shallow clone's founding commit records the SOURCE's
-    // files — the live dir is empty by design and must not be listed
-    val files = filesExplicit.getOrElse(listParquet(new Path(path))
-      .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) })
+    // files — the live dir is empty by design and must not be listed.
+    // checkpointFromState (opt-in, Delta's exact trust model): a
+    // checkpoint-due commit with declared churn + trusted parent state
+    // assembles its full file list from state ± churn instead of listing —
+    // EVERY commit is then listing-free and the dir is verified only at
+    // BOOTSTRAP/RECOVER and fresh-handle checks. On an object store a
+    // 1e7-file recursive listing is the checkpoint commit's long pole
+    // (10k+ LIST pages); the trade is that out-of-band dir edits stay
+    // outside the log until a fresh handle's consistency check instead of
+    // being absorbed by the next checkpoint's listing.
+    val stateFiles: Option[Seq[(String, Long)]] =
+      if (churn.isEmpty || filesExplicit.isDefined || manifestsRemapped ||
+          operation == "BOOTSTRAP" || operation == "RECOVER" ||
+          !properties.get("graft.manifest.checkpointFromState").contains("true"))
+        None
+      else CommitLiveCache.get(qualifiedRoot, v - 1).map { st =>
+        val (added0, removed0) = churn.get
+        ((st.files -- removed0) ++
+          added0.map { case (p, l) => p -> ((l, 0L)) })
+          .iterator.map { case (p, (l, _)) => (p, l) }.toSeq
+      }
+    val files = filesExplicit.orElse(stateFiles)
+      .getOrElse(listParquet(new Path(path))
+        .map { case (p, len) => (fs.makeQualified(new Path(p)).toString, len) })
     // a caller that passes no partition columns on a commit that did not
     // relocate files (DV deletes, bloom indexing, ANALYZE) must not ERASE
     // the layout from the log — RESTORE, DESCRIBE DETAIL, compactWhere

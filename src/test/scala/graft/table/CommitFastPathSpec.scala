@@ -129,6 +129,33 @@ class CommitFastPathSpec extends SparkSpec {
     assert(a.readVersion(3).count() == 4L)
   }
 
+  test("opt-in checkpointFromState: checkpoint commits assemble from state, never the dir") {
+    val t = freshTable("fp-ckpt-state")
+    t.overwrite(Seq((0L, "r")).toDF("k", "v"))            // v0
+    t.setProperties(Map("graft.manifest.checkpointFromState" -> "true"))
+    // plant an out-of-band stray: a LISTING-based checkpoint would absorb
+    // it into the log; the state-based one must keep the log manifest-true
+    Seq((99L, "stray")).toDF("k", "v").write.mode("append").parquet(t.path)
+    for (i <- 1L to 10L) t.append(Seq((i, s"x$i")).toDF("k", "v")) // v10 ckpt
+    val txt = manifestText(t, 10L)
+    assert(txt.contains("\"files\"") || txt.contains("\"filesParquet"),
+      "v10 should still be a checkpoint manifest")
+    // the manifest-pinned snapshot excludes the stray (no listing ran)…
+    assert(t.readVersion(10).count() == 11L)
+    // …which stays physically present in the dir
+    assert(spark.read.parquet(t.path).count() == 12L)
+    // totals stay exact through the state-based checkpoint
+    assert(t.history().collect().sortBy(_.getAs[Long]("version"))
+      .map(_.getAs[Long]("rowCount")).toSeq == (1L to 11L).toSeq)
+    // the trust boundary still exists: an explicit verify RECOVERs the
+    // stray into the log, exactly the documented out-of-band contract
+    val t2 = new ManagedTable(spark, t.path)
+    t2.bootstrap()
+    assert(t2.history().collect().maxBy(_.getAs[Long]("version"))
+      .getAs[String]("operation") == "RECOVER")
+    assert(t2.read.count() == 12L)
+  }
+
   test("history appends are O(1) segments; compaction folds them; fold is complete") {
     val t = freshTable("fp-hist")
     t.overwrite(Seq((0L, "r")).toDF("k", "v"))          // v0
