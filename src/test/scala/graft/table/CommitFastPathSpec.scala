@@ -156,6 +156,30 @@ class CommitFastPathSpec extends SparkSpec {
     assert(t2.read.count() == 12L)
   }
 
+  test("checkpointFromState: a DV delete AT the checkpoint boundary stays exact, and maintenance reconciles") {
+    val t = freshTable("fp-ckpt-dv")
+    t.overwrite(Seq((0L, "r")).toDF("k", "v"))            // v0
+    t.setProperties(Map("graft.manifest.checkpointFromState" -> "true"))
+    for (i <- 1L to 9L) t.append(Seq((i, s"x$i")).toDF("k", "v")) // v1..v9
+    // v10: the checkpoint-due commit is a DV-only delete (zero churn) —
+    // the full file list assembles from state, bitmaps filter against it
+    t.deleteVectored(col("k") === 5L)
+    val txt = manifestText(t, 10L)
+    assert(txt.contains("\"files\"") || txt.contains("\"filesParquet"),
+      "v10 should be a checkpoint manifest")
+    assert(txt.contains("\"numDeletedRows\":1"))
+    assert(t.read.count() == 9L && t.readVersion(10).count() == 9L)
+    assert(t.readVersion(9).count() == 10L)
+    // maintenance (compact: a no-churn rewrite) takes the listing path,
+    // reconciles, and reseeds — later commits ride the state again
+    t.compact(1)
+    assert(t.read.count() == 9L)
+    t.append(Seq((100L, "z")).toDF("k", "v"))
+    assert(manifestText(t, t.version).contains("\"add\":["),
+      "post-maintenance append should be a fast delta again")
+    assert(t.read.count() == 10L)
+  }
+
   test("history appends are O(1) segments; compaction folds them; fold is complete") {
     val t = freshTable("fp-hist")
     t.overwrite(Seq((0L, "r")).toDF("k", "v"))          // v0
