@@ -70,6 +70,11 @@ object SparkEntry {
     * the engine-independent pair set the q26a / q48a / q88a family share
     * (each adds only its own components/split logic on top).
     */
+  /** q142's managed lineitem copy per corpus dir, written once per JVM
+    * (repeat bench/verify runs must not leak a table copy per run).
+    */
+  private val moaTableCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
   private val pairsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def verifiedPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.getOrElseUpdate(d, {
@@ -1173,18 +1178,29 @@ object SparkEntry {
       // optimizer rule (MetadataOnlyAggregates) collapses global
       // COUNT(*)/MIN/MAX over a managed scan to a metadata LocalRelation —
       // zero data files opened — when exactness is provable; the oracle
-      // runs the full-scan aggregates and must agree bit-exactly
-      val wh = java.nio.file.Files.createTempDirectory("graft-moa").toString
+      // runs the full-scan aggregates and must agree bit-exactly.
+      // The table is built ONCE per corpus dir (bench/verify drivers run
+      // the query repeatedly — a fresh temp warehouse per run would leak
+      // a full lineitem copy each time)
+      val wh = moaTableCache.getOrElseUpdate(d, {
+        val w = java.nio.file.Files.createTempDirectory("graft-moa").toString
+        val t0 = new graft.table.ManagedTable(s, s"$w/li")
+        t0.overwrite(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"),
+            to_date(col("l_shipdate")).as("ship_date"))
+          .repartitionByRange(4, col("l_orderkey")))
+        w
+      })
       val t = new graft.table.ManagedTable(s, s"$wh/li")
-      t.overwrite(Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_quantity"),
-          to_date(col("l_shipdate")).as("ship_date"))
-        .repartitionByRange(4, col("l_orderkey")))
       // install the rewrite SCOPED to this query (sessions built without
       // the graft extension), force the metadata-only plan by collecting
       // NOW, and hand back a local frame — leaving the rule installed in
       // the shared Verify/Bench session would silently metadata-serve
-      // every later query's bare-scan count() and corrupt measurements
+      // every later query's bare-scan count() and corrupt measurements.
+      // NOTE: this append/remove of extraOptimizations assumes the
+      // single-threaded Verify/Bench driver — concurrent queries in one
+      // session would race the shared list; a concurrent harness should
+      // build its session with the graft extension instead
       val rule = new graft.sql.MetadataOnlyAggregates(s)
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ rule

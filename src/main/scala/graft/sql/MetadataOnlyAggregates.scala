@@ -32,6 +32,12 @@ import graft.table.ManagedTable
   *     replaced is DV-unaware, so a log-derived (DV-adjusted) COUNT would
   *     silently change its answer (`minMaxFast` has the same gate
   *     internally; the count gate lives here);
+  *   - the live dir must hold EXACTLY the version's logged files
+  *     ([[ManagedTable.dirMatchesLog]], one listing PER REWRITE — never
+  *     memoized): an out-of-band file in the dir changes the raw scan's
+  *     answer without moving the version or the manifest signature, so
+  *     a memoized gate (or ungated cached answers) would keep serving a
+  *     log-derived COUNT while the scan it replaced diverged;
   *   - `COUNT` only over non-null literals (`COUNT(*)`/`COUNT(1)`), no
   *     DISTINCT, no FILTER clause — served by `countFast`;
   *   - `MIN`/`MAX` only on a plain column whose `minMaxFast` proves
@@ -137,6 +143,20 @@ class MetadataOnlyAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
     // one small snapshot file, but not zero.
     if (!dvFreeCache.getOrElseUpdate(key,
         Try(t.hasDeletionVectors).toOption.contains(false)))
+      return None
+    // dir↔log gate: the rewrite replaces a RAW dir scan with log-derived
+    // answers, so it must first prove the dir holds exactly the version's
+    // logged files — an out-of-band parquet file (a state the manifest-
+    // is-truth trust model tolerates until a trust boundary) moves
+    // neither the version nor the manifest signature, so this probe is
+    // deliberately NOT memoized under the incarnation key: a stray that
+    // lands after one rewrite must decline the next, cached answers
+    // included (the answer memos below stay keyed by incarnation — they
+    // are log-derived and exact WHENEVER this gate passes). Cost: one
+    // O(live) listing per rewritten query — the same order of work the
+    // replaced scan's own file index pays — and zero for every query the
+    // shape/root gates already bailed on.
+    if (!Try(t.dirMatchesLog).toOption.contains(true))
       return None
 
     def cnt: Option[Any] = countCache.getOrElseUpdate(key,

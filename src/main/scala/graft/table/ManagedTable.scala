@@ -41,10 +41,20 @@ import org.apache.spark.sql.functions.{broadcast, coalesce, col, encode, expr, l
   *    all of them, and predicate pushdown supplies the data skipping
   *    (measured 18–50% scan wins in the reference, cell 26 output).
   */
-final class ManagedTable(spark: SparkSession, val path: String) {
+final class ManagedTable(spark: SparkSession, val path: String)
+    extends org.apache.spark.internal.Logging {
 
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Churn entries the last [[commitFromState]] dropped because the
+    * funnel over-reported (re-declared an already-live ADD or a not-live
+    * REMOVE). A well-behaved funnel reports zero — staged writes use
+    * fresh UUID names — so a persistent non-zero here is a funnel
+    * regression; surfaced by a warn log and asserted by the fast-path
+    * spec. Diagnostic only, never part of the log format.
+    */
+  private[table] var lastFunnelOverReport: Int = 0
 
   def exists: Boolean = fs.exists(new Path(path))
 
@@ -103,6 +113,25 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val live = listParquet(new Path(path))
         .map(f => fs.makeQualified(new Path(f._1)).toString).toSet
       live != recorded
+    }
+
+  /** True when the live dir holds EXACTLY the current version's logged
+    * file set — the dir↔log consistency probe metadata-only SQL rewrites
+    * gate on ([[graft.sql.MetadataOnlyAggregates]]): a log-derived
+    * COUNT/MIN/MAX replaces a RAW dir scan, so an out-of-band file the
+    * trust model otherwise tolerates until a boundary must decline the
+    * rewrite, not change its answer. One O(live) listing; callers
+    * memoize per (root, version incarnation). Unlike the BOOTSTRAP
+    * probe this deliberately reports a shallow clone's empty dir as a
+    * MISMATCH — the raw scan a rewrite would replace reads that empty
+    * dir, not the clone's foreign files.
+    */
+  private[graft] def dirMatchesLog: Boolean =
+    version >= 0 && {
+      val recorded = manifestFiles(version).toSet
+      val live = listParquet(new Path(path))
+        .map(f => fs.makeQualified(new Path(f._1)).toString).toSet
+      live == recorded
     }
 
   /** CONVERT-TO-GRAFT (Delta's `CONVERT TO DELTA parquet.`/p``,
@@ -500,7 +529,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * order must equal commit order across driver restarts) with a uuid
     * suffix so a post-compaction sequence reset can never reuse a path
     * another process's (len, mtime)-keyed parse cache already holds. ONE
-    * implementation for the sidecar, history, and row-id stores.
+    * implementation for the sidecar and history stores — the two whose
+    * folds rely on lexical order == commit order. The row-id store's
+    * segments deliberately use raw UUID names instead: its fold is
+    * order-independent (paths are assigned once, the high-water mark is
+    * a max over `#next` headers), so code must NOT assume row-id segment
+    * names sort in commit order.
     */
   private def nextSegPath(dir: Path, segs: Seq[Path]): Path = {
     val next = segs.lastOption.map(_.getName
@@ -2350,13 +2384,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   }
 
   /** [[fileMeta]] restricted to files KNOWN new (freshly staged UUID
-    * paths): no sidecar base/segment read at all — claims the stage-time
-    * pre-read footers (or reads them, O(added)) and appends exactly one
-    * sidecar segment. Compaction is deliberately left to the next
-    * listing-path commit's full [[fileMeta]] fold, which has the complete
-    * live list in hand; checkpoint cadence bounds segment count.
+    * paths): no sidecar base/segment read at all in the common case —
+    * claims the stage-time pre-read footers (or reads them, O(added)) and
+    * appends exactly one sidecar segment. Compaction normally belongs to
+    * the next listing-path commit's full [[fileMeta]] fold, but with a
+    * user-raised `checkpointInterval` (the ManifestBench knob) fast
+    * commits could otherwise grow `_file_rows.d` without bound — so once
+    * [[sidecarCompactAt]] segments accumulate, THIS path folds
+    * base+segments too (amortized: at most once per `sidecarCompactAt`
+    * fast commits, parse served by [[SidecarCache]] when the base fits)
+    * and rewrites the base restricted to `liveAfter`, the post-commit
+    * live set the caller already holds from [[CommitLiveCache]].
     */
-  private def fileMetaAdded(added: Seq[(String, Long)]): Map[String, FileMeta] = {
+  private def fileMetaAdded(added: Seq[(String, Long)],
+      liveAfter: () => Map[String, Long]): Map[String, FileMeta] = {
     if (added.isEmpty) return Map.empty
     val claimed = added.flatMap { case (p, len) =>
       preReadMetas.remove(p).collect { case (l, m) if l == len => p -> m }
@@ -2365,9 +2406,24 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     import scala.collection.parallel.CollectionConverters._
     val nc = if (toRead.isEmpty) statsColsDefault else statsColsNow
     val metas = toRead.par.map(p => p -> footerMeta(new Path(p), nc)).seq.toMap ++ claimed
-    writeAtomic(nextSegPath(sidecarSegDir, sidecarSegments),
-      added.map { case (p, len) => sidecarLine(p, len, metas(p)) }
-        .sorted.mkString("\n"))
+    val segs = sidecarSegments
+    if (segs.size + 1 >= sidecarCompactAt) {
+      // fold everything (the new entries included) into the base, keep
+      // only post-commit live entries whose recorded length still matches
+      // (every live file has an entry — its own commit wrote one)
+      val folded = segs.foldLeft(readSidecarFile(sidecarBase))(
+        (m, s) => m ++ readSidecarFile(s)) ++
+        added.map { case (p, len) => p -> ((len, metas(p))) }
+      val live = liveAfter()
+      writeAtomic(sidecarBase,
+        folded.collect { case (p, (len, m)) if live.get(p).contains(len) =>
+          sidecarLine(p, len, m) }.toSeq.sorted.mkString("\n"))
+      fs.delete(sidecarSegDir, true)
+    } else {
+      writeAtomic(nextSegPath(sidecarSegDir, segs),
+        added.map { case (p, len) => sidecarLine(p, len, metas(p)) }
+          .sorted.mkString("\n"))
+    }
     metas
   }
 
@@ -2427,10 +2483,21 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       churn: (Seq[(String, Long)], Set[String])): Unit = {
     val (added0, removed0) = churn
     // tolerate funnel over-report: only paths actually live can retire,
-    // and a re-declared live path must not double-count as an add
+    // and a re-declared live path must not double-count as an add.
+    // Staged writes use fresh UUID names, so a dropped re-declared ADD
+    // indicates a funnel bug, not data — count it so a regression is
+    // visible ([[lastFunnelOverReport]], asserted zero by the specs)
+    // instead of silently absorbed.
     val added = added0.filterNot { case (p, _) => st.files.contains(p) }
     val removed = removed0.filter(st.files.contains)
-    val addedMetas = fileMetaAdded(added)
+    lastFunnelOverReport =
+      (added0.size - added.size) + (removed0.size - removed.size)
+    if (lastFunnelOverReport > 0)
+      logWarning(s"commit v$v on $path: funnel over-reported churn — " +
+        s"${added0.size - added.size} re-declared add(s), " +
+        s"${removed0.size - removed.size} not-live remove(s) dropped")
+    val addedMetas = fileMetaAdded(added,
+      () => (st.files -- removed0).map { case (p, (l, _)) => p -> l } ++ added)
     // row tracking: the new files' id bases (or materialized markers) land
     // BEFORE the manifest — a version must never be visible without them
     // (same discipline as the listing path, via the header-only fast form)

@@ -245,4 +245,43 @@ class PlanSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations.filterNot(_ eq rule)
   }
+
+  test("q142 rewrite declines when the dir diverges from the log (stray file)") {
+    import spark.implicits._
+    val wh = tmpDir("plan-moa-stray")
+    val t = new graft.table.ManagedTable(spark, s"$wh/s")
+    t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .repartition(1))
+    t.read.createOrReplaceTempView("plan_moa_stray")
+    val sql = "SELECT COUNT(*) AS n, MAX(k) AS mx FROM plan_moa_stray"
+    val rule = new graft.sql.MetadataOnlyAggregates(spark)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ rule
+    try {
+      // consistent dir: the rewrite fires AND populates the answer memos
+      val before = spark.sql(sql)
+      assert(before.queryExecution.executedPlan.toString
+        .contains("LocalTableScan"))
+      assert(before.collect().head.toSeq == Seq(3L, 3L))
+      // an out-of-band writer drops a stray parquet file into the dir:
+      // neither the version nor the manifest signature moves, so ONLY a
+      // per-rewrite dir↔log probe can notice — the previously cached
+      // metadata COUNT must not keep serving
+      val dataDir = new java.io.File(s"$wh/s")
+      val part = dataDir.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(dataDir, "stray-dup.parquet").toPath)
+      // fresh scan (the old view's file index listed before the stray);
+      // the rule sees the same root + version + cached answers and must
+      // STILL decline because the per-rewrite dir probe fails
+      spark.read.parquet(s"$wh/s").createOrReplaceTempView("plan_moa_stray")
+      val after = spark.sql(sql)
+      val plan = after.queryExecution.executedPlan.toString
+      assert(!plan.contains("LocalTableScan"),
+        s"diverged dir must fall through to the scan:\n$plan")
+      assert(after.collect().head.toSeq == Seq(6L, 3L),
+        "the scan's answer (stray rows included) is the correct one here")
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq rule)
+  }
 }

@@ -55,6 +55,35 @@ class CommitFastPathSpec extends SparkSpec {
     // time travel reconstructs through the fast deltas
     assert(t.readVersion(1).orderBy("k").as[(Long, String)].collect().toSeq ==
       Seq((1L, "a"), (2L, "b")))
+    // a well-behaved funnel declares exact churn: nothing dropped by the
+    // over-report filter (staged UUID names can't re-declare live paths)
+    assert(t.lastFunnelOverReport == 0,
+      "append funnel over-reported churn on the fast path")
+  }
+
+  test("fast-path commits compact the sidecar once enough segments accumulate") {
+    val t = freshTable("fp-compact")
+    t.overwrite(Seq((0L, "seed")).toDF("k", "v"))
+    // a raised interval (the ManifestBench knob) keeps EVERY commit on
+    // the fast path — without fast-path compaction `_file_rows.d` would
+    // grow one segment per commit forever and every fileMeta fold would
+    // pay O(segments) small reads
+    t.setProperties(Map("graft.manifest.checkpointInterval" -> "100000"))
+    for (i <- 1 to 20) t.append(Seq((i.toLong, s"r$i")).toDF("k", "v"))
+    val segDir = new java.io.File(t.path + "._log/_file_rows.d")
+    val segs = Option(segDir.listFiles()).map(_.count(_.getName.endsWith(".txt")))
+      .getOrElse(0)
+    assert(segs < 16, s"fast path never compacted: $segs segments")
+    // the compacted base holds every live file's entry (len-matched), so
+    // stats pruning keeps working without any footer re-read
+    val base = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t.path + "._log/_file_rows.txt")), "UTF-8")
+    assert(base.linesIterator.size >= 16,
+      "compacted base should hold the pre-compaction live entries")
+    val (kept, all) = t.filesOverlapping("k", 3L, 3L)
+    assert(kept.size < all.size, "stats pruning must survive compaction")
+    assert(t.read.count() == 21L)
+    assert(t.lastFunnelOverReport == 0)
   }
 
   test("fast-path DV delete commits O(0) churn with correct row accounting") {

@@ -83,8 +83,13 @@ class SidecarCacheSpec extends SparkSpec {
     // segment each; the v20 checkpoint's listing-path fileMeta fold sees
     // ≥16 segments and rewrites the base whole (writeAtomic → invalidate)
     for (i <- 1L to 25L) a.append(Seq((i, s"x$i")).toDF("k", "v"))
+    // count real segments only (.txt): the local FS adds a .crc sibling
+    // per segment, and the r11 fast-path compaction (which fires at 16
+    // SEGMENTS, mid-interval) leaves a tail of post-compaction segments
+    // whose crc-inclusive count can exceed the old raw-list bound
     assert(!new java.io.File(a.path + "._log/_file_rows.d").exists() ||
-      new java.io.File(a.path + "._log/_file_rows.d").list().length < 16,
+      new java.io.File(a.path + "._log/_file_rows.d").list()
+        .count(_.endsWith(".txt")) < 16,
       "compaction should have folded the segments into the base")
     // b re-reads through the same process-wide cache: it must see the
     // compacted base's FULL entry set, never the stale pre-compaction parse
