@@ -75,6 +75,9 @@ object SparkEntry {
     */
   private val moaTableCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** q143's partitioned orders copy per corpus dir, written once per JVM. */
+  private val moaPartTableCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
   private val pairsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def verifiedPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.getOrElseUpdate(d, {
@@ -1217,6 +1220,38 @@ object SparkEntry {
       } finally s.experimental.extraOptimizations =
         s.experimental.extraOptimizations.filterNot(_ eq rule)
     }),
+    "q143_sql_partition_agg" -> ((s, d) => {
+      // Spark's OptimizeMetadataOnlyQuery analogue over the graft log:
+      // COUNT(*) GROUP BY a partition column and MIN/MAX of a STRING
+      // partition column (where per-file stats bail) both collapse to
+      // the SHOW-PARTITIONS fold — zero data files opened; the oracle
+      // runs the full-scan aggregates and must agree bit-exactly
+      val wh = moaPartTableCache.getOrElseUpdate(d, {
+        val w = java.nio.file.Files.createTempDirectory("graft-moa-p").toString
+        val t0 = new graft.table.ManagedTable(s, s"$w/orders")
+        t0.overwrite(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .repartition(4), Seq("o_orderstatus"))
+        w
+      })
+      val t = new graft.table.ManagedTable(s, s"$wh/orders")
+      val rule = new graft.sql.MetadataOnlyAggregates(s)
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ rule
+      try {
+        t.read.createOrReplaceTempView("orders_moa_p")
+        val g = s.sql(
+          """SELECT o_orderstatus, COUNT(*) AS n_rows
+             FROM orders_moa_p GROUP BY o_orderstatus""")
+        val mm = s.sql(
+          """SELECT MIN(o_orderstatus) AS min_status,
+                    MAX(o_orderstatus) AS max_status FROM orders_moa_p""")
+        val out = g.crossJoin(mm).orderBy("o_orderstatus")
+        val rows = out.collect().toSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+      } finally s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations.filterNot(_ eq rule)
+    }),
     "q127_show_partitions" -> ((s, d) => {
       // metadata-only SHOW PARTITIONS: the per-partition row counts fold
       // from listing + sidecar (minus DV cardinalities), zero data files
@@ -1448,10 +1483,36 @@ object SparkEntry {
       // projection of the store — one-pass moments, driver-side 64×64
       // Jacobi, broadcast-literal projection (no shuffle, no join);
       // invariants (orthonormal basis, per-component variance = λ,
-      // agreement with the decimal-contract moments) are spec-checked
+      // agreement with the decimal-contract moments) are spec-checked;
+      // q108a anchors the full moments→eigen→project chain bit-exactly
       graft.ops.Embeddings.pcaProject(Tables.embeddings(s, d), "vec_id", "embedding",
           dim = 64, k = 8, whiten = true)
         .orderBy("vec_id", "pos")),
+    "q108a_pca_fixed" -> ((s, d) => {
+      // q108's moments→covariance→eigen→whiten→project chain under the
+      // oracle: a Walsh-design fixture (disjoint ±1 bit patterns per
+      // coordinate, integer values) whose POPULATION covariance is
+      // exactly diagonal in IEEE double — integer sums are exact, so
+      // every off-diagonal is 0.0 and the cyclic Jacobi provably
+      // performs ZERO rotations: the eigenbasis is the coordinate axes
+      // ordered by variance (9, 5, 4, 2 — distinct, no degenerate
+      // subspace, sign fixed by the positive-pivot convention on the
+      // identity), and the whitened projection must match DuckDB's
+      // independent matrix arithmetic bit-for-bit. The general
+      // iterative-rotation half stays spec-gated (EmbeddingsSpec), the
+      // q116a verification-half split.
+      def w(b: Int) =
+        (lit(1L) - lit(2L) * (shiftright(col("vec_id"), b) % 2)).cast("double")
+      val fx = s.range(64).select(col("id").as("vec_id"))
+        .select(col("vec_id"), array(
+          lit(10.0) + w(0) + lit(2.0) * w(1), // var 5, values 10±{1,3}
+          lit(20.0) + lit(3.0) * w(2),        // var 9 (the top component)
+          lit(5.0) + lit(2.0) * w(3),         // var 4
+          lit(1.0) + w(4) + w(5)              // var 2, values {-1,1,3}
+        ).as("v"))
+      graft.ops.Embeddings.pcaProject(fx, "vec_id", "v",
+        dim = 4, k = 4, whiten = true).orderBy("vec_id", "pos")
+    }),
     "q83_quantize_int8" -> ((s, d) =>
       graft.ops.Embeddings.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy("vec_id", "pos")),
@@ -2210,6 +2271,27 @@ object SparkEntry {
          FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
          WHERE b.vec_id <> 0
          ORDER BY cos_sim DESC, b.vec_id LIMIT 10""",
+    "q108a_pca_fixed" ->
+      """WITH t AS (SELECT i AS vec_id,
+           10.0 + (1 - 2*((i>>0)&1)) + 2.0*(1 - 2*((i>>1)&1)) AS x1,
+           20.0 + 3.0*(1 - 2*((i>>2)&1)) AS x2,
+           5.0 + 2.0*(1 - 2*((i>>3)&1)) AS x3,
+           1.0 + (1 - 2*((i>>4)&1)) + (1 - 2*((i>>5)&1)) AS x4
+         FROM range(64) r(i)),
+         lng AS (
+           SELECT vec_id, 1 AS coord, x1 AS x FROM t UNION ALL
+           SELECT vec_id, 2, x2 FROM t UNION ALL
+           SELECT vec_id, 3, x3 FROM t UNION ALL
+           SELECT vec_id, 4, x4 FROM t),
+         st AS (SELECT coord, SUM(x)/64.0 AS mu,
+             SUM(x*x)/64.0 - (SUM(x)/64.0)*(SUM(x)/64.0) AS var
+           FROM lng GROUP BY coord),
+         ord AS (SELECT coord, mu, var,
+             CAST(row_number() OVER (ORDER BY var DESC, coord) AS INT) AS pos
+           FROM st)
+         SELECT l.vec_id, o.pos, (l.x - o.mu)/sqrt(o.var) AS p
+         FROM lng l JOIN ord o USING (coord)
+         ORDER BY vec_id, pos""",
     "q116a_pq_adc_fixed" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          cb AS (SELECT s.sub, CAST(e.vec_id AS INT) AS label,
@@ -3160,6 +3242,13 @@ object SparkEntry {
            MIN(CAST(l_shipdate AS DATE)) AS min_date,
            MAX(CAST(l_shipdate AS DATE)) AS max_date
          FROM lineitem""",
+    "q143_sql_partition_agg" ->
+      """WITH g AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows
+           FROM orders GROUP BY 1)
+         SELECT o_orderstatus, n_rows,
+           MIN(o_orderstatus) OVER () AS min_status,
+           MAX(o_orderstatus) OVER () AS max_status
+         FROM g ORDER BY o_orderstatus""",
     "q142_sql_metadata_agg" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(MIN(l_orderkey) AS BIGINT) AS min_key,

@@ -92,8 +92,8 @@ object Dedup {
     val idx0 = index.filter(_ => maxDocFreq <= 0L).getOrElse(
       shingleIndex(docs, idCol, textCol, n, maxDocFreq)
         .select(col("doc_id"), xxhash64(col("s")).as("s")))
-    // The hashed index feeds FIVE shuffle consumers (sizes, df, ranked,
-    // and both verification joins); without materialization each one
+    // The hashed index feeds FOUR shuffle consumers (df, the ranked
+    // window, and both verification joins); without materialization each one
     // re-runs the scan + CPU-bound shingling. A lazy local checkpoint
     // computes it once, spills via the block manager, and frees with the
     // RDD — no explicit unpersist in a lazy API. Trade-off: checkpoint
@@ -102,17 +102,20 @@ object Dedup {
     val idx =
       if (reuseIndex && index.isEmpty) idx0.localCheckpoint(eager = false)
       else idx0
-    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
 
-    // global rarity order; prefix = the (1-t)n+1 rarest shingles per doc
+    // global rarity order; prefix = the (1-t)n+1 rarest shingles per doc.
+    // The per-doc size rides the SAME doc_id window partition the rarity
+    // rank already shuffles by (count over an unordered frame adds no
+    // exchange) — the former separate sizes aggregate + join re-shuffled
+    // the whole index a third time for a number the window had in hand.
     val df_ = idx.groupBy("s").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
-    val ranked = idx.join(df_, "s")
+    val byDoc = Window.partitionBy("doc_id")
+    val prefix = idx.join(df_, "s")
       .withColumn("rk", row_number().over(byRarity))
-      .join(sizes, "doc_id")
-    val prefix = ranked
+      .withColumn("n_sh", count(lit(1)).over(byDoc))
       .filter(col("rk") <= floor((lit(1.0) - minJaccard) * col("n_sh")) + 1)
-      .select("doc_id", "s")
+      .select("doc_id", "s", "n_sh")
 
     // candidates: pairs whose PREFIXES share a shingle. Prefix filtering
     // (PPJoin Lemma 1): under one global token order, J(x,y) ≥ t implies
@@ -120,8 +123,16 @@ object Dedup {
     // ⌊(1−t)·|x|⌋ + 1 ≥ that bound — so prefix ⋈ prefix loses no true
     // pair. Joining prefix against the FULL index would be correct too but
     // quadratic in the hot-shingle fanout it exists to avoid.
+    // The PPJoin LENGTH filter rides the same join: J ≥ t bounds
+    // J ≤ min(n1,n2)/max(n1,n2), so t·max ≤ min — pairs of very
+    // different sizes never verify and must not reach the (dominant)
+    // verification stage. The 1e-12 slack keeps an exactly-boundary
+    // pair on the safe side of double rounding.
+    val tSafe = lit(minJaccard - 1e-12)
     val cands = prefix.as("p").join(prefix.as("f"),
-        col("p.s") === col("f.s") && col("p.doc_id") =!= col("f.doc_id"))
+        col("p.s") === col("f.s") && col("p.doc_id") =!= col("f.doc_id") &&
+          col("p.n_sh") * tSafe <= col("f.n_sh") &&
+          col("f.n_sh") * tSafe <= col("p.n_sh"))
       .select(least(col("p.doc_id"), col("f.doc_id")).as("d1"),
         greatest(col("p.doc_id"), col("f.doc_id")).as("d2"))
       .distinct()
@@ -151,17 +162,25 @@ object Dedup {
       .localCheckpoint(eager = false)
     val candDocs = cands.select(col("d1").as("doc_id"))
       .union(cands.select(col("d2").as("doc_id"))).distinct()
-    val slice = idx.join(candDocs, Seq("doc_id"), "left_semi")
-      .localCheckpoint(eager = false) // two join consumers + sizes
-    val sizes = slice.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = cands
-      .join(slice.withColumnRenamed("doc_id", "d1"), Seq("d1"))
-      .join(slice.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
-      .groupBy("d1", "d2")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+    // one COMPACT shingle-set row per candidate doc (rows are per-doc
+    // distinct by the index contract, so the set size IS n_sh): the
+    // pair join then moves |pairs| array rows and computes each
+    // intersection with one codegen'd array_intersect — the previous
+    // explode-to-(pair × shingle)-then-reaggregate shape shuffled
+    // Σ_pairs n_sh rows through a groupBy, the verification tail's
+    // dominant cost (465× candidate overgeneration at sf0.1).
+    val docSets = idx.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("s"))).as("sh"))
+      .withColumn("n", size(col("sh")).cast("long"))
+      .localCheckpoint(eager = false) // both pair-join consumers
+    cands
+      .join(docSets.select(col("doc_id").as("d1"), col("sh").as("sh1"),
+        col("n").as("n1")), "d1")
+      .join(docSets.select(col("doc_id").as("d2"), col("sh").as("sh2"),
+        col("n").as("n2")), "d2")
+      .withColumn("inter",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= minJaccard)

@@ -66,8 +66,37 @@ class MetadataOnlyAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
       case agg: Aggregate
           if agg.groupingExpressions.isEmpty && shapesRewritable(agg) =>
         graftScanRoot(agg.child).flatMap(rewrite(agg, _)).getOrElse(agg)
+      case agg: Aggregate
+          if agg.groupingExpressions.nonEmpty && groupedShapesRewritable(agg) =>
+        graftScanRoot(agg.child).flatMap(rewriteGrouped(agg, _)).getOrElse(agg)
     }
   }
+
+  /** Cheap pre-gate for the GROUPED form (Spark's own
+    * OptimizeMetadataOnlyQuery shape): every grouping expression is a
+    * plain column and every output is either a grouping column or a
+    * COUNT of non-null literals — `SELECT DISTINCT part_col` and
+    * `COUNT(*) GROUP BY part_col` both match. Pure pattern matching.
+    */
+  private def groupedShapesRewritable(agg: Aggregate): Boolean =
+    agg.groupingExpressions.forall(_.isInstanceOf[AttributeReference]) &&
+      agg.aggregateExpressions.forall { ne =>
+        val e = ne match { case Alias(child, _) => child; case other => other }
+        e match {
+          case a: AttributeReference =>
+            agg.groupingExpressions.exists {
+              case g: AttributeReference => g.exprId == a.exprId
+              case _ => false
+            }
+          case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+            ae.aggregateFunction match {
+              case c: Count => c.children.forall(a =>
+                a.foldable && a.eval(InternalRow.empty) != null)
+              case _ => false
+            }
+          case _ => false
+        }
+      }
 
   /** Cheap pre-gate: every output aggregate has a rewritable SHAPE
     * (COUNT of non-null literals / MIN / MAX of a plain column, no
@@ -132,12 +161,7 @@ class MetadataOnlyAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
     // same path, so the signature of v's manifest file distinguishes
     // incarnations — a rebuilt table can never serve the dead one's
     // cached count. One small getFileStatus per rewrite.
-    val key = Try {
-      val m = new Path(root + "._log", f"v$v%05d.json")
-      val st = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .getFileStatus(m)
-      (root, v, st.getLen, st.getModificationTime)
-    }.getOrElse(return None)
+    val key = incarnationKey(t, root).getOrElse(return None)
     // DV gate (see scaladoc): a raw scan serves deleted rows; metadata
     // answers don't. Memoized like the answers — the probe itself reads
     // one small snapshot file, but not zero.
@@ -169,10 +193,16 @@ class MetadataOnlyAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
       case ae: AggregateExpression =>
         ae.aggregateFunction match {
           case _: Count => cnt
+          // a PARTITION column's extremes come from the partition values
+          // themselves (works where stats bail, e.g. string kinds —
+          // every row in a partition holds exactly that value, zero-row
+          // partitions dropped); data columns keep the stats fold
           case Min(a: AttributeReference) =>
             mm(a.name).flatMap { case (mn, _) => parseBound(mn, a.dataType) }
+              .orElse(partitionExtreme(key, t, a, isMin = true))
           case Max(a: AttributeReference) =>
             mm(a.name).flatMap { case (_, mx) => parseBound(mx, a.dataType) }
+              .orElse(partitionExtreme(key, t, a, isMin = false))
           case _ => None
         }
       case _ => None
@@ -185,6 +215,114 @@ class MetadataOnlyAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
     if (vals.exists(_.isEmpty)) None
     else Some(LocalRelation(agg.output,
       Seq(InternalRow.fromSeq(vals.map(_.get)))))
+  }
+
+  /** The GROUPED rewrite — Spark's `OptimizeMetadataOnlyQuery` analogue
+    * over the graft log: when every grouping column is a partition
+    * column, `SELECT DISTINCT part_cols` / `COUNT(*) … GROUP BY
+    * part_cols` answer from the SHOW-PARTITIONS fold (manifest +
+    * sidecar, zero data files). Exactness gates on top of the global
+    * form's (DV-free, dir==log): every grouping attr resolves to a
+    * logged partition column, every partition value parses losslessly
+    * into the scan's inferred type, and zero-row partitions (a dir
+    * whose files hold no rows) are dropped — a raw scan never surfaces
+    * their values.
+    */
+  private def rewriteGrouped(agg: Aggregate, root: String): Option[LogicalPlan] = {
+    val groupAttrs = agg.groupingExpressions.collect {
+      case a: AttributeReference => a }
+    if (groupAttrs.size != agg.groupingExpressions.size) return None
+    val t = new ManagedTable(spark, root)
+    val key = incarnationKey(t, root).getOrElse(return None)
+    if (!dvFreeCache.getOrElseUpdate(key,
+        Try(t.hasDeletionVectors).toOption.contains(false)))
+      return None
+    if (!Try(t.dirMatchesLog).toOption.contains(true)) return None
+    val (pcols, parts) = partitionRollup(key, t).getOrElse(return None)
+    val idxOf = groupAttrs.map(a =>
+      pcols.indexWhere(_.equalsIgnoreCase(a.name)))
+    if (idxOf.exists(_ < 0)) return None
+    // roll the per-partition counts up to the REQUESTED grouping subset
+    val grouped: Map[Seq[String], Long] = parts
+      .groupBy { case (values, _) => idxOf.map(values) }
+      .map { case (k2, vs) => k2 -> vs.map(_._2).sum }
+    val attrValue: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Int] =
+      groupAttrs.map(_.exprId).zip(idxOf.indices).toMap
+    val outRows = grouped.toSeq.map { case (values, cnt) =>
+      val parsed = groupAttrs.indices.map { gi =>
+        parsePartitionValue(values(gi), groupAttrs(gi).dataType)
+          .getOrElse(return None)
+      }
+      val cells = agg.aggregateExpressions.map { ne =>
+        val e = ne match { case Alias(child, _) => child; case other => other }
+        e match {
+          case a: AttributeReference =>
+            attrValue.get(a.exprId).map(parsed).getOrElse(return None)
+          case ae: AggregateExpression => ae.aggregateFunction match {
+            case _: Count => cnt
+            case _ => return None
+          }
+          case _ => return None
+        }
+      }
+      InternalRow.fromSeq(cells)
+    }
+    Some(LocalRelation(agg.output, outRows))
+  }
+
+  /** (root, version, manifest signature) — the shared memo key. */
+  private def incarnationKey(t: ManagedTable, root: String): Option[TableKey] =
+    Try {
+      val v = t.version
+      val m = new Path(root + "._log", f"v$v%05d.json")
+      val st = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(m)
+      (root, v, st.getLen, st.getModificationTime)
+    }.toOption
+
+  /** Per-partition (values, physical row count) with zero-row partitions
+    * dropped, memoized per incarnation (the fold is manifest+sidecar
+    * work, no data files). None for unpartitioned tables, any partition
+    * carrying Hive's null marker, or a failed fold.
+    */
+  private def partitionRollup(key: TableKey, t: ManagedTable)
+      : Option[(Seq[String], Seq[(Seq[String], Long)])] =
+    partCache.getOrElseUpdate(key, Try {
+      val pdf = t.partitions()
+      val names = pdf.schema.fieldNames.toSeq.dropRight(3)
+      val rows = pdf.collect().toSeq.map { r =>
+        (names.indices.map(r.getString), r.getAs[Long]("row_count"))
+      }.filter(_._2 > 0L)
+      if (rows.exists(_._1.exists(_ == "__HIVE_DEFAULT_PARTITION__")))
+        throw new IllegalStateException("null partition value")
+      (names, rows)
+    }.toOption)
+
+  /** A partition-dir value string as the Catalyst-internal value of the
+    * scan's inferred type for that column.
+    */
+  private def parsePartitionValue(s: String, dt: DataType): Option[Any] =
+    dt match {
+      case StringType =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case _ => parseBound(s, dt)
+    }
+
+  /** MIN/MAX of a PARTITION column from the partition values (every row
+    * in a partition holds exactly its value; zero-row partitions are
+    * already dropped by [[partitionRollup]]); None when `a` is not a
+    * partition column, the table is empty, or a value fails to parse.
+    */
+  private def partitionExtreme(key: TableKey, t: ManagedTable,
+      a: AttributeReference, isMin: Boolean): Option[Any] = {
+    val (pcols, parts) = partitionRollup(key, t).getOrElse(return None)
+    val i = pcols.indexWhere(_.equalsIgnoreCase(a.name))
+    if (i < 0 || parts.isEmpty) return None
+    val vals = parts.map(p =>
+      parsePartitionValue(p._1(i), a.dataType).getOrElse(return None))
+    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(a.dataType).asInstanceOf[Ordering[Any]]
+    Some(if (isMin) vals.min(ord) else vals.max(ord))
   }
 
   /** A `columnStats` bound string as the Catalyst-internal value of `dt`,
@@ -244,11 +382,15 @@ object MetadataOnlyAggregates {
     scala.collection.concurrent.TrieMap.empty[TableKey, Option[Any]]
   private val mmCache =
     scala.collection.concurrent.TrieMap.empty[(TableKey, String), Option[(String, String)]]
+  private val partCache =
+    scala.collection.concurrent.TrieMap.empty[TableKey,
+      Option[(Seq[String], Seq[(Seq[String], Long)])]]
 
   private[sql] def maybeTrim(): Unit = {
     if (rootProbe.size > 1024) rootProbe.clear()
     if (dvFreeCache.size > 4096) dvFreeCache.clear()
     if (countCache.size > 4096) countCache.clear()
     if (mmCache.size > 4096) mmCache.clear()
+    if (partCache.size > 4096) partCache.clear()
   }
 }

@@ -772,17 +772,26 @@ final class ManagedTable(spark: SparkSession, val path: String)
     val deltas = scala.collection.mutable.ListBuffer[(Seq[String], Seq[String])]()
     while (ckpt.isEmpty) {
       if (i < 0) return None
-      val txt = manifestText(i)
-      checkpointSidecarsOf(txt) match {
-        case Some(names) =>
-          val ps = names.map(n => new Path(logDir, n))
-          if (!ps.forall(fs.exists)) return None
-          ckpt = Some(ps)
+      // retro (async) checkpoint sidecars serve as the base exactly like
+      // manifest-embedded ones; a dangling/inline retro falls through to
+      // the version's own manifest
+      val retro = retroText(i).flatMap(checkpointSidecarsOf)
+        .map(_.map(n => new Path(logDir, n))).filter(_.forall(fs.exists))
+      retro match {
+        case Some(ps) => ckpt = Some(ps)
         case None =>
-          if (jsonStringArray(txt, "files").isDefined) return None
-          deltas.prepend((jsonStringArray(txt, "add").getOrElse(Nil),
-            jsonStringArray(txt, "remove").getOrElse(Nil)))
-          i -= 1
+          val txt = manifestText(i)
+          checkpointSidecarsOf(txt) match {
+            case Some(names) =>
+              val ps = names.map(n => new Path(logDir, n))
+              if (!ps.forall(fs.exists)) return None
+              ckpt = Some(ps)
+            case None =>
+              if (jsonStringArray(txt, "files").isDefined) return None
+              deltas.prepend((jsonStringArray(txt, "add").getOrElse(Nil),
+                jsonStringArray(txt, "remove").getOrElse(Nil)))
+              i -= 1
+          }
       }
     }
     val present = scala.collection.mutable.LinkedHashMap[String, Boolean]()
@@ -2305,7 +2314,7 @@ final class ManagedTable(spark: SparkSession, val path: String)
   private def remapFiles(mapping: Map[String, String]): Unit = {
     if (!fs.exists(logDir) || mapping.isEmpty) return
     manifestsRemapped = true
-    fs.listStatus(logDir).filter { st =>
+    (fs.listStatus(logDir) ++ retroPointerStatuses).filter { st =>
       val n = st.getPath.getName
       st.isFile && n.startsWith("v") && n.endsWith(".json")
     }.foreach { st =>
@@ -2565,35 +2574,60 @@ final class ManagedTable(spark: SparkSession, val path: String)
     // dir or folds the sidecar base — O(churn) driver work. Symlink-
     // manifest tables stay on the listing path (their per-commit manifest
     // tree is O(live) by its own design); so does every checkpoint/
-    // boundary commit, which re-verifies against the dir.
+    // boundary commit, which re-verifies against the dir — EXCEPT under
+    // `graft.manifest.asyncCheckpoint`, where a checkpoint-due commit
+    // also goes O(churn) and the checkpoint (plus the dir verification)
+    // runs as post-commit maintenance instead: Delta's actual shape,
+    // where every commit is a delta JSON and checkpoints trail
+    // asynchronously behind `_last_checkpoint`. The delta chain
+    // tolerates the lag by construction — reads fold the nearest
+    // checkpoint (manifest-embedded or retro) plus deltas.
+    val asyncCkpt =
+      properties.get("graft.manifest.asyncCheckpoint").contains("true")
     if (churn.isDefined && filesExplicit.isEmpty && !manifestsRemapped &&
-        v % ckptEvery != 0 &&
+        (v % ckptEvery != 0 || asyncCkpt) &&
         operation != "BOOTSTRAP" && operation != "RECOVER" &&
         fs.exists(new Path(logDir, "_latest_files.txt")) &&
         !properties.get(symlinkAutoProp).contains("true")) {
-      CommitLiveCache.get(qualifiedRoot, v - 1) match {
+      // a fresh process's first commit: the state cache is cold but the
+      // handle HAS verified dir↔log at v-1 (ensureBootstrapped) — seed
+      // the state from the log (checkpoint rows + churn) instead of
+      // paying the listing path's second O(live) pass
+      CommitLiveCache.get(qualifiedRoot, v - 1)
+        .orElse(if (trustedDirVersion == v - 1) {
+          val seeded = seedStateFromLog(v - 1)
+          seeded.foreach(CommitLiveCache.put(qualifiedRoot, _))
+          seeded
+        } else None) match {
         case Some(st) =>
           commitFromState(v, st, operation, partitionCols0, txn, dvNew,
             churn.get)
+          if (asyncCkpt && v % ckptEvery == 0)
+            CheckpointMaintenance.schedule(this)
           return
         case None => ()
       }
     }
     // filesExplicit: a shallow clone's founding commit records the SOURCE's
     // files — the live dir is empty by design and must not be listed.
-    // checkpointFromState (opt-in, Delta's exact trust model): a
-    // checkpoint-due commit with declared churn + trusted parent state
-    // assembles its full file list from state ± churn instead of listing —
-    // EVERY commit is then listing-free and the dir is verified only at
-    // BOOTSTRAP/RECOVER and fresh-handle checks. On an object store a
-    // 1e7-file recursive listing is the checkpoint commit's long pole
-    // (10k+ LIST pages); the trade is that out-of-band dir edits stay
-    // outside the log until a fresh handle's consistency check instead of
-    // being absorbed by the next checkpoint's listing.
+    // checkpointFromState (DEFAULT ON since r11 — Delta's exact trust
+    // model; `graft.manifest.checkpointFromState=false` restores the
+    // r10 listing behavior): a checkpoint-due commit with declared
+    // churn + trusted parent state assembles its full file list from
+    // state ± churn instead of listing — EVERY commit is then
+    // listing-free and the dir is verified only at BOOTSTRAP/RECOVER,
+    // fresh-handle checks, and (under asyncCheckpoint) the maintenance
+    // verification. On an object store a 1e7-file recursive listing is
+    // the checkpoint commit's long pole (10k+ LIST pages; ManifestBench
+    // CKPT-FROM-STATE A/B measures the local-fs delta); the trade is
+    // that out-of-band dir edits stay outside the log until a trust
+    // boundary instead of being absorbed by the next checkpoint's
+    // listing. Soaked by OccSpec (writers straddling a state-assembled
+    // checkpoint) and CommitFastPathSpec before the default flip.
     val stateFiles: Option[Seq[(String, Long)]] =
       if (churn.isEmpty || filesExplicit.isDefined || manifestsRemapped ||
           operation == "BOOTSTRAP" || operation == "RECOVER" ||
-          !properties.get("graft.manifest.checkpointFromState").contains("true"))
+          properties.get("graft.manifest.checkpointFromState").contains("false"))
         None
       else CommitLiveCache.get(qualifiedRoot, v - 1).map { st =>
         val (added0, removed0) = churn.get
@@ -2731,6 +2765,11 @@ final class ManagedTable(spark: SparkSession, val path: String)
         files.map { case (p, len) => p -> (len, metas(p).rows) }.toMap,
         metas.values.map(_.rows).sum, files.map(_._2).sum))
       trustedDirVersion = v
+      // only a commit that actually LISTED the dir resolves a drift
+      // flag — a state-assembled checkpoint commit read no dir at all
+      // (under drift the state is invalidated, so this commit always
+      // listed; the guard is for the general case)
+      if (stateFiles.isEmpty) CommitLiveCache.clearDrift(qualifiedRoot)
     }
     // opt-in exception to the no-data-pass commit: declared bloom indexes
     // read the NEW files once (cost tracks the write, not the table)
@@ -2881,7 +2920,7 @@ final class ManagedTable(spark: SparkSession, val path: String)
     */
   val supportedReaderFeatures: Set[String] =
     Set("deletion-vectors", "shallow-clone", "row-tracking", "column-mapping",
-      "checkpoint-parquet", "checkpoint-parquet-multipart")
+      "checkpoint-parquet", "checkpoint-parquet-multipart", "checkpoint-retro")
 
   /** Writer features THIS build honors on mutation — a writer lacking one
     * could commit while silently breaking invariants other clients rely
@@ -3328,7 +3367,10 @@ final class ManagedTable(spark: SparkSession, val path: String)
     // one sidecar layer but not the other would leave them inconsistent.
     // `_latest_files.txt` is rewritten wholesale by the commit that
     // immediately follows every move, so it needs no remap either.
-    fs.listStatus(logDir).filter { st =>
+    // Retro pointers (async checkpoints) carry jstr paths exactly like
+    // manifests when the format is inline — sweep them with the same
+    // rewrite (their parquet sidecars ride remapCheckpointSidecars).
+    (fs.listStatus(logDir) ++ retroPointerStatuses).filter { st =>
       val n = st.getPath.getName
       st.isFile && n.startsWith("v") && n.endsWith(".json")
     }.foreach { st =>
@@ -3644,6 +3686,449 @@ final class ManagedTable(spark: SparkSession, val path: String)
     out.toSeq
   }
 
+  // ---- retro (async) checkpoints ---------------------------------------
+  //
+  // `graft.manifest.asyncCheckpoint = true` moves the checkpoint OFF the
+  // commit path: a checkpoint-due commit writes its ordinary O(churn)
+  // delta manifest and post-commit maintenance later publishes a RETRO
+  // checkpoint — a pointer under `_checkpoints.d/vNNNNN.json` carrying
+  // exactly the keys a checkpoint manifest would (`files` /
+  // `filesParquet` / `filesParquetParts`), with the parquet sidecars
+  // under their usual `vNNNNN[.pKKK].checkpoint.parquet` names so every
+  // existing remap/retention/reap sweep covers them unchanged. Delta's
+  // design (async checkpoints trailing `_last_checkpoint`): the log
+  // tolerates a lagging checkpoint by construction — reconstruction
+  // walks back to the NEAREST base, retro or manifest-embedded — so a
+  // crash before maintenance lands costs nothing but a longer walk, and
+  // the next maintenance run (any process) publishes it.
+  //
+  // Retro checkpoints are a pure CACHE of recon(v): builds that predate
+  // them reconstruct identically from the manifest chain. The one place
+  // that changes is [[cleanupLog]]: once a horizon ANCHORS on a retro
+  // checkpoint (deleting the manifests below it), an unaware build could
+  // no longer reconstruct — so that path, and only that path, records
+  // the `checkpoint-retro` reader feature.
+
+  private def retroDir = new Path(logDir, "_checkpoints.d")
+  private[table] def retroPtrPath(v: Long) = new Path(retroDir, f"v$v%05d.json")
+
+  /** Every retro pointer's FileStatus — the remap sweeps fold these in
+    * with the manifest listing so moved tables keep reconstructing.
+    */
+  private def retroPointerStatuses: Seq[org.apache.hadoop.fs.FileStatus] =
+    if (!fs.exists(retroDir)) Nil
+    else fs.listStatus(retroDir).toSeq
+
+  /** The retro pointer text for version `v`, None when absent/unreadable. */
+  private def retroText(v: Long): Option[String] = {
+    val p = retroPtrPath(v)
+    if (!fs.exists(p)) None
+    else scala.util.Try(readTextFully(p)).toOption
+  }
+
+  /** Version `v`'s file list from its retro checkpoint, when one exists
+    * AND resolves (a dangling pointer — sidecar reaped or torn — reads
+    * as absent: the walk then uses the manifest chain, which is always
+    * sufficient).
+    */
+  private def retroFiles(v: Long): Option[Seq[String]] =
+    retroText(v).flatMap(rt =>
+      scala.util.Try(checkpointFilesOf(rt)).toOption.flatten)
+
+  /** Streaming row iterator over checkpoint sidecars — the incremental
+    * retro assembly reads the PREVIOUS checkpoint through this with O(1)
+    * driver memory per row (1e7 rows must never materialize as a Seq on
+    * the maintenance thread). Each file's reader closes when exhausted;
+    * an abandoned iterator leaks one open reader until GC, which only
+    * the count-mismatch fallback path can produce (and it drains first).
+    */
+  private def checkpointRowIter(
+      ps: Seq[Path]): Iterator[(String, Option[(Long, Long, String)])] =
+    ps.iterator.flatMap { p =>
+      new Iterator[(String, Option[(Long, Long, String)])] {
+        private val r = openCheckpointReader(p)
+        private var nextG = r.read()
+        private var closed = false
+        private def closeOnce(): Unit =
+          if (!closed) { closed = true; r.close() }
+        override def hasNext: Boolean = {
+          if (nextG == null) closeOnce()
+          nextG != null
+        }
+        override def next(): (String, Option[(Long, Long, String)]) = {
+          val g = nextG
+          nextG = r.read()
+          if (nextG == null) closeOnce()
+          checkpointRow(g)
+        }
+      }
+    }
+
+  /** Nearest version ≤ `from` whose checkpoint exists as PARQUET sidecars
+    * (retro or manifest-embedded) that are all present on disk — the
+    * incremental assembly's base. Walks manifests like [[manifestFiles]]
+    * but reads no sidecar content.
+    */
+  private def nearestParquetCheckpoint(from: Long): Option[(Long, Seq[Path])] = {
+    var i = from
+    while (i >= 0) {
+      val names = retroText(i).flatMap(checkpointSidecarsOf)
+        .orElse(scala.util.Try(checkpointSidecarsOf(manifestText(i))).toOption.flatten)
+      names match {
+        case Some(ns) =>
+          val ps = ns.map(n => new Path(logDir, n))
+          if (ps.forall(fs.exists)) return Some((i, ps))
+        case None => ()
+      }
+      // an inline-JSON checkpoint manifest ends the walk too — there is
+      // no parquet base at or below it worth folding MORE deltas over
+      if (scala.util.Try(jsonStringArray(manifestText(i), "files").isDefined)
+          .getOrElse(false)) return None
+      i -= 1
+    }
+    None
+  }
+
+  /** Assemble version `v`'s full checkpoint rows INCREMENTALLY: the
+    * nearest parquet checkpoint's rows stream through live-filtered
+    * (path still in `st`, length unchanged, not delta-touched since) and
+    * the files added since serve from the per-commit sidecar segments
+    * (recovering post-compaction adds by stream-filtering the base) —
+    * O(churn) driver memory on top of the state map the caller already
+    * holds, never a sidecar-base parse. This is Delta's incremental
+    * checkpointing shape: new checkpoint = old checkpoint ± churn.
+    *
+    * Returns None when no parquet base exists (first checkpoint, or
+    * inline-JSON format) — the caller then streams the sidecar instead.
+    * The iterator's row count must be verified against `st.files.size`
+    * by the consumer (a concurrent compaction can race the stream); the
+    * write path does exactly that and falls back on mismatch.
+    */
+  private def incrementalCheckpointRows(v: Long, st: CommitLiveCache.State)
+      : Option[Iterator[(String, Option[(Long, Long, String)])]] = {
+    val (pv, parts) = nearestParquetCheckpoint(v - 1).getOrElse(return None)
+    // net churn in (pv, v]: every touched path is EXCLUDED from the base
+    // stream (same discipline as distributedBase — a re-added path must
+    // serve from its current sidecar metadata, not stale checkpoint rows)
+    val touched = scala.collection.mutable.LinkedHashMap[String, Boolean]()
+    var i = pv + 1
+    while (i <= v) {
+      val txt = manifestText(i)
+      // no i in (pv, v] can be a checkpoint manifest: a parquet one would
+      // have been the nearest base and an inline one aborts the base walk
+      // (and v itself is a fast-path delta by the caller's contract) —
+      // bail to the sidecar stream rather than fold wrong if that
+      // invariant is ever broken
+      if (jsonStringArray(txt, "files").isDefined ||
+          checkpointSidecarsOf(txt).isDefined) return None
+      jsonStringArray(txt, "add").getOrElse(Nil).foreach(touched(_) = true)
+      jsonStringArray(txt, "remove").getOrElse(Nil).foreach(touched(_) = false)
+      i += 1
+    }
+    val addsLive = touched.collect {
+      case (p, true) if st.files.contains(p) => p }.toSeq
+    val excluded = touched.keySet.toSet
+    val addMeta = addsMeta(addsLive) // segments + base-filtered recovery
+    val nc = statsColsNow
+    val addRows = addsLive.iterator.map { p =>
+      val (len, _) = st.files(p)
+      val m = addMeta.get(p).collect { case (l, fm) if l == len => fm }
+        .getOrElse(footerMeta(new Path(p), nc))
+      (p, Some((len, m.rows, MetadataPlane.statsCells(m.stats))))
+    }
+    val baseRows = checkpointRowIter(parts).filter { case (p, meta) =>
+      !excluded.contains(p) && (meta match {
+        case Some((len, _, _)) => st.files.get(p).exists(_._1 == len)
+        case None => st.files.contains(p) // v1 path-only row: keep if live
+      })
+    }
+    Some(baseRows ++ addRows)
+  }
+
+  /** Checkpoint rows for `v` streamed from the stats sidecar (base +
+    * segments) when no parquet base exists: segments fold small (recent
+    * churn), the base streams line-by-line — O(segments + 1 row) driver
+    * memory beyond the state map. Every live file has an entry by
+    * construction; the consumer count-verifies like the incremental path.
+    */
+  private def sidecarCheckpointRows(st: CommitLiveCache.State)
+      : Iterator[(String, Option[(Long, Long, String)])] = {
+    val segMap = sidecarSegments
+      .foldLeft(Map.empty[String, (Long, FileMeta)])(
+        (m, s) => m ++ readSidecarFile(s))
+    def row(p: String, len: Long, m: FileMeta) =
+      (p, Some((len, m.rows, MetadataPlane.statsCells(m.stats))))
+    val baseIter: Iterator[(String, Option[(Long, Long, String)])] =
+      if (!fs.exists(sidecarBase)) Iterator.empty
+      else {
+        val in = fs.open(sidecarBase)
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; in.close() }
+        val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        new Iterator[(String, Option[(Long, Long, String)])] {
+          private var nextRow: (String, Option[(Long, Long, String)]) = advance()
+          @annotation.tailrec private def advance()
+              : (String, Option[(Long, Long, String)]) = {
+            if (!lines.hasNext) { closeOnce(); null }
+            else MetadataPlane.parseLine(lines.next()) match {
+              case Some(e) if !segMap.contains(e.path) &&
+                  st.files.get(e.path).exists(_._1 == e.len) =>
+                row(e.path, e.len, FileMeta(e.rows, e.stats))
+              case _ => advance()
+            }
+          }
+          override def hasNext: Boolean = nextRow != null
+          override def next(): (String, Option[(Long, Long, String)]) = {
+            val r = nextRow; nextRow = advance(); r
+          }
+        }
+      }
+    val segIter = segMap.iterator.collect {
+      case (p, (len, m)) if st.files.get(p).exists(_._1 == len) =>
+        row(p, len, m)
+    }
+    baseIter ++ segIter
+  }
+
+  /** Write `rows` as version `v`'s checkpoint sidecars in the table's
+    * configured format, streaming (sequential parts of `partSize`, each
+    * an atomic publish); returns (the pointer's file-entry JSON, rows
+    * written). Inline-JSON format callers never get here — they build
+    * the entry from the state directly.
+    */
+  private def writeRetroSidecars(v: Long,
+      rows: Iterator[(String, Option[(Long, Long, String)])]): (String, Long) = {
+    val partSize = checkpointPartSize
+    if (partSize > 0) {
+      val names = scala.collection.mutable.ArrayBuffer[String]()
+      var total = 0L
+      val grouped = rows.grouped(partSize)
+      while (grouped.hasNext) {
+        val chunk = grouped.next()
+        val p = ckptPartPath(v, names.size)
+        writeCheckpointParquet(p, chunk)
+        names += p.getName
+        total += chunk.size
+      }
+      if (names.isEmpty) { // empty table still needs a valid pointer
+        writeCheckpointParquet(ckptPartPath(v, 0), Nil)
+        names += ckptPartPath(v, 0).getName
+      }
+      (s""""filesParquetParts":[${names.map(jstr).mkString(",")}]""", total)
+    } else {
+      var total = 0L
+      val counted = rows.map { r => total += 1; r }
+      writeCheckpointParquetIter(ckptParquetPath(v), counted)
+      (s""""filesParquet":${jstr(ckptParquetPath(v).getName)}""", total)
+    }
+  }
+
+  /** Publish the retro checkpoint for the latest version whose state this
+    * process holds, then (opportunistically, lease permitting) verify the
+    * live dir against it — the post-commit maintenance behind
+    * `graft.manifest.asyncCheckpoint`, normally run on the
+    * [[CheckpointMaintenance]] thread but callable directly (tests, an
+    * operator's catch-up after a crash). Idempotent and safe to race:
+    * sidecar writes are atomic per part with content deterministic in
+    * (version, state), and the pointer publishes under a short lease
+    * window that re-checks the version — a remap/commit that lands first
+    * simply voids this attempt (the next maintenance re-runs).
+    */
+  private[table] def runCheckpointMaintenance(): Unit = {
+    val st = CommitLiveCache.getAny(qualifiedRoot).getOrElse {
+      logInfo(s"checkpoint maintenance on $path: no cached state (evicted " +
+        "or never seeded) — skipping; the next listing-path commit checkpoints")
+      return
+    }
+    val v = st.version
+    val already = fs.exists(retroPtrPath(v)) ||
+      scala.util.Try { val txt = manifestText(v)
+        jsonStringArray(txt, "files").isDefined ||
+          checkpointSidecarsOf(txt).isDefined }.getOrElse(false)
+    if (!already) {
+      if (checkpointFormatParquet) {
+        val rows = incrementalCheckpointRows(v, st)
+          .getOrElse(sidecarCheckpointRows(st))
+        val (entry, n) = writeRetroSidecars(v, rows)
+        val finalEntry =
+          if (n == st.files.size) entry
+          else {
+            // a concurrent compaction/cleanup raced the stream: rebuild
+            // from the always-correct materialized fold (rare, bounded)
+            logWarning(s"checkpoint maintenance on $path: streamed $n rows " +
+              s"for ${st.files.size} live files — rebuilding from fileMeta")
+            val files = st.files.toSeq.map { case (p, (len, _)) => (p, len) }
+            val metas = fileMeta(files)
+            writeRetroSidecars(v, files.iterator.map { case (p, len) =>
+              (p, Some((len, metas(p).rows,
+                MetadataPlane.statsCells(metas(p).stats))))
+            })._1
+          }
+        publishRetroPointer(v, finalEntry)
+      } else {
+        // inline-JSON checkpoint format: the pointer carries the file
+        // list itself (the ≤1e6-file regime; no sidecar to stream)
+        publishRetroPointer(v,
+          s""""files":[${st.files.keys.toSeq.sorted.map(jstr).mkString(",")}]""")
+      }
+    }
+    // `graft.manifest.verifyDirInMaintenance = false` opts out of the
+    // dir listing entirely — Delta's pure trust model (log is truth,
+    // out-of-band edits surface only at a fresh handle's consistency
+    // check), the right trade on object stores where a 1e7-file
+    // recursive listing is 10k+ LIST pages per maintenance run
+    if (!properties.get("graft.manifest.verifyDirInMaintenance")
+        .contains("false"))
+      verifyDirOpportunistic()
+  }
+
+  /** Publish the retro pointer WITHOUT ever touching the commit lease —
+    * maintenance must never make a fail-fast foreground writer error out
+    * just because a background pointer rename was in flight. Safety
+    * against the one mutation class that could invalidate the pointer's
+    * content (remaps, which rewrite historical checkpoint paths and
+    * always commit a version): publish, then retract if a mutation
+    * overlapped. Either the remap's sweep started after our pointer
+    * landed (the sweep rewrites it like any checkpoint artifact), or the
+    * post-publish check sees the held lease / moved version and deletes
+    * the pointer — it is a pure cache, so retraction costs only the next
+    * maintenance run. Orphan sidecars from an abandoned publish are
+    * reaped by retention.
+    */
+  private def publishRetroPointer(v: Long, fileEntry: String): Unit = {
+    if (version != v) {
+      logInfo(s"checkpoint maintenance on $path: version moved past $v " +
+        "before publish — abandoned (next maintenance covers it)")
+      return
+    }
+    writeAtomic(retroPtrPath(v), s"""{"version":$v,$fileEntry}""")
+    if (fs.exists(lockFile) || version != v) {
+      fs.delete(retroPtrPath(v), false)
+      logInfo(s"checkpoint maintenance on $path: a mutation overlapped " +
+        s"the v$v pointer publish — retracted (next maintenance re-runs)")
+    }
+  }
+
+  /** The dir-verification half of async maintenance, also LEASE-FREE: a
+    * listing is only trusted when no writer held the lease before or
+    * after it and the version stayed put — any overlap discards the
+    * result (a mid-publish listing would report staged files as drift).
+    * Confirmed drift — an out-of-band writer — invalidates the state
+    * cache so the NEXT commit takes the listing path and absorbs it into
+    * the log, the same bounded-drift contract the synchronous
+    * checkpoint's listing used to provide. A commit racing the
+    * invalidation can reinstate its own state first; the drift then
+    * surfaces again at the next maintenance run — absorption is
+    * eventual, never lost.
+    */
+  private def verifyDirOpportunistic(): Unit = {
+    try {
+      if (fs.exists(lockFile)) return // writer mid-mutation: skip this round
+      val stOpt = CommitLiveCache.getAny(qualifiedRoot)
+        .filter(_.version == version)
+      stOpt.foreach { st =>
+        val live = listParquet(new Path(path))
+          .map(f => fs.makeQualified(new Path(f._1)).toString).toSet
+        val raced = fs.exists(lockFile) || version != st.version
+        if (!raced) {
+          if (live != st.files.keySet) {
+            logWarning(s"checkpoint maintenance on $path: live dir " +
+              s"diverged from state at v${st.version} " +
+              s"(${live.size} on disk vs ${st.files.size} cached) — " +
+              "invalidating; the next commit re-lists and absorbs")
+            // markDrift, not plain invalidation: seedStateFromLog would
+            // otherwise faithfully rebuild the pre-drift state from the
+            // log and the strays would never be absorbed
+            CommitLiveCache.markDrift(qualifiedRoot)
+            trustedDirVersion = Long.MinValue
+          } else trustedDirVersion = st.version
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"checkpoint maintenance on $path: dir verification " +
+          s"skipped (${e.getMessage})")
+    }
+  }
+
+  /** Block until every checkpoint-maintenance task queued so far ran —
+    * the deterministic hook benches and operators use before measuring
+    * or shutting down.
+    */
+  def awaitCheckpointMaintenance(): Unit = CheckpointMaintenance.await()
+
+  /** Reconstruct the parent commit state — path → (len, rows) plus the
+    * running totals — from the LOG (checkpoint rows + delta churn +
+    * sidecar lengths), so the FIRST commit of a fresh process goes
+    * O(churn) like every later one instead of paying the listing path's
+    * O(live) dir list + sidecar fold. Only consulted when THIS handle
+    * already verified dir↔log consistency for `v0`
+    * (`trustedDirVersion`, set by [[ensureBootstrapped]]'s boundary
+    * check), so the trust model is unchanged — this replaces the
+    * listing fold's REDUNDANT second pass, not the verification.
+    *
+    * Above the distributed-planning cutover the checkpoint rows decode
+    * as a SPARK JOB (the cluster parses, the driver collects only the
+    * (path, len, rows) triples it must hold anyway — the OCC-commit
+    * analogue of the read paths' checkpoint-row job); below it a driver
+    * parquet stream. Bails (None → caller takes the listing path) on
+    * v1 path-only rows (no lengths to seed from) or any add whose
+    * sidecar entry is gone — exactness is checked against the
+    * manifest's own numFiles record.
+    */
+  private def seedStateFromLog(v0: Long): Option[CommitLiveCache.State] = {
+    if (v0 < 0) return None
+    // maintenance observed dir↔log drift: only a LISTING commit may
+    // resolve it — a log-derived seed would rebuild the pre-drift state
+    if (CommitLiveCache.driftSuspected(qualifiedRoot)) return None
+    val (parts, adds, excluded) = distributedBase(v0).getOrElse(return None)
+    val addM = addsMeta(adds)
+    val addEntries = new scala.collection.mutable.ArrayBuffer[(String, (Long, Long))]
+    adds.foreach { p =>
+      addM.get(p) match {
+        case Some((len, fm)) => addEntries += (p -> ((len, fm.rows)))
+        case None => return None
+      }
+    }
+    var incomplete = false
+    val baseEntries: Seq[(String, (Long, Long))] =
+      if (useDistributedPlanning) {
+        import spark.implicits._
+        val raw = spark.read.parquet(parts.map(_.toString): _*)
+        val cols = raw.columns.toSet
+        if (!cols("len") || !cols("rows")) return None
+        val exB = spark.sparkContext.broadcast(excluded)
+        try raw.select(col("path").cast("string"), col("len").cast("long"),
+            col("rows").cast("long"))
+          .as[(String, Option[Long], Option[Long])]
+          .flatMap { case (p, len, rows) =>
+            if (exB.value.contains(p)) None
+            // a v1 row poisons the whole seed; mark with an impossible len
+            else Some((p, len.getOrElse(-1L), rows.getOrElse(-1L)))
+          }.collect().toSeq.map { case (p, len, rows) =>
+            if (len < 0 || rows < 0) incomplete = true
+            p -> ((len, rows))
+          }
+        finally exB.destroy()
+      } else {
+        checkpointRowIter(parts).flatMap { case (p, meta) =>
+          if (excluded.contains(p)) None
+          else meta match {
+            case Some((len, rows, _)) => Some(p -> ((len, rows)))
+            case None => incomplete = true; None
+          }
+        }.toSeq
+      }
+    if (incomplete) return None
+    val files = (baseEntries ++ addEntries).toMap
+    // exactness cross-check against the commit's own record: any
+    // disagreement (raced compaction, truncated sidecar) → listing path
+    val expected = historyRows.find(_.version == v0).map(_.numFiles)
+    if (!expected.contains(files.size.toLong)) return None
+    Some(CommitLiveCache.State(v0, files,
+      files.valuesIterator.map(_._2).sum, files.valuesIterator.map(_._1).sum))
+  }
+
   /** Single-string JSON extractor for OUR manifests (same escape rules as
     * [[jsonStringArray]]).
     */
@@ -3700,13 +4185,19 @@ final class ManagedTable(spark: SparkSession, val path: String)
     while (base.isEmpty) {
       require(i >= 0,
         s"no checkpoint manifest at or below v$v in $logDir — corrupt log")
-      val txt = manifestText(i)
-      checkpointFilesOf(txt) match {
-        case some @ Some(_) => base = some
-        case None =>
-          deltas.prepend((jsonStringArray(txt, "add").getOrElse(Nil),
-            jsonStringArray(txt, "remove").getOrElse(Nil)))
-          i -= 1
+      // a retro (async) checkpoint at i ends the walk exactly like a
+      // checkpoint manifest — it IS recon(i), published post-commit; a
+      // dangling pointer reads as absent and the manifest chain covers
+      base = retroFiles(i)
+      if (base.isEmpty) {
+        val txt = manifestText(i)
+        checkpointFilesOf(txt) match {
+          case some @ Some(_) => base = some
+          case None =>
+            deltas.prepend((jsonStringArray(txt, "add").getOrElse(Nil),
+              jsonStringArray(txt, "remove").getOrElse(Nil)))
+            i -= 1
+        }
       }
     }
     deltas.foldLeft(base.get.toSet) { case (s, (a, r)) => s ++ a -- r }
@@ -4072,16 +4563,32 @@ final class ManagedTable(spark: SparkSession, val path: String)
     // rename can leave the pointer dangling, and anchoring on it would
     // delete every earlier manifest while reconstruction at the anchor
     // itself is broken — same conservatism as the inline-JSON path
+    def manifestAnchors(h: Long): Boolean = {
+      val txt = manifestText(h)
+      jsonStringArray(txt, "files").isDefined ||
+        checkpointSidecarsOf(txt).exists(names =>
+          names.forall(n => fs.exists(new Path(logDir, n))))
+    }
+    // a RETRO checkpoint anchors too (async-checkpoint logs may hold
+    // nothing but deltas) — but only with its artifacts verifiably
+    // present, same conservatism as the pointer-manifest check
+    def retroAnchors(h: Long): Boolean = retroText(h).exists { rt =>
+      jsonStringArray(rt, "files").isDefined ||
+        checkpointSidecarsOf(rt).exists(names =>
+          names.forall(n => fs.exists(new Path(logDir, n))))
+    }
     var horizon = beforeV
-    while (horizon > 0 && {
-        val txt = manifestText(horizon)
-        jsonStringArray(txt, "files").isEmpty &&
-          !checkpointSidecarsOf(txt).exists(names =>
-            names.forall(n => fs.exists(new Path(logDir, n))))
-      })
+    while (horizon > 0 && !manifestAnchors(horizon) && !retroAnchors(horizon))
       horizon -= 1
+    // anchoring on a retro checkpoint ALONE (the manifest at the horizon
+    // is a delta) is the one moment retro-unawareness turns from slower
+    // into WRONG — a build that ignores `_checkpoints.d` would walk past
+    // the horizon into deleted manifests. Gate readers before deleting.
+    if (horizon > 0 && !manifestAnchors(horizon))
+      ensureFeature("checkpoint-retro", reader = true)
     (0L until horizon).foreach { v =>
       fs.delete(new Path(logDir, f"v$v%05d.json"), false)
+      fs.delete(retroPtrPath(v), false)
       fs.delete(ckptParquetPath(v), false)
       fs.delete(dvFile(v), false)
     }
@@ -7023,6 +7530,14 @@ private[table] class CommitLiveCacheBudgeted(val maxTables: Int,
     Option(lru.get(root)).filter(_.version == expectVersion)
   }
 
+  /** The cached state whatever its version — checkpoint maintenance
+    * checkpoints the LATEST state it can see (a later commit than the
+    * one that scheduled it is strictly better: fewer trailing deltas).
+    */
+  def getAny(root: String): Option[State] = synchronized {
+    Option(lru.get(root))
+  }
+
   def put(root: String, st: State): Unit = synchronized {
     Option(lru.remove(root)).foreach(old => totalEntriesVar -= old.files.size)
     lru.put(root, st)
@@ -7041,6 +7556,19 @@ private[table] class CommitLiveCacheBudgeted(val maxTables: Int,
   def invalidate(root: String): Unit = synchronized {
     Option(lru.remove(root)).foreach(old => totalEntriesVar -= old.files.size)
   }
+
+  /** Roots where maintenance OBSERVED dir↔log drift: state must not be
+    * re-seeded from the log (seedStateFromLog would faithfully rebuild
+    * the pre-drift live set and the out-of-band files would never be
+    * absorbed) until a LISTING-path commit re-reads the dir as truth
+    * and clears the flag. Plain invalidation is not enough — the log
+    * can resurrect the state; only a listing can resolve the drift.
+    */
+  private val drift = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def markDrift(root: String): Unit = { invalidate(root); drift.add(root); () }
+  def driftSuspected(root: String): Boolean = drift.contains(root)
+  def clearDrift(root: String): Unit = { drift.remove(root); () }
 }
 
 private[table] object CommitLiveCache
@@ -7048,6 +7576,59 @@ private[table] object CommitLiveCache
   final case class State(version: Long,
                          files: Map[String, (Long, Long)], // path -> (len, rows)
                          liveRows: Long, sizeBytes: Long)
+}
+
+/** Post-commit checkpoint maintenance behind
+  * `graft.manifest.asyncCheckpoint`: one process-wide daemon thread
+  * drains retro-checkpoint tasks FIFO (a driver hot-writes a handful of
+  * tables; serializing their maintenance bounds background I/O).
+  * Scheduling coalesces per table root — a burst of checkpoint-due
+  * commits queues ONE run, which checkpoints the latest state it sees.
+  * Failures log and drop: the delta chain never depends on a checkpoint
+  * landing, and the next checkpoint-due commit reschedules. A JVM exit
+  * with a task queued loses nothing but walk depth — identical to the
+  * crash-before-checkpoint window the design tolerates.
+  */
+private[table] object CheckpointMaintenance
+    extends org.apache.spark.internal.Logging {
+  /** Test hook: while true, [[schedule]] drops tasks — specs use it to
+    * pin the trailing-checkpoint window deterministically.
+    */
+  @volatile private[table] var suspended: Boolean = false
+
+  private val queued =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val pool = java.util.concurrent.Executors.newSingleThreadExecutor(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-checkpoint-maintenance")
+      t.setDaemon(true)
+      t
+    })
+
+  def schedule(t: ManagedTable): Unit = {
+    if (suspended) return
+    val key = t.path
+    if (queued.add(key)) {
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          queued.remove(key)
+          try t.runCheckpointMaintenance()
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              logWarning(s"async checkpoint maintenance failed on $key " +
+                s"(next checkpoint-due commit reschedules): $e")
+          }
+        }
+      })
+      ()
+    }
+  }
+
+  /** Block until every task queued before this call ran. */
+  def await(): Unit = {
+    pool.submit(new Runnable { def run(): Unit = () }).get()
+    ()
+  }
 }
 
 private[table] case class FileMeta(rows: Long, stats: FileStats)

@@ -228,6 +228,113 @@ object ManifestBench {
           f" — p50 flat vs n is the manifest-is-truth contract")
         fs.delete(new Path(croot).getParent, true)
       }
+      // ---- ASYNC CHECKPOINT (r11): with graft.manifest.asyncCheckpoint
+      // the checkpoint-due commit is as fast as the others — it writes a
+      // plain delta and the checkpoint trails as maintenance, assembled
+      // INCREMENTALLY from the previous parquet checkpoint ± churn
+      // (Delta's async + incremental checkpointing). Measured: per-commit
+      // latency THROUGH two checkpoint boundaries against an n-file
+      // parent state, then the trailing maintenance catch-up time (the
+      // old inline cost: the ~60 s sidecar fold + sync write at 1e7).
+      locally {
+        val croot = java.nio.file.Files
+          .createTempDirectory(s"async-ckpt-bench-$exp").toString + "/t"
+        val ct = new ManagedTable(spark, croot)
+        import spark.implicits._
+        ct.overwrite(Seq((0L, "seed")).toDF("k", "v"))
+        ct.setProperties(Map(
+          "graft.manifest.checkpointInterval" -> "4",
+          "graft.manifest.asyncCheckpoint" -> "true",
+          "graft.manifest.verifyDirInMaintenance" -> "false", // synthetic state
+          "graft.manifest.checkpointFormat" -> "parquet",
+          "graft.manifest.checkpointPartSize" -> (n / 8 + 1).toString))
+        val rootQ = fs.makeQualified(new Path(croot)).toString
+        val st0 = CommitLiveCache.get(rootQ, ct.version).get
+        CommitLiveCache.put(rootQ, CommitLiveCache.State(st0.version,
+          st0.files ++ (0L until n).map(i => p(i) -> ((1000L, 100L))),
+          st0.liveRows + 100L * n, st0.sizeBytes + 1000L * n))
+        // seed the incremental base: a parquet checkpoint of the current
+        // state (v1 path-only rows are fine), pointed at by a retro entry
+        val stSeed = CommitLiveCache.get(rootQ, ct.version).get
+        val seedNames = ct.writeCheckpointParquetParts(ct.version,
+          stSeed.files.keys.toSeq.sorted.map(_ -> None), (n / 8 + 1).toInt)
+        val ptrOut = fs.create(ct.retroPtrPath(ct.version), true)
+        try ptrOut.write((s"""{"version":${ct.version},""" +
+          s""""filesParquetParts":[${seedNames.map(s => "\"" + s + "\"")
+            .mkString(",")}]}""").getBytes("UTF-8"))
+        finally ptrOut.close()
+        val times = (1 to 8).map { i =>
+          val tA0 = System.nanoTime()
+          ct.append(Seq((i.toLong, s"row$i")).toDF("k", "v"))
+          (System.nanoTime() - tA0) / 1e6
+        }
+        val tM0 = System.nanoTime()
+        ct.awaitCheckpointMaintenance()
+        val maintMs = (System.nanoTime() - tM0) / 1e6
+        println(f"[manifest-bench] n=$n%,d live files ASYNC-CKPT COMMITS " +
+          f"(interval 4; checkpoint-due at appends 4 and 8): " +
+          times.map(t => f"$t%.0f ms").mkString(", ") +
+          f" — boundary == non-boundary is the async contract; " +
+          f"trailing incremental checkpoint catch-up=$maintMs%.0f ms")
+        fs.delete(new Path(croot).getParent, true)
+      }
+      // ---- CHECKPOINT-FROM-STATE A/B (r11 soak): the same checkpoint-due
+      // commit measured on the LISTING path vs assembled from state ±
+      // churn (graft.manifest.checkpointFromState) — over n REAL (empty,
+      // sidecar-covered) files so the listing side pays genuine dir-walk
+      // RPCs, the cost the state path deletes. Run at ≤1e6 (creating 1e7
+      // real files is not a bench, it's an outage).
+      if (n <= 1000000) locally {
+        val croot = java.nio.file.Files
+          .createTempDirectory(s"cfs-bench-$exp").toString + "/t"
+        val ct = new ManagedTable(spark, croot)
+        import spark.implicits._
+        ct.overwrite(Seq((0L, "seed")).toDF("k", "v"))
+        ct.setProperties(Map(
+          "graft.manifest.checkpointInterval" -> "4",
+          "graft.manifest.checkpointFormat" -> "parquet",
+          "graft.manifest.checkpointPartSize" -> (n / 8 + 1).toString,
+          // side A measures the r10 LISTING behavior (default is now on)
+          "graft.manifest.checkpointFromState" -> "false"))
+        // n empty part files, each pre-covered by a sidecar entry keyed
+        // (path, len=0) so no fold ever opens a footer
+        val dataDir = new Path(croot)
+        import scala.collection.parallel.CollectionConverters._
+        def rp(i: Long) = new Path(dataDir, f"part-$i%09d-cfs.parquet")
+        (0L until n).toVector.par.foreach(i => fs.create(rp(i), true).close())
+        val bsb2 = new java.lang.StringBuilder(96 * n.toInt)
+        var bj = 0L
+        while (bj < n) {
+          bsb2.append(MetadataPlane.sidecarLine(MetadataPlane.Entry(
+            fs.makeQualified(rp(bj)).toString, 0L, 100L,
+            Map("k" -> (("i", bj.toString, bj.toString, 0L)))))).append('\n')
+          bj += 1
+        }
+        val bo = fs.create(new Path(croot + "._log", "_file_rows.txt"), true)
+        try bo.write(bsb2.toString.getBytes("UTF-8")) finally bo.close()
+        val tB0 = System.nanoTime()
+        ct.bootstrap() // RECOVER: absorbs the n files (a listing checkpoint)
+        val bootMs = (System.nanoTime() - tB0) / 1e6
+        // appends 1-3 ride the fast path; append 4 is checkpoint-due →
+        // LISTING-path checkpoint (A)
+        for (i <- 1 to 3) ct.append(Seq((i.toLong, s"r$i")).toDF("k", "v"))
+        val tA1 = System.nanoTime()
+        ct.append(Seq((100L, "ckptA")).toDF("k", "v"))
+        val listingMs = (System.nanoTime() - tA1) / 1e6
+        // appends 5-7 fast; append 8 checkpoint-due with
+        // checkpointFromState (the r11 default) → state-assembled (B)
+        ct.setProperties(Map("graft.manifest.checkpointFromState" -> "true"))
+        for (i <- 5 to 7) ct.append(Seq((i.toLong, s"r$i")).toDF("k", "v"))
+        val tB1 = System.nanoTime()
+        ct.append(Seq((101L, "ckptB")).toDF("k", "v"))
+        val stateMs = (System.nanoTime() - tB1) / 1e6
+        println(f"[manifest-bench] n=$n%,d REAL files CKPT-FROM-STATE A/B: " +
+          f"bootstrap(listing ckpt)=$bootMs%.0f ms, checkpoint-due commit " +
+          f"LISTING path=$listingMs%.0f ms vs FROM-STATE=$stateMs%.0f ms " +
+          f"(both fold the cached sidecar; the delta is the dir walk + " +
+          f"consistency sidecar rewrite the state path retires)")
+        fs.delete(new Path(croot).getParent, true)
+      }
       fs.delete(new Path(root).getParent, true)
     }
     spark.stop()

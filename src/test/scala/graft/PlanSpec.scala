@@ -246,6 +246,42 @@ class PlanSpec extends SparkSpec {
       spark.experimental.extraOptimizations.filterNot(_ eq rule)
   }
 
+  test("q143 partition-column metadata aggregates plan ZERO file scans and " +
+      "match the scan exactly") {
+    import spark.implicits._
+    val wh = tmpDir("plan-moa-part")
+    val t = new graft.table.ManagedTable(spark, s"$wh/p")
+    t.overwrite(Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "C"), (5L, "C"),
+      (6L, "C")).toDF("k", "status"), Seq("status"))
+    t.read.createOrReplaceTempView("plan_moa_part")
+    val grpSql = """SELECT status, COUNT(*) AS n FROM plan_moa_part
+                    GROUP BY status ORDER BY status"""
+    val dstSql = "SELECT DISTINCT status FROM plan_moa_part ORDER BY status"
+    val mmSql = "SELECT MIN(status) AS mn, MAX(status) AS mx FROM plan_moa_part"
+    val truth = (spark.sql(grpSql).collect().toSeq,
+      spark.sql(dstSql).collect().toSeq, spark.sql(mmSql).collect().toSeq)
+    val rule = new graft.sql.MetadataOnlyAggregates(spark)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ rule
+    try {
+      for ((sql, want) <- Seq((grpSql, truth._1), (dstSql, truth._2),
+          (mmSql, truth._3))) {
+        val df = spark.sql(sql)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
+          s"partition metadata aggregate still scans files:\n$plan")
+        assert(df.collect().toSeq == want,
+          s"metadata answers must equal the scan's for: $sql")
+      }
+      // a NON-partition grouping column must fall through to the scan
+      val bad = spark.sql(
+        "SELECT k, COUNT(*) AS n FROM plan_moa_part GROUP BY k")
+      assert(bad.queryExecution.executedPlan.toString.contains("Scan"),
+        "non-partition grouping must not be served from metadata")
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq rule)
+  }
+
   test("q142 rewrite declines when the dir diverges from the log (stray file)") {
     import spark.implicits._
     val wh = tmpDir("plan-moa-stray")

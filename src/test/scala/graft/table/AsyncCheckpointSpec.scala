@@ -1,0 +1,154 @@
+package graft.table
+
+import graft.SparkSpec
+
+/** Async (retro) checkpoints — `graft.manifest.asyncCheckpoint`: a
+  * checkpoint-due commit writes an ordinary O(churn) delta manifest and
+  * the checkpoint trails as post-commit maintenance under
+  * `_checkpoints.d/` (Delta's `_last_checkpoint` discipline). These
+  * cases pin the trust story end-to-end: the boundary commit really is
+  * a delta, readers fold checkpoint + trailing deltas while the
+  * checkpoint lags (the crash window), maintenance is idempotent and
+  * race-safe across handles, drift detection moves to maintenance, and
+  * log retention can anchor on a retro checkpoint behind the
+  * `checkpoint-retro` reader feature.
+  */
+class AsyncCheckpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(name: String, partSize: Int = 0) = {
+    val t = new ManagedTable(spark, tmpDir(name) + "/t")
+    t.overwrite(Seq((0L, "seed")).toDF("k", "v")) // v0: founding checkpoint
+    val base = Map(
+      "graft.manifest.asyncCheckpoint" -> "true",
+      "graft.manifest.checkpointFormat" -> "parquet")
+    t.setProperties(if (partSize > 0)
+      base + ("graft.manifest.checkpointPartSize" -> partSize.toString)
+    else base)
+    t
+  }
+
+  private def manifestText(t: ManagedTable, v: Long): String = {
+    val p = java.nio.file.Paths.get(t.path + "._log", f"v$v%05d.json")
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+  }
+
+  private def retroPtr(t: ManagedTable, v: Long) =
+    new java.io.File(t.path + f"._log/_checkpoints.d/v$v%05d.json")
+
+  test("the checkpoint-due commit is a delta; reads fold the lagging chain; " +
+      "maintenance publishes the retro checkpoint") {
+    CheckpointMaintenance.suspended = true
+    try {
+      val t = freshTable("ac-basic")
+      for (i <- 1 to 13) t.append(Seq((i.toLong, s"r$i")).toDF("k", "v"))
+      // v10 was checkpoint-due (default interval 10) but committed as a
+      // pure delta — the Nth commit is as fast as the others
+      val txt = manifestText(t, 10L)
+      assert(txt.contains("\"add\":[") && !txt.contains("\"files\"") &&
+        !txt.contains("filesParquet"), s"v10 should be a delta: $txt")
+      // the crash window: no retro checkpoint has landed, every read
+      // folds v0's checkpoint + 13 deltas and is still exact
+      assert(!new java.io.File(t.path + "._log/_checkpoints.d").exists())
+      assert(t.read.count() == 14L)
+      assert(t.readVersion(10).count() == 11L)
+      val truth = t.read.orderBy("k").as[(Long, String)].collect().toSeq
+      // "recovery": any process's next maintenance run publishes the
+      // trailing checkpoint — here invoked directly, as after a crash
+      t.runCheckpointMaintenance()
+      assert(retroPtr(t, 13L).exists(),
+        "maintenance should checkpoint the latest state (v13)")
+      val fresh = new ManagedTable(spark, t.path)
+      assert(fresh.read.orderBy("k").as[(Long, String)].collect().toSeq
+        == truth)
+      assert(fresh.readVersion(11).count() == 12L)
+      // idempotent: a second run (the re-scheduled maintenance) is a no-op
+      t.runCheckpointMaintenance()
+      assert(t.read.count() == 14L)
+    } finally CheckpointMaintenance.suspended = false
+  }
+
+  test("scheduled maintenance lands the retro checkpoint without any await " +
+      "on the commit path") {
+    val t = freshTable("ac-sched", partSize = 4)
+    for (i <- 1 to 10) t.append(Seq((i.toLong, s"r$i")).toDF("k", "v"))
+    t.awaitCheckpointMaintenance()
+    // maintenance checkpoints the latest state it saw — some version in
+    // [10, current]; its sidecars are multi-part parquet
+    val dir = new java.io.File(t.path + "._log/_checkpoints.d")
+    assert(dir.exists() && dir.listFiles().exists(_.getName.endsWith(".json")),
+      "scheduled maintenance should have published a retro pointer")
+    val ptr = dir.listFiles().filter(_.getName.endsWith(".json")).head
+    val ptxt = new String(java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8")
+    assert(ptxt.contains("filesParquetParts"), ptxt)
+    assert(t.read.count() == 11L)
+  }
+
+  test("two handles racing the maintenance both finish; the pointer stays valid") {
+    CheckpointMaintenance.suspended = true
+    try {
+      val t1 = freshTable("ac-race", partSize = 3)
+      for (i <- 1 to 10) t1.append(Seq((i.toLong, s"r$i")).toDF("k", "v"))
+      val t2 = new ManagedTable(spark, t1.path)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = Seq(t1, t2).map { t =>
+        new Thread(() =>
+          try t.runCheckpointMaintenance()
+          catch { case e: Throwable => errs.add(e); () })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(60000))
+      assert(errs.isEmpty, s"racing maintenance threw: ${errs}")
+      assert(retroPtr(t1, 10L).exists())
+      // reconstruction through the raced retro checkpoint is exact
+      val fresh = new ManagedTable(spark, t1.path)
+      assert(fresh.readVersion(10).count() == 11L)
+      assert(fresh.read.count() == 11L)
+    } finally CheckpointMaintenance.suspended = false
+  }
+
+  test("maintenance detects out-of-band drift and the next commit absorbs it") {
+    CheckpointMaintenance.suspended = true
+    try {
+      val t = freshTable("ac-drift")
+      for (i <- 1 to 3) t.append(Seq((i.toLong, s"r$i")).toDF("k", "v"))
+      val before = t.read.count() // 4: seed + 3 appends, pre-stray
+      // out-of-band writer drops a stray parquet file into the live dir
+      val dataDir = new java.io.File(t.path)
+      val part = dataDir.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(dataDir, "part-stray-oob.parquet").toPath)
+      t.runCheckpointMaintenance() // verification invalidates the state
+      t.append(Seq((99L, "post")).toDF("k", "v")) // listing path: absorbs
+      // the stray is now IN THE LOG: a fresh handle's log-derived
+      // time-travel read of the new version serves it
+      val absorbed = new ManagedTable(spark, t.path)
+      assert(absorbed.readVersion(absorbed.version).count() ==
+        before + 1 /*append*/ + 1 /*stray row*/,
+        "the commit after drift detection should fold the stray into the log")
+      assert(t.lastFunnelOverReport == 0)
+    } finally CheckpointMaintenance.suspended = false
+  }
+
+  test("cleanupLog anchors on a retro checkpoint behind the checkpoint-retro " +
+      "reader feature") {
+    CheckpointMaintenance.suspended = true
+    try {
+      val t = freshTable("ac-retention", partSize = 3)
+      for (i <- 1 to 12) t.append(Seq((i.toLong, s"r$i")).toDF("k", "v"))
+      t.runCheckpointMaintenance() // retro at v12
+      assert(retroPtr(t, 12L).exists())
+      t.cleanupLog(12L)
+      // v12's manifest is a delta, so the horizon anchored on the retro
+      // checkpoint: manifests below are gone and the feature is recorded
+      assert(!new java.io.File(t.path + "._log/v00005.json").exists())
+      assert(new java.io.File(t.path + "._log/v00012.json").exists())
+      assert(t.protocol._1.contains("checkpoint-retro"))
+      // reconstruction at and above the horizon still works, fresh handle
+      val fresh = new ManagedTable(spark, t.path)
+      assert(fresh.read.count() == 13L)
+      assert(fresh.readVersion(12).count() == 13L)
+      // below the horizon: a clean horizon error, not a corrupt-log walk
+      intercept[Exception] { fresh.readVersion(4).count() }
+    } finally CheckpointMaintenance.suspended = false
+  }
+}

@@ -373,4 +373,74 @@ class OccSpec extends SparkSpec {
     val ids = t.read.select("rid").as[Long].collect().sorted.toSeq
     assert(ids.distinct.length == 2, s"identity ids must stay unique: $ids")
   }
+
+  test("a fresh process's first OCC commit seeds state from the checkpoint-row " +
+      "job — no listing fold (distributedPlanning=always)") {
+    val path = tmpDir("occ-seed-log") + "/t"
+    val t = new ManagedTable(spark, path)
+    t.overwrite(Seq((0L, "seed")).toDF("id", "s"))
+    t.setProperties(Map(
+      "graft.manifest.checkpointFormat" -> "parquet",
+      "graft.manifest.checkpointPartSize" -> "3",
+      "graft.metadata.distributedPlanning" -> "always"))
+    for (i <- 1 to 10) t.append(Seq((i.toLong, s"x$i")).toDF("id", "s"))
+    // v10 was a checkpoint commit: parquet rows with (len, rows) on disk.
+    // Simulate a fresh process: cold state cache, brand-new handle.
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CommitLiveCache.invalidate(
+      fsys.makeQualified(new org.apache.hadoop.fs.Path(path)).toString)
+    val t2 = new ManagedTable(spark, path)
+    val side = java.nio.file.Paths.get(path + "._log/_latest_files.txt")
+    val before = new String(java.nio.file.Files.readAllBytes(side), "UTF-8")
+    t2.appendOptimistic(Seq((99L, "occ")).toDF("id", "s"))
+    // the consistency sidecar was NOT rewritten and the manifest is a
+    // pure delta: the commit seeded its parent state from the log's
+    // checkpoint rows (Spark job under always) instead of re-listing
+    assert(new String(java.nio.file.Files.readAllBytes(side), "UTF-8")
+      == before, "listing path ran: state was not seeded from the log")
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path + "._log/v00011.json")), "UTF-8")
+    assert(txt.contains("\"add\":[") && !txt.contains("filesParquet"),
+      s"v11 should be a fast-path delta: $txt")
+    assert(new ManagedTable(spark, path).read.count() == 12L)
+    assert(t2.readVersion(11).count() == 12L)
+  }
+
+  test("optimistic writers straddling a state-assembled checkpoint commit " +
+      "stay exact (checkpointFromState soak)") {
+    val path = tmpDir("occ-cfs-race") + "/t"
+    val t = new ManagedTable(spark, path)
+    t.overwrite(Seq((0L, "seed")).toDF("id", "s"))
+    t.setProperties(Map(
+      "graft.manifest.checkpointFormat" -> "parquet",
+      "graft.manifest.checkpointFromState" -> "true"))
+    for (i <- 1 to 8) t.append(Seq((i.toLong, s"x$i")).toDF("id", "s")) // v8
+    // writer A stages against v8; mid-stage writer B lands v9 (fast
+    // delta); A then commits v10 — the CHECKPOINT-DUE version — which
+    // assembles its full file list from state ± churn, never listing
+    val a = new ManagedTable(spark, path)
+    a.occBetweenStageAndCommit = () =>
+      new ManagedTable(spark, path)
+        .appendOptimistic(Seq((200L, "writer-b")).toDF("id", "s"))
+    a.appendOptimistic(Seq((100L, "writer-a")).toDF("id", "s"))
+    a.occBetweenStageAndCommit = () => ()
+    val fresh = new ManagedTable(spark, path)
+    assert(fresh.version == 10L)
+    // v10 is a real checkpoint (walk-back ends there) and reconstructs
+    // EXACTLY the live dir — the state-assembled list missed nothing
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path + "._log/v00010.json")), "UTF-8")
+    assert(txt.contains("filesParquet"), s"v10 should be a checkpoint: $txt")
+    val recon = fresh.manifestFiles(10L).toSet
+    val live = Option(new java.io.File(path).listFiles()).get
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => "file:" + f.getAbsolutePath).toSet
+    assert(recon == live,
+      s"state-assembled checkpoint diverged: ${recon.size} vs ${live.size}")
+    assert(fresh.read.count() == 11L) // seed + 8 + A + B
+    assert(fresh.read.as[(Long, String)].collect().map(_._1).toSet
+      .contains(100L))
+    assert(fresh.readVersion(9).count() == 10L)
+  }
 }
