@@ -5639,8 +5639,49 @@ final class ManagedTable(spark: SparkSession, val path: String)
   /** The table schema, or None when it cannot be inferred — e.g. a
     * partitioned dir whose rows were all deleted leaves no data files.
     */
-  private def tableSchemaOpt: Option[org.apache.spark.sql.types.StructType] =
-    try Some(read.schema) catch { case _: Exception => None }
+  /** The table's logical read schema, served from the process-wide
+    * [[SchemaCache]] when possible: `read.schema` builds an
+    * InMemoryFileIndex over the ROOT — an O(live files) listing that
+    * made EVERY append pay seconds at 1e5+ real files (found by
+    * stack-sampling the checkpoint A/B bench: 185/200 samples inside
+    * `rd.parquet(root)`). Delta stores the schema in the log
+    * (`metaData.schemaString`); the cache is the equivalent here — keyed
+    * by (version, `_props.txt` signature) so ANY commit (files moved) or
+    * property edit (declared extras / widenings / column mapping change
+    * the logical schema without a commit) misses and recomputes, and the
+    * schema-preserving write funnels carry the entry forward to the
+    * version they created ([[noteSchemaPreserved]]) so a hot blind-append
+    * writer lists the dir once per process, not once per append.
+    */
+  private def tableSchemaOpt: Option[org.apache.spark.sql.types.StructType] = {
+    val v = version
+    val sig = propsSig
+    SchemaCache.get(qualifiedRoot, v, sig).orElse {
+      val s = try Some(read.schema) catch { case _: Exception => None }
+      s.foreach(SchemaCache.put(qualifiedRoot, v, sig, _))
+      s
+    }
+  }
+
+  /** (len, mtime) of `_props.txt`, (0, 0) when absent — the schema-cache
+    * component that moves on metadata-only schema edits (ADD COLUMNS,
+    * type widening, column mapping) in THIS or any other process.
+    */
+  private def propsSig: (Long, Long) =
+    try {
+      val st = fs.getFileStatus(propsFile)
+      (st.getLen, st.getModificationTime)
+    } catch { case _: java.io.FileNotFoundException => (0L, 0L) }
+
+  /** Record that the commit that just created `version` preserved the
+    * read schema `s` (a non-evolving append, a DV-only commit, a
+    * compaction): the next writer's [[tableSchemaOpt]] hits without the
+    * O(live) listing. Callers must be certain — an evolving write must
+    * NOT call this (it recomputes on the next read instead).
+    */
+  private def noteSchemaPreserved(
+      s: Option[org.apache.spark.sql.types.StructType]): Unit =
+    s.foreach(SchemaCache.put(qualifiedRoot, version, propsSig, _))
 
   private def appendAs(df: DataFrame, partitionCols0: Seq[String],
                        operation: String, allowEvolution: Boolean = false,
@@ -5658,10 +5699,9 @@ final class ManagedTable(spark: SparkSession, val path: String)
         else if (version >= 0) loggedPartitionCols(version)
         else Nil
       val dfi = assignIdentities(df)
-      val conformed0 =
-        if (exists) tableSchemaOpt
-          .map(conform(dfi, allowEvolution, _, partitionCols)).getOrElse(dfi)
-        else dfi
+      val schema0 = if (exists) tableSchemaOpt else None
+      val conformed0 = schema0
+        .map(conform(dfi, allowEvolution, _, partitionCols)).getOrElse(dfi)
       // materialize BEFORE the check when constraints exist, so the rows the
       // check saw are exactly the rows the write persists (a nondeterministic
       // source could otherwise pass the check and write violating rows), and
@@ -5675,6 +5715,9 @@ final class ManagedTable(spark: SparkSession, val path: String)
       // shrinks to the rename loop, as in the MOR funnels
       val added = appendViaTmp(conformed, partitionCols)
       commit(operation, partitionCols, txn, churn = Some((added, Set.empty)))
+      // a non-evolving append reads back with the schema it conformed
+      // to — carry the cache entry to the new version (no listing)
+      if (!allowEvolution) noteSchemaPreserved(schema0)
       maybeAutoCompact()
     }
 
@@ -5936,6 +5979,9 @@ final class ManagedTable(spark: SparkSession, val path: String)
             pcs0 = Some(pcs0), schema0 = Some(schema0))
           val added = publishStaged(tmp)
           commit("APPEND", partitionCols, txn, churn = Some((added, Set.empty)))
+          // blind OCC appends never evolve; occValidate just proved the
+          // schema unmoved since the stage read it
+          noteSchemaPreserved(schema0)
           true
         }
       }
@@ -7576,6 +7622,35 @@ private[table] object CommitLiveCache
   final case class State(version: Long,
                          files: Map[String, (Long, Long)], // path -> (len, rows)
                          liveRows: Long, sizeBytes: Long)
+}
+
+/** Process-wide logical-schema cache — the write path's answer to
+  * Delta's `metaData.schemaString` in the log: without it every
+  * `tableSchemaOpt` (one per append/merge/conform) rebuilds a root
+  * file index, an O(live files) listing. Keyed by (version,
+  * `_props.txt` (len, mtime)): any commit moves the version, any
+  * metadata-only schema edit (declared extras, widenings, column
+  * mapping — THIS process or another) moves the properties signature,
+  * so a hit is always the schema `read.schema` would compute. One
+  * entry per root (the schema, not the file list — a few KB), cleared
+  * wholesale past 1024 roots.
+  */
+private[table] object SchemaCache {
+  private val m = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, (Long, Long), org.apache.spark.sql.types.StructType)]
+
+  def get(root: String, v: Long,
+          sig: (Long, Long)): Option[org.apache.spark.sql.types.StructType] =
+    m.get(root).collect { case (cv, csig, s) if cv == v && csig == sig => s }
+
+  def put(root: String, v: Long, sig: (Long, Long),
+          s: org.apache.spark.sql.types.StructType): Unit = {
+    if (m.size > 1024) m.clear()
+    m.put(root, (v, sig, s))
+    ()
+  }
+
+  def invalidate(root: String): Unit = { m.remove(root); () }
 }
 
 /** Post-commit checkpoint maintenance behind

@@ -16,11 +16,15 @@ import org.apache.spark.sql.SparkSession
   * deltas, the worst pre-checkpoint walk-back) — the fold cost depends
   * only on entry count and path length, not on real data files.
   *
-  * Usage: runMain graft.table.ManifestBench [maxExp]   (default 6 → 1e6)
+  * Usage: runMain graft.table.ManifestBench [maxExp] [minExp]
+  * (defaults 6 5 → 1e5..1e6; `7 7` reruns just the 1e7 regime, best
+  * with SPARK_DRIVER_MEM=24g — the synthetic 1e7 folds alone hold
+  * several GB)
   */
 object ManifestBench {
   def main(args: Array[String]): Unit = {
     val maxExp = if (args.nonEmpty) args(0).toInt else 6
+    val minExp = if (args.length > 1) args(1).toInt else 5
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -31,7 +35,7 @@ object ManifestBench {
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
 
-    for (exp <- 5 to maxExp) {
+    for (exp <- minExp to maxExp) {
       val n = math.pow(10, exp).toLong
       val root = java.nio.file.Files.createTempDirectory(s"manifest-bench-$exp")
         .toString + "/t"
@@ -226,6 +230,7 @@ object ManifestBench {
           f"(append incl. Spark write): " +
           times.map(t => f"$t%.0f ms").mkString(", ") +
           f" — p50 flat vs n is the manifest-is-truth contract")
+        CommitLiveCache.invalidate(rootQ) // n synthetic entries: free them
         fs.delete(new Path(croot).getParent, true)
       }
       // ---- ASYNC CHECKPOINT (r11): with graft.manifest.asyncCheckpoint
@@ -276,6 +281,7 @@ object ManifestBench {
           times.map(t => f"$t%.0f ms").mkString(", ") +
           f" — boundary == non-boundary is the async contract; " +
           f"trailing incremental checkpoint catch-up=$maintMs%.0f ms")
+        CommitLiveCache.invalidate(rootQ)
         fs.delete(new Path(croot).getParent, true)
       }
       // ---- CHECKPOINT-FROM-STATE A/B (r11 soak): the same checkpoint-due
@@ -333,6 +339,33 @@ object ManifestBench {
           f"LISTING path=$listingMs%.0f ms vs FROM-STATE=$stateMs%.0f ms " +
           f"(both fold the cached sidecar; the delta is the dir walk + " +
           f"consistency sidecar rewrite the state path retires)")
+        // ---- SEED-FROM-LOG (r11): a fresh process's FIRST commit used
+        // to pay the listing path once to warm the state cache; with the
+        // handle's dir↔log trust already established, the parent state
+        // now seeds from the v8 checkpoint's parquet rows instead —
+        // measured as (cold-state append) vs the FROM-STATE number above
+        // (same commit, warm state).
+        locally {
+          val rootQ2 = fs.makeQualified(new Path(croot)).toString
+          CommitLiveCache.invalidate(rootQ2)
+          val tS0 = System.nanoTime()
+          ct.append(Seq((102L, "seeded")).toDF("k", "v"))
+          val seedMs = (System.nanoTime() - tS0) / 1e6
+          val mf = new Path(croot + "._log", f"v${ct.version}%05d.json")
+          val in2 = fs.open(mf)
+          val mtxt = try scala.io.Source.fromInputStream(in2, "UTF-8").mkString
+            finally in2.close()
+          val fast = mtxt.contains("\"add\":[") // delta manifest = no listing ran
+          println(f"[manifest-bench] n=$n%,d REAL files SEED-FROM-LOG " +
+            f"first-commit-of-a-fresh-process: append=$seedMs%.0f ms " +
+            f"(state rebuilt from checkpoint rows, no dir listing; " +
+            f"fastPath=$fast)")
+        }
+        // free this block's big residents before the next scale runs:
+        // the n-entry live state and the ~100 MB-text sidecar parse
+        CommitLiveCache.invalidate(fs.makeQualified(new Path(croot)).toString)
+        SidecarCache.invalidate(
+          new Path(croot + "._log", "_file_rows.txt").toString)
         fs.delete(new Path(croot).getParent, true)
       }
       fs.delete(new Path(root).getParent, true)
