@@ -1,6 +1,7 @@
 package graft.table
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** Async (retro) checkpoints — `graft.manifest.asyncCheckpoint`: a
   * checkpoint-due commit writes an ordinary O(churn) delta manifest and
@@ -126,6 +127,45 @@ class AsyncCheckpointSpec extends SparkSpec {
         before + 1 /*append*/ + 1 /*stray row*/,
         "the commit after drift detection should fold the stray into the log")
       assert(t.lastFunnelOverReport == 0)
+    } finally CheckpointMaintenance.suspended = false
+  }
+
+  test("successive maintenance runs chain incrementally: the second retro " +
+      "assembles from the first, and reads stay exact") {
+    CheckpointMaintenance.suspended = true
+    try {
+      val t = freshTable("ac-chain", partSize = 3)
+      for (i <- 1 to 10) t.append(Seq((i.toLong, s"r$i")).toDF("k", "v"))
+      t.runCheckpointMaintenance() // retro #1 at v10
+      assert(retroPtr(t, 10L).exists())
+      for (i <- 11 to 21) t.append(Seq((i.toLong, s"r$i")).toDF("k", "v"))
+      t.runCheckpointMaintenance() // retro #2 at v21, base = retro #1 ± churn
+      assert(retroPtr(t, 21L).exists())
+      val fresh = new ManagedTable(spark, t.path)
+      assert(fresh.read.count() == 22L)
+      assert(fresh.readVersion(21).count() == 22L)
+      assert(fresh.readVersion(15).count() == 16L) // walks back to retro #1
+      assert(fresh.readVersion(9).count() == 10L)  // pre-retro delta chain
+    } finally CheckpointMaintenance.suspended = false
+  }
+
+  test("the distributed planner prunes from RETRO checkpoint sidecars") {
+    CheckpointMaintenance.suspended = true
+    try {
+      val t = freshTable("ac-dplan", partSize = 4)
+      t.setProperties(Map("graft.metadata.distributedPlanning" -> "always"))
+      for (i <- 1 to 10)
+        t.append(Seq((i * 100L, s"r$i")).toDF("k", "v")
+          .repartitionByRange(1, col("k")))
+      t.runCheckpointMaintenance() // retro at v10: the only parquet base
+      assert(retroPtr(t, 10L).exists())
+      // the pruned read plans as a Spark job over the retro's sidecar
+      // parts (distributedBase resolves the retro first); the kept set
+      // must still answer exactly
+      val (kept, all) = t.filesOverlapping("k", 300L, 300L)
+      assert(kept.size < all.size, "stats pruning over retro sidecars")
+      assert(t.readWhere("k", 300L, 300L).count() == 1L)
+      assert(t.read.count() == 11L)
     } finally CheckpointMaintenance.suspended = false
   }
 
