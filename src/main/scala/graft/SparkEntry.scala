@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.model.Tables
-import graft.ops.{Dedup, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, QualityClassifier, Relational, Sampling, Similarity, TextAnalysis}
 import graft.ops.Relational.dsum
 
 /** Driver contract — one named query per implemented operator from
@@ -1219,6 +1219,36 @@ object SparkEntry {
         s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
       } finally s.experimental.extraOptimizations =
         s.experimental.extraOptimizations.filterNot(_ eq rule)
+    }),
+    "q144_contamination_bloom" -> ((s, d) => {
+      // the bloom-prefiltered contamination screen: identical answer to
+      // q82's exact semi-join (a bloom has no false negatives and the
+      // exact join verifies survivors) with the corpus-side shuffle cut
+      // to might-hit shingles — the regime tool for a benchmark set too
+      // big to broadcast whose bloom still fits
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationBloom(docs, docs.filter(col("doc_id") % 10 === 7),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+    "q145_quality_classifier" -> ((s, d) =>
+      // hashed-bag-of-words linear scorer under the FIXED integer model —
+      // the bit-exact anchor for the classifier's scoring plan (md5
+      // buckets and integer weights the oracle recomputes identically)
+      QualityClassifier.scoreFixed(Tables.documents(s, d), "doc_id", "text",
+          buckets = 4096)
+        .orderBy("doc_id")),
+    "q146_quality_classifier_trained" -> ((s, d) => {
+      // the trained path (rows-only: gradient descent is float-iterative;
+      // determinism + quality are spec-gated in QualityClassifierSpec):
+      // learn English-vs-rest from hashed token counts, score the corpus
+      val docs = Tables.documents(s, d)
+        .withColumn("y", (col("lang") === "en").cast("int"))
+      val m = QualityClassifier.train(docs, "doc_id", "text", "y",
+        buckets = 1024, epochs = 3, lr = 0.5)
+      QualityClassifier.scoreModel(docs, "doc_id", "text", m, buckets = 1024)
+        .select(col("doc_id"), round(col("p"), 6).as("p"), col("keep"))
+        .orderBy("doc_id")
     }),
     "q143_sql_partition_agg" -> ((s, d) => {
       // Spark's OptimizeMetadataOnlyQuery analogue over the graft log:
@@ -3242,6 +3272,35 @@ object SparkEntry {
            MIN(CAST(l_shipdate AS DATE)) AS min_date,
            MAX(CAST(l_shipdate AS DATE)) AS max_date
          FROM lineitem""",
+    "q144_contamination_bloom" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words
+                    FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest(CASE WHEN len(words) >= 3
+                    THEN list_transform(generate_series(1, len(words) - 2),
+                           i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+                    ELSE [concat_ws(' ', words)] END) AS s
+                FROM w),
+         b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 7),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         hits AS (SELECT sh.doc_id, COUNT(*) AS n_hit FROM sh JOIN b USING (s) GROUP BY 1)
+         SELECT sizes.doc_id AS doc_id,
+           CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_sh AS contamination
+         FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.doc_id
+         ORDER BY 1""",
+    "q145_quality_classifier" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words
+                    FROM documents),
+         tok AS (SELECT doc_id, unnest(words) AS t FROM w),
+         f AS (SELECT doc_id,
+                 CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) % 4096 AS BIGINT) AS b
+               FROM tok),
+         s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 SUM((b * 2654435761) % 1001 - 500) AS logit
+               FROM f GROUP BY 1)
+         SELECT doc_id, n_tokens, CAST(logit AS BIGINT) AS logit,
+           logit > 0 AS keep
+         FROM s ORDER BY doc_id""",
     "q143_sql_partition_agg" ->
       """WITH g AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows
            FROM orders GROUP BY 1)

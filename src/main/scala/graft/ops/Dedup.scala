@@ -263,6 +263,60 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** [[contamination]] with a BLOOM PRE-FILTER on the corpus side — the
+    * same exact result (a bloom has no false negatives, and surviving
+    * candidates still pass the exact semi-join), but the corpus→join
+    * shuffle carries only shingles that MIGHT hit the benchmark instead
+    * of every shingle in the corpus. The regime this buys: a benchmark
+    * set too large for Catalyst to broadcast as a hash relation (where
+    * [[contamination]]'s semi-join degrades to a full corpus shuffle)
+    * whose bloom still broadcasts — ~10 bits/item at 1% fpp vs ~32+
+    * bytes/key hashed, a ~25× reach extension. At 100 TB of docs vs a
+    * 1e9-shingle benchmark: the bloom is ~1.2 GB broadcast once; the
+    * shuffle shrinks from every corpus shingle to true hits + the fpp
+    * share of misses.
+    *
+    * The probe stays codegen'd: Spark's own [[org.apache.spark.sql
+    * .catalyst.expressions.BloomFilterMightContain]] (the runtime
+    * row-level-filtering expression) over the already-64-bit shingle
+    * hashes; the filter itself builds distributed (`stat.bloomFilter`'s
+    * treeAggregate) and ships as a binary literal, exactly how Spark's
+    * injected runtime bloom joins ship theirs.
+    *
+    * `expectedItems ≤ 0` sizes the bloom from a benchmark count — one
+    * extra pass over the (small) benchmark side, never the corpus.
+    */
+  def contaminationBloom(docs: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int = 3,
+                         expectedItems: Long = -1L,
+                         fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    val di = shingleIndex(docs, idCol, textCol, n)
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val bi = shingleIndex(bench, idCol, textCol, n)
+      .select(xxhash64(col("s")).as("s")).distinct()
+    val items = if (expectedItems > 0) expectedItems
+      else math.max(1L, bi.count())
+    val bf = bi.stat.bloomFilter("s", items, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    val mightHit = column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bytes,
+          org.apache.spark.sql.types.BinaryType),
+        expression(col("s"))))
+    val sizes = di.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val hits = di.filter(mightHit) // no false negatives: exact after verify
+      .join(bi, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_sh"))
+          .as("contamination"))
+  }
+
   /** Mersenne prime 2^31−1 for the minhash universal-hash family: products
     * stay ≤ (2^31)^2 < 2^63, so no 64-bit overflow under ANSI mode
     * (Spark 4 default).

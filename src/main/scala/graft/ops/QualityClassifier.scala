@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Hashed-bag-of-words linear quality classifier — the fastText-shaped
+  * filter the big web-corpus pipelines run after the rule batteries
+  * (CCNet/LLaMA-style "looks like reference text" scoring; the reference's
+  * quality gates are rule-based, this is the learned sibling alongside
+  * [[Dsir]]'s importance sampling).
+  *
+  * Design for 100 TB:
+  *  - features are HASHED buckets (`buckets`-bounded): no vocabulary
+  *    build, no driver-side dictionary — the model is one double array.
+  *  - scoring is explode → broadcast-joined weights → per-doc sum: one
+  *    doc-keyed shuffle, the weight table ships once.
+  *  - training is full-batch gradient descent where each epoch is TWO
+  *    bucket/doc-keyed aggregates over a persisted feature table — the
+  *    driver holds O(buckets) state, never rows; epochs are constant
+  *    count, so the whole train is O(epochs) passes over (doc, bucket)
+  *    pairs.
+  *  - every aggregate that feeds the weights is summed in DECIMAL, so the
+  *    trained model is bit-identical under any partitioning (the same
+  *    partitioning-invariance discipline as [[Dsir]]'s weights) — re-run,
+  *    re-shard, same model.
+  *
+  * The md5-derived bucket keeps the FIXED-weight scorer cross-engine
+  * exact (the DuckDB oracle computes the identical bucket and integer
+  * weight), anchoring the scoring plan bit-exactly; training quality is
+  * spec-gated (loss decreases, beats the majority baseline, invariant to
+  * repartitioning).
+  */
+object QualityClassifier {
+
+  /** Feature bucket of a token: first 8 hex chars of md5 mod `buckets` —
+    * reproducible in any engine with md5 (the [[Sampling.weightedSampleMd5]]
+    * anchor idiom). 8 hex chars < 2^32, so the conv result fits a long
+    * exactly.
+    */
+  def tokenBucket(token: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(token), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Deterministic integer weight in [-500, 500] for a bucket — the fixed
+    * model of the oracle-anchored scorer: w(b) = (b·2654435761) mod 1001 −
+    * 500 (Knuth's multiplicative constant; products stay ≪ 2^63 for any
+    * realistic bucket count, no ANSI overflow).
+    */
+  def fixedWeight(bucket: Column): Column =
+    (bucket * lit(2654435761L)) % lit(1001L) - lit(500L)
+
+  /** Score every doc under the FIXED integer model: logit = Σ_tokens
+    * w(bucket(token)) with multiplicity — integer sums, bit-exact in any
+    * engine and under any partitioning. Token-less docs (empty/whitespace
+    * text) have no rows, matching SQL `unnest` semantics.
+    */
+  def scoreFixed(docs: DataFrame, idCol: String, textCol: String,
+                 buckets: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.words(col(textCol))).as("t"))
+      .select(col("doc_id"), fixedWeight(tokenBucket(col("t"), buckets)).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w").as("logit"))
+      .select(col("doc_id"), col("n_tokens"), col("logit"),
+        (col("logit") > 0).as("keep"))
+
+  /** The persisted feature table a training run iterates over:
+    * (doc_id, y, b, cnt) — one row per (doc, bucket) with multiplicity.
+    */
+  private def features(docs: DataFrame, idCol: String, textCol: String,
+                       labelCol: String, buckets: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        col(labelCol).cast("double").as("y"),
+        explode(TextAnalysis.words(col(textCol))).as("t"))
+      .select(col("doc_id"), col("y"),
+        tokenBucket(col("t"), buckets).as("b"))
+      .groupBy("doc_id", "y", "b").agg(count(lit(1)).as("cnt"))
+
+  /** Trained model: per-bucket weights + bias, with the per-epoch log
+    * loss trace (specs assert it decreases).
+    */
+  final case class Model(weights: Array[Double], bias: Double,
+                         losses: Seq[Double]) {
+    /** logit column for a (b, cnt)-shaped feature frame via a broadcast
+      * weight table — used by [[QualityClassifier.scoreModel]].
+      */
+    private[ops] def weightRows: Seq[(Long, Double)] =
+      weights.zipWithIndex.map { case (w, b) => (b.toLong, w) }.toSeq
+  }
+
+  /** Full-batch logistic regression on hashed token counts. Each epoch:
+    * one doc-keyed aggregate for the logits (features ⋈ broadcast
+    * weights), one bucket-keyed aggregate for the gradient — both summed
+    * in DECIMAL(38,15) so the update, and therefore the MODEL, is
+    * bit-identical under any input partitioning. Driver state: the
+    * O(buckets) weight array and one O(buckets) collect per epoch.
+    */
+  def train(docs: DataFrame, idCol: String, textCol: String,
+            labelCol: String, buckets: Int, epochs: Int = 5,
+            lr: Double = 0.5): Model = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = features(docs, idCol, textCol, labelCol, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = math.max(1L, feats.select("doc_id").distinct().count())
+    val w = new Array[Double](buckets)
+    var bias = 0.0
+    val losses = scala.collection.mutable.ArrayBuffer[Double]()
+    val dec = "decimal(38,15)"
+    for (_ <- 1 to epochs) {
+      val wDf = broadcast(w.zipWithIndex
+        .map { case (x, b) => (b.toLong, x) }.toSeq.toDF("b", "wb"))
+      // per-doc logit: products quantized to DECIMAL before the sum so
+      // the value never depends on partial-aggregation order
+      val scored = feats.join(wDf, Seq("b"), "left")
+        .groupBy("doc_id", "y")
+        .agg(sum((col("cnt") * coalesce(col("wb"), lit(0.0)))
+          .cast(dec)).as("dotw"))
+        .select(col("doc_id"), col("y"),
+          (col("dotw").cast("double") + lit(bias)).as("logit"))
+        .withColumn("p",
+          lit(1.0) / (lit(1.0) + exp(-col("logit"))))
+        .withColumn("r", col("p") - col("y"))
+      // the epoch reads `scored` twice (loss+bias agg, then the gradient
+      // join) — persist it so the logit aggregate runs once per epoch
+      scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // log loss (clamped away from 0/1) + bias gradient, one small agg
+      val eps = 1e-12
+      val lossRow = scored.agg(
+        sum(-(col("y") * log(greatest(col("p"), lit(eps))) +
+          (lit(1.0) - col("y")) *
+            log(greatest(lit(1.0) - col("p"), lit(eps))))
+          .cast(dec)).as("loss"),
+        sum(col("r").cast(dec)).as("rsum")).head()
+      losses += lossRow.getDecimal(0).doubleValue() / nDocs
+      val rsum = lossRow.getDecimal(1).doubleValue()
+      // per-bucket gradient: Σ_docs r_d · cnt_{d,b}, DECIMAL-summed
+      val grads = feats.join(scored.select("doc_id", "r"), Seq("doc_id"))
+        .groupBy("b")
+        .agg(sum((col("cnt") * col("r")).cast(dec)).as("g"))
+        .as[(Long, java.math.BigDecimal)].collect()
+      scored.unpersist()
+      grads.foreach { case (b, g) =>
+        w(b.toInt) -= lr * g.doubleValue() / nDocs }
+      bias -= lr * rsum / nDocs
+    }
+    feats.unpersist()
+    Model(w, bias, losses.toSeq)
+  }
+
+  /** Score docs under a trained [[Model]]: same plan as [[scoreFixed]]
+    * with the broadcast learned weights; emits calibrated probability and
+    * the keep decision at 0.5.
+    */
+  def scoreModel(docs: DataFrame, idCol: String, textCol: String,
+                 model: Model, buckets: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wDf = broadcast(model.weightRows.toDF("b", "wb"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.words(col(textCol))).as("t"))
+      .select(col("doc_id"), tokenBucket(col("t"), buckets).as("b"))
+      .join(wDf, Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("wb"), lit(0.0)).cast("decimal(38,15)"))
+        .as("dotw"))
+      .select(col("doc_id"),
+        (col("dotw").cast("double") + lit(model.bias)).as("logit"))
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
+      .withColumn("keep", col("p") >= 0.5)
+  }
+}

@@ -3806,10 +3806,30 @@ final class ManagedTable(spark: SparkSession, val path: String)
     */
   private def incrementalCheckpointRows(v: Long, st: CommitLiveCache.State)
       : Option[Iterator[(String, Option[(Long, Long, String)])]] = {
+    val (parts, addsLive, excluded) = retroBaseAndChurn(v, st)
+      .getOrElse(return None)
+    val addRows = retroAddRows(st, addsLive)
+    val baseRows = checkpointRowIter(parts).filter { case (p, meta) =>
+      !excluded.contains(p) && (meta match {
+        case Some((len, _, _)) => st.files.get(p).exists(_._1 == len)
+        case None => st.files.contains(p) // v1 path-only row: keep if live
+      })
+    }
+    Some(baseRows ++ addRows)
+  }
+
+  /** The incremental retro assembly's shared front half: the nearest
+    * parquet base's parts plus the net churn in (base, v] — live adds to
+    * serve from current sidecar metadata and the full delta-touched path
+    * set to EXCLUDE from the base (same discipline as distributedBase —
+    * a re-added path must serve from its current sidecar metadata, not
+    * stale checkpoint rows). None when no parquet base exists (first
+    * checkpoint, or inline-JSON format) or the chain shape breaks the
+    * caller's fast-path-delta contract.
+    */
+  private def retroBaseAndChurn(v: Long, st: CommitLiveCache.State)
+      : Option[(Seq[Path], Seq[String], Set[String])] = {
     val (pv, parts) = nearestParquetCheckpoint(v - 1).getOrElse(return None)
-    // net churn in (pv, v]: every touched path is EXCLUDED from the base
-    // stream (same discipline as distributedBase — a re-added path must
-    // serve from its current sidecar metadata, not stale checkpoint rows)
     val touched = scala.collection.mutable.LinkedHashMap[String, Boolean]()
     var i = pv + 1
     while (i <= v) {
@@ -3827,22 +3847,23 @@ final class ManagedTable(spark: SparkSession, val path: String)
     }
     val addsLive = touched.collect {
       case (p, true) if st.files.contains(p) => p }.toSeq
-    val excluded = touched.keySet.toSet
+    Some((parts, addsLive, touched.keySet.toSet))
+  }
+
+  /** Checkpoint rows for the files added since the base — stats from the
+    * per-commit sidecar segments (footer re-read on a raced length), an
+    * O(churn) iterator.
+    */
+  private def retroAddRows(st: CommitLiveCache.State, addsLive: Seq[String])
+      : Iterator[(String, Option[(Long, Long, String)])] = {
     val addMeta = addsMeta(addsLive) // segments + base-filtered recovery
     val nc = statsColsNow
-    val addRows = addsLive.iterator.map { p =>
+    addsLive.iterator.map { p =>
       val (len, _) = st.files(p)
       val m = addMeta.get(p).collect { case (l, fm) if l == len => fm }
         .getOrElse(footerMeta(new Path(p), nc))
       (p, Some((len, m.rows, MetadataPlane.statsCells(m.stats))))
     }
-    val baseRows = checkpointRowIter(parts).filter { case (p, meta) =>
-      !excluded.contains(p) && (meta match {
-        case Some((len, _, _)) => st.files.get(p).exists(_._1 == len)
-        case None => st.files.contains(p) // v1 path-only row: keep if live
-      })
-    }
-    Some(baseRows ++ addRows)
   }
 
   /** Checkpoint rows for `v` streamed from the stats sidecar (base +
@@ -3923,6 +3944,100 @@ final class ManagedTable(spark: SparkSession, val path: String)
     }
   }
 
+  /** Assemble and stage version `v`'s checkpoint as a SPARK JOB — Delta's
+    * actual checkpoint discipline (the checkpoint is written by a job
+    * over the state DataFrame, never a driver loop): the previous parquet
+    * checkpoint's parts scan on executors, the delta-touched path set
+    * broadcasts (O(churn)), the O(churn) add rows union in from the
+    * driver, and the result hash-repartitions on `path` into
+    * `ceil(live/partSize)` parts. Content is DETERMINISTIC in
+    * (version, state) — fixed partition count, hash-by-path assignment,
+    * sort-within-partition — so racing maintenance runs (which hold the
+    * same state for the same version) stage byte-identical parts and the
+    * delete+rename publish stays safe, exactly the driver path's
+    * contract. Rows are count-verified against the state BEFORE any part
+    * publishes (footer record counts, O(parts) driver reads); a mismatch
+    * (raced compaction, base reaped mid-job) abandons the staging dir and
+    * the caller falls back to the always-correct driver stream. At 1e7
+    * live files this moves the ~30 s single-threaded assembly onto the
+    * cluster; the driver holds only churn + part names.
+    *
+    * None (fall back) when: single-sidecar format (partSize == 0 — the
+    * ≤1e6 regime where the driver stream wins), no parquet base, count
+    * mismatch, or any job failure (e.g. a concurrent vacuum reaping the
+    * staging dir — self-healing: the next maintenance run retries).
+    */
+  private def retroSidecarsDistributed(v: Long, st: CommitLiveCache.State)
+      : Option[(String, Long)] = {
+    val partSize = checkpointPartSize
+    if (partSize <= 0 || st.files.isEmpty) return None
+    val (parts, addsLive, excluded) = retroBaseAndChurn(v, st)
+      .getOrElse(return None)
+    val addRows = retroAddRows(st, addsLive).map { case (p, meta) =>
+      (p, meta.map(_._1), meta.map(_._2),
+        meta.map(_._3).filter(_.nonEmpty))
+    }.toSeq
+    val k = math.max(1L, (st.files.size + partSize - 1L) / partSize).toInt
+    import spark.implicits._
+    val exB = spark.sparkContext.broadcast(excluded)
+    // table-sibling staging dir (the staged-write convention): a crashed
+    // run's debris is a `<table>.tmp-*` dir, reaped by vacuum()
+    val tmpOut = new Path(path + ".tmp-retro-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    try {
+      val raw = spark.read.parquet(parts.map(_.toString): _*)
+      val cs = raw.columns.toSet
+      def optCol(n: String, t: String) =
+        if (cs(n)) col(n).cast(t) else lit(null).cast(t)
+      // base rows pass through untouched unless delta-touched; liveness
+      // beyond the exclusion set (the driver stream's per-row state
+      // lookup) is enforced by the count verification below — the state
+      // IS the log's reconstruction, so base − touched + adds either
+      // matches it exactly or a race happened and we fall back
+      val base = raw.select(col("path").cast("string").as("path"),
+          optCol("len", "long").as("len"), optCol("rows", "long").as("rows"),
+          optCol("stats", "string").as("stats"))
+        .as[(String, Option[Long], Option[Long], Option[String])]
+        .filter(r => !exB.value.contains(r._1))
+      base.union(addRows.toDS())
+        .toDF("path", "len", "rows", "stats")
+        .repartition(k, col("path")).sortWithinPartitions("path")
+        .write.option("compression", "snappy").parquet(tmpOut.toString)
+      val staged = fs.listStatus(tmpOut).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+      val conf = new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration)
+      val total = staged.map { p =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+      if (total != st.files.size) {
+        logWarning(s"distributed checkpoint maintenance on $path: job " +
+          s"produced $total rows for ${st.files.size} live files — " +
+          "abandoned (raced); falling back to the driver stream")
+        return None
+      }
+      val names = staged.zipWithIndex.map { case (src, i) =>
+        val dst = ckptPartPath(v, i)
+        if (fs.exists(dst)) fs.delete(dst, false)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"failed to publish $dst")
+        dst.getName
+      }
+      Some((s""""filesParquetParts":[${names.map(jstr).mkString(",")}]""",
+        total))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"distributed checkpoint maintenance on $path failed " +
+          s"(${e.getMessage}) — falling back to the driver stream")
+        None
+    } finally {
+      exB.destroy()
+      if (fs.exists(tmpOut)) fs.delete(tmpOut, true)
+    }
+  }
+
   /** Publish the retro checkpoint for the latest version whose state this
     * process holds, then (opportunistically, lease permitting) verify the
     * live dir against it — the post-commit maintenance behind
@@ -3934,6 +4049,13 @@ final class ManagedTable(spark: SparkSession, val path: String)
     * window that re-checks the version — a remap/commit that lands first
     * simply voids this attempt (the next maintenance re-runs).
     */
+  /** Which venue the last maintenance run on THIS handle assembled its
+    * retro checkpoint through — a test seam ("distributed" | "driver" |
+    * "inline" | "" when skipped); specs pin the venue because both
+    * produce identical artifacts by design.
+    */
+  @volatile private[table] var lastRetroVenue: String = ""
+
   private[table] def runCheckpointMaintenance(): Unit = {
     val st = CommitLiveCache.getAny(qualifiedRoot).getOrElse {
       logInfo(s"checkpoint maintenance on $path: no cached state (evicted " +
@@ -3947,6 +4069,21 @@ final class ManagedTable(spark: SparkSession, val path: String)
           checkpointSidecarsOf(txt).isDefined }.getOrElse(false)
     if (!already) {
       if (checkpointFormatParquet) {
+        // above the planning cutover the assembly runs as a Spark job
+        // (Delta's checkpoint-from-state-DataFrame); the driver stream
+        // serves the small regime and every fallback
+        val distributed =
+          if (useDistributedPlanning) retroSidecarsDistributed(v, st)
+          else None
+        distributed match {
+          case Some((entry, _)) =>
+            lastRetroVenue = "distributed"
+            publishRetroPointer(v, entry)
+            maybeVerifyDirInMaintenance()
+            return
+          case None => ()
+        }
+        lastRetroVenue = "driver"
         val rows = incrementalCheckpointRows(v, st)
           .getOrElse(sidecarCheckpointRows(st))
         val (entry, n) = writeRetroSidecars(v, rows)
@@ -3968,19 +4105,24 @@ final class ManagedTable(spark: SparkSession, val path: String)
       } else {
         // inline-JSON checkpoint format: the pointer carries the file
         // list itself (the ≤1e6-file regime; no sidecar to stream)
+        lastRetroVenue = "inline"
         publishRetroPointer(v,
           s""""files":[${st.files.keys.toSeq.sorted.map(jstr).mkString(",")}]""")
       }
     }
-    // `graft.manifest.verifyDirInMaintenance = false` opts out of the
-    // dir listing entirely — Delta's pure trust model (log is truth,
-    // out-of-band edits surface only at a fresh handle's consistency
-    // check), the right trade on object stores where a 1e7-file
-    // recursive listing is 10k+ LIST pages per maintenance run
+    maybeVerifyDirInMaintenance()
+  }
+
+  /** `graft.manifest.verifyDirInMaintenance = false` opts out of the
+    * dir listing entirely — Delta's pure trust model (log is truth,
+    * out-of-band edits surface only at a fresh handle's consistency
+    * check), the right trade on object stores where a 1e7-file
+    * recursive listing is 10k+ LIST pages per maintenance run.
+    */
+  private def maybeVerifyDirInMaintenance(): Unit =
     if (!properties.get("graft.manifest.verifyDirInMaintenance")
         .contains("false"))
       verifyDirOpportunistic()
-  }
 
   /** Publish the retro pointer WITHOUT ever touching the commit lease —
     * maintenance must never make a fail-fast foreground writer error out

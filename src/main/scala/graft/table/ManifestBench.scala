@@ -252,6 +252,7 @@ object ManifestBench {
           "graft.manifest.asyncCheckpoint" -> "true",
           "graft.manifest.verifyDirInMaintenance" -> "false", // synthetic state
           "graft.manifest.checkpointFormat" -> "parquet",
+          "graft.metadata.distributedPlanning" -> "never", // A: driver venue
           "graft.manifest.checkpointPartSize" -> (n / 8 + 1).toString))
         val rootQ = fs.makeQualified(new Path(croot)).toString
         val st0 = CommitLiveCache.get(rootQ, ct.version).get
@@ -280,7 +281,22 @@ object ManifestBench {
           f"(interval 4; checkpoint-due at appends 4 and 8): " +
           times.map(t => f"$t%.0f ms").mkString(", ") +
           f" — boundary == non-boundary is the async contract; " +
-          f"trailing incremental checkpoint catch-up=$maintMs%.0f ms")
+          f"trailing incremental checkpoint catch-up=$maintMs%.0f ms " +
+          f"(venue=${ct.lastRetroVenue})")
+        // B: the same trailing catch-up assembled AS A SPARK JOB from the
+        // retro just published ± fresh churn (distributed maintenance) —
+        // the driver holds only churn + part names, the n-row copy runs
+        // on executors
+        ct.setProperties(Map(
+          "graft.metadata.distributedPlanning" -> "always"))
+        (9 to 12).foreach(i =>
+          ct.append(Seq((i.toLong, s"row$i")).toDF("k", "v")))
+        val tD0 = System.nanoTime()
+        ct.awaitCheckpointMaintenance()
+        val distMs = (System.nanoTime() - tD0) / 1e6
+        println(f"[manifest-bench] n=$n%,d live files ASYNC-CKPT trailing " +
+          f"catch-up DISTRIBUTED=$distMs%.0f ms " +
+          f"(venue=${ct.lastRetroVenue}) vs driver=$maintMs%.0f ms")
         CommitLiveCache.invalidate(rootQ)
         fs.delete(new Path(croot).getParent, true)
       }

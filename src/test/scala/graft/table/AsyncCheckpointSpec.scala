@@ -169,6 +169,65 @@ class AsyncCheckpointSpec extends SparkSpec {
     } finally CheckpointMaintenance.suspended = false
   }
 
+  test("above the planning cutover the retro checkpoint assembles as a " +
+      "Spark job, row-identical to the driver stream") {
+    CheckpointMaintenance.suspended = true
+    try {
+      val t = freshTable("ac-distassy", partSize = 3)
+      t.setProperties(Map("graft.metadata.distributedPlanning" -> "always"))
+      for (i <- 1 to 10) t.append(Seq((i.toLong, s"r$i")).toDF("k", "v"))
+      // retro #1: no parquet base exists yet, so the job declines and the
+      // driver stream seeds the chain — the documented fallback
+      t.runCheckpointMaintenance()
+      assert(t.lastRetroVenue == "driver")
+      val v1 = (0L to 20L).find(v => retroPtr(t, v).exists()).get
+      // churn beyond pure adds, then retro #2 assembles AS A SPARK JOB
+      // from retro #1 ± churn
+      t.delete(col("k") === 3L)
+      for (i <- 11 to 14) t.append(Seq((i.toLong, s"r$i")).toDF("k", "v"))
+      t.runCheckpointMaintenance()
+      assert(t.lastRetroVenue == "distributed",
+        "a parquet base above the cutover must assemble via the job")
+      val v2 = (v1 + 1 to v1 + 20).find(v => retroPtr(t, v).exists()).get
+      def retroRows(v: Long): Set[(String, Long, Long, String)] = {
+        val parts = new java.io.File(t.path + "._log").listFiles()
+          .filter(_.getName.matches(f"v$v%05d\\.p\\d+\\.checkpoint\\.parquet"))
+          .map(_.getAbsolutePath).sorted
+        assert(parts.length > 1, s"expected multi-part retro at v$v")
+        spark.read.parquet(parts.toIndexedSeq: _*)
+          .select(col("path").cast("string"), col("len").cast("long"),
+            col("rows").cast("long"), col("stats").cast("string"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) "" else r.getString(3))).toSet
+      }
+      val jobRows = retroRows(v2)
+      assert(jobRows.map(_._1).forall(!_.contains(".tmp-")), "staged names " +
+        "must never leak into the checkpoint")
+      // bit-parity: wipe retro #2 and re-assemble the SAME version via the
+      // driver stream (property edits don't bump the version) — the two
+      // venues must produce the identical row set
+      retroPtr(t, v2).delete()
+      new java.io.File(t.path + "._log").listFiles()
+        .filter(_.getName.matches(f"v$v2%05d\\.p\\d+\\.checkpoint\\.parquet"))
+        .foreach(_.delete())
+      t.setProperties(Map("graft.metadata.distributedPlanning" -> "never"))
+      t.runCheckpointMaintenance()
+      assert(t.lastRetroVenue == "driver")
+      assert(retroPtr(t, v2).exists(), "same version, re-checkpointed")
+      assert(retroRows(v2) == jobRows,
+        "driver and distributed assemblies must be row-identical")
+      // the job-written parts serve every downstream reader: fresh-handle
+      // recon, time travel onto the retro, and the next maintenance chain
+      t.setProperties(Map("graft.metadata.distributedPlanning" -> "always"))
+      for (i <- 15 to 18) t.append(Seq((i.toLong, s"r$i")).toDF("k", "v"))
+      t.runCheckpointMaintenance()
+      assert(t.lastRetroVenue == "distributed")
+      val fresh = new ManagedTable(spark, t.path)
+      assert(fresh.read.count() == 18L) // 19 appends (incl. seed) − 1 delete
+      assert(fresh.readVersion(v2).count() == 14L) // 15 − the delete
+    } finally CheckpointMaintenance.suspended = false
+  }
+
   test("cleanupLog anchors on a retro checkpoint behind the checkpoint-retro " +
       "reader feature") {
     CheckpointMaintenance.suspended = true
