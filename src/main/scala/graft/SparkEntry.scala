@@ -1250,6 +1250,18 @@ object SparkEntry {
         .select(col("doc_id"), round(col("p"), 6).as("p"), col("keep"))
         .orderBy("doc_id")
     }),
+    "q147_bpe_tokenize" -> ((s, d) => {
+      // trained-BPE token statistics (rows-only: the merge loop is not
+      // SQL-expressible; BpeSpec anchors train+encode against an
+      // independent reference implementation): learn 40 merges from the
+      // corpus word-count table, encode every doc, report token counts
+      val docs = Tables.documents(s, d)
+      val merges = graft.ops.Bpe.train(docs, "text", numMerges = 40)
+      graft.ops.Bpe.encode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), size(col("tokens")).as("n_tokens"),
+          size(array_distinct(col("tokens"))).as("n_unique"))
+        .orderBy("doc_id")
+    }),
     "q143_sql_partition_agg" -> ((s, d) => {
       // Spark's OptimizeMetadataOnlyQuery analogue over the graft log:
       // COUNT(*) GROUP BY a partition column and MIN/MAX of a STRING

@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer (Sennrich et al. 2016, arXiv:1508.07909)
+  * trained and applied AS DATAFLOW — the real-tokenizer upgrade over the
+  * survey's "BPE-ish regex" token counter.
+  *
+  * Scale shape (100 TB of documents):
+  *  - training never touches the corpus after ONE word-count aggregate:
+  *    merges are learned on the (word, count) table, which is
+  *    VOCAB-bounded (tens of millions of rows at web scale, not
+  *    trillions). Two vocab-sized jobs per merge; lineage cut by
+  *    localCheckpoint every few iterations (the connected-components
+  *    discipline).
+  *  - encoding runs the per-word merge loop ONCE PER DISTINCT WORD (a
+  *    map over the vocab table), then reaches the corpus as a plain join
+  *    on word — broadcast when the vocab fits, shuffle otherwise, AQE's
+  *    call; per-doc token sequences reassemble order by word position.
+  *  - everything that decides the model is an INTEGER sum with a
+  *    lexicographic tie-break, so the learned merge list is bit-identical
+  *    under any partitioning (spec-pinned), and the driver and
+  *    distributed training venues agree exactly (spec-pinned A/B).
+  *
+  * The end-of-word marker `</w>` follows the paper: it can never collide
+  * with corpus text because [[TextAnalysis.words]] tokens are
+  * whitespace-split (no spaces inside) and the marker is appended as a
+  * SEPARATE symbol, only ever merged into suffixes.
+  */
+object Bpe {
+
+  private val EndOfWord = "</w>"
+
+  /** The vocab table: one corpus pass → (word, cnt). */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextAnalysis.words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** A word's initial segmentation: characters + the end-of-word marker. */
+  private def initialSymbols(word: String): Seq[String] =
+    word.map(_.toString) :+ EndOfWord
+
+  /** Merge every non-overlapping left-to-right occurrence of (a, b) in a
+    * segmentation — the paper's update rule.
+    */
+  private def mergeOnce(symbols: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < symbols.length) {
+      if (i + 1 < symbols.length && symbols(i) == a && symbols(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += symbols(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Learn `numMerges` merges from a (word, cnt) vocab table, driver
+    * venue: collect the vocab once, run the classic loop in memory.
+    * Tie-break on (count desc, pair asc) — fully deterministic.
+    */
+  private def trainDriver(vocab: Seq[(String, Long)], numMerges: Int,
+                          minCount: Long): Seq[(String, String)] = {
+    var segs = vocab.map { case (w, c) => (initialSymbols(w), c) }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var continue = true
+    while (continue && merges.size < numMerges) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      segs.foreach { case (s, c) =>
+        var i = 0
+        while (i + 1 < s.length) {
+          val k = (s(i), s(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      val best = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+        .filter(_._2 >= minCount)
+      best match {
+        case Some(((a, b), _)) =>
+          merges += ((a, b))
+          segs = segs.map { case (s, c) => (mergeOnce(s, a, b), c) }
+        case None => continue = false
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Learn merges with the vocab staying DISTRIBUTED — the 100 TB venue:
+    * per merge, one pair-count aggregate (integer sums, lexicographic
+    * tie-break → partitioning-invariant argmax) and one vocab-sized map
+    * applying it. Produces EXACTLY [[trainDriver]]'s merge list
+    * (spec-pinned A/B).
+    */
+  private def trainDistributed(vocabDf: DataFrame, numMerges: Int,
+                               minCount: Long): Seq[(String, String)] = {
+    val spark = vocabDf.sparkSession
+    import spark.implicits._
+    var seg = vocabDf.as[(String, Long)]
+      .map { case (w, c) => (initialSymbols(w), c) }
+      .toDF("symbols", "cnt")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var continue = true
+    while (continue && merges.size < numMerges) {
+      val best = seg
+        // fully-merged single-symbol words contribute no pairs (and
+        // sequence(0, -1) would DESCEND, not empty out)
+        .filter(size(col("symbols")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(0), size(col("symbols")) - 2),
+          j => struct(element_at(col("symbols"), j + 1).as("a"),
+            element_at(col("symbols"), j + 2).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("c"))
+        .filter(col("c") >= minCount)
+        .orderBy(desc("c"), col("a"), col("b")).limit(1)
+        .as[(String, String, Long)].collect().headOption
+      best match {
+        case Some((a, b, _)) =>
+          merges += ((a, b))
+          val applyMerge = udf((s: Seq[String]) => mergeOnce(s, a, b))
+          val next = seg.withColumn("symbols", applyMerge(col("symbols")))
+          // cut lineage + swap the persisted table every iteration: the
+          // UDF chain would otherwise re-run all merges per pair count
+          val mat = next.localCheckpoint(true)
+          seg.unpersist()
+          seg = mat
+        case None => continue = false
+      }
+    }
+    seg.unpersist()
+    merges.toSeq
+  }
+
+  /** Learn `numMerges` BPE merges from the corpus. One corpus pass for
+    * the vocab; the merge loop runs on the driver when the vocab fits
+    * (`maxDriverVocab`), distributed otherwise — same model either way.
+    */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            minCount: Long = 2L, maxDriverVocab: Long = 2000000L)
+      : Seq[(String, String)] = {
+    val vocab = wordCounts(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (vocab.count() <= maxDriverVocab) {
+        import vocab.sparkSession.implicits._
+        trainDriver(vocab.as[(String, Long)].collect().toSeq, numMerges,
+          minCount)
+      } else trainDistributed(vocab, numMerges, minCount)
+    } finally vocab.unpersist()
+  }
+
+  /** Tokenize one word under a trained merge list: greedy
+    * lowest-rank-first merging (the standard apply loop), bounded by the
+    * word's length.
+    */
+  private[ops] def encodeWord(word: String,
+                              rank: Map[(String, String), Int]): Seq[String] = {
+    var s = initialSymbols(word)
+    var continue = s.length > 1
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var at = -1
+      var i = 0
+      while (i + 1 < s.length) {
+        val r = rank.getOrElse((s(i), s(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; at = i }
+        i += 1
+      }
+      if (at < 0) continue = false
+      else s = mergeOnce(s, s(at), s(at + 1))
+      if (s.length <= 1) continue = false
+    }
+    s
+  }
+
+  /** Encode every doc: (doc_id, tokens) with tokens in document order.
+    * The per-word merge loop runs once per DISTINCT word (a vocab-sized
+    * Dataset map); the corpus only pays a join on word + one doc-keyed
+    * reassembly. Token-less docs keep an empty token array (left join).
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rank = merges.zipWithIndex.toMap
+    val exploded = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "word")))
+    val vocabToks = exploded.select("word").distinct().as[String]
+      .map(w => (w, encodeWord(w, rank)))
+      .toDF("word", "toks")
+    exploded.join(vocabToks, Seq("word"))
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("toks")))),
+        s => s.getField("toks"))).as("tokens"))
+      .join(docs.select(col(idCol).as("doc_id")), Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        coalesce(col("tokens"), array().cast("array<string>")).as("tokens"))
+  }
+}

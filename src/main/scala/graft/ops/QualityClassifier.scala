@@ -132,8 +132,11 @@ object QualityClassifier {
             log(greatest(lit(1.0) - col("p"), lit(eps))))
           .cast(dec)).as("loss"),
         sum(col("r").cast(dec)).as("rsum")).head()
-      losses += lossRow.getDecimal(0).doubleValue() / nDocs
-      val rsum = lossRow.getDecimal(1).doubleValue()
+      // a fully token-less corpus aggregates to NULLs: nothing to learn
+      losses += Option(lossRow.getDecimal(0))
+        .map(_.doubleValue() / nDocs).getOrElse(0.0)
+      val rsum = Option(lossRow.getDecimal(1))
+        .map(_.doubleValue()).getOrElse(0.0)
       // per-bucket gradient: Σ_docs r_d · cnt_{d,b}, DECIMAL-summed
       val grads = feats.join(scored.select("doc_id", "r"), Seq("doc_id"))
         .groupBy("b")

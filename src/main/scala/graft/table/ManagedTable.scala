@@ -3641,7 +3641,12 @@ final class ManagedTable(spark: SparkSession, val path: String)
     if (fs.exists(p)) fs.delete(p, false)
     if (!fs.rename(tmp, p)) {
       fs.delete(tmp, false)
-      throw new java.io.IOException(s"failed to publish checkpoint $p")
+      // racing writers of the SAME checkpoint (e.g. two maintenance runs)
+      // stage byte-identical content — content is deterministic in
+      // (version, state) — so losing the delete→rename window to a racer
+      // that already published is success, not failure
+      if (!fs.exists(p))
+        throw new java.io.IOException(s"failed to publish checkpoint $p")
     }
   }
 
@@ -4020,8 +4025,11 @@ final class ManagedTable(spark: SparkSession, val path: String)
       }
       val names = staged.zipWithIndex.map { case (src, i) =>
         val dst = ckptPartPath(v, i)
-        if (fs.exists(dst)) fs.delete(dst, false)
-        if (!fs.rename(src, dst))
+        // an existing dst can only be a racing/crashed maintenance run's
+        // part for the SAME (version, state) — byte-identical by the
+        // determinism contract — so keep it: no delete→rename gap a
+        // reader could observe, and a lost rename race is success too
+        if (!fs.exists(dst) && !fs.rename(src, dst) && !fs.exists(dst))
           throw new java.io.IOException(s"failed to publish $dst")
         dst.getName
       }

@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Trained BPE tokenizer: the learned merge list is checked against an
+  * independent in-test reference implementation (Sennrich et al. 2016,
+  * Algorithm 1), the driver and distributed training venues must agree
+  * bit-exactly, the model is invariant to input partitioning, and
+  * encoding round-trips (concatenating a word's tokens reconstructs the
+  * word + marker).
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Straight-line reference BPE (no sharing with the production code
+    * beyond the tie-break convention: count desc, then pair asc).
+    */
+  private def referenceTrain(vocab: Map[String, Long], numMerges: Int,
+                             minCount: Long): Seq[(String, String)] = {
+    var words: Map[Vector[String], Long] = vocab.map { case (w, c) =>
+      (w.map(_.toString).toVector :+ "</w>", c) }
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (!done && out.size < numMerges) {
+      val pairs = words.toSeq.flatMap { case (s, c) =>
+        s.sliding(2).filter(_.size == 2).map(p => ((p(0), p(1)), c)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }
+      pairs.headOption.filter(_._2 >= minCount) match {
+        case Some(((a, b), _)) =>
+          out += ((a, b))
+          words = words.map { case (s, c) =>
+            val r = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+                r += a + b; i += 2
+              } else { r += s(i); i += 1 }
+            }
+            (r.toVector, c)
+          }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        case None => done = true
+      }
+    }
+    out.toSeq
+  }
+
+  // the paper's running example: low/lower/newest/widest
+  private lazy val corpus = Seq(
+    (1L, "low low low low low"),
+    (2L, "lower lower"),
+    (3L, "newest newest newest newest newest newest"),
+    (4L, "widest widest widest")).toDF("doc_id", "text")
+  private val paperVocab = Map[String, Long](
+    "low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+
+  test("train matches the independent reference on the paper example, " +
+      "both venues, invariant to partitioning") {
+    val want = referenceTrain(paperVocab, numMerges = 10, minCount = 2)
+    assert(want.take(4) == Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o")), s"paper example sanity: $want")
+    val driver = Bpe.train(corpus, "text", numMerges = 10)
+    val distributed = Bpe.train(corpus, "text", numMerges = 10,
+      maxDriverVocab = 0L)
+    val resharded = Bpe.train(corpus.repartition(7), "text", numMerges = 10,
+      maxDriverVocab = 0L)
+    assert(driver == want, s"driver venue: $driver vs $want")
+    assert(distributed == want, s"distributed venue: $distributed vs $want")
+    assert(resharded == want, "model must not depend on partitioning")
+  }
+
+  test("encode round-trips, respects merge ranks, and keeps word order; " +
+      "token-less docs get an empty array") {
+    val merges = Bpe.train(corpus, "text", numMerges = 10)
+    val rank = merges.zipWithIndex.toMap
+    // per-word apply agrees with sequential reference merging
+    for (w <- paperVocab.keys) {
+      val toks = Bpe.encodeWord(w, rank)
+      assert(toks.mkString == w + "</w>", s"round-trip of $w: $toks")
+    }
+    assert(Bpe.encodeWord("newest", rank) == Seq("newest</w>"),
+      "the most frequent word should merge to a single token")
+    val docs = Seq((1L, "newest low"), (2L, "   "), (3L, "unseen"))
+      .toDF("doc_id", "text")
+    val got = Bpe.encode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    assert(got(0)._2.mkString == "newest</w>" + "low</w>",
+      s"document order preserved: ${got(0)._2}")
+    assert(got(0)._2.head == "newest</w>")
+    assert(got(1)._2.isEmpty, "whitespace-only doc: empty tokens")
+    assert(got(2)._2.mkString == "unseen</w>",
+      "OOV word still round-trips through partial merges")
+  }
+}

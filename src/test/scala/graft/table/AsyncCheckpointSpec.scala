@@ -228,6 +228,28 @@ class AsyncCheckpointSpec extends SparkSpec {
     } finally CheckpointMaintenance.suspended = false
   }
 
+  test("the append stream replays across a retro checkpoint boundary " +
+      "exactly once (checkpoints stay a pure cache for streams)") {
+    CheckpointMaintenance.suspended = true
+    try {
+      val t = freshTable("ac-stream", partSize = 3)
+      for (i <- 1 to 11) t.append(Seq((i.toLong, s"r$i")).toDF("k", "v"))
+      t.runCheckpointMaintenance() // retro mid-history
+      assert(retroPtr(t, 11L).exists())
+      for (i <- 12 to 14) t.append(Seq((i.toLong, s"r$i")).toDF("k", "v"))
+      val q = t.readStreamAppends(startingVersion = 0)
+        .writeStream.format("memory").queryName("ac_stream_sink")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("ac_stream_sink").as[(Long, String)]
+          .collect().sorted.toSeq ==
+          (Seq((0L, "seed")) ++ (1 to 14).map(i => (i.toLong, s"r$i"))),
+          "every append exactly once, retro boundary invisible")
+      } finally q.stop()
+    } finally CheckpointMaintenance.suspended = false
+  }
+
   test("cleanupLog anchors on a retro checkpoint behind the checkpoint-retro " +
       "reader feature") {
     CheckpointMaintenance.suspended = true
