@@ -1190,7 +1190,10 @@ object SparkEntry {
         val t0 = new graft.table.ManagedTable(s, s"$w/li")
         t0.overwrite(Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_quantity"),
-            to_date(col("l_shipdate")).as("ship_date"))
+            to_date(col("l_shipdate")).as("ship_date"),
+            // a genuinely NULLABLE column so COUNT(col) ≠ COUNT(*):
+            // the metadata rule answers it from the null-count stats fold
+            when(col("l_quantity") > 25, col("l_quantity")).as("qty_hi"))
           .repartitionByRange(4, col("l_orderkey")))
         w
       })
@@ -1210,7 +1213,7 @@ object SparkEntry {
       try {
         t.read.createOrReplaceTempView("li_moa")
         val out = s.sql(
-          """SELECT COUNT(*) AS n_rows,
+          """SELECT COUNT(*) AS n_rows, COUNT(qty_hi) AS n_qty_hi,
                     MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
                     MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
                     MIN(ship_date) AS min_date, MAX(ship_date) AS max_date
@@ -3322,6 +3325,7 @@ object SparkEntry {
          FROM g ORDER BY o_orderstatus""",
     "q142_sql_metadata_agg" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN l_quantity > 25 THEN l_quantity END) AS BIGINT) AS n_qty_hi,
            CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
            CAST(MAX(l_orderkey) AS BIGINT) AS max_key,
            CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,

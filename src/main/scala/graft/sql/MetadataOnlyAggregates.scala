@@ -110,8 +110,11 @@ class MetadataOnlyAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
       e match {
         case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
           ae.aggregateFunction match {
+            // COUNT(*) / COUNT(1) (non-null literals) or COUNT(col) —
+            // the latter answers from the null-count stats fold
             case c: Count => c.children.forall(a =>
-              a.foldable && a.eval(InternalRow.empty) != null)
+              (a.foldable && a.eval(InternalRow.empty) != null) ||
+                a.isInstanceOf[AttributeReference])
             case Min(_: AttributeReference) => true
             case Max(_: AttributeReference) => true
             case _ => false
@@ -188,10 +191,26 @@ class MetadataOnlyAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
     def mm(c: String): Option[(String, String)] =
       mmCache.getOrElseUpdate((key, c),
         Try(t.minMaxFast(c)).toOption.flatten)
+    def nnc(c: String): Option[Any] =
+      nncCache.getOrElseUpdate((key, c),
+        Try(t.nonNullCountFast(c)).toOption.flatten)
 
     def evalOne(e: Expression): Option[Any] = e match {
       case ae: AggregateExpression =>
         ae.aggregateFunction match {
+          // COUNT(col): non-null count from the null-count stats fold
+          // (exact only when every live file covers the column — the
+          // fold suppresses the answer otherwise and we fall through);
+          // a PARTITION column has no file stats but every row holds its
+          // partition's value, so Σ partition row counts answers it (the
+          // rollup already bails on Hive null-marker partitions)
+          case Count(Seq(a: AttributeReference)) =>
+            nnc(a.name).orElse(
+              partitionRollup(key, t).flatMap { case (pcols, parts) =>
+                if (pcols.exists(_.equalsIgnoreCase(a.name)))
+                  Some(parts.map(_._2).sum)
+                else None
+              })
           case _: Count => cnt
           // a PARTITION column's extremes come from the partition values
           // themselves (works where stats bail, e.g. string kinds —
@@ -382,6 +401,8 @@ object MetadataOnlyAggregates {
     scala.collection.concurrent.TrieMap.empty[TableKey, Option[Any]]
   private val mmCache =
     scala.collection.concurrent.TrieMap.empty[(TableKey, String), Option[(String, String)]]
+  private val nncCache =
+    scala.collection.concurrent.TrieMap.empty[(TableKey, String), Option[Long]]
   private val partCache =
     scala.collection.concurrent.TrieMap.empty[TableKey,
       Option[(Seq[String], Seq[(Seq[String], Long)])]]
@@ -391,6 +412,7 @@ object MetadataOnlyAggregates {
     if (dvFreeCache.size > 4096) dvFreeCache.clear()
     if (countCache.size > 4096) countCache.clear()
     if (mmCache.size > 4096) mmCache.clear()
+    if (nncCache.size > 4096) nncCache.clear()
     if (partCache.size > 4096) partCache.clear()
   }
 }

@@ -1219,6 +1219,26 @@ final class ManagedTable(spark: SparkSession, val path: String)
       }
   }
 
+  /** Metadata-only `COUNT(col)` — the NON-NULL count: total physical
+    * rows minus the ANALYZE fold's null count, exact only when the table
+    * is DV-free (physical == visible) and EVERY live file records a
+    * known null count for the column ([[columnStats]] suppresses
+    * `null_count` otherwise — including files predating the column,
+    * whose rows read as null without any stats entry). Zero data files
+    * opened; routes through the distributed ANALYZE venue above the
+    * planning cutover like the other metadata folds.
+    */
+  def nonNullCountFast(colName: String): Option[Long] = {
+    requireReadable()
+    if (currentDv.exists(_._2.nonEmpty)) return None
+    columnStats().filter(col("col_name") === colName).collect()
+      .headOption.flatMap { row =>
+        if (row.isNullAt(row.fieldIndex("null_count"))) None
+        else Some(row.getAs[Long]("row_count") -
+          row.getAs[Long]("null_count"))
+      }
+  }
+
   /** [[countFast]] as a Spark job: Σ checkpoint-row counts on the
     * executors, adds (O(churn)) and the DV total on the driver. None
     * (→ driver fold) when no parquet checkpoint anchors the snapshot or

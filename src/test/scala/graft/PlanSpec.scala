@@ -246,6 +246,44 @@ class PlanSpec extends SparkSpec {
       spark.experimental.extraOptimizations.filterNot(_ eq rule)
   }
 
+  test("COUNT(col) serves from the null-count stats fold with ZERO file " +
+      "scans; a schema-evolved table (file predating the column) falls through") {
+    import spark.implicits._
+    val wh = tmpDir("plan-moa-nnc")
+    val t = new graft.table.ManagedTable(spark, s"$wh/nn")
+    t.overwrite(Seq((1L, Some("a")), (2L, None), (3L, Some("c")),
+      (4L, None)).toDF("k", "v"))
+    t.read.createOrReplaceTempView("plan_moa_nn")
+    val sql = "SELECT COUNT(v) AS n_v, COUNT(*) AS n FROM plan_moa_nn"
+    val scanTruth = spark.sql(sql).collect().head
+    assert(scanTruth.toSeq == Seq(2L, 4L))
+    val rule = new graft.sql.MetadataOnlyAggregates(spark)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ rule
+    try {
+      val df = spark.sql(sql)
+      val physical = df.queryExecution.executedPlan.toString
+      assert(!physical.contains("FileScan") && !physical.contains("Scan parquet"),
+        s"COUNT(col) still scans files:\n$physical")
+      assert(physical.contains("LocalTableScan"), physical)
+      assert(df.collect().head.toSeq == scanTruth.toSeq)
+      // schema evolution: the first file predates column `w`, so its
+      // rows read as null WITHOUT any stats entry — the fold suppresses
+      // the null count and the rewrite must decline (a metadata answer
+      // here would require claiming nulls it cannot prove)
+      val t2 = new graft.table.ManagedTable(spark, s"$wh/evo")
+      t2.overwrite(Seq((1L, "a")).toDF("k", "v"))
+      t2.addColumns("w BIGINT")
+      t2.append(Seq((2L, "b", 20L)).toDF("k", "v", "w"))
+      t2.read.createOrReplaceTempView("plan_moa_evo")
+      val evo = spark.sql("SELECT COUNT(w) AS n_w FROM plan_moa_evo")
+      assert(evo.queryExecution.executedPlan.toString.contains("Scan"),
+        "schema-evolved COUNT(col) must fall through to the scan")
+      assert(evo.collect().head.getLong(0) == 1L)
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq rule)
+  }
+
   test("q143 partition-column metadata aggregates plan ZERO file scans and " +
       "match the scan exactly") {
     import spark.implicits._
