@@ -55,9 +55,27 @@ object Bpe {
     out.toSeq
   }
 
+  /** UTF-8 binary string order — Spark's native string sort, so the
+    * driver venue tie-breaks exactly like the distributed one (Java's
+    * UTF-16 `String` order disagrees for supplementary characters; the
+    * same two-venue pitfall SnapshotIndex pins on the other side).
+    */
+  private def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
   /** Learn `numMerges` merges from a (word, cnt) vocab table, driver
     * venue: collect the vocab once, run the classic loop in memory.
-    * Tie-break on (count desc, pair asc) — fully deterministic.
+    * Tie-break on (count desc, pair asc in UTF-8 binary order) — fully
+    * deterministic and identical to the distributed venue's.
     */
   private def trainDriver(vocab: Seq[(String, Long)], numMerges: Int,
                           minCount: Long): Seq[(String, String)] = {
@@ -75,7 +93,13 @@ object Bpe {
         }
       }
       val best = counts.toSeq
-        .sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+        .sortWith { case (((a1, b1), c1), ((a2, b2), c2)) =>
+          if (c1 != c2) c1 > c2
+          else {
+            val da = utf8Compare(a1, a2)
+            if (da != 0) da < 0 else utf8Compare(b1, b2) < 0
+          }
+        }.headOption
         .filter(_._2 >= minCount)
       best match {
         case Some(((a, b), _)) =>

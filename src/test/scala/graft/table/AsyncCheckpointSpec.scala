@@ -250,6 +250,29 @@ class AsyncCheckpointSpec extends SparkSpec {
     } finally CheckpointMaintenance.suspended = false
   }
 
+  test("DV commits at the async boundary: the retro checkpoint lists files, " +
+      "DVs keep applying, and the fresh-handle read is exact") {
+    CheckpointMaintenance.suspended = true
+    try {
+      val t = freshTable("ac-dv", partSize = 3)
+      for (i <- 1 to 9) t.append(Seq((i.toLong, s"r$i")).toDF("k", "v"))
+      // the checkpoint-due v10 commit is itself a DV delete (zero file
+      // churn) — the boundary must stay an O(churn) delta either way
+      t.deleteVectored(col("k") === 4L)
+      assert(t.version == 10L)
+      val txt = manifestText(t, 10L)
+      assert(!txt.contains("filesParquet") && !txt.contains("\"files\""),
+        s"DV boundary commit should be a delta: $txt")
+      t.runCheckpointMaintenance()
+      assert(retroPtr(t, 10L).exists())
+      val fresh = new ManagedTable(spark, t.path)
+      assert(fresh.read.count() == 9L) // 10 rows − the DV'd one
+      assert(fresh.readVersion(9).count() == 10L) // pre-delete snapshot
+      assert(fresh.readVersion(10).as[(Long, String)].collect()
+        .forall(_._1 != 4L), "the DV applies over the retro checkpoint")
+    } finally CheckpointMaintenance.suspended = false
+  }
+
   test("cleanupLog anchors on a retro checkpoint behind the checkpoint-retro " +
       "reader feature") {
     CheckpointMaintenance.suspended = true
