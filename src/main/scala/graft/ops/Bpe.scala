@@ -210,8 +210,12 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     val rank = merges.zipWithIndex.toMap
+    // two consumers (the distinct-word vocab and the join): lazily
+    // materialize so the corpus scan + word explosion runs once — the
+    // multi-consumer discipline Dedup's index joins follow
     val exploded = docs.select(col(idCol).as("doc_id"),
       posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "word")))
+      .localCheckpoint(false)
     val vocabToks = exploded.select("word").distinct().as[String]
       .map(w => (w, encodeWord(w, rank)))
       .toDF("word", "toks")

@@ -293,8 +293,14 @@ object Dedup {
     import org.apache.spark.sql.GraftBridge.{column, expression}
     val di = shingleIndex(docs, idCol, textCol, n)
       .select(col("doc_id"), xxhash64(col("s")).as("s"))
+    // the benchmark index has THREE consumers (count, bloom build, exact
+    // semi-join): materialize it once (the jaccardOverCandidates
+    // discipline) — it is the small side by contract. The corpus index
+    // stays dual-pass (sizes + hits) like [[contamination]]: at 100 TB,
+    // re-scanning beats materializing a corpus-sized intermediate.
     val bi = shingleIndex(bench, idCol, textCol, n)
       .select(xxhash64(col("s")).as("s")).distinct()
+      .localCheckpoint(true)
     val items = if (expectedItems > 0) expectedItems
       else math.max(1L, bi.count())
     val bf = bi.stat.bloomFilter("s", items, fpp)

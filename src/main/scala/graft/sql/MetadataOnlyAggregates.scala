@@ -110,11 +110,17 @@ class MetadataOnlyAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
       e match {
         case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
           ae.aggregateFunction match {
-            // COUNT(*) / COUNT(1) (non-null literals) or COUNT(col) —
-            // the latter answers from the null-count stats fold
-            case c: Count => c.children.forall(a =>
-              (a.foldable && a.eval(InternalRow.empty) != null) ||
-                a.isInstanceOf[AttributeReference])
+            // COUNT(*) / COUNT(1) (all non-null literals) or COUNT(col)
+            // (exactly ONE attribute — answered from the null-count
+            // fold). Multi-argument COUNT(a, b) counts rows where EVERY
+            // argument is non-null; no metadata fold answers that, so it
+            // must NOT pass this gate (evalOne's `_: Count` arm would
+            // silently serve the total row count)
+            case c: Count =>
+              c.children.forall(a =>
+                a.foldable && a.eval(InternalRow.empty) != null) ||
+                (c.children.length == 1 &&
+                  c.children.head.isInstanceOf[AttributeReference])
             case Min(_: AttributeReference) => true
             case Max(_: AttributeReference) => true
             case _ => false
@@ -211,7 +217,10 @@ class MetadataOnlyAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
                   Some(parts.map(_._2).sum)
                 else None
               })
-          case _: Count => cnt
+          // belt-and-braces mirror of the shape gate: the total row count
+          // only answers COUNT over non-null literals
+          case c: Count if c.children.forall(a =>
+              a.foldable && a.eval(InternalRow.empty) != null) => cnt
           // a PARTITION column's extremes come from the partition values
           // themselves (works where stats bail, e.g. string kinds —
           // every row in a partition holds exactly that value, zero-row

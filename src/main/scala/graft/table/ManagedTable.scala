@@ -773,14 +773,22 @@ final class ManagedTable(spark: SparkSession, val path: String)
     while (ckpt.isEmpty) {
       if (i < 0) return None
       // retro (async) checkpoint sidecars serve as the base exactly like
-      // manifest-embedded ones; a dangling/inline retro falls through to
-      // the version's own manifest
-      val retro = retroText(i).flatMap(checkpointSidecarsOf)
+      // manifest-embedded ones; a dangling retro falls through to the
+      // version's own manifest. An INLINE-format retro ends the walk
+      // (no parquet base — the driver fold reads it), and so does the
+      // log-cleanup horizon: a retro-anchored cleanupLog deletes the
+      // manifests below its pointer, so the walk must answer None (→ the
+      // always-correct driver fold), never throw
+      val rt = retroText(i)
+      if (rt.exists(t => scala.util.Try(
+          jsonStringArray(t, "files").isDefined).getOrElse(false)))
+        return None
+      val retro = rt.flatMap(checkpointSidecarsOf)
         .map(_.map(n => new Path(logDir, n))).filter(_.forall(fs.exists))
       retro match {
         case Some(ps) => ckpt = Some(ps)
         case None =>
-          val txt = manifestText(i)
+          val txt = scala.util.Try(manifestText(i)).getOrElse(return None)
           checkpointSidecarsOf(txt) match {
             case Some(names) =>
               val ps = names.map(n => new Path(logDir, n))
@@ -2622,8 +2630,19 @@ final class ManagedTable(spark: SparkSession, val path: String)
         case Some(st) =>
           commitFromState(v, st, operation, partitionCols0, txn, dvNew,
             churn.get)
-          if (asyncCkpt && v % ckptEvery == 0)
+          if (asyncCkpt && v % ckptEvery == 0) {
+            // WRITER feature, recorded under the lease BEFORE the first
+            // pointer can exist: a build unaware of `_checkpoints.d`
+            // could otherwise remap/move this table — rewriting
+            // manifests and sidecars but not the pointers — and leave
+            // stale retro paths a retro-aware reader trusts as recon(v).
+            // (The READER half is recorded only when cleanupLog anchors
+            // on a pointer — reads tolerate pointer-unawareness until
+            // then; writes don't.)
+            if (!protocol._2.contains("checkpoint-retro"))
+              ensureFeature("checkpoint-retro", reader = false)
             CheckpointMaintenance.schedule(this)
+          }
           return
         case None => ()
       }
@@ -4045,11 +4064,17 @@ final class ManagedTable(spark: SparkSession, val path: String)
       }
       val names = staged.zipWithIndex.map { case (src, i) =>
         val dst = ckptPartPath(v, i)
-        // an existing dst can only be a racing/crashed maintenance run's
-        // part for the SAME (version, state) — byte-identical by the
-        // determinism contract — so keep it: no delete→rename gap a
-        // reader could observe, and a lost rename race is success too
-        if (!fs.exists(dst) && !fs.rename(src, dst) && !fs.exists(dst))
+        // never ADOPT a pre-existing dst: the DRIVER venue publishes its
+        // stream under these final names BEFORE count-verifying, so a
+        // crashed raced run can leave a wrong-row-set part here —
+        // overwrite with our verified bytes. The delete→rename gap is
+        // harmless pre-pointer (parts are unreferenced) and transient
+        // under a racing publisher (identical bytes; a reader's dangling
+        // resolve falls back to the manifest chain). Losing the rename
+        // race to a concurrent maintenance run's identical part is
+        // success, not failure.
+        if (fs.exists(dst)) fs.delete(dst, false)
+        if (!fs.rename(src, dst) && !fs.exists(dst))
           throw new java.io.IOException(s"failed to publish $dst")
         dst.getName
       }
@@ -4173,9 +4198,26 @@ final class ManagedTable(spark: SparkSession, val path: String)
     }
     writeAtomic(retroPtrPath(v), s"""{"version":$v,$fileEntry}""")
     if (fs.exists(lockFile) || version != v) {
-      fs.delete(retroPtrPath(v), false)
-      logInfo(s"checkpoint maintenance on $path: a mutation overlapped " +
-        s"the v$v pointer publish — retracted (next maintenance re-runs)")
+      // NEVER retract a pointer the log can't live without: a concurrent
+      // cleanupLog (which holds the very lock this check sees) may have
+      // ANCHORED its horizon on this pointer and deleted every manifest
+      // below v — retracting then would leave the chain unreconstructable.
+      // v-1's manifest missing (v > 0) is exactly that state: any earlier
+      // horizon keeps [horizon, v) intact, so only an anchor AT v removes
+      // v-1. (A STALE pointer can't be the anchor: cleanupLog verifies
+      // the named sidecars exist, and the mutations that invalidate
+      // content — remaps — move those files away.)
+      val anchored = v > 0 &&
+        !fs.exists(new Path(logDir, f"v${v - 1}%05d.json"))
+      if (anchored)
+        logInfo(s"checkpoint maintenance on $path: a mutation overlapped " +
+          s"the v$v pointer publish but the pointer anchors the log " +
+          "horizon — kept")
+      else {
+        fs.delete(retroPtrPath(v), false)
+        logInfo(s"checkpoint maintenance on $path: a mutation overlapped " +
+          s"the v$v pointer publish — retracted (next maintenance re-runs)")
+      }
     }
   }
 
@@ -4773,14 +4815,20 @@ final class ManagedTable(spark: SparkSession, val path: String)
           case _ =>
         }
     }
-    // reap crash-orphaned checkpoint-sidecar tmp files. ONLY those: their
-    // writers (commit, remap, drop-feature) all hold the commit lock this
-    // method also holds, so any such tmp present now is a dead writer's
-    // leftover. Other log tmps can be live WITHOUT the lease — the
-    // history self-heal writeAtomics _history.txt from pure read paths —
-    // and reaping one mid-rename would destroy the file it was publishing
+    // reap crash-orphaned checkpoint-sidecar tmp files — AGE-GATED: the
+    // locked writers (commit, remap, drop-feature) can't be mid-write
+    // while this method holds the lock, but the lease-free async-
+    // checkpoint maintenance thread writes these tmps WITHOUT the lock,
+    // so a fresh tmp may be a live retro-sidecar write. An hour-old tmp
+    // is crash debris under any venue. Other log tmps can be live
+    // without the lease too (the history self-heal writeAtomics
+    // _history.txt from pure read paths) and are never reaped here.
+    val tmpReapAgeMs = 3600L * 1000
+    val nowMs = System.currentTimeMillis()
     fs.listStatus(logDir).foreach { st =>
-      if (st.isFile && st.getPath.getName.contains(".checkpoint.parquet.tmp-"))
+      if (st.isFile &&
+          st.getPath.getName.contains(".checkpoint.parquet.tmp-") &&
+          nowMs - st.getModificationTime > tmpReapAgeMs)
         fs.delete(st.getPath, false)
     }
   }
@@ -6701,10 +6749,16 @@ final class ManagedTable(spark: SparkSession, val path: String)
       finally in.close()
     }
 
-  private def writeProperties(ps: Map[String, String]): Unit =
+  private def writeProperties(ps: Map[String, String]): Unit = {
     // atomic: a torn write must never make the property set half-vanish
     writeAtomic(propsFile, ps.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${enc(k)}\t${enc(v)}" }.mkString("\n"))
+    // same-process edits drop the schema cache outright — the
+    // (len, mtime) signature alone can collide when a rewrite keeps the
+    // byte length within one mtime tick (writeAtomic's own discipline
+    // for the sidecar/history parse caches)
+    SchemaCache.invalidate(qualifiedRoot)
+  }
 
   def setProperties(ps: Map[String, String]): Unit =
     writeProperties(properties ++ ps)

@@ -273,6 +273,33 @@ class AsyncCheckpointSpec extends SparkSpec {
     } finally CheckpointMaintenance.suspended = false
   }
 
+  test("a retro pointer that anchors the log horizon is never retracted, " +
+      "even when a lock overlaps the publish") {
+    CheckpointMaintenance.suspended = true
+    try {
+      val t = freshTable("ac-anchor", partSize = 3)
+      for (i <- 1 to 12) t.append(Seq((i.toLong, s"r$i")).toDF("k", "v"))
+      t.runCheckpointMaintenance()
+      assert(retroPtr(t, 12L).exists())
+      t.cleanupLog(12L) // anchors on the retro: manifests below are gone
+      assert(!new java.io.File(t.path + "._log/v00011.json").exists())
+      // the race's tail, simulated: the pointer needs re-publishing while
+      // ANOTHER writer holds the commit lock (publishRetroPointer's
+      // post-publish check fires) — retracting here would leave the log
+      // unreconstructable, so the anchored pointer must be KEPT
+      retroPtr(t, 12L).delete()
+      val lock = new java.io.File(t.path + "._log/_commit.lock")
+      assert(lock.createNewFile())
+      try t.runCheckpointMaintenance()
+      finally lock.delete()
+      assert(retroPtr(t, 12L).exists(),
+        "an anchored pointer must survive the overlap check")
+      val fresh = new ManagedTable(spark, t.path)
+      assert(fresh.read.count() == 13L)
+      assert(fresh.readVersion(12).count() == 13L)
+    } finally CheckpointMaintenance.suspended = false
+  }
+
   test("cleanupLog anchors on a retro checkpoint behind the checkpoint-retro " +
       "reader feature") {
     CheckpointMaintenance.suspended = true

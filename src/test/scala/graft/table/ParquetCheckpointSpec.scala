@@ -265,6 +265,13 @@ class ParquetCheckpointSpec extends SparkSpec {
       "v00099.p000.checkpoint.parquet.tmp-deadbeef")
     val out = hfs.create(orphan, true)
     try out.write("junk".getBytes("UTF-8")) finally out.close()
+    // the reap is AGE-GATED (the lease-free async-checkpoint maintenance
+    // writes these tmps without the lock, so a FRESH tmp may be live):
+    // a young orphan survives, an hour-old one is crash debris
+    t.cleanupLog(0L)
+    assert(hfs.exists(orphan), "a fresh tmp may be a live maintenance " +
+      "write and must survive the reap")
+    hfs.setTimes(orphan, System.currentTimeMillis() - 2L * 3600 * 1000, -1)
     t.cleanupLog(0L) // horizon 0: deletes nothing, but the reap sweep runs
     assert(!hfs.exists(orphan), "orphaned part tmp survived cleanupLog")
     assert(t.read.count() == 4)
