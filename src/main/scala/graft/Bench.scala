@@ -101,9 +101,15 @@ object Bench {
           math.min(med, math.min(once(), once()))
         case _ => med
       }
-      name -> t
+      // spread = reported − best-observed: a per-query noise certificate.
+      // Near-zero spread means the runs agreed and the number is load-bearing;
+      // a large spread says this entry was volatile on this host and a
+      // cross-round delta smaller than it is noise, not regression (r11's
+      // verdict had to argue this forensically — now the artifact carries it).
+      name -> (t, math.max(0.0, t - times.head))
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val spreadTotal = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
     // Full fidelity (complete query names, full-precision seconds) goes to
     // the bench.json FILE; the stdout line is a compact variant. The driver
     // captures only the last ~2000 chars of process output, and the full
@@ -111,12 +117,20 @@ object Bench {
     // the line's head fell outside the capture window. Short keys (the qNN
     // prefix, unique by construction; full name kept on the rare collision)
     // plus millisecond rounding keep the line ~1.4 KB.
-    def jline(m: Map[String, Double], fmt: Double => String): String = {
-      val qs = m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    def jline(m: Map[String, (Double, Double)], fmt: Double => String,
+              withSpread: Boolean): String = {
+      val qs = m.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"calibAttempts":$calibAttempts,"queries":$qs,"sf":"$sfDir"}"""
+      // per-query spread goes to the FILE only (stdout stays compact); the
+      // one-line form still carries the aggregate so the driver artifact
+      // self-certifies overall run stability.
+      val sp = if (withSpread)
+        m.map { case (k, (_, s)) => "\"" + k + "\":" + fmt(s) }
+          .mkString(""","spread":{""", ",", "}")
+      else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"calibAttempts":$calibAttempts,"spreadTotal":${fmt(spreadTotal)},"queries":$qs$sp,"sf":"$sfDir"}"""
     }
-    val full = jline(results, _.toString)
+    val full = jline(results, _.toString, withSpread = true)
     val shortKeys = results.map { case (k, v) =>
       val s = k.takeWhile(_ != '_')
       (if (results.keys.count(_.takeWhile(_ != '_') == s) == 1) s else k) -> v
@@ -130,7 +144,8 @@ object Bench {
     // line parser rejects — the raw descriptor bypasses the swap and lands
     // the bare JSON on the real stdout.
     val out = new java.io.FileOutputStream(java.io.FileDescriptor.out)
-    out.write((jline(shortKeys, v => f"$v%.3f") + "\n").getBytes("UTF-8"))
+    out.write((jline(shortKeys, v => f"$v%.3f", withSpread = false) + "\n")
+      .getBytes("UTF-8"))
     out.flush()
   }
 }

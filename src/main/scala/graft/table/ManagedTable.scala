@@ -3605,6 +3605,29 @@ final class ManagedTable(spark: SparkSession, val path: String)
   private def ckptPartPath(v: Long, i: Int) =
     new Path(logDir, f"v$v%05d.p$i%03d.checkpoint.parquet")
 
+  /** RETRO-maintenance parts stage under RUN-unique names
+    * (`vNNNNN.rRRRRRRRR.pKKK.checkpoint.parquet`): maintenance is
+    * lease-free, so two runs — or two VENUES, whose row→part assignment
+    * differs (the driver stream splits the sorted row stream sequentially
+    * by partSize; the Spark job hash-partitions by path) — can assemble
+    * the same version concurrently. Renaming onto shared final names let
+    * a cross-venue race leave a MIXED-layout part set under an
+    * already-published pointer (rows duplicated/missing at read, and row
+    * counts are only verified pre-publish). With run-unique names the
+    * pointer — its own atomic publish, naming exactly the parts its run
+    * staged — is the only switch; a losing run's parts are unreferenced
+    * debris. The `vNNNNN` prefix is load-bearing: it keeps every
+    * version-keyed sweep (cleanupLog's below-horizon listing, remap,
+    * drop-feature) covering these files unchanged. The commit-path
+    * writer ([[writeCheckpointParquetParts]]) keeps deterministic names:
+    * it runs under the commit lease, where no concurrent writer exists.
+    */
+  private def retroPartPath(v: Long, runId: String, i: Int) =
+    new Path(logDir, f"v$v%05d.r$runId.p$i%03d.checkpoint.parquet")
+
+  private def newRetroRunId(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
   /** Write one checkpoint as `ceil(n/partSize)` parts concurrently;
     * returns the part file names in row order. Each part is its own
     * atomic tmp→rename publish: a crash leaves tmps (reaped under the
@@ -3738,8 +3761,10 @@ final class ManagedTable(spark: SparkSession, val path: String)
   // checkpoint — a pointer under `_checkpoints.d/vNNNNN.json` carrying
   // exactly the keys a checkpoint manifest would (`files` /
   // `filesParquet` / `filesParquetParts`), with the parquet sidecars
-  // under their usual `vNNNNN[.pKKK].checkpoint.parquet` names so every
-  // existing remap/retention/reap sweep covers them unchanged. Delta's
+  // under version-prefixed `vNNNNN[.rRRRRRRRR][.pKKK].checkpoint.parquet`
+  // names (multi-part retro sidecars carry a run-unique `rRRRRRRRR`
+  // segment — see [[retroPartPath]]) so every existing
+  // remap/retention/reap sweep covers them unchanged. Delta's
   // design (async checkpoints trailing `_last_checkpoint`): the log
   // tolerates a lagging checkpoint by construction — reconstruction
   // walks back to the NEAREST base, retro or manifest-embedded — so a
@@ -3965,19 +3990,23 @@ final class ManagedTable(spark: SparkSession, val path: String)
       rows: Iterator[(String, Option[(Long, Long, String)])]): (String, Long) = {
     val partSize = checkpointPartSize
     if (partSize > 0) {
+      // run-unique part names (see [[retroPartPath]]): a racing run or the
+      // other venue stages disjoint files; only the pointer publish decides
+      val runId = newRetroRunId()
       val names = scala.collection.mutable.ArrayBuffer[String]()
       var total = 0L
       val grouped = rows.grouped(partSize)
       while (grouped.hasNext) {
         val chunk = grouped.next()
-        val p = ckptPartPath(v, names.size)
+        val p = retroPartPath(v, runId, names.size)
         writeCheckpointParquet(p, chunk)
         names += p.getName
         total += chunk.size
       }
       if (names.isEmpty) { // empty table still needs a valid pointer
-        writeCheckpointParquet(ckptPartPath(v, 0), Nil)
-        names += ckptPartPath(v, 0).getName
+        val p = retroPartPath(v, runId, 0)
+        writeCheckpointParquet(p, Nil)
+        names += p.getName
       }
       (s""""filesParquetParts":[${names.map(jstr).mkString(",")}]""", total)
     } else {
@@ -4062,20 +4091,16 @@ final class ManagedTable(spark: SparkSession, val path: String)
           "abandoned (raced); falling back to the driver stream")
         return None
       }
+      // run-unique part names (see [[retroPartPath]]): nothing to adopt or
+      // overwrite — a racing run (either venue) stages disjoint files, so
+      // no reader of an already-published pointer can ever observe a
+      // mixed-layout part set. A rename failure here is a real error, not
+      // a lost race.
+      val runId = newRetroRunId()
       val names = staged.zipWithIndex.map { case (src, i) =>
-        val dst = ckptPartPath(v, i)
-        // never ADOPT a pre-existing dst: the DRIVER venue publishes its
-        // stream under these final names BEFORE count-verifying, so a
-        // crashed raced run can leave a wrong-row-set part here —
-        // overwrite with our verified bytes. The delete→rename gap is
-        // harmless pre-pointer (parts are unreferenced) and transient
-        // under a racing publisher (identical bytes; a reader's dangling
-        // resolve falls back to the manifest chain). Losing the rename
-        // race to a concurrent maintenance run's identical part is
-        // success, not failure.
-        if (fs.exists(dst)) fs.delete(dst, false)
-        if (!fs.rename(src, dst) && !fs.exists(dst))
-          throw new java.io.IOException(s"failed to publish $dst")
+        val dst = retroPartPath(v, runId, i)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"failed to stage $dst")
         dst.getName
       }
       Some((s""""filesParquetParts":[${names.map(jstr).mkString(",")}]""",
@@ -4207,16 +4232,52 @@ final class ManagedTable(spark: SparkSession, val path: String)
       // v-1. (A STALE pointer can't be the anchor: cleanupLog verifies
       // the named sidecars exist, and the mutations that invalidate
       // content — remaps — move those files away.)
-      val anchored = v > 0 &&
+      def anchored: Boolean = v > 0 &&
         !fs.exists(new Path(logDir, f"v${v - 1}%05d.json"))
-      if (anchored)
+      def keepAnchored(): Unit =
         logInfo(s"checkpoint maintenance on $path: a mutation overlapped " +
           s"the v$v pointer publish but the pointer anchors the log " +
           "horizon — kept")
+      if (anchored) keepAnchored()
       else {
-        fs.delete(retroPtrPath(v), false)
-        logInfo(s"checkpoint maintenance on $path: a mutation overlapped " +
-          s"the v$v pointer publish — retracted (next maintenance re-runs)")
+        // Retracting while v-1 still exists is a TOCTOU against cleanupLog:
+        // the lock-holder may BE a cleanup that has anchored its horizon on
+        // this very pointer but not yet deleted v-1 — a lock-free probe
+        // here sees v-1, retracts, and the cleanup then deletes every
+        // manifest below v with the anchor gone. cleanupLog makes its
+        // anchor decision UNDER the commit lock, so the retraction decision
+        // takes the same lock: by the time we hold it any anchoring cleanup
+        // has finished its deletions (v-1 gone → anchored → keep), and no
+        // future cleanup can anchor on a pointer we delete while holding
+        // it. Bounded queue — if the lease stays held past the bound (an
+        // orphaned lease from a dead writer), keep the pointer: a
+        // possibly-stale pointer costs at worst a dangling-sidecar
+        // fallback to the manifest chain on read; a mis-retraction can
+        // cost the log itself.
+        val deadline = System.nanoTime() + 60000L * 1000000L
+        var done = false
+        while (!done) {
+          try withCommitLockWait(0) {
+            if (anchored) keepAnchored()
+            else {
+              fs.delete(retroPtrPath(v), false)
+              logInfo(s"checkpoint maintenance on $path: a mutation " +
+                s"overlapped the v$v pointer publish — retracted (next " +
+                "maintenance re-runs)")
+            }
+            done = true
+          } catch {
+            case _: java.util.ConcurrentModificationException
+                if System.nanoTime() < deadline =>
+              Thread.sleep(100)
+            case scala.util.control.NonFatal(e) =>
+              logWarning(s"checkpoint maintenance on $path: could not " +
+                s"serialize the v$v pointer retraction (${e.getMessage}) " +
+                "— pointer kept; readers fall back to the manifest chain " +
+                "if it is stale")
+              done = true
+          }
+        }
       }
     }
   }

@@ -107,6 +107,62 @@ class AsyncCheckpointSpec extends SparkSpec {
     } finally CheckpointMaintenance.suspended = false
   }
 
+  test("retro parts are run-unique, so a cross-venue race can never mix " +
+      "row→part layouts under a published pointer") {
+    CheckpointMaintenance.suspended = true
+    try {
+      val t1 = freshTable("ac-xvenue", partSize = 3)
+      for (i <- 1 to 10) t1.append(Seq((i.toLong, s"r$i")).toDF("k", "v"))
+      t1.runCheckpointMaintenance() // retro #1: the parquet base
+      for (i <- 11 to 14) t1.append(Seq((i.toLong, s"r$i")).toDF("k", "v"))
+      // the two venues lay rows out DIFFERENTLY under the same part count:
+      // the driver stream splits sequentially, the Spark job hash-partitions
+      // by path. Race them for the same version — the published pointer
+      // must name a complete, duplicate-free part set from ONE run.
+      t1.setProperties(Map("graft.metadata.distributedPlanning" -> "always"))
+      val t2 = new ManagedTable(spark, t1.path)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val th1 = new Thread(() =>
+        try t1.runCheckpointMaintenance()
+        catch { case e: Throwable => errs.add(e); () })
+      th1.start()
+      // flip the venue mid-race (an operator config change — ADVICE's
+      // scenario) and run the second handle's maintenance concurrently
+      t2.setProperties(Map("graft.metadata.distributedPlanning" -> "never"))
+      val th2 = new Thread(() =>
+        try t2.runCheckpointMaintenance()
+        catch { case e: Throwable => errs.add(e); () })
+      th2.start()
+      th1.join(60000); th2.join(60000)
+      assert(errs.isEmpty, s"racing mixed-venue maintenance threw: $errs")
+      val v = t1.version
+      assert(retroPtr(t1, v).exists())
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        retroPtr(t1, v).toPath), "UTF-8")
+      val names = "\"(v[^\"]*\\.checkpoint\\.parquet)\"".r
+        .findAllMatchIn(txt).map(_.group(1)).toSeq
+      // run-unique names: every part carries its run segment, and the
+      // whole published set came from a single run
+      assert(names.nonEmpty &&
+        names.forall(_.matches("v\\d+\\.r[0-9a-f]{8}\\.p\\d+\\.checkpoint\\.parquet")),
+        s"retro parts must be run-unique: $names")
+      assert(names.map(_.replaceAll("\\.p\\d+.*", "")).distinct.size == 1,
+        s"a published pointer must reference ONE run's parts: $names")
+      // and the part set reconstructs the exact live set: no dup/missing
+      // rows regardless of which run won
+      val rows = spark.read.parquet(
+          names.map(n => t1.path + "._log/" + n): _*)
+        .select("path").collect().map(_.getString(0)).toSeq
+      assert(rows.distinct.size == rows.size, "duplicate rows in retro parts")
+      val liveNames = new java.io.File(t1.path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      assert(rows.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+        == liveNames, "retro parts must cover exactly the live set")
+      val fresh = new ManagedTable(spark, t1.path)
+      assert(fresh.readVersion(v).count() == 15L)
+    } finally CheckpointMaintenance.suspended = false
+  }
+
   test("maintenance detects out-of-band drift and the next commit absorbs it") {
     CheckpointMaintenance.suspended = true
     try {
@@ -189,10 +245,18 @@ class AsyncCheckpointSpec extends SparkSpec {
       assert(t.lastRetroVenue == "distributed",
         "a parquet base above the cutover must assemble via the job")
       val v2 = (v1 + 1 to v1 + 20).find(v => retroPtr(t, v).exists()).get
+      // part names come from the POINTER (they are run-unique — the staged
+      // part set of a racing run must never be confused with the published
+      // one), exactly as readers resolve them
+      def retroParts(v: Long): Seq[String] = {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          retroPtr(t, v).toPath), "UTF-8")
+        "\"(v[^\"]*\\.checkpoint\\.parquet)\"".r
+          .findAllMatchIn(txt).map(_.group(1)).toSeq
+      }
       def retroRows(v: Long): Set[(String, Long, Long, String)] = {
-        val parts = new java.io.File(t.path + "._log").listFiles()
-          .filter(_.getName.matches(f"v$v%05d\\.p\\d+\\.checkpoint\\.parquet"))
-          .map(_.getAbsolutePath).sorted
+        val parts = retroParts(v)
+          .map(n => t.path + "._log/" + n).sorted
         assert(parts.length > 1, s"expected multi-part retro at v$v")
         spark.read.parquet(parts.toIndexedSeq: _*)
           .select(col("path").cast("string"), col("len").cast("long"),
@@ -208,7 +272,7 @@ class AsyncCheckpointSpec extends SparkSpec {
       // venues must produce the identical row set
       retroPtr(t, v2).delete()
       new java.io.File(t.path + "._log").listFiles()
-        .filter(_.getName.matches(f"v$v2%05d\\.p\\d+\\.checkpoint\\.parquet"))
+        .filter(_.getName.matches(f"v$v2%05d\\..*checkpoint\\.parquet"))
         .foreach(_.delete())
       t.setProperties(Map("graft.metadata.distributedPlanning" -> "never"))
       t.runCheckpointMaintenance()
