@@ -77,6 +77,7 @@ object SparkEntry {
 
   /** q143's partitioned orders copy per corpus dir, written once per JVM. */
   private val moaPartTableCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val shingleTableCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private val pairsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def verifiedPairs(s: SparkSession, d: String): DataFrame =
@@ -1253,6 +1254,27 @@ object SparkEntry {
         .select(col("doc_id"), round(col("p"), 6).as("p"), col("keep"))
         .orderBy("doc_id")
     }),
+    "q147a_bpe_encode_fixed" -> ((s, d) => {
+      // BPE ENCODE under the oracle (the q116a verification-half split:
+      // training stays spec-gated, the apply plan gets a cross-engine
+      // anchor): a FIXED well-formed merge list — every operand produced
+      // only by EARLIER merges (no back-edges), every pair a ≠ b (no
+      // self-overlap) — makes the greedy lowest-rank-first apply loop
+      // provably equal to sequential rank-order application, which DuckDB
+      // expresses as a recursive CTE of fixpoint REPLACEs over a
+      // space-delimited symbol string. Anchors the distinct-word encode
+      // map, the corpus join on word, and the positional reassembly
+      // (array_sort over (pos, toks)) bit-exactly: token ORDER is pinned
+      // through the joined token_str, not just counts.
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 50)
+      val merges = Seq(("e", "</w>"), ("t", "h"), ("th", "e</w>"),
+        ("a", "</w>"), ("s", "c"))
+      graft.ops.Bpe.encode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          array_join(col("tokens"), "|").as("token_str"))
+        .orderBy("doc_id")
+    }),
     "q147_bpe_tokenize" -> ((s, d) => {
       // trained-BPE token statistics (rows-only: the merge loop is not
       // SQL-expressible; BpeSpec anchors train+encode against an
@@ -1573,6 +1595,29 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Dedup.contamination(docs, docs.filter(col("doc_id") % 25 === 0),
           "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+    "q148_contamination_skipping" -> ((s, d) => {
+      // the contamination screen over a MANAGED corpus with the per-file
+      // SHINGLE bloom index (addShingleBloomIndex): files whose filter
+      // clears every benchmark shingle are never opened for text — the
+      // scan-pruning sibling of q144's shuffle-pruning bloom. The oracle
+      // anchors EXACTNESS (identical fractions to the plain full-scan
+      // screen); the skip behavior itself is DedupSpec-pinned (this
+      // synthetic corpus shares one small vocabulary, so at sf scale most
+      // files legitimately might-hit and the plan degrades gracefully to
+      // the exact screen)
+      val wh = shingleTableCache.getOrElseUpdate(d, {
+        val w = java.nio.file.Files.createTempDirectory("graft-shingle").toString
+        val t0 = new graft.table.ManagedTable(s, s"$w/corpus")
+        t0.overwrite(Tables.documents(s, d)
+          .select("doc_id", "text").repartition(8, col("doc_id")))
+        t0.addShingleBloomIndex("text", n = 3)
+        w
+      })
+      val t = new graft.table.ManagedTable(s, s"$wh/corpus")
+      val bench = Tables.documents(s, d).filter(col("doc_id") % 97 === 0)
+      Dedup.contaminationIndexed(t, bench, "doc_id", "text", n = 3)
         .orderBy("doc_id")
     }),
     "q88_dedup_incremental" -> ((s, d) => {
@@ -2337,6 +2382,44 @@ object SparkEntry {
          SELECT l.vec_id, o.pos, (l.x - o.mu)/sqrt(o.var) AS p
          FROM lng l JOIN ord o USING (coord)
          ORDER BY vec_id, pos""",
+    "q147a_bpe_encode_fixed" ->
+      """WITH RECURSIVE
+         tw AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words
+           FROM documents WHERE doc_id < 50),
+         w AS (SELECT DISTINCT unnest(words) AS word FROM tw WHERE len(words) > 0),
+         merges AS (SELECT * FROM (VALUES
+             (0, ' e </w> ', ' e</w> '),
+             (1, ' t h ', ' th '),
+             (2, ' th e</w> ', ' the</w> '),
+             (3, ' a </w> ', ' a</w> '),
+             (4, ' s c ', ' sc ')) m(idx, pat, rep)),
+         init AS (SELECT word,
+             ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' </w> ' AS s
+           FROM w),
+         bpe AS (
+           SELECT word, s, 0 AS mi FROM init
+           UNION ALL
+           SELECT a.word,
+             CASE WHEN replace(a.s, m.pat, m.rep) <> a.s
+                  THEN replace(a.s, m.pat, m.rep) ELSE a.s END,
+             CASE WHEN replace(a.s, m.pat, m.rep) <> a.s THEN a.mi ELSE a.mi + 1 END
+           FROM bpe a JOIN merges m ON m.idx = a.mi
+           WHERE a.mi < 5),
+         tok AS (SELECT word,
+             list_filter(string_split(s, ' '), x -> x <> '') AS toks
+           FROM bpe WHERE mi = 5),
+         docw AS (SELECT doc_id, unnest(words) AS word,
+             generate_subscripts(words, 1) AS pos
+           FROM tw WHERE len(words) > 0),
+         flat AS (SELECT d.doc_id, flatten(list(t.toks ORDER BY d.pos)) AS tokens
+           FROM docw d JOIN tok t USING (word) GROUP BY d.doc_id)
+         SELECT dd.doc_id,
+           CAST(COALESCE(len(f.tokens), 0) AS BIGINT) AS n_tokens,
+           COALESCE(array_to_string(f.tokens, '|'), '') AS token_str
+         FROM (SELECT doc_id FROM documents WHERE doc_id < 50) dd
+         LEFT JOIN flat f USING (doc_id)
+         ORDER BY dd.doc_id""",
     "q116a_pq_adc_fixed" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          cb AS (SELECT s.sub, CAST(e.vec_id AS INT) AS label,
@@ -3442,6 +3525,22 @@ object SparkEntry {
                 FROM w)
          SELECT ngram, COUNT(*) AS df FROM sh GROUP BY 1
          ORDER BY df DESC, ngram LIMIT 20""",
+    "q148_contamination_skipping" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words
+                    FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest(CASE WHEN len(words) >= 3
+                    THEN list_transform(generate_series(1, len(words) - 2),
+                           i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+                    ELSE [concat_ws(' ', words)] END) AS s
+                FROM w),
+         b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         hits AS (SELECT sh.doc_id, COUNT(*) AS n_hit FROM sh JOIN b USING (s) GROUP BY 1)
+         SELECT sizes.doc_id AS doc_id,
+           CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_sh AS contamination
+         FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.doc_id
+         ORDER BY 1""",
     "q82_contamination" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words
                     FROM documents),

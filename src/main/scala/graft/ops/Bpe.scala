@@ -23,10 +23,18 @@ import org.apache.spark.sql.functions._
   *    under any partitioning (spec-pinned), and the driver and
   *    distributed training venues agree exactly (spec-pinned A/B).
   *
-  * The end-of-word marker `</w>` follows the paper: it can never collide
-  * with corpus text because [[TextAnalysis.words]] tokens are
-  * whitespace-split (no spaces inside) and the marker is appended as a
-  * SEPARATE symbol, only ever merged into suffixes.
+  * The end-of-word marker `</w>` follows the paper, appended as a
+  * SEPARATE symbol after the word's characters. Caveat (shared with the
+  * paper's reference implementation, which uses the same literal): a word
+  * whose TEXT contains the characters `<`, `/`, `w`, `>` adjacently can
+  * merge them into a text-derived symbol EQUAL to the marker string.
+  * Training and encoding treat such symbols identically on both venues,
+  * so the model and token streams stay deterministic — but the
+  * decode-side round-trip convention ("tokens concatenate to word +
+  * marker") is ambiguous for exactly those adversarial words. Escaping
+  * is deliberately NOT done: it would change every emitted token string
+  * for `<`-containing text and break parity with standard BPE vocab
+  * files.
   */
 object Bpe {
 

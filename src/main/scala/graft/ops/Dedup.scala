@@ -276,12 +276,21 @@ object Dedup {
     * shuffle shrinks from every corpus shingle to true hits + the fpp
     * share of misses.
     *
-    * The probe stays codegen'd: Spark's own [[org.apache.spark.sql
-    * .catalyst.expressions.BloomFilterMightContain]] (the runtime
-    * row-level-filtering expression) over the already-64-bit shingle
-    * hashes; the filter itself builds distributed (`stat.bloomFilter`'s
-    * treeAggregate) and ships as a binary literal, exactly how Spark's
-    * injected runtime bloom joins ship theirs.
+    * The probe has two venues, picked by the bloom's serialized size:
+    * below `maxLiteralBytes` it is Spark's own codegen'd
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * over the already-64-bit shingle hashes, with the filter shipped as a
+    * binary plan literal (Spark's injected runtime bloom joins ship
+    * theirs through the same expression). A plan literal rides in the
+    * logical/physical plan and in EVERY serialized task binary, though —
+    * at the 1e9-shingle regime the bloom is ~1.2 GB, which a literal
+    * would drag through the driver's plan copies and each task's
+    * serialization instead of a once-per-executor fetch. Above the gate
+    * the bloom therefore ships as a TorrentBroadcast (chunked,
+    * fetched once per executor) probed by a deterministic UDF — the
+    * probe loses whole-stage codegen, but one virtual call per row is
+    * noise next to the shuffle it prevents, and the literal path's cost
+    * profile at that size is not "slower", it is driver OOM.
     *
     * `expectedItems ≤ 0` sizes the bloom from a benchmark count — one
     * extra pass over the (small) benchmark side, never the corpus.
@@ -289,7 +298,8 @@ object Dedup {
   def contaminationBloom(docs: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, n: Int = 3,
                          expectedItems: Long = -1L,
-                         fpp: Double = 0.01): DataFrame = {
+                         fpp: Double = 0.01,
+                         maxLiteralBytes: Long = 32L * 1024 * 1024): DataFrame = {
     import org.apache.spark.sql.GraftBridge.{column, expression}
     val di = shingleIndex(docs, idCol, textCol, n)
       .select(col("doc_id"), xxhash64(col("s")).as("s"))
@@ -304,15 +314,20 @@ object Dedup {
     val items = if (expectedItems > 0) expectedItems
       else math.max(1L, bi.count())
     val bf = bi.stat.bloomFilter("s", items, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos); bos.toByteArray
+    val mightHit = if (bf.bitSize() / 8 <= maxLiteralBytes) {
+      val bytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos); bos.toByteArray
+      }
+      column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal(bytes,
+            org.apache.spark.sql.types.BinaryType),
+          expression(col("s"))))
+    } else {
+      val bfB = docs.sparkSession.sparkContext.broadcast(bf)
+      udf((s: Long) => bfB.value.mightContainLong(s)).apply(col("s"))
     }
-    val mightHit = column(
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        org.apache.spark.sql.catalyst.expressions.Literal(bytes,
-          org.apache.spark.sql.types.BinaryType),
-        expression(col("s"))))
     val sizes = di.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val hits = di.filter(mightHit) // no false negatives: exact after verify
       .join(bi, Seq("s"), "left_semi")
@@ -321,6 +336,63 @@ object Dedup {
       .select(col("doc_id"),
         (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_sh"))
           .as("contamination"))
+  }
+
+  /** [[contamination]] over a MANAGED corpus with per-file SHINGLE-BLOOM
+    * file skipping ([[graft.table.ManagedTable.addShingleBloomIndex]]) —
+    * the same exact answer, but corpus files whose filter answers a
+    * definite no for EVERY benchmark shingle are never opened for their
+    * text at all: today's bloom prefilter ([[contaminationBloom]]) prunes
+    * the SHUFFLE, this prunes the SCAN. Complementary regimes: this path
+    * collects the benchmark's distinct shingle hashes to the driver (the
+    * benchmark is the SMALL side by contract — q82's broadcast regime);
+    * the too-big-to-collect benchmark stays with [[contaminationBloom]].
+    *
+    * Exactness: a skipped file provably shares no shingle with the
+    * benchmark, so its docs score contamination 0 — they enter the result
+    * through a doc_id-ONLY scan of the skipped files (column pruning
+    * makes that the cheap column; the text column, which dominates a
+    * document table's bytes, is read only for surviving files). At 100 TB
+    * with a selective benchmark the scan reduction is the whole win; with
+    * an unselective one every file survives and the plan degrades to
+    * exactly [[contamination]].
+    *
+    * Falls back to the plain screen over `corpus.read` when the corpus
+    * carries deletion vectors (the direct file scan would resurrect
+    * DV-deleted rows) or has no matching index declaration.
+    */
+  def contaminationIndexed(corpus: graft.table.ManagedTable, bench: DataFrame,
+                           idCol: String, textCol: String, n: Int = 3)
+      : DataFrame = {
+    val spark = bench.sparkSession
+    import spark.implicits._
+    val keys = shingleIndex(bench, idCol, textCol, n)
+      .select(xxhash64(col("s")).as("s")).distinct()
+      .as[Long].collect()
+    if (corpus.deletionVectors.nonEmpty)
+      return contamination(corpus.read, bench, idCol, textCol, n)
+    val (kept, all) = corpus.shingleFilesMightHit(textCol, n, keys)
+    val skipped = all.filterNot(kept.toSet)
+    // basePath keeps hive-partition columns resolvable on the file-subset
+    // scans (id/text may still not BE partition columns — enforced by the
+    // select below failing loudly, not silently)
+    def scan(files: Seq[String]) = spark.read
+      .option("basePath", corpus.path).parquet(files: _*)
+    val zeros =
+      if (skipped.isEmpty) None
+      else Some(scan(skipped)
+        .select(col(idCol).as("doc_id"), lit(0.0).as("contamination")))
+    val exact =
+      if (kept.isEmpty) None
+      else Some(contamination(scan(kept).select(idCol, textCol), bench,
+        idCol, textCol, n))
+    (exact, zeros) match {
+      case (Some(e), Some(z)) => e.unionByName(z)
+      case (Some(e), None) => e
+      case (None, Some(z)) => z
+      case (None, None) =>
+        Seq.empty[(Long, Double)].toDF("doc_id", "contamination")
+    }
   }
 
   /** Mersenne prime 2^31−1 for the minhash universal-hash family: products

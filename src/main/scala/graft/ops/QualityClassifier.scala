@@ -102,7 +102,16 @@ object QualityClassifier {
     import spark.implicits._
     val feats = features(docs, idCol, textCol, labelCol, buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDocs = math.max(1L, feats.select("doc_id").distinct().count())
+    // FULL-batch semantics anchors on the DOC table, not the feature
+    // table: a token-less doc (empty/whitespace text) has no feature rows
+    // but still counts in nDocs and still contributes its bias-only
+    // gradient r = σ(bias) − y and its loss term — exactly what
+    // full-batch logistic regression over the corpus means. (Its
+    // per-bucket gradient contribution is genuinely zero: cnt = 0.)
+    val docLabels = docs.select(col(idCol).as("doc_id"),
+        col(labelCol).cast("double").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = math.max(1L, docLabels.count())
     val w = new Array[Double](buckets)
     var bias = 0.0
     val losses = scala.collection.mutable.ArrayBuffer[Double]()
@@ -111,13 +120,16 @@ object QualityClassifier {
       val wDf = broadcast(w.zipWithIndex
         .map { case (x, b) => (b.toLong, x) }.toSeq.toDF("b", "wb"))
       // per-doc logit: products quantized to DECIMAL before the sum so
-      // the value never depends on partial-aggregation order
-      val scored = feats.join(wDf, Seq("b"), "left")
-        .groupBy("doc_id", "y")
+      // the value never depends on partial-aggregation order; token-less
+      // docs enter through the left join with dotw = 0
+      val dots = feats.join(wDf, Seq("b"), "left")
+        .groupBy("doc_id")
         .agg(sum((col("cnt") * coalesce(col("wb"), lit(0.0)))
           .cast(dec)).as("dotw"))
+      val scored = docLabels.join(dots, Seq("doc_id"), "left")
         .select(col("doc_id"), col("y"),
-          (col("dotw").cast("double") + lit(bias)).as("logit"))
+          (coalesce(col("dotw").cast("double"), lit(0.0)) + lit(bias))
+            .as("logit"))
         .withColumn("p",
           lit(1.0) / (lit(1.0) + exp(-col("logit"))))
         .withColumn("r", col("p") - col("y"))
@@ -132,7 +144,7 @@ object QualityClassifier {
             log(greatest(lit(1.0) - col("p"), lit(eps))))
           .cast(dec)).as("loss"),
         sum(col("r").cast(dec)).as("rsum")).head()
-      // a fully token-less corpus aggregates to NULLs: nothing to learn
+      // an empty doc table aggregates to NULLs: nothing to learn
       losses += Option(lossRow.getDecimal(0))
         .map(_.doubleValue() / nDocs).getOrElse(0.0)
       val rsum = Option(lossRow.getDecimal(1))
@@ -148,6 +160,7 @@ object QualityClassifier {
       bias -= lr * rsum / nDocs
     }
     feats.unpersist()
+    docLabels.unpersist()
     Model(w, bias, losses.toSeq)
   }
 

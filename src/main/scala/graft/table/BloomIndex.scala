@@ -65,6 +65,76 @@ private[table] object BloomIndex {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** [[BloomAgg]] over LONG keys (`putLong`) — the derived-key index form:
+    * each row contributes an ARRAY of 64-bit keys (e.g. its text's shingle
+    * hashes) instead of one cast-string column value.
+    */
+  private final class LongBloomAgg(items: Long, fpp: Double)
+      extends Aggregator[(String, Long), BloomFilter, Array[Byte]] {
+    def zero: BloomFilter = BloomFilter.create(items, fpp)
+    def reduce(b: BloomFilter, a: (String, Long)): BloomFilter = {
+      b.putLong(a._2); b
+    }
+    def merge(x: BloomFilter, y: BloomFilter): BloomFilter = {
+      x.mergeInPlace(y); x
+    }
+    def finish(b: BloomFilter): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      b.writeTo(out); out.toByteArray
+    }
+    def bufferEncoder: Encoder[BloomFilter] = Encoders.kryo[BloomFilter]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Build per-file filters over DERIVED LONG keys: `keyArr` is an
+    * `array<bigint>` Column evaluated against each scanned row (e.g.
+    * `xxhash64` over the row's text shingles — the contamination screen's
+    * key space). Same contract as [[build]] otherwise: one distributed
+    * pass over only `dataFiles`, null keys unindexed, empty files get a
+    * definitively-empty filter.
+    */
+  def buildLongKeys(spark: SparkSession, fs: FileSystem, dataFiles: Seq[String],
+                    keyArr: org.apache.spark.sql.Column, items: Long,
+                    fpp: Double, colDir: Path): Unit = {
+    if (dataFiles.isEmpty) return
+    import spark.implicits._
+    import org.apache.spark.sql.functions.explode
+    val perFile = spark.read.parquet(dataFiles: _*)
+      .select(input_file_name().as("_1"), explode(keyArr).as("_2"))
+      .filter(col("_2").isNotNull)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(new LongBloomAgg(items, fpp).toColumn.name("bf"))
+      .collect()
+    fs.mkdirs(colDir)
+    perFile.foreach { case (f, bytes) => writeBf(fs, colDir, f, bytes) }
+    val written = perFile.map(f => normalize(f._1)).toSet
+    dataFiles.filterNot(f => written(normalize(f))).foreach { f =>
+      val empty = BloomFilter.create(1, fpp)
+      val out = new java.io.ByteArrayOutputStream()
+      empty.writeTo(out)
+      writeBf(fs, colDir, f, out.toByteArray)
+    }
+  }
+
+  /** Bloom verdict for one file against MANY long keys: false ONLY when
+    * the filter answers a definite no for EVERY key — the any-hit form
+    * file skipping needs (a file can be skipped only when no probe key
+    * can possibly be in it). Missing/unreadable filter or an empty key
+    * set keeps the file; the filter loads once and serves all probes.
+    */
+  def mightContainAnyLong(fs: FileSystem, colDir: Path, dataFile: String,
+                          keys: Array[Long]): Boolean = {
+    if (keys.isEmpty) return true
+    val p = bfPath(colDir, dataFile)
+    if (!fs.exists(p)) return true
+    try {
+      val in = fs.open(p)
+      val bf = try BloomFilter.readFrom(in) finally in.close()
+      keys.exists(bf.mightContainLong)
+    } catch { case _: Exception => true }
+  }
+
   /** Build (or rebuild) the per-file filters for `dataFiles`, writing one
     * `.bf` per file under `colDir`. Null column values are not indexed
     * (a null probe key never prunes — [[mightContain]] keeps on "").

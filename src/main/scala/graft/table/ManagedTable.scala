@@ -1643,6 +1643,115 @@ final class ManagedTable(spark: SparkSession, val path: String)
     fs.delete(bloomColDir(colName), true)
   }
 
+  // ---- per-file SHINGLE bloom index (contamination file skipping) ------
+
+  /** Declaration key for a shingle index — a reserved name that can never
+    * collide with a real column (schema validation rejects `:` names at
+    * [[addBloomIndex]], which requires the column to exist).
+    */
+  private def shingleDeclName(textCol: String, n: Int) = s"shingle:$n:$textCol"
+
+  /** The per-row key array a shingle index stores: `xxhash64` of each
+    * n-gram shingle of `textCol` — EXACTLY [[graft.ops.Dedup.shingleIndex]]'s
+    * key derivation, so a probe with benchmark shingle hashes is sound.
+    */
+  private def shingleKeyArr(textCol: String, n: Int): Column = {
+    import org.apache.spark.sql.functions.{transform, xxhash64}
+    transform(graft.ops.Dedup.shingles(col(textCol), n), s => xxhash64(s))
+  }
+
+  /** Declare a per-file bloom index over the SHINGLE HASHES of `textCol`
+    * — the contamination screen's file-skipping index: a corpus file
+    * whose filter answers a definite no for EVERY benchmark shingle can
+    * be skipped without opening its text column at all
+    * ([[graft.ops.Dedup.contaminationIndexed]]). Existing live files are
+    * indexed now; every later mutation indexes just its new files as part
+    * of the commit, like the point-lookup index.
+    *
+    * `expectedItemsPerFile = 0` auto-sizes from the stats sidecar's max
+    * per-file row count × 32 (a shingle-per-doc heuristic — ~10 bits per
+    * item at the default fpp, so oversizing is cheap insurance while
+    * undersizing silently raises the false-keep rate and erodes skipping).
+    */
+  def addShingleBloomIndex(textCol: String, n: Int,
+                           expectedItemsPerFile: Long = 0L,
+                           fpp: Double = 0.01): Unit = withCommitLock {
+    requireMaterialized("addShingleBloomIndex")
+    require(exists, "declare shingle bloom indexes on an existing table")
+    ensureBootstrapped()
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    import org.apache.spark.sql.types.StringType
+    val field = read.schema.fields.find(_.name == textCol)
+      .getOrElse(throw new IllegalArgumentException(s"no such column: $textCol"))
+    require(field.dataType == StringType,
+      s"shingle bloom index needs a string column, $textCol is " +
+        field.dataType.simpleString)
+    val declName = shingleDeclName(textCol, n)
+    val items =
+      if (expectedItemsPerFile > 0) expectedItemsPerFile
+      else {
+        val rows = fileMeta(liveFilesQ()).values.map(_.rows)
+        math.max(4096L, if (rows.isEmpty) 100000L else rows.max * 32L)
+      }
+    val before = bloomDecls
+    writeBloomDecls(before + (declName -> (items, fpp, "shingle")))
+    try {
+      val live = listParquet(new Path(path))
+        .map { case (p, _) => fs.makeQualified(new Path(p)).toString }
+      val dir = bloomColDir(declName)
+      BloomIndex.buildLongKeys(spark, fs, BloomIndex.unindexed(fs, dir, live),
+        shingleKeyArr(textCol, n), items, fpp, dir)
+      BloomIndex.dropStale(fs, dir, live)
+      ensureFeature("bloom-index", reader = false)
+    } catch {
+      case e: Throwable =>
+        writeBloomDecls(before)
+        if (!before.contains(declName)) fs.delete(bloomColDir(declName), true)
+        throw e
+    }
+  }
+
+  def dropShingleBloomIndex(textCol: String, n: Int): Unit =
+    dropBloomIndex(shingleDeclName(textCol, n))
+
+  /** Live data files that MIGHT contain any of `keys` (shingle hashes),
+    * per the declared shingle index — (kept, all), [[filesOverlapping]]'s
+    * shape. Without a matching declaration every file is kept
+    * (conservative, never wrong). The probe distributes like
+    * [[bloomSurvivors]]: above the planning cutover the per-file filter
+    * reads happen on executors with the key set broadcast once.
+    */
+  def shingleFilesMightHit(textCol: String, n: Int, keys: Array[Long])
+      : (Seq[String], Seq[String]) = {
+    val all = liveFilesQ().map(_._1)
+    val declName = shingleDeclName(textCol, n)
+    if (!bloomDecls.contains(declName) || keys.isEmpty) return (all, all)
+    val dir = bloomColDir(declName)
+    val distributed = distributedPlanningMode.equalsIgnoreCase("always") ||
+      (useDistributedPlanning && all.size > 4096)
+    val kept =
+      if (distributed && all.nonEmpty) {
+        import spark.implicits._
+        val dirStr = dir.toString
+        val confB = spark.sparkContext.broadcast(
+          new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+        val keysB = spark.sparkContext.broadcast(keys)
+        try {
+          spark.createDataset(all).mapPartitions { it =>
+            val d = new Path(dirStr)
+            val pfs = d.getFileSystem(confB.value.value)
+            it.filter(f =>
+              BloomIndex.mightContainAnyLong(pfs, d, f, keysB.value))
+          }.collect().toSeq
+        } finally { confB.destroy(); keysB.destroy() }
+      } else {
+        import scala.collection.parallel.CollectionConverters._
+        all.par.filter(f =>
+          BloomIndex.mightContainAnyLong(fs, dir, f, keys)).seq
+      }
+    (kept, all)
+  }
+
   /** Index live files missing a filter (new files since the last refresh)
     * and drop entries for files no longer live. Called by every commit
     * when indexes are declared — the pass reads ONLY the unindexed files,
@@ -1659,14 +1768,23 @@ final class ManagedTable(spark: SparkSession, val path: String)
     // manifest-driven on a shallow clone (its live dir is empty; the
     // copied filters key the referenced source paths and must survive)
     val live = liveOpt.getOrElse(liveFilesQ().map(_._1))
-    decls.foreach { case (c, (items, fpp, _)) =>
+    decls.foreach { case (c, (items, fpp, tpe)) =>
       val dir = bloomColDir(c)
       // from the commit path a failed build must NOT fail the mutation —
       // the data is already committed, and unindexed files are merely kept
       // conservatively by every probe (addBloomIndex surfaces build errors
       // at declaration time instead). NonFatal only: OOM/interrupts fly.
       try {
-        BloomIndex.build(spark, fs, BloomIndex.unindexed(fs, dir, live),
+        if (tpe == "shingle") c.split(":", 3) match {
+          // `shingle:<n>:<textCol>` — rebuild the derived-key index for
+          // just the new files, same incremental contract as a column
+          case Array(_, nStr, tc) =>
+            BloomIndex.buildLongKeys(spark, fs,
+              BloomIndex.unindexed(fs, dir, live),
+              shingleKeyArr(tc, nStr.toInt), items, fpp, dir)
+          case _ => ()
+        }
+        else BloomIndex.build(spark, fs, BloomIndex.unindexed(fs, dir, live),
           c, items, fpp, dir)
         BloomIndex.dropStale(fs, dir, live)
       } catch {
@@ -4131,6 +4249,15 @@ final class ManagedTable(spark: SparkSession, val path: String)
     * retro checkpoint through — a test seam ("distributed" | "driver" |
     * "inline" | "" when skipped); specs pin the venue because both
     * produce identical artifacts by design.
+    *
+    * Seam audit: WRITE-ONLY in production code — nothing under src/main
+    * reads this field (grep-verified), so it cannot steer behavior; its
+    * only readers are specs. The same holds for
+    * [[lastFunnelOverReport]] (read once, for a warn log). The one
+    * behavior-affecting test hook in this layer is
+    * [[CheckpointMaintenance.suspended]], whose only production access
+    * is the read in `schedule` — no src/main code ever WRITES it, so in
+    * production it is constant-false.
     */
   @volatile private[table] var lastRetroVenue: String = ""
 
@@ -6799,6 +6926,15 @@ final class ManagedTable(spark: SparkSession, val path: String)
     * to the merge-on-read [[deleteVectored]] path.
     */
   def properties: Map[String, String] =
+    // process-wide defaults underlay ([[ManagedTable.propertyDefaults]]);
+    // the table's own _props.txt always wins
+    if (ManagedTable.propertyDefaults.isEmpty) fileProperties
+    else ManagedTable.propertyDefaults ++ fileProperties
+
+  /** Exactly what `_props.txt` holds — the set/unset base, so a property
+    * EDIT never persists the process-wide defaults into the table.
+    */
+  private def fileProperties: Map[String, String] =
     if (!fs.exists(propsFile)) Map.empty
     else {
       val in = fs.open(propsFile)
@@ -6822,10 +6958,10 @@ final class ManagedTable(spark: SparkSession, val path: String)
   }
 
   def setProperties(ps: Map[String, String]): Unit =
-    writeProperties(properties ++ ps)
+    writeProperties(fileProperties ++ ps)
 
   def unsetProperties(keys: Seq[String]): Unit =
-    writeProperties(properties -- keys)
+    writeProperties(fileProperties -- keys)
 
   // ---- identity columns --------------------------------------------------
 
@@ -8074,4 +8210,33 @@ object ManagedTable {
     * 2.6 GB at 1e7 — 2e6 is where the Spark-job path starts winning both.
     */
   private[table] val distributedPlanningAutoThreshold = 2000000L
+
+  /** Process-wide table-property DEFAULTS — Delta's
+    * `spark.databricks.delta.properties.defaults.*` analogue, applied at
+    * READ time as well as create time: `graft.defaults.<key>` JVM system
+    * properties, plus the `GRAFT_PROPERTY_DEFAULTS` environment variable
+    * (`k=v,k=v` — the form that reaches sbt-forked JVMs without build
+    * changes), each supply `<key>` for every table whose `_props.txt`
+    * does not set it. The FILE always wins, and nothing here is ever
+    * persisted — the overlay is how an operator turns on e.g.
+    * `graft.manifest.asyncCheckpoint` fleet-wide without editing every
+    * table, and how the config-matrix soak drives the whole suite under
+    * one configuration. Snapshotted once per process: a mid-process
+    * change to the environment is not a supported reconfiguration path.
+    */
+  private[table] lazy val propertyDefaults: Map[String, String] = {
+    val fromProps = sys.props.toMap.collect {
+      case (k, v) if k.startsWith("graft.defaults.") =>
+        k.stripPrefix("graft.defaults.") -> v
+    }
+    val fromEnv = sys.env.get("GRAFT_PROPERTY_DEFAULTS").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(k.trim -> v.trim)
+          case _ => None
+        }
+      }.toMap
+    fromEnv ++ fromProps // explicit -D beats the env list
+  }
 }

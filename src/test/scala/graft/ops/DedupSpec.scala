@@ -132,6 +132,55 @@ class DedupSpec extends SparkSpec {
     assert(c(4L) == 0.0 && c(5L) == 0.0)
   }
 
+  test("contaminationIndexed skips files the shingle bloom clears and still " +
+      "answers exactly; appended files index incrementally") {
+    // three files with DISJOINT vocabularies: only file A shares shingles
+    // with the benchmark, so B and C must be skippable
+    val mk = (id: Long, words: Seq[String]) => (id, words.mkString(" "))
+    val fileA = Seq(mk(1L, Seq("alpha", "beta", "gamma", "delta", "epsilon")),
+      mk(2L, Seq("beta", "gamma", "delta", "zeta", "eta")))
+    val fileB = Seq(mk(10L, Seq("red", "green", "blue", "cyan", "magenta")),
+      mk(11L, Seq("green", "blue", "cyan", "yellow", "black")))
+    val fileC = Seq(mk(20L, Seq("oak", "pine", "birch", "cedar", "maple")))
+    val t = new graft.table.ManagedTable(spark, tmpDir("shingle-skip") + "/t")
+    t.overwrite(fileA.toDF("doc_id", "text").coalesce(1))
+    t.append(fileB.toDF("doc_id", "text").coalesce(1))
+    t.addShingleBloomIndex("text", n = 3)
+    val bench = Seq(mk(100L, Seq("alpha", "beta", "gamma", "delta")))
+      .toDF("doc_id", "text")
+    // the probe must clear file B (disjoint vocabulary → no shared shingle)
+    import org.apache.spark.sql.functions.xxhash64
+    val keys = Dedup.shingleIndex(bench, "doc_id", "text", 3)
+      .select(xxhash64(col("s"))).as[Long].collect()
+    val (kept, all) = t.shingleFilesMightHit("text", 3, keys)
+    assert(all.size == 2 && kept.size == 1,
+      s"expected 1 of 2 files kept, got ${kept.size} of ${all.size}")
+    // identical answer to the plain screen — zero-scored docs included
+    def screen(df: org.apache.spark.sql.DataFrame) =
+      Dedup.contamination(df, bench, "doc_id", "text", n = 3)
+        .as[(Long, Double)].collect().toMap
+    val got = Dedup.contaminationIndexed(t, bench, "doc_id", "text", n = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(got == screen(t.read), s"indexed screen must equal exact: $got")
+    assert(got(10L) == 0.0 && got(1L) > 0.0)
+    // append a third file: the commit indexes it incrementally, the skip
+    // set grows, and the answer stays exact
+    t.append(fileC.toDF("doc_id", "text").coalesce(1))
+    val (kept2, all2) = t.shingleFilesMightHit("text", 3, keys)
+    assert(all2.size == 3 && kept2.size == 1,
+      s"appended file should be skippable: ${kept2.size} of ${all2.size}")
+    val got2 = Dedup.contaminationIndexed(t, bench, "doc_id", "text", n = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(got2 == screen(t.read))
+    assert(got2(20L) == 0.0)
+    // DV fallback: a vectored delete flips the screen to the managed read
+    // (direct file scans would resurrect the row) — still exact
+    t.deleteVectored(col("doc_id") === 11L)
+    val got3 = Dedup.contaminationIndexed(t, bench, "doc_id", "text", n = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(got3 == screen(t.read) && !got3.contains(11L))
+  }
+
   test("incremental dedup: batch docs matching the existing corpus are dropped") {
     // existing corpus = doc 1 only, represented by its signature store
     val existingSig = Dedup.minhashSignatures(

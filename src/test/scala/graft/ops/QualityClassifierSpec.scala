@@ -68,6 +68,31 @@ class QualityClassifierSpec extends SparkSpec {
     assert(acc > 0.95, s"separable corpus should classify cleanly: $acc")
   }
 
+  test("token-less docs stay in the full batch: nDocs, the loss, and the " +
+      "bias gradient all see them (their gradient is bias-only)") {
+    // one-epoch corpus where the JVM recompute is trivial: all weights
+    // start 0, so every doc's p = σ(0) = 0.5 — including the EMPTY doc
+    val docs = Seq(
+      (1L, "alpha beta", 1),
+      (2L, "spam spam", 0),
+      (3L, "", 1) // token-less: no feature rows, bias-only gradient
+    ).toDF("doc_id", "text", "y")
+    val m = QualityClassifier.train(docs, "doc_id", "text", "y",
+      buckets = 64, epochs = 1, lr = 1.0)
+    // nDocs = 3 (not 2): bias update = −lr · Σ(p−y)/3 with the empty doc's
+    // r = 0.5 − 1 included → Σr = (0.5−1)+(0.5−0)+(0.5−1) = −0.5
+    assert(math.abs(m.bias - (-1.0 * (-0.5) / 3.0)) < 1e-12,
+      s"bias must average the empty doc's residual over nDocs=3: ${m.bias}")
+    // loss = 3·(−log 0.5)/3, averaged over ALL THREE docs
+    assert(math.abs(m.losses.head - (-math.log(0.5))) < 1e-12,
+      s"epoch-1 loss must include the empty doc: ${m.losses}")
+    // and the model still trains identically when the empty doc is
+    // repartitioned elsewhere (full-batch = partitioning-invariant)
+    val m2 = QualityClassifier.train(docs.repartition(5), "doc_id", "text",
+      "y", buckets = 64, epochs = 1, lr = 1.0)
+    assert(m.bias == m2.bias && m.weights.toSeq == m2.weights.toSeq)
+  }
+
   test("the trained model is bit-identical under repartitioning " +
       "(DECIMAL-summed gradients)") {
     val a = QualityClassifier.train(separable, "doc_id", "text", "y",
@@ -96,5 +121,12 @@ class QualityClassifierSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(bloom == exact)
     assert(exact(4L) == 1.0 && exact(3L) == 0.0)
+    // the over-the-literal-gate venue (bloom ships as a TorrentBroadcast
+    // probed by a UDF, not a plan literal): same exact answer
+    val broadcastVenue = Dedup.contaminationBloom(docs, bench, "doc_id",
+        "text", maxLiteralBytes = 0L)
+      .as[(Long, Double)].collect().toMap
+    assert(broadcastVenue == exact,
+      "the broadcast probe venue must equal the literal venue exactly")
   }
 }

@@ -1,0 +1,42 @@
+#!/usr/bin/env bash
+# Config-matrix soak: run the FULL correctness suite + the OCC/maintenance/
+# stream specs with the round-11 default stack forced ON for every table in
+# the process, via the GRAFT_PROPERTY_DEFAULTS overlay
+# (ManagedTable.propertyDefaults — table _props.txt still wins):
+#
+#   cell A: distributedPlanning=always x asyncCheckpoint=true x
+#           checkpointFormat=parquet (single-sidecar)
+#   cell B: cell A + checkpointPartSize=3 (multipart forced low, so every
+#           retro/commit checkpoint exercises the multi-part + run-unique
+#           staging paths)
+#
+# Every piece is individually specced; THIS run exercises the combination —
+# retro pointers + log-seeded commits + SchemaCache carries + distributed
+# planning over retro sidecars — as one system over the whole workload.
+# Done = the same oracle verdict (147 pass, 0 fail) in every cell.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+CELL_A="graft.manifest.asyncCheckpoint=true,graft.manifest.checkpointFormat=parquet,graft.metadata.distributedPlanning=always"
+CELL_B="$CELL_A,graft.manifest.checkpointPartSize=3"
+
+SPECS="graft.table.OccSpec graft.table.AsyncCheckpointSpec graft.table.CommitFastPathSpec graft.table.ParquetCheckpointSpec graft.table.DistributedPlanningSpec graft.table.ManifestDeltaSpec graft.table.MergeSpec graft.table.ManagedTableSpec graft.table.MergeClauseSpec graft.table.DeletionVectorSpec graft.table.RowTrackingSpec graft.table.SchemaCacheSpec"
+
+run_cell() {
+  local name="$1" defaults="$2" out
+  out="/tmp/soak_${name}"
+  echo "== cell $name: $defaults =="
+  echo "-- verify (sf0.01) --"
+  GRAFT_PROPERTY_DEFAULTS="$defaults" \
+    sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $out" \
+    > "/tmp/soak_${name}_verify.log" 2>&1
+  python3 tools/check.py /root/testdata/sf0.01 "$out" | tail -1
+  echo "-- specs --"
+  GRAFT_PROPERTY_DEFAULTS="$defaults" \
+    sbt -batch "testOnly $SPECS" > "/tmp/soak_${name}_specs.log" 2>&1
+  grep -E "Tests: succeeded" "/tmp/soak_${name}_specs.log" | tail -1
+}
+
+run_cell A "$CELL_A"
+run_cell B "$CELL_B"
+echo "== soak done; logs in /tmp/soak_*.log =="
