@@ -169,20 +169,47 @@ final class ManagedTable(spark: SparkSession, val path: String)
     // interleave with another writer's commit. (Inside the mutation
     // funnels the lease is already held and the acquire is a reentrant
     // no-op.)
+    //
+    // A held lease makes the divergence verdict itself untrustworthy:
+    // optimistic writers stage data files LEASELESSLY, so this probe's
+    // listing can catch another writer mid-commit and read its staged
+    // files as drift. Failing the caller then (the old fail-fast
+    // acquire) turns a read/bootstrap PREFLIGHT into a spurious
+    // concurrent-writer error — the config-matrix soak hit exactly that
+    // under parallel appendOptimistic. Instead, re-probe after the
+    // in-flight commit lands (bounded): the version bump re-runs the
+    // listing against the new truth, and the common outcome is
+    // "consistent, trusted, no commit at all". A lease held past the
+    // bound surfaces the original fail-fast error (dead-writer autopsy
+    // path unchanged).
     if (exists) {
-      // capture ONCE: trust must be recorded for the version this check
-      // actually verified — re-reading `version` after the (leaseless)
-      // listing would let a concurrent commit land in between and get
-      // trusted without ever being checked against the dir
-      val v0 = version
-      if (trustedDirVersion != v0) {
-        if (needsBootstrapCommit) withCommitLock {
-          if (version < 0) commit("BOOTSTRAP", Nil)
-          else if (needsBootstrapCommit) commit("RECOVER", Nil)
-          // commit() recorded trust for the version it created; when the
-          // under-lease recheck found no divergence, trust stays unset —
-          // conservative, the next call re-verifies
-        } else trustedDirVersion = v0
+      var attempts = 0
+      var done = false
+      while (!done) {
+        // capture ONCE: trust must be recorded for the version this check
+        // actually verified — re-reading `version` after the (leaseless)
+        // listing would let a concurrent commit land in between and get
+        // trusted without ever being checked against the dir
+        val v0 = version
+        if (trustedDirVersion == v0) done = true
+        else if (!needsBootstrapCommit) { trustedDirVersion = v0; done = true }
+        else {
+          try {
+            withCommitLock {
+              if (version < 0) commit("BOOTSTRAP", Nil)
+              else if (needsBootstrapCommit) commit("RECOVER", Nil)
+              // commit() recorded trust for the version it created; when
+              // the under-lease recheck found no divergence, trust stays
+              // unset — conservative, the next call re-verifies
+            }
+            done = true
+          } catch {
+            case _: java.util.ConcurrentModificationException
+                if attempts < 40 =>
+              attempts += 1
+              Thread.sleep(50)
+          }
+        }
       }
     }
 
@@ -4368,41 +4395,45 @@ final class ManagedTable(spark: SparkSession, val path: String)
       if (anchored) keepAnchored()
       else {
         // Retracting while v-1 still exists is a TOCTOU against cleanupLog:
-        // the lock-holder may BE a cleanup that has anchored its horizon on
-        // this very pointer but not yet deleted v-1 — a lock-free probe
-        // here sees v-1, retracts, and the cleanup then deletes every
-        // manifest below v with the anchor gone. cleanupLog makes its
-        // anchor decision UNDER the commit lock, so the retraction decision
-        // takes the same lock: by the time we hold it any anchoring cleanup
-        // has finished its deletions (v-1 gone → anchored → keep), and no
-        // future cleanup can anchor on a pointer we delete while holding
-        // it. Bounded queue — if the lease stays held past the bound (an
-        // orphaned lease from a dead writer), keep the pointer: a
-        // possibly-stale pointer costs at worst a dangling-sidecar
-        // fallback to the manifest chain on read; a mis-retraction can
-        // cost the log itself.
-        val deadline = System.nanoTime() + 60000L * 1000000L
+        // a concurrent cleanup (which holds the lock this check saw) may
+        // have ANCHORED its horizon on this very pointer but not yet
+        // deleted v-1 — a probe-then-delete would leave the chain below v
+        // gone with the anchor retracted. Taking the commit lock here is
+        // NOT an option: maintenance must never make a fail-fast
+        // foreground writer error out (the config-matrix soak caught
+        // exactly that — a millisecond maintenance hold collides with a
+        // concurrent append's lease create). So the race closes LEASE-FREE
+        // with retract-then-verify: delete the pointer, then re-check the
+        // world — if a lock is (still) held or the anchor state flipped,
+        // RESTORE the pointer from the content in hand and re-evaluate.
+        // Every interleaving is safe: a cleanup that anchor-probed BEFORE
+        // our delete either still holds the lock at our re-check (we
+        // republish under it) or finished its deletions (v-1 gone → the
+        // re-check keeps the restored pointer); one that probes AFTER our
+        // delete finds no pointer and anchors elsewhere. Bounded retries
+        // (each needs a fresh overlapping mutation) end on the safe side:
+        // pointer kept.
+        val ptrJson = s"""{"version":$v,$fileEntry}"""
+        var attempts = 0
         var done = false
         while (!done) {
-          try withCommitLockWait(0) {
-            if (anchored) keepAnchored()
-            else {
-              fs.delete(retroPtrPath(v), false)
-              logInfo(s"checkpoint maintenance on $path: a mutation " +
-                s"overlapped the v$v pointer publish — retracted (next " +
-                "maintenance re-runs)")
-            }
+          fs.delete(retroPtrPath(v), false)
+          if (!fs.exists(lockFile) && version == v && !anchored) {
+            logInfo(s"checkpoint maintenance on $path: a mutation " +
+              s"overlapped the v$v pointer publish — retracted (next " +
+              "maintenance re-runs)")
             done = true
-          } catch {
-            case _: java.util.ConcurrentModificationException
-                if System.nanoTime() < deadline =>
-              Thread.sleep(100)
-            case scala.util.control.NonFatal(e) =>
-              logWarning(s"checkpoint maintenance on $path: could not " +
-                s"serialize the v$v pointer retraction (${e.getMessage}) " +
-                "— pointer kept; readers fall back to the manifest chain " +
-                "if it is stale")
+          } else {
+            writeAtomic(retroPtrPath(v), ptrJson)
+            attempts += 1
+            if (anchored) { keepAnchored(); done = true }
+            else if (attempts >= 3) {
+              logInfo(s"checkpoint maintenance on $path: mutations kept " +
+                s"overlapping the v$v pointer retraction — kept (pure " +
+                "cache; a stale pointer resolves through the manifest " +
+                "chain)")
               done = true
+            }
           }
         }
       }

@@ -70,6 +70,27 @@ class BpeSpec extends SparkSpec {
     assert(resharded == want, "model must not depend on partitioning")
   }
 
+  test("incremental-stats trainDriver equals the naive full-recount loop " +
+      "and the reference on randomized corpora (the 30k-merge scale path " +
+      "must not change the model)") {
+    val r = new scala.util.Random(1234)
+    for (trial <- 1 to 8) {
+      val letters = "abcde"
+      val vocab = (1 to 30 + r.nextInt(40)).map { _ =>
+        val w = (1 to 1 + r.nextInt(7))
+          .map(_ => letters(r.nextInt(letters.length))).mkString
+        w -> (1L + r.nextInt(9))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val n = 5 + r.nextInt(25)
+      val inc = Bpe.trainDriver(vocab.toSeq, n, minCount = 2L)
+      val naive = Bpe.trainDriverNaive(vocab.toSeq, n, minCount = 2L)
+      val ref = referenceTrain(vocab, n, minCount = 2L)
+      assert(inc == naive, s"trial $trial: incremental vs naive differ:\n" +
+        s"$inc\n$naive\nvocab=$vocab")
+      assert(inc == ref, s"trial $trial: incremental vs reference differ")
+    }
+  }
+
   test("encode round-trips, respects merge ranks, and keeps word order; " +
       "token-less docs get an empty array") {
     val merges = Bpe.train(corpus, "text", numMerges = 10)

@@ -19,6 +19,13 @@ class AsyncCheckpointSpec extends SparkSpec {
 
   private def freshTable(name: String, partSize: Int = 0) = {
     val t = new ManagedTable(spark, tmpDir(name) + "/t")
+    // pin the FOUNDING commit to the inline-JSON format before it happens:
+    // these specs build their parquet-checkpoint history explicitly from
+    // v1 on, and the venue pins assert the no-parquet-base fallback —
+    // ambient soak defaults (GRAFT_PROPERTY_DEFAULTS) must not hand v0 a
+    // parquet sidecar
+    t.setProperties(Map("graft.manifest.checkpointFormat" -> "json",
+      "graft.manifest.asyncCheckpoint" -> "false"))
     t.overwrite(Seq((0L, "seed")).toDF("k", "v")) // v0: founding checkpoint
     val base = Map(
       "graft.manifest.asyncCheckpoint" -> "true",

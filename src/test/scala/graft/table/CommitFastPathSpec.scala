@@ -18,8 +18,15 @@ import org.apache.spark.sql.functions._
 class CommitFastPathSpec extends SparkSpec {
   import spark.implicits._
 
-  private def freshTable(name: String) =
-    new ManagedTable(spark, tmpDir(name) + "/t")
+  private def freshTable(name: String) = {
+    val t = new ManagedTable(spark, tmpDir(name) + "/t")
+    // this suite pins the SYNCHRONOUS checkpoint-due-commit shape (the
+    // boundary manifest carries the file list) — explicit, so ambient
+    // soak defaults (GRAFT_PROPERTY_DEFAULTS asyncCheckpoint=true) can't
+    // flip the shape under the assertions
+    t.setProperties(Map("graft.manifest.asyncCheckpoint" -> "false"))
+    t
+  }
 
   private def latestFilesSidecar(t: ManagedTable) =
     new java.io.File(t.path + "._log/_latest_files.txt")

@@ -16,11 +16,24 @@ class ManifestDeltaSpec extends SparkSpec {
     val p = java.nio.file.Paths.get(t.path + "._log", f"v$v%05d.json")
     new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
   }
+
+  /** This suite pins the inline-JSON + synchronous checkpoint LOG SHAPE
+    * (`isCheckpoint` greps for `"files":[`), so every table declares that
+    * shape explicitly — ambient soak defaults (GRAFT_PROPERTY_DEFAULTS
+    * parquet/async) must not flip what the assertions read.
+    */
+  private def pinnedTable(name: String): ManagedTable = {
+    val t = new ManagedTable(spark, tmpDir(name) + "/t")
+    t.setProperties(Map(
+      "graft.manifest.checkpointFormat" -> "json",
+      "graft.manifest.asyncCheckpoint" -> "false"))
+    t
+  }
   private def isCheckpoint(t: ManagedTable, v: Long): Boolean =
     manifestText(t, v).contains("\"files\":[")
 
   test("appends write delta manifests; scheduled checkpoints appear; time travel exact") {
-    val t = new ManagedTable(spark, tmpDir("mdelta") + "/t")
+    val t = pinnedTable("mdelta")
     t.overwrite(Seq((0L, "seed")).toDF("id", "s")) // v0: founding checkpoint
     for (i <- 1 to 12)
       t.append(Seq((i.toLong, s"r$i")).toDF("id", "s").coalesce(1))
@@ -37,7 +50,7 @@ class ManifestDeltaSpec extends SparkSpec {
   }
 
   test("a delta manifest's size tracks the change, not the table") {
-    val t = new ManagedTable(spark, tmpDir("mdelta-size") + "/t")
+    val t = pinnedTable("mdelta-size")
     t.overwrite(spark.range(10000).selectExpr("id", "id * 2 AS v")
       .repartition(24)) // many files in the checkpoint
     t.append(Seq((90001L, 1L)).toDF("id", "v").coalesce(1))
@@ -48,7 +61,7 @@ class ManifestDeltaSpec extends SparkSpec {
   }
 
   test("a rewrite commit after the manifest remap checkpoints; history intact") {
-    val t = new ManagedTable(spark, tmpDir("mdelta-swap") + "/t")
+    val t = pinnedTable("mdelta-swap")
     t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
     t.append(Seq((3L, "c")).toDF("id", "s")) // v1: delta
     t.compact(1)                             // v2: swap + remap → checkpoint
@@ -62,7 +75,7 @@ class ManifestDeltaSpec extends SparkSpec {
   }
 
   test("retention vacuum keeps roots referenced only via delta adds") {
-    val t = new ManagedTable(spark, tmpDir("mdelta-vac") + "/t")
+    val t = pinnedTable("mdelta-vac")
     t.overwrite(Seq((1L, "a")).toDF("id", "s"))
     t.append(Seq((2L, "b")).toDF("id", "s"))  // v1 delta
     t.compact(1)                              // v2: retires the old dir as ._v1
@@ -76,7 +89,7 @@ class ManifestDeltaSpec extends SparkSpec {
   }
 
   test("cleanupLog expires manifests below the horizon; above keeps working") {
-    val t = new ManagedTable(spark, tmpDir("mdelta-clean") + "/t")
+    val t = pinnedTable("mdelta-clean")
     t.overwrite(Seq((0L, "seed")).toDF("id", "s"))
     for (i <- 1 to 15)
       t.append(Seq((i.toLong, s"r$i")).toDF("id", "s").coalesce(1))
@@ -104,7 +117,7 @@ class ManifestDeltaSpec extends SparkSpec {
     // partition VALUES land in file paths; the jstr writer and the
     // driver-side array parser must agree on escaping for reconstruction
     // to fold adds/removes exactly
-    val t = new ManagedTable(spark, tmpDir("mdelta-esc") + "/t")
+    val t = pinnedTable("mdelta-esc")
     // (no non-ASCII value: the container JVM's POSIX locale cannot create
     // such paths at all — Spark's own writer fails before any manifest)
     val rows = Seq((1L, "plain"), (2L, "with space"), (3L, "equals=colon:"),
@@ -123,7 +136,7 @@ class ManifestDeltaSpec extends SparkSpec {
   }
 
   test("commit timestamps are strictly increasing in commit order") {
-    val t = new ManagedTable(spark, tmpDir("mdelta-ict") + "/t")
+    val t = pinnedTable("mdelta-ict")
     t.overwrite(Seq((0L, "seed")).toDF("id", "s"))
     for (i <- 1 to 5)
       t.append(Seq((i.toLong, s"r$i")).toDF("id", "s").coalesce(1))
@@ -136,7 +149,7 @@ class ManifestDeltaSpec extends SparkSpec {
   }
 
   test("partitioned append deltas + pruned merges reconstruct exactly") {
-    val t = new ManagedTable(spark, tmpDir("mdelta-part") + "/t")
+    val t = pinnedTable("mdelta-part")
     val df = Seq((1L, "x", 10.0), (2L, "y", 20.0)).toDF("id", "part", "v")
     t.overwrite(df, Seq("part"))
     t.append(Seq((3L, "x", 30.0)).toDF("id", "part", "v"), Seq("part"))

@@ -59,7 +59,10 @@ class OccSpec extends SparkSpec {
     seed.setProperties(Map(
       "graft.manifest.checkpointFormat" -> "parquet",
       "graft.manifest.checkpointInterval" -> "2",
-      "graft.manifest.checkpointPartSize" -> "2"))
+      "graft.manifest.checkpointPartSize" -> "2",
+      // this test pins the SYNC multipart checkpoint shape — explicit so
+      // ambient soak defaults (GRAFT_PROPERTY_DEFAULTS) can't flip it
+      "graft.manifest.asyncCheckpoint" -> "false"))
     val writers = 4
     val perWriter = 2
     import scala.concurrent.{Await, Future, ExecutionContext}
@@ -414,7 +417,9 @@ class OccSpec extends SparkSpec {
     t.overwrite(Seq((0L, "seed")).toDF("id", "s"))
     t.setProperties(Map(
       "graft.manifest.checkpointFormat" -> "parquet",
-      "graft.manifest.checkpointFromState" -> "true"))
+      "graft.manifest.checkpointFromState" -> "true",
+      // pins the SYNC checkpoint-due-commit shape (v10 carries the list)
+      "graft.manifest.asyncCheckpoint" -> "false"))
     for (i <- 1 to 8) t.append(Seq((i.toLong, s"x$i")).toDF("id", "s")) // v8
     // writer A stages against v8; mid-stage writer B lands v9 (fast
     // delta); A then commits v10 — the CHECKPOINT-DUE version — which

@@ -14,9 +14,15 @@ class ParquetCheckpointSpec extends SparkSpec {
   private def mk(dir: String): ManagedTable = {
     val t = new ManagedTable(spark, dir + "/t")
     t.overwrite(Seq((0L, "seed")).toDF("k", "v"))
+    // SYNC single-part shape pinned explicitly (tests assert pointer
+    // manifests, deterministic `vNNNNN[.pKKK]` sidecar names, and
+    // JSON-after-unset transitions) — ambient soak defaults must not
+    // flip the shape; multipart tests override partSize per-table
     t.setProperties(Map(
       "graft.manifest.checkpointFormat" -> "parquet",
-      "graft.manifest.checkpointInterval" -> "2"))
+      "graft.manifest.checkpointInterval" -> "2",
+      "graft.manifest.asyncCheckpoint" -> "false",
+      "graft.manifest.checkpointPartSize" -> "0"))
     t
   }
 
@@ -76,7 +82,9 @@ class ParquetCheckpointSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException] {
       t.dropTableFeature("checkpoint-parquet") }
     assert(e1.getMessage.contains("checkpointFormat"))
-    t.unsetProperties(Seq("graft.manifest.checkpointFormat"))
+    // switch the format OFF parquet explicitly (an unset alone would fall
+    // through to whatever ambient GRAFT_PROPERTY_DEFAULTS supplies)
+    t.setProperties(Map("graft.manifest.checkpointFormat" -> "json"))
     val e2 = intercept[IllegalArgumentException] {
       t.dropTableFeature("checkpoint-parquet") }
     assert(e2.getMessage.contains("parquet checkpoint"))
@@ -151,7 +159,11 @@ class ParquetCheckpointSpec extends SparkSpec {
     t.setProperties(Map(
       "graft.manifest.checkpointFormat" -> "parquet",
       "graft.manifest.checkpointInterval" -> "2",
-      "graft.manifest.checkpointPartSize" -> partSize.toString))
+      "graft.manifest.checkpointPartSize" -> partSize.toString,
+      // sync COMMIT-path parts (deterministic `vNNNNN.pKKK` names — the
+      // partRx these tests grep) — ambient async defaults would route
+      // checkpoints through retro maintenance's run-unique names instead
+      "graft.manifest.asyncCheckpoint" -> "false"))
     t
   }
 
@@ -243,11 +255,14 @@ class ParquetCheckpointSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException] {
       t.dropTableFeature("checkpoint-parquet-multipart") }
     assert(e1.getMessage.contains("checkpointPartSize"))
-    t.unsetProperties(Seq("graft.manifest.checkpointPartSize"))
+    // explicit off-values, not unsets: under ambient defaults an unset
+    // key falls back to GRAFT_PROPERTY_DEFAULTS and the drop gate would
+    // still (correctly) refuse
+    t.setProperties(Map("graft.manifest.checkpointPartSize" -> "0"))
     val e2 = intercept[IllegalArgumentException] {
       t.dropTableFeature("checkpoint-parquet-multipart") }
     assert(e2.getMessage.contains("multi-part"))
-    t.unsetProperties(Seq("graft.manifest.checkpointFormat"))
+    t.setProperties(Map("graft.manifest.checkpointFormat" -> "json"))
     t.compact(numFiles = 1) // JSON checkpoint at the head
     t.cleanupLog(t.version) // expires every part below it
     t.dropTableFeature("checkpoint-parquet-multipart")
