@@ -89,24 +89,32 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      val times = (1 to iters).map(_ => once()).sorted
+      val runs = (1 to iters).map(_ => once())
+      val times = runs.sorted
       val med = times(times.size / 2)
       // outlier rerun: only when a quiet-host reference says this median
       // is a >3× spike — take the best of two extra runs (load spikes are
       // transient; an intrinsic regression reproduces in them too).
       // BENCH_LOCAL keys are the short qNN form (full name on collision).
-      val t = reference.get(name)
+      val extra = reference.get(name)
           .orElse(reference.get(name.takeWhile(_ != '_'))) match {
         case Some(ref) if ref > 0 && med > 3 * ref && med > 0.5 =>
-          math.min(med, math.min(once(), once()))
-        case _ => med
+          Seq(once(), once())
+        case _ => Nil
       }
-      // spread = reported − best-observed: a per-query noise certificate.
-      // Near-zero spread means the runs agreed and the number is load-bearing;
-      // a large spread says this entry was volatile on this host and a
-      // cross-round delta smaller than it is noise, not regression (r11's
-      // verdict had to argue this forensically — now the artifact carries it).
-      name -> (t, math.max(0.0, t - times.head))
+      val t = (med +: extra).min
+      // spread = max − min over the observed STEADY-STATE runs (outlier
+      // reruns included — a rerun far under the median is itself
+      // volatility the certificate must carry; the FIRST iteration is
+      // excluded when enough runs exist, since its fixture-build/JIT cost
+      // is attribution, not host noise — the same reasoning as the global
+      // warm-up above): a per-query noise certificate. Near-zero spread
+      // means the runs agreed and the number is load-bearing; a large
+      // spread says this entry was volatile on this host and a cross-round
+      // delta smaller than it is noise, not regression (r11's verdict had
+      // to argue this forensically — now the artifact carries it).
+      val observed = (if (runs.size >= 3) runs.drop(1) else runs) ++ extra
+      name -> (t, observed.max - observed.min)
     }
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val spreadTotal = if (results.nonEmpty) results.values.map(_._2).sum else 0.0

@@ -36,6 +36,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the engine's SQL surface rides the session entry point: the graft
+      // statement parser (MERGE/DDL/maintenance — non-graft SQL delegates
+      // untouched, GraftSqlSpec pins the fall-through) and the
+      // table-valued functions (graft_version/_history/_table_changes/
+      // _contamination/_quality_score) compose into plain `spark.sql`
+      .withExtensions(new graft.sql.GraftSparkSessionExtension)
     master.fold(b)(m => b.master(m))
   }
 

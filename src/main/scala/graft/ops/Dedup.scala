@@ -359,18 +359,28 @@ object Dedup {
     *
     * Falls back to the plain screen over `corpus.read` when the corpus
     * carries deletion vectors (the direct file scan would resurrect
-    * DV-deleted rows) or has no matching index declaration.
+    * DV-deleted rows), is a shallow clone (its files live outside the
+    * clone root, breaking the basePath-anchored scan), is column-mapped
+    * (the raw scan would surface physical names), or has no matching
+    * index declaration. Snapshot contract: like any direct-file reader,
+    * the file-skipping path assumes no writer mutates the corpus between
+    * planning and execution — run it on a settled table (the plain
+    * `contamination(corpus.read, …)` goes through the managed read's
+    * version-consistent resolution if that guarantee is needed).
     */
   def contaminationIndexed(corpus: graft.table.ManagedTable, bench: DataFrame,
                            idCol: String, textCol: String, n: Int = 3)
       : DataFrame = {
     val spark = bench.sparkSession
     import spark.implicits._
+    // fallback checks BEFORE the benchmark key collection — a DV/clone/
+    // mapped corpus must not pay a wasted bench-wide Spark job first
+    if (corpus.deletionVectors.nonEmpty || corpus.isShallowClone ||
+        corpus.columnMappingEnabled)
+      return contamination(corpus.read, bench, idCol, textCol, n)
     val keys = shingleIndex(bench, idCol, textCol, n)
       .select(xxhash64(col("s")).as("s")).distinct()
       .as[Long].collect()
-    if (corpus.deletionVectors.nonEmpty)
-      return contamination(corpus.read, bench, idCol, textCol, n)
     val (kept, all) = corpus.shingleFilesMightHit(textCol, n, keys)
     val skipped = all.filterNot(kept.toSet)
     // basePath keeps hive-partition columns resolvable on the file-subset

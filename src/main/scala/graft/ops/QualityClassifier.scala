@@ -108,8 +108,12 @@ object QualityClassifier {
     // gradient r = σ(bias) − y and its loss term — exactly what
     // full-batch logistic regression over the corpus means. (Its
     // per-bucket gradient contribution is genuinely zero: cnt = 0.)
+    // distinct: duplicate (doc_id, y) rows collapse exactly like the
+    // feature table's groupBy collapses their tokens, so nDocs and the
+    // per-doc residuals keep the pre-existing one-row-per-doc semantics
+    // (conflicting labels for one doc_id remain the caller's bug)
     val docLabels = docs.select(col(idCol).as("doc_id"),
-        col(labelCol).cast("double").as("y"))
+        col(labelCol).cast("double").as("y")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = math.max(1L, docLabels.count())
     val w = new Array[Double](buckets)

@@ -88,5 +88,36 @@ object GraftTableFunctions {
       plan(new ManagedTable(s, str(args(0), "graft_changes_by_id", "path"))
         .changesById(long(args(1), "graft_changes_by_id", "fromV"),
           long(args(2), "graft_changes_by_id", "toV")))
+    },
+    // the contamination screen as a TVF — (doc_id, contamination) rows
+    // that compose into ordinary SELECTs (quarantine joins, threshold
+    // filters, GROUP BY lang rollups) the way `graft_table_changes`
+    // does for CDF. Both sides are managed-table paths; the corpus side
+    // rides the per-file shingle-bloom file skipping automatically when
+    // `addShingleBloomIndex` declared one (identical answers either way).
+    tvf("graft_contamination") { args =>
+      require(args.length == 5 || args.length == 4,
+        "graft_contamination(corpusPath, benchPath, idCol, textCol[, n])")
+      val s = SparkSession.active
+      val fn = "graft_contamination"
+      val corpus = new ManagedTable(s, str(args(0), fn, "corpusPath"))
+      val bench = new ManagedTable(s, str(args(1), fn, "benchPath")).read
+      val n = if (args.length == 5) long(args(4), fn, "n").toInt else 3
+      plan(graft.ops.Dedup.contaminationIndexed(corpus, bench,
+        str(args(2), fn, "idCol"), str(args(3), fn, "textCol"), n))
+    },
+    // the FIXED-model quality scorer as a TVF — (doc_id, n_tokens,
+    // logit, keep) rows; the learned-classifier scoring plan with the
+    // cross-engine-exact integer model (q145's anchor), composable into
+    // corpus-hygiene SELECTs
+    tvf("graft_quality_score") { args =>
+      require(args.length == 4,
+        "graft_quality_score(path, idCol, textCol, buckets)")
+      val s = SparkSession.active
+      val fn = "graft_quality_score"
+      val t = new ManagedTable(s, str(args(0), fn, "path"))
+      plan(graft.ops.QualityClassifier.scoreFixed(t.read,
+        str(args(1), fn, "idCol"), str(args(2), fn, "textCol"),
+        long(args(3), fn, "buckets").toInt))
     })
 }

@@ -1707,6 +1707,12 @@ final class ManagedTable(spark: SparkSession, val path: String)
     require(exists, "declare shingle bloom indexes on an existing table")
     ensureBootstrapped()
     require(n >= 1, s"shingle size must be >= 1, got $n")
+    // the build scans data files RAW (the whole point — index without the
+    // managed read's overhead), which under column mapping would key the
+    // filters on physical column names and silently index the wrong data
+    require(!columnMappingEnabled,
+      s"shingle bloom index on column-mapped table $path is unsupported " +
+        "(the raw build would read physical column names)")
     import org.apache.spark.sql.types.StringType
     val field = read.schema.fields.find(_.name == textCol)
       .getOrElse(throw new IllegalArgumentException(s"no such column: $textCol"))
@@ -3270,7 +3276,11 @@ final class ManagedTable(spark: SparkSession, val path: String)
               "in the log — commit a JSON checkpoint (e.g. OPTIMIZE) and " +
               "cleanupLog past them first" else ""))
       case "checkpoint-parquet-multipart" =>
-        val partRx = """^v\d+\.p\d+\.checkpoint\.parquet$""".r
+        // both part-name forms: the commit path's deterministic
+        // `vNNNNN.pKKK` AND retro maintenance's run-unique
+        // `vNNNNN.rRRRRRRRR.pKKK` — a drop while EITHER remains would
+        // hand an unaware reader a pointer it cannot resolve
+        val partRx = """^v\d+(\.r[0-9a-f]+)?\.p\d+\.checkpoint\.parquet$""".r
         val liveParts = if (!fs.exists(logDir)) Nil
           else fs.listStatus(logDir).map(_.getPath.getName)
             .filter(n => partRx.matches(n)).toSeq
@@ -3926,6 +3936,18 @@ final class ManagedTable(spark: SparkSession, val path: String)
   private def retroDir = new Path(logDir, "_checkpoints.d")
   private[table] def retroPtrPath(v: Long) = new Path(retroDir, f"v$v%05d.json")
 
+  /** Hardened copy of an ANCHOR-load-bearing retro pointer, written by
+    * [[cleanupLog]] under the commit lock BEFORE it deletes the manifests
+    * below its horizon, and never touched by the lease-free retraction in
+    * [[publishRetroPointer]]. This removes the one crash window the
+    * retract-then-verify protocol cannot close on its own: a maintenance
+    * process killed between its pointer delete and its restore, while a
+    * cleanup had already anchored on that pointer — reconstruction then
+    * falls through to this copy instead of walking into deleted manifests.
+    */
+  private def retroAnchorPath(v: Long) =
+    new Path(retroDir, f"v$v%05d.anchor.json")
+
   /** Every retro pointer's FileStatus — the remap sweeps fold these in
     * with the manifest listing so moved tables keep reconstructing.
     */
@@ -3933,11 +3955,20 @@ final class ManagedTable(spark: SparkSession, val path: String)
     if (!fs.exists(retroDir)) Nil
     else fs.listStatus(retroDir).toSeq
 
-  /** The retro pointer text for version `v`, None when absent/unreadable. */
+  /** The retro pointer text for version `v` — the pointer itself, or the
+    * hardened anchor copy ([[retroAnchorPath]]) when the pointer is gone
+    * (retraction flicker, or the retract-crash the copy exists for);
+    * None when neither is present/readable.
+    */
   private def retroText(v: Long): Option[String] = {
     val p = retroPtrPath(v)
-    if (!fs.exists(p)) None
-    else scala.util.Try(readTextFully(p)).toOption
+    (if (!fs.exists(p)) None
+     else scala.util.Try(readTextFully(p)).toOption)
+      .orElse {
+        val a = retroAnchorPath(v)
+        if (!fs.exists(a)) None
+        else scala.util.Try(readTextFully(a)).toOption
+      }
   }
 
   /** Version `v`'s file list from its retro checkpoint, when one exists
@@ -4412,7 +4443,10 @@ final class ManagedTable(spark: SparkSession, val path: String)
         // re-check keeps the restored pointer); one that probes AFTER our
         // delete finds no pointer and anchors elsewhere. Bounded retries
         // (each needs a fresh overlapping mutation) end on the safe side:
-        // pointer kept.
+        // pointer kept. The residual CRASH window (killed between the
+        // delete and the restore while a cleanup had anchored) is closed
+        // by cleanupLog's hardened anchor copy ([[retroAnchorPath]]),
+        // which this path never touches and reconstruction falls back to.
         val ptrJson = s"""{"version":$v,$fileEntry}"""
         var attempts = 0
         var done = false
@@ -5015,11 +5049,19 @@ final class ManagedTable(spark: SparkSession, val path: String)
     // is a delta) is the one moment retro-unawareness turns from slower
     // into WRONG — a build that ignores `_checkpoints.d` would walk past
     // the horizon into deleted manifests. Gate readers before deleting.
-    if (horizon > 0 && !manifestAnchors(horizon))
+    if (horizon > 0 && !manifestAnchors(horizon)) {
       ensureFeature("checkpoint-retro", reader = true)
+      // HARDEN the anchor before any deletion: copy the pointer to a name
+      // the lease-free retraction never touches ([[retroAnchorPath]]'s
+      // crash-window rationale). Under the commit lock, so the copy and
+      // the deletions are one critical section against other cleanups.
+      retroText(horizon).foreach(txt =>
+        writeAtomic(retroAnchorPath(horizon), txt))
+    }
     (0L until horizon).foreach { v =>
       fs.delete(new Path(logDir, f"v$v%05d.json"), false)
       fs.delete(retroPtrPath(v), false)
+      fs.delete(retroAnchorPath(v), false)
       fs.delete(ckptParquetPath(v), false)
       fs.delete(dvFile(v), false)
     }

@@ -515,6 +515,30 @@ class GraftSqlSpec extends SparkSpec {
             ORDER BY change_type, k""")
         .as[(Long, String)].collect().toSeq
       assert(kcdf == Seq((1L, "delete"), (3L, "insert")))
+      // pipeline-operator TVFs: the contamination screen and the fixed
+      // quality scorer compose into plain SELECTs like CDF does
+      val pc = tmpDir("sql-ext-contam") + "/corpus"
+      val pb = tmpDir("sql-ext-contam") + "/bench"
+      val corpus = new ManagedTable(extended, pc)
+      corpus.overwrite(Seq(
+        (1L, "alpha beta gamma delta"),
+        (2L, "red green blue cyan")).toDF("doc_id", "text"))
+      new ManagedTable(extended, pb)
+        .overwrite(Seq((9L, "alpha beta gamma")).toDF("doc_id", "text"))
+      val contam = extended.sql(
+        s"""SELECT doc_id FROM graft_contamination('$pc', '$pb',
+            'doc_id', 'text', 3) WHERE contamination > 0 ORDER BY doc_id""")
+        .as[Long].collect().toSeq
+      assert(contam == Seq(1L), s"doc 1 shares the bench trigram: $contam")
+      val quality = extended.sql(
+        s"""SELECT doc_id, keep FROM graft_quality_score('$pc', 'doc_id',
+            'text', 4096) ORDER BY doc_id""").collect()
+      assert(quality.length == 2 && quality.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      // the TVF's keep decision equals the library call's (same fixed model)
+      val lib = graft.ops.QualityClassifier.scoreFixed(corpus.read,
+        "doc_id", "text", 4096).orderBy("doc_id")
+        .select("keep").as[Boolean].collect().toSeq
+      assert(quality.map(_.getBoolean(1)).toSeq == lib)
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)

@@ -368,6 +368,19 @@ class AsyncCheckpointSpec extends SparkSpec {
       val fresh = new ManagedTable(spark, t.path)
       assert(fresh.read.count() == 13L)
       assert(fresh.readVersion(12).count() == 13L)
+      // the retract-CRASH story: cleanupLog hardened its anchor into a
+      // copy the retraction never touches — even with the main pointer
+      // gone for good (maintenance killed between delete and restore),
+      // reconstruction falls through to the copy instead of walking into
+      // the deleted manifests
+      assert(new java.io.File(
+        t.path + "._log/_checkpoints.d/v00012.anchor.json").exists(),
+        "cleanupLog must harden a retro anchor before deleting below it")
+      retroPtr(t, 12L).delete()
+      val afterCrash = new ManagedTable(spark, t.path)
+      assert(afterCrash.read.count() == 13L)
+      assert(afterCrash.readVersion(12).count() == 13L,
+        "the anchor copy must serve reconstruction with the pointer gone")
     } finally CheckpointMaintenance.suspended = false
   }
 
