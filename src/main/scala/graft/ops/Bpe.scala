@@ -224,6 +224,62 @@ object Bpe {
     * applying it. Produces EXACTLY [[trainDriver]]'s merge list
     * (spec-pinned A/B).
     */
+  /** How many top candidates one distributed round collects for the
+    * provably-safe merge batch (see the selection proof in
+    * [[trainDistributed]]); the batch itself is usually much smaller.
+    */
+  private val distBatchK = 64
+
+  /** Select the longest PREFIX of `cand` (already in argmax order:
+    * count desc, pair asc UTF-8) that provably replays the sequential
+    * semantics when applied as one batch. A candidate m_i joins iff
+    *
+    *  1. its symbols are DISJOINT from every accepted member's — applying
+    *     an accepted merge then provably leaves count(m_i) unchanged
+    *     (destroyed pairs touch the member's symbols; created pairs
+    *     contain the brand-new merged symbol), and
+    *  2. count(m_i) is STRICTLY greater than every pair that interacts
+    *     with an accepted member (x, a_j) / (b_j, y) — those are the only
+    *     counts that can move (downward), and they bound the created
+    *     pairs too (count(x, a_j·b_j) ≤ count(x, a_j)), so after applying
+    *     m_1..m_{i-1} nothing can reach count(m_i); prefix order then
+    *     makes m_i the exact sequential argmax. The interacting maxima
+    *     come from the SAME pair table ([[trainDistributed]] ships them
+    *     in `maxFirst`/`maxSecond`); a self-pair member (a == b) makes
+    *     its own count the bound and stops the batch — conservative,
+    *     never wrong.
+    *
+    * The first candidate is always exact. Rejection STOPS the batch
+    * (no skipping): a skipped candidate could be the true next argmax.
+    */
+  private[ops] def selectMergeBatch(cand: Seq[(String, String, Long)],
+      maxFirst: Map[String, Long], maxSecond: Map[String, Long])
+      : Seq[(String, String)] = {
+    val batch = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val used = scala.collection.mutable.HashSet[String]()
+    var bound = Long.MinValue
+    var stop = false
+    for ((a, b, c) <- cand if !stop) {
+      if (batch.isEmpty || (!used(a) && !used(b) && c > bound)) {
+        batch += ((a, b))
+        used += a; used += b
+        bound = math.max(bound, math.max(
+          maxSecond.getOrElse(a, 0L), maxFirst.getOrElse(b, 0L)))
+      } else stop = true
+    }
+    batch.toSeq
+  }
+
+  /** Learn merges with the vocab staying DISTRIBUTED — the
+    * above-`maxDriverVocab` / crash-recovery venue. Per ROUND (not per
+    * merge): one pair-count aggregate, reused for the top-K candidates
+    * and the per-symbol interacting maxima, then a provably
+    * sequential-equivalent BATCH of merges ([[selectMergeBatch]]) applies
+    * in one vocab pass — the merge loop's inherent sequentiality costs
+    * one round per batch instead of two jobs per merge. Produces EXACTLY
+    * [[trainDriver]]'s merge list (spec-pinned A/B, incl. randomized
+    * corpora).
+    */
   private def trainDistributed(vocabDf: DataFrame, numMerges: Int,
                                minCount: Long): Seq[(String, String)] = {
     val spark = vocabDf.sparkSession
@@ -235,7 +291,7 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var continue = true
     while (continue && merges.size < numMerges) {
-      val best = seg
+      val pairs = seg
         // fully-merged single-symbol words contribute no pairs (and
         // sequence(0, -1) would DESCEND, not empty out)
         .filter(size(col("symbols")) >= 2)
@@ -245,20 +301,54 @@ object Bpe {
             element_at(col("symbols"), j + 2).as("b")))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("cnt").as("c"))
-        .filter(col("c") >= minCount)
-        .orderBy(desc("c"), col("a"), col("b")).limit(1)
-        .as[(String, String, Long)].collect().headOption
-      best match {
-        case Some((a, b, _)) =>
-          merges += ((a, b))
-          val applyMerge = udf((s: Seq[String]) => mergeOnce(s, a, b))
-          val next = seg.withColumn("symbols", applyMerge(col("symbols")))
-          // cut lineage + swap the persisted table every iteration: the
-          // UDF chain would otherwise re-run all merges per pair count
-          val mat = next.localCheckpoint(true)
-          seg.unpersist()
-          seg = mat
-        case None => continue = false
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = pairs.filter(col("c") >= minCount)
+        .orderBy(desc("c"), col("a"), col("b"))
+        .limit(math.min(distBatchK, numMerges - merges.size))
+        .as[(String, String, Long)].collect().toSeq
+      if (cand.isEmpty) { pairs.unpersist(); continue = false }
+      else {
+        // cheap driver precheck: the batch is capped by the longest
+        // pairwise-symbol-DISJOINT candidate prefix — when that is 1
+        // (adjacent top pairs share a letter, the common case on natural
+        // text), skip the interacting-maxima jobs entirely and the round
+        // costs exactly what the unbatched loop did
+        val disjointLen = {
+          val used = scala.collection.mutable.HashSet[String]()
+          cand.takeWhile { case (a, b, _) =>
+            val ok = !used(a) && !used(b); used += a; used += b; ok
+          }.size
+        }
+        val batch =
+          if (disjointLen <= 1) { pairs.unpersist(); cand.take(1).map(x => (x._1, x._2)) }
+          else {
+            // interacting maxima over ALL pairs (not just candidates),
+            // restricted to the symbols the batch could use — two small
+            // aggregates on the cached pair table
+            val candSyms = cand.take(disjointLen)
+              .flatMap(x => Seq(x._1, x._2)).distinct
+            val maxFirst = pairs.filter(col("a").isin(candSyms: _*))
+              .groupBy("a").agg(max("c").as("m"))
+              .as[(String, Long)].collect().toMap
+            val maxSecond = pairs.filter(col("b").isin(candSyms: _*))
+              .groupBy("b").agg(max("c").as("m"))
+              .as[(String, Long)].collect().toMap
+            pairs.unpersist()
+            selectMergeBatch(cand, maxFirst, maxSecond)
+          }
+        merges ++= batch
+        // one vocab pass applies the whole batch in rank order (members
+        // are symbol-disjoint, so per-word application order is immaterial
+        // — rank order is kept anyway, byte-for-byte the sequential walk)
+        val bm = batch
+        val applyBatch = udf((s: Seq[String]) =>
+          bm.foldLeft(s) { case (x, (a, b)) => mergeOnce(x, a, b) })
+        val next = seg.withColumn("symbols", applyBatch(col("symbols")))
+        // cut lineage + swap the persisted table every round: the UDF
+        // chain would otherwise re-run all merges per pair count
+        val mat = next.localCheckpoint(true)
+        seg.unpersist()
+        seg = mat
       }
     }
     seg.unpersist()

@@ -8297,7 +8297,7 @@ object ManagedTable {
     * one configuration. Snapshotted once per process: a mid-process
     * change to the environment is not a supported reconfiguration path.
     */
-  private[table] lazy val propertyDefaults: Map[String, String] = {
+  private[graft] lazy val propertyDefaults: Map[String, String] = {
     val fromProps = sys.props.toMap.collect {
       case (k, v) if k.startsWith("graft.defaults.") =>
         k.stripPrefix("graft.defaults.") -> v

@@ -88,7 +88,43 @@ class BpeSpec extends SparkSpec {
       assert(inc == naive, s"trial $trial: incremental vs naive differ:\n" +
         s"$inc\n$naive\nvocab=$vocab")
       assert(inc == ref, s"trial $trial: incremental vs reference differ")
+      // the BATCHED distributed venue must replay the same sequential
+      // model exactly (selectMergeBatch's proof, exercised on shared-
+      // letter corpora where batches must stop early and often)
+      if (trial <= 3) {
+        val docs = vocab.toSeq.flatMap { case (w, c) =>
+          Seq.fill(c.toInt)(w) }.zipWithIndex
+          .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+        val dist = Bpe.train(docs, "text", n, maxDriverVocab = 0L)
+        assert(dist == ref,
+          s"trial $trial: batched distributed vs reference differ:\n" +
+            s"$dist\n$ref\nvocab=$vocab")
+      }
     }
+  }
+
+  test("selectMergeBatch admits only provably non-interacting, dominant " +
+      "candidates, and never skips") {
+    // shared symbol stops the batch (second candidate uses 'h')
+    assert(Bpe.selectMergeBatch(
+      Seq(("t", "h", 10L), ("h", "e", 9L), ("x", "y", 8L)),
+      Map.empty, Map.empty) == Seq(("t", "h")))
+    // equal count to an interacting pair stops it (strict dominance):
+    // maxSecond("a")=9 bounds what applying (a,b) can create/change, and
+    // the 9-count candidate cannot be proven to stay the argmax
+    assert(Bpe.selectMergeBatch(
+      Seq(("a", "b", 10L), ("c", "d", 9L)),
+      Map.empty, Map("a" -> 9L)) == Seq(("a", "b")))
+    // disjoint + strictly dominant candidates batch together, in order
+    assert(Bpe.selectMergeBatch(
+      Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L)),
+      Map("b" -> 3L, "d" -> 2L), Map("a" -> 4L, "c" -> 2L)) ==
+      Seq(("a", "b"), ("c", "d"), ("e", "f")))
+    // rejection STOPS the batch — later disjoint candidates are NOT
+    // taken past it (they might not be the sequential next-argmax)
+    assert(Bpe.selectMergeBatch(
+      Seq(("a", "b", 10L), ("a", "c", 9L), ("x", "y", 8L)),
+      Map.empty, Map.empty) == Seq(("a", "b")))
   }
 
   test("encode round-trips, respects merge ranks, and keeps word order; " +

@@ -554,7 +554,11 @@ class GraftSqlSpec extends SparkSpec {
           AS SELECT * FROM ctas_props_src""")
     val t = new ManagedTable(spark, dir)
     assert(t.read.count() == 1)
-    assert(t.properties == Map(
+    // `properties` is the EFFECTIVE map (table file over process-wide
+    // defaults); the assertions here are about TABLE-declared entries
+    def declared(m: Map[String, String]): Map[String, String] =
+      m -- ManagedTable.propertyDefaults.keys
+    assert(declared(t.properties) == Map(
       "graft.enableDeletionVectors" -> "true", "team" -> "data"))
     // CREATE OR REPLACE defines a NEW table: the old property set must NOT
     // leak into it (an inherited enableDeletionVectors would silently flip
@@ -562,7 +566,7 @@ class GraftSqlSpec extends SparkSpec {
     GraftSql.sql(spark,
       s"CREATE OR REPLACE TABLE '$dir' TBLPROPERTIES ('team' = 'ops') AS " +
         "SELECT * FROM ctas_props_src")
-    assert(t.properties == Map("team" -> "ops"))
+    assert(declared(t.properties) == Map("team" -> "ops"))
     // a value containing a paren or the other quote char parses intact
     GraftSql.sql(spark,
       s"""ALTER TABLE '$dir' SET TBLPROPERTIES ('note' = 'a)b "c"')""")
@@ -621,10 +625,12 @@ class GraftSqlSpec extends SparkSpec {
     GraftSql.sql(spark, s"REORG TABLE graft.`$p` APPLY (PURGE)")
     assert(t.deletionVectors.isEmpty)
     assert(t.read.count() == afterMerge)
-    // SHOW TBLPROPERTIES lists the keys as rows
+    // SHOW TBLPROPERTIES lists the keys as rows (effective map — drop
+    // ambient process-wide defaults; the assertion is about the table's)
     assert(GraftSql.sql(spark, s"SHOW TBLPROPERTIES graft.`$p`")
-      .as[(String, String)].collect().toSeq ==
-      Seq(("graft.enableDeletionVectors", "true")))
+      .as[(String, String)].collect().toSeq
+      .filterNot { case (k, _) => ManagedTable.propertyDefaults.contains(k) }
+      == Seq(("graft.enableDeletionVectors", "true")))
     // UNSET returns DELETE to the copy-on-write rewrite
     GraftSql.sql(spark,
       s"ALTER TABLE '$p' UNSET TBLPROPERTIES ('graft.enableDeletionVectors')")
