@@ -53,6 +53,34 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
   }
 
+  /** Render one bench JSON line. Field ORDER is load-bearing: the driver
+    * keeps only the last ~2000 chars of stdout, and the full queries map
+    * alone is ~2 KB — r12's artifact lost value/calib/spreadTotal (and
+    * with them the proof that its ~11% inflation was host noise) because
+    * they led the line. The certificate now TRAILS the queries map, so
+    * truncation can only eat the oldest per-query keys, never the
+    * aggregates. The compact (stdout) variant also carries `spreadSlow` —
+    * per-query spread for the 10 slowest entries, the ones whose
+    * cross-round deltas get adjudicated — inside the same tail window.
+    * BenchLineSpec pins the survival property against the 2000-char cut.
+    */
+  private[graft] def renderLine(m: Map[String, (Double, Double)],
+      fmt: Double => String, withSpread: Boolean, total: Double,
+      spreadTotal: Double, calib: Double, calibAttempts: Int,
+      sfDir: String): String = {
+    val qs = m.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    // the full per-query spread map goes to the FILE only; the compact
+    // stdout line carries spread for the 10 slowest queries instead.
+    val sp = if (withSpread)
+      m.map { case (k, (_, s)) => "\"" + k + "\":" + fmt(s) }
+        .mkString(""","spread":{""", ",", "}")
+    else m.toSeq.sortBy(-_._2._1).take(10)
+        .map { case (k, (_, s)) => "\"" + k + "\":" + fmt(s) }
+        .mkString(""","spreadSlow":{""", ",", "}")
+    s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs$sp,"value":${fmt(total)},"calib":${fmt(calib)},"calibAttempts":$calibAttempts,"spreadTotal":${fmt(spreadTotal)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
@@ -126,18 +154,9 @@ object Bench {
     // prefix, unique by construction; full name kept on the rare collision)
     // plus millisecond rounding keep the line ~1.4 KB.
     def jline(m: Map[String, (Double, Double)], fmt: Double => String,
-              withSpread: Boolean): String = {
-      val qs = m.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      // per-query spread goes to the FILE only (stdout stays compact); the
-      // one-line form still carries the aggregate so the driver artifact
-      // self-certifies overall run stability.
-      val sp = if (withSpread)
-        m.map { case (k, (_, s)) => "\"" + k + "\":" + fmt(s) }
-          .mkString(""","spread":{""", ",", "}")
-      else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"calibAttempts":$calibAttempts,"spreadTotal":${fmt(spreadTotal)},"queries":$qs$sp,"sf":"$sfDir"}"""
-    }
+              withSpread: Boolean): String =
+      renderLine(m, fmt, withSpread, total, spreadTotal, calib,
+        calibAttempts, sfDir)
     val full = jline(results, _.toString, withSpread = true)
     val shortKeys = results.map { case (k, v) =>
       val s = k.takeWhile(_ != '_')

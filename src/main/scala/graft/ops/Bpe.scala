@@ -249,14 +249,36 @@ object Bpe {
     *     its own count the bound and stops the batch — conservative,
     *     never wrong.
     *
+    * Conditions 1–2 assume every count a member changes touches the
+    * member's own symbols or its BRAND-NEW merged symbol. That breaks
+    * when the concatenation a·b is NOT brand-new: it can be string-equal
+    * to a symbol already in the pair table (e.g. 'abc' created earlier
+    * via ('a','bc') while the member is ('ab','c')), in which case the
+    * member's creations ADD to pre-existing pairs' counts — amounts
+    * conditions 1–2 never bounded — and can alias a later member's own
+    * symbols, silently inflating its count. The same additive hazard
+    * arises when TWO members share a concatenation (('ab','c') and
+    * ('a','bc') both create 'abc'): each contribution is individually
+    * ≤ bound but their sum is not. So condition
+    *
+    *  3. an accepted member whose concatenation collides — with a symbol
+    *     in the pair table (`existingSyms`, shipped alongside
+    *     maxFirst/maxSecond) or with an earlier accepted member's
+    *     concatenation — STOPS the batch after itself. The member is
+    *     still exact (every earlier member's concat was fresh and
+    *     distinct, so all count movement it observed is bounded by
+    *     conditions 1–2); only members AFTER the collision are suspect.
+    *
     * The first candidate is always exact. Rejection STOPS the batch
     * (no skipping): a skipped candidate could be the true next argmax.
     */
   private[ops] def selectMergeBatch(cand: Seq[(String, String, Long)],
-      maxFirst: Map[String, Long], maxSecond: Map[String, Long])
+      maxFirst: Map[String, Long], maxSecond: Map[String, Long],
+      existingSyms: String => Boolean = _ => false)
       : Seq[(String, String)] = {
     val batch = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val used = scala.collection.mutable.HashSet[String]()
+    val concats = scala.collection.mutable.HashSet[String]()
     var bound = Long.MinValue
     var stop = false
     for ((a, b, c) <- cand if !stop) {
@@ -265,6 +287,8 @@ object Bpe {
         used += a; used += b
         bound = math.max(bound, math.max(
           maxSecond.getOrElse(a, 0L), maxFirst.getOrElse(b, 0L)))
+        val s = a + b
+        if (existingSyms(s) || !concats.add(s)) stop = true
       } else stop = true
     }
     batch.toSeq
@@ -333,8 +357,21 @@ object Bpe {
             val maxSecond = pairs.filter(col("b").isin(candSyms: _*))
               .groupBy("b").agg(max("c").as("m"))
               .as[(String, Long)].collect().toMap
+            // contains-symbol probe for selectMergeBatch's condition 3: of
+            // the candidate concatenations, which are ALREADY symbols in
+            // the pair table? (Symbols living only in fully-merged
+            // single-symbol words contribute no pairs and cannot interact,
+            // so probing the pair table is sufficient.)
+            val candConcats = cand.take(disjointLen)
+              .map(x => x._1 + x._2).distinct
+            val existingSyms = pairs
+              .filter(col("a").isin(candConcats: _*) ||
+                col("b").isin(candConcats: _*))
+              .select(explode(array(col("a"), col("b"))).as("s"))
+              .filter(col("s").isin(candConcats: _*))
+              .distinct().as[String].collect().toSet
             pairs.unpersist()
-            selectMergeBatch(cand, maxFirst, maxSecond)
+            selectMergeBatch(cand, maxFirst, maxSecond, existingSyms)
           }
         merges ++= batch
         // one vocab pass applies the whole batch in rank order (members

@@ -103,6 +103,33 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("batched distributed venue equals the sequential reference on " +
+      "collision-PRONE corpora (tiny alphabet, run-heavy words — merged " +
+      "symbols routinely alias existing ones, the condition-3 regime)") {
+    val r = new scala.util.Random(77)
+    for (trial <- 1 to 4) {
+      val letters = "ab"
+      // run-length-biased words: "aaab", "abbb", "aaaa" … so early merges
+      // create 'aa'/'bb'/'aab' and later candidate concats collide with
+      // existing symbols constantly
+      val vocab = (1 to 20 + r.nextInt(20)).map { _ =>
+        val w = (1 to 2 + r.nextInt(3)).map { _ =>
+          letters(r.nextInt(2)).toString * (1 + r.nextInt(3))
+        }.mkString
+        w -> (1L + r.nextInt(9))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val n = 8 + r.nextInt(12)
+      val ref = referenceTrain(vocab, n, minCount = 2L)
+      val docs = vocab.toSeq.flatMap { case (w, c) =>
+        Seq.fill(c.toInt)(w) }.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val dist = Bpe.train(docs, "text", n, maxDriverVocab = 0L)
+      assert(dist == ref,
+        s"trial $trial: batched distributed vs reference differ on " +
+          s"collision-prone corpus:\n$dist\n$ref\nvocab=$vocab")
+    }
+  }
+
   test("selectMergeBatch admits only provably non-interacting, dominant " +
       "candidates, and never skips") {
     // shared symbol stops the batch (second candidate uses 'h')
@@ -125,6 +152,25 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.selectMergeBatch(
       Seq(("a", "b", 10L), ("a", "c", 9L), ("x", "y", 8L)),
       Map.empty, Map.empty) == Seq(("a", "b")))
+    // condition 3: a member whose concatenation is an EXISTING pair-table
+    // symbol is accepted (it is itself exact) but stops the batch — its
+    // creations add to pre-existing counts that conditions 1–2 never
+    // bounded (ADVICE r12: 'abc' via ('a','bc') vs member ('ab','c'))
+    assert(Bpe.selectMergeBatch(
+      Seq(("ab", "c", 10L), ("x", "y", 9L)),
+      Map.empty, Map.empty, existingSyms = Set("abc")) == Seq(("ab", "c")))
+    // ... even when the collision is on a LATER member, the prefix up to
+    // and including it survives
+    assert(Bpe.selectMergeBatch(
+      Seq(("x", "y", 10L), ("ab", "c", 9L), ("p", "q", 8L)),
+      Map.empty, Map.empty, existingSyms = Set("abc")) ==
+      Seq(("x", "y"), ("ab", "c")))
+    // condition 3b: two members sharing a concatenation ('ab'+'c' and
+    // 'a'+'bc' both create 'abc') — each contribution is ≤ bound but the
+    // SUM is not; the second same-concat member stops the batch
+    assert(Bpe.selectMergeBatch(
+      Seq(("ab", "c", 10L), ("a", "bc", 9L), ("p", "q", 8L)),
+      Map.empty, Map.empty) == Seq(("ab", "c"), ("a", "bc")))
   }
 
   test("encode round-trips, respects merge ranks, and keeps word order; " +
