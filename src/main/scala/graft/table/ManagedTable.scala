@@ -183,7 +183,17 @@ final class ManagedTable(spark: SparkSession, val path: String)
     // bound surfaces the original fail-fast error (dead-writer autopsy
     // path unchanged).
     if (exists) {
-      var attempts = 0
+      // Contention backoff: capped-exponential, total bound scalable via
+      // `graft.bootstrap.preflightWaitMs` (default 15 s) — a fixed
+      // 40×50 ms poll both hammered the store at a constant cadence and
+      // capped out at 2 s, under a realistic optimistic publish's
+      // lease-hold on a slow store (large staged batch). A non-contended
+      // preflight never sleeps: the backoff only runs after a
+      // ConcurrentModificationException from the lease acquire.
+      val waitBudgetMs = sys.props
+        .getOrElse("graft.bootstrap.preflightWaitMs", "15000").toLong
+      var sleptMs = 0L
+      var stepMs = 25L
       var done = false
       while (!done) {
         // capture ONCE: trust must be recorded for the version this check
@@ -205,9 +215,10 @@ final class ManagedTable(spark: SparkSession, val path: String)
             done = true
           } catch {
             case _: java.util.ConcurrentModificationException
-                if attempts < 40 =>
-              attempts += 1
-              Thread.sleep(50)
+                if sleptMs < waitBudgetMs =>
+              Thread.sleep(stepMs)
+              sleptMs += stepMs
+              stepMs = math.min(stepMs * 2, 800L)
           }
         }
       }
@@ -4407,70 +4418,74 @@ final class ManagedTable(spark: SparkSession, val path: String)
       return
     }
     writeAtomic(retroPtrPath(v), s"""{"version":$v,$fileEntry}""")
-    if (fs.exists(lockFile) || version != v) {
-      // NEVER retract a pointer the log can't live without: a concurrent
-      // cleanupLog (which holds the very lock this check sees) may have
-      // ANCHORED its horizon on this pointer and deleted every manifest
-      // below v — retracting then would leave the chain unreconstructable.
-      // v-1's manifest missing (v > 0) is exactly that state: any earlier
-      // horizon keeps [horizon, v) intact, so only an anchor AT v removes
-      // v-1. (A STALE pointer can't be the anchor: cleanupLog verifies
-      // the named sidecars exist, and the mutations that invalidate
-      // content — remaps — move those files away.)
-      def anchored: Boolean = v > 0 &&
-        !fs.exists(new Path(logDir, f"v${v - 1}%05d.json"))
-      def keepAnchored(): Unit =
-        logInfo(s"checkpoint maintenance on $path: a mutation overlapped " +
-          s"the v$v pointer publish but the pointer anchors the log " +
-          "horizon — kept")
-      if (anchored) keepAnchored()
-      else {
-        // Retracting while v-1 still exists is a TOCTOU against cleanupLog:
-        // a concurrent cleanup (which holds the lock this check saw) may
-        // have ANCHORED its horizon on this very pointer but not yet
-        // deleted v-1 — a probe-then-delete would leave the chain below v
-        // gone with the anchor retracted. Taking the commit lock here is
-        // NOT an option: maintenance must never make a fail-fast
-        // foreground writer error out (the config-matrix soak caught
-        // exactly that — a millisecond maintenance hold collides with a
-        // concurrent append's lease create). So the race closes LEASE-FREE
-        // with retract-then-verify: delete the pointer, then re-check the
-        // world — if a lock is (still) held or the anchor state flipped,
-        // RESTORE the pointer from the content in hand and re-evaluate.
-        // Every interleaving is safe: a cleanup that anchor-probed BEFORE
-        // our delete either still holds the lock at our re-check (we
-        // republish under it) or finished its deletions (v-1 gone → the
-        // re-check keeps the restored pointer); one that probes AFTER our
-        // delete finds no pointer and anchors elsewhere. Bounded retries
-        // (each needs a fresh overlapping mutation) end on the safe side:
-        // pointer kept. The residual CRASH window (killed between the
-        // delete and the restore while a cleanup had anchored) is closed
-        // by cleanupLog's hardened anchor copy ([[retroAnchorPath]]),
-        // which this path never touches and reconstruction falls back to.
-        val ptrJson = s"""{"version":$v,$fileEntry}"""
-        var attempts = 0
-        var done = false
-        while (!done) {
-          fs.delete(retroPtrPath(v), false)
-          if (!fs.exists(lockFile) && version == v && !anchored) {
-            logInfo(s"checkpoint maintenance on $path: a mutation " +
-              s"overlapped the v$v pointer publish — retracted (next " +
-              "maintenance re-runs)")
-            done = true
-          } else {
-            writeAtomic(retroPtrPath(v), ptrJson)
-            attempts += 1
-            if (anchored) { keepAnchored(); done = true }
-            else if (attempts >= 3) {
-              logInfo(s"checkpoint maintenance on $path: mutations kept " +
-                s"overlapping the v$v pointer retraction — kept (pure " +
-                "cache; a stale pointer resolves through the manifest " +
-                "chain)")
-              done = true
-            }
-          }
+    if (!fs.exists(lockFile) && version == v) return // clean publish
+    // A mutation overlapped the publish. The pointer is a pure cache, so
+    // the default verdict is RETRACT (the next maintenance re-runs) — a
+    // kept pointer that a remap's sweep listed-past would resolve v to
+    // pre-remap paths forever. The one pointer the log can't lose is an
+    // ANCHOR: a cleanup may have set its horizon AT v on this pointer and
+    // deleted every manifest below, with v's own manifest a delta —
+    // retraction is then safe only if something else serves recon(v).
+    // Taking the commit lock here is NOT an option (maintenance must
+    // never make a fail-fast foreground writer error out — the
+    // config-matrix soak caught exactly that), and no restore loop is
+    // needed either: cleanupLog captures the pointer text at its anchor
+    // probe and HARDENS it into [[retroAnchorPath]] (a name this path
+    // never touches) before any deletion, so a retraction racing the
+    // anchoring still leaves recon(v) a path through the copy.
+    def anchoredOnRetro: Boolean = v > 0 &&
+      !fs.exists(new Path(logDir, f"v${v - 1}%05d.json")) &&
+      !scala.util.Try { val txt = manifestText(v)
+        jsonStringArray(txt, "files").isDefined ||
+          checkpointSidecarsOf(txt).isDefined }.getOrElse(false)
+    def retract(why: String): Unit = {
+      fs.delete(retroPtrPath(v), false)
+      logInfo(s"checkpoint maintenance on $path: a mutation overlapped " +
+        s"the v$v pointer publish — retracted ($why; next maintenance " +
+        "re-runs)")
+    }
+    if (!anchoredOnRetro) { retract("not anchor-load-bearing"); return }
+    // Anchor-load-bearing. The overlap's OUTCOME decides: wait briefly
+    // for the in-flight mutation to release the lease, so the verdict is
+    // based on what it did, not on its presence. (Rare² path: anchored
+    // pointer × concurrent mutation; the wait blocks only the async
+    // maintenance thread.)
+    var slept = 0L
+    var step = 25L
+    while (fs.exists(lockFile) && version == v && slept < 10000L) {
+      Thread.sleep(step); slept += step; step = math.min(step * 2, 800L)
+    }
+    if (version == v)
+      // no commit landed (a cleanup — which never moves the version — or
+      // an aborted/slow mutation): the content in the pointer is exactly
+      // recon(v), still valid. Keep it.
+      logInfo(s"checkpoint maintenance on $path: a mutation overlapped " +
+        s"the v$v pointer publish but the pointer anchors the log " +
+        "horizon and the version held — kept")
+    else {
+      // a commit landed past v — possibly a remap, whose retroDir sweep
+      // may have listed BEFORE this publish and so never rewrote this
+      // pointer's paths (ADVICE r12: the kept-stale-pointer hazard).
+      // Retract when the hardened anchor copy can serve recon(v): the
+      // copy predates the mutation, so any remap sweep rewrote it.
+      val copyServes = scala.util.Try {
+        val a = retroAnchorPath(v)
+        fs.exists(a) && {
+          val txt = readTextFully(a)
+          jsonStringArray(txt, "files").isDefined ||
+            checkpointSidecarsOf(txt).exists(ns =>
+              ns.forall(n => fs.exists(new Path(logDir, n))))
         }
-      }
+      }.getOrElse(false)
+      if (copyServes) retract("anchor copy serves reconstruction")
+      else
+        // unreachable when every anchoring cleanup hardened first (all
+        // do since the copy landed); kept as the stale-beats-broken
+        // last resort for logs anchored before the copy existed
+        logWarning(s"checkpoint maintenance on $path: v$v pointer anchors " +
+          "the horizon, a commit overlapped its publish, and no hardened " +
+          "anchor copy exists — kept (content may predate a remap; " +
+          "re-run maintenance after OPTIMIZE/restore to refresh)")
     }
   }
 
@@ -5036,11 +5051,20 @@ final class ManagedTable(spark: SparkSession, val path: String)
     }
     // a RETRO checkpoint anchors too (async-checkpoint logs may hold
     // nothing but deltas) — but only with its artifacts verifiably
-    // present, same conservatism as the pointer-manifest check
-    def retroAnchors(h: Long): Boolean = retroText(h).exists { rt =>
-      jsonStringArray(rt, "files").isDefined ||
-        checkpointSidecarsOf(rt).exists(names =>
-          names.forall(n => fs.exists(new Path(logDir, n))))
+    // present, same conservatism as the pointer-manifest check. The
+    // probe CAPTURES the verified text: the hardening below must not
+    // re-read the pointer, because the lease-free retraction in
+    // [[publishRetroPointer]] can delete it between probe and harden
+    // (probe sees it, retraction removes it, a re-read misses it →
+    // manifests deleted with no anchor copy).
+    var retroAnchorTxt: Option[String] = None
+    def retroAnchors(h: Long): Boolean = {
+      retroAnchorTxt = retroText(h).filter { rt =>
+        jsonStringArray(rt, "files").isDefined ||
+          checkpointSidecarsOf(rt).exists(names =>
+            names.forall(n => fs.exists(new Path(logDir, n))))
+      }
+      retroAnchorTxt.isDefined
     }
     var horizon = beforeV
     while (horizon > 0 && !manifestAnchors(horizon) && !retroAnchors(horizon))
@@ -5051,11 +5075,12 @@ final class ManagedTable(spark: SparkSession, val path: String)
     // the horizon into deleted manifests. Gate readers before deleting.
     if (horizon > 0 && !manifestAnchors(horizon)) {
       ensureFeature("checkpoint-retro", reader = true)
-      // HARDEN the anchor before any deletion: copy the pointer to a name
-      // the lease-free retraction never touches ([[retroAnchorPath]]'s
-      // crash-window rationale). Under the commit lock, so the copy and
+      // HARDEN the anchor before any deletion: copy the pointer — the
+      // text CAPTURED at the anchor probe above, never a re-read — to a
+      // name the lease-free retraction never touches
+      // ([[retroAnchorPath]]). Under the commit lock, so the copy and
       // the deletions are one critical section against other cleanups.
-      retroText(horizon).foreach(txt =>
+      retroAnchorTxt.foreach(txt =>
         writeAtomic(retroAnchorPath(horizon), txt))
     }
     (0L until horizon).foreach { v =>

@@ -384,6 +384,34 @@ class AsyncCheckpointSpec extends SparkSpec {
     } finally CheckpointMaintenance.suspended = false
   }
 
+  test("an overlapped publish of a NON-anchoring pointer retracts " +
+      "immediately — never kept, never restored; reads fold the manifest " +
+      "chain") {
+    CheckpointMaintenance.suspended = true
+    try {
+      val t = freshTable("ac-retract", partSize = 3)
+      for (i <- 1 to 7) t.append(Seq((i.toLong, s"r$i")).toDF("k", "v"))
+      // the full manifest chain is intact (no cleanup), so the pointer is
+      // a pure cache: an overlapping mutation (simulated by a held lease)
+      // must retract it outright — the r12 protocol restored it and kept
+      // it after 3 attempts, which is exactly how a remap-missed pointer
+      // with pre-remap paths could survive (ADVICE r12)
+      val lock = new java.io.File(t.path + "._log/_commit.lock")
+      assert(lock.createNewFile())
+      try t.runCheckpointMaintenance()
+      finally lock.delete()
+      assert(!retroPtr(t, 7L).exists(),
+        "a non-anchoring pointer must be retracted on overlap, not kept")
+      val fresh = new ManagedTable(spark, t.path)
+      assert(fresh.read.count() == 8L)
+      assert(fresh.readVersion(7).count() == 8L,
+        "reconstruction folds the manifest chain with the pointer retracted")
+      // the next quiet maintenance run re-publishes it
+      t.runCheckpointMaintenance()
+      assert(retroPtr(t, 7L).exists())
+    } finally CheckpointMaintenance.suspended = false
+  }
+
   test("cleanupLog anchors on a retro checkpoint behind the checkpoint-retro " +
       "reader feature") {
     CheckpointMaintenance.suspended = true
