@@ -1280,6 +1280,19 @@ object SparkEntry {
         .select(col("doc_id"), round(col("p"), 6).as("p"), col("keep"))
         .orderBy("doc_id")
     }),
+    "q146a_quality_classifier_trained_anchor" -> ((s, d) => {
+      // the TRAINED classifier's cross-engine anchor (closing q146's
+      // rows-only gap, the q131a idiom): the one-epoch model's decision
+      // statistic s2 in pure integer arithmetic over the same md5-hashed
+      // feature table — keep ⇔ s2 ≤ 0 is exactly the trained model's
+      // keep, and s2 carries its exact ranking; QualityClassifierSpec
+      // pins s2 ∝ −logit against the real train(epochs = 1) path
+      val docs = Tables.documents(s, d)
+        .withColumn("y", (col("lang") === "en").cast("int"))
+      QualityClassifier.trainScoreAnchor(docs, "doc_id", "text", "y",
+          buckets = 1024)
+        .orderBy("doc_id")
+    }),
     "q147a_bpe_encode_fixed" -> ((s, d) => {
       // BPE ENCODE under the oracle (the q116a verification-half split:
       // training stays spec-gated, the apply plan gets a cross-engine
@@ -3437,6 +3450,23 @@ object SparkEntry {
            CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_sh AS contamination
          FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.doc_id
          ORDER BY 1""",
+    "q146a_quality_classifier_trained_anchor" ->
+      """WITH w AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y,
+                 list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words
+               FROM documents),
+         tok AS (SELECT doc_id, y, unnest(words) AS t FROM w),
+         feats AS (SELECT doc_id, y,
+                 CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) % 1024 AS BIGINT) AS b,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM tok GROUP BY 1, 2, 3),
+         g AS (SELECT b, CAST(SUM(cnt * (1 - 2 * y)) AS BIGINT) AS gb
+               FROM feats GROUP BY 1),
+         r AS (SELECT CAST(COALESCE(SUM(1 - 2 * y), 0) AS BIGINT) AS rv
+               FROM (SELECT DISTINCT doc_id, y FROM w)),
+         s AS (SELECT f.doc_id,
+                 CAST(SUM(f.cnt * g.gb) + (SELECT rv FROM r) AS BIGINT) AS s2
+               FROM feats f JOIN g USING (b) GROUP BY 1)
+         SELECT doc_id, s2, s2 <= 0 AS keep FROM s ORDER BY doc_id""",
     "q145_quality_classifier" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words
                     FROM documents),

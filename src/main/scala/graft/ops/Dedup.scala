@@ -357,52 +357,108 @@ object Dedup {
     * an unselective one every file survives and the plan degrades to
     * exactly [[contamination]].
     *
+    * Consistency model: VERSION-PINNED. One version v is captured at
+    * entry and every step — live-set resolution, bloom probe, the
+    * kept/skipped scans, deletion-vector application — evaluates against
+    * recon(v) through the manifest-pinned reader
+    * ([[graft.table.ManagedTable.readFileSubset]]): a concurrent
+    * OPTIMIZE/PURGE retires files by rename and the pinned paths resolve
+    * through the retained snapshot dirs, a DV committed after entry
+    * belongs to a later version and never applies, and v's own DVs DO
+    * apply on both the kept and the skipped scans — so the screen needs
+    * no settled-table caveat and no DV fallback. (Like any pinned read,
+    * the returned plan resolves at build time: a VACUUM that drops v's
+    * snapshot dirs mid-query still fails the scan, Delta's contract.)
+    *
+    * A doc_id whose ROWS straddle a kept and a skipped file (duplicate
+    * ids across files) scores over the UNION of its shingles, exactly
+    * like the plain screen: straddlers are detected with id-only scans
+    * and re-scored from a targeted id-filtered pass; above
+    * `maxStraddlers` (plan-literal safety bound) the whole call falls
+    * back to the plain screen at v — exact either way.
+    *
     * Falls back to the plain screen over `corpus.read` when the corpus
-    * carries deletion vectors (the direct file scan would resurrect
-    * DV-deleted rows), is a shallow clone (its files live outside the
-    * clone root, breaking the basePath-anchored scan), is column-mapped
-    * (the raw scan would surface physical names), or has no matching
-    * index declaration. Snapshot contract: like any direct-file reader,
-    * the file-skipping path assumes no writer mutates the corpus between
-    * planning and execution — run it on a settled table (the plain
-    * `contamination(corpus.read, …)` goes through the managed read's
-    * version-consistent resolution if that guarantee is needed).
+    * is a shallow clone (its files live outside the clone root and the
+    * index keys the source paths), is column-mapped (the raw scans would
+    * surface physical names), or has no matching index declaration.
     */
   def contaminationIndexed(corpus: graft.table.ManagedTable, bench: DataFrame,
-                           idCol: String, textCol: String, n: Int = 3)
-      : DataFrame = {
+                           idCol: String, textCol: String, n: Int = 3,
+                           maxStraddlers: Int = 10000)
+      : DataFrame =
+    contaminationIndexedHooked(corpus, bench, idCol, textCol, n,
+      maxStraddlers, () => ())
+
+  /** [[contaminationIndexed]] with a post-probe hook — the test seam the
+    * concurrency spec uses to land a mutation between the bloom probe
+    * and the scan construction (the window the version pinning closes).
+    */
+  private[graft] def contaminationIndexedHooked(
+      corpus: graft.table.ManagedTable, bench: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      maxStraddlers: Int, afterProbe: () => Unit): DataFrame = {
     val spark = bench.sparkSession
     import spark.implicits._
-    // fallback checks BEFORE the benchmark key collection — a DV/clone/
+    // fallback checks BEFORE the benchmark key collection — a clone/
     // mapped corpus must not pay a wasted bench-wide Spark job first
-    if (corpus.deletionVectors.nonEmpty || corpus.isShallowClone ||
-        corpus.columnMappingEnabled)
+    if (corpus.isShallowClone || corpus.columnMappingEnabled)
       return contamination(corpus.read, bench, idCol, textCol, n)
+    def empty0() = Seq.empty[(Long, Double)].toDF("doc_id", "contamination")
+    // pin ONE version: every step below resolves against recon(v)
+    val v = corpus.version
+    if (v < 0) return empty0() // no commit yet: nothing to screen
+    val files = corpus.manifestFiles(v)
     val keys = shingleIndex(bench, idCol, textCol, n)
       .select(xxhash64(col("s")).as("s")).distinct()
       .as[Long].collect()
-    val (kept, all) = corpus.shingleFilesMightHit(textCol, n, keys)
+    val (kept, all) = corpus.shingleFilesMightHit(textCol, n, keys, files)
     val skipped = all.filterNot(kept.toSet)
-    // basePath keeps hive-partition columns resolvable on the file-subset
-    // scans (id/text may still not BE partition columns — enforced by the
-    // select below failing loudly, not silently)
-    def scan(files: Seq[String]) = spark.read
-      .option("basePath", corpus.path).parquet(files: _*)
-    val zeros =
-      if (skipped.isEmpty) None
-      else Some(scan(skipped)
-        .select(col(idCol).as("doc_id"), lit(0.0).as("contamination")))
-    val exact =
-      if (kept.isEmpty) None
-      else Some(contamination(scan(kept).select(idCol, textCol), bench,
-        idCol, textCol, n))
-    (exact, zeros) match {
-      case (Some(e), Some(z)) => e.unionByName(z)
-      case (Some(e), None) => e
-      case (None, Some(z)) => z
-      case (None, None) =>
-        Seq.empty[(Long, Double)].toDF("doc_id", "contamination")
-    }
+    afterProbe()
+    def scan(fl: Seq[String]) = corpus.readFileSubset(v, fl)
+    if (kept.isEmpty && skipped.isEmpty) return empty0()
+    if (kept.isEmpty)
+      // DISTINCT, not row-per-row: the plain screen emits one row per
+      // doc_id (every row yields ≥1 shingle), duplicate rows collapse
+      return scan(skipped).select(col(idCol).as("doc_id")).distinct()
+        .select(col("doc_id"), lit(0.0).as("contamination"))
+    if (skipped.isEmpty)
+      return contamination(scan(kept).select(idCol, textCol), bench,
+        idCol, textCol, n)
+    // both sides present: ids straddling them must score over the UNION
+    // of their shingles (the plain screen's one-group-per-doc semantics)
+    val skippedIds = scan(skipped).select(col(idCol).as("doc_id")).distinct()
+    val keptIds = scan(kept).select(col(idCol).as("doc_id")).distinct()
+    // null ids are invisible to the equi-join/isin straddler machinery
+    // (SQL null semantics) while the plain screen groups them — fall back
+    // at the SAME pinned version, exactness over cleverness
+    if (scan(all).select(col(idCol)).filter(col(idCol).isNull)
+        .limit(1).count() > 0)
+      return contamination(scan(all).select(idCol, textCol), bench,
+        idCol, textCol, n)
+    val straddlers = skippedIds.join(keptIds, Seq("doc_id"), "left_semi")
+      .limit(maxStraddlers + 1).collect().map(_.get(0)).toSeq
+    if (straddlers.size > maxStraddlers)
+      // more duplicate-id spill than an isin literal should carry — the
+      // plain screen at the SAME pinned version stays exact
+      return contamination(scan(all).select(idCol, textCol), bench,
+        idCol, textCol, n)
+    val zeros = skippedIds.join(keptIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(0.0).as("contamination"))
+    val exactKept =
+      if (straddlers.isEmpty)
+        contamination(scan(kept).select(idCol, textCol), bench,
+          idCol, textCol, n)
+      else contamination(
+        scan(kept).filter(!col(idCol).isin(straddlers: _*))
+          .select(idCol, textCol), bench, idCol, textCol, n)
+    val exactStraddlers =
+      if (straddlers.isEmpty) None
+      // id-filtered pass over BOTH sides: parquet row-group stats prune
+      // the skipped files' text reads down to the straddler rows
+      else Some(contamination(
+        scan(all).filter(col(idCol).isin(straddlers: _*))
+          .select(idCol, textCol), bench, idCol, textCol, n))
+    exactStraddlers.foldLeft(exactKept.unionByName(zeros))(_ unionByName _)
   }
 
   /** Mersenne prime 2^31−1 for the minhash universal-hash family: products

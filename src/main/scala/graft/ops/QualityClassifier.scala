@@ -168,6 +168,42 @@ object QualityClassifier {
     Model(w, bias, losses.toSeq)
   }
 
+  /** The TRAINED classifier's cross-engine anchor (q146a): the one-epoch
+    * model's decision statistic in PURE INTEGER arithmetic. From the zero
+    * model every doc's p is exactly 1/2, so epoch 1's residuals are exact
+    * halves and the trained logit is
+    *
+    *   logit₁(d) = −(lr / 2n) · s2(d),
+    *   s2(d) = Σ_b cnt_{d,b}·G_b + R,  G_b = Σ_d' (1−2y)·cnt_{d',b},
+    *   R = Σ_docs (1−2y)  (distinct doc table, token-less docs included)
+    *
+    * — s2 is an integer fold over the SAME (doc, bucket, cnt) feature
+    * table [[train]] iterates (md5 buckets, so any engine recomputes it
+    * bit-exactly), and since lr/2n > 0 it carries the model's exact
+    * decision (keep ⇔ logit ≥ 0 ⇔ s2 ≤ 0) and exact ranking. The
+    * float-iterative generic path stays [[train]]; this is the
+    * q131a/q73a anchor idiom — same semantics, exactness-first
+    * arithmetic. Output docs are those with ≥1 token, matching
+    * [[scoreModel]]'s explode semantics. (Integer headroom: |s2| ≤
+    * tokens(d)·corpus_tokens — at 1e13 corpus tokens and 1e4-token docs
+    * the fold peaks ~1e17, inside int64.)
+    */
+  def trainScoreAnchor(docs: DataFrame, idCol: String, textCol: String,
+                       labelCol: String, buckets: Int): DataFrame = {
+    val feats = features(docs, idCol, textCol, labelCol, buckets)
+    val g = feats.groupBy("b")
+      .agg(sum(col("cnt") * (lit(1L) - col("y").cast("long") * lit(2L)))
+        .as("gb"))
+    val rRow = docs.select(col(idCol).as("doc_id"),
+        col(labelCol).cast("long").as("yl")).distinct()
+      .agg(sum(lit(1L) - col("yl") * lit(2L))).head()
+    val r = if (rRow.isNullAt(0)) 0L else rRow.getLong(0)
+    feats.join(g, Seq("b"))
+      .groupBy("doc_id")
+      .agg((sum(col("cnt") * col("gb")) + lit(r)).as("s2"))
+      .select(col("doc_id"), col("s2"), (col("s2") <= 0L).as("keep"))
+  }
+
   /** Score docs under a trained [[Model]]: same plan as [[scoreFixed]]
     * with the broadcast learned weights; emits calibrated probability and
     * the keep decision at 0.5.

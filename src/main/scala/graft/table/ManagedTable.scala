@@ -1766,8 +1766,18 @@ final class ManagedTable(spark: SparkSession, val path: String)
     * reads happen on executors with the key set broadcast once.
     */
   def shingleFilesMightHit(textCol: String, n: Int, keys: Array[Long])
+      : (Seq[String], Seq[String]) =
+    shingleFilesMightHit(textCol, n, keys, liveFilesQ().map(_._1))
+
+  /** [[shingleFilesMightHit]] over an explicit (version-pinned) file
+    * list — the file-skipping contamination screen passes recon(v) so the
+    * probe and the scans see ONE snapshot (a dir listing here could catch
+    * a concurrent writer's staged files or a half-landed rewrite).
+    */
+  private[graft] def shingleFilesMightHit(textCol: String, n: Int,
+      keys: Array[Long], filesAt: Seq[String])
       : (Seq[String], Seq[String]) = {
-    val all = liveFilesQ().map(_._1)
+    val all = filesAt
     val declName = shingleDeclName(textCol, n)
     if (!bloomDecls.contains(declName) || keys.isEmpty) return (all, all)
     val dir = bloomColDir(declName)
@@ -4743,10 +4753,18 @@ final class ManagedTable(spark: SparkSession, val path: String)
     * make the rel path unique across snapshots — so a clone survives
     * source OPTIMIZE/DML exactly until the source VACUUMs the snapshot
     * (Delta's shallow-clone contract), and then fails pointedly.
+    *
+    * The OWN root's retained dirs are probed the same way: a path set
+    * pinned from the manifest BEFORE a concurrent rewrite (compaction /
+    * PURGE retires files by rename, and the remap sweep rewrites the
+    * manifests — but not a list already in a reader's hand) resolves to
+    * the retired copy instead of failing, so version-pinned readers
+    * ([[readFileSubset]] consumers like the file-skipping contamination
+    * screen) survive maintenance that lands mid-operation.
     */
   private def resolveLive(context: String,
                           files: Seq[String]): Map[String, String] = {
-    val frs = foreignRoots
+    val frs = qualifiedRoot +: foreignRoots
     lazy val retainedByRoot: Map[String, Seq[String]] =
       frs.map(r => r -> retainedDirsOf(new Path(r)).sorted.reverse).toMap
     files.map { f =>

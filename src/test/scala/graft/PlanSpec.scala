@@ -125,6 +125,40 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>"), plan)
   }
 
+  test("file-skipping contamination screen: the skipped-files scan reads " +
+      "ONLY the id column — the text bytes (the 100 TB) are never touched") {
+    import spark.implicits._
+    val mk = (id: Long, words: Seq[String]) => (id, words.mkString(" "))
+    val t = new graft.table.ManagedTable(spark, tmpDir("plan-shskip") + "/t")
+    t.overwrite(Seq(mk(1L, Seq("alpha", "beta", "gamma", "delta")))
+      .toDF("doc_id", "text").coalesce(1))
+    t.append(Seq(mk(10L, Seq("red", "green", "blue", "cyan")))
+      .toDF("doc_id", "text").coalesce(1))
+    t.addShingleBloomIndex("text", n = 3)
+    val bench = Seq(mk(100L, Seq("alpha", "beta", "gamma")))
+      .toDF("doc_id", "text")
+    val df = graft.ops.Dedup.contaminationIndexed(
+      t, bench, "doc_id", "text", n = 3)
+    df.count()
+    // parse ReadSchema entries from the final (AQE-resolved) plan string —
+    // collect() over the adaptive plan doesn't descend into query stages
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan)
+      .map(_.group(1).split(",").map(_.takeWhile(_ != ':').trim).toSeq)
+      .toSeq
+    assert(scans.nonEmpty, s"no parquet scans found in:\n$plan")
+    assert(scans.exists(_ == Seq("doc_id")),
+      s"no doc_id-only scan (the skipped files' zeros path) in: $scans")
+    assert(scans.exists(s => s.contains("text")),
+      s"the kept files must still read text: $scans")
+    // every text-reading scan is the kept/straddler side; the zeros scan
+    // must never list the text column
+    val zeroScans = scans.filter(!_.contains("text"))
+    assert(zeroScans.nonEmpty && zeroScans.forall(_ == Seq("doc_id")),
+      s"skipped-file scan reads more than doc_id: $scans")
+  }
+
   test("PCA projection is a shuffle-free narrow map over the store") {
     // the basis enters as literals (driver-side eigensolve of the d×d
     // covariance); the projection itself must stay scan → project →

@@ -173,12 +173,88 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(got2 == screen(t.read))
     assert(got2(20L) == 0.0)
-    // DV fallback: a vectored delete flips the screen to the managed read
-    // (direct file scans would resurrect the row) — still exact
+    // a vectored delete no longer forces the fallback: the screen pins a
+    // version and the pinned reader applies that version's DVs on BOTH
+    // the kept and the skipped scans — files stay skipped, answer exact
     t.deleteVectored(col("doc_id") === 11L)
+    val (kept3, all3) = t.shingleFilesMightHit("text", 3, keys)
+    assert(all3.size == 3 && kept3.size == 1,
+      "a DV must not disable file skipping")
     val got3 = Dedup.contaminationIndexed(t, bench, "doc_id", "text", n = 3)
       .as[(Long, Double)].collect().toMap
     assert(got3 == screen(t.read) && !got3.contains(11L))
+  }
+
+  test("contaminationIndexed is version-pinned: a vectored delete and a " +
+      "compaction landing between the probe and the scans change nothing") {
+    val mk = (id: Long, words: Seq[String]) => (id, words.mkString(" "))
+    val hot = Seq(mk(1L, Seq("alpha", "beta", "gamma", "delta", "epsilon")),
+      mk(2L, Seq("beta", "gamma", "delta", "zeta", "eta")))
+    val cold = Seq(mk(10L, Seq("red", "green", "blue", "cyan", "magenta")),
+      mk(11L, Seq("green", "blue", "cyan", "yellow", "black")))
+    val t = new graft.table.ManagedTable(spark, tmpDir("shingle-pin") + "/t")
+    t.overwrite(hot.toDF("doc_id", "text").coalesce(1))
+    t.append(cold.toDF("doc_id", "text").coalesce(1))
+    t.addShingleBloomIndex("text", n = 3)
+    val bench = Seq(mk(100L, Seq("alpha", "beta", "gamma", "delta")))
+      .toDF("doc_id", "text")
+    val expected = Dedup.contamination(t.read, bench, "doc_id", "text", n = 3)
+      .as[(Long, Double)].collect().toMap
+    // the hook lands a DV-delete AND a file-retiring compaction in the
+    // window between the bloom probe and the scan construction — the
+    // pinned version must keep resolving (retired files through the
+    // snapshot dirs) and keep answering as of the pinned version (the
+    // later DV never applies)
+    val got = Dedup.contaminationIndexedHooked(t, bench, "doc_id", "text",
+      n = 3, maxStraddlers = 10000, afterProbe = () => {
+        t.deleteVectored(col("doc_id") === 1L)
+        t.compact(numFiles = 1)
+      }).as[(Long, Double)].collect().toMap
+    assert(got == expected,
+      s"pinned screen diverged under concurrent mutations: $got vs $expected")
+    assert(got.contains(1L), "the post-probe DV must NOT apply at the " +
+      "pinned version")
+    // quiet-state sanity: a fresh call sees the post-mutation table
+    val after = Dedup.contaminationIndexed(t, bench, "doc_id", "text", n = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(!after.contains(1L) && after.keySet == expected.keySet - 1L)
+  }
+
+  test("contaminationIndexed keeps one-row-per-doc semantics for ids that " +
+      "straddle kept and skipped files, and for duplicate rows") {
+    val mk = (id: Long, words: Seq[String]) => (id, words.mkString(" "))
+    // file A (kept): shares shingles with the benchmark; doc 7 also has a
+    // row here. file B (skipped): disjoint vocabulary; doc 7's OTHER row
+    // and doc 10's two identical rows live here.
+    val fileA = Seq(mk(1L, Seq("alpha", "beta", "gamma", "delta", "epsilon")),
+      mk(7L, Seq("alpha", "beta", "gamma", "zeta", "eta")))
+    val fileB = Seq(mk(7L, Seq("red", "green", "blue", "cyan", "magenta")),
+      mk(10L, Seq("oak", "pine", "birch", "cedar", "maple")),
+      mk(10L, Seq("oak", "pine", "birch", "cedar", "maple")))
+    val t = new graft.table.ManagedTable(spark, tmpDir("shingle-strad") + "/t")
+    t.overwrite(fileA.toDF("doc_id", "text").coalesce(1))
+    t.append(fileB.toDF("doc_id", "text").coalesce(1))
+    t.addShingleBloomIndex("text", n = 3)
+    val bench = Seq(mk(100L, Seq("alpha", "beta", "gamma", "delta")))
+      .toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.xxhash64
+    val keys = Dedup.shingleIndex(bench, "doc_id", "text", 3)
+      .select(xxhash64(col("s"))).as[Long].collect()
+    val (kept, all) = t.shingleFilesMightHit("text", 3, keys)
+    assert(all.size == 2 && kept.size == 1, "file B must be skippable")
+    val expected = Dedup.contamination(t.read, bench, "doc_id", "text", n = 3)
+      .as[(Long, Double)].collect()
+    assert(expected.map(_._1).distinct.length == expected.length)
+    val got = Dedup.contaminationIndexed(t, bench, "doc_id", "text", n = 3)
+      .as[(Long, Double)].collect()
+    assert(got.map(_._1).distinct.length == got.length,
+      s"one row per doc_id required, got ${got.toSeq.sortBy(_._1)}")
+    assert(got.toMap == expected.toMap,
+      s"straddler doc 7 must score over the UNION of its shingles: " +
+        s"${got.toSeq.sortBy(_._1)} vs ${expected.toSeq.sortBy(_._1)}")
+    // doc 7's score dilutes: its skipped-file row adds unmatched shingles
+    assert(got.toMap.apply(7L) > 0.0 && got.toMap.apply(7L) < 1.0)
+    assert(got.toMap.apply(10L) == 0.0)
   }
 
   test("incremental dedup: batch docs matching the existing corpus are dropped") {

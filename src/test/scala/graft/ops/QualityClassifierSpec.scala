@@ -93,6 +93,41 @@ class QualityClassifierSpec extends SparkSpec {
     assert(m.bias == m2.bias && m.weights.toSeq == m2.weights.toSeq)
   }
 
+  test("trainScoreAnchor's integer statistic IS the one-epoch model: " +
+      "s2 = -(2n/lr)·logit₁ and the keep decisions coincide") {
+    val docs = Seq(
+      (1L, "good clean prose sentence with words", 1),
+      (2L, "good clean text again with prose", 1),
+      (3L, "zz xx qq junk junk zz", 0),
+      (4L, "xx qq zz garbage tokens here", 0),
+      (5L, "good prose zz xx mixed bag", 1),
+      (6L, "   ", 0), // token-less: absent from both scored outputs
+      (7L, "entirely novel vocabulary elsewhere", 0)
+    ).toDF("doc_id", "text", "y")
+    val buckets = 256
+    val lr = 0.5
+    val m = QualityClassifier.train(docs, "doc_id", "text", "y",
+      buckets, epochs = 1, lr = lr)
+    val real = QualityClassifier.scoreModel(docs, "doc_id", "text", m, buckets)
+      .select("doc_id", "logit", "keep")
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    val anchor = QualityClassifier.trainScoreAnchor(docs, "doc_id", "text",
+        "y", buckets)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(anchor.keySet == real.keySet &&
+      !anchor.keySet.contains(6L), s"doc sets differ: $anchor vs $real")
+    val n = 7L // nDocs counts the token-less doc too
+    for ((id, (s2, keep)) <- anchor) {
+      val want = -lr / (2.0 * n) * s2
+      val (logit, keepReal) = real(id)
+      assert(math.abs(logit - want) <= 1e-12 * math.max(1.0, math.abs(want)),
+        s"doc $id: logit $logit != -(lr/2n)·s2 = $want (s2=$s2)")
+      assert(keep == keepReal, s"doc $id: keep $keep vs trained $keepReal")
+    }
+  }
+
   test("the trained model is bit-identical under repartitioning " +
       "(DECIMAL-summed gradients)") {
     val a = QualityClassifier.train(separable, "doc_id", "text", "y",
