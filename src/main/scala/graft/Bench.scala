@@ -67,7 +67,7 @@ object Bench {
   private[graft] def renderLine(m: Map[String, (Double, Double)],
       fmt: Double => String, withSpread: Boolean, total: Double,
       spreadTotal: Double, calib: Double, calibAttempts: Int,
-      sfDir: String): String = {
+      sfDir: String, calibEnd: Double = -1.0): String = {
     val qs = m.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // the full per-query spread map goes to the FILE only; the compact
@@ -78,7 +78,12 @@ object Bench {
     else m.toSeq.sortBy(-_._2._1).take(10)
         .map { case (k, (_, s)) => "\"" + k + "\":" + fmt(s) }
         .mkString(""","spreadSlow":{""", ",", "}")
-    s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs$sp,"value":${fmt(total)},"calib":${fmt(calib)},"calibAttempts":$calibAttempts,"spreadTotal":${fmt(spreadTotal)}}"""
+    // calibEnd: the SAME fixed-work probe re-measured AFTER the last
+    // query — calib alone certifies the host before the run, not during
+    // it; the pair brackets the window (disagreement = load arrived or
+    // left mid-run, and the per-query spread says where)
+    val ce = if (calibEnd >= 0) s""","calibEnd":${fmt(calibEnd)}""" else ""
+    s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs$sp,"value":${fmt(total)},"calib":${fmt(calib)},"calibAttempts":$calibAttempts$ce,"spreadTotal":${fmt(spreadTotal)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -153,10 +158,11 @@ object Bench {
     // the line's head fell outside the capture window. Short keys (the qNN
     // prefix, unique by construction; full name kept on the rare collision)
     // plus millisecond rounding keep the line ~1.4 KB.
+    val calibEnd = measureCalib(spark)
     def jline(m: Map[String, (Double, Double)], fmt: Double => String,
               withSpread: Boolean): String =
       renderLine(m, fmt, withSpread, total, spreadTotal, calib,
-        calibAttempts, sfDir)
+        calibAttempts, sfDir, calibEnd)
     val full = jline(results, _.toString, withSpread = true)
     val shortKeys = results.map { case (k, v) =>
       val s = k.takeWhile(_ != '_')

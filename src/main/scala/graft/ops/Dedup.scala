@@ -377,10 +377,14 @@ object Dedup {
     * `maxStraddlers` (plan-literal safety bound) the whole call falls
     * back to the plain screen at v — exact either way.
     *
-    * Falls back to the plain screen over `corpus.read` when the corpus
-    * is a shallow clone (its files live outside the clone root and the
-    * index keys the source paths), is column-mapped (the raw scans would
-    * surface physical names), or has no matching index declaration.
+    * Column-mapped corpora take the SAME skipping path: the index is
+    * built and declared on the stable PHYSICAL column name, the probe
+    * translates the logical name at lookup, and the kept/skipped scans go
+    * through the manifest-pinned reader, which maps physical→logical like
+    * any managed read. Falls back to the plain screen over `corpus.read`
+    * only when the corpus is a shallow clone (its files live outside the
+    * clone root and the index keys the source paths) or has no matching
+    * index declaration.
     */
   def contaminationIndexed(corpus: graft.table.ManagedTable, bench: DataFrame,
                            idCol: String, textCol: String, n: Int = 3,
@@ -399,9 +403,9 @@ object Dedup {
       maxStraddlers: Int, afterProbe: () => Unit): DataFrame = {
     val spark = bench.sparkSession
     import spark.implicits._
-    // fallback checks BEFORE the benchmark key collection — a clone/
-    // mapped corpus must not pay a wasted bench-wide Spark job first
-    if (corpus.isShallowClone || corpus.columnMappingEnabled)
+    // fallback check BEFORE the benchmark key collection — a clone corpus
+    // must not pay a wasted bench-wide Spark job first
+    if (corpus.isShallowClone)
       return contamination(corpus.read, bench, idCol, textCol, n)
     def empty0() = Seq.empty[(Long, Double)].toDF("doc_id", "contamination")
     // pin ONE version: every step below resolves against recon(v)

@@ -204,6 +204,44 @@ object QualityClassifier {
       .select(col("doc_id"), col("s2"), (col("s2") <= 0L).as("keep"))
   }
 
+  /** Persist a trained [[Model]] to a managed table so train → persist →
+    * score composes entirely in SQL (the `graft_quality_score_model` TVF
+    * reads it back): one (b, w) row per NON-ZERO weight (scoring treats
+    * absent buckets as weight 0, so the table is sparse), bias and bucket
+    * count as table properties (`Double.toString` round-trips exactly).
+    * A model is then a table like any other: history, time travel and
+    * CLONE give model versioning for free.
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, path: String,
+                model: Model, buckets: Int): graft.table.ManagedTable = {
+    import spark.implicits._
+    val t = new graft.table.ManagedTable(spark, path)
+    t.overwrite(model.weightRows.filter(_._2 != 0.0).toDF("b", "w"))
+    t.setProperties(Map(
+      "graft.classifier.bias" -> model.bias.toString,
+      "graft.classifier.buckets" -> buckets.toString))
+    t
+  }
+
+  /** Read a persisted model back: (model, buckets). Inverse of
+    * [[saveModel]]; the loss trace is training-run metadata and is not
+    * persisted (loads as empty).
+    */
+  def loadModel(t: graft.table.ManagedTable): (Model, Int) = {
+    val spark = t.read.sparkSession
+    import spark.implicits._
+    val buckets = t.properties.getOrElse("graft.classifier.buckets",
+      throw new IllegalArgumentException(
+        s"${t.path} is not a persisted classifier model " +
+          "(no graft.classifier.buckets property)")).toInt
+    val bias = t.properties.getOrElse("graft.classifier.bias", "0.0").toDouble
+    val w = new Array[Double](buckets)
+    t.read.select(col("b").cast("long"), col("w").cast("double"))
+      .as[(Long, Double)].collect()
+      .foreach { case (b, x) => w(b.toInt) = x }
+    (Model(w, bias, Nil), buckets)
+  }
+
   /** Score docs under a trained [[Model]]: same plan as [[scoreFixed]]
     * with the broadcast learned weights; emits calibrated probability and
     * the keep decision at 0.5.

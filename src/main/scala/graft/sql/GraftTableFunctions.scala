@@ -119,5 +119,22 @@ object GraftTableFunctions {
       plan(graft.ops.QualityClassifier.scoreFixed(t.read,
         str(args(1), fn, "idCol"), str(args(2), fn, "textCol"),
         long(args(3), fn, "buckets").toInt))
+    },
+    // the TRAINED scorer as a TVF — train with the API, persist with
+    // [[graft.ops.QualityClassifier.saveModel]], then score any corpus in
+    // plain SQL: the model argument is a managed-table PATH, so model
+    // versioning (time travel, CLONE) composes too. Emits (doc_id,
+    // logit, p, keep) — scoreModel's shape.
+    tvf("graft_quality_score_model") { args =>
+      require(args.length == 4,
+        "graft_quality_score_model(path, idCol, textCol, modelPath)")
+      val s = SparkSession.active
+      val fn = "graft_quality_score_model"
+      val t = new ManagedTable(s, str(args(0), fn, "path"))
+      val (model, buckets) = graft.ops.QualityClassifier.loadModel(
+        new ManagedTable(s, str(args(3), fn, "modelPath")))
+      plan(graft.ops.QualityClassifier.scoreModel(t.read,
+        str(args(1), fn, "idCol"), str(args(2), fn, "textCol"),
+        model, buckets))
     })
 }

@@ -1718,19 +1718,19 @@ final class ManagedTable(spark: SparkSession, val path: String)
     require(exists, "declare shingle bloom indexes on an existing table")
     ensureBootstrapped()
     require(n >= 1, s"shingle size must be >= 1, got $n")
-    // the build scans data files RAW (the whole point — index without the
-    // managed read's overhead), which under column mapping would key the
-    // filters on physical column names and silently index the wrong data
-    require(!columnMappingEnabled,
-      s"shingle bloom index on column-mapped table $path is unsupported " +
-        "(the raw build would read physical column names)")
     import org.apache.spark.sql.types.StringType
     val field = read.schema.fields.find(_.name == textCol)
       .getOrElse(throw new IllegalArgumentException(s"no such column: $textCol"))
     require(field.dataType == StringType,
       s"shingle bloom index needs a string column, $textCol is " +
         field.dataType.simpleString)
-    val declName = shingleDeclName(textCol, n)
+    // the build scans data files RAW (the whole point — index without the
+    // managed read's overhead), so under column mapping the key derivation
+    // and the DECLARATION both use the PHYSICAL name: it never changes
+    // (that is what the mapping buys), so later RENAMEs of the logical
+    // column leave the index valid, and probes translate at lookup
+    // ([[shingleFilesMightHit]]). Unmapped tables: physical == logical.
+    val declName = shingleDeclName(physicalColName(textCol), n)
     val items =
       if (expectedItemsPerFile > 0) expectedItemsPerFile
       else {
@@ -1744,7 +1744,7 @@ final class ManagedTable(spark: SparkSession, val path: String)
         .map { case (p, _) => fs.makeQualified(new Path(p)).toString }
       val dir = bloomColDir(declName)
       BloomIndex.buildLongKeys(spark, fs, BloomIndex.unindexed(fs, dir, live),
-        shingleKeyArr(textCol, n), items, fpp, dir)
+        shingleKeyArr(physicalColName(textCol), n), items, fpp, dir)
       BloomIndex.dropStale(fs, dir, live)
       ensureFeature("bloom-index", reader = false)
     } catch {
@@ -1756,7 +1756,7 @@ final class ManagedTable(spark: SparkSession, val path: String)
   }
 
   def dropShingleBloomIndex(textCol: String, n: Int): Unit =
-    dropBloomIndex(shingleDeclName(textCol, n))
+    dropBloomIndex(shingleDeclName(physicalColName(textCol), n))
 
   /** Live data files that MIGHT contain any of `keys` (shingle hashes),
     * per the declared shingle index — (kept, all), [[filesOverlapping]]'s
@@ -1778,7 +1778,9 @@ final class ManagedTable(spark: SparkSession, val path: String)
       keys: Array[Long], filesAt: Seq[String])
       : (Seq[String], Seq[String]) = {
     val all = filesAt
-    val declName = shingleDeclName(textCol, n)
+    // decls are keyed by the PHYSICAL name (stable across RENAMEs under
+    // column mapping; identity on unmapped tables) — translate at lookup
+    val declName = shingleDeclName(physicalColName(textCol), n)
     if (!bloomDecls.contains(declName) || keys.isEmpty) return (all, all)
     val dir = bloomColDir(declName)
     val distributed = distributedPlanningMode.equalsIgnoreCase("always") ||
@@ -5487,6 +5489,14 @@ final class ManagedTable(spark: SparkSession, val path: String)
     unsetProperties(Seq(
       "graft.columnMapping", "graft.schema.mapping", "graft.schema.dropped",
       "graft.schema.extras", "graft.schema.types"))
+    // a process-wide default (GRAFT_PROPERTY_DEFAULTS / graft.defaults.*)
+    // would re-enable the mode the moment the file property vanishes,
+    // silently undoing this operation's contract — disable means DISABLE:
+    // pin an explicit 'none' so the table's own props keep winning (the
+    // config-matrix soak's columnMapping cell caught exactly this)
+    if (ManagedTable.propertyDefaults.get("graft.columnMapping")
+        .exists(_.equalsIgnoreCase("name")))
+      setProperties(Map("graft.columnMapping" -> "none"))
   }
 
   /** (logical, physical) pairs for columns whose names diverge — absent

@@ -22,7 +22,7 @@ class BenchLineSpec extends AnyFunSuite {
   private def compact: String = Bench.renderLine(
     entries, v => f"$v%.3f", withSpread = false,
     total = 102.654, spreadTotal = 8.217, calib = 0.158,
-    calibAttempts = 2, sfDir = "/root/testdata/sf0.1")
+    calibAttempts = 2, sfDir = "/root/testdata/sf0.1", calibEnd = 0.162)
 
   test("certificate fields survive the driver's 2000-char tail capture") {
     val line = compact
@@ -30,7 +30,7 @@ class BenchLineSpec extends AnyFunSuite {
       s"line only ${line.length} chars — truncation pin is vacuous")
     val tail = line.takeRight(2000)
     for (field <- Seq("\"value\":102.654", "\"calib\":0.158",
-        "\"calibAttempts\":2", "\"spreadTotal\":8.217"))
+        "\"calibAttempts\":2", "\"calibEnd\":0.162", "\"spreadTotal\":8.217"))
       assert(tail.contains(field), s"$field missing from 2000-char tail")
   }
 

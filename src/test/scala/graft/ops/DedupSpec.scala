@@ -220,6 +220,47 @@ class DedupSpec extends SparkSpec {
     assert(!after.contains(1L) && after.keySet == expected.keySet - 1L)
   }
 
+  test("contaminationIndexed runs the SKIPPING path on a column-mapped " +
+      "corpus, across a text-column RENAME (decl keyed by physical name)") {
+    val mk = (id: Long, words: Seq[String]) => (id, words.mkString(" "))
+    val fileA = Seq(mk(1L, Seq("alpha", "beta", "gamma", "delta", "epsilon")))
+    val fileB = Seq(mk(10L, Seq("red", "green", "blue", "cyan", "magenta")))
+    val t = new graft.table.ManagedTable(spark, tmpDir("shingle-map") + "/t")
+    t.overwrite(fileA.toDF("doc_id", "text").coalesce(1))
+    t.enableColumnMapping()
+    t.append(fileB.toDF("doc_id", "text").coalesce(1))
+    t.addShingleBloomIndex("text", n = 3)
+    // RENAME is a pure metadata edit; the index keys the PHYSICAL name,
+    // so it survives and probes translate the new logical name at lookup
+    t.renameColumn("text", "body")
+    val bench = Seq(mk(100L, Seq("alpha", "beta", "gamma", "delta")))
+      .toDF("doc_id", "body")
+    import org.apache.spark.sql.functions.xxhash64
+    val keys = Dedup.shingleIndex(bench, "doc_id", "body", 3)
+      .select(xxhash64(col("s"))).as[Long].collect()
+    val (kept, all) = t.shingleFilesMightHit("body", 3, keys)
+    assert(all.size == 2 && kept.size == 1,
+      s"mapped probe must still skip file B: ${kept.size} of ${all.size}")
+    val expected = Dedup.contamination(t.read, bench, "doc_id", "body", n = 3)
+      .as[(Long, Double)].collect().toMap
+    val got = Dedup.contaminationIndexed(t, bench, "doc_id", "body", n = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(got == expected, s"mapped skipping screen diverged: $got")
+    assert(got(1L) > 0.0 && got(10L) == 0.0)
+    // incremental refresh under mapping: a post-rename append indexes its
+    // new file on the same physical-keyed declaration and stays skippable
+    t.append(Seq(mk(20L, Seq("oak", "pine", "birch", "cedar", "maple")))
+      .toDF("doc_id", "body").coalesce(1))
+    val (kept2, all2) = t.shingleFilesMightHit("body", 3, keys)
+    assert(all2.size == 3 && kept2.size == 1,
+      s"post-rename append must be skippable: ${kept2.size} of ${all2.size}")
+    val got2 = Dedup.contaminationIndexed(t, bench, "doc_id", "body", n = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(got2 ==
+      Dedup.contamination(t.read, bench, "doc_id", "body", n = 3)
+        .as[(Long, Double)].collect().toMap)
+  }
+
   test("contaminationIndexed keeps one-row-per-doc semantics for ids that " +
       "straddle kept and skipped files, and for duplicate rows") {
     val mk = (id: Long, words: Seq[String]) => (id, words.mkString(" "))

@@ -539,6 +539,32 @@ class GraftSqlSpec extends SparkSpec {
         "doc_id", "text", 4096).orderBy("doc_id")
         .select("keep").as[Boolean].collect().toSeq
       assert(quality.map(_.getBoolean(1)).toSeq == lib)
+      // train → persist → score BY TVF: the whole learned-filter loop
+      // composes in SQL, with the model a managed-table path
+      val labeled = Seq(
+        (1L, "good clean prose with words", 1),
+        (2L, "zz xx qq junk zz xx", 0),
+        (3L, "good prose again here", 1),
+        (4L, "qq zz junk tokens xx", 0)).toDF("doc_id", "text", "y")
+      val m = graft.ops.QualityClassifier.train(labeled, "doc_id", "text",
+        "y", buckets = 256, epochs = 3, lr = 0.5)
+      val pm = tmpDir("sql-ext-model") + "/model"
+      graft.ops.QualityClassifier.saveModel(extended, pm, m, buckets = 256)
+      val viaTvf = extended.sql(
+        s"""SELECT doc_id, logit, p, keep
+            FROM graft_quality_score_model('$pc', 'doc_id', 'text', '$pm')
+            ORDER BY doc_id""")
+        .as[(Long, Double, Double, Boolean)].collect().toSeq
+      val viaApi = graft.ops.QualityClassifier.scoreModel(corpus.read,
+          "doc_id", "text", m, buckets = 256).orderBy("doc_id")
+        .as[(Long, Double, Double, Boolean)].collect().toSeq
+      assert(viaTvf == viaApi,
+        s"TVF scoring must equal API scoring: $viaTvf vs $viaApi")
+      // a non-model table is refused pointedly
+      val modelErr = intercept[Exception](extended.sql(
+        s"""SELECT * FROM graft_quality_score_model('$pc', 'doc_id',
+            'text', '$pc')""").collect())
+      assert(modelErr.getMessage.contains("graft.classifier.buckets"))
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)

@@ -234,6 +234,9 @@ class ColumnMappingSpec extends SparkSpec {
     val t = new ManagedTable(spark, tmpDir("cm-pren") + "/t")
     t.overwrite(Seq((1L, "p1", 1.0), (2L, "p2", 2.0))
       .toDF("id", "part", "amt"), Seq("part"))
+    // pin the UNMAPPED starting state this case is about — a config-matrix
+    // soak cell may default columnMapping=name process-wide
+    t.setProperties(Map("graft.columnMapping" -> "none"))
     // without mapping the dir scheme IS the name: refused
     val e = intercept[IllegalArgumentException] {
       t.renameColumn("part", "division") }

@@ -714,6 +714,10 @@ class ManagedTableSpec extends SparkSpec {
   test("rename/drop column rewrite the snapshot; old versions keep theirs") {
     val t = freshTable("mt-alter")
     t.overwrite(Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "v", "w"))
+    // this case pins the UNMAPPED rewrite semantics — under a soak cell
+    // that defaults columnMapping=name the rename would route
+    // metadata-only instead; pin the mode the case is about
+    t.setProperties(Map("graft.columnMapping" -> "none"))
     t.renameColumn("v", "label")
     assert(t.read.schema.fieldNames.toSeq == Seq("k", "label", "w"))
     assert(t.read.orderBy("k").select("label").as[String].collect().toSeq ==
@@ -732,6 +736,7 @@ class ManagedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.dropColumn("k"))
     val p = freshTable("mt-alter-part")
     p.overwrite(Seq((1L, "a")).toDF("k", "p"), Seq("p"))
+    p.setProperties(Map("graft.columnMapping" -> "none")) // same pin
     intercept[IllegalArgumentException](p.renameColumn("p", "q"))
   }
 

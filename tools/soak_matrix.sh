@@ -9,6 +9,9 @@
 #   cell B: cell A + checkpointPartSize=3 (multipart forced low, so every
 #           retro/commit checkpoint exercises the multi-part + run-unique
 #           staging paths)
+#   cell C: columnMapping=name on EVERY table — the systematic catcher for
+#           raw-scan paths that would key on physical column names (r12's
+#           review caught two by hand; this cell catches the next one)
 #
 # Every piece is individually specced; THIS run exercises the combination —
 # retro pointers + log-seeded commits + SchemaCache carries + distributed
@@ -19,11 +22,15 @@ cd "$(dirname "$0")/.."
 
 CELL_A="graft.manifest.asyncCheckpoint=true,graft.manifest.checkpointFormat=parquet,graft.metadata.distributedPlanning=always"
 CELL_B="$CELL_A,graft.manifest.checkpointPartSize=3"
+CELL_C="graft.columnMapping=name"
 
 SPECS="graft.table.OccSpec graft.table.AsyncCheckpointSpec graft.table.CommitFastPathSpec graft.table.ParquetCheckpointSpec graft.table.DistributedPlanningSpec graft.table.ManifestDeltaSpec graft.table.MergeSpec graft.table.ManagedTableSpec graft.table.MergeClauseSpec graft.table.DeletionVectorSpec graft.table.RowTrackingSpec graft.table.SchemaCacheSpec"
+# cell C adds the mapping-sensitive suites (DedupSpec: shingle index +
+# contamination screens; ColumnMappingSpec: the machinery itself)
+SPECS_C="$SPECS graft.ops.DedupSpec graft.table.ColumnMappingSpec"
 
 run_cell() {
-  local name="$1" defaults="$2" out
+  local name="$1" defaults="$2" specs="$3" out
   out="/tmp/soak_${name}"
   echo "== cell $name: $defaults =="
   echo "-- verify (sf0.01) --"
@@ -33,10 +40,11 @@ run_cell() {
   python3 tools/check.py /root/testdata/sf0.01 "$out" | tail -1
   echo "-- specs --"
   GRAFT_PROPERTY_DEFAULTS="$defaults" \
-    sbt -batch "testOnly $SPECS" > "/tmp/soak_${name}_specs.log" 2>&1
+    sbt -batch "testOnly $specs" > "/tmp/soak_${name}_specs.log" 2>&1
   grep -E "Tests: succeeded" "/tmp/soak_${name}_specs.log" | tail -1
 }
 
-run_cell A "$CELL_A"
-run_cell B "$CELL_B"
+run_cell A "$CELL_A" "$SPECS"
+run_cell B "$CELL_B" "$SPECS"
+run_cell C "$CELL_C" "$SPECS_C"
 echo "== soak done; logs in /tmp/soak_*.log =="
