@@ -1280,6 +1280,20 @@ object SparkEntry {
         .select(col("doc_id"), round(col("p"), 6).as("p"), col("keep"))
         .orderBy("doc_id")
     }),
+    "q150_sequence_packing" -> ((s, d) => {
+      // concat-and-chunk sequence packing — the GPT-style assembly of
+      // fixed-length training sequences from a token stream, with docs
+      // SPANNING sequence boundaries (q112's shard packer assigns whole
+      // docs; this emits the per-sequence slices a loader + a
+      // boundary-aware attention mask need). Distributed two-pass prefix
+      // sum; values are pure integer arithmetic → DuckDB window twin.
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(graft.ops.TextAnalysis.words(col("text"))).cast("long")
+          .as("n_tokens"))
+      graft.ops.Sampling.concatChunkSlices(docs, "doc_id", "n_tokens",
+          seqLen = 512)
+        .orderBy("seq_id", "doc_id")
+    }),
     "q146a_quality_classifier_trained_anchor" -> ((s, d) => {
       // the TRAINED classifier's cross-engine anchor (closing q146's
       // rows-only gap, the q131a idiom): the one-epoch model's decision
@@ -3450,6 +3464,23 @@ object SparkEntry {
            CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_sh AS contamination
          FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.doc_id
          ORDER BY 1""",
+    "q150_sequence_packing" ->
+      """WITH w AS (SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS BIGINT) AS n
+               FROM documents),
+         c AS (SELECT doc_id, n,
+                 CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS strt
+               FROM w),
+         s AS (SELECT doc_id, strt, n,
+                 unnest(generate_series(CAST(floor(strt / 512.0) AS BIGINT),
+                   CAST(floor((strt + n - 1) / 512.0) AS BIGINT))) AS seq_id
+               FROM c WHERE n > 0)
+         SELECT seq_id, doc_id,
+           GREATEST(strt - seq_id * 512, 0) AS seq_offset,
+           GREATEST(seq_id * 512 - strt, 0) AS doc_offset,
+           LEAST((seq_id + 1) * 512 - strt, n) -
+             GREATEST(seq_id * 512 - strt, 0) AS slice_len
+         FROM s ORDER BY seq_id, doc_id""",
     "q146a_quality_classifier_trained_anchor" ->
       """WITH w AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y,
                  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words

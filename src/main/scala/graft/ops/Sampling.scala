@@ -154,7 +154,26 @@ object Sampling {
     * partition boundaries fall.
     */
   def packByTokenBudgetDistributed(df: DataFrame, idCol: String, tokenCol: String,
-                                   budget: Long, partitions: Int = 0): DataFrame = {
+                                   budget: Long, partitions: Int = 0): DataFrame =
+    withRunningTokenSum(df, idCol, tokenCol, partitions)
+      .withColumn("shard", floor((col("__cum") - col(tokenCol)) / budget).cast("long"))
+      .drop("__cum")
+
+  /** df + `__cum` = INCLUSIVE running sum of `tokenCol` in `idCol` order —
+    * the classic two-pass distributed prefix sum:
+    *
+    *   1. range-partition by id (the pack order) and cumsum WITHIN each
+    *      partition (parallel windows);
+    *   2. collect one total per partition (N partition sums, driver-tiny),
+    *      turn them into exclusive per-partition offsets, and add the
+    *      offset back as a broadcast map literal.
+    *
+    * The global running sum is identical to a single global window for
+    * any partition count (asserted in spec): the prefix sum over a total
+    * order is independent of where the partition boundaries fall.
+    */
+  private def withRunningTokenSum(df: DataFrame, idCol: String,
+                                  tokenCol: String, partitions: Int): DataFrame = {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
@@ -174,7 +193,53 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sorted
       .withColumn("__cum", sum(col(tokenCol).cast("long")).over(w) + offsetExpr)
-      .withColumn("shard", floor((col("__cum") - col(tokenCol)) / budget).cast("long"))
-      .drop("__cum", "__pid")
+      .drop("__pid")
+  }
+
+  /** Concat-and-chunk SEQUENCE packing — how pretraining batches are
+    * actually assembled (the GPT-style packer): documents concatenate in
+    * `idCol` order into one token stream, chunked into fixed-`seqLen`
+    * training sequences; a document SPANS sequences when it crosses a
+    * boundary ([[packByTokenBudget]] assigns whole docs to shards — this
+    * emits the per-sequence SLICES, the thing a sequence loader and a
+    * boundary-aware attention mask need). One row per (doc × sequence it
+    * touches):
+    *
+    *   seq_id     — 0-based training-sequence index
+    *   doc_id     — the document
+    *   seq_offset — where in the sequence this doc's slice begins
+    *   doc_offset — where in the doc the slice begins
+    *   slice_len  — tokens contributed (Σ over a doc = its token count;
+    *                Σ over a sequence = seqLen except the final one)
+    *
+    * Distributed exactly like the shard packer: the two-pass prefix sum
+    * places every doc at its global start token, then the per-doc
+    * sequence range explodes as pure codegen'd expressions — no global
+    * window, no shuffle beyond the range partition. Token-less docs
+    * occupy no stream positions and emit no slice (matching SQL
+    * generate_series over an empty range).
+    */
+  def concatChunkSlices(df: DataFrame, idCol: String, tokenCol: String,
+                        seqLen: Long, partitions: Int = 0): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val startC = (col("__cum") - col(tokenCol)).cast("long")
+    val nC = col(tokenCol).cast("long")
+    // bounds stay far under 2^53, so floor(double division) is exact
+    val firstSeq = floor(startC / lit(seqLen.toDouble)).cast("long")
+    val lastSeq = floor((startC + nC - 1) / lit(seqLen.toDouble)).cast("long")
+    withRunningTokenSum(df, idCol, tokenCol, partitions)
+      .filter(nC > 0)
+      .select(col(idCol).as("doc_id"), startC.as("__start"), nC.as("__n"),
+        explode(sequence(firstSeq, lastSeq)).as("seq_id"))
+      .select(
+        col("seq_id"),
+        col("doc_id"),
+        greatest(col("__start") - col("seq_id") * seqLen, lit(0L))
+          .as("seq_offset"),
+        greatest(col("seq_id") * seqLen - col("__start"), lit(0L))
+          .as("doc_offset"),
+        (least((col("seq_id") + 1) * seqLen - col("__start"), col("__n")) -
+          greatest(col("seq_id") * seqLen - col("__start"), lit(0L)))
+          .as("slice_len"))
   }
 }

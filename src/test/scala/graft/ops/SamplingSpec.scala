@@ -87,6 +87,59 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("concatChunkSlices: slices tile the token stream exactly — per-doc " +
+      "sums, per-sequence fills, boundary spans, and any partitioning") {
+    val r = new scala.util.Random(7)
+    // token counts around and above seqLen so docs routinely span 2+
+    // sequences; a few zero-token docs that must vanish
+    val docs = (1L to 200L).map(i =>
+      (i, if (i % 37 == 0) 0L else 1L + r.nextInt(150).toLong))
+      .toDF("doc_id", "tokens")
+    val seqLen = 64L
+    val slices = Sampling.concatChunkSlices(docs, "doc_id", "tokens", seqLen)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val tok = docs.as[(Long, Long)].collect().toMap
+    val total = tok.values.sum
+    // per-doc: slice lengths sum to the doc's tokens; offsets partition it
+    val byDoc = slices.groupBy(_._2)
+    assert(byDoc.keySet == tok.filter(_._2 > 0).keySet,
+      "every tokenful doc sliced, zero-token docs absent")
+    for ((d, ss) <- byDoc) {
+      assert(ss.map(_._5).sum == tok(d), s"doc $d slice sum")
+      val sorted = ss.sortBy(_._1)
+      assert(sorted.head._4 == 0L, s"doc $d first slice starts at 0")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._4 == a._4 + a._5, s"doc $d slices contiguous")
+          assert(b._1 == a._1 + 1, s"doc $d spans consecutive sequences")
+        case _ => ()
+      }
+    }
+    // per-sequence: every sequence is FULL (seqLen) except the last
+    val bySeq = slices.groupBy(_._1)
+    val lastSeq = (total - 1) / seqLen
+    assert(bySeq.keySet == (0L to lastSeq).toSet, "no sequence gaps")
+    for ((s, ss) <- bySeq) {
+      val fill = ss.map(_._5).sum
+      if (s < lastSeq) assert(fill == seqLen, s"seq $s fill $fill")
+      else assert(fill == total - lastSeq * seqLen, s"final seq fill $fill")
+      // slice seq_offsets tile [0, fill)
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 == 0L)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 == a._3 + a._5, s"seq $s contiguous")
+        case _ => ()
+      }
+    }
+    // the placement is partitioning-invariant (two-pass prefix sum)
+    for (parts <- Seq(1, 3, 16)) {
+      val again = Sampling.concatChunkSlices(docs.repartition(9), "doc_id",
+          "tokens", seqLen, partitions = parts)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(again == slices.toSet, s"partitions=$parts")
+    }
+  }
+
   // 400/200/100 rows in domains big/mid/small
   private lazy val domains = (1L to 700L)
     .map(i => (i, if (i <= 400) "big" else if (i <= 600) "mid" else "small"))
