@@ -36,6 +36,18 @@ object SparkEntry {
     * assignment runs at build time, probes only prune partitions).
     */
   private val ivfIndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Reset a scratch warehouse a query (re)builds — pipeline queries that
+    * overwrite managed tables must measure the PIPELINE, not the commit
+    * history a session's repeated runs accumulate under /tmp.
+    */
+  private def deleteRecursively(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rec)
+      f.delete()
+    }
+    rec(new java.io.File(path))
+  }
+
   private def ivfIndex(s: SparkSession, d: String): String =
     ivfIndexCache.getOrElseUpdate(d, {
       val e = Tables.embeddings(s, d)
@@ -638,6 +650,13 @@ object SparkEntry {
     // ---- Full corpus pipeline (annotate -> dedup -> split) ----
     "q60_corpus_pipeline" -> ((s, d) => {
       val wh = s"/tmp/graft_corpus_${new java.io.File(d).getName}"
+      // FRESH warehouse each run: the pipeline overwrites managed tables,
+      // and every overwrite retires the previous snapshot + remaps a
+      // growing log — left to accumulate across a session's bench/verify
+      // runs, q60 drifts upward measuring its own history (r13 found it
+      // at 56 manifests / 50 snapshot dirs, +40% on the query), not the
+      // pipeline. Deleting makes the measurement stationary.
+      deleteRecursively(wh)
       new graft.pipeline.CorpusPipeline(s, wh)
         .run(Tables.documents(s, d), "doc_id", "text",
           minQuality = 0.3, minEstSim = 0.9, signatures = Some(docSignatures(s, d)))
@@ -651,6 +670,7 @@ object SparkEntry {
       // must emit exactly the SQL-reproducible skeleton; only the seeded
       // split column stays engine-specific and is projected away
       val wh = s"/tmp/graft_corpus_skel_${new java.io.File(d).getName}"
+      deleteRecursively(wh) // fresh warehouse — see q60's comment
       new graft.pipeline.CorpusPipeline(s, wh)
         .run(Tables.documents(s, d), "doc_id", "text",
           minQuality = 0.5, minEstSim = 1.1, signatures = Some(docSignatures(s, d)))

@@ -434,9 +434,11 @@ object Dedup {
     val keptIds = scan(kept).select(col(idCol).as("doc_id")).distinct()
     // null ids are invisible to the equi-join/isin straddler machinery
     // (SQL null semantics) while the plain screen groups them — fall back
-    // at the SAME pinned version, exactness over cleverness
-    if (scan(all).select(col(idCol)).filter(col(idCol).isNull)
-        .limit(1).count() > 0)
+    // at the SAME pinned version, exactness over cleverness. Probe only
+    // when the schema even admits nulls (skips a corpus-wide id pass).
+    if (scan(all).schema(idCol).nullable &&
+        scan(all).select(col(idCol)).filter(col(idCol).isNull)
+          .limit(1).count() > 0)
       return contamination(scan(all).select(idCol, textCol), bench,
         idCol, textCol, n)
     val straddlers = skippedIds.join(keptIds, Seq("doc_id"), "left_semi")
@@ -446,7 +448,11 @@ object Dedup {
       // plain screen at the SAME pinned version stays exact
       return contamination(scan(all).select(idCol, textCol), bench,
         idCol, textCol, n)
-    val zeros = skippedIds.join(keptIds, Seq("doc_id"), "left_anti")
+    // zeros = skipped ids minus the (already collected, ≤ cap) straddler
+    // set — an isin against the in-hand literals, NOT an anti-join that
+    // would re-scan the KEPT side's ids when the plan executes
+    val zeros = (if (straddlers.isEmpty) skippedIds
+      else skippedIds.filter(!col("doc_id").isin(straddlers: _*)))
       .select(col("doc_id"), lit(0.0).as("contamination"))
     val exactKept =
       if (straddlers.isEmpty)

@@ -213,13 +213,15 @@ object QualityClassifier {
     * CLONE give model versioning for free.
     */
   def saveModel(spark: org.apache.spark.sql.SparkSession, path: String,
-                model: Model, buckets: Int): graft.table.ManagedTable = {
+                model: Model): graft.table.ManagedTable = {
     import spark.implicits._
     val t = new graft.table.ManagedTable(spark, path)
     t.overwrite(model.weightRows.filter(_._2 != 0.0).toDF("b", "w"))
     t.setProperties(Map(
       "graft.classifier.bias" -> model.bias.toString,
-      "graft.classifier.buckets" -> buckets.toString))
+      // derived, never caller-supplied: a mismatched bucket count would
+      // persist a model that loads truncated or crashes (review r13)
+      "graft.classifier.buckets" -> model.weights.length.toString))
     t
   }
 

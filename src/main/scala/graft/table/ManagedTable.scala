@@ -4445,11 +4445,17 @@ final class ManagedTable(spark: SparkSession, val path: String)
     // probe and HARDENS it into [[retroAnchorPath]] (a name this path
     // never touches) before any deletion, so a retraction racing the
     // anchoring still leaves recon(v) a path through the copy.
+    // v's manifest "self-anchors" only when it can actually SERVE
+    // recon(v): inline files, or sidecar names that all still exist —
+    // the same conservatism as manifestAnchors/copyServes (a dangling
+    // pointer manifest must keep the retro pointer load-bearing, else
+    // retraction here orphans the only resolvable checkpoint at v)
     def anchoredOnRetro: Boolean = v > 0 &&
       !fs.exists(new Path(logDir, f"v${v - 1}%05d.json")) &&
       !scala.util.Try { val txt = manifestText(v)
         jsonStringArray(txt, "files").isDefined ||
-          checkpointSidecarsOf(txt).isDefined }.getOrElse(false)
+          checkpointSidecarsOf(txt).exists(ns =>
+            ns.forall(n => fs.exists(new Path(logDir, n)))) }.getOrElse(false)
     def retract(why: String): Unit = {
       fs.delete(retroPtrPath(v), false)
       logInfo(s"checkpoint maintenance on $path: a mutation overlapped " +
@@ -5493,10 +5499,10 @@ final class ManagedTable(spark: SparkSession, val path: String)
     // would re-enable the mode the moment the file property vanishes,
     // silently undoing this operation's contract — disable means DISABLE:
     // pin an explicit 'none' so the table's own props keep winning (the
-    // config-matrix soak's columnMapping cell caught exactly this)
-    if (ManagedTable.propertyDefaults.get("graft.columnMapping")
-        .exists(_.equalsIgnoreCase("name")))
-      setProperties(Map("graft.columnMapping" -> "none"))
+    // config-matrix soak's columnMapping cell caught exactly this).
+    // UNCONDITIONALLY: a default visible only in a LATER session must not
+    // reopen the hole a disable-time check would leave (review r13)
+    setProperties(Map("graft.columnMapping" -> "none"))
   }
 
   /** (logical, physical) pairs for columns whose names diverge — absent

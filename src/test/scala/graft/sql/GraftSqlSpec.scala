@@ -549,7 +549,7 @@ class GraftSqlSpec extends SparkSpec {
       val m = graft.ops.QualityClassifier.train(labeled, "doc_id", "text",
         "y", buckets = 256, epochs = 3, lr = 0.5)
       val pm = tmpDir("sql-ext-model") + "/model"
-      graft.ops.QualityClassifier.saveModel(extended, pm, m, buckets = 256)
+      graft.ops.QualityClassifier.saveModel(extended, pm, m)
       val viaTvf = extended.sql(
         s"""SELECT doc_id, logit, p, keep
             FROM graft_quality_score_model('$pc', 'doc_id', 'text', '$pm')
