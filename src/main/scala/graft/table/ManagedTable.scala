@@ -4349,10 +4349,15 @@ final class ManagedTable(spark: SparkSession, val path: String)
       return
     }
     val v = st.version
+    // "already checkpointed" counts a sidecar-format manifest only when
+    // its sidecars actually EXIST — a dangling checkpoint (remap-crash
+    // debris) must not suppress the publish: the retro pointer this run
+    // lands is then the artifact that REPAIRS reconstruction at v
     val already = fs.exists(retroPtrPath(v)) ||
       scala.util.Try { val txt = manifestText(v)
         jsonStringArray(txt, "files").isDefined ||
-          checkpointSidecarsOf(txt).isDefined }.getOrElse(false)
+          checkpointSidecarsOf(txt).exists(ns =>
+            ns.forall(n => fs.exists(new Path(logDir, n)))) }.getOrElse(false)
     if (!already) {
       if (checkpointFormatParquet) {
         // above the planning cutover the assembly runs as a Spark job

@@ -412,6 +412,61 @@ class AsyncCheckpointSpec extends SparkSpec {
     } finally CheckpointMaintenance.suspended = false
   }
 
+  test("maintenance self-heals a DANGLING checkpoint manifest (sidecar " +
+      "gone): the publish is not suppressed, and the pointer is kept when " +
+      "it is the only thing serving recon(v)") {
+    CheckpointMaintenance.suspended = true
+    try {
+      val t = new ManagedTable(spark, tmpDir("ac-heal") + "/t")
+      // SYNCHRONOUS MULTIPART parquet checkpoints: v10's manifest carries
+      // filesParquetParts with its own part files (multipart matters —
+      // retro parts are run-unique, so the healing pointer's artifacts
+      // stay distinct from the manifest's dangling ones; single-sidecar
+      // retro shares the manifest's path and would heal the manifest
+      // itself)
+      t.setProperties(Map("graft.manifest.checkpointFormat" -> "parquet",
+        "graft.manifest.asyncCheckpoint" -> "false",
+        "graft.manifest.checkpointPartSize" -> "3"))
+      t.overwrite(Seq((0L, "seed")).toDF("k", "v"))
+      for (i <- 1 to 10) t.append(Seq((i.toLong, s"r$i")).toDF("k", "v"))
+      assert(manifestText(t, 10L).contains("filesParquetParts"),
+        "v10 must be a sync multipart checkpoint manifest")
+      // remap-crash debris, simulated: one part vanishes, the manifest
+      // dangles — a fresh handle can no longer reconstruct v10
+      val part = new java.io.File(t.path + "._log").listFiles()
+        .find(f => f.getName.startsWith("v00010.p") &&
+          f.getName.endsWith(".checkpoint.parquet"))
+        .getOrElse(fail("no v10 checkpoint part found"))
+      assert(part.delete())
+      intercept[Exception] {
+        new ManagedTable(spark, t.path).readVersion(10).count() }
+      // the old `already` probe counted the dangling manifest as "already
+      // checkpointed" and skipped; now maintenance publishes the retro
+      // pointer that REPAIRS reconstruction
+      t.runCheckpointMaintenance()
+      assert(retroPtr(t, 10L).exists(),
+        "a dangling checkpoint must not suppress the retro publish")
+      assert(new ManagedTable(spark, t.path).readVersion(10).count() == 11L)
+      // anchored + overlap on the same state: manifests below the horizon
+      // gone (an old cleanup), pointer lost (retraction flicker), a
+      // writer's lease held — the re-published pointer must be KEPT: the
+      // dangling manifest cannot self-anchor (its sidecar is gone), so
+      // the pointer is load-bearing
+      for (i <- 0 to 9)
+        new java.io.File(t.path + f"._log/v$i%05d.json").delete()
+      retroPtr(t, 10L).delete()
+      val lock = new java.io.File(t.path + "._log/_commit.lock")
+      assert(lock.createNewFile())
+      try t.runCheckpointMaintenance()
+      finally lock.delete()
+      assert(retroPtr(t, 10L).exists(),
+        "the pointer serving a dangling-manifest horizon must be kept")
+      val healed = new ManagedTable(spark, t.path)
+      assert(healed.read.count() == 11L)
+      assert(healed.readVersion(10).count() == 11L)
+    } finally CheckpointMaintenance.suspended = false
+  }
+
   test("cleanupLog anchors on a retro checkpoint behind the checkpoint-retro " +
       "reader feature") {
     CheckpointMaintenance.suspended = true
