@@ -12,17 +12,21 @@
 #   cell C: columnMapping=name on EVERY table — the systematic catcher for
 #           raw-scan paths that would key on physical column names (r12's
 #           review caught two by hand; this cell catches the next one)
+#   cell D: cell A x cell C — the combined default stack WITH mapping, so
+#           checkpoint/planning machinery and the name indirection soak as
+#           one system
 #
 # Every piece is individually specced; THIS run exercises the combination —
 # retro pointers + log-seeded commits + SchemaCache carries + distributed
 # planning over retro sidecars — as one system over the whole workload.
-# Done = the same oracle verdict (147 pass, 0 fail) in every cell.
+# Done = the same oracle verdict (identical pass set, 0 fail) in every cell.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
 CELL_A="graft.manifest.asyncCheckpoint=true,graft.manifest.checkpointFormat=parquet,graft.metadata.distributedPlanning=always"
 CELL_B="$CELL_A,graft.manifest.checkpointPartSize=3"
 CELL_C="graft.columnMapping=name"
+CELL_D="$CELL_A,$CELL_C"
 
 SPECS="graft.table.OccSpec graft.table.AsyncCheckpointSpec graft.table.CommitFastPathSpec graft.table.ParquetCheckpointSpec graft.table.DistributedPlanningSpec graft.table.ManifestDeltaSpec graft.table.MergeSpec graft.table.ManagedTableSpec graft.table.MergeClauseSpec graft.table.DeletionVectorSpec graft.table.RowTrackingSpec graft.table.SchemaCacheSpec"
 # cell C adds the mapping-sensitive suites (DedupSpec: shingle index +
@@ -47,4 +51,5 @@ run_cell() {
 run_cell A "$CELL_A" "$SPECS"
 run_cell B "$CELL_B" "$SPECS"
 run_cell C "$CELL_C" "$SPECS_C"
+run_cell D "$CELL_D" "$SPECS_C"
 echo "== soak done; logs in /tmp/soak_*.log =="
