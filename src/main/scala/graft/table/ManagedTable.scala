@@ -5451,6 +5451,15 @@ final class ManagedTable(spark: SparkSession, val path: String)
     * metadata edits at any table size — the physical column name in the
     * files never changes; reads alias it. Delta's same trade: a 100 TB
     * rename is a one-line schema edit instead of a full rewrite.
+    *
+    * Time-travel naming: the mapping lives in `_props.txt` and applies at
+    * scan time, so `readVersion(v)` surfaces the CURRENT logical names at
+    * every version — a rename retitles history too (Delta instead
+    * resolves each version's schema from that version's own metadata).
+    * Deliberate: the row data at v is exact either way, names are
+    * presentation, and per-version name resolution would mean replicating
+    * the mapping into every manifest. A reader who needs yesterday's
+    * names has RESTORE. Pinned in ColumnMappingSpec.
     */
   def columnMappingEnabled: Boolean =
     properties.get("graft.columnMapping").exists(_.equalsIgnoreCase("name"))

@@ -31,6 +31,28 @@ class ColumnMappingSpec extends SparkSpec {
     assert(t.read.columns.toSeq == Seq("id", "note", "amt"))
   }
 
+  test("time travel under mapping surfaces the CURRENT logical schema — " +
+      "the mapping is a live table property, not per-version metadata") {
+    val t = new ManagedTable(spark, tmpDir("cm-tt") + "/t")
+    t.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "note", "amt"))
+    t.enableColumnMapping()
+    val preRename = t.version
+    t.renameColumn("note", "comment")
+    t.append(Seq((3L, "c", 3.0)).toDF("id", "comment", "amt"))
+    // rows at the old version are EXACT; names are today's. (Delta
+    // resolves each version's schema from its own metadata — here the
+    // mapping lives in _props.txt and applies at scan time, so renames
+    // retitle history too. Pinned deliberately: row data is identical,
+    // names are presentation, and a reader who needs yesterday's names
+    // has RESTORE.)
+    val old = t.readVersion(preRename)
+    assert(old.columns.toSeq == Seq("id", "comment", "amt"),
+      s"time travel shows current logical names: ${old.columns.toSeq}")
+    assert(old.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    assert(t.read.count() == 3)
+  }
+
   test("appends after a rename land physical; scans stay single-schema") {
     val t = new ManagedTable(spark, tmpDir("cm-app") + "/t")
     t.overwrite(Seq((1L, "a")).toDF("id", "note"))
