@@ -1296,7 +1296,7 @@ object SparkEntry {
         .withColumn("y", (col("lang") === "en").cast("int"))
       val m = QualityClassifier.train(docs, "doc_id", "text", "y",
         buckets = 1024, epochs = 3, lr = 0.5)
-      QualityClassifier.scoreModel(docs, "doc_id", "text", m, buckets = 1024)
+      QualityClassifier.scoreModel(docs, "doc_id", "text", m)
         .select(col("doc_id"), round(col("p"), 6).as("p"), col("keep"))
         .orderBy("doc_id")
     }),

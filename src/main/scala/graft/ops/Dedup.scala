@@ -429,16 +429,30 @@ object Dedup {
       return contamination(scan(kept).select(idCol, textCol), bench,
         idCol, textCol, n)
     // both sides present: ids straddling them must score over the UNION
-    // of their shingles (the plain screen's one-group-per-doc semantics)
+    // of their shingles (the plain screen's one-group-per-doc semantics).
+    // The skipped side is BY DESIGN the bulk of the corpus, and its
+    // distinct id set has TWO consumers — the straddler semi-join at
+    // build and the zeros plan the caller executes — so it is
+    // materialized once with a lazy local checkpoint (the same idiom as
+    // the shared shingle index above: computes on first use, spills via
+    // the block manager, frees with the RDD). One id-column scan over
+    // the skipped files serves both; the zeros the caller reads are
+    // PINNED to this build-time scan — consistent by construction, since
+    // every path here resolves against recon(v) anyway (verdict r13).
+    // keptIds likewise feeds the null probe and the semi-join.
     val skippedIds = scan(skipped).select(col(idCol).as("doc_id")).distinct()
+      .localCheckpoint(eager = false)
     val keptIds = scan(kept).select(col(idCol).as("doc_id")).distinct()
+      .localCheckpoint(eager = false)
     // null ids are invisible to the equi-join/isin straddler machinery
-    // (SQL null semantics) while the plain screen groups them — fall back
-    // at the SAME pinned version, exactness over cleverness. Probe only
-    // when the schema even admits nulls (skips a corpus-wide id pass).
-    if (scan(all).schema(idCol).nullable &&
-        scan(all).select(col(idCol)).filter(col(idCol).isNull)
-          .limit(1).count() > 0)
+    // (SQL null semantics) while the plain screen groups them — fall
+    // back at the SAME pinned version, exactness over cleverness.
+    // distinct() keeps a null id as a value, so probing the two id sets
+    // covers the whole corpus without the corpus-wide extra id pass this
+    // probe used to pay (advice r13 — the schema-nullable gate it
+    // replaced was always-true on parquet file sources).
+    if (skippedIds.filter(col("doc_id").isNull).limit(1).count() > 0 ||
+        keptIds.filter(col("doc_id").isNull).limit(1).count() > 0)
       return contamination(scan(all).select(idCol, textCol), bench,
         idCol, textCol, n)
     val straddlers = skippedIds.join(keptIds, Seq("doc_id"), "left_semi")
@@ -449,8 +463,11 @@ object Dedup {
       return contamination(scan(all).select(idCol, textCol), bench,
         idCol, textCol, n)
     // zeros = skipped ids minus the (already collected, ≤ cap) straddler
-    // set — an isin against the in-hand literals, NOT an anti-join that
-    // would re-scan the KEPT side's ids when the plan executes
+    // set — an isin against the in-hand literals over the CHECKPOINTED
+    // id set (the probes above already materialized it, so executing the
+    // returned plan reads blocks, not the skipped files' id column a
+    // second time), NOT an anti-join that would re-scan the KEPT side's
+    // ids when the plan executes
     val zeros = (if (straddlers.isEmpty) skippedIds
       else skippedIds.filter(!col("doc_id").isin(straddlers: _*)))
       .select(col("doc_id"), lit(0.0).as("contamination"))

@@ -240,18 +240,33 @@ object QualityClassifier {
     val w = new Array[Double](buckets)
     t.read.select(col("b").cast("long"), col("w").cast("double"))
       .as[(Long, Double)].collect()
-      .foreach { case (b, x) => w(b.toInt) = x }
+      .foreach { case (b, x) =>
+        // rows must agree with the table's own buckets property: a
+        // hand-edited or partially-overwritten weight table would
+        // otherwise throw a raw AIOOBE (or silently wrap via toInt) —
+        // fail with the same pointed not-a-model shape as the property
+        // probe above (review r13).
+        if (b < 0 || b >= buckets) throw new IllegalArgumentException(
+          s"${t.path} is not a persisted classifier model: weight row " +
+            s"bucket $b outside [0, $buckets) declared by " +
+            "graft.classifier.buckets")
+        w(b.toInt) = x
+      }
     (Model(w, bias, Nil), buckets)
   }
 
   /** Score docs under a trained [[Model]]: same plan as [[scoreFixed]]
     * with the broadcast learned weights; emits calibrated probability and
-    * the keep decision at 0.5.
+    * the keep decision at 0.5. The bucket count is the model's own
+    * (`weights.length`, same derivation as [[saveModel]]) — a
+    * caller-supplied count that disagreed with the weights was a latent
+    * crash/truncation (review r13).
     */
   def scoreModel(docs: DataFrame, idCol: String, textCol: String,
-                 model: Model, buckets: Int): DataFrame = {
+                 model: Model): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val buckets = model.weights.length
     val wDf = broadcast(model.weightRows.toDF("b", "wb"))
     docs.select(col(idCol).as("doc_id"),
         explode(TextAnalysis.words(col(textCol))).as("t"))

@@ -131,10 +131,9 @@ object GraftTableFunctions {
       val s = SparkSession.active
       val fn = "graft_quality_score_model"
       val t = new ManagedTable(s, str(args(0), fn, "path"))
-      val (model, buckets) = graft.ops.QualityClassifier.loadModel(
+      val (model, _) = graft.ops.QualityClassifier.loadModel(
         new ManagedTable(s, str(args(3), fn, "modelPath")))
       plan(graft.ops.QualityClassifier.scoreModel(t.read,
-        str(args(1), fn, "idCol"), str(args(2), fn, "textCol"),
-        model, buckets))
+        str(args(1), fn, "idCol"), str(args(2), fn, "textCol"), model))
     })
 }

@@ -3971,6 +3971,17 @@ final class ManagedTable(spark: SparkSession, val path: String)
   private def retroAnchorPath(v: Long) =
     new Path(retroDir, f"v$v%05d.anchor.json")
 
+  /** Re-verify marker: written by [[publishRetroPointer]] when its
+    * bounded outcome-wait expires with the mutation STILL holding the
+    * lease — the "kept" verdict is then provisional (the slow mutation
+    * may yet commit a remap whose sweep listed before our publish), and
+    * without a marker the `already` probe would treat the pointer as
+    * settled forever (advice r13). The next maintenance run renders the
+    * real verdict via [[resolveRetroReverify]] once the lease is free.
+    */
+  private def retroReverifyPath(v: Long) =
+    new Path(retroDir, f"v$v%05d.reverify")
+
   /** Every retro pointer's FileStatus — the remap sweeps fold these in
     * with the manifest listing so moved tables keep reconstructing.
     */
@@ -4349,6 +4360,10 @@ final class ManagedTable(spark: SparkSession, val path: String)
       return
     }
     val v = st.version
+    // deferred verdicts first: a pointer kept provisionally under a
+    // still-held lease must be re-adjudicated BEFORE the `already` probe
+    // can settle it (advice r13)
+    scala.util.Try(resolveRetroReverify(v))
     // "already checkpointed" counts a sidecar-format manifest only when
     // its sidecars actually EXIST — a dangling checkpoint (remap-crash
     // debris) must not suppress the publish: the retro pointer this run
@@ -4455,19 +4470,13 @@ final class ManagedTable(spark: SparkSession, val path: String)
     // the same conservatism as manifestAnchors/copyServes (a dangling
     // pointer manifest must keep the retro pointer load-bearing, else
     // retraction here orphans the only resolvable checkpoint at v)
-    def anchoredOnRetro: Boolean = v > 0 &&
-      !fs.exists(new Path(logDir, f"v${v - 1}%05d.json")) &&
-      !scala.util.Try { val txt = manifestText(v)
-        jsonStringArray(txt, "files").isDefined ||
-          checkpointSidecarsOf(txt).exists(ns =>
-            ns.forall(n => fs.exists(new Path(logDir, n)))) }.getOrElse(false)
     def retract(why: String): Unit = {
       fs.delete(retroPtrPath(v), false)
       logInfo(s"checkpoint maintenance on $path: a mutation overlapped " +
         s"the v$v pointer publish — retracted ($why; next maintenance " +
         "re-runs)")
     }
-    if (!anchoredOnRetro) { retract("not anchor-load-bearing"); return }
+    if (!pointerAnchorsHorizon(v)) { retract("not anchor-load-bearing"); return }
     // Anchor-load-bearing. The overlap's OUTCOME decides: wait briefly
     // for the in-flight mutation to release the lease, so the verdict is
     // based on what it did, not on its presence. (Rare² path: anchored
@@ -4478,37 +4487,112 @@ final class ManagedTable(spark: SparkSession, val path: String)
     while (fs.exists(lockFile) && version == v && slept < 10000L) {
       Thread.sleep(step); slept += step; step = math.min(step * 2, 800L)
     }
-    if (version == v)
-      // no commit landed (a cleanup — which never moves the version — or
-      // an aborted/slow mutation): the content in the pointer is exactly
-      // recon(v), still valid. Keep it.
-      logInfo(s"checkpoint maintenance on $path: a mutation overlapped " +
-        s"the v$v pointer publish but the pointer anchors the log " +
-        "horizon and the version held — kept")
-    else {
-      // a commit landed past v — possibly a remap, whose retroDir sweep
-      // may have listed BEFORE this publish and so never rewrote this
-      // pointer's paths (ADVICE r12: the kept-stale-pointer hazard).
-      // Retract when the hardened anchor copy can serve recon(v): the
-      // copy predates the mutation, so any remap sweep rewrote it.
-      val copyServes = scala.util.Try {
-        val a = retroAnchorPath(v)
-        fs.exists(a) && {
-          val txt = readTextFully(a)
-          jsonStringArray(txt, "files").isDefined ||
-            checkpointSidecarsOf(txt).exists(ns =>
-              ns.forall(n => fs.exists(new Path(logDir, n))))
+    if (version == v) {
+      if (fs.exists(lockFile))
+        // the wait EXPIRED with the mutation still holding the lease: the
+        // "kept" verdict would be provisional — a slow remap that listed
+        // retroDir before this publish may yet commit, leaving pre-remap
+        // paths in a pointer the `already` probe then settles forever
+        // (advice r13). Record a re-verify marker so the next maintenance
+        // run adjudicates from the mutation's actual OUTCOME, and say so
+        // at WARN, not the kept-INFO.
+        scala.util.Try {
+          writeAtomic(retroReverifyPath(v), s"""{"version":$v}""")
+          logWarning(s"checkpoint maintenance on $path: the v$v pointer " +
+            "anchors the log horizon and a mutation still held the lease " +
+            "when the outcome-wait expired — kept PROVISIONALLY; re-verify " +
+            "marker recorded for the next maintenance run")
         }
-      }.getOrElse(false)
-      if (copyServes) retract("anchor copy serves reconstruction")
       else
-        // unreachable when every anchoring cleanup hardened first (all
-        // do since the copy landed); kept as the stale-beats-broken
-        // last resort for logs anchored before the copy existed
-        logWarning(s"checkpoint maintenance on $path: v$v pointer anchors " +
-          "the horizon, a commit overlapped its publish, and no hardened " +
-          "anchor copy exists — kept (content may predate a remap; " +
-          "re-run maintenance after OPTIMIZE/restore to refresh)")
+        // no commit landed (a cleanup — which never moves the version — or
+        // an aborted mutation): the content in the pointer is exactly
+        // recon(v), still valid. Keep it.
+        logInfo(s"checkpoint maintenance on $path: a mutation overlapped " +
+          s"the v$v pointer publish but the pointer anchors the log " +
+          "horizon and the version held — kept")
+    } else
+      adjudicateOverlappedPointer(v)
+  }
+
+  /** Does the v-pointer anchor the log horizon? True when the manifest
+    * below v is gone (a cleanup set its horizon AT v) and v's own
+    * manifest cannot serve recon(v) itself — inline files, or sidecars
+    * that all still exist (the same conservatism as
+    * manifestAnchors/copyServes: a dangling manifest must keep the retro
+    * pointer load-bearing).
+    */
+  private def pointerAnchorsHorizon(v: Long): Boolean = v > 0 &&
+    !fs.exists(new Path(logDir, f"v${v - 1}%05d.json")) &&
+    !scala.util.Try { val txt = manifestText(v)
+      jsonStringArray(txt, "files").isDefined ||
+        checkpointSidecarsOf(txt).exists(ns =>
+          ns.forall(n => fs.exists(new Path(logDir, n)))) }.getOrElse(false)
+
+  /** Verdict for a pointer whose publish a since-COMMITTED mutation
+    * overlapped — possibly a remap, whose retroDir sweep may have listed
+    * BEFORE the publish and so never rewrote this pointer's paths
+    * (ADVICE r12: the kept-stale-pointer hazard). Retract when the
+    * hardened anchor copy can serve recon(v): the copy predates the
+    * mutation, so any remap sweep rewrote it.
+    */
+  private def adjudicateOverlappedPointer(v: Long): Unit = {
+    val copyServes = scala.util.Try {
+      val a = retroAnchorPath(v)
+      fs.exists(a) && {
+        val txt = readTextFully(a)
+        jsonStringArray(txt, "files").isDefined ||
+          checkpointSidecarsOf(txt).exists(ns =>
+            ns.forall(n => fs.exists(new Path(logDir, n))))
+      }
+    }.getOrElse(false)
+    if (copyServes) {
+      fs.delete(retroPtrPath(v), false)
+      logInfo(s"checkpoint maintenance on $path: a mutation overlapped " +
+        s"the v$v pointer publish — retracted (anchor copy serves " +
+        "reconstruction; next maintenance re-runs)")
+    } else
+      // unreachable when every anchoring cleanup hardened first (all
+      // do since the copy landed); kept as the stale-beats-broken
+      // last resort for logs anchored before the copy existed
+      logWarning(s"checkpoint maintenance on $path: v$v pointer anchors " +
+        "the horizon, a commit overlapped its publish, and no hardened " +
+        "anchor copy exists — kept (content may predate a remap; " +
+        "re-run maintenance after OPTIMIZE/restore to refresh)")
+  }
+
+  /** Render the deferred verdict for pointers kept PROVISIONALLY by
+    * [[publishRetroPointer]]'s expired outcome-wait. Lease-free like the
+    * rest of maintenance: when a writer holds the lease the markers stay
+    * for the next round. For each marker: the pointer may be gone
+    * (retraction flicker — marker moot); the version may have HELD (the
+    * slow mutation was a cleanup or aborted — the deferred kept verdict,
+    * content exactly recon(v)); a commit may have landed past v — then
+    * the pointer is adjudicated exactly like a witnessed overlap:
+    * retract outright when it no longer anchors the horizon, else the
+    * anchor-copy verdict.
+    */
+  private def resolveRetroReverify(current: Long): Unit = {
+    if (!fs.exists(retroDir)) return
+    val marked = fs.listStatus(retroDir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".reverify"))
+      .flatMap(_.stripPrefix("v").stripSuffix(".reverify").toLongOption)
+    if (marked.isEmpty) return
+    if (fs.exists(lockFile)) return // mutation in flight: next round
+    marked.sorted.foreach { m =>
+      if (!fs.exists(retroPtrPath(m)))
+        () // already retracted elsewhere — marker is moot
+      else if (m == current)
+        logInfo(s"checkpoint maintenance on $path: re-verified the v$m " +
+          "pointer — the overlapping mutation released the lease without " +
+          "moving the version; content is exactly recon(v) — kept")
+      else if (!pointerAnchorsHorizon(m)) {
+        fs.delete(retroPtrPath(m), false)
+        logInfo(s"checkpoint maintenance on $path: re-verified the v$m " +
+          "pointer — retracted (not anchor-load-bearing; next maintenance " +
+          "re-runs)")
+      } else
+        adjudicateOverlappedPointer(m)
+      fs.delete(retroReverifyPath(m), false)
     }
   }
 
@@ -5118,6 +5202,7 @@ final class ManagedTable(spark: SparkSession, val path: String)
       fs.delete(new Path(logDir, f"v$v%05d.json"), false)
       fs.delete(retroPtrPath(v), false)
       fs.delete(retroAnchorPath(v), false)
+      fs.delete(retroReverifyPath(v), false)
       fs.delete(ckptParquetPath(v), false)
       fs.delete(dvFile(v), false)
     }
@@ -5491,7 +5576,17 @@ final class ManagedTable(spark: SparkSession, val path: String)
   def disableColumnMapping(): Unit = withCommitLock {
     ensureBootstrapped()
     if (!columnMappingEnabled && columnMappingPairs.isEmpty &&
-        droppedPhysicalCols.isEmpty) return
+        droppedPhysicalCols.isEmpty) {
+      // already unmapped — no rewrite needed, but the disable contract
+      // ("the mode stays off even under ambient defaults") must still be
+      // pinned into the table's OWN file: without it, a process-wide
+      // GRAFT_PROPERTY_DEFAULTS=name introduced in a LATER session would
+      // silently re-enable the mode on this table (advice r13 — the
+      // early return was the one path that skipped the unconditional pin)
+      if (!fileProperties.get("graft.columnMapping").contains("none"))
+        setProperties(Map("graft.columnMapping" -> "none"))
+      return
+    }
     requireMaterialized("disableColumnMapping")
     // pin the LOGICAL rows before touching anything: the rewrite below
     // must not re-read through a half-cleared mapping

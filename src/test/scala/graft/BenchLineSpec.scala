@@ -59,6 +59,33 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
+  test("summary line is a complete JSON object inside any tail window") {
+    // The summary is emitted as the very LAST stdout line, after the
+    // compact line — so the driver's tail capture always ENDS with it.
+    // Pin: it parses standalone, is far under the 2000-char window even
+    // with a long sfDir, and carries every verdict-bearing aggregate.
+    val line = Bench.renderSummary(total = 102.654, spreadTotal = 8.217,
+      calib = 0.158, calibAttempts = 2, calibEnd = 0.162, nQueries = 170,
+      sfDir = "/root/testdata/sf0.1")
+    assert(line.length < 250, s"summary too long (${line.length}) to be " +
+      "tail-proof alongside a trailing newline and stray log residue")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(line)
+    assert(node.get("metric").asText() == "summary")
+    assert(node.get("value").asDouble() == 102.654)
+    assert(node.get("calib").asDouble() == 0.158)
+    assert(node.get("calibAttempts").asInt() == 2)
+    assert(node.get("calibEnd").asDouble() == 0.162)
+    assert(node.get("spreadTotal").asDouble() == 8.217)
+    assert(node.get("nQueries").asInt() == 170)
+    // the whole-stdout shape the driver sees: compact line + summary line;
+    // a 2000-char tail of that stream still contains the full summary.
+    val stream = compact + "\n" + line + "\n"
+    val tail = stream.takeRight(2000)
+    val last = tail.split('\n').filter(_.nonEmpty).last
+    assert(mapper.readTree(last).get("metric").asText() == "summary")
+  }
+
   test("loadReference's queries-anchor parse still works on the new layout") {
     // loadReference anchors on "queries":{ and stops at the first '}' —
     // the reorder must keep the queries object flat and present.

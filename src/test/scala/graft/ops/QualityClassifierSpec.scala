@@ -60,8 +60,7 @@ class QualityClassifierSpec extends SparkSpec {
     assert(m.losses.size == 6)
     assert(m.losses.last < m.losses.head * 0.5,
       s"loss should drop sharply on separable data: ${m.losses}")
-    val scored = QualityClassifier.scoreModel(separable, "doc_id", "text",
-        m, buckets = 256)
+    val scored = QualityClassifier.scoreModel(separable, "doc_id", "text", m)
       .join(separable.select("doc_id", "y"), "doc_id")
     val acc = scored.filter((col("p") >= 0.5) === (col("y") === 1))
       .count().toDouble / scored.count()
@@ -108,7 +107,7 @@ class QualityClassifierSpec extends SparkSpec {
     val lr = 0.5
     val m = QualityClassifier.train(docs, "doc_id", "text", "y",
       buckets, epochs = 1, lr = lr)
-    val real = QualityClassifier.scoreModel(docs, "doc_id", "text", m, buckets)
+    val real = QualityClassifier.scoreModel(docs, "doc_id", "text", m)
       .select("doc_id", "logit", "keep")
       .as[(Long, Double, Boolean)].collect().map(r => r._1 -> (r._2, r._3))
       .toMap

@@ -556,7 +556,7 @@ class GraftSqlSpec extends SparkSpec {
             ORDER BY doc_id""")
         .as[(Long, Double, Double, Boolean)].collect().toSeq
       val viaApi = graft.ops.QualityClassifier.scoreModel(corpus.read,
-          "doc_id", "text", m, buckets = 256).orderBy("doc_id")
+          "doc_id", "text", m).orderBy("doc_id")
         .as[(Long, Double, Double, Boolean)].collect().toSeq
       assert(viaTvf == viaApi,
         s"TVF scoring must equal API scoring: $viaTvf vs $viaApi")
@@ -565,6 +565,16 @@ class GraftSqlSpec extends SparkSpec {
         s"""SELECT * FROM graft_quality_score_model('$pc', 'doc_id',
             'text', '$pc')""").collect())
       assert(modelErr.getMessage.contains("graft.classifier.buckets"))
+      // a model table whose ROWS drifted from its buckets property (hand
+      // edit, partial overwrite) is also refused pointedly, not with a raw
+      // ArrayIndexOutOfBounds (review r13)
+      new ManagedTable(extended, pm)
+        .append(Seq((999L, 0.25)).toDF("b", "w")) // buckets property = 256
+      val driftErr = intercept[IllegalArgumentException](
+        graft.ops.QualityClassifier.loadModel(new ManagedTable(extended, pm)))
+      assert(driftErr.getMessage.contains("bucket 999") &&
+        driftErr.getMessage.contains(pm),
+        s"drifted model should be named and refused: ${driftErr.getMessage}")
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)

@@ -489,4 +489,55 @@ class AsyncCheckpointSpec extends SparkSpec {
       intercept[Exception] { fresh.readVersion(4).count() }
     } finally CheckpointMaintenance.suspended = false
   }
+
+  test("an outcome-wait that EXPIRES with the lease still held keeps the " +
+      "anchored pointer provisionally and records a re-verify marker; the " +
+      "next maintenance run renders the real verdict (advice r13)") {
+    CheckpointMaintenance.suspended = true
+    try {
+      val t = freshTable("ac-reverify", partSize = 3)
+      for (i <- 1 to 12) t.append(Seq((i.toLong, s"r$i")).toDF("k", "v"))
+      t.runCheckpointMaintenance()
+      assert(retroPtr(t, 12L).exists())
+      t.cleanupLog(12L) // anchors on the retro; hardened copy landed
+      val marker = new java.io.File(
+        t.path + "._log/_checkpoints.d/v00012.reverify")
+      def overlappedPublish(): Unit = {
+        retroPtr(t, 12L).delete()
+        val lock = new java.io.File(t.path + "._log/_commit.lock")
+        assert(lock.createNewFile())
+        // the lock is held for the ENTIRE maintenance call, so the
+        // bounded outcome-wait expires with the mutation "still running"
+        try t.runCheckpointMaintenance()
+        finally lock.delete()
+        assert(retroPtr(t, 12L).exists(),
+          "the anchored pointer must be kept (provisionally) on timeout")
+        assert(marker.exists(),
+          "an expired wait under a held lease must record a re-verify marker")
+      }
+      // verdict 1: the slow mutation released the lease WITHOUT moving the
+      // version (a cleanup, or an abort) — the deferred kept verdict
+      overlappedPublish()
+      t.runCheckpointMaintenance()
+      assert(!marker.exists(), "the marker must clear once adjudicated")
+      assert(retroPtr(t, 12L).exists(),
+        "version held: the pointer content is exactly recon(v) — kept")
+      assert(new ManagedTable(spark, t.path).readVersion(12).count() == 13L)
+      // verdict 2: a commit LANDS past v before the next maintenance run —
+      // the pointer is adjudicated like a witnessed overlap: the hardened
+      // anchor copy predates the mutation (any remap sweep rewrote it), so
+      // the possibly-stale pointer retracts and the copy serves recon(v)
+      overlappedPublish()
+      t.append(Seq((13L, "r13")).toDF("k", "v")) // version moves to 13
+      t.runCheckpointMaintenance()
+      assert(!marker.exists(), "the marker must clear once adjudicated")
+      assert(!retroPtr(t, 12L).exists(),
+        "commit landed: the provisional pointer must retract (the anchor " +
+          "copy serves reconstruction)")
+      val fresh = new ManagedTable(spark, t.path)
+      assert(fresh.read.count() == 14L)
+      assert(fresh.readVersion(12).count() == 13L,
+        "the hardened anchor copy must serve recon(12) after retraction")
+    } finally CheckpointMaintenance.suspended = false
+  }
 }

@@ -251,6 +251,33 @@ class ColumnMappingSpec extends SparkSpec {
     assert(t.read.count() == 2)
   }
 
+  test("disableColumnMapping on a NEVER-mapped table still pins an explicit " +
+      "'none' — disable means disable under ambient defaults (advice r13)") {
+    // the early (no-rewrite-needed) return used to skip the pin, so an
+    // explicit disable on an unmapped table persisted NOTHING — a
+    // GRAFT_PROPERTY_DEFAULTS=name introduced in a LATER session would
+    // silently re-enable the mode, the exact later-session hole the
+    // unconditional pin exists to close
+    val t = new ManagedTable(spark, tmpDir("cm-off-unmapped") + "/t")
+    t.overwrite(Seq((1L, "a")).toDF("id", "note"))
+    if (ManagedTable.propertyDefaults.get("graft.columnMapping")
+        .contains("name"))
+      // under soak cell C/D the table is born mapped; the rewrite path
+      // already pins 'none' — this case is about the never-mapped path
+      t.disableColumnMapping()
+    t.disableColumnMapping()
+    assert(t.properties.get("graft.columnMapping").contains("none"),
+      "an explicit disable on an unmapped table must persist the 'none' pin")
+    assert(!t.columnMappingEnabled)
+    // and the pin is written ONCE — a second disable is a no-op commit-wise
+    val propsFile = new java.io.File(t.path + "._log/_props.txt")
+    val before = propsFile.lastModified()
+    Thread.sleep(5)
+    t.disableColumnMapping()
+    assert(propsFile.lastModified() == before,
+      "a table already pinned to 'none' must not rewrite its props file")
+  }
+
   test("partition-column rename is metadata-only under mapping; dirs and " +
       "pruning keep working") {
     val t = new ManagedTable(spark, tmpDir("cm-pren") + "/t")
