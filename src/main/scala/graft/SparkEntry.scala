@@ -1314,6 +1314,32 @@ object SparkEntry {
           seqLen = 512)
         .orderBy("seq_id", "doc_id")
     }),
+    "q151_time_travel_naming" -> ((s, d) => {
+      // v-ERA naming under time travel + column mapping (Delta's
+      // metaData-per-version resolution, ManagedTable.readVersion): the
+      // pre-rename snapshot is read back under the names it HAD — the
+      // later RENAME does not retitle it and the later metadata DROP
+      // does not hide o_custkey from it. The era columns are selected BY
+      // their era names, so the query itself fails if history is
+      // retitled; the current read speaks the live name.
+      val wh = java.nio.file.Files.createTempDirectory("graft-ttname").toString
+      val t = new graft.table.ManagedTable(s, s"$wh/t")
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      t.overwrite(o.filter(col("o_orderkey") % 4 < 3))
+      t.enableColumnMapping() // era-boundary commit
+      val preV = t.version
+      t.renameColumn("o_totalprice", "price") // naming commit
+      t.dropColumn("o_custkey")               // naming commit
+      t.append(o.filter(col("o_orderkey") % 4 === 3)
+        .select(col("o_orderkey"), col("o_totalprice").as("price")))
+      val era = t.readVersion(preV).select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice").as("price"),
+        lit(1L).as("era"))
+      val cur = t.read.select(col("o_orderkey"),
+        lit(-1L).as("o_custkey"), col("price"), lit(2L).as("era"))
+      era.unionByName(cur).orderBy("era", "o_orderkey")
+    }),
     "q146a_quality_classifier_trained_anchor" -> ((s, d) => {
       // the TRAINED classifier's cross-engine anchor (closing q146's
       // rows-only gap, the q131a idiom): the one-epoch model's decision
@@ -3501,6 +3527,18 @@ object SparkEntry {
            LEAST((seq_id + 1) * 512 - strt, n) -
              GREATEST(seq_id * 512 - strt, 0) AS slice_len
          FROM s ORDER BY seq_id, doc_id""",
+    // q151: era 1 = the pre-rename snapshot under ITS names (o_custkey
+    // visible despite the later metadata drop, price = o_totalprice);
+    // era 2 = the live table (pre-rename subset + the post-rename append)
+    "q151_time_travel_naming" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice AS price,
+           CAST(1 AS BIGINT) AS era
+         FROM orders WHERE o_orderkey % 4 < 3
+         UNION ALL
+         SELECT o_orderkey, CAST(-1 AS BIGINT) AS o_custkey,
+           o_totalprice AS price, CAST(2 AS BIGINT) AS era
+         FROM orders
+         ORDER BY era, o_orderkey""",
     "q146a_quality_classifier_trained_anchor" ->
       """WITH w AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y,
                  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words

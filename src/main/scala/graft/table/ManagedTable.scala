@@ -2552,6 +2552,27 @@ final class ManagedTable(spark: SparkSession, val path: String)
     (if (floor.exists(_.isAfter(now))) floor.get else now).toString
   }
 
+  /** The logical↔physical naming state this commit records into its
+    * manifest — Delta's metaData-per-version shape, scoped to the naming
+    * surface: while column mapping is in play, every manifest carries the
+    * mapping pairs and the dropped-physical list AS OF THIS COMMIT (the
+    * property encodings verbatim), so [[readVersion]] can resolve v-era
+    * logical names instead of retitling history with today's mapping.
+    * Absent on unmapped tables (reads there are untouched) and during
+    * [[disableColumnMapping]]'s rewrite (`bypassPhysicalMapping`): that
+    * snapshot is written under LOGICAL names, so recording the old
+    * mapping would re-alias a column whose physical name collides with
+    * another pair's logical name (chained renames).
+    */
+  private def namingRecord: Seq[String] =
+    if (bypassPhysicalMapping) Nil
+    else if (columnMappingEnabled || columnMappingPairs.nonEmpty ||
+             droppedPhysicalCols.nonEmpty)
+      Seq(
+        s""""nameMapping":${jstr(properties.getOrElse("graft.schema.mapping", ""))}""",
+        s""""nameDropped":${jstr(properties.getOrElse("graft.schema.dropped", ""))}""")
+    else Nil
+
   /** One manifest's JSON — the single assembly both commit paths share,
     * so a field added to one can never silently miss the other.
     */
@@ -2573,7 +2594,8 @@ final class ManagedTable(spark: SparkSession, val path: String)
       // the write and its dedup record are one atomic manifest, so a crash
       // can never apply the data without the marker (or vice versa)
       txn.map { case (app, tv) =>
-        s""""txn":{"app":${jstr(app)},"version":$tv}""" } ++ Seq(
+        s""""txn":{"app":${jstr(app)},"version":$tv}""" } ++
+      namingRecord ++ Seq(
       s""""metrics":{"filesAdded":${metrics._1},"filesRemoved":${metrics._2},"rowDelta":${metrics._3},"bytesAdded":$bytesAdded}""",
       fileEntry)
     ).mkString("{", ",", "}")
@@ -2761,6 +2783,23 @@ final class ManagedTable(spark: SparkSession, val path: String)
       CommitLiveCache.State(v, newFiles, liveRows, sizeBytes))
     trustedDirVersion = v
   }
+
+  /** Zero-churn commit recording a NAMING change (mapped RENAME/DROP
+    * COLUMN, SET COLUMN MAPPING): no files move, O(1) metadata — but the
+    * manifest it lands carries the post-change nameMapping/nameDropped
+    * record, the version boundary [[readVersion]]'s era resolution needs
+    * (Delta commits its ALTERs as metaData actions the same way).
+    * Skipped before the founding commit (no version to distinguish).
+    * On an unmaterialized shallow clone the live dir is empty by design,
+    * so the commit must carry the manifest's (foreign) file list
+    * explicitly — a listing-path commit would record zero files.
+    */
+  private def commitNamingChange(operation: String): Unit =
+    if (version >= 0) {
+      if (isShallowClone) commit(operation, Nil,
+        filesExplicit = Some(liveFilesQ()))
+      else commit(operation, Nil, churn = Some((Nil, Set.empty)))
+    }
 
   private def commit(operation: String, partitionCols0: Seq[String],
                      txn: Option[(String, Long)] = None,
@@ -3697,11 +3736,68 @@ final class ManagedTable(spark: SparkSession, val path: String)
     * root with the right `basePath` so partition columns resolve, then
     * unioned. Throws if the snapshot was vacuumed.
     */
+  /** Time travel with V-ERA NAMING: when version `v`'s manifest records a
+    * column-mapping state ([[namingRecord]]), the scan aliases physical
+    * names through THAT mapping — a rename or metadata drop made after v
+    * does not retitle (or hide) history (Delta's per-version `metaData`
+    * resolution; the reference's history/time-travel surface,
+    * deltalake.ipynb:8760). Manifests without a record — unmapped tables,
+    * or versions committed before this build — fall back to the live
+    * mapping (identity when unmapped), which is exactly the previous
+    * behavior.
+    */
   def readVersion(v: Long): DataFrame = {
+    requireReadable()
+    require(v >= 0 && v <= version, s"version $v out of range [0, $version]")
+    val files = manifestFiles(v)
+    eraNaming(v) match {
+      case Some(n) =>
+        scanNamingOverride = Some(n)
+        try readFileSubset(v, files) finally scanNamingOverride = None
+      case None => readFileSubset(v, files)
+    }
+  }
+
+  /** [[readVersion]] under the LIVE naming (today's logical names,
+    * whatever they were at v): the variant every internal consumer that
+    * feeds a current-schema pipeline uses — [[restore]] (data rolls back,
+    * names stay current), [[changes]] (the from/to key join must speak
+    * one name), the shallow-clone [[read]], [[readCommitted]]. Row data
+    * is identical to [[readVersion]]; only column titles differ.
+    */
+  private[table] def readVersionCurrentNames(v: Long): DataFrame = {
     requireReadable()
     require(v >= 0 && v <= version, s"version $v out of range [0, $version]")
     readFileSubset(v, manifestFiles(v))
   }
+
+  /** The naming state recorded in version `v`'s manifest: (logical,
+    * physical) pairs + dropped physical names, None when the manifest
+    * predates the record (then the live mapping applies, as before).
+    */
+  private def eraNaming(v: Long)
+      : Option[(Seq[(String, String)], Seq[String])] = {
+    val txt = manifestText(v)
+    jsonString(txt, "nameMapping").map { encPairs =>
+      val pairs = encPairs.split(",").toSeq.filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf(':')
+        (dec(kv.substring(0, i)), dec(kv.substring(i + 1)))
+      }
+      val dropped = jsonString(txt, "nameDropped").toSeq
+        .flatMap(_.split(",").toSeq.filter(_.nonEmpty).map(dec))
+      (pairs, dropped)
+    }
+  }
+
+  /** Set for the duration of ONE [[readVersion]] plan construction: the
+    * (pairs, dropped) [[mapToLogical]] applies instead of the live
+    * properties. An instance var like [[bypassPhysicalMapping]] — scans
+    * are constructed eagerly inside the call, so the window is exact;
+    * handles are not shared across threads mid-construction (the same
+    * contract the bypass flag already relies on).
+    */
+  private var scanNamingOverride
+      : Option[(Seq[(String, String)], Seq[String])] = None
 
   private def manifestText(v: Long): String = {
     val p = new Path(logDir, f"v$v%05d.json")
@@ -5016,12 +5112,14 @@ final class ManagedTable(spark: SparkSession, val path: String)
     * amplification; cost is two manifest reads + one key join).
     */
   def changes(fromV: Long, toV: Long, keys: Seq[String]): DataFrame = {
-    val to = readVersion(toV)
+    // CURRENT names on both sides: the from/to key join must speak one
+    // name space whatever renames happened inside the window
+    val to = readVersionCurrentNames(toV)
     // fromV < 0 is the empty pre-founding state: a change feed starting
     // at or before the first commit replays the whole snapshot as
     // inserts (the CDF stream's startingTimestamp ≤ ts(v0) resolution)
     val from = if (fromV < 0) to.filter(org.apache.spark.sql.functions.lit(false))
-      else readVersion(fromV)
+      else readVersionCurrentNames(fromV)
     Merge.snapshotDiff(from, to, keys)
   }
 
@@ -5246,7 +5344,11 @@ final class ManagedTable(spark: SparkSession, val path: String)
     require(v >= 0 && v <= version, s"version $v out of range [0, $version]")
     // the snapshot's plan reads live + retained files; the swap happens
     // only after the tmp write completes, so no checkpoint is needed
-    replaceWith(readVersion(v), loggedPartitionCols(v), "RESTORE")
+    // CURRENT names: RESTORE rolls the DATA back; the logical naming is
+    // live table metadata and stays — restoring v-era titles would make
+    // the rewrite collide with the live mapping's physical names (and a
+    // reader who wants the old names has them via readVersion)
+    replaceWith(readVersionCurrentNames(v), loggedPartitionCols(v), "RESTORE")
   }
 
   /** Timestamp-pinned rollback (`RESTORE … TIMESTAMP AS OF`): restore to
@@ -5537,14 +5639,16 @@ final class ManagedTable(spark: SparkSession, val path: String)
     * files never changes; reads alias it. Delta's same trade: a 100 TB
     * rename is a one-line schema edit instead of a full rewrite.
     *
-    * Time-travel naming: the mapping lives in `_props.txt` and applies at
-    * scan time, so `readVersion(v)` surfaces the CURRENT logical names at
-    * every version — a rename retitles history too (Delta instead
-    * resolves each version's schema from that version's own metadata).
-    * Deliberate: the row data at v is exact either way, names are
-    * presentation, and per-version name resolution would mean replicating
-    * the mapping into every manifest. A reader who needs yesterday's
-    * names has RESTORE. Pinned in ColumnMappingSpec.
+    * Time-travel naming: the LIVE mapping lives in `_props.txt` and
+    * applies to current-version scans; additionally every commit made
+    * while mapping is in play records its naming state into its manifest
+    * ([[namingRecord]]), and `readVersion(v)` resolves v-ERA logical
+    * names from that record — Delta's metaData-per-version resolution,
+    * scoped to naming. Renames/drops under mapping land a zero-churn
+    * commit ([[commitNamingChange]]) so the era boundary is a version
+    * boundary. Manifests without a record (unmapped tables, versions
+    * from before this build) fall back to the live mapping — the
+    * previous behavior, still pinned in ColumnMappingSpec.
     */
   def columnMappingEnabled: Boolean =
     properties.get("graft.columnMapping").exists(_.equalsIgnoreCase("name"))
@@ -5556,6 +5660,10 @@ final class ManagedTable(spark: SparkSession, val path: String)
     ensureBootstrapped()
     setProperties(Map("graft.columnMapping" -> "name"))
     ensureFeature("column-mapping", reader = true)
+    // era boundary: versions at or above this commit carry a naming
+    // record (identity, until the first rename/drop); versions below it
+    // predate the mapping and resolve names as before
+    commitNamingChange("SET COLUMN MAPPING")
   }
 
   // set only inside disableColumnMapping's rewrite: the snapshot being
@@ -5646,8 +5754,11 @@ final class ManagedTable(spark: SparkSession, val path: String)
     * sidecar.
     */
   private def mapToLogical(df: DataFrame): DataFrame = {
-    val pairs = columnMappingPairs
-    val dropped = droppedPhysicalCols.map(_.toLowerCase).toSet
+    // a readVersion in flight substitutes the v-ERA naming it resolved
+    // from the manifest; every other scan applies the live properties
+    val (pairs, dropped0) = scanNamingOverride.getOrElse(
+      (columnMappingPairs, droppedPhysicalCols))
+    val dropped = dropped0.map(_.toLowerCase).toSet
     if (pairs.isEmpty && dropped.isEmpty) return df
     val p2l = pairs.map { case (l, p) => p.toLowerCase -> l }.toMap
     df.select(df.columns.toSeq.collect {
@@ -5749,16 +5860,20 @@ final class ManagedTable(spark: SparkSession, val path: String)
       s"cannot rename identity column $oldName (dropIdentityColumn first)")
     if (columnMappingEnabled) {
       // mapping on: a pure metadata edit at any size — the physical name
-      // in the files never changes; reads alias it from here on
-      require(!bloomIndexes.keys.exists(_.equalsIgnoreCase(oldName)),
-        s"cannot rename bloom-indexed column $oldName under column " +
-          "mapping (dropBloomIndex first — the index is keyed by name)")
-      val pairs = columnMappingPairs
-      val physical = pairs.collectFirst {
-        case (l, p) if l.equalsIgnoreCase(oldName) => p }.getOrElse(oldName)
-      setMappingProperty(pairs.filterNot(_._1.equalsIgnoreCase(oldName)) ++
-        (if (physical.equalsIgnoreCase(newName)) Nil
-         else Seq(newName -> physical)))
+      // in the files never changes; reads alias it from here on. The
+      // property edit and its naming commit serialize under the lease.
+      withCommitLock {
+        require(!bloomIndexes.keys.exists(_.equalsIgnoreCase(oldName)),
+          s"cannot rename bloom-indexed column $oldName under column " +
+            "mapping (dropBloomIndex first — the index is keyed by name)")
+        val pairs = columnMappingPairs
+        val physical = pairs.collectFirst {
+          case (l, p) if l.equalsIgnoreCase(oldName) => p }.getOrElse(oldName)
+        setMappingProperty(pairs.filterNot(_._1.equalsIgnoreCase(oldName)) ++
+          (if (physical.equalsIgnoreCase(newName)) Nil
+           else Seq(newName -> physical)))
+        commitNamingChange("RENAME COLUMN")
+      }
       return
     }
     if (declaredExtraColumns.exists(_.name.equalsIgnoreCase(oldName))
@@ -5926,27 +6041,30 @@ final class ManagedTable(spark: SparkSession, val path: String)
     require(!identityColumns.keys.exists(_.equalsIgnoreCase(colName)),
       s"cannot drop identity column $colName (dropIdentityColumn first)")
     if (columnMappingEnabled) {
-      require(!bloomIndexes.keys.exists(_.equalsIgnoreCase(colName)),
-        s"cannot drop bloom-indexed column $colName under column mapping " +
-          "(dropBloomIndex first)")
-      val pairs = columnMappingPairs
-      val physical = pairs.collectFirst {
-        case (l, p) if l.equalsIgnoreCase(colName) => p }.getOrElse(colName)
-      setMappingProperty(pairs.filterNot(_._1.equalsIgnoreCase(colName)))
-      val declaredOnly =
-        declaredExtraColumns.exists(_.name.equalsIgnoreCase(physical)) &&
-          !materializedAnywhere(physical)
-      // the column's data stays in the files (dead until the next full
-      // rewrite); every scan excludes the physical name from here on —
-      // unless it never materialized, where un-declaring suffices
-      if (!declaredOnly) setProperties(Map("graft.schema.dropped" ->
-        (droppedPhysicalCols :+ physical).map(enc).mkString(",")))
-      if (declaredExtraColumns.exists(_.name.equalsIgnoreCase(physical)))
-        setExtrasProperty(
-          declaredExtraColumns.filterNot(_.name.equalsIgnoreCase(physical)))
-      if (declaredTypeOverrideFields.exists(_.name.equalsIgnoreCase(physical)))
-        setTypeOverrides(
-          declaredTypeOverrideFields.filterNot(_.name.equalsIgnoreCase(physical)))
+      withCommitLock {
+        require(!bloomIndexes.keys.exists(_.equalsIgnoreCase(colName)),
+          s"cannot drop bloom-indexed column $colName under column mapping " +
+            "(dropBloomIndex first)")
+        val pairs = columnMappingPairs
+        val physical = pairs.collectFirst {
+          case (l, p) if l.equalsIgnoreCase(colName) => p }.getOrElse(colName)
+        setMappingProperty(pairs.filterNot(_._1.equalsIgnoreCase(colName)))
+        val declaredOnly =
+          declaredExtraColumns.exists(_.name.equalsIgnoreCase(physical)) &&
+            !materializedAnywhere(physical)
+        // the column's data stays in the files (dead until the next full
+        // rewrite); every scan excludes the physical name from here on —
+        // unless it never materialized, where un-declaring suffices
+        if (!declaredOnly) setProperties(Map("graft.schema.dropped" ->
+          (droppedPhysicalCols :+ physical).map(enc).mkString(",")))
+        if (declaredExtraColumns.exists(_.name.equalsIgnoreCase(physical)))
+          setExtrasProperty(
+            declaredExtraColumns.filterNot(_.name.equalsIgnoreCase(physical)))
+        if (declaredTypeOverrideFields.exists(_.name.equalsIgnoreCase(physical)))
+          setTypeOverrides(
+            declaredTypeOverrideFields.filterNot(_.name.equalsIgnoreCase(physical)))
+        commitNamingChange("DROP COLUMN")
+      }
       return
     }
     if (declaredExtraColumns.exists(_.name.equalsIgnoreCase(colName))
@@ -5990,7 +6108,7 @@ final class ManagedTable(spark: SparkSession, val path: String)
     requireReadable()
     // an unmaterialized shallow clone reads its pinned founding manifest
     // (files live under the SOURCE's root); everything else reads the dir
-    if (isShallowClone) readVersion(version)
+    if (isShallowClone) readVersionCurrentNames(version)
     else applyDv(parquetScan(spark.read, Seq(path)), currentDv)
   }
 
@@ -6107,7 +6225,7 @@ final class ManagedTable(spark: SparkSession, val path: String)
     * read fails on a missing file rather than returning wrong rows.
     */
   def readCommitted: DataFrame =
-    if (version < 0) read else readVersion(version)
+    if (version < 0) read else readVersionCurrentNames(version)
 
   /** Structured-Streaming source over the table (Delta's streaming-source
     * role): downstream jobs tail the table and see the files APPENDS add.
@@ -7005,7 +7123,7 @@ final class ManagedTable(spark: SparkSession, val path: String)
       s"row tracking is not enabled on $path (enableRowTracking())")
     val files = manifestFiles(v)
     if (files.isEmpty)
-      return readVersion(v).withColumn(RowTracking.col, lit(-1L))
+      return readVersionCurrentNames(v).withColumn(RowTracking.col, lit(-1L))
     val (_, ids0) = readRowIds()
     // bases key by the path a file was COMMITTED at; a later rewrite
     // retires it to `root._vN/<rel>` and remaps the historical manifest

@@ -31,26 +31,100 @@ class ColumnMappingSpec extends SparkSpec {
     assert(t.read.columns.toSeq == Seq("id", "note", "amt"))
   }
 
-  test("time travel under mapping surfaces the CURRENT logical schema — " +
-      "the mapping is a live table property, not per-version metadata") {
+  test("time travel under mapping surfaces V-ERA logical names — each " +
+      "commit records its naming state, renames land a version boundary") {
     val t = new ManagedTable(spark, tmpDir("cm-tt") + "/t")
     t.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "note", "amt"))
+    t.enableColumnMapping() // commits the era boundary
+    val preRename = t.version
+    t.renameColumn("note", "comment") // its own commit under mapping
+    val postRename = t.version
+    assert(postRename == preRename + 1,
+      "a mapped RENAME COLUMN must land a naming commit")
+    t.append(Seq((3L, "c", 3.0)).toDF("id", "comment", "amt"))
+    // rows at the old version are EXACT and the names are THAT VERSION'S
+    // (Delta's metaData-per-version resolution): a rename no longer
+    // retitles history
+    val old = t.readVersion(preRename)
+    assert(old.columns.toSeq == Seq("id", "note", "amt"),
+      s"time travel shows v-era logical names: ${old.columns.toSeq}")
+    assert(old.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    // the rename version and everything after it speak the new name
+    assert(t.readVersion(postRename).columns.toSeq ==
+      Seq("id", "comment", "amt"))
+    assert(t.read.count() == 3)
+    // readAsOf resolves through the same era record
+    val h = t.history().collect()
+    val renameTs = h.find(_.getAs[Long]("version") == postRename)
+      .get.getAs[String]("timestamp")
+    assert(t.readAsOf(renameTs).columns.toSeq == Seq("id", "comment", "amt"))
+    // v-era names and v-era rows compose: replaying v-era SQL against the
+    // time travel works (the auditor scenario the old pin broke)
+    t.readVersion(preRename).createOrReplaceTempView("cm_tt_old")
+    assert(spark.sql("SELECT note FROM cm_tt_old ORDER BY note")
+      .as[String].collect().toSeq == Seq("a", "b"))
+    // a column DROPPED after v is still visible AT v (metadata drop hides
+    // it from live reads only from its own version on)
+    t.dropColumn("amt")
+    assert(t.read.columns.toSeq == Seq("id", "comment"))
+    assert(t.readVersion(postRename).columns.toSeq ==
+      Seq("id", "comment", "amt"),
+      "a later metadata drop must not hide the column from history")
+    assert(t.readVersion(preRename).columns.toSeq == Seq("id", "note", "amt"))
+  }
+
+  test("RESTORE under mapping rolls DATA back and keeps the live names; " +
+      "clones carry the clone-time naming as their founding era") {
+    val t = new ManagedTable(spark, tmpDir("cm-restore") + "/t")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "note"))
     t.enableColumnMapping()
     val preRename = t.version
     t.renameColumn("note", "comment")
-    t.append(Seq((3L, "c", 3.0)).toDF("id", "comment", "amt"))
-    // rows at the old version are EXACT; names are today's. (Delta
-    // resolves each version's schema from its own metadata — here the
-    // mapping lives in _props.txt and applies at scan time, so renames
-    // retitle history too. Pinned deliberately: row data is identical,
-    // names are presentation, and a reader who needs yesterday's names
-    // has RESTORE.)
-    val old = t.readVersion(preRename)
-    assert(old.columns.toSeq == Seq("id", "comment", "amt"),
-      s"time travel shows current logical names: ${old.columns.toSeq}")
-    assert(old.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
-      Seq((1L, "a", 1.0), (2L, "b", 2.0)))
-    assert(t.read.count() == 3)
+    t.append(Seq((3L, "c")).toDF("id", "comment"))
+    t.restore(preRename)
+    // data = v(preRename); names = live (the rename survives the restore)
+    assert(t.read.columns.toSeq == Seq("id", "comment"),
+      s"RESTORE keeps live names: ${t.read.columns.toSeq}")
+    assert(t.read.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // and the RESTORE commit records the live naming, so time travel TO
+    // the restore version speaks the live name too
+    assert(t.readVersion(t.version).columns.toSeq == Seq("id", "comment"))
+    // pre-rename versions still resolve their own era
+    assert(t.readVersion(preRename).columns.toSeq == Seq("id", "note"))
+    // deep clone: fresh history, founding commit records clone-time naming
+    val c = t.cloneTo(tmpDir("cm-restore") + "/clone")
+    assert(c.read.columns.toSeq == Seq("id", "comment"))
+    assert(c.readVersion(0).columns.toSeq == Seq("id", "comment"),
+      "the clone's founding version speaks the clone-time names")
+    c.renameColumn("comment", "body")
+    assert(c.readVersion(0).columns.toSeq == Seq("id", "comment"),
+      "the clone's own later rename must not retitle its founding era")
+    // shallow clone: founding commit pins the source files + naming
+    val sc = t.shallowCloneTo(tmpDir("cm-restore") + "/sclone")
+    assert(sc.read.columns.toSeq == Seq("id", "comment"))
+    assert(sc.readVersion(sc.version).columns.toSeq == Seq("id", "comment"))
+  }
+
+  test("disableColumnMapping leaves history readable under its own era " +
+      "names (records survive the disable)") {
+    val t = new ManagedTable(spark, tmpDir("cm-off-era") + "/t")
+    t.overwrite(Seq((1L, "a")).toDF("id", "note"))
+    t.enableColumnMapping()
+    t.renameColumn("note", "comment")
+    val mappedV = t.version
+    t.disableColumnMapping()
+    assert(t.read.columns.toSeq == Seq("id", "comment"))
+    // the retained pre-disable snapshot still carries PHYSICAL names in
+    // its files; the era record keeps aliasing them to that era's logical
+    assert(t.readVersion(mappedV).columns.toSeq == Seq("id", "comment"),
+      s"pre-disable history must keep its era names: " +
+        s"${t.readVersion(mappedV).columns.toSeq}")
+    assert(t.readVersion(mappedV).orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a")))
+    // the disable version itself is logical-named files + no record
+    assert(t.readVersion(t.version).columns.toSeq == Seq("id", "comment"))
   }
 
   test("appends after a rename land physical; scans stay single-schema") {
