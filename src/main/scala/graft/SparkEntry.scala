@@ -1374,6 +1374,26 @@ object SparkEntry {
           array_join(col("tokens"), "|").as("token_str"))
         .orderBy("doc_id")
     }),
+    "q152_bpe_encode_persisted" -> ((s, d) => {
+      // q147a's fixed-merge encode THROUGH THE PERSISTED PATH: the merge
+      // list round-trips a managed table (Bpe.saveMerges) and the encode
+      // runs as the graft_bpe_encode TVF in plain SQL — the whole
+      // train → persist → encode loop under the same cross-engine oracle
+      // as the direct API (identical answers required)
+      val wh = java.nio.file.Files.createTempDirectory("graft-bpetvf").toString
+      val merges = Seq(("e", "</w>"), ("t", "h"), ("th", "e</w>"),
+        ("a", "</w>"), ("s", "c"))
+      graft.ops.Bpe.saveMerges(s, s"$wh/merges", merges)
+      val corpus = new graft.table.ManagedTable(s, s"$wh/corpus")
+      corpus.overwrite(Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select("doc_id", "text"))
+      s.sql(
+        s"""SELECT doc_id, CAST(size(tokens) AS BIGINT) AS n_tokens,
+              array_join(tokens, '|') AS token_str
+            FROM graft_bpe_encode('$wh/corpus', 'doc_id', 'text',
+              '$wh/merges')
+            ORDER BY doc_id""")
+    }),
     "q147_bpe_tokenize" -> ((s, d) => {
       // trained-BPE token statistics (rows-only: the merge loop is not
       // SQL-expressible; BpeSpec anchors train+encode against an
@@ -2507,6 +2527,47 @@ object SparkEntry {
          FROM lng l JOIN ord o USING (coord)
          ORDER BY vec_id, pos""",
     "q147a_bpe_encode_fixed" ->
+      """WITH RECURSIVE
+         tw AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words
+           FROM documents WHERE doc_id < 50),
+         w AS (SELECT DISTINCT unnest(words) AS word FROM tw WHERE len(words) > 0),
+         merges AS (SELECT * FROM (VALUES
+             (0, ' e </w> ', ' e</w> '),
+             (1, ' t h ', ' th '),
+             (2, ' th e</w> ', ' the</w> '),
+             (3, ' a </w> ', ' a</w> '),
+             (4, ' s c ', ' sc ')) m(idx, pat, rep)),
+         init AS (SELECT word,
+             ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' </w> ' AS s
+           FROM w),
+         bpe AS (
+           SELECT word, s, 0 AS mi FROM init
+           UNION ALL
+           SELECT a.word,
+             CASE WHEN replace(a.s, m.pat, m.rep) <> a.s
+                  THEN replace(a.s, m.pat, m.rep) ELSE a.s END,
+             CASE WHEN replace(a.s, m.pat, m.rep) <> a.s THEN a.mi ELSE a.mi + 1 END
+           FROM bpe a JOIN merges m ON m.idx = a.mi
+           WHERE a.mi < 5),
+         tok AS (SELECT word,
+             list_filter(string_split(s, ' '), x -> x <> '') AS toks
+           FROM bpe WHERE mi = 5),
+         docw AS (SELECT doc_id, unnest(words) AS word,
+             generate_subscripts(words, 1) AS pos
+           FROM tw WHERE len(words) > 0),
+         flat AS (SELECT d.doc_id, flatten(list(t.toks ORDER BY d.pos)) AS tokens
+           FROM docw d JOIN tok t USING (word) GROUP BY d.doc_id)
+         SELECT dd.doc_id,
+           CAST(COALESCE(len(f.tokens), 0) AS BIGINT) AS n_tokens,
+           COALESCE(array_to_string(f.tokens, '|'), '') AS token_str
+         FROM (SELECT doc_id FROM documents WHERE doc_id < 50) dd
+         LEFT JOIN flat f USING (doc_id)
+         ORDER BY dd.doc_id""",
+    // q152: the SAME fixed-merge encode oracle as q147a — the Spark side
+    // routes through saveMerges + the graft_bpe_encode TVF instead of the
+    // direct API, and must answer identically
+    "q152_bpe_encode_persisted" ->
       """WITH RECURSIVE
          tw AS (SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words

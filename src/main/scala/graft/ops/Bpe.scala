@@ -434,6 +434,53 @@ object Bpe {
     s
   }
 
+  /** Persist a trained merge list to a managed table — one
+    * (rank, a, b) row per merge, rank the 0-based merge order (the only
+    * state [[encode]] needs) — so train → persist → encode composes
+    * entirely in SQL via the `graft_bpe_encode` TVF. A tokenizer is then
+    * a table like any other: history, time travel and CLONE give
+    * tokenizer versioning for free (the same shape as the classifier's
+    * saveModel/loadModel pair).
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession, path: String,
+                 merges: Seq[(String, String)]): graft.table.ManagedTable = {
+    import spark.implicits._
+    val t = new graft.table.ManagedTable(spark, path)
+    t.overwrite(merges.zipWithIndex
+      .map { case ((a, b), r) => (r.toLong, a, b) }.toDF("rank", "a", "b"))
+    // derived, never caller-supplied (the saveModel discipline): the
+    // count is the loader's drift check
+    t.setProperties(Map("graft.bpe.merges" -> merges.size.toString))
+    t
+  }
+
+  /** Read a persisted merge list back in rank order. Inverse of
+    * [[saveMerges]]. Refuses pointedly both a table that is not a
+    * persisted tokenizer (no property) and one whose ROWS drifted from
+    * its declared count (partial overwrite, hand edit) — merge RANK is
+    * semantics, so a gap or duplicate would encode wrong, not just fail.
+    */
+  def loadMerges(t: graft.table.ManagedTable): Seq[(String, String)] = {
+    val spark = t.read.sparkSession
+    import spark.implicits._
+    val n = t.properties.getOrElse("graft.bpe.merges",
+      throw new IllegalArgumentException(
+        s"${t.path} is not a persisted BPE tokenizer " +
+          "(no graft.bpe.merges property)")).toInt
+    val rows = t.read.select(col("rank").cast("long"),
+        col("a").cast("string"), col("b").cast("string"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    if (rows.length != n ||
+        rows.iterator.zipWithIndex.exists { case ((r, _, _), i) => r != i })
+      throw new IllegalArgumentException(
+        s"${t.path} is not a persisted BPE tokenizer: expected ranks " +
+          s"0..${n - 1} (graft.bpe.merges=$n), found ${rows.length} row(s)" +
+          rows.iterator.zipWithIndex
+            .collectFirst { case ((r, _, _), i) if r != i =>
+              s", first mismatch rank $r at position $i" }.getOrElse(""))
+    rows.map { case (_, a, b) => (a, b) }.toSeq
+  }
+
   /** Encode every doc: (doc_id, tokens) with tokens in document order.
     * The per-word merge loop runs once per DISTINCT word (a vocab-sized
     * Dataset map); the corpus only pays a join on word + one doc-keyed

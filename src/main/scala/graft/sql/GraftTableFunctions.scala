@@ -135,5 +135,35 @@ object GraftTableFunctions {
         new ManagedTable(s, str(args(3), fn, "modelPath")))
       plan(graft.ops.QualityClassifier.scoreModel(t.read,
         str(args(1), fn, "idCol"), str(args(2), fn, "textCol"), model))
+    },
+    // the trained TOKENIZER as a TVF — train with the API, persist the
+    // ranked merge list with [[graft.ops.Bpe.saveMerges]], then encode
+    // any corpus in plain SQL: (doc_id, tokens) rows, the merges argument
+    // a managed-table PATH (time travel/CLONE = tokenizer versioning).
+    tvf("graft_bpe_encode") { args =>
+      require(args.length == 4,
+        "graft_bpe_encode(path, idCol, textCol, mergesPath)")
+      val s = SparkSession.active
+      val fn = "graft_bpe_encode"
+      val t = new ManagedTable(s, str(args(0), fn, "path"))
+      val merges = graft.ops.Bpe.loadMerges(
+        new ManagedTable(s, str(args(3), fn, "mergesPath")))
+      plan(graft.ops.Bpe.encode(t.read,
+        str(args(1), fn, "idCol"), str(args(2), fn, "textCol"), merges))
+    },
+    // sequence packing as a TVF — the loader-side tail of the pipeline
+    // (annotate → dedup → split → PACK) composable in a SELECT:
+    // (seq_id, doc_id, seq_offset, doc_offset, slice_len) rows from
+    // concat-and-chunk over `tokenCol` (a per-doc token count column) in
+    // idCol order. Same distributed two-pass prefix sum as the API.
+    tvf("graft_pack_sequences") { args =>
+      require(args.length == 4,
+        "graft_pack_sequences(path, idCol, tokenCol, seqLen)")
+      val s = SparkSession.active
+      val fn = "graft_pack_sequences"
+      val t = new ManagedTable(s, str(args(0), fn, "path"))
+      plan(graft.ops.Sampling.concatChunkSlices(t.read,
+        str(args(1), fn, "idCol"), str(args(2), fn, "tokenCol"),
+        long(args(3), fn, "seqLen")))
     })
 }

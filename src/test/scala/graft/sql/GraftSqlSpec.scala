@@ -575,6 +575,58 @@ class GraftSqlSpec extends SparkSpec {
       assert(driftErr.getMessage.contains("bucket 999") &&
         driftErr.getMessage.contains(pm),
         s"drifted model should be named and refused: ${driftErr.getMessage}")
+      // train → persist → ENCODE by TVF: the tokenizer gets the same SQL
+      // loop as the classifier — the merge list is a managed-table path
+      val bpeDocs = Seq(
+        (1L, "the cat sat on the mat"),
+        (2L, "the hat is on the cat"),
+        (3L, "scat scat the cat")).toDF("doc_id", "text")
+      val pd = tmpDir("sql-ext-bpe") + "/docs"
+      new ManagedTable(extended, pd).overwrite(bpeDocs)
+      val trained = graft.ops.Bpe.train(bpeDocs, "text", numMerges = 12,
+        minCount = 1)
+      val pt = tmpDir("sql-ext-bpe") + "/tok"
+      graft.ops.Bpe.saveMerges(extended, pt, trained)
+      assert(graft.ops.Bpe.loadMerges(new ManagedTable(extended, pt))
+        == trained, "saveMerges/loadMerges must round-trip in rank order")
+      val encTvf = extended.sql(
+        s"""SELECT doc_id, array_join(tokens, '|') AS ts
+            FROM graft_bpe_encode('$pd', 'doc_id', 'text', '$pt')
+            ORDER BY doc_id""").as[(Long, String)].collect().toSeq
+      val encApi = graft.ops.Bpe.encode(bpeDocs, "doc_id", "text", trained)
+        .selectExpr("doc_id", "array_join(tokens, '|')")
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      assert(encTvf == encApi,
+        s"TVF encode must equal API encode: $encTvf vs $encApi")
+      // a non-tokenizer table is refused pointedly
+      val bpeErr = intercept[Exception](extended.sql(
+        s"""SELECT * FROM graft_bpe_encode('$pd', 'doc_id', 'text', '$pd')""")
+        .collect())
+      assert(bpeErr.getMessage.contains("graft.bpe.merges"))
+      // drifted ranks (partial overwrite) are refused, not encoded wrong
+      new ManagedTable(extended, pt).append(
+        Seq((99L, "x", "y")).toDF("rank", "a", "b"))
+      val rankErr = intercept[IllegalArgumentException](
+        graft.ops.Bpe.loadMerges(new ManagedTable(extended, pt)))
+      assert(rankErr.getMessage.contains(pt) &&
+        rankErr.getMessage.contains("rank"))
+      // sequence packing as a TVF ≡ the API plan (q150's operator over a
+      // persisted token-count table)
+      val pk = tmpDir("sql-ext-pack") + "/toks"
+      val tokCounts = Seq((1L, 700L), (2L, 200L), (3L, 0L), (4L, 1500L))
+        .toDF("doc_id", "n_tokens")
+      new ManagedTable(extended, pk).overwrite(tokCounts)
+      val packTvf = extended.sql(
+        s"""SELECT seq_id, doc_id, seq_offset, doc_offset, slice_len
+            FROM graft_pack_sequences('$pk', 'doc_id', 'n_tokens', 512)
+            ORDER BY seq_id, doc_id""")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      val packApi = graft.ops.Sampling.concatChunkSlices(
+          tokCounts, "doc_id", "n_tokens", seqLen = 512)
+        .orderBy("seq_id", "doc_id")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(packTvf == packApi && packTvf.nonEmpty,
+        s"TVF packing must equal API packing: $packTvf vs $packApi")
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
