@@ -182,6 +182,7 @@ class ColumnMappingSpec extends SparkSpec {
     t.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
       .toDF("id", "note", "amt"))
     t.enableColumnMapping()
+    val preRename = t.version // mapped, so its manifest records its era
     t.renameColumn("amt", "amount")
     // vectored DML with a logical-name predicate and assignment
     t.deleteVectored(col("amount") > 2.5)
@@ -194,9 +195,16 @@ class ColumnMappingSpec extends SparkSpec {
       .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
     assert(t.read.select("id", "amount").as[(Long, Double)].collect().toSet
       == Set((1L, 10.0), (2L, 22.0)))
-    // time travel serves CURRENT logical names (declaration-is-current
-    // metadata, like extras and type widening)
-    assert(t.readVersion(0).columns.contains("amount"))
+    // time travel speaks V-ERA names (the dedicated era tests pin the
+    // full surface): the pre-rename mapped version still titles `amt` —
+    // probed at the enable version, not v0, because under an ambient
+    // `graft.columnMapping=name` default (soak cells C/D) the table is
+    // mapped from BIRTH and v0 then records its own era too, while under
+    // stock defaults v0 predates the record and falls back to live names
+    assert(t.readVersion(preRename).columns.contains("amt"),
+      t.readVersion(preRename).columns.toSeq.toString)
+    // the live read keeps the post-rename title
+    assert(t.read.columns.contains("amount"))
   }
 
   test("readWhere skipping still PRUNES on a renamed column (stats " +

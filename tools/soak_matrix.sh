@@ -48,6 +48,16 @@ run_cell() {
   grep -E "Tests: succeeded" "/tmp/soak_${name}_specs.log" | tail -1
 }
 
+# --quick: cell D only (~12 min instead of ~45) — D is A x C, so its
+# property surface subsumes both; B's multipart split is the one knob it
+# skips. The full four-cell matrix stays the end-of-round gate; quick is
+# for MID-ROUND gating so the soak keeps getting run rather than skipped.
+if [ "${1:-}" = "--quick" ]; then
+  run_cell D "$CELL_D" "$SPECS_C"
+  echo "== quick soak (cell D) done; logs in /tmp/soak_D*.log =="
+  exit 0
+fi
+
 run_cell A "$CELL_A" "$SPECS"
 run_cell B "$CELL_B" "$SPECS"
 run_cell C "$CELL_C" "$SPECS_C"
