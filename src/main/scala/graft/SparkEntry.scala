@@ -1394,6 +1394,44 @@ object SparkEntry {
               '$wh/merges')
             ORDER BY doc_id""")
     }),
+    "q153_lm_stupid_backoff" -> ((s, d) => {
+      // trigram Stupid-Backoff LM (Brants et al., EMNLP 2007) —
+      // the CCNet perplexity filter (Wenzek et al. 1911.00359) with the
+      // smoothing designed for distributed count tables. Self-trained
+      // with minCount=2 pruning (exercises the backoff chain + OOV),
+      // scored as the floor-quantized integer statistic (parts-per-1e9,
+      // α=0.4 → exact level weights 1e9/4e8/1.6e8): pure int64
+      // multiply-then-div, so the per-doc sum is cross-engine bit-exact
+      // where a log-prob would drift at ulp level. The float
+      // perplexity surface is spec-gated in NgramLmSpec (q145/q146
+      // discipline: exact anchor in the oracle, floats in specs).
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val m = graft.ops.NgramLm.train(docs, "doc_id", "text",
+        minCount = 2)
+      graft.ops.NgramLm.scoreQuantized(docs, "doc_id", "text", m)
+        .orderBy("doc_id")
+    }),
+    "q154_duplicated_spans" -> ((s, d) => {
+      // token-level maximal duplicated-span detection (Lee et al.
+      // 2107.06499's ExactSubstr, k-gram-anchored): every duplicated
+      // run of ≥ k tokens — cross-doc OR within-doc, at ANY alignment
+      // (what the boundary-aligned q47 chunk dedup cannot see) — found
+      // via overlapping k-gram anchors merged into maximal spans by a
+      // per-doc sorted-interval union. Pure integer output.
+      graft.ops.Dedup.duplicatedSpans(Tables.documents(s, d),
+          "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("span_start").cast("long"),
+          col("span_len").cast("long"))
+        .orderBy("doc_id", "span_start")
+    }),
+    "q155_span_excision" -> ((s, d) => {
+      // q154's excision twin (ExactSubstr-CUT): drop every token a
+      // duplicated span covers, reassemble survivors in order;
+      // totality — a wholly-duplicated doc keeps a row with empty text
+      graft.ops.Dedup.exciseDuplicatedSpans(Tables.documents(s, d),
+          "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }),
     "q147_bpe_tokenize" -> ((s, d) => {
       // trained-BPE token statistics (rows-only: the merge loop is not
       // SQL-expressible; BpeSpec anchors train+encode against an
@@ -3600,6 +3638,136 @@ object SparkEntry {
            o_totalprice AS price, CAST(2 AS BIGINT) AS era
          FROM orders
          ORDER BY era, o_orderkey""",
+    // q153: the full Stupid-Backoff chain re-derived independently —
+    // counts with the same one-threshold pruning (containment: a kept
+    // n-gram's context is kept), the longest-available-context CASE,
+    // and integer floor-division; `//` on BIGINT is Spark's `div`
+    "q153_lm_stupid_backoff" ->
+      """WITH w AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS words FROM documents),
+         tok0 AS (SELECT doc_id,
+                    unnest(generate_series(1, len(words))) AS i, words
+                  FROM w),
+         tok AS (SELECT doc_id, i, words[i] AS w3,
+                   CASE WHEN i >= 2 THEN words[i-1] END AS w2,
+                   CASE WHEN i >= 3 THEN words[i-2] END AS w1
+                 FROM tok0),
+         g1 AS (SELECT w3 AS gram, count(*) AS c FROM tok
+                GROUP BY 1 HAVING count(*) >= 2),
+         g2 AS (SELECT w2 || ' ' || w3 AS gram, count(*) AS c FROM tok
+                WHERE w2 IS NOT NULL GROUP BY 1 HAVING count(*) >= 2),
+         g3 AS (SELECT w1 || ' ' || w2 || ' ' || w3 AS gram,
+                  count(*) AS c FROM tok
+                WHERE w1 IS NOT NULL GROUP BY 1 HAVING count(*) >= 2),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM g1),
+         sc AS (SELECT tok.doc_id,
+                  CASE WHEN w1 IS NOT NULL THEN
+                         CASE WHEN t3.c IS NOT NULL
+                                THEN (1000000000 * t3.c) // c2x.c
+                              WHEN b2.c IS NOT NULL
+                                THEN (400000000 * b2.c) // u2.c
+                              WHEN u3.c IS NOT NULL
+                                THEN (160000000 * u3.c) // tot.t
+                              ELSE 0 END
+                       WHEN w2 IS NOT NULL THEN
+                         CASE WHEN b2.c IS NOT NULL
+                                THEN (1000000000 * b2.c) // u2.c
+                              WHEN u3.c IS NOT NULL
+                                THEN (400000000 * u3.c) // tot.t
+                              ELSE 0 END
+                       ELSE CASE WHEN u3.c IS NOT NULL
+                                   THEN (1000000000 * u3.c) // tot.t
+                                 ELSE 0 END END AS q,
+                  CASE WHEN w1 IS NOT NULL AND t3.c IS NOT NULL THEN 3
+                       WHEN w2 IS NOT NULL AND b2.c IS NOT NULL THEN 2
+                       WHEN u3.c IS NOT NULL THEN 1 ELSE 0 END AS lvl
+                FROM tok
+                LEFT JOIN g3 t3 ON w1 IS NOT NULL
+                  AND t3.gram = w1 || ' ' || w2 || ' ' || w3
+                LEFT JOIN g2 c2x ON w1 IS NOT NULL
+                  AND c2x.gram = w1 || ' ' || w2
+                LEFT JOIN g2 b2 ON w2 IS NOT NULL
+                  AND b2.gram = w2 || ' ' || w3
+                LEFT JOIN g1 u2 ON u2.gram = w2
+                LEFT JOIN g1 u3 ON u3.gram = w3
+                CROSS JOIN tot),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(q) AS BIGINT) AS sb_q,
+                   CAST(count(*) FILTER (lvl = 3) AS BIGINT) AS hits3,
+                   CAST(count(*) FILTER (lvl = 2) AS BIGINT) AS hits2,
+                   CAST(count(*) FILTER (lvl = 1) AS BIGINT) AS hits1,
+                   CAST(count(*) FILTER (lvl = 0) AS BIGINT) AS oov
+                 FROM sc GROUP BY doc_id)
+         SELECT d.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sb_q, 0) AS BIGINT) AS sb_q,
+           CAST(coalesce(hits3, 0) AS BIGINT) AS hits3,
+           CAST(coalesce(hits2, 0) AS BIGINT) AS hits2,
+           CAST(coalesce(hits1, 0) AS BIGINT) AS hits1,
+           CAST(coalesce(oov, 0) AS BIGINT) AS oov
+         FROM documents d LEFT JOIN agg USING (doc_id)
+         ORDER BY doc_id""",
+    // q154/q155: k=8 anchors; dup ⇔ total occurrences > 1; spans are
+    // the sorted-interval union of [p, p+7] anchor intervals (new span
+    // ⇔ p clears the running max start by > k)
+    "q154_duplicated_spans" ->
+      """WITH w AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS words FROM documents),
+         tok AS (SELECT doc_id,
+                   unnest(generate_series(1, len(words))) AS p, words
+                 FROM w),
+         g AS (SELECT doc_id, p,
+                 list_aggregate(words[p:p+7], 'string_agg', ' ') AS gram
+               FROM tok WHERE p + 7 <= len(words)),
+         dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+         a AS (SELECT doc_id, p FROM g JOIN dup USING (gram)),
+         m AS (SELECT doc_id, p,
+                 CASE WHEN p > coalesce(MAX(p) OVER (PARTITION BY doc_id
+                     ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), -1000000) + 8
+                   THEN 1 ELSE 0 END AS new_span
+               FROM a),
+         i AS (SELECT doc_id, p,
+                 SUM(new_span) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS span
+               FROM m)
+         SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+           CAST(MAX(p) + 8 - MIN(p) AS BIGINT) AS span_len
+         FROM i GROUP BY doc_id, span
+         ORDER BY doc_id, span_start""",
+    "q155_span_excision" ->
+      """WITH w AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS words FROM documents),
+         tok AS (SELECT doc_id,
+                   unnest(generate_series(1, len(words))) AS p, words
+                 FROM w),
+         g AS (SELECT doc_id, p,
+                 list_aggregate(words[p:p+7], 'string_agg', ' ') AS gram
+               FROM tok WHERE p + 7 <= len(words)),
+         dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+         a AS (SELECT doc_id, p FROM g JOIN dup USING (gram)),
+         cov AS (SELECT DISTINCT doc_id, cp FROM
+                   (SELECT doc_id,
+                      unnest(generate_series(p, p + 7)) AS cp FROM a)),
+         kept AS (SELECT doc_id, p, words[p] AS wd FROM tok t
+                  WHERE NOT EXISTS (SELECT 1 FROM cov c
+                    WHERE c.doc_id = t.doc_id AND c.cp = t.p)),
+         agg AS (SELECT doc_id,
+                   string_agg(wd, ' ' ORDER BY p) AS clean_text,
+                   CAST(count(*) AS BIGINT) AS tokens_kept
+                 FROM kept GROUP BY doc_id),
+         tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                 FROM tok GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(clean_text, '') AS clean_text,
+           CAST(coalesce(tokens_kept, 0) AS BIGINT) AS tokens_kept,
+           CAST(coalesce(n, 0) - coalesce(tokens_kept, 0) AS BIGINT)
+             AS tokens_dropped
+         FROM documents d LEFT JOIN agg USING (doc_id)
+           LEFT JOIN tot USING (doc_id)
+         ORDER BY doc_id""",
     "q146a_quality_classifier_trained_anchor" ->
       """WITH w AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y,
                  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words

@@ -30,15 +30,15 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
 
-  /** Distinct word n-gram shingles of a text column as an array. */
-  def shingles(text: Column, n: Int): Column = {
-    val w = TextAnalysis.words(text)
-    array_distinct(
-      when(size(w) >= n,
-        transform(sequence(lit(1), size(w) - (n - 1)),
-          i => concat_ws(" ", slice(w, i, lit(n)))))
-        .otherwise(array(concat_ws(" ", w))))
-  }
+  /** Distinct word n-gram shingles of a text column as an array — the
+    * one-pass native expression ([[graft.functions.ShingleArray]]); the
+    * old `transform(sequence, i => slice(words, …))` lambda re-tokenized
+    * the whole document per shingle (quadratic in doc length — DedupSpec
+    * pins the expression twin, the q148 bytes spec carries the 200k-token
+    * fixture that exposed it).
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.ShingleArray.shingle_array(text, n)
 
   /** Spread a narrow (id, text) projection over the full core count before
     * CPU-bound shingling: a small parquet file scans as ONE partition, and
@@ -239,6 +239,111 @@ object Dedup {
         Seq(idCol), "left")
       .na.fill(0L, Seq("chunks_kept", "chunks_dropped"))
       .na.fill("", Seq("clean_text"))
+  }
+
+  /** Maximal duplicated-span detection — the token-level EXACT-SUBSTRING
+    * pass of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (arXiv:2107.06499), re-expressed relationally: their
+    * suffix-array finds substrings of ≥ threshold tokens occurring more
+    * than once in the corpus; HERE every length-`k` word window that
+    * occurs more than once (across docs OR repeated within one) is an
+    * anchor, and overlapping/touching anchors merge into maximal spans —
+    * so any duplicated run of ≥ k tokens is found in full (a run of
+    * length L ≥ k is covered by its L−k+1 anchors, which chain into one
+    * span), at any alignment, which the boundary-aligned
+    * [[dropDuplicateChunks]] cannot see. Emits (doc_id, span_start,
+    * span_len), 1-based token positions.
+    *
+    * Scale: the token explode + `k−1` `lead`s over PER-DOC windows (no
+    * global window at any size), one map-side-combinable frequency
+    * aggregate on the window text, a semi-join back, and the classic
+    * sorted-interval merge as a per-doc running max — linear in corpus
+    * tokens, no pairwise anything. At 100 TB key the frequency pass and
+    * semi-join on `xxhash64(gram)` instead of the raw string (identical
+    * answers modulo 64-bit collisions — the [[dropDuplicateChunks]]
+    * shuffle-payload note applies verbatim).
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8): DataFrame = {
+    val (_, anchors) = dupSpanInputs(docs, idCol, textCol, k)
+    val wnd = Window.partitionBy("doc_id").orderBy("p")
+    // sorted-interval union: anchor intervals are [p, p+k−1]; a new span
+    // starts exactly when p clears the furthest end seen so far by ≥ 2
+    // (p > maxPrevP + k ⇔ a ≥ 1-token gap in coverage)
+    val maxPrev = max(col("p"))
+      .over(wnd.rowsBetween(Window.unboundedPreceding, -1))
+    val isl = anchors
+      .withColumn("new_span",
+        when(maxPrev.isNull || col("p") > maxPrev + k, 1).otherwise(0))
+      .withColumn("span",
+        sum(col("new_span")).over(
+          wnd.rowsBetween(Window.unboundedPreceding, 0)))
+    isl.groupBy(col("doc_id"), col("span"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + k - 1).as("span_end"))
+      .select(col("doc_id"), col("span_start"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
+  /** [[duplicatedSpans]]' excision twin: drop every token covered by a
+    * duplicated span and reassemble the survivors in order (Lee et al.'s
+    * ExactSubstr-CUT). Every input doc keeps a row — a doc that is one
+    * big duplicated span surfaces with empty `clean_text` and
+    * tokens_kept 0, the [[dropDuplicateChunks]] totality contract. The
+    * covered-position explode is bounded: k rows per anchor, k a small
+    * constant.
+    */
+  def exciseDuplicatedSpans(docs: DataFrame, idCol: String,
+                            textCol: String, k: Int = 8): DataFrame = {
+    val (toks, anchors) = dupSpanInputs(docs, idCol, textCol, k)
+    val covered = anchors.select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + k - 1)).as("p"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+    val totals = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(kept.groupBy("doc_id").agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("w")))),
+          s => s.getField("w"))).as("clean_text"),
+        count(lit(1)).as("tokens_kept")), Seq("doc_id"), "left")
+      .join(totals, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("tokens_kept", "n_tokens"))
+      .na.fill("", Seq("clean_text"))
+      .select(col("doc_id"), col("clean_text"), col("tokens_kept"),
+        (col("n_tokens") - col("tokens_kept")).as("tokens_dropped"))
+  }
+
+  /** The shared front half of the span pair: the 1-based token stream
+    * and the duplicate anchors (positions whose k-word window text
+    * occurs > 1 time corpus-wide). Both are lazily materialized — the
+    * token explode has two consumers in the excision path, the gram
+    * stream feeds the frequency pass AND the semi-join back.
+    */
+  private def dupSpanInputs(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): (DataFrame, DataFrame) = {
+    require(k >= 2, s"span anchor length k must be >= 2, got $k")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.words(col(textCol))).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("w"))
+      .localCheckpoint(eager = false)
+    val wnd = Window.partitionBy("doc_id").orderBy("p")
+    val parts = col("w") +:
+      (1 until k).map(j => lead(col("w"), j).over(wnd))
+    val grams = toks
+      .withColumn("gram", concat_ws(" ", parts: _*))
+      .withColumn("wlast", lead(col("w"), k - 1).over(wnd))
+      // only FULL k-windows anchor (concat_ws silently skips the nulls
+      // of a trailing partial window — the explicit last-word guard is
+      // the correctness line)
+      .filter(col("wlast").isNotNull)
+      .select(col("doc_id"), col("p"), col("gram"))
+      .localCheckpoint(eager = false)
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("gram")
+    val anchors = grams.join(dup, Seq("gram"), "left_semi")
+      .select("doc_id", "p")
+    (toks, anchors)
   }
 
   /** Benchmark-contamination screen — the eval-leakage gate of a training

@@ -165,5 +165,22 @@ object GraftTableFunctions {
       plan(graft.ops.Sampling.concatChunkSlices(t.read,
         str(args(1), fn, "idCol"), str(args(2), fn, "tokenCol"),
         long(args(3), fn, "seqLen")))
+    },
+    // the Stupid-Backoff LM scorer as a TVF — train with the API,
+    // persist the count table with [[graft.ops.NgramLm.saveLm]], then
+    // score any corpus in plain SQL: (doc_id, n_tokens, sb_q, hits3,
+    // hits2, hits1, oov) rows, the integer statistic q153 anchors; the
+    // model argument is a managed-table PATH (time travel/CLONE = LM
+    // versioning, the quality-score-model shape).
+    tvf("graft_lm_score") { args =>
+      require(args.length == 4,
+        "graft_lm_score(path, idCol, textCol, modelPath)")
+      val s = SparkSession.active
+      val fn = "graft_lm_score"
+      val t = new ManagedTable(s, str(args(0), fn, "path"))
+      val model = graft.ops.NgramLm.loadLm(
+        new ManagedTable(s, str(args(3), fn, "modelPath")))
+      plan(graft.ops.NgramLm.scoreQuantized(t.read,
+        str(args(1), fn, "idCol"), str(args(2), fn, "textCol"), model))
     })
 }

@@ -125,38 +125,77 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>"), plan)
   }
 
-  test("file-skipping contamination screen: the skipped-files scan reads " +
-      "ONLY the id column — the text bytes (the 100 TB) are never touched") {
+  test("file-skipping contamination screen: the skipped files' text " +
+      "bytes are never read — measured in task input bytes, not plan " +
+      "shape") {
     import spark.implicits._
-    val mk = (id: Long, words: Seq[String]) => (id, words.mkString(" "))
+    // the skipped file carries ~1.8 MB of INCOMPRESSIBLE text (distinct
+    // pseudo-random tokens — repeated filler would snappy away): if any
+    // probe or the zeros path touches the text column, bytesRead jumps
+    // by the payload; the id column + footer are a few KB
+    val rnd = new scala.util.Random(42)
+    val bigText =
+      Seq.fill(600000)(rnd.alphanumeric.take(8).mkString).mkString(" ")
     val t = new graft.table.ManagedTable(spark, tmpDir("plan-shskip") + "/t")
-    t.overwrite(Seq(mk(1L, Seq("alpha", "beta", "gamma", "delta")))
+    t.overwrite(Seq((1L, "alpha beta gamma delta"))
       .toDF("doc_id", "text").coalesce(1))
-    t.append(Seq(mk(10L, Seq("red", "green", "blue", "cyan")))
-      .toDF("doc_id", "text").coalesce(1))
-    t.addShingleBloomIndex("text", n = 3)
-    val bench = Seq(mk(100L, Seq("alpha", "beta", "gamma")))
-      .toDF("doc_id", "text")
-    val df = graft.ops.Dedup.contaminationIndexed(
-      t, bench, "doc_id", "text", n = 3)
-    df.count()
-    // parse ReadSchema entries from the final (AQE-resolved) plan string —
-    // collect() over the adaptive plan doesn't descend into query stages
+    t.append(Seq((10L, bigText)).toDF("doc_id", "text").coalesce(1))
+    // index build MAY read text; the row-count auto-size heuristic
+    // (rows × 32) would be swamped by a 600k-shingle single-row file
+    // (overloaded bloom → always "maybe" → skipping silently erodes,
+    // as the scaladoc warns), so size it explicitly
+    t.addShingleBloomIndex("text", n = 3, expectedItemsPerFile = 700000)
+    val bench = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    // meter: the process-wide read-syscall counter (/proc/self/io
+    // rchar) — local[n] is one JVM, suites run sequentially (Test/fork,
+    // testForkedParallel off), so the delta across the body bounds the
+    // workload's real reads. Neither Spark task inputMetrics nor Hadoop
+    // FS statistics see local parquet column reads (parquet-java goes
+    // through NIO for file://); rchar sees every syscall.
+    def rchar(): Long =
+      scala.io.Source.fromFile("/proc/self/io").getLines()
+        .find(_.startsWith("rchar")).get.split(":")(1).trim.toLong
+    def measured(body: => Unit): Long = {
+      val b0 = rchar(); body; rchar() - b0
+    }
+    // build probes (version pin, bloom-sidecar reads, null probe,
+    // straddler semi-join, the ONE id-only pass over the skipped side)
+    // and the returned plan's execution, metered separately: the build
+    // legitimately reads the two ~850 KB bloom sidecars; the execution
+    // must touch nothing but the kept file + the checkpointed id set
+    var df: org.apache.spark.sql.DataFrame = null
+    val building = measured {
+      df = graft.ops.Dedup.contaminationIndexed(
+        t, bench, "doc_id", "text", n = 3)
+    }
+    val executing = measured { df.count() }
+    // control: the plain screen reads every text byte — the same corpus
+    // costs the ~5.4 MB payload (×2 index passes), proving the meter
+    val full = measured {
+      graft.ops.Dedup.contamination(t.read, bench, "doc_id", "text", 3)
+        .count()
+    }
+    assert(full > 9000000,
+      s"control screen should read the ~5.4 MB payload twice, read $full B")
+    assert(building + executing < 6000000,
+      s"indexed screen read ${building + executing} B (build $building " +
+        s"+ exec $executing) — the skipped file's text column leaked " +
+        s"into a scan (control: $full B)")
+    assert(executing < 1500000,
+      s"executing the returned plan read $executing B — the zeros path " +
+        "must serve from the checkpointed id set, not parquet")
+    // plan shape: the zeros branch serves from the build-time
+    // checkpointed id set (Scan ExistingRDD), and no parquet scan in
+    // the EXECUTED plan re-reads ids — the one id pass ran at build
     val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"),
+      s"zeros path is not the checkpointed id set:\n$plan")
     val scans = "ReadSchema: struct<([^>]*)>".r
       .findAllMatchIn(plan)
       .map(_.group(1).split(",").map(_.takeWhile(_ != ':').trim).toSeq)
       .toSeq
-    assert(scans.nonEmpty, s"no parquet scans found in:\n$plan")
-    assert(scans.exists(_ == Seq("doc_id")),
-      s"no doc_id-only scan (the skipped files' zeros path) in: $scans")
-    assert(scans.exists(s => s.contains("text")),
-      s"the kept files must still read text: $scans")
-    // every text-reading scan is the kept/straddler side; the zeros scan
-    // must never list the text column
-    val zeroScans = scans.filter(!_.contains("text"))
-    assert(zeroScans.nonEmpty && zeroScans.forall(_ == Seq("doc_id")),
-      s"skipped-file scan reads more than doc_id: $scans")
+    assert(scans.nonEmpty && scans.forall(_.contains("text")),
+      s"a parquet re-scan survives in the zeros plan: $scans")
   }
 
   test("PCA projection is a shuffle-free narrow map over the store") {

@@ -443,4 +443,88 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
     assert(kept == Map(2L -> 3L, 4L -> 1L))
   }
+
+  test("shingles: the one-pass native expression equals the old lambda " +
+      "formulation on every tokenization edge") {
+    // the formulation ShingleArray replaced — kept here as the semantic
+    // reference: correct, but the lambda body re-embeds words(text), so
+    // interpreted higher-order eval re-tokenizes the document PER
+    // SHINGLE (quadratic in doc length)
+    def oldShingles(text: org.apache.spark.sql.Column, n: Int) = {
+      val w = graft.ops.TextAnalysis.words(text)
+      array_distinct(
+        when(size(w) >= n,
+          transform(sequence(lit(1), size(w) - (n - 1)),
+            i => concat_ws(" ", slice(w, i, lit(n)))))
+          .otherwise(array(concat_ws(" ", w))))
+    }
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "A  B\tb c  a b"), // case, tabs, repeated shingle (order!)
+      (3L, "one two"),        // fewer words than n
+      (4L, ""), (5L, "   "),  // empty and whitespace-only
+      (6L, "ünïcode ÉÉ ss ß mixed"), // non-ascii lowercase kernel
+      (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    for (n <- Seq(2, 3)) {
+      val a = docs.select(col("doc_id"),
+          Dedup.shingles(col("text"), n).as("s"))
+        .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+      val b = docs.select(col("doc_id"), oldShingles(col("text"), n).as("s"))
+        .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+      assert(a == b, s"n=$n")
+    }
+  }
+
+  // hand-computed k=3 span fixture: A/B share two overlapping-in-A
+  // 3-grams; C repeats a 3-gram within itself and touches (not
+  // overlaps) so the intervals chain; D is one sliding run
+  private val spanDocs = Seq(
+    (1L, "a b c d e f g h"),       // anchors p2,p3 → one span [2,5]
+    (2L, "x x b c d y c d e"),     // anchors p3,p7 → gap at 6 → two spans
+    (3L, "p q r p q r s t"),       // p1,p4 TOUCH ([1,3]+[4,6]) + p5,p6
+    (4L, "p q r s t u"))           // p1,p2,p3 → one span [1,5]
+
+  test("duplicatedSpans merges overlapping AND touching anchors into " +
+      "maximal spans; within-doc repeats count; positions are 1-based") {
+    val got = Dedup.duplicatedSpans(spanDocs.toDF("doc_id", "text"),
+        "doc_id", "text", k = 3)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2, 4),           // "b c d e": [2,4] ∪ [3,5]
+      (2L, 3, 3), (2L, 7, 3), // gap at position 6 splits
+      (3L, 1, 8),           // whole doc: [1,3] touches [4,6], chain on
+      (4L, 1, 5)))
+  }
+
+  test("exciseDuplicatedSpans drops exactly the covered tokens and " +
+      "keeps a row for a fully-duplicated doc") {
+    val got = Dedup.exciseDuplicatedSpans(spanDocs.toDF("doc_id", "text"),
+        "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a f g h", 4L, 4L),
+      (2L, "x x y", 3L, 6L),
+      (3L, "", 0L, 8L),     // one big span: surfaces empty, not absent
+      (4L, "u", 1L, 5L)))
+  }
+
+  test("duplicated-span results are partitioning-invariant and a " +
+      "duplicate-free corpus yields no spans") {
+    val df = spanDocs.toDF("doc_id", "text")
+    def run(parts: Int) =
+      Dedup.duplicatedSpans(df.repartition(parts), "doc_id", "text", 3)
+        .orderBy("doc_id", "span_start")
+        .as[(Long, Int, Int)].collect().toSeq
+    assert(run(1) == run(5))
+    val unique = Seq((1L, "one two three"), (2L, "four five six"))
+      .toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(unique, "doc_id", "text", 2).count() == 0)
+    val ex = Dedup.exciseDuplicatedSpans(unique, "doc_id", "text", 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(ex == Seq((1L, "one two three", 3L, 0L),
+      (2L, "four five six", 3L, 0L)))
+  }
 }

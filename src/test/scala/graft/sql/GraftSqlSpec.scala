@@ -627,6 +627,32 @@ class GraftSqlSpec extends SparkSpec {
         .as[(Long, Long, Long, Long, Long)].collect().toSeq
       assert(packTvf == packApi && packTvf.nonEmpty,
         s"TVF packing must equal API packing: $packTvf vs $packApi")
+      // train → persist → SCORE by TVF: the Stupid-Backoff LM gets the
+      // same SQL loop — the count table is a managed-table path
+      val lmDocs = Seq(
+        (1L, "the cat sat on the mat"),
+        (2L, "the cat sat on the hat"),
+        (3L, "unrelated words entirely here")).toDF("doc_id", "text")
+      val pld = tmpDir("sql-ext-lm") + "/docs"
+      new ManagedTable(extended, pld).overwrite(lmDocs)
+      val lm = graft.ops.NgramLm.train(lmDocs, "doc_id", "text")
+      val plm = tmpDir("sql-ext-lm") + "/lm"
+      graft.ops.NgramLm.saveLm(extended, plm, lm)
+      val lmTvf = extended.sql(
+        s"""SELECT doc_id, n_tokens, sb_q, hits3, hits2, hits1, oov
+            FROM graft_lm_score('$pld', 'doc_id', 'text', '$plm')
+            ORDER BY doc_id""")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+      val lmApi = graft.ops.NgramLm.scoreQuantized(lmDocs, "doc_id",
+          "text", lm).orderBy("doc_id")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(lmTvf == lmApi && lmTvf.nonEmpty,
+        s"TVF LM scoring must equal API scoring: $lmTvf vs $lmApi")
+      // a non-LM table is refused pointedly
+      val lmErr = intercept[Exception](extended.sql(
+        s"""SELECT * FROM graft_lm_score('$pld', 'doc_id', 'text',
+            '$pld')""").collect())
+      assert(lmErr.getMessage.contains("graft.lm.grams"))
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
