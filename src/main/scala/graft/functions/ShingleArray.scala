@@ -80,3 +80,60 @@ object ShingleArray {
   def shingle_array(text: Column, n: Int): Column =
     column(ShingleArray(expression(text), n))
 }
+
+/** Consecutive `chunkWords`-word chunks of a text column (the
+  * [[graft.ops.Dedup.dropDuplicateChunks]] segmentation), one pass —
+  * the same quadratic-lambda replacement as [[ShingleArray]] (the old
+  * `transform(sequence, i => slice(words(text), i·cw+1, cw))` re-ran
+  * the tokenizer per chunk). Last chunk may be partial; a tokenless
+  * document yields one empty chunk (the lambda form emitted a
+  * `sequence(0, −1)` = [0, −1] artifact pair of empty chunks there —
+  * deliberately normalized, pinned in DedupSpec); NULL text stays NULL
+  * (posexplode then emits no rows, as before).
+  */
+case class WordChunks(child: Expression, chunkWords: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(chunkWords >= 1, s"chunk width must be >= 1, got $chunkWords")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"WordChunks needs a string argument, got $t")
+    }
+
+  private val space = UTF8String.fromString(" ")
+  private val wsPattern = UTF8String.fromString("\\s+")
+  private val empty = UTF8String.fromString("")
+
+  override def nullSafeEval(v: Any): Any = {
+    val words = v.asInstanceOf[UTF8String]
+      .trim().toLowerCase().split(wsPattern, -1)
+      .filter(_.numChars() > 0)
+    if (words.isEmpty) return new GenericArrayData(Array[Any](empty))
+    val m = (words.length + chunkWords - 1) / chunkWords
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val from = i * chunkWords
+      val win = java.util.Arrays.copyOfRange(
+        words, from, math.min(from + chunkWords, words.length))
+      out(i) = UTF8String.concatWs(space, win: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordChunks {
+  import org.apache.spark.sql.GraftBridge.{column, expression}
+
+  def word_chunks(text: Column, chunkWords: Int): Column =
+    column(WordChunks(expression(text), chunkWords))
+}

@@ -212,13 +212,13 @@ object Dedup {
     */
   def dropDuplicateChunks(docs: DataFrame, idCol: String, textCol: String,
                           chunkWords: Int = 20): DataFrame = {
-    val w = TextAnalysis.words(col(textCol))
+    // one-pass chunker ([[graft.functions.WordChunks]]) — the old
+    // transform/slice lambda re-tokenized the document per chunk
+    // (quadratic in doc length, the ShingleArray story at stride cw)
     val chunked = docs
       .select(col(idCol), posexplode(
-        transform(sequence(lit(0),
-            ceil(size(w).cast("double") / chunkWords).cast("int") - 1),
-          i => concat_ws(" ", slice(w, i * chunkWords + 1, lit(chunkWords))))
-      ).as(Seq("chunk_idx", "chunk")))
+        graft.functions.WordChunks.word_chunks(col(textCol), chunkWords))
+        .as(Seq("chunk_idx", "chunk")))
     // "appears in >1 distinct doc" ⇔ min(doc) != max(doc): a single-phase
     // aggregate with map-side combine — a boilerplate chunk present in
     // millions of docs reduces locally before the shuffle, where

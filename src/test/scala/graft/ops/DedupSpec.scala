@@ -476,6 +476,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("word chunks: the one-pass expression equals the lambda " +
+      "formulation; tokenless docs normalize to ONE empty chunk") {
+    def oldChunks(text: org.apache.spark.sql.Column, cw: Int) = {
+      val w = graft.ops.TextAnalysis.words(text)
+      transform(sequence(lit(0),
+          ceil(size(w).cast("double") / cw).cast("int") - 1),
+        i => concat_ws(" ", slice(w, i * cw + 1, lit(cw))))
+    }
+    val docs = Seq(
+      (1L, "a b c d e f g"), // partial tail chunk
+      (2L, "A  B\tc"),       // case + tabs, exactly one chunk at cw=3
+      (3L, "x"),             // fewer words than cw
+      (4L, "ü É ss ß q w"),
+      (5L, null.asInstanceOf[String])) // null: stays null, no rows
+      .toDF("doc_id", "text")
+    for (cw <- Seq(2, 3)) {
+      val a = docs.select(col("doc_id"),
+          graft.functions.WordChunks.word_chunks(col("text"), cw).as("c"))
+        .orderBy("doc_id")
+        .as[(Long, Option[Seq[String]])].collect().toSeq
+      val b = docs.select(col("doc_id"), oldChunks(col("text"), cw).as("c"))
+        .orderBy("doc_id")
+        .as[(Long, Option[Seq[String]])].collect().toSeq
+      assert(a == b, s"cw=$cw")
+    }
+    // the DELIBERATE edge change: the lambda's ceil(0/cw)−1 built
+    // sequence(0, −1) = [0, −1] — an artifact PAIR of empty chunks for
+    // a tokenless doc; the expression emits one
+    val e = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val got = e.select(col("doc_id"),
+        graft.functions.WordChunks.word_chunks(col("text"), 3).as("c"))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    assert(got == Seq((1L, Seq("")), (2L, Seq(""))))
+  }
+
   // hand-computed k=3 span fixture: A/B share two overlapping-in-A
   // 3-grams; C repeats a 3-gram within itself and touches (not
   // overlaps) so the intervals chain; D is one sliding run
