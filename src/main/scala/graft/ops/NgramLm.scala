@@ -201,19 +201,56 @@ object NgramLm {
 
   /** Persist a trained model as a managed table: (n, gram, c) rows +
     * the derived row count as the loader's drift check (the saveModel/
-    * saveMerges discipline — never caller-supplied). History/time
-    * travel/CLONE give LM versioning for free.
+    * saveMerges discipline — never caller-supplied). `minCount` must be
+    * the value the model was TRAINED with — it is recorded so
+    * [[updateLm]] can tell whether incremental folding is exact.
+    * History/time travel/CLONE give LM versioning for free.
     */
-  def saveLm(spark: SparkSession, path: String,
-             model: DataFrame): graft.table.ManagedTable = {
+  def saveLm(spark: SparkSession, path: String, model: DataFrame,
+             minCount: Long): graft.table.ManagedTable = {
     val t = new graft.table.ManagedTable(spark, path)
     val rows = model.select(col("n").cast("int"),
       col("gram").cast("string"), col("c").cast("long"))
     t.overwrite(rows)
     t.setProperties(Map(
       "graft.lm.order" -> "3",
+      "graft.lm.minCount" -> minCount.toString,
       "graft.lm.grams" -> t.read.count().toString))
     t
+  }
+
+  /** Fold a new batch's counts into a persisted model IN PLACE —
+    * n-gram counts are additive, so this is EXACTLY equivalent to
+    * retraining on the union, provided the stored model is unpruned
+    * (minCount = 1, checked against the recorded property): a gram below
+    * the threshold in both batches but not their union would silently
+    * under-count under pruning, so pruned models are REFUSED — prune at
+    * scoring time instead (score against `loadLm(t).filter(c >= θ)`),
+    * or retrain. One clause-family MERGE on (n, gram): matched counts
+    * add, new grams insert — cost ∝ the batch and the touched files,
+    * never the corpus, and the model table's history gives every
+    * intermediate LM back via time travel.
+    */
+  def updateLm(t: graft.table.ManagedTable, newDocs: DataFrame,
+               idCol: String, textCol: String): Unit = {
+    t.properties.getOrElse("graft.lm.grams",
+      throw new IllegalArgumentException(
+        s"${t.path} is not a persisted n-gram LM " +
+          "(no graft.lm.grams property)"))
+    val mc = t.properties.getOrElse("graft.lm.minCount", "1")
+    require(mc == "1",
+      s"${t.path} was trained with minCount=$mc — incremental count " +
+        "folding is only exact on an unpruned model (a gram below the " +
+        "threshold in each batch separately may clear it in the union); " +
+        "retrain, or persist with minCount=1 and prune at scoring time")
+    val delta = train(newDocs, idCol, textCol, minCount = 1L)
+      .select(col("n").cast("int"), col("gram").cast("string"),
+        col("c").cast("long"))
+    t.mergeBuilder(delta, Seq("n", "gram"))
+      .whenMatchedUpdate(Map("c" -> "t.c + s.c"))
+      .whenNotMatchedInsertAll()
+      .execute()
+    t.setProperties(Map("graft.lm.grams" -> t.read.count().toString))
   }
 
   /** Read a persisted model back, validated: the property must exist

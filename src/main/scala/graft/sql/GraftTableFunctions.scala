@@ -182,5 +182,29 @@ object GraftTableFunctions {
         new ManagedTable(s, str(args(3), fn, "modelPath")))
       plan(graft.ops.NgramLm.scoreQuantized(t.read,
         str(args(1), fn, "idCol"), str(args(2), fn, "textCol"), model))
+    },
+    // exact-substring dedup in SQL: maximal duplicated token spans
+    // (doc_id, span_start, span_len) and the excision twin (doc_id,
+    // clean_text, tokens_kept, tokens_dropped) — the q154/q155 operators
+    // over a managed-table path, composable into hygiene SELECTs
+    tvf("graft_duplicated_spans") { args =>
+      require(args.length == 4,
+        "graft_duplicated_spans(path, idCol, textCol, k)")
+      val s = SparkSession.active
+      val fn = "graft_duplicated_spans"
+      val t = new ManagedTable(s, str(args(0), fn, "path"))
+      plan(graft.ops.Dedup.duplicatedSpans(t.read,
+        str(args(1), fn, "idCol"), str(args(2), fn, "textCol"),
+        long(args(3), fn, "k").toInt))
+    },
+    tvf("graft_excise_spans") { args =>
+      require(args.length == 4,
+        "graft_excise_spans(path, idCol, textCol, k)")
+      val s = SparkSession.active
+      val fn = "graft_excise_spans"
+      val t = new ManagedTable(s, str(args(0), fn, "path"))
+      plan(graft.ops.Dedup.exciseDuplicatedSpans(t.read,
+        str(args(1), fn, "idCol"), str(args(2), fn, "textCol"),
+        long(args(3), fn, "k").toInt))
     })
 }

@@ -26,7 +26,7 @@ import org.apache.spark.util.sketch.BloomFilter
   *    KB and the driver writes them out — bounded by the write's file
   *    count, never the table's.
   */
-private[table] object BloomIndex {
+private[table] object BloomIndex extends org.apache.spark.internal.Logging {
 
   private def sha1(s: String): String =
     java.security.MessageDigest.getInstance("SHA-1")
@@ -67,36 +67,39 @@ private[table] object BloomIndex {
 
   /** [[BloomAgg]] over LONG keys (`putLong`) — the derived-key index form:
     * each row contributes an ARRAY of 64-bit keys (e.g. its text's shingle
-    * hashes) instead of one cast-string column value.
+    * hashes) instead of one cast-string column value. Unlike the one-key-
+    * per-row string form, the insert count per file is NOT bounded by the
+    * row count, so the aggregator also reports how many keys it actually
+    * inserted — the saturation signal [[buildLongKeys]]' adaptive rebuild
+    * keys off.
     */
   private final class LongBloomAgg(items: Long, fpp: Double)
-      extends Aggregator[(String, Long), BloomFilter, Array[Byte]] {
-    def zero: BloomFilter = BloomFilter.create(items, fpp)
-    def reduce(b: BloomFilter, a: (String, Long)): BloomFilter = {
-      b.putLong(a._2); b
+      extends Aggregator[(String, Long), (BloomFilter, Long),
+        (Array[Byte], Long)] {
+    def zero: (BloomFilter, Long) = (BloomFilter.create(items, fpp), 0L)
+    def reduce(b: (BloomFilter, Long), a: (String, Long)): (BloomFilter, Long) = {
+      b._1.putLong(a._2); (b._1, b._2 + 1)
     }
-    def merge(x: BloomFilter, y: BloomFilter): BloomFilter = {
-      x.mergeInPlace(y); x
+    def merge(x: (BloomFilter, Long), y: (BloomFilter, Long)): (BloomFilter, Long) = {
+      x._1.mergeInPlace(y._1); (x._1, x._2 + y._2)
     }
-    def finish(b: BloomFilter): Array[Byte] = {
+    def finish(b: (BloomFilter, Long)): (Array[Byte], Long) = {
       val out = new java.io.ByteArrayOutputStream()
-      b.writeTo(out); out.toByteArray
+      b._1.writeTo(out); (out.toByteArray, b._2)
     }
-    def bufferEncoder: Encoder[BloomFilter] = Encoders.kryo[BloomFilter]
-    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def bufferEncoder: Encoder[(BloomFilter, Long)] =
+      Encoders.kryo[(BloomFilter, Long)]
+    def outputEncoder: Encoder[(Array[Byte], Long)] =
+      Encoders.tuple(Encoders.BINARY, Encoders.scalaLong)
   }
 
-  /** Build per-file filters over DERIVED LONG keys: `keyArr` is an
-    * `array<bigint>` Column evaluated against each scanned row (e.g.
-    * `xxhash64` over the row's text shingles — the contamination screen's
-    * key space). Same contract as [[build]] otherwise: one distributed
-    * pass over only `dataFiles`, null keys unindexed, empty files get a
-    * definitively-empty filter.
+  /** One build pass: write a filter per scanned file, return each file's
+    * actual insert count (an upper bound on its distinct keys — dups
+    * count, and oversizing from dups is safe).
     */
-  def buildLongKeys(spark: SparkSession, fs: FileSystem, dataFiles: Seq[String],
-                    keyArr: org.apache.spark.sql.Column, items: Long,
-                    fpp: Double, colDir: Path): Unit = {
-    if (dataFiles.isEmpty) return
+  private def longKeyPass(spark: SparkSession, fs: FileSystem,
+      dataFiles: Seq[String], keyArr: org.apache.spark.sql.Column,
+      items: Long, fpp: Double, colDir: Path): Seq[(String, Long)] = {
     import spark.implicits._
     import org.apache.spark.sql.functions.explode
     val perFile = spark.read.parquet(dataFiles: _*)
@@ -106,9 +109,42 @@ private[table] object BloomIndex {
       .groupByKey(_._1)
       .agg(new LongBloomAgg(items, fpp).toColumn.name("bf"))
       .collect()
+    perFile.foreach { case (f, (bytes, _)) => writeBf(fs, colDir, f, bytes) }
+    perFile.map { case (f, (_, n)) => (f, n) }.toSeq
+  }
+
+  /** Build per-file filters over DERIVED LONG keys: `keyArr` is an
+    * `array<bigint>` Column evaluated against each scanned row (e.g.
+    * `xxhash64` over the row's text shingles — the contamination screen's
+    * key space). Same contract as [[build]] otherwise: one distributed
+    * pass over only `dataFiles`, null keys unindexed, empty files get a
+    * definitively-empty filter.
+    *
+    * ADAPTIVE SIZING: `items` is a heuristic (per-file key counts are
+    * unknowable before scanning); a file whose actual inserts exceed
+    * 1.5× the sizing is saturated — its filter answers "maybe" far above
+    * the declared fpp, which silently erodes skipping while staying
+    * correct (the failure mode is invisible without this check). Those
+    * files — typically none — get ONE more pass with filters sized to
+    * the measured counts, so the rebuild cost is proportional to the
+    * pathological files, not the table.
+    */
+  def buildLongKeys(spark: SparkSession, fs: FileSystem, dataFiles: Seq[String],
+                    keyArr: org.apache.spark.sql.Column, items: Long,
+                    fpp: Double, colDir: Path): Unit = {
+    if (dataFiles.isEmpty) return
     fs.mkdirs(colDir)
-    perFile.foreach { case (f, bytes) => writeBf(fs, colDir, f, bytes) }
-    val written = perFile.map(f => normalize(f._1)).toSet
+    val counts = longKeyPass(spark, fs, dataFiles, keyArr, items, fpp, colDir)
+    val saturated = counts.filter(_._2 > items + items / 2)
+    if (saturated.nonEmpty) {
+      val items2 = saturated.map(_._2).max * 5 / 4
+      logWarning(s"bloom index build: ${saturated.size} of " +
+        s"${counts.size} file(s) exceeded the $items-item sizing " +
+        s"(max actual ${saturated.map(_._2).max}) — rebuilding those " +
+        s"filters at $items2 items to keep skipping effective")
+      longKeyPass(spark, fs, saturated.map(_._1), keyArr, items2, fpp, colDir)
+    }
+    val written = counts.map(f => normalize(f._1)).toSet
     dataFiles.filterNot(f => written(normalize(f))).foreach { f =>
       val empty = BloomFilter.create(1, fpp)
       val out = new java.io.ByteArrayOutputStream()

@@ -476,6 +476,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("shingle bloom build right-sizes a file whose key count swamps " +
+      "the row heuristic (adaptive rebuild keeps skipping effective)") {
+    // one ROW (auto sizing: max(4096, rows×32) = 4096 items) carrying
+    // ~9k shingles: without the saturation rebuild the filter answers
+    // "maybe" at a huge false-positive rate and the file is never
+    // skippable — correct but silently unprunable
+    val rnd = new scala.util.Random(7)
+    val hot = Seq.fill(9100)(rnd.alphanumeric.take(6).mkString).mkString(" ")
+    val t = new graft.table.ManagedTable(spark, tmpDir("shingle-sat") + "/t")
+    t.overwrite(Seq((1L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text").coalesce(1))
+    t.append(Seq((10L, hot)).toDF("doc_id", "text").coalesce(1))
+    t.addShingleBloomIndex("text", n = 3, fpp = 0.001)
+    val bench = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.xxhash64
+    val keys = Dedup.shingleIndex(bench, "doc_id", "text", 3)
+      .select(xxhash64(col("s"))).as[Long].collect()
+    val (kept, all) = t.shingleFilesMightHit("text", 3, keys)
+    assert(all.size == 2 && kept.size == 1,
+      s"the saturated file must be rebuilt right-sized and skipped: " +
+        s"kept ${kept.size} of ${all.size}")
+    // and the screen stays exact either way
+    val got = Dedup.contaminationIndexed(t, bench, "doc_id", "text", n = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(got(10L) == 0.0 && got(1L) > 0.0, got.toString)
+  }
+
   test("word chunks: the one-pass expression equals the lambda " +
       "formulation; tokenless docs normalize to ONE empty chunk") {
     def oldChunks(text: org.apache.spark.sql.Column, cw: Int) = {

@@ -188,12 +188,55 @@ class NgramLmSpec extends SparkSpec {
     assert(p(0) > p(1) && p(1) > p(2), p.toString)
   }
 
+  test("updateLm folds a batch into a persisted model ≡ retraining on " +
+      "the union; pruned models are refused") {
+    val b1 = corpus.take(3)
+    val b2 = corpus.drop(3) ++ Seq((8L, "the cat sat again"),
+      (9L, "a dog ran on the mat"))
+    val path = tmpDir("lm-upd") + "/m"
+    val t = NgramLm.saveLm(spark, path,
+      NgramLm.train(b1.toDF("doc_id", "text"), "doc_id", "text"),
+      minCount = 1L)
+    NgramLm.updateLm(t, b2.toDF("doc_id", "text"), "doc_id", "text")
+    val folded = NgramLm.loadLm(t)
+      .as[(Int, String, Long)].collect().sorted.toSeq
+    val union = NgramLm
+      .train((b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Int, String, Long)].collect().sorted.toSeq
+    assert(folded == union)
+    // the grams drift check tracks the fold (loadLm above passed), and
+    // scoring through the folded model equals the union-trained model
+    val probe = Seq((1L, "the cat sat on a dog")).toDF("doc_id", "text")
+    val a = NgramLm.scoreQuantized(probe, "doc_id", "text",
+      NgramLm.loadLm(t)).collect().toSeq
+    val b = NgramLm.scoreQuantized(probe, "doc_id", "text",
+      (b1 ++ b2).toDF("doc_id", "text")
+        .transform(d => NgramLm.train(d, "doc_id", "text"))).collect().toSeq
+    assert(a == b)
+    // every intermediate LM is a table version: v before the fold still
+    // scores as the b1-only model (model versioning for free)
+    val v0 = t.readVersion(0)
+    val c = NgramLm.scoreQuantized(probe, "doc_id", "text", v0)
+      .collect().toSeq
+    val d = NgramLm.scoreQuantized(probe, "doc_id", "text",
+      NgramLm.train(b1.toDF("doc_id", "text"), "doc_id", "text"))
+      .collect().toSeq
+    assert(c == d)
+    // a pruned model refuses the fold pointedly
+    val pruned = NgramLm.saveLm(spark, tmpDir("lm-upd") + "/p",
+      NgramLm.train(b1.toDF("doc_id", "text"), "doc_id", "text", 2L),
+      minCount = 2L)
+    val e = intercept[IllegalArgumentException](
+      NgramLm.updateLm(pruned, b2.toDF("doc_id", "text"), "doc_id", "text"))
+    assert(e.getMessage.contains("minCount=2"))
+  }
+
   test("saveLm/loadLm round-trips; the loader refuses non-LM and " +
       "drifted tables pointedly") {
     val docs = corpus.toDF("doc_id", "text")
     val model = NgramLm.train(docs, "doc_id", "text", 2L)
     val path = tmpDir("lm") + "/m"
-    val t = NgramLm.saveLm(spark, path, model)
+    val t = NgramLm.saveLm(spark, path, model, minCount = 2L)
     val loaded = NgramLm.loadLm(t)
     assert(loaded.as[(Int, String, Long)].collect().sorted.toSeq ==
       model.as[(Int, String, Long)].collect().sorted.toSeq)

@@ -637,7 +637,7 @@ class GraftSqlSpec extends SparkSpec {
       new ManagedTable(extended, pld).overwrite(lmDocs)
       val lm = graft.ops.NgramLm.train(lmDocs, "doc_id", "text")
       val plm = tmpDir("sql-ext-lm") + "/lm"
-      graft.ops.NgramLm.saveLm(extended, plm, lm)
+      graft.ops.NgramLm.saveLm(extended, plm, lm, minCount = 1L)
       val lmTvf = extended.sql(
         s"""SELECT doc_id, n_tokens, sb_q, hits3, hits2, hits1, oov
             FROM graft_lm_score('$pld', 'doc_id', 'text', '$plm')
@@ -653,6 +653,28 @@ class GraftSqlSpec extends SparkSpec {
         s"""SELECT * FROM graft_lm_score('$pld', 'doc_id', 'text',
             '$pld')""").collect())
       assert(lmErr.getMessage.contains("graft.lm.grams"))
+      // exact-substring dedup as TVFs ≡ the API plans (q154/q155's
+      // operators over a managed path) — lmDocs docs 1/2 share the
+      // 4-gram "the cat sat on"
+      val spanTvf = extended.sql(
+        s"""SELECT doc_id, span_start, span_len
+            FROM graft_duplicated_spans('$pld', 'doc_id', 'text', 3)
+            ORDER BY doc_id, span_start""")
+        .as[(Long, Int, Int)].collect().toSeq
+      val spanApi = graft.ops.Dedup.duplicatedSpans(lmDocs, "doc_id",
+          "text", 3).orderBy("doc_id", "span_start")
+        .as[(Long, Int, Int)].collect().toSeq
+      assert(spanTvf == spanApi && spanTvf.nonEmpty,
+        s"TVF spans must equal API spans: $spanTvf vs $spanApi")
+      val exTvf = extended.sql(
+        s"""SELECT doc_id, clean_text, tokens_kept, tokens_dropped
+            FROM graft_excise_spans('$pld', 'doc_id', 'text', 3)
+            ORDER BY doc_id""")
+        .as[(Long, String, Long, Long)].collect().toSeq
+      val exApi = graft.ops.Dedup.exciseDuplicatedSpans(lmDocs, "doc_id",
+          "text", 3).orderBy("doc_id")
+        .as[(Long, String, Long, Long)].collect().toSeq
+      assert(exTvf == exApi, s"TVF excision must equal API: $exTvf")
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
