@@ -1432,6 +1432,18 @@ object SparkEntry {
           "doc_id", "text", k = 8)
         .orderBy("doc_id")
     }),
+    "q156_pack_whole_docs" -> ((s, d) => {
+      // whole-document NO-SPLIT packing (harmonic size classes, Lee &
+      // Lee JACM 1985) — the SFT/instruction-tuning packer; q150 is the
+      // pretraining concat-and-chunk twin that lets docs straddle.
+      // Deterministic arithmetic + doc-id rank ⇒ bit-exact DuckDB twin.
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(graft.ops.TextAnalysis.words(col("text"))).cast("long")
+          .as("n_tokens"))
+      graft.ops.Sampling.packWholeDocs(docs, "doc_id", "n_tokens",
+          seqLen = 128)
+        .orderBy("doc_id")
+    }),
     "q147_bpe_tokenize" -> ((s, d) => {
       // trained-BPE token statistics (rows-only: the merge loop is not
       // SQL-expressible; BpeSpec anchors train+encode against an
@@ -3768,6 +3780,22 @@ object SparkEntry {
          FROM documents d LEFT JOIN agg USING (doc_id)
            LEFT JOIN tot USING (doc_id)
          ORDER BY doc_id""",
+    // q156: class fit = seqLen div n; rank within class in doc_id order;
+    // bin = rank0 div max(fit, 1) — pure integer arithmetic
+    "q156_pack_whole_docs" ->
+      """WITH w AS (SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(trim(text)),
+                 '\s+'), x -> x <> '')) AS BIGINT) AS n FROM documents),
+         d AS (SELECT doc_id, n,
+                 CASE WHEN n > 128 THEN 0 ELSE 128 // n END AS fit
+               FROM w WHERE n >= 1),
+         r AS (SELECT doc_id, n, fit,
+                 row_number() OVER (PARTITION BY fit ORDER BY doc_id)
+                   AS rk
+               FROM d)
+         SELECT doc_id, n AS n_tokens, CAST(fit AS BIGINT) AS fit,
+           CAST((rk - 1) // greatest(fit, 1) AS BIGINT) AS bin
+         FROM r ORDER BY doc_id""",
     "q146a_quality_classifier_trained_anchor" ->
       """WITH w AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y,
                  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS words

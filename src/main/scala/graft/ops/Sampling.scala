@@ -242,4 +242,69 @@ object Sampling {
           greatest(col("seq_id") * seqLen - col("__start"), lit(0L)))
           .as("slice_len"))
   }
+
+  /** Whole-document packing into fixed-capacity training sequences
+    * WITHOUT splitting — the SFT/instruction-tuning packer
+    * ([[concatChunkSlices]] lets documents span boundaries, the right
+    * thing for pretraining and the wrong thing when an example must not
+    * straddle sequences). Size-class assignment, the harmonic-fit family
+    * of bin packing (Lee & Lee, "A simple on-line bin-packing
+    * algorithm", JACM 32(3), 1985): a doc of n tokens lands in class
+    * `fit` = ⌊seqLen / n⌋ — the per-bin doc count its size supports —
+    * and bins within a class take exactly `fit` docs in doc-id order.
+    * Guarantees (spec-pinned):
+    *   - per-bin fill ≤ seqLen always (fit docs of size ≤ seqLen/fit);
+    *   - every FULL bin is > seqLen·fit/(fit+1) ≥ 50% utilized (class
+    *     members exceed seqLen/(fit+1)); only each class's last bin may
+    *     be emptier.
+    * Oversize docs (n > seqLen) flag fit = 0, one per bin — the caller
+    * decides truncate/drop; token-less docs pack nothing and are
+    * excluded. Output: (doc_id, n_tokens, fit, bin) — (fit, bin) is the
+    * sequence key.
+    *
+    * Deterministic pure arithmetic + doc-id order ⇒ partitioning-
+    * invariant and SQL-expressible (the q156 DuckDB oracle). Scale: the
+    * only coordination is the per-class rank, computed like the shard
+    * packer's prefix sum — partition-local row_number + driver-collected
+    * (partition × class) counts turned into offsets (classes ≤ distinct
+    * doc sizes ≤ seqLen, so the offset table is metadata-sized and
+    * broadcast). No global or per-class single-partition window at any
+    * size.
+    */
+  def packWholeDocs(df: DataFrame, idCol: String, tokenCol: String,
+                    seqLen: Long, partitions: Int = 0): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val docs = df
+      .select(col(idCol).as("doc_id"),
+        col(tokenCol).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1L)
+      .withColumn("fit", when(col("n_tokens") > seqLen, lit(0L))
+        .otherwise(expr(s"$seqLen div n_tokens")))
+    val sorted = docs.repartitionByRange(n, col("fit"), col("doc_id"))
+      .sortWithinPartitions("fit", "doc_id")
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // pin partitioning: pass 2 must see pass 1's pids
+    val pcounts = sorted.groupBy("__pid", "fit")
+      .agg(count(lit(1)).as("__c")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // exclusive per-(pid, class) offsets: a class's ranks continue across
+    // partitions in pid order
+    val offsets = pcounts.keys.map(_._2).toSeq.distinct.flatMap { f =>
+      (0 until n).scanLeft(0L)((acc, p) =>
+          acc + pcounts.getOrElse((p, f), 0L))
+        .zipWithIndex.take(n)
+        .map { case (off, p) => (p, f, off) }
+    }
+    val offDf = broadcast(offsets.toDF("__pid", "fit", "__off"))
+    val w = Window.partitionBy("__pid", "fit").orderBy("doc_id")
+    sorted
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .join(offDf, Seq("__pid", "fit"))
+      .select(col("doc_id"), col("n_tokens"), col("fit"),
+        expr("(__rn + __off - 1) div greatest(fit, 1)").as("bin"))
+  }
 }

@@ -197,6 +197,19 @@ object GraftTableFunctions {
         str(args(1), fn, "idCol"), str(args(2), fn, "textCol"),
         long(args(3), fn, "k").toInt))
     },
+    // whole-doc no-split packing as a TVF — the SFT-side sibling of
+    // graft_pack_sequences: (doc_id, n_tokens, fit, bin) rows, (fit,
+    // bin) the sequence key
+    tvf("graft_pack_whole_docs") { args =>
+      require(args.length == 4,
+        "graft_pack_whole_docs(path, idCol, tokenCol, seqLen)")
+      val s = SparkSession.active
+      val fn = "graft_pack_whole_docs"
+      val t = new ManagedTable(s, str(args(0), fn, "path"))
+      plan(graft.ops.Sampling.packWholeDocs(t.read,
+        str(args(1), fn, "idCol"), str(args(2), fn, "tokenCol"),
+        long(args(3), fn, "seqLen")))
+    },
     tvf("graft_excise_spans") { args =>
       require(args.length == 4,
         "graft_excise_spans(path, idCol, textCol, k)")

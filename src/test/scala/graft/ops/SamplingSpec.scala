@@ -185,4 +185,46 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(a == b)
   }
+
+  test("packWholeDocs: equals the sequential size-class reference, " +
+      "keeps the fill/fullness bounds, invariant to partitioning") {
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 400L).map(i => (i, rnd.nextInt(80) + 1L)) ++
+      Seq((500L, 200L), (501L, 0L)) // oversize at seqLen=128; token-less
+    val df = docs.toDF("doc_id", "n_tokens")
+    def run(d: org.apache.spark.sql.DataFrame, parts: Int = 0) =
+      Sampling.packWholeDocs(d, "doc_id", "n_tokens", 128, parts)
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val out = run(df)
+    // sequential reference: class fit = 128 div n (0 for oversize), rank
+    // within class in doc_id order, bin = rank0 div max(fit, 1)
+    val expect = docs.filter(_._2 >= 1).map { case (id, nt) =>
+      (id, nt, if (nt > 128) 0L else 128L / nt)
+    }.groupBy(_._3).toSeq.flatMap { case (f, ds) =>
+      ds.sortBy(_._1).zipWithIndex.map { case ((id, nt, _), i) =>
+        (id, nt, f, (i / math.max(f, 1L).toInt).toLong)
+      }
+    }.sorted
+    assert(out == expect)
+    // invariants on the real output
+    assert(!out.exists(_._1 == 501L), "token-less docs pack nothing")
+    val os = out.filter(_._1 == 500L)
+    assert(os.size == 1 && os.head._3 == 0L, "oversize flags fit=0")
+    val byBin = out.filter(_._3 > 0).groupBy(x => (x._3, x._4))
+    byBin.foreach { case ((f, b), ds) =>
+      assert(ds.map(_._2).sum <= 128, s"bin ($f,$b) overfull")
+      assert(ds.size <= f, s"bin ($f,$b): ${ds.size} docs > fit $f")
+    }
+    byBin.groupBy(_._1._1).foreach { case (f, bins) =>
+      val last = bins.keys.map(_._2).max
+      bins.foreach { case ((_, b), ds) => if (b < last) {
+        assert(ds.size == f, s"non-final bin ($f,$b) not full")
+        assert(ds.map(_._2).sum * 2 > 128,
+          s"full bin ($f,$b) under 50% utilized")
+      }}
+    }
+    // partitioning invariance (input layout AND rank-partition count)
+    assert(run(df.repartition(7), parts = 3) == out)
+    assert(run(df.repartition(1), parts = 1) == out)
+  }
 }

@@ -675,6 +675,18 @@ class GraftSqlSpec extends SparkSpec {
           "text", 3).orderBy("doc_id")
         .as[(Long, String, Long, Long)].collect().toSeq
       assert(exTvf == exApi, s"TVF excision must equal API: $exTvf")
+      // whole-doc packing as a TVF ≡ the API plan (over the persisted
+      // token-count table graft_pack_sequences already exercises)
+      val wpTvf = extended.sql(
+        s"""SELECT doc_id, n_tokens, fit, bin
+            FROM graft_pack_whole_docs('$pk', 'doc_id', 'n_tokens', 512)
+            ORDER BY doc_id""")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val wpApi = graft.ops.Sampling.packWholeDocs(tokCounts, "doc_id",
+          "n_tokens", 512).orderBy("doc_id")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(wpTvf == wpApi && wpTvf.nonEmpty,
+        s"TVF whole-doc packing must equal API: $wpTvf vs $wpApi")
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
