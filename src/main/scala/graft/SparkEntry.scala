@@ -1432,6 +1432,24 @@ object SparkEntry {
           "doc_id", "text", k = 8)
         .orderBy("doc_id")
     }),
+    "q157_dup_spans_incremental" -> ((s, d) => {
+      // the continuous-ingest span screen THROUGH the persisted k-gram
+      // store (the q152 persisted-path discipline): base corpus = even
+      // doc_ids builds the store, the odd-id batch screens against it at
+      // cost ∝ batch — and must equal the one-shot union screen
+      // restricted to the batch (the exactness law DedupSpec pins; the
+      // oracle recomputes the union directly)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-gramstore").toString
+      val docs = Tables.documents(s, d)
+      val store = graft.ops.Dedup.saveGramStore(s, s"$wh/store",
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", k = 8)
+      graft.ops.Dedup.duplicatedSpansIncremental(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", store)
+        .select(col("doc_id"), col("span_start").cast("long"),
+          col("span_len").cast("long"))
+        .orderBy("doc_id", "span_start")
+    }),
     "q156_pack_whole_docs" -> ((s, d) => {
       // whole-document NO-SPLIT packing (harmonic size classes, Lee &
       // Lee JACM 1985) — the SFT/instruction-tuning packer; q150 is the
@@ -3734,6 +3752,36 @@ object SparkEntry {
                FROM tok WHERE p + 7 <= len(words)),
          dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
          a AS (SELECT doc_id, p FROM g JOIN dup USING (gram)),
+         m AS (SELECT doc_id, p,
+                 CASE WHEN p > coalesce(MAX(p) OVER (PARTITION BY doc_id
+                     ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), -1000000) + 8
+                   THEN 1 ELSE 0 END AS new_span
+               FROM a),
+         i AS (SELECT doc_id, p,
+                 SUM(new_span) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS span
+               FROM m)
+         SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+           CAST(MAX(p) + 8 - MIN(p) AS BIGINT) AS span_len
+         FROM i GROUP BY doc_id, span
+         ORDER BY doc_id, span_start""",
+    // q157: the incremental screen ≡ the union screen restricted to the
+    // odd-id batch — the oracle takes the direct union route
+    "q157_dup_spans_incremental" ->
+      """WITH w AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS words FROM documents),
+         tok AS (SELECT doc_id,
+                   unnest(generate_series(1, len(words))) AS p, words
+                 FROM w),
+         g AS (SELECT doc_id, p,
+                 list_aggregate(words[p:p+7], 'string_agg', ' ') AS gram
+               FROM tok WHERE p + 7 <= len(words)),
+         dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+         a AS (SELECT doc_id, p FROM g JOIN dup USING (gram)
+               WHERE doc_id % 2 = 1),
          m AS (SELECT doc_id, p,
                  CASE WHEN p > coalesce(MAX(p) OVER (PARTITION BY doc_id
                      ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING

@@ -264,12 +264,16 @@ object Dedup {
     * shuffle-payload note applies verbatim).
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                      k: Int = 8): DataFrame = {
-    val (_, anchors) = dupSpanInputs(docs, idCol, textCol, k)
+                      k: Int = 8): DataFrame =
+    spanIslands(dupSpanInputs(docs, idCol, textCol, k)._2, k)
+
+  /** Sorted-interval union of anchor intervals [p, p+k−1] into maximal
+    * (doc_id, span_start, span_len) spans: a new span starts exactly
+    * when p clears the furthest end seen so far by ≥ 2 (p > maxPrevP + k
+    * ⇔ a ≥ 1-token gap in coverage). Per-doc windows only.
+    */
+  private def spanIslands(anchors: DataFrame, k: Int): DataFrame = {
     val wnd = Window.partitionBy("doc_id").orderBy("p")
-    // sorted-interval union: anchor intervals are [p, p+k−1]; a new span
-    // starts exactly when p clears the furthest end seen so far by ≥ 2
-    // (p > maxPrevP + k ⇔ a ≥ 1-token gap in coverage)
     val maxPrev = max(col("p"))
       .over(wnd.rowsBetween(Window.unboundedPreceding, -1))
     val isl = anchors
@@ -314,13 +318,12 @@ object Dedup {
         (col("n_tokens") - col("tokens_kept")).as("tokens_dropped"))
   }
 
-  /** The shared front half of the span pair: the 1-based token stream
-    * and the duplicate anchors (positions whose k-word window text
-    * occurs > 1 time corpus-wide). Both are lazily materialized — the
-    * token explode has two consumers in the excision path, the gram
-    * stream feeds the frequency pass AND the semi-join back.
+  /** The 1-based token stream and the full k-window gram stream — both
+    * lazily materialized (the token explode has two consumers in the
+    * excision path; the gram stream feeds the frequency pass AND the
+    * semi-join back).
     */
-  private def dupSpanInputs(docs: DataFrame, idCol: String,
+  private def gramStream(docs: DataFrame, idCol: String,
       textCol: String, k: Int): (DataFrame, DataFrame) = {
     require(k >= 2, s"span anchor length k must be >= 2, got $k")
     val toks = docs.select(col(idCol).as("doc_id"),
@@ -339,11 +342,90 @@ object Dedup {
       .filter(col("wlast").isNotNull)
       .select(col("doc_id"), col("p"), col("gram"))
       .localCheckpoint(eager = false)
-    val dup = grams.groupBy("gram").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select("gram")
+    (toks, grams)
+  }
+
+  /** The shared front half of the span pair: the token stream plus the
+    * duplicate anchors — positions whose k-window text occurs > 1 time
+    * counting THESE docs and, when `extraCounts` (gram, c) is supplied,
+    * the occurrences an external store already holds (the incremental
+    * screen: total = batch + corpus).
+    */
+  private def dupSpanInputs(docs: DataFrame, idCol: String,
+      textCol: String, k: Int,
+      extraCounts: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val (toks, grams) = gramStream(docs, idCol, textCol, k)
+    val freq = grams.groupBy("gram").agg(count(lit(1)).as("__bc"))
+    val dup = extraCounts match {
+      case None => freq.filter(col("__bc") > 1).select("gram")
+      case Some(store) =>
+        freq.join(store.select(col("gram"), col("c").as("__sc")),
+            Seq("gram"), "left")
+          .filter(col("__bc") + coalesce(col("__sc"), lit(0L)) > 1)
+          .select("gram")
+    }
     val anchors = grams.join(dup, Seq("gram"), "left_semi")
       .select("doc_id", "p")
     (toks, anchors)
+  }
+
+  /** Persist a corpus's k-gram occurrence counts as a managed table —
+    * the continuous-ingest side of [[duplicatedSpans]]. Occurrence
+    * counts are additive (the same algebra [[NgramLm.updateLm]] rides),
+    * so the store folds new batches in with one MERGE
+    * ([[updateGramStore]]) and [[duplicatedSpansIncremental]] screens
+    * each batch against the WHOLE corpus at cost ∝ batch + the touched
+    * store partitions — never a rescan of the corpus. At 100 TB store
+    * `xxhash64(gram)` instead of raw text if the store size dominates
+    * (identical answers modulo 64-bit collisions).
+    */
+  def saveGramStore(spark: org.apache.spark.sql.SparkSession, path: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): graft.table.ManagedTable = {
+    val t = new graft.table.ManagedTable(spark, path)
+    val counts = gramStream(docs, idCol, textCol, k)._2
+      .groupBy("gram").agg(count(lit(1)).as("c"))
+    t.overwrite(counts)
+    t.setProperties(Map(
+      "graft.spanstore.k" -> k.toString,
+      "graft.spanstore.grams" -> t.read.count().toString))
+    t
+  }
+
+  /** Fold a new batch's k-gram counts into a persisted store IN PLACE —
+    * exactly equivalent to rebuilding over the union (counts are
+    * additive and the store is never pruned). One MERGE on gram.
+    */
+  def updateGramStore(t: graft.table.ManagedTable, newDocs: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val k = gramStoreK(t)
+    val delta = gramStream(newDocs, idCol, textCol, k)._2
+      .groupBy("gram").agg(count(lit(1)).as("c"))
+    t.mergeBuilder(delta, Seq("gram"))
+      .whenMatchedUpdate(Map("c" -> "t.c + s.c"))
+      .whenNotMatchedInsertAll()
+      .execute()
+    t.setProperties(Map("graft.spanstore.grams" -> t.read.count().toString))
+  }
+
+  private def gramStoreK(t: graft.table.ManagedTable): Int =
+    t.properties.getOrElse("graft.spanstore.k",
+      throw new IllegalArgumentException(
+        s"${t.path} is not a persisted k-gram store " +
+          "(no graft.spanstore.k property)")).toInt
+
+  /** [[duplicatedSpans]] for a NEW batch against a persisted corpus
+    * store: a batch window is an anchor iff its occurrences in
+    * batch + store exceed one — for batch documents this is EXACTLY the
+    * spans [[duplicatedSpans]] over (corpus ∪ batch) would emit
+    * (spec-pinned), at cost ∝ the batch. k comes from the store's
+    * declaration (one k per store — mixed-k probes cannot be exact).
+    */
+  def duplicatedSpansIncremental(newDocs: DataFrame, idCol: String,
+      textCol: String, store: graft.table.ManagedTable): DataFrame = {
+    val k = gramStoreK(store)
+    spanIslands(
+      dupSpanInputs(newDocs, idCol, textCol, k, Some(store.read))._2, k)
   }
 
   /** Benchmark-contamination screen — the eval-leakage gate of a training

@@ -573,6 +573,53 @@ class DedupSpec extends SparkSpec {
       (4L, "u", 1L, 5L)))
   }
 
+  test("incremental duplicated spans against a gram store ≡ the union " +
+      "screen; the store folds batches additively; non-stores refused") {
+    val base = Seq(spanDocs(0), spanDocs(2))  // docs 1 and 3
+    val batch = Seq(spanDocs(1), spanDocs(3)) // docs 2 and 4
+    val store = Dedup.saveGramStore(spark, tmpDir("gramstore") + "/s",
+      base.toDF("doc_id", "text"), "doc_id", "text", k = 3)
+    val inc = Dedup.duplicatedSpansIncremental(
+        batch.toDF("doc_id", "text"), "doc_id", "text", store)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Int, Int)].collect().toSeq
+    // the exactness law: ≡ the one-shot screen over the UNION,
+    // restricted to batch ids
+    val unionSpans = Dedup.duplicatedSpans(spanDocs.toDF("doc_id", "text"),
+        "doc_id", "text", 3)
+      .filter(col("doc_id").isin(2L, 4L))
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(inc == unionSpans && inc == Seq((2L, 3, 3), (2L, 7, 3),
+      (4L, 1, 5)))
+    // fold the batch in: the store now equals a fresh full-corpus build
+    Dedup.updateGramStore(store, batch.toDF("doc_id", "text"),
+      "doc_id", "text")
+    val full = Dedup.saveGramStore(spark, tmpDir("gramstore") + "/f",
+      spanDocs.toDF("doc_id", "text"), "doc_id", "text", k = 3)
+    assert(store.read.as[(String, Long)].collect().sorted.toSeq ==
+      full.read.as[(String, Long)].collect().sorted.toSeq)
+    // a third batch screens against everything folded so far
+    val b3 = Seq((9L, "c d e f g zz"))
+    val inc3 = Dedup.duplicatedSpansIncremental(
+        b3.toDF("doc_id", "text"), "doc_id", "text", store)
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(inc3 == Seq((9L, 1, 5)), inc3.toString) // "c d e f g" known
+    val law3 = Dedup.duplicatedSpans(
+        (spanDocs ++ b3).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .filter(col("doc_id") === 9L)
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(inc3 == law3)
+    // a table without the declaration is refused pointedly
+    val plain = new graft.table.ManagedTable(spark,
+      tmpDir("gramstore") + "/p")
+    plain.overwrite(Seq(("x y z", 1L)).toDF("gram", "c"))
+    val e = intercept[IllegalArgumentException](
+      Dedup.duplicatedSpansIncremental(b3.toDF("doc_id", "text"),
+        "doc_id", "text", plain))
+    assert(e.getMessage.contains("graft.spanstore.k"))
+  }
+
   test("duplicated-span results are partitioning-invariant and a " +
       "duplicate-free corpus yields no spans") {
     val df = spanDocs.toDF("doc_id", "text")
