@@ -300,6 +300,24 @@ object Dedup {
   def exciseDuplicatedSpans(docs: DataFrame, idCol: String,
                             textCol: String, k: Int = 8): DataFrame = {
     val (toks, anchors) = dupSpanInputs(docs, idCol, textCol, k)
+    exciseFrom(docs, idCol, toks, anchors, k)
+  }
+
+  /** [[exciseDuplicatedSpans]] for a NEW batch against a persisted
+    * corpus store — the [[duplicatedSpansIncremental]] exactness law
+    * carries over verbatim (the excision is a pure function of the
+    * anchors, which are union-exact for batch docs).
+    */
+  def exciseDuplicatedSpansIncremental(newDocs: DataFrame, idCol: String,
+      textCol: String, store: graft.table.ManagedTable): DataFrame = {
+    val k = gramStoreK(store)
+    val (toks, anchors) =
+      dupSpanInputs(newDocs, idCol, textCol, k, Some(store.read))
+    exciseFrom(newDocs, idCol, toks, anchors, k)
+  }
+
+  private def exciseFrom(docs: DataFrame, idCol: String, toks: DataFrame,
+      anchors: DataFrame, k: Int): DataFrame = {
     val covered = anchors.select(col("doc_id"),
         explode(sequence(col("p"), col("p") + k - 1)).as("p"))
       .distinct()

@@ -275,6 +275,32 @@ object NgramLm {
         s"${t.path} is not a persisted n-gram LM: expected $declared " +
           s"well-formed (n∈1..3, c>0) rows, found ${bad.getLong(0)} " +
           s"row(s), ${bad.getLong(1)} malformed")
+    // containment (train's one-threshold invariant, which the scoring
+    // denominators RELY on — a violating hand-built model would null a
+    // division and silently skip tokens from sb_q): every 3-gram's
+    // context and trailing bigram kept; every 2-gram's words kept
+    val m1g = m.filter(col("n") === 1).select(col("gram").as("g"))
+    val m2g = m.filter(col("n") === 2).select(col("gram").as("g"))
+    val holes =
+      m.filter(col("n") === 3)
+        .select(substring_index(col("gram"), " ", 2).as("g"))
+        .join(m2g, Seq("g"), "left_anti")
+      .unionByName(m.filter(col("n") === 3)
+        .select(substring_index(col("gram"), " ", -2).as("g"))
+        .join(m2g, Seq("g"), "left_anti"))
+      .unionByName(m2g
+        .select(substring_index(col("g"), " ", 1).as("g"))
+        .join(m1g, Seq("g"), "left_anti"))
+      .unionByName(m2g
+        .select(substring_index(col("g"), " ", -1).as("g"))
+        .join(m1g, Seq("g"), "left_anti"))
+      .limit(1).collect()
+    if (holes.nonEmpty)
+      throw new IllegalArgumentException(
+        s"${t.path} is not a consistent n-gram LM: kept n-gram's " +
+          s"context '${holes.head.getString(0)}' is missing (the " +
+          "one-threshold pruning invariant) — retrain rather than " +
+          "hand-editing count rows")
     m
   }
 

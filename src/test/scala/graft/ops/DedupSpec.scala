@@ -592,6 +592,15 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Int, Int)].collect().toSeq
     assert(inc == unionSpans && inc == Seq((2L, 3, 3), (2L, 7, 3),
       (4L, 1, 5)))
+    // the excision twin obeys the same law (pure function of anchors)
+    val exInc = Dedup.exciseDuplicatedSpansIncremental(
+        batch.toDF("doc_id", "text"), "doc_id", "text", store)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    val exUnion = Dedup.exciseDuplicatedSpans(
+        spanDocs.toDF("doc_id", "text"), "doc_id", "text", 3)
+      .filter(col("doc_id").isin(2L, 4L))
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(exInc == exUnion && exInc.nonEmpty)
     // fold the batch in: the store now equals a fresh full-corpus build
     Dedup.updateGramStore(store, batch.toDF("doc_id", "text"),
       "doc_id", "text")

@@ -264,5 +264,13 @@ class NgramLmSpec extends SparkSpec {
     bad.setProperties(Map("graft.lm.grams" -> "2"))
     val e3 = intercept[IllegalArgumentException](NgramLm.loadLm(bad))
     assert(e3.getMessage.contains("malformed"))
+    // containment hole: a kept trigram whose context bigram is gone —
+    // scoring denominators rely on the invariant, so the loader refuses
+    val holed = new graft.table.ManagedTable(spark, tmpDir("lm") + "/h")
+    holed.overwrite(Seq((1, "a", 5L), (1, "b", 5L), (3, "a a b", 2L))
+      .toDF("n", "gram", "c"))
+    holed.setProperties(Map("graft.lm.grams" -> "3"))
+    val e4 = intercept[IllegalArgumentException](NgramLm.loadLm(holed))
+    assert(e4.getMessage.contains("context"), e4.getMessage)
   }
 }

@@ -30,8 +30,9 @@ CELL_D="$CELL_A,$CELL_C"
 
 SPECS="graft.table.OccSpec graft.table.AsyncCheckpointSpec graft.table.CommitFastPathSpec graft.table.ParquetCheckpointSpec graft.table.DistributedPlanningSpec graft.table.ManifestDeltaSpec graft.table.MergeSpec graft.table.ManagedTableSpec graft.table.MergeClauseSpec graft.table.DeletionVectorSpec graft.table.RowTrackingSpec graft.table.SchemaCacheSpec"
 # cell C adds the mapping-sensitive suites (DedupSpec: shingle index +
-# contamination screens; ColumnMappingSpec: the machinery itself)
-SPECS_C="$SPECS graft.ops.DedupSpec graft.table.ColumnMappingSpec"
+# contamination screens + gram store; ColumnMappingSpec: the machinery
+# itself; NgramLmSpec: LM persistence/MERGE-folding over managed tables)
+SPECS_C="$SPECS graft.ops.DedupSpec graft.table.ColumnMappingSpec graft.ops.NgramLmSpec"
 
 run_cell() {
   local name="$1" defaults="$2" specs="$3" out
