@@ -102,13 +102,14 @@ object NgramLm {
   def scoreQuantized(docs: DataFrame, idCol: String, textCol: String,
                      model: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val (m1, m2, m3, total) = splitModel(model)
+    val (m1, m2, m3, total, maxC) = splitModel(model)
     // integer-headroom GUARANTEE, not comment: the quantized numerator
     // is weight·count with weight ≤ 1e9, so any count above
     // Long.Max/1e9 (≈9.2e9 — a single n-gram repeated nine billion
     // times) would wrap. Raise minCount (prune) or rescale Q if a
-    // corpus ever trips this.
-    val maxC = model.agg(max(col("c"))).head.getLong(0)
+    // corpus ever trips this. (maxC rides splitModel's one aggregate
+    // over the checkpointed model — review r14: a separate agg on the
+    // caller's DataFrame re-executed the whole training lineage.)
     require(maxC <= Long.MaxValue / Q3,
       s"n-gram count $maxC overflows the 1e9 quantizer " +
         s"(max ${Long.MaxValue / Q3}); train with a higher minCount")
@@ -168,7 +169,7 @@ object NgramLm {
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
             model: DataFrame): DataFrame = {
-    val (m1, m2, m3, total) = splitModel(model)
+    val (m1, m2, m3, total, _) = splitModel(model)
     val wnd = Window.partitionBy("doc_id").orderBy("i")
     val ctx = tokens(docs, idCol, textCol)
       .withColumn("w2", lag(col("w3"), 1).over(wnd))
@@ -269,12 +270,18 @@ object NgramLm {
     val bad = m.agg(
       count(lit(1)).as("rows"),
       count(when(col("n") < 1 || col("n") > 3 || col("c") <= 0 ||
-        col("gram").isNull, 1)).as("malformed")).head
-    if (bad.getLong(0) != declared || bad.getLong(1) != 0)
+        col("gram").isNull, 1)).as("malformed"),
+      // a duplicated (n, gram) row would FAN OUT the scoring joins and
+      // silently inflate every containing doc's statistic (review r14 —
+      // the loadMerges duplicate-rank discipline)
+      count_distinct(struct(col("n"), col("gram"))).as("uniq")).head
+    if (bad.getLong(0) != declared || bad.getLong(1) != 0 ||
+        bad.getLong(2) != bad.getLong(0))
       throw new IllegalArgumentException(
         s"${t.path} is not a persisted n-gram LM: expected $declared " +
-          s"well-formed (n∈1..3, c>0) rows, found ${bad.getLong(0)} " +
-          s"row(s), ${bad.getLong(1)} malformed")
+          s"well-formed DISTINCT (n∈1..3, c>0) rows, found " +
+          s"${bad.getLong(0)} row(s), ${bad.getLong(1)} malformed, " +
+          s"${bad.getLong(0) - bad.getLong(2)} duplicated")
     // containment (train's one-threshold invariant, which the scoring
     // denominators RELY on — a violating hand-built model would null a
     // division and silently skip tokens from sb_q): every 3-gram's
@@ -337,19 +344,22 @@ object NgramLm {
       .join(m1.withColumnRenamed("c", "c1").as("mu"),
         col("w3") === col("mu.gram"), "left").drop("gram")
 
-  /** Per-order views + the unigram mass T. One driver-side scalar job
-    * (the model is the small side by construction).
+  /** Per-order views + the unigram mass T + the max count (the overflow
+    * guard's input). ONE driver-side scalar job over the checkpointed
+    * model (the model is the small side by construction).
     */
   private def splitModel(model: DataFrame)
-      : (DataFrame, DataFrame, DataFrame, Long) = {
+      : (DataFrame, DataFrame, DataFrame, Long, Long) = {
     val m = model.select(col("n"), col("gram"), col("c"))
-      .localCheckpoint(eager = false) // five join consumers + the total
-    val total = m.filter(col("n") === 1)
-      .agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
+      .localCheckpoint(eager = false) // five join consumers + the totals
+    val t = m.agg(
+      coalesce(sum(when(col("n") === 1, col("c"))), lit(0L)),
+      coalesce(max(col("c")), lit(0L))).head
+    val total = t.getLong(0)
     require(total > 0, "the model has no unigram mass (empty corpus?)")
     (m.filter(col("n") === 1).select("gram", "c"),
       m.filter(col("n") === 2).select("gram", "c"),
       m.filter(col("n") === 3).select("gram", "c"),
-      total)
+      total, t.getLong(1))
   }
 }

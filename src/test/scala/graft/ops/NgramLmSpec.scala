@@ -264,6 +264,14 @@ class NgramLmSpec extends SparkSpec {
     bad.setProperties(Map("graft.lm.grams" -> "2"))
     val e3 = intercept[IllegalArgumentException](NgramLm.loadLm(bad))
     assert(e3.getMessage.contains("malformed"))
+    // a duplicated (n, gram) row with a compensating loss (row count
+    // unchanged) would fan out the scoring joins — refused, not scored
+    val dup = new graft.table.ManagedTable(spark, tmpDir("lm") + "/dup")
+    dup.overwrite(Seq((1, "a", 2L), (1, "a", 3L), (1, "b", 1L))
+      .toDF("n", "gram", "c"))
+    dup.setProperties(Map("graft.lm.grams" -> "3"))
+    val eDup = intercept[IllegalArgumentException](NgramLm.loadLm(dup))
+    assert(eDup.getMessage.contains("duplicated"), eDup.getMessage)
     // containment hole: a kept trigram whose context bigram is gone —
     // scoring denominators rely on the invariant, so the loader refuses
     val holed = new graft.table.ManagedTable(spark, tmpDir("lm") + "/h")
