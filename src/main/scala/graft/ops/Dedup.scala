@@ -46,10 +46,7 @@ object Dedup {
     * shuffle moves only the projected columns, and only when the source has
     * fewer partitions than the cluster has slots.
     */
-  private def spreadForCpu(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def spreadForCpu(df: DataFrame): DataFrame = Spread.toCores(df)
 
   /** Exploded (id, shingle) inverted index, optionally dropping
     * stop-shingles with document frequency > `maxDocFreq` (0 = keep all;

@@ -84,13 +84,21 @@ object Dsir {
   private def weightsCore(raw: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String, buckets: Int,
       broadcastBuckets: Long, bucketFn: (Column, Int) => Column,
-      term: (Column, Column, Double, Double) => Column,
-      outCol: String, cache: Boolean): (DataFrame, () => Unit) = {
+      term: (Column, Column, Column, Column) => Column,
+      outCol: String, cache: Boolean,
+      spreadInput: Boolean = false): (DataFrame, () => Unit) = {
     // cache = false (the standalone weight functions): no persist at all —
     // paying the materialization only to release it unused would be
     // strictly worse than the two-pass recompute
-    val rawBuckets0 = raw.select(col(idCol),
-        explode(bucketFn(col(textCol), buckets)).as("bucket"))
+    // spreadInput: only the md5-bucket flavor spreads a narrow scan over
+    // the cores ([[Spread.toCores]]) — a full digest per n-gram is
+    // CPU-dominant and measured ~20% faster spread, while the xxhash
+    // production flavor is so cheap per row that the extra exchange LOST
+    // more than the parallelism bought at small scale (the spread stays a
+    // no-op on wide scans either way)
+    val rawIn = raw.select(col(idCol), col(textCol))
+    val rawBuckets0 = (if (spreadInput) Spread.toCores(rawIn) else rawIn)
+      .select(col(idCol), explode(bucketFn(col(textCol), buckets)).as("bucket"))
     val rawBuckets =
       if (cache) rawBuckets0.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -99,11 +107,18 @@ object Dsir {
       .select(explode(bucketFn(col(targetTextCol), buckets)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
     val qHist = rawBuckets.groupBy("bucket").agg(count(lit(1)).as("cnt"))
-    def total(h: DataFrame): Double =
-      Option(h.agg(sum(col("cnt"))).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L).toDouble + buckets
-    val totP = total(pHist)
-    val totQ = total(qHist)
+    // the two smoothing totals ride the PLAN as a broadcast one-row cross
+    // join instead of two driver-blocking head() actions (guide §5: the
+    // driver should do almost no data work — each head() was a full extra
+    // job and a barrier before the weights query could even be planned).
+    // Arithmetic is unchanged: the same exact Long sum, widened to double,
+    // plus `buckets` — now evaluated inside the term expression, and the
+    // qHist exchange is shared with the ratio join via reuse.
+    def totalCol(h: DataFrame, name: String): DataFrame =
+      h.agg((coalesce(sum(col("cnt")), lit(0L)).cast("double") +
+        lit(buckets.toDouble)).as(name))
+    val tots = broadcast(
+      totalCol(qHist, "__totQ").crossJoin(totalCol(pHist, "__totP")))
     // every scored n-gram comes from `raw`, so its bucket is in the raw
     // histogram by construction: a LEFT join from qHist covers the whole
     // scoring domain (target-only buckets never match a scored row).
@@ -111,8 +126,10 @@ object Dsir {
     // BigDecimal.setScale gave, bit-identical weights.
     val ratioRaw = qHist.join(
         pHist.withColumnRenamed("cnt", "p_cnt"), Seq("bucket"), "left")
+      .crossJoin(tots)
       .select(col("bucket"),
-        term(coalesce(col("p_cnt"), lit(0L)), col("cnt"), totP, totQ)
+        term(coalesce(col("p_cnt"), lit(0L)), col("cnt"),
+          col("__totP"), col("__totQ"))
           .cast("decimal(20,12)").as("term"))
     val ratio =
       if (buckets.toLong <= broadcastBuckets) broadcast(ratioRaw) else ratioRaw
@@ -132,7 +149,7 @@ object Dsir {
 
   /** The paper's Laplace(+1)-smoothed log-ratio term. */
   private def logRatioTerm(p: Column, q: Column,
-      totP: Double, totQ: Double): Column =
+      totP: Column, totQ: Column): Column =
     log((p + lit(1L)).cast("double") / totP) -
       log((q + lit(1L)).cast("double") / totQ)
 
@@ -143,7 +160,7 @@ object Dsir {
     * quantized digit).
     */
   private def linearTerm(p: Column, q: Column,
-      totP: Double, totQ: Double): Column =
+      totP: Column, totQ: Column): Column =
     ((p + lit(1L)).cast("double") / totP) -
       ((q + lit(1L)).cast("double") / totQ)
 
@@ -177,7 +194,7 @@ object Dsir {
       broadcastBuckets: Long = 4L * 1000 * 1000): DataFrame = {
     val (w, _) = weightsCore(raw, idCol, textCol, target, targetTextCol,
       buckets, broadcastBuckets, ngramBucketsMd5, linearTerm, "w",
-      cache = false)
+      cache = false, spreadInput = true)
     w
   }
 
@@ -228,7 +245,7 @@ object Dsir {
                       buckets: Int = 8192): DataFrame = {
     val (w, release) = weightsCore(raw, idCol, textCol, target, targetTextCol,
       buckets, 4L * 1000 * 1000, ngramBucketsMd5, linearTerm, "w",
-      cache = true)
+      cache = true, spreadInput = true)
     try raw.join(
       materializeSmall(w.orderBy(col("w").desc, col(idCol)).limit(k)),
       Seq(idCol))

@@ -69,8 +69,9 @@ object QualityClassifier {
     */
   private def features(docs: DataFrame, idCol: String, textCol: String,
                        labelCol: String, buckets: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        col(labelCol).cast("double").as("y"),
+    Spread.toCores(docs.select(col(idCol).as("doc_id"),
+        col(labelCol).cast("double").as("y"), col(textCol)))
+      .select(col("doc_id"), col("y"),
         explode(TextAnalysis.words(col(textCol))).as("t"))
       .select(col("doc_id"), col("y"),
         tokenBucket(col("t"), buckets).as("b"))
@@ -137,28 +138,33 @@ object QualityClassifier {
         .withColumn("p",
           lit(1.0) / (lit(1.0) + exp(-col("logit"))))
         .withColumn("r", col("p") - col("y"))
-      // the epoch reads `scored` twice (loss+bias agg, then the gradient
-      // join) — persist it so the logit aggregate runs once per epoch
-      scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // log loss (clamped away from 0/1) + bias gradient, one small agg
+      // ONE pass per epoch: the loss + bias-gradient aggregate rides the
+      // gradient join as observed metrics (Dataset.observe) instead of a
+      // separate action over a persisted `scored` — the epoch's logit
+      // chain is computed once, consumed once, and the DECIMAL sums are
+      // identical either way (partitioning/action-order invariant by
+      // construction), so the MODEL is bit-identical to the two-action
+      // form it replaces.
       val eps = 1e-12
-      val lossRow = scored.agg(
+      val obs = new org.apache.spark.sql.Observation()
+      val scoredObs = scored.observe(obs,
         sum(-(col("y") * log(greatest(col("p"), lit(eps))) +
           (lit(1.0) - col("y")) *
             log(greatest(lit(1.0) - col("p"), lit(eps))))
           .cast(dec)).as("loss"),
-        sum(col("r").cast(dec)).as("rsum")).head()
-      // an empty doc table aggregates to NULLs: nothing to learn
-      losses += Option(lossRow.getDecimal(0))
-        .map(_.doubleValue() / nDocs).getOrElse(0.0)
-      val rsum = Option(lossRow.getDecimal(1))
-        .map(_.doubleValue()).getOrElse(0.0)
+        sum(col("r").cast(dec)).as("rsum"))
       // per-bucket gradient: Σ_docs r_d · cnt_{d,b}, DECIMAL-summed
-      val grads = feats.join(scored.select("doc_id", "r"), Seq("doc_id"))
+      val grads = feats.join(scoredObs.select("doc_id", "r"), Seq("doc_id"))
         .groupBy("b")
         .agg(sum((col("cnt") * col("r")).cast(dec)).as("g"))
         .as[(Long, java.math.BigDecimal)].collect()
-      scored.unpersist()
+      val lossRow = obs.get
+      // an empty doc table aggregates to NULLs: nothing to learn
+      def metric(k: String): Option[Double] =
+        Option(lossRow(k)).map(v => new java.math.BigDecimal(v.toString)
+          .doubleValue())
+      losses += metric("loss").map(_ / nDocs).getOrElse(0.0)
+      val rsum = metric("rsum").getOrElse(0.0)
       grads.foreach { case (b, g) =>
         w(b.toInt) -= lr * g.doubleValue() / nDocs }
       bias -= lr * rsum / nDocs
@@ -268,7 +274,8 @@ object QualityClassifier {
     import spark.implicits._
     val buckets = model.weights.length
     val wDf = broadcast(model.weightRows.toDF("b", "wb"))
-    docs.select(col(idCol).as("doc_id"),
+    Spread.toCores(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"),
         explode(TextAnalysis.words(col(textCol))).as("t"))
       .select(col("doc_id"), tokenBucket(col("t"), buckets).as("b"))
       .join(wDf, Seq("b"), "left")

@@ -158,7 +158,7 @@ object TextAnalysis {
     * shuffle.
     */
   def charTrigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), lower(col(textCol)).as("__t"))
+    Spread.toCores(df.select(col(idCol), lower(col(textCol)).as("__t")))
       .filter(length(col("__t")) >= 3)
       .select(col(idCol), col("__t"),
         explode(sequence(lit(1), length(col("__t")) - 2)).as("__i"))

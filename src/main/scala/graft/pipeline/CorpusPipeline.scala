@@ -35,9 +35,14 @@ final class CorpusPipeline(spark: SparkSession, warehouse: String) {
     */
   val signatureStore = new ManagedTable(spark, s"$warehouse/signatures")
 
-  /** Stage 1-2: quality + language annotation. */
+  /** Stage 1-2: quality + language annotation. The input is spread across
+    * the core count first (guide §2.5 input skew): the annotation
+    * expressions are the pipeline's CPU-front and must not inherit a
+    * one-partition layout from a small scan; at scale the spread is a
+    * no-op.
+    */
   def annotate(docs: DataFrame, textCol: String): DataFrame =
-    TextAnalysis.qualityScore(docs, textCol)
+    TextAnalysis.qualityScore(graft.ops.Spread.toCores(docs), textCol)
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
       .withColumn("token_estimate", TextAnalysis.tokenEstimate(col(textCol)))
 
