@@ -2412,7 +2412,7 @@ final class ManagedTable(spark: SparkSession, val path: String)
     // schema. Mapping applied BEFORE the metadata columns: user
     // predicates over the scan speak logical names (AddMetadataColumns
     // resolves _metadata through the aliasing projection)
-    val scan = parquetScan(spark.read, Seq(path))
+    val scan = parquetScan(spark.read, Seq(path), cacheSchema = true)
       .withColumn("__dv_file", col("_metadata.file_path"))
       .withColumn("__dv_idx", col("_metadata.row_index"))
     if (prev.isEmpty) scan
@@ -6109,7 +6109,8 @@ final class ManagedTable(spark: SparkSession, val path: String)
     // an unmaterialized shallow clone reads its pinned founding manifest
     // (files live under the SOURCE's root); everything else reads the dir
     if (isShallowClone) readVersionCurrentNames(version)
-    else applyDv(parquetScan(spark.read, Seq(path)), currentDv)
+    else applyDv(parquetScan(spark.read, Seq(path), cacheSchema = true),
+      currentDv)
   }
 
   /** Columns declared by a metadata-only ADD COLUMNS but not yet present
@@ -6150,7 +6151,8 @@ final class ManagedTable(spark: SparkSession, val path: String)
 
   private def parquetScan(rd: org.apache.spark.sql.DataFrameReader,
                           paths: Seq[String],
-                          keepRowId: Boolean = false): DataFrame = {
+                          keepRowId: Boolean = false,
+                          cacheSchema: Boolean = false): DataFrame = {
     val extras = declaredExtraColumns
     val widen = declaredTypeOverrides
     // the materialized row-id column is internal: schema inference may or
@@ -6161,7 +6163,28 @@ final class ManagedTable(spark: SparkSession, val path: String)
     // (row-id scans over all-materialized file groups, where inference
     // always sees the column) retains it, at the END of the normalized
     // order so schema evolution and ids compose.
-    val inferred0 = rd.parquet(paths: _*)
+    // cacheSchema (current-version ROOT scans only, single-footer
+    // inference semantics): parquet schema inference is a footer-reading
+    // SPARK JOB per scan — stack-sampling the table-op bench put
+    // `rd.parquet(root)` at the top of the driver-gap profile, once per
+    // managed read. The physical footer schema is a pure function of
+    // (version, props signature) — the same key [[SchemaCache]] uses for
+    // the logical schema, Delta's schema-in-the-log rationale — so replay
+    // it explicitly and skip the inference job. mergeSchema readers
+    // (readEvolved) and file-subset scans bypass the cache.
+    val inferred0 =
+      if (!cacheSchema) rd.parquet(paths: _*)
+      else {
+        val v = version
+        val sig = propsSig
+        PhysicalSchemaCache.get(qualifiedRoot, v, sig) match {
+          case Some(st) => rd.schema(st).parquet(paths: _*)
+          case None =>
+            val df = rd.parquet(paths: _*)
+            PhysicalSchemaCache.put(qualifiedRoot, v, sig, df.schema)
+            df
+        }
+      }
     val inferred =
       if (keepRowId) inferred0 else inferred0.drop(RowTracking.col)
     if (extras.isEmpty && widen.isEmpty) return mapToLogical(inferred)
@@ -7314,6 +7337,7 @@ final class ManagedTable(spark: SparkSession, val path: String)
     // byte length within one mtime tick (writeAtomic's own discipline
     // for the sidecar/history parse caches)
     SchemaCache.invalidate(qualifiedRoot)
+    PhysicalSchemaCache.invalidate(qualifiedRoot)
   }
 
   def setProperties(ps: Map[String, String]): Unit =
@@ -8416,6 +8440,30 @@ private[table] object CommitLiveCache
   * wholesale past 1024 roots.
   */
 private[table] object SchemaCache {
+  private val m = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, (Long, Long), org.apache.spark.sql.types.StructType)]
+
+  def get(root: String, v: Long,
+          sig: (Long, Long)): Option[org.apache.spark.sql.types.StructType] =
+    m.get(root).collect { case (cv, csig, s) if cv == v && csig == sig => s }
+
+  def put(root: String, v: Long, sig: (Long, Long),
+          s: org.apache.spark.sql.types.StructType): Unit = {
+    if (m.size > 1024) m.clear()
+    m.put(root, (v, sig, s))
+    ()
+  }
+
+  def invalidate(root: String): Unit = { m.remove(root); () }
+}
+
+/** [[SchemaCache]]'s twin for the PHYSICAL footer schema a current-version
+  * root scan would infer: same (version, props-signature) key, so any
+  * commit or metadata edit misses and re-infers. Serving it via
+  * `rd.schema(...)` skips parquet schema inference — a footer-reading
+  * Spark job that otherwise runs once per managed read.
+  */
+private[table] object PhysicalSchemaCache {
   private val m = scala.collection.concurrent.TrieMap
     .empty[String, (Long, (Long, Long), org.apache.spark.sql.types.StructType)]
 

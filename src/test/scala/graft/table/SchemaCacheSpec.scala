@@ -49,6 +49,54 @@ class SchemaCacheSpec extends SparkSpec {
     assert(ev.count(!_.isNullAt(ev.head.fieldIndex("extra"))) == 1)
   }
 
+  // ---- PhysicalSchemaCache (r14): the footer-schema twin ------------------
+  // `parquetScan` replays the physical footer schema via `rd.schema(...)`
+  // instead of re-running parquet schema inference (a footer-reading Spark
+  // job per managed read). Same (version, propsSig) key as the logical
+  // cache, so the staleness hazards are the same two events.
+
+  test("physical cache: a cross-handle overwrite with a wider footer schema " +
+      "is not served stale (version component)") {
+    val path = tmpDir("psc-xhandle") + "/t"
+    val a = new ManagedTable(spark, path)
+    a.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    assert(a.read.count() == 1L) // fills the physical cache for this root
+    val b = new ManagedTable(spark, path)
+    b.overwrite(Seq((2L, "b", 3.5)).toDF("k", "v", "score")) // version bump
+    // a stale physical-schema hit would read the new files through the old
+    // 2-column footer schema (dropping `score`) — the version key must miss
+    val rows = a.read.orderBy("k").collect()
+    assert(rows.map(_.length).toSet == Set(3), "stale physical schema served")
+    assert(rows.head.getDouble(2) == 3.5)
+  }
+
+  test("physical cache: RENAME under column mapping misses by properties " +
+      "signature (logical projection moves, version does not)") {
+    val path = tmpDir("psc-rename") + "/t"
+    val t = new ManagedTable(spark, path)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    t.enableColumnMapping()
+    assert(t.read.count() == 2L) // fills the cache post-mapping
+    t.renameColumn("v", "label") // property edit only — no commit
+    val got = t.read.orderBy("k")
+    assert(got.columns.toSeq == Seq("k", "label"),
+      "rename not visible through the cached scan")
+    assert(got.collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+  }
+
+  test("physical cache: the DV scan path stays exact across a delete and a " +
+      "subsequent append (both commits move the version key)") {
+    val path = tmpDir("psc-dv") + "/t"
+    val t = new ManagedTable(spark, path)
+    t.overwrite((1L to 10L).map(i => (i, s"r$i")).toDF("k", "v"))
+    assert(t.read.count() == 10L)
+    t.delete(col("k") <= 3L)
+    assert(t.read.count() == 7L, "delete not visible through the cached scan")
+    t.append(Seq((11L, "r11")).toDF("k", "v"))
+    assert(t.read.count() == 8L)
+    assert(t.read.agg(min(col("k"))).head().getLong(0) == 4L)
+  }
+
   test("cross-handle: another handle's metadata-only ADD COLUMNS misses this " +
       "handle's cache by properties signature") {
     val path = tmpDir("sc-xhandle") + "/t"
