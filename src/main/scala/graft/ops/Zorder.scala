@@ -10,12 +10,12 @@ import org.apache.spark.sql.functions._
   * balanced locality on EVERY clustering column.
   *
   * Construction:
-  *   1. each column is quantized to `2^bits` equal-frequency rank buckets
-  *      via [[Relational.ntileDistributed]] — rank buckets, not value
-  *      ranges, so skewed value distributions still fill the z-space
-  *      uniformly (Delta quantizes by range partition id the same way),
-  *      and the quantile pass is the distributed two-pass form (no
-  *      single-partition window);
+  *   1. each column is quantized to `2^bits` equal-frequency buckets from
+  *      sampled quantile boundaries ([[quantileBoundaries]]) — rank-shaped
+  *      buckets, not value ranges, so skewed value distributions still
+  *      fill the z-space uniformly (Delta quantizes by range partition id
+  *      the same way), and the whole quantization is ONE sample job plus
+  *      pure expressions (no per-column shuffle or materialization);
   *   2. the bucket ids' bits are interleaved round-robin
   *      (z = …b2a2b1a1b0a0 for columns a,b) with pure codegen'd
   *      shift/mask expressions into one BIGINT key.
@@ -30,16 +30,141 @@ import org.apache.spark.sql.functions._
   */
 object Zorder {
 
-  /** Equal-frequency rank quantization of every clustering column to
-    * `2^bits` buckets — shared by the Morton and Hilbert keys. Returns the
-    * frame plus the 1-based bucket column names.
+  /** Equal-frequency quantile BOUNDARIES for every clustering column from
+    * ONE deterministic reservoir-sketch pass over a pruned projection —
+    * the quantizer behind [[quantized]].
+    *
+    * r14 rewrite (optimization guide §1.2 "the distributed algorithm"):
+    * the previous form chained [[Relational.ntileDistributed]] per column —
+    * each a full-data range shuffle + `localCheckpoint` MATERIALIZATION +
+    * count collect + per-partition window. Clustering n columns therefore
+    * materialized the whole table n times before the final layout shuffle;
+    * at 100 TB that is n extra full passes for what is fundamentally a
+    * statistics problem. Delta's OPTIMIZE ZORDER quantizes by range
+    * partition id for the same reason: bucket boundaries come from a
+    * SAMPLE, and only the final layout touches every byte.
+    *
+    * Boundary k (k = 1..buckets-1) is the sampled weighted order statistic
+    * at rank-bucket k's last rank under the exact SQL NTILE size rule, so
+    * on inputs small enough that the reservoir holds every row (all layout
+    * specs) the bucket assignment below is bit-identical to the rank-NTILE
+    * one wherever values are distinct. On sampled inputs the buckets are
+    * equal-frequency up to sampling error; ties at a boundary land in the
+    * lower bucket (rank NTILE splits them). File LAYOUT therefore may
+    * differ from the rank form — query RESULTS never do (the class
+    * contract above; spec'd).
+    *
+    * Determinism: the reservoir is seeded per partition id, so the same
+    * input produces the same boundaries (and the same layout) every run.
+    * Driver memory: ≤ perPart rows per input partition, cluster columns
+    * only. Null values take bucket 1, matching the rank form's
+    * asc-nulls-first ordering.
+    */
+  private[ops] def quantileBoundaries(df: DataFrame, cols: Seq[String],
+                                      buckets: Int): Seq[Array[Any]] = {
+    val narrow = df.select(cols.map(col): _*)
+    val types = narrow.schema.fields.map(_.dataType)
+    val nCols = cols.length
+    val perPart = math.max(buckets * 16, 4096)
+    // internal rows (no external conversion of the full pass); values are
+    // extracted — and buffer-backed strings copied — only for KEPT rows
+    val sketch = narrow.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      val rng = new java.util.Random(0x5eed0a7aL * (pid + 1))
+      def extract(r: org.apache.spark.sql.catalyst.InternalRow): Array[Any] =
+        Array.tabulate[Any](nCols) { j =>
+          r.get(j, types(j)) match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+            case x => x
+          }
+        }
+      val res = new Array[Array[Any]](perPart)
+      var n = 0L
+      it.foreach { r =>
+        if (n < perPart) res(n.toInt) = extract(r)
+        else {
+          val j = (rng.nextDouble() * (n + 1)).toLong
+          if (j < perPart) res(j.toInt) = extract(r)
+        }
+        n += 1
+      }
+      Iterator.single((n, res.take(math.min(n, perPart.toLong).toInt)))
+    }.collect()
+    cols.indices.map { i =>
+      // weighted sample of column i: each kept row stands for count/kept
+      // rows of its partition; nulls excluded (they take bucket 1)
+      val vw = sketch.flatMap { case (cnt, rows) =>
+        val w = if (rows.isEmpty) 0.0 else cnt.toDouble / rows.length
+        rows.iterator.filter(_(i) != null).map(r => (r(i), w))
+      }
+      if (vw.isEmpty) Array.empty[Any]
+      else {
+        val sorted = vw.sortWith((a, b) =>
+          a._1.asInstanceOf[Comparable[Any]].compareTo(b._1) < 0)
+        val total = sorted.iterator.map(_._2).sum
+        // cut k = the last rank of rank-bucket k under the exact SQL NTILE
+        // size rule (first N mod b buckets hold ⌈N/b⌉ rows): when the
+        // reservoir held every row the weights are all 1 and the boundary
+        // IS the NTILE bucket's last element — bit-identical buckets on
+        // distinct values (spec'd); sampled inputs approximate the same
+        // cuts through the weights
+        val q = math.floor(total / buckets)
+        val rem = total - q * buckets
+        def cut(k: Int): Double =
+          math.min(k, rem) * (q + 1) + math.max(0.0, k - rem) * q
+        val bounds = new Array[Any](buckets - 1)
+        var k = 1
+        var cum = 0.0
+        var j = 0
+        while (k < buckets && j < sorted.length) {
+          cum += sorted(j)._2
+          while (k < buckets && cum >= cut(k) - 1e-9) {
+            bounds(k - 1) = sorted(j)._1
+            k += 1
+          }
+          j += 1
+        }
+        // fewer samples than buckets: pad with the max so the tail
+        // boundaries are inert (v > max is false)
+        while (k < buckets) { bounds(k - 1) = sorted.last._1; k += 1 }
+        bounds
+      }
+    }
+  }
+
+  /** Equal-frequency quantization of every clustering column to `2^bits`
+    * buckets — shared by the Morton and Hilbert keys. Returns the frame
+    * plus the 1-based bucket column names. One sketch job computes all
+    * columns' boundaries (see [[quantileBoundaries]]); the bucket id is
+    * then a pure expression — `1 + |{boundaries < v}|` over the sorted
+    * boundary array — so quantization adds NO shuffle and NO
+    * materialization to the layout pass.
     */
   private def quantized(df: DataFrame, cols: Seq[String],
                         bits: Int): (DataFrame, Seq[String]) = {
+    // the boundary quantizer orders internal values via Comparable; the
+    // types without one (binary, interval) take the legacy per-column
+    // rank path — exotic for clustering keys and correct either way
+    val comparable = df.select(cols.map(col): _*).schema.fields.forall(f =>
+      graft.functions.RankBucket.comparableType(f.dataType))
+    if (!comparable) {
+      var cur = df
+      val bcols = cols.zipWithIndex.map { case (c, i) =>
+        cur = Relational.ntileDistributed(cur, 1 << bits, col(c))
+          .withColumnRenamed("__ntile", s"__zb$i")
+        s"__zb$i"
+      }
+      return (cur, bcols)
+    }
+    val allBounds = quantileBoundaries(df, cols, 1 << bits)
+    import org.apache.spark.sql.GraftBridge.{column, expression}
     var cur = df
     val bcols = cols.zipWithIndex.map { case (c, i) =>
-      cur = Relational.ntileDistributed(cur, 1 << bits, col(c))
-        .withColumnRenamed("__ntile", s"__zb$i")
+      val bounds = allBounds(i)
+      val bucket =
+        if (bounds.isEmpty) lit(1L)
+        else coalesce(column(graft.functions.RankBucket(
+          expression(col(c)), bounds)), lit(1L))
+      cur = cur.withColumn(s"__zb$i", bucket)
       s"__zb$i"
     }
     (cur, bcols)

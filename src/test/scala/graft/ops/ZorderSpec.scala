@@ -49,6 +49,53 @@ class ZorderSpec extends SparkSpec {
     assert(distinctZ >= 32, s"only $distinctZ distinct z-keys")
   }
 
+  test("boundary quantization is bit-identical to rank NTILE on distinct " +
+      "values when the reservoir holds every row") {
+    // 997 rows, distinct permuted values, 8 buckets (N mod b != 0 so the
+    // NTILE size rule's two bucket sizes are both exercised): with one
+    // column the z-key is bucket-1, so withZKey vs ntileDistributed is a
+    // direct quantizer comparison
+    val df = (1L to 997L).map(i => ((i * 7919L) % 997L, i)).toDF("v", "id")
+    val viaBounds = Zorder.withZKey(df, Seq("v"), bits = 3)
+      .select(col("id"), (col("__z") + 1).as("b"))
+    val viaRank = Relational.ntileDistributed(df, 8, col("v"))
+      .select(col("id"), col("__ntile").as("b"))
+    assert(viaBounds.join(viaRank, "id")
+      .filter(viaBounds("b") =!= viaRank("b")).isEmpty)
+  }
+
+  test("RankBucket: boundary ties take the lower bucket; nulls bucket 1; " +
+      "dates and strings order correctly") {
+    import org.apache.spark.sql.GraftBridge.{column => gcol, expression}
+    def bucketed(df: org.apache.spark.sql.DataFrame, c: String,
+                 bounds: Array[Any]) =
+      df.withColumn("b", coalesce(
+        gcol(graft.functions.RankBucket(expression(col(c)), bounds)), lit(1L)))
+    // longs with a duplicate boundary: v == boundary stays below it
+    val l = Seq[java.lang.Long](1L, 5L, 6L, 9L, null)
+      .toDF("v")
+    val lb = bucketed(l, "v", Array[Any](5L, 5L, 8L))
+      .collect().map(r => (Option(r.get(0)), r.getLong(1))).toMap
+    assert(lb(Some(1L)) == 1L)   // below every boundary
+    assert(lb(Some(5L)) == 1L)   // tie with [5, 5] → lower bucket
+    assert(lb(Some(6L)) == 3L)   // above both 5s, below 8
+    assert(lb(Some(9L)) == 4L)   // above everything
+    assert(lb(None) == 1L)       // null → bucket 1
+    // dates: internal DateType is days-since-epoch ints
+    val d = Seq("2024-01-01", "2024-06-01", "2024-12-31")
+      .toDF("s").select(to_date(col("s")).as("v"))
+    val dBounds = Array[Any](
+      java.time.LocalDate.of(2024, 3, 1).toEpochDay.toInt)
+    assert(bucketed(d, "v", dBounds).orderBy("v")
+      .collect().map(_.getLong(1)).toSeq == Seq(1L, 2L, 2L))
+    // strings: internal UTF8String ordering
+    val s = Seq("apple", "mango", "zebra").toDF("v")
+    val sBounds = Array[Any](
+      org.apache.spark.unsafe.types.UTF8String.fromString("m"))
+    assert(bucketed(s, "v", sBounds).orderBy("v")
+      .collect().map(_.getLong(1)).toSeq == Seq(1L, 2L, 2L))
+  }
+
   test("clusterZ rewrite preserves the multiset and commits ZORDER") {
     val t = new graft.table.ManagedTable(spark, tmpDir("zorder") + "/t")
     val df = graft.model.Tables.lineitem(spark, "/root/testdata/sf0.001")
