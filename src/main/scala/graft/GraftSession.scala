@@ -36,6 +36,16 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // `file:` without process forks or `.crc` sidecars: Hadoop's default
+      // local fs forks a `chmod` per file create/mkdir when libhadoop is
+      // absent and doubles every small write with a checksum file —
+      // measured ~10% of driver samples on commit-heavy operators (see
+      // graft.io.FastLocalFileSystem). Remote schemes (hdfs/s3a/…) are
+      // untouched; set graft.localFs.fast=false to restore the default.
+      .config("spark.hadoop.fs.file.impl",
+        if (sys.props.get("graft.localFs.fast").contains("false"))
+          "org.apache.hadoop.fs.LocalFileSystem"
+        else "graft.io.FastLocalFileSystem")
       // the engine's SQL surface rides the session entry point: the graft
       // statement parser (MERGE/DDL/maintenance — non-graft SQL delegates
       // untouched, GraftSqlSpec pins the fall-through) and the

@@ -549,12 +549,20 @@ final class ManagedTable(spark: SparkSession, val path: String)
       java.util.UUID.randomUUID().toString.take(8))
     val out = fs.create(tmp, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
-    // a false rename = we lost a benign race (dst recreated by the other
-    // writer, or our tmp reaped by a concurrent vacuum): last writer wins,
-    // the losing content is rebuildable (history self-heals, sidecar
-    // entries are a cache) — clean up rather than crash
-    if (!fs.rename(tmp, dst) && fs.exists(tmp)) fs.delete(tmp, false)
+    // rename FIRST: POSIX rename(2) replaces dst atomically, so on the
+    // local fs a concurrent reader never observes dst absent (the old
+    // delete-then-rename form had a visibility window the faster
+    // fork-free fs made hittable — AsyncCheckpointSpec's mixed-venue
+    // race). Stores with HDFS no-overwrite semantics return false and
+    // take the delete+rename fallback, the prior behavior.
+    // A still-false rename = we lost a benign race (dst recreated by the
+    // other writer, or our tmp reaped by a concurrent vacuum): last
+    // writer wins, the losing content is rebuildable (history self-heals,
+    // sidecar entries are a cache) — clean up rather than crash.
+    if (!fs.rename(tmp, dst)) {
+      if (fs.exists(dst)) fs.delete(dst, false)
+      if (!fs.rename(tmp, dst) && fs.exists(tmp)) fs.delete(tmp, false)
+    }
     // every same-process rewrite drops its parse-cache entry outright —
     // the (len, mtime) signature alone can collide when a remap rewrites
     // equal-width paths within one mtime tick (no-op for uncached paths)

@@ -60,7 +60,7 @@ class TableSinkSpec extends SparkSpec {
     val t = new ManagedTable(spark, path)
     assert(t.read.as[(Long, String)].collect().toSet ==
       Set((1L, "x"), (2L, "y")))
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
       .filter(_.isDirectory).map(_.getPath.getName).toSet

@@ -156,8 +156,7 @@ class CommitFastPathSpec extends SparkSpec {
     // a stale-state commit (cache cleared = cold process): listing path
     // rebuilds ground truth and later commits go fast again
     CommitLiveCache.invalidate(
-      org.apache.hadoop.fs.FileSystem.getLocal(
-        spark.sparkContext.hadoopConfiguration)
+      new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
         .makeQualified(new Path(dir)).toString)
     a.append(Seq((4L, "d")).toDF("k", "v"))     // v3: listing path (cold)
     a.append(Seq((5L, "e")).toDF("k", "v"))     // v4: fast again

@@ -1551,7 +1551,7 @@ class ManagedTableSpec extends SparkSpec {
     t.overwrite(Seq((1L, "p0"), (2L, "p1")).toDF("k", "part"), Seq("part"))
     t.append(Seq((3L, "p0"), (4L, "p2")).toDF("k", "part")) // no cols passed
     t.appendOptimistic(Seq((5L, "p1")).toDF("k", "part"))   // OCC path too
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+    val fs = new org.apache.hadoop.fs.Path(t.path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(t.path)
     val rootFiles = fs.listStatus(root).filter(_.isFile)
