@@ -231,7 +231,7 @@ object Dsir {
              buckets: Int = 8192, seed: Long = 42L): DataFrame = {
     val (w, release) = weightsCore(raw, idCol, textCol, target, targetTextCol,
       buckets, 4L * 1000 * 1000, ngramBuckets, logRatioTerm, "log_w",
-      cache = true)
+      cache = true, spreadInput = true)
     try raw.join(materializeSmall(resample(w, idCol, k, seed)), Seq(idCol))
     finally release()
   }

@@ -38,9 +38,8 @@ object StackSample {
               s"${f.getClassName}.${f.getMethodName}").take(14).toSeq
             val leaf = frames.headOption.getOrElse("?")
             val interest = frames.filter(c =>
-              c.startsWith("graft.") || c.contains("spark.sql.execution") ||
-              c.contains("hadoop.fs") || c.contains("parquet") ||
-              c.contains("datasources")).take(4)
+              c.startsWith("graft.") || c.contains("spark") ||
+              c.contains("hadoop") || c.contains("parquet")).take(4)
             val key = (leaf +: interest).distinct.mkString(" <- ")
             counts.merge(key, 1L, (a, b) => a + b)
           }
