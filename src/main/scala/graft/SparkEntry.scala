@@ -410,8 +410,12 @@ object SparkEntry {
           "unique_ratio", "stopword_ratio", "punct_count", "quality_score")
         .orderBy("doc_id")),
     "q31_langid" -> ((s, d) =>
+      // words projected once: langId's five vocab probes are interpreted
+      // HOFs that would each re-split the text if words() were inlined
       Tables.documents(s, d)
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .withColumn("__w", TextAnalysis.words(col("text")))
+        .select(col("doc_id"),
+          TextAnalysis.langIdOf(col("__w")).as("lang_pred"))
         .orderBy("doc_id")),
     "q32_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)

@@ -37,32 +37,56 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des", "est"),
     "zh" -> Seq("的", "是", "在", "了", "和"))
 
-  /** Count of tokens contained in `vocab` (with multiplicity). */
-  def vocabHits(text: Column, vocab: Seq[String]): Column = {
+  /** Count of tokens contained in `vocab` (with multiplicity), over an
+    * already-computed word array. The HOF `filter` evaluates OUTSIDE
+    * whole-stage codegen's subexpression elimination, so callers that
+    * inline `words(text)` here re-split the text interpreted per doc per
+    * call — bind the split to a projected column once instead
+    * ([[qualityMetrics]]/[[langIdOf]]/[[gopherRules]] all do).
+    */
+  def vocabHitsOf(w: Column, vocab: Seq[String]): Column = {
     val arr = array(vocab.map(lit): _*)
-    size(filter(words(text), w => array_contains(arr, w))).cast("long")
+    size(filter(w, x => array_contains(arr, x))).cast("long")
   }
+
+  /** Count of tokens contained in `vocab` (with multiplicity). */
+  def vocabHits(text: Column, vocab: Seq[String]): Column =
+    vocabHitsOf(words(text), vocab)
 
   /** N-gram-heuristic language ID: score each profile by stopword hits,
     * pick the argmax with a fixed tiebreak order (profile declaration
     * order). Returns (score columns ×5, predicted) — callers select what
     * they need.
     */
-  def langId(text: Column): Column = {
-    val scores = langProfiles.map { case (l, vocab) => l -> vocabHits(text, vocab) }
-    val best = greatest(scores.map(_._2): _*)
-    scores.foldLeft(lit(null).cast("string")) { case (acc, (l, s)) =>
-      when(acc.isNull && s === best, lit(l)).otherwise(acc)
+  /** [[langId]] over an already-computed word array — five vocab probes
+    * share ONE split instead of re-splitting the text per language
+    * (see [[vocabHitsOf]] on why inlining defeats codegen CSE).
+    */
+  def langIdOf(w: Column): Column = {
+    // argmax with first-listed tie-break as ONE array_max over
+    // (score, -index, label) structs: each language's probe is evaluated
+    // exactly once per doc. The previous when-chain referenced every
+    // score inside a greatest() per CASE level — up to ~30 interpreted
+    // filter evaluations per doc, since HOFs sit outside codegen CSE.
+    // Struct ordering is field-by-field, so ties on score fall to the
+    // unique -index (highest = first listed), never to the label.
+    // Null text (null word array) stays null like the when-chain: every
+    // probe was null there, so no CASE branch ever fired.
+    val entries = langProfiles.zipWithIndex.map { case ((l, vocab), i) =>
+      struct(vocabHitsOf(w, vocab).as("s"), lit(-i).as("p"), lit(l).as("l"))
     }
+    when(w.isNull, lit(null).cast("string"))
+      .otherwise(array_max(array(entries: _*)).getField("l"))
   }
 
-  /** Quality metrics (length / punctuation / stopword / uniqueness ratios).
-    * All ratios are double divisions of exact integer counts — identical
-    * across engines.
+  def langId(text: Column): Column = langIdOf(words(text))
+
+  /** [[qualityMetrics]] against a pre-projected word-array column — the
+    * shape [[graft.pipeline.CorpusPipeline.annotate]] composes with
+    * [[langIdOf]] so the whole annotation battery splits each text once.
     */
-  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+  def qualityMetricsOf(df: DataFrame, textCol: String, w: Column): DataFrame = {
     val t = col(textCol)
-    val w = words(t)
     val nTok = size(w).cast("long")
     df.withColumn("n_chars_m", length(t).cast("long"))
       .withColumn("token_count", nTok)
@@ -70,10 +94,20 @@ object TextAnalysis {
         length(regexp_replace(trim(t), "\\s+", "")).cast("double") / nTok)
       .withColumn("unique_ratio", size(array_distinct(w)).cast("double") / nTok)
       .withColumn("stopword_ratio",
-        vocabHits(t, langProfiles.head._2).cast("double") / nTok)
+        vocabHitsOf(w, langProfiles.head._2).cast("double") / nTok)
       .withColumn("punct_count",
         (length(t) - length(regexp_replace(t, "[.,;:!?]", ""))).cast("long"))
   }
+
+  /** Quality metrics (length / punctuation / stopword / uniqueness ratios).
+    * All ratios are double divisions of exact integer counts — identical
+    * across engines. The word split is PROJECTED once (`__qm_w`) rather
+    * than inlined: the stopword probe is a higher-order function whose
+    * interpreted evaluation would otherwise re-split every doc.
+    */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame =
+    qualityMetricsOf(df.withColumn("__qm_w", words(col(textCol))),
+      textCol, col("__qm_w")).drop("__qm_w")
 
   /** Composite quality score in [0,1]-ish: favors mid-length docs with
     * diverse vocabulary — a plain arithmetic blend, fully deterministic.
@@ -106,9 +140,14 @@ object TextAnalysis {
 
   def gopherRules(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val w = words(t)
+    // the word and line splits feed THREE higher-order filters each
+    // evaluated outside codegen CSE: project both once per doc
+    // (results unchanged — same expressions over the same arrays)
+    val in = df.withColumn("__go_w", words(t))
+      .withColumn("__go_l", split(t, "\n"))
+    val w = col("__go_w")
     val nTok = size(w).cast("long")
-    val lines = split(t, "\n")
+    val lines = col("__go_l")
     val nLines = size(lines).cast("long")
     val bulletLines = size(filter(lines, l =>
       trim(l).startsWith("-") || trim(l).startsWith("*"))).cast("long")
@@ -126,7 +165,7 @@ object TextAnalysis {
       s => array_contains(w, s))).cast("long")
     val meanLen =
       length(regexp_replace(trim(t), "\\s+", "")).cast("double") / nTok
-    df.withColumn("r_word_count", nTok.between(50L, 100000L))
+    in.withColumn("r_word_count", nTok.between(50L, 100000L))
       .withColumn("r_mean_word_len",
         nTok > 0L && meanLen >= 3.0 && meanLen <= 10.0)
       .withColumn("r_symbol_ratio",
@@ -143,6 +182,7 @@ object TextAnalysis {
           col("r_symbol_ratio") && col("r_bullet_lines") &&
           col("r_ellipsis_lines") && col("r_alpha_words") &&
           col("r_stopwords"))
+      .drop("__go_w", "__go_l")
   }
 
   /** Whitespace-normalized md5 fingerprint (document identity for exact

@@ -42,9 +42,19 @@ final class CorpusPipeline(spark: SparkSession, warehouse: String) {
     * no-op.
     */
   def annotate(docs: DataFrame, textCol: String): DataFrame =
-    TextAnalysis.qualityScore(graft.ops.Spread.toCores(docs), textCol)
-      .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
+    // one projected word split feeds the quality metrics AND the five
+    // langId vocab probes (each a higher-order filter evaluated outside
+    // codegen CSE — inlined words() would re-split the text per probe)
+    TextAnalysis.qualityMetricsOf(
+        graft.ops.Spread.toCores(docs)
+          .withColumn("__an_w", TextAnalysis.words(col(textCol))),
+        textCol, col("__an_w"))
+      .withColumn("quality_score",
+        least(col("token_count").cast("double") / lit(100.0), lit(1.0))
+          * lit(0.5) + col("unique_ratio") * lit(0.5))
+      .withColumn("lang_pred", TextAnalysis.langIdOf(col("__an_w")))
       .withColumn("token_estimate", TextAnalysis.tokenEstimate(col(textCol)))
+      .drop("__an_w")
 
   /** Stage 3-4: exact dedup then near-dedup, keeping min-id per cluster.
     * `signatures`: optional precomputed minhash table (one signature pass

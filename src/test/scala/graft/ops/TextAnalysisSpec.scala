@@ -19,6 +19,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr", 5L -> "zh"))
   }
 
+  test("langId ties break to the FIRST listed profile; null and empty " +
+      "text keep the when-chain semantics") {
+    // the argmax is one array_max over (score, -index, label) structs;
+    // these cases pin the exact semantics of the when-chain it replaced
+    val docs = Seq(
+      (1L, "the der"),          // en=1, de=1 tie → first listed (en)
+      (2L, "und die le les"),   // de=2, fr=2 tie → de (listed before fr)
+      (3L, ""),                 // zero everywhere → en (first of the 0-tie)
+      (4L, null.asInstanceOf[String]) // null text → null lang
+    ).toDF("id", "text")
+    val got = docs.select(col("id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("en"), 2L -> Some("de"),
+      3L -> Some("en"), 4L -> None))
+  }
+
   test("quality metrics on a known sentence") {
     val df = Seq((1L, "  aa bb  aa cc!  ")).toDF("doc_id", "text")
     val r = TextAnalysis.qualityMetrics(df, "text").collect()(0)
