@@ -341,7 +341,11 @@ object Dedup {
   private def gramStream(docs: DataFrame, idCol: String,
       textCol: String, k: Int): (DataFrame, DataFrame) = {
     require(k >= 2, s"span anchor length k must be >= 2, got $k")
-    val toks = docs.select(col(idCol).as("doc_id"),
+    // spread BEFORE the explode: the per-doc window below re-shuffles by
+    // doc_id anyway, so parallelizing the split+explode adds no exchange
+    // to the plan shape — it only un-serializes the CPU on narrow scans
+    val toks = Spread.toCores(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc_id"),
         posexplode(TextAnalysis.words(col(textCol))).as(Seq("p0", "w")))
       .select(col("doc_id"), (col("p0") + 1).as("p"), col("w"))
       .localCheckpoint(eager = false)
