@@ -101,7 +101,16 @@ object QualityClassifier {
             lr: Double = 0.5): Model = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // persist the feature table PARTITIONED BY doc_id: every epoch runs a
+    // doc-keyed aggregate (the logits) and a doc-keyed join (the
+    // gradients) over it, and the build groupBy's (doc_id, y, b) hash
+    // partitioning satisfies neither — each epoch re-shuffled the whole
+    // table twice. One grouped-size exchange at build buys
+    // exchange-free epochs (2 × epochs fewer feature-table shuffles; the
+    // DECIMAL sums make the model bit-identical under any partitioning,
+    // QualityClassifierSpec's invariance pin).
     val feats = features(docs, idCol, textCol, labelCol, buckets)
+      .repartition(col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // FULL-batch semantics anchors on the DOC table, not the feature
     // table: a token-less doc (empty/whitespace text) has no feature rows
