@@ -407,7 +407,9 @@ object Dedup {
     t.overwrite(counts)
     t.setProperties(Map(
       "graft.spanstore.k" -> k.toString,
-      "graft.spanstore.grams" -> t.read.count().toString))
+      // countFast: exact row count from file metadata (minus DVs) — the
+      // read.count() it replaces re-scanned the store it just wrote
+      "graft.spanstore.grams" -> t.countFast().toString))
     t
   }
 
@@ -424,7 +426,8 @@ object Dedup {
       .whenMatchedUpdate(Map("c" -> "t.c + s.c"))
       .whenNotMatchedInsertAll()
       .execute()
-    t.setProperties(Map("graft.spanstore.grams" -> t.read.count().toString))
+    t.setProperties(Map(
+      "graft.spanstore.grams" -> t.countFast().toString))
   }
 
   private def gramStoreK(t: graft.table.ManagedTable): Int =
